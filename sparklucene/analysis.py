@@ -1,0 +1,140 @@
+"""StandardAnalyzer-equivalent tokenization (vectorized at Arrow-batch level).
+
+Reproduces the semantics of the reference chain (from scratch, no code reuse):
+  StandardTokenizer -> StandardFilter(no-op) -> LowerCaseFilter -> StopFilter
+  (reference: src/Lucene.Net.Analysis.Common/Analysis/Standard/StandardAnalyzer.cs:107-114)
+
+UAX#29 word-break subset implemented (sufficient for ASCII-dominant source
+code and the fixture corpus; divergences from the full 1,412-line JFlex DFA
+are documented in tests):
+  - base word chars: Unicode letters / digits / underscore (ExtendNumLet
+    joins, so ``foo_bar`` is ONE token);
+  - MidNumLet ``.`` ``'`` joins letter.letter and digit.digit
+    (``foo.bar`` and ``3.14`` are ONE token; ``a.3`` splits);
+  - MidLetter ``:`` joins letter:letter only (``a:b`` one token);
+  - MidNum ``,`` joins digit,digit only;
+  - everything else (``-`` ``(`` ``;`` whitespace ...) breaks;
+  - tokens longer than 255 chars are DROPPED but still bump the position
+    counter (StandardTokenizer.cs:234-238, maxTokenLength default 255 at
+    StandardAnalyzer.cs:51).
+
+Positions are the pre-stop-filter token ordinals (0-based): StopFilter
+preserves position increments (FilteringTokenFilter.cs:86-99), so removed
+stopwords leave gaps.  field_len counts EMITTED tokens only (post filters,
+DocInverterPerField.cs:196); NumOverlap is always 0 here (no posIncr==0
+producers in this chain).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+MAX_TOKEN_LENGTH = 255
+
+# 33-word English stop set (StopAnalyzer.cs:48-51)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# candidate: word chars optionally joined by single mid chars
+_TOKEN_RE = re.compile(r"\w+(?:[.:,'’]\w+)*", re.UNICODE)
+_MID_RE = re.compile(r"[.:,'’]")
+
+# mid-char join rules: allowed (before_class, after_class) pairs
+# classes: 'L' letter, 'N' digit, 'X' other word char (underscore etc.)
+_JOIN_RULES = {
+    ".": {("L", "L"), ("N", "N")},
+    "'": {("L", "L"), ("N", "N")},
+    "’": {("L", "L"), ("N", "N")},
+    ":": {("L", "L")},
+    ",": {("N", "N")},
+}
+
+
+def _char_class(ch: str) -> str:
+    if ch.isalpha():
+        return "L"
+    if ch.isdigit():
+        return "N"
+    return "X"
+
+
+def _split_candidate(cand: str) -> list[str]:
+    """Split a regex candidate at mid chars whose neighbors don't satisfy the
+    UAX#29 join rule; returns the final token pieces."""
+    if not _MID_RE.search(cand):
+        return [cand]
+    pieces: list[str] = []
+    start = 0
+    for m in _MID_RE.finditer(cand):
+        i = m.start()
+        mid = cand[i]
+        ok = (_char_class(cand[i - 1]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
+        if not ok:
+            pieces.append(cand[start:i])
+            start = i + 1
+    pieces.append(cand[start:])
+    # a piece may itself still contain valid mids (kept) -- done
+    return pieces
+
+
+def tokenize_raw(text: str) -> list[str]:
+    """StandardTokenizer-equivalent: the full pre-filter token stream
+    (original case, stopwords included, overlong tokens included as
+    placeholders=None so they bump positions)."""
+    out: list[str] = []
+    for cand in _TOKEN_RE.findall(text):
+        if _MID_RE.search(cand):
+            out.extend(p for p in _split_candidate(cand) if p)
+        else:
+            out.append(cand)
+    return out
+
+
+def analyze(text: str) -> tuple[list[str], list[int]]:
+    """Full chain -> (terms, positions). Positions are pre-filter ordinals;
+    overlong tokens and stopwords consume a position but are not emitted."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1  # dropped by tokenizer, still bumps position
+            continue
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(low)
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
+def invert(text: str) -> tuple[list[tuple[str, int, list[int]]], int]:
+    """-> ([(term, tf, positions)], field_len) for one document.
+    Terms are returned in first-occurrence order; positions ascending."""
+    terms, positions = analyze(text)
+    agg: dict[str, list[int]] = {}
+    for t, p in zip(terms, positions):
+        agg.setdefault(t, []).append(p)
+    return [(t, len(ps), ps) for t, ps in agg.items()], len(terms)
+
+
+def analyze_batch(texts) -> tuple[list[list[tuple[str, int, list[int]]]], np.ndarray]:
+    """Batch inversion for an Arrow/pandas batch of strings.
+    -> (per-doc postings lists, field_len int64 array)."""
+    postings = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, txt in enumerate(texts):
+        p, fl = invert(txt if isinstance(txt, str) else "")
+        postings.append(p)
+        lens[i] = fl
+    return postings, lens
+
+
+def analyze_query_text(text: str) -> list[str]:
+    """Query-side analysis: same chain (QueryParserBase.cs:445 runs the
+    analyzer on query text) -- returns the term sequence."""
+    return analyze(text)[0]

@@ -1,0 +1,83 @@
+"""Lucene SmallFloat byte315 norm quantization, vectorized in numpy.
+
+Reproduces (semantics only, from-scratch implementation):
+  - SmallFloat.SingleToSByte315 / SByte315ToSingle
+    (reference: src/Lucene.Net/Util/SmallFloat.cs:148-191)
+  - BM25Similarity.EncodeNormValue(boost, fieldLength) =
+    byte315(boost / sqrt(fieldLength))  (BM25Similarity.cs:110-113)
+  - BM25Similarity NORM_TABLE[i] = 1f / (f*f) where f = decode(i)
+    (BM25Similarity.cs:149-160) -- the quantized doc length used in scoring.
+
+All arithmetic is float32-exact: encode takes the raw IEEE-754 float32 bit
+pattern and truncates to a 8-bit float with 3 mantissa bits and zero-exponent
+15.  Two docs whose lengths quantize to the same byte score identically --
+this lossy step MUST be reproduced for rank-identical BM25.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ZERO_EXP_SHIFTED = (63 - 15) << 3  # 384
+_DECODE_EXP_BITS = (63 - 15) << 24
+
+
+def float_to_byte315(f: np.ndarray) -> np.ndarray:
+    """Vectorized SmallFloat.floatToByte315 (truncating float32 -> uint8)."""
+    f32 = np.asarray(f, dtype=np.float32)
+    bits = f32.view(np.int32)
+    smallfloat = bits >> 21
+    out = (smallfloat - _ZERO_EXP_SHIFTED).astype(np.int64)
+    # overflow clamp first, then underflow (underflow test wins for <=384)
+    out = np.where(smallfloat >= _ZERO_EXP_SHIFTED + 0x100, 255, out)
+    out = np.where(smallfloat <= _ZERO_EXP_SHIFTED, np.where(bits <= 0, 0, 1), out)
+    return out.astype(np.uint8)
+
+
+def byte315_to_float(b: np.ndarray) -> np.ndarray:
+    """Vectorized SmallFloat.byte315ToFloat (uint8 -> float32)."""
+    b = np.asarray(b, dtype=np.uint8)
+    bits = ((b.astype(np.int32) & 0xFF) << 21) + _DECODE_EXP_BITS
+    f = bits.astype(np.int32).view(np.float32)
+    return np.where(b == 0, np.float32(0.0), f).astype(np.float32)
+
+
+# BM25 NORM_TABLE: quantized doc length per norm byte (float32).
+# NORM_TABLE[0] = inf (decode(0) == 0.0 -> 1/0).
+with np.errstate(divide="ignore"):
+    _decoded = byte315_to_float(np.arange(256, dtype=np.uint8))
+    NORM_TABLE = (np.float32(1.0) / (_decoded * _decoded)).astype(np.float32)
+
+
+def encode_norm(field_len: np.ndarray) -> np.ndarray:
+    """norm byte for a doc: byte315(float32(1.0 / sqrt(field_len))), boost=1.
+
+    field_len == 0 encodes the float +inf path -> byte 255 per the reference
+    overflow clamp (1/sqrt(0) = +inf, smallfloat huge).
+    """
+    fl = np.asarray(field_len, dtype=np.float64)
+    with np.errstate(divide="ignore"):
+        f = (1.0 / np.sqrt(fl)).astype(np.float32)
+    return float_to_byte315(f)
+
+
+def quantized_doc_len(norm_byte: np.ndarray) -> np.ndarray:
+    """Effective BM25 doc length: NORM_TABLE[norm_byte] (float32)."""
+    return NORM_TABLE[np.asarray(norm_byte, dtype=np.uint8)]
+
+
+def field_len_to_byte_bounds(max_len: int = 1 << 24) -> list[tuple[int, int, int, float]]:
+    """(norm_byte, len_lo, len_hi, quantized_len_f32) ranges for integer field
+    lengths 1..max_len.  Used to embed the quantization in ANSI-SQL oracles
+    (a ~100-row lookup joined on field_len BETWEEN lo AND hi)."""
+    lens = np.arange(1, max_len + 1, dtype=np.int64)
+    bytes_ = encode_norm(lens)
+    # contiguous runs of equal byte
+    change = np.flatnonzero(np.diff(bytes_)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change - 1, [len(lens) - 1]))
+    out = []
+    for s, e in zip(starts, ends):
+        b = int(bytes_[s])
+        out.append((b, int(lens[s]), int(lens[e]), float(NORM_TABLE[b])))
+    return out

@@ -1,0 +1,247 @@
+"""Pure-Python reference scorer -- the executable spec of the reference
+semantics (slow, obviously-correct).  Mints golden top-k fixtures; the Spark
+engine must match it bit-exactly in float32 mode.
+
+Semantics reproduced (citations into /root/reference):
+  - BM25: k1=1.2, b=0.75 (BM25Similarity.cs:59-63);
+    idf = (float)ln(1 + (maxDoc - df + 0.5)/(df + 0.5)) (cs:67-70);
+    avgdl = (float)(sumTotalTermFreq / (double)maxDoc) (cs:91-102);
+    cache[i] = k1*((1-b) + b*NORM_TABLE[i]/avgdl) (cs:226-239);
+    score = (boost*idf*(k1+1)) * tf / (tf + cache[normByte]) (cs:252-270);
+    all float32 arithmetic.
+  - norm byte = byte315(float32(1/sqrt(field_len))) (cs:110-113; SmallFloat.cs).
+  - Boolean combine (BooleanQuery.cs / scorers, SURVEY 2.6):
+    MUST: float32 sequential sum in ascending-cost (df) order, stable
+      (ConjunctionScorer.cs:47-51,134-143);
+    SHOULD: float64 accumulate in clause order, cast float32
+      (DisjunctionSumScorer.cs:80-83); single SHOULD used directly;
+    MUST+SHOULD: float32 add req+opt (ReqOptSumScorer.cs);
+    MUST_NOT: excluded, no score (ReqExclScorer.cs);
+    match rule: all MUST, no MUST_NOT, >= max(minShouldMatch, 1 if no MUST
+      and SHOULDs exist else minShouldMatch) SHOULDs (BooleanQuery.cs:176-187);
+    boost folds multiplicatively into leaf weights (topLevelBoost,
+      BM25Similarity.cs:336-341); 1-clause BooleanQuery collapses with boost
+      product (BooleanQuery.cs:565-590).
+  - Phrase: exact (slop=0) alignment count as tf; idf = float32 sum of
+    per-term idfs in term order (PhraseQuery.cs, ExactPhraseScorer.cs).
+  - top-k order: (-score, docID) (HitQueue.cs:77-87).
+
+Mode 'f32' = Lucene-exact; mode 'f64' = same formulas in float64 (used by
+the DuckDB oracle gate where SQL computes in double).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .analysis import analyze_query_text, invert
+from .norms import NORM_TABLE, encode_norm
+
+K1 = 1.2
+B = 0.75
+
+
+def f32(x) -> np.float32:
+    return np.float32(x)
+
+
+@dataclass
+class OracleIndex:
+    max_doc: int = 0
+    sum_total_term_freq: int = 0
+    postings: dict[str, dict[int, tuple[int, list[int]]]] = field(default_factory=dict)
+    field_len: dict[int, int] = field(default_factory=dict)
+    norm_byte: dict[int, int] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, corpus: list[tuple[int, str]]) -> "OracleIndex":
+        idx = cls()
+        for doc_id, text in corpus:
+            plist, flen = invert(text)
+            idx.field_len[doc_id] = flen
+            idx.norm_byte[doc_id] = int(encode_norm(np.array([flen]))[0])
+            for term, tf, positions in plist:
+                idx.postings.setdefault(term, {})[doc_id] = (tf, positions)
+            idx.max_doc += 1
+            idx.sum_total_term_freq += flen
+        return idx
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def avgdl(self, mode: str) -> float:
+        if self.sum_total_term_freq <= 0:
+            return f32(1.0) if mode == "f32" else 1.0
+        v = self.sum_total_term_freq / float(self.max_doc)
+        return f32(v) if mode == "f32" else v
+
+    def idf(self, df: int, mode: str) -> float:
+        v = math.log(1.0 + (self.max_doc - df + 0.5) / (df + 0.5))
+        return f32(v) if mode == "f32" else v
+
+    def norm_cache(self, norm_byte: int, mode: str) -> float:
+        """k1*((1-b) + b*quantized_len/avgdl) -- quantized length is always
+        the float32 NORM_TABLE value (the byte is the storage)."""
+        ql = NORM_TABLE[norm_byte]
+        if mode == "f32":
+            return f32(f32(K1) * (f32(1.0 - B) + f32(B) * f32(ql) / self.avgdl("f32")))
+        return K1 * ((1.0 - B) + B * float(ql) / self.avgdl("f64"))
+
+
+def _term_scores(idx: OracleIndex, term: str, boost: float, mode: str) -> dict[int, float]:
+    plist = idx.postings.get(term)
+    if not plist:
+        return {}
+    idf = idx.idf(len(plist), mode)
+    out = {}
+    for doc_id, (tf, _pos) in plist.items():
+        nc = idx.norm_cache(idx.norm_byte[doc_id], mode)
+        if mode == "f32":
+            wv = f32(f32(f32(idf) * f32(boost)) * f32(K1 + 1.0))
+            out[doc_id] = f32(wv * f32(tf) / (f32(tf) + nc))
+        else:
+            out[doc_id] = (idf * boost * (K1 + 1.0)) * tf / (tf + nc)
+    return out
+
+
+def _phrase_freq(idx: OracleIndex, terms: list[str], doc_id: int) -> int:
+    base = None
+    for i, t in enumerate(terms):
+        entry = idx.postings.get(t, {}).get(doc_id)
+        if entry is None:
+            return 0
+        shifted = {p - i for p in entry[1]}
+        base = shifted if base is None else (base & shifted)
+        if not base:
+            return 0
+    return len(base)
+
+
+def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str) -> dict[int, float]:
+    if not terms or any(t not in idx.postings for t in terms):
+        return {}
+    # idf sum in term order (float32 sequential in f32 mode)
+    if mode == "f32":
+        idf = f32(0.0)
+        for t in terms:
+            idf = f32(idf + idx.idf(idx.df(t), "f32"))
+    else:
+        idf = sum(idx.idf(idx.df(t), "f64") for t in terms)
+    candidates = set(idx.postings[terms[0]].keys())
+    for t in terms[1:]:
+        candidates &= set(idx.postings[t].keys())
+    out = {}
+    for doc_id in candidates:
+        pf = _phrase_freq(idx, terms, doc_id)
+        if pf <= 0:
+            continue
+        nc = idx.norm_cache(idx.norm_byte[doc_id], mode)
+        if mode == "f32":
+            wv = f32(f32(f32(idf) * f32(boost)) * f32(K1 + 1.0))
+            out[doc_id] = f32(wv * f32(pf) / (f32(pf) + nc))
+        else:
+            out[doc_id] = (idf * boost * (K1 + 1.0)) * pf / (pf + nc)
+    return out
+
+
+def _cost(q: dict, idx: OracleIndex) -> int:
+    t = q["type"]
+    if t == "term":
+        return idx.df(q["term"])
+    if t == "phrase":
+        terms = q.get("terms") or analyze_query_text(q["text"])
+        return min((idx.df(x) for x in terms), default=0)
+    if t == "match_all":
+        return idx.max_doc
+    if t == "boolean":
+        musts = [c for c in q["clauses"] if c["occur"] == "MUST"]
+        shoulds = [c for c in q["clauses"] if c["occur"] == "SHOULD"]
+        if musts:
+            return min(_cost(c["query"], idx) for c in musts)
+        return sum(_cost(c["query"], idx) for c in shoulds)
+    raise ValueError(t)
+
+
+def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str = "f32") -> dict[int, float]:
+    """-> {docID: score} for all matching docs."""
+    t = q["type"]
+    boost = boost_product * q.get("boost", 1.0)
+    if t == "term":
+        return _term_scores(idx, q["term"], boost, mode)
+    if t == "phrase":
+        terms = q.get("terms") or analyze_query_text(q["text"])
+        if len(terms) == 1:
+            return _term_scores(idx, terms[0], boost, mode)
+        return _phrase_scores(idx, terms, boost, mode)
+    if t == "match_all":
+        v = f32(boost) if mode == "f32" else boost
+        return {d: v for d in range(idx.max_doc)}
+    if t == "boolean":
+        clauses = q["clauses"]
+        msm = q.get("minShouldMatch", 0)
+        # 1-clause rewrite (non-prohibited): collapse with boost product
+        non_prohibited = [c for c in clauses if c["occur"] != "MUST_NOT"]
+        if len(clauses) == 1 and len(non_prohibited) == 1:
+            return eval_query(non_prohibited[0]["query"], idx, boost, mode)
+        musts = [c["query"] for c in clauses if c["occur"] == "MUST"]
+        shoulds = [c["query"] for c in clauses if c["occur"] == "SHOULD"]
+        must_nots = [c["query"] for c in clauses if c["occur"] == "MUST_NOT"]
+        must_scores = [eval_query(m, idx, boost, mode) for m in musts]
+        should_scores = [eval_query(s, idx, boost, mode) for s in shoulds]
+        excluded: set[int] = set()
+        for mn in must_nots:
+            excluded |= set(eval_query(mn, idx, boost, mode).keys())
+
+        if musts:
+            match = set(must_scores[0].keys())
+            for ms in must_scores[1:]:
+                match &= set(ms.keys())
+        else:
+            match = set()
+            for ss in should_scores:
+                match |= set(ss.keys())
+        match -= excluded
+        need = msm if musts else max(msm, 1 if shoulds else 0)
+        out: dict[int, float] = {}
+        # conjunction order: ascending cost, stable by clause index
+        must_order = sorted(range(len(musts)), key=lambda i: (_cost(musts[i], idx), i))
+        for d in match:
+            n_should = sum(1 for ss in should_scores if d in ss)
+            if shoulds and n_should < need:
+                continue
+            if not musts and not shoulds:
+                continue
+            if mode == "f32":
+                req = f32(0.0)
+                for i in must_order:
+                    req = f32(req + must_scores[i][d])
+                matching = [ss[d] for ss in should_scores if d in ss]
+                if len(matching) == 1:
+                    opt = f32(matching[0])
+                else:
+                    acc = 0.0
+                    for s in matching:
+                        acc += float(s)
+                    opt = f32(acc)
+                if musts and matching:
+                    out[d] = f32(req + opt)
+                elif musts:
+                    out[d] = req
+                else:
+                    out[d] = opt
+            else:
+                req = sum(float(must_scores[i][d]) for i in must_order)
+                opt = sum(float(ss[d]) for ss in should_scores if d in ss)
+                out[d] = req + opt if (musts and shoulds) else (req if musts else opt)
+        return out
+    raise ValueError(f"unknown query type {t}")
+
+
+def top_k(q: dict, idx: OracleIndex, k: int, mode: str = "f32") -> list[tuple[int, float]]:
+    """-> [(docID, score)] ordered by (-score, docID), length <= k."""
+    scores = eval_query(q, idx, mode=mode)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]

@@ -1,0 +1,108 @@
+"""Tokenizer fixtures: every FIXTURES.md section 2 edge case, hand-verified.
+
+Semantics under test (reference citations):
+  StandardTokenizer UAX#29 word-break subset (StandardTokenizerImpl.cs),
+  255-char drop-but-bump rule (StandardTokenizer.cs:234-238),
+  LowerCaseFilter (LowerCaseFilter.cs:50-61),
+  StopFilter position preservation (FilteringTokenFilter.cs:86-99),
+  field_len counts emitted tokens (DocInverterPerField.cs:196).
+"""
+
+from sparklucene.analysis import ENGLISH_STOP_WORDS, analyze, invert, tokenize_raw
+
+
+def terms_of(text):
+    return analyze(text)[0]
+
+
+def test_stop_set_is_the_33_words():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+
+
+def test_plain_identifiers():
+    assert terms_of("alpha beta7 Gamma") == ["alpha", "beta7", "gamma"]
+
+
+def test_underscore_joins():
+    # ExtendNumLet: foo_bar is ONE token
+    assert terms_of("foo_bar") == ["foo_bar"]
+    assert terms_of("a_1 _x x_") == ["a_1", "_x", "x_"]
+
+
+def test_midnumlet_dot():
+    assert terms_of("foo.bar") == ["foo.bar"]  # letter.letter joins
+    assert terms_of("3.14") == ["3.14"]  # digit.digit joins
+    assert terms_of("x.3") == ["x", "3"]  # mixed classes split ('a' is a stopword)
+    assert terms_of("x..y") == ["x", "y"]  # double mid splits
+    assert terms_of("x.") == ["x"]  # trailing mid dropped
+
+
+def test_midletter_colon():
+    assert terms_of("a:b") == ["a:b"]
+    assert terms_of("1:2") == ["1", "2"]  # colon joins letters only
+
+
+def test_midnum_comma():
+    assert terms_of("1,234") == ["1,234"]
+    assert terms_of("x,y") == ["x", "y"]
+
+
+def test_breaking_punctuation():
+    assert terms_of("f(x);") == ["f", "x"]
+    assert terms_of("q-r") == ["q", "r"]
+    assert terms_of("x=y+1") == ["x", "y", "1"]
+
+
+def test_underscore_blocks_mid_join():
+    # ExtendNumLet is not ALetter: '_' adjacent to '.' breaks the mid join
+    assert terms_of("q_.r") == ["q_", "r"]
+
+
+def test_lowercase_unicode():
+    assert terms_of("FooBar XMLHttpRequest") == ["foobar", "xmlhttprequest"]
+    assert terms_of("ÜBER Straße") == ["über", "straße"]
+
+
+def test_stopwords_removed_positions_preserved():
+    terms, positions = analyze("the quick fox is fast")
+    assert terms == ["quick", "fox", "fast"]
+    assert positions == [1, 2, 4]  # 'the'@0 and 'is'@3 bump positions
+
+
+def test_overlong_token_dropped_but_bumps_position():
+    long_tok = "x" * 256
+    terms, positions = analyze(f"alpha {long_tok} beta")
+    assert terms == ["alpha", "beta"]
+    assert positions == [0, 2]
+    ok_tok = "y" * 255
+    terms, positions = analyze(f"alpha {ok_tok}")
+    assert terms == ["alpha", ok_tok]
+
+
+def test_field_len_counts_emitted_only():
+    _, flen = invert("the quick fox is fast")
+    assert flen == 3
+
+
+def test_invert_tf_and_positions():
+    plist, flen = invert("w1 w2 w1 w1 w2")
+    assert flen == 5
+    d = {t: (tf, pos) for t, tf, pos in plist}
+    assert d["w1"] == (3, [0, 2, 3])
+    assert d["w2"] == (2, [1, 4])
+
+
+def test_testboolean2_micro_corpus():
+    # reference corpus from TestBoolean2.cs:147
+    assert tokenize_raw("w1 w2 w3 w4 w5") == ["w1", "w2", "w3", "w4", "w5"]
+    plist, flen = invert("w1 w3 w2 w3")
+    assert flen == 4
+    d = {t: (tf, pos) for t, tf, pos in plist}
+    assert d["w3"] == (2, [1, 3])
+
+
+def test_empty_and_whitespace():
+    assert analyze("") == ([], [])
+    assert analyze("   \t\n ") == ([], [])
+    assert analyze("the the the") == ([], [])  # all stopwords -> field_len 0

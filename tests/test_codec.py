@@ -1,0 +1,75 @@
+"""Posting block codec round-trip identity (FIXTURES.md section 7)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparklucene.codec import (
+    BLOCK_SIZE,
+    decode_block_docs,
+    decode_block_positions,
+    encode_posting_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr), count=len(vals)), arr)
+
+
+def test_varint_known_bytes():
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),  # gap
+            st.integers(min_value=1, max_value=7),  # tf
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_posting_blocks_roundtrip(gap_tfs, rnd):
+    doc_ids = np.cumsum([g for g, _ in gap_tfs]).astype(np.int64) - 1
+    tfs = np.array([t for _, t in gap_tfs], dtype=np.int64)
+    norms = np.array([rnd.randrange(256) for _ in gap_tfs], dtype=np.uint8)
+    # positions: ascending per doc
+    pos = []
+    for t in tfs:
+        start = rnd.randrange(100)
+        cur = start
+        for _ in range(t):
+            pos.append(cur)
+            cur += 1 + rnd.randrange(5)
+    pos = np.array(pos, dtype=np.int64)
+
+    blocks = encode_posting_blocks(doc_ids, tfs, norms, pos)
+    n_docs = len(gap_tfs)
+    assert len(blocks) == (n_docs + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    got_d, got_t, got_n, got_p = [], [], [], []
+    for blk in blocks:
+        d, t, nb = decode_block_docs(
+            blk["first_docid"], blk["num_docs"], blk["doc_blob"], blk["tf_blob"], blk["norm_blob"]
+        )
+        assert blk["max_docid"] == d[-1]
+        assert blk["block_max_tf"] == t.max()
+        got_d.append(d)
+        got_t.append(t)
+        got_n.append(nb)
+        got_p.append(decode_block_positions(t, blk["pos_blob"]))
+    assert np.array_equal(np.concatenate(got_d), doc_ids)
+    assert np.array_equal(np.concatenate(got_t), tfs)
+    assert np.array_equal(np.concatenate(got_n), norms)
+    assert np.array_equal(np.concatenate(got_p), pos)

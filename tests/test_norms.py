@@ -1,0 +1,89 @@
+"""byte315 encode/decode vs hand-computed reference values.
+
+Reference semantics: SmallFloat.cs:148-191, BM25Similarity.cs:110-160.
+"""
+
+import numpy as np
+import pytest
+
+from sparklucene.norms import (
+    NORM_TABLE,
+    byte315_to_float,
+    encode_norm,
+    field_len_to_byte_bounds,
+    float_to_byte315,
+    quantized_doc_len,
+)
+
+
+def _ref_float_to_byte315(f: float) -> int:
+    """Scalar transliteration of the published SmallFloat.floatToByte315
+    algorithm (3 mantissa bits, zero exp 15), used only as a test oracle."""
+    bits = int(np.float32(f).view(np.int32))
+    smallfloat = bits >> 21
+    if smallfloat <= ((63 - 15) << 3):
+        return 0 if bits <= 0 else 1
+    if smallfloat >= ((63 - 15) << 3) + 0x100:
+        return 255
+    return smallfloat - ((63 - 15) << 3)
+
+
+def _ref_byte315_to_float(b: int) -> float:
+    if b == 0:
+        return 0.0
+    bits = (b & 0xFF) << 21
+    bits += (63 - 15) << 24
+    return float(np.int32(bits).view(np.float32))
+
+
+def test_roundtrip_all_bytes():
+    bs = np.arange(256, dtype=np.uint8)
+    fs = byte315_to_float(bs)
+    back = float_to_byte315(fs)
+    assert np.array_equal(back, bs)
+
+
+def test_decode_matches_scalar_reference():
+    got = byte315_to_float(np.arange(256, dtype=np.uint8))
+    want = np.array([_ref_byte315_to_float(b) for b in range(256)], dtype=np.float32)
+    assert np.array_equal(got, want)
+
+
+def test_encode_matches_scalar_reference():
+    vals = np.concatenate(
+        [
+            np.float32([0.0, 1.0, -1.0, 0.5, 2.0, 1e-9, 1e9, 0.1, 0.33]),
+            (1.0 / np.sqrt(np.arange(1, 4096, dtype=np.float64))).astype(np.float32),
+        ]
+    )
+    got = float_to_byte315(vals)
+    want = np.array([_ref_float_to_byte315(v) for v in vals], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_known_values():
+    # 1/sqrt(1)=1.0 -> bits 0x3f800000 >>21 = 508 -> byte 124
+    assert int(encode_norm(np.array([1]))[0]) == 124
+    # quantization: lengths in the same bucket share a byte
+    b100 = int(encode_norm(np.array([100]))[0])
+    b105 = int(encode_norm(np.array([105]))[0])
+    assert b100 == b105  # SURVEY 1.3: lengths 100 and 105 score identically
+
+
+def test_norm_table():
+    assert np.isinf(NORM_TABLE[0])
+    f = _ref_byte315_to_float(124)
+    assert NORM_TABLE[124] == np.float32(1.0) / np.float32(f * f)
+    assert quantized_doc_len(np.array([124], dtype=np.uint8))[0] == NORM_TABLE[124]
+
+
+def test_field_len_bounds_cover_and_match():
+    bounds = field_len_to_byte_bounds(max_len=100000)
+    covered = 0
+    for b, lo, hi, ql in bounds:
+        assert lo <= hi
+        covered += hi - lo + 1
+        for probe in {lo, hi, (lo + hi) // 2}:
+            assert int(encode_norm(np.array([probe]))[0]) == b
+        assert ql == pytest.approx(float(NORM_TABLE[b]))
+    assert covered == 100000

@@ -1,0 +1,204 @@
+"""Oracle scorer sanity: hand-computed BM25 on tiny corpora + semantics from
+the reference test shapes (TestBoolean2.cs:147 corpus, TestSimilarity2
+edge cases, TestBooleanQuery minShouldMatch)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from sparklucene.norms import NORM_TABLE, encode_norm
+from sparklucene.oracle import K1, B, OracleIndex, eval_query, top_k
+
+# TestBoolean2.cs:147 micro-corpus
+CORPUS = [
+    (0, "w1 w2 w3 w4 w5"),
+    (1, "w1 w3 w2 w3"),
+    (2, "w1 xx w2 yy w3"),
+    (3, "w1 w3 xx w2 yy w3"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx():
+    return OracleIndex.build(CORPUS)
+
+
+def hand_bm25(idx, term, doc_id, tf, boost=1.0):
+    """Independent float32 recomputation."""
+    df = idx.df(term)
+    idf = np.float32(math.log(1 + (idx.max_doc - df + 0.5) / (df + 0.5)))
+    avgdl = np.float32(idx.sum_total_term_freq / idx.max_doc)
+    nb = int(encode_norm(np.array([idx.field_len[doc_id]]))[0])
+    cache = np.float32(
+        np.float32(K1) * (np.float32(1 - B) + np.float32(B) * NORM_TABLE[nb] / avgdl)
+    )
+    wv = np.float32(np.float32(np.float32(idf) * np.float32(boost)) * np.float32(K1 + 1))
+    return float(np.float32(wv * np.float32(tf) / (np.float32(tf) + cache)))
+
+
+def test_stats(idx):
+    assert idx.max_doc == 4
+    assert idx.sum_total_term_freq == 5 + 4 + 5 + 6
+    assert idx.df("w1") == 4
+    assert idx.df("w3") == 4
+    assert idx.df("xx") == 2
+    assert idx.df("nope") == 0
+
+
+def test_single_term_scores_match_hand_calc(idx):
+    q = {"type": "term", "field": "content", "term": "w3", "boost": 1.0}
+    scores = eval_query(q, idx)
+    assert set(scores) == {0, 1, 2, 3}
+    for d in scores:
+        tf = idx.postings["w3"][d][0]
+        assert scores[d] == pytest.approx(hand_bm25(idx, "w3", d, tf), abs=0)
+
+
+def test_absent_term_zero_hits(idx):
+    # TestSimilarity2.cs:99 shape
+    assert eval_query({"type": "term", "term": "zzz", "boost": 1.0}, idx) == {}
+
+
+def test_tf_and_length_effects(idx):
+    q = {"type": "term", "term": "w3", "boost": 1.0}
+    s = eval_query(q, idx)
+    # doc1: tf=2 len=4 ; doc3: tf=2 len=6 ; doc0: tf=1 len=5
+    assert s[1] > s[0]  # higher tf, shorter doc wins
+    assert s[1] >= s[3]  # same tf, shorter doc scores >= (quantization may tie)
+
+
+def test_boost_scales_score(idx):
+    s1 = eval_query({"type": "term", "term": "xx", "boost": 1.0}, idx)
+    s2 = eval_query({"type": "term", "term": "xx", "boost": 2.0}, idx)
+    for d in s1:
+        assert s2[d] == pytest.approx(2 * s1[d], rel=1e-6)
+
+
+def test_conjunction_match_and_score(idx):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+            {"occur": "MUST", "query": {"type": "term", "term": "w3", "boost": 1.0}},
+        ],
+    }
+    s = eval_query(q, idx)
+    assert set(s) == {2, 3}
+    # float32 sum in asc-df order: xx (df=2) then w3 (df=4)
+    xx = eval_query({"type": "term", "term": "xx", "boost": 1.0}, idx)
+    w3 = eval_query({"type": "term", "term": "w3", "boost": 1.0}, idx)
+    for d in (2, 3):
+        assert s[d] == float(np.float32(np.float32(xx[d]) + np.float32(w3[d])))
+
+
+def test_disjunction(idx):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w4", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "zzz", "boost": 1.0}},
+        ],
+    }
+    s = eval_query(q, idx)
+    assert set(s) == {0, 2, 3}
+
+
+def test_must_not(idx):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "w1", "boost": 1.0}},
+            {"occur": "MUST_NOT", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+        ],
+    }
+    assert set(eval_query(q, idx)) == {0, 1}
+
+
+def test_min_should_match(idx):
+    # TestBooleanQuery.cs:391-409 shape
+    q = {
+        "type": "boolean",
+        "minShouldMatch": 2,
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w4", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "yy", "boost": 1.0}},
+        ],
+    }
+    assert set(eval_query(q, idx)) == {2, 3}  # doc0 matches only w4
+
+
+def test_must_plus_should_boosts_score(idx):
+    base = {"type": "term", "term": "w1", "boost": 1.0}
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": base},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+        ],
+    }
+    s = eval_query(q, idx)
+    alone = eval_query(base, idx)
+    assert set(s) == {0, 1, 2, 3}
+    assert s[2] > alone[2] and s[0] == alone[0]
+
+
+def test_single_clause_rewrite_collapses_boost(idx):
+    q = {
+        "type": "boolean",
+        "boost": 3.0,
+        "clauses": [{"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 2.0}}],
+    }
+    direct = eval_query({"type": "term", "term": "xx", "boost": 6.0}, idx)
+    assert eval_query(q, idx) == direct
+
+
+def test_nested_boolean(idx):
+    # TestBooleanQuery.cs:53-69 shape
+    inner = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w4", "boost": 1.0}},
+        ],
+    }
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w3", "boost": 1.0}},
+            {"occur": "SHOULD", "query": inner},
+        ],
+    }
+    s = eval_query(q, idx)
+    assert set(s) == {0, 1, 2, 3}
+
+
+def test_phrase(idx):
+    q = {"type": "phrase", "terms": ["w2", "w3"], "boost": 1.0}
+    s = eval_query(q, idx)
+    # doc0: w2@1,w3@2 match; doc1: w2@2,w3@1,3 -> w2@2,w3@3 match;
+    # doc2: w2@2,w3@4 no; doc3: w2@3,w3@1,5 no
+    assert set(s) == {0, 1}
+
+
+def test_topk_tiebreak_docid_asc(idx):
+    # w1 appears once in every doc; doc0 len5, doc2 len5 quantize equal
+    ranked = top_k({"type": "term", "term": "w1", "boost": 1.0}, idx, k=10)
+    scores = dict(ranked)
+    assert ranked[0][0] == 1  # shortest doc first
+    ties = [d for d, s in ranked if s == scores[0]]
+    assert ties == sorted(ties)
+
+
+def test_topk_k_larger_than_hits(idx):
+    assert len(top_k({"type": "term", "term": "xx", "boost": 1.0}, idx, k=10)) == 2
+
+
+def test_f64_mode_close_to_f32(idx):
+    q = {"type": "term", "term": "w3", "boost": 1.0}
+    s32 = eval_query(q, idx, mode="f32")
+    s64 = eval_query(q, idx, mode="f64")
+    for d in s32:
+        assert s64[d] == pytest.approx(s32[d], rel=1e-5)
