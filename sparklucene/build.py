@@ -1,0 +1,424 @@
+"""Index build pipeline: Spark-first inverted index construction.
+
+Dataflow (SURVEY.md section 3.1 Spark lifecycle; all heavy steps vectorized,
+no per-row Python UDFs -- Arrow-batched pandas throughout):
+
+  source df
+  -> mint stable docIDs (range-partition two-pass, NOT a single-partition
+     window: scales to 10^12 rows)
+  -> tokenize+invert in one mapInPandas pass
+     (docID, sha256, field_len, norm_byte, postings[(term, tf, positions)])
+  -> STAGE 'tokenized': materialized parquet == the docs table + the
+     pre-shuffle postings (checkpoint 1; resume skips tokenization)
+  -> STAGE 'stats': maxDoc / sumTotalTermFreq / term_dict(df, ttf, max_tf)
+     + hot-term detection for skew salting (checkpoint 2)
+  -> STAGE 'postings': explode -> salt hot terms by docID range -> shuffle by
+     (bucket, salt) -> sortWithinPartitions(bucket, term, salt, docID) ->
+     mapInArrow block encoder (delta-gap varint, 128 docs/block, skip
+     metadata) -> parquet partitioned by group=/bucket= with per-group
+     lineage manifests (checkpoint 3, per-group resume)
+  -> _MANIFEST.json atomic publish (the segments_N analogue,
+     IndexWriter two-phase commit semantics, IndexWriter.cs:183-228)
+
+Scale design notes (100 TB / 1000 executors):
+  - num_buckets is the term-space partition count: 32 locally, O(10^4) at
+    scale.  Query-time partition pruning reads only buckets of query terms.
+  - hot-term salting (TieredMergePolicy-independent): terms with
+    df > salt_threshold are split into salt_parts docID-RANGE slices so the
+    postings shuffle has no single hot reducer; range slices keep blocks
+    globally docID-ordered per term, so reads just concatenate.
+    This is explicit skew handling; AQE skew-join is the backstop.
+  - bucket_groups > 1 splits the encode shuffle into sequential jobs for
+    per-group checkpoint/resume granularity (a killed build resumes without
+    re-tokenizing: stage 'tokenized' is already on disk).
+  - norm bytes are denormalized into posting blocks (1 byte/posting) so
+    scoring never joins the docs table -- at 10^12 docs a norms join/broadcast
+    would dominate query cost.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis import invert
+from .norms import encode_norm
+
+TOKENIZED_SCHEMA_POSTINGS = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("num_docs", T.IntegerType()),
+        T.StructField("first_docid", T.LongType()),
+        T.StructField("max_docid", T.LongType()),
+        T.StructField("block_max_tf", T.IntegerType()),
+        T.StructField("block_max_norm_byte", T.IntegerType()),
+        T.StructField("doc_blob", T.BinaryType()),
+        T.StructField("tf_blob", T.BinaryType()),
+        T.StructField("norm_blob", T.BinaryType()),
+        T.StructField("pos_blob", T.BinaryType()),
+    ]
+)
+
+
+@dataclass
+class BuildConfig:
+    content_col: str = "content"
+    id_col: str | None = None  # pre-existing unique int64 docID column
+    order_cols: tuple = ("repo", "path")  # docID = rank under this ordering
+    meta_cols: tuple = ()  # passthrough columns kept in the docs table
+    num_buckets: int = 32
+    salt_threshold: int = 200_000  # df above this gets range-salted
+    salt_parts: int = 8
+    bucket_groups: int = 1
+    resume: bool = True
+    extras: dict = field(default_factory=dict)
+
+
+def _done_marker(path: str) -> str:
+    return os.path.join(path, "_STAGE_DONE")
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(_done_marker(path))
+
+
+def _mark_done(path: str, info: dict) -> None:
+    with open(_done_marker(path), "w") as f:
+        json.dump(info, f)
+
+
+def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int) -> DataFrame:
+    """Deterministic dense 0-based docIDs = rank under order_cols, without a
+    single-partition window (reference docIDs: segment order,
+    BaseCompositeReader starts[]; ours: SURVEY 1.1 stable snapshot rule).
+
+    Two-pass: range-partition by key -> per-partition counts -> offsets ->
+    per-partition local rank + offset.  Requires order_cols to be a unique
+    key (enforced upstream by fixture schema: (repo, path))."""
+    ranged = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = T.StructType(with_pid.schema.fields[:-1] + [T.StructField("docID", T.LongType())])
+
+    def assign(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets[pid]
+            out = pdf.drop(columns=["_pid"])
+            out["docID"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            base += len(pdf)
+            offsets[pid] = base  # multiple batches per partition
+            yield out
+
+    # mapInPandas preserves within-partition order (narrow transformation)
+    return with_pid.mapInPandas(assign, schema=out_schema)
+
+
+def _tokenize_udf(content_col: str):
+    def tokenize(pdf_iter):
+        for pdf in pdf_iter:
+            texts = pdf[content_col]
+            postings_col, flen = [], np.empty(len(pdf), dtype=np.int64)
+            for i, txt in enumerate(texts):
+                plist, fl = invert(txt if isinstance(txt, str) else "")
+                postings_col.append(
+                    [{"term": t, "tf": tf, "positions": ps} for t, tf, ps in plist]
+                )
+                flen[i] = fl
+            out = pdf.drop(columns=[content_col])
+            out["field_len"] = flen
+            out["norm_byte"] = encode_norm(flen).astype(np.int32)
+            out["postings"] = postings_col
+            yield out
+
+    return tokenize
+
+
+def _encode_blocks_udf():
+    """mapInArrow encoder over rows sorted by (bucket, term, salt, docID).
+    Groups may straddle Arrow batch boundaries; a carry buffer handles that."""
+    import pyarrow as pa
+
+    from .codec import encode_posting_blocks
+
+    arrow_schema = pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("term", pa.string()),
+            pa.field("salt", pa.int32()),
+            pa.field("block_id", pa.int32()),
+            pa.field("num_docs", pa.int32()),
+            pa.field("first_docid", pa.int64()),
+            pa.field("max_docid", pa.int64()),
+            pa.field("block_max_tf", pa.int32()),
+            pa.field("block_max_norm_byte", pa.int32()),
+            pa.field("doc_blob", pa.binary()),
+            pa.field("tf_blob", pa.binary()),
+            pa.field("norm_blob", pa.binary()),
+            pa.field("pos_blob", pa.binary()),
+        ]
+    )
+
+    def encode(batch_iter):
+        carry = None  # pandas df of the last unfinished (bucket, term, salt)
+
+        def flush_groups(pdf, last_incomplete: bool):
+            nonlocal carry
+            rows = {k: [] for k in arrow_schema.names}
+            keys = pdf["bucket"].astype(str) + "\x00" + pdf["term"] + "\x00" + pdf["salt"].astype(str)
+            boundaries = np.flatnonzero((keys != keys.shift()).values)
+            ends = np.concatenate((boundaries[1:], [len(pdf)]))
+            n_groups = len(boundaries)
+            for gi, (s, e) in enumerate(zip(boundaries, ends)):
+                if last_incomplete and gi == n_groups - 1:
+                    carry = pdf.iloc[s:e]
+                    break
+                g = pdf.iloc[s:e]
+                pos_flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in g["positions"]]) if len(g) else np.empty(0, np.int64)
+                blocks = encode_posting_blocks(
+                    g["docID"].to_numpy(np.int64),
+                    g["tf"].to_numpy(np.int64),
+                    g["norm_byte"].to_numpy(np.uint8),
+                    pos_flat,
+                )
+                nb_arrays = None
+                for blk in blocks:
+                    rows["bucket"].append(int(g["bucket"].iloc[0]))
+                    rows["term"].append(g["term"].iloc[0])
+                    rows["salt"].append(int(g["salt"].iloc[0]))
+                    rows["block_id"].append(blk["block_id"])
+                    rows["num_docs"].append(blk["num_docs"])
+                    rows["first_docid"].append(blk["first_docid"])
+                    rows["max_docid"].append(blk["max_docid"])
+                    rows["block_max_tf"].append(blk["block_max_tf"])
+                    rows["block_max_norm_byte"].append(
+                        int(np.frombuffer(blk["norm_blob"], dtype=np.uint8).max())
+                    )
+                    rows["doc_blob"].append(blk["doc_blob"])
+                    rows["tf_blob"].append(blk["tf_blob"])
+                    rows["norm_blob"].append(blk["norm_blob"])
+                    rows["pos_blob"].append(blk["pos_blob"])
+            if rows["term"]:
+                yield pa.record_batch([pa.array(rows[n], type=arrow_schema.field(n).type) for n in arrow_schema.names], schema=arrow_schema)
+
+        for batch in batch_iter:
+            pdf = batch.to_pandas()
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            yield from flush_groups(pdf, last_incomplete=True)
+        if carry is not None:
+            final, carry = carry, None
+            yield from flush_groups(final.reset_index(drop=True), last_incomplete=False)
+
+    return encode, BLOCK_SCHEMA
+
+
+def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: BuildConfig | None = None) -> dict:
+    """Build the full index at out_dir. Returns the final manifest dict.
+
+    Resumable: each stage (and each postings bucket-group) is gated by a
+    completion marker/manifest; finished work is never redone."""
+    cfg = config or BuildConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    timings: dict[str, float] = {}
+    cores = spark.sparkContext.defaultParallelism
+
+    # ---- stage 1: docIDs + tokenize -> tokenized/ -----------------------
+    tok_dir = os.path.join(out_dir, "tokenized")
+    t0 = time.time()
+    if not (cfg.resume and _stage_done(tok_dir)):
+        base_cols = list(cfg.meta_cols)
+        if cfg.id_col:
+            df = source.withColumn("docID", F.col(cfg.id_col).cast("long"))
+            if cfg.id_col not in base_cols:
+                base_cols = [c for c in base_cols if c != cfg.id_col]
+            df = df.select("docID", *base_cols, cfg.content_col)
+        else:
+            df = source.select(*dict.fromkeys(list(cfg.order_cols) + base_cols + [cfg.content_col]))
+            df = mint_doc_ids(df, list(cfg.order_cols), partitions=max(cores * 2, 8))
+            base_cols = list(dict.fromkeys(list(cfg.order_cols) + base_cols))
+            df = df.select("docID", *base_cols, cfg.content_col)
+        # per-row invariant vs source: content sha256 (north rule)
+        df = df.withColumn("sha256", F.sha2(F.col(cfg.content_col), 256))
+        in_schema = df.schema
+        out_fields = [f for f in in_schema.fields if f.name != cfg.content_col]
+        tok_schema = T.StructType(
+            out_fields
+            + [
+                T.StructField("field_len", T.LongType()),
+                T.StructField("norm_byte", T.IntegerType()),
+                T.StructField("postings", TOKENIZED_SCHEMA_POSTINGS),
+            ]
+        )
+        df.mapInPandas(_tokenize_udf(cfg.content_col), schema=tok_schema).write.mode(
+            "overwrite"
+        ).parquet(tok_dir)
+        _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0})
+    timings["tokenized_s"] = time.time() - t0
+
+    tokenized = spark.read.parquet(tok_dir)
+
+    # ---- stage 2: global stats + term_dict ------------------------------
+    stats_path = os.path.join(out_dir, "stats.json")
+    dict_dir = os.path.join(out_dir, "term_dict")
+    t0 = time.time()
+    if not (cfg.resume and os.path.exists(stats_path) and _stage_done(dict_dir)):
+        agg = tokenized.agg(
+            F.count("*").alias("max_doc"),
+            F.sum("field_len").alias("sttf"),
+            F.sum(F.conv(F.substring("sha256", 1, 14), 16, 10).cast("decimal(38,0)")).alias("sha_root"),
+        ).collect()[0]
+        max_doc = int(agg["max_doc"])
+        sttf = int(agg["sttf"] or 0)
+        exploded = tokenized.select(F.explode("postings").alias("p")).select(
+            F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+        )
+        term_dict = (
+            exploded.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"), F.max("tf").alias("max_tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        (
+            term_dict.repartition(max(cfg.num_buckets // 4, 1), "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(dict_dir)
+        )
+        _mark_done(dict_dir, {"stage": "term_dict"})
+        hot = [
+            r["term"]
+            for r in spark.read.parquet(dict_dir)
+            .filter(F.col("df") > cfg.salt_threshold)
+            .select("term")
+            .collect()
+        ]
+        avgdl_f32 = float(np.float32(sttf / max_doc)) if max_doc and sttf > 0 else 1.0
+        stats = {
+            "max_doc": max_doc,
+            "sum_total_term_freq": sttf,
+            "avgdl_f32": avgdl_f32,
+            "sha256_root": str(agg["sha_root"]),
+            "hot_terms": hot,
+            "num_buckets": cfg.num_buckets,
+            "salt_parts": cfg.salt_parts,
+            "salt_threshold": cfg.salt_threshold,
+        }
+        with open(stats_path + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(stats_path + ".tmp", stats_path)
+    timings["stats_s"] = time.time() - t0
+    with open(stats_path) as f:
+        stats = json.load(f)
+
+    # ---- stage 3: postings blocks, per bucket-group ----------------------
+    post_dir = os.path.join(out_dir, "postings")
+    t0 = time.time()
+    max_doc = stats["max_doc"]
+    salt_div = max(1, math.ceil(max_doc / cfg.salt_parts))
+    hot_terms = set(stats["hot_terms"])
+    encode_fn, block_schema = _encode_blocks_udf()
+    groups = list(range(cfg.bucket_groups))
+    for g in groups:
+        man_path = os.path.join(out_dir, "manifests", f"postings-group-{g}.json")
+        grp_dir = os.path.join(post_dir, f"group={g}")
+        if cfg.resume and os.path.exists(man_path):
+            continue
+        if os.path.exists(grp_dir):
+            shutil.rmtree(grp_dir)  # partial output from a crashed run
+        tg = time.time()
+        exploded = (
+            tokenized.select("docID", "norm_byte", F.explode("postings").alias("p"))
+            .select(
+                "docID",
+                "norm_byte",
+                F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"),
+                F.col("p.positions").alias("positions"),
+            )
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        if cfg.bucket_groups > 1:
+            exploded = exploded.filter(F.pmod(F.col("bucket"), F.lit(cfg.bucket_groups)) == g)
+        if hot_terms:
+            exploded = exploded.withColumn(
+                "salt",
+                F.when(
+                    F.col("term").isin(list(hot_terms)),
+                    (F.col("docID") / F.lit(salt_div)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+        else:
+            exploded = exploded.withColumn("salt", F.lit(0))
+        shuffled = exploded.repartition(
+            max(cores, cfg.num_buckets // cfg.bucket_groups), "bucket", "salt"
+        ).sortWithinPartitions("bucket", "term", "salt", "docID")
+        blocks = shuffled.mapInArrow(encode_fn, schema=block_schema)
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(grp_dir)
+        bstats = spark.read.parquet(grp_dir).agg(
+            F.count("*").alias("n_blocks"), F.sum("num_docs").alias("n_postings")
+        ).collect()[0]
+        man = {
+            "group": g,
+            "n_blocks": int(bstats["n_blocks"] or 0),
+            "n_postings": int(bstats["n_postings"] or 0),
+            "input": "tokenized",
+            "duration_s": time.time() - tg,
+            "status": "complete",
+        }
+        with open(man_path + ".tmp", "w") as f:
+            json.dump(man, f)
+        os.replace(man_path + ".tmp", man_path)
+    timings["postings_s"] = time.time() - t0
+
+    # ---- finalize: atomic manifest publish ------------------------------
+    manifest = {
+        "version": 1,
+        "stats": stats,
+        "config": {
+            "num_buckets": cfg.num_buckets,
+            "bucket_groups": cfg.bucket_groups,
+            "salt_threshold": cfg.salt_threshold,
+            "salt_parts": cfg.salt_parts,
+            "id_col": cfg.id_col,
+            "order_cols": list(cfg.order_cols),
+        },
+        "timings": timings,
+        "group_manifests": [f"manifests/postings-group-{g}.json" for g in groups],
+    }
+    final = os.path.join(out_dir, "_MANIFEST.json")
+    with open(final + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(final + ".tmp", final)
+    return manifest

@@ -1,0 +1,82 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md sections 1-2).
+
+Matches the BASELINE.json input_hint schema:
+  (repo:string, path:string, commit:string, lang:string, content:string)
+Seeded -- same n -> byte-identical corpus.  Exercises every tokenizer edge
+case: joined forms (foo_bar, foo.bar, x:y), breaking punctuation, the 33-word
+stop set, mixed case, numbers, >255-char tokens, controlled tf, doc lengths
+spread across byte315 quantization buckets.  Docs 0-3 of any corpus are the
+TestBoolean2.cs:147 micro-corpus verbatim.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+LANGS = ["py", "cs", "java", "js", "go"]
+_EXT = {"py": "py", "cs": "cs", "java": "java", "js": "js", "go": "go"}
+
+_IDENTIFIERS = [
+    "alpha", "beta7", "gamma", "delta", "compute", "score", "index", "merge",
+    "foo_bar", "foo.bar", "x:y", "value", "result", "buffer", "stream",
+    "FooBar", "XMLHttpRequest", "parseInt", "toString", "writer", "reader",
+    "query", "term", "doc", "field", "norm", "posting", "segment", "block",
+]
+_STOPS = ["the", "is", "and", "of", "to", "in", "that", "it", "with", "for"]
+_PUNCT_FORMS = ["f(x);", "q-r", "x=y+1", "arr[0]", "a->b", "m::n"]
+_NUMBERS = ["42", "3.14", "1,234", "0", "7", "100", "255"]
+
+TESTBOOLEAN2_DOCS = [
+    "w1 w2 w3 w4 w5",
+    "w1 w3 w2 w3",
+    "w1 xx w2 yy w3",
+    "w1 w3 xx w2 yy w3",
+]
+
+
+def make_corpus(n: int, seed: int = 42) -> list[dict]:
+    """n rows of the source_code schema.  Deterministic in (n, seed)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        lang = LANGS[int(rng.integers(len(LANGS)))]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/dir{i % 11}/file{i}.{_EXT[lang]}"
+        if i < len(TESTBOOLEAN2_DOCS):
+            content = TESTBOOLEAN2_DOCS[i]
+        else:
+            # target length spread across quantization buckets: 4..~600 tokens
+            target = int(4 + rng.integers(0, 40) ** 1.8)
+            words = []
+            # repeated term with controlled tf
+            hot = _IDENTIFIERS[int(rng.integers(len(_IDENTIFIERS)))]
+            tf = int(rng.integers(1, 6))
+            words.extend([hot] * tf)
+            while len(words) < target:
+                r = rng.random()
+                if r < 0.15:
+                    words.append(_STOPS[int(rng.integers(len(_STOPS)))])
+                elif r < 0.25:
+                    words.append(_PUNCT_FORMS[int(rng.integers(len(_PUNCT_FORMS)))])
+                elif r < 0.35:
+                    words.append(_NUMBERS[int(rng.integers(len(_NUMBERS)))])
+                else:
+                    words.append(_IDENTIFIERS[int(rng.integers(len(_IDENTIFIERS)))])
+            if rng.random() < 0.01:
+                words.append("Z" * 256)  # overlong token: dropped, bumps position
+            content = " ".join(words)
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()[:12]
+        rows.append(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        )
+    return rows
+
+
+def corpus_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    rows = make_corpus(n, seed)
+    df = spark.createDataFrame(rows)
+    if partitions:
+        df = df.repartition(partitions)
+    return df.select("repo", "path", "commit", "lang", "content")

@@ -1,0 +1,425 @@
+"""Query execution: BM25 scoring + boolean composition over the block index.
+
+Mirrors the reference query lifecycle (SURVEY.md section 3.2):
+  rewrite -> bind GLOBAL stats (IndexSearcher.cs:982-1015) -> per-term scorer
+  -> boolean combine -> top-k (-score, docID).
+
+Spark-first physical plan:
+  - partition pruning: only bucket= dirs of query terms are read;
+  - predicate pushdown: term IN (...) hits parquet row-group min/max stats
+    (files are written term-sorted);
+  - block decode + BM25 in one mapInArrow pass (numpy float32, the exact
+    BM25Similarity.cs:226-270 arithmetic incl. the 256-entry norm cache);
+  - boolean combine stays JVM-side: Spark FloatType arithmetic IS IEEE
+    float32, so conjunction sums (ascending-df order, ConjunctionScorer.cs:
+    47-51,134-143) run inside whole-stage codegen; disjunctions accumulate
+    float64 then cast (DisjunctionSumScorer.cs:80-83);
+  - top-k via orderBy(score desc, docID asc).limit(k) -> Catalyst
+    TakeOrderedAndProject == per-partition heap + driver merge, exactly the
+    TopScoreDocCollector pattern (TopScoreDocCollector.cs:40-72).
+
+Scoring modes:
+  'f32' -- Lucene-exact float32 (golden-fixture path);
+  'f64' -- same formulas in float64 (DuckDB-oracle-comparable path).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis import analyze_query_text
+from .norms import NORM_TABLE
+
+K1 = 1.2
+B = 0.75
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.cs:71
+
+
+def _norm_cache(avgdl_f32: float, mode: str) -> np.ndarray:
+    """cache[i] = k1*((1-b) + b*NORM_TABLE[i]/avgdl) (BM25Similarity.cs:226-239)."""
+    if mode == "f32":
+        avgdl = np.float32(avgdl_f32)
+        return (np.float32(K1) * (np.float32(1.0 - B) + np.float32(B) * NORM_TABLE / avgdl)).astype(np.float32)
+    return K1 * ((1.0 - B) + B * NORM_TABLE.astype(np.float64) / float(avgdl_f32))
+
+
+def _idf(df: int, max_doc: int, mode: str) -> float:
+    v = math.log(1.0 + (max_doc - df + 0.5) / (df + 0.5))
+    return float(np.float32(v)) if mode == "f32" else v
+
+
+@dataclass
+class TermStats:
+    term: str
+    df: int
+    ttf: int
+    max_tf: int
+    bucket: int
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.stats = self.manifest["stats"]
+        self.max_doc: int = self.stats["max_doc"]
+        self.avgdl_f32: float = self.stats["avgdl_f32"]
+        self.num_buckets: int = self.stats["num_buckets"]
+        self._postings_path = os.path.join(index_dir, "postings")
+        self._dict_path = os.path.join(index_dir, "term_dict")
+        self._tokenized_path = os.path.join(index_dir, "tokenized")
+        self._term_cache: dict[str, TermStats | None] = {}
+
+    # ---- stats lookup (broadcast-scale: only query terms are fetched) ----
+    def lookup_terms(self, terms: list[str]) -> dict[str, TermStats]:
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.spark.read.parquet(self._dict_path)
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            for r in rows:
+                self._term_cache[r["term"]] = TermStats(
+                    r["term"], r["df"], r["ttf"], r["max_tf"], r["bucket"]
+                )
+            for t in missing:
+                self._term_cache.setdefault(t, None)
+        return {t: s for t in terms if (s := self._term_cache.get(t)) is not None}
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self._tokenized_path).drop("postings")
+
+    # ---- leaf scoring -----------------------------------------------------
+    def _scored_postings(
+        self, weights: dict[str, float], mode: str, with_positions: bool = False
+    ) -> DataFrame:
+        """Decode+score postings of the given terms in one Arrow pass.
+        weights: term -> weightValue = boost*idf*(k1+1) (precomputed in mode
+        arithmetic).  Output: (term, docID, tf, score[, positions])."""
+        stats_map = self.lookup_terms(list(weights))
+        if not stats_map:
+            return self._empty_scored(mode, with_positions)
+        buckets = sorted({s.bucket for s in stats_map.values()})
+        terms = sorted(stats_map)
+        blocks = (
+            self.spark.read.parquet(self._postings_path)
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        cache = _norm_cache(self.avgdl_f32, mode)
+        wv = {t: (np.float32(w) if mode == "f32" else np.float64(w)) for t, w in weights.items()}
+        score_t = T.FloatType() if mode == "f32" else T.DoubleType()
+        fields = [
+            T.StructField("term", T.StringType()),
+            T.StructField("docID", T.LongType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("score", score_t),
+        ]
+        if with_positions:
+            fields.append(T.StructField("positions", T.ArrayType(T.IntegerType())))
+        out_schema = T.StructType(fields)
+        f32 = mode == "f32"
+
+        def decode_score(pdf_iter):
+            from .codec import decode_block_docs, decode_block_positions
+
+            for pdf in pdf_iter:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    d, t, nb = decode_block_docs(
+                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                    )
+                    if f32:
+                        tfv = t.astype(np.float32)
+                        sc = (wv[row.term] * tfv / (tfv + cache[nb])).astype(np.float32)
+                    else:
+                        tfv = t.astype(np.float64)
+                        sc = float(wv[row.term]) * tfv / (tfv + cache[nb])
+                    o = {
+                        "term": np.repeat(row.term, len(d)),
+                        "docID": d,
+                        "tf": t.astype(np.int32),
+                        "score": sc,
+                    }
+                    if with_positions:
+                        pos = decode_block_positions(t, row.pos_blob)
+                        splits = np.cumsum(t)[:-1]
+                        o["positions"] = np.split(pos.astype(np.int32), splits)
+                    outs.append(pd.DataFrame(o))
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {f.name: [] for f in out_schema.fields}
+                )
+
+        return blocks.mapInPandas(decode_score, schema=out_schema)
+
+    def _empty_scored(self, mode: str, with_positions: bool = False) -> DataFrame:
+        score_t = "float" if mode == "f32" else "double"
+        schema = f"term string, docID long, tf int, score {score_t}"
+        if with_positions:
+            schema += ", positions array<int>"
+        return self.spark.createDataFrame([], schema)
+
+    # ---- query tree evaluation ---------------------------------------------
+    def _collect_leaves(self, q: dict, boost: float, out: list):
+        t = q["type"]
+        boost = boost * q.get("boost", 1.0)
+        if t == "term":
+            out.append((q["term"], boost))
+        elif t == "phrase":
+            for term in q.get("terms") or analyze_query_text(q["text"]):
+                out.append((term, boost))
+        elif t == "boolean":
+            if len(q["clauses"]) > MAX_CLAUSE_COUNT:
+                raise ValueError(f"too many clauses (> {MAX_CLAUSE_COUNT})")
+            for c in q["clauses"]:
+                self._collect_leaves(c["query"], boost, out)
+
+    def _weight(self, term: str, boost: float, mode: str) -> float | None:
+        st = self.lookup_terms([term]).get(term)
+        if st is None:
+            return None
+        idf = _idf(st.df, self.max_doc, mode)
+        if mode == "f32":
+            return float(
+                np.float32(np.float32(np.float32(idf) * np.float32(boost)) * np.float32(K1 + 1.0))
+            )
+        return idf * boost * (K1 + 1.0)
+
+    def _cost(self, q: dict) -> int:
+        t = q["type"]
+        if t == "term":
+            st = self.lookup_terms([q["term"]]).get(q["term"])
+            return st.df if st else 0
+        if t == "phrase":
+            terms = q.get("terms") or analyze_query_text(q["text"])
+            sts = self.lookup_terms(terms)
+            return min((sts[x].df for x in terms if x in sts), default=0)
+        if t == "match_all":
+            return self.max_doc
+        if t == "boolean":
+            musts = [c["query"] for c in q["clauses"] if c["occur"] == "MUST"]
+            shoulds = [c["query"] for c in q["clauses"] if c["occur"] == "SHOULD"]
+            if musts:
+                return min(self._cost(m) for m in musts)
+            return sum(self._cost(s) for s in shoulds)
+        return 0
+
+    def _eval(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """-> DataFrame(docID long, score) of matching docs, or None for a
+        provably-empty result."""
+        t = q["type"]
+        boost = boost * q.get("boost", 1.0)
+        if t == "term":
+            w = self._weight(q["term"], boost, mode)
+            if w is None:
+                return None
+            return self._scored_postings({q["term"]: w}, mode).select("docID", "score")
+        if t == "phrase":
+            terms = q.get("terms") or analyze_query_text(q["text"])
+            if len(terms) == 1:
+                return self._eval({"type": "term", "term": terms[0]}, boost, mode)
+            return self._eval_phrase(terms, boost, mode)
+        if t == "match_all":
+            v = float(np.float32(boost)) if mode == "f32" else boost
+            lit = F.lit(v).cast("float" if mode == "f32" else "double")
+            return self.docs().select("docID", lit.alias("score"))
+        if t == "boolean":
+            return self._eval_boolean(q, boost, mode)
+        raise ValueError(f"unknown query type: {t}")
+
+    def _eval_boolean(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        clauses = q["clauses"]
+        msm = q.get("minShouldMatch", 0)
+        non_prohibited = [c for c in clauses if c["occur"] != "MUST_NOT"]
+        # 1-clause rewrite collapse (BooleanQuery.cs:565-590)
+        if len(clauses) == 1 and len(non_prohibited) == 1:
+            return self._eval(non_prohibited[0]["query"], boost, mode)
+        musts = [c["query"] for c in clauses if c["occur"] == "MUST"]
+        shoulds = [c["query"] for c in clauses if c["occur"] == "SHOULD"]
+        must_nots = [c["query"] for c in clauses if c["occur"] == "MUST_NOT"]
+        ftype = "float" if mode == "f32" else "double"
+
+        req = None
+        if musts:
+            # ConjunctionScorer: ascending cost (df), stable; float32 fold
+            order = sorted(range(len(musts)), key=lambda i: (self._cost(musts[i]), i))
+            parts = []
+            for i in order:
+                d = self._eval(musts[i], boost, mode)
+                if d is None:
+                    return None  # a required clause matches nothing
+                parts.append(d)
+            req = parts[0].select("docID", F.col("score").alias("_s"))
+            for j, d in enumerate(parts[1:], 1):
+                d = d.select("docID", F.col("score").alias(f"_s{j}"))
+                req = req.join(d, "docID", "inner")
+                req = req.select(
+                    "docID", (F.col("_s") + F.col(f"_s{j}")).cast(ftype).alias("_s")
+                )
+            req = req.select("docID", F.col("_s").alias("score"))
+
+        opt = None
+        if shoulds:
+            parts = [self._eval(s, boost, mode) for s in shoulds]
+            parts = [p for p in parts if p is not None]
+            if len(parts) == 1:
+                opt = parts[0].select(
+                    "docID", F.col("score").alias("opt_score"), F.lit(1).alias("n_should")
+                )
+            elif parts:
+                u = parts[0].select("docID", F.col("score").cast("double").alias("s"))
+                for p in parts[1:]:
+                    u = u.unionAll(p.select("docID", F.col("score").cast("double").alias("s")))
+                opt = u.groupBy("docID").agg(
+                    F.sum("s").cast(ftype).alias("opt_score"), F.count("*").alias("n_should")
+                )
+
+        need = msm if musts else max(msm, 1 if shoulds else 0)
+        if req is not None and opt is not None:
+            if need > 0:
+                opt_req = opt.filter(F.col("n_should") >= need)
+                out = req.join(opt_req, "docID", "inner").select(
+                    "docID", (F.col("score") + F.col("opt_score")).cast(ftype).alias("score")
+                )
+            else:
+                out = req.join(opt, "docID", "left").select(
+                    "docID",
+                    F.when(
+                        F.col("opt_score").isNotNull(),
+                        (F.col("score") + F.col("opt_score")).cast(ftype),
+                    )
+                    .otherwise(F.col("score"))
+                    .alias("score"),
+                )
+        elif req is not None:
+            out = req
+        elif opt is not None:
+            out = opt.filter(F.col("n_should") >= need).select(
+                "docID", F.col("opt_score").alias("score")
+            )
+        else:
+            return None
+
+        if must_nots:
+            ex = None
+            for mn in must_nots:
+                d = self._eval(mn, boost, mode)
+                if d is None:
+                    continue
+                dd = d.select("docID")
+                ex = dd if ex is None else ex.unionAll(dd)
+            if ex is not None:
+                out = out.join(ex.distinct(), "docID", "left_anti")
+        return out
+
+    def _eval_phrase(self, terms: list[str], boost: float, mode: str) -> DataFrame | None:
+        sts = self.lookup_terms(terms)
+        if any(t not in sts for t in terms):
+            return None
+        # idf = float32 sequential sum of per-term idfs in term order
+        if mode == "f32":
+            idf = np.float32(0.0)
+            for t in terms:
+                idf = np.float32(idf + np.float32(_idf(sts[t].df, self.max_doc, "f32")))
+            wv = float(np.float32(np.float32(idf * np.float32(boost)) * np.float32(K1 + 1.0)))
+        else:
+            idf = sum(_idf(sts[t].df, self.max_doc, "f64") for t in terms)
+            wv = idf * boost * (K1 + 1.0)
+        uniq = list(dict.fromkeys(terms))
+        dummy_w = {t: 1.0 for t in uniq}
+        posts = self._scored_postings(dummy_w, mode, with_positions=True)
+        # keep norm info via tf + positions; recover norm byte from docs table?
+        # norm is needed for the final score: carry norm_byte through instead.
+        offsets = {}
+        for i, t in enumerate(terms):
+            offsets.setdefault(t, []).append(i)
+        cache = _norm_cache(self.avgdl_f32, mode)
+        ftype = T.FloatType() if mode == "f32" else T.DoubleType()
+        out_schema = T.StructType(
+            [T.StructField("docID", T.LongType()), T.StructField("score", ftype)]
+        )
+        n_uniq = len(uniq)
+        f32 = mode == "f32"
+        offsets_b = offsets
+        wv_b = wv
+
+        grouped = (
+            posts.groupBy("docID")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+                F.count("*").alias("n_terms"),
+            )
+            .filter(F.col("n_terms") == n_uniq)
+        )
+        docs_norm = self.docs().select("docID", "norm_byte")
+        grouped = grouped.join(docs_norm, "docID", "inner")
+
+        def phrase_score(pdf_iter):
+            for pdf in pdf_iter:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    pos_by_term = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
+                    base = None
+                    for t, offs in offsets_b.items():
+                        arr = pos_by_term[t]
+                        s = None
+                        for off in offs:
+                            sh = set((arr - off).tolist())
+                            s = sh if s is None else (s & sh)
+                        base = s if base is None else (base & s)
+                        if not base:
+                            break
+                    pf = len(base) if base else 0
+                    if pf <= 0:
+                        continue
+                    nc = cache[row.norm_byte]
+                    if f32:
+                        sc = np.float32(
+                            np.float32(wv_b) * np.float32(pf) / (np.float32(pf) + nc)
+                        )
+                    else:
+                        sc = wv_b * pf / (pf + nc)
+                    out_doc.append(row.docID)
+                    out_score.append(sc)
+                yield pd.DataFrame({"docID": out_doc, "score": out_score})
+
+        return grouped.mapInPandas(phrase_score, schema=out_schema)
+
+    # ---- public API ---------------------------------------------------------
+    def search(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
+        """Top-k by (score DESC, docID ASC) -- HitQueue.cs:77-87 tie-break.
+        Returns DataFrame(docID, score) with exactly the Lucene ordering."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            ftype = "float" if mode == "f32" else "double"
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def count(self, query: dict) -> int:
+        """TotalHitCountCollector analogue."""
+        scored = self._eval(query, 1.0, "f64")
+        return 0 if scored is None else scored.count()
+
+    def search_after(self, query: dict, k: int, after_score: float, after_doc: int, mode: str = "f32") -> DataFrame:
+        """Paging: skip hits at-or-above the (score, doc) cursor
+        (TopScoreDocCollector.cs:75-117)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            ftype = "float" if mode == "f32" else "double"
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        cond = (F.col("score") < after_score) | (
+            (F.col("score") == after_score) & (F.col("docID") > after_doc)
+        )
+        return scored.filter(cond).orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sparklucene.session import get_spark
+
+    s = get_spark(cores=4, app="sparklucene-tests", shuffle_partitions=4)
+    yield s
+    s.stop()

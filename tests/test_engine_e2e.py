@@ -1,0 +1,206 @@
+"""End-to-end: Spark index build + search must match the pure-Python oracle
+BIT-EXACTLY in float32 mode (golden parity, FIXTURES.md section 4 query set),
+and be invariant to parallelism/bucketing (TestSameScoresWithThreads
+analogue)."""
+
+import struct
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, top_k
+from sparklucene.search import IndexSearcher
+
+N_DOCS = 120
+
+
+def f32_hex(x: float) -> str:
+    return struct.pack(">f", x).hex()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(N_DOCS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    # docID = rank under (repo, path) ordering -- mirror the engine's minting
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    return OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(corpus).repartition(5)
+    build_index(
+        spark,
+        df,
+        out,
+        BuildConfig(order_cols=("repo", "path"), meta_cols=("lang", "commit"), num_buckets=8),
+    )
+    return IndexSearcher(spark, out)
+
+
+QUERIES = [
+    # FIXTURES section 4 required shapes
+    ("single_common", {"type": "term", "term": "w1", "boost": 1.0}),
+    ("single_rare", {"type": "term", "term": "yy", "boost": 1.0}),
+    ("single_absent", {"type": "term", "term": "zzzzz", "boost": 1.0}),
+    ("single_mid", {"type": "term", "term": "compute", "boost": 1.0}),
+    (
+        "disjunction",
+        {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "score", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "absentterm", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "3.14", "boost": 1.0}},
+            ],
+        },
+    ),
+    (
+        "conjunction",
+        {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "MUST", "query": {"type": "term", "term": "compute", "boost": 1.0}},
+                {"occur": "MUST", "query": {"type": "term", "term": "score", "boost": 1.0}},
+                {"occur": "MUST", "query": {"type": "term", "term": "index", "boost": 1.0}},
+            ],
+        },
+    ),
+    (
+        "must_plus_should",
+        {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "MUST", "query": {"type": "term", "term": "merge", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "foo_bar", "boost": 1.0}},
+            ],
+        },
+    ),
+    (
+        "must_not",
+        {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "MUST", "query": {"type": "term", "term": "query", "boost": 1.0}},
+                {"occur": "MUST_NOT", "query": {"type": "term", "term": "42", "boost": 1.0}},
+            ],
+        },
+    ),
+    (
+        "min_should_match",
+        {
+            "type": "boolean",
+            "minShouldMatch": 2,
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": "term", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "doc", "boost": 1.0}},
+                {"occur": "SHOULD", "query": {"type": "term", "term": "field", "boost": 1.0}},
+            ],
+        },
+    ),
+    (
+        "nested",
+        {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": "w3", "boost": 1.0}},
+                {
+                    "occur": "SHOULD",
+                    "query": {
+                        "type": "boolean",
+                        "clauses": [
+                            {"occur": "SHOULD", "query": {"type": "term", "term": "xx", "boost": 1.0}},
+                            {"occur": "SHOULD", "query": {"type": "term", "term": "norm", "boost": 1.0}},
+                        ],
+                    },
+                },
+            ],
+        },
+    ),
+    (
+        "one_clause_boost_rewrite",
+        {
+            "type": "boolean",
+            "boost": 3.0,
+            "clauses": [{"occur": "SHOULD", "query": {"type": "term", "term": "block", "boost": 2.0}}],
+        },
+    ),
+    ("phrase", {"type": "phrase", "terms": ["w1", "w2"], "boost": 1.0}),
+    ("boosted_term", {"type": "term", "term": "segment", "boost": 2.5}),
+]
+
+
+@pytest.mark.parametrize("qid,query", QUERIES)
+def test_rank_identical_vs_oracle(searcher, oracle_idx, qid, query):
+    k = 10
+    want = top_k(query, oracle_idx, k, mode="f32")
+    got = [(r["docID"], r["score"]) for r in searcher.search(query, k=k, mode="f32").collect()]
+    assert [d for d, _ in got] == [d for d, _ in want], f"{qid}: docID order mismatch"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert f32_hex(gs) == f32_hex(ws), f"{qid}: score mismatch doc {gd}: {gs} vs {ws}"
+
+
+def test_k_variants(searcher, oracle_idx):
+    q = {"type": "term", "term": "w1", "boost": 1.0}
+    assert len(searcher.search(q, k=1).collect()) == 1
+    hits = searcher.count(q)
+    assert len(searcher.search(q, k=hits + 50).collect()) == hits
+
+
+def test_search_after_paging(searcher):
+    q = {"type": "term", "term": "compute", "boost": 1.0}
+    first = searcher.search(q, k=3).collect()
+    rest = searcher.search_after(q, 3, first[-1]["score"], first[-1]["docID"]).collect()
+    all6 = searcher.search(q, k=6).collect()
+    got = [(r["docID"]) for r in first + rest]
+    assert got == [r["docID"] for r in all6]
+
+
+def test_count_matches_oracle(searcher, oracle_idx):
+    from sparklucene.oracle import eval_query
+
+    q = {"type": "term", "term": "score", "boost": 1.0}
+    assert searcher.count(q) == len(eval_query(q, oracle_idx))
+
+
+def test_parallelism_and_bucket_invariance(spark, corpus, oracle_idx, tmp_path_factory):
+    """1-partition/1-bucket build == N-partition/N-bucket build == oracle."""
+    out = str(tmp_path_factory.mktemp("idx1"))
+    df = spark.createDataFrame(corpus).coalesce(1)
+    build_index(
+        spark,
+        df,
+        out,
+        BuildConfig(
+            order_cols=("repo", "path"), num_buckets=1, bucket_groups=1, salt_threshold=10,
+            salt_parts=3,
+        ),
+    )
+    s1 = IndexSearcher(spark, out)
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "compute", "boost": 1.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w1", "boost": 1.0}},
+        ],
+    }
+    want = top_k(q, oracle_idx, 10, mode="f32")
+    got = [(r["docID"], f32_hex(r["score"])) for r in s1.search(q, k=10).collect()]
+    assert got == [(d, f32_hex(s)) for d, s in want]
+
+
+def test_docs_sha256_matches_source(searcher, corpus, spark):
+    """North-rule invariant: per-row content sha256 equality vs the source."""
+    import hashlib
+
+    docs = {(r["repo"], r["path"]): r["sha256"] for r in searcher.docs().collect()}
+    for row in corpus:
+        want = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert docs[(row["repo"], row["path"])] == want
