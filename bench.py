@@ -1,0 +1,78 @@
+"""Per-round benchmark: index build throughput + headline BM25 query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "build_s": ..., "docs_per_sec": ...}
+
+The build is a full fresh index build (tokenize -> stats -> salted shuffle ->
+block encode -> manifest); queries run in the Lucene-exact float32 mode.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py -> BENCH.md, not here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+    from sparklucene.session import get_spark
+
+    spark = get_spark(cores=cpus, app="sparklucene-bench")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()  # also warms the JVM/session
+
+    out = f"/tmp/sparklucene_bench_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark,
+        docs,
+        out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=32, resume=False),
+    )
+    build_s = time.time() - t0
+
+    searcher = IndexSearcher(spark, out)
+    qtimes: dict[str, float] = {}
+    for name, (q, k) in entrymod.QUERY_TREES.items():
+        t0 = time.time()
+        searcher.search(q, k, mode="f32").collect()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(build_s + sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "n_docs": n_docs,
+                "build_s": round(build_s, 3),
+                "docs_per_sec": round(n_docs / build_s, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

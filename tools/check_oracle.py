@@ -1,0 +1,96 @@
+"""Mimic the driver's correctness gate: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` twin on DuckDB over the same parquet tables,
+compare row count, schema width, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--names a,b]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def rowset(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [tuple(norm_cell(r[c]) for c in cols) for _, r in df_pandas.iterrows()]
+    return cols, sorted(rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from sparklucene.session import get_spark
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names.split(",") if args.names else list(qs)
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = rowset(sdf)
+        ocols, orows = rowset(odf)
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"rowcount {len(srows)} != {len(orows)}")
+        if scols != ocols:
+            status.append(f"cols {scols} != {ocols}")
+        if not status and srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b]
+            status.append(f"values differ in {len(diffs)}/{len(srows)} rows; first: {diffs[0] if diffs else ''}")
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    print(f"{'FAILED' if n_fail else 'ALL PASS'} ({len(names) - n_fail}/{len(names)})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
