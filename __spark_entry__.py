@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparklucene import datapipe as dp
 from sparklucene.analysis import ENGLISH_STOP_WORDS
 from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
@@ -134,6 +135,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return _topk_df(s, q, 10)
 
 
+def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb_df(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dp.exact_dedup_groups(_docs_df(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dp.minhash_dedup_pairs(_docs_df(spark, sf_dir), threshold=0.8)
+
+
+def _q_simhash_fp(spark, sf_dir):
+    return dp.simhash_fingerprints(_docs_df(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dp.simhash_dup_pairs(_docs_df(spark, sf_dir), max_hamming=3)
+
+
+def _q_lang_id(spark, sf_dir):
+    return dp.language_id(_docs_df(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return dp.quality_score(_docs_df(spark, sf_dir))
+
+
+def _q_token_stats(spark, sf_dir):
+    return dp.token_stats(_docs_df(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return dp.doc_fingerprint(_docs_df(spark, sf_dir))
+
+
+def _q_ann_brute(spark, sf_dir):
+    return dp.cosine_topk_brute(_emb_df(spark, sf_dir), _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # approximate (recall measured vs brute in tests) -> rows-only gate check
+    return dp.cosine_topk_lsh(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_topk(name) for name in QUERY_TREES
@@ -142,6 +197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_dict"] = _q_term_dict
     out["norms"] = _q_norms
     out["search_after"] = _q_search_after
+    out["dedup_exact"] = _q_dedup_exact
+    out["dedup_minhash"] = _q_dedup_minhash
+    out["simhash_fp"] = _q_simhash_fp
+    out["simhash_pairs"] = _q_simhash_pairs
+    out["lang_id"] = _q_lang_id
+    out["quality"] = _q_quality
+    out["token_stats"] = _q_token_stats
+    out["fingerprint"] = _q_fingerprint
+    out["ann_brute"] = _q_ann_brute
+    out["ann_lsh"] = _q_ann_lsh
     return out
 
 
@@ -288,4 +353,169 @@ SELECT doc_id, field_len, norm_byte::INTEGER AS norm_byte FROM norms"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10"""
+    sqls.update(_datapipe_oracles())
+    return sqls
+
+
+# -- datapipe oracles --------------------------------------------------------
+
+_H60 = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _dp_prelude() -> str:
+    """Lowercased whitespace tokens (the dedup/analysis tokenization)."""
+    return """
+WITH dt AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+def _datapipe_oracles() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+    sqls["dedup_exact"] = f"""{_dp_prelude()},
+keyed AS (
+  SELECT doc_id, array_to_string(list_sort(list_distinct(toks)), ' ') AS k FROM dt
+),
+grp AS (SELECT k, min(doc_id) AS keeper_id, count(*) AS group_size FROM keyed GROUP BY k)
+SELECT keyed.doc_id, grp.keeper_id, grp.group_size
+FROM keyed JOIN grp USING (k) WHERE group_size > 1"""
+
+    h_g = _H60.format(x="g || '#' || seed::VARCHAR")
+    sqls["dedup_minhash"] = f"""{_dp_prelude()},
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS gs
+  FROM dt WHERE len(toks) >= 3
+),
+seeds AS (SELECT unnest(range({dp.MINHASH_NUM_HASHES}))::INT AS seed),
+mh AS (
+  SELECT doc_id, seed, min({h_g}) AS m
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sh) CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id, seed // {dp.MINHASH_NUM_HASHES // dp.MINHASH_BANDS} AS band,
+         string_agg(m::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.gs, sb.gs)) AS inter, len(sa.gs) AS la, len(sb.gs) AS lb
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(inter::DOUBLE / (la + lb - inter), 4) AS jaccard
+FROM verified WHERE inter::DOUBLE / (la + lb - inter) >= 0.8"""
+
+    h_tok = _H60.format(x="tok")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(dp.SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dp.SIMHASH_BITS)
+    )
+    simhash_cte = f"""{_dp_prelude()},
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM dt) GROUP BY doc_id, tok
+),
+hh AS (SELECT doc_id, tf, {h_tok} AS h FROM tf),
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hh GROUP BY doc_id
+),
+fps AS (SELECT doc_id, ({fp_expr})::BIGINT AS simhash FROM bitsums)"""
+    sqls["simhash_fp"] = simhash_cte + "\nSELECT doc_id, simhash FROM fps"
+    sqls["simhash_pairs"] = simhash_cte + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    langs = sorted(dp.LANG_LEXICONS)
+    score_cols = ",\n         ".join(
+        "CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({})))::DOUBLE"
+        " / len(toks)::DOUBLE ELSE 0.0 END AS sc_{}".format(
+            ", ".join(f"'{w}'" for w in dp.LANG_LEXICONS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
+    pred_cases = " ".join(f"WHEN sc_{lang} = best THEN '{lang}'" for lang in langs)
+    sqls["lang_id"] = f"""{_dp_prelude()},
+scores AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM dt
+),
+withbest AS (SELECT *, {best} AS best FROM scores)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'unknown' {pred_cases} ELSE 'unknown' END AS lang_pred,
+       round(best, 4) AS lang_score
+FROM withbest"""
+
+    stop_in = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    sqls["quality"] = f"""
+WITH dt AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         length(replace(text, ' ', '')) AS n_letters
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(toks)::INT AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({stop_in})))::DOUBLE / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0 THEN n_letters::DOUBLE / len(toks) ELSE 0.0 END AS mean_len
+  FROM dt
+)
+SELECT doc_id, n_tokens, round(stop_ratio, 4) AS stop_ratio,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(0.3 * least(n_tokens::DOUBLE / 100.0, 1.0)
+             + 0.3 * distinct_ratio
+             + 0.2 * (1.0 - stop_ratio)
+             + 0.2 * least(mean_len / 8.0, 1.0), 4) AS quality
+FROM m"""
+
+    sqls["token_stats"] = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::INT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS alnum_tokens
+FROM documents"""
+
+    sqls["fingerprint"] = f"""{_dp_prelude()},
+ptok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos FROM dt
+)
+SELECT doc_id,
+       (sum(({h_tok} % {dp.FP_TERM_MOD}) * ((pos % {dp.FP_POS_MOD}) + 1))
+        % {dp.FP_OUT_MOD})::BIGINT AS fingerprint
+FROM ptok GROUP BY doc_id"""
+
+    sqls["ann_brute"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qx AS (SELECT CAST(unnest(e) AS DOUBLE) AS x, generate_subscripts(e, 1) AS i FROM q),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id <> 0
+),
+d AS (
+  SELECT e.vec_id, sum(e.x * q.x) AS dot, sum(e.x * e.x) AS nn
+  FROM ex e JOIN qx q USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sum(x * x) AS s FROM qx)
+SELECT vec_id, round(dot / (sqrt(nn) * sqrt(s)), 4) AS cos
+FROM d CROSS JOIN qn
+ORDER BY dot / (sqrt(nn) * sqrt(s)) DESC, vec_id LIMIT 10"""
+    # ann_lsh: approximate -> intentionally NO oracle (rows-only gate check)
     return sqls

@@ -317,13 +317,17 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             .parquet(dict_dir)
         )
         _mark_done(dict_dir, {"stage": "term_dict"})
-        hot = [
-            r["term"]
+        # adaptive salting: a term with df > threshold is split into
+        # ceil(df/threshold) docID-range slices (capped at salt_parts), so
+        # every (term, salt) shuffle key carries <= ~threshold postings
+        # regardless of how hot the term is
+        hot = {
+            r["term"]: int(min(max(math.ceil(r["df"] / cfg.salt_threshold), 2), cfg.salt_parts))
             for r in spark.read.parquet(dict_dir)
             .filter(F.col("df") > cfg.salt_threshold)
-            .select("term")
+            .select("term", "df")
             .collect()
-        ]
+        }
         avgdl_f32 = float(np.float32(sttf / max_doc)) if max_doc and sttf > 0 else 1.0
         stats = {
             "max_doc": max_doc,
@@ -346,8 +350,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
     post_dir = os.path.join(out_dir, "postings")
     t0 = time.time()
     max_doc = stats["max_doc"]
-    salt_div = max(1, math.ceil(max_doc / cfg.salt_parts))
-    hot_terms = set(stats["hot_terms"])
+    hot_terms: dict[str, int] = stats["hot_terms"]
     encode_fn, block_schema = _encode_blocks_udf()
     groups = list(range(cfg.bucket_groups))
     for g in groups:
@@ -372,17 +375,23 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         if cfg.bucket_groups > 1:
             exploded = exploded.filter(F.pmod(F.col("bucket"), F.lit(cfg.bucket_groups)) == g)
         if hot_terms:
+            # salt = docID-range slice index in [0, parts): slices stay
+            # globally docID-ordered per term, so reads concatenate by salt
+            parts_map = F.create_map(
+                *[x for t, p in hot_terms.items() for x in (F.lit(t), F.lit(p))]
+            )
+            parts = F.coalesce(parts_map[F.col("term")], F.lit(1))
             exploded = exploded.withColumn(
-                "salt",
-                F.when(
-                    F.col("term").isin(list(hot_terms)),
-                    (F.col("docID") / F.lit(salt_div)).cast("int"),
-                ).otherwise(F.lit(0)),
+                "salt", F.floor((F.col("docID") * parts) / F.lit(max_doc)).cast("int")
             )
         else:
             exploded = exploded.withColumn("salt", F.lit(0))
+        # reducer count scales with cluster cores (4 waves max) so the encode
+        # stage parallelizes at any cluster size; (bucket, salt) keys must
+        # outnumber reducers or tasks go lumpy -- salting guarantees that for
+        # hot terms (see BuildConfig.salt_parts)
         shuffled = exploded.repartition(
-            max(cores, cfg.num_buckets // cfg.bucket_groups), "bucket", "salt"
+            max(cores * 4, cfg.num_buckets // cfg.bucket_groups), "bucket", "salt"
         ).sortWithinPartitions("bucket", "term", "salt", "docID")
         blocks = shuffled.mapInArrow(encode_fn, schema=block_schema)
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(grp_dir)

@@ -1,0 +1,422 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+The operations a 100 TB training-data pipeline needs on top of the search
+engine: deduplication (exact, MinHash+LSH, SimHash), text analysis
+(language-ID, quality scoring, token counting, fingerprinting) and
+similarity search (brute-force + LSH-bucketed cosine top-k).
+
+Design rules:
+  - Everything except the ANN kernels is pure ``pyspark.sql.functions`` --
+    JVM-side, whole-stage-codegen, no Python in the hot path.  The ANN
+    kernels are Arrow-batched numpy (``mapInPandas``), never per-row.
+  - Every hash is md5-derived (first 15 hex digits -> int64) so a DuckDB
+    oracle can reproduce it bit-for-bit: Spark ``conv(substring(md5(x),1,15),
+    16,10)`` == DuckDB ``('0x'||substring(md5(x),1,15))::BIGINT``.
+  - Shuffle discipline at scale: MinHash signatures use ONE shuffle
+    (groupBy(doc).pivot(seed)); SimHash uses ONE shuffle (32 conditional
+    aggregates); candidate joins are on (band, signature) keys whose
+    cardinality grows with the corpus, so they partition evenly; the exact
+    verify step only touches candidate pairs (LSH output), never all pairs.
+
+Reference parity note: the reference (Lucene.NET) has no dedup/ANN module;
+these operators extend the engine for corpus-curation workloads while
+reusing its tokenization conventions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis import ENGLISH_STOP_WORDS
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+MINHASH_NUM_HASHES = 12
+MINHASH_BANDS = 4  # 4 bands x 3 rows
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 x 8-bit chunks -> recall 1.0 for hamming <= 3
+FP_TERM_MOD = 1000003
+FP_POS_MOD = 997
+FP_OUT_MOD = 2147483647
+
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "and", "of", "to", "in", "that", "it", "with", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"),
+    "fr": ("le", "les", "des", "et", "est", "dans", "pour", "sur", "au", "ce"),
+}
+
+
+def ws_tokens(text_col: str = "text") -> F.Column:
+    """Lowercased whitespace tokens (the dedup/analysis tokenization;
+    independent of the search analyzer, which additionally stop-filters)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+
+
+def hash60(col: F.Column) -> F.Column:
+    """First 60 bits of md5 as a non-negative int64 (DuckDB-reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups keyed by the sorted distinct token set
+    (hash-groupBy; one shuffle).  -> (doc_id, keeper_id, group_size) for
+    members of groups with >1 doc; keeper = min doc_id.
+
+    At scale the groupBy key is sha2(key) to keep shuffle rows narrow."""
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(text_col))))
+    keyed = df.select(F.col(id_col).alias("doc_id"), key.alias("k"))
+    groups = keyed.groupBy("k").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return (
+        keyed.join(groups.filter(F.col("group_size") > 1), "k")
+        .select("doc_id", "keeper_id", "group_size")
+    )
+
+
+def shingle_col(text_col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles as strings ('t1 t2 t3')."""
+    toks = ws_tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = MINHASH_NUM_HASHES, bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(doc_id, band, sig): per-band MinHash signature strings.
+    One explode + ONE shuffle (pivot on seed)."""
+    rows = num_hashes // bands
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingle_col(text_col)).alias("g"))
+    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    hashed = sh.join(F.broadcast(seeds)).select(
+        "doc_id", "seed",
+        hash60(F.concat_ws("#", F.col("g"), F.col("seed").cast("string"))).alias("h"),
+    )
+    piv = hashed.groupBy("doc_id").pivot("seed", list(range(num_hashes))).agg(F.min("h"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[F.col(str(b * rows + r)) for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return piv.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs -> (doc_a, doc_b, jaccard).
+
+    shingle -> minhash -> band -> bucket self-join -> exact-Jaccard verify on
+    candidates only.  Jaccard is exact over distinct shingle sets, so the
+    result is deterministic (LSH affects only recall, which the oracle SQL
+    reproduces with the same hash family)."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"), shingle_col(text_col).alias("gs")
+    )
+    return (
+        cand.join(sets_df.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga")), "doc_a")
+        .join(sets_df.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("ga") + F.size("gb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc -> (doc_id, simhash).  ONE shuffle: 32
+    conditional aggregates over the exploded (doc, token, tf) postings."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming <= max_hamming.
+
+    LSH banding on 4 x 8-bit chunks: any pair within hamming 3 shares at
+    least one identical chunk (pigeonhole), so recall is exactly 1.0 and the
+    result equals the brute-force all-pairs scan the oracle runs."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("v"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    ch = fps.select("doc_id", "simhash", F.explode(chunks).alias("ch")).select(
+        "doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
+    cand = (
+        ch.alias("a")
+        .join(ch.alias("b"), ["c", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("fa ^ fb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lexicon-overlap language ID -> (doc_id, lang_pred, lang_score).
+    Pure built-ins: higher-order filter over the token array, no shuffle at
+    all (narrow, per-row).  Tie-break: highest score, then lang name asc;
+    all-zero -> 'unknown'."""
+    toks = ws_tokens(text_col)
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    out = out.withColumn("n", F.size("toks"))
+    for lang, lex in LANG_LEXICONS.items():
+        lex_arr = F.array(*[F.lit(w) for w in lex])
+        cnt = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(lex_arr, x)))
+        out = out.withColumn(
+            f"sc_{lang}",
+            F.when(F.col("n") > 0, cnt.cast("double") / F.col("n").cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"sc_{l}") for l in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier langs win ties -> build from last
+        pred = F.when((best > 0) & (F.col(f"sc_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return out.select(
+        "doc_id", pred.alias("lang_pred"), F.round(best, 4).alias("lang_score")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1] from length/stopword/distinct/word-length
+    signals -> (doc_id, n_tokens, stop_ratio, distinct_ratio, quality).
+    Narrow, no shuffle."""
+    toks = ws_tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).alias("n_letters"),
+    )
+    out = out.withColumn("n_tokens", F.size("toks"))
+    out = out.withColumn(
+        "stop_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    out = out.withColumn(
+        "distinct_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    mean_len = F.when(
+        F.col("n_tokens") > 0, F.col("n_letters").cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.col("distinct_ratio")
+        + F.lit(0.2) * (F.lit(1.0) - F.col("stop_ratio"))
+        + F.lit(0.2) * F.least(mean_len / 8.0, F.lit(1.0))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("distinct_ratio", 4).alias("distinct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting -> (doc_id, ws_tokens, alnum_tokens): whitespace count
+    + regex ([a-z0-9]+ on the lowercased text) count.  Narrow."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)).alias(
+            "alnum_tokens"
+        ),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Position-weighted modular document fingerprint -> (doc_id, fingerprint).
+
+    fp = sum_over_tokens( (hash60(tok) % 1000003) * ((pos % 997)+1) ) % (2^31-1)
+    Exact integer arithmetic -> bit-identical in any engine."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.posexplode(ws_tokens(text_col)).alias("pos", "tok"))
+    contrib = (hash60(F.col("tok")) % FP_TERM_MOD) * ((F.col("pos") % FP_POS_MOD) + 1)
+    return (
+        toks.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum("c") % FP_OUT_MOD).alias("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def cosine_topk_brute(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_ids: tuple = (),
+) -> DataFrame:
+    """Brute-force cosine top-k -> (vec_id, cos).  Arrow-batched numpy matrix
+    kernel (the float64 math is a single GEMV per batch); global top-k via
+    TakeOrderedAndProject.  This is the exact baseline the LSH path is
+    measured against."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    excl = set(int(x) for x in exclude_ids)
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("cos", T.DoubleType())]
+    )
+
+    def score(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = np.where(norms > 0, dots / (norms * qn), 0.0)
+            keep = ~np.isin(ids, list(excl)) if excl else np.ones(len(ids), bool)
+            yield pd.DataFrame({"vec_id": ids[keep], "cos": cos[keep]})
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k).select(
+        "vec_id", F.round("cos", 4).alias("cos")
+    )
+
+
+def _hyperplanes(dim: int, tables: int, planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, planes, dim))
+
+
+def cosine_topk_lsh(
+    spark: SparkSession, emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    tables: int = 8, planes: int = 10, exclude_ids: tuple = (),
+) -> DataFrame:
+    """Random-hyperplane LSH cosine top-k (the 100 TB scale path).
+
+    Each vector hashes to `tables` sign-bit buckets; candidates = vectors
+    sharing the query's bucket in ANY table; exact cosine re-rank on the
+    candidate set only.  At scale the bucket column is a partition key, so a
+    query touches ~corpus/2^planes rows per table instead of everything.
+    Approximate: recall depends on (tables, planes) -- gate-checked
+    rows-only, and measured against cosine_topk_brute in tests."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    hp = _hyperplanes(dim, tables, planes)
+    qbuckets = [(t, int("".join("1" if float(hp[t, p] @ q) > 0 else "0" for p in range(planes)), 2)) for t in range(tables)]
+    qb_df = spark.createDataFrame(qbuckets, "t int, bucket long")
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("t", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    hp_b = hp
+
+    def bucketize(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            frames = []
+            for t in range(hp_b.shape[0]):
+                proj = m @ hp_b[t].T  # (n, planes)
+                bits = (proj > 0).astype(np.int64)
+                bucket = np.zeros(len(ids), dtype=np.int64)
+                for p in range(hp_b.shape[1]):
+                    bucket = (bucket << 1) | bits[:, p]
+                frames.append(pd.DataFrame({"vec_id": ids, "t": t, "bucket": bucket}))
+            yield pd.concat(frames)
+
+    buckets = emb.select(id_col, vec_col).mapInPandas(bucketize, schema=out_schema)
+    cand_ids = (
+        buckets.join(F.broadcast(qb_df), ["t", "bucket"]).select("vec_id").distinct()
+    )
+    cand = emb.join(cand_ids, emb[id_col] == cand_ids["vec_id"]).select(
+        emb[id_col].alias(id_col), emb[vec_col].alias(vec_col)
+    )
+    return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)

@@ -1,0 +1,138 @@
+"""Two-parallelism scaling benchmark (the north rule's N vs 4N evidence).
+
+No real cluster exists in this sandbox, so the same index-build job runs at
+``local[8]`` and ``local[32]`` over the SAME input, and we report throughput
+at both plus efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4.
+
+The driver documents table is replicated REPL times (doc_id remapped to stay
+unique: copy * n_docs + doc_id) so tokenize/shuffle/encode dominate the fixed
+Spark session overhead -- the sandbox stand-in for a corpus that would keep
+1000 executors busy.  Results are appended to BENCH.md.
+
+Usage:
+  python tools/bench_scaling.py [--sf /root/testdata/sf0.1] [--repl 400]
+                                [--cores 8,32] [--query-reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_at(cores: int, sf_dir: str, repl: int, query_reps: int) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+    from sparklucene.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(2)
+
+    spark = get_spark(cores=cores, app=f"sparklucene-scaling-{cores}")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = base.count()
+    # replicate WITHOUT a serial expansion: spread the small base over all
+    # cores first, then crossJoin the broadcast copy list -- each task
+    # generates its slice of the corpus in parallel, no post-expansion shuffle
+    copies = spark.range(repl).withColumnRenamed("id", "copy")
+    docs = (
+        base.repartition(cores * 3)
+        .crossJoin(F.broadcast(copies))
+        .withColumn("doc_id", F.col("copy") * F.lit(n_base) + F.col("doc_id"))
+        .drop("copy")
+    )
+    n_docs = n_base * repl
+
+    out = f"/tmp/sparklucene_scaling_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark,
+        docs,
+        out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=64, resume=False),
+    )
+    build_s = time.time() - t0
+
+    searcher = IndexSearcher(spark, out)
+    t0 = time.time()
+    n_q = 0
+    for _ in range(query_reps):
+        for _name, (q, k) in entrymod.QUERY_TREES.items():
+            searcher.search(q, k, mode="f32").collect()
+            n_q += 1
+    query_s = time.time() - t0
+
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_s": round(build_s, 2),
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "n_queries": n_q,
+        "queries_per_sec": round(n_q / query_s, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=400)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--query-reps", type=int, default=3)
+    args = ap.parse_args()
+
+    levels = [int(c) for c in args.cores.split(",")]
+    results = [run_at(c, args.sf, args.repl, args.query_reps) for c in levels]
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff_build = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
+    report = {
+        "sf_dir": args.sf,
+        "replication": args.repl,
+        "levels": results,
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+    }
+    print(json.dumps(report))
+
+    lines = [
+        "",
+        f"## Scaling run (local[{lo['cores']}] vs local[{hi['cores']}], "
+        f"{hi['n_docs']:,} docs)",
+        "",
+        "| cores | build s | docs/sec | queries/sec |",
+        "|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['cores']} | {r['build_s']} | {r['docs_per_sec']} | {r['queries_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"Build scaling efficiency ({lo['cores']}->{hi['cores']} cores): "
+        f"**{eff_build:.3f}** (north rule target >= 0.8).",
+        f"Query-set scaling efficiency: {eff_query:.3f} "
+        "(latency-bound at this tiny per-query work size; build throughput is the north metric).",
+        "",
+    ]
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
