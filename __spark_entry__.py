@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: tokenized postings carry pre-encoded pos_blob
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 

@@ -122,6 +122,26 @@ def invert(text: str) -> tuple[list[tuple[str, int, list[int]]], int]:
     return [(t, len(ps), ps) for t, ps in agg.items()], len(terms)
 
 
+def invert_arrays(text: str) -> tuple[list[str], np.ndarray, np.ndarray, int]:
+    """Array-shaped inversion for the Arrow tokenize path:
+    -> (unique terms SORTED, tf int64[], positions_flat int64[], field_len).
+    positions_flat is ascending within each term (stable sort preserves the
+    global ascending order).  Same content as :func:`invert`, different
+    order (sorted vs first-occurrence) and layout."""
+    terms, positions = analyze(text)
+    n = len(terms)
+    if n == 0:
+        return [], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), 0
+    t_arr = np.array(terms, dtype=object)
+    p_arr = np.asarray(positions, dtype=np.int64)
+    order = np.argsort(t_arr, kind="stable")
+    st = t_arr[order]
+    sp = p_arr[order]
+    starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+    tfs = np.diff(np.append(starts, n))
+    return st[starts].tolist(), tfs, sp, n
+
+
 def analyze_batch(texts) -> tuple[list[list[tuple[str, int, list[int]]]], np.ndarray]:
     """Batch inversion for an Arrow/pandas batch of strings.
     -> (per-doc postings lists, field_len int64 array)."""

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .analysis import invert
+from .analysis import invert_arrays
 from .norms import encode_norm
 
 TOKENIZED_SCHEMA_POSTINGS = T.ArrayType(
@@ -59,7 +59,10 @@ TOKENIZED_SCHEMA_POSTINGS = T.ArrayType(
         [
             T.StructField("term", T.StringType()),
             T.StructField("tf", T.IntegerType()),
-            T.StructField("positions", T.ArrayType(T.IntegerType())),
+            # per-doc delta-varint positions (codec.delta_encode_positions):
+            # encoded ONCE at tokenize time so the postings shuffle carries a
+            # compact binary instead of array<int> (big Arrow-transfer win)
+            T.StructField("pos_blob", T.BinaryType()),
         ]
     )
 )
@@ -90,10 +93,14 @@ class BuildConfig:
     order_cols: tuple = ("repo", "path")  # docID = rank under this ordering
     meta_cols: tuple = ()  # passthrough columns kept in the docs table
     num_buckets: int = 32
-    salt_threshold: int = 200_000  # df above this gets range-salted
-    salt_parts: int = 8
+    # df above this gets range-salted into ceil(df/threshold) slices; sized
+    # so one (term, salt) shuffle key ~ a few MB of postings -> encode tasks
+    # stay balanced even for degenerate vocabularies (every term hot)
+    salt_threshold: int = 65_536
+    salt_parts: int = 64  # cap on slices per term
     bucket_groups: int = 1
     resume: bool = True
+    docid_base: int = 0  # minted docIDs start here (segment appends)
     extras: dict = field(default_factory=dict)
 
 
@@ -110,7 +117,7 @@ def _mark_done(path: str, info: dict) -> None:
         json.dump(info, f)
 
 
-def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int) -> DataFrame:
+def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: int = 0) -> DataFrame:
     """Deterministic dense 0-based docIDs = rank under order_cols, without a
     single-partition window (reference docIDs: segment order,
     BaseCompositeReader starts[]; ours: SURVEY 1.1 stable snapshot rule).
@@ -122,7 +129,7 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int) -> DataF
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
-    acc = 0
+    acc = base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -144,32 +151,79 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int) -> DataF
     return with_pid.mapInPandas(assign, schema=out_schema)
 
 
-def _tokenize_udf(content_col: str):
-    def tokenize(pdf_iter):
-        for pdf in pdf_iter:
-            texts = pdf[content_col]
-            postings_col, flen = [], np.empty(len(pdf), dtype=np.int64)
+def _tokenize_udf(content_col: str, passthrough: list[str]):
+    """mapInArrow tokenizer: per batch, tokenize every doc (Python regex is
+    the only per-doc work), then build the output Arrow arrays directly --
+    no per-posting Python objects.  Positions are delta-varint encoded here
+    in one vectorized pass (codec.delta_encode_positions)."""
+
+    def tokenize(batch_iter):
+        import pyarrow as pa
+
+        from .codec import delta_encode_positions
+
+        for batch in batch_iter:
+            n = batch.num_rows
+            texts = batch.column(content_col).to_pylist()
+            all_terms: list[str] = []
+            tf_parts, pos_parts = [], []
+            posting_counts = np.empty(n, dtype=np.int64)
+            flen = np.empty(n, dtype=np.int64)
             for i, txt in enumerate(texts):
-                plist, fl = invert(txt if isinstance(txt, str) else "")
-                postings_col.append(
-                    [{"term": t, "tf": tf, "positions": ps} for t, tf, ps in plist]
-                )
+                terms, tfs, pflat, fl = invert_arrays(txt if isinstance(txt, str) else "")
+                all_terms.extend(terms)
+                tf_parts.append(tfs)
+                pos_parts.append(pflat)
+                posting_counts[i] = len(terms)
                 flen[i] = fl
-            out = pdf.drop(columns=[content_col])
-            out["field_len"] = flen
-            out["norm_byte"] = encode_norm(flen).astype(np.int32)
-            out["postings"] = postings_col
-            yield out
+            tfs_all = (
+                np.concatenate(tf_parts) if tf_parts else np.empty(0, dtype=np.int64)
+            )
+            pos_flat = (
+                np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
+            )
+            post_offs = np.concatenate(([0], np.cumsum(tfs_all)))
+            pos_data, pos_byte_offs = delta_encode_positions(pos_flat, post_offs)
+            pos_blob_arr = pa.Array.from_buffers(
+                pa.binary(),
+                int(tfs_all.size),
+                [
+                    None,
+                    pa.py_buffer(pos_byte_offs.astype(np.int32).tobytes()),
+                    pa.py_buffer(pos_data.tobytes()),
+                ],
+            )
+            struct = pa.StructArray.from_arrays(
+                [pa.array(all_terms, pa.string()), pa.array(tfs_all, pa.int32()), pos_blob_arr],
+                names=["term", "tf", "pos_blob"],
+            )
+            list_offs = pa.array(
+                np.concatenate(([0], np.cumsum(posting_counts))).astype(np.int32)
+            )
+            postings_arr = pa.ListArray.from_arrays(list_offs, struct)
+            cols = [batch.column(name) for name in passthrough]
+            cols += [
+                pa.array(flen, pa.int64()),
+                pa.array(encode_norm(flen).astype(np.int32), pa.int32()),
+                postings_arr,
+            ]
+            yield pa.record_batch(cols, names=passthrough + ["field_len", "norm_byte", "postings"])
 
     return tokenize
 
 
 def _encode_blocks_udf():
     """mapInArrow encoder over rows sorted by (bucket, term, salt, docID).
-    Groups may straddle Arrow batch boundaries; a carry buffer handles that."""
+
+    Fully vectorized: the partition's batches are combined into one Arrow
+    table (a partition holds one reducer's (bucket, salt) slice, bounded by
+    the shuffle sizing), positions are read zero-copy from the Arrow list
+    buffers, and every blob column is varint-encoded in ONE numpy pass for
+    the whole partition then sliced at block boundaries
+    (codec.encode_partition_blocks)."""
     import pyarrow as pa
 
-    from .codec import encode_posting_blocks
+    from .codec import encode_partition_blocks
 
     arrow_schema = pa.schema(
         [
@@ -190,56 +244,60 @@ def _encode_blocks_udf():
     )
 
     def encode(batch_iter):
-        carry = None  # pandas df of the last unfinished (bucket, term, salt)
+        batches = [b for b in batch_iter if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n = tbl.num_rows
+        doc_ids = tbl.column("docID").to_numpy()
+        tfs = tbl.column("tf").to_numpy().astype(np.int64)
+        norms = tbl.column("norm_byte").to_numpy().astype(np.uint8)
+        salts = tbl.column("salt").to_numpy()
+        term_chunk = tbl.column("term").combine_chunks()
+        if isinstance(term_chunk, pa.ChunkedArray):
+            term_chunk = term_chunk.chunk(0) if term_chunk.num_chunks else pa.array([], pa.string())
+        pos_chunk = tbl.column("pos_blob").combine_chunks()
+        if isinstance(pos_chunk, pa.ChunkedArray):
+            pos_chunk = pos_chunk.chunk(0) if pos_chunk.num_chunks else pa.array([], pa.binary())
+        # zero-copy byte stream + per-row byte offsets from the binary
+        # array's buffers (already delta-varint encoded at tokenize time)
+        bufs = pos_chunk.buffers()
+        raw_offs = np.frombuffer(bufs[1], dtype=np.int32) if bufs[1] is not None else np.zeros(1, np.int32)
+        pos_byte_offsets = raw_offs[pos_chunk.offset : pos_chunk.offset + n + 1].astype(np.int64)
+        pos_data = (
+            np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        )
+        # group change: term or salt differs from the previous row
+        import pyarrow.compute as pc
 
-        def flush_groups(pdf, last_incomplete: bool):
-            nonlocal carry
-            rows = {k: [] for k in arrow_schema.names}
-            keys = pdf["bucket"].astype(str) + "\x00" + pdf["term"] + "\x00" + pdf["salt"].astype(str)
-            boundaries = np.flatnonzero((keys != keys.shift()).values)
-            ends = np.concatenate((boundaries[1:], [len(pdf)]))
-            n_groups = len(boundaries)
-            for gi, (s, e) in enumerate(zip(boundaries, ends)):
-                if last_incomplete and gi == n_groups - 1:
-                    carry = pdf.iloc[s:e]
-                    break
-                g = pdf.iloc[s:e]
-                pos_flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in g["positions"]]) if len(g) else np.empty(0, np.int64)
-                blocks = encode_posting_blocks(
-                    g["docID"].to_numpy(np.int64),
-                    g["tf"].to_numpy(np.int64),
-                    g["norm_byte"].to_numpy(np.uint8),
-                    pos_flat,
-                )
-                nb_arrays = None
-                for blk in blocks:
-                    rows["bucket"].append(int(g["bucket"].iloc[0]))
-                    rows["term"].append(g["term"].iloc[0])
-                    rows["salt"].append(int(g["salt"].iloc[0]))
-                    rows["block_id"].append(blk["block_id"])
-                    rows["num_docs"].append(blk["num_docs"])
-                    rows["first_docid"].append(blk["first_docid"])
-                    rows["max_docid"].append(blk["max_docid"])
-                    rows["block_max_tf"].append(blk["block_max_tf"])
-                    rows["block_max_norm_byte"].append(
-                        int(np.frombuffer(blk["norm_blob"], dtype=np.uint8).max())
-                    )
-                    rows["doc_blob"].append(blk["doc_blob"])
-                    rows["tf_blob"].append(blk["tf_blob"])
-                    rows["norm_blob"].append(blk["norm_blob"])
-                    rows["pos_blob"].append(blk["pos_blob"])
-            if rows["term"]:
-                yield pa.record_batch([pa.array(rows[n], type=arrow_schema.field(n).type) for n in arrow_schema.names], schema=arrow_schema)
-
-        for batch in batch_iter:
-            pdf = batch.to_pandas()
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            yield from flush_groups(pdf, last_incomplete=True)
-        if carry is not None:
-            final, carry = carry, None
-            yield from flush_groups(final.reset_index(drop=True), last_incomplete=False)
+        group_change = np.empty(n, dtype=bool)
+        group_change[0] = True
+        if n > 1:
+            term_ne = pc.not_equal(term_chunk.slice(1), term_chunk.slice(0, n - 1))
+            group_change[1:] = np.asarray(term_ne.fill_null(True)) | (salts[1:] != salts[:-1])
+        blocks = encode_partition_blocks(group_change, doc_ids, tfs, norms, pos_data, pos_byte_offsets)
+        row_idx = blocks["row_idx"]
+        if len(row_idx) == 0:
+            return
+        take = pa.array(row_idx, type=pa.int64())
+        yield pa.record_batch(
+            [
+                pc.take(tbl.column("bucket").combine_chunks(), take).cast(pa.int32()),
+                pc.take(term_chunk, take),
+                pc.take(tbl.column("salt").combine_chunks(), take).cast(pa.int32()),
+                pa.array(blocks["block_id"], type=pa.int32()),
+                pa.array(blocks["num_docs"], type=pa.int32()),
+                pa.array(blocks["first_docid"], type=pa.int64()),
+                pa.array(blocks["max_docid"], type=pa.int64()),
+                pa.array(blocks["block_max_tf"], type=pa.int32()),
+                pa.array(blocks["block_max_norm_byte"], type=pa.int32()),
+                pa.array(blocks["doc_blob"], type=pa.binary()),
+                pa.array(blocks["tf_blob"], type=pa.binary()),
+                pa.array(blocks["norm_blob"], type=pa.binary()),
+                pa.array(blocks["pos_blob"], type=pa.binary()),
+            ],
+            schema=arrow_schema,
+        )
 
     return encode, BLOCK_SCHEMA
 
@@ -267,13 +325,14 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             df = df.select("docID", *base_cols, cfg.content_col)
         else:
             df = source.select(*dict.fromkeys(list(cfg.order_cols) + base_cols + [cfg.content_col]))
-            df = mint_doc_ids(df, list(cfg.order_cols), partitions=max(cores * 2, 8))
+            df = mint_doc_ids(df, list(cfg.order_cols), partitions=max(cores * 2, 8), base=cfg.docid_base)
             base_cols = list(dict.fromkeys(list(cfg.order_cols) + base_cols))
             df = df.select("docID", *base_cols, cfg.content_col)
         # per-row invariant vs source: content sha256 (north rule)
         df = df.withColumn("sha256", F.sha2(F.col(cfg.content_col), 256))
         in_schema = df.schema
         out_fields = [f for f in in_schema.fields if f.name != cfg.content_col]
+        passthrough = [f.name for f in out_fields]
         tok_schema = T.StructType(
             out_fields
             + [
@@ -282,7 +341,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
                 T.StructField("postings", TOKENIZED_SCHEMA_POSTINGS),
             ]
         )
-        df.mapInPandas(_tokenize_udf(cfg.content_col), schema=tok_schema).write.mode(
+        df.mapInArrow(_tokenize_udf(cfg.content_col, passthrough), schema=tok_schema).write.mode(
             "overwrite"
         ).parquet(tok_dir)
         _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0})
@@ -368,7 +427,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
                 "norm_byte",
                 F.col("p.term").alias("term"),
                 F.col("p.tf").alias("tf"),
-                F.col("p.positions").alias("positions"),
+                F.col("p.pos_blob").alias("pos_blob"),
             )
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )

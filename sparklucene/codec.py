@@ -20,12 +20,14 @@ _U64 = np.uint64
 _SEVEN = _U64(7)
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """Vectorized LEB128 varint encode of a uint64 array."""
+def varint_encode_with_lengths(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 varint encode -> (uint8 byte array, per-value byte
+    lengths).  The lengths let callers slice the stream at value boundaries
+    (used by the partition-level block encoder)."""
     v = np.asarray(vals, dtype=_U64)
     n = v.size
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # byte length per value: 1 + floor(bit_length-1 / 7); max 10
     lengths = np.ones(n, dtype=np.int64)
     shifted = v >> _SEVEN
@@ -43,6 +45,12 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = (chunk & _U64(0x7F)).astype(np.uint8)
         cont = (lengths[sel] > j + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
+    return out, lengths
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Vectorized LEB128 varint encode of a uint64 array."""
+    out, _ = varint_encode_with_lengths(vals)
     return out.tobytes()
 
 
@@ -119,6 +127,120 @@ def encode_posting_blocks(
             }
         )
     return blocks
+
+
+def delta_encode_positions(
+    positions_flat: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row delta-varint position encoding, vectorized over many rows.
+
+    positions_flat: all rows' positions concatenated (ascending within row);
+    row_offsets: int[n+1] slice bounds per row.
+    -> (uint8 byte stream, int64 per-row BYTE offsets of length n+1).
+    Row i's blob is stream[off[i]:off[i+1]] -- byte-identical to what
+    encode_posting_blocks produces for that doc's positions."""
+    positions_flat = np.asarray(positions_flat, dtype=np.int64)
+    row_offsets = np.asarray(row_offsets, dtype=np.int64)
+    if positions_flat.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(row_offsets.size, dtype=np.int64)
+    deltas = np.empty_like(positions_flat)
+    deltas[0] = positions_flat[0]
+    np.subtract(positions_flat[1:], positions_flat[:-1], out=deltas[1:])
+    starts = row_offsets[:-1]
+    deltas[starts] = positions_flat[starts]
+    data, lens = varint_encode_with_lengths(deltas.astype(_U64))
+    len_cum = np.concatenate(([0], np.cumsum(lens)))
+    return data, len_cum[row_offsets]
+
+
+def encode_partition_blocks(
+    group_change: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    pos_data: np.ndarray,
+    pos_byte_offsets: np.ndarray,
+) -> dict:
+    """Encode ALL posting blocks of a sorted partition in one vectorized pass.
+
+    Produces byte-identical blobs to calling :func:`encode_posting_blocks`
+    per (term, salt) group, but with O(1) numpy passes instead of a Python
+    loop per 128-doc block: each blob column is varint-encoded once for the
+    whole partition and then sliced at block boundaries.
+
+    Args:
+      group_change: bool[n], True where row i starts a new (term, salt) group
+        (row 0 must be True).
+      doc_ids/tfs/norm_bytes: per-posting arrays, sorted by (group, docID).
+      pos_data: uint8 stream of per-row delta-varint position blobs
+        (see :func:`delta_encode_positions`), concatenated in row order.
+      pos_byte_offsets: int[n+1], byte bounds of each row's blob in pos_data.
+
+    Returns dict of per-block numpy arrays + lists of bytes:
+      row_idx (index of the block's first row, for term/bucket/salt take),
+      block_id, num_docs, first_docid, max_docid, block_max_tf,
+      block_max_norm_byte, doc_blob, tf_blob, norm_blob, pos_blob.
+    """
+    n = doc_ids.size
+    if n == 0:
+        return {k: [] for k in (
+            "row_idx", "block_id", "num_docs", "first_docid", "max_docid",
+            "block_max_tf", "block_max_norm_byte", "doc_blob", "tf_blob",
+            "norm_blob", "pos_blob")}
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
+    pos_data = np.asarray(pos_data, dtype=np.uint8)
+    pos_byte_offsets = np.asarray(pos_byte_offsets, dtype=np.int64)
+
+    gstart_idx = np.flatnonzero(group_change)
+    start_per_row = np.repeat(gstart_idx, np.diff(np.append(gstart_idx, n)))
+    local = np.arange(n, dtype=np.int64) - start_per_row
+    block_start_mask = (local & (BLOCK_SIZE - 1)) == 0  # includes group starts
+    block_starts = np.flatnonzero(block_start_mask)
+    block_ends = np.append(block_starts[1:], n)
+    # a block may not straddle groups: group starts always open a block
+    # (local resets to 0), and block_ends stop at the next start.
+
+    # ---- doc gaps: every row except block-firsts ------------------------
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = 0
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    keep = ~block_start_mask
+    doc_bytes, doc_lens = varint_encode_with_lengths(gaps[keep].astype(_U64))
+    kept_cum = np.concatenate(([0], np.cumsum(keep)))
+    dlen_cum = np.concatenate(([0], np.cumsum(doc_lens)))
+    d_lo = dlen_cum[kept_cum[block_starts]]
+    d_hi = dlen_cum[kept_cum[block_ends]]
+
+    # ---- tf blob: (tf - 1) for every row --------------------------------
+    tf_bytes, tf_lens = varint_encode_with_lengths((tfs - 1).astype(_U64))
+    tlen_cum = np.concatenate(([0], np.cumsum(tf_lens)))
+    t_lo = tlen_cum[block_starts]
+    t_hi = tlen_cum[block_ends]
+
+    # ---- positions: already per-row delta-varint encoded; a block's blob
+    # is the concatenation of its rows' blobs = one slice of the stream
+    p_lo = pos_byte_offsets[block_starts]
+    p_hi = pos_byte_offsets[block_ends]
+
+    doc_mv = doc_bytes.tobytes()
+    tf_mv = tf_bytes.tobytes()
+    pos_mv = pos_data.tobytes()
+    norm_mv = norm_bytes.tobytes()
+    return {
+        "row_idx": block_starts,
+        "block_id": (local[block_starts] // BLOCK_SIZE).astype(np.int32),
+        "num_docs": (block_ends - block_starts).astype(np.int32),
+        "first_docid": doc_ids[block_starts],
+        "max_docid": doc_ids[block_ends - 1],
+        "block_max_tf": np.maximum.reduceat(tfs, block_starts).astype(np.int32),
+        "block_max_norm_byte": np.maximum.reduceat(norm_bytes, block_starts).astype(np.int32),
+        "doc_blob": [doc_mv[lo:hi] for lo, hi in zip(d_lo.tolist(), d_hi.tolist())],
+        "tf_blob": [tf_mv[lo:hi] for lo, hi in zip(t_lo.tolist(), t_hi.tolist())],
+        "norm_blob": [norm_mv[lo:hi] for lo, hi in zip(block_starts.tolist(), block_ends.tolist())],
+        "pos_blob": [pos_mv[lo:hi] for lo, hi in zip(p_lo.tolist(), p_hi.tolist())],
+    }
 
 
 def decode_block_docs(

@@ -67,27 +67,62 @@ class TermStats:
 
 
 class IndexSearcher:
+    """Searcher over one classic index dir OR a set of segment dirs.
+
+    Multi-segment mode (the LSM layout, see sparklucene.segments): postings
+    and term dicts are unions across segments; collection statistics
+    (max_doc, avgdl, per-term df) are GLOBAL across segments exactly like
+    the reference top-level reader (IndexSearcher.cs:982-1015)."""
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self.stats = self.manifest["stats"]
+        self._seg_dirs = [index_dir]
+        self._init_from_stats()
+        self._term_cache: dict[str, TermStats | None] = {}
+
+    def _init_from_stats(self) -> None:
         self.max_doc: int = self.stats["max_doc"]
         self.avgdl_f32: float = self.stats["avgdl_f32"]
         self.num_buckets: int = self.stats["num_buckets"]
-        self._postings_path = os.path.join(index_dir, "postings")
-        self._dict_path = os.path.join(index_dir, "term_dict")
-        self._tokenized_path = os.path.join(index_dir, "tokenized")
-        self._term_cache: dict[str, TermStats | None] = {}
+
+    @classmethod
+    def over_segments(cls, spark: SparkSession, seg_dirs: list[str], stats: dict) -> "IndexSearcher":
+        """Open a searcher over several segment dirs with pre-merged global
+        stats {max_doc, avgdl_f32, num_buckets}."""
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.index_dir = seg_dirs[0] if seg_dirs else ""
+        self.manifest = {"stats": stats}
+        self.stats = stats
+        self._seg_dirs = list(seg_dirs)
+        self._init_from_stats()
+        self._term_cache = {}
+        return self
+
+    def _union_read(self, subdir: str) -> DataFrame:
+        dfs = [
+            self.spark.read.parquet(os.path.join(d, subdir))
+            for d in self._seg_dirs
+            if os.path.exists(os.path.join(d, subdir))
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     # ---- stats lookup (broadcast-scale: only query terms are fetched) ----
     def lookup_terms(self, terms: list[str]) -> dict[str, TermStats]:
         missing = [t for t in set(terms) if t not in self._term_cache]
         if missing:
             rows = (
-                self.spark.read.parquet(self._dict_path)
+                self._union_read("term_dict")
                 .filter(F.col("term").isin(missing))
+                .groupBy("term", "bucket")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf"))
                 .collect()
             )
             for r in rows:
@@ -99,7 +134,19 @@ class IndexSearcher:
         return {t: s for t in terms if (s := self._term_cache.get(t)) is not None}
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self._tokenized_path).drop("postings")
+        """Per-doc metadata (docID, sha256, field_len, norm_byte, ...)."""
+        parts = []
+        for d in self._seg_dirs:
+            if os.path.exists(os.path.join(d, "docs")):
+                parts.append(self.spark.read.parquet(os.path.join(d, "docs")))
+            else:
+                parts.append(
+                    self.spark.read.parquet(os.path.join(d, "tokenized")).drop("postings")
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---- leaf scoring -----------------------------------------------------
     def _scored_postings(
@@ -114,7 +161,7 @@ class IndexSearcher:
         buckets = sorted({s.bucket for s in stats_map.values()})
         terms = sorted(stats_map)
         blocks = (
-            self.spark.read.parquet(self._postings_path)
+            self._union_read("postings")
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(terms))
         )

@@ -1,0 +1,478 @@
+"""Segmented (log-structured) index: append, tiered merge, NRT-style reopen.
+
+Mirrors the reference's segment model (SURVEY.md 1.1, 2.3): the index is a
+set of immutable segments published by an atomic manifest swap
+(`_SEGMENTS.json` == `segments_N`, IndexWriter two-phase commit,
+reference src/Lucene.Net/Index/IndexWriter.cs:183-228); each append is one
+bulk build (a giant DWPT flush); background merges follow the
+TieredMergePolicy algorithm verbatim
+(src/Lucene.Net/Index/TieredMergePolicy.cs:326-565) re-expressed as pure
+Python over segment manifests, with each chosen merge executed as ONE Spark
+DataFrame job.
+
+Merge dataflow (no per-posting shuffle -- block rows are 1/128th of the
+postings):
+  read k segments' block parquet -> union -> repartition by bucket
+  -> per partition: ONE varint decode of each concatenated blob column,
+     postings re-sorted by (term, docID) (segment docID ranges are disjoint,
+     so runs concatenate), re-blocked to 128 via codec.encode_partition_blocks
+  -> write merged segment + merged term_dict/docs/stats
+  -> manifest swap, old segment dirs deleted.
+
+Global collection stats (max_doc, avgdl, df) are aggregated across segments
+at search time exactly like the reference top-level reader
+(IndexSearcher.cs:982-1015); docIDs are globally unique across segments
+(append enforces disjoint ranges), so no docID remapping is ever needed --
+the MergeState.DocMap machinery of the reference degenerates away.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import BLOCK_SCHEMA, BuildConfig, build_index
+from .search import IndexSearcher
+
+
+# ---------------------------------------------------------------------------
+# TieredMergePolicy (reference math, verbatim; no deletes -> nonDelRatio = 1)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TieredMergePolicy:
+    """Pure-Python mirror of TieredMergePolicy.FindMerges
+    (TieredMergePolicy.cs:79-86 params, :326-470 selection, :517-565 score)."""
+
+    max_merge_at_once: int = 10
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024
+    floor_segment_bytes: int = 2 * 1024 * 1024
+    segs_per_tier: float = 10.0
+
+    def _floor_size(self, b: int) -> int:
+        return max(self.floor_segment_bytes, b)
+
+    def score(self, candidate_sizes: list[int], hit_too_large: bool) -> float:
+        tot_after = sum(candidate_sizes)
+        tot_after_floored = sum(self._floor_size(s) for s in candidate_sizes)
+        if hit_too_large:
+            skew = 1.0 / self.max_merge_at_once
+        else:
+            skew = self._floor_size(candidate_sizes[0]) / tot_after_floored
+        # nonDelRatio == 1 (immutable snapshot, no deletes)
+        return skew * (tot_after ** 0.05)
+
+    def find_merges(self, sizes: dict[str, int], merging: set[str] = frozenset()) -> list[list[str]]:
+        """sizes: segment name -> byte size.  Returns merge specs (lists of
+        segment names), mirroring the reference selection loop."""
+        infos = sorted(sizes, key=lambda n: -sizes[n])
+        tot = sum(sizes.values())
+        if not infos:
+            return []
+        min_bytes = min(sizes.values())
+        too_big = 0
+        while too_big < len(infos) and sizes[infos[too_big]] >= self.max_merged_segment_bytes / 2.0:
+            tot -= sizes[infos[too_big]]
+            too_big += 1
+        min_bytes = self._floor_size(min_bytes)
+
+        level_size = min_bytes
+        bytes_left = tot
+        allowed = 0.0
+        while True:
+            level_count = bytes_left / level_size
+            if level_count < self.segs_per_tier:
+                allowed += math.ceil(level_count)
+                break
+            allowed += self.segs_per_tier
+            bytes_left -= int(self.segs_per_tier * level_size)
+            level_size *= self.max_merge_at_once
+        allowed_int = int(allowed)
+
+        spec: list[list[str]] = []
+        to_be_merged: set[str] = set()
+        while True:
+            merging_bytes = sum(sizes[n] for n in infos if n in merging)
+            eligible = [
+                n for n in infos[too_big:] if n not in merging and n not in to_be_merged
+            ]
+            max_merge_running = merging_bytes >= self.max_merged_segment_bytes
+            if not eligible or len(eligible) < allowed_int:
+                return spec
+            best, best_score, best_too_large = None, None, False
+            for start in range(0, len(eligible) - self.max_merge_at_once + 1):
+                cand: list[str] = []
+                tot_after = 0
+                hit_too_large = False
+                for idx in range(start, len(eligible)):
+                    if len(cand) >= self.max_merge_at_once:
+                        break
+                    seg = eligible[idx]
+                    if tot_after + sizes[seg] > self.max_merged_segment_bytes:
+                        hit_too_large = True
+                        continue  # keep packing smaller segments
+                    cand.append(seg)
+                    tot_after += sizes[seg]
+                if not cand:
+                    continue
+                sc = self.score([sizes[n] for n in cand], hit_too_large)
+                if (best_score is None or sc < best_score) and (
+                    not hit_too_large or not max_merge_running
+                ):
+                    best, best_score, best_too_large = cand, sc, hit_too_large
+            if best is None:
+                return spec
+            spec.append(best)
+            to_be_merged.update(best)
+
+
+# ---------------------------------------------------------------------------
+# segment merge job (vectorized stream merge, no per-posting shuffle)
+# ---------------------------------------------------------------------------
+
+def _merge_blocks_udf():
+    """mapInArrow over block rows sorted by (bucket, term, first_docid):
+    decodes every blob column in ONE vectorized pass, re-blocks to 128 docs,
+    salt reset to 0 (salting is a build-shuffle concern, not a storage one)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import encode_partition_blocks, varint_decode
+
+    def merge(batch_iter):
+        batches = [b for b in batch_iter if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        n_rows = tbl.num_rows
+        num_docs = tbl.column("num_docs").to_numpy().astype(np.int64)
+        first_docid = tbl.column("first_docid").to_numpy()
+        term_chunk = tbl.column("term").combine_chunks()
+        if isinstance(term_chunk, pa.ChunkedArray):
+            term_chunk = term_chunk.chunk(0)
+
+        def bin_stream(name):
+            arr = tbl.column(name).combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0)
+            bufs = arr.buffers()
+            offs = (
+                np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + n_rows + 1].astype(np.int64)
+                if bufs[1] is not None
+                else np.zeros(n_rows + 1, np.int64)
+            )
+            data = (
+                np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            )
+            return data, offs
+
+        doc_data, doc_offs = bin_stream("doc_blob")
+        tf_data, tf_offs = bin_stream("tf_blob")
+        norm_data, norm_offs = bin_stream("norm_blob")
+        pos_data, pos_offs = bin_stream("pos_blob")
+
+        N = int(num_docs.sum())
+        post_offs = np.concatenate(([0], np.cumsum(num_docs)))
+        row_of_post = np.repeat(np.arange(n_rows, dtype=np.int64), num_docs)
+        is_start = np.zeros(N, dtype=bool)
+        is_start[post_offs[:-1]] = True
+
+        # docIDs: one varint decode of all gap streams, reset-cumsum per row
+        gaps_all = varint_decode(
+            doc_data[doc_offs[0] : doc_offs[-1]].tobytes(), count=int(N - n_rows)
+        ).astype(np.int64)
+        g = np.zeros(N, dtype=np.int64)
+        g[~is_start] = gaps_all
+        cs = np.cumsum(g)
+        base = cs[post_offs[:-1]]
+        doc_ids = first_docid[row_of_post] + (cs - base[row_of_post])
+
+        tfs = varint_decode(tf_data[tf_offs[0] : tf_offs[-1]].tobytes(), count=N).astype(np.int64) + 1
+        norms = norm_data[norm_offs[0] : norm_offs[-1]]
+
+        # per-posting pos-blob byte offsets: value boundaries are varint
+        # terminator bytes (high bit 0), doc boundaries at cumsum(tf) values
+        pstream = pos_data[pos_offs[0] : pos_offs[-1]]
+        if pstream.size:
+            val_ends = np.flatnonzero((pstream & 0x80) == 0)
+            val_byte_offs = np.concatenate(([0], val_ends + 1))
+            tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+            post_byte_offs = val_byte_offs[tf_cum]
+        else:
+            post_byte_offs = np.zeros(N + 1, dtype=np.int64)
+
+        # sort postings by (term, docID): term index per row via run ids
+        t_np = term_chunk.to_numpy(zero_copy_only=False).astype("S")
+        row_term = t_np
+        # stable sort: postings currently (partition-arbitrary row order);
+        # order rows by (term, first_docid) then postings inherit row order
+        row_order = np.lexsort((first_docid, row_term))
+        rank_of_row = np.empty(n_rows, dtype=np.int64)
+        rank_of_row[row_order] = np.arange(n_rows)
+        post_order = np.lexsort((doc_ids, rank_of_row[row_of_post]))
+
+        doc_s = doc_ids[post_order]
+        tf_s = tfs[post_order]
+        nb_s = norms[post_order]
+        row_s = row_of_post[post_order]
+        term_s = row_term[row_s]
+        gc = np.empty(N, dtype=bool)
+        if N:
+            gc[0] = True
+            gc[1:] = term_s[1:] != term_s[:-1]
+
+        # positions: re-slice the stream per posting in the new order
+        lens = post_byte_offs[1:] - post_byte_offs[:-1]
+        lens_s = lens[post_order]
+        new_offs = np.concatenate(([0], np.cumsum(lens_s)))
+        # gather bytes: build index ranges (vectorized via repeat + arange)
+        if pstream.size:
+            starts = post_byte_offs[:-1][post_order]
+            idx = np.repeat(starts - new_offs[:-1], lens_s) + np.arange(int(new_offs[-1]))
+            pdata_s = pstream[idx]
+        else:
+            pdata_s = pstream
+
+        blocks = encode_partition_blocks(gc, doc_s, tf_s, nb_s, pdata_s, new_offs)
+        ri = blocks["row_idx"]
+        if len(ri) == 0:
+            return
+        old_rows = pa.array(row_s[ri])
+        yield pa.record_batch(
+            [
+                pc.take(tbl.column("bucket").combine_chunks(), old_rows).cast(pa.int32()),
+                pc.take(term_chunk, old_rows),
+                pa.array(np.zeros(len(ri), dtype=np.int32), pa.int32()),
+                pa.array(blocks["block_id"], pa.int32()),
+                pa.array(blocks["num_docs"], pa.int32()),
+                pa.array(blocks["first_docid"], pa.int64()),
+                pa.array(blocks["max_docid"], pa.int64()),
+                pa.array(blocks["block_max_tf"], pa.int32()),
+                pa.array(blocks["block_max_norm_byte"], pa.int32()),
+                pa.array(blocks["doc_blob"], pa.binary()),
+                pa.array(blocks["tf_blob"], pa.binary()),
+                pa.array(blocks["norm_blob"], pa.binary()),
+                pa.array(blocks["pos_blob"], pa.binary()),
+            ],
+            names=[f.name for f in BLOCK_SCHEMA.fields],
+        )
+
+    return merge
+
+
+# ---------------------------------------------------------------------------
+# the segmented index
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SegmentInfo:
+    name: str
+    n_docs: int
+    sum_field_len: int
+    size_bytes: int
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+class SegmentedIndex:
+    """Append-only segmented index with tiered merges.
+
+    Layout: root/_SEGMENTS.json + root/segs/<name>/ (each segment is a
+    build_index output: postings/ term_dict/ stats.json [+ docs/])."""
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32,
+                 policy: TieredMergePolicy | None = None):
+        self.spark = spark
+        self.root = root
+        self.policy = policy or TieredMergePolicy()
+        os.makedirs(os.path.join(root, "segs"), exist_ok=True)
+        self._manifest_path = os.path.join(root, "_SEGMENTS.json")
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            self.num_buckets = m["num_buckets"]
+            self.segments = [SegmentInfo(**s) for s in m["segments"]]
+            self.counter = m["counter"]
+        else:
+            self.num_buckets = num_buckets
+            self.segments: list[SegmentInfo] = []
+            self.counter = 0
+            self._publish()
+
+    # -- manifest -----------------------------------------------------------
+    def _publish(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "num_buckets": self.num_buckets,
+                    "counter": self.counter,
+                    "segments": [s.to_dict() for s in self.segments],
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, self._manifest_path)  # atomic commit (segments_N)
+
+    def _seg_dir(self, name: str) -> str:
+        return os.path.join(self.root, "segs", name)
+
+    @property
+    def max_doc(self) -> int:
+        return sum(s.n_docs for s in self.segments)
+
+    # -- append -------------------------------------------------------------
+    def append(self, df: DataFrame, config: BuildConfig | None = None) -> str:
+        """Index df as a new segment.  Minted docIDs start at current
+        max_doc so ranges stay disjoint; a provided id_col must already be
+        globally unique (caller's contract)."""
+        cfg = config or BuildConfig()
+        cfg.num_buckets = self.num_buckets
+        cfg.docid_base = self.max_doc
+        name = f"seg{self.counter:06d}"
+        self.counter += 1
+        out = self._seg_dir(name)
+        build_index(self.spark, df, out, cfg)
+        tokenized = self.spark.read.parquet(os.path.join(out, "tokenized"))
+        tokenized.drop("postings").write.mode("overwrite").parquet(os.path.join(out, "docs"))
+        with open(os.path.join(out, "stats.json")) as f:
+            st = json.load(f)
+        self.segments.append(
+            SegmentInfo(
+                name=name,
+                n_docs=st["max_doc"],
+                sum_field_len=st["sum_total_term_freq"],
+                size_bytes=_dir_bytes(os.path.join(out, "postings")),
+            )
+        )
+        self._publish()
+        return name
+
+    # -- search -------------------------------------------------------------
+    def global_stats(self) -> dict:
+        max_doc = self.max_doc
+        sttf = sum(s.sum_field_len for s in self.segments)
+        avgdl = float(np.float32(sttf / max_doc)) if max_doc and sttf > 0 else 1.0
+        return {
+            "max_doc": max_doc,
+            "sum_total_term_freq": sttf,
+            "avgdl_f32": avgdl,
+            "num_buckets": self.num_buckets,
+        }
+
+    def searcher(self) -> IndexSearcher:
+        """NRT-style reopen: a fresh searcher over the current segment set
+        (DirectoryReader.Open(IndexWriter) / SearcherManager.MaybeRefresh
+        analogue -- new segments are visible after each append/merge)."""
+        return IndexSearcher.over_segments(
+            self.spark, [self._seg_dir(s.name) for s in self.segments], self.global_stats()
+        )
+
+    # -- merge --------------------------------------------------------------
+    def maybe_merge(self) -> list[list[str]]:
+        """Run the tiered policy to a fixpoint; execute each chosen merge as
+        one Spark job (the ConcurrentMergeScheduler loop, serialized)."""
+        done: list[list[str]] = []
+        while True:
+            sizes = {s.name: s.size_bytes for s in self.segments}
+            spec = self.policy.find_merges(sizes)
+            if not spec:
+                return done
+            for names in spec:
+                self._merge(names)
+                done.append(names)
+
+    def force_merge(self) -> str | None:
+        """Merge everything into one segment (ForceMerge(1))."""
+        if len(self.segments) <= 1:
+            return None
+        names = [s.name for s in self.segments]
+        return self._merge(names)
+
+    def _merge(self, names: list[str]) -> str:
+        t0 = time.time()
+        name = f"seg{self.counter:06d}"
+        self.counter += 1
+        out = self._seg_dir(name)
+        dirs = [self._seg_dir(n) for n in names]
+        cores = self.spark.sparkContext.defaultParallelism
+
+        blocks = None
+        for d in dirs:
+            b = self.spark.read.parquet(os.path.join(d, "postings"))
+            blocks = b if blocks is None else blocks.unionByName(b)
+        merged = (
+            blocks.repartition(max(cores, self.num_buckets // 4), "bucket")
+            .sortWithinPartitions("bucket", "term", "first_docid")
+            .mapInArrow(_merge_blocks_udf(), schema=BLOCK_SCHEMA)
+        )
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(out, "postings"))
+
+        td = None
+        for d in dirs:
+            t = self.spark.read.parquet(os.path.join(d, "term_dict"))
+            td = t if td is None else td.unionByName(t)
+        (
+            td.groupBy("term", "bucket")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf"))
+            .repartition(max(self.num_buckets // 4, 1), "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "term_dict"))
+        )
+
+        docs = None
+        for d in dirs:
+            src = os.path.join(d, "docs")
+            if not os.path.exists(src):
+                src = os.path.join(d, "tokenized")
+            dd = self.spark.read.parquet(src)
+            if "postings" in dd.columns:
+                dd = dd.drop("postings")
+            docs = dd if docs is None else docs.unionByName(dd)
+        docs.write.mode("overwrite").parquet(os.path.join(out, "docs"))
+
+        merged_infos = [s for s in self.segments if s.name in set(names)]
+        st = {
+            "max_doc": sum(s.n_docs for s in merged_infos),
+            "sum_total_term_freq": sum(s.sum_field_len for s in merged_infos),
+            "avgdl_f32": 0.0,  # per-segment avgdl unused; global stats rule
+            "hot_terms": {},
+            "num_buckets": self.num_buckets,
+            "merged_from": names,
+            "merge_duration_s": time.time() - t0,
+        }
+        with open(os.path.join(out, "stats.json"), "w") as f:
+            json.dump(st, f)
+        with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+            json.dump({"version": 1, "stats": st}, f)
+
+        new_info = SegmentInfo(
+            name=name,
+            n_docs=st["max_doc"],
+            sum_field_len=st["sum_total_term_freq"],
+            size_bytes=_dir_bytes(os.path.join(out, "postings")),
+        )
+        self.segments = [s for s in self.segments if s.name not in set(names)] + [new_info]
+        self._publish()
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return name

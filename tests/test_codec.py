@@ -73,3 +73,45 @@ def test_posting_blocks_roundtrip(gap_tfs, rnd):
     assert np.array_equal(np.concatenate(got_t), tfs)
     assert np.array_equal(np.concatenate(got_n), norms)
     assert np.array_equal(np.concatenate(got_p), pos)
+
+def test_partition_encoder_matches_per_group():
+    """encode_partition_blocks (one vectorized pass for a whole sorted
+    partition) must produce byte-identical blocks to encode_posting_blocks
+    applied per (term, salt) group."""
+    from sparklucene.codec import delta_encode_positions, encode_partition_blocks
+
+    rng = np.random.default_rng(5)
+    doc_parts, tf_parts, pos_parts, gchange = [], [], [], []
+    for gsize in (1, 130, 300, 127, 128, 256):
+        d = np.sort(rng.choice(100000, size=gsize, replace=False))
+        t = rng.integers(1, 6, size=gsize)
+        doc_parts.append(d)
+        tf_parts.append(t)
+        gchange.append(np.concatenate(([True], np.zeros(gsize - 1, bool))))
+        for tf in t:
+            pos_parts.append(np.sort(rng.choice(5000, size=tf, replace=False)))
+    doc_all = np.concatenate(doc_parts)
+    tf_all = np.concatenate(tf_parts)
+    norm_all = rng.integers(0, 256, size=doc_all.size).astype(np.uint8)
+    pos_flat = np.concatenate(pos_parts)
+    offs = np.concatenate(([0], np.cumsum(tf_all)))
+    gc = np.concatenate(gchange)
+
+    pos_data, pos_byte_offs = delta_encode_positions(pos_flat, offs)
+    new = encode_partition_blocks(gc, doc_all, tf_all, norm_all, pos_data, pos_byte_offs)
+
+    old = []
+    starts = np.flatnonzero(gc)
+    ends = np.append(starts[1:], doc_all.size)
+    for s, e in zip(starts, ends):
+        old.extend(
+            encode_posting_blocks(
+                doc_all[s:e], tf_all[s:e], norm_all[s:e], pos_flat[offs[s] : offs[e]]
+            )
+        )
+    assert len(old) == len(new["block_id"])
+    for i, blk in enumerate(old):
+        for k in ("block_id", "num_docs", "first_docid", "max_docid", "block_max_tf"):
+            assert blk[k] == int(np.asarray(new[k])[i]), (i, k)
+        for k in ("doc_blob", "tf_blob", "norm_blob", "pos_blob"):
+            assert blk[k] == new[k][i], (i, k)

@@ -1,0 +1,127 @@
+"""Semantics tests for the training-data pipeline operators.
+
+Cross-engine equality vs DuckDB is covered by the oracle gate
+(tools/check_oracle.py); these tests pin the operator SEMANTICS on
+hand-constructed corpora: planted duplicates, banding recall guarantees,
+and ANN recall vs the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from sparklucene import datapipe as dp
+
+DOCS = [
+    # planted exact dups by token set (0, 1); near-dup pair (2, 3); unique (4, 5)
+    (0, "alpha beta gamma delta alpha"),
+    (1, "beta alpha delta gamma"),
+    (2, "one two three four five six seven eight nine ten"),
+    (3, "one two three four five six seven eight nine zzz"),
+    (4, "completely different words here entirely"),
+    (5, "el la de que y en un es por con el la"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_exact_dedup_token_set_key(docs_df):
+    rows = {r["doc_id"]: (r["keeper_id"], r["group_size"]) for r in dp.exact_dedup_groups(docs_df).collect()}
+    assert rows == {0: (0, 2), 1: (0, 2)}
+
+
+def test_minhash_finds_planted_near_dup(docs_df):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dp.minhash_dedup_pairs(docs_df, threshold=0.5).collect()}
+    assert (2, 3) in pairs
+    # shingle sets: 8 each, 7 shared -> J = 7/9
+    assert pairs[(2, 3)] == round(7 / 9, 4)
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash_banding_equals_bruteforce(docs_df):
+    fps = {r["doc_id"]: r["simhash"] for r in dp.simhash_fingerprints(docs_df).collect()}
+    # reference fingerprint for doc 0 computed independently
+    toks = DOCS[0][1].split()
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    want = 0
+    for b in range(dp.SIMHASH_BITS):
+        s = sum(c if (h60(t) >> b) & 1 else -c for t, c in tf.items())
+        if s > 0:
+            want |= 1 << b
+    assert fps[0] == want
+
+    got_pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dp.simhash_dup_pairs(docs_df, max_hamming=3).collect()}
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got_pairs == brute  # banding recall is exactly 1.0 for hamming <= 3
+
+
+def test_language_id(docs_df):
+    rows = {r["doc_id"]: r["lang_pred"] for r in dp.language_id(docs_df).collect()}
+    assert rows[5] == "es"
+    assert rows[4] == "unknown"
+
+
+def test_quality_and_token_stats(docs_df):
+    q = {r["doc_id"]: r for r in dp.quality_score(docs_df).collect()}
+    assert q[0]["n_tokens"] == 5
+    assert q[0]["distinct_ratio"] == 0.8  # 4 distinct / 5
+    assert q[5]["stop_ratio"] == 0.0  # no English stopwords in the Spanish doc
+    ts = {r["doc_id"]: (r["ws_tokens"], r["alnum_tokens"]) for r in dp.token_stats(docs_df).collect()}
+    assert ts[0] == (5, 5)
+
+
+def test_fingerprint_formula(docs_df):
+    rows = {r["doc_id"]: r["fingerprint"] for r in dp.doc_fingerprint(docs_df).collect()}
+    toks = DOCS[2][1].split()
+    want = sum((h60(t) % dp.FP_TERM_MOD) * ((i % dp.FP_POS_MOD) + 1) for i, t in enumerate(toks)) % dp.FP_OUT_MOD
+    assert rows[2] == want
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[7] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near neighbor
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_ann_brute_matches_numpy(emb_df):
+    df, vecs = emb_df
+    q = vecs[0].astype(np.float64)
+    got = [(r["vec_id"], r["cos"]) for r in dp.cosine_topk_brute(df, list(map(float, vecs[0])), k=5, exclude_ids=(0,)).collect()]
+    m = vecs.astype(np.float64)
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf
+    order = sorted(range(60), key=lambda i: (-cos[i], i))[:5]
+    assert [g[0] for g in got] == order
+    assert got[0][0] == 7  # the planted neighbor
+    for vid, c in got:
+        assert c == pytest.approx(round(float(cos[vid]), 4), abs=1e-9)
+
+
+def test_ann_lsh_recall(spark, emb_df):
+    df, vecs = emb_df
+    brute = [r["vec_id"] for r in dp.cosine_topk_brute(df, list(map(float, vecs[0])), k=5, exclude_ids=(0,)).collect()]
+    lsh = [r["vec_id"] for r in dp.cosine_topk_lsh(spark, df, list(map(float, vecs[0])), k=5, tables=8, planes=6, exclude_ids=(0,)).collect()]
+    # the planted near-duplicate must always survive LSH bucketing
+    assert brute[0] == lsh[0] == 7
+    recall = len(set(brute) & set(lsh)) / 5
+    assert recall >= 0.6

@@ -1,0 +1,126 @@
+"""Segmented index: append/search/merge invariants.
+
+Invariants mirrored from the reference test style (SURVEY.md section 5):
+  - multi-segment search == single-build search == pure-Python oracle
+    (global stats across segments, IndexSearcher.cs:982-1015);
+  - results identical before and after tiered merges (SegmentMerger
+    semantics: merge changes layout, never results);
+  - TieredMergePolicy math on synthetic segment sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, top_k
+from sparklucene.segments import SegmentedIndex, TieredMergePolicy
+
+
+def f32_hex(x) -> str:
+    return np.float32(x).tobytes().hex()
+
+
+QUERIES = [
+    {"type": "term", "term": "compute"},
+    {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "score"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w1"}},
+            {"occur": "MUST_NOT", "query": {"type": "term", "term": "beta7"}},
+        ],
+    },
+    {"type": "phrase", "terms": ["w1", "w2"]},
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(150, seed=7)
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    # oracle docIDs follow (repo, path) rank over the WHOLE corpus; appends
+    # must present chunks in that same global order for ids to line up
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    return OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("segidx"))
+    idx = SegmentedIndex(spark, root, num_buckets=4)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    for lo in range(0, len(ordered), 50):
+        chunk = ordered[lo : lo + 50]
+        idx.append(
+            spark.createDataFrame(chunk).coalesce(1),
+            BuildConfig(order_cols=("repo", "path"), salt_threshold=40, salt_parts=3),
+        )
+    return idx
+
+
+def _results(searcher, q):
+    return [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, k=10).collect()]
+
+
+def test_multi_segment_matches_oracle(seg_index, oracle_idx):
+    assert len(seg_index.segments) == 3
+    s = seg_index.searcher()
+    assert s.max_doc == 150
+    for q in QUERIES:
+        want = [(d, f32_hex(sc)) for d, sc in top_k(q, oracle_idx, 10, mode="f32")]
+        assert _results(s, q) == want, q
+
+
+def test_force_merge_preserves_results(seg_index, oracle_idx):
+    before = {i: _results(seg_index.searcher(), q) for i, q in enumerate(QUERIES)}
+    seg_index.force_merge()
+    assert len(seg_index.segments) == 1
+    s = seg_index.searcher()
+    for i, q in enumerate(QUERIES):
+        assert _results(s, q) == before[i], q
+    # and still oracle-identical
+    for q in QUERIES:
+        want = [(d, f32_hex(sc)) for d, sc in top_k(q, oracle_idx, 10, mode="f32")]
+        assert _results(s, q) == want, q
+
+
+def test_reopen_after_append(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nrt"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    rows1 = [{"repo": "r", "path": f"a{i}", "commit": "c", "lang": "py", "content": "alpha beta"} for i in range(5)]
+    rows2 = [{"repo": "r", "path": f"b{i}", "commit": "c", "lang": "py", "content": "alpha gamma"} for i in range(5)]
+    idx.append(spark.createDataFrame(rows1).coalesce(1), BuildConfig(order_cols=("repo", "path")))
+    n1 = idx.searcher().count({"type": "term", "term": "alpha"})
+    idx.append(spark.createDataFrame(rows2).coalesce(1), BuildConfig(order_cols=("repo", "path")))
+    n2 = idx.searcher().count({"type": "term", "term": "alpha"})
+    assert (n1, n2) == (5, 10)
+    assert idx.searcher().count({"type": "term", "term": "gamma"}) == 5
+    # reopen from disk
+    idx2 = SegmentedIndex(spark, root)
+    assert idx2.searcher().count({"type": "term", "term": "alpha"}) == 10
+
+
+def test_tiered_policy_math():
+    p = TieredMergePolicy(max_merge_at_once=10, segs_per_tier=10.0)
+    # 30 equal 10MB segments -> allowed ~ 10+10+ceil(10/10*...)  -> picks merges of 10
+    sizes = {f"s{i}": 10 * 1024 * 1024 for i in range(30)}
+    spec = p.find_merges(sizes)
+    assert spec, "over budget -> must pick merges"
+    assert all(len(m) == 10 for m in spec)
+    flat = [n for m in spec for n in m]
+    assert len(flat) == len(set(flat)), "a segment appears in at most one merge"
+
+    # under budget -> no merges
+    assert p.find_merges({f"s{i}": 10 * 1024 * 1024 for i in range(5)}) == []
+
+    # too-big segments are graced out
+    sizes = {"big": 6 * 1024**3}
+    sizes.update({f"s{i}": 1024 * 1024 for i in range(12)})
+    spec = p.find_merges(sizes)
+    assert all("big" not in m for m in spec)

@@ -1,8 +1,16 @@
 """Two-parallelism scaling benchmark (the north rule's N vs 4N evidence).
 
 No real cluster exists in this sandbox, so the same index-build job runs at
-``local[8]`` and ``local[32]`` over the SAME input, and we report throughput
-at both plus efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4.
+``local[N]`` and ``local[4N]`` over the SAME input, and we report throughput
+at both plus efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4.
+
+IMPORTANT -- machine calibration: this sandbox advertises 32 CPUs but
+delivers only ~8-9 cores of effective compute (verified with pure Python
+multiprocessing, NO Spark: 8 procs -> 7.1x speedup, 32 procs -> 8.9x; numpy
+per-process slowdown 3.7x at 32 procs).  Any parallelism level above ~8 is
+hardware-throttled, so the honest N-vs-4N comparison runs inside the linear
+region: local[2] vs local[8] (default).  --calibrate reruns the
+multiprocessing check and records it alongside the Spark numbers.
 
 The driver documents table is replicated REPL times (doc_id remapped to stay
 unique: copy * n_docs + doc_id) so tokenize/shuffle/encode dominate the fixed
@@ -10,8 +18,8 @@ Spark session overhead -- the sandbox stand-in for a corpus that would keep
 1000 executors busy.  Results are appended to BENCH.md.
 
 Usage:
-  python tools/bench_scaling.py [--sf /root/testdata/sf0.1] [--repl 400]
-                                [--cores 8,32] [--query-reps 3]
+  python tools/bench_scaling.py [--sf /root/testdata/sf0.1] [--repl 200]
+                                [--cores 2,8] [--query-reps 2] [--calibrate]
 """
 
 from __future__ import annotations
@@ -86,14 +94,56 @@ def run_at(cores: int, sf_dir: str, repl: int, query_reps: int) -> dict:
     }
 
 
+def calibrate(sf_dir: str) -> list[dict]:
+    """Machine ceiling: pure-Python multiprocessing tokenize, no Spark."""
+    import duckdb
+    from multiprocessing import Pool
+
+    texts = [
+        t
+        for (t,) in duckdb.connect()
+        .execute(f"select text from '{sf_dir}/documents.parquet'")
+        .fetchall()
+    ] * 40
+
+    def run(procs: int) -> float:
+        chunks = [texts[i::procs] for i in range(procs)]
+        t0 = time.time()
+        with Pool(procs) as p:
+            p.map(_cal_work, chunks)
+        return time.time() - t0
+
+    out = []
+    base = None
+    for procs in (1, 2, 4, 8, 16, 32):
+        dt = run(procs)
+        if base is None:
+            base = dt
+        out.append(
+            {"procs": procs, "wall_s": round(dt, 2), "speedup": round(base / dt, 2)}
+        )
+    return out
+
+
+def _cal_work(chunk):
+    from sparklucene.analysis import invert
+
+    n = 0
+    for t in chunk:
+        n += invert(t)[1]
+    return n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
-    ap.add_argument("--repl", type=int, default=400)
-    ap.add_argument("--cores", default="8,32")
-    ap.add_argument("--query-reps", type=int, default=3)
+    ap.add_argument("--repl", type=int, default=200)
+    ap.add_argument("--cores", default="2,8")
+    ap.add_argument("--query-reps", type=int, default=2)
+    ap.add_argument("--calibrate", action="store_true")
     args = ap.parse_args()
 
+    cal = calibrate(args.sf) if args.calibrate else None
     levels = [int(c) for c in args.cores.split(",")]
     results = [run_at(c, args.sf, args.repl, args.query_reps) for c in levels]
 
@@ -107,6 +157,7 @@ def main() -> None:
         "levels": results,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
+        "calibration": cal,
     }
     print(json.dumps(report))
 
@@ -130,6 +181,21 @@ def main() -> None:
         "(latency-bound at this tiny per-query work size; build throughput is the north metric).",
         "",
     ]
+    if cal:
+        lines += [
+            "Machine calibration (pure-Python multiprocessing tokenize, no Spark):",
+            "",
+            "| procs | wall s | speedup |",
+            "|---|---|---|",
+        ]
+        lines += [f"| {c['procs']} | {c['wall_s']} | {c['speedup']}x |" for c in cal]
+        lines += [
+            "",
+            "The sandbox advertises 32 CPUs but saturates at ~8-9 cores of",
+            "effective compute, so N-vs-4N scaling is measured inside the",
+            "linear region (local[2] vs local[8]).",
+            "",
+        ]
     with open("/root/repo/BENCH.md", "a") as f:
         f.write("\n".join(lines))
 
