@@ -127,6 +127,30 @@ def _q_wand_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_parsed_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic query-string syntax end-to-end (parser -> boolean engine)."""
+    from sparklucene.parser import parse
+
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, parse("merge AND join -slow"), 15)
+
+
+def _q_prefix_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery under constant-score rewrite (score == boost == 1.0)."""
+    s = _searcher(spark, sf_dir)
+    df = s._eval({"type": "prefix", "prefix": "sp"}, 1.0, "f64")
+    return df.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_range_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery [batch TO dup) under constant-score rewrite."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "range", "lower": "batch", "upper": "dup",
+         "include_lower": True, "include_upper": False}
+    df = s._eval(q, 1.0, "f64")
+    return df.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     q, _ = QUERY_TREES["term_top10"]
@@ -208,6 +232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["norms"] = _q_norms
     out["search_after"] = _q_search_after
     out["wand_or"] = _q_wand_or
+    out["parsed_bool"] = _q_parsed_bool
+    out["prefix_const"] = _q_prefix_const
+    out["range_const"] = _q_range_const
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -353,6 +380,17 @@ LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_i
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["phrase"] = _phrase_sql("table", "hash", 15)
     sqls["wand_or"] = sqls["bool_or"]  # WAND must equal exhaustive OR
+    sqls["parsed_bool"] = f"""{_prelude()}
+SELECT a.doc_id, round(a.score + b.score, 4) AS score
+FROM (SELECT doc_id, score FROM scored WHERE term = 'merge') a
+JOIN (SELECT doc_id, score FROM scored WHERE term = 'join') b USING (doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM scored x WHERE x.term = 'slow' AND x.doc_id = a.doc_id)
+ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["prefix_const"] = f"""{_prelude()}
+SELECT DISTINCT doc_id, 1.0 AS score FROM posting WHERE term LIKE 'sp%'"""
+    sqls["range_const"] = f"""{_prelude()}
+SELECT DISTINCT doc_id, 1.0 AS score FROM posting
+WHERE term >= 'batch' AND term < 'dup'"""
     sqls["bool_count"] = f"""{_prelude()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
 FROM scored WHERE term IN ('dup', 'window', 'vector')"""

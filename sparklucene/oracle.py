@@ -147,6 +147,53 @@ def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str) 
     return out
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein (matches Spark's builtin; the reference FuzzyQuery
+    additionally counts transpositions -- documented divergence)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def expand_terms(q: dict, idx: OracleIndex) -> list[str]:
+    """MultiTermQuery rewrite against the oracle's term set (sorted)."""
+    import re as _re
+
+    typ = q["type"]
+    terms = sorted(idx.postings)
+    if typ == "prefix":
+        return [t for t in terms if t.startswith(q["prefix"])]
+    if typ == "wildcard":
+        rx = _re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in q["pattern"]
+            ) + "$"
+        )
+        return [t for t in terms if rx.match(t)]
+    if typ == "fuzzy":
+        me = int(q.get("max_edits", 2))
+        return [t for t in terms if levenshtein(t, q["term"]) <= me]
+    if typ == "range":
+        lo, hi = q.get("lower"), q.get("upper")
+        il, ih = q.get("include_lower", True), q.get("include_upper", True)
+        out = []
+        for t in terms:
+            if lo is not None and (t < lo or (t == lo and not il)):
+                continue
+            if hi is not None and (t > hi or (t == hi and not ih)):
+                continue
+            out.append(t)
+        return out
+    raise ValueError(typ)
+
+
 def _cost(q: dict, idx: OracleIndex) -> int:
     t = q["type"]
     if t == "term":
@@ -156,6 +203,8 @@ def _cost(q: dict, idx: OracleIndex) -> int:
         return min((idx.df(x) for x in terms), default=0)
     if t == "match_all":
         return idx.max_doc
+    if t in ("prefix", "wildcard", "fuzzy", "range"):
+        return sum(idx.df(x) for x in expand_terms(q, idx))
     if t == "boolean":
         musts = [c for c in q["clauses"] if c["occur"] == "MUST"]
         shoulds = [c for c in q["clauses"] if c["occur"] == "SHOULD"]
@@ -179,6 +228,14 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost
         return {d: v for d in range(idx.max_doc)}
+    if t in ("prefix", "wildcard", "fuzzy", "range"):
+        # constant-score rewrite: every matching doc scores boost
+        v = f32(boost) if mode == "f32" else boost
+        out = {}
+        for term in expand_terms(q, idx):
+            for d in idx.postings[term]:
+                out[d] = v
+        return out
     if t == "boolean":
         clauses = q["clauses"]
         msm = q.get("minShouldMatch", 0)

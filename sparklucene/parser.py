@@ -1,0 +1,260 @@
+"""Classic query-string parser -> JSON query trees.
+
+Re-implements (from scratch) the behavior of the reference's classic
+QueryParser grammar for the subset our engine executes
+(reference: src/Lucene.Net.QueryParser/Classic/QueryParser.cs JavaCC grammar;
+QueryParserBase.cs:186 Parse, :387 AddClause, :445 GetFieldQuery):
+
+  - default operator OR; AND/&&, OR/||, NOT/!, +req, -prohib
+  - clause combination mirrors AddClause exactly: AND upgrades the previous
+    non-prohibited clause to MUST; with default OR, mods decide occur
+  - grouping (...), boost ^2 / ^0.5
+  - "quoted phrases" (slop ~n rejected: slop > 0 unsupported in v1)
+  - term text is ANALYZED with the StandardAnalyzer chain
+    (GetFieldQuery runs the field analyzer, QueryParserBase.cs:445):
+    0 tokens -> clause dropped; 1 token -> TermQuery; >1 -> OR of terms
+  - wild?card / prefix* / fuzzy~[n] / [a TO b] / {a TO b} -> multi-term
+    queries (lowercased, NOT analyzed: lowercaseExpandedTerms default true)
+  - field prefixes (field:...) are accepted and ignored -- the engine has
+    one indexed text field
+  - *:* -> MatchAllDocsQuery
+"""
+
+from __future__ import annotations
+
+import re
+
+from .analysis import analyze_query_text
+
+AND, OR, NOT, PLUS, MINUS, LPAREN, RPAREN = "AND OR NOT PLUS MINUS LPAREN RPAREN".split()
+TERM, QUOTED, RANGE = "TERM QUOTED RANGE".split()
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<range>[\[{][^\]}]*[\]}])
+  | (?P<quoted>"[^"]*")
+  | (?P<term>\^[\d.]+|[^\s()+\-!"\[{][^\s()!"\[{]*)
+    """,
+    re.VERBOSE,
+)
+# term grammar mirrors the JavaCC char classes: '-'/'+' break only at term
+# START (prohibit/require mods); mid-term they are term chars, so q-r and
+# a+b stay single tokens (QueryParser.cs <TERM_CHAR>)
+
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"~(\d+)?$")
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise QueryParseError(f"cannot lex at: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        tok = m.group()
+        out.append(
+            {
+                "and": (AND, tok), "or": (OR, tok), "not": (NOT, tok),
+                "plus": (PLUS, tok), "minus": (MINUS, tok),
+                "lparen": (LPAREN, tok), "rparen": (RPAREN, tok),
+                "range": (RANGE, tok), "quoted": (QUOTED, tok), "term": (TERM, tok),
+            }[kind]
+        )
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # -- the JavaCC Query production -----------------------------------------
+    def parse_query(self) -> dict | None:
+        clauses: list[dict] = []
+        while True:
+            kind, _ = self.peek()
+            if kind is None or kind == RPAREN:
+                break
+            conj = None
+            if kind in (AND, OR):
+                conj = kind
+                self.next()
+                kind, _ = self.peek()
+            mod = None
+            if kind in (PLUS, MINUS, NOT):
+                mod = "REQ" if kind == PLUS else "NOT"
+                self.next()
+            q = self.parse_clause()
+            self._add_clause(clauses, conj, mod, q)
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0]["occur"] != "MUST_NOT":
+            inner = clauses[0]["query"]
+            return inner
+        return {"type": "boolean", "clauses": clauses}
+
+    def _add_clause(self, clauses, conj, mod, q) -> None:
+        """Verbatim AddClause (QueryParserBase.cs:387-441, default op OR)."""
+        if clauses and conj == AND:
+            prev = clauses[-1]
+            if prev["occur"] != "MUST_NOT":
+                prev["occur"] = "MUST"
+        if q is None:
+            return  # analyzer dropped the text (stopword-only term)
+        prohibited = mod == "NOT"
+        required = mod == "REQ"
+        if conj == AND and not prohibited:
+            required = True
+        if required:
+            occur = "MUST"
+        elif prohibited:
+            occur = "MUST_NOT"
+        else:
+            occur = "SHOULD"
+        clauses.append({"occur": occur, "query": q})
+
+    # -- the JavaCC Clause production ----------------------------------------
+    def parse_clause(self) -> dict | None:
+        kind, tok = self.next()
+        if kind == LPAREN:
+            inner = self.parse_query()
+            k2, _ = self.next()
+            if k2 != RPAREN:
+                raise QueryParseError("expected )")
+            boost = self._opt_boost_token()
+            if inner is not None and boost is not None:
+                inner = dict(inner)
+                inner["boost"] = inner.get("boost", 1.0) * boost
+            return inner
+        if kind == QUOTED:
+            return self._quoted(tok)
+        if kind == RANGE:
+            return self._range(tok)
+        if kind == TERM:
+            return self._term(tok)
+        raise QueryParseError(f"unexpected token {tok!r}")
+
+    def _opt_boost_token(self) -> float | None:
+        kind, tok = self.peek()
+        if kind == TERM and tok.startswith("^"):
+            self.next()
+            try:
+                return float(tok[1:])
+            except ValueError as e:
+                raise QueryParseError(f"bad boost {tok!r}") from e
+        return None
+
+    def _quoted(self, tok: str) -> dict | None:
+        body = tok[1:-1]
+        boost = 1.0
+        trail = ""
+        kind, nxt = self.peek()
+        if kind == TERM and (nxt.startswith("~") or nxt.startswith("^")):
+            self.next()
+            trail = nxt
+        m = _BOOST_RE.search(trail)
+        if m:
+            boost = float(m.group(1))
+            trail = trail[: m.start()]
+        if trail.startswith("~") and trail[1:] not in ("", "0"):
+            raise QueryParseError("sloppy phrases (~n with n>0) are not supported in v1")
+        terms = analyze_query_text(body)
+        if not terms:
+            return None
+        q: dict = {"type": "phrase", "terms": terms} if len(terms) > 1 else {
+            "type": "term", "term": terms[0]
+        }
+        if boost != 1.0:
+            q["boost"] = boost
+        return q
+
+    def _range(self, tok: str) -> dict:
+        inc_lo = tok[0] == "["
+        inc_hi = tok[-1] == "]"
+        body = tok[1:-1].strip()
+        m = re.match(r"^(\S+)\s+TO\s+(\S+)$", body)
+        if not m:
+            raise QueryParseError(f"bad range {tok!r}")
+        lo, hi = m.group(1), m.group(2)
+        return {
+            "type": "range",
+            "lower": None if lo == "*" else lo.lower(),
+            "upper": None if hi == "*" else hi.lower(),
+            "include_lower": inc_lo,
+            "include_upper": inc_hi,
+        }
+
+    def _term(self, tok: str) -> dict | None:
+        if tok == "*:*":
+            return {"type": "match_all"}
+        fm = _FIELD_RE.match(tok)
+        if fm:
+            tok = fm.group(2)  # single-field engine: field name ignored
+        boost = 1.0
+        bm = _BOOST_RE.search(tok)
+        if bm:
+            boost = float(bm.group(1))
+            tok = tok[: bm.start()]
+        fz = _FUZZY_RE.search(tok)
+        if fz:
+            base = tok[: fz.start()]
+            max_edits = int(fz.group(1)) if fz.group(1) else 2
+            q: dict = {"type": "fuzzy", "term": base.lower(), "max_edits": max_edits}
+        elif "*" in tok or "?" in tok:
+            if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
+                q = {"type": "prefix", "prefix": tok[:-1].lower()}
+            else:
+                q = {"type": "wildcard", "pattern": tok.lower()}
+        else:
+            terms = analyze_query_text(tok)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                q = {"type": "term", "term": terms[0]}
+            else:
+                # multi-token single term text -> OR of terms (GetFieldQuery)
+                q = {
+                    "type": "boolean",
+                    "clauses": [
+                        {"occur": "SHOULD", "query": {"type": "term", "term": t}}
+                        for t in terms
+                    ],
+                }
+        if boost != 1.0:
+            q["boost"] = boost
+        return q
+
+
+def parse(text: str) -> dict:
+    """Parse a classic query string -> JSON query tree.
+    Raises QueryParseError on syntax errors or an all-stopword query."""
+    q = _Parser(_lex(text)).parse_query()
+    if q is None:
+        raise QueryParseError(f"query matched no indexable terms: {text!r}")
+    return q

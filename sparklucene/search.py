@@ -255,6 +255,9 @@ class IndexSearcher:
             return min((sts[x].df for x in terms if x in sts), default=0)
         if t == "match_all":
             return self.max_doc
+        if t in ("prefix", "wildcard", "fuzzy", "range"):
+            sts = self.lookup_terms(self.expand_terms(q))
+            return sum(s.df for s in sts.values())
         if t == "boolean":
             musts = [c["query"] for c in q["clauses"] if c["occur"] == "MUST"]
             shoulds = [c["query"] for c in q["clauses"] if c["occur"] == "SHOULD"]
@@ -282,9 +285,59 @@ class IndexSearcher:
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
             return self.docs().select("docID", lit.alias("score"))
+        if t in ("prefix", "wildcard", "fuzzy", "range"):
+            return self._eval_multi_term(q, boost, mode)
         if t == "boolean":
             return self._eval_boolean(q, boost, mode)
         raise ValueError(f"unknown query type: {t}")
+
+    def expand_terms(self, q: dict) -> list[str]:
+        """MultiTermQuery rewrite: expand against the terms dictionary
+        (PrefixQuery/WildcardQuery/FuzzyQuery/TermRangeQuery -> term set,
+        MultiTermQuery.cs:66 rewrite; capped at MAX_CLAUSE_COUNT).
+        Fuzzy uses classic Levenshtein (Spark builtin); the reference's
+        FuzzyQuery counts transpositions as one edit (Damerau), a documented
+        divergence."""
+        import re as _re
+
+        td = self._union_read("term_dict").select("term").distinct()
+        t = F.col("term")
+        typ = q["type"]
+        if typ == "prefix":
+            td = td.filter(t.startswith(q["prefix"])) if q["prefix"] else td
+        elif typ == "wildcard":
+            rx = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in q["pattern"]
+            ) + "$"
+            td = td.filter(t.rlike(rx))
+        elif typ == "fuzzy":
+            td = td.filter(
+                F.levenshtein(t, F.lit(q["term"])) <= int(q.get("max_edits", 2))
+            )
+        elif typ == "range":
+            if q.get("lower") is not None:
+                td = td.filter(t >= q["lower"] if q.get("include_lower", True) else t > q["lower"])
+            if q.get("upper") is not None:
+                td = td.filter(t <= q["upper"] if q.get("include_upper", True) else t < q["upper"])
+        else:
+            raise ValueError(typ)
+        rows = td.orderBy("term").limit(MAX_CLAUSE_COUNT + 1).collect()
+        if len(rows) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"multi-term query expands to > {MAX_CLAUSE_COUNT} terms")
+        return [r["term"] for r in rows]
+
+    def _eval_multi_term(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """Constant-score rewrite: every doc matching ANY expanded term
+        scores `boost` (CONSTANT_SCORE rewrite, ConstantScoreQuery
+        semantics -- ConstantScoreAutoRewrite.cs)."""
+        terms = self.expand_terms(q)
+        if not terms:
+            return None
+        posts = self._scored_postings({t: 1.0 for t in terms}, mode)
+        v = float(np.float32(boost)) if mode == "f32" else boost
+        lit = F.lit(v).cast("float" if mode == "f32" else "double")
+        return posts.select("docID").distinct().select("docID", lit.alias("score"))
 
     def _eval_boolean(self, q: dict, boost: float, mode: str) -> DataFrame | None:
         clauses = q["clauses"]

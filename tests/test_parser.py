@@ -1,0 +1,147 @@
+"""Classic query parser: grammar unit tests + parse->search oracle parity.
+
+Tree shapes mirror the reference grammar behavior (QueryParser.cs JavaCC,
+QueryParserBase.cs:387 AddClause with default operator OR)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, expand_terms, levenshtein, top_k
+from sparklucene.parser import QueryParseError, parse
+from sparklucene.search import IndexSearcher
+
+
+def t(term):
+    return {"type": "term", "term": term}
+
+
+def test_single_term():
+    assert parse("compute") == t("compute")
+
+
+def test_default_or():
+    assert parse("a1 b2") == {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": t("a1")},
+            {"occur": "SHOULD", "query": t("b2")},
+        ],
+    }
+
+
+def test_and_upgrades_previous():
+    q = parse("x1 y2 AND z3")
+    assert [c["occur"] for c in q["clauses"]] == ["SHOULD", "MUST", "MUST"]
+
+
+def test_mods_and_not():
+    q = parse("+req -prohib opt")
+    assert [c["occur"] for c in q["clauses"]] == ["MUST", "MUST_NOT", "SHOULD"]
+    q2 = parse("x1 NOT y2")
+    assert [c["occur"] for c in q2["clauses"]] == ["SHOULD", "MUST_NOT"]
+    q3 = parse("x1 && y2")
+    assert [c["occur"] for c in q3["clauses"]] == ["MUST", "MUST"]
+
+
+def test_analyzer_runs_on_terms():
+    # stopword-only clause is dropped; case folded; foo.bar joins
+    assert parse("the COMPUTE") == t("compute")
+    assert parse("Foo.Bar") == t("foo.bar")
+    # punctuation-split term text -> OR of tokens (GetFieldQuery multi-token)
+    q = parse("f(x);y")  # tokenizes to [f, x, y]
+    assert [c["query"]["term"] for c in q["clauses"]] == ["f", "x", "y"]
+
+
+def test_phrase_and_boost():
+    assert parse('"w1 w2"') == {"type": "phrase", "terms": ["w1", "w2"]}
+    assert parse('compute^2') == {"type": "term", "term": "compute", "boost": 2.0}
+    assert parse('"w1 w2"^3') == {"type": "phrase", "terms": ["w1", "w2"], "boost": 3.0}
+    with pytest.raises(QueryParseError):
+        parse('"w1 w2"~3')
+
+
+def test_grouping_boost_and_field():
+    q = parse("(x1 y2)^2")
+    assert q["boost"] == 2.0
+    assert parse("content:compute") == t("compute")
+    assert parse("*:*") == {"type": "match_all"}
+
+
+def test_multiterm_shapes():
+    assert parse("comp*") == {"type": "prefix", "prefix": "comp"}
+    assert parse("c?mp*e") == {"type": "wildcard", "pattern": "c?mp*e"}
+    assert parse("compute~1") == {"type": "fuzzy", "term": "compute", "max_edits": 1}
+    assert parse("compute~") == {"type": "fuzzy", "term": "compute", "max_edits": 2}
+    assert parse("[alpha TO beta]") == {
+        "type": "range", "lower": "alpha", "upper": "beta",
+        "include_lower": True, "include_upper": True,
+    }
+    assert parse("{alpha TO *}") == {
+        "type": "range", "lower": "alpha", "upper": None,
+        "include_lower": False, "include_upper": False,
+    }
+
+
+def test_midterm_hyphen_kept():
+    # '-' breaks only at clause start: q-r is ONE token (analyzed -> q OR r)
+    q = parse("q-r")
+    assert [c["query"]["term"] for c in q["clauses"]] == ["q", "r"]
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("ab", "ba") == 2  # classic (no transposition credit)
+
+
+# ---- end-to-end: parse -> engine == oracle ---------------------------------
+
+PARSE_QUERIES = [
+    "compute",
+    "compute AND score",
+    "compute score -beta7",
+    '+index "w1 w2"^2',
+    "comp* OR beta7",
+    "merge~1",
+    "[block TO compute]",
+    "(compute OR score) AND index^2",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("parseidx"))
+    corpus = make_corpus(120, seed=3)
+    build_index(
+        spark,
+        spark.createDataFrame(corpus).coalesce(2),
+        out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=2),
+    )
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    oracle = OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+    return IndexSearcher(spark, out), oracle
+
+
+def f32_hex(x):
+    return np.float32(x).tobytes().hex()
+
+
+@pytest.mark.parametrize("qs", PARSE_QUERIES)
+def test_parse_search_matches_oracle(engine, qs):
+    searcher, oracle = engine
+    q = parse(qs)
+    want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
+    got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+    assert got == want, qs
+
+
+def test_expansion_engine_equals_oracle(engine):
+    searcher, oracle = engine
+    for q in ({"type": "prefix", "prefix": "co"}, {"type": "fuzzy", "term": "score", "max_edits": 1},
+              {"type": "range", "lower": "a", "upper": "c", "include_upper": False}):
+        assert searcher.expand_terms(q) == expand_terms(q, oracle), q
