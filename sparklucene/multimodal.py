@@ -1,0 +1,190 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns.
+
+A 100 TB training-data pipeline carries media as `binary` columns with typed
+metadata alongside text.  This module provides the REAL Spark-side plumbing
+-- schemas, Arrow-batched `mapInPandas` kernels, partitioning-friendly
+shapes (one row per item; frame sampling explodes to one row per frame) --
+while the actual codec work is STUBBED: the container has no image/audio
+libraries, so `decode_*` understand only the deterministic FAKE format
+produced by :func:`make_fake_media` and raise ``NotImplementedError`` for
+real formats (the marked extension point).
+
+Fake format (self-describing, so tests exercise real parsing):
+  b"FAKEMEDIA" | u8 kind (0=image,1=audio,2=video) | u32 a | u32 b | u32 c |
+  payload bytes (deterministic from the seed)
+  image: a=width, b=height, c=channels ; audio: a=sample_rate, b=n_samples,
+  c=channels ; video: a=width, b=height, c=n_frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b"FAKEMEDIA"
+KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 0, 1, 2
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("media", T.BinaryType()),
+    ]
+)
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def make_fake_media(media_id: int, kind: int, a: int, b: int, c: int, payload_len: int = 64) -> bytes:
+    """Deterministic fake media bytes (seeded by media_id)."""
+    rng = np.random.default_rng(media_id * 2654435761 % (2**32))
+    payload = rng.integers(0, 256, size=payload_len, dtype=np.uint8).tobytes()
+    return _MAGIC + struct.pack("<BIII", kind, a, b, c) + payload
+
+
+def _parse_header(buf: bytes) -> tuple[int, int, int, int]:
+    if not isinstance(buf, (bytes, bytearray)) or not bytes(buf).startswith(_MAGIC):
+        raise NotImplementedError(
+            "real media decoding (JPEG/PNG/WAV/MP4...) requires codec "
+            "libraries not present in this environment; plug a decoder in "
+            "here (multimodal._parse_header) when available"
+        )
+    kind, a, b, c = struct.unpack_from("<BIII", buf, len(_MAGIC))
+    return kind, a, b, c
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode headers -> typed metadata (one Arrow-batched pass, no shuffle).
+
+    df: MEDIA_SCHEMA-shaped.  -> DECODED_META_SCHEMA rows."""
+
+    def decode(pdf_iter):
+        for pdf in pdf_iter:
+            out = {k.name: [] for k in DECODED_META_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                kind, a, b, c = _parse_header(row.media)
+                buf = bytes(row.media)
+                out["media_id"].append(row.media_id)
+                out["media_type"].append(row.media_type)
+                out["width"].append(a if kind in (KIND_IMAGE, KIND_VIDEO) else 0)
+                out["height"].append(b if kind in (KIND_IMAGE, KIND_VIDEO) else 0)
+                out["channels"].append(c if kind in (KIND_IMAGE, KIND_AUDIO) else 0)
+                out["n_frames"].append(c if kind == KIND_VIDEO else 0)
+                out["sample_rate"].append(a if kind == KIND_AUDIO else 0)
+                out["n_bytes"].append(len(buf))
+                out["checksum"].append(hashlib.sha256(buf).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=DECODED_META_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake feature vectors (the embedding-model stand-in).
+
+    Real pipelines put a vision/audio encoder here (batched GPU inference
+    via mapInPandas -- the batch shape below is exactly what that needs);
+    the stub derives float32 vectors from sha256(media) so results are
+    reproducible and join-able with the ANN operators (datapipe)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def feats(pdf_iter):
+        for pdf in pdf_iter:
+            ids, vecs = [], []
+            for row in pdf.itertuples(index=False):
+                _parse_header(row.media)  # validates format
+                digest = hashlib.sha256(bytes(row.media)).digest()
+                seed = int.from_bytes(digest[:8], "little")
+                rng = np.random.default_rng(seed)
+                vecs.append(rng.standard_normal(dim).astype(np.float32).tolist())
+                ids.append(row.media_id)
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return df.mapInPandas(feats, schema=schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: rewrites the fake header dims, payload untouched.
+    (A real impl decodes/resizes/re-encodes inside the same batch loop.)"""
+
+    def resize(pdf_iter):
+        for pdf in pdf_iter:
+            out_media = []
+            for row in pdf.itertuples(index=False):
+                kind, _a, _b, c = _parse_header(row.media)
+                if kind != KIND_IMAGE:
+                    raise ValueError("resize_images on non-image row")
+                buf = bytes(row.media)
+                body = buf[len(_MAGIC) + 13 :]
+                out_media.append(_MAGIC + struct.pack("<BIII", kind, width, height, c) + body)
+            pdf = pdf.copy()
+            pdf["media"] = out_media
+            yield pdf
+
+    return df.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for videos: one output row per sampled frame
+    (media_id, frame_idx, frame) -- the explode shape downstream vision
+    models consume.  Frames are deterministic stubs."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def frames(pdf_iter):
+        for pdf in pdf_iter:
+            ids, idxs, bufs = [], [], []
+            for row in pdf.itertuples(index=False):
+                kind, w, h, n_frames = _parse_header(row.media)
+                if kind != KIND_VIDEO:
+                    continue
+                for i in range(0, n_frames, every_n):
+                    ids.append(row.media_id)
+                    idxs.append(i)
+                    bufs.append(make_fake_media(row.media_id * 10_000 + i, KIND_IMAGE, w, h, 3))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": bufs})
+
+    return df.mapInPandas(frames, schema=schema)
+
+
+def fake_media_df(spark, n_images: int = 8, n_audio: int = 4, n_video: int = 3) -> DataFrame:
+    """Deterministic test corpus in MEDIA_SCHEMA shape."""
+    rows = []
+    mid = 0
+    for _ in range(n_images):
+        rows.append((mid, "image", make_fake_media(mid, KIND_IMAGE, 64 + mid, 48, 3)))
+        mid += 1
+    for _ in range(n_audio):
+        rows.append((mid, "audio", make_fake_media(mid, KIND_AUDIO, 16000, 16000 * 2, 1)))
+        mid += 1
+    for _ in range(n_video):
+        rows.append((mid, "video", make_fake_media(mid, KIND_VIDEO, 128, 96, 6 + mid % 3)))
+        mid += 1
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion: the NRT-search analogue.
+
+The reference has no watermarks/windows -- its "streaming" is near-real-time
+segment publishing: IndexWriter flushes segments, DirectoryReader.Open /
+SearcherManager.MaybeRefresh make them searchable
+(src/Lucene.Net/Index/DirectoryReader.cs:110,
+src/Lucene.Net/Search/SearcherManager.cs:61,
+ControlledRealTimeReopenThread.cs).  The segment model IS a streaming-
+friendly LSM, so the Spark mapping is direct (SURVEY.md 2.11):
+
+  readStream -> foreachBatch(micro-batch) -> SegmentedIndex.append
+  -> periodic TieredMergePolicy passes -> searcher() reopen per batch.
+
+Exactly-once: foreachBatch can replay a micro-batch after failure, so each
+applied batch_id is recorded in the index root (_STREAM_BATCHES.json) and
+replays are skipped -- appends stay idempotent on top of the streaming
+checkpoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from .build import BuildConfig
+from .segments import SegmentedIndex
+
+
+class StreamingIndexer:
+    """foreachBatch sink appending micro-batches as segments."""
+
+    def __init__(
+        self,
+        index: SegmentedIndex,
+        config_factory=None,
+        merge_every: int = 4,
+    ):
+        self.index = index
+        self.config_factory = config_factory or (lambda: BuildConfig())
+        self.merge_every = merge_every
+        self._state_path = os.path.join(index.root, "_STREAM_BATCHES.json")
+        self._applied: dict[str, str] = {}
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                self._applied = json.load(f)
+
+    def _record(self, batch_id: int, seg_name: str) -> None:
+        self._applied[str(batch_id)] = seg_name
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._applied, f)
+        os.replace(tmp, self._state_path)
+
+    def process_batch(self, df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch callback: idempotent append + periodic merge."""
+        if str(batch_id) in self._applied:
+            return  # replayed micro-batch: already indexed
+        if df.isEmpty():
+            return
+        name = self.index.append(df, self.config_factory())
+        self._record(batch_id, name)
+        if self.merge_every and len(self.index.segments) >= self.merge_every:
+            self.index.maybe_merge()
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        """Start the write stream.  available_now=True drains all ready data
+        then stops (micro-batch catch-up); False runs continuously."""
+        writer = (
+            stream_df.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def searcher(self):
+        """NRT reopen: searcher over everything published so far."""
+        return self.index.searcher()

@@ -1,0 +1,78 @@
+"""CheckIndex analogue: clean index passes; corrupted blocks are caught."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.check_index import _check_blocks_udf, check_index
+from sparklucene.codec import encode_posting_blocks
+from sparklucene.corpus import make_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("chkidx"))
+    corpus = make_corpus(100, seed=5)
+    df = spark.createDataFrame(corpus).coalesce(2)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    return out, df
+
+
+def test_clean_index_passes(spark, built):
+    out, src = built
+    report = check_index(spark, out, source=src, content_col="content", key_cols=("repo", "path"))
+    assert report["ok"], report
+    assert report["checks"]["sha256"]["ok"]
+    assert report["checks"]["blocks"]["ok"]
+
+
+def test_sha_mismatch_detected(spark, built):
+    out, src = built
+    from pyspark.sql import functions as F
+
+    tampered = src.withColumn(
+        "content", F.when(F.col("path").endswith("file7.py"), F.lit("tampered")).otherwise(F.col("content"))
+    )
+    report = check_index(spark, out, source=tampered, content_col="content", key_cols=("repo", "path"))
+    if any(r["path"].endswith("file7.py") for r in src.select("path").collect()):
+        assert not report["checks"]["sha256"]["ok"]
+
+
+def _block_row(term="t", salt=0, **overrides):
+    blk = encode_posting_blocks(
+        np.array([5, 9, 12]), np.array([1, 2, 1]), np.array([100, 101, 102], np.uint8),
+        np.array([0, 1, 3, 2]),
+    )[0]
+    row = {"term": term, "salt": salt, **blk}
+    row["block_max_norm_byte"] = int(
+        np.frombuffer(row["norm_blob"], dtype=np.uint8).max()
+    )
+    row.update(overrides)
+    return row
+
+
+def _run_check(rows):
+    fn, _schema = _check_blocks_udf()
+    out = pd.concat(list(fn(iter([pd.DataFrame(rows)]))))
+    return int(out["n_err"].sum()), out["example"].dropna().tolist()
+
+
+def test_block_checker_clean():
+    errs, _ = _run_check([_block_row()])
+    assert errs == 0
+
+
+def test_block_checker_catches_corruption():
+    errs, ex = _run_check([_block_row(max_docid=99)])
+    assert errs > 0 and "first/max" in ex[0]
+    errs, _ = _run_check([_block_row(block_max_tf=7)])
+    assert errs > 0
+    errs, _ = _run_check([_block_row(doc_blob=b"\x00\x00")])
+    assert errs > 0
+    # overlapping docID ranges across two blocks of one term
+    r1, r2 = _block_row(), _block_row(block_id=1)
+    errs, ex = _run_check([r1, r2])
+    assert errs > 0 and any("overlap" in e for e in ex)

@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, batch kernels, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.fake_media_df(spark, n_images=6, n_audio=3, n_video=2)
+
+
+def test_decode_metadata(spark, media):
+    meta = {r["media_id"]: r.asDict() for r in mm.decode_media(media).collect()}
+    assert len(meta) == 11
+    assert meta[0]["width"] == 64 and meta[0]["channels"] == 3
+    img_ids = [k for k, v in meta.items() if v["media_type"] == "image"]
+    assert len(img_ids) == 6
+    aud = next(v for v in meta.values() if v["media_type"] == "audio")
+    assert aud["sample_rate"] == 16000
+    vid = next(v for v in meta.values() if v["media_type"] == "video")
+    assert vid["n_frames"] >= 6
+
+
+def test_real_format_raises(spark):
+    df = spark.createDataFrame([(0, "image", b"\x89PNG\r\n...")], mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mm.decode_media(df).collect()
+
+
+def test_features_deterministic(spark, media):
+    a = {r["media_id"]: r["embedding"] for r in mm.extract_features(media, dim=8).collect()}
+    b = {r["media_id"]: r["embedding"] for r in mm.extract_features(media, dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    assert a[0] != a[1]
+
+
+def test_resize_rewrites_dims(spark, media):
+    imgs = media.filter(media.media_type == "image")
+    resized = mm.resize_images(imgs, 32, 32)
+    meta = mm.decode_media(resized).collect()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in meta)
+    # payload checksum changes only via header; byte length preserved
+    n0 = {r["media_id"]: r["n_bytes"] for r in mm.decode_media(imgs).collect()}
+    n1 = {r["media_id"]: r["n_bytes"] for r in meta}
+    assert n0 == n1
+
+
+def test_frame_sampling(spark, media):
+    frames = mm.sample_frames(media, every_n=2).collect()
+    assert frames, "videos must produce frames"
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in by_vid.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 2 == 0 for i in idxs)
+    # each frame is itself decodable fake media
+    one = frames[0]["frame"]
+    import sparklucene.multimodal as m
+
+    kind, w, h, c = m._parse_header(one)
+    assert kind == m.KIND_IMAGE and c == 3
