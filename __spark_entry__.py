@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 2  # v2: tokenized postings carry pre-encoded pos_blob
+FORMAT_VERSION = 3  # v3: gate index keeps lang/n_chars meta for collectors
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -44,7 +44,10 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         "/tmp/sparklucene_gate", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    cfg = BuildConfig(content_col="text", id_col="doc_id", num_buckets=16, resume=True)
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
+        num_buckets=16, resume=True,
+    )
     build_index(spark, docs, out, cfg)
     s = IndexSearcher(spark, out)
     _SEARCHERS[key] = s
@@ -161,6 +164,62 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    q = {"type": "dis_max", "tie_breaker": 0.3, "queries": [_t("dup"), _t("spark")]}
+    return _topk_df(s, q, 15)
+
+
+def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopFieldCollector: matches of 'dup' sorted by n_chars desc, docID."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_sorted(_t("dup"), [("n_chars", False)], k=15, mode="f64")
+    return out.select(
+        F.col("docID").alias("doc_id"), "n_chars", F.round("score", 4).alias("score")
+    )
+
+
+def _q_group_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping: top-2 docs per lang for term 'spark' by (score, docID)."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_grouped(_t("spark"), "lang", group_limit=2, mode="f64")
+    return out.select(
+        F.col("group").alias("lang"), F.col("docID").alias("doc_id"),
+        F.round("score", 4).alias("score"), "rank",
+    )
+
+
+def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceting: per-lang match counts of the bool_or query."""
+    s = _searcher(spark, sf_dir)
+    q, _ = QUERY_TREES["bool_or"]
+    return s.facet_counts(q, "lang", mode="f64").select("lang", "n")
+
+
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRescorer: top-50 of 'merge' re-ranked by phrase 'table hash'."""
+    s = _searcher(spark, sf_dir)
+    out = s.rescore(_t("merge"), {"type": "phrase", "terms": ["table", "hash"]},
+                    n=50, k=10, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts over the events table (the batch twin
+    of the Structured Streaming windowed aggregation)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(
+            # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC, so the
+            # ntz->timestamp->epoch cast is exact
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -235,6 +294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["parsed_bool"] = _q_parsed_bool
     out["prefix_const"] = _q_prefix_const
     out["range_const"] = _q_range_const
+    out["dis_max"] = _q_dis_max
+    out["sort_by_field"] = _q_sort_by_field
+    out["group_top2"] = _q_group_top2
+    out["facet_lang"] = _q_facet_lang
+    out["rescore"] = _q_rescore
+    out["events_window"] = _q_events_window
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -391,6 +456,58 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM posting WHERE term LIKE 'sp%'"""
     sqls["range_const"] = f"""{_prelude()}
 SELECT DISTINCT doc_id, 1.0 AS score FROM posting
 WHERE term >= 'batch' AND term < 'dup'"""
+    sqls["dis_max"] = f"""{_prelude()}
+SELECT doc_id, round(max(score) + 0.3 * (sum(score) - max(score)), 4) AS score
+FROM scored WHERE term IN ('dup', 'spark')
+GROUP BY doc_id
+ORDER BY max(score) + 0.3 * (sum(score) - max(score)) DESC, doc_id LIMIT 15"""
+    sqls["sort_by_field"] = f"""{_prelude()}
+SELECT s.doc_id, d.n_chars, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'dup'
+ORDER BY d.n_chars DESC, s.doc_id LIMIT 15"""
+    sqls["group_top2"] = f"""{_prelude()},
+ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS rank
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term = 'spark'
+)
+SELECT lang, doc_id, round(score, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 2"""
+    sqls["facet_lang"] = f"""{_prelude()}
+SELECT d.lang, count(DISTINCT s.doc_id)::BIGINT AS n
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term IN ('dup', 'window', 'vector')
+GROUP BY d.lang"""
+    sqls["rescore"] = f"""{_prelude()},
+first_pass AS (
+  SELECT doc_id, score FROM scored WHERE term = 'merge'
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+phr AS (
+  SELECT e1.doc_id, count(*)::INTEGER AS pf
+  FROM emitted e1 JOIN emitted e2
+    ON e1.doc_id = e2.doc_id AND e2.pos = e1.pos + 1
+  WHERE e1.term = 'table' AND e2.term = 'hash'
+  GROUP BY e1.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+),
+second AS (
+  SELECT p.doc_id,
+         i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)) AS s2
+  FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+)
+SELECT f.doc_id, round(f.score + coalesce(x.s2, 0.0), 4) AS score
+FROM first_pass f LEFT JOIN second x USING (doc_id)
+ORDER BY f.score + coalesce(x.s2, 0.0) DESC, f.doc_id LIMIT 10"""
+    sqls["events_window"] = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2"""
     sqls["bool_count"] = f"""{_prelude()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
 FROM scored WHERE term IN ('dup', 'window', 'vector')"""

@@ -205,6 +205,8 @@ def _cost(q: dict, idx: OracleIndex) -> int:
         return idx.max_doc
     if t in ("prefix", "wildcard", "fuzzy", "range"):
         return sum(idx.df(x) for x in expand_terms(q, idx))
+    if t == "dis_max":
+        return sum(_cost(c, idx) for c in q["queries"])
     if t == "boolean":
         musts = [c for c in q["clauses"] if c["occur"] == "MUST"]
         shoulds = [c for c in q["clauses"] if c["occur"] == "SHOULD"]
@@ -235,6 +237,19 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
         for term in expand_terms(q, idx):
             for d in idx.postings[term]:
                 out[d] = v
+        return out
+    if t == "dis_max":
+        # max + tie*(sum-max); sub-scores accumulate in float64, combine
+        # casts to float32 in f32 mode (engine-defined order, matches Spark)
+        tie = float(q.get("tie_breaker", 0.0))
+        subs = [eval_query(c, idx, boost, mode) for c in q["queries"]]
+        docs = set().union(*[set(s) for s in subs]) if subs else set()
+        out = {}
+        for d in docs:
+            vals = [float(s[d]) for s in subs if d in s]
+            mx, sm = max(vals), sum(vals)
+            v = mx + tie * (sm - mx)
+            out[d] = f32(v) if mode == "f32" else v
         return out
     if t == "boolean":
         clauses = q["clauses"]

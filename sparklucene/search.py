@@ -258,6 +258,8 @@ class IndexSearcher:
         if t in ("prefix", "wildcard", "fuzzy", "range"):
             sts = self.lookup_terms(self.expand_terms(q))
             return sum(s.df for s in sts.values())
+        if t == "dis_max":
+            return sum(self._cost(c) for c in q["queries"])
         if t == "boolean":
             musts = [c["query"] for c in q["clauses"] if c["occur"] == "MUST"]
             shoulds = [c["query"] for c in q["clauses"] if c["occur"] == "SHOULD"]
@@ -287,9 +289,96 @@ class IndexSearcher:
             return self.docs().select("docID", lit.alias("score"))
         if t in ("prefix", "wildcard", "fuzzy", "range"):
             return self._eval_multi_term(q, boost, mode)
+        if t == "dis_max":
+            return self._eval_dismax(q, boost, mode)
         if t == "boolean":
             return self._eval_boolean(q, boost, mode)
         raise ValueError(f"unknown query type: {t}")
+
+    def _eval_dismax(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """DisjunctionMaxQuery: score = max(clauses) + tieBreaker*(sum-max)
+        (DisjunctionMaxQuery.cs / DisjunctionMaxScorer.cs).  Sub-scores
+        accumulate in float64 and the combine casts to float32 in f32 mode
+        (sum order under groupBy is engine-defined; the oracle mirrors)."""
+        tie = float(q.get("tie_breaker", 0.0))
+        parts = [self._eval(c, boost, mode) for c in q["queries"]]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        ftype = "float" if mode == "f32" else "double"
+        u = parts[0].select("docID", F.col("score").cast("double").alias("s"))
+        for p in parts[1:]:
+            u = u.unionAll(p.select("docID", F.col("score").cast("double").alias("s")))
+        agg = u.groupBy("docID").agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+        return agg.select(
+            "docID",
+            (F.col("mx") + F.lit(tie) * (F.col("sm") - F.col("mx"))).cast(ftype).alias("score"),
+        )
+
+    # ---- collectors (SURVEY 2.8) -------------------------------------------
+    def search_sorted(self, query: dict, sort_cols: list[tuple[str, bool]], k: int = 10,
+                      mode: str = "f64") -> DataFrame:
+        """TopFieldCollector analogue: matching docs ordered by doc-field
+        sort spec (field, ascending), docID tie-break -- executed as
+        Catalyst TakeOrderedAndProject (TopFieldCollector.cs/SortField.cs).
+        Returns (docID, <sort fields>, score)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return None
+        fields = [c for c, _ in sort_cols]
+        joined = scored.join(self.docs().select("docID", *fields), "docID")
+        order = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("docID")]
+        return joined.orderBy(*order).limit(k).select("docID", *fields, "score")
+
+    def search_grouped(self, query: dict, group_col: str, group_limit: int = 2,
+                       mode: str = "f64") -> DataFrame:
+        """Grouping module analogue: top `group_limit` docs per group by
+        (score desc, docID) -- Window.partitionBy + row_number, the native
+        Spark expression of AbstractFirstPassGroupingCollector/
+        GroupingSearch (src/Lucene.Net.Grouping/).
+        Returns (group, docID, score, rank)."""
+        from pyspark.sql import Window
+
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return None
+        joined = scored.join(self.docs().select("docID", group_col), "docID")
+        w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docID"))
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= group_limit)
+            .select(F.col(group_col).alias("group"), "docID", "score", "rank")
+        )
+
+    def facet_counts(self, query: dict, facet_col: str, mode: str = "f64") -> DataFrame:
+        """FacetsCollector analogue: per-category match counts for a query
+        (src/Lucene.Net.Facet/FacetsCollector.cs) == groupBy().count()."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame([], f"{facet_col} string, n long")
+        joined = scored.join(self.docs().select("docID", facet_col), "docID")
+        return joined.groupBy(facet_col).agg(F.count("*").alias("n"))
+
+    def rescore(self, query: dict, rescore_query: dict, n: int = 100, k: int = 10,
+                mode: str = "f64") -> DataFrame:
+        """QueryRescorer analogue: re-rank the top-n of `query` by adding
+        `rescore_query` scores (QueryRescorer.cs Combine = sum when the
+        second query matches).  Returns top-k (docID, score)."""
+        first = self.search(query, n, mode=mode)
+        second = self._eval(rescore_query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if second is None:
+            out = first
+        else:
+            out = first.join(
+                second.select("docID", F.col("score").alias("_s2")), "docID", "left"
+            ).select(
+                "docID",
+                F.when(
+                    F.col("_s2").isNotNull(), (F.col("score") + F.col("_s2")).cast(ftype)
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
     def expand_terms(self, q: dict) -> list[str]:
         """MultiTermQuery rewrite: expand against the terms dictionary

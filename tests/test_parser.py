@@ -120,7 +120,7 @@ def engine(spark, tmp_path_factory):
         spark,
         spark.createDataFrame(corpus).coalesce(2),
         out,
-        BuildConfig(order_cols=("repo", "path"), num_buckets=2),
+        BuildConfig(order_cols=("repo", "path"), meta_cols=("lang",), num_buckets=2),
     )
     ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
     oracle = OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
@@ -138,6 +138,42 @@ def test_parse_search_matches_oracle(engine, qs):
     want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
     got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
     assert got == want, qs
+
+
+def test_dismax_matches_oracle(engine):
+    searcher, oracle = engine
+    q = {
+        "type": "dis_max",
+        "tie_breaker": 0.5,
+        "queries": [{"type": "term", "term": "compute"}, {"type": "term", "term": "score"}],
+    }
+    want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
+    got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+    assert got == want
+
+
+def test_collectors_consistent(engine):
+    searcher, oracle = engine
+    q = {"type": "term", "term": "compute"}
+    # facet counts sum to the match count
+    total = searcher.count(q)
+    facets = searcher.facet_counts(q, "lang").collect()
+    assert sum(r["n"] for r in facets) == total
+    # grouped ranks are 1..limit per group, scores non-increasing
+    grouped = searcher.search_grouped(q, "lang", group_limit=2).collect()
+    by_g = {}
+    for r in grouped:
+        by_g.setdefault(r["group"], []).append((r["rank"], r["score"]))
+    for rows in by_g.values():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+    # sort-by-field ordering holds
+    srt = searcher.search_sorted(q, [("n_chars", False)], k=10) if "n_chars" in searcher.docs().columns else None
+    if srt is not None:
+        vals = [r["n_chars"] for r in srt.collect()]
+        assert vals == sorted(vals, reverse=True)
 
 
 def test_expansion_engine_equals_oracle(engine):
