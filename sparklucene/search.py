@@ -435,6 +435,9 @@ class IndexSearcher:
         # 1-clause rewrite collapse (BooleanQuery.cs:565-590)
         if len(clauses) == 1 and len(non_prohibited) == 1:
             return self._eval(non_prohibited[0]["query"], boost, mode)
+        eligible, fused = self._eval_boolean_fused(q, boost, mode)
+        if eligible:
+            return fused
         musts = [c["query"] for c in clauses if c["occur"] == "MUST"]
         shoulds = [c["query"] for c in clauses if c["occur"] == "SHOULD"]
         must_nots = [c["query"] for c in clauses if c["occur"] == "MUST_NOT"]
@@ -512,6 +515,95 @@ class IndexSearcher:
             if ex is not None:
                 out = out.join(ex.distinct(), "docID", "left_anti")
         return out
+
+    def _eval_boolean_fused(self, q: dict, boost: float, mode: str):
+        """Single-scan boolean evaluation for the common shape where every
+        clause is a plain TermQuery with distinct terms: ONE postings read +
+        decode pass, pivot to per-term score columns, then JVM-side combine.
+        Exactly preserves the reference score semantics: MUST folds float32
+        pairwise in ascending-df clause order (ConjunctionScorer.cs:47-51,
+        134-143); SHOULD accumulates float64 then casts
+        (DisjunctionSumScorer.cs:80-83).
+
+        -> (eligible, DataFrame|None).  eligible=False means the shape
+        needs the general per-clause path."""
+        clauses = q["clauses"]
+        msm = q.get("minShouldMatch", 0)
+        seen: set[str] = set()
+        for c in clauses:
+            cq = c["query"]
+            if cq["type"] != "term":
+                return False, None
+            if cq["term"] in seen:
+                return False, None  # same term in two clauses: pivot collides
+            seen.add(cq["term"])
+
+        def w_of(c):
+            return self._weight(c["query"]["term"], boost * c["query"].get("boost", 1.0), mode)
+
+        musts = [(c["query"]["term"], w_of(c)) for c in clauses if c["occur"] == "MUST"]
+        shoulds = [(c["query"]["term"], w_of(c)) for c in clauses if c["occur"] == "SHOULD"]
+        must_nots = [(c["query"]["term"], w_of(c)) for c in clauses if c["occur"] == "MUST_NOT"]
+        if any(w is None for _, w in musts):
+            return True, None  # a required term is absent: provably empty
+        musts = [(t, w) for t, w in musts if w is not None]
+        shoulds = [(t, w) for t, w in shoulds if w is not None]
+        must_nots = [(t, w) for t, w in must_nots if w is not None]
+        need = msm if musts else max(msm, 1 if shoulds else 0)
+        if not musts and not shoulds:
+            return True, None
+
+        weights = {t: w for t, w in musts + shoulds}
+        all_terms = list(weights) + [t for t, _ in must_nots]
+        scored = self._scored_postings(dict.fromkeys(all_terms, 1.0) | weights, mode)
+        # one shuffle: pivot terms into columns
+        piv = scored.groupBy("docID").pivot("term", all_terms).agg(F.first("score"))
+        ftype = "float" if mode == "f32" else "double"
+
+        def tc(t):
+            return F.col(f"`{t}`")
+
+        cond = None
+        for t, _ in musts:
+            c = tc(t).isNotNull()
+            cond = c if cond is None else (cond & c)
+        if shoulds and need > 0:
+            n_should = sum((tc(t).isNotNull()).cast("int") for t, _ in shoulds)
+            c = n_should >= F.lit(need)
+            cond = c if cond is None else (cond & c)
+        for t, _ in must_nots:
+            c = tc(t).isNull()
+            cond = c if cond is None else (cond & c)
+        piv = piv.filter(cond) if cond is not None else piv
+
+        # MUST: float32 pairwise fold in ascending-df order (stable)
+        sts = self.lookup_terms([t for t, _ in musts])
+        m_order = sorted(range(len(musts)), key=lambda i: (sts[musts[i][0]].df, i))
+        req_expr = None
+        for i in m_order:
+            col = tc(musts[i][0])
+            req_expr = col if req_expr is None else (req_expr + col).cast(ftype)
+        # SHOULD: float64 accumulate, cast once; single SHOULD used directly
+        opt_expr = None
+        if len(shoulds) == 1:
+            opt_expr = tc(shoulds[0][0])
+        elif shoulds:
+            acc = None
+            for t, _ in shoulds:
+                term_d = F.coalesce(tc(t).cast("double"), F.lit(0.0))
+                acc = term_d if acc is None else (acc + term_d)
+            opt_expr = acc.cast(ftype)
+        if req_expr is not None and opt_expr is not None:
+            any_should = None
+            for t, _ in shoulds:
+                c = tc(t).isNotNull()
+                any_should = c if any_should is None else (any_should | c)
+            score = F.when(any_should, (req_expr + opt_expr).cast(ftype)).otherwise(req_expr)
+        elif req_expr is not None:
+            score = req_expr
+        else:
+            score = opt_expr
+        return True, piv.select("docID", score.alias("score"))
 
     def _eval_phrase(self, terms: list[str], boost: float, mode: str) -> DataFrame | None:
         sts = self.lookup_terms(terms)
