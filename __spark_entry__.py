@@ -220,6 +220,15 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over events (30-min inactivity gap) -- the
+    batch twin of the stateful streaming sessionizer."""
+    from sparklucene.streaming import sessionize_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -300,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_lang"] = _q_facet_lang
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
+    out["sessionize"] = _q_sessionize
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -508,6 +518,23 @@ ORDER BY f.score + coalesce(x.s2, 0.0) DESC, f.doc_id LIMIT 10"""
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
 FROM events GROUP BY 1, 2"""
+    sqls["sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, min(epoch_ms(ts))::BIGINT AS session_start,
+       max(epoch_ms(ts))::BIGINT AS session_end, count(*)::BIGINT AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM s GROUP BY user_id, session_id"""
     sqls["bool_count"] = f"""{_prelude()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
 FROM scored WHERE term IN ('dup', 'window', 'vector')"""

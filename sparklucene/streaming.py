@@ -21,7 +21,10 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .build import BuildConfig
 from .segments import SegmentedIndex
@@ -78,3 +81,114 @@ class StreamingIndexer:
     def searcher(self):
         """NRT reopen: searcher over everything published so far."""
         return self.index.searcher()
+
+
+# ---------------------------------------------------------------------------
+# sessionization: batch (SQL-checkable) + stateful streaming twins
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("session_start", T.LongType()),  # epoch millis
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization over an events table
+    (user_id, ts, value, ...): a new session starts after > gap of user
+    inactivity.  Pure window functions -- one shuffle on user_id; at scale
+    the lag/cumsum stay within the same hash partition."""
+    from pyspark.sql import Window
+
+    gap_ms = gap_minutes * 60_000
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > gap_ms), 1)
+        .otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sid = events.withColumn("_ms", ms).withColumn(
+        "session_id", F.sum(brk).over(cum).cast("int")
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.min("_ms").alias("session_start"),
+            F.max("_ms").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState: state
+    per user accumulates the open session; an event past the gap (or an
+    event-time timeout) closes and emits it.  Late data handled by the
+    watermark.  (session_id is the per-user close ordinal.)"""
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.DoubleType()),
+            T.StructField("closed", T.IntegerType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60_000
+
+    def update(key, pdf_iter, state):
+        user_id = key[0]
+        sessions = []
+        if state.hasTimedOut:
+            start_ms, end_ms, n, sv, closed = state.get
+            sessions.append((user_id, closed, start_ms, end_ms, n, round(sv, 3)))
+            state.remove()
+        else:
+            if state.exists:
+                start_ms, end_ms, n, sv, closed = state.get
+            else:
+                start_ms = end_ms = -1
+                n, sv, closed = 0, 0.0, 0
+            rows = []
+            for pdf in pdf_iter:
+                ms = (pdf["ts"].astype("datetime64[ms]").astype("int64")).tolist()
+                rows.extend(zip(ms, pdf["value"].tolist()))
+            rows.sort()
+            for ms, val in rows:
+                if start_ms < 0:
+                    start_ms, end_ms, n, sv = ms, ms, 1, float(val)
+                elif ms - end_ms > gap_ms:
+                    sessions.append((user_id, closed, start_ms, end_ms, n, round(sv, 3)))
+                    closed += 1
+                    start_ms, end_ms, n, sv = ms, ms, 1, float(val)
+                else:
+                    end_ms = max(end_ms, ms)
+                    n += 1
+                    sv += float(val)
+            if start_ms >= 0:
+                state.update((start_ms, end_ms, n, sv, closed))
+                state.setTimeoutTimestamp(end_ms + gap_ms)
+        if sessions:
+            yield pd.DataFrame(
+                sessions,
+                columns=["user_id", "session_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, SESSION_SCHEMA, state_schema, "append", "EventTimeTimeout"
+        )
+    )

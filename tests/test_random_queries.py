@@ -1,0 +1,88 @@
+"""Randomized differential testing -- the reference's dominant test style
+(SURVEY.md section 5.3, LuceneTestCase randomized invariants): one built
+index, many random boolean/phrase/multi-term query trees, engine float32
+results must equal the pure-Python oracle bit-for-bit, and WAND must equal
+exhaustive on every eligible shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, top_k
+from sparklucene.search import IndexSearcher
+
+VOCAB = [
+    "compute", "score", "index", "merge", "alpha", "beta7", "w1", "w2", "w3",
+    "foo_bar", "foo.bar", "query", "doc", "writer", "3.14", "42", "zzz_missing",
+]
+
+
+def rand_query(rng: np.random.Generator, depth: int = 0) -> dict:
+    r = rng.random()
+    if depth >= 2 or r < 0.35:
+        return {"type": "term", "term": VOCAB[int(rng.integers(len(VOCAB)))]}
+    if r < 0.45:
+        n = int(rng.integers(2, 4))
+        terms = [VOCAB[int(rng.integers(len(VOCAB) - 1))] for _ in range(n)]
+        return {"type": "phrase", "terms": terms}
+    if r < 0.52:
+        return {"type": "prefix", "prefix": VOCAB[int(rng.integers(len(VOCAB)))][: int(rng.integers(1, 4))]}
+    if r < 0.6:
+        return {
+            "type": "dis_max",
+            "tie_breaker": float(np.round(rng.random(), 2)),
+            "queries": [rand_query(rng, depth + 1) for _ in range(int(rng.integers(2, 4)))],
+        }
+    n = int(rng.integers(2, 5))
+    occurs = rng.choice(["MUST", "SHOULD", "MUST_NOT"], size=n, p=[0.35, 0.5, 0.15])
+    if all(o == "MUST_NOT" for o in occurs):
+        occurs[0] = "MUST"
+    clauses = [
+        {"occur": str(o), "query": rand_query(rng, depth + 1)} for o in occurs
+    ]
+    q: dict = {"type": "boolean", "clauses": clauses}
+    n_should = sum(1 for o in occurs if o == "SHOULD")
+    if n_should > 1 and rng.random() < 0.3:
+        q["minShouldMatch"] = int(rng.integers(1, n_should + 1))
+    if rng.random() < 0.2:
+        q["boost"] = float(np.round(0.5 + rng.random(), 2))
+    return q
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("randidx"))
+    corpus = make_corpus(250, seed=17)
+    build_index(
+        spark,
+        spark.createDataFrame(corpus).repartition(3),
+        out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=50, salt_parts=4),
+    )
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    oracle = OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+    return IndexSearcher(spark, out), oracle
+
+
+def f32_hex(x):
+    return np.float32(x).tobytes().hex()
+
+
+def test_random_queries_match_oracle(engine):
+    searcher, oracle = engine
+    rng = np.random.default_rng(99)
+    n_nonempty = 0
+    for i in range(40):
+        q = rand_query(rng)
+        want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
+        got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+        assert got == want, f"query #{i}: {q}"
+        n_nonempty += bool(want)
+        shape = searcher._wand_shape(q)
+        if shape is not None:
+            wand = [(r["docID"], f32_hex(r["score"])) for r in searcher.search_wand(q, 10).collect()]
+            assert wand == want, f"WAND mismatch on #{i}: {q}"
+    assert n_nonempty >= 20, "fixture too sparse to be meaningful"

@@ -32,6 +32,69 @@ def _rows(prefix, n, text):
     return [(f"r/{prefix}", f"{prefix}/f{i}.py", "c0", "py", text) for i in range(n)]
 
 
+def test_sessionize_batch_semantics(spark):
+    from datetime import datetime as dt
+
+    from sparklucene.streaming import sessionize_batch
+
+    rows = [
+        (0, dt(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, "{}"),
+        (1, dt(2024, 1, 1, 0, 10, 0), 1, "a", 2.0, "{}"),   # same session
+        (2, dt(2024, 1, 1, 1, 0, 0), 1, "a", 4.0, "{}"),    # 50min gap -> new
+        (3, dt(2024, 1, 1, 0, 5, 0), 2, "a", 8.0, "{}"),    # other user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"]) for r in sessionize_batch(ev, 30).collect()}
+    assert out == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_sessionize_stream_stateful(spark, tmp_path_factory):
+    """Stateful applyInPandasWithState sessionizer: sessions close via the
+    inactivity gap within a batch, and via event-time timeout once later
+    data advances the watermark."""
+    from datetime import datetime as dt
+
+    from sparklucene.streaming import sessionize_stream
+
+    base = tmp_path_factory.mktemp("sess")
+    in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    out_dir = str(base / "out")
+    wave1 = [
+        (0, dt(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, "{}"),
+        (1, dt(2024, 1, 1, 0, 10, 0), 1, "a", 2.0, "{}"),
+        (2, dt(2024, 1, 1, 2, 0, 0), 1, "a", 4.0, "{}"),  # closes session 0 in-batch
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_wave():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = sessionize_stream(stream, gap_minutes=30, watermark="10 minutes") \
+            .writeStream.format("parquet").option("path", out_dir) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        try:
+            return {
+                (r["user_id"], r["session_id"]): r["n_events"]
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:  # noqa: BLE001 -- no output files yet
+            return {}
+
+    got1 = run_wave()
+    assert got1 == {(1, 0): 2}  # the in-batch gap-closed session
+
+    # wave 2 a day later: watermark passes the open session's timeout
+    wave2 = [(3, dt(2024, 1, 2, 12, 0, 0), 9, "a", 1.0, "{}")]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    got2 = run_wave()
+    assert (1, 1) in got2 and got2[(1, 1)] == 1  # timed-out open session emitted
+
+
 def test_streaming_nrt(spark, dirs):
     os.makedirs(dirs["in"], exist_ok=True)
     _write_chunk(spark, dirs["in"], _rows("a", 6, "alpha beta gamma"))
