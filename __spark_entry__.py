@@ -229,6 +229,17 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis on doc 7's text: top-5 tf*idf terms -> SHOULD query."""
+    s = _searcher(spark, sf_dir)
+    text = (
+        _docs_df(spark, sf_dir).filter(F.col("doc_id") == 7).select("text").first()["text"]
+    )
+    return s.more_like_this(text, max_terms=5, k=10, mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -310,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
+    out["mlt"] = _q_mlt
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -518,6 +530,18 @@ ORDER BY f.score + coalesce(x.s2, 0.0) DESC, f.doc_id LIMIT 10"""
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 3) AS sum_value
 FROM events GROUP BY 1, 2"""
+    sqls["mlt"] = f"""{_prelude()},
+src AS (SELECT term, tf FROM posting WHERE doc_id = 7),
+seltop AS (
+  SELECT s.term
+  FROM src s JOIN tstats t USING (term) CROSS JOIN stats st
+  ORDER BY s.tf * ln(1.0 + (st.max_doc - t.df + 0.5) / (t.df + 0.5)) DESC, s.term
+  LIMIT 5
+)
+SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term IN (SELECT term FROM seltop)
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10"""
     sqls["sessionize"] = """
 WITH e AS (
   SELECT user_id, event_id, ts, value,

@@ -56,6 +56,27 @@ def main() -> None:
         searcher.search(q, k, mode="f32").collect()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # block-max WAND variant of the disjunction
+    t0 = time.time()
+    searcher.search_wand(entrymod.QUERY_TREES["bool_or"][0], 20, mode="f32").collect()
+    qtimes["wand_or"] = round(time.time() - t0, 3)
+
+    # training-data pipeline headliners
+    from sparklucene import datapipe as dp
+
+    docs_raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    dp.minhash_dedup_pairs(docs_raw, threshold=0.8).count()
+    qtimes["dedup_minhash"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dp.simhash_dup_pairs(docs_raw, max_hamming=3).count()
+    qtimes["simhash_pairs"] = round(time.time() - t0, 3)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    t0 = time.time()
+    dp.cosine_topk_brute(emb, qvec, k=10).collect()
+    qtimes["ann_brute"] = round(time.time() - t0, 3)
+
     total = round(build_s + sum(qtimes.values()), 3)
     print(
         json.dumps(

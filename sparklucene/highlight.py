@@ -1,0 +1,92 @@
+"""Snippet highlighting -- Highlighter-module analogue.
+
+Re-analyzes document text WITH character offsets (the reference Highlighter
+re-runs the analyzer over stored text: src/Lucene.Net.Highlighter/
+Highlighter.cs + QueryScorer), scores token windows by the sum of matched
+query-term idf weights, picks the best fragment, and wraps matches in tags.
+Batch form is an Arrow-batched mapInPandas column transform."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, _MID_RE, _TOKEN_RE, _split_candidate
+
+
+def analyze_offsets(text: str) -> list[tuple[str, int, int]]:
+    """Emitted (lowercased, stop-filtered) tokens with [start, end) char
+    offsets -- same token stream as analysis.analyze, plus offsets."""
+    out: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RE.finditer(text):
+        cand = m.group()
+        base = m.start()
+        pieces = _split_candidate(cand) if _MID_RE.search(cand) else [cand]
+        off = 0
+        for p in pieces:
+            idx = cand.index(p, off)
+            off = idx + len(p)
+            if not p or len(p) > MAX_TOKEN_LENGTH:
+                continue
+            low = p.lower()
+            if low in ENGLISH_STOP_WORDS:
+                continue
+            out.append((low, base + idx, base + idx + len(p)))
+    return out
+
+
+def best_fragment(
+    text: str, term_weights: dict[str, float], window: int = 12,
+    pre: str = "<b>", post: str = "</b>",
+) -> tuple[str, float]:
+    """-> (highlighted fragment, fragment score).  Score of a window of
+    `window` consecutive emitted tokens = sum of matched occurrences'
+    term weights (QueryScorer: term boost/idf weights)."""
+    toks = analyze_offsets(text)
+    if not toks:
+        return "", 0.0
+    w = [term_weights.get(t, 0.0) for t, _s, _e in toks]
+    n = len(toks)
+    win = min(window, n)
+    score = sum(w[:win])
+    best_score, best_lo = score, 0
+    for lo in range(1, n - win + 1):
+        score += w[lo + win - 1] - w[lo - 1]
+        if score > best_score:
+            best_score, best_lo = score, lo
+    lo, hi = best_lo, best_lo + win - 1
+    frag_start = toks[lo][1]
+    frag_end = toks[hi][2]
+    # wrap matched tokens inside the fragment (right-to-left keeps offsets)
+    frag = text[frag_start:frag_end]
+    for t, s, e in reversed(toks[lo : hi + 1]):
+        if term_weights.get(t, 0.0) > 0.0:
+            rs, re_ = s - frag_start, e - frag_start
+            frag = frag[:rs] + pre + frag[rs:re_] + post + frag[re_:]
+    return frag, float(best_score)
+
+
+def highlight_df(
+    df: DataFrame, text_col: str, term_weights: dict[str, float],
+    window: int = 12, pre: str = "<b>", post: str = "</b>",
+) -> DataFrame:
+    """Batch highlighting: adds `fragment` and `frag_score` columns."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("fragment", T.StringType()), T.StructField("frag_score", T.DoubleType())]
+    )
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            frags, scores = [], []
+            for txt in pdf[text_col]:
+                f, s = best_fragment(txt if isinstance(txt, str) else "", term_weights, window, pre, post)
+                frags.append(f)
+                scores.append(s)
+            pdf = pdf.copy()
+            pdf["fragment"] = frags
+            pdf["frag_score"] = scores
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

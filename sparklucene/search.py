@@ -862,6 +862,35 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode_score, schema=out_schema)
 
+    def more_like_this(self, text: str, max_terms: int = 5, k: int = 10,
+                       mode: str = "f32", min_df: int = 1) -> DataFrame:
+        """MoreLikeThis: pick the doc text's top terms by tf*idf, run them
+        as a SHOULD query (reference: src/Lucene.Net.Queries/Mlt/
+        MoreLikeThis.cs -- simplified: no min_word_len/stop extra knobs;
+        term selection = tf * idf desc, term asc tie-break)."""
+        from collections import Counter
+
+        from .analysis import analyze
+
+        terms, _pos = analyze(text)
+        tf = Counter(terms)
+        sts = self.lookup_terms(list(tf))
+        ranked = sorted(
+            ((t, tf[t] * _idf(sts[t].df, self.max_doc, "f64"))
+             for t in tf if t in sts and sts[t].df >= min_df),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:max_terms]
+        if not ranked:
+            ftype = "float" if mode == "f32" else "double"
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        q = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t}} for t, _ in ranked
+            ],
+        }
+        return self.search(q, k, mode=mode)
+
     # ---- public API ---------------------------------------------------------
     def search(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k by (score DESC, docID ASC) -- HitQueue.cs:77-87 tie-break.

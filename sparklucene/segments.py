@@ -347,6 +347,14 @@ class SegmentedIndex:
         cfg = config or BuildConfig()
         cfg.num_buckets = self.num_buckets
         cfg.docid_base = self.max_doc
+        if cfg.id_col is not None and self.segments:
+            # docID ranges must stay globally disjoint (no remap machinery)
+            lo = df.agg(F.min(F.col(cfg.id_col).cast("long"))).collect()[0][0]
+            if lo is not None and lo < self.max_doc:
+                raise ValueError(
+                    f"append id_col={cfg.id_col} min={lo} overlaps existing "
+                    f"docID space [0, {self.max_doc}) -- ids must be globally unique"
+                )
         name = f"seg{self.counter:06d}"
         self.counter += 1
         out = self._seg_dir(name)

@@ -1,0 +1,61 @@
+"""Highlighter + MoreLikeThis."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.highlight import analyze_offsets, best_fragment, highlight_df
+from sparklucene.search import IndexSearcher
+
+
+def test_analyze_offsets_matches_analyze():
+    from sparklucene.analysis import analyze
+
+    text = "The quick foo_bar and Foo.Bar; f(x) the END zz" + "Z" * 256
+    terms, _ = analyze(text)
+    offs = analyze_offsets(text)
+    assert [t for t, _s, _e in offs] == terms
+    for t, s, e in offs:
+        assert text[s:e].lower() == t
+
+
+def test_best_fragment_picks_dense_window():
+    text = "alpha beta " * 20 + "target target target nearby words " + "gamma delta " * 20
+    frag, score = best_fragment(text, {"target": 1.5, "nearby": 1.0}, window=6)
+    assert frag.count("<b>target</b>") == 3 and "<b>nearby</b>" in frag
+    assert score == pytest.approx(1.5 * 3 + 1.0)
+    assert "gamma" not in frag  # window stays local to the dense region
+
+
+def test_highlight_df(spark):
+    df = spark.createDataFrame(
+        [(0, "nothing to see here"), (1, "one target in a long sentence of words")],
+        "id long, text string",
+    )
+    out = {r["id"]: (r["fragment"], r["frag_score"]) for r in
+           highlight_df(df, "text", {"target": 2.0}, window=4).collect()}
+    assert out[1][1] == 2.0 and "<b>target</b>" in out[1][0]
+    assert out[0][1] == 0.0
+
+
+@pytest.fixture(scope="module")
+def mlt_engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mltidx"))
+    corpus = make_corpus(150, seed=23)
+    build_index(
+        spark, spark.createDataFrame(corpus).coalesce(2), out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=2),
+    )
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    return IndexSearcher(spark, out), ordered
+
+
+def test_more_like_this(mlt_engine):
+    searcher, ordered = mlt_engine
+    # pick a mid-corpus doc; MLT on its own text should rank it at/near top
+    doc_id = 42
+    hits = searcher.more_like_this(ordered[doc_id]["content"], max_terms=6, k=5).collect()
+    assert hits
+    assert any(r["docID"] == doc_id for r in hits[:3])
