@@ -240,6 +240,59 @@ def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classic_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClassicSimilarity (TF-IDF) single term: score = idf*sqrt(tf)*lengthNorm
+    (queryNorm cancels to 1/idf for one clause)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("spark"), 10, similarity="classic", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_classic_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic disjunction with queryNorm + coord(matched/3)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("dup")), ("SHOULD", _t("window")), ("SHOULD", _t("vector"))])
+    return s.search_sim(q, 20, similarity="classic", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_lmd_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet (mu=2000) single term, scores clamped at 0."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("dup"), 50, similarity="lm_dirichlet", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_lmjm_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer (lambda=0.7) disjunction (plain sum, no coord)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("window")), ("SHOULD", _t("vector"))])
+    return s.search_sim(q, 20, similarity="lm_jelinek_mercer", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase "table hash"~2 (SloppyPhraseScorer.cs:101-146 greedy
+    matching; freq = sum of 1/(matchLength+1)).  The greedy alignment isn't
+    ANSI-SQL-expressible -> rows-only gate; exactness is pytest-verified
+    against the pure-Python oracle (tests/test_similarities.py) and
+    hand-traced fixtures (tests/test_positional.py)."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "phrase", "terms": ["table", "hash"], "slop": 2}
+    return _topk_df(s, q, 15)
+
+
+def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery [table|merge] hash (union positions per slot)."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "multi_phrase", "slots": [["table", "merge"], ["hash"]]}
+    return _topk_df(s, q, 15)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -322,6 +375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
     out["mlt"] = _q_mlt
+    out["classic_term"] = _q_classic_term
+    out["classic_or"] = _q_classic_or
+    out["lmd_term"] = _q_lmd_term
+    out["lmjm_or"] = _q_lmjm_or
+    out["sloppy_phrase"] = _q_sloppy_phrase
+    out["multi_phrase"] = _q_multi_phrase
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -380,7 +439,8 @@ doclen AS (
 ),
 stats AS (
   SELECT count(*)::BIGINT AS max_doc,
-         CAST(CAST(CAST(sum(field_len) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS avgdl
+         CAST(CAST(CAST(sum(field_len) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS avgdl,
+         sum(field_len)::BIGINT AS sum_ttf
   FROM doclen
 ),
 normmap(nb, lo, hi, qlen) AS (SELECT * FROM (VALUES {_normmap_values()}) v),
@@ -571,6 +631,61 @@ SELECT doc_id, field_len, norm_byte::INTEGER AS norm_byte FROM norms"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10"""
+    sqls["classic_term"] = f"""{_prelude()}
+SELECT p.doc_id,
+       round((ln(s.max_doc / (t.df + 1.0)) + 1.0) * sqrt(p.tf) / sqrt(n.qlen), 4) AS score
+FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+WHERE p.term = 'spark'
+ORDER BY score DESC, doc_id LIMIT 10"""
+    sqls["classic_or"] = f"""{_prelude()},
+qidf AS (
+  SELECT t.term, ln(s.max_doc / (t.df + 1.0)) + 1.0 AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('dup', 'window', 'vector')
+),
+qnorm AS (SELECT 1.0 / sqrt(sum(idf * idf)) AS qn FROM qidf),
+permatch AS (
+  SELECT p.doc_id,
+         sum(q.idf * q.idf * (SELECT qn FROM qnorm) * sqrt(p.tf) / sqrt(n.qlen)) AS raw,
+         count(*)::INT AS nmatched
+  FROM posting p JOIN qidf q ON p.term = q.term JOIN norms n USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw * nmatched / 3.0, 4) AS score
+FROM permatch ORDER BY score DESC, doc_id LIMIT 20"""
+    sqls["lmd_term"] = f"""{_prelude()}
+SELECT p.doc_id,
+       round(greatest(
+         ln(1 + p.tf / (2000.0 * ((t.ttf + 1.0) / (s.sum_ttf + 1.0))))
+         + ln(2000.0 / (n.qlen + 2000.0)), 0.0), 4) AS score
+FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+WHERE p.term = 'dup'
+ORDER BY score DESC, doc_id LIMIT 50"""
+    sqls["lmjm_or"] = f"""{_prelude()},
+jm AS (
+  SELECT p.doc_id,
+         ln(1 + ((1.0 - 0.7) * p.tf / n.qlen) / (0.7 * ((t.ttf + 1.0) / (s.sum_ttf + 1.0)))) AS s
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN ('window', 'vector')
+)
+SELECT doc_id, round(sum(s), 4) AS score FROM jm GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+    # sloppy_phrase: greedy alignment not SQL-expressible -> rows-only gate
+    sqls["multi_phrase"] = f"""{_prelude()},
+phr AS (
+  SELECT e1.doc_id, count(DISTINCT e1.pos)::INTEGER AS pf
+  FROM emitted e1 JOIN emitted e2
+    ON e1.doc_id = e2.doc_id AND e2.pos = e1.pos + 1
+  WHERE e1.term IN ('table', 'merge') AND e2.term = 'hash'
+  GROUP BY e1.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'merge', 'hash')
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls.update(_datapipe_oracles())
     return sqls
 

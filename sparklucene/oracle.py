@@ -120,9 +120,14 @@ def _phrase_freq(idx: OracleIndex, terms: list[str], doc_id: int) -> int:
     return len(base)
 
 
-def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str) -> dict[int, float]:
+def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str,
+                   slop: int = 0) -> dict[int, float]:
+    from .positional import sloppy_phrase_freq
+
     if not terms or any(t not in idx.postings for t in terms):
         return {}
+    if slop > 0 and len(set(terms)) != len(terms):
+        raise ValueError("sloppy phrase with repeated terms not supported")
     # idf sum in term order (float32 sequential in f32 mode)
     if mode == "f32":
         idf = f32(0.0)
@@ -135,7 +140,54 @@ def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str) 
         candidates &= set(idx.postings[t].keys())
     out = {}
     for doc_id in candidates:
-        pf = _phrase_freq(idx, terms, doc_id)
+        if slop == 0:
+            pf = float(_phrase_freq(idx, terms, doc_id))
+        else:
+            adj = [
+                np.asarray(idx.postings[t][doc_id][1], dtype=np.int64) - i
+                for i, t in enumerate(terms)
+            ]
+            pf = sloppy_phrase_freq(adj, slop, mode == "f32")
+        if pf <= 0:
+            continue
+        nc = idx.norm_cache(idx.norm_byte[doc_id], mode)
+        if mode == "f32":
+            wv = f32(f32(f32(idf) * f32(boost)) * f32(K1 + 1.0))
+            out[doc_id] = f32(wv * f32(pf) / (f32(pf) + nc))
+        else:
+            out[doc_id] = (idf * boost * (K1 + 1.0)) * pf / (pf + nc)
+    return out
+
+
+def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
+                         mode: str) -> dict[int, float]:
+    """MultiPhraseQuery exact scoring (union positions per slot, see
+    sparklucene.search._eval_multi_phrase for the semantics note)."""
+    from .positional import multi_phrase_freq
+
+    kept = [[t for t in slot if t in idx.postings] for slot in slots]
+    if any(not slot for slot in kept):
+        return {}
+    ordered = [t for slot in kept for t in slot]
+    if mode == "f32":
+        idf = f32(0.0)
+        for t in ordered:
+            idf = f32(idf + idx.idf(idx.df(t), "f32"))
+    else:
+        idf = sum(idx.idf(idx.df(t), "f64") for t in ordered)
+    candidates: set[int] | None = None
+    for slot in kept:
+        docs: set[int] = set()
+        for t in slot:
+            docs |= set(idx.postings[t].keys())
+        candidates = docs if candidates is None else (candidates & docs)
+    out: dict[int, float] = {}
+    for doc_id in candidates or set():
+        slot_pos = [
+            [np.asarray(idx.postings[t][doc_id][1]) for t in slot if doc_id in idx.postings[t]]
+            for slot in kept
+        ]
+        pf = multi_phrase_freq(slot_pos)
         if pf <= 0:
             continue
         nc = idx.norm_cache(idx.norm_byte[doc_id], mode)
@@ -226,7 +278,9 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
         terms = q.get("terms") or analyze_query_text(q["text"])
         if len(terms) == 1:
             return _term_scores(idx, terms[0], boost, mode)
-        return _phrase_scores(idx, terms, boost, mode)
+        return _phrase_scores(idx, terms, boost, mode, slop=int(q.get("slop", 0)))
+    if t == "multi_phrase":
+        return _multi_phrase_scores(idx, q["slots"], boost, mode)
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost
         return {d: v for d in range(idx.max_doc)}
@@ -315,5 +369,120 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
 def top_k(q: dict, idx: OracleIndex, k: int, mode: str = "f32") -> list[tuple[int, float]]:
     """-> [(docID, score)] ordered by (-score, docID), length <= k."""
     scores = eval_query(q, idx, mode=mode)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]
+
+
+def eval_sim(q: dict, idx: OracleIndex, similarity: str = "classic",
+             mode: str = "f32", **sim_params) -> dict[int, float]:
+    """Flat-shape evaluation under a pluggable similarity -- the pure-Python
+    twin of IndexSearcher.search_sim (same combine rules, scalar numpy)."""
+    from .similarities import make_similarity
+
+    sim = make_similarity(similarity, **sim_params)
+    top_boost = q.get("boost", 1.0)
+    if q["type"] == "term":
+        clauses = [("MUST", q["term"], 1.0)]
+        msm = 0
+    elif q["type"] == "boolean":
+        msm = q.get("minShouldMatch", 0)
+        clauses = [
+            (c["occur"], c["query"]["term"], c["query"].get("boost", 1.0))
+            for c in q["clauses"]
+        ]
+    else:
+        raise ValueError(q["type"])
+    musts = [(t, b) for o, t, b in clauses if o == "MUST"]
+    all_shoulds = [(t, b) for o, t, b in clauses if o == "SHOULD"]
+    shoulds = [(t, b) for t, b in all_shoulds if t in idx.postings]
+    must_nots = {t for o, t, _ in clauses if o == "MUST_NOT"}
+    if any(t not in idx.postings for t, _ in musts):
+        return {}
+    if not musts and not shoulds:
+        return {}
+    # maxCoord / classic ssw count absent non-prohibited clauses too
+    max_overlap = len(musts) + len(all_shoulds)
+    scoring = musts + shoulds
+
+    @dataclass
+    class _TS:
+        df: int
+        ttf: int
+
+    stats = {
+        t: _TS(idx.df(t), sum(tf for tf, _ in idx.postings[t].values()))
+        for t, _ in scoring
+    }
+    ctx = {"max_doc": idx.max_doc, "sum_ttf": idx.sum_total_term_freq}
+    if sim.name == "classic":
+        values = sim.term_values(musts + all_shoulds, stats, idx.max_doc, top_boost, mode)
+        fns = {t: sim.scorer(values[t], stats[t], ctx, mode) for t, _ in scoring}
+    else:
+        def _tb(b):
+            return float(f32(f32(b) * f32(top_boost))) if mode == "f32" else b * top_boost
+
+        fns = {t: sim.scorer(_tb(b), stats[t], ctx, mode) for t, b in scoring}
+
+    def leaf(t: str, d: int) -> float | None:
+        entry = idx.postings[t].get(d)
+        if entry is None:
+            return None
+        tf_arr = np.asarray([entry[0]], dtype=np.int64)
+        nb_arr = np.asarray([idx.norm_byte[d]], dtype=np.uint8)
+        return float(fns[t](tf_arr, nb_arr)[0])
+
+    if musts:
+        match = set(idx.postings[musts[0][0]].keys())
+        for t, _ in musts[1:]:
+            match &= set(idx.postings[t].keys())
+    else:
+        match = set()
+        for t, _ in shoulds:
+            match |= set(idx.postings[t].keys())
+    for t in must_nots:
+        match -= set(idx.postings.get(t, {}).keys())
+    need = msm if musts else max(msm, 1)
+    m_order = sorted(range(len(musts)), key=lambda i: (idx.df(musts[i][0]), i))
+    out: dict[int, float] = {}
+    for d in match:
+        matching_should = [leaf(t, d) for t, _ in shoulds]
+        matching_should = [s for s in matching_should if s is not None]
+        if shoulds and need > 0 and len(matching_should) < need:
+            continue
+        if mode == "f32":
+            req = None
+            for i in m_order:
+                v = f32(leaf(musts[i][0], d))
+                req = v if req is None else f32(req + v)
+            if len(matching_should) == 1:
+                opt = f32(matching_should[0])
+            elif matching_should:
+                acc = 0.0
+                for s in matching_should:
+                    acc += float(s)
+                opt = f32(acc)
+            else:
+                opt = None
+            if req is not None and opt is not None:
+                total = f32(req + opt)
+            else:
+                total = req if req is not None else opt
+            if sim.uses_coord and max_overlap > 1:
+                n_matched = len(musts) + len(matching_should)
+                total = f32(total * f32(np.float32(n_matched) / np.float32(max_overlap)))
+            out[d] = float(total)
+        else:
+            req = sum(leaf(musts[i][0], d) for i in m_order) if musts else None
+            opt = sum(matching_should) if matching_should else None
+            total = (req or 0.0) + (opt or 0.0)
+            if sim.uses_coord and max_overlap > 1:
+                total *= (len(musts) + len(matching_should)) / max_overlap
+            out[d] = total
+    return out
+
+
+def top_k_sim(q: dict, idx: OracleIndex, k: int, similarity: str = "classic",
+              mode: str = "f32", **sim_params) -> list[tuple[int, float]]:
+    scores = eval_sim(q, idx, similarity, mode, **sim_params)
     ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
     return [(d, float(s)) for d, s in ranked[:k]]

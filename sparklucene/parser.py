@@ -9,7 +9,7 @@ QueryParserBase.cs:186 Parse, :387 AddClause, :445 GetFieldQuery):
   - clause combination mirrors AddClause exactly: AND upgrades the previous
     non-prohibited clause to MUST; with default OR, mods decide occur
   - grouping (...), boost ^2 / ^0.5
-  - "quoted phrases" (slop ~n rejected: slop > 0 unsupported in v1)
+  - "quoted phrases" and sloppy "phrases"~n (distinct terms only)
   - term text is ANALYZED with the StandardAnalyzer chain
     (GetFieldQuery runs the field analyzer, QueryParserBase.cs:445):
     0 tokens -> clause dropped; 1 token -> TermQuery; >1 -> OR of terms
@@ -182,14 +182,22 @@ class _Parser:
         if m:
             boost = float(m.group(1))
             trail = trail[: m.start()]
+        slop = 0
         if trail.startswith("~") and trail[1:] not in ("", "0"):
-            raise QueryParseError("sloppy phrases (~n with n>0) are not supported in v1")
+            # "..."~n -> sloppy phrase (QueryParserBase.cs:463 slop variant);
+            # repeated-term sloppy phrases are rejected downstream
+            try:
+                slop = int(trail[1:])
+            except ValueError as e:
+                raise QueryParseError(f"bad phrase slop {trail!r}") from e
         terms = analyze_query_text(body)
         if not terms:
             return None
         q: dict = {"type": "phrase", "terms": terms} if len(terms) > 1 else {
             "type": "term", "term": terms[0]
         }
+        if slop and len(terms) > 1:
+            q["slop"] = slop
         if boost != 1.0:
             q["boost"] = boost
         return q

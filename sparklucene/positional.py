@@ -1,0 +1,76 @@
+"""Positional-match kernels shared by the Spark UDFs and the pure-Python
+oracle (no pyspark imports here -- keep this module pure)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+def sloppy_phrase_freq(adj_lists: list[np.ndarray], slop: int, f32: bool = True) -> float:
+    """Sloppy phrase frequency, the reference algorithm for non-repeating
+    phrase terms (SloppyPhraseScorer.cs:101-146 PhraseFreq; PhrasePositions
+    position = raw - offset, PhrasePositions.cs:78-89; queue ordered by
+    (position, offset), PhraseQueue.cs:29-44).  Each match contributes
+    SloppyFreq(matchLength) = 1/(distance+1) (BM25Similarity.cs:74-77 and
+    DefaultSimilarity.cs:144-146); freq accumulates in float32.
+
+    adj_lists[i]: SORTED raw positions of the phrase's i-th term minus i.
+    Requires len(adj_lists) >= 2 and every list non-empty.
+    """
+    import heapq
+
+    heap: list[tuple[int, int, int]] = []  # (position, offset, next_index)
+    end = -(1 << 62)
+    for off, arr in enumerate(adj_lists):
+        pos = int(arr[0])
+        heap.append((pos, off, 1))
+        if pos > end:
+            end = pos
+    heapq.heapify(heap)
+    freq = np.float32(0.0) if f32 else 0.0
+    one = np.float32(1.0)
+    pos, off, idx = heapq.heappop(heap)
+    match_len = end - pos
+    next_pos = heap[0][0]
+    arr = adj_lists[off]
+    while idx < len(arr):  # AdvancePP
+        pos = int(arr[idx])
+        idx += 1
+        if pos > end:
+            end = pos
+        if pos > next_pos:  # done minimizing current match length
+            if match_len <= slop:
+                freq = (
+                    np.float32(freq + one / np.float32(match_len + 1))
+                    if f32 else freq + 1.0 / (match_len + 1)
+                )
+            heapq.heappush(heap, (pos, off, idx))
+            pos, off, idx = heapq.heappop(heap)
+            arr = adj_lists[off]
+            next_pos = heap[0][0]
+            match_len = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq = (
+            np.float32(freq + one / np.float32(match_len + 1))
+            if f32 else freq + 1.0 / (match_len + 1)
+        )
+    return float(freq)
+
+
+def multi_phrase_freq(slot_pos: list[list[np.ndarray]]) -> int:
+    """Exact MultiPhraseQuery frequency: slot_pos[i] = list of raw position
+    arrays of slot i's alternative terms (positions deduplicated by the
+    union, UnionDocsAndPositionsEnum in MultiPhraseQuery.cs).  Returns the
+    number of start positions aligning every slot."""
+    base: set[int] | None = None
+    for i, arrs in enumerate(slot_pos):
+        u: set[int] = set()
+        for arr in arrs:
+            u.update((np.asarray(arr) - i).tolist())
+        base = u if base is None else (base & u)
+        if not base:
+            return 0
+    return len(base) if base else 0

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from .analysis import analyze_query_text
 from .norms import NORM_TABLE
+from .positional import sloppy_phrase_freq  # noqa: F401  (re-exported; UDFs close over it)
 
 K1 = 1.2
 B = 0.75
@@ -55,6 +56,8 @@ def _norm_cache(avgdl_f32: float, mode: str) -> np.ndarray:
 def _idf(df: int, max_doc: int, mode: str) -> float:
     v = math.log(1.0 + (max_doc - df + 0.5) / (df + 0.5))
     return float(np.float32(v)) if mode == "f32" else v
+
+
 
 
 @dataclass
@@ -150,11 +153,15 @@ class IndexSearcher:
 
     # ---- leaf scoring -----------------------------------------------------
     def _scored_postings(
-        self, weights: dict[str, float], mode: str, with_positions: bool = False
+        self, weights: dict[str, float], mode: str, with_positions: bool = False,
+        score_fns: dict | None = None,
     ) -> DataFrame:
         """Decode+score postings of the given terms in one Arrow pass.
         weights: term -> weightValue = boost*idf*(k1+1) (precomputed in mode
-        arithmetic).  Output: (term, docID, tf, score[, positions])."""
+        arithmetic).  With score_fns (term -> callable(tf_arr, norm_byte_arr)
+        -> scores), the callable replaces the BM25 expression -- the hook for
+        pluggable similarities (sparklucene.similarities).
+        Output: (term, docID, tf, score[, positions])."""
         stats_map = self.lookup_terms(list(weights))
         if not stats_map:
             return self._empty_scored(mode, with_positions)
@@ -188,7 +195,9 @@ class IndexSearcher:
                     d, t, nb = decode_block_docs(
                         row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
                     )
-                    if f32:
+                    if score_fns is not None:
+                        sc = score_fns[row.term](t, nb)
+                    elif f32:
                         tfv = t.astype(np.float32)
                         sc = (wv[row.term] * tfv / (tfv + cache[nb])).astype(np.float32)
                     else:
@@ -253,6 +262,13 @@ class IndexSearcher:
             terms = q.get("terms") or analyze_query_text(q["text"])
             sts = self.lookup_terms(terms)
             return min((sts[x].df for x in terms if x in sts), default=0)
+        if t == "multi_phrase":
+            flat = [x for slot in q["slots"] for x in slot]
+            sts = self.lookup_terms(flat)
+            return min(
+                (sum(sts[x].df for x in slot if x in sts) for slot in q["slots"]),
+                default=0,
+            )
         if t == "match_all":
             return self.max_doc
         if t in ("prefix", "wildcard", "fuzzy", "range"):
@@ -282,7 +298,9 @@ class IndexSearcher:
             terms = q.get("terms") or analyze_query_text(q["text"])
             if len(terms) == 1:
                 return self._eval({"type": "term", "term": terms[0]}, boost, mode)
-            return self._eval_phrase(terms, boost, mode)
+            return self._eval_phrase(terms, boost, mode, slop=int(q.get("slop", 0)))
+        if t == "multi_phrase":
+            return self._eval_multi_phrase(q["slots"], boost, mode)
         if t == "match_all":
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
@@ -400,6 +418,13 @@ class IndexSearcher:
                 for c in q["pattern"]
             ) + "$"
             td = td.filter(t.rlike(rx))
+        elif typ == "regexp":
+            # RegexpQuery: the automaton matches the WHOLE term
+            # (AutomatonQuery semantics) -> anchor with a non-capturing group.
+            # Supported subset: the regex features common to Java/Python/RE2
+            # (classes, alternation, quantifiers) -- not Lucene's custom
+            # syntax extensions (~, interval ranges).
+            td = td.filter(t.rlike("^(?:" + q["pattern"] + ")$"))
         elif typ == "fuzzy":
             td = td.filter(
                 F.levenshtein(t, F.lit(q["term"])) <= int(q.get("max_edits", 2))
@@ -605,7 +630,12 @@ class IndexSearcher:
             score = opt_expr
         return True, piv.select("docID", score.alias("score"))
 
-    def _eval_phrase(self, terms: list[str], boost: float, mode: str) -> DataFrame | None:
+    def _eval_phrase(self, terms: list[str], boost: float, mode: str,
+                     slop: int = 0) -> DataFrame | None:
+        if slop > 0 and len(set(terms)) != len(terms):
+            # the reference's repeating-pps machinery (SloppyPhraseScorer
+            # rptGroups, :167-253) is out of scope v1 -- explicit, not wrong
+            raise ValueError("sloppy phrase with repeated terms not supported")
         sts = self.lookup_terms(terms)
         if any(t not in sts for t in terms):
             return None
@@ -647,22 +677,29 @@ class IndexSearcher:
         docs_norm = self.docs().select("docID", "norm_byte")
         grouped = grouped.join(docs_norm, "docID", "inner")
 
+        term_order = list(terms)
+        slop_b = slop
+
         def phrase_score(pdf_iter):
             for pdf in pdf_iter:
                 out_doc, out_score = [], []
                 for row in pdf.itertuples(index=False):
                     pos_by_term = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
-                    base = None
-                    for t, offs in offsets_b.items():
-                        arr = pos_by_term[t]
-                        s = None
-                        for off in offs:
-                            sh = set((arr - off).tolist())
-                            s = sh if s is None else (s & sh)
-                        base = s if base is None else (base & s)
-                        if not base:
-                            break
-                    pf = len(base) if base else 0
+                    if slop_b == 0:
+                        base = None
+                        for t, offs in offsets_b.items():
+                            arr = pos_by_term[t]
+                            s = None
+                            for off in offs:
+                                sh = set((arr - off).tolist())
+                                s = sh if s is None else (s & sh)
+                            base = s if base is None else (base & s)
+                            if not base:
+                                break
+                        pf = float(len(base)) if base else 0.0
+                    else:
+                        adj = [pos_by_term[t] - i for i, t in enumerate(term_order)]
+                        pf = sloppy_phrase_freq(adj, slop_b, f32)
                     if pf <= 0:
                         continue
                     nc = cache[row.norm_byte]
@@ -677,6 +714,74 @@ class IndexSearcher:
                 yield pd.DataFrame({"docID": out_doc, "score": out_score})
 
         return grouped.mapInPandas(phrase_score, schema=out_schema)
+
+    def _eval_multi_phrase(self, slots: list[list[str]], boost: float, mode: str) -> DataFrame | None:
+        """MultiPhraseQuery (exact, slop=0): term alternatives per phrase
+        position (src/Lucene.Net/Search/MultiPhraseQuery.cs).  Each slot's
+        postings form a union enum (UnionDocsAndPositionsEnum, positions
+        deduplicated); phrase freq = #start positions where every slot i has
+        SOME alternative at start+i.  idf = sum of idfs of the slot terms
+        present in the dictionary, in slot order then listed order (the
+        weight binds TermStatistics for every term).  Slots whose terms are
+        all absent can never match."""
+        flat: list[str] = [t for slot in slots for t in slot]
+        sts = self.lookup_terms(flat)
+        kept_slots = [[t for t in slot if t in sts] for slot in slots]
+        if any(not slot for slot in kept_slots):
+            return None
+        ordered = [t for slot in kept_slots for t in slot]
+        if mode == "f32":
+            idf = np.float32(0.0)
+            for t in ordered:
+                idf = np.float32(idf + np.float32(_idf(sts[t].df, self.max_doc, "f32")))
+            wv = float(np.float32(np.float32(idf * np.float32(boost)) * np.float32(K1 + 1.0)))
+        else:
+            idf = sum(_idf(sts[t].df, self.max_doc, "f64") for t in ordered)
+            wv = idf * boost * (K1 + 1.0)
+        uniq = list(dict.fromkeys(ordered))
+        posts = self._scored_postings({t: 1.0 for t in uniq}, mode, with_positions=True)
+        slot_of = [set(slot) for slot in kept_slots]
+        cache = _norm_cache(self.avgdl_f32, mode)
+        ftype = T.FloatType() if mode == "f32" else T.DoubleType()
+        out_schema = T.StructType(
+            [T.StructField("docID", T.LongType()), T.StructField("score", ftype)]
+        )
+        f32 = mode == "f32"
+        wv_b = wv
+
+        grouped = (
+            posts.groupBy("docID")
+            .agg(F.collect_list(F.struct("term", "positions")).alias("plists"))
+            .join(self.docs().select("docID", "norm_byte"), "docID", "inner")
+        )
+
+        def mp_score(pdf_iter):
+            for pdf in pdf_iter:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    pos_by_term = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
+                    base = None
+                    for i, slot_terms in enumerate(slot_of):
+                        u: set[int] = set()
+                        for t in slot_terms:
+                            if t in pos_by_term:
+                                u.update((pos_by_term[t] - i).tolist())
+                        base = u if base is None else (base & u)
+                        if not base:
+                            break
+                    pf = len(base) if base else 0
+                    if pf <= 0:
+                        continue
+                    nc = cache[row.norm_byte]
+                    if f32:
+                        sc = np.float32(np.float32(wv_b) * np.float32(pf) / (np.float32(pf) + nc))
+                    else:
+                        sc = wv_b * pf / (pf + nc)
+                    out_doc.append(row.docID)
+                    out_score.append(sc)
+                yield pd.DataFrame({"docID": out_doc, "score": out_score})
+
+        return grouped.mapInPandas(mp_score, schema=out_schema)
 
     # ---- block-max WAND (batch MaxScore) ------------------------------------
     def _wand_shape(self, query: dict) -> dict[str, float] | None:
@@ -917,3 +1022,132 @@ class IndexSearcher:
             (F.col("score") == after_score) & (F.col("docID") > after_doc)
         )
         return scored.filter(cond).orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def search_sim(self, query: dict, k: int = 10, similarity: str = "classic",
+                   mode: str = "f32", **sim_params) -> DataFrame:
+        """Top-k under a pluggable non-BM25 similarity (ClassicSimilarity /
+        LMDirichletSimilarity / LMJelinekMercerSimilarity -- see
+        sparklucene.similarities for the formulas + citations).
+
+        Supports the flat shapes TermQuery and BooleanQuery-of-TermQuerys
+        (MUST/SHOULD/MUST_NOT + minShouldMatch) with distinct terms; nested
+        trees stay BM25-only.  One postings decode pass scores every clause
+        term via the similarity's vectorized scorer; the combine mirrors the
+        reference: MUST folds float32 in ascending-df order, SHOULD
+        accumulates float64 then casts, and -- classic only -- the total is
+        multiplied by coord(matched, maxOverlap) (skipped when maxOverlap ==
+        1, BooleanQuery.cs LUCENE-4300 note).  Classic term weights carry
+        queryNorm = 1/sqrt(sum of squared clause weights); the LM sims
+        inherit coord = queryNorm = 1 from the Similarity base class."""
+        from .similarities import make_similarity
+
+        sim = make_similarity(similarity, **sim_params)
+        top_boost = query.get("boost", 1.0)
+        if query["type"] == "term":
+            clauses = [("MUST", query["term"], 1.0)]
+            msm = 0
+        elif query["type"] == "boolean":
+            msm = query.get("minShouldMatch", 0)
+            clauses = []
+            for c in query["clauses"]:
+                cq = c["query"]
+                if cq["type"] != "term":
+                    raise ValueError("search_sim supports flat term clauses only")
+                clauses.append((c["occur"], cq["term"], cq.get("boost", 1.0)))
+            if len({t for _, t, _ in clauses}) != len(clauses):
+                raise ValueError("search_sim: duplicate terms across clauses")
+        else:
+            raise ValueError(f"search_sim: unsupported query type {query['type']}")
+
+        ftype = "float" if mode == "f32" else "double"
+        empty = self.spark.createDataFrame([], f"docID long, score {ftype}")
+        stats = self.lookup_terms([t for _, t, _ in clauses])
+        musts = [(t, b) for o, t, b in clauses if o == "MUST"]
+        shoulds = [(t, b) for o, t, b in clauses if o == "SHOULD"]
+        must_nots = [(t, b) for o, t, b in clauses if o == "MUST_NOT"]
+        if any(t not in stats for t, _ in musts):
+            return empty
+        # maxCoord and classic's ssw count EVERY non-prohibited clause,
+        # including terms absent from the index (df=0 TermWeight, null scorer)
+        max_overlap = len(musts) + len(shoulds)
+        all_scoring = musts + shoulds
+        shoulds = [(t, b) for t, b in shoulds if t in stats]
+        must_nots = [(t, b) for t, b in must_nots if t in stats]
+        if not musts and not shoulds:
+            return empty
+        ctx = {"max_doc": self.max_doc, "sum_ttf": self.stats["sum_total_term_freq"]}
+
+        scoring = musts + shoulds
+        if sim.name == "classic":
+            # ssw accumulates in clause order over non-prohibited clauses
+            values = sim.term_values(all_scoring, stats, self.max_doc, top_boost, mode)
+            score_fns = {t: sim.scorer(values[t], stats[t], ctx, mode) for t, _ in scoring}
+        else:
+            def _tb(b):
+                if mode == "f32":
+                    return float(np.float32(np.float32(b) * np.float32(top_boost)))
+                return b * top_boost
+
+            score_fns = {t: sim.scorer(_tb(b), stats[t], ctx, mode) for t, b in scoring}
+        zdt = np.float32 if mode == "f32" else np.float64
+        for t, _ in must_nots:
+            score_fns.setdefault(t, lambda tf, nb: np.zeros(len(tf), dtype=zdt))
+
+        all_terms = [t for t, _ in scoring] + [
+            t for t, _ in must_nots if t not in {x for x, _ in scoring}
+        ]
+        scored = self._scored_postings(
+            dict.fromkeys(all_terms, 1.0), mode, score_fns=score_fns
+        )
+        piv = scored.groupBy("docID").pivot("term", all_terms).agg(F.first("score"))
+
+        def tc(t):
+            return F.col(f"`{t}`")
+
+        need = msm if musts else max(msm, 1)
+        cond = None
+        for t, _ in musts:
+            c = tc(t).isNotNull()
+            cond = c if cond is None else (cond & c)
+        if shoulds and need > 0:
+            n_should = sum((tc(t).isNotNull()).cast("int") for t, _ in shoulds)
+            c = n_should >= F.lit(need)
+            cond = c if cond is None else (cond & c)
+        for t, _ in must_nots:
+            c = tc(t).isNull()
+            cond = c if cond is None else (cond & c)
+        piv = piv.filter(cond) if cond is not None else piv
+
+        m_order = sorted(range(len(musts)), key=lambda i: (stats[musts[i][0]].df, i))
+        req_expr = None
+        for i in m_order:
+            col = tc(musts[i][0])
+            req_expr = col if req_expr is None else (req_expr + col).cast(ftype)
+        opt_expr = None
+        if len(shoulds) == 1:
+            opt_expr = tc(shoulds[0][0])
+        elif shoulds:
+            acc = None
+            for t, _ in shoulds:
+                d = F.coalesce(tc(t).cast("double"), F.lit(0.0))
+                acc = d if acc is None else (acc + d)
+            opt_expr = acc.cast(ftype)
+        if req_expr is not None and opt_expr is not None:
+            any_should = None
+            for t, _ in shoulds:
+                c = tc(t).isNotNull()
+                any_should = c if any_should is None else (any_should | c)
+            score = F.when(any_should, (req_expr + opt_expr).cast(ftype)).otherwise(req_expr)
+        elif req_expr is not None:
+            score = req_expr
+        else:
+            score = opt_expr
+        if sim.uses_coord and max_overlap > 1:
+            n_matched = sum((tc(t).isNotNull()).cast("int") for t, _ in scoring)
+            coord = (n_matched.cast(ftype) / F.lit(float(max_overlap)).cast(ftype)).cast(ftype)
+            score = (score * coord).cast(ftype)
+        return (
+            piv.select("docID", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )

@@ -1,0 +1,199 @@
+"""Pluggable similarities beyond BM25: Classic TF-IDF, LM Dirichlet, LM
+Jelinek-Mercer -- vectorized numpy scorers with the reference's float32
+arithmetic, plugged into the same postings-decode pass as BM25.
+
+Semantics reproduced (citations into /root/reference):
+
+ClassicSimilarity (DefaultSimilarity / TFIDFSimilarity):
+  - idf = (float)(ln(maxDoc/(df+1)) + 1)          DefaultSimilarity.cs:158-160
+  - tf(freq) = (float)sqrt(freq)                  DefaultSimilarity.cs:137-139
+  - decoded norm = byte315ToFloat(norm_byte)      DefaultSimilarity.cs:105-107
+    (the raw small-float ~= 1/sqrt(field_len); SAME stored byte as BM25 --
+     both encode byte315(boost/sqrt(len)), so one index serves all sims)
+  - queryNorm = (float)(1/sqrt(sumOfSquaredWeights))  DefaultSimilarity.cs:78-80
+  - coord(overlap, maxOverlap) = overlap/maxOverlap    DefaultSimilarity.cs:71-73
+    (BooleanWeight skips coord when maxOverlap == 1, BooleanQuery.cs "LUCENE-4300")
+  - per-term: queryWeight = idf*boost; ssw = sum(queryWeight^2) over
+    non-prohibited clauses (BooleanQuery.cs GetValueForNormalization);
+    after Normalize: value = idf^2*boost*queryNorm  (TFIDFSimilarity.IDFStats)
+  - score(doc) = coord * sum over matching clauses of
+        value_t * sqrt(tf) * decodedNorm(doc)      TFIDFSimilarity.TFIDFSimScorer
+
+LMDirichletSimilarity (mu = 2000):                 LMDirichletSimilarity.cs:74-78
+  - p(w|C) = (ttf + 1) / (sumTotalTermFreq + 1)    LMSimilarity.cs:164-167
+  - docLen = NORM_TABLE[norm_byte]  (SimilarityBase decodes the byte into
+    1/(f*f), SimilarityBase.cs:233-246 -- identical to the BM25 table)
+  - score = boost * (float)(ln(1 + tf/(mu*p)) + ln(mu/(docLen+mu))),
+    clamped at 0; matching docs with score 0 still match.
+  - no coord / queryNorm override -> both 1 (SimilarityBase; Similarity.cs
+    defaults), so boolean combine is the plain BM25-style sum.
+
+LMJelinekMercerSimilarity(lambda):                 LMJelinekMercerSimilarity.cs:57-60
+  - score = boost * (float)ln(1 + ((1-lambda)*tf/docLen)/(lambda*p(w|C)))
+
+float32 discipline: inner ratios are computed in float32 (C# float ops),
+the ln() in float64 (Math.Log), the log-sum cast to float32, then
+multiplied by the float32 boost -- mirrored op-for-op in numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .norms import NORM_TABLE, byte315_to_float
+
+# DefaultSimilarity.NORM_TABLE: decoded small-float per byte (~= 1/sqrt(len))
+CLASSIC_NORM_TABLE = byte315_to_float(np.arange(256, dtype=np.uint8))
+
+
+def f32(x) -> np.float32:
+    return np.float32(x)
+
+
+class ClassicSimilarity:
+    """DefaultSimilarity: tf*idf^2*queryNorm*lengthNorm with coord."""
+
+    name = "classic"
+    uses_coord = True
+
+    @staticmethod
+    def idf(df: int, max_doc: int, mode: str) -> float:
+        v = math.log(max_doc / (df + 1.0)) + 1.0
+        return float(np.float32(v)) if mode == "f32" else v
+
+    @staticmethod
+    def query_norm(ssw: float, mode: str) -> float:
+        v = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+        return float(np.float32(v)) if mode == "f32" else v
+
+    def term_values(
+        self, clause_terms: list[tuple[str, float]], stats: dict, max_doc: int,
+        top_boost: float, mode: str,
+    ) -> dict[str, float]:
+        """clause_terms: [(term, boost)] in clause order (non-prohibited
+        first, the ssw accumulation order).  -> {term: weightValue}.
+        Terms absent from the index still contribute to ssw with df=0
+        (Lucene binds a TermWeight with TermStatistics(df=0) and a null
+        scorer -- the queryNorm of present terms reflects them)."""
+        idfs = {
+            t: self.idf(stats[t].df if t in stats else 0, max_doc, mode)
+            for t, _ in clause_terms
+        }
+        if mode == "f32":
+            ssw = f32(0.0)
+            for t, b in clause_terms:
+                if t in idfs:
+                    qw = f32(f32(idfs[t]) * f32(b))
+                    ssw = f32(ssw + f32(qw * qw))
+            ssw = f32(ssw * f32(top_boost) * f32(top_boost))
+            qn = f32(self.query_norm(float(ssw), "f32"))
+            out = {}
+            for t, b in clause_terms:
+                if t not in idfs:
+                    continue
+                qw = f32(f32(idfs[t]) * f32(b))
+                qw2 = f32(qw * f32(qn * f32(top_boost)))
+                out[t] = float(f32(qw2 * f32(idfs[t])))
+            return out
+        ssw = sum((idfs[t] * b) ** 2 for t, b in clause_terms if t in idfs)
+        ssw *= top_boost * top_boost
+        qn = self.query_norm(ssw, "f64")
+        return {
+            t: idfs[t] * b * qn * top_boost * idfs[t]
+            for t, b in clause_terms if t in idfs
+        }
+
+    def scorer(self, value: float, _ts, _ctx, mode: str):
+        if mode == "f32":
+            v = f32(value)
+
+            def sc(tf_arr, nb_arr):
+                tfn = np.sqrt(tf_arr.astype(np.float32)).astype(np.float32)
+                return ((v * tfn).astype(np.float32) * CLASSIC_NORM_TABLE[nb_arr]).astype(np.float32)
+        else:
+            # f64 mode: decoded norm == 1/sqrt(quantized_len) exactly (the
+            # identity NORM_TABLE[b] = 1/f^2), so the DuckDB oracle can
+            # express it from the same (field_len -> qlen) lookup as BM25
+            def sc(tf_arr, nb_arr):
+                return (
+                    value
+                    * np.sqrt(tf_arr.astype(np.float64))
+                    / np.sqrt(NORM_TABLE[nb_arr].astype(np.float64))
+                )
+        return sc
+
+
+class LMDirichletSimilarity:
+    name = "lm_dirichlet"
+    uses_coord = False
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = mu
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        """ts: TermStats; ctx: dict(max_doc, sum_ttf)."""
+        mu = self.mu
+        if mode == "f32":
+            # (ttf + 1F) / (numberOfFieldTokens + 1F), float32 (LMSimilarity.cs:164-167)
+            p = f32((ts.ttf + np.float32(1.0)) / (np.float32(ctx["sum_ttf"]) + np.float32(1.0)))
+            mup = f32(f32(mu) * p)
+            b = f32(boost)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                x = np.float32(1.0) + (tf_arr.astype(np.float32) / mup).astype(np.float32)
+                y = (np.float32(mu) / (dl + np.float32(mu))).astype(np.float32)
+                s = b * (np.log(x.astype(np.float64)) + np.log(y.astype(np.float64))).astype(np.float32)
+                return np.maximum(s, np.float32(0.0)).astype(np.float32)
+        else:
+            pd = (ts.ttf + 1.0) / (ctx["sum_ttf"] + 1.0)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                s = boost * (
+                    np.log1p(tf_arr.astype(np.float64) / (mu * pd))
+                    + np.log(mu / (dl + mu))
+                )
+                return np.maximum(s, 0.0)
+        return sc
+
+
+class LMJelinekMercerSimilarity:
+    name = "lm_jelinek_mercer"
+    uses_coord = False
+
+    def __init__(self, lam: float = 0.7):
+        self.lam = lam
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        lam = self.lam
+        if mode == "f32":
+            p = f32((ts.ttf + np.float32(1.0)) / (np.float32(ctx["sum_ttf"]) + np.float32(1.0)))
+            b = f32(boost)
+            one_m = f32(1.0 - lam)
+            lp = f32(f32(lam) * p)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                ratio = ((one_m * tf_arr.astype(np.float32)).astype(np.float32) / dl).astype(np.float32)
+                x = np.float32(1.0) + (ratio / lp).astype(np.float32)
+                return (b * np.log(x.astype(np.float64)).astype(np.float32)).astype(np.float32)
+        else:
+            pd = (ts.ttf + 1.0) / (ctx["sum_ttf"] + 1.0)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                return boost * np.log1p(((1.0 - lam) * tf_arr.astype(np.float64) / dl) / (lam * pd))
+        return sc
+
+
+def make_similarity(name: str, **params):
+    if name == "classic":
+        return ClassicSimilarity()
+    if name == "lm_dirichlet":
+        return LMDirichletSimilarity(params.get("mu", 2000.0))
+    if name == "lm_jelinek_mercer":
+        return LMJelinekMercerSimilarity(params.get("lam", 0.7))
+    raise ValueError(f"unknown similarity: {name}")

@@ -1,0 +1,106 @@
+"""Sloppy-phrase + multi-phrase kernels: hand-traced fixtures against the
+reference algorithm (SloppyPhraseScorer.cs:101-146) and cross-checks against
+the independent exact-phrase counter."""
+
+import numpy as np
+import pytest
+
+from sparklucene.positional import multi_phrase_freq, sloppy_phrase_freq
+
+
+def adj(*plists):
+    """raw position lists -> offset-adjusted arrays (term i gets -i)."""
+    return [np.asarray(p, dtype=np.int64) - i for i, p in enumerate(plists)]
+
+
+class TestSloppyHandTraced:
+    def test_exact_adjacent(self):
+        # "t1 t2": matchLength 0 -> one match, slop-independent freq 1
+        for slop in range(0, 5):
+            assert sloppy_phrase_freq(adj([0], [1]), slop) == 1.0
+
+    def test_one_gap(self):
+        # "t1 x t2": matchLength 1 -> needs slop >= 1, freq 1/2
+        assert sloppy_phrase_freq(adj([0], [2]), 0) == 0.0
+        assert sloppy_phrase_freq(adj([0], [2]), 1) == 0.5
+        assert sloppy_phrase_freq(adj([0], [2]), 9) == 0.5
+
+    def test_reversed_order(self):
+        # "t2 t1" vs query (t1 t2): transposition costs matchLength 2
+        a = adj([1], [0])
+        assert sloppy_phrase_freq(a, 1) == 0.0
+        assert sloppy_phrase_freq(a, 2) == pytest.approx(1.0 / 3.0)
+
+    def test_multiple_matches_accumulate(self):
+        # doc "t1 t2 z t1 z z t2": t1 @ [0,3], t2 @ [1,6]
+        # traced: slop0 -> 1.0; slop1 -> 1.0; slop2 -> 1+1/3; slop3 -> 1+1/4+1/3
+        a = adj([0, 3], [1, 6])
+        assert sloppy_phrase_freq(a, 0) == 1.0
+        assert sloppy_phrase_freq(a, 1) == 1.0
+        assert sloppy_phrase_freq(a, 2) == pytest.approx(1.0 + 1.0 / 3.0, abs=1e-6)
+        assert sloppy_phrase_freq(a, 3) == pytest.approx(1.0 + 0.25 + 1.0 / 3.0, abs=1e-6)
+
+    def test_three_terms(self):
+        # "t1 t2 t3" exact: 1.0 at slop 0
+        assert sloppy_phrase_freq(adj([0], [1], [2]), 0) == 1.0
+        # "t1 t3 t2": q=(t1,t2,t3) adjusted (0, 0, -1)... needs slop>=2
+        a = adj([0], [2], [1])
+        assert sloppy_phrase_freq(a, 0) == 0.0
+        assert sloppy_phrase_freq(a, 2) == pytest.approx(1.0 / 3.0)
+
+
+def _exact_freq(plists):
+    base = None
+    for i, p in enumerate(plists):
+        s = {x - i for x in p}
+        base = s if base is None else base & s
+    return len(base) if base else 0
+
+
+class TestSloppyProperties:
+    def test_slop0_equals_exact_count(self):
+        """For non-repeating terms, slop=0 sloppy freq == exact phrase count
+        (each exact alignment contributes 1/(0+1))."""
+        rng = np.random.default_rng(7)
+        for _ in range(300):
+            n_terms = int(rng.integers(2, 5))
+            plists = []
+            used = set()
+            ok = True
+            for _t in range(n_terms):
+                k = int(rng.integers(1, 6))
+                pos = sorted(rng.choice(40, size=k, replace=False).tolist())
+                plists.append(pos)
+            if not ok:
+                continue
+            got = sloppy_phrase_freq(adj(*plists), 0)
+            assert got == float(_exact_freq(plists)), plists
+
+    def test_monotone_in_slop(self):
+        rng = np.random.default_rng(11)
+        for _ in range(100):
+            n_terms = int(rng.integers(2, 4))
+            plists = [
+                sorted(rng.choice(30, size=int(rng.integers(1, 5)), replace=False).tolist())
+                for _ in range(n_terms)
+            ]
+            prev = -1.0
+            for slop in range(0, 12):
+                cur = sloppy_phrase_freq(adj(*plists), slop)
+                assert cur >= prev - 1e-7
+                prev = cur
+
+
+class TestMultiPhrase:
+    def test_basic_alternatives(self):
+        # slots [(a|b), c]; a@[0], b@[5], c@[1,6] -> starts {0,5}
+        got = multi_phrase_freq([[np.array([0]), np.array([5])], [np.array([1, 6])]])
+        assert got == 2
+
+    def test_dedup_same_position(self):
+        # both alternatives at position 0 count once (union dedups)
+        got = multi_phrase_freq([[np.array([0]), np.array([0])], [np.array([1])]])
+        assert got == 1
+
+    def test_no_match(self):
+        assert multi_phrase_freq([[np.array([0])], [np.array([5])]]) == 0

@@ -1,0 +1,144 @@
+"""Pluggable similarities (Classic TF-IDF / LMDirichlet / LMJelinekMercer)
+and positional queries (sloppy phrase, multi-phrase): the Spark engine must
+match the pure-Python oracle bit-exactly in float32 mode."""
+
+import struct
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, eval_query, top_k_sim
+from sparklucene.search import IndexSearcher
+
+N_DOCS = 90
+
+
+def f32_hex(x: float) -> str:
+    return struct.pack(">f", x).hex()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(N_DOCS, seed=77)
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    return OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sim_idx"))
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=8))
+    return IndexSearcher(spark, out)
+
+
+def _t(term):
+    return {"type": "term", "term": term}
+
+
+def _b(clauses, msm=0):
+    q = {"type": "boolean", "clauses": [{"occur": o, "query": _t(t)} for o, t in clauses]}
+    if msm:
+        q["minShouldMatch"] = msm
+    return q
+
+
+SIM_QUERIES = [
+    ("single", _t("compute")),
+    ("or3", _b([("SHOULD", "compute"), ("SHOULD", "score"), ("SHOULD", "merge")])),
+    ("and2", _b([("MUST", "compute"), ("MUST", "score")])),
+    ("req_opt_not", _b([("MUST", "merge"), ("SHOULD", "index"), ("MUST_NOT", "w1")])),
+    ("msm2", _b([("SHOULD", "query"), ("SHOULD", "doc"), ("SHOULD", "field")], msm=2)),
+    ("absent_should", _b([("SHOULD", "compute"), ("SHOULD", "zzzzabsent")])),
+]
+
+
+@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "lm_jelinek_mercer"])
+@pytest.mark.parametrize("qid,query", SIM_QUERIES)
+def test_sim_rank_and_score_identical(searcher, oracle_idx, sim, qid, query):
+    k = 25
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search_sim(query, k, similarity=sim, mode="f32").collect()
+    ]
+    want = top_k_sim(query, oracle_idx, k, similarity=sim, mode="f32")
+    assert [d for d, _ in got] == [d for d, _ in want], f"{sim}/{qid} rank mismatch"
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(s2), f"{sim}/{qid} doc {d1}: {s1} != {s2}"
+
+
+def test_classic_coord_scales_partial_matches(searcher, oracle_idx):
+    """coord: a doc matching 2/3 SHOULD clauses is scaled by 2/3 under
+    classic but not under BM25 -- sanity that coord is actually applied."""
+    q = _b([("SHOULD", "compute"), ("SHOULD", "score"), ("SHOULD", "merge")])
+    got = {
+        int(r["docID"]): float(r["score"])
+        for r in searcher.search_sim(q, 500, similarity="classic", mode="f32").collect()
+    }
+    want = top_k_sim(q, oracle_idx, 500, similarity="classic", mode="f32")
+    assert got == dict(want)
+
+
+@pytest.mark.parametrize("slop", [1, 2, 4])
+def test_sloppy_phrase_vs_oracle(searcher, oracle_idx, slop):
+    q = {"type": "phrase", "terms": ["compute", "score"], "slop": slop}
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(q, 50, mode="f32").collect()
+    ]
+    scores = eval_query(q, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(float(s2)), f"slop={slop} doc {d1}"
+
+
+def test_sloppy_supersets_exact(searcher):
+    exact = {"type": "phrase", "terms": ["compute", "score"]}
+    sloppy = {"type": "phrase", "terms": ["compute", "score"], "slop": 3}
+    exact_docs = {int(r["docID"]) for r in searcher.search(exact, 500, mode="f32").collect()}
+    sloppy_docs = {int(r["docID"]) for r in searcher.search(sloppy, 500, mode="f32").collect()}
+    assert exact_docs <= sloppy_docs
+    assert len(sloppy_docs) > len(exact_docs)  # gaps exist in the corpus
+
+
+def test_sloppy_repeated_terms_rejected(searcher):
+    with pytest.raises(ValueError, match="repeated"):
+        searcher.search({"type": "phrase", "terms": ["compute", "compute"], "slop": 2}, 5)
+
+
+def test_multi_phrase_vs_oracle(searcher, oracle_idx):
+    q = {"type": "multi_phrase", "slots": [["compute", "index"], ["score"]]}
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(q, 50, mode="f32").collect()
+    ]
+    scores = eval_query(q, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(float(s2))
+
+
+def test_multi_phrase_covers_single_phrases(searcher):
+    """multi-phrase [a|b] c matches every doc matched by 'a c' or 'b c'."""
+    mp = {"type": "multi_phrase", "slots": [["compute", "index"], ["score"]]}
+    p1 = {"type": "phrase", "terms": ["compute", "score"]}
+    p2 = {"type": "phrase", "terms": ["index", "score"]}
+    mp_docs = {int(r["docID"]) for r in searcher.search(mp, 500).collect()}
+    p_docs = {int(r["docID"]) for r in searcher.search(p1, 500).collect()} | {
+        int(r["docID"]) for r in searcher.search(p2, 500).collect()
+    }
+    assert p_docs <= mp_docs
+
+
+def test_parser_sloppy_phrase():
+    from sparklucene.parser import parse
+
+    q = parse('"compute score"~2')
+    assert q["type"] == "phrase" and q.get("slop") == 2
