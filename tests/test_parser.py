@@ -60,8 +60,8 @@ def test_phrase_and_boost():
     assert parse('"w1 w2"') == {"type": "phrase", "terms": ["w1", "w2"]}
     assert parse('compute^2') == {"type": "term", "term": "compute", "boost": 2.0}
     assert parse('"w1 w2"^3') == {"type": "phrase", "terms": ["w1", "w2"], "boost": 3.0}
-    with pytest.raises(QueryParseError):
-        parse('"w1 w2"~3')
+    assert parse('"w1 w2"~3') == {"type": "phrase", "terms": ["w1", "w2"], "slop": 3}
+    assert parse('"w1 w2"~0') == {"type": "phrase", "terms": ["w1", "w2"]}
 
 
 def test_grouping_boost_and_field():
