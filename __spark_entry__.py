@@ -293,6 +293,32 @@ def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+def _q_regexp_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery under constant-score rewrite (whole-term anchored)."""
+    s = _searcher(spark, sf_dir)
+    df = s._eval({"type": "regexp", "pattern": "s[a-z]*k"}, 1.0, "f64")
+    return df.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggester: prefix completion ranked by df (weight) desc, term asc."""
+    return _searcher(spark, sf_dir).suggest_terms("s", n=10)
+
+
+def _q_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellChecker: terms within Levenshtein 2 of the misspelling 'spakr',
+    ranked (distance, df desc, term)."""
+    return _searcher(spark, sf_dir).spell_suggest("spakr", max_edits=2, n=5)
+
+
+def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomScoreQuery: BM25('merge') * ln(1 + n_chars) (ValueSource =
+    arbitrary column expression)."""
+    s = _searcher(spark, sf_dir)
+    out = s.custom_score(_t("merge"), F.log(F.lit(1.0) + F.col("n_chars")), k=15, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -381,6 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lmjm_or"] = _q_lmjm_or
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["multi_phrase"] = _q_multi_phrase
+    out["regexp_const"] = _q_regexp_const
+    out["suggest_prefix"] = _q_suggest_prefix
+    out["spell_check"] = _q_spell_check
+    out["custom_score"] = _q_custom_score
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
     out["simhash_fp"] = _q_simhash_fp
@@ -670,6 +700,22 @@ jm AS (
 SELECT doc_id, round(sum(s), 4) AS score FROM jm GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
     # sloppy_phrase: greedy alignment not SQL-expressible -> rows-only gate
+    sqls["regexp_const"] = f"""{_prelude()}
+SELECT DISTINCT doc_id, 1.0 AS score FROM posting
+WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
+    sqls["suggest_prefix"] = f"""{_prelude()}
+SELECT term, df FROM tstats WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10"""
+    sqls["spell_check"] = f"""{_prelude()}
+SELECT term, levenshtein(term, 'spakr')::INT AS dist, df
+FROM tstats
+WHERE term <> 'spakr' AND levenshtein(term, 'spakr') <= 2
+ORDER BY dist, df DESC, term LIMIT 5"""
+    sqls["custom_score"] = f"""{_prelude()}
+SELECT s.doc_id, round(s.score * ln(1.0 + d.n_chars), 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'merge'
+ORDER BY s.score * ln(1.0 + d.n_chars) DESC, s.doc_id LIMIT 15"""
     sqls["multi_phrase"] = f"""{_prelude()},
 phr AS (
   SELECT e1.doc_id, count(DISTINCT e1.pos)::INTEGER AS pf

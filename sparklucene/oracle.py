@@ -73,10 +73,14 @@ class OracleIndex:
         return len(self.postings.get(term, {}))
 
     def avgdl(self, mode: str) -> float:
+        """avgdl is stored float32 in BOTH modes -- the reference casts
+        (float)(sumTotalTermFreq/(double)maxDoc) (BM25Similarity.cs:91-102);
+        f64 mode widens that float32 value (matches the engine's
+        avgdl_f32 manifest field and the SQL oracle's REAL cast)."""
         if self.sum_total_term_freq <= 0:
             return f32(1.0) if mode == "f32" else 1.0
-        v = self.sum_total_term_freq / float(self.max_doc)
-        return f32(v) if mode == "f32" else v
+        v = f32(self.sum_total_term_freq / float(self.max_doc))
+        return v if mode == "f32" else float(v)
 
     def idf(self, df: int, mode: str) -> float:
         v = math.log(1.0 + (self.max_doc - df + 0.5) / (df + 0.5))
@@ -229,6 +233,9 @@ def expand_terms(q: dict, idx: OracleIndex) -> list[str]:
             ) + "$"
         )
         return [t for t in terms if rx.match(t)]
+    if typ == "regexp":
+        rx = _re.compile("^(?:" + q["pattern"] + ")$")
+        return [t for t in terms if rx.match(t)]
     if typ == "fuzzy":
         me = int(q.get("max_edits", 2))
         return [t for t in terms if levenshtein(t, q["term"]) <= me]
@@ -255,7 +262,7 @@ def _cost(q: dict, idx: OracleIndex) -> int:
         return min((idx.df(x) for x in terms), default=0)
     if t == "match_all":
         return idx.max_doc
-    if t in ("prefix", "wildcard", "fuzzy", "range"):
+    if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
         return sum(idx.df(x) for x in expand_terms(q, idx))
     if t == "dis_max":
         return sum(_cost(c, idx) for c in q["queries"])
@@ -284,7 +291,7 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost
         return {d: v for d in range(idx.max_doc)}
-    if t in ("prefix", "wildcard", "fuzzy", "range"):
+    if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
         # constant-score rewrite: every matching doc scores boost
         v = f32(boost) if mode == "f32" else boost
         out = {}

@@ -39,6 +39,7 @@ _TOKEN_RE = re.compile(
   | (?P<minus>-)
   | (?P<lparen>\()
   | (?P<rparen>\))
+  | (?P<regex>/[^/\s]+/)
   | (?P<range>[\[{][^\]}]*[\]}])
   | (?P<quoted>"[^"]*")
   | (?P<term>\^[\d.]+|[^\s()+\-!"\[{][^\s()!"\[{]*)
@@ -75,6 +76,7 @@ def _lex(text: str) -> list[tuple[str, str]]:
                 "and": (AND, tok), "or": (OR, tok), "not": (NOT, tok),
                 "plus": (PLUS, tok), "minus": (MINUS, tok),
                 "lparen": (LPAREN, tok), "rparen": (RPAREN, tok),
+                "regex": (TERM, tok),  # /re/ handled in _term
                 "range": (RANGE, tok), "quoted": (QUOTED, tok), "term": (TERM, tok),
             }[kind]
         )
@@ -229,6 +231,12 @@ class _Parser:
         if bm:
             boost = float(bm.group(1))
             tok = tok[: bm.start()]
+        if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
+            # /regex/ -> RegexpQuery (classic QP RegexpQuery production)
+            q = {"type": "regexp", "pattern": tok[1:-1]}
+            if boost != 1.0:
+                q["boost"] = boost
+            return q
         fz = _FUZZY_RE.search(tok)
         if fz:
             base = tok[: fz.start()]

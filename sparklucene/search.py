@@ -271,7 +271,7 @@ class IndexSearcher:
             )
         if t == "match_all":
             return self.max_doc
-        if t in ("prefix", "wildcard", "fuzzy", "range"):
+        if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
             sts = self.lookup_terms(self.expand_terms(q))
             return sum(s.df for s in sts.values())
         if t == "dis_max":
@@ -305,7 +305,7 @@ class IndexSearcher:
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
             return self.docs().select("docID", lit.alias("score"))
-        if t in ("prefix", "wildcard", "fuzzy", "range"):
+        if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
             return self._eval_multi_term(q, boost, mode)
         if t == "dis_max":
             return self._eval_dismax(q, boost, mode)
@@ -995,6 +995,62 @@ class IndexSearcher:
             ],
         }
         return self.search(q, k, mode=mode)
+
+    # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
+    def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
+        """Prefix completion over the terms dictionary, ranked by document
+        frequency as the weight (the Suggest module's pattern: candidate
+        terms weighted by popularity, src/Lucene.Net.Suggest/Suggest/
+        Analyzing/AnalyzingSuggester.cs builds an FST keyed on weight; our
+        term_dict parquet + TakeOrderedAndProject replaces the FST).
+        -> (term, df) ordered by (df desc, term asc)."""
+        td = self._union_read("term_dict").groupBy("term").agg(F.sum("df").alias("df"))
+        if prefix:
+            td = td.filter(F.col("term").startswith(prefix))
+        return td.orderBy(F.desc("df"), F.asc("term")).limit(n)
+
+    def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
+        """SpellChecker analogue (src/Lucene.Net.Suggest/Spell/
+        SpellChecker.cs ranks candidates by string distance then popularity;
+        DirectSpellChecker uses Levenshtein automata): dictionary terms
+        within max_edits classic Levenshtein of `word`, the word itself
+        excluded, ranked (distance asc, df desc, term asc).
+        -> (term, dist, df)."""
+        td = self._union_read("term_dict").groupBy("term").agg(F.sum("df").alias("df"))
+        td = (
+            td.filter(F.col("term") != word)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+            .filter(F.col("dist") <= max_edits)
+        )
+        return td.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n).select(
+            "term", "dist", "df"
+        )
+
+    def custom_score(self, query: dict, value_col, k: int = 10, mode: str = "f64",
+                     combine: str = "multiply") -> DataFrame:
+        """CustomScoreQuery / FunctionQuery analogue
+        (src/Lucene.Net.Queries/CustomScoreQuery.cs -- default
+        ComputeCustomScore multiplies the subquery score by the ValueSource
+        value; FunctionQuery.cs evaluates a ValueSource per doc).
+        `value_col`: any Spark Column over the docs metadata (the ValueSource
+        -- doc values ARE columns here, so arbitrary F-expressions work).
+        Returns top-k (docID, score)."""
+        scored = self._eval(query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        joined = scored.join(self.docs(), "docID")
+        if combine == "multiply":
+            expr = F.col("score") * value_col
+        elif combine == "add":
+            expr = F.col("score") + value_col
+        else:
+            raise ValueError(combine)
+        return (
+            joined.select("docID", expr.cast(ftype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
 
     # ---- public API ---------------------------------------------------------
     def search(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:

@@ -142,3 +142,49 @@ def test_parser_sloppy_phrase():
 
     q = parse('"compute score"~2')
     assert q["type"] == "phrase" and q.get("slop") == 2
+
+
+def test_regexp_expansion_matches_oracle(searcher, oracle_idx):
+    from sparklucene.oracle import expand_terms
+
+    q = {"type": "regexp", "pattern": "c[a-z]+e"}
+    got = sorted(searcher.expand_terms(q))
+    want = sorted(expand_terms(q, oracle_idx))
+    assert got == want and got  # non-empty (compute, ...)
+
+
+def test_suggest_and_spell(searcher, oracle_idx):
+    sugg = [(r["term"], r["df"]) for r in searcher.suggest_terms("co", 10).collect()]
+    want = sorted(
+        ((t, len(p)) for t, p in oracle_idx.postings.items() if t.startswith("co")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert sugg == want
+
+    sp = [(r["term"], r["dist"]) for r in searcher.spell_suggest("computr", 2, 5).collect()]
+    assert sp and sp[0][0] == "compute"
+
+
+def test_custom_score_multiplies(searcher, oracle_idx):
+    import math as m
+
+    from pyspark.sql import functions as FF
+
+    from sparklucene.oracle import eval_query
+
+    out = searcher.custom_score(
+        {"type": "term", "term": "merge"}, FF.log(FF.lit(1.0) + FF.col("field_len")),
+        k=500, mode="f64",
+    )
+    got = {int(r["docID"]): float(r["score"]) for r in out.collect()}
+    base = eval_query({"type": "term", "term": "merge"}, oracle_idx, mode="f64")
+    want = {d: s * m.log(1.0 + oracle_idx.field_len[d]) for d, s in base.items()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+
+
+def test_parser_regexp():
+    from sparklucene.parser import parse
+
+    assert parse("/ab[0-9]+/") == {"type": "regexp", "pattern": "ab[0-9]+"}
