@@ -381,6 +381,22 @@ def _q_ann_lsh(spark, sf_dir):
     return dp.cosine_topk_lsh(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index candidates)."""
+    return dp.ngram_jaccard_pairs(_docs_df(spark, sf_dir), threshold=0.8)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact broadcast-GEMM path."""
+    return dp.embedding_neardup_pairs(_emb_df(spark, sf_dir), threshold=0.35, method="exact")
+
+
+def _q_ann_ivf(spark, sf_dir):
+    # approximate (recall measured vs brute in tests) -> rows-only gate check
+    return dp.cosine_topk_ivf(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir),
+                              k=10, nlist=16, nprobe=4, exclude_ids=(0,))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_topk(name) for name in QUERY_TREES
@@ -421,6 +437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fingerprint"] = _q_fingerprint
     out["ann_brute"] = _q_ann_brute
     out["ann_lsh"] = _q_ann_lsh
+    out["ngram_jaccard"] = _q_ngram_jaccard
+    out["emb_neardup"] = _q_emb_neardup
+    out["ann_ivf"] = _q_ann_ivf
     return out
 
 
@@ -896,5 +915,34 @@ qn AS (SELECT sum(x * x) AS s FROM qx)
 SELECT vec_id, round(dot / (sqrt(nn) * sqrt(s)), 4) AS cos
 FROM d CROSS JOIN qn
 ORDER BY dot / (sqrt(nn) * sqrt(s)) DESC, vec_id LIMIT 10"""
-    # ann_lsh: approximate -> intentionally NO oracle (rows-only gate check)
+    sqls["ngram_jaccard"] = f"""{_dp_prelude()},
+sh AS (
+  SELECT doc_id,
+         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in range(1, len(toks) - 1)]) AS gs
+  FROM dt WHERE len(toks) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs)) AS inter, len(a.gs) AS la, len(b.gs) AS lb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(inter::DOUBLE / (la + lb - inter), 4) AS jaccard
+FROM pairs WHERE inter > 0 AND inter::DOUBLE / (la + lb - inter) >= 0.8"""
+    sqls["emb_neardup"] = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+nn AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT ia AS id_a, ib AS id_b, round(dot / (na.n * nb.n), 4) AS cos
+FROM dots JOIN nn na ON na.vec_id = ia JOIN nn nb ON nb.vec_id = ib
+WHERE dot / (na.n * nb.n) >= 0.35"""
+    # ann_lsh / ann_ivf: approximate -> intentionally NO oracle (rows-only)
     return sqls

@@ -420,3 +420,215 @@ def cosine_topk_lsh(
         emb[id_col].alias(id_col), emb[vec_col].alias(vec_col)
     )
     return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (no MinHash approximation):
+    candidate generation via the shingle inverted index -- any pair with
+    J > 0 shares at least one shingle, so a join on shingle is lossless --
+    then jaccard = |inter| / (|a| + |b| - |inter|) >= threshold.
+    -> (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Scale: two shuffles (explode+self-join on shingle, then pair groupBy).
+    Hot shingles (boilerplate headers) skew the join; AQE skew-join handles
+    moderate cases, and at 100 TB the standard exact-preserving mitigation
+    is to join rare shingles first and cap the candidate multiplicity per
+    shingle only when a pair is already covered by a rarer shingle."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingle_col(text_col, k).alias("gs")
+    ).filter(F.size("gs") > 0)
+    sizes = sh.select("doc_id", F.size("gs").alias("n"))
+    ex = sh.select("doc_id", F.explode("gs").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    joined = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.9, method: str = "exact",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    tables: int = 8, planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cos), a < b,
+    cos >= threshold.
+
+    method='exact': every partition streams against a broadcast matrix of
+    all (normalized) vectors -- one GEMM per Arrow batch, no shuffle.  The
+    broadcast is the scale limit (fine to ~1e6 x small-dim vectors; at
+    100 TB shard the broadcast side into chunked passes or use 'lsh').
+    method='lsh': random-hyperplane sign buckets (candidates = pairs
+    sharing a bucket in ANY table) + exact cosine verify; approximate --
+    recall is measured in tests."""
+    import pandas as pd  # noqa: F811
+
+    rows = emb.select(id_col, vec_col).collect() if method == "exact" else None
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    if method == "exact":
+        all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        spark = emb.sparkSession
+        b_ids = spark.sparkContext.broadcast(all_ids)
+        b_mat = spark.sparkContext.broadcast(matn)
+
+        def pairs(pdf_iter):
+            ids_all, m_all = b_ids.value, b_mat.value
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(np.int64)
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                n = np.sqrt((m * m).sum(axis=1))
+                n[n == 0] = 1.0
+                cos = (m / n[:, None]) @ m_all.T  # (batch, N)
+                ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids_all[None, :]))
+                if len(ii) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {"id_a": ids[ii], "id_b": ids_all[jj], "cos": cos[ii, jj]}
+                )
+
+        out = emb.select(id_col, vec_col).mapInPandas(pairs, schema=out_schema)
+        return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+    if method != "lsh":
+        raise ValueError(method)
+    # LSH candidates -> exact verify
+    dim = len(emb.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, tables, planes, seed=13)
+    bschema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("t", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def bucketize(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            frames = []
+            for t in range(hp.shape[0]):
+                bits = (m @ hp[t].T > 0).astype(np.int64)
+                bucket = np.zeros(len(ids), dtype=np.int64)
+                for p in range(hp.shape[1]):
+                    bucket = (bucket << 1) | bits[:, p]
+                frames.append(pd.DataFrame({"vec_id": ids, "t": t, "bucket": bucket}))
+            yield pd.concat(frames)
+
+    buckets = emb.select(id_col, vec_col).mapInPandas(bucketize, schema=bschema)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a_, v: a_ + v))  # noqa: E731
+    cos = dot / (nrm("va") * nrm("vb"))
+    return (
+        joined.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _kmeans(mat: np.ndarray, nlist: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on normalized vectors (driver-side
+    coarse quantizer training, the IVF pattern: train on a sample, assign
+    everything distributed)."""
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.sqrt((v * v).sum())
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def cosine_topk_ivf(
+    spark: SparkSession, emb: DataFrame, query_vec: list[float], k: int = 10,
+    nlist: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_limit: int = 10_000, exclude_ids: tuple = (),
+) -> DataFrame:
+    """IVF (inverted-file) cosine top-k -- the classic coarse-quantizer ANN:
+      1. train nlist centroids on a driver-side sample (deterministic
+         k-means over normalized vectors);
+      2. assign every vector to its nearest centroid (one broadcast GEMM
+         pass; at scale the list id is a partition key of the stored table,
+         so probes prune partitions);
+      3. probe the nprobe lists nearest the query and exact-re-rank only
+         those candidates.
+    Approximate (recall measured vs brute in tests); deterministic."""
+    sample = emb.select(vec_col).limit(sample_limit).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    centroids = _kmeans(mat / nrm[:, None], nlist)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    probe = set(np.argsort(-(centroids @ (q / qn)))[:nprobe].tolist())
+    b_cent = spark.sparkContext.broadcast(centroids)
+    aschema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("list_id", T.IntegerType())]
+    )
+
+    def assign(pdf_iter):
+        cent = b_cent.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            lists = ((m / n[:, None]) @ cent.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": ids, "list_id": lists})
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, schema=aschema)
+    cand_ids = assigned.filter(F.col("list_id").isin(sorted(probe))).select("vec_id")
+    cand = emb.join(cand_ids, emb[id_col] == cand_ids["vec_id"]).select(
+        emb[id_col].alias(id_col), emb[vec_col].alias(vec_col)
+    )
+    return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)

@@ -125,3 +125,70 @@ def test_ann_lsh_recall(spark, emb_df):
     assert brute[0] == lsh[0] == 7
     recall = len(set(brute) & set(lsh)) / 5
     assert recall >= 0.6
+
+
+def test_ngram_jaccard_exact_pairs(docs_df):
+    """Exact n-gram Jaccard must find the planted near-dup with the exact
+    jaccard value, and agree with brute-force over all pairs."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dp.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert pairs == {(2, 3): round(7 / 9, 4)}
+    # threshold 0: every co-shingle pair appears with exact jaccard
+    low = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dp.ngram_jaccard_pairs(docs_df, threshold=1e-9).collect()
+    }
+
+    def shingles(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    expect = {}
+    for (ia, ta), (ib, tb) in combinations(DOCS, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        if inter:
+            expect[(ia, ib)] = round(inter / (len(sa) + len(sb) - inter), 4)
+    assert low == expect
+
+
+def test_embedding_neardup_exact_and_lsh(spark, emb_df):
+    df, vecs = emb_df
+    m = vecs.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    cos = mn @ mn.T
+    expect = {
+        (i, j): round(float(cos[i, j]), 4)
+        for i, j in combinations(range(60), 2)
+        if cos[i, j] >= 0.6
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dp.embedding_neardup_pairs(df, threshold=0.6, method="exact").collect()
+    }
+    assert got == expect
+    assert (0, 7) in got  # the planted near-duplicate
+    # LSH path: must recover the planted pair; every reported pair is exact-verified
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dp.embedding_neardup_pairs(
+            df, threshold=0.6, method="lsh", tables=10, planes=6
+        ).collect()
+    }
+    assert (0, 7) in lsh
+    assert set(lsh) <= set(expect)
+    for pair, c in lsh.items():
+        assert c == expect[pair]
+
+
+def test_ann_ivf_recall(spark, emb_df):
+    df, vecs = emb_df
+    q = list(map(float, vecs[0]))
+    brute = [r["vec_id"] for r in dp.cosine_topk_brute(df, q, k=5, exclude_ids=(0,)).collect()]
+    ivf = [r["vec_id"] for r in dp.cosine_topk_ivf(spark, df, q, k=5, nlist=8, nprobe=3, exclude_ids=(0,)).collect()]
+    # the planted near-neighbor lands in the query's own list -> always found
+    assert ivf[0] == brute[0] == 7
+    recall = len(set(brute) & set(ivf)) / 5
+    assert recall >= 0.6
