@@ -319,6 +319,36 @@ def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+_DEL_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _q_deletes_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered deletes + merge-time reclaim: delete every doc containing
+    'slow', ForceMergeDeletes, then BM25 'merge' top-10 over the compacted
+    index.  The oracle re-derives the whole index over the surviving docs
+    only -- df/maxDoc/avgdl must all reflect the reclaim."""
+    import shutil
+
+    from sparklucene.segments import SegmentedIndex
+
+    key = os.path.abspath(sf_dir)
+    s = _DEL_SEARCHERS.get(key)
+    if s is None:
+        root = os.path.join(
+            "/tmp/sparklucene_gate_del",
+            f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_"),
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        idx = SegmentedIndex(spark, root, num_buckets=8)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        idx.append(docs, BuildConfig(content_col="text", id_col="doc_id", num_buckets=8))
+        idx.delete_by_term("slow")
+        idx.force_merge()
+        s = idx.searcher()
+        _DEL_SEARCHERS[key] = s
+    return _topk_df(s, _t("merge"), 10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build/reuse the index on sf0.001, run a MUST+SHOULD boolean
     BM25 query, return the top-10 (driver checks rows>0, stable schema)."""
@@ -423,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lmjm_or"] = _q_lmjm_or
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["multi_phrase"] = _q_multi_phrase
+    out["deletes_merged"] = _q_deletes_merged
     out["regexp_const"] = _q_regexp_const
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
@@ -456,7 +487,7 @@ def _normmap_values() -> str:
     return ", ".join(f"({b}, {lo}, {hi}, {eff!r})" for b, lo, hi, eff in rows)
 
 
-def _prelude() -> str:
+def _prelude(doc_src: str = "documents") -> str:
     """Shared CTEs: tokenize -> postings -> per-doc norms -> global stats.
 
     Mirrors the engine bit-for-bit in float64:
@@ -470,11 +501,12 @@ def _prelude() -> str:
       - term score = idf*2.2*tf/(tf + norm_cache)  [2.2 = k1+1].
     """
     return f"""
-WITH toks AS (
+WITH srcdocs AS (SELECT * FROM {doc_src}),
+toks AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS tok,
          generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-  FROM documents
+  FROM srcdocs
 ),
 emitted AS (
   SELECT doc_id, lower(tok) AS term, pos
@@ -483,7 +515,7 @@ emitted AS (
 ),
 doclen AS (
   SELECT d.doc_id, count(e.term)::BIGINT AS field_len
-  FROM documents d LEFT JOIN emitted e USING (doc_id)
+  FROM srcdocs d LEFT JOIN emitted e USING (doc_id)
   GROUP BY d.doc_id
 ),
 stats AS (
@@ -680,6 +712,14 @@ SELECT doc_id, field_len, norm_byte::INTEGER AS norm_byte FROM norms"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10"""
+    live_src = (
+        "(SELECT * FROM documents WHERE NOT list_contains("
+        "list_transform(string_split(text, ' '), x -> lower(x)), 'slow'))"
+    )
+    sqls["deletes_merged"] = f"""{_prelude(live_src)}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 10"""
     sqls["classic_term"] = f"""{_prelude()}
 SELECT p.doc_id,
        round((ln(s.max_doc / (t.df + 1.0)) + 1.0) * sqrt(p.tf) / sqrt(n.qlen), 4) AS score

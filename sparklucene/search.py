@@ -86,6 +86,7 @@ class IndexSearcher:
         self._seg_dirs = [index_dir]
         self._init_from_stats()
         self._term_cache: dict[str, TermStats | None] = {}
+        self._deleted_ids: np.ndarray | None = None
 
     def _init_from_stats(self) -> None:
         self.max_doc: int = self.stats["max_doc"]
@@ -104,7 +105,20 @@ class IndexSearcher:
         self._seg_dirs = list(seg_dirs)
         self._init_from_stats()
         self._term_cache = {}
+        self._deleted_ids = None
         return self
+
+    def set_live_docs(self, deleted_ids) -> None:
+        """Install a deletes set (liveDocs complement).  Deleted docs are
+        excluded from every match path; collection/term statistics keep
+        counting them until a merge reclaims the space -- exactly the
+        reference's buffered-deletes semantics (deletes live as per-segment
+        bitsets, Lucene40LiveDocsFormat.cs:69; df/maxDoc shrink only at
+        merge).  Like Lucene's in-RAM bitsets, the set is driver-resident
+        and shipped to executors in task closures; at 100 TB scale a
+        roaring-bitmap broadcast replaces the plain array."""
+        arr = np.asarray(sorted(set(int(x) for x in deleted_ids)), dtype=np.int64)
+        self._deleted_ids = arr if arr.size else None
 
     def _union_read(self, subdir: str) -> DataFrame:
         dfs = [
@@ -149,6 +163,11 @@ class IndexSearcher:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if self._deleted_ids is not None:
+            dels = self.spark.createDataFrame(
+                [(int(x),) for x in self._deleted_ids], "docID long"
+            )
+            out = out.join(F.broadcast(dels), "docID", "left_anti")
         return out
 
     # ---- leaf scoring -----------------------------------------------------
@@ -185,6 +204,7 @@ class IndexSearcher:
             fields.append(T.StructField("positions", T.ArrayType(T.IntegerType())))
         out_schema = T.StructType(fields)
         f32 = mode == "f32"
+        deleted = self._deleted_ids
 
         def decode_score(pdf_iter):
             from .codec import decode_block_docs, decode_block_positions
@@ -195,6 +215,11 @@ class IndexSearcher:
                     d, t, nb = decode_block_docs(
                         row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
                     )
+                    keep = None
+                    if deleted is not None:
+                        keep = ~np.isin(d, deleted, assume_unique=True)
+                        if not keep.any():
+                            continue
                     if score_fns is not None:
                         sc = score_fns[row.term](t, nb)
                     elif f32:
@@ -213,6 +238,12 @@ class IndexSearcher:
                         pos = decode_block_positions(t, row.pos_blob)
                         splits = np.cumsum(t)[:-1]
                         o["positions"] = np.split(pos.astype(np.int32), splits)
+                    if keep is not None:
+                        o = {
+                            k: (v[keep] if isinstance(v, np.ndarray) else
+                                [x for x, kp in zip(v, keep) if kp])
+                            for k, v in o.items()
+                        }
                     outs.append(pd.DataFrame(o))
                 yield pd.concat(outs) if outs else pd.DataFrame(
                     {f.name: [] for f in out_schema.fields}
@@ -933,6 +964,7 @@ class IndexSearcher:
         )
         f32 = mode == "f32"
         cand = restrict_docs
+        deleted = self._deleted_ids
 
         def decode_score(pdf_iter):
             from .codec import decode_block_docs
@@ -947,6 +979,11 @@ class IndexSearcher:
                     d, t, nb = decode_block_docs(
                         row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
                     )
+                    if deleted is not None:
+                        keep = ~np.isin(d, deleted, assume_unique=True)
+                        if not keep.any():
+                            continue
+                        d, t, nb = d[keep], t[keep], nb[keep]
                     if cand is not None:
                         keep = np.isin(d, cand, assume_unique=True)
                         if not keep.any():

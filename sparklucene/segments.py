@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .build import BLOCK_SCHEMA, BuildConfig, build_index
 from .search import IndexSearcher
@@ -138,10 +139,13 @@ class TieredMergePolicy:
 # segment merge job (vectorized stream merge, no per-posting shuffle)
 # ---------------------------------------------------------------------------
 
-def _merge_blocks_udf():
+def _merge_blocks_udf(deleted: np.ndarray | None = None):
     """mapInArrow over block rows sorted by (bucket, term, first_docid):
     decodes every blob column in ONE vectorized pass, re-blocks to 128 docs,
-    salt reset to 0 (salting is a build-shuffle concern, not a storage one)."""
+    salt reset to 0 (salting is a build-shuffle concern, not a storage one).
+    With `deleted` (sorted int64 docIDs), deleted postings are dropped
+    during the merge -- the liveDocs-reclaim step of SegmentMerger
+    (SegmentMerger.cs:90-122 skips !liveDocs.Get(doc))."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -218,16 +222,20 @@ def _merge_blocks_udf():
         rank_of_row = np.empty(n_rows, dtype=np.int64)
         rank_of_row[row_order] = np.arange(n_rows)
         post_order = np.lexsort((doc_ids, rank_of_row[row_of_post]))
+        if deleted is not None and deleted.size:
+            post_order = post_order[~np.isin(doc_ids[post_order], deleted)]
 
         doc_s = doc_ids[post_order]
         tf_s = tfs[post_order]
         nb_s = norms[post_order]
         row_s = row_of_post[post_order]
         term_s = row_term[row_s]
-        gc = np.empty(N, dtype=bool)
-        if N:
-            gc[0] = True
-            gc[1:] = term_s[1:] != term_s[:-1]
+        n_live = doc_s.size
+        if n_live == 0:
+            return
+        gc = np.empty(n_live, dtype=bool)
+        gc[0] = True
+        gc[1:] = term_s[1:] != term_s[:-1]
 
         # positions: re-slice the stream per posting in the new order
         lens = post_byte_offs[1:] - post_byte_offs[:-1]
@@ -389,10 +397,56 @@ class SegmentedIndex:
     def searcher(self) -> IndexSearcher:
         """NRT-style reopen: a fresh searcher over the current segment set
         (DirectoryReader.Open(IndexWriter) / SearcherManager.MaybeRefresh
-        analogue -- new segments are visible after each append/merge)."""
-        return IndexSearcher.over_segments(
+        analogue -- new segments are visible after each append/merge), with
+        buffered deletes applied as a liveDocs filter."""
+        s = IndexSearcher.over_segments(
             self.spark, [self._seg_dir(s.name) for s in self.segments], self.global_stats()
         )
+        dels = self.deleted_ids()
+        if dels:
+            s.set_live_docs(dels)
+        return s
+
+    # -- deletes (buffered, liveDocs semantics) -----------------------------
+    def _deletes_dir(self) -> str:
+        return os.path.join(self.root, "deletes")
+
+    def deleted_ids(self) -> list[int]:
+        d = self._deletes_dir()
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return []
+        return sorted(
+            int(r["docID"])
+            for r in self.spark.read.parquet(d).select("docID").distinct().collect()
+        )
+
+    def delete_by_term(self, term: str) -> int:
+        """IndexWriter.DeleteDocuments(Term) analogue (IndexWriter.cs
+        delete-by-term path): marks every doc whose content contains `term`
+        deleted.  Deletes are buffered (stats untouched); space + stats are
+        reclaimed at the next merge touching those docs."""
+        return self.delete_by_query({"type": "term", "term": term})
+
+    def delete_by_query(self, query: dict) -> int:
+        """Delete-by-query: evaluate against the current live view, append
+        matched docIDs to the deletes store.  -> number of newly matched
+        docs."""
+        s = self.searcher()
+        matched = s._eval(query, 1.0, "f64")
+        if matched is None:
+            return 0
+        ids = matched.select("docID").distinct()
+        n = ids.count()
+        if n:
+            ids.write.mode("append").parquet(self._deletes_dir())
+        return n
+
+    @property
+    def num_docs(self) -> int:
+        """Live doc count (maxDoc - deletions), the NumDocs/MaxDoc split."""
+        return self.max_doc - len(self.deleted_ids())
 
     # -- merge --------------------------------------------------------------
     def maybe_merge(self) -> list[list[str]]:
@@ -409,14 +463,21 @@ class SegmentedIndex:
                 done.append(names)
 
     def force_merge(self) -> str | None:
-        """Merge everything into one segment (ForceMerge(1))."""
-        if len(self.segments) <= 1:
+        """Merge everything into one segment (ForceMerge(1)); a single
+        segment is still rewritten when buffered deletes exist
+        (ForceMergeDeletes semantics)."""
+        if not self.segments:
+            return None
+        if len(self.segments) == 1 and not self.deleted_ids():
             return None
         names = [s.name for s in self.segments]
         return self._merge(names)
 
     def _merge(self, names: list[str]) -> str:
         t0 = time.time()
+        all_names_before = {s.name for s in self.segments}
+        dels = self.deleted_ids()
+        deleted = np.asarray(dels, dtype=np.int64) if dels else None
         name = f"seg{self.counter:06d}"
         self.counter += 1
         out = self._seg_dir(name)
@@ -430,18 +491,28 @@ class SegmentedIndex:
         merged = (
             blocks.repartition(max(cores, self.num_buckets // 4), "bucket")
             .sortWithinPartitions("bucket", "term", "first_docid")
-            .mapInArrow(_merge_blocks_udf(), schema=BLOCK_SCHEMA)
+            .mapInArrow(_merge_blocks_udf(deleted), schema=BLOCK_SCHEMA)
         )
         merged.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(out, "postings"))
 
-        td = None
-        for d in dirs:
-            t = self.spark.read.parquet(os.path.join(d, "term_dict"))
-            td = t if td is None else td.unionByName(t)
+        if deleted is None:
+            # no deletes: per-term stats are pure sums of the input dicts
+            td = None
+            for d in dirs:
+                t = self.spark.read.parquet(os.path.join(d, "term_dict"))
+                td = t if td is None else td.unionByName(t)
+            td = td.groupBy("term", "bucket").agg(
+                F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf")
+            )
+        else:
+            # deletes reclaimed: recount df/ttf/max_tf from the merged
+            # postings (one decode pass; this is where df finally shrinks,
+            # matching Lucene's merge-time stats refresh)
+            td = self._recount_term_dict(
+                self.spark.read.parquet(os.path.join(out, "postings"))
+            )
         (
-            td.groupBy("term", "bucket")
-            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf"))
-            .repartition(max(self.num_buckets // 4, 1), "bucket")
+            td.repartition(max(self.num_buckets // 4, 1), "bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(out, "term_dict"))
@@ -456,12 +527,26 @@ class SegmentedIndex:
             if "postings" in dd.columns:
                 dd = dd.drop("postings")
             docs = dd if docs is None else docs.unionByName(dd)
+        if deleted is not None:
+            dels_df = self.spark.createDataFrame(
+                [(int(x),) for x in deleted], "docID long"
+            )
+            docs = docs.join(F.broadcast(dels_df), "docID", "left_anti")
         docs.write.mode("overwrite").parquet(os.path.join(out, "docs"))
 
         merged_infos = [s for s in self.segments if s.name in set(names)]
+        if deleted is None:
+            merged_max_doc = sum(s.n_docs for s in merged_infos)
+            merged_sttf = sum(s.sum_field_len for s in merged_infos)
+        else:
+            agg = self.spark.read.parquet(os.path.join(out, "docs")).agg(
+                F.count("*").alias("n"), F.sum("field_len").alias("s")
+            ).collect()[0]
+            merged_max_doc = int(agg["n"] or 0)
+            merged_sttf = int(agg["s"] or 0)
         st = {
-            "max_doc": sum(s.n_docs for s in merged_infos),
-            "sum_total_term_freq": sum(s.sum_field_len for s in merged_infos),
+            "max_doc": merged_max_doc,
+            "sum_total_term_freq": merged_sttf,
             "avgdl_f32": 0.0,  # per-segment avgdl unused; global stats rule
             "hot_terms": {},
             "num_buckets": self.num_buckets,
@@ -483,4 +568,43 @@ class SegmentedIndex:
         self._publish()
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+        if deleted is not None and set(names) == all_names_before:
+            # every segment was merged -> all buffered deletes are applied;
+            # drop the deletes store (partial merges keep it: remaining
+            # segments may still hold deleted docs; stale ids are harmless)
+            shutil.rmtree(self._deletes_dir(), ignore_errors=True)
         return name
+
+    def _recount_term_dict(self, postings_df: DataFrame) -> DataFrame:
+        """Recompute (term, bucket) -> df/ttf/max_tf by decoding block
+        blobs (used after delete-applying merges)."""
+        from .codec import decode_block_docs
+
+        schema = T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("ttf", T.LongType()),
+                T.StructField("max_tf", T.IntegerType()),
+            ]
+        )
+
+        def count(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    _d, t, _nb = decode_block_docs(
+                        row.first_docid, row.num_docs, row.doc_blob,
+                        row.tf_blob, row.norm_blob,
+                    )
+                    rows.append(
+                        (row.term, int(row.bucket), len(t), int(t.sum()), int(t.max()))
+                    )
+                yield pd.DataFrame(rows, columns=["term", "bucket", "df", "ttf", "max_tf"])
+
+        return postings_df.mapInPandas(count, schema=schema).groupBy("term", "bucket").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf")
+        )

@@ -1,0 +1,127 @@
+"""Buffered deletes (liveDocs semantics): deleted docs vanish from every
+match path immediately, statistics stay until a merge reclaims them, and a
+delete-applying merge recounts df/maxDoc -- the reference's
+IndexWriter.DeleteDocuments / SegmentMerger behavior."""
+
+import pytest
+
+from sparklucene.build import BuildConfig
+from sparklucene.corpus import make_corpus
+from sparklucene.segments import SegmentedIndex, TieredMergePolicy
+
+
+@pytest.fixture()
+def seg_idx(spark, tmp_path):
+    idx = SegmentedIndex(
+        spark, str(tmp_path / "lsm"), num_buckets=8,
+        policy=TieredMergePolicy(floor_segment_bytes=1),
+    )
+    corpus = make_corpus(60, seed=21)
+    cfg = BuildConfig(order_cols=("repo", "path"), num_buckets=8)
+    idx.append(spark.createDataFrame(corpus[:30]), cfg)
+    idx.append(spark.createDataFrame(corpus[30:]), cfg)
+    return idx
+
+
+def _hits(searcher, term, k=500):
+    return {
+        int(r["docID"]): float(r["score"])
+        for r in searcher.search({"type": "term", "term": term}, k, mode="f32").collect()
+    }
+
+
+def test_delete_excludes_matches_but_keeps_stats(seg_idx):
+    before = _hits(seg_idx.searcher(), "compute")
+    victims = {
+        int(r["docID"])
+        for r in seg_idx.searcher()
+        ._eval({"type": "term", "term": "score"}, 1.0, "f64")
+        .collect()
+    }
+    n = seg_idx.delete_by_term("score")
+    assert n == len(victims) > 0
+    after = _hits(seg_idx.searcher(), "compute")
+    # surviving docs keep the EXACT same scores (stats untouched pre-merge)
+    assert after == {d: s for d, s in before.items() if d not in victims}
+    assert seg_idx.num_docs == seg_idx.max_doc - len(victims)
+    # match_all + collectors exclude deleted docs too
+    s = seg_idx.searcher()
+    assert s.count({"type": "match_all"}) == seg_idx.num_docs
+
+
+def test_delete_by_query_and_double_delete(seg_idx):
+    n1 = seg_idx.delete_by_term("merge")
+    n2 = seg_idx.delete_by_term("merge")  # already gone from the live view
+    assert n1 > 0 and n2 == 0
+    assert _hits(seg_idx.searcher(), "merge") == {}
+
+
+def test_merge_reclaims_deletes_and_recounts_stats(seg_idx):
+    victims = {
+        int(r["docID"])
+        for r in seg_idx.searcher()
+        ._eval({"type": "term", "term": "score"}, 1.0, "f64")
+        .collect()
+    }
+    seg_idx.delete_by_term("score")
+    pre_merge = _hits(seg_idx.searcher(), "compute")
+    seg_idx.force_merge()
+    assert len(seg_idx.segments) == 1
+    assert seg_idx.max_doc == seg_idx.num_docs  # deletes fully applied
+    s = seg_idx.searcher()
+    assert s._deleted_ids is None  # deletes store cleared after full merge
+    # same docs match; scores CHANGE because df/maxDoc/avgdl were recounted
+    post_merge = _hits(s, "compute")
+    assert set(post_merge) == set(pre_merge)
+    # df of the deleted term is now 0
+    assert s.lookup_terms(["score"]) == {}
+    # postings of survivors are intact: term_dict df equals match count
+    st = s.lookup_terms(["compute"])["compute"]
+    assert st.df == len(post_merge)
+    # no victim left anywhere
+    assert not victims & {int(r["docID"]) for r in s.docs().select("docID").collect()}
+
+
+def test_merged_index_scores_equal_fresh_build(spark, tmp_path):
+    """After delete + full merge, results must equal an index built from
+    scratch WITHOUT the deleted docs (the strongest reclaim invariant)."""
+    corpus = make_corpus(50, seed=33)
+    cfg = BuildConfig(order_cols=("repo", "path"), num_buckets=8)
+    idx = SegmentedIndex(spark, str(tmp_path / "a"), num_buckets=8)
+    idx.append(spark.createDataFrame(corpus), cfg)
+    victims = {
+        int(r["docID"])
+        for r in idx.searcher()._eval({"type": "term", "term": "merge"}, 1.0, "f64").collect()
+    }
+    idx.delete_by_term("merge")
+    idx.force_merge()
+
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    kept_rows = [r for i, r in enumerate(ordered) if i not in victims]
+    idx2 = SegmentedIndex(spark, str(tmp_path / "b"), num_buckets=8)
+    # mint the SAME docIDs by keeping the original ordering positions
+    df2 = spark.createDataFrame(
+        [dict(r, doc_id=i) for i, r in enumerate(ordered) if i not in victims]
+    )
+    idx2.append(df2, BuildConfig(id_col="doc_id", num_buckets=8))
+    assert len(kept_rows) == idx2.max_doc
+
+    for term in ["compute", "index", "query"]:
+        a = _hits(idx.searcher(), term)
+        b = _hits(idx2.searcher(), term)
+        assert a == b, term
+
+
+def test_wand_equals_exhaustive_with_deletes(seg_idx):
+    seg_idx.delete_by_term("score")
+    s = seg_idx.searcher()
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "compute"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "merge"}},
+        ],
+    }
+    ex = [(int(r["docID"]), float(r["score"])) for r in s.search(q, 10, mode="f32").collect()]
+    wd = [(int(r["docID"]), float(r["score"])) for r in s.search_wand(q, 10, mode="f32").collect()]
+    assert ex == wd
