@@ -319,6 +319,34 @@ def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearSpansOrdered (table..hash within slop 3, in order).  The greedy
+    minimal-slop span production (NearSpansOrdered.cs) is not
+    ANSI-SQL-expressible -> rows-only gate; exactness is pytest-verified
+    against reference-derived golden spans (tests/test_spans.py)."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "span_near", "terms": ["table", "hash"], "slop": 3, "in_order": True}
+    return _topk_df(s, q, 15)
+
+
+def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery: 'spark' spans ending within the first 5 positions."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "span_first", "term": "spark", "end": 5}, 15)
+
+
+def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery: 'merge' spans not overlapping a 'slow' span."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "span_not", "include": "merge", "exclude": "slow"}, 15)
+
+
+def _q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanOrQuery: union of 'window'/'vector' spans (duplicates kept)."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "span_or", "terms": ["window", "vector"]}, 15)
+
+
 _DEL_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -454,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["multi_phrase"] = _q_multi_phrase
     out["deletes_merged"] = _q_deletes_merged
+    out["span_near"] = _q_span_near
+    out["span_first"] = _q_span_first
+    out["span_not"] = _q_span_not
+    out["span_or"] = _q_span_or
     out["regexp_const"] = _q_regexp_const
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
@@ -712,6 +744,54 @@ SELECT doc_id, field_len, norm_byte::INTEGER AS norm_byte FROM norms"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10"""
+    # span scoring: freq = count_of_spans / 2 (each term span has
+    # end-start == 1 -> sloppyFreq 1/2, SpanScorer.cs:79-98)
+    sqls["span_first"] = f"""{_prelude()},
+phr AS (
+  SELECT doc_id, count(*)::DOUBLE / 2.0 AS pf
+  FROM emitted WHERE term = 'spark' AND pos + 1 <= 5
+  GROUP BY doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5)) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term = 'spark'
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["span_not"] = f"""{_prelude()},
+phr AS (
+  SELECT e.doc_id, count(*)::DOUBLE / 2.0 AS pf
+  FROM emitted e
+  WHERE e.term = 'merge' AND NOT EXISTS (
+    SELECT 1 FROM emitted x
+    WHERE x.doc_id = e.doc_id AND x.term = 'slow' AND x.pos = e.pos)
+  GROUP BY e.doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5)) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term = 'merge'
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["span_or"] = f"""{_prelude()},
+phr AS (
+  SELECT doc_id, count(*)::DOUBLE / 2.0 AS pf
+  FROM emitted WHERE term IN ('window', 'vector')
+  GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('window', 'vector')
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    # span_near: greedy minimal-slop spans not SQL-expressible -> rows-only
     live_src = (
         "(SELECT * FROM documents WHERE NOT list_contains("
         "list_transform(string_split(text, ' '), x -> lower(x)), 'slow'))"

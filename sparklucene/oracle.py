@@ -203,6 +203,78 @@ def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
     return out
 
 
+def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int, float]:
+    """Span query twin (same kernels as the engine UDF; see
+    search._eval_span for the semantics + citations)."""
+    from .positional import span_freq_f32, span_near_ordered_spans
+
+    t = q["type"]
+    if t == "span_near":
+        if not q.get("in_order", True):
+            raise ValueError("unordered span_near not supported in v1")
+        req, w_terms = list(q["terms"]), list(q["terms"])
+    elif t == "span_first":
+        req, w_terms = [q["term"]], [q["term"]]
+    elif t == "span_not":
+        req, w_terms = [q["include"]], [q["include"]]
+    else:
+        req = []
+        w_terms = [x for x in q["terms"] if x in idx.postings]
+        if not w_terms:
+            return {}
+    if any(x not in idx.postings for x in req):
+        return {}
+    if mode == "f32":
+        idf = f32(0.0)
+        for x in w_terms:
+            idf = f32(idf + idx.idf(idx.df(x), "f32"))
+        wv = f32(f32(f32(idf) * f32(boost)) * f32(K1 + 1.0))
+    else:
+        idf = sum(idx.idf(idx.df(x), "f64") for x in w_terms)
+        wv = idf * boost * (K1 + 1.0)
+    if t == "span_or":
+        cand = set()
+        for x in w_terms:
+            cand |= set(idx.postings[x].keys())
+    else:
+        cand = set(idx.postings[req[0]].keys())
+        for x in req[1:]:
+            cand &= set(idx.postings[x].keys())
+        if t == "span_near":
+            for x in q["terms"]:
+                cand &= set(idx.postings.get(x, {}).keys())
+    out: dict[int, float] = {}
+    for d in cand:
+        if t == "span_near":
+            spans = span_near_ordered_spans(
+                [np.asarray(idx.postings[x][d][1]) for x in q["terms"]],
+                int(q.get("slop", 0)),
+            )
+        elif t == "span_first":
+            spans = [
+                (p, p + 1) for p in idx.postings[q["term"]][d][1] if p + 1 <= int(q["end"])
+            ]
+        elif t == "span_not":
+            excl = set(idx.postings.get(q["exclude"], {}).get(d, (0, []))[1])
+            spans = [(p, p + 1) for p in idx.postings[q["include"]][d][1] if p not in excl]
+        else:
+            spans = sorted(
+                (p, p + 1)
+                for x in w_terms
+                if d in idx.postings[x]
+                for p in idx.postings[x][d][1]
+            )
+        if not spans:
+            continue
+        freq = span_freq_f32(spans, mode == "f32")
+        nc = idx.norm_cache(idx.norm_byte[d], mode)
+        if mode == "f32":
+            out[d] = f32(wv * f32(freq) / (f32(freq) + nc))
+        else:
+            out[d] = wv * freq / (freq + nc)
+    return out
+
+
 def levenshtein(a: str, b: str) -> int:
     """Classic Levenshtein (matches Spark's builtin; the reference FuzzyQuery
     additionally counts transpositions -- documented divergence)."""
@@ -264,6 +336,18 @@ def _cost(q: dict, idx: OracleIndex) -> int:
         return idx.max_doc
     if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
         return sum(idx.df(x) for x in expand_terms(q, idx))
+    if t == "multi_phrase":
+        return min(
+            (sum(idx.df(x) for x in slot) for slot in q["slots"]), default=0
+        )
+    if t == "span_near":
+        return min((idx.df(x) for x in q["terms"]), default=0)
+    if t == "span_first":
+        return idx.df(q["term"])
+    if t == "span_not":
+        return idx.df(q["include"])
+    if t == "span_or":
+        return sum(idx.df(x) for x in q["terms"])
     if t == "dis_max":
         return sum(_cost(c, idx) for c in q["queries"])
     if t == "boolean":
@@ -288,6 +372,8 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
         return _phrase_scores(idx, terms, boost, mode, slop=int(q.get("slop", 0)))
     if t == "multi_phrase":
         return _multi_phrase_scores(idx, q["slots"], boost, mode)
+    if t in ("span_near", "span_first", "span_not", "span_or"):
+        return _span_scores(idx, q, boost, mode)
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost
         return {d: v for d in range(idx.max_doc)}

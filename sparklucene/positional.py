@@ -74,3 +74,88 @@ def multi_phrase_freq(slot_pos: list[list[np.ndarray]]) -> int:
         if not base:
             return 0
     return len(base) if base else 0
+
+
+def span_near_ordered_spans(
+    pos_lists: list[np.ndarray], slop: int
+) -> list[tuple[int, int]]:
+    """NearSpansOrdered over term sub-spans within ONE document -- a faithful
+    port of the reference algorithm (NearSpansOrdered.cs: AdvanceAfterOrdered
+    :267-280, StretchToOrder :340-360, ShrinkToAfterShortestMatch :363-455;
+    ordering rule DocSpansOrdered :318-338).  Term spans are (p, p+1) per
+    position p; matches are minimal-slop ordered alignments where only
+    non-overlapping gaps add to slop.  -> [(matchStart, matchEnd), ...].
+
+    pos_lists[i]: SORTED positions of the i-th clause term (all non-empty).
+    """
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return []
+    if n == 1:
+        return [(int(p), int(p) + 1) for p in pos_lists[0]]
+    cur = [0] * n
+    state = {"more": True}
+    out: list[tuple[int, int]] = []
+
+    def start(i: int) -> int:
+        return int(pos_lists[i][cur[i]])
+
+    def advance(i: int) -> bool:
+        cur[i] += 1
+        if cur[i] >= len(pos_lists[i]):
+            state["more"] = False
+            return False
+        return True
+
+    def ordered(s1: int, e1: int, s2: int, e2: int) -> bool:
+        return (e1 < e2) if s1 == s2 else (s1 < s2)
+
+    def stretch_to_order() -> bool:
+        for i in range(1, n):
+            while not ordered(start(i - 1), start(i - 1) + 1, start(i), start(i) + 1):
+                if not advance(i):
+                    return False
+        return True
+
+    def shrink() -> bool:
+        # matchEnd is pinned to the LAST subspan's end before shrinking
+        nonlocal_out_end = start(n - 1) + 1
+        match_start = start(n - 1)
+        match_slop = 0
+        last_start, last_end = match_start, nonlocal_out_end
+        for i in range(n - 2, -1, -1):
+            prev_start = start(i)
+            prev_end = prev_start + 1
+            while True:
+                if not advance(i):
+                    break
+                pp_s = start(i)
+                pp_e = pp_s + 1
+                if not ordered(pp_s, pp_e, last_start, last_end):
+                    break
+                prev_start, prev_end = pp_s, pp_e
+            if match_start > prev_end:
+                match_slop += match_start - prev_end
+            match_start = prev_start
+            last_start, last_end = prev_start, prev_end
+        if match_slop <= slop:
+            out.append((match_start, nonlocal_out_end))
+            return True
+        return False
+
+    while state["more"]:
+        if stretch_to_order() and shrink():
+            continue
+    return out
+
+
+def span_freq_f32(spans: list[tuple[int, int]], f32: bool = True) -> float:
+    """SpanScorer.SetFreqCurrentDoc: freq += sloppyFreq(end - start) per
+    span, float32 accumulation (SpanScorer.cs:79-98; SloppyFreq =
+    1/(distance+1), BM25Similarity.cs:74-77)."""
+    if f32:
+        freq = np.float32(0.0)
+        for s, e in spans:
+            freq = np.float32(freq + np.float32(1.0) / np.float32((e - s) + 1))
+        return float(freq)
+    return float(sum(1.0 / ((e - s) + 1) for s, e in spans))

@@ -300,6 +300,18 @@ class IndexSearcher:
                 (sum(sts[x].df for x in slot if x in sts) for slot in q["slots"]),
                 default=0,
             )
+        if t == "span_near":
+            sts = self.lookup_terms(q["terms"])
+            return min((sts[x].df for x in q["terms"] if x in sts), default=0)
+        if t == "span_first":
+            st = self.lookup_terms([q["term"]]).get(q["term"])
+            return st.df if st else 0
+        if t == "span_not":
+            st = self.lookup_terms([q["include"]]).get(q["include"])
+            return st.df if st else 0
+        if t == "span_or":
+            sts = self.lookup_terms(q["terms"])
+            return sum(s.df for s in sts.values())
         if t == "match_all":
             return self.max_doc
         if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
@@ -332,6 +344,8 @@ class IndexSearcher:
             return self._eval_phrase(terms, boost, mode, slop=int(q.get("slop", 0)))
         if t == "multi_phrase":
             return self._eval_multi_phrase(q["slots"], boost, mode)
+        if t in ("span_near", "span_first", "span_not", "span_or"):
+            return self._eval_span(q, boost, mode)
         if t == "match_all":
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
@@ -1032,6 +1046,121 @@ class IndexSearcher:
             ],
         }
         return self.search(q, k, mode=mode)
+
+    def _eval_span(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """Span queries over term sub-spans (src/Lucene.Net/Search/Spans/):
+          span_near  {terms: [t...], slop, in_order: true}  -- NearSpansOrdered
+          span_first {term, end}      -- spans with span.end <= end
+                                         (SpanFirstQuery.cs AcceptPosition)
+          span_not   {include, exclude} -- include spans not overlapping an
+                                         exclude span (== position equality
+                                         for term spans) (SpanNotQuery.cs)
+          span_or    {terms: [t...]}  -- union of term spans, duplicates kept
+                                         (SpanOrQuery.cs queue merge)
+        freq = sum of sloppyFreq(end-start) over produced spans
+        (SpanScorer.cs:79-98); score = BM25(freq) with idf summed over the
+        query's terms (SpanWeight binds TermStatistics for all terms).
+        Unordered span_near is inventoried, not implemented."""
+        from .positional import span_freq_f32, span_near_ordered_spans
+
+        t = q["type"]
+        if t == "span_near":
+            if not q.get("in_order", True):
+                raise ValueError("unordered span_near not supported in v1")
+            req_terms = list(q["terms"])
+            opt_terms: list[str] = []
+            slop = int(q.get("slop", 0))
+        elif t == "span_first":
+            req_terms = [q["term"]]
+            opt_terms = []
+        elif t == "span_not":
+            req_terms = [q["include"]]
+            opt_terms = [q["exclude"]]
+        else:  # span_or
+            req_terms = []
+            opt_terms = list(q["terms"])
+        sts = self.lookup_terms(req_terms + opt_terms)
+        if any(x not in sts for x in req_terms):
+            return None
+        if t == "span_or":
+            opt_terms = [x for x in opt_terms if x in sts]
+            if not opt_terms:
+                return None
+        # idf = f32 sequential sum over the weight-bound terms
+        # (span_not binds the include side only)
+        w_terms = req_terms if t != "span_or" else opt_terms
+        if mode == "f32":
+            idf = np.float32(0.0)
+            for x in w_terms:
+                idf = np.float32(idf + np.float32(_idf(sts[x].df, self.max_doc, "f32")))
+            wv = float(np.float32(np.float32(idf * np.float32(boost)) * np.float32(K1 + 1.0)))
+        else:
+            idf = sum(_idf(sts[x].df, self.max_doc, "f64") for x in w_terms)
+            wv = idf * boost * (K1 + 1.0)
+
+        all_terms = list(dict.fromkeys(req_terms + [x for x in opt_terms if x in sts]))
+        posts = self._scored_postings({x: 1.0 for x in all_terms}, mode, with_positions=True)
+        cache = _norm_cache(self.avgdl_f32, mode)
+        ftype = T.FloatType() if mode == "f32" else T.DoubleType()
+        out_schema = T.StructType(
+            [T.StructField("docID", T.LongType()), T.StructField("score", ftype)]
+        )
+        f32 = mode == "f32"
+        req_b, q_b, wv_b = list(req_terms), dict(q), wv
+
+        grouped = (
+            posts.groupBy("docID")
+            .agg(F.collect_list(F.struct("term", "positions")).alias("plists"))
+            .join(self.docs().select("docID", "norm_byte"), "docID", "inner")
+        )
+
+        def span_score(pdf_iter):
+            typ = q_b["type"]
+            for pdf in pdf_iter:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    pos = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
+                    if any(x not in pos for x in req_b):
+                        continue
+                    if typ == "span_near":
+                        spans = span_near_ordered_spans(
+                            [pos[x] for x in q_b["terms"]], int(q_b.get("slop", 0))
+                        )
+                    elif typ == "span_first":
+                        spans = [
+                            (int(p), int(p) + 1)
+                            for p in pos[q_b["term"]]
+                            if int(p) + 1 <= int(q_b["end"])
+                        ]
+                    elif typ == "span_not":
+                        excl = set(pos.get(q_b["exclude"], np.empty(0)).tolist())
+                        spans = [
+                            (int(p), int(p) + 1)
+                            for p in pos[q_b["include"]]
+                            if int(p) not in excl
+                        ]
+                    else:  # span_or: queue-merge of term spans, dups kept
+                        spans = sorted(
+                            (int(p), int(p) + 1)
+                            for x in q_b["terms"]
+                            if x in pos
+                            for p in pos[x]
+                        )
+                    if not spans:
+                        continue
+                    freq = span_freq_f32(spans, f32)
+                    nc = cache[row.norm_byte]
+                    if f32:
+                        sc = np.float32(
+                            np.float32(wv_b) * np.float32(freq) / (np.float32(freq) + nc)
+                        )
+                    else:
+                        sc = wv_b * freq / (freq + nc)
+                    out_doc.append(row.docID)
+                    out_score.append(sc)
+                yield pd.DataFrame({"docID": out_doc, "score": out_score})
+
+        return grouped.mapInPandas(span_score, schema=out_schema)
 
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:

@@ -1,0 +1,135 @@
+"""Span queries: kernel goldens from the reference's own TestNearSpansOrdered
+corpus (docs 0-3 of our synthetic corpus ARE that corpus), plus engine ==
+oracle bit-exactness in float32 mode."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.oracle import OracleIndex, eval_query
+from sparklucene.positional import span_freq_f32, span_near_ordered_spans
+from sparklucene.search import IndexSearcher
+
+
+def f32_hex(x: float) -> str:
+    return struct.pack(">f", x).hex()
+
+
+class TestKernelGoldens:
+    """Expected spans from TestNearSpansOrdered.cs:104-113 (s(0,0,3),
+    s(1,0,4) for query (w1,w2,w3) slop=1 in-order over the 4-doc corpus)."""
+
+    def test_doc0(self):
+        # "w1 w2 w3 w4 w5"
+        assert span_near_ordered_spans([np.array([0]), np.array([1]), np.array([2])], 1) == [(0, 3)]
+
+    def test_doc1(self):
+        # "w1 w3 w2 w3"
+        assert span_near_ordered_spans([np.array([0]), np.array([2]), np.array([1, 3])], 1) == [(0, 4)]
+
+    def test_doc2_doc3_no_match_at_slop1(self):
+        # "w1 xx w2 yy w3" / "w1 w3 xx w2 yy w3"
+        assert span_near_ordered_spans([np.array([0]), np.array([2]), np.array([4])], 1) == []
+        assert span_near_ordered_spans([np.array([0]), np.array([3]), np.array([1, 5])], 1) == []
+
+    def test_doc2_doc3_match_at_higher_slop(self):
+        assert span_near_ordered_spans([np.array([0]), np.array([2]), np.array([4])], 2) == [(0, 5)]
+        assert span_near_ordered_spans([np.array([0]), np.array([3]), np.array([1, 5])], 3) == [(0, 6)]
+
+    def test_overlap_not_counted_in_slop(self):
+        # NearSpansOrdered.cs:434 -- only non-overlapping spans add slop;
+        # strictly-ordered adjacent terms have gap 0
+        assert span_near_ordered_spans([np.array([3]), np.array([4])], 0) == [(3, 5)]
+
+    def test_multiple_matches(self):
+        # two disjoint adjacent pairs
+        got = span_near_ordered_spans([np.array([0, 10]), np.array([1, 11])], 0)
+        assert got == [(0, 2), (10, 12)]
+
+    def test_freq_f32(self):
+        assert span_freq_f32([(0, 3)]) == pytest.approx(0.25)
+        assert span_freq_f32([(0, 2), (10, 12)]) == pytest.approx(1.0 / 3 + 1.0 / 3)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(80, seed=55)
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    return OracleIndex.build([(i, r["content"]) for i, r in enumerate(ordered)])
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("span_idx"))
+    build_index(
+        spark, spark.createDataFrame(corpus).repartition(4), out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=8),
+    )
+    return IndexSearcher(spark, out)
+
+
+SPAN_QUERIES = [
+    ("near_w", {"type": "span_near", "terms": ["w1", "w2", "w3"], "slop": 1, "in_order": True}),
+    ("near_wide", {"type": "span_near", "terms": ["w1", "w2", "w3"], "slop": 3, "in_order": True}),
+    ("near_pair", {"type": "span_near", "terms": ["compute", "score"], "slop": 4, "in_order": True}),
+    ("first", {"type": "span_first", "term": "compute", "end": 5}),
+    ("not", {"type": "span_not", "include": "compute", "exclude": "score"}),
+    ("or", {"type": "span_or", "terms": ["compute", "merge", "zzzabsent"]}),
+]
+
+
+@pytest.mark.parametrize("qid,query", SPAN_QUERIES)
+def test_span_rank_and_score_identical(searcher, oracle_idx, qid, query):
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(query, 50, mode="f32").collect()
+    ]
+    scores = eval_query(query, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in want], qid
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(float(s2)), f"{qid} doc {d1}"
+
+
+def test_span_near_golden_docs(searcher):
+    """Docs 0-3 of the corpus are the reference corpus: query (w1,w2,w3)
+    slop=1 in-order must match docs 0 and 1 only among them."""
+    q = {"type": "span_near", "terms": ["w1", "w2", "w3"], "slop": 1, "in_order": True}
+    hits = {int(r["docID"]) for r in searcher.search(q, 500, mode="f32").collect()}
+    # find where docs 0-3 of the raw corpus landed after (repo,path) ordering
+    corpus = make_corpus(80, seed=55)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    pos = {r["content"]: i for i, r in enumerate(ordered) if r["content"].startswith("w1")}
+    assert pos["w1 w2 w3 w4 w5"] in hits
+    assert pos["w1 w3 w2 w3"] in hits
+    assert pos["w1 xx w2 yy w3"] not in hits
+    assert pos["w1 w3 xx w2 yy w3"] not in hits
+
+
+def test_span_inside_boolean(searcher, oracle_idx):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "span_near", "terms": ["w1", "w2"], "slop": 2, "in_order": True}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "xx"}},
+        ],
+    }
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(q, 20, mode="f32").collect()
+    ]
+    scores = eval_query(q, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:20]
+    assert got == [(d, float(np.float32(s))) for d, s in want]
+
+
+def test_unordered_rejected(searcher):
+    with pytest.raises(ValueError, match="unordered"):
+        searcher.search({"type": "span_near", "terms": ["w1", "w2"], "in_order": False}, 5)
