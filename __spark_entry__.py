@@ -275,6 +275,23 @@ def _q_lmjm_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfr_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR I(n)L2 single term (tfn-normalized information content)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("spark"), 15, similarity="dfr_inl2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_ib_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB SPL-DF-H2 disjunction (plain sum, no coord)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("merge")), ("SHOULD", _t("join"))])
+    return s.search_sim(q, 20, similarity="ib_spl", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase "table hash"~2 (SloppyPhraseScorer.cs:101-146 greedy
     matching; freq = sum of 1/(matchLength+1)).  The greedy alignment isn't
@@ -479,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["classic_or"] = _q_classic_or
     out["lmd_term"] = _q_lmd_term
     out["lmjm_or"] = _q_lmjm_or
+    out["dfr_term"] = _q_dfr_term
+    out["ib_or"] = _q_ib_or
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["multi_phrase"] = _q_multi_phrase
     out["deletes_merged"] = _q_deletes_merged
@@ -837,6 +856,28 @@ jm AS (
   WHERE p.term IN ('window', 'vector')
 )
 SELECT doc_id, round(sum(s), 4) AS score FROM jm GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+    sqls["dfr_term"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         ln((s.max_doc + 1) / (t.df + 0.5)) / ln(2.0) AS lg
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'spark'
+)
+SELECT doc_id, round(tfn * lg / (tfn + 1.0), 4) AS score
+FROM d ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["ib_or"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         (t.df + 1.0) / (s.max_doc + 1.0) AS lam
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN ('merge', 'join')
+)
+SELECT doc_id,
+       round(sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))), 4) AS score
+FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
     # sloppy_phrase: greedy alignment not SQL-expressible -> rows-only gate
     sqls["regexp_const"] = f"""{_prelude()}

@@ -189,6 +189,114 @@ class LMJelinekMercerSimilarity:
         return sc
 
 
+
+
+
+_LOG2 = math.log(2.0)
+
+
+class DFRSimilarityInL2:
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(c=1)) --
+    the classic I(n)L2 divergence-from-randomness combo.
+      tfn = (float)(tf * log2(1 + c*avgFieldLength/docLen))   NormalizationH2.cs:53
+      In  = tfn * (float)log2((N+1)/(df+0.5))                 BasicModelIn.cs:34-39
+      L   = 1/(tfn+1)                                         AfterEffectL.cs:33-36
+      score = boost * In * L                                  DFRSimilarity.cs:120-124
+    avgFieldLength = (float)(sumTotalTermFreq/maxDoc) (SimilarityBase
+    FillBasicStats); docLen = NORM_TABLE[norm_byte]; no coord/queryNorm."""
+
+    name = "dfr_inl2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N, df = ctx["max_doc"], ts.df
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        if mode == "f32":
+            b = f32(boost)
+            lg_in = f32(math.log((N + 1) / (df + 0.5)) / _LOG2)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                in_score = (tfn * lg_in).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * in_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+            lg_in = math.log((N + 1) / (df + 0.5)) / _LOG2
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                return boost * (tfn * lg_in) / (tfn + 1.0)
+        return sc
+
+
+class IBSimilaritySPL:
+    """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2(c=1)):
+      lambda = (df+1)/(N+1)                                   LambdaDF.cs:33-36
+      tfn    = H2 as in DFR                                   NormalizationH2.cs:53
+      score  = boost * -(float)ln((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda))
+                                                              DistributionSPL.cs:31-39
+      (lambda == 1 is clamped to 0.99)."""
+
+    name = "ib_spl"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N, df = ctx["max_doc"], ts.df
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        if mode == "f32":
+            b = f32(boost)
+            lam = f32((df + np.float32(1.0)) / (np.float32(N) + np.float32(1.0)))
+            if float(lam) == 1.0:
+                lam = f32(0.99)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                expo = (tfn / (tfn + np.float32(1.0))).astype(np.float32)
+                spl = (
+                    -np.log(
+                        (np.power(np.float64(lam), expo.astype(np.float64)) - np.float64(lam))
+                        / (1.0 - np.float64(lam))
+                    )
+                ).astype(np.float32)
+                return (b * spl).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+            lamd = (df + 1.0) / (N + 1.0)
+            if lamd == 1.0:
+                lamd = 0.99
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                expo = tfn / (tfn + 1.0)
+                return boost * -np.log((np.power(lamd, expo) - lamd) / (1.0 - lamd))
+        return sc
+
+
 def make_similarity(name: str, **params):
     if name == "classic":
         return ClassicSimilarity()
@@ -196,4 +304,8 @@ def make_similarity(name: str, **params):
         return LMDirichletSimilarity(params.get("mu", 2000.0))
     if name == "lm_jelinek_mercer":
         return LMJelinekMercerSimilarity(params.get("lam", 0.7))
+    if name == "dfr_inl2":
+        return DFRSimilarityInL2(params.get("c", 1.0))
+    if name == "ib_spl":
+        return IBSimilaritySPL(params.get("c", 1.0))
     raise ValueError(f"unknown similarity: {name}")
