@@ -364,6 +364,15 @@ def _q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "span_or", "terms": ["window", "vector"]}, 15)
 
 
+def _q_span_near_unord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearSpansUnordered (table & hash within slop 4, any order) --
+    AtMatch rule max.end - min.start - totalLength <= slop
+    (NearSpansUnordered.cs:417-420); rows-only like span_near."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "span_near", "terms": ["table", "hash"], "slop": 4, "in_order": False}
+    return _topk_df(s, q, 15)
+
+
 _DEL_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -505,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
     out["span_or"] = _q_span_or
+    out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check

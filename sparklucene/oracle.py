@@ -206,12 +206,14 @@ def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
 def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int, float]:
     """Span query twin (same kernels as the engine UDF; see
     search._eval_span for the semantics + citations)."""
-    from .positional import span_freq_f32, span_near_ordered_spans
+    from .positional import (
+        span_freq_f32,
+        span_near_ordered_spans,
+        span_near_unordered_spans,
+    )
 
     t = q["type"]
     if t == "span_near":
-        if not q.get("in_order", True):
-            raise ValueError("unordered span_near not supported in v1")
         req, w_terms = list(q["terms"]), list(q["terms"])
     elif t == "span_first":
         req, w_terms = [q["term"]], [q["term"]]
@@ -246,7 +248,12 @@ def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int
     out: dict[int, float] = {}
     for d in cand:
         if t == "span_near":
-            spans = span_near_ordered_spans(
+            kern = (
+                span_near_ordered_spans
+                if q.get("in_order", True)
+                else span_near_unordered_spans
+            )
+            spans = kern(
                 [np.asarray(idx.postings[x][d][1]) for x in q["terms"]],
                 int(q.get("slop", 0)),
             )

@@ -159,3 +159,41 @@ def span_freq_f32(spans: list[tuple[int, int]], f32: bool = True) -> float:
             freq = np.float32(freq + np.float32(1.0) / np.float32((e - s) + 1))
         return float(freq)
     return float(sum(1.0 / ((e - s) + 1) for s, e in spans))
+
+
+def span_near_unordered_spans(
+    pos_lists: list[np.ndarray], slop: int
+) -> list[tuple[int, int]]:
+    """NearSpansUnordered over term sub-spans within ONE document
+    (NearSpansUnordered.cs): cells advance through a queue ordered by span
+    start; a match is emitted whenever
+        max.End - min.Start - totalLength <= slop
+    (AtMatch), then the minimum cell advances.  For term spans every length
+    is 1, so totalLength == number of clauses.  Cross-document list/queue
+    maintenance disappears in the single-doc setting.
+    -> [(min_start, max_end), ...] in emission order."""
+    import heapq
+
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return []
+    cur = [0] * n
+
+    def start(i: int) -> int:
+        return int(pos_lists[i][cur[i]])
+
+    heap = [(start(i), i) for i in range(n)]
+    heapq.heapify(heap)
+    ends = [start(i) + 1 for i in range(n)]
+    out: list[tuple[int, int]] = []
+    total = n  # sum of term-span lengths
+    while True:
+        max_end = max(ends)
+        min_start, mi = heap[0]
+        if (max_end - min_start - total) <= slop:
+            out.append((min_start, max_end))
+        cur[mi] += 1
+        if cur[mi] >= len(pos_lists[mi]):
+            return out
+        ends[mi] = start(mi) + 1
+        heapq.heapreplace(heap, (start(mi), mi))

@@ -1049,7 +1049,8 @@ class IndexSearcher:
 
     def _eval_span(self, q: dict, boost: float, mode: str) -> DataFrame | None:
         """Span queries over term sub-spans (src/Lucene.Net/Search/Spans/):
-          span_near  {terms: [t...], slop, in_order: true}  -- NearSpansOrdered
+          span_near  {terms: [t...], slop, in_order}  -- NearSpansOrdered /
+                                         NearSpansUnordered
           span_first {term, end}      -- spans with span.end <= end
                                          (SpanFirstQuery.cs AcceptPosition)
           span_not   {include, exclude} -- include spans not overlapping an
@@ -1059,14 +1060,15 @@ class IndexSearcher:
                                          (SpanOrQuery.cs queue merge)
         freq = sum of sloppyFreq(end-start) over produced spans
         (SpanScorer.cs:79-98); score = BM25(freq) with idf summed over the
-        query's terms (SpanWeight binds TermStatistics for all terms).
-        Unordered span_near is inventoried, not implemented."""
-        from .positional import span_freq_f32, span_near_ordered_spans
+        query's terms (SpanWeight binds TermStatistics for all terms)."""
+        from .positional import (
+            span_freq_f32,
+            span_near_ordered_spans,
+            span_near_unordered_spans,
+        )
 
         t = q["type"]
         if t == "span_near":
-            if not q.get("in_order", True):
-                raise ValueError("unordered span_near not supported in v1")
             req_terms = list(q["terms"])
             opt_terms: list[str] = []
             slop = int(q.get("slop", 0))
@@ -1123,7 +1125,12 @@ class IndexSearcher:
                     if any(x not in pos for x in req_b):
                         continue
                     if typ == "span_near":
-                        spans = span_near_ordered_spans(
+                        kern = (
+                            span_near_ordered_spans
+                            if q_b.get("in_order", True)
+                            else span_near_unordered_spans
+                        )
+                        spans = kern(
                             [pos[x] for x in q_b["terms"]], int(q_b.get("slop", 0))
                         )
                     elif typ == "span_first":

@@ -130,6 +130,42 @@ def test_span_inside_boolean(searcher, oracle_idx):
     assert got == [(d, float(np.float32(s))) for d, s in want]
 
 
-def test_unordered_rejected(searcher):
-    with pytest.raises(ValueError, match="unordered"):
-        searcher.search({"type": "span_near", "terms": ["w1", "w2"], "in_order": False}, 5)
+UNORDERED_QUERIES = [
+    ("u_pair", {"type": "span_near", "terms": ["score", "compute"], "slop": 3, "in_order": False}),
+    ("u_triple", {"type": "span_near", "terms": ["w3", "w1", "w2"], "slop": 2, "in_order": False}),
+]
+
+
+@pytest.mark.parametrize("qid,query", UNORDERED_QUERIES)
+def test_unordered_span_vs_oracle(searcher, oracle_idx, qid, query):
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(query, 50, mode="f32").collect()
+    ]
+    scores = eval_query(query, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in want], qid
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(float(s2)), f"{qid} doc {d1}"
+
+
+def test_unordered_supersets_ordered(searcher):
+    qo = {"type": "span_near", "terms": ["compute", "score"], "slop": 3, "in_order": True}
+    qu = {"type": "span_near", "terms": ["compute", "score"], "slop": 3, "in_order": False}
+    o_docs = {int(r["docID"]) for r in searcher.search(qo, 500).collect()}
+    u_docs = {int(r["docID"]) for r in searcher.search(qu, 500).collect()}
+    assert o_docs <= u_docs
+
+
+class TestUnorderedKernel:
+    def test_reversed_pair(self):
+        from sparklucene.positional import span_near_unordered_spans as u
+
+        assert u([np.array([2]), np.array([0])], 0) == []
+        assert u([np.array([2]), np.array([0])], 1) == [(0, 3)]
+
+    def test_adjacent(self):
+        from sparklucene.positional import span_near_unordered_spans as u
+
+        assert u([np.array([0]), np.array([1])], 0) == [(0, 2)]
+        assert u([np.array([0, 5]), np.array([1, 6])], 0) == [(0, 2), (5, 7)]
