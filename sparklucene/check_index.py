@@ -193,4 +193,18 @@ def check_index(
             fail("sha256", f"{bad} rows differ from source")
         else:
             passed("sha256", f"{n_docs} rows verified vs source")
+
+    # 5. deletes store (segmented roots): ids must be unique-per-read view
+    #    and inside the docID space (CheckIndex's liveDocs validation twin)
+    deletes_dir = os.path.join(os.path.dirname(os.path.dirname(index_dir)), "deletes")
+    if os.path.isdir(deletes_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(deletes_dir)
+    ):
+        dels = spark.read.parquet(deletes_dir).select("docID").distinct()
+        n_del = dels.count()
+        bad = dels.filter((F.col("docID") < 0)).count()
+        if bad:
+            fail("deletes", f"{bad} negative docIDs in deletes store")
+        else:
+            passed("deletes", f"{n_del} distinct buffered deletes")
     return report
