@@ -336,6 +336,34 @@ def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier: vote by lang among doc 7's top-10 MoreLikeThis hits."""
+    from sparklucene.classify import knn_classify
+
+    s = _searcher(spark, sf_dir)
+    text = _docs_df(spark, sf_dir).filter(F.col("doc_id") == 7).select("text").first()["text"]
+    out = knn_classify(s, text, "lang", k=10, max_terms=5, mode="f64")
+    return out.select("label", "votes", F.round("score_sum", 4).alias("score_sum"))
+
+
+PERCOLATE_QUERIES = {
+    "q_spark": _t("spark"),
+    "q_and": _bool([("MUST", _t("spark")), ("MUST", _t("merge"))]),
+    "q_phrase": {"type": "phrase", "terms": ["table", "hash"]},
+}
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryIndex/percolator: match every doc against a broadcast query
+    registry; scores use SINGLE-DOC statistics (maxDoc=1, df=1,
+    avgdl = own field length), exactly MemoryIndex semantics."""
+    from sparklucene.memory import percolate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = percolate(docs, PERCOLATE_QUERIES, mode="f64")
+    return out.select("doc_id", "query", F.round("score", 4).alias("score"))
+
+
 def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NearSpansOrdered (table..hash within slop 3, in order).  The greedy
     minimal-slop span production (NearSpansOrdered.cs) is not
@@ -510,6 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["multi_phrase"] = _q_multi_phrase
     out["deletes_merged"] = _q_deletes_merged
+    out["percolate"] = _q_percolate
+    out["knn_classify"] = _q_knn_classify
     out["span_near"] = _q_span_near
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
@@ -744,6 +774,21 @@ SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term IN (SELECT term FROM seltop)
 GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id LIMIT 10"""
+    sqls["knn_classify"] = sqls["mlt"].replace(
+        """SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term IN (SELECT term FROM seltop)
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 10""",
+        """, topk AS (
+  SELECT doc_id, sum(score) AS s
+  FROM scored WHERE term IN (SELECT term FROM seltop)
+  GROUP BY doc_id
+  ORDER BY s DESC, doc_id LIMIT 10
+)
+SELECT d.lang AS label, count(*)::BIGINT AS votes, round(sum(t.s), 4) AS score_sum
+FROM topk t JOIN documents d USING (doc_id)
+GROUP BY d.lang""",
+    )
     sqls["sessionize"] = """
 WITH e AS (
   SELECT user_id, event_id, ts, value,
@@ -773,6 +818,35 @@ SELECT doc_id, field_len, norm_byte::INTEGER AS norm_byte FROM norms"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10"""
+    sqls["percolate"] = f"""{_prelude()},
+sd AS (
+  SELECT n.doc_id, CAST(CAST(d.field_len AS REAL) AS DOUBLE) AS avgdl1, n.qlen
+  FROM norms n JOIN doclen d USING (doc_id)
+),
+term_sc AS (
+  SELECT p.doc_id, p.term,
+         ln(4.0 / 3.0) * 2.2 * p.tf
+           / (p.tf + 1.2 * (0.25 + 0.75 * s.qlen / s.avgdl1)) AS sc
+  FROM posting p JOIN sd s USING (doc_id)
+),
+phr AS (
+  SELECT e1.doc_id, count(*)::INTEGER AS pf
+  FROM emitted e1 JOIN emitted e2
+    ON e1.doc_id = e2.doc_id AND e2.pos = e1.pos + 1
+  WHERE e1.term = 'table' AND e2.term = 'hash'
+  GROUP BY e1.doc_id
+)
+SELECT doc_id, 'q_spark' AS query, round(sc, 4) AS score
+FROM term_sc WHERE term = 'spark'
+UNION ALL
+SELECT a.doc_id, 'q_and' AS query, round(a.sc + b.sc, 4) AS score
+FROM term_sc a JOIN term_sc b USING (doc_id)
+WHERE a.term = 'spark' AND b.term = 'merge'
+UNION ALL
+SELECT p.doc_id, 'q_phrase' AS query,
+       round(2 * ln(4.0 / 3.0) * 2.2 * p.pf
+             / (p.pf + 1.2 * (0.25 + 0.75 * s.qlen / s.avgdl1)), 4) AS score
+FROM phr p JOIN sd s USING (doc_id)"""
     # span scoring: freq = count_of_spans / 2 (each term span has
     # end-start == 1 -> sloppyFreq 1/2, SpanScorer.cs:79-98)
     sqls["span_first"] = f"""{_prelude()},

@@ -1,0 +1,30 @@
+"""Classification module analogue.
+
+KNearestNeighborClassifier (src/Lucene.Net.Classification/
+KNearestNeighborClassifier.cs): classify a text by running a MoreLikeThis
+query against the labeled index, taking the top-k hits, and voting by class
+(max votes; the returned score is the vote fraction).  Spark-first: the
+vote is a groupBy over the top-k DataFrame joined with the label column
+(doc values ARE columns here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def knn_classify(
+    searcher, text: str, label_col: str, k: int = 10, max_terms: int = 5,
+    mode: str = "f64",
+) -> DataFrame:
+    """-> (label, votes, score_sum) per class among the top-k MoreLikeThis
+    hits, ordered (votes desc, score_sum desc, label asc) -- row 1 is the
+    assigned class."""
+    top = searcher.more_like_this(text, max_terms=max_terms, k=k, mode=mode)
+    joined = top.join(searcher.docs().select("docID", label_col), "docID")
+    return (
+        joined.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").alias("votes"), F.sum("score").alias("score_sum"))
+        .orderBy(F.desc("votes"), F.desc("score_sum"), F.asc("label"))
+    )

@@ -1,0 +1,49 @@
+"""MemoryIndex / percolator analogue.
+
+The reference's Memory module (src/Lucene.Net.Memory/MemoryIndex.cs) builds
+a single-document in-RAM index so a stored SET of queries can be matched
+against each incoming document (the "percolator" / alerting pattern,
+MemoryIndex.cs class docs).  Spark-first inversion of control: the query
+registry is tiny (broadcast), the document stream is huge (distributed), so
+each Arrow batch builds throwaway single-doc indexes and evaluates every
+registered query locally -- zero shuffles, embarrassingly parallel.
+
+Scoring matches MemoryIndex semantics: statistics come from the single-doc
+index itself (maxDoc=1, df=1 for present terms, avgdl = the doc's own
+field length), so a term score degenerates to
+    ln(1 + 0.5/1.5) * 2.2 * tf / (tf + 1.2*(0.25 + 0.75*qlen/f32(len))).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def percolate(
+    docs_df: DataFrame, queries: dict[str, dict],
+    id_col: str = "doc_id", content_col: str = "text", mode: str = "f64",
+) -> DataFrame:
+    """Match every document against every registered query tree.
+    -> (doc_id, query, score) rows for each (doc, query) that matches.
+    `queries`: name -> JSON query tree (any type eval_query supports)."""
+    items = sorted(queries.items())
+
+    def run(pdf_iter):
+        from .oracle import OracleIndex, eval_query
+
+        for pdf in pdf_iter:
+            out_doc, out_q, out_s = [], [], []
+            for r in pdf.itertuples(index=False):
+                idx = OracleIndex.build([(0, getattr(r, content_col))])
+                for name, q in items:
+                    sc = eval_query(q, idx, mode=mode)
+                    if 0 in sc:
+                        out_doc.append(getattr(r, id_col))
+                        out_q.append(name)
+                        out_s.append(float(sc[0]))
+            yield pd.DataFrame({"doc_id": out_doc, "query": out_q, "score": out_s})
+
+    return docs_df.select(id_col, content_col).mapInPandas(
+        run, schema="doc_id long, query string, score double"
+    )

@@ -1,0 +1,51 @@
+"""MemoryIndex/percolator + kNN classifier semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.classify import knn_classify
+from sparklucene.corpus import make_corpus
+from sparklucene.memory import percolate
+from sparklucene.search import IndexSearcher
+
+
+def test_percolate_single_doc_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta"), (3, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    qs = {
+        "qa": {"type": "term", "term": "alpha"},
+        "qand": {"type": "boolean", "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "alpha"}},
+            {"occur": "MUST", "query": {"type": "term", "term": "gamma"}},
+        ]},
+    }
+    rows = {(r["doc_id"], r["query"]): r["score"] for r in percolate(docs, qs).collect()}
+    assert set(rows) == {(1, "qa"), (3, "qa"), (3, "qand")}
+    # hand-computed: doc1 len 3 quantizes to effective length 4 (byte315);
+    # avgdl = f32(3); idf = ln(4/3); score = idf*2.2*1/(1 + 1.2*(0.25+0.75*4/3))
+    want = math.log(4 / 3) * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    assert rows[(1, "qa")] == pytest.approx(want, rel=1e-9)
+
+
+def test_knn_classifier_votes(spark, tmp_path):
+    corpus = make_corpus(80, seed=9)
+    out = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(corpus), out,
+        BuildConfig(order_cols=("repo", "path"), meta_cols=("lang",), num_buckets=8),
+    )
+    s = IndexSearcher(spark, out)
+    votes = knn_classify(s, corpus[10]["content"], "lang", k=10).collect()
+    assert sum(r["votes"] for r in votes) == 10
+    # ordering: votes desc, then score_sum desc
+    vs = [(r["votes"], r["score_sum"]) for r in votes]
+    assert vs == sorted(vs, key=lambda x: (-x[0], -x[1]))
+    # top-1 of the doc's own MLT must include its own lang among classes
+    mlt_top = s.more_like_this(corpus[10]["content"], k=10, mode="f64")
+    langs = {r["lang"] for r in mlt_top.join(s.docs().select("docID", "lang"), "docID").collect()}
+    assert votes[0]["label"] in langs
