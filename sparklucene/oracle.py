@@ -126,12 +126,10 @@ def _phrase_freq(idx: OracleIndex, terms: list[str], doc_id: int) -> int:
 
 def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str,
                    slop: int = 0) -> dict[int, float]:
-    from .positional import sloppy_phrase_freq
+    from .positional import sloppy_phrase_freq, sloppy_phrase_freq_repeats
 
     if not terms or any(t not in idx.postings for t in terms):
         return {}
-    if slop > 0 and len(set(terms)) != len(terms):
-        raise ValueError("sloppy phrase with repeated terms not supported")
     # idf sum in term order (float32 sequential in f32 mode)
     if mode == "f32":
         idf = f32(0.0)
@@ -146,6 +144,11 @@ def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str,
     for doc_id in candidates:
         if slop == 0:
             pf = float(_phrase_freq(idx, terms, doc_id))
+        elif len(set(terms)) != len(terms):
+            pf = sloppy_phrase_freq_repeats(
+                [np.asarray(idx.postings[t][doc_id][1], dtype=np.int64) for t in terms],
+                list(terms), slop, mode == "f32",
+            )
         else:
             adj = [
                 np.asarray(idx.postings[t][doc_id][1], dtype=np.int64) - i

@@ -197,3 +197,149 @@ def span_near_unordered_spans(
             return out
         ends[mi] = start(mi) + 1
         heapq.heapreplace(heap, (start(mi), mi))
+
+
+class _PP:
+    """PhrasePositions twin for the repeats-aware sloppy matcher
+    (PhrasePositions.cs: position = raw term position - phrase offset)."""
+
+    __slots__ = ("offset", "arr", "idx", "position", "rpt_group", "rpt_ind")
+
+    def __init__(self, offset: int, arr, rpt_group: int = -1, rpt_ind: int = 0):
+        self.offset = offset
+        self.arr = arr
+        self.idx = 0
+        self.position = 0
+        self.rpt_group = rpt_group
+        self.rpt_ind = rpt_ind
+
+    def next_position(self) -> bool:
+        if self.idx < len(self.arr):
+            self.position = int(self.arr[self.idx]) - self.offset
+            self.idx += 1
+            return True
+        return False
+
+
+def sloppy_phrase_freq_repeats(
+    raw_lists: list[np.ndarray], keys: list, slop: int, f32: bool = True
+) -> float:
+    """Sloppy phrase frequency WITH repeated terms -- the reference's
+    rptGroups path for plain term clauses (SloppyPhraseScorer.cs:
+    InitComplex/PlaceFirstPositions/AdvanceRepeatGroups :272-340,
+    AdvanceRpts/Collide/Lesser :167-253; TpPos = position + offset).
+    The C# re-queue bookkeeping (FixedBitSet/rptStack) exists only to
+    restore its priority-queue invariant after in-place advances; our
+    queue reads positions fresh on every extraction, so the mechanics
+    reduce to collision resolution itself.
+
+    raw_lists[i]: SORTED raw positions of the i-th phrase slot's term.
+    keys[i]: hashable term identity (same key == repeating slots).
+    """
+    n = len(raw_lists)
+    if n == 0 or any(len(a) == 0 for a in raw_lists):
+        return 0.0
+    # repetition groups: same-key slots, offset-sorted (creation order)
+    by_key: dict = {}
+    for i, k in enumerate(keys):
+        by_key.setdefault(k, []).append(i)
+    pps = [_PP(i, raw_lists[i]) for i in range(n)]
+    groups: list[list[_PP]] = []
+    for k, idxs in by_key.items():
+        if len(idxs) > 1:
+            g = [pps[i] for i in idxs]
+            gi = len(groups)
+            for j, pp in enumerate(g):
+                pp.rpt_group, pp.rpt_ind = gi, j
+            groups.append(g)
+    if not groups:
+        adj = [np.asarray(raw_lists[i], dtype=np.int64) - i for i in range(n)]
+        return sloppy_phrase_freq(adj, slop, f32)
+
+    st = {"end": -(1 << 62)}
+
+    def advance_pp(pp: _PP) -> bool:
+        if not pp.next_position():
+            return False
+        if pp.position > st["end"]:
+            st["end"] = pp.position
+        return True
+
+    def tp_pos(pp: _PP) -> int:
+        return pp.position + pp.offset
+
+    def collide(pp: _PP) -> int:
+        rg = groups[pp.rpt_group]
+        t = tp_pos(pp)
+        for pp2 in rg:
+            if pp2 is not pp and tp_pos(pp2) == t:
+                return pp2.rpt_ind
+        return -1
+
+    def lesser(a: _PP, b: _PP) -> _PP:
+        if a.position < b.position or (a.position == b.position and a.offset < b.offset):
+            return a
+        return b
+
+    def advance_rpts(pp: _PP) -> bool:
+        # NB: pp is REASSIGNED to the lesser each round (the C# loop
+        # `pp = Lesser(pp, rg[k])`), so chained collisions propagate
+        if pp.rpt_group < 0:
+            return True
+        rg = groups[pp.rpt_group]
+        while True:
+            k = collide(pp)
+            if k < 0:
+                return True
+            pp = lesser(pp, rg[k])
+            if not advance_pp(pp):
+                return False
+
+    # InitComplex: place first positions, de-collide groups, fill queue
+    for pp in pps:
+        if not pp.next_position():
+            return 0.0
+    for rg in groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next_position():
+                    return 0.0
+    st["end"] = max(pp.position for pp in pps)
+    queue = list(pps)
+
+    def pq_pop() -> _PP:
+        m = min(queue, key=lambda p: (p.position, p.offset))
+        queue.remove(m)
+        return m
+
+    def pq_top_pos() -> int:
+        return min((p.position, p.offset) for p in queue)[0]
+
+    freq = np.float32(0.0) if f32 else 0.0
+    one = np.float32(1.0)
+
+    def add(fr, ml):
+        return (
+            np.float32(fr + one / np.float32(ml + 1)) if f32 else fr + 1.0 / (ml + 1)
+        )
+
+    pp = pq_pop()
+    match_len = st["end"] - pp.position
+    next_pos = pq_top_pos()
+    while advance_pp(pp):
+        if not advance_rpts(pp):
+            break
+        if pp.position > next_pos:
+            if match_len <= slop:
+                freq = add(freq, match_len)
+            queue.append(pp)
+            pp = pq_pop()
+            next_pos = pq_top_pos()
+            match_len = st["end"] - pp.position
+        else:
+            ml2 = st["end"] - pp.position
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq = add(freq, match_len)
+    return float(freq)

@@ -677,10 +677,6 @@ class IndexSearcher:
 
     def _eval_phrase(self, terms: list[str], boost: float, mode: str,
                      slop: int = 0) -> DataFrame | None:
-        if slop > 0 and len(set(terms)) != len(terms):
-            # the reference's repeating-pps machinery (SloppyPhraseScorer
-            # rptGroups, :167-253) is out of scope v1 -- explicit, not wrong
-            raise ValueError("sloppy phrase with repeated terms not supported")
         sts = self.lookup_terms(terms)
         if any(t not in sts for t in terms):
             return None
@@ -742,6 +738,13 @@ class IndexSearcher:
                             if not base:
                                 break
                         pf = float(len(base)) if base else 0.0
+                    elif len(set(term_order)) != len(term_order):
+                        from .positional import sloppy_phrase_freq_repeats
+
+                        pf = sloppy_phrase_freq_repeats(
+                            [pos_by_term[t] for t in term_order],
+                            term_order, slop_b, f32,
+                        )
                     else:
                         adj = [pos_by_term[t] - i for i, t in enumerate(term_order)]
                         pf = sloppy_phrase_freq(adj, slop_b, f32)

@@ -104,3 +104,56 @@ class TestMultiPhrase:
 
     def test_no_match(self):
         assert multi_phrase_freq([[np.array([0])], [np.array([5])]]) == 0
+
+
+class TestSloppyRepeats:
+    """Reference-derived goldens from TestSloppyPhraseQuery.cs (docs/queries
+    verbatim; expectations = numResultsExpected per slop + freq ordering)."""
+
+    @staticmethod
+    def _freq(doc, terms, slop):
+        from sparklucene.positional import sloppy_phrase_freq_repeats
+
+        toks = doc.split()
+        lists = [
+            np.array([i for i, x in enumerate(toks) if x == t], dtype=np.int64)
+            for t in terms
+        ]
+        if any(len(a) == 0 for a in lists):
+            return 0.0
+        return sloppy_phrase_freq_repeats(lists, list(terms), slop)
+
+    D1 = "X A A A Y"
+    D2 = "X A 1 2 3 A 4 5 6 A Y"
+    D3 = "X A A A A Y"
+    D4 = "A A X A X B A X B B A A X B A A"
+    Q1 = ("A", "A", "A")
+
+    def test_doc1_query1_all_slops_match(self):
+        assert all(self._freq(self.D1, self.Q1, s) > 0 for s in range(30))
+
+    def test_doc2_query1_min_slop_6(self):
+        # LUCENE-1310: 6 is the minimum slop for QUERY_1 to match DOC_2
+        assert min(s for s in range(30) if self._freq(self.D2, self.Q1, s) > 0) == 6
+
+    def test_doc3_query1_all_slops_match(self):
+        assert all(self._freq(self.D3, self.Q1, s) > 0 for s in range(30))
+
+    def test_doc4_query4_needs_slop_1(self):
+        r = [self._freq(self.D4, ("X", "A", "A"), s) > 0 for s in range(30)]
+        assert not r[0] and all(r[1:])
+
+    def test_doc5_lucene3412(self):
+        # DOC_5_4 always matches QUERY_5_4 at slop 0-2; DOC_5_3 never does
+        q = ("H", "H", "H", "H")
+        for s in range(3):
+            assert self._freq("H H H H", q, s) > 0
+            assert self._freq("H H H X X X H H H X X X H H H", q, s) == 0.0
+
+    def test_b_docs_have_higher_freq(self):
+        d1b = "X A A A Y N N N N X A A A Z"
+        for s in range(30):
+            assert self._freq(d1b, self.Q1, s) > self._freq(self.D1, self.Q1, s)
+
+    def test_insufficient_occurrences_no_match(self):
+        assert self._freq("X A Y", ("A", "A"), 10) == 0.0

@@ -107,9 +107,22 @@ def test_sloppy_supersets_exact(searcher):
     assert len(sloppy_docs) > len(exact_docs)  # gaps exist in the corpus
 
 
-def test_sloppy_repeated_terms_rejected(searcher):
-    with pytest.raises(ValueError, match="repeated"):
-        searcher.search({"type": "phrase", "terms": ["compute", "compute"], "slop": 2}, 5)
+@pytest.mark.parametrize("terms,slop", [
+    (["compute", "compute"], 2),
+    (["merge", "compute", "merge"], 3),
+])
+def test_sloppy_repeated_terms_vs_oracle(searcher, oracle_idx, terms, slop):
+    q = {"type": "phrase", "terms": terms, "slop": slop}
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(q, 50, mode="f32").collect()
+    ]
+    scores = eval_query(q, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (_, s2) in zip(got, want):
+        assert f32_hex(s1) == f32_hex(float(s2))
+    assert got  # corpus has docs with repeated identifiers
 
 
 def test_multi_phrase_vs_oracle(searcher, oracle_idx):
