@@ -386,6 +386,12 @@ def _q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "span_not", "include": "merge", "exclude": "slow"}, 15)
 
 
+def _q_span_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPositionRangeQuery: 'merge' spans inside positions [2, 9)."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "span_range", "term": "merge", "start": 2, "end": 9}, 15)
+
+
 def _q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanOrQuery: union of 'window'/'vector' spans (duplicates kept)."""
     s = _searcher(spark, sf_dir)
@@ -544,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
     out["span_or"] = _q_span_or
+    out["span_range"] = _q_span_range
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["suggest_prefix"] = _q_suggest_prefix
@@ -858,6 +865,20 @@ phr AS (
 idfs AS (
   SELECT ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5)) AS idf
   FROM tstats t CROSS JOIN stats s WHERE t.term = 'spark'
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["span_range"] = f"""{_prelude()},
+phr AS (
+  SELECT doc_id, count(*)::DOUBLE / 2.0 AS pf
+  FROM emitted WHERE term = 'merge' AND pos >= 2 AND pos + 1 <= 9
+  GROUP BY doc_id
+),
+idfs AS (
+  SELECT ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5)) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term = 'merge'
 )
 SELECT p.doc_id,
        round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score

@@ -218,7 +218,7 @@ def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int
     t = q["type"]
     if t == "span_near":
         req, w_terms = list(q["terms"]), list(q["terms"])
-    elif t == "span_first":
+    elif t in ("span_first", "span_range"):
         req, w_terms = [q["term"]], [q["term"]]
     elif t == "span_not":
         req, w_terms = [q["include"]], [q["include"]]
@@ -260,9 +260,11 @@ def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int
                 [np.asarray(idx.postings[x][d][1]) for x in q["terms"]],
                 int(q.get("slop", 0)),
             )
-        elif t == "span_first":
+        elif t in ("span_first", "span_range"):
+            lo, hi = int(q.get("start", 0)), int(q["end"])
             spans = [
-                (p, p + 1) for p in idx.postings[q["term"]][d][1] if p + 1 <= int(q["end"])
+                (p, p + 1) for p in idx.postings[q["term"]][d][1]
+                if p >= lo and p + 1 <= hi
             ]
         elif t == "span_not":
             excl = set(idx.postings.get(q["exclude"], {}).get(d, (0, []))[1])
@@ -352,7 +354,7 @@ def _cost(q: dict, idx: OracleIndex) -> int:
         )
     if t == "span_near":
         return min((idx.df(x) for x in q["terms"]), default=0)
-    if t == "span_first":
+    if t in ("span_first", "span_range"):
         return idx.df(q["term"])
     if t == "span_not":
         return idx.df(q["include"])
@@ -382,7 +384,7 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
         return _phrase_scores(idx, terms, boost, mode, slop=int(q.get("slop", 0)))
     if t == "multi_phrase":
         return _multi_phrase_scores(idx, q["slots"], boost, mode)
-    if t in ("span_near", "span_first", "span_not", "span_or"):
+    if t in ("span_near", "span_first", "span_range", "span_not", "span_or"):
         return _span_scores(idx, q, boost, mode)
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost

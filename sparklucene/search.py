@@ -303,7 +303,7 @@ class IndexSearcher:
         if t == "span_near":
             sts = self.lookup_terms(q["terms"])
             return min((sts[x].df for x in q["terms"] if x in sts), default=0)
-        if t == "span_first":
+        if t in ("span_first", "span_range"):
             st = self.lookup_terms([q["term"]]).get(q["term"])
             return st.df if st else 0
         if t == "span_not":
@@ -344,7 +344,7 @@ class IndexSearcher:
             return self._eval_phrase(terms, boost, mode, slop=int(q.get("slop", 0)))
         if t == "multi_phrase":
             return self._eval_multi_phrase(q["slots"], boost, mode)
-        if t in ("span_near", "span_first", "span_not", "span_or"):
+        if t in ("span_near", "span_first", "span_range", "span_not", "span_or"):
             return self._eval_span(q, boost, mode)
         if t == "match_all":
             v = float(np.float32(boost)) if mode == "f32" else boost
@@ -1075,7 +1075,7 @@ class IndexSearcher:
             req_terms = list(q["terms"])
             opt_terms: list[str] = []
             slop = int(q.get("slop", 0))
-        elif t == "span_first":
+        elif t in ("span_first", "span_range"):
             req_terms = [q["term"]]
             opt_terms = []
         elif t == "span_not":
@@ -1136,11 +1136,15 @@ class IndexSearcher:
                         spans = kern(
                             [pos[x] for x in q_b["terms"]], int(q_b.get("slop", 0))
                         )
-                    elif typ == "span_first":
+                    elif typ in ("span_first", "span_range"):
+                        # SpanFirstQuery == SpanPositionRangeQuery(0, end)
+                        # (SpanPositionRangeQuery.cs:42-55 accept window)
+                        lo = int(q_b.get("start", 0))
+                        hi = int(q_b["end"])
                         spans = [
                             (int(p), int(p) + 1)
                             for p in pos[q_b["term"]]
-                            if int(p) + 1 <= int(q_b["end"])
+                            if int(p) >= lo and int(p) + 1 <= hi
                         ]
                     elif typ == "span_not":
                         excl = set(pos.get(q_b["exclude"], np.empty(0)).tolist())

@@ -169,3 +169,18 @@ class TestUnorderedKernel:
 
         assert u([np.array([0]), np.array([1])], 0) == [(0, 2)]
         assert u([np.array([0, 5]), np.array([1, 6])], 0) == [(0, 2), (5, 7)]
+
+
+def test_span_range_vs_oracle(searcher, oracle_idx):
+    q = {"type": "span_range", "term": "compute", "start": 2, "end": 9}
+    got = [
+        (int(r["docID"]), float(r["score"]))
+        for r in searcher.search(q, 50, mode="f32").collect()
+    ]
+    scores = eval_query(q, oracle_idx, mode="f32")
+    want = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))[:50]
+    assert got == [(d, float(np.float32(s))) for d, s in want]
+    # span_first == span_range(0, end)
+    a = searcher.search({"type": "span_first", "term": "compute", "end": 5}, 50).collect()
+    b = searcher.search({"type": "span_range", "term": "compute", "start": 0, "end": 5}, 50).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
