@@ -28,8 +28,38 @@ def rand_query(rng: np.random.Generator, depth: int = 0) -> dict:
         n = int(rng.integers(2, 4))
         terms = [VOCAB[int(rng.integers(len(VOCAB) - 1))] for _ in range(n)]
         return {"type": "phrase", "terms": terms}
+    if r < 0.5:
+        # sloppy phrase (repeated terms allowed -- the rptGroups path)
+        n = int(rng.integers(2, 4))
+        terms = [VOCAB[int(rng.integers(6))] for _ in range(n)]
+        return {"type": "phrase", "terms": terms, "slop": int(rng.integers(1, 5))}
     if r < 0.52:
         return {"type": "prefix", "prefix": VOCAB[int(rng.integers(len(VOCAB)))][: int(rng.integers(1, 4))]}
+    if r < 0.56:
+        # span queries
+        rr = rng.random()
+        if rr < 0.4:
+            n = int(rng.integers(2, 4))
+            terms = list(dict.fromkeys(VOCAB[int(rng.integers(10))] for _ in range(n)))
+            if len(terms) >= 2:
+                return {"type": "span_near", "terms": terms,
+                        "slop": int(rng.integers(0, 5)),
+                        "in_order": bool(rng.random() < 0.5)}
+        if rr < 0.6:
+            return {"type": "span_first", "term": VOCAB[int(rng.integers(len(VOCAB)))],
+                    "end": int(rng.integers(1, 12))}
+        if rr < 0.8:
+            return {"type": "span_not",
+                    "include": VOCAB[int(rng.integers(len(VOCAB)))],
+                    "exclude": VOCAB[int(rng.integers(len(VOCAB)))]}
+        return {"type": "span_or",
+                "terms": [VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(int(rng.integers(2, 4)))]}
+    if r < 0.58:
+        # multi-phrase: 2 slots with alternatives
+        return {"type": "multi_phrase", "slots": [
+            [VOCAB[int(rng.integers(10))] for _ in range(int(rng.integers(1, 3)))],
+            [VOCAB[int(rng.integers(10))]],
+        ]}
     if r < 0.6:
         return {
             "type": "dis_max",
@@ -75,7 +105,7 @@ def test_random_queries_match_oracle(engine):
     searcher, oracle = engine
     rng = np.random.default_rng(99)
     n_nonempty = 0
-    for i in range(40):
+    for i in range(60):
         q = rand_query(rng)
         want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
         got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
