@@ -112,23 +112,23 @@ def analyze(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
-def invert(text: str) -> tuple[list[tuple[str, int, list[int]]], int]:
+def invert(text: str, analyzer=None) -> tuple[list[tuple[str, int, list[int]]], int]:
     """-> ([(term, tf, positions)], field_len) for one document.
     Terms are returned in first-occurrence order; positions ascending."""
-    terms, positions = analyze(text)
+    terms, positions = (analyzer or analyze)(text)
     agg: dict[str, list[int]] = {}
     for t, p in zip(terms, positions):
         agg.setdefault(t, []).append(p)
     return [(t, len(ps), ps) for t, ps in agg.items()], len(terms)
 
 
-def invert_arrays(text: str) -> tuple[list[str], np.ndarray, np.ndarray, int]:
+def invert_arrays(text: str, analyzer=None) -> tuple[list[str], np.ndarray, np.ndarray, int]:
     """Array-shaped inversion for the Arrow tokenize path:
     -> (unique terms SORTED, tf int64[], positions_flat int64[], field_len).
     positions_flat is ascending within each term (stable sort preserves the
     global ascending order).  Same content as :func:`invert`, different
     order (sorted vs first-occurrence) and layout."""
-    terms, positions = analyze(text)
+    terms, positions = (analyzer or analyze)(text)
     n = len(terms)
     if n == 0:
         return [], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), 0
@@ -158,3 +158,81 @@ def analyze_query_text(text: str) -> list[str]:
     """Query-side analysis: same chain (QueryParserBase.cs:445 runs the
     analyzer on query text) -- returns the term sequence."""
     return analyze(text)[0]
+
+
+# ---------------------------------------------------------------------------
+# pluggable analyzers (Analyzer / TokenStreamComponents analogue)
+# ---------------------------------------------------------------------------
+
+def _analyze_standard(text: str) -> tuple[list[str], list[int]]:
+    return analyze(text)
+
+
+def _analyze_whitespace(text: str) -> tuple[list[str], list[int]]:
+    """WhitespaceAnalyzer: WhitespaceTokenizer only -- case preserved, no
+    stop filtering (reference: Analysis/Core/WhitespaceAnalyzer.cs)."""
+    toks = text.split()
+    return toks, list(range(len(toks)))
+
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _analyze_simple(text: str) -> tuple[list[str], list[int]]:
+    """SimpleAnalyzer: LetterTokenizer (maximal letter runs) + LowerCase
+    (reference: Analysis/Core/SimpleAnalyzer.cs, LetterTokenizer.cs)."""
+    toks = [m.group(0).lower() for m in _LETTER_RE.finditer(text)]
+    return toks, list(range(len(toks)))
+
+
+def _analyze_stop(text: str) -> tuple[list[str], list[int]]:
+    """StopAnalyzer: LetterTokenizer + LowerCase + StopFilter with position
+    increments preserved (reference: Analysis/Core/StopAnalyzer.cs)."""
+    terms, positions = [], []
+    for pos, m in enumerate(_LETTER_RE.finditer(text)):
+        low = m.group(0).lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(low)
+            positions.append(pos)
+    return terms, positions
+
+
+def _analyze_keyword(text: str) -> tuple[list[str], list[int]]:
+    """KeywordAnalyzer: the whole input is ONE token (StringField /
+    KeywordTokenizer semantics)."""
+    return ([text], [0]) if text else ([], [])
+
+
+def _make_ngram(min_gram: int, max_gram: int):
+    def _analyze_ngram(text: str) -> tuple[list[str], list[int]]:
+        """Character n-grams over the lowercased stream; position = gram
+        start ordinal (NGramTokenizer semantics, simplified: one position
+        per start offset; gram sizes min..max emitted at that position)."""
+        t = text.lower()
+        terms, positions = [], []
+        for i in range(len(t)):
+            for g in range(min_gram, max_gram + 1):
+                if i + g <= len(t):
+                    terms.append(t[i : i + g])
+                    positions.append(i)
+        return terms, positions
+
+    return _analyze_ngram
+
+
+def make_analyzer(name: str, **params):
+    """-> callable(text) -> (terms, positions).  Names: standard (default),
+    whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=)."""
+    if name == "standard":
+        return _analyze_standard
+    if name == "whitespace":
+        return _analyze_whitespace
+    if name == "simple":
+        return _analyze_simple
+    if name == "stop":
+        return _analyze_stop
+    if name == "keyword":
+        return _analyze_keyword
+    if name == "ngram":
+        return _make_ngram(int(params.get("min_gram", 1)), int(params.get("max_gram", 2)))
+    raise ValueError(f"unknown analyzer: {name}")

@@ -99,6 +99,8 @@ class BuildConfig:
     salt_threshold: int = 65_536
     salt_parts: int = 64  # cap on slices per term
     bucket_groups: int = 1
+    analyzer: str = "standard"  # make_analyzer name (whitespace/simple/...)
+    analyzer_params: dict = field(default_factory=dict)
     resume: bool = True
     docid_base: int = 0  # minted docIDs start here (segment appends)
     extras: dict = field(default_factory=dict)
@@ -151,7 +153,8 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
     return with_pid.mapInPandas(assign, schema=out_schema)
 
 
-def _tokenize_udf(content_col: str, passthrough: list[str]):
+def _tokenize_udf(content_col: str, passthrough: list[str],
+                  analyzer_name: str = "standard", analyzer_params: dict | None = None):
     """mapInArrow tokenizer: per batch, tokenize every doc (Python regex is
     the only per-doc work), then build the output Arrow arrays directly --
     no per-posting Python objects.  Positions are delta-varint encoded here
@@ -160,8 +163,13 @@ def _tokenize_udf(content_col: str, passthrough: list[str]):
     def tokenize(batch_iter):
         import pyarrow as pa
 
+        from .analysis import make_analyzer
         from .codec import delta_encode_positions
 
+        an = (
+            None if analyzer_name == "standard"
+            else make_analyzer(analyzer_name, **(analyzer_params or {}))
+        )
         for batch in batch_iter:
             n = batch.num_rows
             texts = batch.column(content_col).to_pylist()
@@ -170,7 +178,9 @@ def _tokenize_udf(content_col: str, passthrough: list[str]):
             posting_counts = np.empty(n, dtype=np.int64)
             flen = np.empty(n, dtype=np.int64)
             for i, txt in enumerate(texts):
-                terms, tfs, pflat, fl = invert_arrays(txt if isinstance(txt, str) else "")
+                terms, tfs, pflat, fl = invert_arrays(
+                    txt if isinstance(txt, str) else "", analyzer=an
+                )
                 all_terms.extend(terms)
                 tf_parts.append(tfs)
                 pos_parts.append(pflat)
@@ -341,7 +351,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
                 T.StructField("postings", TOKENIZED_SCHEMA_POSTINGS),
             ]
         )
-        df.mapInArrow(_tokenize_udf(cfg.content_col, passthrough), schema=tok_schema).write.mode(
+        df.mapInArrow(_tokenize_udf(cfg.content_col, passthrough, cfg.analyzer, cfg.analyzer_params), schema=tok_schema).write.mode(
             "overwrite"
         ).parquet(tok_dir)
         _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0})
@@ -395,6 +405,8 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             "sha256_root": str(agg["sha_root"]),
             "hot_terms": hot,
             "num_buckets": cfg.num_buckets,
+            "analyzer": cfg.analyzer,
+            "analyzer_params": cfg.analyzer_params,
             "salt_parts": cfg.salt_parts,
             "salt_threshold": cfg.salt_threshold,
         }

@@ -58,9 +58,13 @@ class OracleIndex:
 
     @classmethod
     def build(cls, corpus: list[tuple[int, str]]) -> "OracleIndex":
+        return cls.build_with_analyzer(corpus, None)
+
+    @classmethod
+    def build_with_analyzer(cls, corpus: list[tuple[int, str]], analyzer) -> "OracleIndex":
         idx = cls()
         for doc_id, text in corpus:
-            plist, flen = invert(text)
+            plist, flen = invert(text, analyzer=analyzer)
             idx.field_len[doc_id] = flen
             idx.norm_byte[doc_id] = int(encode_norm(np.array([flen]))[0])
             for term, tf, positions in plist:

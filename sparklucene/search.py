@@ -92,6 +92,22 @@ class IndexSearcher:
         self.max_doc: int = self.stats["max_doc"]
         self.avgdl_f32: float = self.stats["avgdl_f32"]
         self.num_buckets: int = self.stats["num_buckets"]
+        # query-side analysis mirrors the index's analyzer (QueryParserBase
+        # runs the same analyzer on query text, QueryParserBase.cs:445)
+        name = self.stats.get("analyzer", "standard")
+        if name == "standard":
+            self._analyzer_fn = None
+        else:
+            from .analysis import make_analyzer
+
+            self._analyzer_fn = make_analyzer(
+                name, **(self.stats.get("analyzer_params") or {})
+            )
+
+    def analyze_query(self, text: str) -> list[str]:
+        if self._analyzer_fn is None:
+            return analyze_query_text(text)
+        return self._analyzer_fn(text)[0]
 
     @classmethod
     def over_segments(cls, spark: SparkSession, seg_dirs: list[str], stats: dict) -> "IndexSearcher":
@@ -265,13 +281,30 @@ class IndexSearcher:
         if t == "term":
             out.append((q["term"], boost))
         elif t == "phrase":
-            for term in q.get("terms") or analyze_query_text(q["text"]):
+            for term in q.get("terms") or self.analyze_query(q["text"]):
                 out.append((term, boost))
         elif t == "boolean":
             if len(q["clauses"]) > MAX_CLAUSE_COUNT:
                 raise ValueError(f"too many clauses (> {MAX_CLAUSE_COUNT})")
             for c in q["clauses"]:
                 self._collect_leaves(c["query"], boost, out)
+        elif t == "dis_max":
+            for c in q["queries"]:
+                self._collect_leaves(c, boost, out)
+        elif t == "multi_phrase":
+            for slot in q["slots"]:
+                for term in slot:
+                    out.append((term, boost))
+        elif t == "span_near":
+            for term in q["terms"]:
+                out.append((term, boost))
+        elif t in ("span_first", "span_range"):
+            out.append((q["term"], boost))
+        elif t == "span_not":
+            out.append((q["include"], boost))
+        elif t == "span_or":
+            for term in q["terms"]:
+                out.append((term, boost))
 
     def _weight(self, term: str, boost: float, mode: str) -> float | None:
         st = self.lookup_terms([term]).get(term)
@@ -290,7 +323,7 @@ class IndexSearcher:
             st = self.lookup_terms([q["term"]]).get(q["term"])
             return st.df if st else 0
         if t == "phrase":
-            terms = q.get("terms") or analyze_query_text(q["text"])
+            terms = q.get("terms") or self.analyze_query(q["text"])
             sts = self.lookup_terms(terms)
             return min((sts[x].df for x in terms if x in sts), default=0)
         if t == "multi_phrase":
@@ -338,7 +371,7 @@ class IndexSearcher:
                 return None
             return self._scored_postings({q["term"]: w}, mode).select("docID", "score")
         if t == "phrase":
-            terms = q.get("terms") or analyze_query_text(q["text"])
+            terms = q.get("terms") or self.analyze_query(q["text"])
             if len(terms) == 1:
                 return self._eval({"type": "term", "term": terms[0]}, boost, mode)
             return self._eval_phrase(terms, boost, mode, slop=int(q.get("slop", 0)))
@@ -1031,7 +1064,9 @@ class IndexSearcher:
 
         from .analysis import analyze
 
-        terms, _pos = analyze(text)
+        terms = (
+            analyze(text)[0] if self._analyzer_fn is None else self._analyzer_fn(text)[0]
+        )
         tf = Counter(terms)
         sts = self.lookup_terms(list(tf))
         ranked = sorted(
@@ -1175,6 +1210,62 @@ class IndexSearcher:
                 yield pd.DataFrame({"docID": out_doc, "score": out_score})
 
         return grouped.mapInPandas(span_score, schema=out_schema)
+
+    def explain(self, query: dict, doc_id: int, mode: str = "f32") -> dict:
+        """IndexSearcher.Explain analogue (IndexSearcher.cs Explain ->
+        Weight.Explain): a nested breakdown of how `doc_id` scores against
+        `query`.  Returns {value, description, details: [...]}; value == the
+        doc's score from search() (0 and matched=False for non-matches)."""
+        scored = self._eval(query, 1.0, mode)
+        row = None
+        if scored is not None:
+            row = scored.filter(F.col("docID") == doc_id).collect()
+        if not row:
+            return {
+                "value": 0.0, "matched": False,
+                "description": f"no matching term(s) in doc {doc_id}",
+                "details": [],
+            }
+        value = float(row[0]["score"])
+        details = []
+        for term, _boost in self._explain_leaves(query):
+            st = self.lookup_terms([term]).get(term)
+            if st is None:
+                continue
+            idf = _idf(st.df, self.max_doc, mode)
+            post = (
+                self._scored_postings({term: 1.0}, mode)
+                .filter(F.col("docID") == doc_id)
+                .collect()
+            )
+            if not post:
+                continue
+            tf = int(post[0]["tf"])
+            nb_row = self.docs().filter(F.col("docID") == doc_id).select("norm_byte").collect()
+            nb = int(nb_row[0]["norm_byte"]) if nb_row else 0
+            details.append(
+                {
+                    "description": f"weight({term} in {doc_id})",
+                    "details": [
+                        {"description": "idf(docFreq, maxDocs)", "value": float(idf),
+                         "docFreq": st.df, "maxDocs": self.max_doc},
+                        {"description": "tf (termFreq)", "value": float(tf)},
+                        {"description": "fieldNorm (quantized length)",
+                         "value": float(NORM_TABLE[nb]), "norm_byte": nb},
+                        {"description": "avgFieldLength", "value": float(self.avgdl_f32)},
+                    ],
+                }
+            )
+        return {
+            "value": value, "matched": True,
+            "description": f"score({query.get('type')}, doc={doc_id}), product of:",
+            "details": details,
+        }
+
+    def _explain_leaves(self, q: dict) -> list[tuple[str, float]]:
+        out: list[tuple[str, float]] = []
+        self._collect_leaves(q, 1.0, out)
+        return out
 
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:

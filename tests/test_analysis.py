@@ -106,3 +106,46 @@ def test_empty_and_whitespace():
     assert analyze("") == ([], [])
     assert analyze("   \t\n ") == ([], [])
     assert analyze("the the the") == ([], [])  # all stopwords -> field_len 0
+
+
+class TestPluggableAnalyzers:
+    def test_registry_semantics(self):
+        from sparklucene.analysis import make_analyzer
+
+        assert make_analyzer("whitespace")("Foo BAR") == (["Foo", "BAR"], [0, 1])
+        assert make_analyzer("simple")("foo_bar 9x!") == (["foo", "bar", "x"], [0, 1, 2])
+        # StopAnalyzer: stopword consumes a position (posIncr preserved)
+        assert make_analyzer("stop")("the quick fox") == (["quick", "fox"], [1, 2])
+        assert make_analyzer("keyword")("a b c") == (["a b c"], [0])
+        t, p = make_analyzer("ngram", min_gram=2, max_gram=3)("abcd")
+        assert t == ["ab", "abc", "bc", "bcd", "cd"] and p == [0, 0, 1, 1, 2]
+
+    def test_whitespace_index_end_to_end(self, spark, tmp_path):
+        from sparklucene.build import BuildConfig, build_index
+        from sparklucene.oracle import OracleIndex, top_k
+        from sparklucene.search import IndexSearcher
+        from sparklucene.analysis import make_analyzer
+        from sparklucene.corpus import make_corpus
+
+        corpus = make_corpus(50, seed=13)
+        out = str(tmp_path / "ws_idx")
+        build_index(
+            spark, spark.createDataFrame(corpus), out,
+            BuildConfig(order_cols=("repo", "path"), num_buckets=4, analyzer="whitespace"),
+        )
+        s = IndexSearcher(spark, out)
+        an = make_analyzer("whitespace")
+        ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+        oracle = OracleIndex.build_with_analyzer(
+            [(i, r["content"]) for i, r in enumerate(ordered)], an
+        )
+        # whitespace keeps case and stopwords: 'the' IS a term now
+        q = {"type": "term", "term": "the"}
+        got = [(int(r["docID"]), float(r["score"])) for r in s.search(q, 20, mode="f32").collect()]
+        want = [(d, float(sc)) for d, sc in top_k(q, oracle, 20, mode="f32")]
+        assert got == want and got
+        # punctuation forms stay glued: 'f(x);' is one whitespace token
+        q2 = {"type": "term", "term": "f(x);"}
+        got2 = {int(r["docID"]) for r in s.search(q2, 500, mode="f32").collect()}
+        want2 = {d for d, _ in top_k(q2, oracle, 500, mode="f32")}
+        assert got2 == want2 and got2

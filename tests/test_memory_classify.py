@@ -49,3 +49,29 @@ def test_knn_classifier_votes(spark, tmp_path):
     mlt_top = s.more_like_this(corpus[10]["content"], k=10, mode="f64")
     langs = {r["lang"] for r in mlt_top.join(s.docs().select("docID", "lang"), "docID").collect()}
     assert votes[0]["label"] in langs
+
+
+def test_explain_matches_search_score(spark, tmp_path):
+    from sparklucene.build import build_index as bi
+
+    corpus = make_corpus(40, seed=4)
+    out = str(tmp_path / "exp_idx")
+    bi(spark, spark.createDataFrame(corpus), out,
+       BuildConfig(order_cols=("repo", "path"), num_buckets=4))
+    s = IndexSearcher(spark, out)
+    q = {"type": "boolean", "clauses": [
+        {"occur": "MUST", "query": {"type": "term", "term": "compute"}},
+        {"occur": "SHOULD", "query": {"type": "term", "term": "score"}},
+    ]}
+    top = s.search(q, 3, mode="f32").collect()
+    assert top
+    d0 = int(top[0]["docID"])
+    ex = s.explain(q, d0, mode="f32")
+    assert ex["matched"] and ex["value"] == float(top[0]["score"])
+    assert any("compute" in d["description"] for d in ex["details"])
+    # non-matching doc
+    all_ids = {int(r["docID"]) for r in s.docs().select("docID").collect()}
+    miss = next(i for i in all_ids
+                if i not in {int(r["docID"]) for r in s.search(q, 1000, mode="f32").collect()})
+    ex2 = s.explain(q, miss, mode="f32")
+    assert not ex2["matched"] and ex2["value"] == 0.0
