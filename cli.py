@@ -73,10 +73,31 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     s = IndexSearcher(spark, args.index)
     q = json.loads(args.query) if args.query.lstrip().startswith("{") else parse(args.query)
-    search = s.search_wand if args.wand else s.search
-    rows = search(q, args.k, mode=args.mode).collect()
+    if args.similarity != "bm25":
+        rows = s.search_sim(q, args.k, similarity=args.similarity, mode=args.mode).collect()
+    else:
+        search = s.search_wand if args.wand else s.search
+        rows = search(q, args.k, mode=args.mode).collect()
     for r in rows:
         print(json.dumps({"docID": r["docID"], "score": float(r["score"])}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    from sparklucene.search import IndexSearcher
+
+    s = IndexSearcher(_spark(args), args.index)
+    for r in s.suggest_terms(args.prefix, args.n).collect():
+        print(json.dumps({"term": r["term"], "df": int(r["df"])}))
+    return 0
+
+
+def cmd_spell(args) -> int:
+    from sparklucene.search import IndexSearcher
+
+    s = IndexSearcher(_spark(args), args.index)
+    for r in s.spell_suggest(args.word, args.max_edits, args.n).collect():
+        print(json.dumps({"term": r["term"], "dist": int(r["dist"]), "df": int(r["df"])}))
     return 0
 
 
@@ -123,6 +144,20 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="f32", choices=["f32", "f64"])
     s.add_argument("--wand", action="store_true")
+    s.add_argument("--similarity", default="bm25",
+                   choices=["bm25", "classic", "lm_dirichlet", "lm_jelinek_mercer",
+                            "dfr_inl2", "ib_spl"])
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("-n", type=int, default=10)
+
+    sp = sub.add_parser("spell")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--word", required=True)
+    sp.add_argument("--max-edits", type=int, default=2)
+    sp.add_argument("-n", type=int, default=5)
 
     c = sub.add_parser("check")
     c.add_argument("--index", required=True)
@@ -132,7 +167,7 @@ def main(argv=None) -> int:
     m.add_argument("--force", action="store_true")
 
     args = ap.parse_args(argv)
-    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge}[args.cmd](args)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell}[args.cmd](args)
 
 
 if __name__ == "__main__":
