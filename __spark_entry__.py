@@ -303,6 +303,17 @@ def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+def _q_sloppy_rpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase WITH a repeated term ("merge ... merge"~6) -- exercises
+    the rptGroups collision-resolution path (SloppyPhraseScorer.cs:167-340);
+    rows-only like sloppy_phrase (greedy alignment not SQL-expressible);
+    exactness pytest-verified against the reference's own
+    TestSloppyPhraseQuery fixtures."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "phrase", "terms": ["merge", "merge"], "slop": 6}
+    return _topk_df(s, q, 15)
+
+
 def _q_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiPhraseQuery [table|merge] hash (union positions per slot)."""
     s = _searcher(spark, sf_dir)
@@ -542,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dfr_term"] = _q_dfr_term
     out["ib_or"] = _q_ib_or
     out["sloppy_phrase"] = _q_sloppy_phrase
+    out["sloppy_rpts"] = _q_sloppy_rpts
     out["multi_phrase"] = _q_multi_phrase
     out["deletes_merged"] = _q_deletes_merged
     out["percolate"] = _q_percolate
