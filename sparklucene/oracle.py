@@ -439,6 +439,8 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
             for ss in should_scores:
                 match |= set(ss.keys())
         match -= excluded
+        if msm > sum(1 for ss in should_scores if ss):
+            return {}  # minNrShouldMatch > optional.Count -> null scorer
         need = msm if musts else max(msm, 1 if shoulds else 0)
         out: dict[int, float] = {}
         # conjunction order: ascending cost, stable by clause index
@@ -507,6 +509,8 @@ def eval_sim(q: dict, idx: OracleIndex, similarity: str = "classic",
     must_nots = {t for o, t, _ in clauses if o == "MUST_NOT"}
     if any(t not in idx.postings for t, _ in musts):
         return {}
+    if msm > len(shoulds):
+        return {}  # minNrShouldMatch > optional.Count -> null scorer
     if not musts and not shoulds:
         return {}
     # maxCoord / classic ssw count absent non-prohibited clauses too

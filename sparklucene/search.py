@@ -538,6 +538,9 @@ class IndexSearcher:
         # 1-clause rewrite collapse (BooleanQuery.cs:565-590)
         if len(clauses) == 1 and len(non_prohibited) == 1:
             return self._eval(non_prohibited[0]["query"], boost, mode)
+        leap = self._eval_and_leapfrog(q, boost, mode)
+        if leap is not None:
+            return leap[0]
         eligible, fused = self._eval_boolean_fused(q, boost, mode)
         if eligible:
             return fused
@@ -581,6 +584,9 @@ class IndexSearcher:
                     F.sum("s").cast(ftype).alias("opt_score"), F.count("*").alias("n_should")
                 )
 
+        n_opt = 0 if opt is None else len(parts)
+        if msm > n_opt:
+            return None  # BooleanWeight: minNrShouldMatch > optional.Count
         need = msm if musts else max(msm, 1 if shoulds else 0)
         if req is not None and opt is not None:
             if need > 0:
@@ -619,6 +625,77 @@ class IndexSearcher:
                 out = out.join(ex.distinct(), "docID", "left_anti")
         return out
 
+    def _eval_and_leapfrog(
+        self, q: dict, boost: float, mode: str,
+        skew_factor: int = 4, max_lead_df: int = 200_000,
+    ):
+        """Physical leapfrog for skewed pure-AND term queries: the RAREST
+        term leads (ConjunctionScorer.cs:47-51 cost ordering made physical)
+        -- its docIDs become a broadcast restriction set, and every other
+        term's posting BLOCKS are range-checked against it (searchsorted on
+        skip metadata) and decoded only on overlap.  At 100 TB this is the
+        difference between decoding a hot term's full posting list and
+        decoding only the few blocks intersecting the rare term.
+
+        Triggers when every clause is MUST+term (distinct), max_df >=
+        skew_factor*min_df, and the lead's df fits the driver restriction
+        set; rank-and-score-identical to the general path (same per-term
+        scores, same ascending-df float32 fold -- differential-tested).
+        -> (DataFrame,) or None when not eligible / provably empty."""
+        clauses = q["clauses"]
+        if len(clauses) < 2 or any(
+            c["occur"] != "MUST" or c["query"]["type"] != "term" for c in clauses
+        ):
+            return None
+        terms = [c["query"]["term"] for c in clauses]
+        boosts = {c["query"]["term"]: boost * c["query"].get("boost", 1.0) for c in clauses}
+        if len(set(terms)) != len(terms):
+            return None
+        stats = self.lookup_terms(terms)
+        if any(t not in stats for t in terms):
+            ftype = "float" if mode == "f32" else "double"
+            return (self.spark.createDataFrame([], f"docID long, score {ftype}"),)
+        dfs = {t: stats[t].df for t in terms}
+        lead = min(terms, key=lambda t: dfs[t])
+        if dfs[lead] > max_lead_df or max(dfs.values()) < skew_factor * dfs[lead]:
+            return None
+
+        if q.get("minShouldMatch", 0) > 0:
+            return None  # no SHOULD scorers: Lucene yields a null scorer
+        weights = {t: self._weight(t, boosts[t], mode) for t in terms}
+        lead_scored = self._scored_postings({lead: weights[lead]}, mode)
+        lead_rows = lead_scored.select("docID", "score").collect()
+        if not lead_rows:
+            ftype = "float" if mode == "f32" else "double"
+            return (self.spark.createDataFrame([], f"docID long, score {ftype}"),)
+        lead_ids = np.sort(np.asarray([r["docID"] for r in lead_rows], dtype=np.int64))
+
+        others = [t for t in terms if t != lead]
+        rest = self._score_block_rows(
+            self._union_read("postings")
+            .filter(F.col("bucket").isin(sorted({stats[t].bucket for t in others})))
+            .filter(F.col("term").isin(others)),
+            {t: weights[t] for t in others},
+            mode,
+            restrict_docs=lead_ids,
+        )
+        ftype = "float" if mode == "f32" else "double"
+        # ascending-df float32 fold, lead (min df) first; columns keyed by
+        # clause index (term text may contain dots -> not a safe identifier)
+        order = sorted(terms, key=lambda t: (dfs[t], terms.index(t)))
+        cname = {t: f"_s_{i}" for i, t in enumerate(terms)}
+        frames = {lead: lead_scored.select("docID", F.col("score").alias(cname[lead]))}
+        for t in others:
+            frames[t] = rest.filter(F.col("term") == t).select(
+                "docID", F.col("score").alias(cname[t])
+            )
+        out = frames[order[0]]
+        acc = F.col(cname[order[0]])
+        for t in order[1:]:
+            out = out.join(frames[t], "docID", "inner")
+            acc = (acc + F.col(cname[t])).cast(ftype)
+        return (out.select("docID", acc.alias("score")),)
+
     def _eval_boolean_fused(self, q: dict, boost: float, mode: str):
         """Single-scan boolean evaluation for the common shape where every
         clause is a plain TermQuery with distinct terms: ONE postings read +
@@ -652,6 +729,8 @@ class IndexSearcher:
         musts = [(t, w) for t, w in musts if w is not None]
         shoulds = [(t, w) for t, w in shoulds if w is not None]
         must_nots = [(t, w) for t, w in must_nots if w is not None]
+        if msm > len(shoulds):
+            return True, None  # minNrShouldMatch > optional.Count
         need = msm if musts else max(msm, 1 if shoulds else 0)
         if not musts and not shoulds:
             return True, None
@@ -1400,6 +1479,8 @@ class IndexSearcher:
         all_scoring = musts + shoulds
         shoulds = [(t, b) for t, b in shoulds if t in stats]
         must_nots = [(t, b) for t, b in must_nots if t in stats]
+        if msm > len(shoulds):
+            return empty  # minNrShouldMatch > optional.Count -> null scorer
         if not musts and not shoulds:
             return empty
         ctx = {"max_doc": self.max_doc, "sum_ttf": self.stats["sum_total_term_freq"]}
