@@ -218,6 +218,7 @@ class IndexSearcher:
         ]
         if with_positions:
             fields.append(T.StructField("positions", T.ArrayType(T.IntegerType())))
+            fields.append(T.StructField("norm_byte", T.IntegerType()))
         out_schema = T.StructType(fields)
         f32 = mode == "f32"
         deleted = self._deleted_ids
@@ -254,6 +255,7 @@ class IndexSearcher:
                         pos = decode_block_positions(t, row.pos_blob)
                         splits = np.cumsum(t)[:-1]
                         o["positions"] = np.split(pos.astype(np.int32), splits)
+                        o["norm_byte"] = nb.astype(np.int32)
                     if keep is not None:
                         o = {
                             k: (v[keep] if isinstance(v, np.ndarray) else
@@ -271,7 +273,7 @@ class IndexSearcher:
         score_t = "float" if mode == "f32" else "double"
         schema = f"term string, docID long, tf int, score {score_t}"
         if with_positions:
-            schema += ", positions array<int>"
+            schema += ", positions array<int>, norm_byte int"
         return self.spark.createDataFrame([], schema)
 
     # ---- query tree evaluation ---------------------------------------------
@@ -824,11 +826,10 @@ class IndexSearcher:
             .agg(
                 F.collect_list(F.struct("term", "positions")).alias("plists"),
                 F.count("*").alias("n_terms"),
+                F.first("norm_byte").alias("norm_byte"),
             )
             .filter(F.col("n_terms") == n_uniq)
-        )
-        docs_norm = self.docs().select("docID", "norm_byte")
-        grouped = grouped.join(docs_norm, "docID", "inner")
+        )  # norm_byte rides with the postings: no docs-table join
 
         term_order = list(terms)
         slop_b = slop
@@ -911,8 +912,10 @@ class IndexSearcher:
 
         grouped = (
             posts.groupBy("docID")
-            .agg(F.collect_list(F.struct("term", "positions")).alias("plists"))
-            .join(self.docs().select("docID", "norm_byte"), "docID", "inner")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+                F.first("norm_byte").alias("norm_byte"),
+            )
         )
 
         def mp_score(pdf_iter):
@@ -1229,8 +1232,10 @@ class IndexSearcher:
 
         grouped = (
             posts.groupBy("docID")
-            .agg(F.collect_list(F.struct("term", "positions")).alias("plists"))
-            .join(self.docs().select("docID", "norm_byte"), "docID", "inner")
+            .agg(
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+                F.first("norm_byte").alias("norm_byte"),
+            )
         )
 
         def span_score(pdf_iter):
