@@ -1351,6 +1351,32 @@ class IndexSearcher:
         self._collect_leaves(q, 1.0, out)
         return out
 
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, list[int]]]:
+        """Term-vector retrieval: (term, tf, positions) for one document
+        (IndexReader.GetTermVector / Fields API analogue -- the reference
+        stores per-doc term vectors in .tvd/.tvf; ours live in the build's
+        `tokenized` stage parquet, fetched with docID predicate pushdown).
+        Returns [] when the segment layout kept no tokenized stage."""
+        from .codec import varint_decode
+
+        out: list[tuple[str, int, list[int]]] = []
+        for d in self._seg_dirs:
+            tok = os.path.join(d, "tokenized")
+            if not os.path.exists(tok):
+                continue
+            rows = (
+                self.spark.read.parquet(tok)
+                .filter(F.col("docID") == doc_id)
+                .select("postings")
+                .collect()
+            )
+            for r in rows:
+                for p in r["postings"]:
+                    gaps = varint_decode(bytes(p["pos_blob"]), count=int(p["tf"]))
+                    positions = np.cumsum(gaps).tolist()
+                    out.append((p["term"], int(p["tf"]), [int(x) for x in positions]))
+        return sorted(out)
+
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix completion over the terms dictionary, ranked by document

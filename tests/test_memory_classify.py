@@ -75,3 +75,19 @@ def test_explain_matches_search_score(spark, tmp_path):
                 if i not in {int(r["docID"]) for r in s.search(q, 1000, mode="f32").collect()})
     ex2 = s.explain(q, miss, mode="f32")
     assert not ex2["matched"] and ex2["value"] == 0.0
+
+
+def test_term_vector_matches_oracle_invert(spark, tmp_path):
+    from sparklucene.build import build_index as bi
+    from sparklucene.analysis import invert
+
+    corpus = make_corpus(30, seed=6)
+    out = str(tmp_path / "tv_idx")
+    bi(spark, spark.createDataFrame(corpus), out,
+       BuildConfig(order_cols=("repo", "path"), num_buckets=4))
+    s = IndexSearcher(spark, out)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    for did in (0, 7, 29):
+        tv = s.term_vector(did)
+        want = sorted((t, tf, ps) for t, tf, ps in invert(ordered[did]["content"])[0])
+        assert tv == want, did
