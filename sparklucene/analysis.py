@@ -114,12 +114,15 @@ def analyze(text: str) -> tuple[list[str], list[int]]:
 
 def invert(text: str, analyzer=None) -> tuple[list[tuple[str, int, list[int]]], int]:
     """-> ([(term, tf, positions)], field_len) for one document.
-    Terms are returned in first-occurrence order; positions ascending."""
+    Terms are returned in first-occurrence order; positions ascending.
+    field_len discounts overlaps: numTerms = Length - NumOverlap
+    (BM25Similarity.cs:162-166 discountOverlaps default true), i.e. tokens
+    stacked at the same position (synonyms, posIncr==0) count once."""
     terms, positions = (analyzer or analyze)(text)
     agg: dict[str, list[int]] = {}
     for t, p in zip(terms, positions):
         agg.setdefault(t, []).append(p)
-    return [(t, len(ps), ps) for t, ps in agg.items()], len(terms)
+    return [(t, len(ps), ps) for t, ps in agg.items()], len(set(positions))
 
 
 def invert_arrays(text: str, analyzer=None) -> tuple[list[str], np.ndarray, np.ndarray, int]:
@@ -139,7 +142,9 @@ def invert_arrays(text: str, analyzer=None) -> tuple[list[str], np.ndarray, np.n
     sp = p_arr[order]
     starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
     tfs = np.diff(np.append(starts, n))
-    return st[starts].tolist(), tfs, sp, n
+    # field_len = Length - NumOverlap (distinct emitted positions)
+    flen = int(np.unique(p_arr).size)
+    return st[starts].tolist(), tfs, sp, flen
 
 
 def analyze_batch(texts) -> tuple[list[list[tuple[str, int, list[int]]]], np.ndarray]:
@@ -220,6 +225,33 @@ def _make_ngram(min_gram: int, max_gram: int):
     return _analyze_ngram
 
 
+def _make_synonym(synonyms: dict):
+    """SynonymFilter analogue (Analysis/Synonym/SynonymFilter.cs): after the
+    standard chain, each mapped term ALSO emits its synonyms at the SAME
+    position (posIncr==0 -> overlap tokens, discounted from the norm
+    length).  synonyms: term -> list of additional terms.
+
+    Known divergence: the engine's sumTotalTermFreq (avgdl numerator) is
+    the sum of per-doc norm lengths; Lucene's counts every posting
+    including overlaps.  Identical for all non-overlapping analyzers;
+    under synonym expansion avgdl is slightly smaller than Lucene's (the
+    pure-Python oracle mirrors the engine, so parity tests stay exact)."""
+    syn = {k: list(v) for k, v in synonyms.items()}
+
+    def _analyze_synonym(text: str) -> tuple[list[str], list[int]]:
+        base_terms, base_pos = analyze(text)
+        terms, positions = [], []
+        for t, p in zip(base_terms, base_pos):
+            terms.append(t)
+            positions.append(p)
+            for s in syn.get(t, ()):
+                terms.append(s)
+                positions.append(p)
+        return terms, positions
+
+    return _analyze_synonym
+
+
 def make_analyzer(name: str, **params):
     """-> callable(text) -> (terms, positions).  Names: standard (default),
     whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=)."""
@@ -235,4 +267,6 @@ def make_analyzer(name: str, **params):
         return _analyze_keyword
     if name == "ngram":
         return _make_ngram(int(params.get("min_gram", 1)), int(params.get("max_gram", 2)))
+    if name == "synonym":
+        return _make_synonym(params.get("synonyms", {}))
     raise ValueError(f"unknown analyzer: {name}")

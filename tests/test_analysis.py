@@ -149,3 +149,37 @@ class TestPluggableAnalyzers:
         got2 = {int(r["docID"]) for r in s.search(q2, 500, mode="f32").collect()}
         want2 = {d for d, _ in top_k(q2, oracle, 500, mode="f32")}
         assert got2 == want2 and got2
+
+    def test_synonym_index_end_to_end(self, spark, tmp_path):
+        from sparklucene.analysis import make_analyzer
+        from sparklucene.build import BuildConfig, build_index
+        from sparklucene.oracle import OracleIndex, top_k
+        from sparklucene.search import IndexSearcher
+
+        rows = [
+            {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "py", "content": txt}
+            for i, txt in enumerate([
+                "the fast car drives", "a slow truck", "fast fast snail", "quick fox",
+            ])
+        ]
+        syn = {"fast": ["quick"]}
+        out = str(tmp_path / "syn_idx")
+        build_index(
+            spark, spark.createDataFrame(rows), out,
+            BuildConfig(order_cols=("repo", "path"), num_buckets=4,
+                        analyzer="synonym", analyzer_params={"synonyms": syn}),
+        )
+        s = IndexSearcher(spark, out)
+        an = make_analyzer("synonym", synonyms=syn)
+        oracle = OracleIndex.build_with_analyzer(
+            [(i, r["content"]) for i, r in enumerate(rows)], an
+        )
+        # querying 'quick' must hit docs containing 'fast' (0, 2) AND doc 3
+        q = {"type": "term", "term": "quick"}
+        got = [(int(r["docID"]), float(r["score"])) for r in s.search(q, 10, mode="f32").collect()]
+        want = [(d, float(sc)) for d, sc in top_k(q, oracle, 10, mode="f32")]
+        assert got == want
+        assert {d for d, _ in got} == {0, 2, 3}
+        # norm length discounts the overlap: doc 0 has 3 emitted positions
+        flen = {r["docID"]: r["field_len"] for r in s.docs().collect()}
+        assert flen[0] == 3  # fast(+quick overlap) car drives
