@@ -105,47 +105,79 @@ def minhash_signatures(
     num_hashes: int = MINHASH_NUM_HASHES, bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """(doc_id, band, sig): per-band MinHash signature strings.
-    One explode + ONE shuffle (pivot on seed)."""
+
+    One-pass: all `num_hashes` hash values are computed as expressions on
+    each shingle row (no seed cross-join -- a k-way join would multiply the
+    shuffle k-fold) and reduced in ONE groupBy with k min() aggregates
+    (map-side partial combine keeps shuffle rows at one narrow row per doc
+    per mapper).  Bands are then a narrow array/explode over the signature
+    row -- no pivot, no second shuffle."""
     rows = num_hashes // bands
     sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingle_col(text_col)).alias("g"))
-    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    hashed = sh.join(F.broadcast(seeds)).select(
-        "doc_id", "seed",
-        hash60(F.concat_ws("#", F.col("g"), F.col("seed").cast("string"))).alias("h"),
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(hash60(F.concat_ws("#", F.col("g"), F.lit(str(s))))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
     )
-    piv = hashed.groupBy("doc_id").pivot("seed", list(range(num_hashes))).agg(F.min("h"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(",", *[F.col(str(b * rows + r)) for r in range(rows)]).alias("sig"),
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("sig"),
             )
             for b in range(bands)
         ]
     )
-    return piv.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return mins.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    threshold: float = 0.8,
+    threshold: float = 0.8, bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs -> (doc_a, doc_b, jaccard).
 
     shingle -> minhash -> band -> bucket self-join -> exact-Jaccard verify on
     candidates only.  Jaccard is exact over distinct shingle sets, so the
     result is deterministic (LSH affects only recall, which the oracle SQL
-    reproduces with the same hash family)."""
+    reproduces with the same hash family).
+
+    bucket_cap: at 100 TB, identical-document clusters put thousands of docs
+    in one (band, sig) bucket and the self-join goes quadratic.  With a cap,
+    oversized buckets emit STAR pairs only (every member paired with the
+    bucket's min doc_id) -- linear in cluster size, and transitively
+    equivalent for dedup-cluster construction (near-identical members all
+    link to the same keeper).  None = exact all-pairs (the oracle-checked
+    default at test scale)."""
     sigs = minhash_signatures(df, id_col, text_col)
-    cand = (
-        sigs.alias("a")
-        .join(sigs.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    if bucket_cap is None:
+        cand = (
+            sigs.alias("a")
+            .join(sigs.alias("b"), ["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        bs = sigs.groupBy("band", "sig").agg(
+            F.count("*").alias("_n"), F.min("doc_id").alias("_mn")
+        )
+        keyed = sigs.join(bs, ["band", "sig"])
+        small = keyed.filter(F.col("_n") <= bucket_cap)
+        pair_small = (
+            small.alias("a")
+            .join(small.alias("b"), ["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        pair_big = (
+            keyed.filter((F.col("_n") > bucket_cap) & (F.col("doc_id") > F.col("_mn")))
+            .select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        cand = pair_small.unionByName(pair_big).distinct()
     sets_df = df.select(
         F.col(id_col).alias("doc_id"), shingle_col(text_col).alias("gs")
     )

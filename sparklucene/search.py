@@ -142,6 +142,18 @@ class IndexSearcher:
             for d in self._seg_dirs
             if os.path.exists(os.path.join(d, subdir))
         ]
+        if not dfs:
+            # empty segment set (searcher before any append): empty result
+            # with the canonical schema instead of IndexError
+            if subdir == "postings":
+                from .build import BLOCK_SCHEMA
+
+                return self.spark.createDataFrame([], BLOCK_SCHEMA)
+            if subdir == "term_dict":
+                return self.spark.createDataFrame(
+                    [], "term string, df long, ttf long, max_tf int, bucket int"
+                )
+            raise FileNotFoundError(f"no segment contains '{subdir}'")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -176,6 +188,10 @@ class IndexSearcher:
                 parts.append(
                     self.spark.read.parquet(os.path.join(d, "tokenized")).drop("postings")
                 )
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "docID long, sha256 string, field_len long, norm_byte int"
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -665,25 +681,33 @@ class IndexSearcher:
         if q.get("minShouldMatch", 0) > 0:
             return None  # no SHOULD scorers: Lucene yields a null scorer
         weights = {t: self._weight(t, boosts[t], mode) for t in terms}
-        lead_scored = self._scored_postings({lead: weights[lead]}, mode)
-        lead_rows = lead_scored.select("docID", "score").collect()
-        if not lead_rows:
-            ftype = "float" if mode == "f32" else "double"
-            return (self.spark.createDataFrame([], f"docID long, score {ftype}"),)
-        lead_ids = np.sort(np.asarray([r["docID"] for r in lead_rows], dtype=np.int64))
+        # the lead stays a DataFrame: its docID set is coalesced into
+        # per-stride [lo, hi] intervals and broadcast against the OTHER
+        # terms' block skip metadata -- hot-term blocks outside the rare
+        # term's ranges are skipped without being read or decoded, and no
+        # candidate array ever touches the driver
+        lead_scored = self._scored_postings({lead: weights[lead]}, mode).select(
+            "docID", "score"
+        )
+        iv = self._stride_intervals(lead_scored.select("docID"))
 
         others = [t for t in terms if t != lead]
-        rest = self._score_block_rows(
+        other_blocks = (
             self._union_read("postings")
             .filter(F.col("bucket").isin(sorted({stats[t].bucket for t in others})))
-            .filter(F.col("term").isin(others)),
+            .filter(F.col("term").isin(others))
+        )
+        rest = self._score_block_rows(
+            self._prune_blocks_to_intervals(other_blocks, iv),
             {t: weights[t] for t in others},
             mode,
-            restrict_docs=lead_ids,
         )
         ftype = "float" if mode == "f32" else "double"
         # ascending-df float32 fold, lead (min df) first; columns keyed by
-        # clause index (term text may contain dots -> not a safe identifier)
+        # clause index (term text may contain dots -> not a safe identifier).
+        # Each inner join broadcasts the accumulated side (bounded by the
+        # lead's df <= max_lead_df), so the fold is a chain of broadcast
+        # hash joins -- no shuffle of the hot terms' postings
         order = sorted(terms, key=lambda t: (dfs[t], terms.index(t)))
         cname = {t: f"_s_{i}" for i, t in enumerate(terms)}
         frames = {lead: lead_scored.select("docID", F.col("score").alias(cname[lead]))}
@@ -694,7 +718,7 @@ class IndexSearcher:
         out = frames[order[0]]
         acc = F.col(cname[order[0]])
         for t in order[1:]:
-            out = out.join(frames[t], "docID", "inner")
+            out = frames[t].join(F.broadcast(out), "docID", "inner")
             acc = (acc + F.col(cname[t])).cast(ftype)
         return (out.select("docID", acc.alias("score")),)
 
@@ -998,77 +1022,101 @@ class IndexSearcher:
         )
         return blocks.withColumn("ub", ub)
 
-    def search_wand(self, query: dict, k: int = 10, mode: str = "f32",
-                    max_candidates: int = 2_000_000) -> DataFrame:
+    # docID-range stride for candidate-interval coalescing: lead/candidate
+    # docIDs are grouped into per-stride [min, max] ranges so the pruning
+    # side of a broadcast range-join stays small (<= one row per 64k of
+    # docID space actually touched)
+    RANGE_STRIDE = 1 << 16
+
+    def _stride_intervals(self, ids: DataFrame, id_col: str = "docID") -> DataFrame:
+        """Coalesce a docID set into per-stride [lo, hi] intervals (one
+        narrow aggregation; output rows <= touched strides <= |ids|)."""
+        return ids.groupBy(
+            F.floor(F.col(id_col) / F.lit(self.RANGE_STRIDE)).alias("_s")
+        ).agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+
+    def _prune_blocks_to_intervals(self, blocks: DataFrame, iv: DataFrame) -> DataFrame:
+        """Keep only block rows whose [first_docid, max_docid] overlaps some
+        interval: a broadcast range semi-join on SKIP METADATA -- the
+        leapfrog/WAND block skip, executed JVM-side with no driver round
+        trip and no blob decoded for the decision."""
+        return blocks.join(
+            F.broadcast(iv),
+            (F.col("first_docid") <= F.col("_hi")) & (F.col("max_docid") >= F.col("_lo")),
+            "left_semi",
+        )
+
+    def search_wand(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k with block-max pruning; ALWAYS rank-and-score-identical to
         the exhaustive path (differential-tested).
 
         The reference 4.8 has no WAND (verified, SURVEY 4.2) -- this is a
-        pure optimization on top of its exhaustive semantics:
+        pure optimization on top of its exhaustive semantics.  Fully
+        collect()-free: every phase is a lazy DataFrame folded into the
+        final plan through broadcast joins of tiny aggregates:
           1. theta = k-th best partial score from each term's single best
-             block (a LOWER bound on the true k-th score);
-          2. candidate docs come only from blocks with
-             ub(block) + sum(ubmax of other terms) >= theta -- any doc
-             outside them provably scores < theta;
-          3. exact scores for candidates only: every query-term block is
-             range-checked against the broadcast candidate set (searchsorted
-             on skip metadata) and decoded only on overlap.
-        Falls back to exhaustive scoring for non-eligible query shapes or
-        oversized candidate sets."""
+             block (a LOWER bound on the true k-th score) -- a 1-row
+             DataFrame, broadcast;
+          2. generator blocks = blocks with ub(block) + sum(ubmax of other
+             terms) >= theta; any doc OUTSIDE their docID ranges provably
+             scores < theta, so the generators' [first_docid, max_docid]
+             intervals (skip metadata only, nothing decoded) are a sound
+             candidate superset;
+          3. one decode+score pass over blocks overlapping those intervals.
+             Docs inside the intervals get their exact full score (all
+             their blocks overlap by construction); stray docs decoded from
+             partially-overlapping blocks score < theta and cannot enter
+             the top-k, so no per-doc filter is needed.
+        Falls back to exhaustive scoring for non-eligible query shapes."""
         tb = self._wand_shape(query)
         if tb is None:
             return self.search(query, k, mode)
         weights = self._weights_for(tb, mode)
+        ftype = "float" if mode == "f32" else "double"
         if not weights:
-            ftype = "float" if mode == "f32" else "double"
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
         blocks = self._blocks_with_ub(weights, mode)
 
         from pyspark.sql import Window
 
-        # phase 1: theta from the best block of each term
+        # phase 1: theta from the best block of each term (decodes only
+        # len(weights) blocks); < k partials -> theta = -inf (no pruning)
         top1 = blocks.withColumn(
             "_rk", F.row_number().over(Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id")))
         ).filter(F.col("_rk") == 1).drop("_rk", "ub")
-        partial = (
+        theta_df = (
             self._score_block_rows(top1, weights, mode)
             .groupBy("docID")
             .agg(F.sum(F.col("score").cast("double")).alias("s"))
             .orderBy(F.desc("s"))
             .limit(k)
-            .collect()
+            .agg(
+                F.when(F.count("*") >= k, F.min("s"))
+                .otherwise(F.lit(float("-inf")))
+                .alias("_theta")
+            )
         )
-        theta = float(partial[-1]["s"]) if len(partial) >= k else float("-inf")
 
-        # phase 2: candidate generation via the block-max bound
-        ubmax = {
-            r["term"]: r["mx"]
-            for r in blocks.groupBy("term").agg(F.max("ub").alias("mx")).collect()
-        }
-        rest = {t: sum(v for t2, v in ubmax.items() if t2 != t) for t in ubmax}
-        rest_map = F.create_map(*[x for t, v in rest.items() for x in (F.lit(t), F.lit(float(v)))])
+        # phase 2: generator blocks via the block-max bound (metadata only).
         # margin guards f32-rounded scores against the f64 bound (1 ulp of a
         # float32 score ~1e-6 relative; scores are O(1..30))
-        gen_blocks = blocks.filter(
-            F.col("ub") + rest_map[F.col("term")] >= F.lit(theta - 1e-4)
+        ubmax = blocks.groupBy("term").agg(F.max("ub").alias("_mx"))
+        tot = ubmax.agg(F.sum("_mx").alias("_tot"))
+        gen = (
+            blocks.join(F.broadcast(ubmax), "term")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(theta_df))
+            .filter(
+                F.col("ub") + (F.col("_tot") - F.col("_mx")) >= F.col("_theta") - 1e-4
+            )
         )
-        cand = [
-            r["docID"]
-            for r in self._score_block_rows(gen_blocks.drop("ub"), weights, mode)
-            .select("docID")
-            .distinct()
-            .limit(max_candidates + 1)
-            .collect()
-        ]
-        if len(cand) > max_candidates:
-            return self.search(query, k, mode)  # pruning bought nothing
-        cand_arr = np.sort(np.asarray(cand, dtype=np.int64))
+        iv = gen.groupBy(
+            F.floor(F.col("first_docid") / F.lit(self.RANGE_STRIDE)).alias("_s")
+        ).agg(F.min("first_docid").alias("_lo"), F.max("max_docid").alias("_hi"))
 
-        # phase 3: exact candidate-restricted scoring over all query blocks
-        scored = self._score_block_rows(
-            blocks.drop("ub"), weights, mode, restrict_docs=cand_arr
-        )
-        ftype = "float" if mode == "f32" else "double"
+        # phase 3: ONE decode pass over interval-overlapping blocks
+        pruned = self._prune_blocks_to_intervals(blocks.drop("ub"), iv)
+        scored = self._score_block_rows(pruned, weights, mode)
         if len(weights) == 1:
             out = scored.select("docID", "score")
         else:

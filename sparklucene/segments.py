@@ -318,10 +318,14 @@ class SegmentedIndex:
             self.num_buckets = m["num_buckets"]
             self.segments = [SegmentInfo(**s) for s in m["segments"]]
             self.counter = m["counter"]
+            # never-decreasing docID high-water mark; pre-v2 manifests
+            # (no deletes applied yet) used sum(n_docs), which is equal
+            self.next_docid = m.get("next_docid", sum(s.n_docs for s in self.segments))
         else:
             self.num_buckets = num_buckets
             self.segments: list[SegmentInfo] = []
             self.counter = 0
+            self.next_docid = 0
             self._publish()
 
     # -- manifest -----------------------------------------------------------
@@ -330,9 +334,10 @@ class SegmentedIndex:
         with open(tmp, "w") as f:
             json.dump(
                 {
-                    "version": 1,
+                    "version": 2,
                     "num_buckets": self.num_buckets,
                     "counter": self.counter,
+                    "next_docid": self.next_docid,
                     "segments": [s.to_dict() for s in self.segments],
                 },
                 f,
@@ -349,19 +354,22 @@ class SegmentedIndex:
 
     # -- append -------------------------------------------------------------
     def append(self, df: DataFrame, config: BuildConfig | None = None) -> str:
-        """Index df as a new segment.  Minted docIDs start at current
-        max_doc so ranges stay disjoint; a provided id_col must already be
-        globally unique (caller's contract)."""
+        """Index df as a new segment.  Minted docIDs start at the persisted
+        never-decreasing `next_docid` high-water mark (NOT sum(n_docs): a
+        delete-applying merge shrinks n_docs while surviving docs keep their
+        original, higher docIDs -- basing on the sum would re-mint ids that
+        are still live).  A provided id_col must already be globally unique
+        (caller's contract, guarded against the same high-water mark)."""
         cfg = config or BuildConfig()
         cfg.num_buckets = self.num_buckets
-        cfg.docid_base = self.max_doc
+        cfg.docid_base = self.next_docid
         if cfg.id_col is not None and self.segments:
             # docID ranges must stay globally disjoint (no remap machinery)
             lo = df.agg(F.min(F.col(cfg.id_col).cast("long"))).collect()[0][0]
-            if lo is not None and lo < self.max_doc:
+            if lo is not None and lo < self.next_docid:
                 raise ValueError(
                     f"append id_col={cfg.id_col} min={lo} overlaps existing "
-                    f"docID space [0, {self.max_doc}) -- ids must be globally unique"
+                    f"docID space [0, {self.next_docid}) -- ids must be globally unique"
                 )
         name = f"seg{self.counter:06d}"
         self.counter += 1
@@ -371,6 +379,12 @@ class SegmentedIndex:
         tokenized.drop("postings").write.mode("overwrite").parquet(os.path.join(out, "docs"))
         with open(os.path.join(out, "stats.json")) as f:
             st = json.load(f)
+        hi = (
+            self.spark.read.parquet(os.path.join(out, "docs"))
+            .agg(F.max("docID")).collect()[0][0]
+        )
+        if hi is not None:
+            self.next_docid = max(self.next_docid, int(hi) + 1)
         self.segments.append(
             SegmentInfo(
                 name=name,
@@ -475,7 +489,6 @@ class SegmentedIndex:
 
     def _merge(self, names: list[str]) -> str:
         t0 = time.time()
-        all_names_before = {s.name for s in self.segments}
         dels = self.deleted_ids()
         deleted = np.asarray(dels, dtype=np.int64) if dels else None
         name = f"seg{self.counter:06d}"
@@ -493,7 +506,11 @@ class SegmentedIndex:
             .sortWithinPartitions("bucket", "term", "first_docid")
             .mapInArrow(_merge_blocks_udf(deleted), schema=BLOCK_SCHEMA)
         )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(out, "postings"))
+        # same partition layout as a fresh build (postings/group=/bucket=) so
+        # unions across merged + freshly-appended segments line up
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out, "postings", "group=0")
+        )
 
         if deleted is None:
             # no deletes: per-term stats are pure sums of the input dicts
@@ -568,11 +585,32 @@ class SegmentedIndex:
         self._publish()
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
-        if deleted is not None and set(names) == all_names_before:
-            # every segment was merged -> all buffered deletes are applied;
-            # drop the deletes store (partial merges keep it: remaining
-            # segments may still hold deleted docs; stale ids are harmless)
+        if deleted is not None:
+            # the merge reclaimed its subset of the buffered deletes; prune
+            # the store to ids still present in UNMERGED segments so
+            # num_docs = max_doc - |store| never double-subtracts an already
+            # reclaimed id (a full merge prunes to the empty set)
+            rem = [s for s in self.segments if s.name != name]
+            still: list[int] = []
+            if rem:
+                live = None
+                for s2 in rem:
+                    dd = self.spark.read.parquet(
+                        os.path.join(self._seg_dir(s2.name), "docs")
+                    ).select("docID")
+                    live = dd if live is None else live.unionByName(dd)
+                dels_df = self.spark.createDataFrame(
+                    [(int(x),) for x in deleted], "docID long"
+                )
+                still = [
+                    int(r["docID"])
+                    for r in dels_df.join(live, "docID", "left_semi").collect()
+                ]
             shutil.rmtree(self._deletes_dir(), ignore_errors=True)
+            if still:
+                self.spark.createDataFrame(
+                    [(x,) for x in still], "docID long"
+                ).write.mode("overwrite").parquet(self._deletes_dir())
         return name
 
     def _recount_term_dict(self, postings_df: DataFrame) -> DataFrame:

@@ -124,3 +124,68 @@ def test_tiered_policy_math():
     sizes.update({f"s{i}": 1024 * 1024 for i in range(12)})
     spec = p.find_merges(sizes)
     assert all("big" not in m for m in spec)
+
+
+def test_docid_highwater_after_delete_merge_append(spark, tmp_path_factory):
+    """delete -> force_merge -> append must NOT re-mint docIDs of surviving
+    docs (next_docid high-water mark, not sum(n_docs))."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path_factory.mktemp("hwm"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    rows = [
+        {"repo": "r", "path": f"a{i}", "commit": "c", "lang": "py",
+         "content": ("kill me now" if i % 2 == 0 else "keep alpha beta")}
+        for i in range(10)
+    ]
+    idx.append(spark.createDataFrame(rows).coalesce(1), BuildConfig(order_cols=("repo", "path")))
+    assert idx.delete_by_term("kill") == 5
+    idx.force_merge()  # reclaims 5 docs; survivors keep their original ids
+    assert idx.max_doc == 5
+    rows2 = [
+        {"repo": "r", "path": f"b{i}", "commit": "c", "lang": "py", "content": "keep gamma"}
+        for i in range(5)
+    ]
+    idx.append(spark.createDataFrame(rows2).coalesce(1), BuildConfig(order_cols=("repo", "path")))
+    s = idx.searcher()
+    ids = [r["docID"] for r in s.docs().select("docID").collect()]
+    assert len(ids) == len(set(ids)) == 10, "docIDs must stay globally unique"
+    # the new segment's ids start at the high-water mark (>= 10), not at 5
+    assert min(i for i in ids if i >= 5) >= 10 or max(ids) >= 10
+    assert s.count({"type": "term", "term": "keep"}) == 10
+    # reopen from disk preserves the high-water mark
+    idx2 = SegmentedIndex(spark, root)
+    assert idx2.next_docid == idx.next_docid >= 15
+
+
+def test_numdocs_after_partial_delete_merge(spark, tmp_path_factory):
+    """A delete-applying merge of a SUBSET of segments must prune reclaimed
+    ids from the deletes store (no double-subtract in num_docs)."""
+    root = str(tmp_path_factory.mktemp("partial"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    seg_rows = lambda tag, bad: [  # noqa: E731
+        {"repo": "r", "path": f"{tag}{i}", "commit": "c", "lang": "py",
+         "content": ("drop this doc" if bad and i == 0 else f"{tag} text alpha")}
+        for i in range(4)
+    ]
+    n1 = idx.append(spark.createDataFrame(seg_rows("a", True)).coalesce(1),
+                    BuildConfig(order_cols=("repo", "path")))
+    n2 = idx.append(spark.createDataFrame(seg_rows("b", True)).coalesce(1),
+                    BuildConfig(order_cols=("repo", "path")))
+    assert idx.delete_by_term("drop") == 2
+    assert idx.num_docs == 6
+    # merge ONLY the first segment: its deleted doc is reclaimed, the other
+    # segment's deleted doc stays buffered
+    idx._merge([n1])
+    assert idx.max_doc == 7  # 3 live (merged) + 4 raw
+    assert len(idx.deleted_ids()) == 1  # pruned: only seg-2's id remains
+    assert idx.num_docs == 6  # NOT 5 (the double-subtract bug)
+    assert idx.searcher().count({"type": "term", "term": "alpha"}) == 6
+
+
+def test_searcher_over_empty_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("empty"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    s = idx.searcher()
+    assert s.search({"type": "term", "term": "anything"}, 5).collect() == []
+    assert s.count({"type": "term", "term": "anything"}) == 0
