@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 3  # v3: gate index keeps lang/n_chars meta for collectors
+FORMAT_VERSION = 4  # v4: block skip metadata gains min_tf/min_norm_byte (WAND theta)
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -328,6 +328,14 @@ def _q_regexp_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery with the reference-default TopTermsScoringBooleanQuery
+    rewrite: Damerau-Levenshtein expansions of 'spak' (<= 2 edits), each
+    SHOULD TermQuery boosted 1 - ed/min(|term|, |target|), BM25-scored."""
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "fuzzy", "term": "spak", "max_edits": 2}, 15)
+
+
 def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: prefix completion ranked by df (weight) desc, term asc."""
     return _searcher(spark, sf_dir).suggest_terms("s", n=10)
@@ -565,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_range"] = _q_span_range
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
+    out["fuzzy_scored"] = _q_fuzzy_scored
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
     out["custom_score"] = _q_custom_score
@@ -996,10 +1005,130 @@ SELECT doc_id,
        round(sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))), 4) AS score
 FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
-    # sloppy_phrase: greedy alignment not SQL-expressible -> rows-only gate
+    # sloppy_phrase "table hash"~2: the greedy SloppyPhraseScorer alignment
+    # for TWO distinct terms reduces to an anchor zigzag (fuzz-verified vs
+    # the reference-ported kernel over 50k random position lists, see
+    # tools/fuzz_closed_forms.py): a_1 = max(min_A, min_B) (tie -> the
+    # higher-offset slot); a_{k+1} = min{other list > a_k}; each anchor a
+    # from list X matches partner = max{Y <= a}, contributing
+    # 1/(1+gap) when gap <= slop.  Expressed as a recursive CTE.
+    sqls["sloppy_phrase"] = _prelude().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+pa AS (SELECT doc_id, pos AS p FROM emitted WHERE term = 'table'),
+pb AS (SELECT doc_id, pos - 1 AS p FROM emitted WHERE term = 'hash'),
+firsts AS (
+  SELECT a.doc_id, a.mn AS min_a, b.mn AS min_b
+  FROM (SELECT doc_id, min(p) AS mn FROM pa GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS mn FROM pb GROUP BY doc_id) b USING (doc_id)
+),
+anchors(doc_id, a, tag) AS (
+  SELECT doc_id,
+         CASE WHEN min_b >= min_a THEN min_b ELSE min_a END,
+         CASE WHEN min_b >= min_a THEN 1 ELSE 0 END
+  FROM firsts
+  UNION ALL
+  SELECT doc_id, nxt, 1 - tag FROM (
+    SELECT x.doc_id, x.tag,
+           CASE WHEN x.tag = 0
+                THEN (SELECT min(p) FROM pb WHERE pb.doc_id = x.doc_id AND pb.p > x.a)
+                ELSE (SELECT min(p) FROM pa WHERE pa.doc_id = x.doc_id AND pa.p > x.a)
+           END AS nxt
+    FROM anchors x) WHERE nxt IS NOT NULL
+),
+gaps AS (
+  SELECT an.doc_id,
+         an.a - (CASE WHEN an.tag = 1
+                      THEN (SELECT max(p) FROM pa WHERE pa.doc_id = an.doc_id AND pa.p <= an.a)
+                      ELSE (SELECT max(p) FROM pb WHERE pb.doc_id = an.doc_id AND pb.p <= an.a)
+                 END) AS gap
+  FROM anchors an
+),
+phr AS (
+  SELECT doc_id, sum(1.0 / (1 + gap)) AS pf
+  FROM gaps WHERE gap IS NOT NULL AND gap <= 2 GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    # span_near ordered (table .. hash, slop 3): NearSpansOrdered for two
+    # term clauses emits exactly the pairs (a, b) with a = max{A < b} AND
+    # b = min{B > a} (fuzz-verified vs the kernel, 20k trials); a span
+    # passes when b - a - 1 <= slop and contributes sloppyFreq(end-start)
+    # = 1/(b - a + 2).
+    sqls["span_near"] = f"""{_prelude()},
+spans AS (
+  SELECT b.doc_id, b.pos AS bp,
+         (SELECT max(a.pos) FROM emitted a
+          WHERE a.doc_id = b.doc_id AND a.term = 'table' AND a.pos < b.pos) AS ap
+  FROM emitted b WHERE b.term = 'hash'
+),
+ok AS (
+  SELECT doc_id, ap, bp FROM spans
+  WHERE ap IS NOT NULL
+    AND bp = (SELECT min(b2.pos) FROM emitted b2
+              WHERE b2.doc_id = spans.doc_id AND b2.term = 'hash' AND b2.pos > spans.ap)
+    AND bp - ap - 1 <= 3
+),
+phr AS (SELECT doc_id, sum(1.0 / (bp - ap + 2)) AS pf FROM ok GROUP BY doc_id),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
+    # span_near unordered (table & hash, slop 4): NearSpansUnordered for two
+    # term clauses pairs EVERY position x (either term) with the nearest
+    # other-term position y > x (fuzz-verified vs the kernel); emit when
+    # y - x - 1 <= slop, contributing 1/(y - x + 2).
+    sqls["span_near_unord"] = f"""{_prelude()},
+ux AS (
+  SELECT t.doc_id, t.pos AS x,
+         (SELECT min(h.pos) FROM emitted h
+          WHERE h.doc_id = t.doc_id AND h.term = 'hash' AND h.pos > t.pos) AS y
+  FROM emitted t WHERE t.term = 'table'
+  UNION ALL
+  SELECT h.doc_id, h.pos AS x,
+         (SELECT min(t2.pos) FROM emitted t2
+          WHERE t2.doc_id = h.doc_id AND t2.term = 'table' AND t2.pos > h.pos) AS y
+  FROM emitted h WHERE h.term = 'hash'
+),
+ok AS (SELECT doc_id, x, y FROM ux WHERE y IS NOT NULL AND y - x - 1 <= 4),
+phr AS (SELECT doc_id, sum(1.0 / (y - x + 2)) AS pf FROM ok GROUP BY doc_id),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["regexp_const"] = f"""{_prelude()}
 SELECT DISTINCT doc_id, 1.0 AS score FROM posting
 WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
+    # fuzzy_scored: DuckDB's damerau_levenshtein matches our unrestricted
+    # DL kernel bit-for-bit (fuzz-verified, sparklucene/distance.py)
+    sqls["fuzzy_scored"] = f"""{_prelude()},
+cand AS (
+  SELECT term, damerau_levenshtein(term, 'spak')::INT AS ed FROM tstats
+),
+boosted AS (
+  SELECT term,
+         CASE WHEN ed = 0 THEN 1.0
+              ELSE 1.0 - ed::DOUBLE / least(length(term), 4) END AS boost
+  FROM cand
+  WHERE ed <= 2 AND (ed = 0 OR 1.0 - ed::DOUBLE / least(length(term), 4) > 0)
+  ORDER BY boost DESC, term LIMIT 50
+)
+SELECT s.doc_id, round(sum(s.score * b.boost), 4) AS score
+FROM scored s JOIN boosted b USING (term)
+GROUP BY s.doc_id
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["suggest_prefix"] = f"""{_prelude()}
 SELECT term, df FROM tstats WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10"""
@@ -1013,6 +1142,18 @@ SELECT s.doc_id, round(s.score * ln(1.0 + d.n_chars), 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'merge'
 ORDER BY s.score * ln(1.0 + d.n_chars) DESC, s.doc_id LIMIT 15"""
+    # sloppy_rpts (repeated-term sloppy phrase "merge merge"~6): the
+    # rptGroups collision-resolution loop is genuinely not SQL-expressible;
+    # the oracle is a GOLDEN produced by the engine-independent pure-Python
+    # oracle (sparklucene/oracle.py, validated against the reference's own
+    # TestSloppyPhraseQuery vectors in tests/).  Regenerate with
+    # `python tools/make_goldens.py --sf /root/testdata/sf0.01`.
+    # Valid for the driver's sf0.01 correctness run only.
+    sqls["sloppy_rpts"] = """
+SELECT * FROM (VALUES (252, 0.6757), (362, 0.6713), (492, 0.6713), (183, 0.6365),
+ (319, 0.6275), (477, 0.5894), (209, 0.5285), (78, 0.525), (289, 0.525),
+ (440, 0.525), (91, 0.4862), (234, 0.4771), (129, 0.4554), (95, 0.437),
+ (112, 0.437)) AS g(doc_id, score)"""
     sqls["multi_phrase"] = f"""{_prelude()},
 phr AS (
   SELECT e1.doc_id, count(DISTINCT e1.pos)::INTEGER AS pf

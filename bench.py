@@ -56,10 +56,19 @@ def main() -> None:
         searcher.search(q, k, mode="f32").collect()
         qtimes[name] = round(time.time() - t0, 3)
 
-    # block-max WAND variant of the disjunction
+    # block-max WAND variant of the disjunction (cost-based: at this scale
+    # the planner picks the exhaustive plan -- pruning cannot pay for its
+    # metadata job below wand_min_cost postings)
     t0 = time.time()
     searcher.search_wand(entrymod.QUERY_TREES["bool_or"][0], 20, mode="f32").collect()
     qtimes["wand_or"] = round(time.time() - t0, 3)
+    # same query with the pruning path FORCED, so the engaged path's cost
+    # is transparent at bench scale (its payoff needs long posting lists)
+    searcher.wand_min_cost, saved = 0, searcher.wand_min_cost
+    t0 = time.time()
+    searcher.search_wand(entrymod.QUERY_TREES["bool_or"][0], 20, mode="f32").collect()
+    qtimes["wand_forced"] = round(time.time() - t0, 3)
+    searcher.wand_min_cost = saved
 
     # training-data pipeline headliners
     from sparklucene import datapipe as dp

@@ -78,6 +78,8 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_docid", T.LongType()),
         T.StructField("block_max_tf", T.IntegerType()),
         T.StructField("block_max_norm_byte", T.IntegerType()),
+        T.StructField("block_min_tf", T.IntegerType()),
+        T.StructField("block_min_norm_byte", T.IntegerType()),
         T.StructField("doc_blob", T.BinaryType()),
         T.StructField("tf_blob", T.BinaryType()),
         T.StructField("norm_blob", T.BinaryType()),
@@ -246,6 +248,8 @@ def _encode_blocks_udf():
             pa.field("max_docid", pa.int64()),
             pa.field("block_max_tf", pa.int32()),
             pa.field("block_max_norm_byte", pa.int32()),
+            pa.field("block_min_tf", pa.int32()),
+            pa.field("block_min_norm_byte", pa.int32()),
             pa.field("doc_blob", pa.binary()),
             pa.field("tf_blob", pa.binary()),
             pa.field("norm_blob", pa.binary()),
@@ -301,6 +305,8 @@ def _encode_blocks_udf():
                 pa.array(blocks["max_docid"], type=pa.int64()),
                 pa.array(blocks["block_max_tf"], type=pa.int32()),
                 pa.array(blocks["block_max_norm_byte"], type=pa.int32()),
+                pa.array(blocks["block_min_tf"], type=pa.int32()),
+                pa.array(blocks["block_min_norm_byte"], type=pa.int32()),
                 pa.array(blocks["doc_blob"], type=pa.binary()),
                 pa.array(blocks["tf_blob"], type=pa.binary()),
                 pa.array(blocks["norm_blob"], type=pa.binary()),

@@ -185,7 +185,8 @@ def encode_partition_blocks(
     if n == 0:
         return {k: [] for k in (
             "row_idx", "block_id", "num_docs", "first_docid", "max_docid",
-            "block_max_tf", "block_max_norm_byte", "doc_blob", "tf_blob",
+            "block_max_tf", "block_max_norm_byte", "block_min_tf",
+            "block_min_norm_byte", "doc_blob", "tf_blob",
             "norm_blob", "pos_blob")}
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
@@ -236,6 +237,12 @@ def encode_partition_blocks(
         "max_docid": doc_ids[block_ends - 1],
         "block_max_tf": np.maximum.reduceat(tfs, block_starts).astype(np.int32),
         "block_max_norm_byte": np.maximum.reduceat(norm_bytes, block_starts).astype(np.int32),
+        # per-block LOWER bounds: BM25 is monotone increasing in tf AND in
+        # norm byte (bigger byte = shorter quantized doc), so
+        # (min_tf, min_norm_byte) bound every doc's score from BELOW --
+        # lets WAND derive a valid theta from skip metadata alone, no decode
+        "block_min_tf": np.minimum.reduceat(tfs, block_starts).astype(np.int32),
+        "block_min_norm_byte": np.minimum.reduceat(norm_bytes, block_starts).astype(np.int32),
         "doc_blob": [doc_mv[lo:hi] for lo, hi in zip(d_lo.tolist(), d_hi.tolist())],
         "tf_blob": [tf_mv[lo:hi] for lo, hi in zip(t_lo.tolist(), t_hi.tolist())],
         "norm_blob": [norm_mv[lo:hi] for lo, hi in zip(block_starts.tolist(), block_ends.tolist())],

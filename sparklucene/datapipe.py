@@ -85,8 +85,57 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def _shingles_over(tok_col: str, k: int = 3) -> F.Column:
+    """Distinct k-token shingles over an ALREADY-PROJECTED token-array
+    column.  The projection matters: element_at() over an inline
+    filter(split(...)) expression re-evaluates the tokenization for every
+    element access (measured 10x slower at sf0.1); over a bound column
+    each access is O(1)."""
+    t = F.col(tok_col)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(t) >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, gs): per-doc distinct k-shingle array, tokens projected
+    once (see _shingles_over).
+
+    CAUTION: putting a filter on `gs` (or exploding it, which infers one)
+    lets predicate pushdown inline the whole shingle expression -- tokens
+    re-evaluated per element access -- below the projection.  Use
+    shingle_explode_df for exploded consumption."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_t")
+    ).select("doc_id", _shingles_over("_t", k).alias("gs"))
+
+
+def shingle_explode_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, g): exploded distinct k-shingles.  The explode is FUSED into
+    the same select as the shingle expression so the generator references
+    the projected token column directly (measured ~20x faster at sf0.1 than
+    exploding a materialized shingle column, where the inferred
+    non-empty-array filter is pushed below the projection with the full
+    expression inlined)."""
+    d = df.select(F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_t"))
+    return d.select("doc_id", F.explode(_shingles_over("_t", k)).alias("g"))
+
+
 def shingle_col(text_col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-token shingles as strings ('t1 t2 t3')."""
+    """Distinct k-token shingles as strings ('t1 t2 t3').  Inline-column
+    form kept for expression composition; prefer shingle_df in dataflows
+    (projected tokens, no re-tokenization per element access)."""
     toks = ws_tokens(text_col)
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     sh = F.transform(
@@ -113,7 +162,7 @@ def minhash_signatures(
     per mapper).  Bands are then a narrow array/explode over the signature
     row -- no pivot, no second shuffle."""
     rows = num_hashes // bands
-    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingle_col(text_col)).alias("g"))
+    sh = shingle_explode_df(df, id_col, text_col)
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(hash60(F.concat_ws("#", F.col("g"), F.lit(str(s))))).alias(f"h{s}")
@@ -178,11 +227,13 @@ def minhash_dedup_pairs(
             .select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
         cand = pair_small.unionByName(pair_big).distinct()
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"), shingle_col(text_col).alias("gs")
-    )
+    sets_df = shingle_df(df, id_col, text_col)
+    # candidate pairs are the SMALL side (LSH output): semi-join-shaped
+    # broadcast joins compute each doc's shingle set once and never shuffle
+    # the shingle arrays
     return (
-        cand.join(sets_df.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga")), "doc_a")
+        sets_df.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
+        .join(F.broadcast(cand), "doc_a")
         .join(sets_df.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb")), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
@@ -469,9 +520,11 @@ def ngram_jaccard_pairs(
     moderate cases, and at 100 TB the standard exact-preserving mitigation
     is to join rare shingles first and cap the candidate multiplicity per
     shingle only when a pair is already covered by a rarer shingle."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingle_col(text_col, k).alias("gs")
-    ).filter(F.size("gs") > 0)
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= k)  # guard on tokens, NOT on gs (pushdown trap)
+        .select("doc_id", _shingles_over("_t", k).alias("gs"))
+    )
     sizes = sh.select("doc_id", F.size("gs").alias("n"))
     ex = sh.select("doc_id", F.explode("gs").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")

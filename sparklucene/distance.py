@@ -1,0 +1,62 @@
+"""String-distance kernels (pure Python, shared by the Spark engine's
+rewrite UDFs and the pure-Python oracle).
+
+The reference FuzzyQuery counts adjacent transpositions as ONE edit
+(transpositions=true default, src/Lucene.Net/Search/FuzzyQuery.cs:61); its
+automata implement the transposition-primitive edit distance.  We implement
+the unrestricted Damerau-Levenshtein distance (alphabet-indexed DP), which
+equals DuckDB's ``damerau_levenshtein`` bit-for-bit (fuzz-verified) so the
+driver oracle can reproduce expansions exactly.  Unrestricted DL and
+Lucene's automaton distance agree everywhere except pathological pairs
+where an edit lands BETWEEN two transposed characters (e.g. "ca" -> "abc":
+DL 2, restricted/OSA 3) -- a documented divergence at max_edits=2.
+"""
+
+from __future__ import annotations
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (insert/delete/substitute/
+    transpose-adjacent, transposed blocks may be edited in between)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db  # noqa: E741
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose block
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def fuzzy_boost(term: str, target: str, ed: int) -> float:
+    """FuzzyTermsEnum boost in raw-edits mode (minSimilarity=0,
+    scaleFactor=1): exact match 1.0, else 1 - ed/min(|term|, |target|)
+    (FuzzyTermsEnum.cs:421-434)."""
+    if ed == 0:
+        return 1.0
+    return 1.0 - float(ed) / float(min(len(term), len(target)))

@@ -393,6 +393,39 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost
         return {d: v for d in range(idx.max_doc)}
+    if t == "fuzzy" and q.get("rewrite", "top_terms_scoring") == "top_terms_scoring":
+        # reference-default TopTermsScoringBooleanQueryRewrite: expansions
+        # within Damerau-Levenshtein max_edits, boosted
+        # 1 - ed/min(|term|, |target|), top max_expansions by (boost desc,
+        # term asc), evaluated as a SHOULD boolean (FuzzyQuery.cs ctor,
+        # TopTermsRewrite.cs:159-177, FuzzyTermsEnum.cs:421-434)
+        from .distance import damerau_levenshtein, fuzzy_boost
+
+        target = q["term"]
+        me = int(q.get("max_edits", 2))
+        mx = int(q.get("max_expansions", 50))
+        pre = int(q.get("prefix_length", 0))
+        cands = []
+        for term in sorted(idx.postings):
+            if pre and not term.startswith(target[:pre]):
+                continue
+            ed = damerau_levenshtein(term, target)
+            if ed > me:
+                continue
+            b = fuzzy_boost(term, target, ed)
+            if ed == 0 or b > 0:
+                cands.append((term, b))
+        cands.sort(key=lambda tb: (-tb[1], tb[0]))
+        if not cands:
+            return {}
+        bq = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t, "boost": b}}
+                for t, b in cands[:mx]
+            ],
+        }
+        return eval_query(bq, idx, boost, mode)
     if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
         # constant-score rewrite: every matching doc scores boost
         v = f32(boost) if mode == "f32" else boost

@@ -401,7 +401,13 @@ class IndexSearcher:
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
             return self.docs().select("docID", lit.alias("score"))
-        if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
+        if t == "fuzzy":
+            # reference default rewrite is TopTermsScoringBooleanQueryRewrite
+            # (FuzzyQuery.cs ctor); constant_score kept as an explicit opt-in
+            if q.get("rewrite", "top_terms_scoring") == "top_terms_scoring":
+                return self._eval_fuzzy_scored(q, boost, mode)
+            return self._eval_multi_term(q, boost, mode)
+        if t in ("prefix", "wildcard", "regexp", "range"):
             return self._eval_multi_term(q, boost, mode)
         if t == "dis_max":
             return self._eval_dismax(q, boost, mode)
@@ -536,6 +542,73 @@ class IndexSearcher:
         if len(rows) > MAX_CLAUSE_COUNT:
             raise ValueError(f"multi-term query expands to > {MAX_CLAUSE_COUNT} terms")
         return [r["term"] for r in rows]
+
+    def expand_fuzzy_scored(self, q: dict) -> list[tuple[str, float]]:
+        """FuzzyQuery rewrite, reference semantics (FuzzyQuery.cs:58-61
+        defaults maxEdits=2 prefixLength=0 maxExpansions=50
+        transpositions=true; TopTermsRewrite.cs:159-177 top-size selection):
+        dictionary terms within Damerau-Levenshtein max_edits of the target,
+        boosted 1 - ed/min(|term|, |target|) (exact match 1.0,
+        FuzzyTermsEnum.cs:421-434), top max_expansions by (boost desc,
+        term asc).
+
+        Physical plan: JVM prefilters (length window; Levenshtein <= 2*ed
+        -- sound since DL <= Lev <= 2*DL) shrink the dictionary before the
+        vectorized Python DL pass; TakeOrderedAndProject keeps the top 50.
+        -> [(term, boost)]."""
+        from .distance import damerau_levenshtein, fuzzy_boost
+
+        target = q["term"]
+        me = int(q.get("max_edits", 2))
+        mx = int(q.get("max_expansions", 50))
+        pre = int(q.get("prefix_length", 0))
+        td = self._union_read("term_dict").select("term").distinct()
+        if pre:
+            td = td.filter(F.col("term").startswith(target[:pre]))
+        td = td.filter(
+            F.abs(F.length("term") - F.lit(len(target))) <= me
+        ).filter(F.levenshtein(F.col("term"), F.lit(target)) <= 2 * me)
+        out_schema = T.StructType(
+            [T.StructField("term", T.StringType()), T.StructField("boost", T.DoubleType())]
+        )
+        tgt, me_b = target, me
+
+        def dl_score(pdf_iter):
+            for pdf in pdf_iter:
+                terms, boosts = [], []
+                for t in pdf["term"]:
+                    ed = damerau_levenshtein(t, tgt)
+                    if ed > me_b:
+                        continue
+                    b = fuzzy_boost(t, tgt, ed)
+                    if ed == 0 or b > 0:
+                        terms.append(t)
+                        boosts.append(b)
+                yield pd.DataFrame({"term": terms, "boost": boosts})
+
+        rows = (
+            td.mapInPandas(dl_score, schema=out_schema)
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(mx)
+            .collect()
+        )
+        return [(r["term"], float(r["boost"])) for r in rows]
+
+    def _eval_fuzzy_scored(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """Default FuzzyQuery evaluation: TopTermsScoringBooleanQueryRewrite
+        -- expansions become SHOULD TermQuerys carrying the fuzzy boost,
+        BM25-scored (NOT constant score)."""
+        expansions = self.expand_fuzzy_scored(q)
+        if not expansions:
+            return None
+        bq = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t, "boost": b}}
+                for t, b in expansions
+            ],
+        }
+        return self._eval_boolean(bq, boost, mode)
 
     def _eval_multi_term(self, q: dict, boost: float, mode: str) -> DataFrame | None:
         """Constant-score rewrite: every doc matching ANY expanded term
@@ -999,13 +1072,16 @@ class IndexSearcher:
         return out
 
     def _blocks_with_ub(self, weights: dict[str, float], mode: str):
-        """Query-term block rows + per-block score upper bound column.
+        """Query-term block rows + per-block score upper AND lower bound
+        columns.
 
-        ub(block) = wv * tf_max / (tf_max + cache[max_norm_byte]): the BM25
+        ub(block) = wv * tf_max / (tf_max + cache[max_norm_byte]); the BM25
         score is monotone increasing in tf AND in norm byte (bigger byte =
         shorter quantized doc), so (block_max_tf, block_max_norm_byte) bound
-        every doc in the block.  Computed JVM-side from skip metadata -- no
-        blob is decoded for pruning decisions."""
+        every doc in the block from above and (block_min_tf,
+        block_min_norm_byte) symmetrically from below (`lb`; 0 for legacy
+        indexes without the min columns).  Computed JVM-side from skip
+        metadata -- no blob is decoded for pruning decisions."""
         stats_map = self.lookup_terms(list(weights))
         buckets = sorted({s.bucket for s in stats_map.values()})
         cache = _norm_cache(self.avgdl_f32, "f64")
@@ -1020,7 +1096,14 @@ class IndexSearcher:
         ub = wv_map[F.col("term")] * tfm / (
             tfm + F.element_at(cache_arr, F.col("block_max_norm_byte") + 1)
         )
-        return blocks.withColumn("ub", ub)
+        if "block_min_tf" in blocks.columns:
+            tfl = F.col("block_min_tf").cast("double")
+            lb = wv_map[F.col("term")] * tfl / (
+                tfl + F.element_at(cache_arr, F.col("block_min_norm_byte") + 1)
+            )
+        else:
+            lb = F.lit(0.0)
+        return blocks.withColumn("ub", ub).withColumn("lb", lb)
 
     # docID-range stride for candidate-interval coalescing: lead/candidate
     # docIDs are grouped into per-stride [min, max] ranges so the pruning
@@ -1046,28 +1129,44 @@ class IndexSearcher:
             "left_semi",
         )
 
+    # cost gate for WAND: below this many total postings across the query's
+    # terms, the pruning phases (one extra broadcast job + a tiny decode of
+    # the top blocks) cost more than the full decode they could save, so the
+    # cost-based planner picks the plain exhaustive plan -- the same
+    # stats-driven scorer selection the reference does at Weight.GetScorer
+    # time, and Spark's CBO does with table stats.  Tests set it to 0 to
+    # force the pruning path.
+    wand_min_cost = 100_000
+
     def search_wand(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k with block-max pruning; ALWAYS rank-and-score-identical to
         the exhaustive path (differential-tested).
 
         The reference 4.8 has no WAND (verified, SURVEY 4.2) -- this is a
         pure optimization on top of its exhaustive semantics.  Fully
-        collect()-free: every phase is a lazy DataFrame folded into the
-        final plan through broadcast joins of tiny aggregates:
-          1. theta = k-th best partial score from each term's single best
-             block (a LOWER bound on the true k-th score) -- a 1-row
-             DataFrame, broadcast;
-          2. generator blocks = blocks with ub(block) + sum(ubmax of other
-             terms) >= theta; any doc OUTSIDE their docID ranges provably
-             scores < theta, so the generators' [first_docid, max_docid]
-             intervals (skip metadata only, nothing decoded) are a sound
-             candidate superset;
-          3. one decode+score pass over blocks overlapping those intervals.
-             Docs inside the intervals get their exact full score (all
-             their blocks overlap by construction); stray docs decoded from
-             partially-overlapping blocks score < theta and cannot enter
-             the top-k, so no per-doc filter is needed.
-        Falls back to exhaustive scoring for non-eligible query shapes."""
+        collect()-free: the pruning metadata is ONE lazy broadcast
+        aggregate folded into the final plan:
+          1. theta, a LOWER bound on the true k-th best total score, as the
+             max of two bounds: (a) decoded -- the k-th best partial sum
+             over each term's single highest-ub block (decodes only
+             len(terms) blocks); (b) metadata-only -- per term, the min
+             per-block score lower bound `lb` of the smallest block prefix
+             (by lb desc) holding >= k docs: k distinct docs provably score
+             >= that.  (b) needs no decode and still works when k exceeds
+             the decoded blocks' doc count.
+          2. keep only blocks with ub(block) + sum(other terms' max ub)
+             >= theta.  EVERY doc in a dropped block has total <= ub + rest
+             < theta, so it cannot enter the top-k; its other postings may
+             still decode from kept blocks and yield an under-summed score,
+             but that score is below theta too, so the top-k is untouched,
+             and every top-k doc's blocks are all kept (each bounds the
+             doc's total from above, which is >= theta).  The 1e-4 margin
+             guards f32-rounded scores against the f64 bounds.
+          3. ONE decode+score pass over the kept blocks.
+        Falls back to exhaustive scoring for non-eligible query shapes, for
+        indexes with buffered deletes (dead docs would break bound (b)),
+        and -- cost-based -- when the terms' total df is below
+        `wand_min_cost` (pruning cannot pay for its own metadata job)."""
         tb = self._wand_shape(query)
         if tb is None:
             return self.search(query, k, mode)
@@ -1075,16 +1174,21 @@ class IndexSearcher:
         ftype = "float" if mode == "f32" else "double"
         if not weights:
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        stats_map = self.lookup_terms(list(weights))
+        if sum(s.df for s in stats_map.values()) < self.wand_min_cost:
+            return self.search(query, k, mode)
         blocks = self._blocks_with_ub(weights, mode)
 
         from pyspark.sql import Window
 
-        # phase 1: theta from the best block of each term (decodes only
-        # len(weights) blocks); < k partials -> theta = -inf (no pruning)
+        # theta (a): exact partial sums from each term's best block
         top1 = blocks.withColumn(
-            "_rk", F.row_number().over(Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("block_id")))
-        ).filter(F.col("_rk") == 1).drop("_rk", "ub")
-        theta_df = (
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("first_docid"))
+            ),
+        ).filter(F.col("_rk") == 1).drop("_rk", "ub", "lb")
+        theta_dec = (
             self._score_block_rows(top1, weights, mode)
             .groupBy("docID")
             .agg(F.sum(F.col("score").cast("double")).alias("s"))
@@ -1093,30 +1197,48 @@ class IndexSearcher:
             .agg(
                 F.when(F.count("*") >= k, F.min("s"))
                 .otherwise(F.lit(float("-inf")))
-                .alias("_theta")
+                .alias("_th_dec")
             )
         )
 
-        # phase 2: generator blocks via the block-max bound (metadata only).
-        # margin guards f32-rounded scores against the f64 bound (1 ulp of a
-        # float32 score ~1e-6 relative; scores are O(1..30))
-        ubmax = blocks.groupBy("term").agg(F.max("ub").alias("_mx"))
-        tot = ubmax.agg(F.sum("_mx").alias("_tot"))
-        gen = (
-            blocks.join(F.broadcast(ubmax), "term")
-            .crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(theta_df))
-            .filter(
-                F.col("ub") + (F.col("_tot") - F.col("_mx")) >= F.col("_theta") - 1e-4
+        # theta (b): metadata-only prefix bound + rest(t), one aggregate
+        wcum = (
+            Window.partitionBy("term")
+            .orderBy(F.desc("lb"), F.asc("first_docid"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        in_pref = F.col("_cum") - F.col("num_docs") < k
+        per_term = (
+            blocks.withColumn("_cum", F.sum("num_docs").over(wcum))
+            .groupBy("term")
+            .agg(
+                F.max("ub").alias("_mx"),
+                F.min(F.when(in_pref, F.col("lb"))).alias("_lb"),
+                F.max(F.when(in_pref, F.col("_cum"))).alias("_n"),
             )
         )
-        iv = gen.groupBy(
-            F.floor(F.col("first_docid") / F.lit(self.RANGE_STRIDE)).alias("_s")
-        ).agg(F.min("first_docid").alias("_lo"), F.max("max_docid").alias("_hi"))
+        wall = Window.partitionBy()
+        if self._deleted_ids is not None:
+            # deleted docs may be among the counted/decoded ones: no pruning
+            theta_expr = F.lit(float("-inf"))
+        else:
+            th_meta = F.coalesce(
+                F.max(F.when(F.col("_n") >= k, F.col("_lb"))).over(wall),
+                F.lit(float("-inf")),
+            )
+            theta_expr = F.greatest(th_meta, F.col("_th_dec"))
+        meta = per_term.crossJoin(theta_dec).select(
+            "term",
+            (F.sum("_mx").over(wall) - F.col("_mx")).alias("_rest"),
+            theta_expr.alias("_theta"),
+        )
 
-        # phase 3: ONE decode pass over interval-overlapping blocks
-        pruned = self._prune_blocks_to_intervals(blocks.drop("ub"), iv)
-        scored = self._score_block_rows(pruned, weights, mode)
+        gen = blocks.join(F.broadcast(meta), "term").filter(
+            F.col("ub") + F.col("_rest") >= F.col("_theta") - 1e-4
+        )
+        scored = self._score_block_rows(
+            gen.drop("ub", "lb", "_rest", "_theta"), weights, mode
+        )
         if len(weights) == 1:
             out = scored.select("docID", "score")
         else:

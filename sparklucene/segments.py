@@ -265,6 +265,8 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None):
                 pa.array(blocks["max_docid"], pa.int64()),
                 pa.array(blocks["block_max_tf"], pa.int32()),
                 pa.array(blocks["block_max_norm_byte"], pa.int32()),
+                pa.array(blocks["block_min_tf"], pa.int32()),
+                pa.array(blocks["block_min_norm_byte"], pa.int32()),
                 pa.array(blocks["doc_blob"], pa.binary()),
                 pa.array(blocks["tf_blob"], pa.binary()),
                 pa.array(blocks["norm_blob"], pa.binary()),

@@ -181,3 +181,37 @@ def test_expansion_engine_equals_oracle(engine):
     for q in ({"type": "prefix", "prefix": "co"}, {"type": "fuzzy", "term": "score", "max_edits": 1},
               {"type": "range", "lower": "a", "upper": "c", "include_upper": False}):
         assert searcher.expand_terms(q) == expand_terms(q, oracle), q
+
+
+def test_fuzzy_scored_matches_oracle(engine):
+    """Reference-default fuzzy rewrite: Damerau expansions, per-term boost,
+    BM25-scored SHOULD -- engine == pure-Python oracle, f32 bit-exact."""
+    searcher, oracle = engine
+    for q in (
+        {"type": "fuzzy", "term": "scora", "max_edits": 2},
+        {"type": "fuzzy", "term": "compute", "max_edits": 1},
+        {"type": "fuzzy", "term": "merg", "max_edits": 2, "max_expansions": 3},
+    ):
+        want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
+        got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+        assert got == want, q
+    # expansion lists agree incl. boosts and the (boost desc, term asc) order
+    from sparklucene.distance import damerau_levenshtein, fuzzy_boost
+
+    q = {"type": "fuzzy", "term": "scora", "max_edits": 2}
+    exp = searcher.expand_fuzzy_scored(q)
+    cands = []
+    for t in sorted(oracle.postings):
+        ed = damerau_levenshtein(t, "scora")
+        if ed <= 2 and (ed == 0 or fuzzy_boost(t, "scora", ed) > 0):
+            cands.append((t, fuzzy_boost(t, "scora", ed)))
+    cands.sort(key=lambda tb: (-tb[1], tb[0]))
+    assert exp == cands[:50]
+
+
+def test_fuzzy_transposition_is_one_edit(engine):
+    """'socre' is 1 transposition from 'score': included at max_edits=1
+    (classic Levenshtein would need 2)."""
+    searcher, _ = engine
+    exp = dict(searcher.expand_fuzzy_scored({"type": "fuzzy", "term": "socre", "max_edits": 1}))
+    assert "score" in exp

@@ -25,7 +25,10 @@ def searcher(spark, tmp_path_factory):
         spark, df, out,
         BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60, salt_parts=4),
     )
-    return IndexSearcher(spark, out)
+    s = IndexSearcher(spark, out)
+    s.wand_min_cost = 0  # force the pruning path (tiny corpus would
+    # otherwise take the cost-based exhaustive shortcut)
+    return s
 
 
 WAND_QUERIES = [

@@ -1,0 +1,48 @@
+"""Generate golden oracle results for gates whose semantics are not
+ANSI-SQL-expressible (currently: sloppy_rpts, the repeated-term sloppy
+phrase -- SloppyPhraseScorer's rptGroups collision resolution).
+
+The golden comes from the PURE-PYTHON oracle (sparklucene.oracle), which is
+an engine-independent implementation of the reference algorithms validated
+against the reference's own test vectors in tests/ -- NOT from the Spark
+engine under test.  Output is a SQL VALUES literal to paste into
+__spark_entry__.oracle_sql (the driver's oracle runner only takes SQL
+strings, and has no filesystem contract beyond the registered views).
+
+Usage: python tools/make_goldens.py [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from sparklucene.oracle import OracleIndex, top_k  # noqa: E402
+
+GOLDEN_QUERIES = {
+    "sloppy_rpts": ({"type": "phrase", "terms": ["merge", "merge"], "slop": 6}, 15),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{os.path.join(args.sf, 'documents.parquet')}' ORDER BY doc_id"
+    ).fetchall()
+    idx = OracleIndex.build([(int(d), t) for d, t in rows])
+    for name, (q, k) in GOLDEN_QUERIES.items():
+        hits = top_k(q, idx, k, mode="f64")
+        vals = ", ".join(f"({d}, {round(s, 4)})" for d, s in hits)
+        print(f"-- {name} @ {args.sf} (k={k})")
+        print(f"SELECT * FROM (VALUES {vals}) AS g(doc_id, score)")
+
+
+if __name__ == "__main__":
+    main()
