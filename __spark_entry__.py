@@ -426,6 +426,38 @@ def _q_span_near_unord(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+_EN_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _en_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the EnglishAnalyzer (possessive strip + Porter
+    stemming); cached separately from the standard-analyzer gate index."""
+    key = os.path.abspath(sf_dir)
+    s = _EN_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_en", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="english", resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _EN_SEARCHERS[key] = s
+    return s
+
+
+def _q_stemmed_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnglishAnalyzer index: query text 'merges' analyzes (same chain) to
+    the stem 'merg', matching docs whose surface form is 'merge'."""
+    s = _en_searcher(spark, sf_dir)
+    terms = s.analyze_query("merges")
+    return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
+
+
 _DEL_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -573,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_range"] = _q_span_range
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
+    out["stemmed_term"] = _q_stemmed_term
     out["fuzzy_scored"] = _q_fuzzy_scored
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
@@ -1111,6 +1144,10 @@ ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["regexp_const"] = f"""{_prelude()}
 SELECT DISTINCT doc_id, 1.0 AS score FROM posting
 WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
+    sqls["stemmed_term"] = f"""{_prelude_english()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merg'
+ORDER BY score DESC, doc_id LIMIT 15"""
     # fuzzy_scored: DuckDB's damerau_levenshtein matches our unrestricted
     # DL kernel bit-for-bit (fuzz-verified, sparklucene/distance.py)
     sqls["fuzzy_scored"] = f"""{_prelude()},
@@ -1172,6 +1209,55 @@ FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls.update(_datapipe_oracles())
     return sqls
+
+
+def _stem_map_values() -> str:
+    """(word -> Porter stem) VALUES rows for the corpus vocabulary, read
+    from the testdata documents table at SQL-generation time (vocabulary is
+    identical across sf dirs).  The stemmer itself is validated bit-exact
+    against the reference's 23,531-word porterTestData vectors in
+    tests/test_stemmer.py; this map lets DuckDB (whose fts/stem extension
+    is unavailable offline) reproduce the stemmed index exactly."""
+    import duckdb
+
+    from sparklucene.stemmer import porter_stem
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    toks = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS tok
+                  FROM '{path}') WHERE tok <> '' ORDER BY tok"""
+        )
+        .fetchall()
+    ]
+    return ", ".join(f"('{t}', '{porter_stem(t)}')" for t in toks)
+
+
+def _prelude_english(doc_src: str = "documents") -> str:
+    """_prelude with EnglishAnalyzer emission: stop filter on the unstemmed
+    lowercased token, then Porter stem via the embedded vocabulary map
+    (identity for unmapped words -- the map covers the whole corpus vocab,
+    so a vocabulary drift fails the gate loudly rather than silently)."""
+    base = _prelude(doc_src)
+    old = """emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({stops})
+),""".replace("{stops}", _stop_sql())
+    new = f"""stemmap(w, st) AS (SELECT * FROM (VALUES {_stem_map_values()}) v),
+emitted AS (
+  SELECT t.doc_id, coalesce(m.st, lower(t.tok)) AS term, t.pos
+  FROM toks t LEFT JOIN stemmap m ON lower(t.tok) = m.w
+  WHERE t.tok <> '' AND lower(t.tok) NOT IN ({_stop_sql()})
+),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
 
 
 # -- datapipe oracles --------------------------------------------------------

@@ -225,6 +225,38 @@ def _make_ngram(min_gram: int, max_gram: int):
     return _analyze_ngram
 
 
+_POSSESSIVE_APOS = ("'", "’", "＇")
+
+
+def _analyze_english(text: str) -> tuple[list[str], list[int]]:
+    """EnglishAnalyzer chain (Analysis/En/EnglishAnalyzer.cs:100-118):
+    StandardTokenizer -> StandardFilter(no-op) -> EnglishPossessiveFilter
+    (strip trailing 's with ' \\u2019 \\uff07 apostrophes,
+    EnglishPossessiveFilter.cs:61-70) -> LowerCaseFilter -> StopFilter
+    (same 33-word set; EnglishAnalyzer default stop set IS
+    StandardAnalyzer.STOP_WORDS_SET) -> PorterStemFilter
+    (PorterStemFilter.cs:52; stemmer validated against the reference's
+    porterTestData vectors).  Stop check runs on the lowercased UNSTEMMED
+    token; positions are pre-filter ordinals as in the standard chain."""
+    from .stemmer import porter_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in _POSSESSIVE_APOS:
+            tok = tok[:-2]
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(porter_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
 def _make_synonym(synonyms: dict):
     """SynonymFilter analogue (Analysis/Synonym/SynonymFilter.cs): after the
     standard chain, each mapped term ALSO emits its synonyms at the SAME
@@ -269,4 +301,6 @@ def make_analyzer(name: str, **params):
         return _make_ngram(int(params.get("min_gram", 1)), int(params.get("max_gram", 2)))
     if name == "synonym":
         return _make_synonym(params.get("synonyms", {}))
+    if name == "english":
+        return _analyze_english
     raise ValueError(f"unknown analyzer: {name}")

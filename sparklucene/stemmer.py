@@ -1,0 +1,166 @@
+"""Porter stemmer (pure Python, written from the published algorithm).
+
+Implements M.F. Porter's 1980 suffix-stripping algorithm with the author's
+two later revisions that the reference also ships ("bli"->"ble" instead of
+"abli"->"able", plus "logi"->"log"; see the DEPARTURE markers in
+src/Lucene.Net.Analysis.Common/Analysis/En/PorterStemmer.cs:444,527).
+Validated in tests against the reference's own 23,531-word vector file
+(Lucene.Net.Tests.Analysis.Common/Analysis/En/porterTestData.zip).
+
+Only lowercase ASCII words are meaningfully stemmed (the reference stems
+the token buffer after LowerCaseFilter); anything of length <= 2 is
+returned unchanged (PorterStemmer.cs Stem(): "length has to be > 2").
+"""
+
+from __future__ import annotations
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V] over the stem w."""
+    m = 0
+    i, n = 0, len(w)
+    while i < n and _is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(w, i):
+            i += 1
+    return m
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _is_cons(w, i) for i in range(len(w)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def _replace_m(w: str, suffix: str, repl: str, min_m: int) -> str | None:
+    """If w ends with suffix and the stem's measure > min_m-... (condition
+    m > min_m - 1 i.e. m >= min_m), replace; else None."""
+    if not w.endswith(suffix):
+        return None
+    stem = w[: len(w) - len(suffix)]
+    if _measure(stem) >= min_m:
+        return stem + repl
+    return "NOCHANGE"  # matched but condition failed: stop rule scanning
+
+
+def porter_stem(word: str) -> str:
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # ---- step 1a ---------------------------------------------------------
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # ---- step 1b ---------------------------------------------------------
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag = True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag = True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w = w + "e"
+
+    # ---- step 1c ---------------------------------------------------------
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # ---- step 2 (m > 0) --------------------------------------------------
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("bli", "ble"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+        ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+        ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"), ("logi", "log"),
+    ):
+        r = _replace_m(w, suf, rep, 1)
+        if r is not None:
+            if r != "NOCHANGE":
+                w = r
+            break
+
+    # ---- step 3 (m > 0) --------------------------------------------------
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        r = _replace_m(w, suf, rep, 1)
+        if r is not None:
+            if r != "NOCHANGE":
+                w = r
+            break
+
+    # ---- step 4 (m > 1) --------------------------------------------------
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # ---- step 5a ---------------------------------------------------------
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            w = stem
+
+    # ---- step 5b ---------------------------------------------------------
+    if _ends_double_cons(w) and w.endswith("l") and _measure(w[:-1]) > 1:
+        w = w[:-1]
+
+    return w

@@ -1,0 +1,108 @@
+"""Porter stemmer + EnglishAnalyzer: reference-vector parity and e2e."""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from sparklucene.analysis import make_analyzer
+from sparklucene.stemmer import porter_stem
+
+VEC_ZIP = (
+    "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/En/porterTestData.zip"
+)
+
+
+def test_porter_canonical():
+    cases = {
+        "caresses": "caress", "ponies": "poni", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "digitizer": "digit", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic", "formative": "form",
+        "formalize": "formal", "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer", "airliner": "airlin",
+        "gyroscopic": "gyroscop", "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    for w, want in cases.items():
+        assert porter_stem(w) == want, w
+
+
+@pytest.mark.skipif(not os.path.exists(VEC_ZIP), reason="reference vectors unavailable")
+def test_porter_full_reference_vectors():
+    """Bit-exact vs the reference's own 23,531-word porterTestData vectors
+    (Lucene.Net.Tests.Analysis.Common/Analysis/En/TestPorterStemFilter.cs)."""
+    with zipfile.ZipFile(VEC_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("voc.txt")).read().split()
+        out = io.TextIOWrapper(z.open("output.txt")).read().split()
+    assert len(voc) == len(out) == 23531
+    mism = [(v, o, porter_stem(v)) for v, o in zip(voc, out) if porter_stem(v) != o]
+    assert mism == []
+
+
+def test_english_analyzer_chain():
+    an = make_analyzer("english")
+    # possessive stripped BEFORE lowercase+stem; stopwords gap positions
+    terms, pos = an("The striker's running shoes")
+    assert terms == ["striker", "run", "shoe"]
+    assert pos == [1, 2, 3]
+    # stop check on unstemmed lowercase ("this" is a stopword; "running" not)
+    terms2, _ = an("This filing is happy")
+    assert terms2 == ["file", "happi"]
+
+
+def test_english_index_end_to_end(spark, tmp_path_factory):
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.oracle import OracleIndex, top_k
+    from sparklucene.search import IndexSearcher
+
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en", "content": txt}
+        for i, txt in enumerate(
+            [
+                "running runner runs daily",
+                "he ran and runs marathons running fast",
+                "the compiler optimizes optimization passes",
+                "optimization optimizer optimizing",
+                "nothing related here at all",
+            ]
+        )
+    ]
+    out = str(tmp_path_factory.mktemp("enidx"))
+    build_index(
+        spark, spark.createDataFrame(rows).coalesce(1), out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=2, analyzer="english"),
+    )
+    s = IndexSearcher(spark, out)
+    # query-side analysis goes through the same analyzer
+    assert s.analyze_query("Running") == ["run"]
+    got = [(r["docID"], np.float32(r["score"]).tobytes().hex())
+           for r in s.search({"type": "term", "term": "run"}, 10).collect()]
+    assert {d for d, _ in got} == {0, 1}  # 'running/runner/runs' all stem to run*
+    # oracle parity (f32 bit-exact) with the same analyzer
+    an = make_analyzer("english")
+    ordered = sorted(rows, key=lambda r: (r["repo"], r["path"]))
+    oidx = OracleIndex.build_with_analyzer(
+        [(i, r["content"]) for i, r in enumerate(ordered)], an
+    )
+    want = [(d, np.float32(sc).tobytes().hex())
+            for d, sc in top_k({"type": "term", "term": "run"}, oidx, 10, mode="f32")]
+    assert got == want
