@@ -393,6 +393,27 @@ def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+def _q_span_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested span tree: near(or(table, merge), hash) slop 3 in-order --
+    SpanNearQuery over SpanQuery clauses (the SpanOr union's spans feed the
+    ordered-near kernel; oracle via the 2-clause pair rule over the union
+    position list)."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "span_near", "clauses": [
+        {"type": "span_or", "terms": ["table", "merge"]},
+        {"type": "span_term", "term": "hash"},
+    ], "slop": 3, "in_order": True}
+    return _topk_df(s, q, 15)
+
+
+def _q_multi_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPhraseQuery WITH slop: [table|merge] hash ~2 -- slot position
+    unions through the SloppyPhraseScorer kernel."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "multi_phrase", "slots": [["table", "merge"], ["hash"]], "slop": 2}
+    return _topk_df(s, q, 15)
+
+
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanFirstQuery: 'spark' spans ending within the first 5 positions."""
     s = _searcher(spark, sf_dir)
@@ -599,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["percolate"] = _q_percolate
     out["knn_classify"] = _q_knn_classify
     out["span_near"] = _q_span_near
+    out["span_nested"] = _q_span_nested
+    out["multi_phrase_slop"] = _q_multi_phrase_slop
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
     out["span_or"] = _q_span_or
@@ -1045,76 +1068,19 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     # higher-offset slot); a_{k+1} = min{other list > a_k}; each anchor a
     # from list X matches partner = max{Y <= a}, contributing
     # 1/(1+gap) when gap <= slop.  Expressed as a recursive CTE.
-    sqls["sloppy_phrase"] = _prelude().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
-pa AS (SELECT doc_id, pos AS p FROM emitted WHERE term = 'table'),
-pb AS (SELECT doc_id, pos - 1 AS p FROM emitted WHERE term = 'hash'),
-firsts AS (
-  SELECT a.doc_id, a.mn AS min_a, b.mn AS min_b
-  FROM (SELECT doc_id, min(p) AS mn FROM pa GROUP BY doc_id) a
-  JOIN (SELECT doc_id, min(p) AS mn FROM pb GROUP BY doc_id) b USING (doc_id)
-),
-anchors(doc_id, a, tag) AS (
-  SELECT doc_id,
-         CASE WHEN min_b >= min_a THEN min_b ELSE min_a END,
-         CASE WHEN min_b >= min_a THEN 1 ELSE 0 END
-  FROM firsts
-  UNION ALL
-  SELECT doc_id, nxt, 1 - tag FROM (
-    SELECT x.doc_id, x.tag,
-           CASE WHEN x.tag = 0
-                THEN (SELECT min(p) FROM pb WHERE pb.doc_id = x.doc_id AND pb.p > x.a)
-                ELSE (SELECT min(p) FROM pa WHERE pa.doc_id = x.doc_id AND pa.p > x.a)
-           END AS nxt
-    FROM anchors x) WHERE nxt IS NOT NULL
-),
-gaps AS (
-  SELECT an.doc_id,
-         an.a - (CASE WHEN an.tag = 1
-                      THEN (SELECT max(p) FROM pa WHERE pa.doc_id = an.doc_id AND pa.p <= an.a)
-                      ELSE (SELECT max(p) FROM pb WHERE pb.doc_id = an.doc_id AND pb.p <= an.a)
-                 END) AS gap
-  FROM anchors an
-),
-phr AS (
-  SELECT doc_id, sum(1.0 / (1 + gap)) AS pf
-  FROM gaps WHERE gap IS NOT NULL AND gap <= 2 GROUP BY doc_id
-),
-idfs AS (
-  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
-  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
-)
-SELECT p.doc_id,
-       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
-FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
-ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["sloppy_phrase"] = _sloppy2_sql(["table"], ["hash"], 2, ["table", "hash"], 15)
+    sqls["multi_phrase_slop"] = _sloppy2_sql(
+        ["table", "merge"], ["hash"], 2, ["table", "merge", "hash"], 15
+    )
     # span_near ordered (table .. hash, slop 3): NearSpansOrdered for two
     # term clauses emits exactly the pairs (a, b) with a = max{A < b} AND
     # b = min{B > a} (fuzz-verified vs the kernel, 20k trials); a span
     # passes when b - a - 1 <= slop and contributes sloppyFreq(end-start)
     # = 1/(b - a + 2).
-    sqls["span_near"] = f"""{_prelude()},
-spans AS (
-  SELECT b.doc_id, b.pos AS bp,
-         (SELECT max(a.pos) FROM emitted a
-          WHERE a.doc_id = b.doc_id AND a.term = 'table' AND a.pos < b.pos) AS ap
-  FROM emitted b WHERE b.term = 'hash'
-),
-ok AS (
-  SELECT doc_id, ap, bp FROM spans
-  WHERE ap IS NOT NULL
-    AND bp = (SELECT min(b2.pos) FROM emitted b2
-              WHERE b2.doc_id = spans.doc_id AND b2.term = 'hash' AND b2.pos > spans.ap)
-    AND bp - ap - 1 <= 3
-),
-phr AS (SELECT doc_id, sum(1.0 / (bp - ap + 2)) AS pf FROM ok GROUP BY doc_id),
-idfs AS (
-  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
-  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
-)
-SELECT p.doc_id,
-       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
-FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
-ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["span_near"] = _near2_sql(["table"], ["hash"], 3, ["table", "hash"], 15)
+    sqls["span_nested"] = _near2_sql(
+        ["table", "merge"], ["hash"], 3, ["table", "merge", "hash"], 15
+    )
     # span_near unordered (table & hash, slop 4): NearSpansUnordered for two
     # term clauses pairs EVERY position x (either term) with the nearest
     # other-term position y > x (fuzz-verified vs the kernel); emit when
@@ -1209,6 +1175,95 @@ FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls.update(_datapipe_oracles())
     return sqls
+
+
+
+def _sloppy2_sql(a_terms: list[str], b_terms: list[str], slop: int,
+                 idf_terms: list[str], k: int) -> str:
+    """Two-clause SloppyPhraseScorer oracle via the fuzz-verified anchor
+    zigzag (see the sloppy_phrase gate comment): clause A = union positions
+    of a_terms, clause B = union positions of b_terms minus 1 (offset).
+    Generalizes to MultiPhraseQuery slots because slot positions are plain
+    sorted unions."""
+    a_in = ", ".join(f"'{t}'" for t in a_terms)
+    b_in = ", ".join(f"'{t}'" for t in b_terms)
+    i_in = ", ".join(f"'{t}'" for t in idf_terms)
+    return _prelude().replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+pa AS (SELECT DISTINCT doc_id, pos AS p FROM emitted WHERE term IN ({a_in})),
+pb AS (SELECT DISTINCT doc_id, pos - 1 AS p FROM emitted WHERE term IN ({b_in})),
+firsts AS (
+  SELECT a.doc_id, a.mn AS min_a, b.mn AS min_b
+  FROM (SELECT doc_id, min(p) AS mn FROM pa GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(p) AS mn FROM pb GROUP BY doc_id) b USING (doc_id)
+),
+anchors(doc_id, a, tag) AS (
+  SELECT doc_id,
+         CASE WHEN min_b >= min_a THEN min_b ELSE min_a END,
+         CASE WHEN min_b >= min_a THEN 1 ELSE 0 END
+  FROM firsts
+  UNION ALL
+  SELECT doc_id, nxt, 1 - tag FROM (
+    SELECT x.doc_id, x.tag,
+           CASE WHEN x.tag = 0
+                THEN (SELECT min(p) FROM pb WHERE pb.doc_id = x.doc_id AND pb.p > x.a)
+                ELSE (SELECT min(p) FROM pa WHERE pa.doc_id = x.doc_id AND pa.p > x.a)
+           END AS nxt
+    FROM anchors x) WHERE nxt IS NOT NULL
+),
+gaps AS (
+  SELECT an.doc_id,
+         an.a - (CASE WHEN an.tag = 1
+                      THEN (SELECT max(p) FROM pa WHERE pa.doc_id = an.doc_id AND pa.p <= an.a)
+                      ELSE (SELECT max(p) FROM pb WHERE pb.doc_id = an.doc_id AND pb.p <= an.a)
+                 END) AS gap
+  FROM anchors an
+),
+phr AS (
+  SELECT doc_id, sum(1.0 / (1 + gap)) AS pf
+  FROM gaps WHERE gap IS NOT NULL AND gap <= {slop} GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ({i_in})
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def _near2_sql(a_terms: list[str], b_terms: list[str], slop: int,
+               idf_terms: list[str], k: int) -> str:
+    """Two-clause NearSpansOrdered oracle via the fuzz-verified pair rule
+    (a = max A < b AND b = min B > a); clause A/B = union positions of the
+    given term sets (a span_or of terms IS its sorted position union)."""
+    a_in = ", ".join(f"'{t}'" for t in a_terms)
+    b_in = ", ".join(f"'{t}'" for t in b_terms)
+    i_in = ", ".join(f"'{t}'" for t in idf_terms)
+    return f"""{_prelude()},
+pa AS (SELECT DISTINCT doc_id, pos AS p FROM emitted WHERE term IN ({a_in})),
+pb AS (SELECT DISTINCT doc_id, pos AS p FROM emitted WHERE term IN ({b_in})),
+spans AS (
+  SELECT b.doc_id, b.p AS bp,
+         (SELECT max(a.p) FROM pa a WHERE a.doc_id = b.doc_id AND a.p < b.p) AS ap
+  FROM pb b
+),
+ok AS (
+  SELECT doc_id, ap, bp FROM spans
+  WHERE ap IS NOT NULL
+    AND bp = (SELECT min(b2.p) FROM pb b2
+              WHERE b2.doc_id = spans.doc_id AND b2.p > spans.ap)
+    AND bp - ap - 1 <= {slop}
+),
+phr AS (SELECT doc_id, sum(1.0 / (bp - ap + 2)) AS pf FROM ok GROUP BY doc_id),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ({i_in})
+)
+SELECT p.doc_id,
+       round(i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY score DESC, doc_id LIMIT {k}"""
 
 
 def _stem_map_values() -> str:

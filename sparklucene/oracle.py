@@ -171,21 +171,42 @@ def _phrase_scores(idx: OracleIndex, terms: list[str], boost: float, mode: str,
 
 
 def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
-                         mode: str) -> dict[int, float]:
-    """MultiPhraseQuery exact scoring (union positions per slot, see
-    sparklucene.search._eval_multi_phrase for the semantics note)."""
-    from .positional import multi_phrase_freq
+                         mode: str, slop: int = 0) -> dict[int, float]:
+    """MultiPhraseQuery twin incl. slop (union positions per slot; see
+    sparklucene.search._eval_multi_phrase for semantics + citations).
+    idf binds every slot term incl. index-absent (df=0)."""
+    from .positional import (
+        multi_phrase_freq,
+        sloppy_phrase_freq,
+        sloppy_phrase_freq_repeats,
+    )
 
+    flat = [t for slot in slots for t in slot]
     kept = [[t for t in slot if t in idx.postings] for slot in slots]
     if any(not slot for slot in kept):
         return {}
-    ordered = [t for slot in kept for t in slot]
     if mode == "f32":
         idf = f32(0.0)
-        for t in ordered:
+        for t in flat:
             idf = f32(idf + idx.idf(idx.df(t), "f32"))
     else:
-        idf = sum(idx.idf(idx.df(t), "f64") for t in ordered)
+        idf = sum(idx.idf(idx.df(t), "f64") for t in flat)
+    slot_of = [list(dict.fromkeys(slot)) for slot in kept]
+    n_slots = len(slot_of)
+    comp = list(range(n_slots))
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for i in range(n_slots):
+        for j in range(i + 1, n_slots):
+            if set(slot_of[i]) & set(slot_of[j]):
+                comp[find(i)] = find(j)
+    keys = [find(i) for i in range(n_slots)]
+    has_repeats = len(set(keys)) < n_slots
     candidates: set[int] | None = None
     for slot in kept:
         docs: set[int] = set()
@@ -194,11 +215,27 @@ def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
         candidates = docs if candidates is None else (candidates & docs)
     out: dict[int, float] = {}
     for doc_id in candidates or set():
-        slot_pos = [
-            [np.asarray(idx.postings[t][doc_id][1]) for t in slot if doc_id in idx.postings[t]]
-            for slot in kept
-        ]
-        pf = multi_phrase_freq(slot_pos)
+        raw = []
+        ok = True
+        for slot in slot_of:
+            u: set[int] = set()
+            for t in slot:
+                if doc_id in idx.postings[t]:
+                    u.update(idx.postings[t][doc_id][1])
+            if not u:
+                ok = False
+                break
+            raw.append(np.asarray(sorted(u), dtype=np.int64))
+        if not ok:
+            continue
+        if slop == 0:
+            pf = float(multi_phrase_freq([[arr] for arr in raw]))
+        elif len(raw) == 1:
+            pf = float(len(raw[0]))
+        elif has_repeats:
+            pf = sloppy_phrase_freq_repeats(raw, keys, slop, mode == "f32")
+        else:
+            pf = sloppy_phrase_freq([arr - i for i, arr in enumerate(raw)], slop, mode == "f32")
         if pf <= 0:
             continue
         nc = idx.norm_cache(idx.norm_byte[doc_id], mode)
@@ -211,27 +248,20 @@ def _multi_phrase_scores(idx: OracleIndex, slots: list[list[str]], boost: float,
 
 
 def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int, float]:
-    """Span query twin (same kernels as the engine UDF; see
-    search._eval_span for the semantics + citations)."""
+    """Span query twin (same tree evaluator/kernels as the engine UDF; see
+    search._eval_span for semantics + citations).  The weight binds EVERY
+    tree term including index-absent ones, whose df=0 idf is nonzero
+    (reference SpanWeight binds TermStatistics for all extracted terms)."""
     from .positional import (
+        eval_span_tree,
         span_freq_f32,
-        span_near_ordered_spans,
-        span_near_unordered_spans,
+        span_tree_possible,
+        span_tree_terms,
     )
 
-    t = q["type"]
-    if t == "span_near":
-        req, w_terms = list(q["terms"]), list(q["terms"])
-    elif t in ("span_first", "span_range"):
-        req, w_terms = [q["term"]], [q["term"]]
-    elif t == "span_not":
-        req, w_terms = [q["include"]], [q["include"]]
-    else:
-        req = []
-        w_terms = [x for x in q["terms"] if x in idx.postings]
-        if not w_terms:
-            return {}
-    if any(x not in idx.postings for x in req):
+    w_terms = span_tree_terms(q)
+    present = {x for x in w_terms if x in idx.postings}
+    if not span_tree_possible(q, present):
         return {}
     if mode == "f32":
         idf = f32(0.0)
@@ -241,45 +271,17 @@ def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int
     else:
         idf = sum(idx.idf(idx.df(x), "f64") for x in w_terms)
         wv = idf * boost * (K1 + 1.0)
-    if t == "span_or":
-        cand = set()
-        for x in w_terms:
-            cand |= set(idx.postings[x].keys())
-    else:
-        cand = set(idx.postings[req[0]].keys())
-        for x in req[1:]:
-            cand &= set(idx.postings[x].keys())
-        if t == "span_near":
-            for x in q["terms"]:
-                cand &= set(idx.postings.get(x, {}).keys())
+    cand = set()
+    for x in present:
+        cand |= set(idx.postings[x].keys())
     out: dict[int, float] = {}
-    for d in cand:
-        if t == "span_near":
-            kern = (
-                span_near_ordered_spans
-                if q.get("in_order", True)
-                else span_near_unordered_spans
-            )
-            spans = kern(
-                [np.asarray(idx.postings[x][d][1]) for x in q["terms"]],
-                int(q.get("slop", 0)),
-            )
-        elif t in ("span_first", "span_range"):
-            lo, hi = int(q.get("start", 0)), int(q["end"])
-            spans = [
-                (p, p + 1) for p in idx.postings[q["term"]][d][1]
-                if p >= lo and p + 1 <= hi
-            ]
-        elif t == "span_not":
-            excl = set(idx.postings.get(q["exclude"], {}).get(d, (0, []))[1])
-            spans = [(p, p + 1) for p in idx.postings[q["include"]][d][1] if p not in excl]
-        else:
-            spans = sorted(
-                (p, p + 1)
-                for x in w_terms
-                if d in idx.postings[x]
-                for p in idx.postings[x][d][1]
-            )
+    for d in sorted(cand):
+        pos = {
+            x: np.asarray(idx.postings[x][d][1])
+            for x in present
+            if d in idx.postings[x]
+        }
+        spans = eval_span_tree(q, pos)
         if not spans:
             continue
         freq = span_freq_f32(spans, mode == "f32")
@@ -387,8 +389,8 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
             return _term_scores(idx, terms[0], boost, mode)
         return _phrase_scores(idx, terms, boost, mode, slop=int(q.get("slop", 0)))
     if t == "multi_phrase":
-        return _multi_phrase_scores(idx, q["slots"], boost, mode)
-    if t in ("span_near", "span_first", "span_range", "span_not", "span_or"):
+        return _multi_phrase_scores(idx, q["slots"], boost, mode, slop=int(q.get("slop", 0)))
+    if t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
         return _span_scores(idx, q, boost, mode)
     if t == "match_all":
         v = f32(boost) if mode == "f32" else boost

@@ -199,6 +199,108 @@ def span_near_unordered_spans(
         heapq.heapreplace(heap, (start(mi), mi))
 
 
+def near_ordered_spans_general(
+    span_lists: list[list[tuple[int, int]]], slop: int
+) -> list[tuple[int, int]]:
+    """NearSpansOrdered over ARBITRARY sub-spans within one document (the
+    nesting-capable generalization of :func:`span_near_ordered_spans`;
+    faithful port of NearSpansOrdered.cs StretchToOrder:339-359 /
+    ShrinkToAfterShortestMatch:366-446 with DocSpansOrdered:330-333).
+
+    span_lists[i]: clause i's spans as sorted (start, end) tuples."""
+    n = len(span_lists)
+    if n == 0 or any(not s for s in span_lists):
+        return []
+    if n == 1:
+        return list(span_lists[0])
+    cur = [0] * n
+    state = {"more": True}
+    out: list[tuple[int, int]] = []
+
+    def sp(i: int) -> tuple[int, int]:
+        return span_lists[i][cur[i]]
+
+    def advance(i: int) -> bool:
+        cur[i] += 1
+        if cur[i] >= len(span_lists[i]):
+            state["more"] = False
+            return False
+        return True
+
+    def ordered(a: tuple[int, int], b: tuple[int, int]) -> bool:
+        return (a[1] < b[1]) if a[0] == b[0] else (a[0] < b[0])
+
+    def stretch() -> bool:
+        for i in range(1, n):
+            while not ordered(sp(i - 1), sp(i)):
+                if not advance(i):
+                    return False
+        return True
+
+    def shrink() -> bool:
+        match_start, match_end = sp(n - 1)
+        last_s, last_e = match_start, match_end
+        match_slop = 0
+        for i in range(n - 2, -1, -1):
+            prev_s, prev_e = sp(i)
+            while True:  # advance clause i until after (last_s, last_e)
+                if not advance(i):
+                    break
+                pp_s, pp_e = sp(i)
+                if not ordered((pp_s, pp_e), (last_s, last_e)):
+                    break
+                prev_s, prev_e = pp_s, pp_e
+            if match_start > prev_e:  # only non-overlapping gaps add slop
+                match_slop += match_start - prev_e
+            match_start = prev_s
+            last_s, last_e = prev_s, prev_e
+        if match_slop <= slop:
+            out.append((match_start, match_end))
+            return True
+        return False
+
+    while state["more"]:
+        if stretch() and shrink():
+            continue
+    return out
+
+
+def near_unordered_spans_general(
+    span_lists: list[list[tuple[int, int]]], slop: int
+) -> list[tuple[int, int]]:
+    """NearSpansUnordered over ARBITRARY sub-spans within one document
+    (NearSpansUnordered.cs queue by span start; AtMatch:417-420
+    max.End - min.Start - totalLength <= slop with totalLength = sum of the
+    CURRENT cells' lengths)."""
+    import heapq
+
+    n = len(span_lists)
+    if n == 0 or any(not s for s in span_lists):
+        return []
+    cur = [0] * n
+
+    def sp(i: int) -> tuple[int, int]:
+        return span_lists[i][cur[i]]
+
+    heap = [(sp(i)[0], sp(i)[1], i) for i in range(n)]
+    heapq.heapify(heap)
+    ends = [sp(i)[1] for i in range(n)]
+    lengths = [sp(i)[1] - sp(i)[0] for i in range(n)]
+    out: list[tuple[int, int]] = []
+    while True:
+        max_end = max(ends)
+        min_start, _, mi = heap[0]
+        if (max_end - min_start - sum(lengths)) <= slop:
+            out.append((min_start, max_end))
+        cur[mi] += 1
+        if cur[mi] >= len(span_lists[mi]):
+            return out
+        s, e = sp(mi)
+        ends[mi] = e
+        lengths[mi] = e - s
+        heapq.heapreplace(heap, (s, e, mi))
+
+
 class _PP:
     """PhrasePositions twin for the repeats-aware sloppy matcher
     (PhrasePositions.cs: position = raw term position - phrase offset)."""
@@ -343,3 +445,109 @@ def sloppy_phrase_freq_repeats(
     if match_len <= slop:
         freq = add(freq, match_len)
     return float(freq)
+
+
+# ---------------------------------------------------------------------------
+# span query TREES (SpanQuery clause nesting, SpanNearQuery.cs takes
+# SpanQuery clauses; shared by the Spark UDF closures and the pure oracle)
+# ---------------------------------------------------------------------------
+
+def span_clauses(q: dict) -> list[dict]:
+    """Nested `clauses` list, or the legacy flat `terms` shape lifted to
+    span_term clauses."""
+    if "clauses" in q:
+        return q["clauses"]
+    return [{"type": "span_term", "term": t} for t in q["terms"]]
+
+
+def _as_span_query(x) -> dict:
+    return x if isinstance(x, dict) else {"type": "span_term", "term": x}
+
+
+def span_tree_terms(q: dict) -> list[str]:
+    """All terms the span tree's Weight binds (SpanWeight.cs ExtractTerms),
+    DFS first-occurrence order (deterministic idf-sum order for f32);
+    span_not binds its include side only (SpanNotQuery.ExtractTerms)."""
+    out: list[str] = []
+
+    def walk(node: dict) -> None:
+        t = node["type"]
+        if t == "span_term":
+            if node["term"] not in out:
+                out.append(node["term"])
+        elif t in ("span_near", "span_or"):
+            for c in span_clauses(node):
+                walk(_as_span_query(c))
+        elif t in ("span_first", "span_range"):
+            walk(_as_span_query(node.get("clause") or node["term"]))
+        elif t == "span_not":
+            walk(_as_span_query(node["include"]))
+        else:
+            raise ValueError(t)
+
+    walk(q)
+    return out
+
+
+def span_tree_possible(q: dict, present: set) -> bool:
+    """Whether the tree can match ANY doc given the set of index-present
+    terms (a missing required term -> provably empty, the null-scorer
+    shortcut)."""
+    t = q["type"]
+    if t == "span_term":
+        return q["term"] in present
+    if t == "span_near":
+        return all(span_tree_possible(_as_span_query(c), present) for c in span_clauses(q))
+    if t == "span_or":
+        return any(span_tree_possible(_as_span_query(c), present) for c in span_clauses(q))
+    if t in ("span_first", "span_range"):
+        return span_tree_possible(_as_span_query(q.get("clause") or q["term"]), present)
+    if t == "span_not":
+        return span_tree_possible(_as_span_query(q["include"]), present)
+    raise ValueError(t)
+
+
+def eval_span_tree(q: dict, pos: dict) -> list[tuple[int, int]]:
+    """Evaluate a span query tree against one document's term -> sorted
+    positions map -> produced (start, end) spans in emission order.
+
+    Node shapes (legacy flat forms still accepted):
+      span_term  {term}
+      span_near  {clauses|terms, slop=0, in_order=True}
+      span_or    {clauses|terms}            (duplicates kept, queue order)
+      span_first {clause|term, end}         == span_range(start=0)
+      span_range {clause|term, start, end}  (SpanPositionRangeQuery accept)
+      span_not   {include, exclude}         (include spans not OVERLAPPING
+                                             an exclude span, SpanNotQuery)
+    """
+    t = q["type"]
+    if t == "span_term":
+        arr = pos.get(q["term"])
+        return [] if arr is None else [(int(p), int(p) + 1) for p in arr]
+    if t == "span_near":
+        subs = [eval_span_tree(_as_span_query(c), pos) for c in span_clauses(q)]
+        kern = (
+            near_ordered_spans_general
+            if q.get("in_order", True)
+            else near_unordered_spans_general
+        )
+        return kern(subs, int(q.get("slop", 0)))
+    if t == "span_or":
+        subs = [eval_span_tree(_as_span_query(c), pos) for c in span_clauses(q)]
+        return sorted(sp for sub in subs for sp in sub)
+    if t in ("span_first", "span_range"):
+        child = _as_span_query(q.get("clause") or q["term"])
+        lo = int(q.get("start", 0))
+        hi = int(q["end"])
+        return [
+            (s, e) for s, e in eval_span_tree(child, pos) if s >= lo and e <= hi
+        ]
+    if t == "span_not":
+        inc = eval_span_tree(_as_span_query(q["include"]), pos)
+        exc = eval_span_tree(_as_span_query(q["exclude"]), pos)
+        return [
+            (s, e)
+            for s, e in inc
+            if not any(s < ee and ss < e for ss, ee in exc)
+        ]
+    raise ValueError(t)

@@ -313,15 +313,10 @@ class IndexSearcher:
             for slot in q["slots"]:
                 for term in slot:
                     out.append((term, boost))
-        elif t == "span_near":
-            for term in q["terms"]:
-                out.append((term, boost))
-        elif t in ("span_first", "span_range"):
-            out.append((q["term"], boost))
-        elif t == "span_not":
-            out.append((q["include"], boost))
-        elif t == "span_or":
-            for term in q["terms"]:
+        elif t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
+            from .positional import span_tree_terms
+
+            for term in span_tree_terms(q):
                 out.append((term, boost))
 
     def _weight(self, term: str, boost: float, mode: str) -> float | None:
@@ -351,18 +346,12 @@ class IndexSearcher:
                 (sum(sts[x].df for x in slot if x in sts) for slot in q["slots"]),
                 default=0,
             )
-        if t == "span_near":
-            sts = self.lookup_terms(q["terms"])
-            return min((sts[x].df for x in q["terms"] if x in sts), default=0)
-        if t in ("span_first", "span_range"):
-            st = self.lookup_terms([q["term"]]).get(q["term"])
-            return st.df if st else 0
-        if t == "span_not":
-            st = self.lookup_terms([q["include"]]).get(q["include"])
-            return st.df if st else 0
-        if t == "span_or":
-            sts = self.lookup_terms(q["terms"])
-            return sum(s.df for s in sts.values())
+        if t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
+            from .positional import span_tree_terms
+
+            sts = self.lookup_terms(span_tree_terms(q))
+            dfs = [s.df for s in sts.values()]
+            return sum(dfs) if t == "span_or" else min(dfs, default=0)
         if t == "match_all":
             return self.max_doc
         if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
@@ -394,8 +383,10 @@ class IndexSearcher:
                 return self._eval({"type": "term", "term": terms[0]}, boost, mode)
             return self._eval_phrase(terms, boost, mode, slop=int(q.get("slop", 0)))
         if t == "multi_phrase":
-            return self._eval_multi_phrase(q["slots"], boost, mode)
-        if t in ("span_near", "span_first", "span_range", "span_not", "span_or"):
+            return self._eval_multi_phrase(
+                q["slots"], boost, mode, slop=int(q.get("slop", 0))
+            )
+        if t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
             return self._eval_span(q, boost, mode)
         if t == "match_all":
             v = float(np.float32(boost)) if mode == "f32" else boost
@@ -973,39 +964,68 @@ class IndexSearcher:
 
         return grouped.mapInPandas(phrase_score, schema=out_schema)
 
-    def _eval_multi_phrase(self, slots: list[list[str]], boost: float, mode: str) -> DataFrame | None:
-        """MultiPhraseQuery (exact, slop=0): term alternatives per phrase
-        position (src/Lucene.Net/Search/MultiPhraseQuery.cs).  Each slot's
-        postings form a union enum (UnionDocsAndPositionsEnum, positions
-        deduplicated); phrase freq = #start positions where every slot i has
-        SOME alternative at start+i.  idf = sum of idfs of the slot terms
-        present in the dictionary, in slot order then listed order (the
-        weight binds TermStatistics for every term).  Slots whose terms are
-        all absent can never match."""
+    def _eval_multi_phrase(self, slots: list[list[str]], boost: float, mode: str,
+                           slop: int = 0) -> DataFrame | None:
+        """MultiPhraseQuery: term alternatives per phrase position
+        (src/Lucene.Net/Search/MultiPhraseQuery.cs).  Each slot's postings
+        form a union enum (UnionDocsAndPositionsEnum, positions
+        deduplicated).
+
+        slop=0: phrase freq = #start positions where every slot i has SOME
+        alternative at start+i.  slop>0: the slots' union position lists
+        feed the SloppyPhraseScorer kernel (slot offset = slot index);
+        slots sharing terms route through the repeats kernel keyed by
+        shared-term connected component (the rptGroups grouping,
+        SloppyPhraseScorer.cs:272-340 -- exact for disjoint or identical
+        slot term sets, best-effort for partial overlaps).
+
+        idf = sum over EVERY slot term in slot order -- including
+        index-absent terms, whose df=0 idf is nonzero (the weight binds
+        TermStatistics for every term).  A slot with all terms absent can
+        never match."""
         flat: list[str] = [t for slot in slots for t in slot]
         sts = self.lookup_terms(flat)
         kept_slots = [[t for t in slot if t in sts] for slot in slots]
         if any(not slot for slot in kept_slots):
             return None
-        ordered = [t for slot in kept_slots for t in slot]
         if mode == "f32":
             idf = np.float32(0.0)
-            for t in ordered:
-                idf = np.float32(idf + np.float32(_idf(sts[t].df, self.max_doc, "f32")))
+            for t in flat:
+                df = sts[t].df if t in sts else 0
+                idf = np.float32(idf + np.float32(_idf(df, self.max_doc, "f32")))
             wv = float(np.float32(np.float32(idf * np.float32(boost)) * np.float32(K1 + 1.0)))
         else:
-            idf = sum(_idf(sts[t].df, self.max_doc, "f64") for t in ordered)
+            idf = sum(
+                _idf(sts[t].df if t in sts else 0, self.max_doc, "f64") for t in flat
+            )
             wv = idf * boost * (K1 + 1.0)
-        uniq = list(dict.fromkeys(ordered))
+        uniq = list(dict.fromkeys(t for slot in kept_slots for t in slot))
         posts = self._scored_postings({t: 1.0 for t in uniq}, mode, with_positions=True)
-        slot_of = [set(slot) for slot in kept_slots]
+        slot_of = [list(dict.fromkeys(slot)) for slot in kept_slots]
+        # repeats grouping: connected components of slots sharing any term
+        n_slots = len(slot_of)
+        comp = list(range(n_slots))
+
+        def find(x):
+            while comp[x] != x:
+                comp[x] = comp[comp[x]]
+                x = comp[x]
+            return x
+
+        for i in range(n_slots):
+            for j in range(i + 1, n_slots):
+                if set(slot_of[i]) & set(slot_of[j]):
+                    comp[find(i)] = find(j)
+        roots = [find(i) for i in range(n_slots)]
+        has_repeats = len(set(roots)) < n_slots
+        keys = roots
         cache = _norm_cache(self.avgdl_f32, mode)
         ftype = T.FloatType() if mode == "f32" else T.DoubleType()
         out_schema = T.StructType(
             [T.StructField("docID", T.LongType()), T.StructField("score", ftype)]
         )
         f32 = mode == "f32"
-        wv_b = wv
+        wv_b, slop_b, keys_b, rpt_b = wv, slop, keys, has_repeats
 
         grouped = (
             posts.groupBy("docID")
@@ -1016,20 +1036,40 @@ class IndexSearcher:
         )
 
         def mp_score(pdf_iter):
+            from .positional import sloppy_phrase_freq, sloppy_phrase_freq_repeats
+
             for pdf in pdf_iter:
                 out_doc, out_score = [], []
                 for row in pdf.itertuples(index=False):
                     pos_by_term = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
-                    base = None
-                    for i, slot_terms in enumerate(slot_of):
+                    raw: list[np.ndarray] = []
+                    ok = True
+                    for slot_terms in slot_of:
                         u: set[int] = set()
                         for t in slot_terms:
                             if t in pos_by_term:
-                                u.update((pos_by_term[t] - i).tolist())
-                        base = u if base is None else (base & u)
-                        if not base:
+                                u.update(pos_by_term[t].tolist())
+                        if not u:
+                            ok = False
                             break
-                    pf = len(base) if base else 0
+                        raw.append(np.asarray(sorted(u), dtype=np.int64))
+                    if not ok:
+                        continue
+                    if slop_b == 0:
+                        base: set[int] | None = None
+                        for i, arr in enumerate(raw):
+                            s = set((arr - i).tolist())
+                            base = s if base is None else (base & s)
+                            if not base:
+                                break
+                        pf = float(len(base)) if base else 0.0
+                    elif len(raw) == 1:
+                        pf = float(len(raw[0]))
+                    elif rpt_b:
+                        pf = sloppy_phrase_freq_repeats(raw, keys_b, slop_b, f32)
+                    else:
+                        adj = [arr - i for i, arr in enumerate(raw)]
+                        pf = sloppy_phrase_freq(adj, slop_b, f32)
                     if pf <= 0:
                         continue
                     nc = cache[row.norm_byte]
@@ -1338,67 +1378,58 @@ class IndexSearcher:
         return self.search(q, k, mode=mode)
 
     def _eval_span(self, q: dict, boost: float, mode: str) -> DataFrame | None:
-        """Span queries over term sub-spans (src/Lucene.Net/Search/Spans/):
-          span_near  {terms: [t...], slop, in_order}  -- NearSpansOrdered /
-                                         NearSpansUnordered
-          span_first {term, end}      -- spans with span.end <= end
-                                         (SpanFirstQuery.cs AcceptPosition)
-          span_not   {include, exclude} -- include spans not overlapping an
-                                         exclude span (== position equality
-                                         for term spans) (SpanNotQuery.cs)
-          span_or    {terms: [t...]}  -- union of term spans, duplicates kept
-                                         (SpanOrQuery.cs queue merge)
+        """Span queries as full TREES of span clauses
+        (src/Lucene.Net/Search/Spans/: SpanNearQuery.cs takes SpanQuery
+        clauses, so near/or/not/first/range nest arbitrarily):
+          span_term  {term}
+          span_near  {clauses|terms, slop, in_order} -- NearSpansOrdered /
+                                                        NearSpansUnordered
+          span_first {clause|term, end}              -- spans with end <= end
+          span_range {clause|term, start, end}       -- accept window
+          span_not   {include, exclude}              -- include spans not
+                                                        overlapping exclude
+          span_or    {clauses|terms}                 -- queue merge, dups kept
+        (legacy flat `terms` / string include/exclude shapes lifted to
+        span_term clauses; see positional.eval_span_tree).
+
         freq = sum of sloppyFreq(end-start) over produced spans
-        (SpanScorer.cs:79-98); score = BM25(freq) with idf summed over the
-        query's terms (SpanWeight binds TermStatistics for all terms)."""
+        (SpanScorer.cs:79-98); score = BM25(freq) with idf summed over ALL
+        the tree's terms in DFS order -- INCLUDING index-absent terms,
+        whose df=0 idf is nonzero (SpanWeight binds TermStatistics for
+        every extracted term; span_not binds its include side only)."""
         from .positional import (
+            eval_span_tree,
             span_freq_f32,
-            span_near_ordered_spans,
-            span_near_unordered_spans,
+            span_tree_possible,
+            span_tree_terms,
         )
 
-        t = q["type"]
-        if t == "span_near":
-            req_terms = list(q["terms"])
-            opt_terms: list[str] = []
-            slop = int(q.get("slop", 0))
-        elif t in ("span_first", "span_range"):
-            req_terms = [q["term"]]
-            opt_terms = []
-        elif t == "span_not":
-            req_terms = [q["include"]]
-            opt_terms = [q["exclude"]]
-        else:  # span_or
-            req_terms = []
-            opt_terms = list(q["terms"])
-        sts = self.lookup_terms(req_terms + opt_terms)
-        if any(x not in sts for x in req_terms):
+        w_terms = span_tree_terms(q)
+        sts = self.lookup_terms(w_terms)
+        if not span_tree_possible(q, set(sts)):
             return None
-        if t == "span_or":
-            opt_terms = [x for x in opt_terms if x in sts]
-            if not opt_terms:
-                return None
-        # idf = f32 sequential sum over the weight-bound terms
-        # (span_not binds the include side only)
-        w_terms = req_terms if t != "span_or" else opt_terms
         if mode == "f32":
             idf = np.float32(0.0)
             for x in w_terms:
-                idf = np.float32(idf + np.float32(_idf(sts[x].df, self.max_doc, "f32")))
+                df = sts[x].df if x in sts else 0
+                idf = np.float32(idf + np.float32(_idf(df, self.max_doc, "f32")))
             wv = float(np.float32(np.float32(idf * np.float32(boost)) * np.float32(K1 + 1.0)))
         else:
-            idf = sum(_idf(sts[x].df, self.max_doc, "f64") for x in w_terms)
+            idf = sum(
+                _idf(sts[x].df if x in sts else 0, self.max_doc, "f64")
+                for x in w_terms
+            )
             wv = idf * boost * (K1 + 1.0)
 
-        all_terms = list(dict.fromkeys(req_terms + [x for x in opt_terms if x in sts]))
-        posts = self._scored_postings({x: 1.0 for x in all_terms}, mode, with_positions=True)
+        present = sorted(sts)
+        posts = self._scored_postings({x: 1.0 for x in present}, mode, with_positions=True)
         cache = _norm_cache(self.avgdl_f32, mode)
         ftype = T.FloatType() if mode == "f32" else T.DoubleType()
         out_schema = T.StructType(
             [T.StructField("docID", T.LongType()), T.StructField("score", ftype)]
         )
         f32 = mode == "f32"
-        req_b, q_b, wv_b = list(req_terms), dict(q), wv
+        q_b, wv_b = dict(q), wv
 
         grouped = (
             posts.groupBy("docID")
@@ -1409,46 +1440,11 @@ class IndexSearcher:
         )
 
         def span_score(pdf_iter):
-            typ = q_b["type"]
             for pdf in pdf_iter:
                 out_doc, out_score = [], []
                 for row in pdf.itertuples(index=False):
                     pos = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
-                    if any(x not in pos for x in req_b):
-                        continue
-                    if typ == "span_near":
-                        kern = (
-                            span_near_ordered_spans
-                            if q_b.get("in_order", True)
-                            else span_near_unordered_spans
-                        )
-                        spans = kern(
-                            [pos[x] for x in q_b["terms"]], int(q_b.get("slop", 0))
-                        )
-                    elif typ in ("span_first", "span_range"):
-                        # SpanFirstQuery == SpanPositionRangeQuery(0, end)
-                        # (SpanPositionRangeQuery.cs:42-55 accept window)
-                        lo = int(q_b.get("start", 0))
-                        hi = int(q_b["end"])
-                        spans = [
-                            (int(p), int(p) + 1)
-                            for p in pos[q_b["term"]]
-                            if int(p) >= lo and int(p) + 1 <= hi
-                        ]
-                    elif typ == "span_not":
-                        excl = set(pos.get(q_b["exclude"], np.empty(0)).tolist())
-                        spans = [
-                            (int(p), int(p) + 1)
-                            for p in pos[q_b["include"]]
-                            if int(p) not in excl
-                        ]
-                    else:  # span_or: queue-merge of term spans, dups kept
-                        spans = sorted(
-                            (int(p), int(p) + 1)
-                            for x in q_b["terms"]
-                            if x in pos
-                            for p in pos[x]
-                        )
+                    spans = eval_span_tree(q_b, pos)
                     if not spans:
                         continue
                     freq = span_freq_f32(spans, f32)

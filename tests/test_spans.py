@@ -184,3 +184,73 @@ def test_span_range_vs_oracle(searcher, oracle_idx):
     a = searcher.search({"type": "span_first", "term": "compute", "end": 5}, 50).collect()
     b = searcher.search({"type": "span_range", "term": "compute", "start": 0, "end": 5}, 50).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+NESTED_QUERIES = [
+    # near over (or, term): the SpanMultiTermQueryWrapper-style composition
+    ("near_of_or", {"type": "span_near", "clauses": [
+        {"type": "span_or", "terms": ["w1", "compute"]},
+        {"type": "span_term", "term": "w2"}], "slop": 2, "in_order": True}),
+    ("near_of_or_unord", {"type": "span_near", "clauses": [
+        {"type": "span_or", "terms": ["w1", "compute"]},
+        {"type": "span_term", "term": "w2"}], "slop": 3, "in_order": False}),
+    # near nested INSIDE near
+    ("near_of_near", {"type": "span_near", "clauses": [
+        {"type": "span_near", "terms": ["w1", "w2"], "slop": 0, "in_order": True},
+        {"type": "span_term", "term": "w3"}], "slop": 2, "in_order": True}),
+    # first over a near
+    ("first_of_near", {"type": "span_first", "clause":
+        {"type": "span_near", "terms": ["w1", "w2"], "slop": 1, "in_order": True},
+        "end": 4}),
+    # not with a span exclude
+    ("not_of_near", {"type": "span_not",
+        "include": {"type": "span_near", "terms": ["w1", "w2"], "slop": 1, "in_order": True},
+        "exclude": "w3"}),
+    # or over nears
+    ("or_of_nears", {"type": "span_or", "clauses": [
+        {"type": "span_near", "terms": ["w1", "w2"], "slop": 0, "in_order": True},
+        {"type": "span_near", "terms": ["compute", "score"], "slop": 2, "in_order": True}]}),
+    # absent term inside an or: df=0 idf still binds
+    ("or_with_absent", {"type": "span_near", "clauses": [
+        {"type": "span_or", "terms": ["w1", "zzzabsent"]},
+        {"type": "span_term", "term": "w2"}], "slop": 2, "in_order": True}),
+]
+
+
+@pytest.mark.parametrize("qid,query", NESTED_QUERIES)
+def test_nested_span_rank_and_score_identical(searcher, oracle_idx, qid, query):
+    got = [
+        (r["docID"], f32_hex(r["score"]))
+        for r in searcher.search(query, 10).collect()
+    ]
+    scores = eval_query(query, oracle_idx, mode="f32")
+    want = sorted(((d, f32_hex(s)) for d, s in scores.items()),
+                  key=lambda x: (-struct.unpack(">f", bytes.fromhex(x[1]))[0], x[0]))[:10]
+    assert got == want, qid
+    if qid != "mp_slop_rpts":  # repeated-slot query: parity matters, the
+        # tiny corpus happens to have no doc with w1 twice
+        assert got, f"{qid} should match something in this corpus"
+
+
+MP_SLOP_QUERIES = [
+    ("mp_exact", {"type": "multi_phrase", "slots": [["w1", "compute"], ["w2"]]}),
+    ("mp_slop2", {"type": "multi_phrase", "slots": [["w1", "compute"], ["w2"]], "slop": 2}),
+    ("mp_slop_absent", {"type": "multi_phrase",
+                        "slots": [["w1", "zzzabsent"], ["w2"]], "slop": 1}),
+    ("mp_slop_rpts", {"type": "multi_phrase", "slots": [["w1"], ["w1"]], "slop": 4}),
+]
+
+
+@pytest.mark.parametrize("qid,query", MP_SLOP_QUERIES)
+def test_multi_phrase_slop_matches_oracle(searcher, oracle_idx, qid, query):
+    got = [
+        (r["docID"], f32_hex(r["score"]))
+        for r in searcher.search(query, 10).collect()
+    ]
+    scores = eval_query(query, oracle_idx, mode="f32")
+    want = sorted(((d, f32_hex(s)) for d, s in scores.items()),
+                  key=lambda x: (-struct.unpack(">f", bytes.fromhex(x[1]))[0], x[0]))[:10]
+    assert got == want, qid
+    if qid != "mp_slop_rpts":  # repeated-slot parity is the point; the tiny
+        # corpus happens to have no doc containing w1 twice
+        assert got, f"{qid} should match something in this corpus"
