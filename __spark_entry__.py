@@ -196,6 +196,22 @@ def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.facet_counts(q, "lang", mode="f64").select("lang", "n")
 
 
+def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facets: n_chars buckets over the bool_or query's matches
+    (overlapping open-ended last bucket included)."""
+    s = _searcher(spark, sf_dir)
+    q, _ = QUERY_TREES["bool_or"]
+    ranges = [("short", None, 120.0), ("mid", 120.0, 200.0), ("long", 120.0, None)]
+    return s.facet_ranges(q, "n_chars", ranges, mode="f64")
+
+
+def _q_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillDownQuery: BM25 'spark' top-10 drilled down to lang = 'en'."""
+    s = _searcher(spark, sf_dir)
+    out = s.drill_down(_t("spark"), {"lang": "en"}, k=10, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QueryRescorer: top-50 of 'merge' re-ranked by phrase 'table hash'."""
     s = _searcher(spark, sf_dir)
@@ -603,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sort_by_field"] = _q_sort_by_field
     out["group_top2"] = _q_group_top2
     out["facet_lang"] = _q_facet_lang
+    out["facet_range"] = _q_facet_range
+    out["drilldown"] = _q_drilldown
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
@@ -818,6 +836,24 @@ SELECT d.lang, count(DISTINCT s.doc_id)::BIGINT AS n
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term IN ('dup', 'window', 'vector')
 GROUP BY d.lang"""
+    sqls["facet_range"] = f"""{_prelude()},
+m AS (
+  SELECT DISTINCT s.doc_id, d.n_chars
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term IN ('dup', 'window', 'vector')
+)
+SELECT label, n FROM (
+  SELECT 'short' AS label, count(*) FILTER (n_chars < 120)::BIGINT AS n, 0 AS o FROM m
+  UNION ALL
+  SELECT 'mid', count(*) FILTER (n_chars >= 120 AND n_chars < 200)::BIGINT, 1 FROM m
+  UNION ALL
+  SELECT 'long', count(*) FILTER (n_chars >= 120)::BIGINT, 2 FROM m
+) ORDER BY o"""
+    sqls["drilldown"] = f"""{_prelude()}
+SELECT s.doc_id AS doc_id, round(s.score, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'spark' AND d.lang = 'en'
+ORDER BY score DESC, s.doc_id LIMIT 10"""
     sqls["rescore"] = f"""{_prelude()},
 first_pass AS (
   SELECT doc_id, score FROM scored WHERE term = 'merge'

@@ -225,6 +225,104 @@ def _make_ngram(min_gram: int, max_gram: int):
     return _analyze_ngram
 
 
+# ASCII folding special cases NFKD alone cannot produce
+# (ASCIIFoldingFilter.cs:55 -- the reference's giant switch covers the same
+# Latin ranges; NFKD + combining-mark strip handles the accent bulk)
+_FOLD_MAP = {
+    "ß": "ss", "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O", "œ": "oe",
+    "Œ": "OE", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D", "þ": "th",
+    "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H", "ı": "i",
+    "ĸ": "q", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+}
+
+
+def ascii_fold(text: str) -> str:
+    """ASCIIFoldingFilter analogue: strip diacritics via NFKD + combining
+    mark removal, plus the ligature/special table above.  Characters that
+    still fold to nothing keep their original form (the reference leaves
+    unmapped codepoints untouched)."""
+    import unicodedata
+
+    out = []
+    for ch in text:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        if ch in _FOLD_MAP:
+            out.append(_FOLD_MAP[ch])
+            continue
+        folded = "".join(
+            c for c in unicodedata.normalize("NFKD", ch)
+            if not unicodedata.combining(c)
+        )
+        out.append(folded if folded and all(ord(c) < 128 for c in folded) else ch)
+    return "".join(out)
+
+
+_HTML_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def html_strip(text: str) -> str:
+    """HTMLStripCharFilter analogue (CharFilters/HTMLStripCharFilter.cs):
+    drop script/style blocks, drop tags, decode entities; tags become
+    whitespace so adjacent words do not merge."""
+    import html as _html
+
+    t = _HTML_SCRIPT_RE.sub(" ", text)
+    t = _HTML_TAG_RE.sub(" ", t)
+    return _html.unescape(t)
+
+
+def _analyze_standard_folding(text: str) -> tuple[list[str], list[int]]:
+    """Standard chain + ASCIIFoldingFilter after LowerCase (the common
+    'standard + asciifolding' composition): accents fold to ASCII so
+    'café' and 'cafe' index identically."""
+    terms, positions = analyze(text)
+    return [ascii_fold(t) for t in terms], positions
+
+
+def _analyze_html(text: str) -> tuple[list[str], list[int]]:
+    """HTMLStripCharFilter -> standard chain (char filters run before the
+    tokenizer, Analyzer.InitReader)."""
+    return analyze(html_strip(text))
+
+
+def _make_shingle(min_shingle: int = 2, max_shingle: int = 2,
+                  output_unigrams: bool = True, token_separator: str = " ",
+                  filler_token: str = "_"):
+    """ShingleFilter analogue (Analysis/Shingle/ShingleFilter.cs:41): word
+    n-grams over the standard chain's token stream.  Stop-filter position
+    gaps are filled with the filler token exactly like the reference, and a
+    shingle's position is its first token's position.  Simplification: all
+    shingle sizes are emitted at the first token's position ordinal (the
+    reference tracks positionLength instead of distinct positions)."""
+
+    def _analyze_shingle(text: str) -> tuple[list[str], list[int]]:
+        base_terms, base_pos = analyze(text)
+        if not base_terms:
+            return [], []
+        by_pos = dict(zip(base_pos, base_terms))
+        lo, hi = min(base_pos), max(base_pos)
+        stream = [by_pos.get(p, filler_token) for p in range(lo, hi + 1)]
+        terms: list[str] = []
+        positions: list[int] = []
+        for i, tok in enumerate(stream):
+            p = lo + i
+            if tok == filler_token:
+                continue
+            if output_unigrams:
+                terms.append(tok)
+                positions.append(p)
+            for size in range(min_shingle, max_shingle + 1):
+                if i + size <= len(stream):
+                    terms.append(token_separator.join(stream[i : i + size]))
+                    positions.append(p)
+        return terms, positions
+
+    return _analyze_shingle
+
+
 _POSSESSIVE_APOS = ("'", "’", "＇")
 
 
@@ -303,4 +401,15 @@ def make_analyzer(name: str, **params):
         return _make_synonym(params.get("synonyms", {}))
     if name == "english":
         return _analyze_english
+    if name == "standard_folding":
+        return _analyze_standard_folding
+    if name == "html":
+        return _analyze_html
+    if name == "shingle":
+        return _make_shingle(
+            int(params.get("min_shingle", 2)), int(params.get("max_shingle", 2)),
+            bool(params.get("output_unigrams", True)),
+            str(params.get("token_separator", " ")),
+            str(params.get("filler_token", "_")),
+        )
     raise ValueError(f"unknown analyzer: {name}")

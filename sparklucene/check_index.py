@@ -36,7 +36,8 @@ def _check_blocks_udf():
     """-> per (term, salt) partial: n_docs, n_errors, example error."""
     from .codec import decode_block_docs, decode_block_positions
 
-    schema = "term string, salt int, n_docs long, n_err long, example string"
+    schema = ("term string, salt int, n_docs long, ttf long, max_tf int, "
+              "min_docid long, max_docid long, n_err long, example string")
 
     def check(pdf_iter):
         for pdf in pdf_iter:
@@ -44,6 +45,9 @@ def _check_blocks_udf():
             pdf = pdf.sort_values(["term", "salt", "block_id"], kind="stable")
             for (term, salt), g in pdf.groupby(["term", "salt"], sort=False):
                 n_docs = 0
+                ttf = 0
+                max_tf = 0
+                min_docid = None
                 n_err = 0
                 example = None
                 prev_max = -1
@@ -88,13 +92,23 @@ def _check_blocks_udf():
                             if not ok.all():
                                 errs.append("positions not ascending within doc")
                         n_docs += int(row.num_docs)
+                        ttf += int(t.sum())
+                        if len(t):
+                            max_tf = max(max_tf, int(t.max()))
+                        if len(d):
+                            if min_docid is None:
+                                min_docid = int(d[0])
                     except Exception as e:  # noqa: BLE001
                         errs.append(f"decode error: {e}")
                     if errs:
                         n_err += len(errs)
                         example = example or f"{term}/{salt}/blk{row.block_id}: {errs[0]}"
-                rows.append((term, int(salt), n_docs, n_err, example))
-            yield pd.DataFrame(rows, columns=["term", "salt", "n_docs", "n_err", "example"])
+                rows.append((term, int(salt), n_docs, ttf, max_tf,
+                             -1 if min_docid is None else min_docid, prev_max,
+                             n_err, example))
+            yield pd.DataFrame(rows, columns=[
+                "term", "salt", "n_docs", "ttf", "max_tf",
+                "min_docid", "max_docid", "n_err", "example"])
 
     return check, schema
 
@@ -131,9 +145,25 @@ def check_index(
     else:
         passed("blocks", f"{int(agg['postings'] or 0)} postings decoded clean")
 
-    # 2. term_dict consistency (df/ttf/max_tf re-derived from blocks)
-    derived = (
-        per_group.groupBy("term").agg(F.sum("n_docs").alias("df_blocks"))
+    # 2. term_dict consistency: df/ttf/max_tf re-derived from blocks, plus
+    #    cross-salt docID-range disjointness (salts are docID-range slices;
+    #    an overlap means duplicate docIDs for one term -- the failure mode
+    #    of a broken docID high-water mark)
+    from pyspark.sql import Window
+
+    derived = per_group.groupBy("term").agg(
+        F.sum("n_docs").alias("df_blocks"),
+        F.sum("ttf").alias("ttf_blocks"),
+        F.max("max_tf").alias("maxtf_blocks"),
+    )
+    w_salt = Window.partitionBy("term").orderBy("salt")
+    overlaps = (
+        per_group.filter(F.col("n_docs") > 0)
+        .withColumn("_prev_max", F.lag("max_docid").over(w_salt))
+        .filter(
+            F.col("_prev_max").isNotNull() & (F.col("min_docid") <= F.col("_prev_max"))
+        )
+        .count()
     )
     td = spark.read.parquet(os.path.join(index_dir, "term_dict"))
     num_buckets = stats["num_buckets"]
@@ -142,12 +172,15 @@ def check_index(
     ).count()
     joined = td.join(derived, "term", "full")
     mism = joined.filter(
-        F.coalesce(F.col("df"), F.lit(-1)) != F.coalesce(F.col("df_blocks"), F.lit(-2))
+        (F.coalesce(F.col("df"), F.lit(-1)) != F.coalesce(F.col("df_blocks"), F.lit(-2)))
+        | (F.coalesce(F.col("ttf"), F.lit(-1)) != F.coalesce(F.col("ttf_blocks"), F.lit(-2)))
+        | (F.coalesce(F.col("max_tf"), F.lit(-1)) != F.coalesce(F.col("maxtf_blocks"), F.lit(-2)))
     ).count()
-    if mism or bad_bucket:
-        fail("term_dict", f"{mism} df mismatches, {bad_bucket} bad buckets")
+    if mism or bad_bucket or overlaps:
+        fail("term_dict", f"{mism} df/ttf/max_tf mismatches, {bad_bucket} bad buckets, "
+                          f"{overlaps} cross-salt docID overlaps")
     else:
-        passed("term_dict", f"{td.count()} terms consistent")
+        passed("term_dict", f"{td.count()} terms consistent (df/ttf/max_tf + salt ranges)")
 
     # 3. docs/stats consistency + norm re-encode
     docs_path = os.path.join(index_dir, "docs")

@@ -546,21 +546,24 @@ def ngram_jaccard_pairs(
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, method: str = "exact",
     id_col: str = "vec_id", vec_col: str = "embedding",
-    tables: int = 8, planes: int = 8,
+    tables: int = 8, planes: int = 8, chunk_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cos), a < b,
     cos >= threshold.
 
-    method='exact': every partition streams against a broadcast matrix of
-    all (normalized) vectors -- one GEMM per Arrow batch, no shuffle.  The
-    broadcast is the scale limit (fine to ~1e6 x small-dim vectors; at
-    100 TB shard the broadcast side into chunked passes or use 'lsh').
+    method='exact': CHUNKED broadcast GEMM -- the table is swept in
+    `chunk_rows`-sized id-ordered chunks; each pass broadcasts ONE chunk
+    (never the whole table) and every partition GEMMs its Arrow batches
+    against it, emitting pairs (batch_row < chunk_row).  Driver/executor
+    memory is bounded by one chunk regardless of table size; total work is
+    the unavoidable N^2/2 dot products, spread over ceil(N/chunk) passes.
     method='lsh': random-hyperplane sign buckets (candidates = pairs
     sharing a bucket in ANY table) + exact cosine verify; approximate --
-    recall is measured in tests."""
+    recall is measured in tests.  At 100 TB 'lsh' is the default choice;
+    'exact' is the verifiable baseline.
+    """
     import pandas as pd  # noqa: F811
 
-    rows = emb.select(id_col, vec_col).collect() if method == "exact" else None
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -569,33 +572,62 @@ def embedding_neardup_pairs(
         ]
     )
     if method == "exact":
-        all_ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
-        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0] = 1.0
-        matn = mat / norms[:, None]
         spark = emb.sparkSession
-        b_ids = spark.sparkContext.broadcast(all_ids)
-        b_mat = spark.sparkContext.broadcast(matn)
+        src = emb.select(id_col, vec_col)
+        n_total = src.count()
+        n_chunks = max(1, -(-n_total // chunk_rows))
+        # chunk boundaries by id RANGE (approx quantiles of the id column:
+        # no global sort, and each chunk read is a pushed-down range filter)
+        if n_chunks == 1:
+            cuts: list[float] = []
+        else:
+            cuts = src.stat.approxQuantile(
+                id_col, [i / n_chunks for i in range(1, n_chunks)], 0.01
+            )
+        edges = [None] + [int(c) for c in cuts] + [None]
+        parts = []
+        for ci in range(len(edges) - 1):
+            lo, hi = edges[ci], edges[ci + 1]
+            cond = F.lit(True)
+            if lo is not None:
+                cond = F.col(id_col) >= lo
+            if hi is not None:
+                cond = cond & (F.col(id_col) < hi)
+            chunk = src.filter(cond).collect()
+            if not chunk:
+                continue
+            c_ids = np.asarray([r[id_col] for r in chunk], dtype=np.int64)
+            c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in chunk])
+            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            c_nrm[c_nrm == 0] = 1.0
+            b_ids = spark.sparkContext.broadcast(c_ids)
+            b_mat = spark.sparkContext.broadcast(c_mat / c_nrm[:, None])
 
-        def pairs(pdf_iter):
-            ids_all, m_all = b_ids.value, b_mat.value
-            for pdf in pdf_iter:
-                if len(pdf) == 0:
-                    continue
-                ids = pdf[id_col].to_numpy(np.int64)
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                n = np.sqrt((m * m).sum(axis=1))
-                n[n == 0] = 1.0
-                cos = (m / n[:, None]) @ m_all.T  # (batch, N)
-                ii, jj = np.nonzero((cos >= threshold) & (ids[:, None] < ids_all[None, :]))
-                if len(ii) == 0:
-                    continue
-                yield pd.DataFrame(
-                    {"id_a": ids[ii], "id_b": ids_all[jj], "cos": cos[ii, jj]}
-                )
+            def pairs(pdf_iter, b_ids=b_ids, b_mat=b_mat):
+                ids_c, m_c = b_ids.value, b_mat.value
+                for pdf in pdf_iter:
+                    if len(pdf) == 0:
+                        continue
+                    ids = pdf[id_col].to_numpy(np.int64)
+                    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                    n = np.sqrt((m * m).sum(axis=1))
+                    n[n == 0] = 1.0
+                    cos = (m / n[:, None]) @ m_c.T  # (batch, chunk)
+                    ii, jj = np.nonzero(
+                        (cos >= threshold) & (ids[:, None] < ids_c[None, :])
+                    )
+                    if len(ii) == 0:
+                        continue
+                    yield pd.DataFrame(
+                        {"id_a": ids[ii], "id_b": ids_c[jj], "cos": cos[ii, jj]}
+                    )
 
-        out = emb.select(id_col, vec_col).mapInPandas(pairs, schema=out_schema)
+            parts.append(src.mapInPandas(pairs, schema=out_schema))
+        if not parts:
+            return spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
         return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
     if method != "lsh":

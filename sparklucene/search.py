@@ -87,6 +87,7 @@ class IndexSearcher:
         self._init_from_stats()
         self._term_cache: dict[str, TermStats | None] = {}
         self._deleted_ids: np.ndarray | None = None
+        self._deleted_bc = None
 
     def _init_from_stats(self) -> None:
         self.max_doc: int = self.stats["max_doc"]
@@ -122,6 +123,7 @@ class IndexSearcher:
         self._init_from_stats()
         self._term_cache = {}
         self._deleted_ids = None
+        self._deleted_bc = None
         return self
 
     def set_live_docs(self, deleted_ids) -> None:
@@ -135,6 +137,13 @@ class IndexSearcher:
         roaring-bitmap broadcast replaces the plain array."""
         arr = np.asarray(sorted(set(int(x) for x in deleted_ids)), dtype=np.int64)
         self._deleted_ids = arr if arr.size else None
+        # ship the set to executors ONCE via a Spark broadcast instead of
+        # re-serializing it inside every task closure (at 100 TB this would
+        # be a roaring bitmap; a sorted int64 array + np.isin is the same
+        # idea at our scale)
+        self._deleted_bc = (
+            self.spark.sparkContext.broadcast(arr) if arr.size else None
+        )
 
     def _union_read(self, subdir: str) -> DataFrame:
         dfs = [
@@ -237,11 +246,12 @@ class IndexSearcher:
             fields.append(T.StructField("norm_byte", T.IntegerType()))
         out_schema = T.StructType(fields)
         f32 = mode == "f32"
-        deleted = self._deleted_ids
+        deleted_bc = self._deleted_bc
 
         def decode_score(pdf_iter):
             from .codec import decode_block_docs, decode_block_positions
 
+            deleted = deleted_bc.value if deleted_bc is not None else None
             for pdf in pdf_iter:
                 outs = []
                 for row in pdf.itertuples(index=False):
@@ -469,6 +479,56 @@ class IndexSearcher:
             return self.spark.createDataFrame([], f"{facet_col} string, n long")
         joined = scored.join(self.docs().select("docID", facet_col), "docID")
         return joined.groupBy(facet_col).agg(F.count("*").alias("n"))
+
+    def facet_ranges(self, query: dict, facet_col: str,
+                     ranges: list[tuple[str, float | None, float | None]],
+                     mode: str = "f64") -> DataFrame:
+        """Range faceting over a numeric doc column
+        (src/Lucene.Net.Facet/Range/Int64RangeFacetCounts.cs): per-range
+        match counts of `query`, ranges as (label, min_incl, max_excl) with
+        None = open end; ranges may overlap (each is counted
+        independently, exactly the reference's per-range accumulation).
+        -> (label, n), one row per range in the given order (0 counts
+        kept)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame(
+                [(lab, 0) for lab, _, _ in ranges], "label string, n long"
+            )
+        joined = scored.join(self.docs().select("docID", facet_col), "docID")
+        aggs = []
+        for lab, lo, hi in ranges:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(facet_col) >= lo)
+            if hi is not None:
+                cond = cond & (F.col(facet_col) < hi)
+            aggs.append(F.sum(cond.cast("long")).alias(lab))
+        row = joined.agg(*aggs)
+        labels = F.array(*[
+            F.struct(F.lit(lab).alias("label"), F.col(f"`{lab}`").alias("n"))
+            for lab, _, _ in ranges
+        ])
+        return row.select(F.explode(labels).alias("r")).select(
+            F.col("r.label").alias("label"), F.coalesce(F.col("r.n"), F.lit(0)).alias("n")
+        )
+
+    def drill_down(self, query: dict, filters: dict, k: int = 10,
+                   mode: str = "f64") -> DataFrame:
+        """DrillDownQuery analogue (src/Lucene.Net.Facet/DrillDownQuery.cs:52
+        wraps the base query with category constraints as filters): top-k of
+        `query` restricted to docs whose metadata columns equal the given
+        values.  The constraint does not contribute to the score
+        (ConstantScoreQuery(0-boost) clause semantics)."""
+        scored = self._eval(query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        dims = self.docs().select("docID", *filters.keys())
+        for col, val in filters.items():
+            dims = dims.filter(F.col(col) == val)
+        out = scored.join(dims.select("docID"), "docID", "left_semi")
+        return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
     def rescore(self, query: dict, rescore_query: dict, n: int = 100, k: int = 10,
                 mode: str = "f64") -> DataFrame:
@@ -1306,11 +1366,12 @@ class IndexSearcher:
         )
         f32 = mode == "f32"
         cand = restrict_docs
-        deleted = self._deleted_ids
+        deleted_bc = self._deleted_bc
 
         def decode_score(pdf_iter):
             from .codec import decode_block_docs
 
+            deleted = deleted_bc.value if deleted_bc is not None else None
             for pdf in pdf_iter:
                 outs = []
                 for row in pdf.itertuples(index=False):

@@ -183,3 +183,55 @@ class TestPluggableAnalyzers:
         # norm length discounts the overlap: doc 0 has 3 emitted positions
         flen = {r["docID"]: r["field_len"] for r in s.docs().collect()}
         assert flen[0] == 3  # fast(+quick overlap) car drives
+
+
+class TestFoldingHtmlShingle:
+    def test_ascii_folding(self):
+        from sparklucene.analysis import ascii_fold, make_analyzer
+
+        assert ascii_fold("café résumé naïve") == "cafe resume naive"
+        assert ascii_fold("Straße œuvre Łódź") == "Strasse oeuvre Lodz"
+        an = make_analyzer("standard_folding")
+        assert an("Café RÉSUMÉ the")[0] == ["cafe", "resume"]  # 'the' stopped
+
+    def test_html_strip(self):
+        from sparklucene.analysis import html_strip, make_analyzer
+
+        assert html_strip("<p>hello <b>world</b></p>") == " hello  world  "
+        assert "alert" not in html_strip("<script>alert(1)</script>body text")
+        assert html_strip("x &amp; y &lt;z&gt;") == "x & y <z>"
+        an = make_analyzer("html")
+        terms, pos = an("<div>spark <b>joins</b> tables</div>")
+        assert terms == ["spark", "joins", "tables"]
+        assert pos == [0, 1, 2]
+
+    def test_shingles_with_stopword_filler(self):
+        from sparklucene.analysis import make_analyzer
+
+        an = make_analyzer("shingle")
+        # "quick the fox": 'the' is a stopword -> filler in the shingle
+        terms, pos = an("quick the fox")
+        assert ("quick _" in terms) and ("quick" in terms) and ("fox" in terms)
+        assert dict(zip(terms, pos))["quick _"] == 0
+        an2 = make_analyzer("shingle", min_shingle=2, max_shingle=3,
+                            output_unigrams=False)
+        terms2, _ = an2("big data spark jobs")
+        assert "big data" in terms2 and "big data spark" in terms2
+        assert "big" not in terms2
+
+    def test_shingle_index_e2e(self, spark, tmp_path_factory):
+        from sparklucene.build import BuildConfig, build_index
+        from sparklucene.search import IndexSearcher
+
+        rows = [
+            {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en", "content": t}
+            for i, t in enumerate(["big data jobs", "big trouble", "data jobs daily"])
+        ]
+        out = str(tmp_path_factory.mktemp("shingleidx"))
+        build_index(
+            spark, spark.createDataFrame(rows).coalesce(1), out,
+            BuildConfig(order_cols=("repo", "path"), num_buckets=2, analyzer="shingle"),
+        )
+        s = IndexSearcher(spark, out)
+        hits = {r["docID"] for r in s.search({"type": "term", "term": "big data"}, 10).collect()}
+        assert hits == {0}

@@ -192,3 +192,17 @@ def test_ann_ivf_recall(spark, emb_df):
     assert ivf[0] == brute[0] == 7
     recall = len(set(brute) & set(ivf)) / 5
     assert recall >= 0.6
+
+
+def test_emb_neardup_chunked_equals_single_pass(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from sparklucene.datapipe import embedding_neardup_pairs
+
+    one = sorted(
+        tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    )
+    many = sorted(
+        tuple(r)
+        for r in embedding_neardup_pairs(emb, threshold=0.35, chunk_rows=7).collect()
+    )
+    assert one == many and one, "chunked sweep must equal the single pass"
