@@ -189,6 +189,49 @@ def _q_group_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_group_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass grouping: 'spark' matches; groups (lang) ranked by head
+    score, top-3 groups after offset 1; top-2 docs per group by n_chars
+    desc (within-group field sort)."""
+    s = _searcher(spark, sf_dir)
+    out = s.search_grouped_full(
+        _t("spark"), "lang", group_limit=3, group_offset=1, docs_per_group=2,
+        within_sort_field="n_chars", mode="f64",
+    )
+    return out.select(
+        F.col("group").alias("lang"), "group_rank",
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"), "rank",
+    )
+
+
+def _q_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-values grouping: per lang, distinct n_chars among 'spark'
+    matches."""
+    s = _searcher(spark, sf_dir)
+    return s.group_distinct_counts(_t("spark"), "lang", "n_chars", mode="f64").select(
+        F.col("group").alias("lang"), "n_distinct"
+    )
+
+
+def _q_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinUtil: docs sharing a lang with any 'dup' match; score = MAX of
+    the from-side scores for that lang (ScoreMode.Max)."""
+    s = _searcher(spark, sf_dir)
+    out = s.join_search(_t("dup"), "lang", "lang", score_mode="max", k=15, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoin score rollup: children matching 'dup' grouped by
+    parent = doc_id // 10, parent score = TOTAL of child scores."""
+    s = _searcher(spark, sf_dir)
+    out = s.to_parent_join(
+        _t("dup"), F.floor(F.col("docID") / 10).cast("long"),
+        score_mode="total", k=15, mode="f64",
+    )
+    return out.select("parent", "n_children", F.round("score", 4).alias("score"))
+
+
 def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceting: per-lang match counts of the bool_or query."""
     s = _searcher(spark, sf_dir)
@@ -342,6 +385,26 @@ def _q_regexp_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     df = s._eval({"type": "regexp", "pattern": "s[a-z]*k"}, 1.0, "f64")
     return df.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_prefix_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery under the SCORING_BOOLEAN_QUERY_REWRITE: every 'sp*'
+    expansion is a boost-1 SHOULD TermQuery, BM25-scored."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "prefix", "prefix": "sp", "rewrite": "scoring_boolean"}
+    return _topk_df(s, q, 15)
+
+
+def _q_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressions-module analogue: score = bm25('merge') + sqrt(n_chars)/10
+    as an arbitrary Column expression over doc values (the ValueSource /
+    compiled-expression role is played by Catalyst column expressions)."""
+    s = _searcher(spark, sf_dir)
+    out = s.custom_score(
+        _t("merge"), F.sqrt(F.col("n_chars")) / F.lit(10.0), k=15, mode="f64",
+        combine="add",
+    )
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
 def _q_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,6 +681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dis_max"] = _q_dis_max
     out["sort_by_field"] = _q_sort_by_field
     out["group_top2"] = _q_group_top2
+    out["group_sorted"] = _q_group_sorted
+    out["group_distinct"] = _q_group_distinct
+    out["join_query"] = _q_join_query
+    out["block_join"] = _q_block_join
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
@@ -647,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
+    out["prefix_scored"] = _q_prefix_scored
+    out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
@@ -831,6 +900,47 @@ ranked AS (
 )
 SELECT lang, doc_id, round(score, 4) AS score, rank::INT AS rank
 FROM ranked WHERE rank <= 2"""
+    sqls["join_query"] = f"""{_prelude()},
+vals AS (
+  SELECT d.lang, max(s.score) AS jscore
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term = 'dup' GROUP BY d.lang
+)
+SELECT d.doc_id, round(v.jscore, 4) AS score
+FROM documents d JOIN vals v ON d.lang = v.lang
+ORDER BY v.jscore DESC, d.doc_id LIMIT 15"""
+    sqls["block_join"] = f"""{_prelude()}
+SELECT (doc_id // 10)::BIGINT AS parent, count(*)::BIGINT AS n_children,
+       round(sum(score), 4) AS score
+FROM scored WHERE term = 'dup'
+GROUP BY parent
+ORDER BY sum(score) DESC, parent LIMIT 15"""
+    sqls["group_sorted"] = f"""{_prelude()},
+m AS (
+  SELECT s.doc_id, s.score, d.lang, d.n_chars
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term = 'spark'
+),
+heads AS (
+  SELECT lang, max(score) AS head,
+         row_number() OVER (ORDER BY max(score) DESC, lang) AS group_rank
+  FROM m GROUP BY lang
+),
+kept AS (SELECT lang, group_rank::INT AS group_rank FROM heads
+         WHERE group_rank > 1 AND group_rank <= 4),
+ranked AS (
+  SELECT m.lang, k.group_rank, m.doc_id, m.score,
+         row_number() OVER (PARTITION BY m.lang
+                            ORDER BY m.n_chars DESC, m.doc_id) AS rank
+  FROM m JOIN kept k USING (lang)
+)
+SELECT lang, group_rank, doc_id, round(score, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 2"""
+    sqls["group_distinct"] = f"""{_prelude()}
+SELECT d.lang, count(DISTINCT d.n_chars)::BIGINT AS n_distinct
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'spark'
+GROUP BY d.lang"""
     sqls["facet_lang"] = f"""{_prelude()}
 SELECT d.lang, count(DISTINCT s.doc_id)::BIGINT AS n
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
@@ -1150,6 +1260,16 @@ WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merg'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["prefix_scored"] = f"""{_prelude()}
+SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term LIKE 'sp%'
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id LIMIT 15"""
+    sqls["expr_score"] = f"""{_prelude()}
+SELECT s.doc_id, round(s.score + sqrt(d.n_chars) / 10.0, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'merge'
+ORDER BY s.score + sqrt(d.n_chars) / 10.0 DESC, s.doc_id LIMIT 15"""
     # fuzzy_scored: DuckDB's damerau_levenshtein matches our unrestricted
     # DL kernel bit-for-bit (fuzz-verified, sparklucene/distance.py)
     sqls["fuzzy_scored"] = f"""{_prelude()},

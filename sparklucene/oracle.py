@@ -428,6 +428,23 @@ def eval_query(q: dict, idx: OracleIndex, boost_product: float = 1.0, mode: str 
             ],
         }
         return eval_query(bq, idx, boost, mode)
+    if t in ("prefix", "wildcard", "regexp", "range") and q.get("rewrite") in (
+        "scoring_boolean", "top_terms_scoring"
+    ):
+        # scoring rewrites (ScoringRewrite.cs:41 / TopTermsRewrite.cs):
+        # expansions become boost-1 SHOULD TermQuerys, BM25-scored
+        terms = expand_terms(q, idx)
+        if q["rewrite"] == "top_terms_scoring":
+            terms = terms[: int(q.get("max_expansions", 50))]
+        if not terms:
+            return {}
+        bq = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": x}} for x in terms
+            ],
+        }
+        return eval_query(bq, idx, boost, mode)
     if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
         # constant-score rewrite: every matching doc scores boost
         v = f32(boost) if mode == "f32" else boost

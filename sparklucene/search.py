@@ -409,6 +409,11 @@ class IndexSearcher:
                 return self._eval_fuzzy_scored(q, boost, mode)
             return self._eval_multi_term(q, boost, mode)
         if t in ("prefix", "wildcard", "regexp", "range"):
+            # default CONSTANT_SCORE_AUTO (MultiTermQuery.cs:66); opt-in
+            # scoring rewrites per ScoringRewrite.cs:41 / TopTermsRewrite.cs
+            rw = q.get("rewrite", "constant_score")
+            if rw in ("scoring_boolean", "top_terms_scoring"):
+                return self._eval_multi_term_scored(q, boost, mode, rw)
             return self._eval_multi_term(q, boost, mode)
         if t == "dis_max":
             return self._eval_dismax(q, boost, mode)
@@ -470,6 +475,80 @@ class IndexSearcher:
             .filter(F.col("rank") <= group_limit)
             .select(F.col(group_col).alias("group"), "docID", "score", "rank")
         )
+
+    def search_grouped_full(
+        self, query: dict, group_col: str, group_limit: int = 5,
+        group_offset: int = 0, docs_per_group: int = 2,
+        group_sort_field: str | None = None, group_sort_asc: bool = False,
+        within_sort_field: str | None = None, within_sort_asc: bool = False,
+        mode: str = "f64",
+    ) -> DataFrame:
+        """Two-pass grouping (GroupingSearch.cs / the first+second pass
+        collectors of src/Lucene.Net.Grouping): pass 1 ranks GROUPS by their
+        head -- max score (default) or min/max of `group_sort_field` -- and
+        keeps groups (group_offset, group_offset+group_limit]; pass 2 ranks
+        docs WITHIN each kept group by (score desc, docID) or the
+        within-sort field.  -> (group, group_rank, docID, score, rank).
+
+        Physical: group heads via one partial-aggregated groupBy, top
+        groups via TakeOrderedAndProject (never a global window), then a
+        broadcast semi-join restricts the second pass to kept groups."""
+        from pyspark.sql import Window
+
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], f"group string, group_rank int, docID long, score double, rank int"
+            )
+        cols = [group_col] + [
+            c for c in (group_sort_field, within_sort_field) if c is not None
+        ]
+        joined = scored.join(self.docs().select("docID", *dict.fromkeys(cols)), "docID")
+        if group_sort_field is None:
+            head = F.max("score").alias("_head")
+            head_order = [F.desc("_head")]
+        else:
+            head = (
+                F.min(group_sort_field) if group_sort_asc else F.max(group_sort_field)
+            ).alias("_head")
+            head_order = [F.asc("_head") if group_sort_asc else F.desc("_head")]
+        heads = joined.groupBy(group_col).agg(head)
+        top_groups = heads.orderBy(*head_order, F.asc(group_col)).limit(
+            group_offset + group_limit
+        )
+        w_g = Window.orderBy(*head_order, F.asc(group_col))  # tiny: limited rows
+        kept = (
+            top_groups.withColumn("group_rank", F.row_number().over(w_g))
+            .filter(F.col("group_rank") > group_offset)
+            .select(group_col, "group_rank")
+        )
+        if within_sort_field is None:
+            w_d = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("docID"))
+        else:
+            o = F.asc(within_sort_field) if within_sort_asc else F.desc(within_sort_field)
+            w_d = Window.partitionBy(group_col).orderBy(o, F.asc("docID"))
+        return (
+            joined.join(F.broadcast(kept), group_col)
+            .withColumn("rank", F.row_number().over(w_d))
+            .filter(F.col("rank") <= docs_per_group)
+            .select(
+                F.col(group_col).alias("group"), "group_rank", "docID", "score", "rank"
+            )
+        )
+
+    def group_distinct_counts(self, query: dict, group_col: str, value_col: str,
+                              mode: str = "f64") -> DataFrame:
+        """AbstractDistinctValuesCollector analogue: per group, the number
+        of DISTINCT `value_col` values among the query's matches
+        (src/Lucene.Net.Grouping/AbstractDistinctValuesCollector.cs).
+        -> (group, n_distinct)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame([], "group string, n_distinct long")
+        joined = scored.join(self.docs().select("docID", group_col, value_col), "docID")
+        return joined.groupBy(group_col).agg(
+            F.countDistinct(value_col).alias("n_distinct")
+        ).select(F.col(group_col).alias("group"), "n_distinct")
 
     def facet_counts(self, query: dict, facet_col: str, mode: str = "f64") -> DataFrame:
         """FacetsCollector analogue: per-category match counts for a query
@@ -550,6 +629,74 @@ class IndexSearcher:
                 ).otherwise(F.col("score")).alias("score"),
             )
         return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    _JOIN_AGGS = {
+        "none": lambda: F.lit(1.0),
+        "max": lambda: F.max("score"),
+        "total": lambda: F.sum("score"),
+        "avg": lambda: F.avg("score"),
+    }
+
+    def join_search(self, from_query: dict, from_field: str, to_field: str,
+                    score_mode: str = "none", k: int = 10,
+                    mode: str = "f64") -> DataFrame:
+        """Query-time join, JoinUtil.CreateJoinQuery analogue
+        (src/Lucene.Net.Join/JoinUtil.cs): docs matching `from_query`
+        contribute their `from_field` values; the result is every doc whose
+        `to_field` holds one of those values, scored by the ScoreMode
+        aggregate of the from-side scores for that value (None=1, Max,
+        Total, Avg -- TermsWithScoreCollector).  -> top-k (docID, score).
+
+        Physical: the from-side aggregate is small (distinct join values),
+        so the to-side lookup is a broadcast hash join against the full
+        docs scan -- no shuffle of the to side."""
+        if score_mode not in self._JOIN_AGGS:
+            raise ValueError(score_mode)
+        scored = self._eval(from_query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        from_side = scored.join(self.docs().select("docID", from_field), "docID")
+        vals = from_side.groupBy(from_field).agg(
+            self._JOIN_AGGS[score_mode]().cast(ftype).alias("_jscore")
+        ).withColumnRenamed(from_field, "_jval")
+        out = self.docs().select("docID", to_field).join(
+            F.broadcast(vals), F.col(to_field) == F.col("_jval")
+        )
+        return (
+            out.select("docID", F.col("_jscore").alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def to_parent_join(self, child_query: dict, parent_key, score_mode: str = "max",
+                       k: int = 10, mode: str = "f64") -> DataFrame:
+        """ToParentBlockJoinQuery score aggregation analogue
+        (src/Lucene.Net.Join/ToParentBlockJoinQuery.cs:71): children
+        matching `child_query` roll up to their parent via `parent_key`
+        (any Column expression over the docs table -- the reference derives
+        parents from doc-block adjacency; a keyed table expresses the same
+        relation explicitly), parent score = ScoreMode aggregate of child
+        scores.  -> top-k (parent, n_children, score)."""
+        if score_mode not in self._JOIN_AGGS:
+            raise ValueError(score_mode)
+        scored = self._eval(child_query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], f"parent long, n_children long, score {ftype}"
+            )
+        joined = scored.join(self.docs(), "docID").withColumn("_parent", parent_key)
+        return (
+            joined.groupBy("_parent")
+            .agg(
+                F.count("*").alias("n_children"),
+                self._JOIN_AGGS[score_mode]().cast(ftype).alias("score"),
+            )
+            .select(F.col("_parent").alias("parent"), "n_children", "score")
+            .orderBy(F.desc("score"), F.asc("parent"))
+            .limit(k)
+        )
 
     def expand_terms(self, q: dict) -> list[str]:
         """MultiTermQuery rewrite: expand against the terms dictionary
@@ -644,6 +791,29 @@ class IndexSearcher:
             .collect()
         )
         return [(r["term"], float(r["boost"])) for r in rows]
+
+    def _eval_multi_term_scored(self, q: dict, boost: float, mode: str,
+                                rewrite: str) -> DataFrame | None:
+        """Scoring rewrites for prefix/wildcard/regexp/range
+        (ScoringRewrite.SCORING_BOOLEAN_QUERY_REWRITE: every expanded term
+        becomes a SHOULD TermQuery with boost 1, BM25-scored;
+        top_terms_scoring additionally caps the expansion at max_expansions
+        terms -- all boosts are equal for non-fuzzy multi-term queries, so
+        the reference's by-boost queue degenerates to term order,
+        TopTermsRewrite.cs:159-177)."""
+        terms = self.expand_terms(q)
+        if rewrite == "top_terms_scoring":
+            terms = terms[: int(q.get("max_expansions", 50))]
+        if not terms:
+            return None
+        bq = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t}}
+                for t in terms
+            ],
+        }
+        return self._eval_boolean(bq, boost, mode)
 
     def _eval_fuzzy_scored(self, q: dict, boost: float, mode: str) -> DataFrame | None:
         """Default FuzzyQuery evaluation: TopTermsScoringBooleanQueryRewrite

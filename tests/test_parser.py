@@ -215,3 +215,41 @@ def test_fuzzy_transposition_is_one_edit(engine):
     searcher, _ = engine
     exp = dict(searcher.expand_fuzzy_scored({"type": "fuzzy", "term": "socre", "max_edits": 1}))
     assert "score" in exp
+
+
+def test_scoring_rewrite_matches_oracle(engine):
+    searcher, oracle = engine
+    for q in (
+        {"type": "prefix", "prefix": "co", "rewrite": "scoring_boolean"},
+        {"type": "range", "lower": "a", "upper": "d", "rewrite": "top_terms_scoring",
+         "max_expansions": 5},
+    ):
+        want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
+        got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
+        assert got == want, q
+        assert got
+
+
+def test_join_and_grouping_collectors(engine):
+    import pyspark.sql.functions as SF
+
+    searcher, _ = engine
+    q = {"type": "term", "term": "compute"}
+    # JoinUtil none-mode: every joined doc scores 1.0
+    rows = searcher.join_search(q, "lang", "lang", score_mode="none", k=50).collect()
+    assert rows and all(abs(r["score"] - 1.0) < 1e-12 for r in rows)
+    # max-mode scores bounded by the best from-side score
+    best = searcher.search(q, 1, mode="f64").collect()[0]["score"]
+    rows = searcher.join_search(q, "lang", "lang", score_mode="max", k=5, mode="f64").collect()
+    assert rows and max(r["score"] for r in rows) <= best + 1e-9
+    # block-join rollup: n_children sums to the match count
+    bj = searcher.to_parent_join(q, SF.floor(SF.col("docID") / 7).cast("long"),
+                                 score_mode="total", k=1000, mode="f64").collect()
+    assert sum(r["n_children"] for r in bj) == searcher.count(q)
+    # two-pass grouping: ranks within bounds, group_rank contiguous
+    gf = searcher.search_grouped_full(q, "lang", group_limit=2, group_offset=0,
+                                      docs_per_group=3, mode="f64").collect()
+    assert gf and {r["group_rank"] for r in gf} <= {1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in gf)
+    gd = searcher.group_distinct_counts(q, "lang", "path", mode="f64").collect()
+    assert gd and all(r["n_distinct"] >= 1 for r in gd)
