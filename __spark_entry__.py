@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 4  # v4: block skip metadata gains min_tf/min_norm_byte (WAND theta)
+FORMAT_VERSION = 5  # v5: tokenized postings carry per-occurrence char offsets
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -415,6 +415,36 @@ def _q_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "fuzzy", "term": "spak", "max_edits": 2}, 15)
 
 
+def _q_postings_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offsets-in-postings: per doc containing 'merge', the stored
+    character-offset stream's occurrence count / first start / last end --
+    decoded from the index, never re-analyzed; the oracle recomputes the
+    offsets from the raw text with cumulative token lengths."""
+    import pandas as pd
+
+    from sparklucene.codec import decode_offset_pairs
+
+    s = _searcher(spark, sf_dir)
+    tok = spark.read.parquet(os.path.join(s.index_dir, "tokenized"))
+    rows = (
+        tok.select("docID", F.explode("postings").alias("p"))
+        .filter(F.col("p.term") == "merge")
+        .select("docID", "p.tf", "p.off_blob")
+    )
+
+    def dec(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for r in pdf.itertuples(index=False):
+                st, en = decode_offset_pairs(bytes(r.off_blob), int(r.tf))
+                out.append((int(r.docID), int(r.tf), int(st[0]), int(en[-1])))
+            yield pd.DataFrame(out, columns=["doc_id", "n_occ", "first_start", "last_end"])
+
+    return rows.mapInPandas(
+        dec, schema="doc_id long, n_occ int, first_start long, last_end long"
+    )
+
+
 def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: prefix completion ranked by df (weight) desc, term asc."""
     return _searcher(spark, sf_dir).suggest_terms("s", n=10)
@@ -717,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["prefix_scored"] = _q_prefix_scored
     out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
+    out["postings_offsets"] = _q_postings_offsets
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
     out["custom_score"] = _q_custom_score
@@ -1288,6 +1319,22 @@ SELECT s.doc_id, round(sum(s.score * b.boost), 4) AS score
 FROM scored s JOIN boosted b USING (term)
 GROUP BY s.doc_id
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["postings_offsets"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+),
+cpos AS (
+  SELECT doc_id, tok,
+         sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY ord
+                                    ROWS UNBOUNDED PRECEDING)
+           - length(tok) - 1 AS start
+  FROM toks
+)
+SELECT doc_id, count(*)::INT AS n_occ, min(start)::BIGINT AS first_start,
+       max(start + length(tok))::BIGINT AS last_end
+FROM cpos WHERE lower(tok) = 'merge' GROUP BY doc_id"""
     sqls["suggest_prefix"] = f"""{_prelude()}
 SELECT term, df FROM tstats WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10"""

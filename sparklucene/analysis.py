@@ -94,6 +94,68 @@ def tokenize_raw(text: str) -> list[str]:
     return out
 
 
+def tokenize_raw_spans(text: str) -> list[tuple[str, int, int]]:
+    """Like :func:`tokenize_raw` but with character (start, end) offsets
+    per token (StandardTokenizer's OffsetAttribute)."""
+    out: list[tuple[str, int, int]] = []
+    for m in _TOKEN_RE.finditer(text):
+        cand = m.group(0)
+        base = m.start()
+        if _MID_RE.search(cand):
+            start = 0
+            pieces: list[tuple[str, int]] = []
+            for mm in _MID_RE.finditer(cand):
+                i = mm.start()
+                mid = cand[i]
+                ok = (_char_class(cand[i - 1]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
+                if not ok:
+                    pieces.append((cand[start:i], start))
+                    start = i + 1
+            pieces.append((cand[start:], start))
+            for p, off in pieces:
+                if p:
+                    out.append((p, base + off, base + off + len(p)))
+        else:
+            out.append((cand, base, base + len(cand)))
+    return out
+
+
+OFFSET_ANALYZERS = ("standard", "english")
+
+
+def analyze_with_offsets(text: str, name: str = "standard"
+                         ) -> tuple[list[str], list[int], list[int], list[int]]:
+    """Offset-tracking twin of the standard/english chains
+    -> (terms, positions, start_offsets, end_offsets).  Offsets always span
+    the ORIGINAL surface token (stemming/possessive-stripping do not touch
+    offsets, exactly like the reference's filters, which only mutate the
+    term buffer)."""
+    if name not in OFFSET_ANALYZERS:
+        raise ValueError(f"offsets unsupported for analyzer {name!r}")
+    from .stemmer import porter_stem
+
+    english = name == "english"
+    terms: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for tok, s, e in tokenize_raw_spans(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        if english and len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in _POSSESSIVE_APOS:
+            tok = tok[:-2]
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(porter_stem(low) if english else low)
+            positions.append(pos)
+            starts.append(s)
+            ends.append(e)
+        pos += 1
+    return terms, positions, starts, ends
+
+
 def analyze(text: str) -> tuple[list[str], list[int]]:
     """Full chain -> (terms, positions). Positions are pre-filter ordinals;
     overlong tokens and stopwords consume a position but are not emitted."""
@@ -145,6 +207,31 @@ def invert_arrays(text: str, analyzer=None) -> tuple[list[str], np.ndarray, np.n
     # field_len = Length - NumOverlap (distinct emitted positions)
     flen = int(np.unique(p_arr).size)
     return st[starts].tolist(), tfs, sp, flen
+
+
+def invert_arrays_offsets(
+    text: str, name: str = "standard"
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """:func:`invert_arrays` twin that also carries character offsets
+    -> (unique terms SORTED, tf, positions_flat, starts_flat, ends_flat,
+    field_len); offset arrays are parallel to positions_flat."""
+    terms, positions, starts, ends = analyze_with_offsets(text, name)
+    n = len(terms)
+    empty = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return [], empty, empty, empty, empty, 0
+    t_arr = np.array(terms, dtype=object)
+    p_arr = np.asarray(positions, dtype=np.int64)
+    s_arr = np.asarray(starts, dtype=np.int64)
+    e_arr = np.asarray(ends, dtype=np.int64)
+    order = np.argsort(t_arr, kind="stable")
+    st = t_arr[order]
+    run_starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+    tfs = np.diff(np.append(run_starts, n))
+    flen = int(np.unique(p_arr).size)
+    return (
+        st[run_starts].tolist(), tfs, p_arr[order], s_arr[order], e_arr[order], flen
+    )
 
 
 def analyze_batch(texts) -> tuple[list[list[tuple[str, int, list[int]]]], np.ndarray]:

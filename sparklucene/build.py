@@ -63,6 +63,12 @@ TOKENIZED_SCHEMA_POSTINGS = T.ArrayType(
             # encoded ONCE at tokenize time so the postings shuffle carries a
             # compact binary instead of array<int> (big Arrow-transfer win)
             T.StructField("pos_blob", T.BinaryType()),
+            # per-occurrence character offsets (start-delta, length pairs;
+            # codec.encode_offset_pairs) -- the offsets-in-postings of
+            # Lucene41, stored with the per-doc term vectors because
+            # highlighting is docID-pushdown random access, not scan access.
+            # Empty for analyzers without offset support.
+            T.StructField("off_blob", T.BinaryType()),
         ]
     )
 )
@@ -165,9 +171,10 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
     def tokenize(batch_iter):
         import pyarrow as pa
 
-        from .analysis import make_analyzer
-        from .codec import delta_encode_positions
+        from .analysis import OFFSET_ANALYZERS, invert_arrays_offsets, make_analyzer
+        from .codec import delta_encode_positions, encode_offset_pairs
 
+        with_offsets = analyzer_name in OFFSET_ANALYZERS and not analyzer_params
         an = (
             None if analyzer_name == "standard"
             else make_analyzer(analyzer_name, **(analyzer_params or {}))
@@ -176,13 +183,19 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
             n = batch.num_rows
             texts = batch.column(content_col).to_pylist()
             all_terms: list[str] = []
-            tf_parts, pos_parts = [], []
+            tf_parts, pos_parts, so_parts, eo_parts = [], [], [], []
             posting_counts = np.empty(n, dtype=np.int64)
             flen = np.empty(n, dtype=np.int64)
             for i, txt in enumerate(texts):
-                terms, tfs, pflat, fl = invert_arrays(
-                    txt if isinstance(txt, str) else "", analyzer=an
-                )
+                t = txt if isinstance(txt, str) else ""
+                if with_offsets:
+                    terms, tfs, pflat, sflat, eflat, fl = invert_arrays_offsets(
+                        t, analyzer_name
+                    )
+                    so_parts.append(sflat)
+                    eo_parts.append(eflat)
+                else:
+                    terms, tfs, pflat, fl = invert_arrays(t, analyzer=an)
                 all_terms.extend(terms)
                 tf_parts.append(tfs)
                 pos_parts.append(pflat)
@@ -205,9 +218,39 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                     pa.py_buffer(pos_data.tobytes()),
                 ],
             )
+            if with_offsets:
+                so_all = (
+                    np.concatenate(so_parts) if so_parts else np.empty(0, dtype=np.int64)
+                )
+                eo_all = (
+                    np.concatenate(eo_parts) if eo_parts else np.empty(0, dtype=np.int64)
+                )
+                off_data, off_byte_offs = encode_offset_pairs(so_all, eo_all, post_offs)
+                off_blob_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    int(tfs_all.size),
+                    [
+                        None,
+                        pa.py_buffer(off_byte_offs.astype(np.int32).tobytes()),
+                        pa.py_buffer(off_data.tobytes()),
+                    ],
+                )
+            else:
+                off_blob_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    int(tfs_all.size),
+                    [
+                        None,
+                        pa.py_buffer(
+                            np.zeros(int(tfs_all.size) + 1, dtype=np.int32).tobytes()
+                        ),
+                        pa.py_buffer(b""),
+                    ],
+                )
             struct = pa.StructArray.from_arrays(
-                [pa.array(all_terms, pa.string()), pa.array(tfs_all, pa.int32()), pos_blob_arr],
-                names=["term", "tf", "pos_blob"],
+                [pa.array(all_terms, pa.string()), pa.array(tfs_all, pa.int32()),
+                 pos_blob_arr, off_blob_arr],
+                names=["term", "tf", "pos_blob", "off_blob"],
             )
             list_offs = pa.array(
                 np.concatenate(([0], np.cumsum(posting_counts))).astype(np.int32)

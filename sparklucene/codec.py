@@ -281,3 +281,38 @@ def decode_block_positions(tfs: np.ndarray, pos_blob: bytes) -> np.ndarray:
     base[doc_starts] = np.diff(np.concatenate(([0], sub)))
     base = np.cumsum(base)
     return csum - base
+
+
+def encode_offset_pairs(
+    starts: np.ndarray, ends: np.ndarray, row_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row delta-varint character-offset encoding (the .pay/offset
+    stream of Lucene41PostingsWriter, ours stored with the per-doc term
+    vectors): per occurrence the stream holds (start delta from previous
+    start within the row; length = end - start).  -> (uint8 stream,
+    int64 per-row BYTE offsets, len n+1)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    row_offsets = np.asarray(row_offsets, dtype=np.int64)
+    n = starts.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(row_offsets.size, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = starts[0]
+    np.subtract(starts[1:], starts[:-1], out=deltas[1:])
+    rs = row_offsets[:-1]
+    deltas[rs[rs < n]] = starts[rs[rs < n]]
+    inter = np.empty(2 * n, dtype=np.int64)
+    inter[0::2] = deltas
+    inter[1::2] = ends - starts
+    data, lens = varint_encode_with_lengths(inter.astype(_U64))
+    len_cum = np.concatenate(([0], np.cumsum(lens)))
+    return data, len_cum[2 * row_offsets]
+
+
+def decode_offset_pairs(blob: bytes, count: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one row's offset blob -> (starts, ends), len == count."""
+    vals = varint_decode(blob, count=2 * count).astype(np.int64)
+    starts = np.cumsum(vals[0::2])
+    ends = starts + vals[1::2]
+    return starts, ends

@@ -5,19 +5,44 @@ a single-document in-RAM index so a stored SET of queries can be matched
 against each incoming document (the "percolator" / alerting pattern,
 MemoryIndex.cs class docs).  Spark-first inversion of control: the query
 registry is tiny (broadcast), the document stream is huge (distributed), so
-each Arrow batch builds throwaway single-doc indexes and evaluates every
-registered query locally -- zero shuffles, embarrassingly parallel.
+each Arrow batch evaluates every registered query locally -- zero shuffles,
+embarrassingly parallel.
 
 Scoring matches MemoryIndex semantics: statistics come from the single-doc
 index itself (maxDoc=1, df=1 for present terms, avgdl = the doc's own
 field length), so a term score degenerates to
     ln(1 + 0.5/1.5) * 2.2 * tf / (tf + 1.2*(0.25 + 0.75*qlen/f32(len))).
+
+Execution: each batch is tokenized ONCE, then term / boolean-of-terms /
+phrase queries score as numpy column operations across the whole batch
+(tf lookups + the closed-form above) -- no per-row index objects.  Query
+shapes outside those fast paths fall back to a per-doc OracleIndex, which
+is exact but row-at-a-time.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+_K1, _B = 1.2, 0.75
+_IDF1 = math.log(1.0 + 0.5 / 1.5)  # idf(df=1, maxDoc=1)
+
+
+def _fast_shape(q: dict) -> str | None:
+    t = q.get("type")
+    if t == "term":
+        return "term"
+    if t == "phrase" and int(q.get("slop", 0)) == 0 and q.get("terms"):
+        return "phrase"
+    if t == "boolean" and all(
+        c["query"].get("type") == "term" for c in q.get("clauses", [])
+    ):
+        return "boolean"
+    return None
 
 
 def percolate(
@@ -30,18 +55,124 @@ def percolate(
     items = sorted(queries.items())
 
     def run(pdf_iter):
+        from .analysis import analyze
+        from .norms import NORM_TABLE, encode_norm
         from .oracle import OracleIndex, eval_query
 
+        fast = mode == "f64"
         for pdf in pdf_iter:
+            ids = pdf[id_col].to_numpy()
+            texts = list(pdf[content_col])
+            n = len(texts)
+            counters: list[dict] = []
+            pos_maps: list[dict] = []
+            flens = np.empty(n, dtype=np.int64)
+            for i, txt in enumerate(texts):
+                terms, pos = analyze(txt if isinstance(txt, str) else "")
+                cnt: dict[str, int] = {}
+                pm: dict[str, list[int]] = {}
+                for t, p in zip(terms, pos):
+                    cnt[t] = cnt.get(t, 0) + 1
+                    pm.setdefault(t, []).append(p)
+                counters.append(cnt)
+                pos_maps.append(pm)
+                flens[i] = len(set(pos))
+            nz = flens > 0
+            nb = encode_norm(np.maximum(flens, 1))
+            qlen = NORM_TABLE[nb]
+            avgdl1 = flens.astype(np.float32).astype(np.float64)
+            avgdl1[avgdl1 == 0] = 1.0
+            cache = _K1 * ((1.0 - _B) + _B * qlen / avgdl1)
+
+            def term_vec(t: str, boost: float = 1.0) -> np.ndarray:
+                tf = np.fromiter(
+                    (c.get(t, 0) for c in counters), dtype=np.float64, count=n
+                )
+                wv = _IDF1 * boost * (_K1 + 1.0)
+                with np.errstate(invalid="ignore"):
+                    sc = wv * tf / (tf + cache)
+                sc[tf == 0] = np.nan
+                return sc
+
             out_doc, out_q, out_s = [], [], []
-            for r in pdf.itertuples(index=False):
-                idx = OracleIndex.build([(0, getattr(r, content_col))])
-                for name, q in items:
-                    sc = eval_query(q, idx, mode=mode)
-                    if 0 in sc:
-                        out_doc.append(getattr(r, id_col))
-                        out_q.append(name)
-                        out_s.append(float(sc[0]))
+
+            def emit(name: str, sc: np.ndarray) -> None:
+                hit = nz & ~np.isnan(sc)
+                for i in np.flatnonzero(hit):
+                    out_doc.append(ids[i])
+                    out_q.append(name)
+                    out_s.append(float(sc[i]))
+
+            for name, q in items:
+                shape = _fast_shape(q) if fast else None
+                top_boost = float(q.get("boost", 1.0))
+                if shape == "term":
+                    emit(name, term_vec(q["term"], top_boost))
+                elif shape == "boolean":
+                    clauses = q["clauses"]
+                    msm = int(q.get("minShouldMatch", 0))
+                    musts = [c["query"] for c in clauses if c["occur"] == "MUST"]
+                    shoulds = [c["query"] for c in clauses if c["occur"] == "SHOULD"]
+                    nots = [c["query"] for c in clauses if c["occur"] == "MUST_NOT"]
+                    req = None
+                    for cq in musts:
+                        sc = term_vec(cq["term"], top_boost * cq.get("boost", 1.0))
+                        req = sc if req is None else req + sc  # NaN poisons misses
+                    opt = None
+                    n_should = np.zeros(n)
+                    for cq in shoulds:
+                        sc = term_vec(cq["term"], top_boost * cq.get("boost", 1.0))
+                        m = ~np.isnan(sc)
+                        n_should += m
+                        sc0 = np.where(m, sc, 0.0)
+                        opt = sc0 if opt is None else opt + sc0
+                    need = msm if musts else max(msm, 1 if shoulds else 0)
+                    if req is not None and opt is not None:
+                        total = req + np.where(
+                            n_should >= max(need, 1) if need > 0 else n_should > 0,
+                            opt, 0.0,
+                        )
+                        if need > 0:
+                            total = np.where(n_should >= need, total, np.nan)
+                    elif req is not None:
+                        total = req
+                    elif opt is not None:
+                        total = np.where(n_should >= need, opt, np.nan)
+                    else:
+                        continue
+                    for cq in nots:
+                        total = np.where(
+                            np.isnan(term_vec(cq["term"])), total, np.nan
+                        )
+                    emit(name, total)
+                elif shape == "phrase":
+                    terms = q["terms"]
+                    sc = np.full(n, np.nan)
+                    idf = len(terms) * _IDF1
+                    wv = idf * top_boost * (_K1 + 1.0)
+                    for i in range(n):
+                        pm = pos_maps[i]
+                        if any(t not in pm for t in terms):
+                            continue
+                        base = None
+                        for off, t in enumerate(terms):
+                            s = {p - off for p in pm[t]}
+                            base = s if base is None else (base & s)
+                            if not base:
+                                break
+                        pf = len(base) if base else 0
+                        if pf:
+                            sc[i] = wv * pf / (pf + cache[i])
+                    emit(name, sc)
+                else:
+                    # exact fallback: per-doc single-document index
+                    for i in range(n):
+                        idx = OracleIndex.build([(0, texts[i])])
+                        r = eval_query(q, idx, mode=mode)
+                        if 0 in r:
+                            out_doc.append(ids[i])
+                            out_q.append(name)
+                            out_s.append(float(r[0]))
             yield pd.DataFrame({"doc_id": out_doc, "query": out_q, "score": out_s})
 
     return docs_df.select(id_col, content_col).mapInPandas(

@@ -1774,6 +1774,114 @@ class IndexSearcher:
                     out.append((p["term"], int(p["tf"]), [int(x) for x in positions]))
         return sorted(out)
 
+    def term_vector_offsets(self, doc_id: int) -> list[tuple[str, int, list[int], list[int], list[int]]]:
+        """Term vector WITH character offsets -> sorted
+        [(term, tf, positions, start_offsets, end_offsets)] (empty offset
+        lists when the index was built without offset support)."""
+        from .codec import decode_offset_pairs, varint_decode
+
+        out = []
+        for d in self._seg_dirs:
+            tok = os.path.join(d, "tokenized")
+            if not os.path.exists(tok):
+                continue
+            rows = (
+                self.spark.read.parquet(tok)
+                .filter(F.col("docID") == doc_id)
+                .select("postings")
+                .collect()
+            )
+            for r in rows:
+                for p in r["postings"]:
+                    tf = int(p["tf"])
+                    gaps = varint_decode(bytes(p["pos_blob"]), count=tf)
+                    positions = [int(x) for x in np.cumsum(gaps)]
+                    ob = bytes(p["off_blob"]) if "off_blob" in p and p["off_blob"] is not None else b""
+                    if ob:
+                        s, e = decode_offset_pairs(ob, tf)
+                        out.append((p["term"], tf, positions, s.tolist(), e.tolist()))
+                    else:
+                        out.append((p["term"], tf, positions, [], []))
+        return sorted(out)
+
+    def postings_highlight(self, source: DataFrame, query: dict, k: int = 10,
+                           max_frag: int = 160, text_col: str = "text",
+                           id_col: str = "docID", mode: str = "f64",
+                           pre: str = "<b>", post: str = "</b>") -> list[dict]:
+        """PostingsHighlighter analogue (src/Lucene.Net.Highlighter/
+        PostingsHighlight/PostingsHighlighter.cs): highlights come from the
+        INDEX-STORED character offsets -- no re-analysis of the text.  The
+        top-k docs' offsets are fetched with docID predicate pushdown on the
+        term-vector store; `source` supplies the stored text (joined by
+        id_col).  Fragment = the max_frag-char window starting at the first
+        match, with every in-window match wrapped in pre/post tags.
+        -> [{docID, score, n_matches, frag_start, frag_end, fragment}] in
+        rank order."""
+        top = self.search(query, k, mode=mode).collect()
+        if not top:
+            return []
+        ids = [int(r["docID"]) for r in top]
+        leaves: list = []
+        self._collect_leaves(query, 1.0, leaves)
+        q_terms = sorted({t for t, _ in leaves})
+        offs: dict[int, list[tuple[int, int]]] = {i: [] for i in ids}
+        from .codec import decode_offset_pairs
+
+        for d in self._seg_dirs:
+            tok = os.path.join(d, "tokenized")
+            if not os.path.exists(tok):
+                continue
+            rows = (
+                self.spark.read.parquet(tok)
+                .filter(F.col("docID").isin(ids))
+                .select("docID", F.explode("postings").alias("p"))
+                .filter(F.col("p.term").isin(q_terms))
+                .select("docID", "p.tf", "p.off_blob")
+                .collect()
+            )
+            for r in rows:
+                ob = bytes(r["off_blob"]) if r["off_blob"] is not None else b""
+                if not ob:
+                    continue
+                s, e = decode_offset_pairs(ob, int(r["tf"]))
+                offs[int(r["docID"])].extend(zip(s.tolist(), e.tolist()))
+        texts = {
+            int(r[id_col]): r[text_col]
+            for r in source.filter(F.col(id_col).isin(ids))
+            .select(id_col, text_col)
+            .collect()
+        }
+        out = []
+        for r in top:
+            did = int(r["docID"])
+            matches = sorted(offs.get(did, []))
+            text = texts.get(did, "")
+            if matches:
+                fs = matches[0][0]
+                fe = min(len(text), fs + max_frag)
+                inwin = [(s, e) for s, e in matches if s >= fs and e <= fe]
+                frag, cur = [], fs
+                for s, e in inwin:
+                    frag.append(text[cur:s])
+                    frag.append(pre + text[s:e] + post)
+                    cur = e
+                frag.append(text[cur:fe])
+                fragment = "".join(frag)
+            else:
+                fs = fe = 0
+                fragment = text[:max_frag]
+            out.append(
+                {
+                    "docID": did,
+                    "score": float(r["score"]),
+                    "n_matches": len(matches),
+                    "frag_start": int(fs),
+                    "frag_end": int(fe),
+                    "fragment": fragment,
+                }
+            )
+        return out
+
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix completion over the terms dictionary, ranked by document

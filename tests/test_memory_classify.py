@@ -91,3 +91,44 @@ def test_term_vector_matches_oracle_invert(spark, tmp_path):
         tv = s.term_vector(did)
         want = sorted((t, tf, ps) for t, tf, ps in invert(ordered[did]["content"])[0])
         assert tv == want, did
+
+
+def test_percolate_fastpath_equals_fallback(spark):
+    """The vectorized term/boolean/phrase fast paths must equal the exact
+    per-doc OracleIndex fallback (which a dis_max query still exercises)."""
+    from sparklucene.memory import percolate
+    from sparklucene.oracle import OracleIndex, eval_query
+
+    rows = [
+        (i, t) for i, t in enumerate([
+            "alpha merge queue merge", "spark joins tables", "alpha spark merge",
+            "nothing here", "spark spark spark alpha",
+        ])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {
+        "t": {"type": "term", "term": "spark"},
+        "b": {"type": "boolean", "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "spark"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "alpha"}},
+            {"occur": "MUST_NOT", "query": {"type": "term", "term": "tables"}}]},
+        "msm": {"type": "boolean", "minShouldMatch": 2, "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "spark"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "alpha"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "merge"}}]},
+        "p": {"type": "phrase", "terms": ["merge", "queue"]},
+        "dm": {"type": "dis_max", "tie_breaker": 0.4, "queries": [
+            {"type": "term", "term": "spark"}, {"type": "term", "term": "merge"}]},
+    }
+    got = {
+        (r["doc_id"], r["query"]): round(r["score"], 10)
+        for r in percolate(df, queries).collect()
+    }
+    want = {}
+    for did, txt in rows:
+        idx = OracleIndex.build([(0, txt)])
+        for name, q in queries.items():
+            sc = eval_query(q, idx, mode="f64")
+            if 0 in sc:
+                want[(did, name)] = round(float(sc[0]), 10)
+    assert got == want

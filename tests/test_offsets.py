@@ -1,0 +1,79 @@
+"""Offsets-in-postings + PostingsHighlighter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.analysis import analyze, analyze_with_offsets, make_analyzer
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.search import IndexSearcher
+
+
+def test_offsets_align_with_standard_chain():
+    txt = "The Quick brown fox3.14 jumps the  lazy dog's tail"
+    terms, pos = analyze(txt)
+    t2, p2, s, e = analyze_with_offsets(txt, "standard")
+    assert (t2, p2) == (terms, pos)
+    for term, st, en in zip(t2, s, e):
+        assert txt[st:en].lower() == term
+
+
+def test_offsets_align_with_english_chain():
+    txt = "The striker's running shoes optimize daily"
+    an = make_analyzer("english")
+    terms, pos = an(txt)
+    t2, p2, s, e = analyze_with_offsets(txt, "english")
+    assert (t2, p2) == (terms, pos)
+    # offsets span the ORIGINAL surface token, stem only changes the term
+    assert txt[s[0]:e[0]] == "striker's" and t2[0] == "striker"
+    assert txt[s[1]:e[1]] == "running" and t2[1] == "run"
+
+
+@pytest.fixture(scope="module")
+def hl_searcher(spark, tmp_path_factory):
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en", "content": t}
+        for i, t in enumerate(
+            [
+                "alpha merge conflict in the merge queue",
+                "nothing relevant here whatsoever today",
+                "one merge at the very end merge",
+            ]
+        )
+    ]
+    out = str(tmp_path_factory.mktemp("hlidx"))
+    df = spark.createDataFrame(rows).coalesce(1)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    s = IndexSearcher(spark, out)
+    return s, df
+
+
+def test_term_vector_offsets(hl_searcher):
+    s, _df = hl_searcher
+    tv = {t: (ps, ss, es) for t, _tf, ps, ss, es in s.term_vector_offsets(0)}
+    ps, ss, es = tv["merge"]
+    assert ps == [1, 5]
+    text = "alpha merge conflict in the merge queue"
+    assert [text[a:b] for a, b in zip(ss, es)] == ["merge", "merge"]
+
+
+def test_postings_highlight(hl_searcher):
+    import pyspark.sql.functions as SF
+
+    s, df = hl_searcher
+    src = df.withColumn("docID", SF.monotonically_increasing_id())
+    # rebuild keyed source: docIDs are rank by (repo, path) = row order here
+    rows = df.collect()
+    src = df.sparkSession.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(sorted(rows, key=lambda r: (r["repo"], r["path"])))],
+        "docID long, text string",
+    )
+    out = s.postings_highlight(src, {"type": "term", "term": "merge"}, k=5, max_frag=40)
+    assert [o["docID"] for o in out] == [r["docID"] for r in s.search({"type": "term", "term": "merge"}, 5).collect()]
+    top = out[0]
+    assert top["n_matches"] == 2
+    assert "<b>merge</b>" in top["fragment"]
+    assert top["fragment"].count("<b>") >= 1
+    # no re-analysis: fragment window starts at the stored first offset
+    assert top["frag_start"] == top["fragment"].replace("<b>", "").replace("</b>", "").find("merge") + top["frag_start"]
