@@ -46,7 +46,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     cfg = BuildConfig(
         content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
-        num_buckets=16, resume=True,
+        num_buckets=16, resume=True, store_offsets=True,
     )
     build_index(spark, docs, out, cfg)
     s = IndexSearcher(spark, out)
@@ -1542,7 +1542,9 @@ grp AS (SELECT k, min(doc_id) AS keeper_id, count(*) AS group_size FROM keyed GR
 SELECT keyed.doc_id, grp.keeper_id, grp.group_size
 FROM keyed JOIN grp USING (k) WHERE group_size > 1"""
 
-    h_g = _H60.format(x="g || '#' || seed::VARCHAR")
+    h_g = _H60.format(x="g")
+    a_arr = ", ".join(str(a) for a in dp.MINHASH_A)
+    b_arr = ", ".join(str(b) for b in dp.MINHASH_B)
     sqls["dedup_minhash"] = f"""{_dp_prelude()},
 sh AS (
   SELECT doc_id,
@@ -1550,9 +1552,10 @@ sh AS (
                         for i in range(1, len(toks) - 1)]) AS gs
   FROM dt WHERE len(toks) >= 3
 ),
-seeds AS (SELECT unnest(range({dp.MINHASH_NUM_HASHES}))::INT AS seed),
+seeds AS (SELECT unnest(range({dp.MINHASH_NUM_HASHES}))::INT AS seed,
+                 unnest([{a_arr}])::BIGINT AS a, unnest([{b_arr}])::BIGINT AS b),
 mh AS (
-  SELECT doc_id, seed, min({h_g}) AS m
+  SELECT doc_id, seed, min((a * ({h_g} % {dp.MINHASH_P}) + b) % {dp.MINHASH_P}) AS m
   FROM (SELECT doc_id, unnest(gs) AS g FROM sh) CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),

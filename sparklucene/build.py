@@ -109,6 +109,11 @@ class BuildConfig:
     bucket_groups: int = 1
     analyzer: str = "standard"  # make_analyzer name (whitespace/simple/...)
     analyzer_params: dict = field(default_factory=dict)
+    # store per-occurrence character offsets with the term vectors (for
+    # PostingsHighlighter).  OFF by default, exactly like the reference
+    # (IndexOptions default is DOCS_AND_FREQS_AND_POSITIONS; offsets are
+    # opt-in) -- costs ~15-20% build throughput when on.
+    store_offsets: bool = False
     resume: bool = True
     docid_base: int = 0  # minted docIDs start here (segment appends)
     extras: dict = field(default_factory=dict)
@@ -162,7 +167,8 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
 
 
 def _tokenize_udf(content_col: str, passthrough: list[str],
-                  analyzer_name: str = "standard", analyzer_params: dict | None = None):
+                  analyzer_name: str = "standard", analyzer_params: dict | None = None,
+                  store_offsets: bool = False):
     """mapInArrow tokenizer: per batch, tokenize every doc (Python regex is
     the only per-doc work), then build the output Arrow arrays directly --
     no per-posting Python objects.  Positions are delta-varint encoded here
@@ -174,7 +180,9 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
         from .analysis import OFFSET_ANALYZERS, invert_arrays_offsets, make_analyzer
         from .codec import delta_encode_positions, encode_offset_pairs
 
-        with_offsets = analyzer_name in OFFSET_ANALYZERS and not analyzer_params
+        with_offsets = (
+            store_offsets and analyzer_name in OFFSET_ANALYZERS and not analyzer_params
+        )
         an = (
             None if analyzer_name == "standard"
             else make_analyzer(analyzer_name, **(analyzer_params or {}))
@@ -400,7 +408,11 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
                 T.StructField("postings", TOKENIZED_SCHEMA_POSTINGS),
             ]
         )
-        df.mapInArrow(_tokenize_udf(cfg.content_col, passthrough, cfg.analyzer, cfg.analyzer_params), schema=tok_schema).write.mode(
+        df.mapInArrow(
+            _tokenize_udf(cfg.content_col, passthrough, cfg.analyzer,
+                          cfg.analyzer_params, cfg.store_offsets),
+            schema=tok_schema,
+        ).write.mode(
             "overwrite"
         ).parquet(tok_dir)
         _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0})

@@ -39,6 +39,16 @@ from .analysis import ENGLISH_STOP_WORDS
 
 MINHASH_NUM_HASHES = 12
 MINHASH_BANDS = 4  # 4 bands x 3 rows
+# universal-hash MinHash family: h_i(g) = (A_i * (md5_60(g) % P) + B_i) % P
+# -- ONE md5 per shingle instead of one per (shingle, seed); P = 2^31-1
+# keeps every product within int64 so Spark BIGINT and DuckDB BIGINT agree
+# bit-for-bit.  Constants are fixed odd/prime-ish values (any fixed family
+# works; both engines embed the same ones).
+MINHASH_P = 2147483647
+MINHASH_A = (2075443165, 1671098288, 946466064, 250934580, 16087819, 194655651,
+             1956305977, 2024077986, 2017064809, 1733024479, 1250324205, 75003371)
+MINHASH_B = (1442171593, 1488393902, 180255971, 211359734, 1646005275, 761574164,
+             508545124, 37426449, 66172592, 2118896851, 1693876516, 34017048)
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 4 x 8-bit chunks -> recall 1.0 for hamming <= 3
 FP_TERM_MOD = 1000003
@@ -162,10 +172,15 @@ def minhash_signatures(
     per mapper).  Bands are then a narrow array/explode over the signature
     row -- no pivot, no second shuffle."""
     rows = num_hashes // bands
-    sh = shingle_explode_df(df, id_col, text_col)
+    sh = shingle_explode_df(df, id_col, text_col).withColumn(
+        "_h", hash60(F.col("g")) % F.lit(MINHASH_P)
+    )
     mins = sh.groupBy("doc_id").agg(
         *[
-            F.min(hash60(F.concat_ws("#", F.col("g"), F.lit(str(s))))).alias(f"h{s}")
+            F.min(
+                (F.col("_h") * F.lit(MINHASH_A[s]) + F.lit(MINHASH_B[s]))
+                % F.lit(MINHASH_P)
+            ).alias(f"h{s}")
             for s in range(num_hashes)
         ]
     )

@@ -1948,6 +1948,56 @@ class IndexSearcher:
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
+    class TimeExceededError(TimeoutError):
+        """Raised when search_with_timeout exceeds its budget
+        (TimeLimitingCollector.TimeExceededException analogue)."""
+
+    def search_with_timeout(self, query: dict, k: int = 10, timeout_s: float = 30.0,
+                            mode: str = "f32"):
+        """TimeLimitingCollector analogue
+        (src/Lucene.Net/Search/TimeLimitingCollector.cs): aborts collection
+        when the budget expires.  Spark-side the collector is a distributed
+        job, so the abort is a job-group cancellation from a timer thread;
+        like the reference default (greedy=false), an exceeded budget raises
+        TimeExceededError rather than returning partial hits.
+        -> collected rows [(docID, score)...]."""
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"sl-timeout-{uuid.uuid4().hex[:8]}"
+        done = threading.Event()
+        fired = threading.Event()
+
+        def reaper():
+            if not done.wait(timeout_s):
+                fired.set()
+                # keep cancelling until the driver thread finishes: the job
+                # may not have been submitted yet when the deadline passes
+                while not done.wait(0.2):
+                    sc.cancelJobGroup(group)
+
+        t = threading.Thread(target=reaper, daemon=True)
+        sc.setJobGroup(group, "search_with_timeout", interruptOnCancel=True)
+        t.start()
+        try:
+            rows = self.search(query, k, mode=mode).collect()
+            done.set()
+            if fired.is_set():
+                # deadline passed even though the job escaped cancellation;
+                # non-greedy TimeLimitingCollector aborts regardless
+                raise self.TimeExceededError(f"search exceeded {timeout_s}s budget")
+            return rows
+        except Exception as e:  # noqa: BLE001
+            done.set()
+            if fired.is_set():
+                raise self.TimeExceededError(
+                    f"search exceeded {timeout_s}s budget"
+                ) from e
+            raise
+        finally:
+            sc.setJobGroup(None, None)
+
     def count(self, query: dict) -> int:
         """TotalHitCountCollector analogue."""
         scored = self._eval(query, 1.0, "f64")

@@ -44,7 +44,7 @@ def hl_searcher(spark, tmp_path_factory):
     ]
     out = str(tmp_path_factory.mktemp("hlidx"))
     df = spark.createDataFrame(rows).coalesce(1)
-    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2, store_offsets=True))
     s = IndexSearcher(spark, out)
     return s, df
 

@@ -253,3 +253,17 @@ def test_join_and_grouping_collectors(engine):
     assert all(1 <= r["rank"] <= 3 for r in gf)
     gd = searcher.group_distinct_counts(q, "lang", "path", mode="f64").collect()
     assert gd and all(r["n_distinct"] >= 1 for r in gd)
+
+
+def test_search_with_timeout(engine):
+    searcher, _ = engine
+    q = {"type": "term", "term": "compute"}
+    # generous budget: same rows as plain search
+    rows = searcher.search_with_timeout(q, k=5, timeout_s=120.0)
+    want = searcher.search(q, 5).collect()
+    assert [(r["docID"],) for r in rows] == [(r["docID"],) for r in want]
+    # zero budget: the reaper cancels the job group -> TimeExceededError
+    import pytest as _pytest
+
+    with _pytest.raises(searcher.TimeExceededError):
+        searcher.search_with_timeout(q, k=5, timeout_s=0.001)

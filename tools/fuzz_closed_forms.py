@@ -1,0 +1,121 @@
+"""Fuzz-validate the closed-form SQL-oracle rules against the
+reference-ported positional kernels.
+
+The driver's DuckDB oracles for sloppy_phrase / span_near / span_near_unord
+(and their union-clause generalizations multi_phrase_slop / span_nested)
+rely on closed-form reformulations of the greedy kernels:
+
+  S2 (sloppy 2-clause): anchor zigzag -- a_1 = max(min_A, min_B) (tie ->
+     the higher-offset clause); a_{k+1} = min{other list > a_k}; each
+     anchor a from list X matches partner = max{Y <= a}, contributing
+     1/(1+gap) when gap <= slop.
+  O  (ordered 2-clause): spans = {(a, b) : a = max{A < b}, b = min{B > a}},
+     passing when b - a - 1 <= slop, contributing 1/(b - a + 2).
+  U  (unordered 2-clause): every position x pairs with min{other > x},
+     passing when y - x - 1 <= slop, contributing 1/(y - x + 2).
+
+This script replays the rules against the kernels over random position
+lists (ties included for S2) and over general span inputs for the
+generalized kernels.  Run: python tools/fuzz_closed_forms.py
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from sparklucene.positional import (  # noqa: E402
+    near_ordered_spans_general,
+    near_unordered_spans_general,
+    sloppy_phrase_freq,
+    span_near_ordered_spans,
+    span_near_unordered_spans,
+)
+
+
+def closed_S2(A, B, slop):
+    lists = {0: sorted(A), 1: sorted(B)}
+    if not A or not B:
+        return 0.0
+    a, tag = (lists[1][0], 1) if lists[1][0] >= lists[0][0] else (lists[0][0], 0)
+    f = 0.0
+    while True:
+        other = lists[1 - tag]
+        partner = max((y for y in other if y <= a), default=None)
+        if partner is not None and a - partner <= slop:
+            f += 1.0 / (1 + a - partner)
+        nxt = [y for y in other if y > a]
+        if not nxt:
+            return f
+        a, tag = min(nxt), 1 - tag
+
+
+def closed_O(A, B, slop):
+    out = []
+    for b in B:
+        cand = [a for a in A if a < b]
+        if cand:
+            a = max(cand)
+            if min(x for x in B if x > a) == b and (b - a - 1) <= slop:
+                out.append((a, b + 1))
+    return out
+
+
+def closed_U(A, B, slop):
+    out = []
+    for xs, ys in ((A, B), (B, A)):
+        for x in sorted(xs):
+            nxt = [y for y in ys if y > x]
+            if nxt and (min(nxt) - x - 1) <= slop:
+                out.append((x, min(nxt) + 1))
+    return sorted(out)
+
+
+def main() -> int:
+    rng = random.Random(7)
+    bad = 0
+    for _ in range(30000):
+        hi = rng.randint(3, 30)
+        A = sorted(rng.sample(range(hi), rng.randint(1, min(7, hi))))
+        B = sorted(rng.sample(range(hi), rng.randint(1, min(7, hi))))
+        slop = rng.randint(0, 8)
+        if abs(sloppy_phrase_freq([np.array(A), np.array(B)], slop, f32=False)
+               - closed_S2(A, B, slop)) > 1e-9:
+            bad += 1
+            print("S2", A, B, slop)
+        # O/U need cross-list-distinct positions (true for distinct terms)
+        if set(A) & set(B):
+            continue
+        if sorted(span_near_ordered_spans([np.array(A), np.array(B)], slop)) != \
+                sorted(closed_O(A, B, slop)):
+            bad += 1
+            print("O", A, B, slop)
+        if sorted(span_near_unordered_spans([np.array(A), np.array(B)], slop)) != \
+                sorted(closed_U(A, B, slop)):
+            bad += 1
+            print("U", A, B, slop)
+    # general-span kernels must equal the term kernels on term spans
+    for _ in range(5000):
+        hi = rng.randint(6, 30)
+        lists = [sorted(rng.sample(range(hi), rng.randint(1, min(5, hi))))
+                 for _ in range(rng.randint(2, 4))]
+        slop = rng.randint(0, 6)
+        if span_near_ordered_spans([np.array(x) for x in lists], slop) != \
+                near_ordered_spans_general([[(p, p + 1) for p in x] for x in lists], slop):
+            bad += 1
+            print("G-ord", lists, slop)
+        if span_near_unordered_spans([np.array(x) for x in lists], slop) != \
+                near_unordered_spans_general([[(p, p + 1) for p in x] for x in lists], slop):
+            bad += 1
+            print("G-unord", lists, slop)
+    print("FAILED" if bad else "ALL OK", f"(bad={bad})")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
