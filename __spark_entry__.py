@@ -351,6 +351,23 @@ def _q_ib_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfr_gb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR G-B2 single term (geometric basic model, Bernoulli after-effect)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("merge"), 15, similarity="dfr_gb2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB LL-DF-H2 disjunction (log-logistic distribution)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("batch")), ("SHOULD", _t("scan"))])
+    return s.search_sim(q, 20, similarity="ib_ll", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase "table hash"~2 (SloppyPhraseScorer.cs:101-146 greedy
     matching; freq = sum of 1/(matchLength+1)).  The greedy alignment isn't
@@ -728,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lmjm_or"] = _q_lmjm_or
     out["dfr_term"] = _q_dfr_term
     out["ib_or"] = _q_ib_or
+    out["dfr_gb2"] = _q_dfr_gb2
+    out["ib_ll"] = _q_ib_ll
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["sloppy_rpts"] = _q_sloppy_rpts
     out["multi_phrase"] = _q_multi_phrase
@@ -1236,6 +1255,30 @@ d AS (
 )
 SELECT doc_id,
        round(sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))), 4) AS score
+FROM d GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+    sqls["dfr_gb2"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         (t.ttf + 1.0) / (s.max_doc + t.ttf + 1.0) AS lam,
+         t.ttf AS ttf, t.df AS df
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'merge'
+)
+SELECT doc_id,
+       round((ln(lam + 1.0) / ln(2.0) + tfn * ln((1.0 + lam) / lam) / ln(2.0))
+             * (ttf + 2.0) / ((df + 1.0) * (tfn + 1.0)), 4) AS score
+FROM d ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["ib_ll"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         (t.df + 1.0) / (s.max_doc + 1.0) AS lam
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN ('batch', 'scan')
+)
+SELECT doc_id, round(sum(-ln(lam / (tfn + lam))), 4) AS score
 FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
     # sloppy_phrase "table hash"~2: the greedy SloppyPhraseScorer alignment

@@ -297,6 +297,105 @@ class IBSimilaritySPL:
         return sc
 
 
+
+class DFRSimilarityGB2:
+    """DFRSimilarity(BasicModelG, AfterEffectB, NormalizationH2(c=1)) -- the
+    geometric-approximation G combo with Bernoulli after-effect:
+      lambda = F/(N+F), F = ttf+1                      BasicModelG.cs:36-40
+      G   = log2(lambda+1) + tfn*log2((1+lambda)/lambda)
+      B   = (F+1)/((df+1)*(tfn+1))                     AfterEffectB.cs:33-37
+      score = boost * G * B                            DFRSimilarity.cs:120-124
+    """
+
+    name = "dfr_gb2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N = ctx["max_doc"]
+        F = ts.ttf + 1.0
+        n_df = ts.df + 1.0
+        lam = F / (N + F)
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        if mode == "f32":
+            b = f32(boost)
+            g0 = f32(math.log(lam + 1.0) / _LOG2)
+            g1 = f32(math.log((1.0 + lam) / lam) / _LOG2)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                g = (g0 + (tfn * g1).astype(np.float32)).astype(np.float32)
+                bb = (
+                    np.float32(F + 1.0)
+                    / (np.float32(n_df) * (tfn + np.float32(1.0)))
+                ).astype(np.float32)
+                return ((b * g).astype(np.float32) * bb).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                g = math.log(lam + 1.0) / _LOG2 + tfn * (math.log((1.0 + lam) / lam) / _LOG2)
+                bb = (F + 1.0) / (n_df * (tfn + 1.0))
+                return boost * g * bb
+        return sc
+
+
+class IBSimilarityLL:
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c=1)):
+      lambda = (df+1)/(N+1)                            LambdaDF.cs:33-36
+      score  = boost * -ln(lambda/(tfn+lambda))        DistributionLL.cs:31-35
+    """
+
+    name = "ib_ll"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N, df = ctx["max_doc"], ts.df
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        lamd = (df + 1.0) / (N + 1.0)
+        if mode == "f32":
+            b = f32(boost)
+            lam = f32(lamd)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                ll = (
+                    -np.log(np.float64(lam) / (tfn.astype(np.float64) + np.float64(lam)))
+                ).astype(np.float32)
+                return (b * ll).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                return boost * -np.log(lamd / (tfn + lamd))
+        return sc
+
+
 def make_similarity(name: str, **params):
     if name == "classic":
         return ClassicSimilarity()
@@ -308,4 +407,8 @@ def make_similarity(name: str, **params):
         return DFRSimilarityInL2(params.get("c", 1.0))
     if name == "ib_spl":
         return IBSimilaritySPL(params.get("c", 1.0))
+    if name == "dfr_gb2":
+        return DFRSimilarityGB2(params.get("c", 1.0))
+    if name == "ib_ll":
+        return IBSimilarityLL(params.get("c", 1.0))
     raise ValueError(f"unknown similarity: {name}")
