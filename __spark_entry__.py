@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 5  # v5: tokenized postings carry per-occurrence char offsets
+FORMAT_VERSION = 6  # v6: gate index keeps the source column for facet dims
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -45,7 +45,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     cfg = BuildConfig(
-        content_col="text", id_col="doc_id", meta_cols=("lang", "n_chars"),
+        content_col="text", id_col="doc_id", meta_cols=("lang", "source", "n_chars"),
         num_buckets=16, resume=True, store_offsets=True,
     )
     build_index(spark, docs, out, cfg)
@@ -253,6 +253,22 @@ def _q_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     out = s.drill_down(_t("spark"), {"lang": "en"}, k=10, mode="f64")
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DrillSideways over dims (lang='en', source='src3') for query 'spark':
+    each dim's counts keep the OTHER dim's filter, lift their own."""
+    s = _searcher(spark, sf_dir)
+    return s.drill_sideways(_t("spark"), {"lang": "en", "source": "src3"},
+                            facet_limit=5, mode="f64")
+
+
+def _q_facet_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy facets: lang/source path prefixes with rolled-up counts for
+    the bool_or query's matches."""
+    s = _searcher(spark, sf_dir)
+    q, _ = QUERY_TREES["bool_or"]
+    return s.facet_taxonomy(q, ["lang", "source"], mode="f64")
 
 
 def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
+    out["drill_sideways"] = _q_drill_sideways
+    out["facet_taxonomy"] = _q_facet_taxonomy
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
@@ -1014,6 +1032,32 @@ SELECT s.doc_id AS doc_id, round(s.score, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'spark' AND d.lang = 'en'
 ORDER BY score DESC, s.doc_id LIMIT 10"""
+    sqls["drill_sideways"] = f"""{_prelude()},
+m AS (
+  SELECT DISTINCT s.doc_id, d.lang, d.source
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term = 'spark'
+),
+langs AS (
+  SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS n
+  FROM m WHERE source = 'src3' GROUP BY lang
+),
+srcs AS (
+  SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS n
+  FROM m WHERE lang = 'en' GROUP BY source
+),
+u AS (SELECT * FROM langs UNION ALL SELECT * FROM srcs),
+rk AS (SELECT *, row_number() OVER (PARTITION BY dim ORDER BY n DESC, value) AS r FROM u)
+SELECT dim, value, n FROM rk WHERE r <= 5"""
+    sqls["facet_taxonomy"] = f"""{_prelude()},
+m AS (
+  SELECT DISTINCT s.doc_id, d.lang, d.source
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.term IN ('dup', 'window', 'vector')
+)
+SELECT lang AS path, 1 AS depth, count(*)::BIGINT AS n FROM m GROUP BY lang
+UNION ALL
+SELECT lang || '/' || source, 2, count(*)::BIGINT FROM m GROUP BY lang, source"""
     sqls["rescore"] = f"""{_prelude()},
 first_pass AS (
   SELECT doc_id, score FROM scored WHERE term = 'merge'

@@ -592,6 +592,68 @@ class IndexSearcher:
             F.col("r.label").alias("label"), F.coalesce(F.col("r.n"), F.lit(0)).alias("n")
         )
 
+    def drill_sideways(self, query: dict, filters: dict, facet_limit: int = 10,
+                       mode: str = "f64") -> DataFrame:
+        """DrillSideways analogue (src/Lucene.Net.Facet/DrillSideways.cs):
+        for every drilled dimension, facet counts are computed with the
+        OTHER dimensions' filters applied but that dimension's own filter
+        lifted -- the counts a UI shows as alternatives next to the current
+        selection.  -> (dim, value, n) ordered (dim, n desc, value)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame([], "dim string, value string, n long")
+        docs = self.docs().select("docID", *filters.keys())
+        base = scored.select("docID").join(docs, "docID")
+        parts = []
+        for dim in filters:
+            side = base
+            for col, val in filters.items():
+                if col != dim:
+                    side = side.filter(F.col(col) == val)
+            parts.append(
+                side.groupBy(F.col(dim)).agg(F.count("*").alias("n")).select(
+                    F.lit(dim).alias("dim"),
+                    F.col(dim).cast("string").alias("value"),
+                    "n",
+                )
+            )
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("dim").orderBy(F.desc("n"), F.asc("value"))
+        return (
+            out.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= facet_limit)
+            .drop("_rk")
+        )
+
+    def facet_taxonomy(self, query: dict, path_cols: list[str],
+                       mode: str = "f64") -> DataFrame:
+        """Hierarchical (taxonomy) facet counts
+        (src/Lucene.Net.Facet/Taxonomy/): category path = the given columns
+        joined with '/'; every PREFIX of the path accumulates the doc count
+        (the taxonomy writer's ordinal rollup).  -> (path, depth, n)."""
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            return self.spark.createDataFrame([], "path string, depth int, n long")
+        joined = scored.select("docID").join(
+            self.docs().select("docID", *path_cols), "docID"
+        )
+        parts = []
+        for depth in range(1, len(path_cols) + 1):
+            path = F.concat_ws("/", *[F.col(c).cast("string") for c in path_cols[:depth]])
+            parts.append(
+                joined.groupBy(path.alias("path"))
+                .agg(F.count("*").alias("n"))
+                .select("path", F.lit(depth).alias("depth"), "n")
+            )
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        return out
+
     def drill_down(self, query: dict, filters: dict, k: int = 10,
                    mode: str = "f64") -> DataFrame:
         """DrillDownQuery analogue (src/Lucene.Net.Facet/DrillDownQuery.cs:52
