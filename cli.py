@@ -41,12 +41,24 @@ def _spark(args):
     return spark
 
 
+def _read_source(spark, inp: str, fmt: str):
+    """Source reader: `--format table` reads a catalog table (the Iceberg
+    production shape -- spark.read.table against e.g. an Iceberg catalog
+    configured via --conf spark.sql.catalog.*); `parquet` (default) reads a
+    path; `auto` picks table when the input has no path separator."""
+    if fmt == "table" or (fmt == "auto" and "/" not in inp and not inp.endswith(".parquet")):
+        return spark.read.table(inp)
+    return spark.read.parquet(inp)
+
+
 def cmd_build(args) -> int:
     from sparklucene.build import BuildConfig, build_index
 
     spark = _spark(args)
-    df = spark.read.parquet(args.input)
+    df = _read_source(spark, args.input, args.format)
     cfg = BuildConfig(
+        analyzer=args.analyzer,
+        store_offsets=args.store_offsets,
         content_col=args.content_col,
         id_col=args.id_col,
         order_cols=tuple(args.order_cols.split(",")) if args.order_cols else ("repo", "path"),
@@ -73,6 +85,7 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     s = IndexSearcher(spark, args.index)
     q = json.loads(args.query) if args.query.lstrip().startswith("{") else parse(args.query)
+    q = s.analyze_parsed(q)  # index-analyzer-aware term rewrite (stemming etc.)
     if args.similarity != "bm25":
         rows = s.search_sim(q, args.k, similarity=args.similarity, mode=args.mode).collect()
     else:
@@ -137,6 +150,12 @@ def main(argv=None) -> int:
     b.add_argument("--order-cols", default=None)
     b.add_argument("--num-buckets", type=int, default=32)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--format", choices=("auto", "parquet", "table"), default="auto",
+                   help="input kind: parquet path or catalog table (Iceberg)")
+    b.add_argument("--analyzer", default="standard",
+                   help="make_analyzer name (standard/english/whitespace/...)")
+    b.add_argument("--store-offsets", action="store_true",
+                   help="store char offsets with term vectors (PostingsHighlighter)")
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)

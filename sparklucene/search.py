@@ -2000,6 +2000,48 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def analyze_parsed(self, q: dict) -> dict:
+        """Run the index's analyzer over a parsed query tree's term texts
+        (QueryParserBase.cs:445: the parser analyzes every term through the
+        same analyzer the index used -- 'merges' against a Porter-stemmed
+        index becomes 'merg'; a term analyzing to several tokens becomes a
+        phrase, to zero tokens stays as-is and simply matches nothing).
+        Identity for the standard analyzer (the parser already lowercases
+        and the engine's standard chain is the query-side default)."""
+        if self._analyzer_fn is None:
+            return q
+
+        def walk(node):
+            if not isinstance(node, dict):
+                return node
+            t = node.get("type")
+            if t == "term":
+                toks = self.analyze_query(node["term"])
+                if len(toks) == 1:
+                    return {**node, "term": toks[0]}
+                if len(toks) > 1:
+                    out = {k: v for k, v in node.items() if k != "term"}
+                    out.update({"type": "phrase", "terms": toks})
+                    return out
+                return node
+            if t == "phrase" and node.get("terms"):
+                toks = [x for term in node["terms"] for x in self.analyze_query(term)]
+                return {**node, "terms": toks or node["terms"]}
+            out = {}
+            for k, v in node.items():
+                if k == "clauses":
+                    out[k] = [
+                        {**c, "query": walk(c["query"])} if "query" in c else walk(c)
+                        for c in v
+                    ]
+                elif k == "queries":
+                    out[k] = [walk(c) for c in v]
+                else:
+                    out[k] = v
+            return out
+
+        return walk(q)
+
     # ---- public API ---------------------------------------------------------
     def search(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k by (score DESC, docID ASC) -- HitQueue.cs:77-87 tie-break.

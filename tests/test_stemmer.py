@@ -106,3 +106,28 @@ def test_english_index_end_to_end(spark, tmp_path_factory):
     want = [(d, np.float32(sc).tobytes().hex())
             for d, sc in top_k({"type": "term", "term": "run"}, oidx, 10, mode="f32")]
     assert got == want
+
+
+def test_analyze_parsed_rewrites_terms(spark, tmp_path_factory):
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.parser import parse
+    from sparklucene.search import IndexSearcher
+
+    rows = [{"repo": "r", "path": "p0", "commit": "c", "lang": "en",
+             "content": "merging queries daily"}]
+    out = str(tmp_path_factory.mktemp("apidx"))
+    build_index(spark, spark.createDataFrame(rows).coalesce(1), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=2, analyzer="english"))
+    s = IndexSearcher(spark, out)
+    q = s.analyze_parsed(parse("merges AND query"))
+    terms = {c["query"]["term"] for c in q["clauses"]}
+    assert terms == {"merg", "queri"}
+    assert s.search(q, 5).count() == 1
+    # standard-analyzer searcher: identity
+    rows2 = [{"repo": "r", "path": "p0", "commit": "c", "lang": "en", "content": "x"}]
+    out2 = str(tmp_path_factory.mktemp("apidx2"))
+    build_index(spark, spark.createDataFrame(rows2).coalesce(1), out2,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    s2 = IndexSearcher(spark, out2)
+    q0 = parse("merges AND query")
+    assert s2.analyze_parsed(q0) == q0
