@@ -88,6 +88,9 @@ class IndexSearcher:
         self._term_cache: dict[str, TermStats | None] = {}
         self._deleted_ids: np.ndarray | None = None
         self._deleted_bc = None
+        from collections import OrderedDict
+
+        self._filter_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
 
     def _init_from_stats(self) -> None:
         self.max_doc: int = self.stats["max_doc"]
@@ -124,6 +127,9 @@ class IndexSearcher:
         self._term_cache = {}
         self._deleted_ids = None
         self._deleted_bc = None
+        from collections import OrderedDict
+
+        self._filter_cache = OrderedDict()
         return self
 
     def set_live_docs(self, deleted_ids) -> None:
@@ -1999,6 +2005,45 @@ class IndexSearcher:
             .orderBy(F.desc("score"), F.asc("docID"))
             .limit(k)
         )
+
+    def cached_filter(self, query: dict, mode: str = "f64") -> DataFrame:
+        """CachingWrapperFilter / LRU QueryCache analogue
+        (src/Lucene.Net/Search/CachingWrapperFilter.cs): the query's match
+        set (docIDs only -- a filter, not a scorer) is evaluated once,
+        persisted cluster-wide (the DataFrame cache IS the per-segment
+        bitset cache; parquet's immutable segments make it coherent), and
+        re-served on every later call with the same query tree.  Capped at
+        32 cached filters, least-recently-inserted evicted (unpersisted)."""
+        key = json.dumps(query, sort_keys=True)
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            return cached
+        scored = self._eval(query, 1.0, mode)
+        if scored is None:
+            out = self.spark.createDataFrame([], "docID long")
+        else:
+            out = scored.select("docID").distinct().persist()
+        if len(self._filter_cache) >= 32:
+            _, old = self._filter_cache.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        self._filter_cache[key] = out
+        return out
+
+    def filtered_search(self, query: dict, filter_query: dict, k: int = 10,
+                        mode: str = "f32") -> DataFrame:
+        """FilteredQuery with a cached filter (FilteredQuery.cs): scores come
+        from `query` alone; `filter_query`'s cached match set restricts which
+        docs may appear (semi-join, no score contribution)."""
+        scored = self._eval(query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        flt = self.cached_filter(filter_query, mode="f64")
+        out = scored.join(flt, "docID", "left_semi")
+        return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
     def analyze_parsed(self, q: dict) -> dict:
         """Run the index's analyzer over a parsed query tree's term texts

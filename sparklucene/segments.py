@@ -309,9 +309,12 @@ class SegmentedIndex:
 
     def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32,
                  policy: TieredMergePolicy | None = None):
+        import threading
+
         self.spark = spark
         self.root = root
         self.policy = policy or TieredMergePolicy()
+        self._lock = threading.Lock()  # guards counter/segments/manifest
         os.makedirs(os.path.join(root, "segs"), exist_ok=True)
         self._manifest_path = os.path.join(root, "_SEGMENTS.json")
         if os.path.exists(self._manifest_path):
@@ -465,18 +468,30 @@ class SegmentedIndex:
         return self.max_doc - len(self.deleted_ids())
 
     # -- merge --------------------------------------------------------------
-    def maybe_merge(self) -> list[list[str]]:
-        """Run the tiered policy to a fixpoint; execute each chosen merge as
-        one Spark job (the ConcurrentMergeScheduler loop, serialized)."""
+    def maybe_merge(self, max_concurrent: int = 1) -> list[list[str]]:
+        """Run the tiered policy to a fixpoint -- the ConcurrentMergeScheduler
+        loop.  With max_concurrent > 1 the chosen merges (always disjoint
+        segment sets by policy construction) run as CONCURRENT Spark jobs
+        from a thread pool, exactly the reference scheduler's merge-thread
+        model (ConcurrentMergeScheduler.cs); manifest mutation is
+        lock-serialized.  Buffered deletes force the serial path (the
+        deletes-store rewrite is a shared side effect)."""
         done: list[list[str]] = []
         while True:
             sizes = {s.name: s.size_bytes for s in self.segments}
             spec = self.policy.find_merges(sizes)
             if not spec:
                 return done
-            for names in spec:
-                self._merge(names)
-                done.append(names)
+            if max_concurrent > 1 and not self.deleted_ids():
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+                    list(ex.map(self._merge, spec))
+                done.extend(spec)
+            else:
+                for names in spec:
+                    self._merge(names)
+                    done.append(names)
 
     def force_merge(self) -> str | None:
         """Merge everything into one segment (ForceMerge(1)); a single
@@ -493,8 +508,9 @@ class SegmentedIndex:
         t0 = time.time()
         dels = self.deleted_ids()
         deleted = np.asarray(dels, dtype=np.int64) if dels else None
-        name = f"seg{self.counter:06d}"
-        self.counter += 1
+        with self._lock:
+            name = f"seg{self.counter:06d}"
+            self.counter += 1
         out = self._seg_dir(name)
         dirs = [self._seg_dir(n) for n in names]
         cores = self.spark.sparkContext.defaultParallelism
@@ -583,8 +599,11 @@ class SegmentedIndex:
             sum_field_len=st["sum_total_term_freq"],
             size_bytes=_dir_bytes(os.path.join(out, "postings")),
         )
-        self.segments = [s for s in self.segments if s.name not in set(names)] + [new_info]
-        self._publish()
+        with self._lock:
+            self.segments = [
+                s for s in self.segments if s.name not in set(names)
+            ] + [new_info]
+            self._publish()
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
         if deleted is not None:

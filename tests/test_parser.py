@@ -267,3 +267,19 @@ def test_search_with_timeout(engine):
 
     with _pytest.raises(searcher.TimeExceededError):
         searcher.search_with_timeout(q, k=5, timeout_s=0.001)
+
+
+def test_cached_filter_and_filtered_search(engine):
+    searcher, _ = engine
+    fq = {"type": "term", "term": "score"}
+    f1 = searcher.cached_filter(fq)
+    f2 = searcher.cached_filter(fq)
+    assert f1 is f2, "second call must serve the cached (persisted) filter"
+    assert f1.is_cached
+    q = {"type": "term", "term": "compute"}
+    got = {r["docID"]: r["score"] for r in searcher.filtered_search(q, fq, k=50).collect()}
+    # same scores as the unfiltered query, restricted to the filter's docs
+    base = {r["docID"]: r["score"] for r in searcher.search(q, 1000).collect()}
+    fdocs = {r["docID"] for r in f1.collect()}
+    want = {d: s for d, s in base.items() if d in fdocs}
+    assert got == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50])

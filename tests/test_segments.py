@@ -189,3 +189,31 @@ def test_searcher_over_empty_index(spark, tmp_path_factory):
     s = idx.searcher()
     assert s.search({"type": "term", "term": "anything"}, 5).collect() == []
     assert s.count({"type": "term", "term": "anything"}) == 0
+
+
+def test_concurrent_merges_match_serial(spark, corpus, tmp_path_factory):
+    """maybe_merge(max_concurrent=2): concurrent Spark merge jobs produce
+    the same search results and segment accounting as serial merges."""
+    from sparklucene.segments import TieredMergePolicy
+
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    pol = TieredMergePolicy(max_merge_at_once=3, segs_per_tier=2.0,
+                           floor_segment_bytes=1)
+    results = {}
+    for tag, conc in (("serial", 1), ("conc", 2)):
+        root = str(tmp_path_factory.mktemp(f"cms_{tag}"))
+        idx = SegmentedIndex(spark, root, num_buckets=4, policy=pol)
+        for lo in range(0, len(ordered), 25):
+            idx.append(
+                spark.createDataFrame(ordered[lo : lo + 25]).coalesce(1),
+                BuildConfig(order_cols=("repo", "path")),
+            )
+        merged = idx.maybe_merge(max_concurrent=conc)
+        assert merged, f"{tag}: policy should pick merges for 6 tiny segments"
+        s = idx.searcher()
+        results[tag] = (
+            idx.max_doc,
+            [(r["docID"], f32_hex(r["score"]))
+             for r in s.search(QUERIES[0], 10).collect()],
+        )
+    assert results["serial"] == results["conc"]
