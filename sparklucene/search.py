@@ -365,7 +365,7 @@ class IndexSearcher:
         if t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
             from .positional import span_tree_terms
 
-            sts = self.lookup_terms(span_tree_terms(q))
+            sts = self.lookup_terms(span_tree_terms(self._rewrite_span_multi(q)))
             dfs = [s.df for s in sts.values()]
             return sum(dfs) if t == "span_or" else min(dfs, default=0)
         if t == "match_all":
@@ -402,8 +402,9 @@ class IndexSearcher:
             return self._eval_multi_phrase(
                 q["slots"], boost, mode, slop=int(q.get("slop", 0))
             )
-        if t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
-            return self._eval_span(q, boost, mode)
+        if t in ("span_near", "span_first", "span_range", "span_not", "span_or",
+                 "span_term", "span_multi"):
+            return self._eval_span(self._rewrite_span_multi(q), boost, mode)
         if t == "match_all":
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
@@ -1675,6 +1676,33 @@ class IndexSearcher:
             ],
         }
         return self.search(q, k, mode=mode)
+
+    def _rewrite_span_multi(self, q) -> dict:
+        """SpanMultiTermQueryWrapper analogue
+        (src/Lucene.Net/Search/Spans/SpanMultiTermQueryWrapper.cs:43): a
+        span_multi node wraps a multi-term query (prefix/wildcard/regexp/
+        range/fuzzy); its rewrite is a span_or over the dictionary
+        expansions, usable anywhere a span clause is (e.g. inside
+        span_near).  Applied recursively over the whole tree before
+        evaluation."""
+        if not isinstance(q, dict):
+            return q
+        if q.get("type") == "span_multi":
+            inner = q["query"]
+            if inner.get("type") == "fuzzy":
+                terms = [t for t, _ in self.expand_fuzzy_scored(inner)]
+            else:
+                terms = self.expand_terms(inner)
+            return {"type": "span_or", "terms": sorted(terms)}
+        out = {}
+        for k, v in q.items():
+            if k in ("clauses",):
+                out[k] = [self._rewrite_span_multi(c) for c in v]
+            elif k in ("include", "exclude", "clause"):
+                out[k] = self._rewrite_span_multi(v)
+            else:
+                out[k] = v
+        return out
 
     def _eval_span(self, q: dict, boost: float, mode: str) -> DataFrame | None:
         """Span queries as full TREES of span clauses

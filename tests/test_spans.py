@@ -254,3 +254,18 @@ def test_multi_phrase_slop_matches_oracle(searcher, oracle_idx, qid, query):
     if qid != "mp_slop_rpts":  # repeated-slot parity is the point; the tiny
         # corpus happens to have no doc containing w1 twice
         assert got, f"{qid} should match something in this corpus"
+
+
+def test_span_multi_term_wrapper(searcher, oracle_idx):
+    """span_near over a span_multi(prefix) == span_near over the span_or of
+    the prefix's dictionary expansions."""
+    wrapped = {"type": "span_near", "clauses": [
+        {"type": "span_multi", "query": {"type": "prefix", "prefix": "w"}},
+        {"type": "span_term", "term": "compute"}], "slop": 4, "in_order": False}
+    expanded_terms = sorted(searcher.expand_terms({"type": "prefix", "prefix": "w"}))
+    manual = {"type": "span_near", "clauses": [
+        {"type": "span_or", "terms": expanded_terms},
+        {"type": "span_term", "term": "compute"}], "slop": 4, "in_order": False}
+    got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(wrapped, 10).collect()]
+    want = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(manual, 10).collect()]
+    assert got == want and got
