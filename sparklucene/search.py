@@ -1477,6 +1477,13 @@ class IndexSearcher:
     # force the pruning path.
     wand_min_cost = 100_000
 
+    # include the decoded-theta refinement (exact partial sums from each
+    # term's best block) in WAND's bound. The metadata-only prefix bound is
+    # usually as strong (per-block MIN norm/tf bound every doc from below)
+    # and costs no Python stage; enable this when block norm/tf profiles
+    # make the decoded bound tighter.
+    wand_decode_theta = False
+
     def search_wand(self, query: dict, k: int = 10, mode: str = "f32") -> DataFrame:
         """Top-k with block-max pruning; ALWAYS rank-and-score-identical to
         the exhaustive path (differential-tested).
@@ -1520,25 +1527,30 @@ class IndexSearcher:
 
         from pyspark.sql import Window
 
-        # theta (a): exact partial sums from each term's best block
-        top1 = blocks.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("first_docid"))
-            ),
-        ).filter(F.col("_rk") == 1).drop("_rk", "ub", "lb")
-        theta_dec = (
-            self._score_block_rows(top1, weights, mode)
-            .groupBy("docID")
-            .agg(F.sum(F.col("score").cast("double")).alias("s"))
-            .orderBy(F.desc("s"))
-            .limit(k)
-            .agg(
-                F.when(F.count("*") >= k, F.min("s"))
-                .otherwise(F.lit(float("-inf")))
-                .alias("_th_dec")
+        # theta (a), optional: exact partial sums from each term's best block
+        if self.wand_decode_theta:
+            top1 = blocks.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("first_docid"))
+                ),
+            ).filter(F.col("_rk") == 1).drop("_rk", "ub", "lb")
+            theta_dec = (
+                self._score_block_rows(top1, weights, mode)
+                .groupBy("docID")
+                .agg(F.sum(F.col("score").cast("double")).alias("s"))
+                .orderBy(F.desc("s"))
+                .limit(k)
+                .agg(
+                    F.when(F.count("*") >= k, F.min("s"))
+                    .otherwise(F.lit(float("-inf")))
+                    .alias("_th_dec")
+                )
             )
-        )
+        else:
+            theta_dec = self.spark.createDataFrame(
+                [(float("-inf"),)], "_th_dec double"
+            )
 
         # theta (b): metadata-only prefix bound + rest(t), one aggregate
         wcum = (
@@ -1566,17 +1578,55 @@ class IndexSearcher:
                 F.lit(float("-inf")),
             )
             theta_expr = F.greatest(th_meta, F.col("_th_dec"))
-        meta = per_term.crossJoin(theta_dec).select(
-            "term",
-            (F.sum("_mx").over(wall) - F.col("_mx")).alias("_rest"),
-            theta_expr.alias("_theta"),
+        # MaxScore essential/non-essential split (Turtle & Flood): order
+        # terms by max block ub ascending; the largest prefix whose
+        # cumulative sum stays below theta is NON-essential -- a doc
+        # matching only those terms cannot reach the top-k, so their blocks
+        # are needed solely to complete candidate scores and can be pruned
+        # to the docID ranges of the ESSENTIAL terms' generator blocks.
+        wess = Window.orderBy(F.asc("_mx"), F.asc("term")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        meta = (
+            per_term.crossJoin(theta_dec)
+            .withColumn("_theta", theta_expr)
+            .withColumn("_ess", ~(F.sum("_mx").over(wess) < F.col("_theta") - 1e-4))
+            .select(
+                "term",
+                (F.sum("_mx").over(wall) - F.col("_mx")).alias("_rest"),
+                "_theta",
+                "_ess",
+            )
         )
 
         gen = blocks.join(F.broadcast(meta), "term").filter(
             F.col("ub") + F.col("_rest") >= F.col("_theta") - 1e-4
         )
+        # essential generators' docID ranges, stride-coalesced and folded to
+        # ONE broadcast row of (lo[], hi[]) arrays so the non-essential
+        # pruning is a plain filter on the SAME scan (no second read of the
+        # postings, no union)
+        iv1 = (
+            gen.filter(F.col("_ess"))
+            .groupBy(
+                F.floor(F.col("first_docid") / F.lit(self.RANGE_STRIDE)).alias("_s")
+            )
+            .agg(F.min("first_docid").alias("_lo"), F.max("max_docid").alias("_hi"))
+            .agg(
+                F.collect_list("_lo").alias("_los"),
+                F.collect_list("_hi").alias("_his"),
+            )
+        )
+        overlap = F.exists(
+            F.arrays_zip(F.col("_los"), F.col("_his")),
+            lambda x: (F.col("first_docid") <= x["_his"])
+            & (F.col("max_docid") >= x["_los"]),
+        )
+        kept = gen.crossJoin(F.broadcast(iv1)).filter(F.col("_ess") | overlap)
         scored = self._score_block_rows(
-            gen.drop("ub", "lb", "_rest", "_theta"), weights, mode
+            kept.drop("ub", "lb", "_rest", "_theta", "_ess", "_los", "_his"),
+            weights,
+            mode,
         )
         if len(weights) == 1:
             out = scored.select("docID", "score")
