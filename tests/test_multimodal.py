@@ -64,3 +64,28 @@ def test_frame_sampling(spark, media):
 
     kind, w, h, c = m._parse_header(one)
     assert kind == m.KIND_IMAGE and c == 3
+
+
+def test_media_features_feed_ann(spark):
+    """End-to-end media pipeline: fake media -> deterministic feature
+    vectors -> brute-force cosine top-k + near-dup pairs over them (the
+    multimodal columns plug straight into the embedding operators)."""
+    from sparklucene.datapipe import cosine_topk_brute, embedding_neardup_pairs
+    from sparklucene.multimodal import extract_features, fake_media_df
+
+    media = fake_media_df(spark, n_images=10, n_audio=5, n_video=3)
+    feats = extract_features(media, dim=8)
+    emb = feats.selectExpr("media_id as vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = cosine_topk_brute(emb, qvec, k=5, exclude_ids=(0,)).collect()
+    assert len(top) == 5
+    assert all(-1.0001 <= r["cos"] <= 1.0001 for r in top)
+    # determinism: same media id -> same features -> identical rerun
+    top2 = cosine_topk_brute(
+        extract_features(media, dim=8).selectExpr("media_id as vec_id", "embedding"),
+        qvec, k=5, exclude_ids=(0,),
+    ).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in top2]
+    pairs = embedding_neardup_pairs(emb, threshold=0.95, method="exact").collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]

@@ -33,8 +33,15 @@ def rand_query(rng: np.random.Generator, depth: int = 0) -> dict:
         n = int(rng.integers(2, 4))
         terms = [VOCAB[int(rng.integers(6))] for _ in range(n)]
         return {"type": "phrase", "terms": terms, "slop": int(rng.integers(1, 5))}
+    if r < 0.51:
+        rw = ["constant_score", "scoring_boolean", "top_terms_scoring"][int(rng.integers(3))]
+        return {"type": "prefix", "rewrite": rw,
+                "prefix": VOCAB[int(rng.integers(len(VOCAB)))][: int(rng.integers(1, 4))]}
     if r < 0.52:
-        return {"type": "prefix", "prefix": VOCAB[int(rng.integers(len(VOCAB)))][: int(rng.integers(1, 4))]}
+        # reference-default scored fuzzy (Damerau + top-50 boosted rewrite)
+        base = VOCAB[int(rng.integers(10))]
+        typo = base[:-1] if len(base) > 3 and rng.random() < 0.5 else base + "x"
+        return {"type": "fuzzy", "term": typo, "max_edits": int(rng.integers(1, 3))}
     if r < 0.56:
         # span queries
         rr = rng.random()
@@ -42,6 +49,13 @@ def rand_query(rng: np.random.Generator, depth: int = 0) -> dict:
             n = int(rng.integers(2, 4))
             terms = list(dict.fromkeys(VOCAB[int(rng.integers(10))] for _ in range(n)))
             if len(terms) >= 2:
+                if rng.random() < 0.4:
+                    # NESTED span tree: near over (or, term)
+                    return {"type": "span_near", "clauses": [
+                        {"type": "span_or", "terms": terms[:-1] + [VOCAB[int(rng.integers(10))]]},
+                        {"type": "span_term", "term": terms[-1]}],
+                        "slop": int(rng.integers(0, 5)),
+                        "in_order": bool(rng.random() < 0.5)}
                 return {"type": "span_near", "terms": terms,
                         "slop": int(rng.integers(0, 5)),
                         "in_order": bool(rng.random() < 0.5)}
@@ -55,11 +69,14 @@ def rand_query(rng: np.random.Generator, depth: int = 0) -> dict:
         return {"type": "span_or",
                 "terms": [VOCAB[int(rng.integers(len(VOCAB)))] for _ in range(int(rng.integers(2, 4)))]}
     if r < 0.58:
-        # multi-phrase: 2 slots with alternatives
-        return {"type": "multi_phrase", "slots": [
+        # multi-phrase: 2 slots with alternatives, sometimes sloppy
+        q = {"type": "multi_phrase", "slots": [
             [VOCAB[int(rng.integers(10))] for _ in range(int(rng.integers(1, 3)))],
             [VOCAB[int(rng.integers(10))]],
         ]}
+        if rng.random() < 0.5:
+            q["slop"] = int(rng.integers(1, 4))
+        return q
     if r < 0.6:
         return {
             "type": "dis_max",
@@ -105,7 +122,7 @@ def test_random_queries_match_oracle(engine):
     searcher, oracle = engine
     rng = np.random.default_rng(99)
     n_nonempty = 0
-    for i in range(60):
+    for i in range(90):
         q = rand_query(rng)
         want = [(d, f32_hex(s)) for d, s in top_k(q, oracle, 10, mode="f32")]
         got = [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, 10).collect()]
