@@ -304,6 +304,19 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence dedup over events by (user_id, event_type) -- the
+    batch twin of the streaming dropDuplicates-with-watermark feed."""
+    from sparklucene.streaming import dedup_first_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = dedup_first_batch(ev, ["user_id", "event_type"])
+    return out.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("first_ms"),
+    )
+
+
 def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis on doc 7's text: top-5 tf*idf terms -> SHOULD query."""
     s = _searcher(spark, sf_dir)
@@ -487,6 +500,14 @@ def _q_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpellChecker: terms within Levenshtein 2 of the misspelling 'spakr',
     ranked (distance, df desc, term)."""
     return _searcher(spark, sf_dir).spell_suggest("spakr", max_edits=2, n=5)
+
+
+def _q_spell_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker-style suggestion: Damerau distance (transposition
+    = one edit) for the typo 'tbale' -> 'table' at distance 1."""
+    return _searcher(spark, sf_dir).spell_suggest(
+        "tbale", max_edits=2, n=5, distance="damerau"
+    )
 
 
 def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
+    out["stream_dedup"] = _q_stream_dedup
     out["mlt"] = _q_mlt
     out["classic_term"] = _q_classic_term
     out["classic_or"] = _q_classic_or
@@ -787,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["postings_offsets"] = _q_postings_offsets
     out["suggest_prefix"] = _q_suggest_prefix
     out["spell_check"] = _q_spell_check
+    out["spell_damerau"] = _q_spell_damerau
     out["custom_score"] = _q_custom_score
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
@@ -1130,6 +1153,15 @@ SELECT user_id, session_id, min(epoch_ms(ts))::BIGINT AS session_start,
        max(epoch_ms(ts))::BIGINT AS session_end, count(*)::BIGINT AS n_events,
        round(sum(value), 3) AS sum_value
 FROM s GROUP BY user_id, session_id"""
+    sqls["stream_dedup"] = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts)::BIGINT AS ms,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id, ms AS first_ms
+FROM r WHERE rn = 1"""
     sqls["bool_count"] = f"""{_prelude()}
 SELECT count(DISTINCT doc_id)::BIGINT AS n_hits
 FROM scored WHERE term IN ('dup', 'window', 'vector')"""
@@ -1429,6 +1461,11 @@ ORDER BY df DESC, term LIMIT 10"""
 SELECT term, levenshtein(term, 'spakr')::INT AS dist, df
 FROM tstats
 WHERE term <> 'spakr' AND levenshtein(term, 'spakr') <= 2
+ORDER BY dist, df DESC, term LIMIT 5"""
+    sqls["spell_damerau"] = f"""{_prelude()}
+SELECT term, damerau_levenshtein(term, 'tbale')::INT AS dist, df
+FROM tstats
+WHERE term <> 'tbale' AND damerau_levenshtein(term, 'tbale') <= 2
 ORDER BY dist, df DESC, term LIMIT 5"""
     sqls["custom_score"] = f"""{_prelude()}
 SELECT s.doc_id, round(s.score * ln(1.0 + d.n_chars), 4) AS score

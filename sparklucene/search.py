@@ -2041,19 +2041,38 @@ class IndexSearcher:
             td = td.filter(F.col("term").startswith(prefix))
         return td.orderBy(F.desc("df"), F.asc("term")).limit(n)
 
-    def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5) -> DataFrame:
+    def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5,
+                      distance: str = "levenshtein") -> DataFrame:
         """SpellChecker analogue (src/Lucene.Net.Suggest/Spell/
-        SpellChecker.cs ranks candidates by string distance then popularity;
-        DirectSpellChecker uses Levenshtein automata): dictionary terms
-        within max_edits classic Levenshtein of `word`, the word itself
+        SpellChecker.cs ranks candidates by string distance then popularity):
+        dictionary terms within max_edits of `word`, the word itself
         excluded, ranked (distance asc, df desc, term asc).
+        distance='levenshtein' (Spark builtin, JVM) or 'damerau'
+        (DirectSpellChecker's LevenshteinAutomata count transpositions as
+        one edit; vectorized Python over a JVM-prefiltered candidate set).
         -> (term, dist, df)."""
         td = self._union_read("term_dict").groupBy("term").agg(F.sum("df").alias("df"))
-        td = (
-            td.filter(F.col("term") != word)
-            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
-            .filter(F.col("dist") <= max_edits)
-        )
+        td = td.filter(F.col("term") != word)
+        if distance == "levenshtein":
+            td = td.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+            td = td.filter(F.col("dist") <= max_edits)
+        elif distance == "damerau":
+            td = td.filter(
+                F.abs(F.length("term") - F.lit(len(word))) <= max_edits
+            ).filter(F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+            from .distance import damerau_levenshtein
+
+            w_b, me_b = word, max_edits
+
+            def dl(pdf_iter):
+                for pdf in pdf_iter:
+                    pdf = pdf.copy()
+                    pdf["dist"] = [damerau_levenshtein(t, w_b) for t in pdf["term"]]
+                    yield pdf[pdf["dist"] <= me_b]
+
+            td = td.mapInPandas(dl, schema="term string, df long, dist int")
+        else:
+            raise ValueError(distance)
         return td.orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(n).select(
             "term", "dist", "df"
         )

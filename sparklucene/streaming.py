@@ -192,3 +192,30 @@ def sessionize_stream(events_stream: DataFrame, gap_minutes: int = 30,
             update, SESSION_SCHEMA, state_schema, "append", "EventTimeTimeout"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup: first-occurrence keep, batch (SQL-checkable) + stream twins
+# ---------------------------------------------------------------------------
+
+def dedup_first_batch(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Batch twin of the streaming deduplicator: keep each key's FIRST
+    event by (ts, event_id).  One shuffle on the key; window row_number."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_first_stream(events_stream: DataFrame, key_cols: list[str],
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: emit the first event per key, drop
+    duplicates arriving within the watermark horizon
+    (dropDuplicates + withWatermark -- Spark bounds the dedup state by
+    event time, the streaming analogue of a training-pipeline's
+    exactly-once document feed)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicates(key_cols)

@@ -126,3 +126,52 @@ def test_streaming_nrt(spark, dirs):
     indexer.process_batch(batch_df, int(applied[0]))
     assert len(idx.segments) == before
     assert indexer.searcher().count({"type": "term", "term": "alpha"}) == 10
+
+
+def test_dedup_first_stream(spark, tmp_path_factory):
+    """Streaming dropDuplicates-with-watermark keeps one event per key
+    across micro-batches (duplicates in later waves are dropped while the
+    state horizon holds); batch twin keeps the FIRST by (ts, event_id)."""
+    from datetime import datetime as dt
+
+    from sparklucene.streaming import dedup_first_batch, dedup_first_stream
+
+    base = tmp_path_factory.mktemp("sdedup")
+    in_dir, ckpt, out_dir = str(base / "in"), str(base / "ckpt"), str(base / "out")
+    os.makedirs(in_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    wave1 = [
+        (0, dt(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, "{}"),
+        (1, dt(2024, 1, 1, 0, 1, 0), 1, "a", 2.0, "{}"),   # dup key in-batch
+        (2, dt(2024, 1, 1, 0, 2, 0), 2, "b", 3.0, "{}"),
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            dedup_first_stream(stream, ["user_id", "event_type"], watermark="1 hour")
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+    drain()
+    wave2 = [
+        (3, dt(2024, 1, 1, 0, 3, 0), 1, "a", 9.0, "{}"),   # dup key across batches
+        (4, dt(2024, 1, 1, 0, 4, 0), 3, "c", 4.0, "{}"),
+    ]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    got = {(r["user_id"], r["event_type"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert spark.read.parquet(out_dir).count() == 3  # one row per key
+    # batch twin: first by (ts, event_id)
+    allrows = spark.createDataFrame(wave1 + wave2, schema)
+    first = {(r["user_id"], r["event_type"]): r["event_id"]
+             for r in dedup_first_batch(allrows, ["user_id", "event_type"]).collect()}
+    assert first == {(1, "a"): 0, (2, "b"): 2, (3, "c"): 4}
