@@ -182,6 +182,53 @@ def check_index(
     else:
         passed("term_dict", f"{td.count()} terms consistent (df/ttf/max_tf + salt ranges)")
 
+    # 2b. term-vector offset streams (when stored): every posting's
+    #     off_blob must decode to exactly tf (start, end) pairs with
+    #     non-negative lengths and ascending starts
+    tok_path = os.path.join(index_dir, "tokenized")
+    if os.path.exists(tok_path):
+        from .codec import decode_offset_pairs
+
+        tok = spark.read.parquet(tok_path)
+        if "postings" in tok.columns and any(
+            f.name == "off_blob"
+            for f in tok.schema["postings"].dataType.elementType.fields
+        ):
+            ex = tok.select(F.explode("postings").alias("p")).select(
+                "p.tf", "p.off_blob"
+            )
+
+            def chk_off(pdf_iter):
+                for pdf in pdf_iter:
+                    bad = 0
+                    n_nonempty = 0
+                    for r in pdf.itertuples(index=False):
+                        ob = bytes(r.off_blob) if r.off_blob is not None else b""
+                        if not ob:
+                            continue
+                        n_nonempty += 1
+                        try:
+                            st, en = decode_offset_pairs(ob, int(r.tf))
+                            if (
+                                len(st) != int(r.tf)
+                                or (en < st).any()
+                                or (np.diff(st) < 0).any()
+                            ):
+                                bad += 1
+                        except Exception:  # noqa: BLE001
+                            bad += 1
+                    yield pd.DataFrame({"bad": [bad], "n": [n_nonempty]})
+
+            agg_off = (
+                ex.mapInPandas(chk_off, schema="bad long, n long")
+                .agg(F.sum("bad").alias("bad"), F.sum("n").alias("n"))
+                .collect()[0]
+            )
+            if int(agg_off["bad"] or 0):
+                fail("offsets", f"{agg_off['bad']} malformed offset streams")
+            elif int(agg_off["n"] or 0):
+                passed("offsets", f"{int(agg_off['n'])} offset streams decode clean")
+
     # 3. docs/stats consistency + norm re-encode
     docs_path = os.path.join(index_dir, "docs")
     if not os.path.exists(docs_path):

@@ -76,3 +76,19 @@ def test_block_checker_catches_corruption():
     r1, r2 = _block_row(), _block_row(block_id=1)
     errs, ex = _run_check([r1, r2])
     assert errs > 0 and any("overlap" in e for e in ex)
+
+
+def test_check_index_validates_offsets(spark, tmp_path_factory):
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.check_index import check_index
+
+    rows = [{"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+             "content": "alpha merge queue merge daily"} for i in range(4)]
+    out = str(tmp_path_factory.mktemp("offchk"))
+    build_index(spark, spark.createDataFrame(rows).coalesce(1), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=2,
+                            store_offsets=True))
+    rep = check_index(spark, out)
+    assert rep["ok"], rep
+    assert rep["checks"]["offsets"]["ok"]
+    assert "decode clean" in rep["checks"]["offsets"]["detail"]
