@@ -824,7 +824,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ngram_jaccard"] = _q_ngram_jaccard
     out["emb_neardup"] = _q_emb_neardup
     out["ann_ivf"] = _q_ann_ivf
-    return out
+    # The driver samples a prefix of this dict; front-load the gates that have
+    # never appeared in a driver CORRECTNESS file (rounds 1-2 sampled the rest)
+    # so cumulative driver coverage completes this round.
+    first = [
+        "ann_brute", "ann_ivf", "ann_lsh", "emb_neardup", "expr_score",
+        "fingerprint", "fuzzy_scored", "lang_id", "ngram_jaccard",
+        "postings_offsets", "prefix_scored", "quality", "spell_damerau",
+        "stemmed_term", "token_stats",
+    ]
+    ordered = {k: out[k] for k in first if k in out}
+    ordered.update((k, v) for k, v in out.items() if k not in ordered)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -1054,7 +1065,7 @@ SELECT label, n FROM (
 SELECT s.doc_id AS doc_id, round(s.score, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'spark' AND d.lang = 'en'
-ORDER BY score DESC, s.doc_id LIMIT 10"""
+ORDER BY s.score DESC, s.doc_id LIMIT 10"""
     sqls["drill_sideways"] = f"""{_prelude()},
 m AS (
   SELECT DISTINCT s.doc_id, d.lang, d.source
@@ -1618,7 +1629,10 @@ def _stem_map_values() -> str:
         )
         .fetchall()
     ]
-    return ", ".join(f"('{t}', '{porter_stem(t)}')" for t in toks)
+    def _q(s: str) -> str:  # SQL-escape single quotes (e.g. "dog's")
+        return s.replace("'", "''")
+
+    return ", ".join(f"('{_q(t)}', '{_q(porter_stem(t))}')" for t in toks)
 
 
 def _prelude_english(doc_src: str = "documents") -> str:

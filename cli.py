@@ -46,7 +46,14 @@ def _read_source(spark, inp: str, fmt: str):
     production shape -- spark.read.table against e.g. an Iceberg catalog
     configured via --conf spark.sql.catalog.*); `parquet` (default) reads a
     path; `auto` picks table when the input has no path separator."""
-    if fmt == "table" or (fmt == "auto" and "/" not in inp and not inp.endswith(".parquet")):
+    if fmt == "table":
+        return spark.read.table(inp)
+    if (
+        fmt == "auto"
+        and "/" not in inp
+        and not inp.endswith(".parquet")
+        and not os.path.exists(inp)  # a bare relative parquet dir is a path
+    ):
         return spark.read.table(inp)
     return spark.read.parquet(inp)
 

@@ -49,8 +49,10 @@ MINHASH_A = (2075443165, 1671098288, 946466064, 250934580, 16087819, 194655651,
              1956305977, 2024077986, 2017064809, 1733024479, 1250324205, 75003371)
 MINHASH_B = (1442171593, 1488393902, 180255971, 211359734, 1646005275, 761574164,
              508545124, 37426449, 66172592, 2118896851, 1693876516, 34017048)
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 4 x 8-bit chunks -> recall 1.0 for hamming <= 3
+SIMHASH_BITS = 60  # hash60 yields 60 random bits; 60 keeps fp int64-safe
+SIMHASH_CHUNKS = 4  # 4 x 15-bit chunks -> recall 1.0 for hamming <= 3
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
 FP_TERM_MOD = 1000003
 FP_POS_MOD = 997
 FP_OUT_MOD = 2147483647
@@ -198,9 +200,13 @@ def minhash_signatures(
     )
 
 
+MINHASH_BROADCAST_PAIR_CAP = 2_000_000  # ~2 longs/row -> well under 10 MB hint
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, bucket_cap: int | None = None,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs -> (doc_a, doc_b, jaccard).
 
@@ -215,7 +221,14 @@ def minhash_dedup_pairs(
     bucket's min doc_id) -- linear in cluster size, and transitively
     equivalent for dedup-cluster construction (near-identical members all
     link to the same keeper).  None = exact all-pairs (the oracle-checked
-    default at test scale)."""
+    default at test scale).
+
+    broadcast_candidates: None (default) size-gates the broadcast hint on an
+    upper bound of |cand| computed from the LSH bucket stats (sum of
+    n*(n-1)/2 per bucket) -- on a duplicate-heavy corpus the candidate set
+    is O(dup-pairs) and an unconditional broadcast is a driver OOM; the gate
+    falls back to a plain shuffle join above MINHASH_BROADCAST_PAIR_CAP.
+    True/False force the choice (False = the 100 TB shuffle path)."""
     sigs = minhash_signatures(df, id_col, text_col)
     if bucket_cap is None:
         cand = (
@@ -242,13 +255,25 @@ def minhash_dedup_pairs(
             .select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
         cand = pair_small.unionByName(pair_big).distinct()
+    if broadcast_candidates is None:
+        # upper bound on |cand| from bucket sizes: sum n*(n-1)/2 (star-linked
+        # oversize buckets contribute n-1, so this bounds the capped path too)
+        bound_row = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("b"))
+            .collect()[0]
+        )
+        broadcast_candidates = (bound_row["b"] or 0) <= MINHASH_BROADCAST_PAIR_CAP
+    cand_side = F.broadcast(cand) if broadcast_candidates else cand
     sets_df = shingle_df(df, id_col, text_col)
     # candidate pairs are the SMALL side (LSH output): semi-join-shaped
     # broadcast joins compute each doc's shingle set once and never shuffle
-    # the shingle arrays
+    # the shingle arrays; above the pair cap we shuffle-join instead and let
+    # AQE pick the strategy
     return (
         sets_df.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga"))
-        .join(F.broadcast(cand), "doc_a")
+        .join(cand_side, "doc_a")
         .join(sets_df.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb")), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
@@ -262,8 +287,11 @@ def minhash_dedup_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc -> (doc_id, simhash).  ONE shuffle: 32
-    conditional aggregates over the exploded (doc, token, tf) postings."""
+    """60-bit SimHash (Charikar) per doc -> (doc_id, simhash).  ONE shuffle:
+    60 conditional aggregates over the exploded (doc, token, tf) postings.
+    60 bits (not the textbook 64) because hash60's md5 prefix supplies 60
+    random bits and keeps the fingerprint int64-safe in both Spark BIGINT
+    and the DuckDB oracle."""
     toks = df.select(F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     h = tf.withColumn("h", hash60(F.col("tok")))
@@ -284,18 +312,30 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3, bucket_cap: int | None = None) -> DataFrame:
     """SimHash near-dup pairs with hamming <= max_hamming.
 
-    LSH banding on 4 x 8-bit chunks: any pair within hamming 3 shares at
-    least one identical chunk (pigeonhole), so recall is exactly 1.0 and the
-    result equals the brute-force all-pairs scan the oracle runs."""
+    LSH banding on 4 x 15-bit chunks of the 60-bit fingerprint: any pair
+    within hamming 3 shares at least one identical chunk (pigeonhole), so
+    recall is exactly 1.0 and the result equals the brute-force all-pairs
+    scan the oracle runs.  15-bit chunks give 32,768 distinct keys per band
+    (the old 8-bit chunks gave 256 -- Theta(N^2/256) candidates at corpus
+    scale regardless of content).
+
+    bucket_cap: identical-document clusters put every member in the same
+    (chunk, value) bucket and the self-join goes quadratic.  With a cap,
+    oversized buckets emit STAR pairs only (every member paired with the
+    bucket's min doc_id) -- linear in cluster size; near-identical members
+    all link to the same keeper, which is what dedup-cluster construction
+    needs.  None = exact all-pairs (the oracle-checked default)."""
     fps = simhash_fingerprints(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("c"),
-                F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)).alias("v"),
+                F.shiftright(F.col("simhash"), c * SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit(SIMHASH_CHUNK_MASK))
+                .alias("v"),
             )
             for c in range(SIMHASH_CHUNKS)
         ]
@@ -303,18 +343,48 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     ch = fps.select("doc_id", "simhash", F.explode(chunks).alias("ch")).select(
         "doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
     )
-    cand = (
-        ch.alias("a")
-        .join(ch.alias("b"), ["c", "v"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("fa"),
-            F.col("b.simhash").alias("fb"),
+    if bucket_cap is None:
+        cand = (
+            ch.alias("a")
+            .join(ch.alias("b"), ["c", "v"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("fa"),
+                F.col("b.simhash").alias("fb"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        bs = ch.groupBy("c", "v").agg(
+            F.count("*").alias("_n"), F.min("doc_id").alias("_mn")
+        )
+        keyed = ch.join(bs, ["c", "v"])
+        small = keyed.filter(F.col("_n") <= bucket_cap)
+        pair_small = (
+            small.alias("a")
+            .join(small.alias("b"), ["c", "v"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("fa"),
+                F.col("b.simhash").alias("fb"),
+            )
+        )
+        hub = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+        pair_big = (
+            keyed.filter((F.col("_n") > bucket_cap) & (F.col("doc_id") > F.col("_mn")))
+            .select(
+                F.col("_mn").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("fb"),
+            )
+            .join(hub, "doc_a")
+            .select("doc_a", "doc_b", "fa", "fb")
+        )
+        cand = pair_small.unionByName(pair_big).distinct()
     return (
         cand.withColumn("hamming", F.bit_count(F.expr("fa ^ fb")))
         .filter(F.col("hamming") <= max_hamming)

@@ -111,6 +111,12 @@ def percolate(
                 elif shape == "boolean":
                     clauses = q["clauses"]
                     msm = int(q.get("minShouldMatch", 0))
+                    n_shoulds = sum(1 for c in clauses if c["occur"] == "SHOULD")
+                    if msm > n_shoulds:
+                        # BooleanWeight: minNrShouldMatch > optional.Count -> null
+                        # scorer (matches _eval_boolean's msm > n_opt check and the
+                        # OracleIndex fallback).
+                        continue
                     musts = [c["query"] for c in clauses if c["occur"] == "MUST"]
                     shoulds = [c["query"] for c in clauses if c["occur"] == "SHOULD"]
                     nots = [c["query"] for c in clauses if c["occur"] == "MUST_NOT"]

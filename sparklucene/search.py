@@ -329,10 +329,11 @@ class IndexSearcher:
             for slot in q["slots"]:
                 for term in slot:
                     out.append((term, boost))
-        elif t in ("span_near", "span_first", "span_range", "span_not", "span_or", "span_term"):
+        elif t in ("span_near", "span_first", "span_range", "span_not", "span_or",
+                   "span_term", "span_multi"):
             from .positional import span_tree_terms
 
-            for term in span_tree_terms(q):
+            for term in span_tree_terms(self._rewrite_span_multi(q)):
                 out.append((term, boost))
 
     def _weight(self, term: str, boost: float, mode: str) -> float | None:

@@ -72,6 +72,29 @@ def test_simhash_banding_equals_bruteforce(docs_df):
     assert got_pairs == brute  # banding recall is exactly 1.0 for hamming <= 3
 
 
+def test_simhash_bucket_cap_star_links(spark):
+    # 5 identical docs -> one bucket per chunk of size 5; with bucket_cap=2
+    # the oversized buckets emit star pairs to the min doc only, all with
+    # hamming 0 (identical fingerprints)
+    rows = [(i, "same words in every single document") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"]): r["hamming"]
+              for r in dp.simhash_dup_pairs(df, bucket_cap=2).collect()}
+    assert capped == {(0, i): 0 for i in range(1, 5)}
+    full = {(r["doc_a"], r["doc_b"]) for r in dp.simhash_dup_pairs(df).collect()}
+    assert len(full) == 10  # uncapped = all pairs
+
+
+def test_minhash_shuffle_join_path_matches_broadcast(docs_df):
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dp.minhash_dedup_pairs(docs_df, threshold=0.5,
+                                            broadcast_candidates=True).collect()}
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dp.minhash_dedup_pairs(docs_df, threshold=0.5,
+                                           broadcast_candidates=False).collect()}
+    assert got == want and (2, 3) in got
+
+
 def test_language_id(docs_df):
     rows = {r["doc_id"]: r["lang_pred"] for r in dp.language_id(docs_df).collect()}
     assert rows[5] == "es"

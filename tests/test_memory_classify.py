@@ -116,6 +116,11 @@ def test_percolate_fastpath_equals_fallback(spark):
             {"occur": "SHOULD", "query": {"type": "term", "term": "spark"}},
             {"occur": "SHOULD", "query": {"type": "term", "term": "alpha"}},
             {"occur": "SHOULD", "query": {"type": "term", "term": "merge"}}]},
+        # msm > optional.Count with MUST clauses present -> null scorer
+        # (BooleanWeight); the fast path must not emit the MUST-only score
+        "msm_no_should": {"type": "boolean", "minShouldMatch": 1, "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "spark"}},
+            {"occur": "MUST", "query": {"type": "term", "term": "alpha"}}]},
         "p": {"type": "phrase", "terms": ["merge", "queue"]},
         "dm": {"type": "dis_max", "tie_breaker": 0.4, "queries": [
             {"type": "term", "term": "spark"}, {"type": "term", "term": "merge"}]},

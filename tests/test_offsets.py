@@ -77,3 +77,24 @@ def test_postings_highlight(hl_searcher):
     assert top["fragment"].count("<b>") >= 1
     # no re-analysis: fragment window starts at the stored first offset
     assert top["frag_start"] == top["fragment"].replace("<b>", "").replace("</b>", "").find("merge") + top["frag_start"]
+
+
+def test_postings_highlight_span_multi(hl_searcher):
+    """Highlighting a span query containing a span_multi clause must rewrite
+    the wrapper before extracting leaf terms (_collect_leaves used to route
+    raw span_multi through span_tree_terms, which raises)."""
+    s, df = hl_searcher
+    rows = df.collect()
+    src = df.sparkSession.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(sorted(rows, key=lambda r: (r["repo"], r["path"])))],
+        "docID long, text string",
+    )
+    q = {
+        "type": "span_near", "slop": 3, "in_order": True,
+        "clauses": [
+            {"type": "span_multi", "query": {"type": "prefix", "prefix": "mer"}},
+            {"type": "span_term", "term": "queue"},
+        ],
+    }
+    out = s.postings_highlight(src, q, k=5, max_frag=40)
+    assert out and "<b>merge</b>" in out[0]["fragment"]
