@@ -255,6 +255,19 @@ def _q_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_field_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringField-semantics keyword match composed under boolean clauses:
+    classic syntax `lang:en AND spark` parses the registered keyword field
+    into an exact (unanalyzed) field_term filter that contributes a
+    constant 1.0 to the conjunction score."""
+    from sparklucene.parser import parse
+
+    s = _searcher(spark, sf_dir)
+    q = parse("lang:en AND spark", keyword_fields=s.keyword_fields())
+    out = s.search(q, 10, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DrillSideways over dims (lang='en', source='src3') for query 'spark':
     each dim's counts keep the OTHER dim's filter, lift their own."""
@@ -642,6 +655,44 @@ def _q_stemmed_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
 
 
+_LANG_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _lang_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """ONE index with per-language analyzer routing on the lang column
+    (BuildConfig.lang_analyzers): fr docs go through the FrenchAnalyzer
+    chain (elision + french stop + UniNE light stem), de through the
+    GermanAnalyzer chain (german stop + normalization + light stem),
+    everything else through the standard chain."""
+    key = os.path.abspath(sf_dir)
+    s = _LANG_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_lang", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        lang_analyzers={"fr": "french", "de": "german"}, resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _LANG_SEARCHERS[key] = s
+    return s
+
+
+def _q_lang_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-routed index: query text 'filter' analyzed with the FRENCH
+    chain (analyze_query_lang) yields the stem 'filt' -- which both the
+    french and german light stemmers produce from 'filter', while standard
+    docs keep the surface form: the hits are exactly the fr/de slices,
+    ranked by BM25 over the mixed-analyzer postings."""
+    s = _lang_searcher(spark, sf_dir)
+    terms = s.analyze_query_lang("filter", "fr")
+    return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
+
+
 _DEL_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -772,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
+    out["field_term"] = _q_field_term
     out["drill_sideways"] = _q_drill_sideways
     out["facet_taxonomy"] = _q_facet_taxonomy
     out["rescore"] = _q_rescore
@@ -803,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
+    out["lang_routed"] = _q_lang_routed
     out["prefix_scored"] = _q_prefix_scored
     out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
@@ -1066,6 +1119,11 @@ SELECT s.doc_id AS doc_id, round(s.score, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'spark' AND d.lang = 'en'
 ORDER BY s.score DESC, s.doc_id LIMIT 10"""
+    sqls["field_term"] = f"""{_prelude()}
+SELECT s.doc_id AS doc_id, round(s.score + 1.0, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'spark' AND d.lang = 'en'
+ORDER BY s.score + 1.0 DESC, s.doc_id LIMIT 10"""
     sqls["drill_sideways"] = f"""{_prelude()},
 m AS (
   SELECT DISTINCT s.doc_id, d.lang, d.source
@@ -1421,6 +1479,10 @@ WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merg'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["lang_routed"] = f"""{_prelude_lang_routed()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'filt'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["prefix_scored"] = f"""{_prelude()}
 SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term LIKE 'sp%'
@@ -1635,6 +1697,35 @@ def _stem_map_values() -> str:
     return ", ".join(f"('{_q(t)}', '{_q(porter_stem(t))}')" for t in toks)
 
 
+def _lang_stem_map_values(stem_fn) -> str:
+    """(word -> stem) VALUES rows for the corpus vocabulary under the given
+    stemmer (french_light_stem / german_light_stem), same embedded-map trick
+    as _stem_map_values; the stemmers are validated bit-exact against the
+    reference's frlighttestdata/delighttestdata vector files in
+    tests/test_stemmer.py."""
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    toks = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS tok
+                  FROM '{path}') WHERE tok <> '' ORDER BY tok"""
+        )
+        .fetchall()
+    ]
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return ", ".join(f"('{_q(t)}', '{_q(stem_fn(t))}')" for t in toks)
+
+
 def _prelude_english(doc_src: str = "documents") -> str:
     """_prelude with EnglishAnalyzer emission: stop filter on the unstemmed
     lowercased token, then Porter stem via the embedded vocabulary map
@@ -1651,6 +1742,53 @@ emitted AS (
   SELECT t.doc_id, coalesce(m.st, lower(t.tok)) AS term, t.pos
   FROM toks t LEFT JOIN stemmap m ON lower(t.tok) = m.w
   WHERE t.tok <> '' AND lower(t.tok) NOT IN ({_stop_sql()})
+),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
+
+
+def _prelude_lang_routed(doc_src: str = "documents") -> str:
+    """_prelude with per-language emission mirroring the lang-routed index:
+    fr docs -> FrenchAnalyzer chain (elision + french stop + UniNE light
+    stem), de docs -> GermanAnalyzer chain (german stop + normalization +
+    light stem), everything else -> the standard chain.  Per-lang chains are
+    embedded as vocabulary maps whose value is '' for stop-filtered tokens
+    (so positions stay pre-filter ordinals, exactly like the engine)."""
+    from sparklucene.analysis import (
+        FRENCH_STOP_WORDS, GERMAN_STOP_WORDS, _elide,
+    )
+    from sparklucene.stemmer import (
+        french_light_stem, german_light_stem, german_normalize,
+    )
+
+    def fr_emit(w: str) -> str:
+        e = _elide(w).lower()
+        return "" if (not e or e in FRENCH_STOP_WORDS) else french_light_stem(e)
+
+    def de_emit(w: str) -> str:
+        return "" if w in GERMAN_STOP_WORDS else german_light_stem(german_normalize(w))
+
+    base = _prelude(doc_src)
+    old = """emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({stops})
+),""".replace("{stops}", _stop_sql())
+    new = f"""frmap(w, st) AS (SELECT * FROM (VALUES {_lang_stem_map_values(fr_emit)}) v),
+demap(w, st) AS (SELECT * FROM (VALUES {_lang_stem_map_values(de_emit)}) v),
+emitted AS (
+  SELECT t.doc_id,
+         CASE WHEN d.lang = 'fr' THEN coalesce(fm.st, lower(t.tok))
+              WHEN d.lang = 'de' THEN coalesce(dm.st, lower(t.tok))
+              ELSE lower(t.tok) END AS term,
+         t.pos
+  FROM toks t JOIN srcdocs d USING (doc_id)
+  LEFT JOIN frmap fm ON lower(t.tok) = fm.w
+  LEFT JOIN demap dm ON lower(t.tok) = dm.w
+  WHERE t.tok <> ''
+    AND CASE WHEN d.lang = 'fr' THEN coalesce(fm.st, lower(t.tok)) <> ''
+             WHEN d.lang = 'de' THEN coalesce(dm.st, lower(t.tok)) <> ''
+             ELSE lower(t.tok) NOT IN ({_stop_sql()}) END
 ),"""
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)

@@ -91,7 +91,11 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     s = IndexSearcher(spark, args.index)
-    q = json.loads(args.query) if args.query.lstrip().startswith("{") else parse(args.query)
+    q = (
+        json.loads(args.query)
+        if args.query.lstrip().startswith("{")
+        else parse(args.query, keyword_fields=s.keyword_fields())
+    )
     q = s.analyze_parsed(q)  # index-analyzer-aware term rewrite (stemming etc.)
     if args.similarity != "bm25":
         rows = s.search_sim(q, args.k, similarity=args.similarity, mode=args.mode).collect()

@@ -471,7 +471,8 @@ def _make_synonym(synonyms: dict):
 
 def make_analyzer(name: str, **params):
     """-> callable(text) -> (terms, positions).  Names: standard (default),
-    whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=)."""
+    whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=), synonym,
+    english, french, german, standard_folding, html, shingle."""
     if name == "standard":
         return _analyze_standard
     if name == "whitespace":
@@ -488,6 +489,10 @@ def make_analyzer(name: str, **params):
         return _make_synonym(params.get("synonyms", {}))
     if name == "english":
         return _analyze_english
+    if name == "french":
+        return _analyze_french_light
+    if name == "german":
+        return _analyze_german_light
     if name == "standard_folding":
         return _analyze_standard_folding
     if name == "html":
@@ -500,3 +505,131 @@ def make_analyzer(name: str, **params):
             str(params.get("filler_token", "_")),
         )
     raise ValueError(f"unknown analyzer: {name}")
+
+
+# ---------------------------------------------------------------------------
+# French / German analysis (SnowballAnalyzer stop lists are public-domain
+# Snowball project data shipped verbatim by the reference:
+# Analysis/Snowball/french_stop.txt, german_stop.txt)
+# ---------------------------------------------------------------------------
+
+FRENCH_STOP_WORDS = frozenset((
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "eux", "il", "je", "la", "le", "leur", "lui", "ma", "mais",
+    "me", "même", "mes", "moi", "mon", "ne", "nos", "notre", "nous", "on",
+    "ou", "par", "pas", "pour", "qu", "que", "qui", "sa", "se", "ses", "son",
+    "sur", "ta", "te", "tes", "toi", "ton", "tu", "un", "une", "vos",
+    "votre", "vous", "c", "d", "j", "l", "à", "m", "n", "s", "t", "y", "été",
+    "étée", "étées", "étés", "étant", "suis", "es", "est", "sommes", "êtes",
+    "sont", "serai", "seras", "sera", "serons", "serez", "seront", "serais",
+    "serait", "serions", "seriez", "seraient", "étais", "était", "étions",
+    "étiez", "étaient", "fus", "fut", "fûmes", "fûtes", "furent", "sois",
+    "soit", "soyons", "soyez", "soient", "fusse", "fusses", "fût",
+    "fussions", "fussiez", "fussent", "ayant", "eu", "eue", "eues", "eus",
+    "ai", "as", "avons", "avez", "ont", "aurai", "auras", "aura", "aurons",
+    "aurez", "auront", "aurais", "aurait", "aurions", "auriez", "auraient",
+    "avais", "avait", "avions", "aviez", "avaient", "eut", "eûmes", "eûtes",
+    "eurent", "aie", "aies", "ait", "ayons", "ayez", "aient", "eusse",
+    "eusses", "eût", "eussions", "eussiez", "eussent", "ceci", "cela",
+    "celà", "cet", "cette", "ici", "ils", "les", "leurs", "quel", "quels",
+    "quelle", "quelles", "sans", "soi",
+))
+
+GERMAN_STOP_WORDS = frozenset((
+    "aber", "alle", "allem", "allen", "aller", "alles", "als", "also", "am",
+    "an", "ander", "andere", "anderem", "anderen", "anderer", "anderes",
+    "anderm", "andern", "anderr", "anders", "auch", "auf", "aus", "bei",
+    "bin", "bis", "bist", "da", "damit", "dann", "der", "den", "des", "dem",
+    "die", "das", "daß", "derselbe", "derselben", "denselben", "desselben",
+    "demselben", "dieselbe", "dieselben", "dasselbe", "dazu", "dein",
+    "deine", "deinem", "deinen", "deiner", "deines", "denn", "derer",
+    "dessen", "dich", "dir", "du", "dies", "diese", "diesem", "diesen",
+    "dieser", "dieses", "doch", "dort", "durch", "ein", "eine", "einem",
+    "einen", "einer", "eines", "einig", "einige", "einigem", "einigen",
+    "einiger", "einiges", "einmal", "er", "ihn", "ihm", "es", "etwas",
+    "euer", "eure", "eurem", "euren", "eurer", "eures", "für", "gegen",
+    "gewesen", "hab", "habe", "haben", "hat", "hatte", "hatten", "hier",
+    "hin", "hinter", "ich", "mich", "mir", "ihr", "ihre", "ihrem", "ihren",
+    "ihrer", "ihres", "euch", "im", "in", "indem", "ins", "ist", "jede",
+    "jedem", "jeden", "jeder", "jedes", "jene", "jenem", "jenen", "jener",
+    "jenes", "jetzt", "kann", "kein", "keine", "keinem", "keinen", "keiner",
+    "keines", "können", "könnte", "machen", "man", "manche", "manchem",
+    "manchen", "mancher", "manches", "mein", "meine", "meinem", "meinen",
+    "meiner", "meines", "mit", "muss", "musste", "nach", "nicht", "nichts",
+    "noch", "nun", "nur", "ob", "oder", "ohne", "sehr", "sein", "seine",
+    "seinem", "seinen", "seiner", "seines", "selbst", "sich", "sie", "ihnen",
+    "sind", "so", "solche", "solchem", "solchen", "solcher", "solches",
+    "soll", "sollte", "sondern", "sonst", "über", "um", "und", "uns", "unse",
+    "unsem", "unsen", "unser", "unses", "unter", "viel", "vom", "von", "vor",
+    "während", "war", "waren", "warst", "was", "weg", "weil", "weiter",
+    "welche", "welchem", "welchen", "welcher", "welches", "wenn", "werde",
+    "werden", "wie", "wieder", "will", "wir", "wird", "wirst", "wo",
+    "wollen", "wollte", "würde", "würden", "zu", "zum", "zur", "zwar",
+    "zwischen",
+))
+
+# FrenchAnalyzer.DEFAULT_ARTICLES (Analysis/Fr/FrenchAnalyzer.cs:92),
+# matched case-insensitively before LowerCaseFilter runs
+FRENCH_ELISION_ARTICLES = frozenset((
+    "l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+    "lorsqu", "puisqu",
+))
+_ELISION_APOS = ("'", "\u2019")
+
+
+def _elide(tok: str) -> str:
+    """ElisionFilter (Analysis/Util/ElisionFilter.cs:30): strip a leading
+    article + apostrophe (first ' or \u2019) when the prefix is a French
+    article, else leave the token alone."""
+    for i, ch in enumerate(tok):
+        if ch in _ELISION_APOS:
+            if tok[:i].lower() in FRENCH_ELISION_ARTICLES:
+                return tok[i + 1:]
+            break
+    return tok
+
+
+def _analyze_french_light(text: str) -> tuple[list[str], list[int]]:
+    """FrenchAnalyzer chain (Analysis/Fr/FrenchAnalyzer.cs:189-209,
+    matchVersion >= 3.6): StandardTokenizer -> StandardFilter(no-op) ->
+    ElisionFilter(DEFAULT_ARTICLES) -> LowerCaseFilter -> StopFilter
+    (Snowball french_stop) -> FrenchLightStemFilter (UniNE light stemmer).
+    Positions are pre-filter ordinals, as in every chain here."""
+    from .stemmer import french_light_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = _elide(tok).lower()
+        if low and low not in FRENCH_STOP_WORDS:
+            terms.append(french_light_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
+def _analyze_german_light(text: str) -> tuple[list[str], list[int]]:
+    """GermanAnalyzer chain (Analysis/De/GermanAnalyzer.cs:176-193,
+    matchVersion >= 3.6): StandardTokenizer -> StandardFilter(no-op) ->
+    LowerCaseFilter -> StopFilter (Snowball german_stop) ->
+    GermanNormalizationFilter -> GermanLightStemFilter.  The stop check
+    runs on the lowercased un-normalized token (filter order)."""
+    from .stemmer import german_light_stem, german_normalize
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = tok.lower()
+        if low not in GERMAN_STOP_WORDS:
+            terms.append(german_light_stem(german_normalize(low)))
+            positions.append(pos)
+        pos += 1
+    return terms, positions

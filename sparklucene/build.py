@@ -109,6 +109,11 @@ class BuildConfig:
     bucket_groups: int = 1
     analyzer: str = "standard"  # make_analyzer name (whitespace/simple/...)
     analyzer_params: dict = field(default_factory=dict)
+    # PerFieldAnalyzerWrapper-style routing on a metadata column: lang value
+    # -> make_analyzer name.  Docs whose lang_col value has no entry use the
+    # default `analyzer`.  The lang column is auto-included in the docs table.
+    lang_analyzers: dict = field(default_factory=dict)
+    lang_col: str = "lang"
     # store per-occurrence character offsets with the term vectors (for
     # PostingsHighlighter).  OFF by default, exactly like the reference
     # (IndexOptions default is DOCS_AND_FREQS_AND_POSITIONS; offsets are
@@ -168,11 +173,18 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
 
 def _tokenize_udf(content_col: str, passthrough: list[str],
                   analyzer_name: str = "standard", analyzer_params: dict | None = None,
-                  store_offsets: bool = False):
+                  store_offsets: bool = False, lang_analyzers: dict | None = None,
+                  lang_col: str = "lang"):
     """mapInArrow tokenizer: per batch, tokenize every doc (Python regex is
     the only per-doc work), then build the output Arrow arrays directly --
     no per-posting Python objects.  Positions are delta-varint encoded here
-    in one vectorized pass (codec.delta_encode_positions)."""
+    in one vectorized pass (codec.delta_encode_positions).
+
+    lang_analyzers routes each doc to a per-language analyzer chain keyed by
+    its lang_col value (PerFieldAnalyzerWrapper re-expressed row-wise: the
+    reference binds analyzers per FIELD, ours per language partition of one
+    field -- same dispatch, data-driven).  Offsets storage is only supported
+    on the unrouted standard chain."""
 
     def tokenize(batch_iter):
         import pyarrow as pa
@@ -181,15 +193,22 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
         from .codec import delta_encode_positions, encode_offset_pairs
 
         with_offsets = (
-            store_offsets and analyzer_name in OFFSET_ANALYZERS and not analyzer_params
+            store_offsets and analyzer_name in OFFSET_ANALYZERS
+            and not analyzer_params and not lang_analyzers
         )
         an = (
             None if analyzer_name == "standard"
             else make_analyzer(analyzer_name, **(analyzer_params or {}))
         )
+        lang_ans = {
+            lang: make_analyzer(name) for lang, name in (lang_analyzers or {}).items()
+        }
         for batch in batch_iter:
             n = batch.num_rows
             texts = batch.column(content_col).to_pylist()
+            langs = (
+                batch.column(lang_col).to_pylist() if lang_ans else [None] * n
+            )
             all_terms: list[str] = []
             tf_parts, pos_parts, so_parts, eo_parts = [], [], [], []
             posting_counts = np.empty(n, dtype=np.int64)
@@ -203,7 +222,8 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                     so_parts.append(sflat)
                     eo_parts.append(eflat)
                 else:
-                    terms, tfs, pflat, fl = invert_arrays(t, analyzer=an)
+                    doc_an = lang_ans.get(langs[i], an)
+                    terms, tfs, pflat, fl = invert_arrays(t, analyzer=doc_an)
                 all_terms.extend(terms)
                 tf_parts.append(tfs)
                 pos_parts.append(pflat)
@@ -385,6 +405,8 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
     t0 = time.time()
     if not (cfg.resume and _stage_done(tok_dir)):
         base_cols = list(cfg.meta_cols)
+        if cfg.lang_analyzers and cfg.lang_col not in base_cols:
+            base_cols.append(cfg.lang_col)  # routing column rides the docs table
         if cfg.id_col:
             df = source.withColumn("docID", F.col(cfg.id_col).cast("long"))
             if cfg.id_col not in base_cols:
@@ -410,7 +432,8 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         )
         df.mapInArrow(
             _tokenize_udf(cfg.content_col, passthrough, cfg.analyzer,
-                          cfg.analyzer_params, cfg.store_offsets),
+                          cfg.analyzer_params, cfg.store_offsets,
+                          cfg.lang_analyzers, cfg.lang_col),
             schema=tok_schema,
         ).write.mode(
             "overwrite"
@@ -468,6 +491,8 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             "num_buckets": cfg.num_buckets,
             "analyzer": cfg.analyzer,
             "analyzer_params": cfg.analyzer_params,
+            "lang_analyzers": cfg.lang_analyzers,
+            "lang_col": cfg.lang_col,
             "salt_parts": cfg.salt_parts,
             "salt_threshold": cfg.salt_threshold,
         }

@@ -15,8 +15,9 @@ QueryParserBase.cs:186 Parse, :387 AddClause, :445 GetFieldQuery):
     0 tokens -> clause dropped; 1 token -> TermQuery; >1 -> OR of terms
   - wild?card / prefix* / fuzzy~[n] / [a TO b] / {a TO b} -> multi-term
     queries (lowercased, NOT analyzed: lowercaseExpandedTerms default true)
-  - field prefixes (field:...) are accepted and ignored -- the engine has
-    one indexed text field
+  - field prefixes (field:...): registered keyword fields (StringField
+    semantics, parse(..., keyword_fields=...)) become exact-match
+    field_term queries; other prefixes route to the default text field
   - *:* -> MatchAllDocsQuery
 """
 
@@ -84,9 +85,10 @@ def _lex(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], keyword_fields=()):
         self.toks = tokens
         self.i = 0
+        self.keyword_fields = frozenset(keyword_fields)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -159,6 +161,13 @@ class _Parser:
         if kind == RANGE:
             return self._range(tok)
         if kind == TERM:
+            # `field:"quoted value"` on a keyword field: the lexer splits it
+            # into TERM 'field:' + QUOTED; join them back to an exact match
+            if tok.endswith(":") and tok[:-1] in self.keyword_fields:
+                k2, nxt = self.peek()
+                if k2 == QUOTED:
+                    self.next()
+                    return self._field_term(tok[:-1], nxt[1:-1])
             return self._term(tok)
         raise QueryParseError(f"unexpected token {tok!r}")
 
@@ -220,12 +229,30 @@ class _Parser:
             "include_upper": inc_hi,
         }
 
+    def _field_term(self, field: str, value: str) -> dict:
+        """StringField exact match: the value is NOT analyzed and NOT
+        lowercased (KeywordAnalyzer identity, StringField.cs)."""
+        q: dict = {"type": "field_term", "field": field, "value": value}
+        boost = self._opt_boost_token()
+        if boost is not None:
+            q["boost"] = boost
+        return q
+
     def _term(self, tok: str) -> dict | None:
         if tok == "*:*":
             return {"type": "match_all"}
         fm = _FIELD_RE.match(tok)
         if fm:
-            tok = fm.group(2)  # single-field engine: field name ignored
+            if fm.group(1) in self.keyword_fields:
+                val = fm.group(2)
+                bm = _BOOST_RE.search(val)
+                q = {"type": "field_term", "field": fm.group(1),
+                     "value": val[: bm.start()] if bm else val}
+                if bm:
+                    q["boost"] = float(bm.group(1))
+                return q
+            tok = fm.group(2)  # unregistered field on the one text field:
+            # the prefix routes to the default field (analyzed body)
         boost = 1.0
         bm = _BOOST_RE.search(tok)
         if bm:
@@ -267,10 +294,15 @@ class _Parser:
         return q
 
 
-def parse(text: str) -> dict:
+def parse(text: str, keyword_fields=()) -> dict:
     """Parse a classic query string -> JSON query tree.
+
+    keyword_fields: field names with StringField semantics -- `field:value`
+    (or `field:"a value"`) on one of these produces an exact-keyword
+    field_term query (value not analyzed); any other `field:` prefix falls
+    through to the default text field as before.
     Raises QueryParseError on syntax errors or an all-stopword query."""
-    q = _Parser(_lex(text)).parse_query()
+    q = _Parser(_lex(text), keyword_fields).parse_query()
     if q is None:
         raise QueryParseError(f"query matched no indexable terms: {text!r}")
     return q

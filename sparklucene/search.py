@@ -113,6 +113,19 @@ class IndexSearcher:
             return analyze_query_text(text)
         return self._analyzer_fn(text)[0]
 
+    def analyze_query_lang(self, text: str, lang: str) -> list[str]:
+        """Query-side analysis against a lang-routed index
+        (BuildConfig.lang_analyzers): run the chain the named language's
+        documents were indexed with -- querying French docs with the French
+        stemmer, German with German.  Falls back to the index default chain
+        for unrouted languages (same dispatch as the build)."""
+        name = (self.stats.get("lang_analyzers") or {}).get(lang)
+        if name is None:
+            return self.analyze_query(text)
+        from .analysis import make_analyzer
+
+        return make_analyzer(name)(text)[0]
+
     @classmethod
     def over_segments(cls, spark: SparkSession, seg_dirs: list[str], stats: dict) -> "IndexSearcher":
         """Open a searcher over several segment dirs with pre-merged global
@@ -192,6 +205,14 @@ class IndexSearcher:
             for t in missing:
                 self._term_cache.setdefault(t, None)
         return {t: s for t in terms if (s := self._term_cache.get(t)) is not None}
+
+    def keyword_fields(self) -> frozenset[str]:
+        """Docs-table metadata columns usable as StringField-semantics
+        keyword fields in field_term queries / `field:value` parser syntax
+        (everything the build passed through except the engine's internal
+        per-doc bookkeeping columns)."""
+        internal = {"docID", "sha256", "field_len", "norm_byte", "postings"}
+        return frozenset(c for c in self.docs().columns if c not in internal)
 
     def docs(self) -> DataFrame:
         """Per-doc metadata (docID, sha256, field_len, norm_byte, ...)."""
@@ -410,6 +431,22 @@ class IndexSearcher:
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
             return self.docs().select("docID", lit.alias("score"))
+        if t == "field_term":
+            # StringField-semantics exact keyword match on a docs-table
+            # metadata column (src/Lucene.Net/Document/StringField.cs: indexed,
+            # NOT tokenized).  Scores as a constant (ConstantScore clause):
+            # the keyword field carries no tf/norms, so the match contributes
+            # `boost` like ConstantScoreQuery -- composable under boolean
+            # occur clauses (the second most-basic reference query shape,
+            # QueryParserBase.cs:445 binds per-field analyzers; keyword
+            # fields use KeywordAnalyzer = identity).
+            v = float(np.float32(boost)) if mode == "f32" else boost
+            lit = F.lit(v).cast("float" if mode == "f32" else "double")
+            return (
+                self.docs()
+                .filter(F.col(q["field"]) == q["value"])
+                .select("docID", lit.alias("score"))
+            )
         if t == "fuzzy":
             # reference default rewrite is TopTermsScoringBooleanQueryRewrite
             # (FuzzyQuery.cs ctor); constant_score kept as an explicit opt-in

@@ -164,3 +164,197 @@ def porter_stem(word: str) -> str:
         w = w[:-1]
 
     return w
+
+
+# ---------------------------------------------------------------------------
+# UniNE light stemmers (Jacques Savoy, "Light Stemming Approaches for the
+# French, Portuguese, German and Hungarian Languages", ACM SAC 2006).
+# Re-expressed in Python from the published algorithm; the reference ships
+# the same algorithm (Analysis/De/GermanLightStemmer.cs:66,
+# Analysis/Fr/FrenchLightStemmer.cs:44).
+# ---------------------------------------------------------------------------
+
+_DE_FOLD = str.maketrans({
+    "ä": "a", "à": "a", "á": "a", "â": "a",
+    "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+    "ï": "i", "ì": "i", "í": "i", "î": "i",
+    "ü": "u", "ù": "u", "ú": "u", "û": "u",
+})
+_DE_ST_ENDING = frozenset("bdfghklmnt")
+
+
+def german_light_stem(word: str) -> str:
+    """German UniNE light stem: fold accented vowels, strip plural/case
+    endings (-ern/-em/-en/-er/-es/-e/-s), then comparative/inflection
+    endings (-est/-er/-en/-st) (GermanLightStemmer.cs:66-172)."""
+    w = word.translate(_DE_FOLD)
+    n = len(w)
+    if n > 5 and w.endswith("ern"):
+        w = w[:-3]
+    elif n > 4 and w[-2:] in ("em", "en", "er", "es"):
+        w = w[:-2]
+    elif n > 3 and w.endswith("e"):
+        w = w[:-1]
+    elif n > 3 and w.endswith("s") and w[-2] in _DE_ST_ENDING:
+        w = w[:-1]
+    n = len(w)
+    if n > 5 and w.endswith("est"):
+        w = w[:-3]
+    elif n > 4 and w[-2:] in ("er", "en"):
+        w = w[:-2]
+    elif n > 4 and w.endswith("st") and w[-3] in _DE_ST_ENDING:
+        w = w[:-2]
+    return w
+
+
+def german_normalize(word: str) -> str:
+    """GermanNormalizationFilter analogue
+    (Analysis/De/GermanNormalizationFilter.cs:40): fold umlauts to the base
+    vowel, ss for ( German sharp s), and drop 'e' in ae/oe/ue digraphs --
+    via the same N/V/U state machine (the 'e' is removed only when the
+    preceding vowel state is U, so 'ue' inside a diphthong survives)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in word:
+        if c in ("a", "o"):
+            state = U
+            out.append(c)
+        elif c == "u":
+            state = U if state == N else V
+            out.append(c)
+        elif c == "e":
+            if state == U:
+                state = V
+                continue  # delete the 'e' of the ae/oe/ue digraph
+            state = V
+            out.append(c)
+        elif c in ("i", "q", "y"):
+            state = V
+            out.append(c)
+        elif c == "ä":
+            state = V
+            out.append("a")
+        elif c == "ö":
+            state = V
+            out.append("o")
+        elif c == "ü":
+            state = V
+            out.append("u")
+        elif c == "ß":
+            state = N
+            out.append("ss")
+        else:
+            state = N
+            out.append(c)
+    return "".join(out)
+
+
+_FR_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ô": "o",
+    "è": "e", "é": "e", "ê": "e",
+    "ù": "u", "û": "u", "î": "i", "ç": "c",
+})
+
+
+def _fr_norm(w: str) -> str:
+    """FrenchLightStemmer Norm (FrenchLightStemmer.cs:228): accent folding
+    + same-letter run collapsing (only for length > 4), then final -ie/-r/
+    -e/-e/double-letter trimming."""
+    if len(w) > 4:
+        w = w.translate(_FR_FOLD)
+        out = [w[0]]
+        for c in w[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        w = "".join(out)
+    if len(w) > 4 and w.endswith("ie"):
+        w = w[:-2]
+    if len(w) > 4:
+        if w.endswith("r"):
+            w = w[:-1]
+        if w.endswith("e"):
+            w = w[:-1]
+        if w.endswith("e"):
+            w = w[:-1]
+        if len(w) >= 2 and w[-1] == w[-2] and w[-1].isalpha():
+            w = w[:-1]
+    return w
+
+
+def french_light_stem(word: str) -> str:
+    """French UniNE light stem (FrenchLightStemmer.cs:44-226): plural -x/-s
+    stripping, derivational suffix rewrites (-issement->-ir,
+    -ateur/-atrice->-er, -cateur->-quer, ...), then Norm."""
+    w = word
+    if len(w) > 5 and w.endswith("x"):
+        if w[-3] == "a" and w[-2] == "u" and w[-4] != "e":
+            w = w[:-2] + "l"
+        else:
+            w = w[:-1]
+    if len(w) > 3 and w.endswith("x"):
+        w = w[:-1]
+    if len(w) > 3 and w.endswith("s"):
+        w = w[:-1]
+    if len(w) > 9 and w.endswith("issement"):
+        return _fr_norm(w[:-7] + "r")
+    if len(w) > 8 and w.endswith("issant"):
+        return _fr_norm(w[:-5] + "r")
+    if len(w) > 6 and w.endswith("ement"):
+        w = w[:-4]
+        if len(w) > 3 and w.endswith("ive"):
+            w = w[:-2] + "f"
+        return _fr_norm(w)
+    if len(w) > 11 and w.endswith("ficatrice"):
+        return _fr_norm(w[:-7] + "er")
+    if len(w) > 10 and w.endswith("ficateur"):
+        return _fr_norm(w[:-6] + "er")
+    if len(w) > 9 and w.endswith("catrice"):
+        return _fr_norm(w[:-7] + "quer")
+    if len(w) > 8 and w.endswith("cateur"):
+        return _fr_norm(w[:-6] + "quer")
+    if len(w) > 8 and w.endswith("atrice"):
+        return _fr_norm(w[:-6] + "er")
+    if len(w) > 7 and w.endswith("ateur"):
+        return _fr_norm(w[:-5] + "er")
+    if len(w) > 6 and w.endswith("trice"):
+        w = w[:-5] + "teur"
+    if len(w) > 5 and w.endswith("ième"):
+        return _fr_norm(w[:-4])
+    if len(w) > 7 and w.endswith("teuse"):
+        return _fr_norm(w[:-5] + "ter")
+    if len(w) > 6 and w.endswith("teur"):
+        return _fr_norm(w[:-4] + "ter")
+    if len(w) > 5 and w.endswith("euse"):
+        return _fr_norm(w[:-2])
+    if len(w) > 8 and w.endswith("ère"):
+        return _fr_norm(w[:-3] + "er")
+    if len(w) > 7 and w.endswith("ive"):
+        return _fr_norm(w[:-2] + "f")
+    if len(w) > 4 and (w.endswith("folle") or w.endswith("molle")):
+        return _fr_norm(w[:-3] + "u")
+    if len(w) > 9 and w.endswith("nnelle"):
+        return _fr_norm(w[:-5])
+    if len(w) > 9 and w.endswith("nnel"):
+        return _fr_norm(w[:-3])
+    if len(w) > 4 and w.endswith("ète"):
+        w = w[:-3] + "et"
+    if len(w) > 8 and w.endswith("ique"):
+        w = w[:-4]
+    if len(w) > 8 and w.endswith("esse"):
+        return _fr_norm(w[:-3])
+    if len(w) > 7 and w.endswith("inage"):
+        return _fr_norm(w[:-3])
+    if len(w) > 9 and w.endswith("isation"):
+        w = w[:-7]
+        if len(w) > 5 and w.endswith("ual"):
+            w = w[:-2] + "el"
+        return _fr_norm(w)
+    if len(w) > 9 and w.endswith("isateur"):
+        return _fr_norm(w[:-7])
+    if len(w) > 8 and w.endswith("ation"):
+        return _fr_norm(w[:-5])
+    if len(w) > 8 and w.endswith("ition"):
+        return _fr_norm(w[:-5])
+    return _fr_norm(w)

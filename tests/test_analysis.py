@@ -235,3 +235,41 @@ class TestFoldingHtmlShingle:
         s = IndexSearcher(spark, out)
         hits = {r["docID"] for r in s.search({"type": "term", "term": "big data"}, 10).collect()}
         assert hits == {0}
+
+
+def test_lang_routed_build(spark, tmp_path_factory):
+    """One index, three languages: each doc tokenized by its own chain
+    (BuildConfig.lang_analyzers routing on the lang column), queried with
+    analyze_query_lang."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": "the filters filter quickly"},
+        {"doc_id": 1, "lang": "fr", "text": "les filtres filtrent rapidement"},
+        {"doc_id": 2, "lang": "de", "text": "die Filter filtern schnell"},
+    ]
+    out = str(tmp_path_factory.mktemp("langidx"))
+    build_index(
+        spark, spark.createDataFrame(rows), out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=2,
+                    lang_analyzers={"fr": "french", "de": "german"}),
+    )
+    s = IndexSearcher(spark, out)
+    terms = {r["term"] for r in s.spark.read.parquet(out + "/term_dict").collect()}
+    # en: standard chain keeps surface forms ("the" stopped)
+    assert {"filters", "filter", "quickly"} <= terms
+    # fr: "les" stopped, filtres -> filtr..., rapidement -> rapid
+    from sparklucene.stemmer import french_light_stem, german_light_stem, german_normalize
+    assert french_light_stem("filtres") in terms
+    assert french_light_stem("rapidement") in terms
+    assert "les" not in terms
+    # de: "die" stopped; Filter/filtern -> light stems
+    assert german_light_stem(german_normalize("filtern")) in terms
+    assert "die" not in terms
+    # query-side routing: the fr analyzer applied to query text
+    fr_terms = s.analyze_query_lang("filtres", "fr")
+    got = {r["docID"] for r in s.search({"type": "term", "term": fr_terms[0]}, 10).collect()}
+    assert got == {1}
+    # unrouted lang falls back to the default chain
+    assert s.analyze_query_lang("filters", "en") == ["filters"]

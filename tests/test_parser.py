@@ -283,3 +283,39 @@ def test_cached_filter_and_filtered_search(engine):
     fdocs = {r["docID"] for r in f1.collect()}
     want = {d: s for d, s in base.items() if d in fdocs}
     assert got == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+
+
+def test_parse_keyword_field_term():
+    q = parse("lang:py AND compute", keyword_fields={"lang", "repo"})
+    assert q["type"] == "boolean"
+    kinds = {c["query"]["type"] for c in q["clauses"]}
+    assert kinds == {"field_term", "term"}
+    ft = next(c["query"] for c in q["clauses"] if c["query"]["type"] == "field_term")
+    assert ft == {"type": "field_term", "field": "lang", "value": "py"}
+    assert all(c["occur"] == "MUST" for c in q["clauses"])
+    # quoted value joins back to one exact (unanalyzed) match
+    q2 = parse('repo:"Repo One"', keyword_fields={"repo"})
+    assert q2 == {"type": "field_term", "field": "repo", "value": "Repo One"}
+    # boost sticks to the field_term node; value keeps its case
+    q3 = parse("repo:MixedCase^2", keyword_fields={"repo"})
+    assert q3 == {"type": "field_term", "field": "repo", "value": "MixedCase", "boost": 2.0}
+    # unregistered prefix falls through to the default text field
+    q4 = parse("body:compute", keyword_fields={"repo"})
+    assert q4 == {"type": "term", "term": "compute"}
+
+
+def test_field_term_search(engine):
+    searcher, _ = engine
+    q = parse("lang:py AND compute", keyword_fields=searcher.keyword_fields())
+    got = {r["docID"]: r["score"] for r in searcher.search(q, 50).collect()}
+    base = {r["docID"]: r["score"]
+            for r in searcher.search({"type": "term", "term": "compute"}, 1000).collect()}
+    py_docs = {r["docID"] for r in searcher.docs().filter("lang = 'py'").collect()}
+    want = {d: float(np.float32(s + 1.0)) for d, s in base.items() if d in py_docs}
+    assert got == dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    assert got, "fixture corpus must contain lang=py docs matching 'compute'"
+    # keyword fields are discovered from the docs table
+    assert "lang" in searcher.keyword_fields()
+    # a field_term alone is a pure constant-score filter
+    alone = searcher.search({"type": "field_term", "field": "lang", "value": "py"}, 10000)
+    assert {r["docID"] for r in alone.collect()} == py_docs

@@ -131,3 +131,66 @@ def test_analyze_parsed_rewrites_terms(spark, tmp_path_factory):
     s2 = IndexSearcher(spark, out2)
     q0 = parse("merges AND query")
     assert s2.analyze_parsed(q0) == q0
+
+
+FR_VEC_ZIP = (
+    "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/Fr/frlighttestdata.zip"
+)
+DE_VEC_ZIP = (
+    "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/De/delighttestdata.zip"
+)
+
+
+def _light_vectors(path):
+    with zipfile.ZipFile(path) as z:
+        data = z.read(z.namelist()[0]).decode("utf-8")
+    for line in data.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 2:
+            yield parts[0], parts[1]
+
+
+@pytest.mark.skipif(not os.path.exists(FR_VEC_ZIP), reason="reference vectors unavailable")
+def test_french_light_full_reference_vectors():
+    """Bit-exact vs the reference's 20,403-word frlighttestdata vectors
+    (Lucene.Net.Tests.Analysis.Common/Analysis/Fr/TestFrenchLightStemFilter.cs)."""
+    from sparklucene.stemmer import french_light_stem
+
+    mism = [(w, o, french_light_stem(w)) for w, o in _light_vectors(FR_VEC_ZIP)
+            if french_light_stem(w) != o]
+    assert mism == []
+
+
+@pytest.mark.skipif(not os.path.exists(DE_VEC_ZIP), reason="reference vectors unavailable")
+def test_german_light_full_reference_vectors():
+    """Bit-exact vs the reference's 35,033-word delighttestdata vectors
+    (Lucene.Net.Tests.Analysis.Common/Analysis/De/TestGermanLightStemFilter.cs)."""
+    from sparklucene.stemmer import german_light_stem
+
+    mism = [(w, o, german_light_stem(w)) for w, o in _light_vectors(DE_VEC_ZIP)
+            if german_light_stem(w) != o]
+    assert mism == []
+
+
+def test_french_analyzer_chain():
+    an = make_analyzer("french")
+    # elision before lowercase; french stop set; UniNE light stem
+    terms, pos = an("L'avion des chevaux nationaux")
+    assert terms == ["avion", "cheval", "national"]
+    assert pos == [0, 2, 3]  # "des" is stopped but still advances position
+
+
+def test_german_analyzer_chain():
+    an = make_analyzer("german")
+    # german stop set; normalization (umlaut folding) before light stem
+    terms, pos = an("Die Häuser und Bücher des Mannes")
+    assert terms == ["haus", "buch", "mann"]
+    assert pos == [1, 3, 5]
+
+
+def test_german_normalize_digraphs():
+    from sparklucene.stemmer import german_normalize
+
+    assert german_normalize("haeuser") == "hauser"  # ae digraph 'e' dropped
+    assert german_normalize("quelle") == "quelle"   # 'ue' after q survives (V state)
+    assert german_normalize("grüße") == "grusse"    # umlaut + sharp-s
