@@ -30,7 +30,7 @@ from sparklucene.build import BuildConfig, build_index
 from sparklucene.norms import field_len_to_byte_bounds
 from sparklucene.search import IndexSearcher
 
-FORMAT_VERSION = 6  # v6: gate index keeps the source column for facet dims
+FORMAT_VERSION = 7  # v7: pay_blob payload stream column in tokenized + blocks
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -410,6 +410,24 @@ def _q_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfr_beb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR Be-B-H1 single term (Bose-Einstein limiting form, Bernoulli
+    after-effect, H1 uniform length normalization)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("merge"), 15, similarity="dfr_beb1", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_ib_spl_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB SPL-DF-H1 disjunction (smoothed power law under H1)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("batch")), ("SHOULD", _t("scan"))])
+    return s.search_sim(q, 20, similarity="ib_spl_h1", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase "table hash"~2 (SloppyPhraseScorer.cs:101-146 greedy
     matching; freq = sum of 1/(matchLength+1)).  The greedy alignment isn't
@@ -507,6 +525,23 @@ def _q_postings_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggester: prefix completion ranked by df (weight) desc, term asc."""
     return _searcher(spark, sf_dir).suggest_terms("s", n=10)
+
+
+def _q_analyzing_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingSuggester: completion keyed by the ANALYZED (EnglishAnalyzer
+    = Porter-stemmed) form -- querying 'merges' (analyzed: 'merg') completes
+    to every surface form whose stem starts with 'merg' (merge/merges/
+    merged/merging...), weight = corpus occurrence count, exact analyzed
+    matches first."""
+    from sparklucene.suggest import AnalyzingSuggester
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    entries = (
+        docs.select(F.explode(dp.ws_tokens("text")).alias("surface"))
+        .groupBy("surface").agg(F.count("*").alias("weight"))
+    )
+    sug = AnalyzingSuggester(spark, entries, analyzer="english")
+    return sug.lookup("merges", 5)
 
 
 def _q_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,6 +717,58 @@ def _lang_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleNaiveBayesClassifier self-classification of the documents table
+    (label = lang): per doc, argmax over classes of prior + add-1-smoothed
+    log likelihood; score = 10/|max| as in the reference AssignClass."""
+    from sparklucene.classify import nb_classify_all
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = nb_classify_all(docs, text_col="text", label_col="lang")
+    return out.select("doc_id", "label_pred", F.round("score", 4).alias("score"))
+
+
+_PAY_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _pay_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the delimited_payload analyzer over a derived corpus
+    where every token carries a deterministic payload: tok -> tok|((pos%5)+1).
+    Stripping the payloads reproduces the base tokenization, so BM25 equals
+    the standard index and the oracle can derive each payload from pos."""
+    key = os.path.abspath(sf_dir)
+    s = _PAY_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_pay", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pay_docs = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(split(text, ' '),"
+            " (x, i) -> concat(x, '|', cast((i % 5) + 1 AS string))), ' ')"
+        ).alias("text"),
+    )
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="delimited_payload", resume=True,
+    )
+    build_index(spark, pay_docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _PAY_SEARCHERS[key] = s
+    return s
+
+
+def _q_payload_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadTermQuery: BM25 'merge' score x AveragePayloadFunction over
+    the per-occurrence payloads ((pos%5)+1 by construction)."""
+    s = _pay_searcher(spark, sf_dir)
+    out = s.payload_term_search("merge", 15, "avg", mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_lang_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-routed index: query text 'filter' analyzed with the FRENCH
     chain (analyze_query_lang) yields the stem 'filt' -- which both the
@@ -839,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ib_or"] = _q_ib_or
     out["dfr_gb2"] = _q_dfr_gb2
     out["ib_ll"] = _q_ib_ll
+    out["dfr_beb1"] = _q_dfr_beb1
+    out["ib_spl_h1"] = _q_ib_spl_h1
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["sloppy_rpts"] = _q_sloppy_rpts
     out["multi_phrase"] = _q_multi_phrase
@@ -856,11 +945,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
     out["lang_routed"] = _q_lang_routed
+    out["payload_term"] = _q_payload_term
+    out["nb_classify"] = _q_nb_classify
     out["prefix_scored"] = _q_prefix_scored
     out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
     out["postings_offsets"] = _q_postings_offsets
     out["suggest_prefix"] = _q_suggest_prefix
+    out["analyzing_suggest"] = _q_analyzing_suggest
     out["spell_check"] = _q_spell_check
     out["spell_damerau"] = _q_spell_damerau
     out["custom_score"] = _q_custom_score
@@ -1426,6 +1518,42 @@ d AS (
 SELECT doc_id, round(sum(-ln(lam / (tfn + lam))), 4) AS score
 FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
+    sqls["dfr_beb1"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * s.avgdl / n.qlen AS tfn,
+         t.ttf AS ttf, t.df AS df, s.max_doc AS n_docs
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'merge'
+),
+e AS (
+  SELECT doc_id, tfn, ttf, df,
+         ttf + 1.0 + tfn AS bigf,
+         ttf + 1.0 + tfn + n_docs AS nbe
+  FROM d
+)
+SELECT doc_id,
+       round((
+         -ln((nbe - 1.0) * exp(1.0)) / ln(2.0)
+         + ((nbe + bigf - tfn - 2.0 + 0.5)
+              * ln((nbe + bigf - 1.0) / (nbe + bigf - tfn - 2.0)) / ln(2.0)
+            + (tfn + 1.0) * ln(nbe + bigf - 1.0) / ln(2.0))
+         - ((bigf - tfn + 0.5) * ln(bigf / (bigf - tfn)) / ln(2.0)
+            + tfn * ln(bigf) / ln(2.0))
+       ) * (ttf + 2.0) / ((df + 1.0) * (tfn + 1.0)), 4) AS score
+FROM e ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["ib_spl_h1"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * s.avgdl / n.qlen AS tfn,
+         (t.df + 1.0) / (s.max_doc + 1.0) AS lam
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN ('batch', 'scan')
+)
+SELECT doc_id,
+       round(sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))), 4) AS score
+FROM d GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
     # sloppy_phrase "table hash"~2: the greedy SloppyPhraseScorer alignment
     # for TWO distinct terms reduces to an anchor zigzag (fuzz-verified vs
     # the reference-ported kernel over 50k random position lists, see
@@ -1483,6 +1611,54 @@ ORDER BY score DESC, doc_id LIMIT 15"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'filt'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["payload_term"] = f"""{_prelude()},
+pay AS (
+  SELECT doc_id, avg((pos % 5) + 1.0) AS pf
+  FROM emitted WHERE term = 'merge' GROUP BY doc_id
+)
+SELECT s.doc_id AS doc_id, round(s.score * p.pf, 4) AS score
+FROM scored s JOIN pay p USING (doc_id) WHERE s.term = 'merge'
+ORDER BY s.score * p.pf DESC, s.doc_id LIMIT 15"""
+    sqls["nb_classify"] = """
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM dt),
+gstats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM tok))::DOUBLE AS n_pairs
+),
+classes AS (
+  SELECT lang AS cls, count(DISTINCT doc_id)::DOUBLE AS df_c FROM dt GROUP BY lang
+),
+cstats AS (
+  SELECT c.cls, (g.n_pairs / g.n) * c.df_c + g.n AS den,
+         ln(c.df_c) - ln(g.n) AS prior
+  FROM classes c CROSS JOIN gstats g
+),
+hits AS (
+  SELECT lang AS cls, term, count(DISTINCT doc_id)::DOUBLE AS hits
+  FROM tok GROUP BY lang, term
+),
+tc AS (
+  SELECT t.doc_id, c.cls, c.den, c.prior, coalesce(h.hits, 0) AS hits
+  FROM (SELECT doc_id, term FROM tok) t
+  CROSS JOIN cstats c
+  LEFT JOIN hits h ON h.cls = c.cls AND h.term = t.term
+),
+scored AS (
+  SELECT doc_id, cls, any_value(prior) + sum(ln((hits + 1.0) / den)) AS clval
+  FROM tc GROUP BY doc_id, cls
+),
+ranked AS (
+  SELECT doc_id, cls, clval,
+         row_number() OVER (PARTITION BY doc_id ORDER BY clval DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, cls AS label_pred, round(10.0 / abs(clval), 4) AS score
+FROM ranked WHERE rn = 1"""
     sqls["prefix_scored"] = f"""{_prelude()}
 SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term LIKE 'sp%'
@@ -1530,6 +1706,23 @@ FROM cpos WHERE lower(tok) = 'merge' GROUP BY doc_id"""
     sqls["suggest_prefix"] = f"""{_prelude()}
 SELECT term, df FROM tstats WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10"""
+    sqls["analyzing_suggest"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS surface FROM documents
+),
+ent AS (
+  SELECT surface, count(*)::BIGINT AS weight FROM toks
+  WHERE surface <> '' GROUP BY surface
+),
+stemmap(w, st) AS (SELECT * FROM (VALUES {_stem_map_values()}) v),
+an AS (
+  SELECT e.surface, e.weight, coalesce(m.st, e.surface) AS analyzed
+  FROM ent e LEFT JOIN stemmap m ON e.surface = m.w
+  WHERE e.surface NOT IN ({_stop_sql()})
+)
+SELECT surface, weight FROM an
+WHERE analyzed LIKE 'merg%'
+ORDER BY (analyzed <> 'merg'), weight DESC, surface LIMIT 5"""
     sqls["spell_check"] = f"""{_prelude()}
 SELECT term, levenshtein(term, 'spakr')::INT AS dist, df
 FROM tstats

@@ -50,7 +50,12 @@ def main() -> None:
         spark,
         docs,
         out,
-        BuildConfig(content_col="text", id_col="doc_id", num_buckets=32, resume=False),
+        # meta_cols carries the keyword-field metadata (production tables
+        # ship repo/path/lang alongside content) -- r3 adds it for the
+        # field_term bench row; passthrough columns ride the tokenized
+        # write only, not the postings shuffle
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=32,
+                    meta_cols=("lang",), resume=False),
     )
     build_s = time.time() - t0
 
@@ -74,6 +79,14 @@ def main() -> None:
     searcher.search_wand(entrymod.QUERY_TREES["bool_or"][0], 20, mode="f32").collect()
     qtimes["wand_forced"] = round(time.time() - t0, 3)
     searcher.wand_min_cost = saved
+
+    # round-3 additions: keyword-field conjunction and payload scoring
+    from sparklucene.parser import parse
+
+    fq = parse("lang:en AND spark", keyword_fields=searcher.keyword_fields())
+    t0 = time.time()
+    searcher.search(fq, 10, mode="f32").collect()
+    qtimes["field_term"] = round(time.time() - t0, 3)
 
     # training-data pipeline headliners
     from sparklucene import datapipe as dp

@@ -493,6 +493,20 @@ def make_analyzer(name: str, **params):
         return _analyze_french_light
     if name == "german":
         return _analyze_german_light
+    if name == "spanish":
+        return _analyze_spanish_light
+    if name == "italian":
+        return _analyze_italian_light
+    if name == "portuguese":
+        return _analyze_portuguese_light
+    if name == "delimited_payload":
+        delim = str(params.get("delimiter", "|"))
+
+        def _no_payload(text: str):
+            terms, positions, _pay = _analyze_delimited_payload(text, delim)
+            return terms, positions
+
+        return _no_payload
     if name == "standard_folding":
         return _analyze_standard_folding
     if name == "html":
@@ -633,3 +647,256 @@ def _analyze_german_light(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+# ---------------------------------------------------------------------------
+# payloads (DelimitedPayloadTokenFilter,
+# Analysis/Payloads/DelimitedPayloadTokenFilter.cs + FloatEncoder.cs)
+# ---------------------------------------------------------------------------
+
+PAYLOAD_ANALYZERS = ("delimited_payload",)
+
+
+def _analyze_delimited_payload(
+    text: str, delimiter: str = "|"
+) -> tuple[list[str], list[int], list[float]]:
+    """Whitespace tokenize -> DelimitedPayloadTokenFilter (strip a trailing
+    '<delim><float>' and carry it as the token's payload; 1.0 when absent)
+    -> LowerCaseFilter -> StopFilter (standard 33-word set).  The reference
+    wires DelimitedPayloadTokenFilter over WhitespaceTokenizer in its
+    payload tests; positions are pre-stop-filter ordinals as everywhere."""
+    terms: list[str] = []
+    positions: list[int] = []
+    payloads: list[float] = []
+    pos = 0
+    for tok in text.split(" "):
+        if not tok:
+            continue  # whitespace tokenizer emits no empty tokens
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        pay = 1.0
+        i = tok.rfind(delimiter)
+        if i > 0:
+            try:
+                pay = float(tok[i + 1:])
+                tok = tok[:i]
+            except ValueError:
+                pass  # not a float payload: delimiter is part of the token
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(low)
+            positions.append(pos)
+            payloads.append(pay)
+        pos += 1
+    return terms, positions, payloads
+
+
+def invert_arrays_payloads(
+    text: str, delimiter: str = "|"
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, int]:
+    """:func:`invert_arrays` twin carrying per-occurrence payloads
+    -> (unique terms SORTED, tf, positions_flat, payloads_flat float32,
+    field_len); the payload array is parallel to positions_flat."""
+    terms, positions, payloads = _analyze_delimited_payload(text, delimiter)
+    n = len(terms)
+    if n == 0:
+        return (
+            [], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float32), 0,
+        )
+    t_arr = np.array(terms, dtype=object)
+    p_arr = np.asarray(positions, dtype=np.int64)
+    y_arr = np.asarray(payloads, dtype=np.float32)
+    order = np.argsort(t_arr, kind="stable")
+    st = t_arr[order]
+    run_starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+    tfs = np.diff(np.append(run_starts, n))
+    flen = int(np.unique(p_arr).size)
+    return st[run_starts].tolist(), tfs, p_arr[order], y_arr[order], flen
+
+
+# ---------------------------------------------------------------------------
+# Spanish / Italian / Portuguese analysis (Snowball stop lists shipped
+# verbatim by the reference: Analysis/Snowball/spanish_stop.txt,
+# italian_stop.txt, portuguese_stop.txt)
+# ---------------------------------------------------------------------------
+
+SPANISH_STOP_WORDS = frozenset((
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como", "más",
+    "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta", "entre",
+    "cuando", "muy", "sin", "sobre", "también", "me", "hasta", "hay",
+    "donde", "quien", "desde", "todo", "nos", "durante", "todos", "uno",
+    "les", "ni", "contra", "otros", "ese", "eso", "ante", "ellos", "e",
+    "esto", "mí", "antes", "algunos", "qué", "unos", "yo", "otro", "otras",
+    "otra", "él", "tanto", "esa", "estos", "mucho", "quienes", "nada",
+    "muchos", "cual", "poco", "ella", "estar", "estas", "algunas", "algo",
+    "nosotros", "mi", "mis", "tú", "te", "ti", "tu", "tus", "ellas",
+    "nosotras", "vosotros", "vosotras", "os", "mío", "mía", "míos", "mías",
+    "tuyo", "tuya", "tuyos", "tuyas", "suyo", "suya", "suyos", "suyas",
+    "nuestro", "nuestra", "nuestros", "nuestras", "vuestro", "vuestra",
+    "vuestros", "vuestras", "esos", "esas", "estoy", "estás", "está",
+    "estamos", "estáis", "están", "esté", "estés", "estemos", "estéis",
+    "estén", "estaré", "estarás", "estará", "estaremos", "estaréis",
+    "estarán", "estaría", "estarías", "estaríamos", "estaríais", "estarían",
+    "estaba", "estabas", "estábamos", "estabais", "estaban", "estuve",
+    "estuviste", "estuvo", "estuvimos", "estuvisteis", "estuvieron",
+    "estuviera", "estuvieras", "estuviéramos", "estuvierais", "estuvieran",
+    "estuviese", "estuvieses", "estuviésemos", "estuvieseis", "estuviesen",
+    "estando", "estado", "estada", "estados", "estadas", "estad", "he",
+    "has", "ha", "hemos", "habéis", "han", "haya", "hayas", "hayamos",
+    "hayáis", "hayan", "habré", "habrás", "habrá", "habremos", "habréis",
+    "habrán", "habría", "habrías", "habríamos", "habríais", "habrían",
+    "había", "habías", "habíamos", "habíais", "habían", "hube", "hubiste",
+    "hubo", "hubimos", "hubisteis", "hubieron", "hubiera", "hubieras",
+    "hubiéramos", "hubierais", "hubieran", "hubiese", "hubieses",
+    "hubiésemos", "hubieseis", "hubiesen", "habiendo", "habido", "habida",
+    "habidos", "habidas", "soy", "eres", "es", "somos", "sois", "son", "sea",
+    "seas", "seamos", "seáis", "sean", "seré", "serás", "será", "seremos",
+    "seréis", "serán", "sería", "serías", "seríamos", "seríais", "serían",
+    "era", "eras", "éramos", "erais", "eran", "fui", "fuiste", "fue",
+    "fuimos", "fuisteis", "fueron", "fuera", "fueras", "fuéramos", "fuerais",
+    "fueran", "fuese", "fueses", "fuésemos", "fueseis", "fuesen", "siendo",
+    "sido", "tengo", "tienes", "tiene", "tenemos", "tenéis", "tienen",
+    "tenga", "tengas", "tengamos", "tengáis", "tengan", "tendré", "tendrás",
+    "tendrá", "tendremos", "tendréis", "tendrán", "tendría", "tendrías",
+    "tendríamos", "tendríais", "tendrían", "tenía", "tenías", "teníamos",
+    "teníais", "tenían", "tuve", "tuviste", "tuvo", "tuvimos", "tuvisteis",
+    "tuvieron", "tuviera", "tuvieras", "tuviéramos", "tuvierais", "tuvieran",
+    "tuviese", "tuvieses", "tuviésemos", "tuvieseis", "tuviesen", "teniendo",
+    "tenido", "tenida", "tenidos", "tenidas", "tened",
+))
+
+ITALIAN_STOP_WORDS = frozenset((
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle", "con",
+    "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall", "dagl",
+    "dalla", "dalle", "di", "del", "dello", "dei", "degli", "dell", "degl",
+    "della", "delle", "in", "nel", "nello", "nei", "negli", "nell", "negl",
+    "nella", "nelle", "su", "sul", "sullo", "sui", "sugli", "sull", "sugl",
+    "sulla", "sulle", "per", "tra", "contro", "io", "tu", "lui", "lei",
+    "noi", "voi", "loro", "mio", "mia", "miei", "mie", "tuo", "tua", "tuoi",
+    "tue", "suo", "sua", "suoi", "sue", "nostro", "nostra", "nostri",
+    "nostre", "vostro", "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi",
+    "lo", "la", "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma",
+    "ed", "se", "perché", "anche", "come", "dov", "dove", "che", "chi",
+    "cui", "non", "più", "quale", "quanto", "quanti", "quanta", "quante",
+    "quello", "quelli", "quella", "quelle", "questo", "questi", "questa",
+    "queste", "si", "tutto", "tutti", "a", "c", "e", "i", "l", "o", "ho",
+    "hai", "ha", "abbiamo", "avete", "hanno", "abbia", "abbiate", "abbiano",
+    "avrò", "avrai", "avrà", "avremo", "avrete", "avranno", "avrei",
+    "avresti", "avrebbe", "avremmo", "avreste", "avrebbero", "avevo",
+    "avevi", "aveva", "avevamo", "avevate", "avevano", "ebbi", "avesti",
+    "ebbe", "avemmo", "aveste", "ebbero", "avessi", "avesse", "avessimo",
+    "avessero", "avendo", "avuto", "avuta", "avuti", "avute", "sono", "sei",
+    "è", "siamo", "siete", "sia", "siate", "siano", "sarò", "sarai", "sarà",
+    "saremo", "sarete", "saranno", "sarei", "saresti", "sarebbe", "saremmo",
+    "sareste", "sarebbero", "ero", "eri", "era", "eravamo", "eravate",
+    "erano", "fui", "fosti", "fu", "fummo", "foste", "furono", "fossi",
+    "fosse", "fossimo", "fossero", "essendo", "faccio", "fai", "facciamo",
+    "fanno", "faccia", "facciate", "facciano", "farò", "farai", "farà",
+    "faremo", "farete", "faranno", "farei", "faresti", "farebbe", "faremmo",
+    "fareste", "farebbero", "facevo", "facevi", "faceva", "facevamo",
+    "facevate", "facevano", "feci", "facesti", "fece", "facemmo", "faceste",
+    "fecero", "facessi", "facesse", "facessimo", "facessero", "facendo",
+    "sto", "stai", "sta", "stiamo", "stanno", "stia", "stiate", "stiano",
+    "starò", "starai", "starà", "staremo", "starete", "staranno", "starei",
+    "staresti", "starebbe", "staremmo", "stareste", "starebbero", "stavo",
+    "stavi", "stava", "stavamo", "stavate", "stavano", "stetti", "stesti",
+    "stette", "stemmo", "steste", "stettero", "stessi", "stesse", "stessimo",
+    "stessero", "stando",
+))
+
+PORTUGUESE_STOP_WORDS = frozenset((
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com", "não",
+    "uma", "os", "no", "se", "na", "por", "mais", "as", "dos", "como", "mas",
+    "ao", "ele", "das", "à", "seu", "sua", "ou", "quando", "muito", "nos",
+    "já", "eu", "também", "só", "pelo", "pela", "até", "isso", "ela",
+    "entre", "depois", "sem", "mesmo", "aos", "seus", "quem", "nas", "me",
+    "esse", "eles", "você", "essa", "num", "nem", "suas", "meu", "às",
+    "minha", "numa", "pelos", "elas", "qual", "nós", "lhe", "deles", "essas",
+    "esses", "pelas", "este", "dele", "tu", "te", "vocês", "vos", "lhes",
+    "meus", "minhas", "teu", "tua", "teus", "tuas", "nosso", "nossa",
+    "nossos", "nossas", "dela", "delas", "esta", "estes", "estas", "aquele",
+    "aquela", "aqueles", "aquelas", "isto", "aquilo", "estou", "está",
+    "estamos", "estão", "estive", "esteve", "estivemos", "estiveram",
+    "estava", "estávamos", "estavam", "estivera", "estivéramos", "esteja",
+    "estejamos", "estejam", "estivesse", "estivéssemos", "estivessem",
+    "estiver", "estivermos", "estiverem", "hei", "há", "havemos", "hão",
+    "houve", "houvemos", "houveram", "houvera", "houvéramos", "haja",
+    "hajamos", "hajam", "houvesse", "houvéssemos", "houvessem", "houver",
+    "houvermos", "houverem", "houverei", "houverá", "houveremos", "houverão",
+    "houveria", "houveríamos", "houveriam", "sou", "somos", "são", "era",
+    "éramos", "eram", "fui", "foi", "fomos", "foram", "fora", "fôramos",
+    "seja", "sejamos", "sejam", "fosse", "fôssemos", "fossem", "for",
+    "formos", "forem", "serei", "será", "seremos", "serão", "seria",
+    "seríamos", "seriam", "tenho", "tem", "temos", "tém", "tinha",
+    "tínhamos", "tinham", "tive", "teve", "tivemos", "tiveram", "tivera",
+    "tivéramos", "tenha", "tenhamos", "tenham", "tivesse", "tivéssemos",
+    "tivessem", "tiver", "tivermos", "tiverem", "terei", "terá", "teremos",
+    "terão", "teria", "teríamos", "teriam",
+))
+
+# ItalianAnalyzer.DEFAULT_ARTICLES (Analysis/It/ItalianAnalyzer.cs:51)
+ITALIAN_ELISION_ARTICLES = frozenset((
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell", "gl",
+    "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s", "v", "d",
+))
+
+
+def _elide_with(tok: str, articles: frozenset) -> str:
+    for i, ch in enumerate(tok):
+        if ch in _ELISION_APOS:
+            if tok[:i].lower() in articles:
+                return tok[i + 1:]
+            break
+    return tok
+
+
+def _make_light_chain(stop_set, stem_fn, articles=None):
+    """Standard chain skeleton shared by the UniNE-light analyzers:
+    StandardTokenizer -> [ElisionFilter] -> LowerCase -> Stop -> light stem,
+    positions pre-filter as everywhere."""
+    def _an(text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for tok in tokenize_raw(text):
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            if articles is not None:
+                tok = _elide_with(tok, articles)
+            low = tok.lower()
+            if low and low not in stop_set:
+                terms.append(stem_fn(low))
+                positions.append(pos)
+            pos += 1
+        return terms, positions
+    return _an
+
+
+def _analyze_spanish_light(text: str) -> tuple[list[str], list[int]]:
+    """SpanishAnalyzer chain (Analysis/Es/SpanishAnalyzer.cs:128-137,
+    matchVersion >= 3.6): Standard -> Lower -> Stop(Snowball spanish) ->
+    SpanishLightStemFilter."""
+    from .stemmer import spanish_light_stem
+    return _make_light_chain(SPANISH_STOP_WORDS, spanish_light_stem)(text)
+
+
+def _analyze_italian_light(text: str) -> tuple[list[str], list[int]]:
+    """ItalianAnalyzer chain (Analysis/It/ItalianAnalyzer.cs:137-160,
+    matchVersion >= 3.6): Standard -> Elision(DEFAULT_ARTICLES) -> Lower ->
+    Stop(Snowball italian) -> ItalianLightStemFilter."""
+    from .stemmer import italian_light_stem
+    return _make_light_chain(
+        ITALIAN_STOP_WORDS, italian_light_stem, ITALIAN_ELISION_ARTICLES
+    )(text)
+
+
+def _analyze_portuguese_light(text: str) -> tuple[list[str], list[int]]:
+    """PortugueseAnalyzer chain (Analysis/Pt/PortugueseAnalyzer.cs:128-137,
+    matchVersion >= 3.6): Standard -> Lower -> Stop(Snowball portuguese) ->
+    PortugueseLightStemFilter."""
+    from .stemmer import portuguese_light_stem
+    return _make_light_chain(PORTUGUESE_STOP_WORDS, portuguese_light_stem)(text)

@@ -69,6 +69,10 @@ TOKENIZED_SCHEMA_POSTINGS = T.ArrayType(
             # highlighting is docID-pushdown random access, not scan access.
             # Empty for analyzers without offset support.
             T.StructField("off_blob", T.BinaryType()),
+            # per-occurrence float32-LE payloads (the .pay payload stream of
+            # Lucene41PostingsFormat), parallel to the position stream.
+            # Empty for analyzers without payload support.
+            T.StructField("pay_blob", T.BinaryType()),
         ]
     )
 )
@@ -90,6 +94,9 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("tf_blob", T.BinaryType()),
         T.StructField("norm_blob", T.BinaryType()),
         T.StructField("pos_blob", T.BinaryType()),
+        # concatenated per-row float32-LE payload streams (.pay analogue);
+        # empty when the index stores no payloads
+        T.StructField("pay_blob", T.BinaryType()),
     ]
 )
 
@@ -189,17 +196,22 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
     def tokenize(batch_iter):
         import pyarrow as pa
 
-        from .analysis import OFFSET_ANALYZERS, invert_arrays_offsets, make_analyzer
+        from .analysis import (
+            OFFSET_ANALYZERS, PAYLOAD_ANALYZERS, invert_arrays_offsets,
+            invert_arrays_payloads, make_analyzer,
+        )
         from .codec import delta_encode_positions, encode_offset_pairs
 
         with_offsets = (
             store_offsets and analyzer_name in OFFSET_ANALYZERS
             and not analyzer_params and not lang_analyzers
         )
+        with_payloads = analyzer_name in PAYLOAD_ANALYZERS and not lang_analyzers
         an = (
-            None if analyzer_name == "standard"
+            None if analyzer_name == "standard" or with_payloads
             else make_analyzer(analyzer_name, **(analyzer_params or {}))
         )
+        pay_delim = (analyzer_params or {}).get("delimiter", "|")
         lang_ans = {
             lang: make_analyzer(name) for lang, name in (lang_analyzers or {}).items()
         }
@@ -210,7 +222,7 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                 batch.column(lang_col).to_pylist() if lang_ans else [None] * n
             )
             all_terms: list[str] = []
-            tf_parts, pos_parts, so_parts, eo_parts = [], [], [], []
+            tf_parts, pos_parts, so_parts, eo_parts, pay_parts = [], [], [], [], []
             posting_counts = np.empty(n, dtype=np.int64)
             flen = np.empty(n, dtype=np.int64)
             for i, txt in enumerate(texts):
@@ -221,6 +233,11 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                     )
                     so_parts.append(sflat)
                     eo_parts.append(eflat)
+                elif with_payloads:
+                    terms, tfs, pflat, yflat, fl = invert_arrays_payloads(
+                        t, pay_delim
+                    )
+                    pay_parts.append(yflat)
                 else:
                     doc_an = lang_ans.get(langs[i], an)
                     terms, tfs, pflat, fl = invert_arrays(t, analyzer=doc_an)
@@ -275,10 +292,36 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                         pa.py_buffer(b""),
                     ],
                 )
+            if with_payloads:
+                pay_all = (
+                    np.concatenate(pay_parts) if pay_parts
+                    else np.empty(0, dtype=np.float32)
+                )
+                pay_blob_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    int(tfs_all.size),
+                    [
+                        None,
+                        pa.py_buffer((post_offs * 4).astype(np.int32).tobytes()),
+                        pa.py_buffer(pay_all.astype("<f4").tobytes()),
+                    ],
+                )
+            else:
+                pay_blob_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    int(tfs_all.size),
+                    [
+                        None,
+                        pa.py_buffer(
+                            np.zeros(int(tfs_all.size) + 1, dtype=np.int32).tobytes()
+                        ),
+                        pa.py_buffer(b""),
+                    ],
+                )
             struct = pa.StructArray.from_arrays(
                 [pa.array(all_terms, pa.string()), pa.array(tfs_all, pa.int32()),
-                 pos_blob_arr, off_blob_arr],
-                names=["term", "tf", "pos_blob", "off_blob"],
+                 pos_blob_arr, off_blob_arr, pay_blob_arr],
+                names=["term", "tf", "pos_blob", "off_blob", "pay_blob"],
             )
             list_offs = pa.array(
                 np.concatenate(([0], np.cumsum(posting_counts))).astype(np.int32)
@@ -325,6 +368,7 @@ def _encode_blocks_udf():
             pa.field("tf_blob", pa.binary()),
             pa.field("norm_blob", pa.binary()),
             pa.field("pos_blob", pa.binary()),
+            pa.field("pay_blob", pa.binary()),
         ]
     )
 
@@ -341,17 +385,26 @@ def _encode_blocks_udf():
         term_chunk = tbl.column("term").combine_chunks()
         if isinstance(term_chunk, pa.ChunkedArray):
             term_chunk = term_chunk.chunk(0) if term_chunk.num_chunks else pa.array([], pa.string())
-        pos_chunk = tbl.column("pos_blob").combine_chunks()
-        if isinstance(pos_chunk, pa.ChunkedArray):
-            pos_chunk = pos_chunk.chunk(0) if pos_chunk.num_chunks else pa.array([], pa.binary())
+        def _binary_stream(col_name):
+            chunk = tbl.column(col_name).combine_chunks()
+            if isinstance(chunk, pa.ChunkedArray):
+                chunk = chunk.chunk(0) if chunk.num_chunks else pa.array([], pa.binary())
+            bufs = chunk.buffers()
+            offs = (
+                np.frombuffer(bufs[1], dtype=np.int32)
+                if bufs[1] is not None else np.zeros(1, np.int32)
+            )
+            offs = offs[chunk.offset : chunk.offset + n + 1].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8)
+            )
+            return data, offs
+
         # zero-copy byte stream + per-row byte offsets from the binary
         # array's buffers (already delta-varint encoded at tokenize time)
-        bufs = pos_chunk.buffers()
-        raw_offs = np.frombuffer(bufs[1], dtype=np.int32) if bufs[1] is not None else np.zeros(1, np.int32)
-        pos_byte_offsets = raw_offs[pos_chunk.offset : pos_chunk.offset + n + 1].astype(np.int64)
-        pos_data = (
-            np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-        )
+        pos_data, pos_byte_offsets = _binary_stream("pos_blob")
+        pay_data, pay_byte_offsets = _binary_stream("pay_blob")
         # group change: term or salt differs from the previous row
         import pyarrow.compute as pc
 
@@ -364,6 +417,14 @@ def _encode_blocks_udf():
         row_idx = blocks["row_idx"]
         if len(row_idx) == 0:
             return
+        # payload stream: per-row f32-LE blobs concatenate into the block's
+        # blob exactly like positions (one slice of the partition stream)
+        pay_mv = pay_data.tobytes()
+        rs = np.asarray(row_idx, dtype=np.int64)
+        re_ = rs + np.asarray(blocks["num_docs"], dtype=np.int64)
+        pay_blobs = [
+            pay_mv[pay_byte_offsets[a]:pay_byte_offsets[b]] for a, b in zip(rs, re_)
+        ]
         take = pa.array(row_idx, type=pa.int64())
         yield pa.record_batch(
             [
@@ -382,6 +443,7 @@ def _encode_blocks_udf():
                 pa.array(blocks["tf_blob"], type=pa.binary()),
                 pa.array(blocks["norm_blob"], type=pa.binary()),
                 pa.array(blocks["pos_blob"], type=pa.binary()),
+                pa.array(pay_blobs, type=pa.binary()),
             ],
             schema=arrow_schema,
         )
@@ -518,6 +580,10 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         if os.path.exists(grp_dir):
             shutil.rmtree(grp_dir)  # partial output from a crashed run
         tg = time.time()
+        has_pay = any(
+            f.name == "pay_blob"
+            for f in tokenized.schema["postings"].dataType.elementType.fields
+        )
         exploded = (
             tokenized.select("docID", "norm_byte", F.explode("postings").alias("p"))
             .select(
@@ -526,6 +592,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
                 F.col("p.term").alias("term"),
                 F.col("p.tf").alias("tf"),
                 F.col("p.pos_blob").alias("pos_blob"),
+                (F.col("p.pay_blob") if has_pay else F.lit(b"")).alias("pay_blob"),
             )
             .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
         )

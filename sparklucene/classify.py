@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def knn_classify(
@@ -27,4 +28,84 @@ def knn_classify(
         joined.groupBy(F.col(label_col).alias("label"))
         .agg(F.count("*").alias("votes"), F.sum("score").alias("score_sum"))
         .orderBy(F.desc("votes"), F.desc("score_sum"), F.asc("label"))
+    )
+
+
+def nb_classify_all(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang",
+    id_col: str = "doc_id", tokens_fn=None,
+) -> DataFrame:
+    """SimpleNaiveBayesClassifier (src/Lucene.Net.Classification/
+    SimpleNaiveBayesClassifier.cs:140-215) applied to every document at once
+    (self-classification over the training set -- the distributed twin of
+    train-then-AssignClass):
+
+      prior(c)       = ln(df(c)) - ln(N)
+      loglik(doc, c) = sum over doc tokens w (with multiplicity) of
+                       ln((hits(w,c) + 1) / den(c))       [add-1 smoothing]
+      hits(w, c)     = number of class-c docs CONTAINING w (doc freq)
+      den(c)         = avg_unique_terms_per_doc * df(c) + N
+                       (GetTextTermFreqForClass + _docsWithClassSize)
+      assigned       = argmax_c prior + loglik; score = 10 / |max|
+                       (ties broken by class name ascending, matching the
+                       reference's first-wins terms-dict iteration order)
+
+    ALL classes and all docs are scored in one plan: tokens x classes join
+    against the (term, class)->hits table, one groupBy, no per-class driver
+    loop.  tokens_fn: column expr producing the token array (default:
+    lowercased whitespace split, the ws_tokens dedup tokenization).
+    -> (doc_id, label_pred, score)."""
+    from .datapipe import ws_tokens
+
+    toks_col = tokens_fn if tokens_fn is not None else ws_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(label_col).alias("label"),
+        toks_col.alias("toks"),
+    )
+    tok = base.select("doc_id", "label", F.explode("toks").alias("term"))
+
+    n_total = base.count()
+    classes = base.groupBy("label").agg(F.countDistinct("doc_id").alias("df_c"))
+    # avg # of unique terms per doc, global (terms.SumDocFreq / terms.DocCount)
+    n_pairs = tok.select("doc_id", "term").distinct().count()
+    avg_unique = n_pairs / n_total
+    classes = classes.withColumn(
+        "den", F.lit(avg_unique) * F.col("df_c") + F.lit(float(n_total))
+    ).withColumn("prior", F.log("df_c") - F.log(F.lit(float(n_total))))
+
+    # hits(w, c): distinct docs of class c containing w
+    hits = (
+        tok.select("label", "term", "doc_id").distinct()
+        .groupBy("label", "term").agg(F.count("*").alias("hits"))
+    )
+
+    # every (doc token occurrence) x (class): broadcast the per-class stats,
+    # join hits on (term, class); miss -> 0 hits (add-1 smoothing keeps ln
+    # finite)
+    tc = (
+        tok.select("doc_id", "term")
+        .crossJoin(F.broadcast(classes.select(F.col("label").alias("cls"), "den", "prior")))
+        .join(
+            hits.select(F.col("label").alias("cls"), "term", "hits"),
+            ["cls", "term"], "left",
+        )
+        .withColumn("hits", F.coalesce("hits", F.lit(0)))
+    )
+    scored = (
+        tc.groupBy("doc_id", "cls")
+        .agg(
+            F.sum(F.log((F.col("hits") + 1.0) / F.col("den"))).alias("ll"),
+            F.first("prior").alias("prior"),
+        )
+        .select("doc_id", "cls", (F.col("prior") + F.col("ll")).alias("clval"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("clval"), F.asc("cls"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cls").alias("label_pred"),
+            (10.0 / F.abs("clval")).alias("score"),
+        )
     )

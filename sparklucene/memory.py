@@ -15,9 +15,11 @@ field length), so a term score degenerates to
 
 Execution: each batch is tokenized ONCE, then term / boolean-of-terms /
 phrase queries score as numpy column operations across the whole batch
-(tf lookups + the closed-form above) -- no per-row index objects.  Query
-shapes outside those fast paths fall back to a per-doc OracleIndex, which
-is exact but row-at-a-time.
+(tf lookups + the closed-form above) -- no per-row index objects.  Sloppy
+phrases and span trees run the shared positional kernels directly over the
+batch's prebuilt position maps (no per-doc index construction either).
+Query shapes outside those paths (dis_max, multi-term rewrites, ...) fall
+back to a per-doc OracleIndex, which is exact but row-at-a-time.
 """
 
 from __future__ import annotations
@@ -32,17 +34,40 @@ _K1, _B = 1.2, 0.75
 _IDF1 = math.log(1.0 + 0.5 / 1.5)  # idf(df=1, maxDoc=1)
 
 
+_SPAN_TYPES = ("span_near", "span_first", "span_range", "span_not", "span_or",
+               "span_term")
+
+
 def _fast_shape(q: dict) -> str | None:
     t = q.get("type")
     if t == "term":
         return "term"
-    if t == "phrase" and int(q.get("slop", 0)) == 0 and q.get("terms"):
-        return "phrase"
+    if t == "phrase" and q.get("terms"):
+        return "phrase" if int(q.get("slop", 0)) == 0 else "sloppy"
     if t == "boolean" and all(
         c["query"].get("type") == "term" for c in q.get("clauses", [])
     ):
         return "boolean"
+    if t in _SPAN_TYPES and not _has_span_multi(q):
+        return "span"
+    if t == "dis_max" and all(
+        c.get("type") == "term" for c in q.get("queries", [])
+    ):
+        return "dis_max"
     return None
+
+
+def _has_span_multi(q) -> bool:
+    if not isinstance(q, dict):
+        return False
+    if q.get("type") == "span_multi":
+        return True
+    return any(
+        _has_span_multi(c)
+        for k in ("clauses", "include", "exclude", "clause")
+        if k in q
+        for c in (q[k] if isinstance(q[k], list) else [q[k]])
+    )
 
 
 def percolate(
@@ -151,6 +176,78 @@ def percolate(
                             np.isnan(term_vec(cq["term"])), total, np.nan
                         )
                     emit(name, total)
+                elif shape == "dis_max":
+                    # DisjunctionMaxScorer: max + tie*(sum-max) over the
+                    # term-clause score columns (all-NaN rows stay NaN)
+                    tie = float(q.get("tie_breaker", 0.0))
+                    arr = np.vstack([
+                        term_vec(c["term"], top_boost * c.get("boost", 1.0))
+                        for c in q["queries"]
+                    ])
+                    miss = np.isnan(arr)
+                    all_miss = np.all(miss, axis=0)
+                    mx = np.max(np.where(miss, -np.inf, arr), axis=0)
+                    sm = np.sum(np.where(miss, 0.0, arr), axis=0)
+                    emit(name, np.where(all_miss, np.nan, mx + tie * (sm - mx)))
+                elif shape == "sloppy":
+                    # SloppyPhraseScorer over the batch's prebuilt position
+                    # maps -- same kernels as the engine/oracle
+                    # (positional.sloppy_phrase_freq*), no per-doc index
+                    from .positional import (
+                        sloppy_phrase_freq, sloppy_phrase_freq_repeats,
+                    )
+
+                    terms = q["terms"]
+                    slop = int(q.get("slop", 0))
+                    has_rpts = len(set(terms)) != len(terms)
+                    wv = len(terms) * _IDF1 * top_boost * (_K1 + 1.0)
+                    sc = np.full(n, np.nan)
+                    for i in range(n):
+                        pm = pos_maps[i]
+                        if any(t not in pm for t in terms):
+                            continue
+                        if has_rpts:
+                            pf = sloppy_phrase_freq_repeats(
+                                [np.asarray(pm[t], dtype=np.int64) for t in terms],
+                                list(terms), slop, False,
+                            )
+                        else:
+                            adj = [
+                                np.asarray(pm[t], dtype=np.int64) - j
+                                for j, t in enumerate(terms)
+                            ]
+                            pf = sloppy_phrase_freq(adj, slop, False)
+                        if pf > 0:
+                            sc[i] = wv * pf / (pf + cache[i])
+                    emit(name, sc)
+                elif shape == "span":
+                    # span trees over the prebuilt position maps; the weight
+                    # binds EVERY tree term incl. absent ones (df=0 idf on a
+                    # one-doc index is ln(4), MemoryIndex stats)
+                    from .positional import (
+                        eval_span_tree, span_freq_f32, span_tree_possible,
+                        span_tree_terms,
+                    )
+
+                    w_terms = span_tree_terms(q)
+                    idf_miss = math.log(4.0)  # idf(df=0, maxDoc=1)
+                    sc = np.full(n, np.nan)
+                    for i in range(n):
+                        pm = pos_maps[i]
+                        present = {x for x in w_terms if x in pm}
+                        if not span_tree_possible(q, present):
+                            continue
+                        pos = {x: np.asarray(pm[x]) for x in present}
+                        spans = eval_span_tree(q, pos)
+                        if not spans:
+                            continue
+                        freq = span_freq_f32(spans, False)
+                        idf = sum(
+                            _IDF1 if x in pm else idf_miss for x in w_terms
+                        )
+                        wv = idf * top_boost * (_K1 + 1.0)
+                        sc[i] = wv * freq / (freq + cache[i])
+                    emit(name, sc)
                 elif shape == "phrase":
                     terms = q["terms"]
                     sc = np.full(n, np.nan)

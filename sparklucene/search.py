@@ -241,7 +241,7 @@ class IndexSearcher:
     # ---- leaf scoring -----------------------------------------------------
     def _scored_postings(
         self, weights: dict[str, float], mode: str, with_positions: bool = False,
-        score_fns: dict | None = None,
+        score_fns: dict | None = None, with_payloads: bool = False,
     ) -> DataFrame:
         """Decode+score postings of the given terms in one Arrow pass.
         weights: term -> weightValue = boost*idf*(k1+1) (precomputed in mode
@@ -251,7 +251,7 @@ class IndexSearcher:
         Output: (term, docID, tf, score[, positions])."""
         stats_map = self.lookup_terms(list(weights))
         if not stats_map:
-            return self._empty_scored(mode, with_positions)
+            return self._empty_scored(mode, with_positions, with_payloads)
         buckets = sorted({s.bucket for s in stats_map.values()})
         terms = sorted(stats_map)
         blocks = (
@@ -271,6 +271,8 @@ class IndexSearcher:
         if with_positions:
             fields.append(T.StructField("positions", T.ArrayType(T.IntegerType())))
             fields.append(T.StructField("norm_byte", T.IntegerType()))
+        if with_payloads:
+            fields.append(T.StructField("payloads", T.ArrayType(T.FloatType())))
         out_schema = T.StructType(fields)
         f32 = mode == "f32"
         deleted_bc = self._deleted_bc
@@ -309,6 +311,14 @@ class IndexSearcher:
                         splits = np.cumsum(t)[:-1]
                         o["positions"] = np.split(pos.astype(np.int32), splits)
                         o["norm_byte"] = nb.astype(np.int32)
+                    if with_payloads:
+                        # .pay stream: f32-LE per occurrence, tf values/doc
+                        pay = np.frombuffer(
+                            getattr(row, "pay_blob", None) or b"", dtype="<f4"
+                        )
+                        if pay.size != int(t.sum()):
+                            pay = np.ones(int(t.sum()), dtype=np.float32)
+                        o["payloads"] = np.split(pay, np.cumsum(t)[:-1])
                     if keep is not None:
                         o = {
                             k: (v[keep] if isinstance(v, np.ndarray) else
@@ -322,11 +332,14 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode_score, schema=out_schema)
 
-    def _empty_scored(self, mode: str, with_positions: bool = False) -> DataFrame:
+    def _empty_scored(self, mode: str, with_positions: bool = False,
+                      with_payloads: bool = False) -> DataFrame:
         score_t = "float" if mode == "f32" else "double"
         schema = f"term string, docID long, tf int, score {score_t}"
         if with_positions:
             schema += ", positions array<int>, norm_byte int"
+        if with_payloads:
+            schema += ", payloads array<float>"
         return self.spark.createDataFrame([], schema)
 
     # ---- query tree evaluation ---------------------------------------------
@@ -2065,6 +2078,45 @@ class IndexSearcher:
                 }
             )
         return out
+
+    # ---- payloads (src/Lucene.Net/Search/Payloads) --------------------------
+    @staticmethod
+    def _payload_fn(name: str) -> F.Column:
+        """PayloadFunction implementations: fn over the doc's per-occurrence
+        payload scores (AveragePayloadFunction.cs, MinPayloadFunction.cs,
+        MaxPayloadFunction.cs)."""
+        if name == "avg":
+            return F.expr("aggregate(payloads, 0D, (a, x) -> a + x) / size(payloads)")
+        if name == "min":
+            return F.array_min("payloads").cast("double")
+        if name == "max":
+            return F.array_max("payloads").cast("double")
+        raise ValueError(f"unknown payload function: {name}")
+
+    def payload_term_search(self, term: str, k: int = 10, payload_fn: str = "avg",
+                            include_span_score: bool = True,
+                            mode: str = "f64") -> DataFrame:
+        """PayloadTermQuery (Search/Payloads/PayloadTermQuery.cs:43): score =
+        span score x payloadFunction over the term's per-occurrence payloads
+        in the doc (includeSpanScore=true, PayloadTermSpanScorer.GetScoreCore)
+        or the payload factor alone (includeSpanScore=false).  Our span score
+        for a single term is the engine-wide BM25 term score; the payload
+        score per occurrence is the stored f32 payload (the reference's
+        Similarity.ScorePayload with a float-decoding similarity,
+        PayloadHelper.DecodeFloat).  Payloads live in the .pay-analogue block
+        stream written by the delimited_payload analyzer."""
+        w = self._weight(term, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if w is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        rows = self._scored_postings({term: w}, mode, with_payloads=True)
+        factor = self._payload_fn(payload_fn)
+        score = (F.col("score") * factor) if include_span_score else factor
+        return (
+            rows.select("docID", score.cast(ftype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
 
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:

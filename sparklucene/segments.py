@@ -182,6 +182,11 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None):
         tf_data, tf_offs = bin_stream("tf_blob")
         norm_data, norm_offs = bin_stream("norm_blob")
         pos_data, pos_offs = bin_stream("pos_blob")
+        has_pay = "pay_blob" in tbl.column_names
+        pay_data, pay_offs = (
+            bin_stream("pay_blob") if has_pay
+            else (np.empty(0, np.uint8), np.zeros(n_rows + 1, np.int64))
+        )
 
         N = int(num_docs.sum())
         post_offs = np.concatenate(([0], np.cumsum(num_docs)))
@@ -249,10 +254,39 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None):
         else:
             pdata_s = pstream
 
+        # payloads: fixed 4 bytes/occurrence -- per-posting bounds are
+        # 4*cumsum(tf); reorder and re-slice exactly like positions.  Only
+        # valid when EVERY input row carries a full payload stream (a merge
+        # mixing payload and pre-payload segments drops payloads rather than
+        # desync the stream).
+        ystream = pay_data[pay_offs[0] : pay_offs[-1]]
+        if ystream.size:
+            row_tf = np.add.reduceat(tfs, post_offs[:-1]) if N else np.zeros(0, np.int64)
+            if not np.array_equal(pay_offs[1:] - pay_offs[:-1], 4 * row_tf):
+                ystream = np.empty(0, np.uint8)
+        if ystream.size:
+            tf_cum4 = 4 * np.concatenate(([0], np.cumsum(tfs)))
+            ylens_s = (tf_cum4[1:] - tf_cum4[:-1])[post_order]
+            new_y_offs = np.concatenate(([0], np.cumsum(ylens_s)))
+            ystarts = tf_cum4[:-1][post_order]
+            yidx = np.repeat(ystarts - new_y_offs[:-1], ylens_s) + np.arange(
+                int(new_y_offs[-1])
+            )
+            ydata_s = ystream[yidx]
+        else:
+            new_y_offs = np.zeros(n_live + 1, dtype=np.int64)
+            ydata_s = ystream
+
         blocks = encode_partition_blocks(gc, doc_s, tf_s, nb_s, pdata_s, new_offs)
         ri = blocks["row_idx"]
         if len(ri) == 0:
             return
+        y_mv = ydata_s.tobytes()
+        ri_arr = np.asarray(ri, dtype=np.int64)
+        re_arr = ri_arr + np.asarray(blocks["num_docs"], dtype=np.int64)
+        pay_blobs = [
+            y_mv[new_y_offs[a]:new_y_offs[b]] for a, b in zip(ri_arr, re_arr)
+        ]
         old_rows = pa.array(row_s[ri])
         yield pa.record_batch(
             [
@@ -271,6 +305,7 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None):
                 pa.array(blocks["tf_blob"], pa.binary()),
                 pa.array(blocks["norm_blob"], pa.binary()),
                 pa.array(blocks["pos_blob"], pa.binary()),
+                pa.array(pay_blobs, pa.binary()),
             ],
             names=[f.name for f in BLOCK_SCHEMA.fields],
         )

@@ -396,6 +396,111 @@ class IBSimilarityLL:
         return sc
 
 
+class DFRSimilarityBeB1:
+    """DFRSimilarity(BasicModelBE, AfterEffectB, NormalizationH1) -- the
+    Bose-Einstein limiting-form combo with the H1 uniform normalization:
+      tfn = (float)(tf * avgFieldLength / docLen)      NormalizationH1.cs:32-35
+      F_  = ttf + 1 + tfn;  Nbe = F_ + N               BasicModelBE.cs:40-44
+      BE  = -log2((Nbe-1)*e) + f(Nbe+F_-1, Nbe+F_-tfn-2) - f(F_, F_-tfn)
+            with f(n,m) = (m+0.5)*log2(n/m) + (n-m)*log2(n)
+      B   = (F+1)/((df+1)*(tfn+1)), F = ttf+1          AfterEffectB.cs:33-37
+      score = boost * BE * B                           DFRSimilarity.cs:120-124
+    """
+
+    name = "dfr_beb1"
+    uses_coord = False
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        N = ctx["max_doc"]
+        ttf = ts.ttf
+        n_df = ts.df + 1.0
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+
+        def f_fn(n, m):  # BasicModelBE.F (double arithmetic)
+            return (m + 0.5) * (np.log(n / m) / _LOG2) + (n - m) * (np.log(n) / _LOG2)
+
+        if mode == "f32":
+            b = f32(boost)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                # H1: float ops tf * avgfl / len
+                tfn = (
+                    (tf_arr.astype(np.float32) * avgfl32).astype(np.float32) / dl
+                ).astype(np.float32)
+                t64 = tfn.astype(np.float64)
+                F_ = ttf + 1.0 + t64
+                Nbe = F_ + N
+                be = (
+                    -(np.log((Nbe - 1.0) * math.e) / _LOG2)
+                    + f_fn(Nbe + F_ - 1.0, Nbe + F_ - t64 - 2.0)
+                    - f_fn(F_, F_ - t64)
+                ).astype(np.float32)
+                bb = (
+                    np.float32(ttf + 2.0)
+                    / (np.float32(n_df) * (tfn + np.float32(1.0)))
+                ).astype(np.float32)
+                return ((b * be).astype(np.float32) * bb).astype(np.float32)
+        else:
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * float(avgfl32) / dl
+                F_ = ttf + 1.0 + tfn
+                Nbe = F_ + N
+                be = (
+                    -(np.log((Nbe - 1.0) * math.e) / _LOG2)
+                    + f_fn(Nbe + F_ - 1.0, Nbe + F_ - tfn - 2.0)
+                    - f_fn(F_, F_ - tfn)
+                )
+                bb = (ttf + 2.0) / (n_df * (tfn + 1.0))
+                return boost * be * bb
+        return sc
+
+
+class IBSimilaritySPLH1:
+    """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH1): the SPL
+    distribution of ib_spl under the H1 uniform length normalization
+    (NormalizationH1.cs:32-35 tfn = tf*avgFieldLength/docLen)."""
+
+    name = "ib_spl_h1"
+    uses_coord = False
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        N, df = ctx["max_doc"], ts.df
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        lamd = (df + 1.0) / (N + 1.0)
+        if lamd == 1.0:
+            lamd = 0.99
+        if mode == "f32":
+            b = f32(boost)
+            lam = f32(lamd)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                tfn = (
+                    (tf_arr.astype(np.float32) * avgfl32).astype(np.float32) / dl
+                ).astype(np.float32)
+                expo = (tfn / (tfn + np.float32(1.0))).astype(np.float32)
+                spl = (
+                    -np.log(
+                        (np.power(np.float64(lam), expo.astype(np.float64)) - np.float64(lam))
+                        / (1.0 - np.float64(lam))
+                    )
+                ).astype(np.float32)
+                return (b * spl).astype(np.float32)
+        else:
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * float(avgfl32) / dl
+                expo = tfn / (tfn + 1.0)
+                return boost * -np.log((np.power(lamd, expo) - lamd) / (1.0 - lamd))
+        return sc
+
+
 def make_similarity(name: str, **params):
     if name == "classic":
         return ClassicSimilarity()
@@ -411,4 +516,8 @@ def make_similarity(name: str, **params):
         return DFRSimilarityGB2(params.get("c", 1.0))
     if name == "ib_ll":
         return IBSimilarityLL(params.get("c", 1.0))
+    if name == "dfr_beb1":
+        return DFRSimilarityBeB1()
+    if name == "ib_spl_h1":
+        return IBSimilaritySPLH1()
     raise ValueError(f"unknown similarity: {name}")

@@ -358,3 +358,115 @@ def french_light_stem(word: str) -> str:
     if len(w) > 8 and w.endswith("ition"):
         return _fr_norm(w[:-5])
     return _fr_norm(w)
+
+
+_ES_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+})
+
+
+def spanish_light_stem(word: str) -> str:
+    """Spanish UniNE light stem (Analysis/Es/SpanishLightStemmer.cs:33):
+    accent folding, then plural/gender endings (-os/-as/-es with the
+    ces->z rewrite, -o/-a/-e); words shorter than 5 pass through."""
+    if len(word) < 5:
+        return word
+    w = word.translate(_ES_FOLD)
+    if w[-1] in "oae":
+        return w[:-1]
+    if w[-1] == "s":
+        if w[-2] == "e" and w[-3] == "s" and w[-4] == "e":
+            return w[:-2]
+        if w[-2] == "e" and w[-3] == "c":
+            return w[:-3] + "z"
+        if w[-2] in "oae":
+            return w[:-2]
+    return w
+
+
+def italian_light_stem(word: str) -> str:
+    """Italian UniNE light stem (Analysis/It/ItalianLightStemmer.cs:33):
+    accent folding, then final-vowel plural/gender trimming (-ie/-he/-hi/
+    -ii/-ia/-io drop two, single vowels drop one); < 6 chars pass through."""
+    if len(word) < 6:
+        return word
+    w = word.translate(_ES_FOLD)
+    if w[-1] == "e":
+        return w[:-2] if w[-2] in "ih" else w[:-1]
+    if w[-1] == "i":
+        return w[:-2] if w[-2] in "hi" else w[:-1]
+    if w[-1] == "a":
+        return w[:-2] if w[-2] == "i" else w[:-1]
+    if w[-1] == "o":
+        return w[:-2] if w[-2] == "i" else w[:-1]
+    return w
+
+
+_PT_FOLD = str.maketrans({
+    "à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+    "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ç": "c",
+})
+
+
+def _pt_remove_suffix(w: str) -> str:
+    n = len(w)
+    if n > 4 and w.endswith("es") and w[-3] in "rslz":
+        return w[:-2]
+    if n > 3 and w.endswith("ns"):
+        return w[:-2] + "m"
+    if n > 4 and (w.endswith("eis") or w.endswith("éis")):
+        return w[:-3] + "el"
+    if n > 4 and w.endswith("ais"):
+        return w[:-2] + "l"
+    if n > 4 and w.endswith("óis"):
+        return w[:-3] + "ol"
+    if n > 4 and w.endswith("is"):
+        return w[:-1] + "l"
+    if n > 3 and (w.endswith("ões") or w.endswith("ães")):
+        return w[:-3] + "ão"
+    if n > 6 and w.endswith("mente"):
+        return w[:-5]
+    if n > 3 and w[-1] == "s":
+        return w[:-1]
+    return w
+
+
+def _pt_norm_feminine(w: str) -> str:
+    n = len(w)
+    if n > 7 and (w.endswith("inha") or w.endswith("iaca") or w.endswith("eira")):
+        return w[:-1] + "o"
+    if n > 6:
+        if w.endswith(("osa", "ica", "ida", "ada", "iva", "ama")):
+            return w[:-1] + "o"
+        if w.endswith("ona"):
+            return w[:-3] + "ão"
+        if w.endswith("ora"):
+            return w[:-1]
+        if w.endswith("esa"):
+            return w[:-3] + "ês"
+        if w.endswith("na"):
+            return w[:-1] + "o"
+    return w
+
+
+def portuguese_light_stem(word: str) -> str:
+    """Portuguese UniNE light stem (Analysis/Pt/PortugueseLightStemmer.cs:33):
+    plural suffix removal (with the -ões/-ãos/-l restorations), feminine
+    normalization, final-vowel trim, then accent folding LAST (the earlier
+    rules match accented forms); < 4 chars pass through."""
+    if len(word) < 4:
+        return word
+    w = _pt_remove_suffix(word)
+    if len(w) > 3 and w[-1] == "a":
+        w = _pt_norm_feminine(w)
+    if len(w) > 4 and w[-1] in "eao":
+        w = w[:-1]
+    return w.translate(_PT_FOLD)

@@ -1,0 +1,141 @@
+"""Analysis-aware suggesters (src/Lucene.Net.Suggest/Suggest/Analyzing/).
+
+AnalyzingSuggester (AnalyzingSuggester.cs:88): completion keyed by the
+ANALYZED form of each suggestion -- the FST maps analyzed-form bytes (tokens
+joined with the \\u001f separator when PRESERVE_SEP) to (weight, surface
+form); lookup analyzes the query key with the same chain and walks every FST
+path whose analyzed form has the analyzed key as a prefix, returning surface
+forms ranked by weight (cost = int.MaxValue - weight, i.e. weight
+descending), exact analyzed matches first when EXACT_FIRST.
+
+Spark-first: the FST is replaced by a small (analyzed, surface, weight)
+DataFrame -- completion vocabularies are bounded by the surface vocabulary,
+so the table broadcasts trivially even when the corpus is 100 TB; lookup is
+a JVM prefix filter + TakeOrderedAndProject, no Python in the hot path.
+
+FuzzySuggester (FuzzySuggester.cs:39): same lookup, but the analyzed key is
+matched fuzzily -- up to max_edits (Damerau, transpositions=true by default)
+against SOME PREFIX of the stored analyzed form, with the first
+non_fuzzy_prefix code points exact and no edits at all when the key is
+shorter than min_fuzzy_length (defaults 1/1/3, FuzzySuggester.cs:79-96).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # AnalyzingSuggester.SEP_LABEL (U+001F unit separator)
+
+
+class AnalyzingSuggester:
+    def __init__(self, spark: SparkSession, entries: DataFrame,
+                 analyzer: str = "standard", preserve_sep: bool = True,
+                 exact_first: bool = True,
+                 surface_col: str = "surface", weight_col: str = "weight"):
+        """entries: DataFrame of (surface string, weight long)."""
+        self.spark = spark
+        self.analyzer_name = analyzer
+        self.preserve_sep = preserve_sep
+        self.exact_first = exact_first
+        an_name = analyzer
+        sep = SEP if preserve_sep else ""
+
+        def analyze_batch(it):
+            from .analysis import make_analyzer
+            fn = make_analyzer(an_name)
+            for pdf in it:
+                out = pdf.rename(columns={surface_col: "surface", weight_col: "weight"})
+                out["analyzed"] = [
+                    sep.join(fn(s)[0]) if isinstance(s, str) else ""
+                    for s in out["surface"]
+                ]
+                # surfaces whose whole analyzed form is empty (all-stopword)
+                # index no completion path -- drop, like an empty automaton
+                yield out[out["analyzed"] != ""][["analyzed", "surface", "weight"]]
+
+        self.table = (
+            entries.select(surface_col, weight_col)
+            .mapInPandas(analyze_batch, schema="analyzed string, surface string, weight long")
+            .persist()
+        )
+
+    def _analyze_key(self, key: str) -> str:
+        from .analysis import make_analyzer
+        sep = SEP if self.preserve_sep else ""
+        return sep.join(make_analyzer(self.analyzer_name)(key)[0])
+
+    def lookup(self, key: str, n: int = 5) -> DataFrame:
+        """-> (surface, weight) of suggestions whose analyzed form has the
+        analyzed key as a prefix, weight-descending (exact analyzed matches
+        first when exact_first), surface-ascending tiebreak."""
+        akey = self._analyze_key(key)
+        if not akey:
+            return self.spark.createDataFrame([], "surface string, weight long")
+        cand = self.table.filter(F.col("analyzed").startswith(akey))
+        order = [F.desc("weight"), F.asc("surface")]
+        if self.exact_first:
+            order = [F.col("analyzed") != akey] + order
+        return cand.orderBy(*order).limit(n).select("surface", "weight")
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """Fuzzy completion: the analyzed key matches a stored analyzed form
+    when some prefix of the stored form is within max_edits (Damerau) of the
+    key -- i.e. the reference's Levenshtein automaton of the analyzed key,
+    suffixes free (FuzzySuggester.cs ConvertAutomaton/ToLevenshteinAutomata)."""
+
+    def lookup(self, key: str, n: int = 5, max_edits: int = 1,
+               non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+               transpositions: bool = True) -> DataFrame:
+        akey = self._analyze_key(key)
+        if not akey:
+            return self.spark.createDataFrame([], "surface string, weight long")
+        if len(akey) < min_fuzzy_length:
+            max_edits = 0
+        if max_edits == 0:
+            return super().lookup(key, n)
+        np_pre = akey[:non_fuzzy_prefix]
+        tail = akey[non_fuzzy_prefix:]
+        cand = self.table.filter(F.col("analyzed").startswith(np_pre))
+
+        def match_batch(it):
+            for pdf in it:
+                keep = [
+                    _prefix_edit_distance(a[len(np_pre):], tail, transpositions)
+                    <= max_edits
+                    for a in pdf["analyzed"]
+                ]
+                yield pdf[pd.Series(keep, index=pdf.index)]
+
+        out = cand.mapInPandas(match_batch, schema="analyzed string, surface string, weight long")
+        order = [F.desc("weight"), F.asc("surface")]
+        if self.exact_first:
+            order = [F.col("analyzed") != akey] + order
+        return out.orderBy(*order).limit(n).select("surface", "weight")
+
+
+def _prefix_edit_distance(stored: str, q: str, transpositions: bool = True) -> int:
+    """min over prefixes P of `stored` of edit_distance(P, q) -- the DP
+    final-column minimum; Damerau (adjacent transposition = 1 edit) when
+    transpositions."""
+    m, k = len(stored), len(q)
+    if k == 0:
+        return 0
+    prev2 = None
+    prev = list(range(k + 1))
+    best = prev[k]
+    for i in range(1, m + 1):
+        cur = [i] + [0] * k
+        for j in range(1, k + 1):
+            cost = 0 if stored[i - 1] == q[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                transpositions and i > 1 and j > 1
+                and stored[i - 1] == q[j - 2] and stored[i - 2] == q[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        best = min(best, cur[k])
+        prev2, prev = prev, cur
+    return best

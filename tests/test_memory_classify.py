@@ -124,6 +124,19 @@ def test_percolate_fastpath_equals_fallback(spark):
         "p": {"type": "phrase", "terms": ["merge", "queue"]},
         "dm": {"type": "dis_max", "tie_breaker": 0.4, "queries": [
             {"type": "term", "term": "spark"}, {"type": "term", "term": "merge"}]},
+        # sloppy + repeated-term sloppy + span trees: the vectorized paths
+        # over prebuilt position maps must equal the per-doc oracle
+        "sp": {"type": "phrase", "terms": ["alpha", "merge"], "slop": 2},
+        "sp_rpt": {"type": "phrase", "terms": ["merge", "merge"], "slop": 3},
+        "sn": {"type": "span_near", "terms": ["alpha", "merge"], "slop": 3,
+               "in_order": True},
+        "sn_u": {"type": "span_near", "terms": ["spark", "alpha"], "slop": 4,
+                 "in_order": False},
+        "sf": {"type": "span_first", "term": "spark", "end": 2},
+        # prefix still exercises the per-doc OracleIndex fallback
+        "pfx": {"type": "prefix", "prefix": "tab"},
+        "s_or": {"type": "span_or", "terms": ["queue", "tables"]},
+        "s_not": {"type": "span_not", "include": "merge", "exclude": "queue"},
     }
     got = {
         (r["doc_id"], r["query"]): round(r["score"], 10)
@@ -137,3 +150,53 @@ def test_percolate_fastpath_equals_fallback(spark):
             if 0 in sc:
                 want[(did, name)] = round(float(sc[0]), 10)
     assert got == want
+
+
+def test_nb_classify_matches_reference_math(spark):
+    """nb_classify_all vs a direct transcription of AssignClass
+    (SimpleNaiveBayesClassifier.cs): priors, add-1 smoothing, den =
+    avg_unique_per_doc * df_c + N, score = 10/|max|."""
+    import math
+
+    from sparklucene.classify import nb_classify_all
+
+    rows = [
+        (0, "a0", "spark merge spark join"),
+        (1, "a0", "spark merge table"),
+        (2, "b1", "python pandas frame"),
+        (3, "b1", "python numpy frame frame"),
+        (4, "b1", "python spark bridge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["label_pred"], r["score"])
+        for r in nb_classify_all(df, text_col="text", label_col="lang").collect()
+    }
+
+    toks = {d: t.split() for d, _l, t in rows}
+    labels = {d: l for d, l, _t in rows}
+    n = len(rows)
+    n_pairs = sum(len(set(t)) for t in toks.values())
+    avg_unique = n_pairs / n
+    classes = sorted({l for l in labels.values()})
+    df_c = {c: sum(1 for d in labels if labels[d] == c) for c in classes}
+
+    def hits(w, c):
+        return sum(1 for d in toks if labels[d] == c and w in toks[d])
+
+    want = {}
+    for d in toks:
+        best, best_c = None, None
+        for c in classes:  # ascending = terms-dict iteration order
+            den = avg_unique * df_c[c] + n
+            val = math.log(df_c[c]) - math.log(n) + sum(
+                math.log((hits(w, c) + 1) / den) for w in toks[d]
+            )
+            if best is None or val > best:
+                best, best_c = val, c
+        want[d] = (best_c, 10.0 / abs(best))
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-9), d
+    # sanity: the planted clusters classify correctly
+    assert got[0][0] == "a0" and got[3][0] == "b1"

@@ -1,0 +1,78 @@
+"""Payload stream + PayloadTermQuery semantics
+(src/Lucene.Net/Search/Payloads/PayloadTermQuery.cs,
+AveragePayloadFunction.cs; Analysis/Payloads/DelimitedPayloadTokenFilter.cs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.analysis import invert_arrays_payloads
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.search import IndexSearcher
+
+
+def test_invert_arrays_payloads():
+    terms, tfs, pos, pay, flen = invert_arrays_payloads(
+        "Spark|2.5 merge|0.5 the|9 spark merge|1.5"
+    )
+    assert terms == ["merge", "spark"]
+    assert tfs.tolist() == [2, 2]
+    assert pos.tolist() == [1, 4, 0, 3]
+    assert pay.tolist() == [0.5, 1.5, 2.5, 1.0]  # absent payload -> 1.0
+    assert flen == 4  # stopword "the" consumed a position but is not emitted
+
+
+@pytest.fixture(scope="module")
+def pay_searcher(spark, tmp_path_factory):
+    rows = [
+        {"doc_id": 0, "text": "merge|2.0 queue merge|4.0"},
+        {"doc_id": 1, "text": "merge|0.5 table"},
+        {"doc_id": 2, "text": "queue only here"},
+    ]
+    out = str(tmp_path_factory.mktemp("payidx"))
+    build_index(
+        spark, spark.createDataFrame(rows), out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=2,
+                    analyzer="delimited_payload"),
+    )
+    return IndexSearcher(spark, out)
+
+
+def test_payload_term_scores(pay_searcher):
+    s = pay_searcher
+    base = {r["docID"]: r["score"] for r in s.search({"type": "term", "term": "merge"}, 10).collect()}
+    got_avg = {r["docID"]: r["score"] for r in s.payload_term_search("merge", 10, "avg").collect()}
+    got_min = {r["docID"]: r["score"] for r in s.payload_term_search("merge", 10, "min").collect()}
+    got_max = {r["docID"]: r["score"] for r in s.payload_term_search("merge", 10, "max").collect()}
+    assert got_avg[0] == pytest.approx(base[0] * 3.0)   # avg(2,4)
+    assert got_avg[1] == pytest.approx(base[1] * 0.5)
+    assert got_min[0] == pytest.approx(base[0] * 2.0)
+    assert got_max[0] == pytest.approx(base[0] * 4.0)
+    # payload factor alone (includeSpanScore=false)
+    only = {r["docID"]: r["score"] for r in
+            s.payload_term_search("merge", 10, "avg", include_span_score=False).collect()}
+    assert only == {0: pytest.approx(3.0), 1: pytest.approx(0.5)}
+
+
+def test_payloads_survive_merge(spark, pay_searcher, tmp_path_factory):
+    """Append + forced merge must carry the payload stream through the
+    re-blocking path (segments._merge_blocks_udf)."""
+    from sparklucene.segments import SegmentedIndex
+
+    src = str(tmp_path_factory.mktemp("payseg"))
+    rows = [
+        {"doc_id": 0, "text": "merge|2.0 queue merge|4.0"},
+        {"doc_id": 1, "text": "merge|0.5 table"},
+    ]
+    cfg = BuildConfig(content_col="text", id_col="doc_id", num_buckets=2,
+                      analyzer="delimited_payload")
+    idx = SegmentedIndex(spark, src, num_buckets=2)
+    idx.append(spark.createDataFrame(rows), cfg)
+    rows2 = [{"doc_id": 2, "text": "merge|8.0 extra"}]
+    idx.append(spark.createDataFrame(rows2), cfg)
+    idx.force_merge()
+    s = idx.searcher()
+    got = {r["docID"]: r["score"] for r in
+           s.payload_term_search("merge", 10, "avg", include_span_score=False).collect()}
+    assert got == {0: pytest.approx(3.0), 1: pytest.approx(0.5), 2: pytest.approx(8.0)}

@@ -194,3 +194,34 @@ def test_german_normalize_digraphs():
     assert german_normalize("haeuser") == "hauser"  # ae digraph 'e' dropped
     assert german_normalize("quelle") == "quelle"   # 'ue' after q survives (V state)
     assert german_normalize("grüße") == "grusse"    # umlaut + sharp-s
+
+
+_LIGHT_VECS = [
+    ("Es/eslighttestdata.zip", "spanish_light_stem", 28377),
+    ("It/itlighttestdata.zip", "italian_light_stem", 35494),
+    ("Pt/ptlighttestdata.zip", "portuguese_light_stem", 32016),
+]
+_VEC_BASE = "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/"
+
+
+@pytest.mark.parametrize("zp,fn_name,n_words", _LIGHT_VECS)
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_light_stemmers_full_reference_vectors(zp, fn_name, n_words):
+    """Bit-exact vs the reference's es/it/pt light-stemmer vector files."""
+    import sparklucene.stemmer as st
+
+    fn = getattr(st, fn_name)
+    vecs = list(_light_vectors(_VEC_BASE + zp))
+    assert len(vecs) == n_words
+    mism = [(w, o, fn(w)) for w, o in vecs if fn(w) != o]
+    assert mism == []
+
+
+def test_es_it_pt_analyzer_chains():
+    es = make_analyzer("spanish")
+    assert es("Los gatos corrientes")[0] == ["gat", "corrient"]
+    it = make_analyzer("italian")
+    # elision (dell') + stop (di) + light stem
+    assert it("L'articolo dell'amico di vecchie")[0] == ["articol", "amico", "vecch"]
+    pt = make_analyzer("portuguese")
+    assert pt("Os meninos das canções")[0] == ["menin", "canca"]

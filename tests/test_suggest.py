@@ -1,0 +1,76 @@
+"""AnalyzingSuggester / FuzzySuggester semantics
+(src/Lucene.Net.Suggest/Suggest/Analyzing/AnalyzingSuggester.cs,
+FuzzySuggester.cs): analysis-keyed completion returning surface forms."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.suggest import AnalyzingSuggester, FuzzySuggester, _prefix_edit_distance
+
+
+ENTRIES = [
+    ("merge", 50), ("merges", 30), ("merged", 20), ("merging", 40),
+    ("merger", 10), ("spark", 99), ("the", 77),  # stopword: no completion path
+    ("quick merge", 5),
+]
+
+
+@pytest.fixture(scope="module")
+def entries_df(spark):
+    return spark.createDataFrame(ENTRIES, "surface string, weight long")
+
+
+def test_analyzing_suggest_stemmed_key(spark, entries_df):
+    sug = AnalyzingSuggester(spark, entries_df, analyzer="english")
+    got = [(r["surface"], r["weight"]) for r in sug.lookup("merges", 10).collect()]
+    # all surfaces stem to 'merg' == analyzed key -> exact ties broken by
+    # weight desc then surface asc; 'merger' stems to 'merger' (prefix match)
+    assert got == [
+        ("merge", 50), ("merging", 40), ("merges", 30), ("merged", 20),
+        ("merger", 10),
+    ]
+    # stopword surface has an empty analyzed form: never suggested
+    all_analyzed = {r["analyzed"] for r in sug.table.collect()}
+    assert "" not in all_analyzed
+
+
+def test_analyzing_suggest_exact_first(spark, entries_df):
+    sug = AnalyzingSuggester(spark, entries_df, analyzer="english")
+    got = [r["surface"] for r in sug.lookup("merger", 3).collect()]
+    # analyzed('merger') == 'merger': the exact analyzed match outranks
+    # higher-weight prefix-only matches
+    assert got[0] == "merger"
+    sug2 = AnalyzingSuggester(spark, entries_df, analyzer="english", exact_first=False)
+    got2 = [r["surface"] for r in sug2.lookup("merger", 3).collect()]
+    assert got2[0] == "merger" and len(got2) == 1  # only one match anyway
+
+
+def test_analyzing_suggest_multi_token_sep(spark, entries_df):
+    sug = AnalyzingSuggester(spark, entries_df, analyzer="english")
+    got = [r["surface"] for r in sug.lookup("quick", 5).collect()]
+    assert got == ["quick merge"]  # multi-token surface, SEP-joined key
+
+
+def test_fuzzy_suggester(spark, entries_df):
+    # standard analyzer: stored analyzed form == surface form
+    sug = FuzzySuggester(spark, entries_df, analyzer="standard")
+    # 'mrege' is 'merge' with a tail transposition (non_fuzzy_prefix=1 pins
+    # the first char); every merge* surface matches via its 'merge' prefix
+    got = [r["surface"] for r in sug.lookup("mrege", 10, max_edits=1).collect()]
+    assert "merge" in got and "merges" in got
+    # without transpositions that's 2 edits: no match
+    got_nt = [r["surface"] for r in
+              sug.lookup("mrege", 10, max_edits=1, transpositions=False).collect()]
+    assert got_nt == []
+    # key shorter than min_fuzzy_length degrades to exact prefix lookup
+    got2 = [r["surface"] for r in sug.lookup("sp", 5).collect()]
+    assert got2 == ["spark"]
+
+
+def test_prefix_edit_distance():
+    assert _prefix_edit_distance("merg", "merg") == 0
+    assert _prefix_edit_distance("mergexyz", "merg") == 0  # prefix exact, suffix free
+    assert _prefix_edit_distance("mreg", "merg") == 1      # transposition
+    assert _prefix_edit_distance("mreg", "merg", transpositions=False) == 2
+    assert _prefix_edit_distance("xyz", "merg") == 4
