@@ -544,6 +544,24 @@ def _q_analyzing_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sug.lookup("merges", 5)
 
 
+def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester: suggestions = each doc's first-4-token
+    snippet weighted by n_chars; lookup 'merge sp' = exact term 'merge'
+    anywhere + prefix 'sp' anywhere, weight-descending."""
+    from sparklucene.suggest import AnalyzingInfixSuggester
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    entries = (
+        docs.select(
+            F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("surface"),
+            F.col("n_chars"),
+        )
+        .groupBy("surface").agg(F.max("n_chars").cast("long").alias("weight"))
+    )
+    sug = AnalyzingInfixSuggester(spark, entries, analyzer="standard")
+    return sug.lookup("merge sp", 10)
+
+
 def _q_spell_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpellChecker: terms within Levenshtein 2 of the misspelling 'spakr',
     ranked (distance, df desc, term)."""
@@ -715,6 +733,36 @@ def _lang_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     s = IndexSearcher(spark, out)
     _LANG_SEARCHERS[key] = s
     return s
+
+
+_TREC_QUERIES = (("q_merge", "merge"), ("q_spark", "spark"), ("q_window", "window"))
+
+
+def _q_trec_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityBenchmark/QualityStats: three term queries judged against
+    deterministic pseudo-qrels (relevant = the term occurs >= 2 times in
+    the doc); per query P@5/P@10, average precision, MRR-within-5, recall."""
+    from sparklucene.quality import run_quality
+
+    s = _searcher(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    judg = None
+    for qid, term in _TREC_QUERIES:
+        part = docs.filter(
+            F.size(F.filter(dp.ws_tokens("text"), lambda x: x == F.lit(term))) >= 2
+        ).select(F.lit(qid).alias("query_id"), F.col("doc_id"))
+        judg = part if judg is None else judg.unionByName(part)
+    qset = {qid: _t(term) for qid, term in _TREC_QUERIES}
+    out = run_quality(s, qset, judg, k=10, mode="f64")
+    return out.select(
+        "query_id",
+        F.round("p_at_5", 4).alias("p_at_5"),
+        F.round("p_at_10", 4).alias("p_at_10"),
+        F.round("avp", 4).alias("avp"),
+        F.round("mrr", 4).alias("mrr"),
+        F.round("recall", 4).alias("recall"),
+        "num_good", "max_good",
+    )
 
 
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,12 +995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lang_routed"] = _q_lang_routed
     out["payload_term"] = _q_payload_term
     out["nb_classify"] = _q_nb_classify
+    out["trec_quality"] = _q_trec_quality
     out["prefix_scored"] = _q_prefix_scored
     out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
     out["postings_offsets"] = _q_postings_offsets
     out["suggest_prefix"] = _q_suggest_prefix
     out["analyzing_suggest"] = _q_analyzing_suggest
+    out["infix_suggest"] = _q_infix_suggest
     out["spell_check"] = _q_spell_check
     out["spell_damerau"] = _q_spell_damerau
     out["custom_score"] = _q_custom_score
@@ -1659,6 +1709,55 @@ ranked AS (
 )
 SELECT doc_id, cls AS label_pred, round(10.0 / abs(clval), 4) AS score
 FROM ranked WHERE rn = 1"""
+    trec_res = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS query_id, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+ FROM scored WHERE term = '{term}' ORDER BY score DESC, doc_id LIMIT 10)"""
+        for qid, term in _TREC_QUERIES
+    )
+    trec_vals = ", ".join(f"('{qid}', '{t}')" for qid, t in _TREC_QUERIES)
+    sqls["trec_quality"] = f"""{_prelude()},
+res AS ({trec_res}),
+tokc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+judg AS (
+  SELECT q.query_id, d.doc_id
+  FROM (VALUES {trec_vals}) q(query_id, term)
+  JOIN tokc d ON d.tok = q.term AND d.c >= 2
+),
+mg AS (SELECT query_id, count(*)::DOUBLE AS max_good FROM judg GROUP BY query_id),
+jr AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN j.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r LEFT JOIN judg j ON j.query_id = r.query_id AND j.doc_id = r.doc_id
+),
+cw AS (
+  SELECT query_id, rank, rel,
+         sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum_good
+  FROM jr
+),
+agg AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0 AS p5,
+         sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) / 10.0 AS p10,
+         sum(CASE WHEN rel = 1 THEN cum_good::DOUBLE / rank ELSE 0 END) AS prel_sum,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         max(cum_good) AS num_good
+  FROM cw GROUP BY query_id
+)
+SELECT a.query_id,
+       round(p5, 4) AS p_at_5,
+       round(p10, 4) AS p_at_10,
+       round(CASE WHEN m.max_good > 0 THEN prel_sum / m.max_good ELSE 0 END, 4) AS avp,
+       round(CASE WHEN first_rel IS NOT NULL AND first_rel <= 5
+                  THEN 1.0 / first_rel ELSE 0 END, 4) AS mrr,
+       round(CASE WHEN m.max_good > 0 THEN num_good / m.max_good ELSE 0 END, 4) AS recall,
+       num_good::BIGINT AS num_good,
+       coalesce(m.max_good, 0)::BIGINT AS max_good
+FROM agg a LEFT JOIN mg m USING (query_id)"""
     sqls["prefix_scored"] = f"""{_prelude()}
 SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term LIKE 'sp%'
@@ -1723,6 +1822,22 @@ an AS (
 SELECT surface, weight FROM an
 WHERE analyzed LIKE 'merg%'
 ORDER BY (analyzed <> 'merg'), weight DESC, surface LIMIT 5"""
+    sqls["infix_suggest"] = f"""
+WITH ent AS (
+  SELECT array_to_string(string_split(text, ' ')[1:4], ' ') AS surface,
+         max(n_chars)::BIGINT AS weight
+  FROM documents GROUP BY surface
+),
+an AS (
+  SELECT surface, weight,
+         list_filter(string_split(lower(surface), ' '),
+                     x -> x <> '' AND x NOT IN ({_stop_sql()})) AS toks
+  FROM ent
+)
+SELECT surface, weight FROM an
+WHERE list_contains(toks, 'merge')
+  AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
+ORDER BY weight DESC, surface LIMIT 10"""
     sqls["spell_check"] = f"""{_prelude()}
 SELECT term, levenshtein(term, 'spakr')::INT AS dist, df
 FROM tstats

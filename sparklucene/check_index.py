@@ -82,6 +82,18 @@ def _check_blocks_udf():
                         if (pos < 0).any():
                             errs.append("negative position")
                         # ascending within doc
+                        pay = getattr(row, "pay_blob", None)
+                        if pay:
+                            # .pay stream: exactly 4 bytes (f32) per
+                            # occurrence, finite values
+                            if len(pay) != 4 * int(t.sum()):
+                                errs.append(
+                                    f"payload stream {len(pay)}B != 4*ttf"
+                                )
+                            elif not np.isfinite(
+                                np.frombuffer(pay, dtype="<f4")
+                            ).all():
+                                errs.append("non-finite payload value")
                         if pos.size:
                             starts = np.concatenate(([0], np.cumsum(t)))[:-1]
                             dd = np.diff(pos)

@@ -1,0 +1,106 @@
+"""TREC-style quality benchmarking (src/Lucene.Net.Benchmark/Quality/).
+
+QualityBenchmark.cs runs a query set against the index and judges each
+ranked result list with a Judge (TrecJudge = qrels), accumulating
+QualityStats per query (QualityStats.cs):
+
+  - P@n        = goodPoints(n) / n                    (AddResult:~96)
+  - AveragePrecision = sum over relevant ranks r of P@r, / maxGoodPoints
+                                                       (GetAvp)
+  - MRR        = 1/rank of the FIRST relevant result, only when that rank
+                 is <= 5 (AddResult: "first point, but only within 5 top
+                 scores"), else 0
+  - Recall     = goodPoints(k) / maxGoodPoints
+
+Spark-first: the ranked result lists of EVERY query are one DataFrame
+(query_id, doc_id, rank); judgments another; all metrics come out of one
+join + one cumulative window + one groupBy -- judging a 10,000-query TREC
+run costs the same plan as judging 3 queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quality_stats(results: DataFrame, judgments: DataFrame,
+                  query_col: str = "query_id", doc_col: str = "doc_id",
+                  rank_col: str = "rank") -> DataFrame:
+    """Judge ranked results against qrels.
+
+    results: (query_col, doc_col, rank_col) with rank 1..k per query.
+    judgments: (query_col, doc_col) rows = relevant pairs (TrecJudge's
+    qrels; absent pair = not relevant).
+    -> (query_id, p_at_5, p_at_10, avp, mrr, recall, num_good, max_good)
+    one row per query in `results`."""
+    res = results.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+    rel = judgments.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.lit(1).alias("rel"),
+    ).distinct()
+    max_good = rel.groupBy("query_id").agg(F.count("*").alias("max_good"))
+    j = res.join(rel, ["query_id", "doc_id"], "left").withColumn(
+        "rel", F.coalesce("rel", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("cum_good", F.sum("rel").over(w)).withColumn(
+        "p_r", F.col("cum_good") / F.col("rank")
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.when((F.col("rank") <= 5) & (F.col("rel") == 1), 1).otherwise(0))
+        .alias("good5"),
+        F.sum(F.when((F.col("rank") <= 10) & (F.col("rel") == 1), 1).otherwise(0))
+        .alias("good10"),
+        F.sum(F.when(F.col("rel") == 1, F.col("p_r")).otherwise(0.0))
+        .alias("prel_sum"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.max("cum_good").alias("num_good"),
+    )
+    out = per_q.join(max_good, "query_id", "left").fillna({"max_good": 0})
+    return out.select(
+        "query_id",
+        (F.col("good5") / 5.0).alias("p_at_5"),
+        (F.col("good10") / 10.0).alias("p_at_10"),
+        F.when(F.col("max_good") > 0, F.col("prel_sum") / F.col("max_good"))
+        .otherwise(0.0).alias("avp"),
+        F.when(
+            F.col("first_rel").isNotNull() & (F.col("first_rel") <= 5),
+            1.0 / F.col("first_rel"),
+        ).otherwise(0.0).alias("mrr"),
+        F.when(F.col("max_good") > 0, F.col("num_good") / F.col("max_good"))
+        .otherwise(0.0).alias("recall"),
+        F.col("num_good").cast("long").alias("num_good"),
+        F.col("max_good").cast("long").alias("max_good"),
+    )
+
+
+def run_quality(searcher, query_set: dict[str, dict], judgments: DataFrame,
+                k: int = 10, mode: str = "f64") -> DataFrame:
+    """QualityBenchmark.Execute analogue: run every query tree, rank its
+    top-k, judge the lot in one plan.  query_set: query_id -> JSON tree."""
+    parts = []
+    for qid, tree in sorted(query_set.items()):
+        top = searcher.search(tree, k, mode=mode)
+        w = Window.orderBy(F.desc("score"), F.asc("docID"))
+        parts.append(
+            top.select(
+                F.lit(qid).alias("query_id"),
+                F.col("docID").alias("doc_id"),
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return quality_stats(res, judgments)

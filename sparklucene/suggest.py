@@ -139,3 +139,69 @@ def _prefix_edit_distance(stored: str, q: str, transpositions: bool = True) -> i
         best = min(best, cur[k])
         prev2, prev = prev, cur
     return best
+
+
+class AnalyzingInfixSuggester(AnalyzingSuggester):
+    """AnalyzingInfixSuggester (AnalyzingInfixSuggester.cs:64): suggestions
+    are indexed as analyzed token documents; a lookup analyzes the key,
+    matches every token but the last as an exact TERM anywhere in the
+    suggestion (MUST when all_terms_required, SHOULD otherwise,
+    DoLookup:402-470) and the last token as a PREFIX of any suggestion
+    token (GetLastTokenQuery:391-394); results sort by weight descending
+    (SORT, :109), NOT by score.
+
+    The token-array column replaces the suggest Lucene index; matching is
+    pure JVM array predicates."""
+
+    def __init__(self, spark: SparkSession, entries: DataFrame,
+                 analyzer: str = "standard",
+                 surface_col: str = "surface", weight_col: str = "weight"):
+        self.spark = spark
+        self.analyzer_name = analyzer
+        self.preserve_sep = True
+        an_name = analyzer
+
+        def analyze_batch(it):
+            from .analysis import make_analyzer
+            fn = make_analyzer(an_name)
+            for pdf in it:
+                out = pdf.rename(columns={surface_col: "surface", weight_col: "weight"})
+                out["tokens"] = [
+                    fn(s)[0] if isinstance(s, str) else [] for s in out["surface"]
+                ]
+                yield out[[c for c in ("tokens", "surface", "weight")]][
+                    out["tokens"].map(len) > 0
+                ]
+
+        self.table = (
+            entries.select(surface_col, weight_col)
+            .mapInPandas(
+                analyze_batch,
+                schema="tokens array<string>, surface string, weight long",
+            )
+            .persist()
+        )
+
+    def lookup(self, key: str, n: int = 5,
+               all_terms_required: bool = True) -> DataFrame:
+        from .analysis import make_analyzer
+
+        toks = make_analyzer(self.analyzer_name)(key)[0]
+        if not toks:
+            return self.spark.createDataFrame([], "surface string, weight long")
+        head, last = toks[:-1], toks[-1]
+        clauses = [F.array_contains("tokens", t) for t in head]
+        clauses.append(F.exists("tokens", lambda x: x.startswith(last)))
+        if all_terms_required:
+            cond = clauses[0]
+            for c in clauses[1:]:
+                cond = cond & c
+        else:
+            matched = sum(F.when(c, 1).otherwise(0) for c in clauses)
+            cond = matched >= 1
+        return (
+            self.table.filter(cond)
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(n)
+            .select("surface", "weight")
+        )

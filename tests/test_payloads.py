@@ -55,6 +55,13 @@ def test_payload_term_scores(pay_searcher):
     assert only == {0: pytest.approx(3.0), 1: pytest.approx(0.5)}
 
 
+def test_check_index_validates_payload_stream(spark, pay_searcher):
+    from sparklucene.check_index import check_index
+
+    report = check_index(spark, pay_searcher._seg_dirs[0])
+    assert report["ok"], report
+
+
 def test_payloads_survive_merge(spark, pay_searcher, tmp_path_factory):
     """Append + forced merge must carry the payload stream through the
     re-blocking path (segments._merge_blocks_udf)."""

@@ -1,0 +1,38 @@
+"""QualityStats semantics (src/Lucene.Net.Benchmark/Quality/QualityStats.cs):
+P@n, average precision over maxGoodPoints, MRR-within-5, recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.quality import quality_stats
+
+
+def test_quality_stats_hand_computed(spark):
+    # q1: rel at ranks 2, 4 of 5; one judged doc (99) never retrieved
+    res = [("q1", d, r) for r, d in enumerate([10, 11, 12, 13, 14], start=1)]
+    # q2: no relevant retrieved; q3: first relevant at rank 6 (MRR gate)
+    res += [("q2", d, r) for r, d in enumerate([20, 21, 22], start=1)]
+    res += [("q3", d, r) for r, d in enumerate([30, 31, 32, 33, 34, 35], start=1)]
+    judg = [("q1", 11), ("q1", 13), ("q1", 99),
+            ("q2", 77),
+            ("q3", 35), ("q3", 88)]
+    rdf = spark.createDataFrame(res, "query_id string, doc_id long, rank int")
+    jdf = spark.createDataFrame(judg, "query_id string, doc_id long")
+    got = {r["query_id"]: r.asDict() for r in quality_stats(rdf, jdf).collect()}
+
+    q1 = got["q1"]
+    assert q1["p_at_5"] == pytest.approx(2 / 5)
+    assert q1["avp"] == pytest.approx((1 / 2 + 2 / 4) / 3)  # / maxGoodPoints
+    assert q1["mrr"] == pytest.approx(1 / 2)
+    assert q1["recall"] == pytest.approx(2 / 3)
+    assert (q1["num_good"], q1["max_good"]) == (2, 3)
+
+    q2 = got["q2"]
+    assert q2["avp"] == 0.0 and q2["mrr"] == 0.0 and q2["recall"] == 0.0
+
+    q3 = got["q3"]
+    # first relevant at rank 6 > 5: MRR stays 0 (QualityStats AddResult)
+    assert q3["mrr"] == 0.0
+    assert q3["avp"] == pytest.approx((1 / 6) / 2)
+    assert q3["recall"] == pytest.approx(1 / 2)

@@ -74,3 +74,26 @@ def test_prefix_edit_distance():
     assert _prefix_edit_distance("mreg", "merg") == 1      # transposition
     assert _prefix_edit_distance("mreg", "merg", transpositions=False) == 2
     assert _prefix_edit_distance("xyz", "merg") == 4
+
+
+def test_analyzing_infix_suggester(spark):
+    from sparklucene.suggest import AnalyzingInfixSuggester
+
+    rows = [
+        ("merge the queue fast", 50),
+        ("fast merge queue", 70),
+        ("queue of doom", 10),
+        ("quick brown fox", 20),
+    ]
+    df = spark.createDataFrame(rows, "surface string, weight long")
+    sug = AnalyzingInfixSuggester(spark, df, analyzer="standard")
+    # infix: term 'merge' anywhere + prefix 'qu' anywhere; weight-desc order
+    got = [r["surface"] for r in sug.lookup("merge qu", 5).collect()]
+    assert got == ["fast merge queue", "merge the queue fast"]
+    # single token = pure prefix, anywhere in the suggestion
+    got2 = [r["surface"] for r in sug.lookup("qu", 5).collect()]
+    assert got2 == ["fast merge queue", "merge the queue fast",
+                    "quick brown fox", "queue of doom"]
+    # all_terms_required=False: any clause may match
+    got3 = [r["surface"] for r in sug.lookup("doom qu", 5, all_terms_required=False).collect()]
+    assert "queue of doom" in got3 and "quick brown fox" in got3
