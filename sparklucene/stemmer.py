@@ -470,3 +470,272 @@ def portuguese_light_stem(word: str) -> str:
     if len(w) > 4 and w[-1] in "eao":
         w = w[:-1]
     return w.translate(_PT_FOLD)
+
+
+def swedish_light_stem(word: str) -> str:
+    """Swedish UniNE light stem (Analysis/Sv/SwedishLightStemmer.cs:33):
+    definite/plural -s, derivational -elser/-heten/-arne/..., then single
+    final t/a/e/n trimming."""
+    w = word
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 7 and (w.endswith("elser") or w.endswith("heten")):
+        return w[:-5]
+    if n > 6 and w[-4:] in ("arne", "erna", "ande", "else", "aste", "orna", "aren"):
+        return w[:-4]
+    if n > 5 and w[-3:] in ("are", "ast", "het"):
+        return w[:-3]
+    if n > 4 and w[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return w[:-2]
+    if n > 3 and w[-1] in "taen":
+        return w[:-1]
+    return w
+
+
+_RU_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему", "ери",
+         "ими", "ого", "ому", "ыми", "оев")
+_RU_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+         "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+         "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(word: str) -> str:
+    """Russian UniNE light stem (Analysis/Ru/RussianLightStemmer.cs:33):
+    case-ending removal then soft-sign/и/double-н normalization."""
+    w = word
+    n = len(w)
+    if n > 6 and (w.endswith("иями") or w.endswith("оями")):
+        w = w[:-4]
+    elif n > 5 and w[-3:] in _RU_3:
+        w = w[:-3]
+    elif n > 4 and w[-2:] in _RU_2:
+        w = w[:-2]
+    elif n > 3 and w[-1] in "аеиоуйыяь":
+        w = w[:-1]
+    if len(w) > 3:
+        if w[-1] in "ьи":
+            return w[:-1]
+        if w[-1] == "н" and w[-2] == "н":
+            return w[:-1]
+    return w
+
+
+_HU_FOLD = str.maketrans({
+    "á": "a", "ë": "e", "é": "e", "í": "i",
+    "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+    "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+})
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def _hu_remove_case(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("kent"):
+        return w[:-4]
+    if n > 5:
+        if w[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban", "ben",
+                      "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return w[:-3]
+        if w[-2:] in ("al", "el") and w[-3] not in _HU_VOWELS and w[-3] == w[-4]:
+            return w[:-3]
+    if n > 4:
+        if w[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be",
+                      "ul", "ig"):
+            return w[:-2]
+        if w[-2:] in ("on", "en") and w[-3] not in _HU_VOWELS:
+            return w[:-2]
+        if w[-1] in "tn":
+            return w[:-1]
+        if w[-1] in "ae" and w[-2] == w[-3] and w[-2] not in _HU_VOWELS:
+            return w[:-2]
+    return w
+
+
+def _hu_remove_possessive(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w[-5] not in _HU_VOWELS and w[-4:] in ("atok", "otok", "etek"):
+            return w[:-4]
+        if w[-4:] in ("itek", "itok"):
+            return w[:-4]
+    if n > 5:
+        if w[-4] not in _HU_VOWELS and w[-3:] in ("unk", "tok", "tek"):
+            return w[:-3]
+        if w[-4] in _HU_VOWELS and w.endswith("juk"):
+            return w[:-3]
+        if w.endswith("ink"):
+            return w[:-3]
+    if n > 4:
+        if w[-3] not in _HU_VOWELS and w[-2:] in ("am", "em", "om", "ad",
+                                                  "ed", "od", "uk"):
+            return w[:-2]
+        if w[-3] in _HU_VOWELS and w[-2:] in ("nk", "ja", "je"):
+            return w[:-2]
+        if w[-2:] in ("im", "id", "ik"):
+            return w[:-2]
+    if n > 3:
+        if w[-1] in "ae" and w[-2] not in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] in "md" and w[-2] in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] == "i":
+            return w[:-1]
+    return w
+
+
+def _hu_remove_plural(w: str) -> str:
+    if len(w) > 3 and w[-1] == "k":
+        if w[-2] in "aoe" and len(w) > 4:
+            return w[:-2]
+        return w[:-1]
+    return w
+
+
+def hungarian_light_stem(word: str) -> str:
+    """Hungarian UniNE light stem (Analysis/Hu/HungarianLightStemmer.cs:36):
+    accent folding, case-ending removal, possessive removal, plural -k,
+    then final-vowel normalization."""
+    w = word.translate(_HU_FOLD)
+    w = _hu_remove_case(w)
+    w = _hu_remove_possessive(w)
+    w = _hu_remove_plural(w)
+    if len(w) > 3 and w[-1] in "aeio":
+        return w[:-1]
+    return w
+
+
+_FI_VOWELS = frozenset("aeiouy")
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+
+
+def _fi_step1(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("kin"):
+            return _fi_step1(w[:-3])
+        if w.endswith("ko"):
+            return _fi_step1(w[:-2])
+    if len(w) > 11:
+        if w.endswith("dellinen"):
+            return w[:-8]
+        if w.endswith("dellisuus"):
+            return w[:-9]
+    return w
+
+
+def _fi_step2(w: str) -> str:
+    if len(w) > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            return w[:-3]
+        if w.endswith("ni"):
+            return w[:-2]
+        if w.endswith("aa"):
+            return w[:-1]
+    return w
+
+
+def _fi_step3(w: str) -> str:
+    n = len(w)
+    if n > 8:
+        if w.endswith("nnen"):
+            return w[:-4] + "s"
+        if w.endswith("ntena"):
+            return w[:-5] + "s"
+        if w.endswith("tten"):
+            return w[:-4]
+        if w.endswith("eiden"):
+            return w[:-5]
+    if n > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return w[:-4]
+        if w[-3] == "h" and w[-2] in _FI_VOWELS and w[-1] == "n":
+            return w[:-3]
+        if w.endswith("den"):
+            return w[:-3] + "s"
+        if w.endswith("ksen"):
+            return w[:-4] + "s"
+        if w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return w[:-3]
+    if n > 5:
+        if w.endswith(("na", "ne")):
+            return w[:-2]
+        if w.endswith("nei"):
+            return w[:-3]
+    if n > 4:
+        if w.endswith(("ja", "ta")):
+            return w[:-2]
+        if w[-1] == "a":
+            return w[:-1]
+        if w[-1] == "n" and w[-2] in _FI_VOWELS:
+            return w[:-2]
+        if w[-1] == "n":
+            return w[:-1]
+    return w
+
+
+def _fi_norm1(w: str) -> str:
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and w.endswith(("ei", "at")):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "tsjeai":
+        return w[:-1]
+    return w
+
+
+def _fi_norm2(w: str) -> str:
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            # collapse consecutive runs of the same k/p/t consonant
+            out = [w[0]]
+            ch = w[0]
+            for c in w[1:]:
+                if c == ch and ch in "kpt":
+                    continue
+                out.append(c)
+                ch = c
+            w = "".join(out)
+    return w
+
+
+def finnish_light_stem(word: str) -> str:
+    """Finnish UniNE light stem (Analysis/Fi/FinnishLightStemmer.cs:67):
+    ä/å/ö folding, -kin/-ko clitic strip, case-ending removal with s-
+    substitutions (nnen→s…), then two normalization passes."""
+    if len(word) < 4:
+        return word
+    w = word.translate(_FI_FOLD)
+    w = _fi_step1(w)
+    w = _fi_step2(w)
+    w = _fi_step3(w)
+    w = _fi_norm1(w)
+    return _fi_norm2(w)
+
+
+def norwegian_light_stem(word: str) -> str:
+    """Norwegian (Bokmål) light stem (Analysis/No/NorwegianLightStemmer.cs:96,
+    default BOKMAAL flags): possessive -s, -heter/-heten, -dom/-het,
+    -elser/-elsen, masc/adj endings, then single a/e/n trim."""
+    w = word
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 7 and w.endswith(("heter", "heten")):
+        return w[:-5]
+    if n > 5 and w.endswith(("dom", "het")):
+        return w[:-3]
+    if n > 7 and w.endswith(("elser", "elsen")):
+        return w[:-5]
+    if n > 6 and w.endswith(("ende", "else", "este", "eren")):
+        return w[:-4]
+    if n > 5 and w.endswith(("ere", "est", "ene")):
+        return w[:-3]
+    if n > 4 and w.endswith(("er", "en", "et", "st", "te")):
+        return w[:-2]
+    if n > 3 and w[-1] in "aen":
+        return w[:-1]
+    return w

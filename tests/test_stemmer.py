@@ -200,6 +200,10 @@ _LIGHT_VECS = [
     ("Es/eslighttestdata.zip", "spanish_light_stem", 28377),
     ("It/itlighttestdata.zip", "italian_light_stem", 35494),
     ("Pt/ptlighttestdata.zip", "portuguese_light_stem", 32016),
+    ("Sv/svlighttestdata.zip", "swedish_light_stem", 30623),
+    ("Ru/rulighttestdata.zip", "russian_light_stem", 49673),
+    ("Hu/hulighttestdata.zip", "hungarian_light_stem", 30000),
+    ("Fi/filighttestdata.zip", "finnish_light_stem", 50000),
 ]
 _VEC_BASE = "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/"
 
@@ -225,3 +229,38 @@ def test_es_it_pt_analyzer_chains():
     assert it("L'articolo dell'amico di vecchie")[0] == ["articol", "amico", "vecch"]
     pt = make_analyzer("portuguese")
     assert pt("Os meninos das canções")[0] == ["menin", "canca"]
+
+
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_norwegian_light_reference_vectors():
+    """Bit-exact vs the reference's hand-written Bokmål vectors
+    (Tests.Analysis.Common/Analysis/No/nb_light.txt, 123 pairs)."""
+    from sparklucene.stemmer import norwegian_light_stem
+
+    pairs = []
+    with open(_VEC_BASE + "No/nb_light.txt", encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#") or "\t" not in line:
+                continue
+            w, o = line.rstrip("\n").split("\t")[:2]
+            pairs.append((w, o))
+    assert len(pairs) == 123
+    mism = [(w, o, norwegian_light_stem(w)) for w, o in pairs
+            if norwegian_light_stem(w) != o]
+    assert mism == []
+
+
+def test_sv_ru_hu_fi_no_analyzer_chains():
+    sv = make_analyzer("swedish")
+    assert sv("Bilens hemligheter och priser")[0] == ["bil", "hemlighet", "pris"]
+    ru = make_analyzer("russian")
+    assert ru("Новые книги и журналы")[0] == ["нов", "книг", "журнал"]
+    hu = make_analyzer("hungarian")
+    assert hu("A házakban laknak")[0] == ["haz", "lak"]
+    fi = make_analyzer("finnish")
+    assert fi("Kahdeksannen talon kirjat ja ovet")[0] == ["kahdeksa", "tal", "kirj", "ove"]
+    no = make_analyzer("norwegian")
+    # stopword 'og' dropped, positions preserved through the gap
+    terms, positions = no("Bilens hemmeligheter og kakene")
+    assert terms == ["bil", "hemmelig", "kak"]
+    assert positions == [0, 1, 3]
