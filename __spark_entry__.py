@@ -817,6 +817,16 @@ def _q_payload_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_payload_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PayloadNearQuery (Search/Payloads/PayloadNearQuery.cs): ordered
+    'table'..'hash' spans (slop 3); per match the payloads at the two
+    participating positions ((pos%5)+1 by construction) feed
+    AveragePayloadFunction; score = span BM25 x avg."""
+    s = _pay_searcher(spark, sf_dir)
+    out = s.payload_near_search(["table", "hash"], 3, 15, "avg", mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_lang_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-routed index: query text 'filter' analyzed with the FRENCH
     chain (analyze_query_lang) yields the stem 'filt' -- which both the
@@ -994,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stemmed_term"] = _q_stemmed_term
     out["lang_routed"] = _q_lang_routed
     out["payload_term"] = _q_payload_term
+    out["payload_near"] = _q_payload_near
     out["nb_classify"] = _q_nb_classify
     out["trec_quality"] = _q_trec_quality
     out["prefix_scored"] = _q_prefix_scored
@@ -1669,6 +1680,41 @@ pay AS (
 SELECT s.doc_id AS doc_id, round(s.score * p.pf, 4) AS score
 FROM scored s JOIN pay p USING (doc_id) WHERE s.term = 'merge'
 ORDER BY s.score * p.pf DESC, s.doc_id LIMIT 15"""
+    # PayloadNearQuery: the span_near pair rule (a = max A < b, b = min B > a,
+    # fuzz-verified in tools/fuzz_closed_forms.py) enumerates the matches;
+    # each match processes BOTH participating payloads ((pos%5)+1), so
+    # AveragePayloadFunction = sum over matches of (pa+pb) / (2*matches).
+    sqls["payload_near"] = f"""{_prelude()},
+pa AS (SELECT DISTINCT doc_id, pos AS p FROM emitted WHERE term = 'table'),
+pb AS (SELECT DISTINCT doc_id, pos AS p FROM emitted WHERE term = 'hash'),
+spans AS (
+  SELECT b.doc_id, b.p AS bp,
+         (SELECT max(a.p) FROM pa a WHERE a.doc_id = b.doc_id AND a.p < b.p) AS ap
+  FROM pb b
+),
+ok AS (
+  SELECT doc_id, ap, bp FROM spans
+  WHERE ap IS NOT NULL
+    AND bp = (SELECT min(b2.p) FROM pb b2
+              WHERE b2.doc_id = spans.doc_id AND b2.p > spans.ap)
+    AND bp - ap - 1 <= 3
+),
+phr AS (
+  SELECT doc_id, sum(1.0 / (bp - ap + 2)) AS pf,
+         sum((ap % 5) + (bp % 5) + 2.0) / (2 * count(*)) AS pay
+  FROM ok GROUP BY doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+)
+SELECT p.doc_id,
+       round(p.pay * i.idf * 2.2 * p.pf
+             / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)), 4) AS score
+FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY p.pay * i.idf * 2.2 * p.pf
+         / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)) DESC, p.doc_id
+LIMIT 15"""
     sqls["nb_classify"] = """
 WITH dt AS (
   SELECT doc_id, lang,

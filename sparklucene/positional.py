@@ -149,6 +149,109 @@ def span_near_ordered_spans(
     return out
 
 
+def span_near_ordered_matches(
+    pos_lists: list[np.ndarray], slop: int
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    """span_near_ordered_spans + the participating clause positions per
+    match -- what NearSpansOrdered.ShrinkToAfterShortestMatch collects into
+    possibleMatchPayloads (NearSpansOrdered.cs:363-455): clause i's
+    contributing position is its furthest advance still ordered before the
+    next clause.  -> [(matchStart, matchEnd, (pos_0,...,pos_{n-1})), ...]."""
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return []
+    if n == 1:
+        return [(int(p), int(p) + 1, (int(p),)) for p in pos_lists[0]]
+    cur = [0] * n
+    state = {"more": True}
+    out: list[tuple[int, int, tuple[int, ...]]] = []
+
+    def start(i: int) -> int:
+        return int(pos_lists[i][cur[i]])
+
+    def advance(i: int) -> bool:
+        cur[i] += 1
+        if cur[i] >= len(pos_lists[i]):
+            state["more"] = False
+            return False
+        return True
+
+    def ordered(s1: int, e1: int, s2: int, e2: int) -> bool:
+        return (e1 < e2) if s1 == s2 else (s1 < s2)
+
+    def stretch_to_order() -> bool:
+        for i in range(1, n):
+            while not ordered(start(i - 1), start(i - 1) + 1, start(i), start(i) + 1):
+                if not advance(i):
+                    return False
+        return True
+
+    def shrink() -> bool:
+        nonlocal_out_end = start(n - 1) + 1
+        match_start = start(n - 1)
+        match_slop = 0
+        last_start, last_end = match_start, nonlocal_out_end
+        parts = [0] * n
+        parts[n - 1] = match_start
+        for i in range(n - 2, -1, -1):
+            prev_start = start(i)
+            prev_end = prev_start + 1
+            while True:
+                if not advance(i):
+                    break
+                pp_s = start(i)
+                pp_e = pp_s + 1
+                if not ordered(pp_s, pp_e, last_start, last_end):
+                    break
+                prev_start, prev_end = pp_s, pp_e
+            parts[i] = prev_start
+            if match_start > prev_end:
+                match_slop += match_start - prev_end
+            match_start = prev_start
+            last_start, last_end = prev_start, prev_end
+        if match_slop <= slop:
+            out.append((match_start, nonlocal_out_end, tuple(parts)))
+            return True
+        return False
+
+    while state["more"]:
+        if stretch_to_order() and shrink():
+            continue
+    return out
+
+
+def span_near_unordered_matches(
+    pos_lists: list[np.ndarray], slop: int
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    """span_near_unordered_spans + each cell's current position per match
+    (NearSpansUnordered collects every SpansCell's payload at AtMatch)."""
+    import heapq
+
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return []
+    cur = [0] * n
+
+    def start(i: int) -> int:
+        return int(pos_lists[i][cur[i]])
+
+    heap = [(start(i), i) for i in range(n)]
+    heapq.heapify(heap)
+    ends = [start(i) + 1 for i in range(n)]
+    out: list[tuple[int, int, tuple[int, ...]]] = []
+    total = n
+    while True:
+        max_end = max(ends)
+        min_start, mi = heap[0]
+        if (max_end - min_start - total) <= slop:
+            out.append((min_start, max_end, tuple(start(i) for i in range(n))))
+        cur[mi] += 1
+        if cur[mi] >= len(pos_lists[mi]):
+            return out
+        ends[mi] = start(mi) + 1
+        heapq.heapreplace(heap, (start(mi), mi))
+
+
 def span_freq_f32(spans: list[tuple[int, int]], f32: bool = True) -> float:
     """SpanScorer.SetFreqCurrentDoc: freq += sloppyFreq(end - start) per
     span, float32 accumulation (SpanScorer.cs:79-98; SloppyFreq =

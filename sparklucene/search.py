@@ -2118,6 +2118,179 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def _payload_positions(self, terms: list[str], mode: str):
+        """Per-doc (term, positions, payloads, norm_byte) rows grouped by
+        docID, restricted to docs containing ALL the given terms -- the
+        shared scaffold for payload span queries.  Returns (grouped_df,
+        weight_value) or None when a term is index-absent (a near span over
+        a missing clause cannot match)."""
+        uniq = sorted(set(terms))
+        sts = self.lookup_terms(uniq)
+        if len(sts) < len(uniq):
+            return None
+        if mode == "f32":
+            idf = np.float32(0.0)
+            for x in terms:
+                idf = np.float32(idf + np.float32(_idf(sts[x].df, self.max_doc, "f32")))
+            wv = float(np.float32(idf * np.float32(K1 + 1.0)))
+        else:
+            wv = sum(_idf(sts[x].df, self.max_doc, "f64") for x in terms) * (K1 + 1.0)
+        posts = self._scored_postings(
+            {x: 1.0 for x in uniq}, mode, with_positions=True, with_payloads=True
+        )
+        grouped = (
+            posts.groupBy("docID")
+            .agg(
+                F.collect_list(F.struct("term", "positions", "payloads")).alias("plists"),
+                F.first("norm_byte").alias("norm_byte"),
+                F.count("*").alias("n_terms"),
+            )
+            .filter(F.col("n_terms") == len(uniq))
+        )
+        return grouped, wv
+
+    def payload_near_search(self, terms: list[str], slop: int, k: int = 10,
+                            payload_fn: str = "avg", in_order: bool = True,
+                            include_span_score: bool = True,
+                            mode: str = "f64") -> DataFrame:
+        """PayloadNearQuery over term span clauses
+        (Search/Payloads/PayloadNearQuery.cs:50): spans match like
+        span_near (ordered/unordered, slop); every match contributes
+        sloppyFreq to the span BM25 freq AND processes one payload per
+        clause at its participating position
+        (PayloadNearSpanScorer.SetFreqCurrentDoc :276-296 +
+        NearSpansOrdered.ShrinkToAfterShortestMatch payload collection);
+        score = span score x PayloadFunction.DocScore (GetScore :297-300),
+        or the payload factor alone (includeSpanScore=false analogue)."""
+        from .positional import (
+            span_freq_f32,
+            span_near_ordered_matches,
+            span_near_unordered_matches,
+        )
+
+        ftype = "float" if mode == "f32" else "double"
+        scaffold = self._payload_positions(terms, mode)
+        if scaffold is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        grouped, wv = scaffold
+        cache = _norm_cache(self.avgdl_f32, mode)
+        out_schema = T.StructType([
+            T.StructField("docID", T.LongType()),
+            T.StructField("score", T.FloatType() if mode == "f32" else T.DoubleType()),
+        ])
+        f32 = mode == "f32"
+        terms_b, slop_b, fn_b, ord_b, inc_b, wv_b = (
+            list(terms), slop, payload_fn, in_order, include_span_score, wv
+        )
+
+        def score_doc(pdf_iter):
+            kernel = span_near_ordered_matches if ord_b else span_near_unordered_matches
+            for pdf in pdf_iter:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    pos = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
+                    pay = {p["term"]: np.asarray(p["payloads"]) for p in row.plists}
+                    matches = kernel([pos[t] for t in terms_b], slop_b)
+                    if not matches:
+                        continue
+                    vals: list[float] = []
+                    for _s, _e, parts in matches:
+                        for i, p in enumerate(parts):
+                            t = terms_b[i]
+                            vals.append(float(pay[t][np.searchsorted(pos[t], p)]))
+                    if fn_b == "avg":
+                        pf = sum(vals) / len(vals)
+                    elif fn_b == "min":
+                        pf = min(vals)
+                    elif fn_b == "max":
+                        pf = max(vals)
+                    else:
+                        raise ValueError(f"unknown payload function: {fn_b}")
+                    if inc_b:
+                        freq = span_freq_f32([(s, e) for s, e, _ in matches], f32)
+                        nc = cache[row.norm_byte]
+                        base = (
+                            float(np.float32(np.float32(wv_b) * np.float32(freq)
+                                             / (np.float32(freq) + nc)))
+                            if f32 else wv_b * freq / (freq + nc)
+                        )
+                        sc = base * pf
+                    else:
+                        sc = pf
+                    out_doc.append(row.docID)
+                    out_score.append(np.float32(sc) if f32 else sc)
+                yield pd.DataFrame({"docID": out_doc, "score": out_score})
+
+        return (
+            grouped.mapInPandas(score_doc, schema=out_schema)
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def span_payload_check(self, terms: list[str], payloads: list[float],
+                           slop: int = 0, k: int = 10,
+                           mode: str = "f64") -> DataFrame:
+        """SpanPayloadCheckQuery over a term clause or an ordered near span
+        (Search/Spans/SpanPayloadCheckQuery.cs:56-88 AcceptPosition): a span
+        is kept only when its collected payload list equals `payloads`
+        value-for-value (count must match).  Kept spans score like any span
+        query (BM25 over sloppyFreq).  Divergence from the reference for
+        multi-clause spans: we compare in clause order (the reference
+        iterates a HashSet, an order it itself flags as unreliable)."""
+        from .positional import span_freq_f32, span_near_ordered_matches
+
+        ftype = "float" if mode == "f32" else "double"
+        if len(payloads) != len(terms):
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        scaffold = self._payload_positions(terms, mode)
+        if scaffold is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        grouped, wv = scaffold
+        cache = _norm_cache(self.avgdl_f32, mode)
+        out_schema = T.StructType([
+            T.StructField("docID", T.LongType()),
+            T.StructField("score", T.FloatType() if mode == "f32" else T.DoubleType()),
+        ])
+        f32 = mode == "f32"
+        terms_b, slop_b, want_b, wv_b = list(terms), slop, [np.float32(p) for p in payloads], wv
+
+        def score_doc(pdf_iter):
+            for pdf in pdf_iter:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    pos = {p["term"]: np.asarray(p["positions"]) for p in row.plists}
+                    pay = {p["term"]: np.asarray(p["payloads"]) for p in row.plists}
+                    kept = []
+                    for s, e, parts in span_near_ordered_matches(
+                        [pos[t] for t in terms_b], slop_b
+                    ):
+                        ok = True
+                        for i, p in enumerate(parts):
+                            t = terms_b[i]
+                            if np.float32(pay[t][np.searchsorted(pos[t], p)]) != want_b[i]:
+                                ok = False
+                                break
+                        if ok:
+                            kept.append((s, e))
+                    if not kept:
+                        continue
+                    freq = span_freq_f32(kept, f32)
+                    nc = cache[row.norm_byte]
+                    sc = (
+                        float(np.float32(np.float32(wv_b) * np.float32(freq)
+                                         / (np.float32(freq) + nc)))
+                        if f32 else wv_b * freq / (freq + nc)
+                    )
+                    out_doc.append(row.docID)
+                    out_score.append(np.float32(sc) if f32 else sc)
+                yield pd.DataFrame({"docID": out_doc, "score": out_score})
+
+        return (
+            grouped.mapInPandas(score_doc, schema=out_schema)
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix completion over the terms dictionary, ranked by document

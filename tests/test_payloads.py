@@ -83,3 +83,87 @@ def test_payloads_survive_merge(spark, pay_searcher, tmp_path_factory):
     got = {r["docID"]: r["score"] for r in
            s.payload_term_search("merge", 10, "avg", include_span_score=False).collect()}
     assert got == {0: pytest.approx(3.0), 1: pytest.approx(0.5), 2: pytest.approx(8.0)}
+
+
+@pytest.fixture(scope="module")
+def pay_near_searcher(spark, tmp_path_factory):
+    rows = [
+        {"doc_id": 0, "text": "spark|1.0 merge|2.0 fast|9.0 spark|3.0 table|4.0"},
+        {"doc_id": 1, "text": "table|5.0 spark|6.0"},
+        {"doc_id": 2, "text": "spark|7.0 nothing else"},
+    ]
+    out = str(tmp_path_factory.mktemp("paynearidx"))
+    build_index(
+        spark, spark.createDataFrame(rows), out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=2,
+                    analyzer="delimited_payload"),
+    )
+    return IndexSearcher(spark, out)
+
+
+def test_payload_near_ordered(pay_near_searcher):
+    s = pay_near_searcher
+    base = {r["docID"]: r["score"] for r in s.search(
+        {"type": "span_near", "terms": ["spark", "table"], "slop": 1, "in_order": True},
+        10, mode="f64").collect()}
+    got = {r["docID"]: r["score"] for r in
+           s.payload_near_search(["spark", "table"], 1, 10, "avg", mode="f64").collect()}
+    # doc0: one ordered match (spark@3, table@4) -> payloads (3, 4), avg 3.5;
+    # doc1 has table BEFORE spark (no ordered match); doc2 lacks table.
+    assert set(got) == {0}
+    assert got[0] == pytest.approx(base[0] * 3.5)
+    got_min = {r["docID"]: r["score"] for r in
+               s.payload_near_search(["spark", "table"], 1, 10, "min", mode="f64").collect()}
+    assert got_min[0] == pytest.approx(base[0] * 3.0)
+    only = {r["docID"]: r["score"] for r in
+            s.payload_near_search(["spark", "table"], 1, 10, "max",
+                                  include_span_score=False, mode="f64").collect()}
+    assert only == {0: pytest.approx(4.0)}
+
+
+def test_payload_near_unordered(pay_near_searcher):
+    s = pay_near_searcher
+    base = {r["docID"]: r["score"] for r in s.search(
+        {"type": "span_near", "terms": ["spark", "table"], "slop": 1, "in_order": False},
+        10, mode="f64").collect()}
+    got = {r["docID"]: r["score"] for r in
+           s.payload_near_search(["spark", "table"], 1, 10, "avg",
+                                 in_order=False, mode="f64").collect()}
+    # doc1 now matches too: (table@0, spark@1) -> payloads (6, 5), avg 5.5
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(base[0] * 3.5)
+    assert got[1] == pytest.approx(base[1] * 5.5)
+
+
+def test_payload_near_absent_term_empty(pay_near_searcher):
+    assert pay_near_searcher.payload_near_search(["spark", "zzz"], 3, 10).count() == 0
+
+
+def test_span_payload_check_term(pay_near_searcher):
+    s = pay_near_searcher
+    # all of table's occurrences in doc1 carry payload 5.0 -> the check keeps
+    # every span, so the score equals the plain span_term score
+    base = {r["docID"]: r["score"] for r in
+            s.search({"type": "span_term", "term": "table"}, 10, mode="f64").collect()}
+    got = {r["docID"]: r["score"] for r in
+           s.span_payload_check(["table"], [5.0], mode="f64").collect()}
+    assert got == {1: pytest.approx(base[1])}
+    # doc0's spark@3 is the only spark occurrence with payload 3.0: kept freq
+    # is half the doc's two-occurrence span_term freq
+    got3 = {r["docID"]: r["score"] for r in
+            s.span_payload_check(["spark"], [3.0], mode="f64").collect()}
+    assert set(got3) == {0}
+    # payload value matching nothing -> empty
+    assert s.span_payload_check(["spark"], [99.0], mode="f64").count() == 0
+
+
+def test_span_payload_check_near(pay_near_searcher):
+    s = pay_near_searcher
+    base = {r["docID"]: r["score"] for r in s.search(
+        {"type": "span_near", "terms": ["spark", "table"], "slop": 1, "in_order": True},
+        10, mode="f64").collect()}
+    got = {r["docID"]: r["score"] for r in
+           s.span_payload_check(["spark", "table"], [3.0, 4.0], slop=1, mode="f64").collect()}
+    assert got == {0: pytest.approx(base[0])}
+    assert s.span_payload_check(["spark", "table"], [1.0, 4.0], slop=1,
+                                mode="f64").count() == 0
