@@ -410,6 +410,39 @@ def _q_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfr_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR P-L2 single term (Poisson basic model, Laplace after-effect, H2)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("merge"), 15, similarity="dfr_pl2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_dfr_dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR D-L2 single term (binomial-divergence basic model)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("scan"), 15, similarity="dfr_dl2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_dfr_inlh3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR In-L-H3 single term (Dirichlet-prior H3 normalization, mu=800)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("merge"), 15, similarity="dfr_inlh3", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_ib_spl_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IB SPL-TTF-Z two-term OR (TTF lambda, Pareto-Zipf Z normalization)."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("SHOULD", _t("batch")), ("SHOULD", _t("scan"))])
+    return s.search_sim(q, 20, similarity="ib_spl_z", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_dfr_beb1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR Be-B-H1 single term (Bose-Einstein limiting form, Bernoulli
     after-effect, H1 uniform length normalization)."""
@@ -986,6 +1019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ib_ll"] = _q_ib_ll
     out["dfr_beb1"] = _q_dfr_beb1
     out["ib_spl_h1"] = _q_ib_spl_h1
+    out["dfr_pl2"] = _q_dfr_pl2
+    out["dfr_dl2"] = _q_dfr_dl2
+    out["dfr_inlh3"] = _q_dfr_inlh3
+    out["ib_spl_z"] = _q_ib_spl_z
     out["sloppy_phrase"] = _q_sloppy_phrase
     out["sloppy_rpts"] = _q_sloppy_rpts
     out["multi_phrase"] = _q_multi_phrase
@@ -1579,6 +1616,71 @@ d AS (
 SELECT doc_id, round(sum(-ln(lam / (tfn + lam))), 4) AS score
 FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
+    sqls["dfr_pl2"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         (t.ttf + 1.0) / (s.max_doc + 1.0) AS lam
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'merge'
+),
+raw AS (
+  SELECT doc_id,
+         (tfn * ln(tfn / lam) / ln(2.0)
+          + (lam + 1.0 / (12.0 * tfn) - tfn) / ln(2.0)
+          + 0.5 * ln(2.0 * pi() * tfn) / ln(2.0)) / (tfn + 1.0) AS r
+  FROM d
+)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 15"""
+    sqls["dfr_dl2"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         t.ttf AS ttf, s.max_doc AS n_docs
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'scan'
+),
+e AS (
+  SELECT doc_id, tfn, ttf + 1.0 + tfn AS bigf,
+         tfn / (ttf + 1.0 + tfn) AS phi, 1.0 / (n_docs + 1.0) AS pp
+  FROM d
+),
+raw AS (
+  SELECT doc_id,
+         ((phi * ln(phi / pp) / ln(2.0)
+           + (1.0 - phi) * ln((1.0 - phi) / (1.0 - pp)) / ln(2.0)) * bigf
+          + 0.5 * ln(1.0 + 2.0 * pi() * tfn * (1.0 - phi)) / ln(2.0)) / (tfn + 1.0) AS r
+  FROM e
+)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 15"""
+    sqls["dfr_inlh3"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         (p.tf + 800.0 * ((t.ttf + 1.0) / (s.sum_ttf + 1.0)))
+           / (n.qlen + 800.0) * 800.0 AS tfn,
+         ln((s.max_doc + 1.0) / (t.df + 0.5)) / ln(2.0) AS lg
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'merge'
+),
+raw AS (SELECT doc_id, tfn * lg / (tfn + 1.0) AS r FROM d)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 15"""
+    sqls["ib_spl_z"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * pow(s.avgdl / n.qlen, 0.30) AS tfn,
+         (t.ttf + 1.0) / (s.max_doc + 1.0) AS lam
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN ('batch', 'scan')
+),
+raw AS (
+  SELECT doc_id, sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))) AS r
+  FROM d GROUP BY doc_id
+)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 20"""
     sqls["dfr_beb1"] = f"""{_prelude()},
 d AS (
   SELECT p.doc_id,

@@ -501,6 +501,212 @@ class IBSimilaritySPLH1:
         return sc
 
 
+class DFRSimilarityPL2:
+    """DFRSimilarity(BasicModelP, AfterEffectL, NormalizationH2(c=1)) -- the
+    canonical PL2 Poisson combo:
+      tfn = (float)(tf * log2(1 + c*avgFieldLength/docLen))  NormalizationH2.cs:53
+      lam = (float)(ttf+1)/(N+1)                             BasicModelP.cs:35
+      P   = (float)(tfn*log2(tfn/lam) + (lam + 1/(12*tfn) - tfn)*log2(e)
+                    + 0.5*log2(2*pi*tfn))                    BasicModelP.cs:37-38
+      L   = 1/(tfn+1)                                        AfterEffectL.cs:33-36
+      score = boost * P * L                                  DFRSimilarity.cs:120-124
+    """
+
+    name = "dfr_pl2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N = ctx["max_doc"]
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        if mode == "f32":
+            b = f32(boost)
+            lam = f32(np.float32(ts.ttf + 1) / np.float32(N + 1))
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                t64 = tfn.astype(np.float64)
+                p_score = (
+                    t64 * (np.log(t64 / np.float64(lam)) / _LOG2)
+                    + (np.float64(lam) + 1.0 / (12.0 * t64) - t64) / _LOG2
+                    + 0.5 * (np.log(2.0 * math.pi * t64) / _LOG2)
+                ).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * p_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+            lamd = (ts.ttf + 1.0) / (N + 1.0)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                p_score = (
+                    tfn * (np.log(tfn / lamd) / _LOG2)
+                    + (lamd + 1.0 / (12.0 * tfn) - tfn) / _LOG2
+                    + 0.5 * (np.log(2.0 * math.pi * tfn) / _LOG2)
+                )
+                return boost * p_score / (tfn + 1.0)
+        return sc
+
+
+class DFRSimilarityDL2:
+    """DFRSimilarity(BasicModelD, AfterEffectL, NormalizationH2(c=1)) -- the
+    binomial-divergence model:
+      F    = ttf + 1 + tfn; phi = tfn/F; p = 1/(N+1)       BasicModelD.cs:33-36
+      D    = phi*log2(phi/p) + (1-phi)*log2((1-phi)/(1-p))
+      model = (float)(D*F + 0.5*log2(1 + 2*pi*tfn*(1-phi)))  BasicModelD.cs:38
+      score = boost * model * 1/(tfn+1)
+    """
+
+    name = "dfr_dl2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N = ctx["max_doc"]
+        ttf = ts.ttf
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        p_ = 1.0 / (N + 1.0)
+
+        def model64(t64):
+            F_ = ttf + 1.0 + t64
+            phi = t64 / F_
+            nphi = 1.0 - phi
+            d_ = phi * (np.log(phi / p_) / _LOG2) + nphi * (
+                np.log(nphi / (1.0 - p_)) / _LOG2
+            )
+            return d_ * F_ + 0.5 * (np.log(1.0 + 2.0 * math.pi * t64 * nphi) / _LOG2)
+
+        if mode == "f32":
+            b = f32(boost)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                d_score = model64(tfn.astype(np.float64)).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * d_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                return boost * model64(tfn) / (tfn + 1.0)
+        return sc
+
+
+class DFRSimilarityInLH3:
+    """DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH3(mu=800)) --
+    the Dirichlet-prior length normalization under DFR:
+      tfn = (tf + mu*((ttf+1)/(sumTotalTermFreq+1)))/(docLen+mu) * mu
+                                                       NormalizationH3.cs:40-43
+      In  = tfn * log2((N+1)/(df+0.5));  L = 1/(tfn+1)
+    """
+
+    name = "dfr_inlh3"
+    uses_coord = False
+
+    def __init__(self, mu: float = 800.0):
+        self.mu = mu
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        mu = self.mu
+        N, df = ctx["max_doc"], ts.df
+        prior64 = (ts.ttf + 1.0) / (ctx["sum_ttf"] + 1.0)
+        if mode == "f32":
+            b = f32(boost)
+            lg_in = f32(math.log((N + 1) / (df + 0.5)) / _LOG2)
+            mup = f32(np.float32(mu) * np.float32(prior64))
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                tfn = (
+                    ((tf_arr.astype(np.float32) + mup).astype(np.float32)
+                     / (dl + np.float32(mu)).astype(np.float32)).astype(np.float32)
+                    * np.float32(mu)
+                ).astype(np.float32)
+                in_score = (tfn * lg_in).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * in_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            lg_in = math.log((N + 1) / (df + 0.5)) / _LOG2
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = (tf_arr.astype(np.float64) + mu * prior64) / (dl + mu) * mu
+                return boost * (tfn * lg_in) / (tfn + 1.0)
+        return sc
+
+
+class IBSimilaritySPLZ:
+    """IBSimilarity(DistributionSPL, LambdaTTF, NormalizationZ(z=0.30)):
+      lambda = (ttf+1)/(N+1)                              LambdaTTF.cs:33-36
+      tfn    = (float)(tf * (avgFieldLength/docLen)^z)    NormalizationZ.cs:40-43
+      score  = boost * -(float)ln((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda))
+    """
+
+    name = "ib_spl_z"
+    uses_coord = False
+
+    def __init__(self, z: float = 0.30):
+        self.z = z
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        z = self.z
+        N = ctx["max_doc"]
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        lamd = (ts.ttf + 1.0) / (N + 1.0)
+        if lamd == 1.0:
+            lamd = 0.99
+        if mode == "f32":
+            b = f32(boost)
+            lam = f32(lamd)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                tfn = (
+                    tf_arr.astype(np.float64)
+                    * np.power((avgfl32 / dl).astype(np.float64), z)
+                ).astype(np.float32)
+                expo = (tfn / (tfn + np.float32(1.0))).astype(np.float32)
+                spl = (
+                    -np.log(
+                        (np.power(np.float64(lam), expo.astype(np.float64)) - np.float64(lam))
+                        / (1.0 - np.float64(lam))
+                    )
+                ).astype(np.float32)
+                return (b * spl).astype(np.float32)
+        else:
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.power(float(avgfl32) / dl, z)
+                expo = tfn / (tfn + 1.0)
+                return boost * -np.log((np.power(lamd, expo) - lamd) / (1.0 - lamd))
+        return sc
+
+
 def make_similarity(name: str, **params):
     if name == "classic":
         return ClassicSimilarity()
@@ -520,4 +726,12 @@ def make_similarity(name: str, **params):
         return DFRSimilarityBeB1()
     if name == "ib_spl_h1":
         return IBSimilaritySPLH1()
+    if name == "dfr_pl2":
+        return DFRSimilarityPL2(params.get("c", 1.0))
+    if name == "dfr_dl2":
+        return DFRSimilarityDL2(params.get("c", 1.0))
+    if name == "dfr_inlh3":
+        return DFRSimilarityInLH3(params.get("mu", 800.0))
+    if name == "ib_spl_z":
+        return IBSimilaritySPLZ(params.get("z", 0.30))
     raise ValueError(f"unknown similarity: {name}")
