@@ -410,6 +410,50 @@ def _q_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spatial_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic points derived from the documents table (the spatial
+    module has no external data; both sides derive lat/lon from doc_id)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def _q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PointVectorStrategy bbox (Vector/PointVectorStrategy.cs MakeWithin):
+    two native BETWEENs, constant score like the reference's filters."""
+    from sparklucene.spatial import PointVectorStrategy
+
+    pts = _spatial_points(spark, sf_dir)
+    out = PointVectorStrategy().search_bbox(pts, -30.0, 40.0, -60.0, 90.0)
+    return out.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+
+
+def _q_spatial_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecursivePrefixTreeStrategy circle (Prefix/RecursivePrefixTree
+    Strategy.cs over GeohashPrefixTree): driver-side cell cover -> prefix
+    filter -> exact haversine refine; results EXACT (cells only prune),
+    so the oracle is the closed-form haversine."""
+    from sparklucene.spatial import GeohashStrategy
+
+    pts = _spatial_points(spark, sf_dir)
+    gh = GeohashStrategy(precision=7)
+    out = gh.search_circle(gh.index(pts), 10.0, 20.0, 3000.0)
+    return out.select("doc_id", F.round("dist_km", 4).alias("dist_km")).orderBy("doc_id")
+
+
+def _q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-distance top-k (Vector/DistanceValueSource.cs as the sort
+    ValueSource) = TakeOrderedAndProject on the haversine column."""
+    from sparklucene.spatial import PointVectorStrategy
+
+    pts = _spatial_points(spark, sf_dir)
+    out = PointVectorStrategy().nearest(pts, 48.8, 2.3, 10)
+    return out.select("doc_id", F.round("dist_km", 4).alias("dist_km"))
+
+
 def _q_dfr_pl2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR P-L2 single term (Poisson basic model, Laplace after-effect, H2)."""
     s = _searcher(spark, sf_dir)
@@ -1019,6 +1063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ib_ll"] = _q_ib_ll
     out["dfr_beb1"] = _q_dfr_beb1
     out["ib_spl_h1"] = _q_ib_spl_h1
+    out["spatial_bbox"] = _q_spatial_bbox
+    out["spatial_circle"] = _q_spatial_circle
+    out["spatial_knn"] = _q_spatial_knn
     out["dfr_pl2"] = _q_dfr_pl2
     out["dfr_dl2"] = _q_dfr_dl2
     out["dfr_inlh3"] = _q_dfr_inlh3
@@ -1616,6 +1663,28 @@ d AS (
 SELECT doc_id, round(sum(-ln(lam / (tfn + lam))), 4) AS score
 FROM d GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 20"""
+    _pts = """pts AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)"""
+    _hav = ("2.0 * 6371.0087714 * asin(sqrt("
+            "pow(sin(radians(lat - {lat}) / 2.0), 2)"
+            " + cos(radians({lat})) * cos(radians(lat))"
+            " * pow(sin(radians(lon - {lon}) / 2.0), 2)))")
+    sqls["spatial_bbox"] = f"""WITH {_pts}
+SELECT doc_id, 1.0 AS score FROM pts
+WHERE lat BETWEEN -30.0 AND 40.0 AND lon BETWEEN -60.0 AND 90.0
+ORDER BY doc_id"""
+    sqls["spatial_circle"] = f"""WITH {_pts},
+d AS (SELECT doc_id, {_hav.format(lat=10.0, lon=20.0)} AS dist FROM pts)
+SELECT doc_id, round(dist, 4) AS dist_km FROM d
+WHERE dist <= 3000.0 ORDER BY doc_id"""
+    sqls["spatial_knn"] = f"""WITH {_pts},
+d AS (SELECT doc_id, {_hav.format(lat=48.8, lon=2.3)} AS dist FROM pts)
+SELECT doc_id, round(dist, 4) AS dist_km FROM d
+ORDER BY dist ASC, doc_id LIMIT 10"""
     sqls["dfr_pl2"] = f"""{_prelude()},
 d AS (
   SELECT p.doc_id,

@@ -1,0 +1,304 @@
+"""Spatial search module -- the Spark-first re-expression of
+src/Lucene.Net.Spatial (PointVectorStrategy, RecursivePrefixTreeStrategy
+over GeohashPrefixTree, DistanceValueSource, DisjointSpatialFilter).
+
+Two strategies, mirroring the reference's split:
+
+* **PointVectorStrategy** (Vector/PointVectorStrategy.cs): points live as
+  two native numeric columns (lon = x, lat = y, the reference's field__x /
+  field__y doc values).  Every predicate is pure Catalyst -- `BETWEEN` for
+  rectangles (MakeQuery -> NumericRangeQuery pair, PointVectorStrategy.cs:
+  MakeWithin), and JVM trig built-ins for the exact haversine refine
+  (Util/ValueSourceFilter.cs wrapping Vector/DistanceValueSource.cs).
+  Nothing leaves whole-stage codegen; parquet min/max stats prune row
+  groups on the bbox prefilter.
+
+* **GeohashStrategy** (Prefix/RecursivePrefixTreeStrategy.cs +
+  Prefix/Tree/GeohashPrefixTree.cs): each point stores ONE max-precision
+  geohash string; a cell query is `startswith(cell)`, which Catalyst
+  rewrites to a string range predicate -- on data sorted/partitioned by
+  the geohash column that is the parquet-native analogue of the
+  reference's per-level term postings (prefix = range scan instead of an
+  exploded term per level).  Circle/bbox queries cover the query shape
+  with grid cells ON THE DRIVER (a few hundred strings, the analogue of
+  AbstractVisitingPrefixTreeFilter's cell recursion), filter by covering
+  cells, then exact-refine with haversine -- so results are EXACT, cells
+  only prune.
+
+Distance: great-circle haversine on the sphere (spatial4n
+GeodesicSphereDistCalc.Haversine, DistanceUtils.EARTH_MEAN_RADIUS_KM =
+6371.0087714) -- computed with Spark's JVM trig functions, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_MEAN_RADIUS_KM = 6371.0087714  # spatial4n DistanceUtils
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_BASE32_IDX = {c: i for i, c in enumerate(_BASE32)}
+
+
+# ---------------------------------------------------------------------------
+# geohash codec (GeohashUtils analogue), numpy-vectorized for indexing
+# ---------------------------------------------------------------------------
+
+def geohash_encode_np(lat, lon, precision: int = 9) -> np.ndarray:
+    """Vectorized geohash of (lat, lon) arrays at the given precision
+    (spatial4n GeohashUtils.EncodeLatLon; bit-interleaved base32, even
+    bits longitude)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    lon_q = np.minimum(
+        ((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.uint64),
+        np.uint64((1 << lon_bits) - 1),
+    )
+    lat_q = np.minimum(
+        ((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.uint64),
+        np.uint64((1 << lat_bits) - 1),
+    )
+    val = np.zeros(lat.shape, dtype=np.uint64)
+    li, bi = lon_bits, lat_bits
+    for i in range(nbits):
+        val <<= np.uint64(1)
+        if i % 2 == 0:
+            li -= 1
+            val |= (lon_q >> np.uint64(li)) & np.uint64(1)
+        else:
+            bi -= 1
+            val |= (lat_q >> np.uint64(bi)) & np.uint64(1)
+    lut = np.array(list(_BASE32))
+    out = lut[(val >> np.uint64(5 * (precision - 1))) & np.uint64(31)]
+    for c in range(1, precision):
+        shift = np.uint64(5 * (precision - 1 - c))
+        out = np.char.add(out, lut[(val >> shift) & np.uint64(31)])
+    return out
+
+
+def geohash_bounds(cell: str) -> tuple[float, float, float, float]:
+    """(lat_lo, lat_hi, lon_lo, lon_hi) of a geohash cell
+    (GeohashUtils.DecodeBoundary analogue); driver-side scalar."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    is_lon = True
+    for ch in cell:
+        bits = _BASE32_IDX[ch]
+        for b in (16, 8, 4, 2, 1):
+            if is_lon:
+                mid = (lon_lo + lon_hi) / 2.0
+                if bits & b:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2.0
+                if bits & b:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            is_lon = not is_lon
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def covering_cells(lat0: float, lat1: float, lon0: float, lon1: float,
+                   max_cells: int = 256) -> tuple[int, list[str]]:
+    """Geohash cells covering a lat/lon rectangle at the deepest level
+    whose cover stays under max_cells -- the driver-side analogue of the
+    reference's cell recursion (AbstractVisitingPrefixTreeFilter.cs /
+    SpatialPrefixTree.GetLevelForDistance): the level bounds work, the
+    exact refine keeps results lossless.  -> (level, sorted cells)."""
+    lat0, lat1 = max(lat0, -90.0), min(lat1, 90.0)
+    lon0, lon1 = max(lon0, -180.0), min(lon1, 180.0)
+    for level in range(9, 0, -1):
+        nbits = 5 * level
+        dlon = 360.0 / (1 << ((nbits + 1) // 2))
+        dlat = 180.0 / (1 << (nbits // 2))
+        # grid indices anchored at (-90, -180) -- the geohash lattice
+        i0, i1 = int((lat0 + 90.0) // dlat), int((lat1 + 90.0) // dlat)
+        j0, j1 = int((lon0 + 180.0) // dlon), int((lon1 + 180.0) // dlon)
+        if (i1 - i0 + 1) * (j1 - j0 + 1) > max_cells:
+            continue
+        lats, lons = [], []
+        for i in range(i0, i1 + 1):
+            la = min(max(-90.0 + (i + 0.5) * dlat, -90.0), 89.9999999)
+            for j in range(j0, j1 + 1):
+                lo = min(max(-180.0 + (j + 0.5) * dlon, -180.0), 179.9999999)
+                lats.append(la)
+                lons.append(lo)
+        cells = sorted(set(geohash_encode_np(np.array(lats), np.array(lons), level).tolist()))
+        return level, cells
+    return 1, sorted(set(_BASE32))
+
+
+# ---------------------------------------------------------------------------
+# distance / predicates (pure Catalyst -- JVM trig, zero Python in the plan)
+# ---------------------------------------------------------------------------
+
+def haversine_km(lat_col, lon_col, lat: float, lon: float) -> Column:
+    """Great-circle distance (km) from each row's point to (lat, lon) --
+    spatial4n GeodesicSphereDistCalc.Haversine as a Catalyst expression."""
+    lat_c, lon_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col, \
+        F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    dlat = F.radians(lat_c - F.lit(lat)) / 2.0
+    dlon = F.radians(lon_c - F.lit(lon)) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.lit(lat))) * F.cos(F.radians(lat_c))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.asin(F.sqrt(a)) * (2.0 * EARTH_MEAN_RADIUS_KM)
+
+
+def bbox_filter(lat_col: str, lon_col: str, lat0: float, lat1: float,
+                lon0: float, lon1: float) -> Column:
+    """SpatialOperation.IsWithin over a rectangle = the two BETWEENs of
+    PointVectorStrategy.MakeWithin (NumericRangeQuery pair); crossing the
+    antimeridian (lon0 > lon1) becomes the reference's boolean OR of the
+    two lon ranges."""
+    latf = F.col(lat_col).between(lat0, lat1)
+    if lon0 <= lon1:
+        return latf & F.col(lon_col).between(lon0, lon1)
+    return latf & (F.col(lon_col).between(lon0, 180.0) | F.col(lon_col).between(-180.0, lon1))
+
+
+def circle_bbox(lat: float, lon: float, radius_km: float) -> tuple[float, float, float, float]:
+    """Enclosing lat/lon rectangle of a circle (DistanceUtils
+    CalcBoxByDistFromPt analogue).  -> (lat0, lat1, lon0, lon1); lon0 >
+    lon1 encodes an antimeridian crossing; the full lon range degenerates
+    to (-180, 180)."""
+    rdeg = math.degrees(radius_km / EARTH_MEAN_RADIUS_KM)
+    lat0, lat1 = lat - rdeg, lat + rdeg
+    if lat0 <= -90.0 or lat1 >= 90.0:
+        return max(lat0, -90.0), min(lat1, 90.0), -180.0, 180.0
+    cos_lat = min(math.cos(math.radians(lat0)), math.cos(math.radians(lat1)))
+    if cos_lat <= 0.0:
+        return lat0, lat1, -180.0, 180.0
+    ldeg = math.degrees(radius_km / (EARTH_MEAN_RADIUS_KM * cos_lat))
+    if ldeg >= 180.0:
+        return lat0, lat1, -180.0, 180.0
+    lon0 = ((lon - ldeg + 180.0) % 360.0) - 180.0
+    lon1 = ((lon + ldeg + 180.0) % 360.0) - 180.0
+    return lat0, lat1, lon0, lon1
+
+
+# ---------------------------------------------------------------------------
+# strategies
+# ---------------------------------------------------------------------------
+
+class PointVectorStrategy:
+    """Vector/PointVectorStrategy.cs over two numeric columns.  All
+    predicates stay in whole-stage codegen; the parquet scan prunes on the
+    bbox ranges."""
+
+    def __init__(self, lat_col: str = "lat", lon_col: str = "lon"):
+        self.lat_col, self.lon_col = lat_col, lon_col
+
+    def search_bbox(self, df: DataFrame, lat0: float, lat1: float,
+                    lon0: float, lon1: float) -> DataFrame:
+        """SpatialOperation.Intersects/IsWithin for points (identical for
+        point data); constant score 1.0 like the reference's filters."""
+        return df.filter(
+            bbox_filter(self.lat_col, self.lon_col, lat0, lat1, lon0, lon1)
+        )
+
+    def search_circle(self, df: DataFrame, lat: float, lon: float,
+                      radius_km: float) -> DataFrame:
+        """MakeQuery(Intersects, circle): bbox prefilter (pushdown-able)
+        then the exact haversine refine (ValueSourceFilter over
+        DistanceValueSource).  Adds a `dist_km` column."""
+        bb = circle_bbox(lat, lon, radius_km)
+        dist = haversine_km(self.lat_col, self.lon_col, lat, lon)
+        return (
+            df.filter(bbox_filter(self.lat_col, self.lon_col, *bb))
+            .withColumn("dist_km", dist)
+            .filter(F.col("dist_km") <= radius_km)
+        )
+
+    def search_disjoint(self, df: DataFrame, lat0: float, lat1: float,
+                        lon0: float, lon1: float) -> DataFrame:
+        """DisjointSpatialFilter.cs: docs with the field whose point does
+        NOT intersect the rectangle (NOT of the bbox predicate over
+        non-null points)."""
+        return df.filter(
+            F.col(self.lat_col).isNotNull()
+            & ~bbox_filter(self.lat_col, self.lon_col, lat0, lat1, lon0, lon1)
+        )
+
+    def nearest(self, df: DataFrame, lat: float, lon: float, k: int) -> DataFrame:
+        """Sort-by-distance (Vector/DistanceValueSource.cs as the sort
+        ValueSource): top-k nearest = TakeOrderedAndProject, no global
+        sort materialization."""
+        dist = haversine_km(self.lat_col, self.lon_col, lat, lon)
+        return (
+            df.withColumn("dist_km", dist)
+            .orderBy(F.asc("dist_km"), F.asc(df.columns[0]))
+            .limit(k)
+        )
+
+
+class GeohashStrategy:
+    """RecursivePrefixTreeStrategy over GeohashPrefixTree, parquet-native:
+    one max-precision geohash column; covering cells become prefix (=
+    string range) predicates; exact refine keeps results lossless.  At
+    100 TB the geohash column is the sort/partition key, so every cell
+    predicate prunes files before any row is read."""
+
+    def __init__(self, lat_col: str = "lat", lon_col: str = "lon",
+                 precision: int = 9, hash_col: str = "geohash"):
+        self.lat_col, self.lon_col = lat_col, lon_col
+        self.precision, self.hash_col = precision, hash_col
+
+    def index(self, df: DataFrame) -> DataFrame:
+        """Adds the geohash column (Arrow-vectorized numpy bit interleave;
+        the one Python step, at index build time only)."""
+        prec = self.precision
+        lat_c, lon_c, out_c = self.lat_col, self.lon_col, self.hash_col
+
+        @F.pandas_udf("string")
+        def gh(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(geohash_encode_np(lat.values, lon.values, prec))
+
+        return df.withColumn(out_c, gh(F.col(lat_c), F.col(lon_c)))
+
+    def _cells_filter(self, cells: list[str]) -> Column:
+        preds = F.col(self.hash_col).startswith(cells[0])
+        for c in cells[1:]:
+            preds = preds | F.col(self.hash_col).startswith(c)
+        return preds
+
+    def search_circle(self, df: DataFrame, lat: float, lon: float,
+                      radius_km: float, max_cells: int = 256) -> DataFrame:
+        """Intersects(circle): cover the circle's bbox with grid cells on
+        the driver, prefix-filter, exact haversine refine.  Result set is
+        identical to PointVectorStrategy.search_circle (cells only
+        prune) -- that identity is the gate's oracle."""
+        lat0, lat1, lon0, lon1 = circle_bbox(lat, lon, radius_km)
+        if lon0 <= lon1:
+            _lvl, cells = covering_cells(lat0, lat1, lon0, lon1, max_cells)
+        else:  # antimeridian: union of the two covers
+            _l1, c1 = covering_cells(lat0, lat1, lon0, 180.0, max_cells // 2)
+            _l2, c2 = covering_cells(lat0, lat1, -180.0, lon1, max_cells // 2)
+            cells = sorted(set(c1) | set(c2))
+        dist = haversine_km(self.lat_col, self.lon_col, lat, lon)
+        return (
+            df.filter(self._cells_filter(cells))
+            .withColumn("dist_km", dist)
+            .filter(F.col("dist_km") <= radius_km)
+        )
+
+    def search_bbox(self, df: DataFrame, lat0: float, lat1: float,
+                    lon0: float, lon1: float, max_cells: int = 256) -> DataFrame:
+        """Intersects(rect) via cells + exact bbox refine."""
+        _lvl, cells = covering_cells(lat0, lat1, lon0, lon1, max_cells)
+        return df.filter(self._cells_filter(cells)).filter(
+            bbox_filter(self.lat_col, self.lon_col, lat0, lat1, lon0, lon1)
+        )

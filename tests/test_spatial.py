@@ -1,0 +1,164 @@
+"""Spatial module (src/Lucene.Net.Spatial analogues): geohash codec,
+point-vector predicates, prefix-tree cell cover + exact refine."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.spatial import (
+    EARTH_MEAN_RADIUS_KM,
+    GeohashStrategy,
+    PointVectorStrategy,
+    circle_bbox,
+    covering_cells,
+    geohash_bounds,
+    geohash_encode_np,
+    haversine_km,
+)
+
+
+def _hav_py(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1) / 2.0
+    dlon = math.radians(lon2 - lon1) / 2.0
+    a = (math.sin(dlat) ** 2
+         + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon) ** 2)
+    return 2.0 * EARTH_MEAN_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+def test_geohash_known_vectors():
+    # the classic published example: (42.605, -5.603) -> ezs42
+    assert geohash_encode_np([42.605], [-5.603], 5)[0] == "ezs42"
+    assert geohash_encode_np([57.64911], [10.40744], 11)[0] == "u4pruydqqvj"
+    # equator/meridian origin
+    assert geohash_encode_np([0.0], [0.0], 1)[0] == "s"
+
+
+def test_geohash_bounds_roundtrip():
+    rng = random.Random(7)
+    lats = [rng.uniform(-89.9, 89.9) for _ in range(200)]
+    lons = [rng.uniform(-179.9, 179.9) for _ in range(200)]
+    for prec in (1, 3, 5, 7):
+        cells = geohash_encode_np(lats, lons, prec)
+        for la, lo, c in zip(lats, lons, cells):
+            lat_lo, lat_hi, lon_lo, lon_hi = geohash_bounds(c)
+            assert lat_lo <= la <= lat_hi
+            assert lon_lo <= lo <= lon_hi
+
+
+def test_covering_cells_complete():
+    """Every point inside the rectangle must fall in some covering cell --
+    losing a cell would silently drop rows before the exact refine."""
+    rng = random.Random(11)
+    for _ in range(25):
+        lat0 = rng.uniform(-80, 70)
+        lat1 = lat0 + rng.uniform(0.1, 15)
+        lon0 = rng.uniform(-170, 150)
+        lon1 = lon0 + rng.uniform(0.1, 15)
+        level, cells = covering_cells(lat0, lat1, lon0, lon1)
+        cellset = set(cells)
+        assert len(cells) <= 256
+        for _ in range(50):
+            la = rng.uniform(lat0, lat1)
+            lo = rng.uniform(lon0, lon1)
+            c = geohash_encode_np([la], [lo], level)[0]
+            assert c in cellset, (la, lo, c, level)
+
+
+def test_circle_bbox_contains_circle():
+    rng = random.Random(13)
+    for _ in range(50):
+        lat, lon = rng.uniform(-85, 85), rng.uniform(-179, 179)
+        r = rng.uniform(1, 4000)
+        lat0, lat1, lon0, lon1 = circle_bbox(lat, lon, r)
+        # sample circle boundary points; all must be inside the box
+        for bearing in range(0, 360, 30):
+            b = math.radians(bearing)
+            ang = r / EARTH_MEAN_RADIUS_KM
+            la1 = math.asin(
+                math.sin(math.radians(lat)) * math.cos(ang)
+                + math.cos(math.radians(lat)) * math.sin(ang) * math.cos(b))
+            lo1 = math.radians(lon) + math.atan2(
+                math.sin(b) * math.sin(ang) * math.cos(math.radians(lat)),
+                math.cos(ang) - math.sin(math.radians(lat)) * math.sin(la1))
+            pla = math.degrees(la1)
+            plo = ((math.degrees(lo1) + 180.0) % 360.0) - 180.0
+            assert lat0 - 1e-6 <= pla <= lat1 + 1e-6
+            if lon0 <= lon1:
+                assert lon0 - 1e-6 <= plo <= lon1 + 1e-6
+            else:
+                assert plo >= lon0 - 1e-6 or plo <= lon1 + 1e-6
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    rows = [
+        {"doc_id": i,
+         "lat": float((i * 7919) % 18000) / 100.0 - 90.0,
+         "lon": float((i * 104729) % 36000) / 100.0 - 180.0}
+        for i in range(500)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_haversine_matches_python(points_df):
+    got = (points_df.withColumn("d", haversine_km("lat", "lon", 10.0, 20.0))
+           .select("doc_id", "lat", "lon", "d").collect())
+    for r in got[:100]:
+        assert r["d"] == pytest.approx(_hav_py(r["lat"], r["lon"], 10.0, 20.0), rel=1e-9)
+
+
+def test_vector_bbox_and_disjoint(points_df):
+    strat = PointVectorStrategy()
+    inside = {r["doc_id"] for r in strat.search_bbox(points_df, -30, 40, -60, 90).collect()}
+    brute = {r["doc_id"] for r in points_df.collect()
+             if -30 <= r["lat"] <= 40 and -60 <= r["lon"] <= 90}
+    assert inside == brute
+    out = {r["doc_id"] for r in strat.search_disjoint(points_df, -30, 40, -60, 90).collect()}
+    assert out == {r["doc_id"] for r in points_df.collect()} - inside
+    # antimeridian-crossing rectangle
+    wrap = {r["doc_id"] for r in strat.search_bbox(points_df, -90, 90, 170, -170).collect()}
+    brutew = {r["doc_id"] for r in points_df.collect()
+              if r["lon"] >= 170 or r["lon"] <= -170}
+    assert wrap == brutew
+
+
+def test_circle_strategies_identical(points_df):
+    vec = PointVectorStrategy()
+    gh = GeohashStrategy(precision=7)
+    indexed = gh.index(points_df).cache()
+    for lat, lon, r in [(10.0, 20.0, 3000.0), (48.8, 2.3, 1500.0),
+                        (-75.0, 100.0, 2500.0), (5.0, 179.0, 2000.0)]:
+        brute = {r2["doc_id"]: r2["d"] for r2 in
+                 points_df.withColumn("d", haversine_km("lat", "lon", lat, lon))
+                 .filter(F.col("d") <= r).collect()}
+        got_v = {r2["doc_id"]: r2["dist_km"] for r2 in
+                 vec.search_circle(points_df, lat, lon, r).collect()}
+        got_g = {r2["doc_id"]: r2["dist_km"] for r2 in
+                 gh.search_circle(indexed, lat, lon, r).collect()}
+        assert got_v == brute, (lat, lon, r)
+        assert got_g == brute, (lat, lon, r)
+
+
+def test_geohash_bbox_matches_vector(points_df):
+    gh = GeohashStrategy(precision=7)
+    indexed = gh.index(points_df)
+    vec = PointVectorStrategy()
+    a = {r["doc_id"] for r in gh.search_bbox(indexed, 10, 35, -120, -80).collect()}
+    b = {r["doc_id"] for r in vec.search_bbox(points_df, 10, 35, -120, -80).collect()}
+    assert a == b
+
+
+def test_nearest_k(points_df):
+    vec = PointVectorStrategy()
+    got = [(r["doc_id"], r["dist_km"]) for r in vec.nearest(points_df, 48.8, 2.3, 10).collect()]
+    brute = sorted(
+        ((r["doc_id"], _hav_py(r["lat"], r["lon"], 48.8, 2.3)) for r in points_df.collect()),
+        key=lambda x: (x[1], x[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in brute]
+    for (_, g), (_, w) in zip(got, brute):
+        assert g == pytest.approx(w, rel=1e-9)
