@@ -1123,7 +1123,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_offsets", "prefix_scored", "quality", "spell_damerau",
         "stemmed_term", "token_stats",
     ]
-    ordered = {k: out[k] for k in first if k in out}
+    # ...then the gates that are NEW or CHANGED in round 3 (new operators,
+    # or operators whose algorithm/oracle changed: the 60-bit SimHash family,
+    # the size-gated MinHash broadcast), so they land in the same prefix.
+    round3 = [
+        "field_term", "lang_routed", "payload_term", "payload_near",
+        "analyzing_suggest", "infix_suggest", "nb_classify", "trec_quality",
+        "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2", "dfr_inlh3",
+        "ib_spl_z", "spatial_bbox", "spatial_circle", "spatial_knn",
+        "simhash_fp", "simhash_pairs", "dedup_minhash",
+    ]
+    ordered = {k: out[k] for k in first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
     return ordered
 

@@ -511,6 +511,10 @@ def make_analyzer(name: str, **params):
         return _analyze_finnish_light
     if name == "norwegian":
         return _analyze_norwegian_light
+    if name == "czech":
+        return _analyze_czech
+    if name == "bulgarian":
+        return _analyze_bulgarian
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1079,3 +1083,63 @@ def _analyze_norwegian_light(text: str) -> tuple[list[str], list[int]]:
     (Analysis/No/NorwegianLightStemFilter.cs)."""
     from .stemmer import norwegian_light_stem
     return _make_light_chain(NORWEGIAN_STOP_WORDS, norwegian_light_stem)(text)
+CZECH_STOP_WORDS = frozenset((
+    "a", "s", "k", "o", "i", "u", "v", "z", "dnes", "cz", "tímto", "budeš",
+    "budem", "byli", "jseš", "můj", "svým", "ta", "tomto", "tohle", "tuto",
+    "tyto", "jej", "zda", "proč", "máte", "tato", "kam", "tohoto", "kdo",
+    "kteří", "mi", "nám", "tom", "tomuto", "mít", "nic", "proto", "kterou",
+    "byla", "toho", "protože", "asi", "ho", "naši", "napište", "re", "což",
+    "tím", "takže", "svých", "její", "svými", "jste", "aj", "tu", "tedy",
+    "teto", "bylo", "kde", "ke", "pravé", "ji", "nad", "nejsou", "či",
+    "pod", "téma", "mezi", "přes", "ty", "pak", "vám", "ani", "když",
+    "však", "neg", "jsem", "tento", "článku", "články", "aby", "jsme",
+    "před", "pta", "jejich", "byl", "ještě", "až", "bez", "také", "pouze",
+    "první", "vaše", "která", "nás", "nový", "tipy", "pokud", "může",
+    "strana", "jeho", "své", "jiné", "zprávy", "nové", "není", "vás",
+    "jen", "podle", "zde", "už", "být", "více", "bude", "již", "než",
+    "který", "by", "které", "co", "nebo", "ten", "tak", "má", "při", "od",
+    "po", "jsou", "jak", "další", "ale", "si", "se", "ve", "to", "jako",
+    "za", "zpět", "ze", "do", "pro", "je", "na", "atd", "atp", "jakmile",
+    "přičemž", "já", "on", "ona", "ono", "oni", "ony", "my", "vy", "jí",
+    "ji", "mě", "mne", "jemu", "tomu", "těm", "těmu", "němu", "němuž",
+    "jehož", "jíž", "jelikož", "jež", "jakož", "načež",
+))
+BULGARIAN_STOP_WORDS = frozenset((
+    "а", "аз", "ако", "ала", "бе", "без", "беше", "би", "бил", "била",
+    "били", "било", "близо", "бъдат", "бъде", "бяха", "в", "вас", "ваш",
+    "ваша", "вероятно", "вече", "взема", "ви", "вие", "винаги", "все",
+    "всеки", "всички", "всичко", "всяка", "във", "въпреки", "върху", "г",
+    "ги", "главно", "го", "д", "да", "дали", "до", "докато", "докога",
+    "дори", "досега", "доста", "е", "едва", "един", "ето", "за", "зад",
+    "заедно", "заради", "засега", "затова", "защо", "защото", "и", "из",
+    "или", "им", "има", "имат", "иска", "й", "каза", "как", "каква",
+    "какво", "както", "какъв", "като", "кога", "когато", "което", "които",
+    "кой", "който", "колко", "която", "къде", "където", "към", "ли", "м",
+    "ме", "между", "мен", "ми", "мнозина", "мога", "могат", "може", "моля",
+    "момента", "му", "н", "на", "над", "назад", "най", "направи", "напред",
+    "например", "нас", "не", "него", "нея", "ни", "ние", "никой", "нито",
+    "но", "някои", "някой", "няма", "обаче", "около", "освен", "особено",
+    "от", "отгоре", "отново", "още", "пак", "по", "повече", "повечето",
+    "под", "поне", "поради", "после", "почти", "прави", "пред", "преди",
+    "през", "при", "пък", "първо", "с", "са", "само", "се", "сега", "си",
+    "скоро", "след", "сме", "според", "сред", "срещу", "сте", "съм", "със",
+    "също", "т", "тази", "така", "такива", "такъв", "там", "твой", "те",
+    "тези", "ти", "тн", "то", "това", "тогава", "този", "той", "толкова",
+    "точно", "трябва", "тук", "тъй", "тя", "тях", "у", "харесва", "ч",
+    "че", "често", "чрез", "ще", "щом", "я",
+))
+
+
+def _analyze_czech(text: str) -> tuple[list[str], list[int]]:
+    """CzechAnalyzer chain (Analysis/Cz/CzechAnalyzer.cs:129-140,
+    matchVersion >= 3.1): Standard -> Lower -> Stop(Cz/stopwords.txt) ->
+    CzechStemFilter."""
+    from .stemmer import czech_stem
+    return _make_light_chain(CZECH_STOP_WORDS, czech_stem)(text)
+
+
+def _analyze_bulgarian(text: str) -> tuple[list[str], list[int]]:
+    """BulgarianAnalyzer chain (Analysis/Bg/BulgarianAnalyzer.cs:111-120):
+    Standard -> Lower -> Stop(Bg/stopwords.txt) -> BulgarianStemFilter."""
+    from .stemmer import bulgarian_stem
+    return _make_light_chain(BULGARIAN_STOP_WORDS, bulgarian_stem)(text)

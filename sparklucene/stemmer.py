@@ -739,3 +739,118 @@ def norwegian_light_stem(word: str) -> str:
     if n > 3 and w[-1] in "aen":
         return w[:-1]
     return w
+
+
+def _cz_remove_case(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith("atech"):
+        return w[:-5]
+    if n > 6 and w[-4:] in ("ětem", "etem", "atům"):
+        return w[:-4]
+    if n > 5 and w[-3:] in (
+        "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+        "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+        "aty", "ých", "ama", "ami", "ové", "ovi", "ými",
+    ):
+        return w[:-3]
+    if n > 4 and w[-2:] in ("em", "es", "ém", "ím", "ům", "at", "ám",
+                            "os", "us", "ým", "mi", "ou"):
+        return w[:-2]
+    if n > 3 and w[-1] in "aeiouůyáéíýě":
+        return w[:-1]
+    return w
+
+
+def _cz_remove_possessives(w: str) -> str:
+    if len(w) > 5 and w[-2:] in ("ov", "in", "ův"):
+        return w[:-2]
+    return w
+
+
+def _cz_normalize(w: str) -> str:
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+def czech_stem(word: str) -> str:
+    """Czech light stem (Analysis/Cz/CzechStemmer.cs:38): case-ending
+    removal, possessive -ov/-in/-ův, then palatalization-undoing
+    normalization (čt→ck, c/č→k, z/ž→h, e-insertion, ů→o)."""
+    w = _cz_remove_case(word)
+    w = _cz_remove_possessives(w)
+    if w:
+        w = _cz_normalize(w)
+    return w
+
+
+def _bg_remove_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:-3]
+    if n > 5 and w[-2:] in ("ът", "то", "те", "та", "ия"):
+        return w[:-2]
+    if n > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_remove_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def bulgarian_stem(word: str) -> str:
+    """Bulgarian light stem (Analysis/Bg/BulgarianStemmer.cs:35): definite
+    article removal, plural removal with palatalization undo (ци→к, зи→г,
+    еXи→яX, си→х), vowel trim, -ен→н, ъ-elision."""
+    if len(word) < 4:
+        return word
+    w = word
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_remove_article(w)
+    w = _bg_remove_plural(w)
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w

@@ -264,3 +264,103 @@ def test_sv_ru_hu_fi_no_analyzer_chains():
     terms, positions = no("Bilens hemmeligheter og kakene")
     assert terms == ["bil", "hemmelig", "kak"]
     assert positions == [0, 1, 3]
+
+
+# Every AssertAnalyzesTo case from the reference's TestCzechStemmer.cs
+# (lowercased input: the analyzer lowercases before the stem filter).
+_CZ_GOLDEN = [
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pána", "pán"),
+    ("pánů", "pán"), ("pánovi", "pán"), ("pánům", "pán"), ("pány", "pán"),
+    ("páne", "pán"), ("pánech", "pán"), ("pánem", "pán"), ("hrad", "hrad"),
+    ("hradu", "hrad"), ("hrade", "hrad"), ("hradem", "hrad"), ("hrady", "hrad"),
+    ("hradech", "hrad"), ("hradům", "hrad"), ("hradů", "hrad"), ("muž", "muh"),
+    ("muži", "muh"), ("muže", "muh"), ("mužů", "muh"), ("mužům", "muh"),
+    ("mužích", "muh"), ("mužem", "muh"), ("stroj", "stroj"), ("stroje", "stroj"),
+    ("strojů", "stroj"), ("stroji", "stroj"), ("strojům", "stroj"), ("strojích", "stroj"),
+    ("strojem", "stroj"), ("předseda", "předsd"), ("předsedové", "předsd"), ("předsedy", "předsd"),
+    ("předsedů", "předsd"), ("předsedovi", "předsd"), ("předsedům", "předsd"), ("předsedu", "předsd"),
+    ("předsedo", "předsd"), ("předsedech", "předsd"), ("předsedou", "předsd"), ("soudce", "soudk"),
+    ("soudci", "soudk"), ("soudců", "soudk"), ("soudcům", "soudk"), ("soudcích", "soudk"),
+    ("soudcem", "soudk"), ("kost", "kost"), ("kosti", "kost"), ("kostí", "kost"),
+    ("kostem", "kost"), ("kostech", "kost"), ("kostmi", "kost"), ("píseň", "písň"),
+    ("písně", "písn"), ("písni", "písn"), ("písněmi", "písn"), ("písních", "písn"),
+    ("písním", "písn"), ("růže", "růh"), ("růží", "růh"), ("růžím", "růh"),
+    ("růžích", "růh"), ("růžemi", "růh"), ("růži", "růh"), ("žena", "žn"),
+    ("ženy", "žn"), ("žen", "žn"), ("ženě", "žn"), ("ženám", "žn"),
+    ("ženu", "žn"), ("ženo", "žn"), ("ženách", "žn"), ("ženou", "žn"),
+    ("ženami", "žn"), ("město", "měst"), ("města", "měst"), ("měst", "měst"),
+    ("městu", "měst"), ("městům", "měst"), ("městě", "měst"), ("městech", "měst"),
+    ("městem", "měst"), ("městy", "měst"), ("moře", "moř"), ("moří", "moř"),
+    ("mořím", "moř"), ("moři", "moř"), ("mořích", "moř"), ("mořem", "moř"),
+    ("kuře", "kuř"), ("kuřata", "kuř"), ("kuřete", "kuř"), ("kuřat", "kuř"),
+    ("kuřeti", "kuř"), ("kuřatům", "kuř"), ("kuřatech", "kuř"), ("kuřetem", "kuř"),
+    ("kuřaty", "kuř"), ("stavení", "stavn"), ("stavením", "stavn"), ("staveních", "stavn"),
+    ("staveními", "stavn"), ("mladý", "mlad"), ("mladí", "mlad"), ("mladého", "mlad"),
+    ("mladých", "mlad"), ("mladému", "mlad"), ("mladým", "mlad"), ("mladé", "mlad"),
+    ("mladém", "mlad"), ("mladými", "mlad"), ("mladá", "mlad"), ("mladou", "mlad"),
+    ("jarní", "jarn"), ("jarního", "jarn"), ("jarních", "jarn"), ("jarnímu", "jarn"),
+    ("jarním", "jarn"), ("jarními", "jarn"), ("Karlův", "karl"), ("jazykový", "jazyk"),
+    ("český", "česk"), ("čeští", "česk"), ("anglický", "anglick"), ("angličtí", "anglick"),
+    ("kniha", "knih"), ("knize", "knih"), ("mazat", "mah"), ("mažu", "mah"),
+    ("kluk", "kluk"), ("kluci", "kluk"), ("klucích", "kluk"), ("hezký", "hezk"),
+    ("hezčí", "hezk"), ("hůl", "hol"), ("hole", "hol"), ("deska", "desk"),
+    ("desek", "desk"), ("e", "e"), ("zi", "zi"),
+]
+
+# Every AssertAnalyzesTo case from TestBulgarianStemmer.cs.
+_BG_GOLDEN = [
+    ("град", "град"), ("града", "град"), ("градът", "град"), ("градове", "град"),
+    ("градовете", "град"), ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+    ("народи", "народ"), ("народите", "народ"), ("народе", "народ"), ("път", "път"),
+    ("пътя", "път"), ("пътят", "път"), ("пътища", "път"), ("пътищата", "път"),
+    ("градец", "градец"), ("градеца", "градец"), ("градецът", "градец"), ("градовце", "градовц"),
+    ("градовцете", "градовц"), ("дядо", "дяд"), ("дядото", "дяд"), ("дядовци", "дяд"),
+    ("дядовците", "дяд"), ("мъж", "мъж"), ("мъжа", "мъж"), ("мъже", "мъж"),
+    ("мъжете", "мъж"), ("мъжо", "мъж"), ("мъжът", "мъжът"), ("крак", "крак"),
+    ("крака", "крак"), ("кракът", "крак"), ("краката", "крак"), ("брат", "брат"),
+    ("брата", "брат"), ("братът", "брат"), ("братя", "брат"), ("братята", "брат"),
+    ("брате", "брат"), ("вест", "вест"), ("вестта", "вест"), ("вести", "вест"),
+    ("вестите", "вест"), ("дърво", "дърв"), ("дървото", "дърв"), ("дърва", "дърв"),
+    ("дървета", "дърв"), ("дървата", "дърв"), ("дърветата", "дърв"), ("море", "мор"),
+    ("морето", "мор"), ("морета", "мор"), ("моретата", "мор"), ("изключение", "изключени"),
+    ("изключението", "изключени"), ("изключенията", "изключени"), ("изключения", "изключн"), ("красив", "красив"),
+    ("красивия", "красив"), ("красивият", "красив"), ("красива", "красив"), ("красивата", "красив"),
+    ("красиво", "красив"), ("красивото", "красив"), ("красиви", "красив"), ("красивите", "красив"),
+    ("собственик", "собственик"), ("собственика", "собственик"), ("собственикът", "собственик"), ("собственици", "собственик"),
+    ("собствениците", "собственик"), ("подлог", "подлог"), ("подлога", "подлог"), ("подлогът", "подлог"),
+    ("подлози", "подлог"), ("подлозите", "подлог"), ("кожух", "кожух"), ("кожуха", "кожух"),
+    ("кожухът", "кожух"), ("кожуси", "кожух"), ("кожусите", "кожух"), ("център", "центр"),
+    ("центъра", "центр"), ("центърът", "центр"), ("центрове", "центр"), ("центровете", "центр"),
+    ("промяна", "промян"), ("промяната", "промян"), ("промени", "промян"), ("промените", "промян"),
+    ("песен", "песн"), ("песента", "песн"), ("песни", "песн"), ("песните", "песн"),
+    ("строй", "строй"), ("строеве", "строй"), ("строевете", "строй"), ("строя", "стр"),
+    ("строят", "стр"),
+]
+
+
+def test_czech_stemmer_reference_cases():
+    from sparklucene.stemmer import czech_stem
+
+    mism = [(w, o, czech_stem(w.lower())) for w, o in _CZ_GOLDEN
+            if czech_stem(w.lower()) != o]
+    assert len(_CZ_GOLDEN) == 143 and mism == []
+
+
+def test_bulgarian_stemmer_reference_cases():
+    from sparklucene.stemmer import bulgarian_stem
+
+    mism = [(w, o, bulgarian_stem(w)) for w, o in _BG_GOLDEN
+            if bulgarian_stem(w) != o]
+    assert len(_BG_GOLDEN) == 101 and mism == []
+
+
+def test_cz_bg_analyzer_chains():
+    cz = make_analyzer("czech")
+    # 'a' and 've' are Czech stopwords; positions gap across them
+    terms, positions = cz("Muži a hrady ve městech")
+    assert terms == ["muh", "hrad", "měst"]
+    assert positions == [0, 2, 4]
+    bg = make_analyzer("bulgarian")
+    terms, positions = bg("Градовете и книгите са нови")
+    assert terms == ["град", "книг", "нови"]
+    assert positions == [0, 2, 4]
