@@ -515,6 +515,10 @@ def make_analyzer(name: str, **params):
         return _analyze_czech
     if name == "bulgarian":
         return _analyze_bulgarian
+    if name == "indonesian":
+        return _analyze_indonesian
+    if name == "arabic":
+        return _analyze_arabic
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1143,3 +1147,93 @@ def _analyze_bulgarian(text: str) -> tuple[list[str], list[int]]:
     Standard -> Lower -> Stop(Bg/stopwords.txt) -> BulgarianStemFilter."""
     from .stemmer import bulgarian_stem
     return _make_light_chain(BULGARIAN_STOP_WORDS, bulgarian_stem)(text)
+INDONESIAN_STOP_WORDS = frozenset((
+    "ada", "adanya", "adalah", "adapun", "agak", "agaknya", "agar", "akan",
+    "akankah", "akhirnya", "aku", "akulah", "amat", "amatlah", "anda",
+    "andalah", "antar", "diantaranya", "antara", "antaranya", "diantara",
+    "apa", "apaan", "mengapa", "apabila", "apakah", "apalagi", "apatah",
+    "atau", "ataukah", "ataupun", "bagai", "bagaikan", "sebagai",
+    "sebagainya", "bagaimana", "bagaimanapun", "sebagaimana",
+    "bagaimanakah", "bagi", "bahkan", "bahwa", "bahwasanya", "sebaliknya",
+    "banyak", "sebanyak", "beberapa", "seberapa", "begini", "beginian",
+    "beginikah", "beginilah", "sebegini", "begitu", "begitukah",
+    "begitulah", "begitupun", "sebegitu", "belum", "belumlah", "sebelum",
+    "sebelumnya", "sebenarnya", "berapa", "berapakah", "berapalah",
+    "berapapun", "betulkah", "sebetulnya", "biasa", "biasanya", "bila",
+    "bilakah", "bisa", "bisakah", "sebisanya", "boleh", "bolehkah",
+    "bolehlah", "buat", "bukan", "bukankah", "bukanlah", "bukannya",
+    "cuma", "percuma", "dahulu", "dalam", "dan", "dapat", "dari",
+    "daripada", "dekat", "demi", "demikian", "demikianlah", "sedemikian",
+    "dengan", "depan", "di", "dia", "dialah", "dini", "diri", "dirinya",
+    "terdiri", "dong", "dulu", "enggak", "enggaknya", "entah", "entahlah",
+    "terhadap", "terhadapnya", "hal", "hampir", "hanya", "hanyalah",
+    "harus", "haruslah", "harusnya", "seharusnya", "hendak", "hendaklah",
+    "hendaknya", "hingga", "sehingga", "ia", "ialah", "ibarat", "ingin",
+    "inginkah", "inginkan", "ini", "inikah", "inilah", "itu", "itukah",
+    "itulah", "jangan", "jangankan", "janganlah", "jika", "jikalau",
+    "juga", "justru", "kala", "kalau", "kalaulah", "kalaupun", "kalian",
+    "kami", "kamilah", "kamu", "kamulah", "kan", "kapan", "kapankah",
+    "kapanpun", "dikarenakan", "karena", "karenanya", "ke", "kecil",
+    "kemudian", "kenapa", "kepada", "kepadanya", "ketika", "seketika",
+    "khususnya", "kini", "kinilah", "kiranya", "sekiranya", "kita",
+    "kitalah", "kok", "lagi", "lagian", "selagi", "lah", "lain", "lainnya",
+    "melainkan", "selaku", "lalu", "melalui", "terlalu", "lama", "lamanya",
+    "selama", "selama", "selamanya", "lebih", "terlebih", "bermacam",
+    "macam", "semacam", "maka", "makanya", "makin", "malah", "malahan",
+    "mampu", "mampukah", "mana", "manakala", "manalagi", "masih",
+    "masihkah", "semasih", "masing", "mau", "maupun", "semaunya", "memang",
+    "mereka", "merekalah", "meski", "meskipun", "semula", "mungkin",
+    "mungkinkah", "nah", "namun", "nanti", "nantinya", "nyaris", "oleh",
+    "olehnya", "seorang", "seseorang", "pada", "padanya", "padahal",
+    "paling", "sepanjang", "pantas", "sepantasnya", "sepantasnyalah",
+    "para", "pasti", "pastilah", "per", "pernah", "pula", "pun",
+    "merupakan", "rupanya", "serupa", "saat", "saatnya", "sesaat", "saja",
+    "sajalah", "saling", "bersama", "sama", "sesama", "sambil", "sampai",
+    "sana", "sangat", "sangatlah", "saya", "sayalah", "se", "sebab",
+    "sebabnya", "sebuah", "tersebut", "tersebutlah", "sedang", "sedangkan",
+    "sedikit", "sedikitnya", "segala", "segalanya", "segera", "sesegera",
+    "sejak", "sejenak", "sekali", "sekalian", "sekalipun", "sesekali",
+    "sekaligus", "sekarang", "sekarang", "sekitar", "sekitarnya", "sela",
+    "selain", "selalu", "seluruh", "seluruhnya", "semakin", "sementara",
+    "sempat", "semua", "semuanya", "sendiri", "sendirinya", "seolah",
+    "seperti", "sepertinya", "sering", "seringnya", "serta", "siapa",
+    "siapakah", "siapapun", "disini", "disinilah", "sini", "sinilah",
+    "sesuatu", "sesuatunya", "suatu", "sesudah", "sesudahnya", "sudah",
+    "sudahkah", "sudahlah", "supaya", "tadi", "tadinya", "tak", "tanpa",
+    "setelah", "telah", "tentang", "tentu", "tentulah", "tentunya",
+    "tertentu", "seterusnya", "tapi", "tetapi", "setiap", "tiap",
+    "setidaknya", "tidak", "tidakkah", "tidaklah", "toh", "waduh", "wah",
+    "wahai", "sewaktu", "walau", "walaupun", "wong", "yaitu", "yakni",
+    "yang",
+))
+ARABIC_STOP_WORDS = frozenset((
+    "من", "ومن", "منها", "منه", "في", "وفي", "فيها", "فيه", "و", "ف", "ثم",
+    "او", "أو", "ب", "بها", "به", "ا", "أ", "اى", "اي", "أي", "أى", "لا",
+    "ولا", "الا", "ألا", "إلا", "لكن", "ما", "وما", "كما", "فما", "عن",
+    "مع", "اذا", "إذا", "ان", "أن", "إن", "انها", "أنها", "إنها", "انه",
+    "أنه", "إنه", "بان", "بأن", "فان", "فأن", "وان", "وأن", "وإن", "التى",
+    "التي", "الذى", "الذي", "الذين", "الى", "الي", "إلى", "إلي", "على",
+    "عليها", "عليه", "اما", "أما", "إما", "ايضا", "أيضا", "كل", "وكل",
+    "لم", "ولم", "لن", "ولن", "هى", "هي", "هو", "وهى", "وهي", "وهو", "فهى",
+    "فهي", "فهو", "انت", "أنت", "لك", "لها", "له", "هذه", "هذا", "تلك",
+    "ذلك", "هناك", "كانت", "كان", "يكون", "تكون", "وكانت", "وكان", "غير",
+    "بعض", "قد", "نحو", "بين", "بينما", "منذ", "ضمن", "حيث", "الان",
+    "الآن", "خلال", "بعد", "قبل", "حتى", "عند", "عندما", "لدى", "جميع",
+))
+
+
+def _analyze_indonesian(text: str) -> tuple[list[str], list[int]]:
+    """IndonesianAnalyzer chain (Analysis/Id/IndonesianAnalyzer.cs:115-124):
+    Standard -> Lower -> Stop(Id/stopwords.txt) -> IndonesianStemFilter."""
+    from .stemmer import indonesian_stem
+    return _make_light_chain(INDONESIAN_STOP_WORDS, indonesian_stem)(text)
+
+
+def _analyze_arabic(text: str) -> tuple[list[str], list[int]]:
+    """ArabicAnalyzer chain (Analysis/Ar/ArabicAnalyzer.cs:134-147):
+    Standard -> Lower -> Stop(Ar/stopwords.txt, pre-normalization) ->
+    ArabicNormalizationFilter -> ArabicStemFilter."""
+    from .stemmer import arabic_normalize, arabic_stem
+    return _make_light_chain(
+        ARABIC_STOP_WORDS, lambda w: arabic_stem(arabic_normalize(w))
+    )(text)

@@ -854,3 +854,199 @@ def bulgarian_stem(word: str) -> str:
     if len(w) > 5 and w[-2] == "ъ":
         w = w[:-2] + w[-1]
     return w
+
+
+_ID_VOWELS = frozenset("aeiou")
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = 1, 2, 4, 8, 16, 32, 64
+
+
+def _id_particle(w: str, st: dict) -> str:
+    if w.endswith(("kah", "lah", "pun")):
+        st["nsyl"] -= 1
+        return w[:-3]
+    return w
+
+
+def _id_possessive(w: str, st: dict) -> str:
+    if w.endswith(("ku", "mu")):
+        st["nsyl"] -= 1
+        return w[:-2]
+    if w.endswith("nya"):
+        st["nsyl"] -= 1
+        return w[:-3]
+    return w
+
+
+def _id_first_prefix(w: str, st: dict) -> str:
+    if w.startswith("meng"):
+        st["flags"] |= _ID_MENG
+        st["nsyl"] -= 1
+        return w[4:]
+    if w.startswith("meny") and len(w) > 4 and w[4] in _ID_VOWELS:
+        st["flags"] |= _ID_MENG
+        st["nsyl"] -= 1
+        return "s" + w[4:]
+    if w.startswith(("men", "mem")):
+        st["flags"] |= _ID_MENG
+        st["nsyl"] -= 1
+        return w[3:]
+    if w.startswith("me"):
+        st["flags"] |= _ID_MENG
+        st["nsyl"] -= 1
+        return w[2:]
+    if w.startswith("peng"):
+        st["flags"] |= _ID_PENG
+        st["nsyl"] -= 1
+        return w[4:]
+    if w.startswith("peny") and len(w) > 4 and w[4] in _ID_VOWELS:
+        st["flags"] |= _ID_PENG
+        st["nsyl"] -= 1
+        return "s" + w[4:]
+    if w.startswith("peny"):
+        st["flags"] |= _ID_PENG
+        st["nsyl"] -= 1
+        return w[4:]
+    if w.startswith("pen") and len(w) > 3 and w[3] in _ID_VOWELS:
+        st["flags"] |= _ID_PENG
+        st["nsyl"] -= 1
+        return "t" + w[3:]
+    if w.startswith(("pen", "pem")):
+        st["flags"] |= _ID_PENG
+        st["nsyl"] -= 1
+        return w[3:]
+    if w.startswith("di"):
+        st["flags"] |= _ID_DI
+        st["nsyl"] -= 1
+        return w[2:]
+    if w.startswith("ter"):
+        st["flags"] |= _ID_TER
+        st["nsyl"] -= 1
+        return w[3:]
+    if w.startswith("ke"):
+        st["flags"] |= _ID_KE
+        st["nsyl"] -= 1
+        return w[2:]
+    return w
+
+
+def _id_second_prefix(w: str, st: dict) -> str:
+    if w.startswith("ber"):
+        st["flags"] |= _ID_BER
+        st["nsyl"] -= 1
+        return w[3:]
+    if w == "belajar":
+        st["flags"] |= _ID_BER
+        st["nsyl"] -= 1
+        return w[3:]
+    if (w.startswith("be") and len(w) > 4 and w[2] not in _ID_VOWELS
+            and w[3] == "e" and w[4] == "r"):
+        st["flags"] |= _ID_BER
+        st["nsyl"] -= 1
+        return w[2:]
+    if w.startswith("per"):
+        st["nsyl"] -= 1
+        return w[3:]
+    if w == "pelajar":
+        st["nsyl"] -= 1
+        return w[3:]
+    if w.startswith("pe"):
+        st["flags"] |= _ID_PE
+        st["nsyl"] -= 1
+        return w[2:]
+    return w
+
+
+def _id_suffix(w: str, st: dict) -> str:
+    f = st["flags"]
+    if w.endswith("kan") and not f & (_ID_KE | _ID_PENG | _ID_PE):
+        st["nsyl"] -= 1
+        return w[:-3]
+    if w.endswith("an") and not f & (_ID_DI | _ID_MENG | _ID_TER):
+        st["nsyl"] -= 1
+        return w[:-2]
+    if (w.endswith("i") and not w.endswith("si")
+            and not f & (_ID_BER | _ID_KE | _ID_PENG)):
+        st["nsyl"] -= 1
+        return w[:-1]
+    return w
+
+
+def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
+    """Indonesian stemmer (Analysis/Id/IndonesianStemmer.cs:44, the Asian
+    / Tala algorithm): particle (-kah/-lah/-pun) and possessive (-ku/-mu/
+    -nya) stripping, then first/second-order prefix and suffix removal
+    gated by the REMOVED_* flag interactions; every step requires >2
+    syllables (vowels) remaining."""
+    st = {"flags": 0, "nsyl": sum(1 for c in word if c in _ID_VOWELS)}
+    w = word
+    if st["nsyl"] > 2:
+        w = _id_particle(w, st)
+    if st["nsyl"] > 2:
+        w = _id_possessive(w, st)
+    if not stem_derivational:
+        return w
+    old = len(w)
+    if st["nsyl"] > 2:
+        w = _id_first_prefix(w, st)
+    if len(w) != old:  # a first-order rule fired
+        old = len(w)
+        if st["nsyl"] > 2:
+            w = _id_suffix(w, st)
+        if len(w) != old:
+            if st["nsyl"] > 2:
+                w = _id_second_prefix(w, st)
+    else:
+        if st["nsyl"] > 2:
+            w = _id_second_prefix(w, st)
+        if st["nsyl"] > 2:
+            w = _id_suffix(w, st)
+    return w
+
+
+_AR_DIACRITICS = frozenset("ـًٌٍَُِّْ")
+_AR_PREFIXES = ("ال", "وال", "بال",
+                "كال", "فال", "لل",
+                "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_normalize(word: str) -> str:
+    """ArabicNormalizer (Analysis/Ar/ArabicNormalizer.cs:44): hamza forms
+    of alef -> bare alef, dotless yeh -> yeh, teh marbuta -> heh, tatweel
+    and harakat (diacritics) removed."""
+    out: list[str] = []
+    for c in word:
+        if c in "آأإ":
+            out.append("ا")
+        elif c == "ى":
+            out.append("ي")
+        elif c == "ة":
+            out.append("ه")
+        elif c in _AR_DIACRITICS:
+            continue
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def arabic_stem(word: str) -> str:
+    """ArabicStemmer (Analysis/Ar/ArabicStemmer.cs:66, the Larkey light-8
+    algorithm): one definite-article/waw prefix (length-gated: single-char
+    waw needs >=4 chars, others >= prefix+2), then EVERY matching suffix
+    stripped in table order while >=2 chars remain."""
+    w = word
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if len(w) < 4:
+                continue
+        elif len(w) < len(p) + 2:
+            continue
+        if w.startswith(p):
+            w = w[len(p):]
+            break
+    for s in _AR_SUFFIXES:
+        if len(w) >= len(s) + 2 and w.endswith(s):
+            w = w[:-len(s)]
+    return w

@@ -364,3 +364,70 @@ def test_cz_bg_analyzer_chains():
     terms, positions = bg("Градовете и книгите са нови")
     assert terms == ["град", "книг", "нови"]
     assert positions == [0, 2, 4]
+
+
+# Every CheckOneTerm case from TestIndonesianStemmer.cs (derivational).
+_ID_GOLDEN = [
+    ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"), ("bukuku", "buku"),
+    ("bukumu", "buku"), ("bukunya", "buku"), ("mengukur", "ukur"), ("menyapu", "sapu"),
+    ("menduga", "duga"), ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+    ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"), ("pembaca", "baca"),
+    ("diukur", "ukur"), ("tersapu", "sapu"), ("kekasih", "kasih"), ("berlari", "lari"),
+    ("belajar", "ajar"), ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+    ("pekerja", "kerja"), ("tarikkan", "tarik"), ("ambilkan", "ambil"), ("mengambilkan", "ambil"),
+    ("makanan", "makan"), ("janjian", "janji"), ("perjanjian", "janji"), ("tandai", "tanda"),
+    ("dapati", "dapat"), ("mendapati", "dapat"), ("pantai", "panta"), ("penyalahgunaan", "salahguna"),
+    ("menyalahgunakan", "salahguna"), ("disalahgunakan", "salahguna"), ("pertanggungjawaban", "tanggungjawab"), ("mempertanggungjawabkan", "tanggungjawab"),
+    ("dipertanggungjawabkan", "tanggungjawab"), ("pelaksanaan", "laksana"), ("pelaksana", "laksana"), ("melaksanakan", "laksana"),
+    ("dilaksanakan", "laksana"), ("melibatkan", "libat"), ("terlibat", "libat"), ("penculikan", "culik"),
+    ("menculik", "culik"), ("diculik", "culik"), ("penculik", "culik"), ("perubahan", "ubah"),
+    ("peledakan", "ledak"), ("penanganan", "tangan"), ("kepolisian", "polisi"), ("kenaikan", "naik"),
+    ("bersenjata", "senjata"), ("penyelewengan", "seleweng"), ("kecelakaan", "celaka"), ("bersenjata", "senjata"),
+    ("bukukah", "buku"), ("gigi", "gigi"), ("", ""),
+]
+# The stemDerivational=false cases (inflectional only).
+_ID_INFL_GOLDEN = [
+    ("bukunya", "buku"), ("bukukah", "buku"), ("bukunyakah", "buku"), ("dibukukannya", "dibukukan"),
+]
+# Every Check case from TestArabicStemFilter.cs / TestArabicNormalizationFilter.cs.
+_AR_STEM_GOLDEN = [
+    ("الحسن", "حسن"), ("والحسن", "حسن"), ("بالحسن", "حسن"), ("كالحسن", "حسن"),
+    ("فالحسن", "حسن"), ("للاخر", "اخر"), ("وحسن", "حسن"), ("زوجها", "زوج"),
+    ("ساهدان", "ساهد"), ("ساهدات", "ساهد"), ("ساهدون", "ساهد"), ("ساهدين", "ساهد"),
+    ("ساهديه", "ساهد"), ("ساهدية", "ساهد"), ("ساهده", "ساهد"), ("ساهدة", "ساهد"),
+    ("ساهدي", "ساهد"), ("وساهدون", "ساهد"), ("ساهدهات", "ساهد"), ("الو", "الو"),
+    ("English", "English"),
+]
+_AR_NORM_GOLDEN = [
+    ("آجن", "اجن"), ("أحمد", "احمد"), ("إعاذ", "اعاذ"), ("بنى", "بني"),
+    ("فاطمة", "فاطمه"), ("روبرـــــت", "روبرت"), ("مَبنا", "مبنا"), ("علِي", "علي"),
+    ("بُوات", "بوات"), ("ولداً", "ولدا"), ("ولدٍ", "ولد"), ("ولدٌ", "ولد"),
+    ("نلْسون", "نلسون"), ("هتميّ", "هتمي"),
+]
+
+
+def test_indonesian_stemmer_reference_cases():
+    from sparklucene.stemmer import indonesian_stem
+
+    assert len(_ID_GOLDEN) == 63 and len(_ID_INFL_GOLDEN) == 4
+    assert [(w, o) for w, o in _ID_GOLDEN if indonesian_stem(w) != o] == []
+    assert [(w, o) for w, o in _ID_INFL_GOLDEN
+            if indonesian_stem(w, stem_derivational=False) != o] == []
+
+
+def test_arabic_stemmer_reference_cases():
+    from sparklucene.stemmer import arabic_normalize, arabic_stem
+
+    assert len(_AR_STEM_GOLDEN) == 21 and len(_AR_NORM_GOLDEN) == 14
+    assert [(w, o) for w, o in _AR_STEM_GOLDEN if arabic_stem(w) != o] == []
+    assert [(w, o) for w, o in _AR_NORM_GOLDEN if arabic_normalize(w) != o] == []
+
+
+def test_id_ar_analyzer_chains():
+    idn = make_analyzer("indonesian")
+    # 'dan' is an Indonesian stopword; positions gap across it
+    terms, positions = idn("bukunya dan pembunuhan")
+    assert terms == ["buku", "bunuh"]
+    assert positions == [0, 2]
+    ar = make_analyzer("arabic")
+    assert ar("الحسن والحسن")[0] == ["حسن", "حسن"]
