@@ -519,6 +519,10 @@ def make_analyzer(name: str, **params):
         return _analyze_indonesian
     if name == "arabic":
         return _analyze_arabic
+    if name == "persian":
+        return _analyze_persian
+    if name == "cjk":
+        return _analyze_cjk
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1237,3 +1241,153 @@ def _analyze_arabic(text: str) -> tuple[list[str], list[int]]:
     return _make_light_chain(
         ARABIC_STOP_WORDS, lambda w: arabic_stem(arabic_normalize(w))
     )(text)
+PERSIAN_STOP_WORDS = frozenset((
+    "انان", "نداشته", "سراسر", "خياه", "ايشان", "وي", "تاكنون", "بيشتري",
+    "دوم", "پس", "ناشي", "وگو", "يا", "داشتند", "سپس", "هنگام", "هرگز",
+    "پنج", "نشان", "امسال", "ديگر", "گروهي", "شدند", "چطور", "ده", "و",
+    "دو", "نخستين", "ولي", "چرا", "چه", "وسط", "ه", "كدام", "قابل", "يك",
+    "رفت", "هفت", "همچنين", "در", "هزار", "بله", "بلي", "شايد", "اما",
+    "شناسي", "گرفته", "دهد", "داشته", "دانست", "داشتن", "خواهيم",
+    "ميليارد", "وقتيكه", "امد", "خواهد", "جز", "اورده", "شده", "بلكه",
+    "خدمات", "شدن", "برخي", "نبود", "بسياري", "جلوگيري", "حق", "كردند",
+    "نوعي", "بعري", "نكرده", "نظير", "نبايد", "بوده", "بودن", "داد",
+    "اورد", "هست", "جايي", "شود", "دنبال", "داده", "بايد", "سابق", "هيچ",
+    "همان", "انجا", "كمتر", "كجاست", "گردد", "كسي", "تر", "مردم", "تان",
+    "دادن", "بودند", "سري", "جدا", "ندارند", "مگر", "يكديگر", "دارد",
+    "دهند", "بنابراين", "هنگامي", "سمت", "جا", "انچه", "خود", "دادند",
+    "زياد", "دارند", "اثر", "بدون", "بهترين", "بيشتر", "البته", "به",
+    "براساس", "بيرون", "كرد", "بعضي", "گرفت", "توي", "اي", "ميليون", "او",
+    "جريان", "تول", "بر", "مانند", "برابر", "باشيم", "مدتي", "گويند",
+    "اكنون", "تا", "تنها", "جديد", "چند", "بي", "نشده", "كردن", "كردم",
+    "گويد", "كرده", "كنيم", "نمي", "نزد", "روي", "قصد", "فقط", "بالاي",
+    "ديگران", "اين", "ديروز", "توسط", "سوم", "ايم", "دانند", "سوي",
+    "استفاده", "شما", "كنار", "داريم", "ساخته", "طور", "امده", "رفته",
+    "نخست", "بيست", "نزديك", "طي", "كنيد", "از", "انها", "تمامي", "داشت",
+    "يكي", "طريق", "اش", "چيست", "روب", "نمايد", "گفت", "چندين", "چيزي",
+    "تواند", "ام", "ايا", "با", "ان", "ايد", "ترين", "اينكه", "ديگري",
+    "راه", "هايي", "بروز", "همچنان", "پاعين", "كس", "حدود", "مختلف",
+    "مقابل", "چيز", "گيرد", "ندارد", "ضد", "همچون", "سازي", "شان", "مورد",
+    "باره", "مرسي", "خويش", "برخوردار", "چون", "خارج", "شش", "هنوز", "تحت",
+    "ضمن", "هستيم", "گفته", "فكر", "بسيار", "پيش", "براي", "روزهاي",
+    "انكه", "نخواهد", "بالا", "كل", "وقتي", "كي", "چنين", "كه", "گيري",
+    "نيست", "است", "كجا", "كند", "نيز", "يابد", "بندي", "حتي", "توانند",
+    "عقب", "خواست", "كنند", "بين", "تمام", "همه", "ما", "باشند", "مثل",
+    "شد", "اري", "باشد", "اره", "طبق", "بعد", "اگر", "صورت", "غير", "جاي",
+    "بيش", "ريزي", "اند", "زيرا", "چگونه", "بار", "لطفا", "مي", "درباره",
+    "من", "ديده", "همين", "گذاري", "برداري", "علت", "گذاشته", "هم", "فوق",
+    "نه", "ها", "شوند", "اباد", "همواره", "هر", "اول", "خواهند", "چهار",
+    "نام", "امروز", "مان", "هاي", "قبل", "كنم", "سعي", "تازه", "را",
+    "هستند", "زير", "جلوي", "عنوان", "بود",
+))
+
+
+def _analyze_persian(text: str) -> tuple[list[str], list[int]]:
+    """PersianAnalyzer chain (Analysis/Fa/PersianAnalyzer.cs:121-136):
+    Standard -> Lower -> ArabicNormalization -> PersianNormalization ->
+    Stop -- the stop check runs AFTER normalization (the stop list is
+    normalized), unlike the other chains."""
+    from .stemmer import arabic_normalize, persian_normalize
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = persian_normalize(arabic_normalize(tok.lower()))
+        if low and low not in PERSIAN_STOP_WORDS:
+            terms.append(low)
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+CJK_STOP_WORDS = frozenset((
+    "a", "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "s", "such", "t",
+    "that", "the", "their", "then", "there", "these", "they", "this", "to",
+    "was", "will", "with", "www",
+))
+
+
+def _is_cjk_char(c: str) -> bool:
+    o = ord(c)
+    return (
+        0x4E00 <= o <= 0x9FFF      # Han
+        or 0x3400 <= o <= 0x4DBF   # Han ext A
+        or 0xF900 <= o <= 0xFAFF   # Han compat
+        or 0x3040 <= o <= 0x309F   # Hiragana
+        or 0x30A0 <= o <= 0x30FF   # Katakana
+        or 0x31F0 <= o <= 0x31FF   # Katakana phonetic ext
+        or 0xAC00 <= o <= 0xD7A3   # Hangul syllables
+        or 0x1100 <= o <= 0x11FF   # Hangul jamo
+    )
+
+
+def _cjk_width_fold(s: str) -> str:
+    """CJKWidthFilter (Analysis/Cjk/CJKWidthFilter.cs:33): fullwidth ASCII
+    variants -> halfwidth, halfwidth katakana -> fullwidth with voiced-mark
+    combination.  NFKC restricted to the halfwidth/fullwidth block performs
+    exactly these two folds (incl. dakuten/handakuten composition)."""
+    import unicodedata
+
+    if not any("＀" <= c <= "￯" or c == "　" for c in s):
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if "＀" <= c <= "￯":
+            j = i
+            while j < n and "＀" <= s[j] <= "￯":
+                j += 1
+            out.append(unicodedata.normalize("NFKC", s[i:j]))
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _analyze_cjk(text: str) -> tuple[list[str], list[int]]:
+    """CJKAnalyzer chain (Analysis/Cjk/CJKAnalyzer.cs:91-102): Standard ->
+    CJKWidth -> Lower -> CJKBigram(HAN|HIRAGANA|KATAKANA|HANGUL) -> Stop.
+    Runs of CJK characters emit overlapping bigrams (a lone CJK char emits
+    as a <SINGLE> unigram); every emitted token advances the position by 1
+    (the reference's posIncr=1 stream, TestCJKAnalyzer.cs:45), and the
+    final StopFilter preserves increments across removed (English-ish)
+    stopwords."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+
+    def emit(term: str) -> None:
+        nonlocal pos
+        if term not in CJK_STOP_WORDS:
+            terms.append(term)
+            positions.append(pos)
+        pos += 1
+
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        tok = _cjk_width_fold(tok).lower()
+        i, n = 0, len(tok)
+        while i < n:
+            if _is_cjk_char(tok[i]):
+                j = i
+                while j < n and _is_cjk_char(tok[j]):
+                    j += 1
+                if j - i == 1:
+                    emit(tok[i])
+                else:
+                    for k in range(i, j - 1):
+                        emit(tok[k:k + 2])
+                i = j
+            else:
+                j = i
+                while j < n and not _is_cjk_char(tok[j]):
+                    j += 1
+                emit(tok[i:j])
+                i = j
+    return terms, positions

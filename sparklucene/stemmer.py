@@ -1050,3 +1050,22 @@ def arabic_stem(word: str) -> str:
         if len(w) >= len(s) + 2 and w.endswith(s):
             w = w[:-len(s)]
     return w
+
+
+def persian_normalize(word: str) -> str:
+    """PersianNormalizer (Analysis/Fa/PersianNormalizer.cs:39): farsi yeh
+    and yeh barree -> arabic yeh, keheh -> kaf, heh-yeh / heh-goal -> heh,
+    hamza-above removed."""
+    out: list[str] = []
+    for c in word:
+        if c in "یے":
+            out.append("ي")
+        elif c == "ک":
+            out.append("ك")
+        elif c in "ۀہ":
+            out.append("ه")
+        elif c == "ٔ":
+            continue
+        else:
+            out.append(c)
+    return "".join(out)

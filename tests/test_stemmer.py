@@ -431,3 +431,37 @@ def test_id_ar_analyzer_chains():
     assert positions == [0, 2]
     ar = make_analyzer("arabic")
     assert ar("الحسن والحسن")[0] == ["حسن", "حسن"]
+
+
+def test_persian_normalizer_and_chain():
+    from sparklucene.stemmer import persian_normalize
+
+    # TestPersianNormalizationFilter.cs cases (verbatim: farsi yeh, yeh
+    # barree, keheh, heh-yeh, heh+hamza-above, heh-goal)
+    cases = [("های", "هاي"), ("هاے", "هاي"), ("کشاندن", "كشاندن"),
+             ("كتابۀ", "كتابه"), ("كتابهٔ", "كتابه"), ("زادہ", "زاده")]
+    assert [(w, o) for w, o in cases if persian_normalize(w) != o] == []
+    fa = make_analyzer("persian")
+    # 'های' normalizes into the (normalized) stop set and is dropped
+    terms, positions = fa("های قدیمی")
+    assert terms == ["قديمي"] and positions == [1]
+
+
+def test_cjk_analyzer_reference_cases():
+    """The AssertAnalyzesTo cases of TestCJKAnalyzer.cs (terms + sequential
+    posIncr=1 positions)."""
+    cjk = make_analyzer("cjk")
+    assert cjk("一二三四五六七八九十") == (
+        ["一二", "二三", "三四", "四五", "五六", "六七", "七八", "八九", "九十"],
+        [0, 1, 2, 3, 4, 5, 6, 7, 8])
+    assert cjk("一 二三四 五六七八九 十") == (
+        ["一", "二三", "三四", "五六", "六七", "七八", "八九", "十"],
+        [0, 1, 2, 3, 4, 5, 6, 7])
+    assert cjk("あいうえおabcかきくけこ") == (
+        ["あい", "いう", "うえ", "えお", "abc", "かき", "きく", "くけ", "けこ"],
+        [0, 1, 2, 3, 4, 5, 6, 7, 8])
+    assert cjk("あいtest") == (["あい", "test"], [0, 1])
+    assert cjk("testあい    ") == (["test", "あい"], [0, 1])
+    # stopword gap + width folds (halfwidth katakana w/ dakuten, fullwidth)
+    assert cjk("あいtest and 世界") == (["あい", "test", "世界"], [0, 1, 3])
+    assert cjk("ﾀﾞｻｲ Ｃｏｄｅ") == (["ダサ", "サイ", "code"], [0, 1, 2])
