@@ -523,6 +523,8 @@ def make_analyzer(name: str, **params):
         return _analyze_persian
     if name == "cjk":
         return _analyze_cjk
+    if name == "greek":
+        return _analyze_greek
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1151,6 +1153,43 @@ def _analyze_bulgarian(text: str) -> tuple[list[str], list[int]]:
     Standard -> Lower -> Stop(Bg/stopwords.txt) -> BulgarianStemFilter."""
     from .stemmer import bulgarian_stem
     return _make_light_chain(BULGARIAN_STOP_WORDS, bulgarian_stem)(text)
+
+
+# El/stopwords.txt ships already GreekLowerCaseFilter-folded (final sigma
+# written σ, no diacritics) because the StopFilter sits AFTER the lowercase
+# filter in the chain.
+GREEK_STOP_WORDS = frozenset((
+    "ο", "η", "το", "οι", "τα", "του", "τησ", "των", "τον", "την", "και",
+    "κι", "κ", "ειμαι", "εισαι", "ειναι", "ειμαστε", "ειστε", "στο",
+    "στον", "στη", "στην", "μα", "αλλα", "απο", "για", "προσ", "με", "σε",
+    "ωσ", "παρα", "αντι", "κατα", "μετα", "θα", "να", "δε", "δεν", "μη",
+    "μην", "επι", "ενω", "εαν", "αν", "τοτε", "που", "πωσ", "ποιοσ",
+    "ποια", "ποιο", "ποιοι", "ποιεσ", "ποιων", "ποιουσ", "αυτοσ", "αυτη",
+    "αυτο", "αυτοι", "αυτων", "αυτουσ", "αυτεσ", "αυτα", "εκεινοσ",
+    "εκεινη", "εκεινο", "εκεινοι", "εκεινεσ", "εκεινα", "εκεινων",
+    "εκεινουσ", "οπωσ", "ομωσ", "ισωσ", "οσο", "οτι",
+))
+
+
+def _analyze_greek(text: str) -> tuple[list[str], list[int]]:
+    """GreekAnalyzer chain (Analysis/El/GreekAnalyzer.cs:115-129,
+    matchVersion >= 3.1): Standard -> GreekLowerCaseFilter ->
+    Stop(El/stopwords.txt, pre-folded) -> GreekStemFilter."""
+    from .stemmer import greek_lowercase, greek_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = greek_lowercase(tok)
+        if low and low not in GREEK_STOP_WORDS:
+            terms.append(greek_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
 INDONESIAN_STOP_WORDS = frozenset((
     "ada", "adanya", "adalah", "adapun", "agak", "agaknya", "agar", "akan",
     "akankah", "akhirnya", "aku", "akulah", "amat", "amatlah", "anda",

@@ -1069,3 +1069,442 @@ def persian_normalize(word: str) -> str:
         else:
             out.append(c)
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Greek stemmer (Analysis/El/GreekStemmer.cs — Ntais/Saroukos algorithm).
+# Ported on the same char-buffer + length model as the reference: suffix
+# removal truncates the length, "add back" re-extends over the ORIGINAL
+# buffer characters unless the rule explicitly overwrites them.  The C#
+# operator-precedence quirks (a `len > k &&` guard binding only to the
+# FIRST EndsWith of an || chain, Rule0/Rule8) are preserved verbatim.
+# ---------------------------------------------------------------------------
+
+_EL_VOWELS = frozenset("αεηιουω")
+_EL_VOWELS_NO_Y = frozenset("αεηιοω")
+
+_EL_EXC4 = frozenset(("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"))
+_EL_EXC6 = frozenset((
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"))
+_EL_EXC7 = frozenset(("αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+                      "πεθ", "πικρ", "ποτ", "σιχ", "χ"))
+_EL_EXC8A = frozenset(("τρ", "τσ"))
+_EL_EXC8B = frozenset((
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ", "καστελ",
+    "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ", "π", "πελεκ",
+    "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ", "τσαρλατ", "ορφ", "τσιγγ",
+    "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "γαλ", "γερ", "δεκ", "διπλ",
+    "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ", "ζωντ", "ικ", "καστ", "κοπ",
+    "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ", "σπ", "στεγ", "τραγ", "τσαγ",
+    "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ", "ανικ", "ανοργ", "απηγ", "απιθ",
+    "ατσιγγ", "βασ", "βασκ", "βαθυγαλ", "βιομηχ", "βραχυκ", "διατ", "διαφ",
+    "ενοργ", "θυσ", "καπνοβιομηχ", "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ",
+    "μεγλοβιομηχ", "μικροβιομηχ", "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ",
+    "πενταρφ", "περηφ", "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ",
+    "ταβ", "τετ", "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"))
+_EL_EXC9 = frozenset((
+    "αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ", "βαρον", "ντρ",
+    "σκ", "κοπ", "μπορ", "νιφ", "παγ", "παρακαλ", "σερπ", "σκελ", "συρφ",
+    "τοκ", "υ", "δ", "εμ", "θαρρ", "θ"))
+_EL_EXC12A = frozenset(("π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"))
+_EL_EXC12B = frozenset(("αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ",
+                        "προ", "νισ"))
+_EL_EXC13 = frozenset(("διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"))
+_EL_EXC14 = frozenset((
+    "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ", "λεχ", "μ",
+    "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ", "αιθ", "ανηκ",
+    "δεσποζ", "ενδιαφερ", "δε", "δευτερευ", "καθαρευ", "πλε", "τσα"))
+_EL_EXC15A = frozenset((
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ", "αμαλλι",
+    "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ", "ξεφ", "νεοπ",
+    "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ", "συμπ", "συντ", "τ",
+    "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ", "αποτ", "αρτιπ", "διατ", "εν",
+    "επιτ", "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ", "ουρ", "π", "τρ", "μ"))
+_EL_EXC15B = frozenset(("ψοφ", "ναυλοχ"))
+_EL_EXC16 = frozenset(("ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον", "επταν"))
+_EL_EXC17 = frozenset(("ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ",
+                       "ευχρ", "κοινοχρ", "παλιμψ"))
+_EL_EXC18 = frozenset(("ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"))
+_EL_EXC19 = frozenset(("παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ", "ασουσ"))
+
+
+def _el_ew(s: list, n: int, suf: str) -> bool:
+    m = len(suf)
+    if m > n:
+        return False
+    return "".join(s[n - m:n]) == suf
+
+
+def _el_stem(s: list, n: int) -> str:
+    return "".join(s[:n])
+
+
+def _el_vowel(s: list, n: int) -> bool:
+    return n > 0 and s[n - 1] in _EL_VOWELS
+
+
+def _el_vowel_no_y(s: list, n: int) -> bool:
+    return n > 0 and s[n - 1] in _EL_VOWELS_NO_Y
+
+
+def greek_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    s = list(word)
+    n = len(word)
+    orig = n
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731 (rebound per rule below)
+
+    # Rule 0 (irregular neuters)
+    def ew_(suf, at):
+        return _el_ew(s, at, suf)
+
+    if n > 9 and (ew("καθεστωτοσ") or ew("καθεστωτων")):
+        n -= 4
+    elif n > 8 and (ew("γεγονοτοσ") or ew("γεγονοτων")):
+        n -= 4
+    elif n > 8 and ew("καθεστωτα"):
+        n -= 3
+    elif n > 7 and (ew("τατογιου") or ew("τατογιων")):
+        n -= 4
+    elif n > 7 and ew("γεγονοτα"):
+        n -= 3
+    elif n > 7 and ew("καθεστωσ"):
+        n -= 2
+    elif ((n > 6 and ew("σκαγιου")) or ew("σκαγιων") or ew("ολογιου")
+          or ew("ολογιων") or ew("κρεατοσ") or ew("κρεατων") or ew("περατοσ")
+          or ew("περατων") or ew("τερατοσ") or ew("τερατων")):
+        n -= 4
+    elif n > 6 and ew("τατογια"):
+        n -= 3
+    elif n > 6 and ew("γεγονοσ"):
+        n -= 2
+    elif n > 5 and (ew("φαγιου") or ew("φαγιων") or ew("σογιου") or ew("σογιων")):
+        n -= 4
+    elif n > 5 and (ew("σκαγια") or ew("ολογια") or ew("κρεατα")
+                    or ew("περατα") or ew("τερατα")):
+        n -= 3
+    elif n > 4 and (ew("φαγια") or ew("σογια") or ew("φωτοσ") or ew("φωτων")):
+        n -= 3
+    elif n > 4 and (ew("κρεασ") or ew("περασ") or ew("τερασ")):
+        n -= 2
+    elif n > 3 and ew("φωτα"):
+        n -= 2
+    elif n > 2 and ew("φωσ"):
+        n -= 1
+
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 1
+    if n > 4 and (ew("αδεσ") or ew("αδων")):
+        n -= 4
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if not (ew("οκ") or ew("μαμ") or ew("μαν") or ew("μπαμπ") or ew("πατερ")
+                or ew("γιαγι") or ew("νταντ") or ew("κυρ") or ew("θει")
+                or ew("πεθερ")):
+            n += 2  # add back -αδ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 2
+    if n > 4 and (ew("εδεσ") or ew("εδων")):
+        n -= 4
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if (ew("οπ") or ew("ιπ") or ew("εμπ") or ew("υπ") or ew("γηπ")
+                or ew("δαπ") or ew("κρασπ") or ew("μιλ")):
+            n += 2
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 3
+    if n > 5 and (ew("ουδεσ") or ew("ουδων")):
+        n -= 5
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if (ew("αρκ") or ew("καλιακ") or ew("πεταλ") or ew("λιχ") or ew("πλεξ")
+                or ew("σκ") or ew("σ") or ew("φλ") or ew("φρ") or ew("βελ")
+                or ew("λουλ") or ew("χν") or ew("σπ") or ew("τραγ") or ew("φε")):
+            n += 3
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 4
+    if n > 3 and (ew("εωσ") or ew("εων")):
+        n -= 3
+        if _el_stem(s, n) in _EL_EXC4:
+            n += 1  # add back -ε
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 5
+    if n > 2 and ew("ια"):
+        n -= 2
+        if _el_vowel(s, n):
+            n += 1  # add back -ι
+    elif n > 3 and (ew("ιου") or ew("ιων")):
+        n -= 3
+        if _el_vowel(s, n):
+            n += 1
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 6
+    removed = False
+    if n > 3 and (ew("ικα") or ew("ικο")):
+        n -= 3
+        removed = True
+    elif n > 4 and (ew("ικου") or ew("ικων")):
+        n -= 4
+        removed = True
+    if removed and (_el_vowel(s, n) or _el_stem(s, n) in _EL_EXC6):
+        n += 2  # add back -ικ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 7
+    if n == 5 and ew("αγαμε"):
+        n -= 1
+    else:
+        if n > 7 and ew("ηθηκαμε"):
+            n -= 7
+        elif n > 6 and ew("ουσαμε"):
+            n -= 6
+        elif n > 5 and (ew("αγαμε") or ew("ησαμε") or ew("ηκαμε")):
+            n -= 5
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if n > 3 and ew("αμε"):
+            n -= 3
+            if _el_stem(s, n) in _EL_EXC7:
+                n += 2  # add back -αμ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 8 (C# precedence: the len guard binds only to the FIRST suffix)
+    removed = False
+    if n > 8 and ew("ιουντανε"):
+        n -= 8
+        removed = True
+    elif (n > 7 and ew("ιοντανε")) or ew("ουντανε") or ew("ηθηκανε"):
+        n -= 7
+        removed = True
+    elif (n > 6 and ew("ιοτανε")) or ew("οντανε") or ew("ουσανε"):
+        n -= 6
+        removed = True
+    elif (n > 5 and ew("αγανε")) or ew("ησανε") or ew("οτανε") or ew("ηκανε"):
+        n -= 5
+        removed = True
+    if removed and _el_stem(s, n) in _EL_EXC8A:
+        n += 4
+        s[n - 4:n] = list("αγαν")
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if n > 3 and ew("ανε"):
+        n -= 3
+        if _el_vowel_no_y(s, n) or _el_stem(s, n) in _EL_EXC8B:
+            n += 2  # add back -αν
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 9
+    if n > 5 and ew("ησετε"):
+        n -= 5
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if n > 3 and ew("ετε"):
+        n -= 3
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if (_el_stem(s, n) in _EL_EXC9 or _el_vowel_no_y(s, n) or ew("οδ")
+                or ew("αιρ") or ew("φορ") or ew("ταθ") or ew("διαθ") or ew("σχ")
+                or ew("ενδ") or ew("ευρ") or ew("τιθ") or ew("υπερθ")
+                or ew("ραθ") or ew("ενθ") or ew("ροθ") or ew("σθ") or ew("πυρ")
+                or ew("αιν") or ew("συνδ") or ew("συν") or ew("συνθ")
+                or ew("χωρ") or ew("πον") or ew("βρ") or ew("καθ") or ew("ευθ")
+                or ew("εκθ") or ew("νετ") or ew("ρον") or ew("αρκ")
+                or ew("βαρ") or ew("βολ") or ew("ωφελ")):
+            n += 2  # add back -ετ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 10
+    if n > 5 and (ew("οντασ") or ew("ωντασ")):
+        n -= 5
+        ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if n == 3 and ew("αρχ"):
+            n += 3  # add back *ντ
+            s[n - 3] = "ο"
+            ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+        if ew("κρε"):
+            n += 3
+            s[n - 3] = "ω"
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 11
+    if n > 6 and ew("ομαστε"):
+        n -= 6
+        if n == 2 and _el_ew(s, n, "ον"):
+            n += 5  # add back -ομαστ
+    elif n > 7 and ew("ιομαστε"):
+        n -= 7
+        if n == 2 and _el_ew(s, n, "ον"):
+            n += 5
+            s[n - 5:n] = list("ομαστ")
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 12
+    if n > 5 and ew("ιεστε"):
+        n -= 5
+        if _el_stem(s, n) in _EL_EXC12A:
+            n += 4  # add back -ιεστ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if n > 4 and ew("εστε"):
+        n -= 4
+        if _el_stem(s, n) in _EL_EXC12B:
+            n += 3  # add back -εστ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 13
+    if n > 6 and ew("ηθηκεσ"):
+        n -= 6
+    elif n > 5 and (ew("ηθηκα") or ew("ηθηκε")):
+        n -= 5
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    removed = False
+    if n > 4 and ew("ηκεσ"):
+        n -= 4
+        removed = True
+    elif n > 3 and (ew("ηκα") or ew("ηκε")):
+        n -= 3
+        removed = True
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if removed and (_el_stem(s, n) in _EL_EXC13 or ew("σκωλ") or ew("σκουλ")
+                    or ew("ναρθ") or ew("σφ") or ew("οθ") or ew("πιθ")):
+        n += 2  # add back -ηκ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 14
+    removed = False
+    if n > 5 and ew("ουσεσ"):
+        n -= 5
+        removed = True
+    elif n > 4 and (ew("ουσα") or ew("ουσε")):
+        n -= 4
+        removed = True
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if removed and (_el_stem(s, n) in _EL_EXC14 or _el_vowel(s, n)
+                    or ew("ποδαρ") or ew("βλεπ") or ew("πανταχ") or ew("φρυδ")
+                    or ew("μαντιλ") or ew("μαλλ") or ew("κυματ") or ew("λαχ")
+                    or ew("ληγ") or ew("φαγ") or ew("ομ") or ew("πρωτ")):
+        n += 3  # add back -ουσ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 15
+    removed = False
+    if n > 4 and ew("αγεσ"):
+        n -= 4
+        removed = True
+    elif n > 3 and (ew("αγα") or ew("αγε")):
+        n -= 3
+        removed = True
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if removed:
+        cond1 = (_el_stem(s, n) in _EL_EXC15A or ew("οφ") or ew("πελ")
+                 or ew("χορτ") or ew("λλ") or ew("σφ") or ew("ρπ") or ew("φρ")
+                 or ew("πρ") or ew("λοχ") or ew("σμην"))
+        cond2 = _el_stem(s, n) in _EL_EXC15B or ew("κολλ")
+        if cond1 and not cond2:
+            n += 2  # add back -αγ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 16
+    removed = False
+    if n > 4 and ew("ησου"):
+        n -= 4
+        removed = True
+    elif n > 3 and (ew("ησε") or ew("ησα")):
+        n -= 3
+        removed = True
+    if removed and _el_stem(s, n) in _EL_EXC16:
+        n += 2  # add back -ησ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 17
+    if n > 4 and ew("ηστε"):
+        n -= 4
+        if _el_stem(s, n) in _EL_EXC17:
+            n += 3  # add back -ηστ
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 18
+    removed = False
+    if n > 6 and (ew("ησουνε") or ew("ηθουνε")):
+        n -= 6
+        removed = True
+    elif n > 4 and ew("ουνε"):
+        n -= 4
+        removed = True
+    if removed and _el_stem(s, n) in _EL_EXC18:
+        n += 3
+        s[n - 3:n] = list("ουν")
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 19
+    removed = False
+    if n > 6 and (ew("ησουμε") or ew("ηθουμε")):
+        n -= 6
+        removed = True
+    elif n > 4 and ew("ουμε"):
+        n -= 4
+        removed = True
+    if removed and _el_stem(s, n) in _EL_EXC19:
+        n += 3
+        s[n - 3:n] = list("ουμ")
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    # Rule 20
+    if n > 5 and (ew("ματων") or ew("ματοσ")):
+        n -= 3
+    elif n > 4 and ew("ματα"):
+        n -= 2
+    # Rule 21 (only when nothing was removed so far)
+    if n == orig:
+        n = _el_rule21(s, n)
+    # Rule 22
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if ew("εστερ") or ew("εστατ"):
+        n -= 5
+    elif (ew("οτερ") or ew("οτατ") or ew("υτερ") or ew("υτατ")
+          or ew("ωτερ") or ew("ωτατ")):
+        n -= 4
+    return _el_stem(s, n)
+
+
+def _el_rule21(s: list, n: int) -> int:
+    ew = lambda suf: _el_ew(s, n, suf)  # noqa: E731
+    if n > 9 and ew("ιοντουσαν"):
+        return n - 9
+    if n > 8 and (ew("ιομασταν") or ew("ιοσασταν") or ew("ιουμαστε")
+                  or ew("οντουσαν")):
+        return n - 8
+    if n > 7 and (ew("ιεμαστε") or ew("ιεσαστε") or ew("ιομουνα")
+                  or ew("ιοσαστε") or ew("ιοσουνα") or ew("ιουνται")
+                  or ew("ιουνταν") or ew("ηθηκατε") or ew("ομασταν")
+                  or ew("οσασταν") or ew("ουμαστε")):
+        return n - 7
+    if n > 6 and (ew("ιομουν") or ew("ιονταν") or ew("ιοσουν") or ew("ηθειτε")
+                  or ew("ηθηκαν") or ew("ομουνα") or ew("οσαστε")
+                  or ew("οσουνα") or ew("ουνται") or ew("ουνταν")
+                  or ew("ουσατε")):
+        return n - 6
+    if n > 5 and (ew("αγατε") or ew("ιεμαι") or ew("ιεται") or ew("ιεσαι")
+                  or ew("ιοταν") or ew("ιουμα") or ew("ηθεισ") or ew("ηθουν")
+                  or ew("ηκατε") or ew("ησατε") or ew("ησουν") or ew("ομουν")
+                  or ew("ονται") or ew("ονταν") or ew("οσουν") or ew("ουμαι")
+                  or ew("ουσαν")):
+        return n - 5
+    if n > 4 and (ew("αγαν") or ew("αμαι") or ew("ασαι") or ew("αται")
+                  or ew("ειτε") or ew("εσαι") or ew("εται") or ew("ηδεσ")
+                  or ew("ηδων") or ew("ηθει") or ew("ηκαν") or ew("ησαν")
+                  or ew("ησει") or ew("ησεσ") or ew("ομαι") or ew("οταν")):
+        return n - 4
+    if n > 3 and (ew("αει") or ew("εισ") or ew("ηθω") or ew("ησω")
+                  or ew("ουν") or ew("ουσ")):
+        return n - 3
+    if n > 2 and (ew("αν") or ew("ασ") or ew("αω") or ew("ει") or ew("εσ")
+                  or ew("ησ") or ew("οι") or ew("οσ") or ew("ου") or ew("υσ")
+                  or ew("ων")):
+        return n - 2
+    if n > 1 and _el_vowel(s, n):
+        return n - 1
+    return n
+
+
+_EL_LOWER_MAP = str.maketrans({
+    "ς": "σ",
+    "Ά": "α", "ά": "α",
+    "Έ": "ε", "έ": "ε",
+    "Ή": "η", "ή": "η",
+    "Ί": "ι", "Ϊ": "ι", "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "Ύ": "υ", "Ϋ": "υ", "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "Ό": "ο", "ό": "ο",
+    "Ώ": "ω", "ώ": "ω",
+    "΢": "σ",
+})
+
+
+def greek_lowercase(word: str) -> str:
+    """GreekLowerCaseFilter (Analysis/El/GreekLowerCaseFilter.cs:58): final
+    sigma -> sigma, tonos/dialytika diacritic forms -> base lowercase vowel,
+    then plain lowercase."""
+    return word.translate(_EL_LOWER_MAP).lower().translate(_EL_LOWER_MAP)

@@ -465,3 +465,40 @@ def test_cjk_analyzer_reference_cases():
     # stopword gap + width folds (halfwidth katakana w/ dakuten, fullwidth)
     assert cjk("あいtest and 世界") == (["あい", "test", "世界"], [0, 1, 3])
     assert cjk("ﾀﾞｻｲ Ｃｏｄｅ") == (["ダサ", "サイ", "code"], [0, 1, 2])
+
+
+def test_greek_stemmer_reference_cases():
+    """All 343 CheckOneTerm vectors from TestGreekStemmer.cs, run through
+    GreekLowerCaseFilter + GreekStemmer exactly as GreekAnalyzer chains them."""
+    import os
+    from sparklucene.stemmer import greek_lowercase, greek_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "greek_stem_vectors.tsv")
+    with open(path, encoding="utf-8") as fh:
+        # last vector is the reference's empty-term case ("" -> "")
+        pairs = [line.rstrip("\n").split("\t") for line in fh
+                 if "\t" in line]
+    assert len(pairs) == 343
+    mism = [(w, want, greek_stem(greek_lowercase(w)))
+            for w, want in pairs if greek_stem(greek_lowercase(w)) != want]
+    assert mism == []
+
+
+def test_greek_analyzer_chain():
+    """GreekAnalyzer e2e (TestGreekAnalyzer.cs AssertAnalyzesTo cases):
+    tonos/dialytika folding, final sigma, stopword gaps, stemming."""
+    from sparklucene.analysis import make_analyzer
+
+    el = make_analyzer("greek")
+    # GreekAnalyzerTest.cs:41,44,47 — stopwords και/της/ο/οι dropped with
+    # position gaps, dialytika/tonos folds (Προϊόντα, ΠΡΟΫΠΟΘΕΣΕΙΣ).
+    terms, positions = el(
+        "Μία εξαιρετικά καλή και πλούσια σειρά χαρακτήρων της Ελληνικής γλώσσας")
+    assert terms == ["μια", "εξαιρετ", "καλ", "πλουσ", "σειρ",
+                     "χαρακτηρ", "ελληνικ", "γλωσσ"]
+    assert positions == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert el("Προϊόντα (και)     [πολλαπλές] - ΑΝΑΓΚΕΣ")[0] == [
+        "προιοντ", "πολλαπλ", "αναγκ"]
+    assert el("ΠΡΟΫΠΟΘΕΣΕΙΣ  Άψογος, ο μεστός και οι άλλοι")[0] == [
+        "προυποθεσ", "αψογ", "μεστ", "αλλ"]
