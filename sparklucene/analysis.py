@@ -39,8 +39,36 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# candidate: word chars optionally joined by single mid chars
-_TOKEN_RE = re.compile(r"\w+(?:[.:,'’]\w+)*", re.UNICODE)
+# UAX#29 WB4: Extend (combining marks) and the zero-width (non-)joiner glue
+# to the preceding word char instead of breaking the token (the reference's
+# JFlex DFA folds them into ALetter runs).  BMP marks only — supplementary-
+# plane marks (musical symbols, Brahmi) are out of the documented subset.
+def _mark_class() -> tuple[str, frozenset]:
+    import unicodedata
+
+    cps = [0x200C, 0x200D]
+    cps += [cp for cp in range(0x10000)
+            if unicodedata.category(chr(cp)).startswith("M")]
+    cps.sort()
+    spans: list[list[int]] = []
+    for cp in cps:
+        if spans and cp == spans[-1][1] + 1:
+            spans[-1][1] = cp
+        else:
+            spans.append([cp, cp])
+    cls = "".join(
+        ("\\u%04X" % a) if a == b else ("\\u%04X-\\u%04X" % (a, b))
+        for a, b in spans)
+    return cls, frozenset(cps)
+
+
+_MARK_CLASS, _MARK_SET = _mark_class()
+
+# candidate: word chars (with trailing combining marks) optionally joined by
+# single mid chars
+_TOKEN_RE = re.compile(
+    r"\w[\w%s]*(?:[.:,'’]\w[\w%s]*)*" % (_MARK_CLASS, _MARK_CLASS),
+    re.UNICODE)
 _MID_RE = re.compile(r"[.:,'’]")
 
 # mid-char join rules: allowed (before_class, after_class) pairs
@@ -72,7 +100,11 @@ def _split_candidate(cand: str) -> list[str]:
     for m in _MID_RE.finditer(cand):
         i = m.start()
         mid = cand[i]
-        ok = (_char_class(cand[i - 1]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
+        # WB4: classify the nearest preceding non-mark char
+        j = i - 1
+        while j > 0 and cand[j] in _MARK_SET:
+            j -= 1
+        ok = (_char_class(cand[j]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
         if not ok:
             pieces.append(cand[start:i])
             start = i + 1
@@ -107,7 +139,10 @@ def tokenize_raw_spans(text: str) -> list[tuple[str, int, int]]:
             for mm in _MID_RE.finditer(cand):
                 i = mm.start()
                 mid = cand[i]
-                ok = (_char_class(cand[i - 1]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
+                j = i - 1
+                while j > 0 and cand[j] in _MARK_SET:
+                    j -= 1
+                ok = (_char_class(cand[j]), _char_class(cand[i + 1])) in _JOIN_RULES[mid]
                 if not ok:
                     pieces.append((cand[start:i], start))
                     start = i + 1
@@ -525,6 +560,8 @@ def make_analyzer(name: str, **params):
         return _analyze_cjk
     if name == "greek":
         return _analyze_greek
+    if name == "hindi":
+        return _analyze_hindi
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1153,6 +1190,59 @@ def _analyze_bulgarian(text: str) -> tuple[list[str], list[int]]:
     Standard -> Lower -> Stop(Bg/stopwords.txt) -> BulgarianStemFilter."""
     from .stemmer import bulgarian_stem
     return _make_light_chain(BULGARIAN_STOP_WORDS, bulgarian_stem)(text)
+
+
+HINDI_STOP_WORDS = frozenset((
+    "अंदर", "अत", "अपना", "अपनी", "अपने", "अभी", "आदि", "आप", "इत्यादि",
+    "इन", "इनका", "इन्हीं", "इन्हें", "इन्हों", "इस", "इसका", "इसकी",
+    "इसके", "इसमें", "इसी", "इसे", "उन", "उनका", "उनकी", "उनके", "उनको",
+    "उन्हीं", "उन्हें", "उन्हों", "उस", "उसके", "उसी", "उसे", "एक", "एवं",
+    "एस", "ऐसे", "और", "कई", "कर", "करता", "करते", "करना", "करने", "करें",
+    "कहते", "कहा", "का", "काफ़ी", "कि", "कितना", "किन्हें", "किन्हों",
+    "किया", "किर", "किस", "किसी", "किसे", "की", "कुछ", "कुल", "के", "को",
+    "कोई", "कौन", "कौनसा", "गया", "घर", "जब", "जहाँ", "जा", "जितना",
+    "जिन", "जिन्हें", "जिन्हों", "जिस", "जिसे", "जीधर", "जैसा", "जैसे",
+    "जो", "तक", "तब", "तरह", "तिन", "तिन्हें", "तिन्हों", "तिस", "तिसे",
+    "तो", "था", "थी", "थे", "दबारा", "दिया", "दुसरा", "दूसरे", "दो",
+    "द्वारा", "न", "नहीं", "ना", "निहायत", "नीचे", "ने", "पर", "पहले",
+    "पूरा", "पे", "फिर", "बनी", "बही", "बहुत", "बाद", "बाला", "बिलकुल",
+    "भी", "भीतर", "मगर", "मानो", "मे", "में", "यदि", "यह", "यहाँ", "यही",
+    "या", "यिह", "ये", "रखें", "रहा", "रहे", "ऱ्वासा", "लिए", "लिये",
+    "लेकिन", "व", "वर्ग", "वह", "वहाँ", "वहीं", "वाले", "वुह", "वे",
+    "वग़ैरह", "संग", "सकता", "सकते", "सबसे", "सभी", "साथ", "साबुत", "साभ",
+    "सारा", "से", "सो", "ही", "हुआ", "हुई", "हुए", "है", "हैं", "हो",
+    "होता", "होती", "होते", "होना", "होने", "अपनि", "जेसे", "होति", "सभि",
+    "तिंहों", "इंहों", "दवारा", "इसि", "किंहें", "थि", "उंहों", "ओर",
+    "जिंहें", "वहिं", "अभि", "बनि", "हि", "उंहिं", "उंहें", "हें",
+    "वगेरह", "एसे", "रवासा", "कोन", "निचे", "काफि", "उसि", "पुरा", "भितर",
+    "हे", "बहि", "वहां", "कोइ", "यहां", "जिंहों", "तिंहें", "किसि", "कइ",
+    "यहि", "इंहिं", "जिधर", "इंहें", "अदि", "इतयादि", "हुइ", "कोनसा",
+    "इसकि", "दुसरे", "जहां", "अप", "किंहों", "उनकि", "भि", "वरग", "हुअ",
+    "जेसा", "नहिं",
+))
+
+
+def _analyze_hindi(text: str) -> tuple[list[str], list[int]]:
+    """HindiAnalyzer chain (Analysis/Hi/HindiAnalyzer.cs:127-150,
+    matchVersion >= 3.6): Standard -> Lower -> IndicNormalization ->
+    HindiNormalization -> Stop(Hi/stopwords.txt) -> HindiStemFilter.
+    The stop check runs on the NORMALIZED token, as in the reference chain
+    order."""
+    from .stemmer import hindi_normalize, hindi_stem, indic_normalize
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = hindi_normalize(indic_normalize(tok.lower()))
+        if low and low not in HINDI_STOP_WORDS:
+            terms.append(hindi_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
 
 
 # El/stopwords.txt ships already GreekLowerCaseFilter-folded (final sigma

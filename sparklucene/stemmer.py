@@ -1508,3 +1508,210 @@ def greek_lowercase(word: str) -> str:
     sigma -> sigma, tonos/dialytika diacritic forms -> base lowercase vowel,
     then plain lowercase."""
     return word.translate(_EL_LOWER_MAP).lower().translate(_EL_LOWER_MAP)
+
+
+# ---------------------------------------------------------------------------
+# Hindi analysis chain (Analysis/Hi + Analysis/In).
+# indic_normalize: IndicNormalizer.cs:267-337 — script-aware composition of
+# alternate vowel encodings into standard forms (decomposition table ported
+# verbatim; offsets are into each script's 0x80-wide Unicode block).
+# hindi_normalize: HindiNormalizer.cs:53-186 — Pingali/Varma normalization
+# plus Larkey ZWJ/ZWNJ+nukta additions.
+# hindi_stem: HindiStemmer.cs:34-66 — Ramanathan/Rao lightweight suffix strip.
+# ---------------------------------------------------------------------------
+
+# (block_name, lo, hi, base, flag) — the 9 scripts IndicNormalizer knows.
+_INDIC_BLOCKS = (
+    (0x0900, 0x097F, 0x0900, 1),    # Devanagari
+    (0x0980, 0x09FF, 0x0980, 2),    # Bengali
+    (0x0A00, 0x0A7F, 0x0A00, 4),    # Gurmukhi
+    (0x0A80, 0x0AFF, 0x0A80, 8),    # Gujarati
+    (0x0B00, 0x0B7F, 0x0B00, 16),   # Oriya
+    (0x0B80, 0x0BFF, 0x0B80, 32),   # Tamil
+    (0x0C00, 0x0C7F, 0x0C00, 64),   # Telugu
+    (0x0C80, 0x0CFF, 0x0C80, 128),  # Kannada
+    (0x0D00, 0x0D7F, 0x0D00, 256),  # Malayalam
+)
+
+# (ch1, ch2, ch3, composed, script_flags); ch3 == -1 means 2-char rule,
+# 0xFF means zero-width joiner. IndicNormalizer.cs:113-258.
+_INDIC_DECOMP = (
+    (0x05, 0x3E, 0x45, 0x11, 9),
+    (0x05, 0x3E, 0x46, 0x12, 1),
+    (0x05, 0x3E, 0x47, 0x13, 9),
+    (0x05, 0x3E, 0x48, 0x14, 9),
+    (0x05, 0x3E, -1, 0x06, 31),
+    (0x05, 0x45, -1, 0x72, 1),
+    (0x05, 0x45, -1, 0x0D, 8),
+    (0x05, 0x46, -1, 0x04, 1),
+    (0x05, 0x47, -1, 0x0F, 8),
+    (0x05, 0x48, -1, 0x10, 12),
+    (0x05, 0x49, -1, 0x11, 9),
+    (0x05, 0x4A, -1, 0x12, 1),
+    (0x05, 0x4B, -1, 0x13, 9),
+    (0x05, 0x4C, -1, 0x14, 13),
+    (0x06, 0x45, -1, 0x11, 9),
+    (0x06, 0x46, -1, 0x12, 1),
+    (0x06, 0x47, -1, 0x13, 9),
+    (0x06, 0x48, -1, 0x14, 9),
+    (0x07, 0x57, -1, 0x08, 256),
+    (0x09, 0x41, -1, 0x0A, 1),
+    (0x09, 0x57, -1, 0x0A, 288),
+    (0x0E, 0x46, -1, 0x10, 256),
+    (0x0F, 0x45, -1, 0x0D, 1),
+    (0x0F, 0x46, -1, 0x0E, 1),
+    (0x0F, 0x47, -1, 0x10, 1),
+    (0x0F, 0x57, -1, 0x10, 16),
+    (0x12, 0x3E, -1, 0x13, 256),
+    (0x12, 0x4C, -1, 0x14, 192),
+    (0x12, 0x55, -1, 0x13, 64),
+    (0x12, 0x57, -1, 0x14, 288),
+    (0x13, 0x57, -1, 0x14, 16),
+    (0x15, 0x3C, -1, 0x58, 1),
+    (0x16, 0x3C, -1, 0x59, 5),
+    (0x17, 0x3C, -1, 0x5A, 5),
+    (0x1C, 0x3C, -1, 0x5B, 5),
+    (0x21, 0x3C, -1, 0x5C, 19),
+    (0x22, 0x3C, -1, 0x5D, 19),
+    (0x23, 0x4D, 0xFF, 0x7A, 256),
+    (0x24, 0x4D, 0xFF, 0x4E, 2),
+    (0x28, 0x3C, -1, 0x29, 1),
+    (0x28, 0x4D, 0xFF, 0x7B, 256),
+    (0x2B, 0x3C, -1, 0x5E, 5),
+    (0x2F, 0x3C, -1, 0x5F, 3),
+    (0x2C, 0x41, 0x41, 0x0B, 64),
+    (0x30, 0x3C, -1, 0x31, 1),
+    (0x30, 0x4D, 0xFF, 0x7C, 256),
+    (0x32, 0x4D, 0xFF, 0x7D, 256),
+    (0x33, 0x3C, -1, 0x34, 1),
+    (0x33, 0x4D, 0xFF, 0x7E, 256),
+    (0x35, 0x41, -1, 0x2E, 64),
+    (0x3E, 0x45, -1, 0x49, 9),
+    (0x3E, 0x46, -1, 0x4A, 1),
+    (0x3E, 0x47, -1, 0x4B, 9),
+    (0x3E, 0x48, -1, 0x4C, 9),
+    (0x3F, 0x55, -1, 0x40, 128),
+    (0x41, 0x41, -1, 0x42, 4),
+    (0x46, 0x3E, -1, 0x4A, 288),
+    (0x46, 0x42, 0x55, 0x4B, 128),
+    (0x46, 0x42, -1, 0x4A, 128),
+    (0x46, 0x55, -1, 0x47, 192),
+    (0x46, 0x56, -1, 0x48, 192),
+    (0x46, 0x57, -1, 0x4C, 288),
+    (0x47, 0x3E, -1, 0x4B, 306),
+    (0x47, 0x57, -1, 0x4C, 18),
+    (0x4A, 0x55, -1, 0x4B, 128),
+    (0x72, 0x3F, -1, 0x07, 4),
+    (0x72, 0x40, -1, 0x08, 4),
+    (0x72, 0x47, -1, 0x0F, 4),
+    (0x73, 0x41, -1, 0x09, 4),
+    (0x73, 0x42, -1, 0x0A, 4),
+    (0x73, 0x4B, -1, 0x13, 4),
+)
+
+
+def _indic_block(c: str):
+    cp = ord(c)
+    for lo, hi, base, flag in _INDIC_BLOCKS:
+        if lo <= cp <= hi:
+            return (base, flag)
+    return None
+
+
+def indic_normalize(word: str) -> str:
+    """IndicNormalizer.Normalize/Compose (In/IndicNormalizer.cs:267-337)."""
+    text = list(word)
+    i = 0
+    while i < len(text):
+        blk = _indic_block(text[i])
+        if blk is not None:
+            base, flag = blk
+            ch0 = ord(text[i]) - base
+            # compose only when some rule with this script flag starts at ch0
+            if i + 1 < len(text) and any(
+                    r[0] == ch0 and (r[4] & flag) for r in _INDIC_DECOMP):
+                blk1 = _indic_block(text[i + 1])
+                if blk1 == blk:
+                    ch1 = ord(text[i + 1]) - base
+                    ch2 = -1
+                    if i + 2 < len(text):
+                        if text[i + 2] == "\u200D":  # ZWJ
+                            ch2 = 0xFF
+                        elif _indic_block(text[i + 2]) == blk:
+                            ch2 = ord(text[i + 2]) - base
+                    for r in _INDIC_DECOMP:
+                        if (r[0] == ch0 and (r[4] & flag)
+                                and r[1] == ch1
+                                and (r[2] < 0 or r[2] == ch2)):
+                            text[i] = chr(base + r[3])
+                            del text[i + 1]
+                            if r[2] >= 0:
+                                del text[i + 1]
+                            break
+        i += 1
+    return "".join(text)
+
+
+_HI_NORM_MAP = {
+    "\u0901": "\u0902",  # candrabindu -> bindu
+    "\u0929": "\u0928", "\u0931": "\u0930", "\u0934": "\u0933",
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095A": "\u0917",
+    "\u095B": "\u091C", "\u095C": "\u0921", "\u095D": "\u0922",
+    "\u095E": "\u092B", "\u095F": "\u092F",
+    "\u0945": "\u0947", "\u0946": "\u0947",
+    "\u0949": "\u094B", "\u094A": "\u094B",
+    "\u090D": "\u090F", "\u090E": "\u090F",
+    "\u0911": "\u0913", "\u0912": "\u0913",
+    "\u0972": "\u0905",
+    "\u0906": "\u0905", "\u0908": "\u0907", "\u090A": "\u0909",
+    "\u0960": "\u090B", "\u0961": "\u090C", "\u0910": "\u090F",
+    "\u0914": "\u0913",
+    "\u0940": "\u093F", "\u0942": "\u0941", "\u0944": "\u0943",
+    "\u0963": "\u0962", "\u0948": "\u0947", "\u094C": "\u094B",
+}
+_HI_NORM_DEL = frozenset(("\u093C", "\u200D", "\u200C", "\u094D"))
+
+
+def hindi_normalize(word: str) -> str:
+    """HindiNormalizer.Normalize (Hi/HindiNormalizer.cs:53-186): dead n ->
+    anusvara, nukta folds, ZWJ/ZWNJ/virama deletion, chandra and long->short
+    vowel replacements."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        c = word[i]
+        if c == "\u0928" and i + 1 < n and word[i + 1] == "\u094D":
+            out.append("\u0902")
+            i += 2
+            continue
+        if c in _HI_NORM_DEL:
+            i += 1
+            continue
+        out.append(_HI_NORM_MAP.get(c, c))
+        i += 1
+    return "".join(out)
+
+
+_HI_SUF5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+
+_HI_SUF4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे", "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ", "ियों", "ियां")
+
+_HI_SUF3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं", "ुआं")
+
+_HI_SUF2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें")
+
+_HI_SUF1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+
+def hindi_stem(word: str) -> str:
+    """HindiStemmer.Stem (Hi/HindiStemmer.cs:34-66): longest-first suffix
+    strip with the paper's minimum-length guards."""
+    n = len(word)
+    for strip, min_n, sufs in (
+        (5, 6, _HI_SUF5), (4, 5, _HI_SUF4), (3, 4, _HI_SUF3),
+        (2, 3, _HI_SUF2), (1, 2, _HI_SUF1),
+    ):
+        if n > min_n and word.endswith(sufs):
+            return word[:n - strip]
+    return word

@@ -502,3 +502,43 @@ def test_greek_analyzer_chain():
         "προιοντ", "πολλαπλ", "αναγκ"]
     assert el("ΠΡΟΫΠΟΘΕΣΕΙΣ  Άψογος, ο μεστός και οι άλλοι")[0] == [
         "προυποθεσ", "αψογ", "μεστ", "αλλ"]
+
+
+def test_hindi_reference_cases():
+    """TestHindiStemmer + TestHindiNormalizer + TestIndicNormalizer +
+    TestHindiAnalyzer vectors, bit-exact."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import hindi_normalize, hindi_stem, indic_normalize
+
+    for inp, want in [
+        ("लडका", "लडक"), ("लडके", "लडक"), ("लडकों", "लडक"),
+        ("गुरु", "गुर"), ("गुरुओं", "गुर"), ("दोस्त", "दोस्त"),
+        ("दोस्तों", "दोस्त"), ("लडकी", "लडक"), ("लडकियों", "लडक"),
+        ("किताब", "किताब"), ("किताबें", "किताब"), ("किताबों", "किताब"),
+        ("आध्यापीका", "आध्यापीक"), ("आध्यापीकाएं", "आध्यापीक"),
+        ("आध्यापीकाओं", "आध्यापीक"), ("खाना", "खा"), ("खाता", "खा"),
+        ("खाती", "खा"), ("खा", "खा"), ("कठिनाइयां", "कठिन"),
+        ("कठिन", "कठिन"), ("", ""),
+    ]:
+        assert hindi_stem(inp) == want, inp
+    for inp, want in [
+        ("अँगरेज़ी", "अंगरेजि"), ("अँगरेजी", "अंगरेजि"),
+        ("अँग्रेज़ी", "अंगरेजि"), ("अँग्रेजी", "अंगरेजि"),
+        ("अंगरेज़ी", "अंगरेजि"), ("अंगरेजी", "अंगरेजि"),
+        ("अंग्रेज़ी", "अंगरेजि"), ("अंग्रेजी", "अंगरेजि"),
+        ("क़िताब", "किताब"), ("फ़र्ज़", "फरज"), ("क़र्ज़", "करज"),
+        ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"), ("शार्‍मा", "शारमा"),
+        ("शार्‌मा", "शारमा"), ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+        ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"), ("", ""),
+    ]:
+        assert hindi_normalize(inp) == want, inp
+    for inp, want in [
+        ("अाॅअाॅ", "ऑऑ"), ("अाॆअाॆ", "ऒऒ"), ("अाेअाे", "ओओ"),
+        ("अाैअाै", "औऔ"), ("अाअा", "आआ"), ("अाैर", "और"), ("ত্‍", "ৎ"),
+    ]:
+        assert indic_normalize(inp) == want, inp
+    hi = make_analyzer("hindi")
+    # two ways to write 'hindi' itself (TestHindiAnalyzer.TestBasics) —
+    # requires the UAX#29 WB4 mark-glue in the tokenizer
+    assert hi("हिन्दी") == (["हिंद"], [0])
+    assert hi("हिंदी") == (["हिंद"], [0])
