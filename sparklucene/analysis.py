@@ -562,6 +562,10 @@ def make_analyzer(name: str, **params):
         return _analyze_greek
     if name == "hindi":
         return _analyze_hindi
+    if name == "latvian":
+        return _analyze_latvian
+    if name == "sorani":
+        return _analyze_sorani
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1240,6 +1244,71 @@ def _analyze_hindi(text: str) -> tuple[list[str], list[int]]:
         low = hindi_normalize(indic_normalize(tok.lower()))
         if low and low not in HINDI_STOP_WORDS:
             terms.append(hindi_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
+LATVIAN_STOP_WORDS = frozenset((
+    "aiz", "ap", "ar", "apakš", "ārpus", "augšpus", "bez", "caur", "dēļ",
+    "gar", "iekš", "iz", "kopš", "labad", "lejpus", "līdz", "no",
+    "otrpus", "pa", "par", "pār", "pēc", "pie", "pirms", "pret", "priekš",
+    "starp", "šaipus", "uz", "viņpus", "virs", "virspus", "zem",
+    "apakšpus", "un", "bet", "jo", "ja", "ka", "lai", "tomēr", "tikko",
+    "turpretī", "arī", "kaut", "gan", "tādēļ", "tā", "ne", "tikvien",
+    "vien", "kā", "ir", "te", "vai", "kamēr", "diezin", "droši",
+    "diemžēl", "nebūt", "ik", "it", "taču", "nu", "pat", "tiklab",
+    "iekšpus", "nedz", "tik", "nevis", "turpretim", "jeb", "iekam",
+    "iekām", "iekāms", "kolīdz", "līdzko", "tiklīdz", "jebšu", "tālab",
+    "tāpēc", "nekā", "itin", "jā", "jau", "jel", "nē", "nezin", "tad",
+    "tikai", "vis", "tak", "iekams", "būt", "biju", "biji", "bija",
+    "bijām", "bijāt", "esmu", "esi", "esam", "esat", "būšu", "būsi",
+    "būs", "būsim", "būsiet", "tikt", "tiku", "tiki", "tika", "tikām",
+    "tikāt", "tieku", "tiec", "tiek", "tiekam", "tiekat", "tikšu", "tiks",
+    "tiksim", "tiksiet", "tapt", "tapi", "tapāt", "topat", "tapšu",
+    "tapsi", "taps", "tapsim", "tapsiet", "kļūt", "kļuvu", "kļuvi",
+    "kļuva", "kļuvām", "kļuvāt", "kļūstu", "kļūsti", "kļūst", "kļūstam",
+    "kļūstat", "kļūšu", "kļūsi", "kļūs", "kļūsim", "kļūsiet", "varēt",
+    "varēju", "varējām", "varēšu", "varēsim", "var", "varēji", "varējāt",
+    "varēsi", "varēsiet", "varat", "varēja", "varēs",
+))
+
+
+def _analyze_latvian(text: str) -> tuple[list[str], list[int]]:
+    """LatvianAnalyzer chain (Analysis/Lv/LatvianAnalyzer.cs:122-133):
+    Standard -> Lower -> Stop(Lv/stopwords.txt) -> LatvianStemFilter."""
+    from .stemmer import latvian_stem
+    return _make_light_chain(LATVIAN_STOP_WORDS, latvian_stem)(text)
+
+
+SORANI_STOP_WORDS = frozenset((
+    "و", "کە", "ی", "کرد", "ئەوەی", "سەر", "دوو", "هەروەها", "لەو",
+    "دەکات", "چەند", "هەر", "ئەو", "ئەم", "من", "ئێمە", "تۆ", "ئێوە",
+    "ئەوان", "بە", "پێ", "بەبێ", "بەدەم", "بەلای", "بەپێی", "بەرلە",
+    "بەرەوی", "بەرەوە", "بەردەم", "بێ", "بێجگە", "بۆ", "دە", "تێ",
+    "دەگەڵ", "دوای", "جگە", "لە", "لێ", "لەبەر", "لەبەینی", "لەبابەت",
+    "لەبارەی", "لەباتی", "لەبن", "لەبرێتی", "لەدەم", "لەگەڵ", "لەلایەن",
+    "لەناو", "لەنێو", "لەپێناوی", "لەرەوی", "لەرێ", "لەرێگا", "لەسەر",
+    "لەژێر", "ناو", "نێوان", "پاش", "پێش", "وەک",
+))
+
+
+def _analyze_sorani(text: str) -> tuple[list[str], list[int]]:
+    """SoraniAnalyzer chain (Analysis/Ckb/SoraniAnalyzer.cs:122-134):
+    Standard -> SoraniNormalization -> Lower -> Stop(Ckb/stopwords.txt) ->
+    SoraniStemFilter."""
+    from .stemmer import sorani_normalize, sorani_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = sorani_normalize(tok).lower()
+        if low and low not in SORANI_STOP_WORDS:
+            terms.append(sorani_stem(low))
             positions.append(pos)
         pos += 1
     return terms, positions

@@ -1715,3 +1715,166 @@ def hindi_stem(word: str) -> str:
         if n > min_n and word.endswith(sufs):
             return word[:n - strip]
     return word
+
+
+# ---------------------------------------------------------------------------
+# Latvian stemmer (Analysis/Lv/LatvianStemmer.cs:37-212 — light version of
+# Kreslin's thesis algorithm: noun/adjective case+number suffixes only,
+# palatalization un-done when a declension II/V/VI suffix is removed).
+# ---------------------------------------------------------------------------
+
+# (affix, vowel_count_threshold, palatalizes)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False), ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    """LatvianStemmer.Unpalatalize (Lv/LatvianStemmer.cs:105-186)."""
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-1] + "st"
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(("pj", "bj", "mj", "vj")):
+        return stem[:-1]
+    for suf, rep in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                     ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if stem.endswith(suf):
+            return stem[:-2] + rep
+    if stem and stem[-1] == "č":
+        return stem[:-1] + "c"
+    if stem and stem[-1] == "ļ":
+        return stem[:-1] + "l"
+    if stem and stem[-1] == "ņ":
+        return stem[:-1] + "n"
+    return stem
+
+
+def latvian_stem(word: str) -> str:
+    """LatvianStemmer.Stem (Lv/LatvianStemmer.cs:41-56): first matching affix
+    wins; the whole-word vowel count must exceed the affix's threshold and at
+    least 3 chars must remain."""
+    nv = sum(1 for c in word if c in _LV_VOWELS)
+    n = len(word)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and n >= len(affix) + 3 and word.endswith(affix):
+            stem = word[: n - len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palatalizes else stem
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (Analysis/Ckb): orthography normalizer + affix stemmer.
+# ---------------------------------------------------------------------------
+
+_CKB_MAP = {
+    "ي": "ی", "ى": "ی",   # yeh forms -> farsi yeh
+    "ك": "ک",                        # kaf -> keheh
+    "ة": "ە",                        # teh marbuta -> ae
+    "ھ": "ه",                        # heh doachashmee -> heh
+    "ڒ": "ڕ",                        # rreh-above -> rreh
+}
+_CKB_DEL = frozenset("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizer.Normalize (Ckb/SoraniNormalizer.cs:72-135): yeh/kaf
+    unification, heh+ZWNJ / final heh / teh-marbuta -> AE, word-initial reh ->
+    rreh, harakat+tatweel+format-char removal."""
+    import unicodedata
+
+    out: list[str] = []
+    n = len(word)
+    for i, c in enumerate(word):
+        if c == "‌":  # ZWNJ: turns a preceding heh into AE, then dies
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+            continue
+        if c in _CKB_DEL:
+            continue
+        if c == "ه":  # heh: word-final -> AE (checked on ORIGINAL pos)
+            out.append("ە" if i == n - 1 else c)
+            continue
+        if c == "ر":  # reh: initial in the EDITED buffer -> rreh
+            out.append("ڕ" if not out else c)
+            continue
+        mapped = _CKB_MAP.get(c)
+        if mapped is not None:
+            out.append(mapped)
+            continue
+        if unicodedata.category(c) == "Cf":
+            continue
+        out.append(c)
+    return "".join(out)
+
+
+def sorani_stem(word: str) -> str:
+    """SoraniStemmer.Stem (Ckb/SoraniStemmer.cs:33-133): postposition,
+    possessive pronoun, then first-match singular/plural affix strip."""
+    n = len(word)
+    # postposition
+    if n > 5 and word.endswith("دا"):
+        word = word[:-2]; n -= 2
+    elif n > 4 and word.endswith("نا"):
+        word = word[:-1]; n -= 1
+    elif n > 6 and word.endswith("ەوە"):
+        word = word[:-3]; n -= 3
+    # possessive pronoun
+    if n > 6 and word.endswith(("مان", "یان", "تان")):
+        word = word[:-3]; n -= 3
+    # indefinite singular ezafe
+    if n > 6 and word.endswith("ێکی"):
+        return word[:-3]
+    elif n > 7 and word.endswith("یەکی"):
+        return word[:-4]
+    # indefinite singular
+    if n > 5 and word.endswith("ێک"):
+        return word[:-2]
+    elif n > 6 and word.endswith("یەک"):
+        return word[:-3]
+    # definite singular
+    elif n > 6 and word.endswith("ەکە"):
+        return word[:-3]
+    elif n > 5 and word.endswith("کە"):
+        return word[:-2]
+    # definite plural
+    elif n > 7 and word.endswith("ەکان"):
+        return word[:-4]
+    elif n > 6 and word.endswith("کان"):
+        return word[:-3]
+    # indefinite plural ezafe
+    elif n > 7 and word.endswith("یانی"):
+        return word[:-4]
+    elif n > 6 and word.endswith("انی"):
+        return word[:-3]
+    # indefinite plural
+    elif n > 6 and word.endswith("یان"):
+        return word[:-3]
+    elif n > 5 and word.endswith("ان"):
+        return word[:-2]
+    # demonstrative plural
+    elif n > 7 and word.endswith("یانە"):
+        return word[:-4]
+    elif n > 6 and word.endswith("انە"):
+        return word[:-3]
+    # demonstrative singular
+    elif n > 5 and word.endswith(("ایە", "ەیە")):
+        return word[:-2]
+    elif n > 4 and word.endswith("ە"):
+        return word[:-1]
+    # absolute singular ezafe
+    elif n > 4 and word.endswith("ی"):
+        return word[:-1]
+    return word

@@ -542,3 +542,61 @@ def test_hindi_reference_cases():
     # requires the UAX#29 WB4 mark-glue in the tokenizer
     assert hi("हिन्दी") == (["हिंद"], [0])
     assert hi("हिंदी") == (["हिंद"], [0])
+
+
+def test_latvian_reference_cases():
+    """All 173 CheckOneTerm vectors from TestLatvianStemmer.cs (inputs
+    tokenized first: two vectors carry trailing spaces in the C# source)."""
+    import os
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import latvian_stem
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "latvian_stem_vectors.tsv")
+    with open(path, encoding="utf-8") as fh:
+        pairs = [line.rstrip("\n").split("\t") for line in fh if "\t" in line]
+    assert len(pairs) == 173
+    mism = [(w, want, latvian_stem(w.strip()))
+            for w, want in pairs if latvian_stem(w.strip()) != want]
+    assert mism == []
+    lv = make_analyzer("latvian")
+    # stopword 'un' leaves a position gap
+    assert lv("tēviem lāčus akmeņi un kurmji") == (
+        ["tēv", "lāc", "akmen", "kurm"], [0, 1, 2, 4])
+
+
+def test_sorani_reference_cases():
+    """TestSoraniNormalizationFilter + TestSoraniStemFilter vectors."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import sorani_normalize, sorani_stem
+
+    for w, want in [
+        ("ي", "ی"), ("ى", "ی"), ("ی", "ی"),
+        ("ك", "ک"), ("ک", "ک"),
+        ("ه‌", "ە"), ("ه‌ک", "ەک"),
+        ("ھ", "ه"), ("ة", "ە"),
+        ("ههه", "ههە"),
+        ("ڒ", "ڕ"), ("ڕ", "ڕ"),
+        ("ررر", "ڕرر"),
+        ("ـ", ""), ("ً", ""), ("ٌ", ""), ("ٍ", ""),
+        ("َ", ""), ("ُ", ""), ("ِ", ""), ("ّ", ""),
+        ("ْ", ""), ("‌", ""),
+    ]:
+        assert sorani_normalize(w) == want, ascii(w)
+    # The 21 CheckOneTerm vectors from TestSoraniStemFilter.cs:33-97
+    # (indefinite/definite/demonstrative sing+plural, ezafe, postpositions,
+    # possessives; پیاوەكە carries an Arabic kaf the normalizer must fold)
+    for w, want in [
+        ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"),
+        ("پیاوەكە", "پیاو"), ("دەرگاكە", "دەرگا"),
+        ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+        ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"),
+        ("پیاوەکان", "پیاو"), ("دەرگاکان", "دەرگا"),
+        ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+        ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"), ("هۆتیلانی", "هۆتیل"),
+        ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"), ("سۆرانا", "سۆران"),
+        ("پارەمان", "پارە"), ("پارەتان", "پارە"), ("پارەیان", "پارە"),
+    ]:
+        assert sorani_stem(sorani_normalize(w)) == want, w
+    ckb = make_analyzer("sorani")
+    assert ckb("پیاوەکان")[0] == ["پیاو"]
