@@ -566,6 +566,10 @@ def make_analyzer(name: str, **params):
         return _analyze_latvian
     if name == "sorani":
         return _analyze_sorani
+    if name == "danish":
+        return _analyze_danish
+    if name == "romanian":
+        return _analyze_romanian
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1291,6 +1295,68 @@ SORANI_STOP_WORDS = frozenset((
     "لەناو", "لەنێو", "لەپێناوی", "لەرەوی", "لەرێ", "لەرێگا", "لەسەر",
     "لەژێر", "ناو", "نێوان", "پاش", "پێش", "وەک",
 ))
+
+
+DANISH_STOP_WORDS = frozenset((
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "på",
+    "de", "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
+    "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun", "nu",
+    "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op", "man",
+    "hans", "hvor", "eller", "hvad", "skal", "selv", "her", "alle", "vil",
+    "blev", "kunne", "ind", "når", "være", "dog", "noget", "ville", "jo",
+    "deres", "efter", "ned", "skulle", "denne", "end", "dette", "mit",
+    "også", "under", "have", "dig", "anden", "hende", "mine", "alt",
+    "meget", "sit", "sine", "vor", "mod", "disse", "hvis", "din", "nogle",
+    "hos", "blive", "mange", "ad", "bliver", "hendes", "været", "thi",
+    "jer", "sådan",
+))
+
+
+def _analyze_danish(text: str) -> tuple[list[str], list[int]]:
+    """DanishAnalyzer chain (Analysis/Da/DanishAnalyzer.cs:113-124):
+    Standard -> Lower -> Stop(Snowball danish_stop.txt) -> Snowball stem."""
+    from .stemmer import danish_stem
+    return _make_light_chain(DANISH_STOP_WORDS, danish_stem)(text)
+
+
+ROMANIAN_STOP_WORDS = frozenset((
+    "acea", "aceasta", "această", "aceea", "acei", "aceia", "acel",
+    "acela", "acele", "acelea", "acest", "acesta", "aceste", "acestea",
+    "aceşti", "aceştia", "acolo", "acum", "ai", "aia", "aibă", "aici",
+    "al", "ăla", "ale", "alea", "ălea", "altceva", "altcineva", "am",
+    "ar", "are", "aş", "aşadar", "asemenea", "asta", "ăsta", "astăzi",
+    "astea", "ăstea", "ăştia", "asupra", "aţi", "au", "avea", "avem",
+    "aveţi", "azi", "bine", "bucur", "bună", "ca", "că", "căci", "când",
+    "care", "cărei", "căror", "cărui", "cât", "câte", "câţi", "către",
+    "câtva", "ce", "cel", "ceva", "chiar", "cînd", "cine", "cineva",
+    "cît", "cîte", "cîţi", "cîtva", "contra", "cu", "cum", "cumva",
+    "curând", "curînd", "da", "dă", "dacă", "dar", "datorită", "de",
+    "deci", "deja", "deoarece", "departe", "deşi", "din", "dinaintea",
+    "dintr", "dintre", "drept", "după", "ea", "ei", "el", "ele", "eram",
+    "este", "eşti", "eu", "face", "fără", "fi", "fie", "fiecare", "fii",
+    "fim", "fiţi", "iar", "ieri", "îi", "îl", "îmi", "împotriva", "în",
+    "înainte", "înaintea", "încât", "încît", "încotro", "între",
+    "întrucât", "întrucît", "îţi", "la", "lângă", "le", "li", "lîngă",
+    "lor", "lui", "mă", "mâine", "mea", "mei", "mele", "mereu", "meu",
+    "mi", "mine", "mult", "multă", "mulţi", "ne", "nicăieri", "nici",
+    "nimeni", "nişte", "noastră", "noastre", "noi", "noştri", "nostru",
+    "nu", "ori", "oricând", "oricare", "oricât", "orice", "oricînd",
+    "oricine", "oricît", "oricum", "oriunde", "până", "pe", "pentru",
+    "peste", "pînă", "poate", "pot", "prea", "prima", "primul", "prin",
+    "printr", "sa", "să", "săi", "sale", "sau", "său", "se", "şi",
+    "sînt", "sîntem", "sînteţi", "spre", "sub", "sunt", "suntem",
+    "sunteţi", "ta", "tăi", "tale", "tău", "te", "ţi", "ţie", "tine",
+    "toată", "toate", "tot", "toţi", "totuşi", "tu", "un", "una", "unde",
+    "undeva", "unei", "unele", "uneori", "unor", "vă", "vi", "voastră",
+    "voastre", "voi", "voştri", "vostru", "vouă", "vreo", "vreun",
+))
+
+
+def _analyze_romanian(text: str) -> tuple[list[str], list[int]]:
+    """RomanianAnalyzer chain (Analysis/Ro/RomanianAnalyzer.cs:120-131):
+    Standard -> Lower -> Stop(Ro/stopwords.txt) -> Snowball stem."""
+    from .stemmer import romanian_stem
+    return _make_light_chain(ROMANIAN_STOP_WORDS, romanian_stem)(text)
 
 
 def _analyze_sorani(text: str) -> tuple[list[str], list[int]]:

@@ -1878,3 +1878,295 @@ def sorani_stem(word: str) -> str:
     elif n > 4 and word.endswith("ی"):
         return word[:-1]
     return word
+
+
+# ---------------------------------------------------------------------------
+# Danish Snowball stemmer (Tartarus/Snowball/Ext/DanishStemmer.cs:110-496,
+# generated from Porter's published Danish algorithm). Validated bit-exact
+# against the reference's 23,829-word danish/voc.txt Snowball vectors.
+# ---------------------------------------------------------------------------
+
+_DA_VOWELS = frozenset("aeiouyæøå")
+_DA_S_ENDINGS = frozenset("abcdfghjklmnoprtvyzå")
+# a_0 (DanishStemmer.cs:44-77), longest-first for among() semantics
+_DA_STEP1 = tuple(sorted((
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene", "erne",
+    "ere", "en", "heden", "eren", "er", "heder", "erer", "s", "heds", "es",
+    "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens", "erens",
+    "ers", "ets", "erets", "et", "eret",
+), key=len, reverse=True))
+
+
+def _scand_p1(word: str, vowels: frozenset) -> int:
+    """R1 start for the Scandinavian stemmers (mark_regions,
+    DanishStemmer.cs:110-191): position after the first non-vowel following
+    the first vowel, clamped to >= 3; len(word) when no such position (or
+    when the word is shorter than 3 chars, where `hop 3` fails)."""
+    n = len(word)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    if i == n:
+        return n
+    j = i
+    while j < n and word[j] in vowels:
+        j += 1
+    if j == n:
+        return n
+    return max(j + 1, 3)
+
+
+def _da_consonant_pair(word: str, p1: int) -> str:
+    """consonant_pair (DanishStemmer.cs:245-289): gd/dt/gt/kt in R1 ->
+    drop the final letter."""
+    if len(word) - p1 >= 2 and word.endswith(("gd", "dt", "gt", "kt")):
+        return word[:-1]
+    return word
+
+
+def danish_stem(word: str) -> str:
+    p1 = _scand_p1(word, _DA_VOWELS)
+    # main_suffix (DanishStemmer.cs:193-243): longest among in R1; bare 's'
+    # needs a valid s-ending just before it (checked OUTSIDE the R1 limit)
+    n = len(word)
+    region = n - p1
+    for suf in _DA_STEP1:
+        if len(suf) <= region and word.endswith(suf):
+            if suf == "s":
+                if n >= 2 and word[n - 2] in _DA_S_ENDINGS:
+                    word = word[:-1]
+            else:
+                word = word[: n - len(suf)]
+            break
+    word = _da_consonant_pair(word, p1)
+    # other_suffix (DanishStemmer.cs:291-377): igst -> drop 'st'
+    # (unrestricted), then ig/lig/elig/els in R1 -> delete + consonant_pair,
+    # løst in R1 -> løs
+    if word.endswith("igst"):
+        word = word[:-2]
+    n = len(word)
+    region = n - p1
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        if len(suf) <= region and word.endswith(suf):
+            if suf == "løst":
+                word = word[:-1]
+            else:
+                word = _da_consonant_pair(word[: n - len(suf)], p1)
+            break
+    # undouble (DanishStemmer.cs:379-416): final char is a consonant in R1
+    # and equals its predecessor -> drop it
+    n = len(word)
+    if (n - p1 >= 1 and n >= 2 and word[-1] not in _DA_VOWELS
+            and word[-1] == word[-2]):
+        word = word[:-1]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Romanian Snowball stemmer (Tartarus/Snowball/Ext/RomanianStemmer.cs:302-1175,
+# generated from Porter's published Romanian algorithm; cedilla forms ş/ţ as
+# in the 2010 reference). Validated bit-exact against the reference's
+# romanian/voc.txt Snowball vectors.
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = frozenset("aeiouâîă")
+
+# a_1 (step_0, RomanianStemmer.cs:48-65): suffix -> replacement
+_RO_STEP0 = {
+    "ul": "", "ului": "",
+    "aua": "a",
+    "ea": "e", "ele": "e", "elor": "e",
+    "ii": "i", "iua": "i", "iei": "i", "iile": "i", "iilor": "i",
+    "ilor": "i",
+    "ile": "i",  # special: not preceded by 'ab'
+    "atei": "at",
+    "aţia": "aţi", "aţie": "aţi",
+}
+_RO_STEP0_ORDER = tuple(sorted(_RO_STEP0, key=len, reverse=True))
+
+# a_2 (combo_suffix, :67-114): suffix -> replacement, all in R1
+_RO_COMBO = {}
+for _sufs, _rep in (
+    (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+    (("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+      "iciv", "iciva", "icive", "icivi", "icivă",
+      "ical", "icala", "icale", "icali", "icală"), "ic"),
+    (("ativ", "ativa", "ative", "ativi", "ativă", "aţiune",
+      "atoare", "ator", "atori", "ătoare", "ător", "ători"), "at"),
+    (("itiv", "itiva", "itive", "itivi", "itivă", "iţiune",
+      "itoare", "itor", "itori"), "it"),
+):
+    for _s in _sufs:
+        _RO_COMBO[_s] = _rep
+_RO_COMBO_ORDER = tuple(sorted(_RO_COMBO, key=len, reverse=True))
+
+# a_3 (standard_suffix, :116-179): suffix -> action code, all in R2
+_RO_STD_DEL = (
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+    "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+    "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+    "iti", "anti", "uti", "ivi", "ităi", "oşi", "ităţi", "abil", "ibil",
+    "ator", "os", "at", "it", "ant", "ut", "iv", "ică", "abilă", "ibilă",
+    "oasă", "ată", "ită", "antă", "ută", "ivă",
+)
+_RO_STD_IST = ("ista", "isme", "iste", "isti", "işti", "ism", "ist", "istă")
+_RO_STD = {s: 1 for s in _RO_STD_DEL}
+_RO_STD.update({"iune": 2, "iuni": 2})
+_RO_STD.update({s: 3 for s in _RO_STD_IST})
+_RO_STD_ORDER = tuple(sorted(_RO_STD, key=len, reverse=True))
+
+# a_4 (verb_suffix, :181-276): code 1 needs a preceding non-vowel or 'u'
+# (within RV); code 2 deletes unconditionally. Suffix must lie in RV.
+_RO_VERB2 = (
+    "se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi", "âţi",
+    "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm", "serăm",
+    "seserăm", "seră", "seseră",
+)
+_RO_VERB1 = (
+    "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire", "âre",
+    "ase", "ise", "use", "âse", "eşte", "ăşte", "eze", "ai", "eai", "iai",
+    "eşti", "ăşti", "ui", "ezi", "âi", "aşi", "aseşi", "iseşi", "useşi",
+    "âseşi", "işi", "uşi", "âşi", "eaţi", "iaţi", "arăţi", "aserăţi",
+    "iserăţi", "userăţi", "âserăţi", "irăţi", "urăţi", "ârăţi", "am",
+    "eam", "iam", "asem", "isem", "usem", "âsem", "arăm", "aserăm",
+    "iserăm", "userăm", "âserăm", "irăm", "urăm", "ârăm", "au", "eau",
+    "iau", "indu", "ându", "ez", "ească", "ară", "aseră", "iseră",
+    "useră", "âseră", "iră", "ură", "âră", "ează",
+)
+_RO_VERB = {s: 2 for s in _RO_VERB2}
+_RO_VERB.update({s: 1 for s in _RO_VERB1})
+_RO_VERB_ORDER = tuple(sorted(_RO_VERB, key=len, reverse=True))
+
+_RO_FINAL_VOWEL = ("ie", "a", "e", "i", "ă")  # a_5, longest-first
+
+
+def _ro_prelude(word: str) -> str:
+    """prelude (:302-396): u/i between vowels -> U/I (marked non-vowels)."""
+    ch = list(word)
+    for i in range(len(ch) - 2):
+        if ch[i] in _RO_VOWELS and ch[i + 2] in _RO_VOWELS:
+            if ch[i + 1] == "u":
+                ch[i + 1] = "U"
+            elif ch[i + 1] == "i":
+                ch[i + 1] = "I"
+    return "".join(ch)
+
+
+def _ro_pV(w: str) -> int:
+    """Spanish-style RV (mark_regions, :398-545)."""
+    n = len(w)
+    V = _RO_VOWELS
+    if n >= 2:
+        if w[0] in V:
+            if w[1] not in V:          # vowel, consonant: past next vowel
+                for j in range(2, n):
+                    if w[j] in V:
+                        return j + 1
+            else:                      # two vowels: past next non-vowel
+                for j in range(2, n):
+                    if w[j] not in V:
+                        return j + 1
+        else:
+            if w[1] not in V:          # two consonants: past next vowel
+                for j in range(2, n):
+                    if w[j] in V:
+                        return j + 1
+            elif n >= 3:               # consonant, vowel: after 3rd char
+                return 3
+    return n
+
+
+def _std_p1_p2(w: str, V: frozenset) -> tuple[int, int]:
+    """Standard Snowball R1/R2: after the first non-vowel following a vowel,
+    twice (RomanianStemmer.cs:548-635)."""
+    n = len(w)
+    marks = []
+    i = 0
+    for _ in range(2):
+        while i < n and w[i] not in V:
+            i += 1
+        while i < n and w[i] in V:
+            i += 1
+        if i >= n:
+            break
+        i += 1
+        marks.append(i)
+    while len(marks) < 2:
+        marks.append(n)
+    return marks[0], marks[1]
+
+
+def romanian_stem(word: str) -> str:
+    word = _ro_prelude(word)
+    pV = _ro_pV(word)
+    p1, p2 = _std_p1_p2(word, _RO_VOWELS)
+
+    # step_0 (:730-806): longest among, suffix within R1
+    n = len(word)
+    for suf in _RO_STEP0_ORDER:
+        if word.endswith(suf):
+            if n - len(suf) >= p1:
+                if suf == "ile" and word.endswith("abile"):
+                    break  # not 'ab' guard
+                word = word[: n - len(suf)] + _RO_STEP0[suf]
+            break
+
+    # standard_suffix (:872-952): repeat combo (R1), then a_3 in R2
+    removed = False
+    while True:
+        n = len(word)
+        hit = False
+        for suf in _RO_COMBO_ORDER:
+            if word.endswith(suf):
+                if n - len(suf) >= p1:
+                    word = word[: n - len(suf)] + _RO_COMBO[suf]
+                    removed = True
+                    hit = True
+                break
+        if not hit:
+            break
+    n = len(word)
+    for suf in _RO_STD_ORDER:
+        if word.endswith(suf):
+            if n - len(suf) >= p2:
+                code = _RO_STD[suf]
+                if code == 1:
+                    word = word[: n - len(suf)]
+                    removed = True
+                elif code == 2:
+                    if word.endswith("ţ" + suf):
+                        word = word[: n - len(suf) - 1] + "t"
+                        removed = True
+                else:
+                    word = word[: n - len(suf)] + "ist"
+                    removed = True
+            break
+
+    # verb_suffix (:954-1023), only when no standard suffix was removed;
+    # suffix in RV, code-1 predecessor (non-vowel or 'u') also within RV
+    if not removed:
+        n = len(word)
+        for suf in _RO_VERB_ORDER:
+            if len(suf) <= n - pV and word.endswith(suf):
+                code = _RO_VERB[suf]
+                bra = n - len(suf)
+                if code == 2:
+                    word = word[:bra]
+                elif bra - 1 >= pV and (word[bra - 1] not in _RO_VOWELS
+                                        or word[bra - 1] == "u"):
+                    word = word[:bra]
+                break
+
+    # vowel_suffix (:1025-1055): final a/e/i/ă/ie in RV
+    n = len(word)
+    for suf in _RO_FINAL_VOWEL:
+        if word.endswith(suf):
+            if n - len(suf) >= pV:
+                word = word[: n - len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")

@@ -600,3 +600,49 @@ def test_sorani_reference_cases():
         assert sorani_stem(sorani_normalize(w)) == want, w
     ckb = make_analyzer("sorani")
     assert ckb("پیاوەکان")[0] == ["پیاو"]
+
+
+SNOWBALL_VOCAB_ZIP = (
+    "/root/reference/src/Lucene.Net.Tests.Analysis.Common/Analysis/"
+    "Snowball/TestSnowballVocabData.zip"
+)
+
+
+def _snowball_vectors(lang: str) -> list[tuple[str, str]]:
+    import io
+    with zipfile.ZipFile(SNOWBALL_VOCAB_ZIP) as z:
+        voc = io.TextIOWrapper(z.open(f"{lang}/voc.txt"),
+                               encoding="utf-8").read().split()
+        out = io.TextIOWrapper(z.open(f"{lang}/output.txt"),
+                               encoding="utf-8").read().split()
+    assert len(voc) == len(out)
+    return list(zip(voc, out))
+
+
+def test_danish_snowball_vocab():
+    """All 23,829 danish/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import danish_stem
+
+    pairs = _snowball_vectors("danish")
+    assert len(pairs) == 23829
+    mism = [(v, o, danish_stem(v)) for v, o in pairs if danish_stem(v) != o]
+    assert mism == []
+    da = make_analyzer("danish")
+    # 'og'/'er' are stopwords; undouble fires on bestemm -> bestem
+    assert da("huset og bestemmelse er") == (["hus", "bestem"], [0, 2])
+
+
+def test_romanian_snowball_vocab():
+    """All 22,570 romanian/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import romanian_stem
+
+    pairs = _snowball_vectors("romanian")
+    assert len(pairs) == 22570
+    mism = [(v, o, romanian_stem(v))
+            for v, o in pairs if romanian_stem(v) != o]
+    assert mism == []
+    ro = make_analyzer("romanian")
+    # 'din' is a stopword; vectors: lucrurile -> lucrur, oraş -> oraş
+    assert ro("lucrurile din oraş") == (["lucrur", "oraş"], [0, 2])
