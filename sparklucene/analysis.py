@@ -570,6 +570,8 @@ def make_analyzer(name: str, **params):
         return _analyze_danish
     if name == "romanian":
         return _analyze_romanian
+    if name == "dutch":
+        return _analyze_dutch
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1357,6 +1359,41 @@ def _analyze_romanian(text: str) -> tuple[list[str], list[int]]:
     Standard -> Lower -> Stop(Ro/stopwords.txt) -> Snowball stem."""
     from .stemmer import romanian_stem
     return _make_light_chain(ROMANIAN_STOP_WORDS, romanian_stem)(text)
+
+
+DUTCH_STOP_WORDS = frozenset((
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij", "het",
+    "niet", "zijn", "is", "was", "op", "aan", "met", "als", "voor", "had",
+    "er", "maar", "om", "hem", "dan", "zou", "of", "wat", "mijn", "men",
+    "dit", "zo", "door", "over", "ze", "zich", "bij", "ook", "tot", "je",
+    "mij", "uit", "der", "daar", "haar", "naar", "heb", "hoe", "heeft",
+    "hebben", "deze", "u", "want", "nog", "zal", "me", "zij", "nu", "ge",
+    "geen", "omdat", "iets", "worden", "toch", "al", "waren", "veel",
+    "meer", "doen", "toen", "moet", "ben", "zonder", "kan", "hun", "dus",
+    "alles", "onder", "ja", "eens", "hier", "wie", "werd", "altijd",
+    "doch", "wordt", "wezen", "kunnen", "ons", "zelf", "tegen", "na",
+    "reeds", "wil", "kon", "niets", "uw", "iemand", "geweest", "andere",
+))
+
+# DutchAnalyzer.DEFAULT_STEM_DICT (Analysis/Nl/DutchAnalyzer.cs:101-107):
+# StemmerOverrideFilter entries keep these out of the Snowball stemmer
+_DUTCH_STEM_DICT = {
+    "fiets": "fiets", "bromfiets": "bromfiets",
+    "ei": "eier", "kind": "kinder",
+}
+
+
+def _analyze_dutch(text: str) -> tuple[list[str], list[int]]:
+    """DutchAnalyzer chain (Analysis/Nl/DutchAnalyzer.cs:199-226):
+    Standard -> Lower -> Stop(Snowball dutch_stop.txt) ->
+    StemmerOverride(DEFAULT_STEM_DICT) -> Snowball stem."""
+    from .stemmer import dutch_stem
+
+    def _stem(low: str) -> str:
+        hit = _DUTCH_STEM_DICT.get(low)
+        return hit if hit is not None else dutch_stem(low)
+
+    return _make_light_chain(DUTCH_STOP_WORDS, _stem)(text)
 
 
 def _analyze_sorani(text: str) -> tuple[list[str], list[int]]:

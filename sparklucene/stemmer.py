@@ -2170,3 +2170,143 @@ def romanian_stem(word: str) -> str:
             break
 
     return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Dutch Snowball stemmer (Tartarus/Snowball/Ext/DutchStemmer.cs:110-1004,
+# generated from Porter's published Dutch algorithm). Validated bit-exact
+# against the reference's dutch/voc.txt Snowball vectors.
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = frozenset("aeiouyè")
+_NL_V_J = _NL_VOWELS | frozenset("j")        # g_v_j (DutchStemmer.cs:96)
+_NL_V_I = _NL_VOWELS | frozenset("I")        # g_v_I (:94): 'I' yes, 'Y' no
+_NL_ACCENTS = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_marks(w: str) -> tuple[int, int]:
+    """R1 (clamped to >= 3 only when found) and R2 (mark_regions, :309-415;
+    the p2 scan continues from the UNclamped p1 cursor)."""
+    n = len(w)
+    V = _NL_VOWELS
+    i = 0
+    while i < n and w[i] not in V:
+        i += 1
+    while i < n and w[i] in V:
+        i += 1
+    if i >= n:
+        return n, n
+    i += 1
+    p1 = max(i, 3)
+    j = i
+    while j < n and w[j] not in V:
+        j += 1
+    while j < n and w[j] in V:
+        j += 1
+    if j >= n:
+        return p1, n
+    return p1, j + 1
+
+
+def _nl_undouble(w: str) -> str:
+    """undouble (:501-526): trailing dd/kk/tt loses a letter."""
+    if w.endswith(("dd", "kk", "tt")):
+        return w[:-1]
+    return w
+
+
+def _nl_en_ending(w: str, bra: int, p1: int) -> tuple[str, bool]:
+    """en_ending (:567-608): R1, preceded by a non-vowel, not by 'gem'."""
+    if bra < p1 or bra == 0 or w[bra - 1] in _NL_VOWELS:
+        return w, False
+    if w[:bra].endswith("gem"):
+        return w, False
+    return _nl_undouble(w[:bra]), True
+
+
+def dutch_stem(word: str) -> str:
+    # prelude (:110-307): fold accents; word-initial y and post-vowel y -> Y,
+    # i between vowels -> I (marked chars stop being vowels)
+    word = word.translate(_NL_ACCENTS)
+    ch = list(word)
+    n = len(ch)
+    if ch and ch[0] == "y":
+        ch[0] = "Y"
+    for i in range(n - 1):
+        if ch[i] in _NL_VOWELS:
+            if ch[i + 1] == "i" and i + 2 < n and ch[i + 2] in _NL_VOWELS:
+                ch[i + 1] = "I"
+            elif ch[i + 1] == "y":
+                ch[i + 1] = "Y"
+    word = "".join(ch)
+    p1, p2 = _nl_marks(word)
+
+    # standard_suffix part a (:627-677): heden->heid (R1); en/ene via
+    # en_ending; s/se when preceded by a non-v_j char (R1)
+    n = len(word)
+    for suf in ("heden", "ene", "se", "en", "s"):
+        if word.endswith(suf):
+            bra = n - len(suf)
+            if suf == "heden":
+                if bra >= p1:
+                    word = word[:bra] + "heid"
+            elif suf in ("ene", "en"):
+                word, _ = _nl_en_ending(word, bra, p1)
+            else:
+                if bra >= p1 and bra > 0 and word[bra - 1] not in _NL_V_J:
+                    word = word[:bra]
+            break
+
+    # e_ending (:528-565): final e in R1 after a non-vowel -> delete+undouble
+    e_found = False
+    n = len(word)
+    if word.endswith("e") and n - 1 >= p1 and n >= 2 \
+            and word[-2] not in _NL_VOWELS:
+        word = _nl_undouble(word[:-1])
+        e_found = True
+
+    # heid block (:693-747): heid in R2 not after 'c' -> delete, then en
+    n = len(word)
+    if word.endswith("heid") and n - 4 >= p2 and n >= 5 \
+            and word[n - 5] != "c":
+        word = word[: n - 4]
+        if word.endswith("en"):
+            word, _ = _nl_en_ending(word, len(word) - 2, p1)
+
+    # d-suffixes a_4 (:748-897)
+    n = len(word)
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if word.endswith(suf):
+            bra = n - len(suf)
+            if bra < p2:
+                break
+            if suf in ("end", "ing"):
+                word = word[:bra]
+                if word.endswith("ig") and len(word) - 2 >= p2 \
+                        and not word.endswith("eig"):
+                    word = word[:-2]
+                else:
+                    word = _nl_undouble(word)
+            elif suf == "ig":
+                if not word.endswith("eig"):
+                    word = word[:bra]
+            elif suf == "lijk":
+                word = word[:bra]
+                if word.endswith("e") and len(word) - 1 >= p1 \
+                        and len(word) >= 2 and word[-2] not in _NL_VOWELS:
+                    word = _nl_undouble(word[:-1])
+                    e_found = True
+            elif suf == "baar":
+                word = word[:bra]
+            elif suf == "bar" and e_found:
+                word = word[:bra]
+            break
+
+    # undouble vowel (:900-937): C + aa/ee/oo/uu + non-v_I final -> drop one
+    n = len(word)
+    if (n >= 4 and word[-1] not in _NL_V_I
+            and word[-3:-1] in ("aa", "ee", "oo", "uu")
+            and word[-4] not in _NL_VOWELS):
+        word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")

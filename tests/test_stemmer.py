@@ -646,3 +646,17 @@ def test_romanian_snowball_vocab():
     ro = make_analyzer("romanian")
     # 'din' is a stopword; vectors: lucrurile -> lucrur, oraş -> oraş
     assert ro("lucrurile din oraş") == (["lucrur", "oraş"], [0, 2])
+
+
+def test_dutch_snowball_vocab():
+    """All 45,669 dutch/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import dutch_stem
+
+    pairs = _snowball_vectors("dutch")
+    assert len(pairs) == 45669
+    mism = [(v, o, dutch_stem(v)) for v, o in pairs if dutch_stem(v) != o]
+    assert mism == []
+    nl = make_analyzer("dutch")
+    # 'het' is a stopword; stem-override keeps fiets/kind->kinder intact
+    assert nl("het kind fietsen") == (["kinder", "fiets"], [1, 2])
