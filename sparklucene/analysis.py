@@ -572,6 +572,8 @@ def make_analyzer(name: str, **params):
         return _analyze_romanian
     if name == "dutch":
         return _analyze_dutch
+    if name == "armenian":
+        return _analyze_armenian
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1381,6 +1383,22 @@ _DUTCH_STEM_DICT = {
     "fiets": "fiets", "bromfiets": "bromfiets",
     "ei": "eier", "kind": "kinder",
 }
+
+
+ARMENIAN_STOP_WORDS = frozenset((
+    "այդ", "այլ", "այն", "այս", "դու", "դուք", "եմ", "են", "ենք", "ես",
+    "եք", "է", "էի", "էին", "էինք", "էիր", "էիք", "էր", "ըստ", "թ", "ի",
+    "ին", "իսկ", "իր", "կամ", "համար", "հետ", "հետո", "մենք", "մեջ",
+    "մի", "ն", "նա", "նաև", "նրա", "նրանք", "որ", "որը", "որոնք",
+    "որպես", "ու", "ում", "պիտի", "վրա", "և",
+))
+
+
+def _analyze_armenian(text: str) -> tuple[list[str], list[int]]:
+    """ArmenianAnalyzer chain (Analysis/Hy/ArmenianAnalyzer.cs:118-129):
+    Standard -> Lower -> Stop(Hy/stopwords.txt) -> Snowball stem."""
+    from .stemmer import armenian_stem
+    return _make_light_chain(ARMENIAN_STOP_WORDS, armenian_stem)(text)
 
 
 def _analyze_dutch(text: str) -> tuple[list[str], list[int]]:

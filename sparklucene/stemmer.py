@@ -2310,3 +2310,90 @@ def dutch_stem(word: str) -> str:
         word = word[:-2] + word[-1]
 
     return word.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Armenian Snowball stemmer (Tartarus/Snowball/Ext/ArmenianStemmer.cs:257-577).
+# pV = after the first vowel; R2 standard; ending (R2) -> verb -> adjective ->
+# noun, each one longest-match delete within [pV:].
+# ---------------------------------------------------------------------------
+
+_HY_ADJ = (
+    "երորդ", "րորդ", "որակ", "ական", "արան", "եկեն", "երեն", "որէն",
+    "ովին", "լայն", "վուն", "ավետ", "ալի", "ակի", "գին", "պես", "կոտ",
+    "բար", "եղ", "են", "ին", "իվ", "ատ",
+)
+_HY_VERB = (
+    "ացրինք", "վեցինք", "ացնալ", "եցնել", "ացվել", "եցվել", "կոտել",
+    "ացրին", "վեցին", "ացրիր", "վեցիր", "ացրեց", "ալուց", "ելուց",
+    "ացրիք", "վեցիք", "ացանք", "ացինք", "եցինք", "ացրի", "վեցի", "անալ",
+    "ենալ", "ցնել", "ատել", "ոտել", "վում", "ացան", "ացին", "եցին",
+    "ալիս", "ելիս", "ացավ", "եցավ", "ալով", "ելով", "ացար", "եցար",
+    "ացիր", "եցիր", "ալու", "ելու", "ացաք", "ացիք", "եցիք", "ցանք",
+    "ացա", "եցա", "ացի", "եցի", "ըալ", "ըել", "նել", "չել", "վել",
+    "տել", "ված", "ում", "ցան", "ցաք", "անք", "վե", "ալ", "ել", "ան",
+    "ավ", "ար", "աց", "եց", "աք", "ա",
+)
+_HY_NOUN = (
+    "ություն", "մունք", "ույթ", "ուհի", "անակ", "ստան", "արան", "եղէն",
+    "յուն", "ուստ", "ավոր", "անօց", "ալիք", "անիք", "վածք", "ույք",
+    "ունք", "որդ", "յակ", "ուկ", "պան", "ածո", "ուս", "գար", "վոր",
+    "չեք", "ենք", "ոնք", "իչք", "արք", "ցի", "իլ", "ակ", "իկ", "ան",
+    "իչ", "ոց", "ու", "իք", "ք",
+)
+_HY_ENDING = (
+    "ությանդ", "ությանը", "ությանն", "ությանս", "ներում", "ության",
+    "անում", "երում", "ներին", "ներով", "վանից", "ներից", "վանդ",
+    "ներդ", "վանը", "ները", "ների", "երին", "ներն", "վանս", "անով",
+    "երով", "ոջից", "երից", "ամբ", "անդ", "ոջդ", "երդ", "ուդ", "անը",
+    "ոջը", "երը", "երի", "վան", "երն", "ուն", "ոջս", "վով", "ներ",
+    "վից", "ցից", "ուց", "սա", "վա", "վի", "ան", "ին", "ոջ", "ով", "եր",
+    "ից", "ոց", "դ", "ը", "ի", "ն", "ց",
+)
+
+_HY_VOWELS = frozenset("աեէըիոււօ")
+
+
+def _hy_marks(w: str) -> tuple[int, int]:
+    n = len(w)
+    V = _HY_VOWELS
+    i = 0
+    while i < n and w[i] not in V:
+        i += 1
+    if i == n:
+        return n, n
+    pV = i + 1
+    i = pV
+    while i < n and w[i] in V:
+        i += 1
+    if i == n:
+        return pV, n
+    i += 1
+    while i < n and w[i] not in V:
+        i += 1
+    if i == n:
+        return pV, n
+    i += 1
+    while i < n and w[i] in V:
+        i += 1
+    if i == n:
+        return pV, n
+    return pV, i + 1
+
+
+def armenian_stem(word: str) -> str:
+    pV, p2 = _hy_marks(word)
+    # Each step is a `do`: the among match is limited to [pV:] (setlimit
+    # tomark pV, ArmenianStemmer.cs:514-520) and FindAmongB picks the
+    # LONGEST suffix within that limit (tables above are sorted longest-
+    # first, so first match wins).  r_ending checks R2 only AFTER the
+    # longest match is chosen — if that match starts before p2 the step
+    # fails outright with NO fallback to a shorter ending (.cs:460-471).
+    for table in (_HY_ENDING, _HY_VERB, _HY_ADJ, _HY_NOUN):
+        n = len(word)
+        for suf in table:
+            if n - len(suf) >= pV and word.endswith(suf):
+                if table is not _HY_ENDING or n - len(suf) >= p2:
+                    word = word[: n - len(suf)]
+                break
+    return word

@@ -660,3 +660,109 @@ def test_dutch_snowball_vocab():
     nl = make_analyzer("dutch")
     # 'het' is a stopword; stem-override keeps fiets/kind->kinder intact
     assert nl("het kind fietsen") == (["kinder", "fiets"], [1, 2])
+
+
+# ---------------------------------------------------------------------------
+# Armenian: no Snowball vocab vectors ship in the reference zip, so the
+# stemmer is differential-tested against an independent oracle built from the
+# reference's OWN among tables (parsed out of ArmenianStemmer.cs) plus the
+# generated-code semantics: FindAmongB = longest suffix within
+# limit_backward=pV; r_ending checks R2 after the longest match with no
+# fallback (ArmenianStemmer.cs:453-483,509-521).
+# ---------------------------------------------------------------------------
+
+ARMENIAN_STEMMER_CS = (
+    "/root/reference/src/Lucene.Net.Analysis.Common/Tartarus/Snowball/Ext/"
+    "ArmenianStemmer.cs"
+)
+
+
+def _hy_ref_tables():
+    import re
+    with open(ARMENIAN_STEMMER_CS, encoding="utf-8") as f:
+        src = f.read()
+    out = {}
+    for name in ("a_0", "a_1", "a_2", "a_3"):
+        m = re.search(rf"Among\[\] {name} = \{{(.*?)\n\s*\}};", src, re.S)
+        ent = re.findall(r'new Among \( "((?:\\u[0-9A-Fa-f]{4})+)"',
+                         m.group(1))
+        out[name] = [e.encode().decode("unicode_escape") for e in ent]
+    return out
+
+
+def _hy_oracle_stem(word, tables):
+    from sparklucene.stemmer import _hy_marks
+
+    pV, p2 = _hy_marks(word)
+
+    def longest(table):
+        best = None
+        for suf in table:  # scan ALL entries: independent of sort order
+            if (len(word) - len(suf) >= pV and word.endswith(suf)
+                    and (best is None or len(suf) > len(best))):
+                best = suf
+        return best
+
+    # ending (R2 gate, no fallback) -> verb -> adjective -> noun
+    for key, r2 in (("a_3", True), ("a_1", False), ("a_0", False),
+                    ("a_2", False)):
+        suf = longest(tables[key])
+        if suf is not None and (not r2 or len(word) - len(suf) >= p2):
+            word = word[: len(word) - len(suf)]
+    return word
+
+
+def test_armenian_tables_match_reference():
+    from sparklucene.stemmer import _HY_ADJ, _HY_VERB, _HY_NOUN, _HY_ENDING
+
+    tables = _hy_ref_tables()
+    for ref, mine in ((tables["a_0"], _HY_ADJ), (tables["a_1"], _HY_VERB),
+                      (tables["a_2"], _HY_NOUN), (tables["a_3"], _HY_ENDING)):
+        assert set(ref) == set(mine) and len(ref) == len(mine)
+        # first-match-wins in armenian_stem relies on longest-first order
+        assert all(len(mine[i]) >= len(mine[i + 1])
+                   for i in range(len(mine) - 1))
+
+
+def test_armenian_stem_differential():
+    """5,000 random suffix-stacked words vs the reference-table oracle."""
+    import random
+
+    from sparklucene.stemmer import armenian_stem
+
+    tables = _hy_ref_tables()
+    suffixes = sorted(set(tables["a_0"] + tables["a_1"] + tables["a_2"]
+                          + tables["a_3"]))
+    letters = "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ"
+    rng = random.Random(0x5EED)
+    for _ in range(5000):
+        stem = "".join(rng.choice(letters)
+                       for _ in range(rng.randint(1, 5)))
+        w = stem + "".join(rng.choice(suffixes)
+                           for _ in range(rng.randint(0, 3)))
+        assert armenian_stem(w) == _hy_oracle_stem(w, tables), w
+
+
+def test_armenian_stem_vectors():
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import armenian_stem
+
+    for w, want in [
+        # expected values produced by the reference-table oracle above
+        ("ժողովուրդների", "ժողովուրդ"),   # ending -ների (R2 holds)
+        ("սիրում", "սիր"),                # verb -ում
+        ("երգեցին", "երգ"),               # verb -եցին
+        ("գրադարանում", "գրադ"),          # ending -անում, then verb -ար
+        ("մարդկություն", "մարդկությ"),    # ending -ն, then noun -ու
+        # R2 blocked, longest-match no-fallback: "երի"/"ների" start before
+        # pV, so the longest in-limit ending is "ի" — which starts before
+        # p2 -> NO deletion at all (not even a shorter ending)
+        ("գրքերի", "գրքերի"),
+        ("աբները", "աբները"),
+        # no vowel -> pV = limit -> untouched
+        ("գրք", "գրք"),
+    ]:
+        assert armenian_stem(w) == want, w
+    hy = make_analyzer("armenian")
+    # 'որ' is a stopword
+    assert hy("ժողովուրդների որ սիրում") == (["ժողովուրդ", "սիր"], [0, 2])
