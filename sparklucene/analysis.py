@@ -537,14 +537,20 @@ def make_analyzer(name: str, **params):
     if name == "portuguese":
         return _analyze_portuguese_light
     if name == "swedish":
+        return _analyze_swedish
+    if name == "swedish_light":
         return _analyze_swedish_light
     if name == "russian":
+        return _analyze_russian
+    if name == "russian_light":
         return _analyze_russian_light
     if name == "hungarian":
         return _analyze_hungarian_light
     if name == "finnish":
         return _analyze_finnish_light
     if name == "norwegian":
+        return _analyze_norwegian
+    if name == "norwegian_light":
         return _analyze_norwegian_light
     if name == "czech":
         return _analyze_czech
@@ -1142,6 +1148,27 @@ def _analyze_norwegian_light(text: str) -> tuple[list[str], list[int]]:
     (Analysis/No/NorwegianLightStemFilter.cs)."""
     from .stemmer import norwegian_light_stem
     return _make_light_chain(NORWEGIAN_STOP_WORDS, norwegian_light_stem)(text)
+
+
+def _analyze_swedish(text: str) -> tuple[list[str], list[int]]:
+    """SwedishAnalyzer default chain (Analysis/Sv/SwedishAnalyzer.cs:121-130):
+    Standard -> Lower -> Stop(Snowball swedish) -> SnowballFilter(Swedish)."""
+    from .stemmer import swedish_stem
+    return _make_light_chain(SWEDISH_STOP_WORDS, swedish_stem)(text)
+
+
+def _analyze_russian(text: str) -> tuple[list[str], list[int]]:
+    """RussianAnalyzer default chain (Analysis/Ru/RussianAnalyzer.cs:131-140):
+    Standard -> Lower -> Stop(Snowball russian) -> SnowballFilter(Russian)."""
+    from .stemmer import russian_stem
+    return _make_light_chain(RUSSIAN_STOP_WORDS, russian_stem)(text)
+
+
+def _analyze_norwegian(text: str) -> tuple[list[str], list[int]]:
+    """NorwegianAnalyzer default chain (Analysis/No/NorwegianAnalyzer.cs:
+    121-130): Standard -> Lower -> Stop -> SnowballFilter(Norwegian)."""
+    from .stemmer import norwegian_stem
+    return _make_light_chain(NORWEGIAN_STOP_WORDS, norwegian_stem)(text)
 CZECH_STOP_WORDS = frozenset((
     "a", "s", "k", "o", "i", "u", "v", "z", "dnes", "cz", "tímto", "budeš",
     "budem", "byli", "jseš", "můj", "svým", "ta", "tomto", "tohle", "tuto",

@@ -2397,3 +2397,243 @@ def armenian_stem(word: str) -> str:
                     word = word[: n - len(suf)]
                 break
     return word
+
+
+# ---------------------------------------------------------------------------
+# Generic Snowball backwards-mode kernels.
+#
+# FindAmongB (Tartarus/Snowball/SnowballProgram.cs) returns the LONGEST table
+# entry that is a suffix of the word and lies entirely within the setlimit
+# region [lim:]; the per-entry condition (if any) is evaluated AFTER that
+# choice, and its failure fails the whole routine — no fallback to shorter
+# entries.  _longest_among scans every entry, so table order is irrelevant.
+# ---------------------------------------------------------------------------
+
+def _longest_among(w, table, lim):
+    best, tag = None, 0
+    bl = 0
+    for suf, t in table:
+        if len(suf) > bl and len(w) - len(suf) >= lim and w.endswith(suf):
+            best, tag, bl = suf, t, len(suf)
+    return best, tag
+
+
+def _sn_marks(w, vowels):
+    """(pV, p1, p2): the standard mark_regions gopast chain — pV after the
+    first vowel, p1 after the first non-vowel past it, p2 one rung further
+    (e.g. RussianStemmer.cs r_mark_regions)."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in vowels:
+        i += 1
+    if i == n:
+        return n, n, n
+    pV = i + 1
+    i = pV
+    while i < n and w[i] in vowels:
+        i += 1
+    if i == n:
+        return pV, n, n
+    p1 = i + 1
+    i = p1
+    while i < n and w[i] not in vowels:
+        i += 1
+    if i == n:
+        return pV, p1, n
+    i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    if i == n:
+        return pV, p1, n
+    return pV, p1, i + 1
+
+
+# ---------------------------------------------------------------------------
+# Swedish Snowball stemmer (Tartarus/Snowball/Ext/SwedishStemmer.cs; the
+# SwedishAnalyzer's default stem filter).  R1 clamped to >= 3 ("hop 3").
+# Validated bit-exact against the reference's 30,623-word swedish vocab
+# vectors (TestSnowballVocabData.zip).
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1 = tuple((s, 1) for s in (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het", "ast",
+)) + (("s", 2),)
+_SV_PAIRS = frozenset(("dd", "gd", "nn", "dt", "gt", "kt", "tt"))
+_SV_STEP3 = (("ig", 1), ("lig", 1), ("els", 1), ("fullt", 3), ("löst", 2))
+
+
+def swedish_stem(word: str) -> str:
+    _, p1, _ = _sn_marks(word, _SV_VOWELS)
+    p1 = max(p1, 3)
+    # main_suffix
+    suf, tag = _longest_among(word, _SV_STEP1, p1)
+    n = len(word)
+    if tag == 1:
+        word = word[: n - len(suf)]
+    elif tag == 2 and n >= 2 and word[n - 2] in _SV_S_END:
+        # the setlimit is restored BEFORE the s-ending test
+        # (SwedishStemmer.cs:218 `m_limit_backward = v_2` precedes the
+        # switch): the preceding char need not be in R1
+        word = word[:-1]
+    # consonant_pair: undouble the listed pairs
+    n = len(word)
+    if n - 2 >= p1 and word[-2:] in _SV_PAIRS:
+        word = word[:-1]
+    # other_suffix
+    suf, tag = _longest_among(word, _SV_STEP3, p1)
+    if tag == 1:
+        word = word[: len(word) - len(suf)]
+    elif tag in (2, 3):          # löst -> lös, fullt -> full
+        word = word[:-1]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Norwegian Snowball stemmer (Tartarus/Snowball/Ext/NorwegianStemmer.cs; the
+# NorwegianAnalyzer's default stem filter).  Validated bit-exact against the
+# reference's 20,628-word norwegian vocab vectors.
+# ---------------------------------------------------------------------------
+
+_NO_VOWELS = frozenset("aeiouyåæø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = tuple((s, 1) for s in (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en", "heten",
+    "ar", "er", "heter", "as", "es", "edes", "endes", "enes", "hetenes",
+    "ens", "hetens", "ers", "ets", "et", "het", "ast",
+)) + (("s", 2), ("erte", 3), ("ert", 3))
+_NO_PAIRS = frozenset(("dt", "vt"))
+_NO_STEP3 = tuple((s, 1) for s in (
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+))
+
+
+def norwegian_stem(word: str) -> str:
+    _, p1, _ = _sn_marks(word, _NO_VOWELS)
+    p1 = max(p1, 3)
+    suf, tag = _longest_among(word, _NO_STEP1, p1)
+    n = len(word)
+    if tag == 1:
+        word = word[: n - len(suf)]
+    elif tag == 2:
+        # s-ending: the previous char in the listed set, OR a 'k' itself
+        # preceded by a non-vowel (NorwegianStemmer.cs:225-254).  The
+        # setlimit is restored before this test, so the context chars
+        # need not be in R1.
+        if n >= 2 and word[n - 2] in _NO_S_END:
+            word = word[:-1]
+        elif n >= 3 and word[n - 2] == "k" and word[n - 3] not in _NO_VOWELS:
+            word = word[:-1]
+    elif tag == 3:               # erte/ert -> er
+        word = word[: n - len(suf)] + "er"
+    n = len(word)
+    if n - 2 >= p1 and word[-2:] in _NO_PAIRS:
+        word = word[:-1]
+    suf, tag = _longest_among(word, _NO_STEP3, p1)
+    if tag == 1:
+        word = word[: len(word) - len(suf)]
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Russian Snowball stemmer (Tartarus/Snowball/Ext/RussianStemmer.cs; the
+# RussianAnalyzer's default stem filter).  All steps run within RV = [pV:];
+# the derivational step additionally requires R2.  Validated bit-exact
+# against the reference's 49,673-word russian vocab vectors.
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = frozenset("аеиоуыэюя")
+_RU_PERF_GERUND = (
+    ("в", 1), ("вши", 1), ("вшись", 1),
+    ("ив", 2), ("ыв", 2), ("ивши", 2), ("ывши", 2), ("ившись", 2),
+    ("ывшись", 2),
+)
+_RU_REFLEXIVE = (("сь", 1), ("ся", 1))
+_RU_ADJECTIVE = tuple((s, 1) for s in (
+    "ее", "ие", "ое", "ые", "ими", "ыми", "ей", "ий", "ой", "ый", "ем",
+    "им", "ом", "ым", "его", "ого", "ему", "ому", "их", "ых", "ею", "ою",
+    "ую", "юю", "ая", "яя",
+))
+_RU_PARTICIPLE = (
+    ("ем", 1), ("нн", 1), ("вш", 1), ("щ", 1), ("ющ", 1),
+    ("ивш", 2), ("ывш", 2), ("ующ", 2),
+)
+_RU_VERB = (
+    ("ла", 1), ("на", 1), ("ете", 1), ("йте", 1), ("ли", 1), ("й", 1),
+    ("л", 1), ("ем", 1), ("н", 1), ("ло", 1), ("но", 1), ("ет", 1),
+    ("ют", 1), ("ны", 1), ("ть", 1), ("ешь", 1), ("нно", 1),
+    ("ила", 2), ("ыла", 2), ("ена", 2), ("ите", 2), ("ейте", 2),
+    ("уйте", 2), ("или", 2), ("ыли", 2), ("ей", 2), ("уй", 2), ("ил", 2),
+    ("ыл", 2), ("им", 2), ("ым", 2), ("ен", 2), ("ило", 2), ("ыло", 2),
+    ("ено", 2), ("ят", 2), ("ует", 2), ("уют", 2), ("ит", 2), ("ыт", 2),
+    ("ены", 2), ("ить", 2), ("ыть", 2), ("ишь", 2), ("ую", 2), ("ю", 2),
+)
+_RU_NOUN = tuple((s, 1) for s in (
+    "а", "ев", "ов", "е", "ие", "ье", "и", "еи", "ии", "ами", "ями",
+    "иями", "й", "ей", "ией", "ий", "ой", "ам", "ем", "ием", "ом", "ям",
+    "иям", "о", "у", "ах", "ях", "иях", "ы", "ь", "ю", "ию", "ью", "я",
+    "ия", "ья",
+))
+_RU_DERIV = (("ост", 1), ("ость", 1))
+_RU_TIDY = (("ейше", 1), ("ейш", 1), ("н", 2), ("ь", 3))
+
+
+def _ru_preceded_ay(w: str, i: int, pV: int) -> bool:
+    return i - 1 >= pV and w[i - 1] in "ая"
+
+
+def russian_stem(word: str) -> str:
+    pV, _, p2 = _sn_marks(word, _RU_VOWELS)
+    # --- step 1 ---
+    suf, tag = _longest_among(word, _RU_PERF_GERUND, pV)
+    if suf is not None and (
+            tag == 2 or _ru_preceded_ay(word, len(word) - len(suf), pV)):
+        word = word[: len(word) - len(suf)]
+    else:
+        suf, tag = _longest_among(word, _RU_REFLEXIVE, pV)
+        if suf is not None:
+            word = word[: len(word) - len(suf)]
+        suf, tag = _longest_among(word, _RU_ADJECTIVE, pV)
+        if suf is not None:
+            word = word[: len(word) - len(suf)]
+            # optional participle strip after an adjective ending
+            suf, tag = _longest_among(word, _RU_PARTICIPLE, pV)
+            if suf is not None and (
+                    tag == 2
+                    or _ru_preceded_ay(word, len(word) - len(suf), pV)):
+                word = word[: len(word) - len(suf)]
+        else:
+            suf, tag = _longest_among(word, _RU_VERB, pV)
+            if suf is not None and (
+                    tag == 2
+                    or _ru_preceded_ay(word, len(word) - len(suf), pV)):
+                word = word[: len(word) - len(suf)]
+            else:
+                suf, tag = _longest_among(word, _RU_NOUN, pV)
+                if suf is not None:
+                    word = word[: len(word) - len(suf)]
+    # --- step 2: trailing и ---
+    if len(word) - 1 >= pV and word.endswith("и"):
+        word = word[:-1]
+    # --- derivational (R2) ---
+    suf, tag = _longest_among(word, _RU_DERIV, pV)
+    if suf is not None and len(word) - len(suf) >= p2:
+        word = word[: len(word) - len(suf)]
+    # --- tidy up ---
+    suf, tag = _longest_among(word, _RU_TIDY, pV)
+    if tag == 1:                 # superlative, then нн -> н
+        word = word[: len(word) - len(suf)]
+        if (len(word) >= 2 and word.endswith("нн")
+                and len(word) - 2 >= pV):
+            word = word[:-1]
+    elif tag == 2:               # н preceded by н
+        if len(word) - 2 >= pV and word[-2] == "н":
+            word = word[:-1]
+    elif tag == 3:               # soft sign
+        word = word[:-1]
+    return word

@@ -251,8 +251,11 @@ def test_norwegian_light_reference_vectors():
 
 
 def test_sv_ru_hu_fi_no_analyzer_chains():
+    # sv/ru/no default chains are now SnowballFilter (the reference
+    # analyzers' default); the light filters stay as "*_light"
     sv = make_analyzer("swedish")
-    assert sv("Bilens hemligheter och priser")[0] == ["bil", "hemlighet", "pris"]
+    assert sv("Bilens hemligheter och priser")[0] == ["bil", "hem", "pris"]
+    assert make_analyzer("swedish_light")("hemligheter")[0] == ["hemlighet"]
     ru = make_analyzer("russian")
     assert ru("Новые книги и журналы")[0] == ["нов", "книг", "журнал"]
     hu = make_analyzer("hungarian")
@@ -262,8 +265,9 @@ def test_sv_ru_hu_fi_no_analyzer_chains():
     no = make_analyzer("norwegian")
     # stopword 'og' dropped, positions preserved through the gap
     terms, positions = no("Bilens hemmeligheter og kakene")
-    assert terms == ["bil", "hemmelig", "kak"]
+    assert terms == ["bil", "hemm", "kak"]
     assert positions == [0, 1, 3]
+    assert make_analyzer("norwegian_light")("hemmeligheter")[0] == ["hemmelig"]
 
 
 # Every AssertAnalyzesTo case from the reference's TestCzechStemmer.cs
@@ -766,3 +770,34 @@ def test_armenian_stem_vectors():
     hy = make_analyzer("armenian")
     # 'որ' is a stopword
     assert hy("ժողովուրդների որ սիրում") == (["ժողովուրդ", "սիր"], [0, 2])
+
+
+def test_swedish_snowball_vocab():
+    """All 30,623 swedish/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.stemmer import swedish_stem
+
+    pairs = _snowball_vectors("swedish")
+    assert len(pairs) == 30623
+    mism = [(v, o, swedish_stem(v)) for v, o in pairs if swedish_stem(v) != o]
+    assert mism == []
+
+
+def test_norwegian_snowball_vocab():
+    """All 20,628 norwegian/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.stemmer import norwegian_stem
+
+    pairs = _snowball_vectors("norwegian")
+    assert len(pairs) == 20628
+    mism = [(v, o, norwegian_stem(v))
+            for v, o in pairs if norwegian_stem(v) != o]
+    assert mism == []
+
+
+def test_russian_snowball_vocab():
+    """All 49,673 russian/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.stemmer import russian_stem
+
+    pairs = _snowball_vectors("russian")
+    assert len(pairs) == 49673
+    mism = [(v, o, russian_stem(v)) for v, o in pairs if russian_stem(v) != o]
+    assert mism == []
