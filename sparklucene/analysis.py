@@ -545,8 +545,12 @@ def make_analyzer(name: str, **params):
     if name == "russian_light":
         return _analyze_russian_light
     if name == "hungarian":
+        return _analyze_hungarian
+    if name == "hungarian_light":
         return _analyze_hungarian_light
     if name == "finnish":
+        return _analyze_finnish
+    if name == "finnish_light":
         return _analyze_finnish_light
     if name == "norwegian":
         return _analyze_norwegian
@@ -1148,6 +1152,20 @@ def _analyze_norwegian_light(text: str) -> tuple[list[str], list[int]]:
     (Analysis/No/NorwegianLightStemFilter.cs)."""
     from .stemmer import norwegian_light_stem
     return _make_light_chain(NORWEGIAN_STOP_WORDS, norwegian_light_stem)(text)
+
+
+def _analyze_hungarian(text: str) -> tuple[list[str], list[int]]:
+    """HungarianAnalyzer default chain (Analysis/Hu/HungarianAnalyzer.cs:
+    121-130): Standard -> Lower -> Stop -> SnowballFilter(Hungarian)."""
+    from .stemmer import hungarian_stem
+    return _make_light_chain(HUNGARIAN_STOP_WORDS, hungarian_stem)(text)
+
+
+def _analyze_finnish(text: str) -> tuple[list[str], list[int]]:
+    """FinnishAnalyzer default chain (Analysis/Fi/FinnishAnalyzer.cs:
+    121-130): Standard -> Lower -> Stop -> SnowballFilter(Finnish)."""
+    from .stemmer import finnish_stem
+    return _make_light_chain(FINNISH_STOP_WORDS, finnish_stem)(text)
 
 
 def _analyze_swedish(text: str) -> tuple[list[str], list[int]]:

@@ -2637,3 +2637,286 @@ def russian_stem(word: str) -> str:
     elif tag == 3:               # soft sign
         word = word[:-1]
     return word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian Snowball stemmer (Tartarus/Snowball/Ext/HungarianStemmer.cs; the
+# HungarianAnalyzer's default stem filter).  R1 starts after the first
+# non-vowel when the word begins with a vowel (skipping a consonant digraph
+# whole), else after the first vowel.  Every step is [substring among] with
+# the R1 test AFTER the longest match (no fallback).  This pre-2006 Snowball
+# Hungarian writes ő as õ and ű as û (Latin-1), matching the reference's
+# vocab vectors.  Validated bit-exact against all 30,000 hungarian vectors.
+# Table actions: "" = delete, otherwise the replacement string.
+# ---------------------------------------------------------------------------
+
+_HUSB_VOWELS = frozenset("aeiouáéíóöõúüû")
+_HUSB_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HUSB_DOUBLES = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll", "lly",
+    "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty", "vv", "zz",
+    "zzs",
+)
+_HUSB_CASE = tuple((s, "") for s in (
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul", "nál",
+    "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül", "n", "an",
+    "ban", "en", "ben", "képpen", "on", "ön", "képp", "kor", "t", "at",
+    "et", "ként", "anként", "enként", "onként", "ot", "ért", "öt", "hez",
+    "hoz", "höz", "vá", "vé",
+))
+_HUSB_CASE_SPECIAL = (("án", "a"), ("én", "e"), ("ánként", "a"))
+_HUSB_CASE_OTHER = (("stul", ""), ("astul", ""), ("ástul", "a"),
+                  ("stül", ""), ("estül", ""), ("éstül", "e"))
+_HUSB_OWNED = (("éi", ""), ("áéi", "a"), ("ééi", "e"), ("é", ""), ("ké", ""),
+             ("aké", ""), ("eké", ""), ("oké", ""), ("áké", "a"),
+             ("éké", "e"), ("öké", ""), ("éé", "e"))
+_HUSB_SING_OWNER = (
+    ("a", ""), ("ja", ""), ("d", ""), ("ad", ""), ("ed", ""), ("od", ""),
+    ("ád", "a"), ("éd", "e"), ("öd", ""), ("e", ""), ("je", ""),
+    ("nk", ""), ("unk", ""), ("ánk", "a"), ("énk", "e"), ("ünk", ""),
+    ("uk", ""), ("juk", ""), ("ájuk", "a"), ("ük", ""), ("jük", ""),
+    ("éjük", "e"), ("m", ""), ("am", ""), ("em", ""), ("om", ""),
+    ("ám", "a"), ("ém", "e"), ("o", ""), ("á", "a"), ("é", "e"),
+)
+_HUSB_PLUR_OWNER = (
+    ("id", ""), ("aid", ""), ("jaid", ""), ("eid", ""), ("jeid", ""),
+    ("áid", "a"), ("éid", "e"), ("i", ""), ("ai", ""), ("jai", ""),
+    ("ei", ""), ("jei", ""), ("ái", "a"), ("éi", "e"), ("itek", ""),
+    ("eitek", ""), ("jeitek", ""), ("éitek", "e"), ("ik", ""),
+    ("aik", ""), ("jaik", ""), ("eik", ""), ("jeik", ""), ("áik", "a"),
+    ("éik", "e"), ("ink", ""), ("aink", ""), ("jaink", ""), ("eink", ""),
+    ("jeink", ""), ("áink", "a"), ("éink", "e"), ("aitok", ""),
+    ("jaitok", ""), ("áitok", "a"), ("im", ""), ("aim", ""),
+    ("jaim", ""), ("eim", ""), ("jeim", ""), ("áim", "a"), ("éim", "e"),
+)
+_HUSB_PLURAL = (("k", ""), ("ak", ""), ("ek", ""), ("ok", ""),
+              ("ák", "a"), ("ék", "e"), ("ök", ""))
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HUSB_VOWELS:
+        i = 1
+        while i < n and w[i] in _HUSB_VOWELS:
+            i += 1
+        if i == n:
+            return n
+        for d in _HUSB_DIGRAPHS:          # FindAmong forward, longest first
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 1
+    while i < n and w[i] not in _HUSB_VOWELS:
+        i += 1
+    if i == n:
+        return n
+    return i + 1
+
+
+def _hu_ends_double(s: str) -> bool:
+    return any(s.endswith(d) for d in _HUSB_DOUBLES)
+
+
+def hungarian_stem(word: str) -> str:
+    p1 = _hu_r1(word)
+
+    def replace_step(table):
+        nonlocal word
+        suf, act = _longest_among(word, table, 0)
+        if suf is not None and len(word) - len(suf) >= p1:
+            word = word[: len(word) - len(suf)] + act
+
+    def double_step(table):
+        # delete + undouble the remaining final double consonant
+        # (r_instrum / r_factive: R1, double test, delete, undouble)
+        nonlocal word
+        suf, _ = _longest_among(word, table, 0)
+        if suf is not None:
+            i = len(word) - len(suf)
+            if i >= p1 and _hu_ends_double(word[:i]):
+                word = word[:i]
+                word = word[:-2] + word[-1]
+
+    double_step((("al", ""), ("el", "")))           # instrum
+    # case: delete, then v_ending normalizes a trailing á/é
+    suf, _ = _longest_among(word, _HUSB_CASE, 0)
+    if suf is not None and len(word) - len(suf) >= p1:
+        word = word[: len(word) - len(suf)]
+        if word.endswith("á") and len(word) - 1 >= p1:
+            word = word[:-1] + "a"
+        elif word.endswith("é") and len(word) - 1 >= p1:
+            word = word[:-1] + "e"
+    replace_step(_HUSB_CASE_SPECIAL)
+    replace_step(_HUSB_CASE_OTHER)
+    double_step((("á", ""), ("é", "")))             # factive
+    replace_step(_HUSB_OWNED)
+    replace_step(_HUSB_SING_OWNER)
+    replace_step(_HUSB_PLUR_OWNER)
+    replace_step(_HUSB_PLURAL)
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Finnish Snowball stemmer (Tartarus/Snowball/Ext/FinnishStemmer.cs; the
+# FinnishAnalyzer's default stem filter).  Steps: particle -> possessive ->
+# case ending -> other endings (R2) -> i/t-plural -> tidy.  The setlimit
+# to p1/p2 bounds only the among match; context tests run after the limit
+# is restored, except the t-plural vowel test (FinnishStemmer.cs:162) and
+# the tidy sub-steps, which run inside it.  Validated bit-exact against all
+# 50,000 finnish vocab vectors.
+# ---------------------------------------------------------------------------
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_AEI = frozenset("aeiä")
+_FI_PARTICLE_END = frozenset("aeinotuyäö")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_PARTICLE = (("pa", 1), ("kaan", 1), ("han", 1), ("kin", 1), ("hän", 1),
+                ("kään", 1), ("ko", 1), ("pä", 1), ("kö", 1), ("sti", 2))
+_FI_POSS = (("si", 1), ("ni", 2), ("nsa", 3), ("mme", 3), ("nne", 3),
+            ("nsä", 3), ("an", 4), ("än", 5), ("en", 6))
+_FI_CASE = (
+    ("a", 8), ("ä", 8), ("tta", 9), ("ttä", 9), ("n", 7),
+    ("han", 1), ("hen", 2), ("hin", 3), ("hon", 4), ("hän", 5), ("hön", 6),
+    # matching-time conditions (FinnishStemmer.cs:116-121): evaluated
+    # during FindAmongB; on failure the among falls back to a shorter
+    # entry ('den' -> 'n'), unlike the post-match switch conditions
+    ("seen", "LONG"), ("den", "VI"), ("tten", "VI"), ("siin", "VI"),
+) + tuple((s, "D") for s in (
+    "lla", "na", "ssa", "ta", "lta", "sta", "lle", "ine", "ksi",
+    "llä", "nä", "ssä", "tä", "ltä", "stä",
+))
+_FI_V2 = frozenset("aeiouäö")
+
+
+def _fi_case_among(word: str, p1: int):
+    """FindAmongB over a_6 with r_LONG / r_VI entry conditions: longest
+    suffix within [p1:], falling back to shorter entries when an entry's
+    condition fails (both conditions run under the p1 setlimit)."""
+    n = len(word)
+    cands = sorted(
+        (e for e in _FI_CASE
+         if n - len(e[0]) >= p1 and word.endswith(e[0])),
+        key=lambda e: -len(e[0]))
+    for suf, tag in cands:
+        i = n - len(suf)
+        if tag == "LONG":
+            if i - 2 >= p1 and word[i - 2:i] in _FI_LONG:
+                return suf, "D"
+            continue
+        if tag == "VI":
+            if i - 1 > p1 and word[i - 1] == "i" and word[i - 2] in _FI_V2:
+                return suf, "D"
+            continue
+        return suf, tag
+    return None, 0
+_FI_OTHER = (("mma", 1), ("mpa", 1), ("mmi", 1), ("mpi", 1), ("mmä", 1),
+             ("mpä", 1)) + tuple((s, "D") for s in (
+                 "eja", "imma", "impa", "immi", "impi", "ejä", "immä",
+                 "impä"))
+_FI_H_PREV = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+
+
+def finnish_stem(word: str) -> str:
+    _, p1, p2 = _sn_marks(word, _FI_V1)
+
+    # --- particle etc ---
+    n = len(word)
+    suf, tag = _longest_among(word, _FI_PARTICLE, p1)
+    if suf is not None:
+        i = n - len(suf)
+        if ((tag == 1 and i > 0 and word[i - 1] in _FI_PARTICLE_END)
+                or (tag == 2 and i >= p2)):
+            word = word[:i]
+    # --- possessive ---
+    n = len(word)
+    suf, tag = _longest_among(word, _FI_POSS, p1)
+    if suf is not None:
+        i = n - len(suf)
+        if tag == 1:
+            if not (i >= 1 and word[i - 1] == "k"):
+                word = word[:i]
+        elif tag == 2:
+            word = word[:i]
+            if word.endswith("kse"):
+                word = word[:-1] + "i"
+        elif tag == 3:
+            word = word[:i]
+        elif tag == 4 and word[:i].endswith(
+                ("lla", "na", "ssa", "ta", "lta", "sta")):
+            word = word[:i]
+        elif tag == 5 and word[:i].endswith(
+                ("llä", "nä", "ssä", "tä", "ltä", "stä")):
+            word = word[:i]
+        elif tag == 6 and word[:i].endswith(("lle", "ine")):
+            word = word[:i]
+    # --- case ending ---
+    ending_removed = False
+    n = len(word)
+    suf, tag = _fi_case_among(word, p1)
+    if suf is not None:
+        i = n - len(suf)
+        ok, cut = False, i
+        if tag == "D":
+            ok = True
+        elif tag == 7:
+            # 'n': also take a preceding char of a long vowel or 'ie'
+            ok = True
+            if i >= 2 and (word[i - 2:i] in _FI_LONG
+                           or word[i - 2:i] == "ie"):
+                cut = i - 1
+        elif tag == 8:
+            ok = i >= 2 and word[i - 1] in _FI_V1 and word[i - 2] not in _FI_V1
+        elif tag == 9:
+            ok = i >= 1 and word[i - 1] == "e"
+        else:
+            ok = i >= 1 and word[i - 1] == _FI_H_PREV[tag]
+        if ok:
+            word = word[:cut]
+            ending_removed = True
+    # --- other endings (R2) ---
+    n = len(word)
+    suf, tag = _longest_among(word, _FI_OTHER, p2)
+    if suf is not None:
+        i = n - len(suf)
+        if tag == "D" or not word[:i].endswith("po"):
+            word = word[:i]
+    # --- i-plural (only after a case ending) or t-plural ---
+    if ending_removed:
+        if len(word) - 1 >= p1 and word.endswith(("i", "j")):
+            word = word[:-1]
+    else:
+        n = len(word)
+        if n - 1 > p1 and word.endswith("t") and word[n - 2] in _FI_V1:
+            word = word[:-1]
+            m = len(word)
+            suf, tag = _longest_among(
+                word, (("mma", 1), ("imma", "D")), p2)
+            if suf is not None:
+                i = m - len(suf)
+                if tag == "D" or not word[:i].endswith("po"):
+                    word = word[:i]
+    # --- tidy ---
+    n = len(word)
+    if n - 2 >= p1 and word[-2:] in _FI_LONG:
+        word = word[:-1]
+    n = len(word)
+    if (n > p1 and word[-1] in _FI_AEI
+            and n - 1 > p1 and word[n - 2] not in _FI_V1):
+        word = word[:-1]
+    n = len(word)
+    if (n - 1 >= p1 and word.endswith("j")
+            and n - 2 >= p1 and word[n - 2] in ("o", "u")):
+        word = word[:-1]
+    n = len(word)
+    if (n - 1 >= p1 and word.endswith("o")
+            and n - 2 >= p1 and word[n - 2] == "j"):
+        word = word[:-1]
+    # undouble the rightmost non-vowel if doubled (limit restored here)
+    k = len(word) - 1
+    while k >= 0 and word[k] in _FI_V1:
+        k -= 1
+    if k >= 1 and word[k - 1] == word[k]:
+        word = word[:k] + word[k + 1:]
+    return word

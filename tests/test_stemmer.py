@@ -259,9 +259,12 @@ def test_sv_ru_hu_fi_no_analyzer_chains():
     ru = make_analyzer("russian")
     assert ru("Новые книги и журналы")[0] == ["нов", "книг", "журнал"]
     hu = make_analyzer("hungarian")
-    assert hu("A házakban laknak")[0] == ["haz", "lak"]
+    assert hu("A házakban laknak")[0] == ["ház", "lak"]
+    assert make_analyzer("hungarian_light")("házakban")[0] == ["haz"]
     fi = make_analyzer("finnish")
-    assert fi("Kahdeksannen talon kirjat ja ovet")[0] == ["kahdeksa", "tal", "kirj", "ove"]
+    assert fi("Kahdeksannen talon kirjat ja ovet")[0] == \
+        ["kahdeksan", "talo", "kirj", "ove"]
+    assert make_analyzer("finnish_light")("taloja")[0] == ["talo"]
     no = make_analyzer("norwegian")
     # stopword 'og' dropped, positions preserved through the gap
     terms, positions = no("Bilens hemmeligheter og kakene")
@@ -800,4 +803,27 @@ def test_russian_snowball_vocab():
     pairs = _snowball_vectors("russian")
     assert len(pairs) == 49673
     mism = [(v, o, russian_stem(v)) for v, o in pairs if russian_stem(v) != o]
+    assert mism == []
+
+
+def test_hungarian_snowball_vocab():
+    """All 30,000 hungarian/voc.txt Snowball vectors, bit-exact."""
+    from sparklucene.stemmer import hungarian_stem
+
+    pairs = _snowball_vectors("hungarian")
+    assert len(pairs) == 30000
+    mism = [(v, o, hungarian_stem(v))
+            for v, o in pairs if hungarian_stem(v) != o]
+    assert mism == []
+
+
+def test_finnish_snowball_vocab():
+    """All 50,000 finnish/voc.txt Snowball vectors, bit-exact (including
+    the r_LONG / r_VI matching-time among conditions on seen/den/tten/siin
+    with fallback to shorter entries)."""
+    from sparklucene.stemmer import finnish_stem
+
+    pairs = _snowball_vectors("finnish")
+    assert len(pairs) == 50000
+    mism = [(v, o, finnish_stem(v)) for v, o in pairs if finnish_stem(v) != o]
     assert mism == []
