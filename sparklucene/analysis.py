@@ -584,6 +584,12 @@ def make_analyzer(name: str, **params):
         return _analyze_dutch
     if name == "armenian":
         return _analyze_armenian
+    if name == "catalan":
+        return _analyze_catalan
+    if name == "basque":
+        return _analyze_basque
+    if name == "irish":
+        return _analyze_irish
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1754,4 +1760,62 @@ def _analyze_cjk(text: str) -> tuple[list[str], list[int]]:
                     j += 1
                 emit(tok[i:j])
                 i = j
+    return terms, positions
+
+
+CATALAN_ELISION_ARTICLES = frozenset(("d", "l", "m", "n", "s", "t"))
+IRISH_ELISION_ARTICLES = frozenset(("d", "m", "b"))
+_GA_HYPHENATIONS = frozenset(("h", "n", "t"))
+_GA_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def _analyze_catalan(text: str) -> tuple[list[str], list[int]]:
+    """CatalanAnalyzer chain (Analysis/Ca/CatalanAnalyzer.cs:134-148):
+    Standard -> Elision(d,l,m,n,s,t) -> Lower -> Stop(Ca/stopwords.txt) ->
+    SnowballFilter(Catalan)."""
+    from ._snowball_data import CATALAN_STOP_WORDS
+    from .stemmer import catalan_stem
+    return _make_light_chain(CATALAN_STOP_WORDS, catalan_stem,
+                             articles=CATALAN_ELISION_ARTICLES)(text)
+
+
+def _analyze_basque(text: str) -> tuple[list[str], list[int]]:
+    """BasqueAnalyzer chain (Analysis/Eu/BasqueAnalyzer.cs:121-130):
+    Standard -> Lower -> Stop(Eu/stopwords.txt) -> SnowballFilter(Basque)."""
+    from ._snowball_data import BASQUE_STOP_WORDS
+    from .stemmer import basque_stem
+    return _make_light_chain(BASQUE_STOP_WORDS, basque_stem)(text)
+
+
+def _irish_lowercase(tok: str) -> str:
+    """IrishLowerCaseFilter (Analysis/Ga/IrishLowerCaseFilter.cs:43-70):
+    nAthair -> n-athair, tUISCE -> t-uisce; otherwise plain lowercase."""
+    if len(tok) > 1 and tok[0] in ("n", "t") and tok[1] in _GA_UPPER_VOWELS:
+        return tok[0] + "-" + tok[1:].lower()
+    return tok.lower()
+
+
+def _analyze_irish(text: str) -> tuple[list[str], list[int]]:
+    """IrishAnalyzer chain (Analysis/Ga/IrishAnalyzer.cs:136-157):
+    Standard -> Stop(h,n,t hyphenation pieces) -> Elision(d,m,b) ->
+    IrishLowerCase -> Stop(Ga/stopwords.txt) -> SnowballFilter(Irish)."""
+    from ._snowball_data import IRISH_STOP_WORDS
+    from .stemmer import irish_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        if tok.lower() in _GA_HYPHENATIONS:     # the n/t/h split off n-athair
+            pos += 1
+            continue
+        tok = _elide_with(tok, IRISH_ELISION_ARTICLES)
+        low = _irish_lowercase(tok)
+        if low and low not in IRISH_STOP_WORDS:
+            terms.append(irish_stem(low))
+            positions.append(pos)
+        pos += 1
     return terms, positions

@@ -2920,3 +2920,179 @@ def finnish_stem(word: str) -> str:
     if k >= 1 and word[k - 1] == word[k]:
         word = word[:k] + word[k + 1:]
     return word
+
+
+# ---------------------------------------------------------------------------
+# Catalan, Basque, Irish Snowball stemmers (Tartarus/Snowball/Ext/
+# {Catalan,Basque,Irish}Stemmer.cs; the default stem filters of the
+# reference's CatalanAnalyzer / BasqueAnalyzer / IrishAnalyzer).  Among
+# tables are generated from the reference by tools/gen_snowball_data.py;
+# tests re-parse the reference for parity and cover the reference
+# analyzers' own test vectors.
+# ---------------------------------------------------------------------------
+
+_CA_VOWELS = frozenset("aeiouàáèéíïòóúü")
+_CA_CLEAN = str.maketrans({"à": "a", "á": "a", "è": "e", "é": "e",
+                           "ì": "i", "í": "i", "ï": "i", "ò": "o",
+                           "ó": "o", "ú": "u", "ü": "u", "·": "."})
+
+
+def catalan_stem(word: str) -> str:
+    from ._snowball_data import (CA_PRONOUN, CA_RESIDUAL, CA_STANDARD,
+                                 CA_VERB)
+    _, p1, p2 = _sn_marks(word, _CA_VOWELS)
+    # attached pronoun (R1 delete)
+    suf, tag = _longest_among(word, CA_PRONOUN, 0)
+    if suf is not None and len(word) - len(suf) >= p1:
+        word = word[: len(word) - len(suf)]
+    # standard suffix
+    suf, tag = _longest_among(word, CA_STANDARD, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= p1:
+            word = word[:i]
+        elif tag == 2 and i >= p2:
+            word = word[:i]
+        elif tag == 3 and i >= p2:
+            word = word[:i] + "log"
+        elif tag == 4 and i >= p2:
+            word = word[:i] + "ic"
+        elif tag == 5 and i >= p1:
+            word = word[:i] + "c"
+    # verb suffix
+    suf, tag = _longest_among(word, CA_VERB, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if (tag == 1 and i >= p1) or (tag == 2 and i >= p2):
+            word = word[:i]
+    # residual suffix
+    suf, tag = _longest_among(word, CA_RESIDUAL, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= p1:
+            word = word[:i]
+        elif tag == 2 and i >= p1:
+            word = word[:i] + "ic"
+    # cleaning: fold accents (runs last, CatalanStemmer.cs Stem line 199)
+    return word.translate(_CA_CLEAN)
+
+
+_EU_VOWELS = frozenset("aeiou")
+
+
+def _sn_rv_spanish(w: str, vowels) -> int:
+    """Spanish-style RV (BasqueStemmer.cs r_mark_regions:31-35): if the
+    2nd letter is a consonant, RV is after the next vowel; if the first
+    two letters are vowels, after the next consonant; if 1st is a
+    consonant and 2nd a vowel, after the 3rd letter; else end-of-word."""
+    n = len(w)
+    if n < 2:
+        return n
+    if w[0] in vowels:
+        if w[1] not in vowels:
+            i = 2
+            while i < n and w[i] not in vowels:
+                i += 1
+            return i + 1 if i < n else n
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    return 3 if n >= 3 else n
+
+
+_EU_REPL = {3: "atseden", 4: "arabera", 5: "baditu"}
+_EU_IZ_REPL = {3: "jok", 5: "tra", 6: "minutu", 7: "zehar", 8: "geldi",
+               9: "igaro", 10: "aurka"}
+
+
+def basque_stem(word: str) -> str:
+    from ._snowball_data import EU_ADITZAK, EU_ADJETIBOAK, EU_IZENAK
+    pV = _sn_rv_spanish(word, _EU_VOWELS)
+    _, p1, p2 = _sn_marks(word, _EU_VOWELS)
+    # repeat aditzak (verb suffixes) until no change
+    while True:
+        suf, tag = _longest_among(word, EU_ADITZAK, 0)
+        if suf is None:
+            break
+        i = len(word) - len(suf)
+        if tag == 1 and i >= pV:
+            word = word[:i]
+        elif tag == 2 and i >= p2:
+            word = word[:i]
+        elif tag in _EU_REPL:
+            word = word[:i] + _EU_REPL[tag]
+        else:
+            break
+    # repeat izenak (noun suffixes)
+    while True:
+        suf, tag = _longest_among(word, EU_IZENAK, 0)
+        if suf is None:
+            break
+        i = len(word) - len(suf)
+        if tag == 1 and i >= pV:
+            word = word[:i]
+        elif tag == 2 and i >= p2:
+            word = word[:i]
+        elif tag == 4 and i >= p1:
+            word = word[:i]
+        elif tag in _EU_IZ_REPL:
+            word = word[:i] + _EU_IZ_REPL[tag]
+        else:
+            break
+    # adjetiboak (once)
+    suf, tag = _longest_among(word, EU_ADJETIBOAK, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= pV:
+            word = word[:i]
+        elif tag == 2:
+            word = word[:i] + "z"
+    return word
+
+
+_GA_VOWELS = frozenset("aeiouáéíóú")
+_GA_INIT_REPL = {1: "", 2: "", 3: "f", 4: "", 5: "s", 6: "b", 7: "c",
+                 8: "d", 9: "f", 10: "g", 11: "p", 12: "s", 13: "t",
+                 14: "b", 15: "c", 16: "d", 17: "f", 18: "g", 19: "m",
+                 20: "p", 21: "t"}
+_GA_DERIV_REPL = {2: "arc", 3: "gin", 4: "graf", 5: "paite", 6: "óid"}
+
+
+def irish_stem(word: str) -> str:
+    from ._snowball_data import GA_DERIV, GA_INITIAL, GA_NOUN, GA_VERB
+    # initial mutation / eclipsis strip (forward longest-prefix among)
+    best = None
+    for pre, tag in GA_INITIAL:
+        if word.startswith(pre) and (best is None or len(pre) > len(best[0])):
+            best = (pre, tag)
+    if best is not None:
+        word = _GA_INIT_REPL[best[1]] + word[len(best[0]):]
+    pV, p1, p2 = _sn_marks(word, _GA_VOWELS)
+    # noun suffixes
+    suf, tag = _longest_among(word, GA_NOUN, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if (tag == 1 and i >= p1) or (tag == 2 and i >= p2):
+            word = word[:i]
+    # derivational
+    suf, tag = _longest_among(word, GA_DERIV, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1:
+            if i >= p2:
+                word = word[:i]
+        else:
+            word = word[:i] + _GA_DERIV_REPL[tag]
+    # verb suffixes
+    suf, tag = _longest_among(word, GA_VERB, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if (tag == 1 and i >= pV) or (tag == 2 and i >= p1):
+            word = word[:i]
+    return word

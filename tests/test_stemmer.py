@@ -827,3 +827,75 @@ def test_finnish_snowball_vocab():
     assert len(pairs) == 50000
     mism = [(v, o, finnish_stem(v)) for v, o in pairs if finnish_stem(v) != o]
     assert mism == []
+
+
+def test_ca_eu_ga_tables_match_reference():
+    """The generated _snowball_data tables equal the reference's among
+    tables (suffix set + case tags), re-parsed from the C# sources."""
+    import re
+
+    import sparklucene._snowball_data as d
+
+    base = ("/root/reference/src/Lucene.Net.Analysis.Common/Tartarus/"
+            "Snowball/Ext/%sStemmer.cs")
+
+    def tables(lang):
+        src = open(base % lang, encoding="utf-8").read()
+        out = {}
+        for m in re.finditer(r"Among\[\] (a_\d+) = \{(.*?)\n\s*\};",
+                             src, re.S):
+            ents = re.findall(
+                r'new Among \( "((?:\\u[0-9A-Fa-f]{4}|[^"])*)", -?\d+,'
+                r' (-?\d+)', m.group(2))
+            out[m.group(1)] = {
+                (e[0].encode().decode("unicode_escape"), int(e[1]))
+                for e in ents}
+        return out
+
+    ca, eu, ga = tables("Catalan"), tables("Basque"), tables("Irish")
+    assert set(d.CA_PRONOUN) == ca["a_1"]
+    assert set(d.CA_STANDARD) == ca["a_2"]
+    assert set(d.CA_VERB) == ca["a_3"]
+    assert set(d.CA_RESIDUAL) == ca["a_4"]
+    assert set(d.EU_ADITZAK) == eu["a_0"]
+    assert set(d.EU_IZENAK) == eu["a_1"]
+    assert set(d.EU_ADJETIBOAK) == eu["a_2"]
+    assert set(d.GA_INITIAL) == ga["a_0"]
+    assert set(d.GA_NOUN) == ga["a_1"]
+    assert set(d.GA_DERIV) == ga["a_2"]
+    assert set(d.GA_VERB) == ga["a_3"]
+
+
+def test_catalan_analyzer():
+    """TestCatalanAnalyzer.cs vectors: stem, stopword, elision."""
+    a = make_analyzer("catalan")
+    assert a("llengües")[0] == ["llengu"]
+    assert a("llengua")[0] == ["llengu"]
+    assert a("un")[0] == []
+    assert a("Diccionari de l'Institut d'Estudis Catalans")[0] == \
+        ["diccion", "inst", "estud", "catalan"]
+
+
+def test_basque_analyzer():
+    """TestBasqueAnalyzer.cs vectors."""
+    a = make_analyzer("basque")
+    assert a("zaldi")[0] == ["zaldi"]
+    assert a("zaldiak")[0] == ["zaldi"]
+    assert a("izan")[0] == []
+    assert a("mendiari")[0] == ["mendi"]
+
+
+def test_irish_analyzer():
+    """TestIrishAnalyzer.cs + TestIrishLowerCaseFilter.cs vectors:
+    stem, stopword, elision (d/m/b), hyphenation stop (h/n/t), and the
+    nAthair -> n-athair special lowercase."""
+    a = make_analyzer("irish")
+    assert a("siopadóireacht")[0] == ["siopadóir"]
+    assert a("síceapatacha")[0] == ["síceapaite"]
+    assert a("le")[0] == []
+    assert a("b'fhearr m'athair")[0] == ["fearr", "athair"]
+    # n-athair tokenizes to {n, athair}; the n is dropped but keeps its
+    # position (posInc gap as in the reference, positions pre-filter)
+    terms, pos = a("le n-athair")
+    assert terms == ["athair"] and pos == [2]
+    assert a("nAthair tUISCE hARD")[0] == ["athair", "uisce", "hard"]
