@@ -590,6 +590,14 @@ def make_analyzer(name: str, **params):
         return _analyze_basque
     if name == "irish":
         return _analyze_irish
+    if name == "galician":
+        return _analyze_galician
+    if name == "galician_minimal":
+        return _analyze_galician_minimal
+    if name == "portuguese_rslp":
+        return _analyze_portuguese_rslp
+    if name == "portuguese_minimal":
+        return _analyze_portuguese_minimal
     if name == "delimited_payload":
         delim = str(params.get("delimiter", "|"))
 
@@ -1819,3 +1827,36 @@ def _analyze_irish(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+def _analyze_galician(text: str) -> tuple[list[str], list[int]]:
+    """GalicianAnalyzer chain (Analysis/Gl/GalicianAnalyzer.cs:121-132):
+    Standard -> Lower -> Stop(Gl/stopwords.txt) -> GalicianStemFilter
+    (RSLG rules)."""
+    from ._snowball_data import GALICIAN_STOP_WORDS
+    from .stemmer import galician_stem
+    return _make_light_chain(GALICIAN_STOP_WORDS, galician_stem)(text)
+
+
+def _analyze_galician_minimal(text: str) -> tuple[list[str], list[int]]:
+    """Standard -> Lower -> Stop -> GalicianMinimalStemFilter (the RSLG
+    Plural step only, Analysis/Gl/GalicianMinimalStemmer.cs)."""
+    from ._snowball_data import GALICIAN_STOP_WORDS
+    from .stemmer import galician_minimal_stem
+    return _make_light_chain(GALICIAN_STOP_WORDS, galician_minimal_stem)(text)
+
+
+def _analyze_portuguese_rslp(text: str) -> tuple[list[str], list[int]]:
+    """PortugueseAnalyzer chain with PortugueseStemFilter swapped in
+    (Analysis/Pt/PortugueseStemFilter.cs over portuguese.rslp) — the
+    filter-level RSLP alternative to the default light stemmer."""
+    from .stemmer import portuguese_rslp_stem
+    return _make_light_chain(PORTUGUESE_STOP_WORDS, portuguese_rslp_stem)(text)
+
+
+def _analyze_portuguese_minimal(text: str) -> tuple[list[str], list[int]]:
+    """Portuguese chain with PortugueseMinimalStemFilter (RSLP Plural
+    step only, Analysis/Pt/PortugueseMinimalStemmer.cs)."""
+    from .stemmer import portuguese_minimal_stem
+    return _make_light_chain(PORTUGUESE_STOP_WORDS,
+                             portuguese_minimal_stem)(text)

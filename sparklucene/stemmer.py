@@ -3096,3 +3096,88 @@ def irish_stem(word: str) -> str:
         if (tag == 1 and i >= pV) or (tag == 2 and i >= p1):
             word = word[:i]
     return word
+
+
+# ---------------------------------------------------------------------------
+# RSLP engine (Analysis/Pt/RSLPStemmerBase.cs) + the Galician and
+# Portuguese RSLP stemmers built on it.  A step applies the FIRST matching
+# rule in file order (not longest); a rule matches when the stem left after
+# removing its suffix is >= min chars and the word is not in the rule's
+# exception list (full-word or suffix match per the step's flag); a
+# matching rule's exception failure falls through to the NEXT rule.
+# ---------------------------------------------------------------------------
+
+def _rslp_step(word: str, step) -> str:
+    min_len, suffixes, rules = step
+    if len(word) < min_len:
+        return word
+    if suffixes and not word.endswith(suffixes):
+        return word
+    for suffix, rmin, repl, exc_full, excs in rules:
+        if len(word) - len(suffix) >= rmin and word.endswith(suffix):
+            if excs:
+                if exc_full:
+                    if word in excs:
+                        continue
+                elif word.endswith(excs):
+                    continue
+            return word[: len(word) - len(suffix)] + repl
+    return word
+
+
+_GL_DEACCENT = str.maketrans("áéêíóú", "aeeiou")
+_PT_DEACCENT = str.maketrans("àáâãäåçèéêëìíîïñòóôõöùúûü",
+                             "aaaaaaceeeeiiiinooooouuuu")
+
+
+def galician_stem(word: str) -> str:
+    """GalicianStemmer (Analysis/Gl/GalicianStemmer.cs:48-97): RSLG rules
+    — plural, unification, adverb, augmentative*, noun | verb, vowel,
+    then accent removal.  Validated against the reference's 9,416-pair
+    gltestdata.zip."""
+    from ._rslp_data import GL_STEPS
+    word = _rslp_step(word, GL_STEPS["Plural"])
+    word = _rslp_step(word, GL_STEPS["Unification"])
+    word = _rslp_step(word, GL_STEPS["Adverb"])
+    while True:
+        new = _rslp_step(word, GL_STEPS["Augmentative"])
+        if new == word:
+            break
+        word = new
+    new = _rslp_step(word, GL_STEPS["Noun"])
+    if new == word:
+        new = _rslp_step(word, GL_STEPS["Verb"])
+    word = new
+    word = _rslp_step(word, GL_STEPS["Vowel"])
+    return word.translate(_GL_DEACCENT)
+
+
+def galician_minimal_stem(word: str) -> str:
+    """GalicianMinimalStemmer: the RSLG Plural step only."""
+    from ._rslp_data import GL_STEPS
+    return _rslp_step(word, GL_STEPS["Plural"])
+
+
+def portuguese_rslp_stem(word: str) -> str:
+    """PortugueseStemmer (Analysis/Pt/PortugueseStemmer.cs:44-120, the
+    PortugueseStemFilter): RSLP plural, adverb, feminine, augmentative,
+    noun | verb | vowel, then accent removal.  Validated against the
+    reference's ptrslptestdata.zip."""
+    from ._rslp_data import PT_STEPS
+    word = _rslp_step(word, PT_STEPS["Plural"])
+    word = _rslp_step(word, PT_STEPS["Adverb"])
+    word = _rslp_step(word, PT_STEPS["Feminine"])
+    word = _rslp_step(word, PT_STEPS["Augmentative"])
+    new = _rslp_step(word, PT_STEPS["Noun"])
+    if new == word:
+        new = _rslp_step(word, PT_STEPS["Verb"])
+        if new == word:
+            new = _rslp_step(word, PT_STEPS["Vowel"])
+    word = new
+    return word.translate(_PT_DEACCENT)
+
+
+def portuguese_minimal_stem(word: str) -> str:
+    """PortugueseMinimalStemmer: the RSLP Plural step only."""
+    from ._rslp_data import PT_STEPS
+    return _rslp_step(word, PT_STEPS["Plural"])

@@ -899,3 +899,50 @@ def test_irish_analyzer():
     terms, pos = a("le n-athair")
     assert terms == ["athair"] and pos == [2]
     assert a("nAthair tUISCE hARD")[0] == ["athair", "uisce", "hard"]
+
+
+_RSLP_VECS = [
+    ("Gl/gltestdata.zip", "galician_stem", 9416),
+    ("Pt/ptrslptestdata.zip", "portuguese_rslp_stem", 32016),
+    ("Pt/ptminimaltestdata.zip", "portuguese_minimal_stem", 32016),
+]
+
+
+@pytest.mark.parametrize("zp,fn_name,n_words", _RSLP_VECS)
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_rslp_stemmers_full_reference_vectors(zp, fn_name, n_words):
+    """Bit-exact vs the reference's RSLP/RSLG vector files (gltestdata,
+    ptrslptestdata, ptminimaltestdata)."""
+    import sparklucene.stemmer as st
+
+    fn = getattr(st, fn_name)
+    vecs = list(_light_vectors(_VEC_BASE + zp))
+    assert len(vecs) == n_words
+    mism = [(w, o, fn(w)) for w, o in vecs if fn(w) != o]
+    assert mism == []
+
+
+def test_galician_analyzer():
+    """TestGalicianAnalyzer.cs + TestGalicianMinimalStemFilter.cs."""
+    a = make_analyzer("galician")
+    assert a("correspondente")[0] == ["correspond"]
+    assert a("corresponderá")[0] == ["correspond"]
+    assert a("e")[0] == []
+    m = make_analyzer("galician_minimal")
+    assert m("elefantes")[0] == ["elefante"]
+    assert m("elefante")[0] == ["elefante"]
+    assert m("kalóres")[0] == ["kalór"]
+    # plural-rule full-word exception
+    assert m("mas")[0] == ["mas"]
+
+
+def test_portuguese_rslp_analyzer():
+    """TestPortugueseStemFilter.cs's long sentence, minus its stopword-
+    free MockTokenizer setup: our chain keeps the reference analyzer's
+    stop set, so check the filter on individual terms instead."""
+    from sparklucene.stemmer import portuguese_rslp_stem
+
+    for w, want in [("debate", "debat"), ("político", "politic"),
+                    ("surpreendente", "surpreend"), ("eleições", "eleic"),
+                    ("quilométricas", "quilometr")]:
+        assert portuguese_rslp_stem(w) == want, w
