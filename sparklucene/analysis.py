@@ -592,6 +592,8 @@ def make_analyzer(name: str, **params):
         return _analyze_irish
     if name == "galician":
         return _analyze_galician
+    if name == "brazilian":
+        return _analyze_brazilian
     if name == "galician_minimal":
         return _analyze_galician_minimal
     if name == "portuguese_rslp":
@@ -1860,3 +1862,11 @@ def _analyze_portuguese_minimal(text: str) -> tuple[list[str], list[int]]:
     from .stemmer import portuguese_minimal_stem
     return _make_light_chain(PORTUGUESE_STOP_WORDS,
                              portuguese_minimal_stem)(text)
+
+
+def _analyze_brazilian(text: str) -> tuple[list[str], list[int]]:
+    """BrazilianAnalyzer chain (Analysis/Br/BrazilianAnalyzer.cs:130-141):
+    Standard -> Lower -> Stop(Br/stopwords.txt) -> BrazilianStemFilter."""
+    from ._snowball_data import BRAZILIAN_STOP_WORDS
+    from .stemmer import brazilian_stem
+    return _make_light_chain(BRAZILIAN_STOP_WORDS, brazilian_stem)(text)

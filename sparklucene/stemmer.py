@@ -3181,3 +3181,123 @@ def portuguese_minimal_stem(word: str) -> str:
     """PortugueseMinimalStemmer: the RSLP Plural step only."""
     from ._rslp_data import PT_STEPS
     return _rslp_step(word, PT_STEPS["Plural"])
+
+
+# ---------------------------------------------------------------------------
+# Brazilian Portuguese stemmer (Analysis/Br/BrazilianStemmer.cs — the
+# BrazilianAnalyzer's BrazilianStemFilter).  Not RSLP and not Snowball:
+# its own step chain over accent-folded text with STATIC R1/R2/RV
+# snapshots (never recomputed as the term shrinks).  Step1/Step2 rule
+# order is generated from the reference by tools/gen_rslp_data.py,
+# including the unassigned-ReplaceSuffix("logias") quirk.  Validated
+# against every vector in the reference's TestBrazilianStemmer.cs.
+# ---------------------------------------------------------------------------
+
+_BR_FOLD = str.maketrans("áâãéêíóôõúüçñ", "aaaeeiooouucn")
+_BR_PUNCT = "\"'-,;.?!"
+_BR_VOWELS = frozenset("aeiou")
+
+
+def _br_r1(v):
+    if v is None:
+        return None
+    i = len(v) - 1
+    j = 0
+    while j < i and v[j] not in _BR_VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    while j < i and v[j] in _BR_VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    return v[j + 1:]
+
+
+def _br_rv(v):
+    if v is None:
+        return None
+    i = len(v) - 1
+    if i > 0 and v[1] not in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] not in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 1 and v[0] in _BR_VOWELS and v[1] in _BR_VOWELS:
+        j = 2
+        while j < i and v[j] in _BR_VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 2:
+        return v[3:]
+    return None
+
+
+def _br_rm(ct: str, x: str) -> str:
+    return ct[: len(ct) - len(x)] if ct.endswith(x) else ct
+
+
+def brazilian_stem(word: str) -> str:
+    from ._rslp_data import BR_STEP1, BR_STEP2
+
+    ct = word.lower().translate(_BR_FOLD)
+    if len(ct) >= 2 and ct[0] in _BR_PUNCT:
+        ct = ct[1:]
+    if len(ct) >= 2 and ct[-1] in _BR_PUNCT:
+        ct = ct[:-1]
+    if not (2 < len(ct) < 30):            # IsIndexable -> null -> unchanged
+        return word
+    if not all(c.isalpha() for c in ct):  # IsStemmable -> CT as-is
+        return ct
+    r1 = _br_r1(ct)
+    r2 = _br_r1(r1)
+    rv = _br_rv(ct)
+    regions = {"CT": ct, "R1": r1, "R2": r2, "RV": rv}
+
+    def sfx(v, s):
+        return v is not None and v.endswith(s)
+
+    altered = False
+    for suf, first, extra, prec, _gate, action in BR_STEP1:
+        if not sfx(regions[first], suf):
+            continue
+        if extra is not None and not sfx(regions[extra], suf):
+            continue
+        if prec is not None and not sfx(ct[: len(ct) - len(suf)], prec):
+            continue
+        if action is None:
+            ct = _br_rm(ct, suf)
+        elif action != "__NOOP__" and ct.endswith(suf):
+            ct = ct[: len(ct) - len(suf)] + action
+        altered = True
+        break
+    if not altered and rv is not None:
+        for suf, _first, _extra, _prec, _gate, _action in BR_STEP2:
+            if sfx(rv, suf):
+                ct = _br_rm(ct, suf)
+                altered = True
+                break
+    if rv is not None:
+        if altered:
+            # step 3: -i preceded by c (both in the RV snapshot)
+            if sfx(rv, "i") and sfx(rv[:-1], "c"):
+                ct = _br_rm(ct, "i")
+        else:
+            # step 4: residual suffix
+            for suf in ("os", "a", "i", "o"):
+                if sfx(rv, suf):
+                    ct = _br_rm(ct, suf)
+                    break
+        # step 5: final e (with gue/cie contraction)
+        if sfx(rv, "e"):
+            if sfx(rv[:-1], "gu"):
+                ct = _br_rm(ct, "e")
+                ct = _br_rm(ct, "u")
+            elif sfx(rv[:-1], "ci"):
+                ct = _br_rm(ct, "e")
+                ct = _br_rm(ct, "i")
+            else:
+                ct = _br_rm(ct, "e")
+    return ct

@@ -946,3 +946,24 @@ def test_portuguese_rslp_analyzer():
                     ("surpreendente", "surpreend"), ("eleições", "eleic"),
                     ("quilométricas", "quilometr")]:
         assert portuguese_rslp_stem(w) == want, w
+
+
+def test_brazilian_stemmer_full_reference_vectors():
+    """Every Check(...) vector in the reference's TestBrazilianStemmer.cs
+    (86 pairs), bit-exact — including the accent fold (bôas -> boas), the
+    static-region snapshots, and the unassigned ReplaceSuffix('logias')
+    quirk."""
+    import re
+
+    from sparklucene.stemmer import brazilian_stem
+
+    src = open("/root/reference/src/Lucene.Net.Tests.Analysis.Common/"
+               "Analysis/Br/TestBrazilianStemmer.cs", encoding="utf-8").read()
+    pairs = re.findall(r'Check\("([^"]+)", "([^"]+)"\)', src)
+    assert len(pairs) == 86
+    mism = [(w, o, brazilian_stem(w))
+            for w, o in pairs if brazilian_stem(w) != o]
+    assert mism == []
+    a = make_analyzer("brazilian")
+    # 'os' is a stopword; boataria/boate share a stem
+    assert a("os boates da boataria")[0] == ["boat", "boat"]
