@@ -594,6 +594,10 @@ def make_analyzer(name: str, **params):
         return _analyze_galician
     if name == "brazilian":
         return _analyze_brazilian
+    if name == "chinese":
+        return _analyze_chinese
+    if name == "thai":
+        return _analyze_thai
     if name == "galician_minimal":
         return _analyze_galician_minimal
     if name == "portuguese_rslp":
@@ -1870,3 +1874,66 @@ def _analyze_brazilian(text: str) -> tuple[list[str], list[int]]:
     from ._snowball_data import BRAZILIAN_STOP_WORDS
     from .stemmer import brazilian_stem
     return _make_light_chain(BRAZILIAN_STOP_WORDS, brazilian_stem)(text)
+
+
+CHINESE_FILTER_STOP_WORDS = frozenset((
+    "and", "are", "as", "at", "be", "but", "by", "for", "if", "in",
+    "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to",
+    "was", "will", "with",
+))
+
+
+def _analyze_chinese(text: str) -> tuple[list[str], list[int]]:
+    """ChineseAnalyzer (Analysis/Cn/ChineseTokenizer.cs + ChineseFilter.cs,
+    the reference's pre-CJK-bigram analyzer): latin/digit runs are single
+    lowercased tokens, every CJK char is its own token; the filter drops
+    the 30 classic English stopwords, 1-char latin tokens, and digit runs."""
+    import unicodedata
+
+    tokens: list[str] = []
+    run: list[str] = []
+    for ch in text:
+        cat = unicodedata.category(ch)
+        if cat in ("Nd", "Ll", "Lu"):
+            run.append(ch.lower())
+            if len(run) == 255:          # MAX_WORD_LEN flush
+                tokens.append("".join(run))
+                run = []
+        elif cat == "Lo":
+            if run:
+                tokens.append("".join(run))
+                run = []
+            tokens.append(ch)
+        else:
+            if run:
+                tokens.append("".join(run))
+                run = []
+    if run:
+        tokens.append("".join(run))
+
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, tok in enumerate(tokens):
+        if tok in CHINESE_FILTER_STOP_WORDS:
+            continue
+        cat = unicodedata.category(tok[0])
+        if cat in ("Ll", "Lu"):
+            if len(tok) > 1:
+                terms.append(tok)
+                positions.append(pos)
+        elif cat == "Lo":
+            terms.append(tok)
+            positions.append(pos)
+        # digits and anything else: dropped, like ChineseFilter
+    return terms, positions
+
+
+def _analyze_thai(text: str) -> tuple[list[str], list[int]]:
+    """ThaiAnalyzer (Analysis/Th/ThaiAnalyzer.cs): requires the
+    dictionary-based Thai BreakIterator (ICU); no Thai segmentation
+    dictionary ships in this environment, so this chain is honestly
+    unavailable rather than silently wrong."""
+    raise NotImplementedError(
+        "ThaiTokenizer needs an ICU Thai-dictionary BreakIterator, which "
+        "is not available in this environment")

@@ -273,3 +273,24 @@ def test_lang_routed_build(spark, tmp_path_factory):
     assert got == {1}
     # unrouted lang falls back to the default chain
     assert s.analyze_query_lang("filters", "en") == ["filters"]
+
+
+def test_chinese_analyzer():
+    """TestChineseTokenizer/Filter vectors (Analysis/Cn): per-char CJK
+    tokens, lowercased latin runs, English stopwords + single letters +
+    digit runs dropped."""
+    from sparklucene.analysis import make_analyzer
+
+    a = make_analyzer("chinese")
+    assert a("中华人民共和国") == (list("中华人民共和国"), list(range(7)))
+    assert a("This is a Test. b c d")[0] == ["test"]
+    assert a("中1234")[0] == ["中"]
+
+
+def test_thai_analyzer_honestly_unavailable():
+    import pytest
+
+    from sparklucene.analysis import make_analyzer
+
+    with pytest.raises(NotImplementedError):
+        make_analyzer("thai")("ไทย")
