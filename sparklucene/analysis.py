@@ -532,6 +532,8 @@ def make_analyzer(name: str, **params):
         return _analyze_german_light
     if name == "spanish":
         return _analyze_spanish_light
+    if name == "spanish_snowball":
+        return _analyze_spanish_snowball
     if name == "italian":
         return _analyze_italian_light
     if name == "portuguese":
@@ -987,6 +989,15 @@ def _analyze_spanish_light(text: str) -> tuple[list[str], list[int]]:
     SpanishLightStemFilter."""
     from .stemmer import spanish_light_stem
     return _make_light_chain(SPANISH_STOP_WORDS, spanish_light_stem)(text)
+
+
+def _analyze_spanish_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(Spanish) chain (Analysis/Snowball/SnowballAnalyzer.cs
+    + Tartarus/Snowball/Ext/SpanishStemmer.cs): Standard -> Lower ->
+    Stop(Snowball spanish) -> SnowballFilter(Spanish).  The SpanishAnalyzer
+    default remains the light stemmer, matching the reference."""
+    from .stemmer import spanish_stem
+    return _make_light_chain(SPANISH_STOP_WORDS, spanish_stem)(text)
 
 
 def _analyze_italian_light(text: str) -> tuple[list[str], list[int]]:

@@ -967,3 +967,18 @@ def test_brazilian_stemmer_full_reference_vectors():
     a = make_analyzer("brazilian")
     # 'os' is a stopword; boataria/boate share a stem
     assert a("os boates da boataria")[0] == ["boat", "boat"]
+
+
+def test_spanish_snowball_vocab():
+    """All 28,377 spanish/voc.txt Snowball vectors, bit-exact (pronoun
+    detachment, OR-chained standard/verb steps, gu->g residual, de-accent
+    postlude)."""
+    from sparklucene.stemmer import spanish_stem
+
+    pairs = _snowball_vectors("spanish")
+    assert len(pairs) == 28377
+    mism = [(v, o, spanish_stem(v)) for v, o in pairs if spanish_stem(v) != o]
+    assert mism == []
+    a = make_analyzer("spanish_snowball")
+    # 'de'/'las' are stopwords; Snowball stems deeper than light
+    assert a("de las canciones cantando")[0] == ["cancion", "cant"]
