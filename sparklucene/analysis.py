@@ -530,6 +530,10 @@ def make_analyzer(name: str, **params):
         return _analyze_french_light
     if name == "german":
         return _analyze_german_light
+    if name == "german_snowball":
+        return _analyze_german_snowball
+    if name == "german2_snowball":
+        return _analyze_german2_snowball
     if name == "spanish":
         return _analyze_spanish_light
     if name == "spanish_snowball":
@@ -754,6 +758,22 @@ def _analyze_german_light(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+def _analyze_german_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(German) chain (Analysis/Snowball/SnowballAnalyzer.cs
+    + Tartarus/Snowball/Ext/GermanStemmer.cs): Standard -> Lower ->
+    Stop(Snowball german) -> SnowballFilter(German).  The GermanAnalyzer
+    default remains the light stemmer, matching the reference."""
+    from .stemmer import german_stem
+    return _make_light_chain(GERMAN_STOP_WORDS, german_stem)(text)
+
+
+def _analyze_german2_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballFilter(German2) variant (Tartarus/Snowball/Ext/
+    German2Stemmer.cs): same chain with the ae/oe/ue-folding prelude."""
+    from .stemmer import german2_stem
+    return _make_light_chain(GERMAN_STOP_WORDS, german2_stem)(text)
 
 
 # ---------------------------------------------------------------------------

@@ -3445,3 +3445,190 @@ def spanish_stem(word: str) -> str:
                         and m - 1 >= pV):
                     word = word[:-1]
     return word.translate(_ES_DEACCENT)
+
+
+# ---------------------------------------------------------------------------
+# German Snowball stemmer (Tartarus/Snowball/Ext/GermanStemmer.cs; the
+# reference's SnowballFilter(German) / SnowballAnalyzer option — the
+# GermanAnalyzer default remains the light stemmer).  prelude (ss for Eszett,
+# U/Y marks between vowels), R1 clamped to >= 3, three independent backward
+# passes, umlaut-fold postlude.  Validated bit-exact against all 35,033
+# german vocab vectors.
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+_DE_STEP1 = (("e", 1), ("em", 1), ("en", 1), ("ern", 1), ("er", 1),
+             ("es", 1), ("s", 2))
+_DE_STEP2 = (("en", 1), ("er", 1), ("est", 1), ("st", 2))
+_DE_STEP3 = (("end", 1), ("ung", 1), ("ig", 2), ("isch", 2), ("ik", 2),
+             ("lich", 3), ("heit", 3), ("keit", 4))
+_DE_A3 = (("ig", 1), ("lich", 1))
+_DE_POSTLUDE = str.maketrans({"U": "u", "Y": "y", "ä": "a",
+                              "ö": "o", "ü": "u"})
+
+
+def german_stem(word: str) -> str:
+    # --- prelude: Eszett, then mark u/y between vowels (sequential scan) ---
+    word = word.replace("ß", "ss")
+    w = list(word)
+    for i in range(len(w) - 2):
+        if w[i] in _DE_VOWELS and w[i + 2] in _DE_VOWELS:
+            if w[i + 1] == "u":
+                w[i + 1] = "U"
+            elif w[i + 1] == "y":
+                w[i + 1] = "Y"
+    word = "".join(w)
+
+    # --- mark_regions: hop-3 guard, then gopast chain, p1 clamped to x=3 ---
+    if len(word) < 3:
+        p1 = p2 = len(word)
+    else:
+        _, p1, p2 = _sn_marks(word, _DE_VOWELS)
+        p1 = max(p1, 3)
+
+    # --- step 1 ---
+    suf, tag = _longest_among(word, _DE_STEP1, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p1:
+            if tag == 1:
+                word = word[:i]
+            elif i >= 1 and word[i - 1] in _DE_S_END:
+                word = word[:i]
+
+    # --- step 2 ---
+    suf, tag = _longest_among(word, _DE_STEP2, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p1:
+            if tag == 1:
+                word = word[:i]
+            elif i >= 4 and word[i - 1] in _DE_ST_END:
+                # InGroupingB consumes one char, then hop 3: i-1-3 >= 0
+                word = word[:i]
+
+    # --- step 3: derivational (R2) ---
+    suf, tag = _longest_among(word, _DE_STEP3, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p2:
+            if tag == 1:                     # end / ung
+                word = word[:i]
+                if word.endswith("ig"):
+                    j = len(word) - 2
+                    if not (j >= 1 and word[j - 1] == "e") and j >= p2:
+                        word = word[:j]
+            elif tag == 2:                   # ig / isch / ik, not after e
+                if not (i >= 1 and word[i - 1] == "e"):
+                    word = word[:i]
+            elif tag == 3:                   # lich / heit
+                word = word[:i]
+                if word.endswith("er") or word.endswith("en"):
+                    j = len(word) - 2
+                    if j >= p1:
+                        word = word[:j]
+            elif tag == 4:                   # keit
+                word = word[:i]
+                s2, _t2 = _longest_among(word, _DE_A3, 0)
+                if s2 is not None and len(word) - len(s2) >= p2:
+                    word = word[: len(word) - len(s2)]
+
+    return word.translate(_DE_POSTLUDE)
+
+
+def _de2_prelude(word: str) -> str:
+    """German2 prelude (German2Stemmer.cs r_prelude): U/Y vowel marks first,
+    then a forward among scan folding ae/oe/ue -> umlauts, Eszett -> ss,
+    with 'qu' hopping over the following two characters (failure of the hop
+    ends the whole scan, per the generated code)."""
+    w = list(word)
+    for i in range(len(w) - 2):
+        if w[i] in _DE_VOWELS and w[i + 2] in _DE_VOWELS:
+            if w[i + 1] == "u":
+                w[i + 1] = "U"
+            elif w[i + 1] == "y":
+                w[i + 1] = "Y"
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        two = "".join(w[i:i + 2])
+        if two == "qu":
+            if i + 4 > n:
+                out.extend(w[i:i + 2])
+                i += 2
+                break
+            out.extend(w[i:i + 4])
+            i += 4
+        elif w[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    out.extend(w[i:])
+    return "".join(out)
+
+
+def german2_stem(word: str) -> str:
+    """German2 Snowball variant (Tartarus/Snowball/Ext/German2Stemmer.cs):
+    same region math and suffix steps as german_stem, ae/oe/ue folded to
+    umlauts in the prelude.  Validated bit-exact against all german2 vocab
+    vectors."""
+    word = _de2_prelude(word)
+    if len(word) < 3:
+        p1 = p2 = len(word)
+    else:
+        _, p1, p2 = _sn_marks(word, _DE_VOWELS)
+        p1 = max(p1, 3)
+    suf, tag = _longest_among(word, _DE_STEP1, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p1:
+            if tag == 1:
+                word = word[:i]
+            elif i >= 1 and word[i - 1] in _DE_S_END:
+                word = word[:i]
+    suf, tag = _longest_among(word, _DE_STEP2, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p1:
+            if tag == 1:
+                word = word[:i]
+            elif i >= 4 and word[i - 1] in _DE_ST_END:
+                word = word[:i]
+    suf, tag = _longest_among(word, _DE_STEP3, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if i >= p2:
+            if tag == 1:
+                word = word[:i]
+                if word.endswith("ig"):
+                    j = len(word) - 2
+                    if not (j >= 1 and word[j - 1] == "e") and j >= p2:
+                        word = word[:j]
+            elif tag == 2:
+                if not (i >= 1 and word[i - 1] == "e"):
+                    word = word[:i]
+            elif tag == 3:
+                word = word[:i]
+                if word.endswith("er") or word.endswith("en"):
+                    j = len(word) - 2
+                    if j >= p1:
+                        word = word[:j]
+            elif tag == 4:
+                word = word[:i]
+                s2, _t2 = _longest_among(word, _DE_A3, 0)
+                if s2 is not None and len(word) - len(s2) >= p2:
+                    word = word[: len(word) - len(s2)]
+    return word.translate(_DE_POSTLUDE)

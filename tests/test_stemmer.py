@@ -982,3 +982,31 @@ def test_spanish_snowball_vocab():
     a = make_analyzer("spanish_snowball")
     # 'de'/'las' are stopwords; Snowball stems deeper than light
     assert a("de las canciones cantando")[0] == ["cancion", "cant"]
+
+
+def test_german_snowball_vocab():
+    """All 35,033 german/voc.txt Snowball vectors, bit-exact (Eszett + U/Y
+    prelude, R1>=3 clamp, three independent backward passes, umlaut-fold
+    postlude)."""
+    from sparklucene.stemmer import german_stem
+
+    pairs = _snowball_vectors("german")
+    assert len(pairs) == 35033
+    mism = [(v, o, german_stem(v)) for v, o in pairs if german_stem(v) != o]
+    assert mism == []
+    a = make_analyzer("german_snowball")
+    # 'die' is a stopword; Snowball folds the umlaut plural
+    assert a("die häuser")[0] == ["haus"]
+
+
+def test_german2_snowball_vocab():
+    """All 35,033 german2/voc.txt vectors, bit-exact (ae/oe/ue folding
+    prelude with the qu hop)."""
+    from sparklucene.stemmer import german2_stem
+
+    pairs = _snowball_vectors("german2")
+    assert len(pairs) == 35033
+    mism = [(v, o, german2_stem(v)) for v, o in pairs if german2_stem(v) != o]
+    assert mism == []
+    assert german2_stem("haeuser") == german2_stem("häuser") == "haus"
+    assert make_analyzer("german2_snowball")("quellen")[0] == ["quell"]
