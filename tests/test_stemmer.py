@@ -1010,3 +1010,32 @@ def test_german2_snowball_vocab():
     assert mism == []
     assert german2_stem("haeuser") == german2_stem("häuser") == "haus"
     assert make_analyzer("german2_snowball")("quellen")[0] == ["quell"]
+
+
+def test_italian_snowball_vocab():
+    """All 35,494 italian/voc.txt Snowball vectors, bit-exact (accent fold +
+    qU/intervocalic U,I prelude, pronoun-after-gerund detachment, RV-limited
+    verb pass, vowel suffix + ch/gh trim)."""
+    from sparklucene.stemmer import italian_stem
+
+    pairs = _snowball_vectors("italian")
+    assert len(pairs) == 35494
+    mism = [(v, o, italian_stem(v)) for v, o in pairs if italian_stem(v) != o]
+    assert mism == []
+    a = make_analyzer("italian_snowball")
+    # elision article l', 'della' stopword; Snowball folds the plural
+    assert a("l'amica della canzone")[0] == ["amic", "canzon"]
+
+
+def test_portuguese_snowball_vocab():
+    """All 32,016 portuguese/voc.txt Snowball vectors, bit-exact (nasal a~/o~
+    markers, standard|verb + ci trim, residual suffix/form)."""
+    from sparklucene.stemmer import portuguese_stem
+
+    pairs = _snowball_vectors("portuguese")
+    assert len(pairs) == 32016
+    mism = [(v, o, portuguese_stem(v))
+            for v, o in pairs if portuguese_stem(v) != o]
+    assert mism == []
+    a = make_analyzer("portuguese_snowball")
+    assert a("as canções cantadas")[0] == ["cançõ", "cant"]
