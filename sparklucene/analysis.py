@@ -528,6 +528,8 @@ def make_analyzer(name: str, **params):
         return _analyze_english
     if name == "french":
         return _analyze_french_light
+    if name == "french_snowball":
+        return _analyze_french_snowball
     if name == "german":
         return _analyze_german_light
     if name == "german_snowball":
@@ -762,6 +764,16 @@ def _analyze_german_light(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+def _analyze_french_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(French) chain (Analysis/Snowball/SnowballAnalyzer.cs
+    + Tartarus/Snowball/Ext/FrenchStemmer.cs): Standard -> Lower ->
+    Stop(Snowball french) -> SnowballFilter(French).  The FrenchAnalyzer
+    default remains the light stemmer (with elision), matching the
+    reference."""
+    from .stemmer import french_stem
+    return _make_light_chain(FRENCH_STOP_WORDS, french_stem)(text)
 
 
 def _analyze_german_snowball(text: str) -> tuple[list[str], list[int]]:

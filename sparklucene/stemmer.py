@@ -3829,3 +3829,196 @@ def portuguese_stem(word: str) -> str:
         word = word[:-1] + "c"
 
     return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# French Snowball stemmer (Tartarus/Snowball/Ext/FrenchStemmer.cs; the
+# reference's SnowballFilter(French) / SnowballAnalyzer option — the
+# FrenchAnalyzer default remains the light stemmer).  Prelude marks
+# intervocalic U/I, y-adjacent Y and post-q U; RV has par/col/tap and
+# double-vowel exceptions; the amment/emment/ment(s) branches of
+# standard_suffix modify the word and then FAIL so the verb passes still
+# run (matching the generated code's `return false`).  Validated bit-exact
+# against all 20,403 french vocab vectors.
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = frozenset("aeiouyàâèéêëîïôùû")
+_FR_KEEP_S = frozenset("aiouès")
+_FR_POSTLUDE = str.maketrans({"I": "i", "U": "u", "Y": "y"})
+
+
+def _fr_prelude(word: str) -> str:
+    w = list(word)
+    i = 0
+    while i < len(w) - 1:
+        done = False
+        if w[i] in _FR_VOWELS:
+            if w[i + 1] == "u" and i + 2 < len(w) and w[i + 2] in _FR_VOWELS:
+                w[i + 1], done = "U", True
+            elif w[i + 1] == "i" and i + 2 < len(w) \
+                    and w[i + 2] in _FR_VOWELS:
+                w[i + 1], done = "I", True
+            elif w[i + 1] == "y":
+                w[i + 1], done = "Y", True
+        # 'y' is itself a vowel, so the y->Y case must also be tried when
+        # the vowel-led alternatives above fail (or-chain, same position)
+        if not done and w[i] == "y" and w[i + 1] in _FR_VOWELS:
+            w[i], done = "Y", True
+        if not done and w[i] == "q" and w[i + 1] == "u":
+            w[i + 1] = "U"
+        i += 1
+    return "".join(w)
+
+
+def _fr_rv(word: str) -> int:
+    n = len(word)
+    if n >= 3 and word[0] in _FR_VOWELS and word[1] in _FR_VOWELS:
+        return 3
+    if word[:3] in ("par", "col", "tap"):
+        return 3
+    i = 1
+    while i < n and word[i] not in _FR_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def french_stem(word: str) -> str:
+    from ._snowball_data import (FR_A2, FR_A3, FR_DOUBLE, FR_IVERB,
+                                 FR_RESIDUAL, FR_STANDARD, FR_VERB)
+    word = _fr_prelude(word)
+    pV = _fr_rv(word)
+    _, p1, p2 = _sn_marks(word, _FR_VOWELS)
+
+    # --- standard_suffix or i_verb_suffix or verb_suffix, then Y/ç fix ---
+    applied = False
+    matched = False
+    suf, tag = _longest_among(word, FR_STANDARD, 0)
+    if suf is not None:
+        i = len(word) - len(suf)
+        if tag == 1 and i >= p2:
+            word, matched = word[:i], True
+        elif tag == 2 and i >= p2:
+            word, matched = word[:i], True
+            if word.endswith("ic"):
+                j = len(word) - 2
+                word = word[:j] if j >= p2 else word[:j] + "iqU"
+        elif tag == 3 and i >= p2:
+            word, matched = word[:i] + "log", True
+        elif tag == 4 and i >= p2:
+            word, matched = word[:i] + "u", True
+        elif tag == 5 and i >= p2:
+            word, matched = word[:i] + "ent", True
+        elif tag == 6 and i >= pV:
+            word, matched = word[:i], True
+            s2, t2 = _longest_among(word, FR_A2, 0)
+            if s2 is not None:
+                j = len(word) - len(s2)
+                if t2 == 1 and j >= p2:
+                    word = word[:j]
+                    if word.endswith("at") and len(word) - 2 >= p2:
+                        word = word[:-2]
+                elif t2 == 2:
+                    if j >= p2:
+                        word = word[:j]
+                    elif j >= p1:
+                        word = word[:j] + "eux"
+                elif t2 == 3 and j >= p2:
+                    word = word[:j]
+                elif t2 == 4 and j >= pV:
+                    word = word[:j] + "i"
+        elif tag == 7 and i >= p2:
+            word, matched = word[:i], True
+            s2, t2 = _longest_among(word, FR_A3, 0)
+            if s2 is not None:
+                j = len(word) - len(s2)
+                if t2 == 1:
+                    word = word[:j] if j >= p2 else word[:j] + "abl"
+                elif t2 == 2:
+                    word = word[:j] if j >= p2 else word[:j] + "iqU"
+                elif t2 == 3 and j >= p2:
+                    word = word[:j]
+        elif tag == 8 and i >= p2:
+            word, matched = word[:i], True
+            if word.endswith("at") and len(word) - 2 >= p2:
+                word = word[:-2]
+                if word.endswith("ic"):
+                    j = len(word) - 2
+                    word = word[:j] if j >= p2 else word[:j] + "iqU"
+        elif tag == 9:
+            word, matched = word[:i] + "eau", True
+        elif tag == 10 and i >= p1:
+            word, matched = word[:i] + "al", True
+        elif tag == 11:
+            if i >= p2:
+                word, matched = word[:i], True
+            elif i >= p1:
+                word, matched = word[:i] + "eux", True
+        elif tag == 12 and i >= p1 and i >= 1 \
+                and word[i - 1] not in _FR_VOWELS:
+            word, matched = word[:i], True
+        elif tag == 13 and i >= pV:
+            word = word[:i] + "ant"          # then FAIL -> verb passes run
+        elif tag == 14 and i >= pV:
+            word = word[:i] + "ent"
+        elif tag == 15 and i >= 1 and word[i - 1] in _FR_VOWELS \
+                and i - 1 >= pV:
+            word = word[:i]
+    if matched:
+        applied = True
+    else:
+        suf, _tag = _longest_among(word, FR_IVERB, pV)
+        if suf is not None:
+            i = len(word) - len(suf)
+            if i - 1 >= pV and word[i - 1] not in _FR_VOWELS:
+                word, applied = word[:i], True
+        if not applied:
+            suf, tag = _longest_among(word, FR_VERB, pV)
+            if suf is not None:
+                i = len(word) - len(suf)
+                if tag == 1 and i >= p2:
+                    word, applied = word[:i], True
+                elif tag == 2:
+                    word, applied = word[:i], True
+                elif tag == 3:
+                    word, applied = word[:i], True
+                    if word.endswith("e") and len(word) - 1 >= pV:
+                        word = word[:-1]
+    if applied:
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # --- residual_suffix ---
+        if (word.endswith("s") and len(word) >= 2
+                and word[-2] not in _FR_KEEP_S):
+            word = word[:-1]
+        suf, tag = _longest_among(word, FR_RESIDUAL, pV)
+        if suf is not None:
+            i = len(word) - len(suf)
+            if tag == 1 and i >= p2 and i - 1 >= pV \
+                    and i >= 1 and word[i - 1] in "st":
+                word = word[:i]
+            elif tag == 2:
+                word = word[:i] + "i"
+            elif tag == 3:
+                word = word[:i]
+            elif tag == 4 and word[:i].endswith("gu") and i - 2 >= pV:
+                word = word[:i]
+
+    # --- un_double ---
+    for d in FR_DOUBLE:
+        if word.endswith(d[0]):
+            word = word[:-1]
+            break
+
+    # --- un_accent: >=1 trailing non-vowel, then é/è -> e ---
+    k = 0
+    j = len(word) - 1
+    while j >= 0 and word[j] not in _FR_VOWELS:
+        k += 1
+        j -= 1
+    if k >= 1 and j >= 0 and word[j] in "éè":
+        word = word[:j] + "e" + word[j + 1:]
+
+    return word.translate(_FR_POSTLUDE)

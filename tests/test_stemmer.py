@@ -1039,3 +1039,18 @@ def test_portuguese_snowball_vocab():
     assert mism == []
     a = make_analyzer("portuguese_snowball")
     assert a("as canções cantadas")[0] == ["cançõ", "cant"]
+
+
+def test_french_snowball_vocab():
+    """All 20,403 french/voc.txt Snowball vectors, bit-exact — including the
+    y-as-vowel prelude or-chain (bunhyas), the par/col/tap RV exception, and
+    the fail-after-modify amment/emment/ment branches."""
+    from sparklucene.stemmer import french_stem
+
+    pairs = _snowball_vectors("french")
+    assert len(pairs) == 20403
+    mism = [(v, o, french_stem(v)) for v, o in pairs if french_stem(v) != o]
+    assert mism == []
+    a = make_analyzer("french_snowball")
+    # 'les' is a stopword; Snowball folds the plural + -ation
+    assert a("les continuations continuelles")[0] == ["continu", "continuel"]
