@@ -477,6 +477,31 @@ def _analyze_english(text: str) -> tuple[list[str], list[int]]:
     return terms, positions
 
 
+def _analyze_english_snowball(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(English) chain (Analysis/Snowball/
+    SnowballAnalyzer.cs:75-95 + Tartarus/Snowball/Ext/EnglishStemmer.cs):
+    Standard -> EnglishPossessive -> Lower -> Stop -> SnowballFilter
+    (Porter2).  The EnglishAnalyzer default remains the original Porter
+    stemmer."""
+    from .stemmer import porter2_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in _POSSESSIVE_APOS:
+            tok = tok[:-2]
+        low = tok.lower()
+        if low not in ENGLISH_STOP_WORDS:
+            terms.append(porter2_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
 def _make_synonym(synonyms: dict):
     """SynonymFilter analogue (Analysis/Synonym/SynonymFilter.cs): after the
     standard chain, each mapped term ALSO emits its synonyms at the SAME
@@ -526,6 +551,8 @@ def make_analyzer(name: str, **params):
         return _make_synonym(params.get("synonyms", {}))
     if name == "english":
         return _analyze_english
+    if name == "english_snowball":
+        return _analyze_english_snowball
     if name == "french":
         return _analyze_french_light
     if name == "french_snowball":

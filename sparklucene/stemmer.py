@@ -4022,3 +4022,182 @@ def french_stem(word: str) -> str:
         word = word[:j] + "e" + word[j + 1:]
 
     return word.translate(_FR_POSTLUDE)
+
+
+# ---------------------------------------------------------------------------
+# English Porter2 stemmer (Tartarus/Snowball/Ext/EnglishStemmer.cs; the
+# reference's SnowballFilter(English) / SnowballAnalyzer option — the
+# EnglishAnalyzer default remains the original PorterStemFilter,
+# stemmer.porter_stem).  Whole-word exception lists, Y marking, special
+# gener/commun/arsen R1, steps 0-5, Y->y postlude.  Validated bit-exact
+# against all 29,417 english vocab vectors.
+# ---------------------------------------------------------------------------
+
+_EN2_V = frozenset("aeiouy")
+_EN2_V_WXY = _EN2_V | frozenset("wxY")
+_EN2_VALID_LI = frozenset("cdeghkmnrt")
+_EN2_EXC1 = {"skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+             "tying": "tie", "idly": "idl", "gently": "gentl",
+             "ugly": "ugli", "early": "earli", "only": "onli",
+             "singly": "singl", "andes": "andes", "atlas": "atlas",
+             "bias": "bias", "cosmos": "cosmos", "howe": "howe",
+             "news": "news", "sky": "sky"}
+_EN2_EXC2 = frozenset(("succeed", "proceed", "exceed", "canning", "inning",
+                       "earring", "herring", "outing"))
+_EN2_STEP2 = (
+    ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("entli", "ent"), ("izer", "ize"),
+    ("ization", "ize"), ("ational", "ate"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("aliti", "al"), ("alli", "al"),
+    ("fulness", "ful"), ("ousli", "ous"), ("ousness", "ous"),
+    ("iveness", "ive"), ("iviti", "ive"), ("biliti", "ble"),
+    ("bli", "ble"), ("ogi", None), ("fulli", "ful"), ("lessli", "less"),
+    ("li", None))
+_EN2_STEP3 = (("tional", "tion"), ("ational", "ate"), ("alize", "al"),
+              ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+              ("ful", ""), ("ness", ""), ("ative", None))
+_EN2_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+              "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+              "al", "er", "ic")
+_EN2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+
+def _en2_shortv(w: str, i: int) -> bool:
+    """shortv at position i (end of the candidate stem w[:i])."""
+    if i >= 3 and w[i - 1] not in _EN2_V_WXY and w[i - 2] in _EN2_V \
+            and w[i - 3] not in _EN2_V:
+        return True
+    return i == 2 and w[0] in _EN2_V and w[1] not in _EN2_V
+
+
+def porter2_stem(word: str) -> str:
+    if word in _EN2_EXC1:
+        return _EN2_EXC1[word]
+    if len(word) < 3:
+        return word
+
+    # --- prelude ---
+    if word.startswith("'"):
+        word = word[1:]
+    y_found = False
+    w = list(word)
+    if w and w[0] == "y":
+        w[0], y_found = "Y", True
+    for i in range(len(w) - 1):
+        if w[i] in _EN2_V and w[i + 1] == "y":
+            w[i + 1], y_found = "Y", True
+    word = "".join(w)
+
+    # --- mark_regions (gener/commun/arsen exception for p1) ---
+    n = len(word)
+    p1 = p2 = n
+    pfx = next((p for p in ("commun", "gener", "arsen")
+                if word.startswith(p)), None)
+    if pfx is not None:
+        p1 = len(pfx)
+    else:
+        i = 0
+        while i < n and word[i] not in _EN2_V:
+            i += 1
+        while i < n and word[i] in _EN2_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+    if p1 < n:
+        i = p1
+        while i < n and word[i] not in _EN2_V:
+            i += 1
+        while i < n and word[i] in _EN2_V:
+            i += 1
+        if i < n:
+            p2 = i + 1
+
+    # --- step 0 + 1a ---
+    for apo in ("'s'", "'s", "'"):
+        if word.endswith(apo):
+            word = word[: -len(apo)]
+            break
+    suf, _ = _longest_among(word, (("sses", 1), ("ied", 2), ("ies", 2),
+                                   ("s", 3), ("ss", 4), ("us", 4)), 0)
+    if suf == "sses":
+        word = word[:-4] + "ss"
+    elif suf in ("ied", "ies"):
+        i = len(word) - len(suf)
+        word = word[:i] + ("i" if i >= 2 else "ie")
+    elif suf == "s":
+        if any(c in _EN2_V for c in word[:-2]):
+            word = word[:-1]
+
+    if word in _EN2_EXC2:
+        return word
+
+    # --- step 1b ---
+    suf, _ = _longest_among(word, (("eedly", 1), ("eed", 1), ("edly", 2),
+                                   ("ingly", 2), ("ed", 2), ("ing", 2)), 0)
+    if suf in ("eed", "eedly"):
+        i = len(word) - len(suf)
+        if i >= p1:
+            word = word[:i] + "ee"
+    elif suf is not None:
+        i = len(word) - len(suf)
+        if any(c in _EN2_V for c in word[:i]):
+            word = word[:i]
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif word.endswith(_EN2_DOUBLES):
+                word = word[:-1]
+            elif len(word) == p1 and _en2_shortv(word, len(word)):
+                word += "e"
+
+    # --- step 1c ---
+    if (len(word) >= 3 and word[-1] in "yY"
+            and word[-2] not in _EN2_V):
+        word = word[:-1] + "i"
+
+    # --- step 2 (longest match, R1) ---
+    suf = max((s for s, _r in _EN2_STEP2 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p1:
+        i = len(word) - len(suf)
+        repl = dict(_EN2_STEP2)[suf]
+        if suf == "ogi":
+            if i >= 1 and word[i - 1] == "l":
+                word = word[:i] + "og"
+        elif suf == "li":
+            if i >= 1 and word[i - 1] in _EN2_VALID_LI:
+                word = word[:i]
+        else:
+            word = word[:i] + repl
+
+    # --- step 3 (longest match, R1; ative needs R2) ---
+    suf = max((s for s, _r in _EN2_STEP3 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p1:
+        i = len(word) - len(suf)
+        if suf == "ative":
+            if i >= p2:
+                word = word[:i]
+        else:
+            word = word[:i] + dict(_EN2_STEP3)[suf]
+
+    # --- step 4 (longest match, R2) ---
+    suf = max((s for s in _EN2_STEP4 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p2:
+        i = len(word) - len(suf)
+        if suf == "ion":
+            if i >= 1 and word[i - 1] in "st":
+                word = word[:i]
+        else:
+            word = word[:i]
+
+    # --- step 5 ---
+    if word.endswith("e"):
+        i = len(word) - 1
+        if i >= p2 or (i >= p1 and not _en2_shortv(word, i)):
+            word = word[:i]
+    elif word.endswith("l") and len(word) - 1 >= p2 \
+            and len(word) >= 2 and word[-2] == "l":
+        word = word[:-1]
+
+    return word.replace("Y", "y") if y_found else word

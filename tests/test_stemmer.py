@@ -1054,3 +1054,17 @@ def test_french_snowball_vocab():
     a = make_analyzer("french_snowball")
     # 'les' is a stopword; Snowball folds the plural + -ation
     assert a("les continuations continuelles")[0] == ["continu", "continuel"]
+
+
+def test_english_porter2_snowball_vocab():
+    """All 29,417 english/voc.txt Porter2 vectors, bit-exact (whole-word
+    exception lists, Y marking, gener/commun/arsen R1, steps 0-5)."""
+    from sparklucene.stemmer import porter2_stem
+
+    pairs = _snowball_vectors("english")
+    assert len(pairs) == 29417
+    mism = [(v, o, porter2_stem(v)) for v, o in pairs if porter2_stem(v) != o]
+    assert mism == []
+    # Porter2 differs from Porter on e.g. 'generously'
+    a = make_analyzer("english_snowball")
+    assert a("the dogs' generously")[0] == ["dog", "generous"]
