@@ -533,8 +533,8 @@ def make_analyzer(name: str, **params):
     """-> callable(text) -> (terms, positions).  Names: standard (default),
     whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=), synonym,
     english, french, german, spanish, italian, portuguese, swedish, russian,
-    hungarian, finnish, norwegian, delimited_payload, standard_folding,
-    html, shingle."""
+    hungarian, finnish, norwegian, turkish, delimited_payload,
+    standard_folding, html, shingle."""
     if name == "standard":
         return _analyze_standard
     if name == "whitespace":
@@ -637,6 +637,8 @@ def make_analyzer(name: str, **params):
         return _analyze_chinese
     if name == "thai":
         return _analyze_thai
+    if name == "turkish":
+        return _analyze_turkish
     if name == "galician_minimal":
         return _analyze_galician_minimal
     if name == "portuguese_rslp":
@@ -2032,3 +2034,62 @@ def _analyze_thai(text: str) -> tuple[list[str], list[int]]:
     raise NotImplementedError(
         "ThaiTokenizer needs an ICU Thai-dictionary BreakIterator, which "
         "is not available in this environment")
+
+
+TURKISH_STOP_WORDS = frozenset((
+    'acaba', 'altmış', 'altı', 'ama', 'ancak', 'arada', 'aslında',
+    'ayrıca', 'bana', 'bazı', 'belki', 'ben', 'benden', 'beni', 'benim',
+    'beri', 'beş', 'bile', 'bin', 'bir', 'birçok', 'biri', 'birkaç',
+    'birkez', 'birşey', 'birşeyi', 'biz', 'bize', 'bizden', 'bizi',
+    'bizim', 'böyle', 'böylece', 'bu', 'buna', 'bunda', 'bundan',
+    'bunlar', 'bunları', 'bunların', 'bunu', 'bunun', 'burada', 'çok',
+    'çünkü', 'da', 'daha', 'dahi', 'de', 'defa', 'değil', 'diğer', 'diye',
+    'doksan', 'dokuz', 'dolayı', 'dolayısıyla', 'dört', 'edecek', 'eden',
+    'ederek', 'edilecek', 'ediliyor', 'edilmesi', 'ediyor', 'eğer',
+    'elli', 'en', 'etmesi', 'etti', 'ettiği', 'ettiğini', 'gibi', 'göre',
+    'halen', 'hangi', 'hatta', 'hem', 'henüz', 'hep', 'hepsi', 'her',
+    'herhangi', 'herkesin', 'hiç', 'hiçbir', 'için', 'iki', 'ile',
+    'ilgili', 'ise', 'işte', 'itibaren', 'itibariyle', 'kadar', 'karşın',
+    'katrilyon', 'kendi', 'kendilerine', 'kendini', 'kendisi',
+    'kendisine', 'kendisini', 'kez', 'ki', 'kim', 'kimden', 'kime',
+    'kimi', 'kimse', 'kırk', 'milyar', 'milyon', 'mu', 'mü', 'mı',
+    'nasıl', 'ne', 'neden', 'nedenle', 'nerde', 'nerede', 'nereye',
+    'niye', 'niçin', 'o', 'olan', 'olarak', 'oldu', 'olduğu', 'olduğunu',
+    'olduklarını', 'olmadı', 'olmadığı', 'olmak', 'olması', 'olmayan',
+    'olmaz', 'olsa', 'olsun', 'olup', 'olur', 'olursa', 'oluyor', 'on',
+    'ona', 'ondan', 'onlar', 'onlardan', 'onları', 'onların', 'onu',
+    'onun', 'otuz', 'oysa', 'öyle', 'pek', 'rağmen', 'sadece', 'sanki',
+    'sekiz', 'seksen', 'sen', 'senden', 'seni', 'senin', 'siz', 'sizden',
+    'sizi', 'sizin', 'şey', 'şeyden', 'şeyi', 'şeyler', 'şöyle', 'şu',
+    'şuna', 'şunda', 'şundan', 'şunları', 'şunu', 'tarafından', 'trilyon',
+    'tüm', 'üç', 'üzere', 'var', 'vardı', 've', 'veya', 'ya', 'yani',
+    'yapacak', 'yapılan', 'yapılması', 'yapıyor', 'yapmak', 'yaptı',
+    'yaptığı', 'yaptığını', 'yaptıkları', 'yedi', 'yerine', 'yetmiş',
+    'yine', 'yirmi', 'yoksa', 'yüz', 'zaten'
+))
+
+
+def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:
+    """TurkishAnalyzer chain (Analysis/Tr/TurkishAnalyzer.cs:120-136,
+    matchVersion >= 4.8): Standard -> Apostrophe (truncate at '/’,
+    ApostropheFilter.cs:51-58) -> TurkishLowerCase -> Stop(stopwords.txt,
+    '#' comments) -> Snowball Turkish stem."""
+    from .stemmer import turkish_lowercase, turkish_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        for i, ch in enumerate(tok):
+            if ch in ("'", "’"):
+                tok = tok[:i]
+                break
+        low = turkish_lowercase(tok)
+        if low and low not in TURKISH_STOP_WORDS:
+            terms.append(turkish_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions

@@ -4201,3 +4201,614 @@ def porter2_stem(word: str) -> str:
         word = word[:-1]
 
     return word.replace("Y", "y") if y_found else word
+
+
+# ---------------------------------------------------------------------------
+# Turkish Snowball stemmer (Tartarus/Snowball/Ext/TurkishStemmer.cs; the
+# TurkishAnalyzer's stem filter, Analysis/Tr/TurkishAnalyzer.cs:129-135).
+# Suffix-STRIPPING only (no replacement rules): nominal-verb suffixes, then
+# noun suffixes with the recursive "ki" chain, then postlude (append U to
+# d/g stems, devoice final b/c/d/ğ).  All deletions that happened before a
+# routine "fails" persist, matching SnowballFilter.cs:99-104 which copies
+# the stemmer buffer regardless of Stem()'s return value.  Validated
+# bit-exact against the reference's 96k-word turkish vocab vectors
+# (TestSnowballVocabData.zip).
+# ---------------------------------------------------------------------------
+
+_TR_VOWEL = frozenset("aeıioöuü")          # aeıioöuü
+_TR_U = frozenset("ıiuü")                        # ıiuü
+# last vowel -> set of vowels allowed earlier (check_vowel_harmony :111-130)
+_TR_HARMONY = {
+    "a": frozenset("aıou"), "e": frozenset("eiöü"),
+    "ı": frozenset("aı"), "i": frozenset("ei"),
+    "o": frozenset("ou"), "ö": frozenset("öü"),
+    "u": frozenset("ou"), "ü": frozenset("öü"),
+}
+
+_TR_A0 = ("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz",
+          "mız", "nız")                                   # possessives
+_TR_A1 = ("leri", "ları")                                      # lArI
+_TR_A2 = ("ni", "nu", "nü", "nı")                         # nU
+_TR_A3 = ("in", "un", "ün", "ın")                         # nUn (base)
+_TR_A4 = ("a", "e")                                                 # yA
+_TR_A5 = ("na", "ne")                                               # nA
+_TR_A6 = ("da", "ta", "de", "te")                                   # DA
+_TR_A7 = ("nda", "nde")                                             # ndA
+_TR_A8 = ("dan", "tan", "den", "ten")                               # DAn
+_TR_A9 = ("ndan", "nden")                                           # ndAn
+_TR_A10 = ("la", "le")                                              # ylA
+_TR_A11 = ("ca", "ce")                                              # ncA
+_TR_A12 = ("im", "um", "üm", "ım")                        # yUm
+_TR_A13 = ("sin", "sun", "sün", "sın")                    # sUn
+_TR_A14 = ("iz", "uz", "üz", "ız")                        # yUz
+_TR_A15 = ("siniz", "sunuz", "sünüz", "sınız")  # sUnUz
+_TR_A16 = ("lar", "ler")                                            # lAr
+_TR_A17 = ("niz", "nuz", "nüz", "nız")                    # nUz
+_TR_A18 = ("dir", "tir", "dur", "tur", "dür", "tür",
+           "dır", "tır")                                  # DUr
+_TR_A19 = ("casına", "cesine")                                 # cAsInA
+_TR_A20 = ("di", "ti", "dik", "tik", "duk", "tuk", "dük",
+           "tük", "dık", "tık", "dim", "tim", "dum",
+           "tum", "düm", "tüm", "dım", "tım",
+           "din", "tin", "dun", "tun", "dün", "tün",
+           "dın", "tın", "du", "tu", "dü", "tü",
+           "dı", "tı")                                    # yDU
+_TR_A21 = ("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")    # ysA
+_TR_A22 = ("miş", "muş", "müş", "mış")  # ymUs
+
+
+def _tr_harmony(w: str, c: int) -> bool:
+    """check_vowel_harmony (:260): the last vowel before c must be preceded
+    (anywhere earlier) by a vowel of its harmony class.  Pure test."""
+    for j in range(c - 1, -1, -1):
+        if w[j] in _TR_VOWEL:
+            cls = _TR_HARMONY[w[j]]
+            return any(ch in cls for ch in w[:j])
+    return False
+
+
+def _tr_opt_ch(w: str, c: int, ch: str):
+    """mark_suffix_with_optional_{n,s,y}_consonant (:594-866): consume ch at
+    c-1 when a vowel follows it on the left; else require (w[c-1] != ch and
+    a vowel at c-2) with no consumption.  None = routine fails."""
+    if c >= 1 and w[c - 1] == ch:
+        return c - 1 if (c >= 2 and w[c - 2] in _TR_VOWEL) else None
+    return c if (c >= 2 and w[c - 2] in _TR_VOWEL) else None
+
+
+def _tr_opt_U(w: str, c: int):
+    """mark_suffix_with_optional_U_vowel (:866): same shape with the U
+    grouping and a NON-vowel follow test."""
+    if c >= 1 and w[c - 1] in _TR_U:
+        return c - 1 if (c >= 2 and w[c - 2] not in _TR_VOWEL) else None
+    return c if (c >= 2 and w[c - 2] not in _TR_VOWEL) else None
+
+
+def _tr_among(w: str, c: int, table):
+    """FindAmongB ending at cursor c: new cursor or None."""
+    suf, _ = _longest_among(w[:c], tuple((s, 0) for s in table), 0)
+    return None if suf is None else c - len(suf)
+
+
+def _tr_m_possessives(w, c):
+    c = _tr_among(w, c, _TR_A0)
+    return None if c is None else _tr_opt_U(w, c)
+
+
+def _tr_m_sU(w, c):
+    if not _tr_harmony(w, c):
+        return None
+    if c < 1 or w[c - 1] not in _TR_U:
+        return None
+    return _tr_opt_ch(w, c - 1, "s")
+
+
+def _tr_m_lArI(w, c):
+    return _tr_among(w, c, _TR_A1)
+
+
+def _tr_m_yU(w, c):
+    if not _tr_harmony(w, c):
+        return None
+    if c < 1 or w[c - 1] not in _TR_U:
+        return None
+    return _tr_opt_ch(w, c - 1, "y")
+
+
+def _tr_harmony_among(w, c, table):
+    if not _tr_harmony(w, c):
+        return None
+    return _tr_among(w, c, table)
+
+
+def _tr_m_nU(w, c):
+    return _tr_harmony_among(w, c, _TR_A2)
+
+
+def _tr_m_nUn(w, c):
+    c = _tr_harmony_among(w, c, _TR_A3)
+    return None if c is None else _tr_opt_ch(w, c, "n")
+
+
+def _tr_m_yA(w, c):
+    c = _tr_harmony_among(w, c, _TR_A4)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_nA(w, c):
+    return _tr_harmony_among(w, c, _TR_A5)
+
+
+def _tr_m_DA(w, c):
+    return _tr_harmony_among(w, c, _TR_A6)
+
+
+def _tr_m_ndA(w, c):
+    return _tr_harmony_among(w, c, _TR_A7)
+
+
+def _tr_m_DAn(w, c):
+    return _tr_harmony_among(w, c, _TR_A8)
+
+
+def _tr_m_ndAn(w, c):
+    return _tr_harmony_among(w, c, _TR_A9)
+
+
+def _tr_m_ylA(w, c):
+    c = _tr_harmony_among(w, c, _TR_A10)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_ki(w, c):
+    return c - 2 if w[:c].endswith("ki") else None
+
+
+def _tr_m_ncA(w, c):
+    c = _tr_harmony_among(w, c, _TR_A11)
+    return None if c is None else _tr_opt_ch(w, c, "n")
+
+
+def _tr_m_yUm(w, c):
+    c = _tr_harmony_among(w, c, _TR_A12)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_sUn(w, c):
+    return _tr_harmony_among(w, c, _TR_A13)
+
+
+def _tr_m_yUz(w, c):
+    c = _tr_harmony_among(w, c, _TR_A14)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_sUnUz(w, c):
+    return _tr_among(w, c, _TR_A15)
+
+
+def _tr_m_lAr(w, c):
+    return _tr_harmony_among(w, c, _TR_A16)
+
+
+def _tr_m_nUz(w, c):
+    return _tr_harmony_among(w, c, _TR_A17)
+
+
+def _tr_m_DUr(w, c):
+    return _tr_harmony_among(w, c, _TR_A18)
+
+
+def _tr_m_cAsInA(w, c):
+    return _tr_among(w, c, _TR_A19)
+
+
+def _tr_m_yDU(w, c):
+    c = _tr_harmony_among(w, c, _TR_A20)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_ysA(w, c):
+    c = _tr_among(w, c, _TR_A21)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_ymUs(w, c):
+    c = _tr_harmony_among(w, c, _TR_A22)
+    return None if c is None else _tr_opt_ch(w, c, "y")
+
+
+def _tr_m_yken(w, c):
+    if not w[:c].endswith("ken"):
+        return None
+    return _tr_opt_ch(w, c - 3, "y")
+
+
+def _tr_nominal_verb(w: str):
+    """stem_nominal_verb_suffixes (:1426) -> (new word, continue flag).
+    A fully-failed routine leaves the word untouched with the flag set."""
+    n = len(w)
+    # (ymUs_ or yDU or ysA or yken)                               :314
+    for m in (_tr_m_ymUs, _tr_m_yDU, _tr_m_ysA, _tr_m_yken):
+        c = m(w, n)
+        if c is not None:
+            return w[:c], True
+    # cAsInA (sUnUz|lAr|yUm|sUn|yUz|()) ymUs_                     :316
+    c = _tr_m_cAsInA(w, n)
+    if c is not None:
+        c2 = c
+        for m in (_tr_m_sUnUz, _tr_m_lAr, _tr_m_yUm, _tr_m_sUn, _tr_m_yUz):
+            t = m(w, c)
+            if t is not None:
+                c2 = t
+                break
+        c3 = _tr_m_ymUs(w, c2)
+        if c3 is not None:
+            return w[:c3], True
+    # lAr ] delete try([DUr|yDU|ysA|ymUs_) unset flag             :319-320
+    c = _tr_m_lAr(w, n)
+    if c is not None:
+        w = w[:c]
+        for m in (_tr_m_DUr, _tr_m_yDU, _tr_m_ysA, _tr_m_ymUs):
+            t = m(w, len(w))
+            if t is not None:
+                w = w[:t]
+                break
+        return w, False
+    # nUz (yDU or ysA)                                            :323
+    c = _tr_m_nUz(w, n)
+    if c is not None:
+        for m in (_tr_m_yDU, _tr_m_ysA):
+            t = m(w, c)
+            if t is not None:
+                return w[:t], True
+    # (sUnUz|yUz|sUn|yUm) ] delete try([ymUs_)                    :325
+    for m in (_tr_m_sUnUz, _tr_m_yUz, _tr_m_sUn, _tr_m_yUm):
+        c = m(w, n)
+        if c is not None:
+            w = w[:c]
+            t = _tr_m_ymUs(w, len(w))
+            if t is not None:
+                w = w[:t]
+            return w, True
+    # DUr ] delete try([(sUnUz|lAr|yUm|sUn|yUz|()) ymUs_)         :327
+    c = _tr_m_DUr(w, n)
+    if c is None:
+        return w, True
+    w = w[:c]
+    m0 = len(w)
+    c2 = m0
+    for m in (_tr_m_sUnUz, _tr_m_lAr, _tr_m_yUm, _tr_m_sUn, _tr_m_yUz):
+        t = m(w, m0)
+        if t is not None:
+            c2 = t
+            break
+    t = _tr_m_ymUs(w, c2)
+    if t is not None:
+        w = w[:t]
+    return w, True
+
+
+def _tr_chain_ki(w: str, c: int):
+    """stem_suffix_chain_before_ki (:1887) at cursor c -> (word, matched).
+    Cursor-only restores after a SliceDel keep the deletion, as in the
+    generated code (v_N distances are measured from the moving limit)."""
+    ket = c
+    c = _tr_m_ki(w, c)
+    if c is None:
+        return w, False
+    # alt A: DA ] delete try( (lAr ] del try(chain)) | (poss ] del try([lAr ] del chain)) )   :336-339
+    t = _tr_m_DA(w, c)
+    if t is not None:
+        w = w[:t] + w[ket:]
+        m0 = t
+        t2 = _tr_m_lAr(w, m0)
+        if t2 is not None:
+            w = w[:t2] + w[m0:]
+            w2, ok = _tr_chain_ki(w, t2)
+            if ok:
+                w = w2
+            return w, True
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is not None:
+            w = w[:t2] + w[m0:]
+            t3 = _tr_m_lAr(w, t2)
+            if t3 is not None:
+                w = w[:t3] + w[t2:]
+                w2, ok = _tr_chain_ki(w, t3)
+                if ok:
+                    w = w2
+        return w, True
+    # alt B: nUn ] delete try( (lArI ] del) | ([(poss|sU) ] del try([lAr ] del chain)) | chain )  :343-348
+    t = _tr_m_nUn(w, c)
+    if t is not None:
+        w = w[:t] + w[ket:]
+        m0 = t
+        t2 = _tr_m_lArI(w, m0)
+        if t2 is not None:
+            return w[:t2] + w[m0:], True
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is None:
+            t2 = _tr_m_sU(w, m0)
+        if t2 is not None:
+            w = w[:t2] + w[m0:]
+            t3 = _tr_m_lAr(w, t2)
+            if t3 is not None:
+                w = w[:t3] + w[t2:]
+                w2, ok = _tr_chain_ki(w, t3)
+                if ok:
+                    w = w2
+            return w, True
+        w2, ok = _tr_chain_ki(w, m0)
+        if ok:
+            return w2, True
+        return w, True
+    # alt C: ndA ( (lArI ] del) | (sU ] del try([lAr ] del chain)) | chain ) else FAIL  :351-356
+    t = _tr_m_ndA(w, c)
+    if t is None:
+        return w, False
+    t2 = _tr_m_lArI(w, t)
+    if t2 is not None:
+        return w[:t2] + w[ket:], True
+    t2 = _tr_m_sU(w, t)
+    if t2 is not None:
+        w = w[:t2] + w[ket:]
+        t3 = _tr_m_lAr(w, t2)
+        if t3 is not None:
+            w = w[:t3] + w[t2:]
+            w2, ok = _tr_chain_ki(w, t3)
+            if ok:
+                w = w2
+        return w, True
+    w2, ok = _tr_chain_ki(w, t)
+    if ok:
+        return w2, True
+    return w, False
+
+
+def _tr_noun_suffixes(w: str) -> str:
+    """stem_noun_suffixes (:2224); a fully-failed routine is a no-op (the
+    caller runs it under `do`)."""
+    n = len(w)
+    # b1: [lAr ] del try(chain)                                   :362
+    t = _tr_m_lAr(w, n)
+    if t is not None:
+        w = w[:t]
+        w2, ok = _tr_chain_ki(w, len(w))
+        return w2 if ok else w
+    # b2: [ncA ] del try( (lArI ] del) | ([(poss|sU) ] del try([lAr ] del chain)) | ([lAr ] del chain) )  :364-370
+    t = _tr_m_ncA(w, n)
+    if t is not None:
+        w = w[:t]
+        m0 = len(w)
+        t2 = _tr_m_lArI(w, m0)
+        if t2 is not None:
+            return w[:t2]
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is None:
+            t2 = _tr_m_sU(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            t3 = _tr_m_lAr(w, len(w))
+            if t3 is not None:
+                w = w[:t3]
+                w2, ok = _tr_chain_ki(w, len(w))
+                if ok:
+                    w = w2
+            return w
+        t2 = _tr_m_lAr(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            w2, ok = _tr_chain_ki(w, len(w))
+            return w2 if ok else w
+        return w
+    # b3: [(ndA|nA) ( (lArI ] del) | (sU ] del try([lAr ] del chain)) | chain ) else next  :374-380
+    t = None
+    for m in (_tr_m_ndA, _tr_m_nA):
+        t = m(w, n)
+        if t is not None:
+            break
+    if t is not None:
+        t2 = _tr_m_lArI(w, t)
+        if t2 is not None:
+            return w[:t2]
+        t2 = _tr_m_sU(w, t)
+        if t2 is not None:
+            w2 = w[:t2]
+            t3 = _tr_m_lAr(w2, len(w2))
+            if t3 is not None:
+                w3 = w2[:t3]
+                w4, ok = _tr_chain_ki(w3, len(w3))
+                w2 = w4 if ok else w3
+            return w2
+        w2, ok = _tr_chain_ki(w, t)
+        if ok:
+            return w2
+    # b4: [(ndAn|nU) ( (sU ] del try([lAr ] del chain)) | lArI(no delete) ) else next  :384
+    t = None
+    for m in (_tr_m_ndAn, _tr_m_nU):
+        t = m(w, n)
+        if t is not None:
+            break
+    if t is not None:
+        t2 = _tr_m_sU(w, t)
+        if t2 is not None:
+            w2 = w[:t2]
+            t3 = _tr_m_lAr(w2, len(w2))
+            if t3 is not None:
+                w3 = w2[:t3]
+                w4, ok = _tr_chain_ki(w3, len(w3))
+                w2 = w4 if ok else w3
+            return w2
+        if _tr_m_lArI(w, t) is not None:
+            return w          # marks without deleting (:384, no ]delete)
+    # b5: [DAn ] del try([ (poss ] del try([lAr ] del chain)) | (lAr ] del try(chain)) | chain )  :386-392
+    t = _tr_m_DAn(w, n)
+    if t is not None:
+        w = w[:t]
+        m0 = len(w)
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            t3 = _tr_m_lAr(w, len(w))
+            if t3 is not None:
+                w3 = w[:t3]
+                w4, ok = _tr_chain_ki(w3, len(w3))
+                w = w4 if ok else w3
+            return w
+        t2 = _tr_m_lAr(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            w2, ok = _tr_chain_ki(w, len(w))
+            return w2 if ok else w
+        w2, ok = _tr_chain_ki(w, m0)
+        return w2 if ok else w
+    # b6: [(nUn|ylA) ] del try( ([lAr ] del chain) | ([(poss|sU) ] del try([lAr ] del chain)) | chain )  :396-402
+    t = None
+    for m in (_tr_m_nUn, _tr_m_ylA):
+        t = m(w, n)
+        if t is not None:
+            break
+    if t is not None:
+        w = w[:t]
+        t2 = _tr_m_lAr(w, len(w))
+        if t2 is not None:
+            w3 = w[:t2]
+            w4, ok = _tr_chain_ki(w3, len(w3))
+            if ok:
+                return w4
+            w = w3    # cursor-only restore keeps the lAr deletion (:398)
+        m0 = len(w)
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is None:
+            t2 = _tr_m_sU(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            t3 = _tr_m_lAr(w, len(w))
+            if t3 is not None:
+                w3 = w[:t3]
+                w4, ok = _tr_chain_ki(w3, len(w3))
+                w = w4 if ok else w3
+            return w
+        w2, ok = _tr_chain_ki(w, len(w))
+        return w2 if ok else w
+    # b7: [lArI ] del                                             :406
+    t = _tr_m_lArI(w, n)
+    if t is not None:
+        return w[:t]
+    # b8: chain                                                   :408
+    w2, ok = _tr_chain_ki(w, n)
+    if ok:
+        return w2
+    # b9: [(DA|yU|yA) ] del try([ ((poss ] del try([lAr)) | lAr) ] del [ chain )  :410
+    t = None
+    for m in (_tr_m_DA, _tr_m_yU, _tr_m_yA):
+        t = m(w, n)
+        if t is not None:
+            break
+    if t is not None:
+        w = w[:t]
+        m0 = len(w)
+        t2 = _tr_m_possessives(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            ket2 = len(w)
+            t3 = _tr_m_lAr(w, ket2)
+            c = t3 if t3 is not None else ket2
+            w = w[:c]
+            w2, ok = _tr_chain_ki(w, len(w))
+            if ok:
+                w = w2
+            return w
+        t2 = _tr_m_lAr(w, m0)
+        if t2 is not None:
+            w = w[:t2]
+            w2, ok = _tr_chain_ki(w, len(w))
+            if ok:
+                w = w2
+        return w
+    # b10: [(poss|sU) ] del try([lAr ] del chain) else FAIL       :412
+    t = _tr_m_possessives(w, n)
+    if t is None:
+        t = _tr_m_sU(w, n)
+    if t is None:
+        return w
+    w = w[:t]
+    t2 = _tr_m_lAr(w, len(w))
+    if t2 is not None:
+        w3 = w[:t2]
+        w4, ok = _tr_chain_ki(w3, len(w3))
+        w = w4 if ok else w3
+    return w
+
+
+def turkish_stem(word: str) -> str:
+    """TurkishStemmer.Stem (:3677): require >= 2 vowels, strip nominal-verb
+    suffixes, then (if continue flag survives) noun suffixes, then the
+    postlude — unless the result is a reserved word ('ad'/'soyad')."""
+    if sum(1 for ch in word if ch in _TR_VOWEL) < 2:
+        return word
+    w, cont = _tr_nominal_verb(word)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    # postlude (:3621)
+    if w in ("ad", "soyad"):
+        return w
+    # append_U_to_stems_ending_with_d_or_g (:3149)
+    if w.endswith(("d", "g")):
+        for j in range(len(w) - 1, -1, -1):
+            if w[j] in _TR_VOWEL:
+                v = w[j]
+                if v in "aı":
+                    w += "ı"
+                elif v in "ei":
+                    w += "i"
+                elif v in "ou":
+                    w += "u"
+                else:
+                    w += "ü"
+                break
+    # post_process_last_consonants (:3107)
+    if w:
+        repl = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}.get(w[-1])
+        if repl is not None:
+            w = w[:-1] + repl
+    return w
+
+
+def turkish_lowercase(s: str) -> str:
+    """TurkishLowerCaseFilter (Analysis/Tr/TurkishLowerCaseFilter.cs:59-99):
+    I -> ı (dotless) unless followed by combining-dot-above (then i, dot
+    deleted); İ -> i; combining dots above after an I are consumed; all
+    other characters lowercase 1:1."""
+    import unicodedata
+
+    out: list[str] = []
+    i_or_after = False
+    n = len(s)
+    for idx, ch in enumerate(s):
+        i_or_after = ch == "I" or (
+            i_or_after and unicodedata.category(ch) == "Mn")
+        if i_or_after:
+            if ch == "̇":
+                continue                     # delete the combining dot
+            if ch == "I":
+                j = idx + 1
+                before_dot = False
+                while j < n and unicodedata.category(s[j]) == "Mn":
+                    if s[j] == "̇":
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False
+                continue
+        if ch == "İ":
+            out.append("i")                  # tr-culture İ -> i
+        else:
+            out.append(ch.lower())
+    return "".join(out)

@@ -1068,3 +1068,45 @@ def test_english_porter2_snowball_vocab():
     # Porter2 differs from Porter on e.g. 'generously'
     a = make_analyzer("english_snowball")
     assert a("the dogs' generously")[0] == ["dog", "generous"]
+
+
+def test_turkish_snowball_vocab():
+    """All 96,325 turkish/voc.txt Snowball vectors, bit-exact.  Four
+    outputs are empty strings, so pair by line (split() would misalign)."""
+    import io
+
+    from sparklucene.stemmer import turkish_stem
+
+    with zipfile.ZipFile(SNOWBALL_VOCAB_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("turkish/voc.txt"),
+                               encoding="utf-8").read().splitlines()
+        out = io.TextIOWrapper(z.open("turkish/output.txt"),
+                               encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) == 96325
+    mism = [(v, o, turkish_stem(v))
+            for v, o in zip(voc, out) if turkish_stem(v) != o]
+    assert mism == []
+
+
+def test_turkish_lowercase_and_analyzer():
+    """TurkishLowerCaseFilter vectors (TestTurkishLowerCaseFilter.cs:36-70,
+    composed + decomposed + extra accents) and the full 4.8 chain incl.
+    the ApostropheFilter."""
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import turkish_lowercase as tl
+
+    assert tl("İSTANBUL") == "istanbul"
+    assert tl("İZMİR") == "izmir"
+    assert tl("ISPARTA") == "ısparta"
+    # decomposed I + combining dot above
+    assert tl("İSTANBUL") == "istanbul"
+    assert tl("İZMİR") == "izmir"
+    # I + U+0316 + U+0307 is canonically equivalent to İ + U+0316
+    assert tl("İ̖STANBUL") == "i̖stanbul"
+    assert tl("I̖SPARTA") == "ı̖sparta"
+    assert tl("İ") == "i"
+
+    tr = make_analyzer("turkish")
+    # apostrophe truncation (Ağaçlar'ın -> ağaçlar -> ağaç), 've' stopped
+    assert tr("Ağaçlar'ın altında İstanbul ve kitapları okuyor") == (
+        ["ağaç", "alt", "istanbul", "kitap", "okuyor"], [0, 1, 2, 4, 5])
