@@ -533,8 +533,8 @@ def make_analyzer(name: str, **params):
     """-> callable(text) -> (terms, positions).  Names: standard (default),
     whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=), synonym,
     english, french, german, spanish, italian, portuguese, swedish, russian,
-    hungarian, finnish, norwegian, turkish, delimited_payload,
-    standard_folding, html, shingle."""
+    hungarian, finnish, norwegian, turkish, porter_snowball, lovins, kp,
+    delimited_payload, standard_folding, html, shingle."""
     if name == "standard":
         return _analyze_standard
     if name == "whitespace":
@@ -639,6 +639,12 @@ def make_analyzer(name: str, **params):
         return _analyze_thai
     if name == "turkish":
         return _analyze_turkish
+    if name == "porter_snowball":
+        return _analyze_porter_snowball
+    if name == "lovins":
+        return _analyze_lovins
+    if name == "kp":
+        return _analyze_kp
     if name == "galician_minimal":
         return _analyze_galician_minimal
     if name == "portuguese_rslp":
@@ -2067,6 +2073,58 @@ TURKISH_STOP_WORDS = frozenset((
     'yaptığı', 'yaptığını', 'yaptıkları', 'yedi', 'yerine', 'yetmiş',
     'yine', 'yirmi', 'yoksa', 'yüz', 'zaten'
 ))
+
+
+def _make_snowball_en_chain(stem_fn):
+    """SnowballAnalyzer(Porter/Lovins) chain (Analysis/Snowball/
+    SnowballAnalyzer.cs:75-95): Standard -> EnglishPossessive -> Lower ->
+    SnowballFilter (no stop set unless given one)."""
+    def _an(text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for tok in tokenize_raw(text):
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            if tok.endswith(("'s", "\u2019s", "\uFF07s")):
+                tok = tok[:-2]
+            low = tok.lower()
+            if low:
+                terms.append(stem_fn(low))
+                positions.append(pos)
+            pos += 1
+        return terms, positions
+    return _an
+
+
+def _analyze_porter_snowball(text: str) -> tuple[list[str], list[int]]:
+    from .stemmer import porter_snowball_stem
+    return _make_snowball_en_chain(porter_snowball_stem)(text)
+
+
+def _analyze_lovins(text: str) -> tuple[list[str], list[int]]:
+    from .stemmer import lovins_stem
+    return _make_snowball_en_chain(lovins_stem)(text)
+
+
+def _analyze_kp(text: str) -> tuple[list[str], list[int]]:
+    """SnowballAnalyzer(Kp): Standard -> Lower -> SnowballFilter(Kp)."""
+    from .stemmer import kp_stem
+
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok in tokenize_raw(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = tok.lower()
+        if low:
+            terms.append(kp_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
 
 
 def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:

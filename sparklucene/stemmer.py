@@ -4812,3 +4812,734 @@ def turkish_lowercase(s: str) -> str:
         else:
             out.append(ch.lower())
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Snowball "porter" stemmer (Tartarus/Snowball/Ext/PorterStemmer.cs) — the
+# ORIGINAL 1980 Porter algorithm as distributed by the Snowball project,
+# WITHOUT the Lucene PorterStemFilter departures (no ->logi / ->bli rules;
+# cf. porter_stem above, which matches PorterStemmer.cs in Analysis/En).
+# Validated bit-exact against the reference's 30,428-word porter vocab
+# vectors (TestSnowballVocabData.zip).
+# ---------------------------------------------------------------------------
+
+_PSB_V = frozenset("aeiouy")
+_PSB_VWXY = frozenset("aeiouywxY")
+_PSB_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_PSB_STEP2 = (
+    ("tional", "tion"), ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+    ("entli", "ent"), ("eli", "e"), ("ization", "ize"), ("izer", "ize"),
+    ("ational", "ate"), ("ation", "ate"), ("ator", "ate"), ("alli", "al"),
+    ("aliti", "al"), ("alism", "al"), ("fulness", "ful"), ("ousli", "ous"),
+    ("ousness", "ous"), ("iveness", "ive"), ("iviti", "ive"),
+    ("biliti", "ble"),
+)
+_PSB_STEP3 = (("icate", "ic"), ("ative", ""), ("alize", "al"),
+              ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""))
+_PSB_STEP4 = ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+              "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+              "ous", "ive", "ize")
+
+
+def _psb_shortv(w: str, c: int) -> bool:
+    """shortv (:145): backwards non-v_WXY, v, non-v at position c."""
+    return (c >= 3 and w[c - 1] not in _PSB_VWXY and w[c - 2] in _PSB_V
+            and w[c - 3] not in _PSB_V)
+
+
+def porter_snowball_stem(word: str) -> str:
+    # --- prelude (:116-117): initial y and post-vowel y -> Y ---
+    y_found = False
+    w = list(word)
+    if w and w[0] == "y":
+        w[0], y_found = "Y", True
+    for i in range(1, len(w)):
+        if w[i] == "y" and w[i - 1] in _PSB_V:
+            w[i], y_found = "Y", True
+    word = "".join(w)
+
+    # --- mark_regions (:121-123) ---
+    n = len(word)
+    p1 = p2 = n
+    i = 0
+    while i < n and word[i] not in _PSB_V:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and word[i] in _PSB_V:
+            i += 1
+        if i < n:
+            p1 = i + 1
+            i = p1
+            while i < n and word[i] not in _PSB_V:
+                i += 1
+            if i < n:
+                i += 1
+                while i < n and word[i] in _PSB_V:
+                    i += 1
+                if i < n:
+                    p2 = i + 1
+
+    # --- Step 1a (:181) ---
+    suf, _ = _longest_among(word, (("sses", 1), ("ies", 2), ("ss", 3),
+                                   ("s", 4)), 0)
+    if suf == "sses":
+        word = word[:-4] + "ss"
+    elif suf == "ies":
+        word = word[:-3] + "i"
+    elif suf == "s":
+        word = word[:-1]
+
+    # --- Step 1b (:218) ---
+    suf, _ = _longest_among(word, (("eed", 1), ("ed", 2), ("ing", 2)), 0)
+    if suf == "eed":
+        if len(word) - 3 >= p1:
+            word = word[:-1]                       # eed -> ee
+    elif suf is not None:
+        c = len(word) - len(suf)
+        if any(ch in _PSB_V for ch in word[:c]):   # test gopast v
+            word = word[:c]
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif word.endswith(_PSB_DOUBLES):
+                word = word[:-1]
+            elif len(word) == p1 and _psb_shortv(word, len(word)):
+                word += "e"
+
+    # --- Step 1c (:340): final y/Y -> i when a vowel precedes ---
+    if word and word[-1] in "yY" \
+            and any(ch in _PSB_V for ch in word[:-1]):
+        word = word[:-1] + "i"
+
+    # --- Step 2 (:394, R1) ---
+    suf = max((s for s, _r in _PSB_STEP2 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p1:
+        word = word[: len(word) - len(suf)] + dict(_PSB_STEP2)[suf]
+
+    # --- Step 3 (:491, R1) ---
+    suf = max((s for s, _r in _PSB_STEP3 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p1:
+        word = word[: len(word) - len(suf)] + dict(_PSB_STEP3)[suf]
+
+    # --- Step 4 (:533, R2; ion needs preceding s/t) ---
+    suf = max((s for s in _PSB_STEP4 if word.endswith(s)),
+              key=len, default=None)
+    if suf is not None and len(word) - len(suf) >= p2:
+        c = len(word) - len(suf)
+        if suf == "ion":
+            if c >= 1 and word[c - 1] in "st":
+                word = word[:c]
+        else:
+            word = word[:c]
+
+    # --- Step 5a (:593) ---
+    if word.endswith("e"):
+        c = len(word) - 1
+        if c >= p2 or (c >= p1 and not _psb_shortv(word, c)):
+            word = word[:c]
+
+    # --- Step 5b (:650) ---
+    if word.endswith("ll") and len(word) - 1 >= p2:
+        word = word[:-1]
+
+    return word.replace("Y", "y") if y_found else word
+
+
+# ---------------------------------------------------------------------------
+# Lovins stemmer (Tartarus/Snowball/Ext/LovinsStemmer.cs) — the Snowball
+# distribution of the 1968 Lovins algorithm: 294 context-conditioned
+# endings (longest match with FindAmongB's substring-chain fallback when a
+# condition fails, SnowballProgram.cs:408-438), then undouble, then 35
+# recoding rules.  Validated bit-exact against the reference's 29,417-word
+# lovins vocab vectors (TestSnowballVocabData.zip).
+# ---------------------------------------------------------------------------
+
+_LOVINS_ENDINGS = (
+    ("s'", -1, 'A'), ('a', -1, 'A'), ('ia', 1, 'A'), ('ata', 1, 'A'), ('ic',
+    -1, 'A'), ('aic', 4, 'A'), ('allic', 4, 'BB'), ('aric', 4, 'A'), ('atic',
+    4, 'B'), ('itic', 4, 'H'), ('antic', 4, 'C'), ('istic', 4, 'A'),
+    ('alistic', 11, 'B'), ('aristic', 11, 'A'), ('ivistic', 11, 'A'), ('ed',
+    -1, 'E'), ('anced', 15, 'B'), ('enced', 15, 'A'), ('ished', 15, 'A'),
+    ('ied', 15, 'A'), ('ened', 15, 'E'), ('ioned', 15, 'A'), ('ated', 15,
+    'I'), ('ented', 15, 'C'), ('ized', 15, 'F'), ('arized', 24, 'A'), ('oid',
+    -1, 'A'), ('aroid', 26, 'A'), ('hood', -1, 'A'), ('ehood', 28, 'A'),
+    ('ihood', 28, 'A'), ('elihood', 30, 'E'), ('ward', -1, 'A'), ('e', -1,
+    'A'), ('ae', 33, 'A'), ('ance', 33, 'B'), ('icance', 35, 'A'), ('ence',
+    33, 'A'), ('ide', 33, 'L'), ('icide', 38, 'A'), ('otide', 38, 'A'),
+    ('age', 33, 'B'), ('able', 33, 'A'), ('atable', 42, 'A'), ('izable', 42,
+    'E'), ('arizable', 44, 'A'), ('ible', 33, 'A'), ('encible', 46, 'A'),
+    ('ene', 33, 'E'), ('ine', 33, 'M'), ('idine', 49, 'I'), ('one', 33, 'R'),
+    ('ature', 33, 'E'), ('eature', 52, 'Z'), ('ese', 33, 'A'), ('wise', 33,
+    'A'), ('ate', 33, 'A'), ('entiate', 56, 'A'), ('inate', 56, 'A'),
+    ('ionate', 56, 'D'), ('ite', 33, 'AA'), ('ive', 33, 'A'), ('ative', 61,
+    'A'), ('ize', 33, 'F'), ('alize', 63, 'A'), ('icalize', 64, 'A'),
+    ('ialize', 64, 'A'), ('entialize', 66, 'A'), ('ionalize', 64, 'A'),
+    ('arize', 63, 'A'), ('ing', -1, 'N'), ('ancing', 70, 'B'), ('encing', 70,
+    'A'), ('aging', 70, 'B'), ('ening', 70, 'E'), ('ioning', 70, 'A'),
+    ('ating', 70, 'I'), ('enting', 70, 'C'), ('ying', 70, 'B'), ('izing', 70,
+    'F'), ('arizing', 79, 'A'), ('ish', -1, 'C'), ('yish', 81, 'A'), ('i', -1,
+    'A'), ('al', -1, 'BB'), ('ical', 84, 'A'), ('aical', 85, 'A'), ('istical',
+    85, 'A'), ('oidal', 84, 'A'), ('eal', 84, 'Y'), ('ial', 84, 'A'),
+    ('ancial', 90, 'A'), ('arial', 90, 'A'), ('ential', 90, 'A'), ('ional',
+    84, 'A'), ('ational', 94, 'B'), ('izational', 95, 'A'), ('ental', 84,
+    'A'), ('ful', -1, 'A'), ('eful', 98, 'A'), ('iful', 98, 'A'), ('yl', -1,
+    'R'), ('ism', -1, 'B'), ('icism', 102, 'A'), ('oidism', 102, 'A'),
+    ('alism', 102, 'B'), ('icalism', 105, 'A'), ('ionalism', 105, 'A'),
+    ('inism', 102, 'J'), ('ativism', 102, 'A'), ('um', -1, 'U'), ('ium', 110,
+    'A'), ('ian', -1, 'A'), ('ician', 112, 'A'), ('en', -1, 'F'), ('ogen',
+    114, 'A'), ('on', -1, 'S'), ('ion', 116, 'Q'), ('ation', 117, 'B'),
+    ('ication', 118, 'G'), ('entiation', 118, 'A'), ('ination', 118, 'A'),
+    ('isation', 118, 'A'), ('arisation', 122, 'A'), ('entation', 118, 'A'),
+    ('ization', 118, 'F'), ('arization', 125, 'A'), ('action', 117, 'G'),
+    ('o', -1, 'A'), ('ar', -1, 'X'), ('ear', 129, 'Y'), ('ier', -1, 'A'),
+    ('ariser', -1, 'A'), ('izer', -1, 'F'), ('arizer', 133, 'A'), ('or', -1,
+    'T'), ('ator', 135, 'A'), ('s', -1, 'W'), ("'s", 137, 'A'), ('as', 137,
+    'B'), ('ics', 137, 'A'), ('istics', 140, 'A'), ('es', 137, 'E'), ('ances',
+    142, 'B'), ('ences', 142, 'A'), ('ides', 142, 'L'), ('oides', 145, 'A'),
+    ('ages', 142, 'B'), ('ies', 142, 'P'), ('acies', 148, 'A'), ('ancies',
+    148, 'A'), ('encies', 148, 'A'), ('aries', 148, 'A'), ('ities', 148, 'A'),
+    ('alities', 153, 'A'), ('ivities', 153, 'A'), ('ines', 142, 'M'),
+    ('nesses', 142, 'A'), ('ates', 142, 'A'), ('atives', 142, 'A'), ('ings',
+    137, 'N'), ('is', 137, 'A'), ('als', 137, 'BB'), ('ials', 162, 'A'),
+    ('entials', 163, 'A'), ('ionals', 162, 'A'), ('isms', 137, 'B'), ('ians',
+    137, 'A'), ('icians', 167, 'A'), ('ions', 137, 'B'), ('ations', 169, 'B'),
+    ('arisations', 170, 'A'), ('entations', 170, 'A'), ('izations', 170, 'A'),
+    ('arizations', 173, 'A'), ('ars', 137, 'O'), ('iers', 137, 'A'), ('izers',
+    137, 'F'), ('ators', 137, 'A'), ('less', 137, 'A'), ('eless', 179, 'A'),
+    ('ness', 137, 'A'), ('eness', 181, 'E'), ('ableness', 182, 'A'),
+    ('eableness', 183, 'E'), ('ibleness', 182, 'A'), ('ateness', 182, 'A'),
+    ('iteness', 182, 'A'), ('iveness', 182, 'A'), ('ativeness', 188, 'A'),
+    ('ingness', 181, 'A'), ('ishness', 181, 'A'), ('iness', 181, 'A'),
+    ('ariness', 192, 'E'), ('alness', 181, 'A'), ('icalness', 194, 'A'),
+    ('antialness', 194, 'A'), ('entialness', 194, 'A'), ('ionalness', 194,
+    'A'), ('fulness', 181, 'A'), ('lessness', 181, 'A'), ('ousness', 181,
+    'A'), ('eousness', 201, 'A'), ('iousness', 201, 'A'), ('itousness', 201,
+    'A'), ('entness', 181, 'A'), ('ants', 137, 'B'), ('ists', 137, 'A'),
+    ('icists', 207, 'A'), ('us', 137, 'V'), ('ous', 209, 'A'), ('eous', 210,
+    'A'), ('aceous', 211, 'A'), ('antaneous', 211, 'A'), ('ious', 210, 'A'),
+    ('acious', 214, 'B'), ('itous', 210, 'A'), ('ant', -1, 'B'), ('icant',
+    217, 'A'), ('ent', -1, 'C'), ('ement', 219, 'A'), ('izement', 220, 'A'),
+    ('ist', -1, 'A'), ('icist', 222, 'A'), ('alist', 222, 'A'), ('icalist',
+    224, 'A'), ('ialist', 224, 'A'), ('ionist', 222, 'A'), ('entist', 222,
+    'A'), ('y', -1, 'B'), ('acy', 229, 'A'), ('ancy', 229, 'B'), ('ency', 229,
+    'A'), ('ly', 229, 'B'), ('ealy', 233, 'Y'), ('ably', 233, 'A'), ('ibly',
+    233, 'A'), ('edly', 233, 'E'), ('iedly', 237, 'A'), ('ely', 233, 'E'),
+    ('ately', 239, 'A'), ('ively', 239, 'A'), ('atively', 241, 'A'), ('ingly',
+    233, 'B'), ('atingly', 243, 'A'), ('ily', 233, 'A'), ('lily', 245, 'A'),
+    ('arily', 245, 'A'), ('ally', 233, 'B'), ('ically', 248, 'A'), ('aically',
+    249, 'A'), ('allically', 249, 'C'), ('istically', 249, 'A'),
+    ('alistically', 252, 'B'), ('oidally', 248, 'A'), ('ially', 248, 'A'),
+    ('entially', 255, 'A'), ('ionally', 248, 'A'), ('ationally', 257, 'B'),
+    ('izationally', 258, 'B'), ('entally', 248, 'A'), ('fully', 233, 'A'),
+    ('efully', 261, 'A'), ('ifully', 261, 'A'), ('enly', 233, 'E'), ('arly',
+    233, 'K'), ('early', 265, 'Y'), ('lessly', 233, 'A'), ('ously', 233, 'A'),
+    ('eously', 268, 'A'), ('iously', 268, 'A'), ('ently', 233, 'A'), ('ary',
+    229, 'F'), ('ery', 229, 'E'), ('icianry', 229, 'A'), ('atory', 229, 'A'),
+    ('ity', 229, 'A'), ('acity', 276, 'A'), ('icity', 276, 'A'), ('eity', 276,
+    'A'), ('ality', 276, 'A'), ('icality', 280, 'A'), ('iality', 280, 'A'),
+    ('antiality', 282, 'A'), ('entiality', 282, 'A'), ('ionality', 280, 'A'),
+    ('elity', 276, 'A'), ('ability', 276, 'A'), ('izability', 287, 'A'),
+    ('arizability', 288, 'A'), ('ibility', 276, 'A'), ('inity', 276, 'CC'),
+    ('arity', 276, 'B'), ('ivity', 276, 'A')
+)
+
+
+# Condition letters evaluated at p = match start (LovinsStemmer.cs:21-50).
+_LOVINS_COND = {
+    "": lambda w, p: True,
+    "A": lambda w, p: p >= 2,
+    "B": lambda w, p: p >= 3,
+    "C": lambda w, p: p >= 4,
+    "D": lambda w, p: p >= 5,
+    "E": lambda w, p: p >= 2 and w[p - 1] != "e",
+    "F": lambda w, p: p >= 3 and w[p - 1] != "e",
+    "G": lambda w, p: p >= 3 and w[p - 1] == "f",
+    "H": lambda w, p: p >= 2 and (w[p - 1] == "t" or w[p - 2:p] == "ll"),
+    "I": lambda w, p: p >= 2 and w[p - 1] not in "oe",
+    "J": lambda w, p: p >= 2 and w[p - 1] not in "ae",
+    "K": lambda w, p: p >= 3 and (w[p - 1] in "li"
+                                  or (w[p - 1] == "e" and w[p - 3] == "u")),
+    "L": lambda w, p: p >= 2 and w[p - 1] not in "ux"
+                      and not (w[p - 1] == "s" and w[p - 2] != "o"),
+    "M": lambda w, p: p >= 2 and w[p - 1] not in "acem",
+    "N": lambda w, p: p >= 3 and (w[p - 3] != "s" or p >= 4),
+    "O": lambda w, p: p >= 2 and w[p - 1] in "li",
+    "P": lambda w, p: p >= 2 and w[p - 1] != "c",
+    "Q": lambda w, p: p >= 3 and w[p - 1] not in "ln",
+    "R": lambda w, p: p >= 2 and w[p - 1] in "nr",
+    "S": lambda w, p: p >= 2 and (w[p - 2:p] == "dr"
+                                  or (w[p - 1] == "t" and w[p - 2] != "t")),
+    "T": lambda w, p: p >= 2 and (w[p - 1] == "s"
+                                  or (w[p - 1] == "t" and w[p - 2] != "o")),
+    "U": lambda w, p: p >= 2 and w[p - 1] in "lmnr",
+    "V": lambda w, p: p >= 2 and w[p - 1] == "c",
+    "W": lambda w, p: p >= 2 and w[p - 1] not in "su",
+    "X": lambda w, p: p >= 2 and (w[p - 1] in "li"
+                                  or (p >= 3 and w[p - 1] == "e"
+                                      and w[p - 3] == "u")),
+    "Y": lambda w, p: p >= 2 and w[p - 2:p] == "in",
+    "Z": lambda w, p: p >= 2 and w[p - 1] != "f",
+    "AA": lambda w, p: p >= 2 and w[:p].endswith(
+        ("d", "f", "ph", "th", "l", "er", "or", "es", "t")),
+    "BB": lambda w, p: p >= 3 and not w[:p].endswith("met")
+                       and not w[:p].endswith("ryst"),
+    "CC": lambda w, p: p >= 2 and w[p - 1] == "l",
+}
+
+# respell rules (LovinsStemmer.cs r_respell:~160-200); value = replacement,
+# optional third element = "not X" letters checked at the match start.
+_LOVINS_RESPELL = (
+    ("iev", "ief", ""), ("uct", "uc", ""), ("umpt", "um", ""),
+    ("rpt", "rb", ""), ("urs", "ur", ""), ("istr", "ister", ""),
+    ("metr", "meter", ""), ("olv", "olut", ""), ("ul", "l", "aio"),
+    ("bex", "bic", ""), ("dex", "dic", ""), ("pex", "pic", ""),
+    ("tex", "tic", ""), ("ax", "ac", ""), ("ex", "ec", ""),
+    ("ix", "ic", ""), ("lux", "luc", ""), ("uad", "uas", ""),
+    ("vad", "vas", ""), ("cid", "cis", ""), ("lid", "lis", ""),
+    ("erid", "eris", ""), ("pand", "pans", ""), ("end", "ens", "s"),
+    ("ond", "ons", ""), ("lud", "lus", ""), ("rud", "rus", ""),
+    ("her", "hes", "pt"), ("mit", "mis", ""), ("ent", "ens", "m"),
+    ("ert", "ers", ""), ("et", "es", "n"), ("yt", "ys", ""),
+    ("yz", "ys", ""),
+)
+
+_LOVINS_DOUBLES = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr",
+                   "ss", "tt")
+
+
+def lovins_stem(word: str) -> str:
+    w = word
+    # --- endings: longest among + condition, substring-chain fallback ---
+    best, bl = None, 0
+    for idx, (suf, _sub, _m) in enumerate(_LOVINS_ENDINGS):
+        if len(suf) > bl and w.endswith(suf):
+            best, bl = idx, len(suf)
+    i = best
+    while i is not None and i >= 0:
+        suf, sub, meth = _LOVINS_ENDINGS[i]
+        if w.endswith(suf):
+            p = len(w) - len(suf)
+            if _LOVINS_COND[meth](w, p):
+                w = w[:p]
+                break
+        i = sub
+    # --- undouble (:151) ---
+    if w.endswith(_LOVINS_DOUBLES):
+        w = w[:-1]
+    # --- respell (:158) ---
+    suf = None
+    for s, _r, _n in _LOVINS_RESPELL:
+        if w.endswith(s) and (suf is None or len(s) > len(suf)):
+            suf = s
+    if suf is not None:
+        repl, notl = next((r, nl) for s, r, nl in _LOVINS_RESPELL
+                          if s == suf)
+        p = len(w) - len(suf)
+        if all(not (p >= 1 and w[p - 1] == ch) for ch in notl):
+            w = w[:p] + repl
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann Dutch stemmer (Tartarus/Snowball/Ext/KpStemmer.cs) — the
+# Snowball "kp" algorithm: Y-marking, ij-aware measure (p1/p2), four
+# suffix steps, ge- prefix/infix loss with measure recomputation, -d/-t
+# cleanup after ge-loss, ft/kt/pt devoicing, and final undoubling/v->f,
+# z->s.  Validated bit-exact against the reference's 45,669-word
+# kraaij_pohlmann vocab vectors (TestSnowballVocabData.zip).
+# ---------------------------------------------------------------------------
+
+_KP_V = frozenset("aeiouy")          # g_v (KpStemmer.cs:26) — marked Y excluded
+_KP_V_WX = frozenset("aeiouywx")     # g_v_WX
+_KP_AOU = frozenset("aou")           # g_AOU
+_KP_AIOU = frozenset("aiou")         # g_AIOU
+
+
+def _kp_measure(w: str) -> tuple[int, int]:
+    """r_measure (:202): ij counts as one vowel unit; p1/p2 are set AFTER
+    the consonant that closes each vowel run."""
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    for which in (1, 2):
+        while i < n and w[i] not in _KP_V:
+            i += 1
+        cnt = 0
+        while True:
+            if w[i:i + 2] == "ij":
+                i += 2
+                cnt += 1
+            elif i < n and w[i] in _KP_V:
+                i += 1
+                cnt += 1
+            else:
+                break
+        if cnt < 1 or i >= n or w[i] in _KP_V:
+            break
+        i += 1
+        if which == 1:
+            p1 = i
+        else:
+            p2 = i
+    return p1, p2
+
+
+def _kp_V(w: str, c: int) -> bool:
+    """r_V (:35): test(vowel or 'ij' ending at c)."""
+    return (c >= 1 and w[c - 1] in _KP_V) or w[:c].endswith("ij")
+
+
+def _kp_VX(w: str, c: int) -> bool:
+    """r_VX (:36): test(next, then vowel or 'ij')."""
+    if c < 1:
+        return False
+    return _kp_V(w, c - 1)
+
+
+def _kp_C(w: str, c: int) -> bool:
+    """r_C (:37): test(not 'ij' and a consonant at c-1)."""
+    if w[:c].endswith("ij"):
+        return False
+    return c >= 1 and w[c - 1] not in _KP_V
+
+
+def _kp_lengthen_V(w: str) -> str:
+    """r_lengthen_V (:39): double a short a/o/u/e before a final
+    consonant (the e only in truly short closed syllables)."""
+    c = len(w)
+    if c < 1 or w[c - 1] in _KP_V_WX:
+        return w
+    c1 = c - 1
+    if c1 >= 1 and w[c1 - 1] in _KP_AOU:
+        bra = c1 - 1
+        if bra == 0 or w[bra - 1] not in _KP_V:
+            return w[:c1] + w[bra] + w[c1:]
+        return w
+    if c1 >= 1 and w[c1 - 1] == "e":
+        bra = c1 - 1
+        if bra == 0:
+            cc = bra
+        elif w[bra - 1] not in _KP_V:
+            cc = bra - 1
+        else:
+            return w
+        if cc >= 1 and w[cc - 1] in _KP_AIOU:
+            return w
+        if cc >= 3 and w[cc - 2] in _KP_AIOU and w[cc - 3] not in _KP_V:
+            return w
+        return w[:c1] + w[bra] + w[c1:]
+    return w
+
+
+_KP_STEP1 = (("'s", 1), ("s", 2), ("ies", 3), ("es", 4), ("aus", 5),
+             ("en", 6), ("nde", 7))
+_KP_STEP2 = (("je", 1), ("ge", 2), ("lijke", 3), ("ische", 4), ("de", 5),
+             ("te", 6), ("se", 7), ("re", 8), ("le", 9), ("ene", 10),
+             ("ieve", 11))
+_KP_STEP3 = (("atie", 1), ("iteit", 2), ("heid", 3), ("sel", 3),
+             ("ster", 3), ("rder", 4), ("isme", 5), ("ing", 5),
+             ("erij", 5), ("arij", 6), ("fie", 7), ("gie", 8),
+             ("tst", 9), ("dst", 10))
+_KP_STEP4A = (("ioneel", 1), ("atief", 2), ("baar", 3), ("naar", 4),
+              ("laar", 5), ("raar", 6), ("tant", 7), ("lijker", 8),
+              ("lijkst", 8), ("achtig", 9), ("achtiger", 9),
+              ("achtigst", 9), ("end", 10), ("erig", 10), ("eriger", 10),
+              ("erigst", 10))
+_KP_STEP6 = {"bb": "b", "cc": "c", "dd": "d", "ff": "f", "gg": "g",
+             "hh": "h", "jj": "j", "kk": "k", "ll": "l", "mm": "m",
+             "nn": "n", "pp": "p", "qq": "q", "rr": "r", "ss": "s",
+             "tt": "t", "vv": "v", "ww": "w", "xx": "x", "zz": "z",
+             "v": "f", "z": "s"}
+
+
+def _kp_step1(w, p1):
+    c = len(w)
+    suf, tag = _longest_among(w, _KP_STEP1, 0)
+    if suf is None:
+        return None
+    p = c - len(suf)
+    if tag == 1:                                           # 's
+        return w[:p]
+    if tag == 2:                                           # s
+        if p < p1:
+            return None
+        if w[:p].endswith("t") and p - 1 >= p1:            # not('t' R1)
+            return None
+        return w[:p] if _kp_C(w, p) else None
+    if tag == 3:                                           # ies
+        return w[:p] + "ie" if p >= p1 else None
+    if tag == 4:                                           # es
+        if w[:p].endswith("ar") and p - 2 >= p1 and _kp_C(w, p - 2):
+            return _kp_lengthen_V(w[:p - 2])
+        if w[:p].endswith("er") and p - 2 >= p1 and _kp_C(w, p - 2):
+            return w[:p - 2]
+        if p >= p1 and _kp_C(w, p):
+            return w[:p] + "e"
+        return None
+    if tag == 5:                                           # aus
+        return w[:p] + "au" if p >= p1 and _kp_V(w, p) else None
+    if tag == 6:                                           # en
+        if w[:p].endswith("hed") and p - 3 >= p1:
+            return w[:p - 3] + "heid"
+        if w[:p].endswith("nd"):
+            return w[:p]
+        if w[:p].endswith("d") and p - 1 >= p1 and _kp_C(w, p - 1):
+            return w[:p - 1]
+        if (w[:p].endswith("i") or w[:p].endswith("j")) \
+                and _kp_V(w, p - 1):
+            return w[:p]
+        if p >= p1 and _kp_C(w, p):
+            return _kp_lengthen_V(w[:p])
+        return None
+    return w[:p] + "nd"                                    # nde (tag 7)
+
+
+def _kp_step2(w, p1):
+    c = len(w)
+    suf, tag = _longest_among(w, _KP_STEP2, 0)
+    if suf is None:
+        return None
+    p = c - len(suf)
+    if tag == 1:                                           # je
+        if w[:p].endswith("'t"):
+            return w[:p - 2]
+        if w[:p].endswith("et") and p - 2 >= p1 and _kp_C(w, p - 2):
+            return w[:p - 2]
+        if w[:p].endswith("rnt"):
+            return w[:p - 3] + "rn"
+        if w[:p].endswith("t") and p - 1 >= p1 and _kp_VX(w, p - 1):
+            return w[:p - 1]
+        if w[:p].endswith("ink"):
+            return w[:p - 3] + "ing"
+        if w[:p].endswith("mp"):
+            return w[:p - 2] + "m"
+        if w[:p].endswith("'") and p - 1 >= p1:
+            return w[:p - 1]
+        if p >= p1 and _kp_C(w, p):
+            return w[:p]
+        return None
+    if p < p1:
+        return None
+    if tag == 2:
+        return w[:p] + "g"
+    if tag == 3:
+        return w[:p] + "lijk"
+    if tag == 4:
+        return w[:p] + "isch"
+    if tag == 5:
+        return w[:p] if _kp_C(w, p) else None
+    if tag == 6:
+        return w[:p] + "t"
+    if tag == 7:
+        return w[:p] + "s"
+    if tag == 8:
+        return w[:p] + "r"
+    if tag == 9:
+        return _kp_lengthen_V(w[:p] + "l")
+    if tag == 10:
+        return _kp_lengthen_V(w[:p] + "en") if _kp_C(w, p) else None
+    return w[:p] + "ief" if _kp_C(w, p) else None          # ieve (11)
+
+
+def _kp_step3(w, p1, p2):
+    c = len(w)
+    suf, tag = _longest_among(w, _KP_STEP3, 0)
+    if suf is None:
+        return None
+    p = c - len(suf)
+    if tag == 1:
+        return w[:p] + "eer" if p >= p1 else None
+    if tag == 2:
+        return _kp_lengthen_V(w[:p]) if p >= p1 else None
+    if tag == 3:
+        return w[:p] if p >= p1 else None
+    if tag == 4:
+        return w[:p] + "r"
+    if tag == 5:
+        return _kp_lengthen_V(w[:p]) if p >= p1 else None
+    if tag == 6:
+        return w[:p] + "aar" if p >= p1 and _kp_C(w, p) else None
+    if tag == 7:
+        return _kp_lengthen_V(w[:p] + "f") if p >= p2 else None
+    if tag == 8:
+        return _kp_lengthen_V(w[:p] + "g") if p >= p2 else None
+    if tag == 9:
+        return w[:p] + "t" if p >= p1 and _kp_C(w, p) else None
+    return w[:p] + "d" if p >= p1 and _kp_C(w, p) else None  # dst (10)
+
+
+def _kp_step4(w, p1):
+    c = len(w)
+    suf, tag = _longest_among(w, _KP_STEP4A, 0)
+    if suf is not None:
+        p = c - len(suf)
+        r = None
+        if p >= p1:
+            if tag == 1:
+                r = w[:p] + "ie"
+            elif tag == 2:
+                r = w[:p] + "eer"
+            elif tag == 3:
+                r = w[:p]
+            elif tag == 4:
+                r = w[:p] + "n" if _kp_V(w, p) else None
+            elif tag == 5:
+                r = w[:p] + "l" if _kp_V(w, p) else None
+            elif tag == 6:
+                r = w[:p] + "r" if _kp_V(w, p) else None
+            elif tag == 7:
+                r = w[:p] + "teer"
+            elif tag == 8:
+                r = w[:p] + "lijk"
+            elif tag == 9:
+                r = w[:p]
+            elif tag == 10 and _kp_C(w, p):
+                r = _kp_lengthen_V(w[:p])
+        if r is not None:
+            return r
+    # fallback: [ig|iger|igst] R1 C delete lengthen (:135-138)
+    suf, _ = _longest_among(w, (("ig", 1), ("iger", 1), ("igst", 1)), 0)
+    if suf is None:
+        return None
+    p = c - len(suf)
+    if p >= p1 and _kp_C(w, p):
+        return _kp_lengthen_V(w[:p])
+    return None
+
+
+def _kp_step7(w):
+    for suf, repl in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+        if w.endswith(suf):
+            return w[:-2] + repl
+    return None
+
+
+def _kp_step6(w):
+    for suf in ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+                "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww",
+                "xx", "zz"):
+        if w.endswith(suf):
+            return w[:-2] + _KP_STEP6[suf]
+    if w.endswith("v"):
+        return w[:-1] + "f"
+    if w.endswith("z"):
+        return w[:-1] + "s"
+    return None
+
+
+def _kp_step1c(w, p1):
+    """r_Step_1c (:181): drop a final d/t after ge-loss, unless preceded
+    by n/h that is itself in R1."""
+    c = len(w)
+    if c >= 1 and w[c - 1] == "d":
+        p = c - 1
+        if p >= p1 and _kp_C(w, p):
+            if w[:p].endswith("n") and p - 1 >= p1:
+                return None
+            return w[:p]
+        return None
+    if c >= 1 and w[c - 1] == "t":
+        p = c - 1
+        if p >= p1 and _kp_C(w, p):
+            if w[:p].endswith("h") and p - 1 >= p1:
+                return None
+            return w[:p]
+        return None
+    return None
+
+
+def _kp_lose_prefix(w):
+    """r_Lose_prefix (:189): drop leading ge- when >= 3 chars and a
+    vowel-then-consonant follow somewhere after it."""
+    if not w.startswith("ge") or len(w) < 5:
+        return None
+    n = len(w)
+    i = 2
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    j = i
+    while j < n and w[j] in _KP_V:
+        j += 1
+    if j >= n:
+        return None
+    return w[2:]
+
+
+def _kp_lose_infix(w):
+    """r_Lose_infix (:195): drop the first internal 'ge' under the same
+    conditions."""
+    idx = w.find("ge", 1)
+    if idx < 0:
+        return None
+    ket = idx + 2
+    n = len(w)
+    if ket + 3 > n:
+        return None
+    i = ket
+    while i < n and w[i] not in _KP_V:
+        i += 1
+    if i >= n:
+        return None
+    j = i
+    while j < n and w[j] in _KP_V:
+        j += 1
+    if j >= n:
+        return None
+    return w[:idx] + w[ket:]
+
+
+def kp_stem(word: str) -> str:
+    """KpStemmer.Stem (:214)."""
+    y_found = stemmed = False
+    w = list(word)
+    if w and w[0] == "y":
+        w[0], y_found = "Y", True
+    for i in range(1, len(w)):
+        if w[i] == "y" and w[i - 1] in _KP_V:
+            w[i], y_found = "Y", True
+    w = "".join(w)
+    p1, p2 = _kp_measure(w)
+
+    r = _kp_step1(w, p1)
+    if r is not None:
+        w, stemmed = r, True
+    r = _kp_step2(w, p1)
+    if r is not None:
+        w, stemmed = r, True
+    r = _kp_step3(w, p1, p2)
+    if r is not None:
+        w, stemmed = r, True
+    r = _kp_step4(w, p1)
+    if r is not None:
+        w, stemmed = r, True
+
+    r = _kp_lose_prefix(w)
+    if r is not None:
+        w = r
+        p1, p2 = _kp_measure(w)
+        r = _kp_step1c(w, p1)
+        if r is not None:
+            w = r
+
+    ge_removed = False
+    r = _kp_lose_infix(w)
+    if r is not None:
+        w, ge_removed = r, True
+        p1, p2 = _kp_measure(w)
+        r = _kp_step1c(w, p1)
+        if r is not None:
+            w = r
+
+    r = _kp_step7(w)
+    if r is not None:
+        w, stemmed = r, True
+    if stemmed or ge_removed:
+        r = _kp_step6(w)
+        if r is not None:
+            w = r
+
+    return w.replace("Y", "y") if y_found else w

@@ -1110,3 +1110,67 @@ def test_turkish_lowercase_and_analyzer():
     # apostrophe truncation (Ağaçlar'ın -> ağaçlar -> ağaç), 've' stopped
     assert tr("Ağaçlar'ın altında İstanbul ve kitapları okuyor") == (
         ["ağaç", "alt", "istanbul", "kitap", "okuyor"], [0, 1, 2, 4, 5])
+
+
+def test_porter_snowball_vocab():
+    """All 30,428 porter/voc.txt Snowball vectors (the ORIGINAL Porter
+    algorithm, no Lucene departures), bit-exact; one output line is
+    empty so pair by line."""
+    import io
+
+    from sparklucene.stemmer import porter_snowball_stem as st
+
+    with zipfile.ZipFile(SNOWBALL_VOCAB_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("porter/voc.txt"),
+                               encoding="utf-8").read().splitlines()
+        out = io.TextIOWrapper(z.open("porter/output.txt"),
+                               encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) == 30428
+    mism = [(v, o, st(v)) for v, o in zip(voc, out) if st(v) != o]
+    assert mism == []
+    # departure check: Snowball keeps 1980 behavior where Lucene's
+    # PorterStemFilter applies Martin's later tweaks
+    assert st("apology") == "apologi"
+    from sparklucene.stemmer import porter_stem
+    assert porter_stem("apology") == "apolog"
+
+
+def test_lovins_vocab():
+    """All 29,417 lovins/voc.txt vectors, bit-exact (294 conditioned
+    endings incl. FindAmongB substring-chain fallback, undouble,
+    35 respell rules)."""
+    import io
+
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import lovins_stem as st
+
+    with zipfile.ZipFile(SNOWBALL_VOCAB_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("lovins/voc.txt"),
+                               encoding="utf-8").read().splitlines()
+        out = io.TextIOWrapper(z.open("lovins/output.txt"),
+                               encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) == 29417
+    mism = [(v, o, st(v)) for v, o in zip(voc, out) if st(v) != o]
+    assert mism == []
+    lov = make_analyzer("lovins")
+    assert lov("nationally recognized") == (["nat", "recogn"], [0, 1])
+
+
+def test_kp_vocab():
+    """All 45,669 kraaij_pohlmann/voc.txt vectors, bit-exact (ij-aware
+    measure, ge- prefix/infix loss, lengthen_V)."""
+    import io
+
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stemmer import kp_stem as st
+
+    with zipfile.ZipFile(SNOWBALL_VOCAB_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("kraaij_pohlmann/voc.txt"),
+                               encoding="utf-8").read().splitlines()
+        out = io.TextIOWrapper(z.open("kraaij_pohlmann/output.txt"),
+                               encoding="utf-8").read().splitlines()
+    assert len(voc) == len(out) == 45669
+    mism = [(v, o, st(v)) for v, o in zip(voc, out) if st(v) != o]
+    assert mism == []
+    nl = make_analyzer("kp")
+    assert nl("lichamelijke")[0] == ["lichamelijk"]
