@@ -785,6 +785,46 @@ def _q_stemmed_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
 
 
+_WD_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _wd_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WordDelimiter corpus: hyphenate adjacent word pairs so
+    the filter has real work ("key agg row" -> "key-agg row"); same regex in
+    the DuckDB oracle (non-overlapping left-to-right in both engines)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+) (\w+)", "$1-$2"))
+
+
+def _wd_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the WordDelimiterFilter chain (whitespace -> WDF
+    default flags -> lowercase) over the hyphenated corpus."""
+    key = os.path.abspath(sf_dir)
+    s = _WD_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_wd", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="word_delimiter", resume=True,
+    )
+    build_index(spark, _wd_docs_df(spark, sf_dir), out, cfg)
+    s = IndexSearcher(spark, out)
+    _WD_SEARCHERS[key] = s
+    return s
+
+
+def _q_word_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordDelimiterFilter index: 'merge' matches inside hyphenated pairs
+    ("sort-merge") because WDF re-splits them; no stop filter in this
+    chain, so field lengths differ from the standard gate index."""
+    s = _wd_searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "term", "term": "merge"}, 15)
+
+
 _LANG_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1086,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
+    out["word_delim"] = _q_word_delim
     out["lang_routed"] = _q_lang_routed
     out["payload_term"] = _q_payload_term
     out["payload_near"] = _q_payload_near
@@ -1131,7 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyzing_suggest", "infix_suggest", "nb_classify", "trec_quality",
         "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2", "dfr_inlh3",
         "ib_spl_z", "spatial_bbox", "spatial_circle", "spatial_knn",
-        "simhash_fp", "simhash_pairs", "dedup_minhash",
+        "simhash_fp", "simhash_pairs", "dedup_minhash", "word_delim",
     ]
     ordered = {k: out[k] for k in first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
@@ -1849,6 +1890,10 @@ WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merg'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["word_delim"] = f"""{_prelude_wd()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["lang_routed"] = f"""{_prelude_lang_routed()}
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'filt'
@@ -2277,6 +2322,66 @@ emitted AS (
   SELECT t.doc_id, coalesce(m.st, lower(t.tok)) AS term, t.pos
   FROM toks t LEFT JOIN stemmap m ON lower(t.tok) = m.w
   WHERE t.tok <> '' AND lower(t.tok) NOT IN ({_stop_sql()})
+),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
+
+
+def _wd_map_values() -> str:
+    """(raw hyphenated token -> WordDelimiter part) multirows for the
+    derived corpus vocabulary, one row per emitted part occurrence (same
+    embedded-map trick as _stem_map_values; the kernel is vector-validated
+    against the reference's TestWordDelimiterFilter cases in
+    tests/test_worddelim.py)."""
+    import duckdb
+
+    from sparklucene.worddelim import word_delimiter_tokens
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    toks = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(
+                    regexp_replace(text, '(\\w+) (\\w+)', '\\1-\\2', 'g'),
+                    ' ')) AS tok
+                  FROM '{path}') WHERE tok <> '' ORDER BY tok"""
+        )
+        .fetchall()
+    ]
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = []
+    for t in toks:
+        for part, _pinc in word_delimiter_tokens([(t, 1)]):
+            rows.append(f"('{_q(t)}', '{_q(part.lower())}')")
+    return ", ".join(rows)
+
+
+def _prelude_wd() -> str:
+    """_prelude over the hyphenated corpus with WordDelimiterFilter
+    emission: raw tokens expand through the embedded part map (INNER join
+    drops all-delimiter tokens, exactly like the filter); no stop filter
+    in this chain, so field_len counts every emitted part."""
+    base = _prelude("""(
+  SELECT doc_id, regexp_replace(text, '(\\w+) (\\w+)', '\\1-\\2', 'g') AS text
+  FROM documents)""")
+    old = """emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({stops})
+),""".replace("{stops}", _stop_sql())
+    new = f"""wdmap(w, part) AS (SELECT * FROM (VALUES {_wd_map_values()}) v),
+emitted AS (
+  SELECT t.doc_id, m.part AS term, t.pos
+  FROM toks t JOIN wdmap m ON t.tok = m.w
+  WHERE t.tok <> ''
 ),"""
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)

@@ -534,6 +534,7 @@ def make_analyzer(name: str, **params):
     whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=), synonym,
     english, french, german, spanish, italian, portuguese, swedish, russian,
     hungarian, finnish, norwegian, turkish, porter_snowball, lovins, kp,
+    word_delimiter(flags=,protected=), chain(tokenizer=,filters=),
     delimited_payload, standard_folding, html, shingle."""
     if name == "standard":
         return _analyze_standard
@@ -645,6 +646,15 @@ def make_analyzer(name: str, **params):
         return _analyze_lovins
     if name == "kp":
         return _analyze_kp
+    if name == "chain":
+        from .filters import make_chain
+        return make_chain(tokenizer=params.get("tokenizer", "standard"),
+                          filters=params.get("filters", ()))
+    if name == "word_delimiter":
+        return _make_word_delimiter(
+            flags=params.get("flags"),
+            protected=params.get("protected", ()),
+            lowercase=bool(params.get("lowercase", True)))
     if name == "galician_minimal":
         return _analyze_galician_minimal
     if name == "portuguese_rslp":
@@ -2125,6 +2135,31 @@ def _analyze_kp(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+def _make_word_delimiter(flags=None, protected=(), lowercase=True):
+    """WordDelimiterFilter chain (Analysis/Miscellaneous/
+    WordDelimiterFilter.cs): Whitespace tokenizer (the reference docs
+    recommend a non-delimiter-eating tokenizer, :142-147) -> WDF ->
+    LowerCase.  Position increments from the filter are materialized into
+    absolute positions (injected catenations share positions)."""
+    from .worddelim import DEFAULT_FLAGS, word_delimiter_tokens
+
+    fl = DEFAULT_FLAGS if flags is None else int(flags)
+    prot = frozenset(protected)
+
+    def _an(text: str) -> tuple[list[str], list[int]]:
+        toks = [(t, 1) for t in text.split() if len(t) <= MAX_TOKEN_LENGTH]
+        out = word_delimiter_tokens(toks, fl, prot)
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for term, pinc in out:
+            pos += pinc
+            terms.append(term.lower() if lowercase else term)
+            positions.append(pos)
+        return terms, positions
+    return _an
 
 
 def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:

@@ -1,0 +1,418 @@
+"""Composable token filters + path tokenizers — ports of the reference's
+Miscellaneous / NGram / CommonGrams / Path components over the repo's
+uniform token-stream representation [(term, posInc)].
+
+Each filter mirrors one reference class (citations inline); `make_chain`
+composes a tokenizer and a named filter list into the standard
+analyzer-callable `(text) -> (terms, positions)`, the engine's analyzer
+interface (BuildConfig.analyzer="chain", analyzer_params={...}).
+"""
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# filters over [(term, posInc)]
+# ---------------------------------------------------------------------------
+
+
+def lowercase_filter(tokens):
+    """LowerCaseFilter (Analysis/Core/LowerCaseFilter.cs)."""
+    return [(t.lower(), p) for t, p in tokens]
+
+
+def length_filter(tokens, min_len: int, max_len: int):
+    """LengthFilter (Analysis/Miscellaneous/LengthFilter.cs): keep terms
+    with min <= len <= max; position increments accumulate across drops
+    (FilteringTokenFilter semantics, the 4.8 default)."""
+    out = []
+    gap = 0
+    for t, p in tokens:
+        if min_len <= len(t) <= max_len:
+            out.append((t, p + gap))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+def keep_word_filter(tokens, keep, ignore_case: bool = False):
+    """KeepWordFilter (Analysis/Miscellaneous/KeepWordFilter.cs)."""
+    ks = frozenset(w.lower() for w in keep) if ignore_case else frozenset(keep)
+    out = []
+    gap = 0
+    for t, p in tokens:
+        if (t.lower() if ignore_case else t) in ks:
+            out.append((t, p + gap))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+def stop_filter(tokens, stops):
+    """StopFilter: drop stop words, preserve increments."""
+    ss = frozenset(stops)
+    out = []
+    gap = 0
+    for t, p in tokens:
+        if t not in ss:
+            out.append((t, p + gap))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+def trim_filter(tokens):
+    """TrimFilter (Analysis/Miscellaneous/TrimFilter.cs, 4.4+ semantics:
+    no offset updates, empty terms kept)."""
+    return [(t.strip(), p) for t, p in tokens]
+
+
+def truncate_filter(tokens, length: int):
+    """TruncateTokenFilter (Analysis/Miscellaneous/TruncateTokenFilter.cs)."""
+    return [(t[:length], p) for t, p in tokens]
+
+
+def reverse_filter(tokens):
+    """ReverseStringFilter (Analysis/Reverse/ReverseStringFilter.cs),
+    no marker char."""
+    return [(t[::-1], p) for t, p in tokens]
+
+
+def ascii_folding_filter(tokens):
+    """ASCIIFoldingFilter via the shared fold kernel."""
+    from .analysis import ascii_fold
+
+    return [(ascii_fold(t), p) for t, p in tokens]
+
+
+def capitalization_filter(tokens, only_first_word: bool = True, keep=None,
+                          force_first_letter: bool = True, ok_prefix=(),
+                          min_word_length: int = 0,
+                          max_word_count: int = 2 ** 31 - 1,
+                          max_token_length: int = 2 ** 31 - 1):
+    """CapitalizationFilter (Analysis/Miscellaneous/CapitalizationFilter.cs):
+    words inside a term split on chars <= ' ' or '.' (:159-171)."""
+    keep_set = frozenset(keep) if keep else None
+    out = []
+    for term, p in tokens:
+        if len(term) >= max_token_length:
+            out.append((term, p))
+            continue
+        words = []
+        start = 0
+        chars = list(term)
+        i = 0
+        n = len(chars)
+        spans = []
+        while i < n:
+            if chars[i] <= " " or chars[i] == ".":
+                if i - start > 0:
+                    spans.append((start, i))
+                    start = i + 1
+                    i += 1          # the reference double-advances (:166)
+                else:
+                    start = i + 1
+            i += 1
+        if start < n:
+            spans.append((start, n))
+        wc = 0
+        for s, e in spans:
+            _process_cap_word(chars, s, e - s, wc, only_first_word,
+                              keep_set, force_first_letter, ok_prefix,
+                              min_word_length)
+            wc += 1
+        new = "".join(chars)
+        if wc > max_word_count:
+            new = term
+        words = new
+        out.append((words, p))
+    return out
+
+
+def _process_cap_word(chars, off, length, word_count, only_first_word,
+                      keep_set, force_first_letter, ok_prefix,
+                      min_word_length):
+    """CapitalizationFilter.ProcessWord (:186-243)."""
+    if length < 1:
+        return
+    word = "".join(chars[off:off + length])
+    if only_first_word and word_count > 0:
+        for i in range(length):
+            chars[off + i] = chars[off + i].lower()
+        return
+    if keep_set is not None and word in keep_set:
+        if word_count == 0 and force_first_letter:
+            chars[off] = chars[off].upper()
+        return
+    if length < min_word_length:
+        return
+    for pfx in ok_prefix:
+        if length >= len(pfx) and word.startswith(pfx):
+            return
+    chars[off] = chars[off].upper()
+    for i in range(1, length):
+        chars[off + i] = chars[off + i].lower()
+
+
+def hyphenated_words_filter(tokens):
+    """HyphenatedWordsFilter (Analysis/Miscellaneous/
+    HyphenatedWordsFilter.cs): joins words broken across lines with a
+    trailing '-'; an unterminated run keeps its final '-' back (:126-136)."""
+    out = []
+    pending: list[str] = []
+    pending_pinc = 0
+    for t, p in tokens:
+        if t and t.endswith("-"):
+            if not pending:
+                pending_pinc = p
+            pending.append(t[:-1])
+        elif not pending:
+            out.append((t, p))
+        else:
+            pending.append(t)
+            out.append(("".join(pending), pending_pinc))
+            pending = []
+    if pending:
+        out.append(("".join(pending) + "-", pending_pinc))
+    return out
+
+
+def edge_ngram_filter(tokens, min_gram: int, max_gram: int,
+                      side: str = "front"):
+    """EdgeNGramTokenFilter (Analysis/NGram/EdgeNGramTokenFilter.cs):
+    grams min..max from the front (or back, pre-4.4 compat); the first
+    gram of each token carries the accumulated position increment, the
+    rest 0; too-short tokens drop but their increment accumulates."""
+    out = []
+    save = 0
+    for t, p in tokens:
+        save += p
+        n = len(t)
+        emitted = False
+        for g in range(min_gram, max_gram + 1):
+            if g > n:
+                break
+            gram = t[:g] if side == "front" else t[n - g:]
+            out.append((gram, save if not emitted else 0))
+            if not emitted:
+                save = 0
+                emitted = True
+    return out
+
+
+def ngram_filter(tokens, min_gram: int, max_gram: int):
+    """NGramTokenFilter (Analysis/NGram/NGramTokenFilter.cs, 4.4+): all
+    grams of each token by START POSITION then size; every gram of a
+    token shares the token's position (first carries the increment)."""
+    out = []
+    save = 0
+    for t, p in tokens:
+        save += p
+        n = len(t)
+        emitted = False
+        for start in range(n):
+            for g in range(min_gram, max_gram + 1):
+                if start + g > n:
+                    break
+                out.append((t[start:start + g],
+                            save if not emitted else 0))
+                if not emitted:
+                    save = 0
+                    emitted = True
+    return out
+
+
+GRAM = object()  # type marker for common-gram tokens
+
+
+def common_grams_filter(tokens, common, separator: str = "_",
+                        _typed: bool = False):
+    """CommonGramsFilter (Analysis/CommonGrams/CommonGramsFilter.cs):
+    inject bigrams joining common words at posInc 0 BEFORE the unigram
+    that completes them (:102-130, GramToken :187-206)."""
+    cset = frozenset(common)
+    out = []
+    prev = None
+    last_was_common = False
+    for t, p in tokens:
+        is_common = t in cset
+        if last_was_common or (is_common and prev is not None):
+            out.append((prev + separator + t, 0, True))
+        out.append((t, p, False))
+        prev = t
+        last_was_common = is_common
+    if _typed:
+        return out
+    return [(t, p) for t, p, _g in out]
+
+
+def common_grams_query_filter(tokens, common, separator: str = "_"):
+    """CommonGramsQueryFilter (CommonGramsQueryFilter.cs:93-129): keep
+    bigrams (posInc forced to 1) and only the unigrams not covered by
+    one; the trailing unigram is dropped when the last emission was a
+    bigram."""
+    typed = common_grams_filter(tokens, common, separator, _typed=True)
+    out = []
+    prev = None           # (term, pinc, is_gram)
+    prev_emitted_gram = False
+    for cur in typed:
+        if prev is not None and not cur[2]:
+            t, p, g = prev
+            out.append((t, 1 if g else p))
+            prev_emitted_gram = g
+            prev = cur
+        else:
+            prev = cur
+    if prev is not None and not prev_emitted_gram:
+        t, p, g = prev
+        out.append((t, 1 if g else p))
+    return out
+
+
+def keyword_repeat_with_stem(tokens, stem_fn):
+    """KeywordRepeatFilter + stemmer + RemoveDuplicatesTokenFilter
+    (Analysis/Miscellaneous/KeywordRepeatFilter.cs,
+    RemoveDuplicatesTokenFilter.cs): emit the original AND the stem at
+    the same position unless they are equal."""
+    out = []
+    for t, p in tokens:
+        st = stem_fn(t)
+        if st == t:
+            out.append((t, p))
+        else:
+            out.append((t, p))
+            out.append((st, 0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# path hierarchy tokenizers
+# ---------------------------------------------------------------------------
+
+
+def path_hierarchy_tokens(path: str, delimiter: str = "/",
+                          replacement: str | None = None, skip: int = 0):
+    """PathHierarchyTokenizer (Analysis/Path/PathHierarchyTokenizer.cs):
+    progressive prefixes ending at each delimiter (a leading delimiter
+    binds to the first component; a trailing one yields a final token);
+    skip drops the first `skip` components, keeping their trailing
+    delimiter.  -> [(term, posInc)] (first 1, rest 0)."""
+    repl = delimiter if replacement is None else replacement
+    dl = [i for i, c in enumerate(path) if c == delimiter]
+    ends = [d for d in dl if d > 0]
+    if path:
+        ends.append(len(path))
+    if skip > 0:
+        if skip > len(ends) - 1:
+            return []
+        start = ends[skip - 1]
+        ends = ends[skip:]
+    else:
+        start = 0
+    toks = [path[start:e].replace(delimiter, repl) for e in ends]
+    return [(t, 1 if i == 0 else 0) for i, t in enumerate(toks)]
+
+
+def reverse_path_hierarchy_tokens(path: str, delimiter: str = "/",
+                                  replacement: str | None = None,
+                                  skip: int = 0):
+    """ReversePathHierarchyTokenizer (Analysis/Path/
+    ReversePathHierarchyTokenizer.cs): progressive suffixes; skip drops
+    the LAST `skip` components (their leading delimiter kept)."""
+    repl = delimiter if replacement is None else replacement
+    dl = [i for i, c in enumerate(path) if c == delimiter]
+    if skip > 0:
+        k = skip + (1 if path.endswith(delimiter) else 0)
+        if k > len(dl):
+            return []
+        cut = dl[-k] + 1
+        path = path[:cut]
+        dl = dl[:-k]
+        if not path.strip(delimiter):
+            return []
+    starts = [0] + [d + 1 for d in dl if d + 1 < len(path)]
+    toks = [path[s:].replace(delimiter, repl) for s in starts]
+    return [(t, 1 if i == 0 else 0) for i, t in enumerate(toks)]
+
+
+# ---------------------------------------------------------------------------
+# chain composition
+# ---------------------------------------------------------------------------
+
+_FILTERS = {
+    "lowercase": lowercase_filter,
+    "stop": stop_filter,
+    "length": length_filter,
+    "keep": keep_word_filter,
+    "trim": trim_filter,
+    "truncate": truncate_filter,
+    "reverse": reverse_filter,
+    "ascii_folding": ascii_folding_filter,
+    "capitalization": capitalization_filter,
+    "hyphenated_words": hyphenated_words_filter,
+    "edge_ngram": edge_ngram_filter,
+    "ngram": ngram_filter,
+    "common_grams": common_grams_filter,
+    "common_grams_query": common_grams_query_filter,
+}
+
+
+def make_chain(tokenizer: str = "standard", filters=()):
+    """Compose tokenizer + named filters -> analyzer callable.
+
+    tokenizer: standard | whitespace | keyword | path_hierarchy |
+    reverse_path_hierarchy (with optional dict params).
+    filters: sequence of names or (name, {params}) pairs from _FILTERS,
+    plus ("stem", {"name": <stemmer fn name in sparklucene.stemmer>}) and
+    ("keyword_repeat_stem", {"name": ...})."""
+    from . import analysis as _an
+
+    tok_name, tok_params = tokenizer, {}
+    if isinstance(tokenizer, (tuple, list)):
+        tok_name, tok_params = tokenizer[0], dict(tokenizer[1])
+
+    def _tokenize(text: str):
+        if tok_name == "standard":
+            return [(t, 1) for t in _an.tokenize_raw(text)
+                    if len(t) <= _an.MAX_TOKEN_LENGTH]
+        if tok_name == "whitespace":
+            return [(t, 1) for t in text.split()
+                    if len(t) <= _an.MAX_TOKEN_LENGTH]
+        if tok_name == "keyword":
+            return [(text, 1)] if text else []
+        if tok_name == "path_hierarchy":
+            return path_hierarchy_tokens(text, **tok_params)
+        if tok_name == "reverse_path_hierarchy":
+            return reverse_path_hierarchy_tokens(text, **tok_params)
+        raise ValueError(f"unknown tokenizer: {tok_name}")
+
+    steps = []
+    for f in filters:
+        name, params = (f, {}) if isinstance(f, str) else (f[0], dict(f[1]))
+        if name in ("stem", "keyword_repeat_stem"):
+            import sparklucene.stemmer as _stemmod
+
+            fn = getattr(_stemmod, params["name"])
+            if name == "stem":
+                steps.append(lambda ts, fn=fn: [(fn(t), p) for t, p in ts])
+            else:
+                steps.append(lambda ts, fn=fn: keyword_repeat_with_stem(ts, fn))
+        else:
+            flt = _FILTERS[name]
+            steps.append(lambda ts, flt=flt, params=params: flt(ts, **params))
+
+    def _analyze(text: str):
+        ts = _tokenize(text)
+        for step in steps:
+            ts = step(ts)
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for t, p in ts:
+            pos += p
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
+
+    return _analyze

@@ -1,0 +1,286 @@
+"""WordDelimiterFilter — faithful port of the reference's subword splitter
+(Analysis/Miscellaneous/WordDelimiterFilter.cs + WordDelimiterIterator.cs).
+
+Splits tokens on intra-word delimiters, case transitions and letter/number
+transitions; optionally catenates runs and preserves originals; reproduces
+the reference's POSITION INCREMENTS and its end-of-word offset sort
+(startOffset asc, posInc desc — OffsetSorter, WordDelimiterFilter.cs:433).
+The kernel is pure Python over one token at a time; the `word_delimiter`
+analyzer chain wires it behind the whitespace tokenizer exactly as the
+reference docs recommend (WordDelimiterFilter.cs:142-147: the standard
+tokenizer would eat the intra-word delimiters first).
+"""
+from __future__ import annotations
+
+import unicodedata
+
+LOWER = 0x01
+UPPER = 0x02
+DIGIT = 0x04
+SUBWORD_DELIM = 0x08
+ALPHA = 0x03
+ALPHANUM = 0x07
+
+# flags (WordDelimiterFilter.cs:34-95)
+GENERATE_WORD_PARTS = 1
+GENERATE_NUMBER_PARTS = 2
+CATENATE_WORDS = 4
+CATENATE_NUMBERS = 8
+CATENATE_ALL = 16
+PRESERVE_ORIGINAL = 32
+SPLIT_ON_CASE_CHANGE = 64
+SPLIT_ON_NUMERICS = 128
+STEM_ENGLISH_POSSESSIVE = 256
+
+DEFAULT_FLAGS = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS
+                 | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS
+                 | STEM_ENGLISH_POSSESSIVE)
+
+_DONE = -1
+
+
+def _char_type(ch: str) -> int:
+    """WordDelimiterIterator.CharType: Latin-1 via the default table
+    (:59-83 — only Ll/Lu/Nd recognized, everything else is a delimiter),
+    higher codepoints via Unicode category (GetType :296-330)."""
+    cat = unicodedata.category(ch)
+    if ord(ch) < 256:
+        if cat == "Ll":
+            return LOWER
+        if cat == "Lu":
+            return UPPER
+        if cat == "Nd":
+            return DIGIT
+        return SUBWORD_DELIM
+    if cat == "Lu":
+        return UPPER
+    if cat == "Ll":
+        return LOWER
+    if cat in ("Lt", "Lm", "Lo", "Mn", "Me", "Mc"):
+        return ALPHA
+    if cat in ("Nd", "Nl", "No"):
+        return DIGIT
+    if cat == "Cs":
+        return ALPHA | DIGIT
+    return SUBWORD_DELIM
+
+
+class _Iterator:
+    """WordDelimiterIterator.cs — subword boundary scanner."""
+
+    def __init__(self, text: str, split_case: bool, split_num: bool,
+                 stem_poss: bool):
+        self.text = text
+        self.types = [_char_type(c) for c in text]
+        self.split_case = split_case
+        self.split_num = split_num
+        self.stem_poss = stem_poss
+        self.current = 0
+        self.end = 0
+        self.skip_possessive = False
+        self.has_final_possessive = False
+        # SetBounds (:257)
+        n = len(text)
+        sb = 0
+        while sb < n and (self.types[sb] & SUBWORD_DELIM):
+            sb += 1
+        eb = n
+        while eb > sb and (self.types[eb - 1] & SUBWORD_DELIM):
+            eb -= 1
+        self.start_bounds, self.end_bounds = sb, eb
+        if self._ends_with_possessive(eb):
+            self.has_final_possessive = True
+        self.current = sb
+
+    def _ends_with_possessive(self, pos: int) -> bool:
+        t = self.text
+        return (self.stem_poss and pos > 2 and t[pos - 2] == "'"
+                and t[pos - 1] in "sS"
+                and (self.types[pos - 3] & ALPHA) != 0
+                and (pos == self.end_bounds
+                     or (self.types[pos] & SUBWORD_DELIM) != 0))
+
+    def _is_break(self, last: int, typ: int) -> bool:
+        if typ & last:
+            return False
+        if not self.split_case and (last & ALPHA) and (typ & ALPHA):
+            return False
+        if (last & UPPER) and (typ & ALPHA):
+            return False
+        if not self.split_num and (((last & ALPHA) and (typ & DIGIT))
+                                   or ((last & DIGIT) and (typ & ALPHA))):
+            return False
+        return True
+
+    def next(self) -> int:
+        self.current = self.end
+        if self.current == _DONE:
+            return _DONE
+        if self.skip_possessive:
+            self.current += 2
+            self.skip_possessive = False
+        last = 0
+        while self.current < self.end_bounds:
+            last = self.types[self.current]
+            if not (last & SUBWORD_DELIM):
+                break
+            self.current += 1
+        if self.current >= self.end_bounds:
+            self.end = _DONE
+            return _DONE
+        self.end = self.current + 1
+        while self.end < self.end_bounds:
+            typ = self.types[self.end]
+            if self._is_break(last, typ):
+                break
+            last = typ
+            self.end += 1
+        if self.end < self.end_bounds - 1 \
+                and self._ends_with_possessive(self.end + 2):
+            self.skip_possessive = True
+        return self.end
+
+    def word_type(self) -> int:
+        if self.end == _DONE:
+            return 0
+        t = self.types[self.current]
+        return ALPHA if t & ALPHA else t
+
+    def is_single_word(self) -> bool:
+        if self.has_final_possessive:
+            return (self.current == self.start_bounds
+                    and self.end == self.end_bounds - 2)
+        return (self.current == self.start_bounds
+                and self.end == self.end_bounds)
+
+
+def word_delimiter_tokens(tokens, flags: int = DEFAULT_FLAGS,
+                          protected=frozenset()):
+    """[(term, posInc)] -> [(term, posInc)], reproducing
+    WordDelimiterFilter.IncrementToken (:253-395) end to end: immediate
+    emissions (unbroken/protected/preserved-original/single-word),
+    buffered part+concat emissions sorted by (startOff asc, posInc desc)
+    at each word end, and the accumPosInc bookkeeping across dropped
+    all-delimiter tokens."""
+    has = lambda f: (flags & f) != 0
+    out: list[tuple[str, int]] = []
+    accum = 0
+    first = True
+
+    for term, pos_inc in tokens:
+        accum += pos_inc
+        it = _Iterator(term, has(SPLIT_ON_CASE_CHANGE),
+                       has(SPLIT_ON_NUMERICS),
+                       has(STEM_ENGLISH_POSSESSIVE))
+        it.next()
+        # unbroken or protected word (:276)
+        if (it.current == 0 and it.end == len(term)) or term in protected:
+            out.append((term, accum))
+            accum = 0
+            first = False
+            continue
+        # word of only delimiters (:285)
+        if it.end == _DONE and not has(PRESERVE_ORIGINAL):
+            if pos_inc == 1 and not first:
+                accum -= 1
+            continue
+
+        has_output_token = False
+        has_output_following_original = not has(PRESERVE_ORIGINAL)
+        last_concat_count = 0
+        concat_buf: list[str] = []
+        concat_type = 0
+        concat_count = 0
+        concat_start = 0
+        catall_buf: list[str] = []
+        catall_count = 0
+        catall_start = 0
+        buffered: list[tuple[int, int, str]] = []  # (startOff, posInc, term)
+
+        def position(inject: bool) -> int:
+            nonlocal accum, has_output_token, has_output_following_original
+            p = accum
+            if has_output_token:
+                accum = 0
+                return 0 if inject else max(1, p)
+            has_output_token = True
+            if not has_output_following_original:
+                has_output_following_original = True
+                return 0
+            accum = 0
+            return max(1, p)
+
+        def flush_concat() -> bool:
+            """FlushConcatenation (:510): write unless it is a single
+            subword whose parts are generated anyway."""
+            nonlocal last_concat_count, concat_count, concat_type, accum
+            last_concat_count = concat_count
+            if concat_count != 1 or not should_generate(concat_type):
+                buffered.append((concat_start, position(True),
+                                 "".join(concat_buf)))
+                accum = 0
+                concat_buf.clear()
+                concat_type = concat_count = 0
+                return True
+            concat_buf.clear()
+            concat_type = concat_count = 0
+            return False
+
+        def should_concat(t: int) -> bool:
+            return ((has(CATENATE_WORDS) and (t & ALPHA) != 0)
+                    or (has(CATENATE_NUMBERS) and (t & DIGIT) != 0))
+
+        def should_generate(t: int) -> bool:
+            return ((has(GENERATE_WORD_PARTS) and (t & ALPHA) != 0)
+                    or (has(GENERATE_NUMBER_PARTS) and (t & DIGIT) != 0))
+
+        if has(PRESERVE_ORIGINAL):
+            out.append((term, accum))
+            accum = 0
+            first = False
+
+        while True:
+            if it.end == _DONE:
+                if concat_buf:
+                    flush_concat()
+                if catall_buf:
+                    if catall_count > last_concat_count:
+                        buffered.append((catall_start, position(True),
+                                         "".join(catall_buf)))
+                        accum = 0
+                    catall_buf.clear()
+                    catall_count = 0
+                # OffsetSorter: startOff asc, posInc desc (:433-440)
+                buffered.sort(key=lambda b: (b[0], -b[1]))
+                for k, (_so, pi, tm) in enumerate(buffered):
+                    if first and pi == 0:
+                        pi = 1
+                    out.append((tm, pi))
+                    first = False
+                break
+            if it.is_single_word():
+                out.append((term[it.current:it.end], position(False)))
+                it.next()
+                first = False
+                continue
+            wt = it.word_type()
+            if concat_buf and (concat_type & wt) == 0:
+                flush_concat()
+                has_output_token = False
+            if should_concat(wt):
+                if not concat_buf:
+                    concat_type = wt
+                    concat_start = it.current
+                concat_buf.append(term[it.current:it.end])
+                concat_count += 1
+            if has(CATENATE_ALL):
+                if not catall_buf:
+                    catall_start = it.current
+                catall_buf.append(term[it.current:it.end])
+                catall_count += 1
+            if should_generate(wt):
+                buffered.append((it.current, position(False),
+                                 term[it.current:it.end]))
+            it.next()
+
+    return out

@@ -1,0 +1,180 @@
+"""Filter-chain components vs the reference's own test vectors
+(Analysis/Path/TestPathHierarchyTokenizer.cs, TestReversePathHierarchy-
+Tokenizer.cs, Commongrams/CommonGramsFilterTest.cs, NGram/EdgeNGramToken-
+FilterTest.cs, Miscellaneous/Test{Length,KeepWord,Trim,Capitalization,
+HyphenatedWords}Filter.cs)."""
+from sparklucene.filters import (
+    capitalization_filter,
+    common_grams_filter,
+    common_grams_query_filter,
+    edge_ngram_filter,
+    hyphenated_words_filter,
+    keep_word_filter,
+    keyword_repeat_with_stem,
+    length_filter,
+    make_chain,
+    ngram_filter,
+    path_hierarchy_tokens,
+    reverse_filter,
+    reverse_path_hierarchy_tokens,
+    trim_filter,
+    truncate_filter,
+)
+
+COMMON = {"s", "a", "b", "c", "d", "the", "of"}
+
+
+def _terms(pairs):
+    return [t for t, _ in pairs]
+
+
+def test_path_hierarchy_vectors():
+    assert path_hierarchy_tokens("/a/b/c") == [
+        ("/a", 1), ("/a/b", 0), ("/a/b/c", 0)]
+    assert path_hierarchy_tokens("/a/b/c/") == [
+        ("/a", 1), ("/a/b", 0), ("/a/b/c", 0), ("/a/b/c/", 0)]
+    assert path_hierarchy_tokens("a/b/c") == [
+        ("a", 1), ("a/b", 0), ("a/b/c", 0)]
+    assert path_hierarchy_tokens("/") == [("/", 1)]
+    assert path_hierarchy_tokens("//") == [("/", 1), ("//", 0)]
+    assert path_hierarchy_tokens("/a/b/c", "/", "\\") == [
+        ("\\a", 1), ("\\a\\b", 0), ("\\a\\b\\c", 0)]
+    assert path_hierarchy_tokens("c:\\a\\b\\c", "\\") == [
+        ("c:", 1), ("c:\\a", 0), ("c:\\a\\b", 0), ("c:\\a\\b\\c", 0)]
+    assert path_hierarchy_tokens("/a/b/c", skip=1) == [("/b", 1), ("/b/c", 0)]
+    assert path_hierarchy_tokens("a/b/c/", skip=1) == [
+        ("/b", 1), ("/b/c", 0), ("/b/c/", 0)]
+
+
+def test_reverse_path_hierarchy_vectors():
+    assert reverse_path_hierarchy_tokens("/a/b/c") == [
+        ("/a/b/c", 1), ("a/b/c", 0), ("b/c", 0), ("c", 0)]
+    assert reverse_path_hierarchy_tokens("/a/b/c/") == [
+        ("/a/b/c/", 1), ("a/b/c/", 0), ("b/c/", 0), ("c/", 0)]
+    assert reverse_path_hierarchy_tokens("a/b/c") == [
+        ("a/b/c", 1), ("b/c", 0), ("c", 0)]
+    assert reverse_path_hierarchy_tokens("/a/b/c/", skip=1) == [
+        ("/a/b/", 1), ("a/b/", 0), ("b/", 0)]
+    assert reverse_path_hierarchy_tokens("a/b/c", skip=1) == [
+        ("a/b/", 1), ("b/", 0)]
+    assert reverse_path_hierarchy_tokens("/", skip=1) == []
+
+
+def test_common_grams_vectors():
+    def cg(text):
+        return _terms(common_grams_filter(
+            [(w, 1) for w in text.split()], COMMON))
+
+    def cgq(text):
+        return _terms(common_grams_query_filter(
+            [(w, 1) for w in text.split()], COMMON))
+
+    assert cg("How the s a brown")[:6] == [
+        "How", "How_the", "the", "the_s", "s", "s_a"]
+    assert cgq("brown fox") == ["brown", "fox"]
+    assert cgq("the fox") == ["the_fox"]
+    assert cgq("fox of") == ["fox_of"]
+    assert cgq("of the") == ["of_the"]
+    assert cgq("the") == ["the"]
+    assert cgq("n n n") == ["n", "n", "n"]
+    assert cgq("n n s") == ["n", "n_s"]
+    assert cgq("n s n") == ["n_s", "s_n"]
+    assert cgq("n s s") == ["n_s", "s_s"]
+    assert cgq("s n n") == ["s_n", "n", "n"]
+    assert cgq("s n s") == ["s_n", "n_s"]
+    assert cgq("s s n") == ["s_s", "s_n"]
+    assert cgq("of the fox") == ["of_the", "the_fox"]
+
+
+def test_edge_and_ngram_filters():
+    assert edge_ngram_filter([("abcde", 1)], 1, 3) == [
+        ("a", 1), ("ab", 0), ("abc", 0)]
+    assert _terms(edge_ngram_filter([("abcde", 1)], 1, 3, side="back")) == [
+        "e", "de", "cde"]
+    assert edge_ngram_filter([("abcde", 1), ("vwxyz", 1)], 1, 3) == [
+        ("a", 1), ("ab", 0), ("abc", 0), ("v", 1), ("vw", 0), ("vwx", 0)]
+    # too-short tokens drop, increments accumulate
+    assert edge_ngram_filter([("ab", 1), ("abcde", 1)], 3, 5) == [
+        ("abc", 2), ("abcd", 0), ("abcde", 0)]
+    assert _terms(ngram_filter([("abc", 1)], 1, 2)) == [
+        "a", "ab", "b", "bc", "c"]
+
+
+def test_misc_filters():
+    assert length_filter(
+        [("a", 1), ("ab", 1), ("abcdef", 1), ("abc", 1)], 2, 5) == [
+        ("ab", 2), ("abc", 2)]
+    assert keep_word_filter(
+        [("aaa", 1), ("foo", 1), ("BBB", 1)], {"aaa", "BBB"}) == [
+        ("aaa", 1), ("BBB", 2)]
+    assert trim_filter([(" a ", 1), ("b", 1), (" ", 1)]) == [
+        ("a", 1), ("b", 1), ("", 1)]
+    assert truncate_filter([("abcdefg", 1)], 3) == [("abc", 1)]
+    assert reverse_filter([("hello", 1)]) == [("olleh", 1)]
+
+    def hyph(ws):
+        return _terms(hyphenated_words_filter([(w, 1) for w in ws]))
+
+    assert hyph(["ecologi-", "cal", "develop-", "ment",
+                 "comprehensive-hands-on", "and", "ecologi-", "cal"]) == [
+        "ecological", "development", "comprehensive-hands-on", "and",
+        "ecological"]
+    assert hyph(["abc-", "def", "geh", "1234-", "5678-"]) == [
+        "abcdef", "geh", "12345678-"]
+
+    from sparklucene.stemmer import porter_stem
+    assert keyword_repeat_with_stem([("running", 1), ("run", 1)],
+                                    porter_stem) == [
+        ("running", 1), ("run", 0), ("run", 1)]
+
+
+def test_capitalization_vectors():
+    keep = {"and", "the", "it", "BIG"}
+
+    def cap1(s, **kw):
+        return capitalization_filter([(s, 1)], keep=keep, **kw)[0][0]
+
+    assert cap1("kiTTEN") == "Kitten"
+    assert cap1("and") == "And"
+    assert cap1("AnD") == "And"
+    assert cap1("AnD", force_first_letter=False) == "And"
+    assert cap1("BIG") == "BIG"
+    assert cap1("Hello thEre my Name is Ryan") == \
+        "Hello there my name is ryan"
+    assert cap1("McKinley") == "Mckinley"
+    assert cap1("McKinley", ok_prefix=["McK"]) == "McKinley"
+    assert cap1("the The the", only_first_word=False) == "The The the"
+    got = _terms(capitalization_filter(
+        [(w, 1) for w in "Hello thEre my Name is Ryan".split()],
+        only_first_word=False, keep=keep))
+    assert got == ["Hello", "There", "My", "Name", "Is", "Ryan"]
+    got = _terms(capitalization_filter(
+        [(w, 1) for w in "Hello thEre my Name is Ryan".split()],
+        only_first_word=False, keep=keep, min_word_length=3))
+    assert got == ["Hello", "There", "my", "Name", "is", "Ryan"]
+    got = _terms(capitalization_filter(
+        [(w, 1) for w in "1st 2nd third".split()],
+        only_first_word=False, keep=keep, force_first_letter=False))
+    assert got == ["1st", "2nd", "Third"]
+
+
+def test_chain_analyzer():
+    from sparklucene.analysis import make_analyzer
+
+    an = make_analyzer("chain", tokenizer="whitespace",
+                       filters=["lowercase",
+                                ("edge_ngram", {"min_gram": 2,
+                                                "max_gram": 3})])
+    assert an("Hello World") == (["he", "hel", "wo", "wor"], [0, 0, 1, 1])
+    an2 = make_analyzer("chain", tokenizer=("path_hierarchy", {}),
+                        filters=[])
+    assert an2("/usr/local/bin") == (
+        ["/usr", "/usr/local", "/usr/local/bin"], [0, 0, 0])
+    an3 = make_analyzer("chain",
+                        filters=["lowercase",
+                                 ("common_grams", {"common": ["the"]})])
+    assert an3("The quick")[0] == ["the", "the_quick", "quick"]
+    an4 = make_analyzer("chain",
+                        filters=["lowercase",
+                                 ("stem", {"name": "porter_stem"})])
+    assert an4("running quickly")[0] == ["run", "quickli"]

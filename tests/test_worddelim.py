@@ -1,0 +1,105 @@
+"""WordDelimiterFilter kernel vs the reference's own test vectors
+(Lucene.Net.Tests.Analysis.Common/Analysis/Miscellaneous/
+TestWordDelimiterFilter.cs)."""
+from sparklucene.worddelim import (
+    CATENATE_ALL,
+    CATENATE_NUMBERS,
+    CATENATE_WORDS,
+    DEFAULT_FLAGS,
+    GENERATE_NUMBER_PARTS,
+    GENERATE_WORD_PARTS,
+    PRESERVE_ORIGINAL,
+    SPLIT_ON_CASE_CHANGE,
+    SPLIT_ON_NUMERICS,
+    STEM_ENGLISH_POSSESSIVE,
+    word_delimiter_tokens,
+)
+
+
+def _wd(text, flags=DEFAULT_FLAGS, prot=frozenset()):
+    return word_delimiter_tokens([(t, 1) for t in text.split()], flags, prot)
+
+
+def test_do_split_vectors():
+    """doSplit cases (TestWordDelimiterFilter.cs:141-174)."""
+    for inp, want in [
+        ("basic-split", ["basic", "split"]),
+        ("camelCase", ["camel", "Case"]),
+        ("test's'", ["test"]),
+        ("Роберт", ["Роберт"]),
+        ("РобЕрт", ["Роб", "Ерт"]),
+        ("aǅungla", ["aǅungla"]),          # Lt char: no case split
+        ("test⃝", ["test⃝"]),                # enclosing mark
+        ("हिन्दी", ["हिन्दी"]),               # combining marks
+        ("١٢٣٤", ["١٢٣٤"]),                   # non-latin digits
+        ("𠀀𠀀", ["𠀀𠀀"]),                   # astral plane
+    ]:
+        got = [t for t, _ in _wd(inp)]
+        assert got == want, (inp, got, want)
+
+
+def test_possessives():
+    """doSplitPossessive (:176-195)."""
+    flags = GENERATE_WORD_PARTS | STEM_ENGLISH_POSSESSIVE
+    assert [t for t, _ in _wd("ra's", flags)] == ["ra"]
+    assert [t for t, _ in _wd("ra's", GENERATE_WORD_PARTS)] == ["ra", "s"]
+    assert [t for t, _ in _wd("O'Neil's", DEFAULT_FLAGS)] == ["O", "Neil"]
+
+
+def test_position_increments():
+    """TestPositionIncrements (:233-274): holes from dropped
+    all-delimiter tokens, injected tokens at posInc 0, protected words."""
+    f = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS | CATENATE_ALL
+         | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS
+         | STEM_ENGLISH_POSSESSIVE)
+    assert _wd("LUCENE / SOLR", f, {"NUTCH"}) == [("LUCENE", 1), ("SOLR", 1)]
+    assert _wd("LUCENE / solR", f, {"NUTCH"}) == [
+        ("LUCENE", 1), ("sol", 1), ("solR", 0), ("R", 1)]
+    assert _wd("LUCENE / NUTCH SOLR", f, {"NUTCH"}) == [
+        ("LUCENE", 1), ("NUTCH", 1), ("SOLR", 1)]
+    # large gap from an upstream filter is preserved (a2 cases :259-267)
+    f3 = (GENERATE_WORD_PARTS | CATENATE_WORDS | SPLIT_ON_CASE_CHANGE
+          | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE)
+    assert word_delimiter_tokens([("lucene.solr", 2)], f3) == [
+        ("lucene", 2), ("lucenesolr", 0), ("solr", 1)]
+    assert _wd("lucene.solr", f3) == [
+        ("lucene", 1), ("lucenesolr", 0), ("solr", 1)]
+
+
+def test_lots_of_concatenating():
+    """TestLotsOfConcatenating(2) (:344-398): all catenation flags, with
+    and without PRESERVE_ORIGINAL, exact order + posIncs."""
+    fa = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS | CATENATE_WORDS
+          | CATENATE_NUMBERS | CATENATE_ALL | SPLIT_ON_CASE_CHANGE
+          | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE)
+    assert _wd("abc-def-123-456", fa) == [
+        ("abc", 1), ("abcdef", 0), ("abcdef123456", 0), ("def", 1),
+        ("123", 1), ("123456", 0), ("456", 1)]
+    assert _wd("abc-def-123-456", fa | PRESERVE_ORIGINAL) == [
+        ("abc-def-123-456", 1), ("abc", 0), ("abcdef", 0),
+        ("abcdef123456", 0), ("def", 1), ("123", 1), ("123456", 0),
+        ("456", 1)]
+
+
+def test_offsets_order():
+    """TestOffsets (:53-69): catenated token sorts between the parts by
+    (startOffset asc, posInc desc)."""
+    f = GENERATE_WORD_PARTS | CATENATE_WORDS
+    assert [t for t, _ in _wd("foo-bar", f)] == ["foo", "foobar", "bar"]
+    assert [t for t, _ in _wd("foo-bar 5-6", f | GENERATE_NUMBER_PARTS
+                              | CATENATE_NUMBERS)] == [
+        "foo", "foobar", "bar", "5", "56", "6"]
+
+
+def test_analyzer_chain():
+    """word_delimiter analyzer: whitespace -> WDF -> lowercase, absolute
+    positions with injected tokens sharing positions."""
+    from sparklucene.analysis import make_analyzer
+
+    an = make_analyzer("word_delimiter")
+    assert an("PowerShot fooBar_baz2") == (
+        ["power", "shot", "foo", "bar", "baz", "2"], [0, 1, 2, 3, 4, 5])
+    an2 = make_analyzer("word_delimiter",
+                        flags=GENERATE_WORD_PARTS | CATENATE_WORDS
+                        | SPLIT_ON_CASE_CHANGE)
+    assert an2("wi-fi") == (["wi", "wifi", "fi"], [0, 0, 1])
