@@ -416,3 +416,37 @@ def make_chain(tokenizer: str = "standard", filters=()):
         return terms, positions
 
     return _analyze
+
+
+def dictionary_compound_filter(tokens, dictionary, min_word_size: int = 5,
+                               min_subword_size: int = 2,
+                               max_subword_size: int = 15,
+                               only_longest_match: bool = False):
+    """DictionaryCompoundWordTokenFilter (Analysis/Compound/
+    DictionaryCompoundWordTokenFilter.cs:113-151 + CompoundWordTokenFilter-
+    Base): original token first, then every dictionary subword found at any
+    offset (sizes min..max, case-insensitive match, surface case kept) at
+    posInc 0; onlyLongestMatch keeps one per start offset."""
+    d = frozenset(w.lower() for w in dictionary)
+    out = []
+    for t, p in tokens:
+        out.append((t, p))
+        if len(t) < min_word_size:
+            continue
+        low = t.lower()
+        for i in range(0, len(t) - min_subword_size + 1):
+            longest = None
+            for j in range(min_subword_size, max_subword_size + 1):
+                if i + j > len(t):
+                    break
+                if low[i:i + j] in d:
+                    if only_longest_match:
+                        longest = j
+                    else:
+                        out.append((t[i:i + j], 0))
+            if only_longest_match and longest is not None:
+                out.append((t[i:i + longest], 0))
+    return out
+
+
+_FILTERS["dictionary_compound"] = dictionary_compound_filter

@@ -2292,6 +2292,23 @@ class IndexSearcher:
         )
 
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
+    def auto_stop_words(self, max_doc_freq: int | None = None,
+                        max_percent_docs: float | None = None) -> list[str]:
+        """QueryAutoStopWordAnalyzer's stop-set derivation (src/
+        Lucene.Net.Analysis.Common/Analysis/Query/QueryAutoStopWordAnalyzer.cs
+        :118-175): terms whose df exceeds maxDocFreq (absolute) or
+        maxPercentDocs * maxDoc become stop words.  Wrap any analyzer with
+        the returned set via make_analyzer("chain", filters=[...,
+        ("stop", {"stops": set})])."""
+        if max_doc_freq is None and max_percent_docs is None:
+            max_percent_docs = 0.4  # defaultMaxDocFreqPercent (:66)
+        if max_percent_docs is not None:
+            max_doc_freq = int(max_percent_docs * self.max_doc)
+        td = self._union_read("term_dict").groupBy("term").agg(
+            F.sum("df").alias("df"))
+        rows = td.filter(F.col("df") > max_doc_freq).select("term").collect()
+        return sorted(r.term for r in rows)
+
     def suggest_terms(self, prefix: str, n: int = 10) -> DataFrame:
         """Prefix completion over the terms dictionary, ranked by document
         frequency as the weight (the Suggest module's pattern: candidate

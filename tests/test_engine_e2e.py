@@ -204,3 +204,16 @@ def test_docs_sha256_matches_source(searcher, corpus, spark):
     for row in corpus:
         want = hashlib.sha256(row["content"].encode()).hexdigest()
         assert docs[(row["repo"], row["path"])] == want
+
+
+def test_auto_stop_words(searcher, oracle_idx):
+    """QueryAutoStopWordAnalyzer derivation: df > maxDocFreq terms become
+    stop words; percent form uses maxPercentDocs * maxDoc
+    (QueryAutoStopWordAnalyzer.cs:118-175)."""
+    dfs = {t: len(pl) for t, pl in oracle_idx.postings.items()}
+    for cap in (1, 3, 10):
+        want = sorted(t for t, df in dfs.items() if df > cap)
+        assert searcher.auto_stop_words(max_doc_freq=cap) == want
+    n = oracle_idx.max_doc
+    want = sorted(t for t, df in dfs.items() if df > int(0.4 * n))
+    assert searcher.auto_stop_words() == want

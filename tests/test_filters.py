@@ -178,3 +178,34 @@ def test_chain_analyzer():
                         filters=["lowercase",
                                  ("stem", {"name": "porter_stem"})])
     assert an4("running quickly")[0] == ["run", "quickli"]
+
+
+def test_dictionary_compound_vectors():
+    """TestCompoundWordTokenFilter.cs:100-133 (Swedish dictionary
+    decompounder, plain + onlyLongestMatch + min-length component)."""
+    from sparklucene.filters import dictionary_compound_filter as dc
+
+    d = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar", "Pelar",
+         "Glas", "Ögon", "Fodral", "Bas", "Fiol", "Makare", "Gesäll",
+         "Sko", "Vind", "Rute", "Torkare", "Blad"]
+    text = ("Bildörr Bilmotor Biltak Slagborr Hammarborr Pelarborr "
+            "Glasögonfodral Basfiolsfodral Basfiolsfodralmakaregesäll "
+            "Skomakare Vindrutetorkare Vindrutetorkarblad abba")
+    got = _terms(dc([(w, 1) for w in text.split()], d))
+    assert got == [
+        "Bildörr", "Bil", "dörr", "Bilmotor", "Bil", "motor", "Biltak",
+        "Bil", "tak", "Slagborr", "Slag", "borr", "Hammarborr", "Hammar",
+        "borr", "Pelarborr", "Pelar", "borr", "Glasögonfodral", "Glas",
+        "ögon", "fodral", "Basfiolsfodral", "Bas", "fiol", "fodral",
+        "Basfiolsfodralmakaregesäll", "Bas", "fiol", "fodral", "makare",
+        "gesäll", "Skomakare", "Sko", "makare", "Vindrutetorkare", "Vind",
+        "rute", "torkare", "Vindrutetorkarblad", "Vind", "rute", "blad",
+        "abba"]
+    d2 = d[:12] + ["Fiols", "Makare", "Gesäll", "Sko", "Vind", "Rute",
+                   "Torkare", "Blad", "Fiolsfodral"]
+    got = _terms(dc([("Basfiolsfodralmakaregesäll", 1)], d2,
+                    only_longest_match=True))
+    assert got == ["Basfiolsfodralmakaregesäll", "Bas", "fiolsfodral",
+                   "fodral", "makare", "gesäll"]
+    assert _terms(dc([("abcdef", 1)], ["ab", "cd", "ef"])) == [
+        "abcdef", "ab", "cd", "ef"]
