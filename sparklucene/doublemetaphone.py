@@ -1,0 +1,499 @@
+"""DoubleMetaphone — faithful port of Language/DoubleMetaphone.cs (the
+commons-codec 1.9 implementation of Lawrence Philips' 2000 algorithm).
+Returns (primary, alternate) encodings, each capped at max_code_len.
+Validated against the reference's DoubleMetaphoneTest.cs vectors in
+tests/test_phonetic.py."""
+from __future__ import annotations
+
+_VOWELS = "AEIOUY"
+_SILENT_START = ("GN", "KN", "PN", "WR", "PS")
+_L_R_N_M_B_H_F_V_W_SPACE = ("L", "R", "N", "M", "B", "H", "F", "V", "W", " ")
+_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER = (
+    "ES", "EP", "EB", "EL", "EY", "IB", "IL", "IN", "IE", "EI", "ER")
+_L_T_K_S_N_M_B_Z = ("L", "T", "K", "S", "N", "M", "B", "Z")
+
+
+class _Result:
+    __slots__ = ("primary", "alternate", "max_len")
+
+    def __init__(self, max_len: int):
+        self.primary: list[str] = []
+        self.alternate: list[str] = []
+        self.max_len = max_len
+
+    def app(self, p: str, a: str | None = None):
+        self.app_primary(p)
+        self.app_alternate(p if a is None else a)
+
+    def app_primary(self, v: str):
+        room = self.max_len - len(self.primary)
+        if room > 0:
+            self.primary.extend(v[:room])
+
+    def app_alternate(self, v: str):
+        room = self.max_len - len(self.alternate)
+        if room > 0:
+            self.alternate.extend(v[:room])
+
+    @property
+    def complete(self) -> bool:
+        return (len(self.primary) >= self.max_len
+                and len(self.alternate) >= self.max_len)
+
+
+def _char_at(v: str, i: int) -> str:
+    if i < 0 or i >= len(v):
+        return "\0"
+    return v[i]
+
+
+def _contains(v: str, start: int, length: int, *criteria: str) -> bool:
+    if start >= 0 and start + length <= len(v):
+        return v[start:start + length] in criteria
+    return False
+
+
+def _is_vowel(ch: str) -> bool:
+    return ch in _VOWELS
+
+
+def _slavo_germanic(v: str) -> bool:
+    return "W" in v or "K" in v or "CZ" in v or "WITZ" in v
+
+
+def double_metaphone(value: str, max_code_len: int = 4) -> tuple[str, str]:
+    value = (value or "").strip()
+    if not value:
+        return "", ""
+    value = value.upper()
+    slavo = _slavo_germanic(value)
+    index = 1 if value.startswith(_SILENT_START) else 0
+    r = _Result(max_code_len)
+    n = len(value)
+    while not r.complete and index <= n - 1:
+        ch = value[index]
+        if ch in "AEIOUY":
+            if index == 0:
+                r.app("A")
+            index += 1
+        elif ch == "B":
+            r.app("P")
+            index += 2 if _char_at(value, index + 1) == "B" else 1
+        elif ch == "Ç":
+            r.app("S")
+            index += 1
+        elif ch == "C":
+            index = _handle_c(value, r, index)
+        elif ch == "D":
+            index = _handle_d(value, r, index)
+        elif ch == "F":
+            r.app("F")
+            index += 2 if _char_at(value, index + 1) == "F" else 1
+        elif ch == "G":
+            index = _handle_g(value, r, index, slavo)
+        elif ch == "H":
+            index = _handle_h(value, r, index)
+        elif ch == "J":
+            index = _handle_j(value, r, index, slavo)
+        elif ch == "K":
+            r.app("K")
+            index += 2 if _char_at(value, index + 1) == "K" else 1
+        elif ch == "L":
+            index = _handle_l(value, r, index)
+        elif ch == "M":
+            r.app("M")
+            index += 2 if _condition_m0(value, index) else 1
+        elif ch == "N":
+            r.app("N")
+            index += 2 if _char_at(value, index + 1) == "N" else 1
+        elif ch == "Ñ":
+            r.app("N")
+            index += 1
+        elif ch == "P":
+            index = _handle_p(value, r, index)
+        elif ch == "Q":
+            r.app("K")
+            index += 2 if _char_at(value, index + 1) == "Q" else 1
+        elif ch == "R":
+            index = _handle_r(value, r, index, slavo)
+        elif ch == "S":
+            index = _handle_s(value, r, index, slavo)
+        elif ch == "T":
+            index = _handle_t(value, r, index)
+        elif ch == "V":
+            r.app("F")
+            index += 2 if _char_at(value, index + 1) == "V" else 1
+        elif ch == "W":
+            index = _handle_w(value, r, index)
+        elif ch == "X":
+            index = _handle_x(value, r, index)
+        elif ch == "Z":
+            index = _handle_z(value, r, index, slavo)
+        else:
+            index += 1
+    return "".join(r.primary), "".join(r.alternate)
+
+
+def _handle_c(v, r, i):
+    if _condition_c0(v, i):
+        r.app("K")
+        return i + 2
+    if i == 0 and _contains(v, i, 6, "CAESAR"):
+        r.app("S")
+        return i + 2
+    if _contains(v, i, 2, "CH"):
+        return _handle_ch(v, r, i)
+    if _contains(v, i, 2, "CZ") and not _contains(v, i - 2, 4, "WICZ"):
+        r.app("S", "X")
+        return i + 2
+    if _contains(v, i + 1, 3, "CIA"):
+        r.app("X")
+        return i + 3
+    if _contains(v, i, 2, "CC") and not (i == 1 and _char_at(v, 0) == "M"):
+        return _handle_cc(v, r, i)
+    if _contains(v, i, 2, "CK", "CG", "CQ"):
+        r.app("K")
+        return i + 2
+    if _contains(v, i, 2, "CI", "CE", "CY"):
+        if _contains(v, i, 3, "CIO", "CIE", "CIA"):
+            r.app("S", "X")
+        else:
+            r.app("S")
+        return i + 2
+    r.app("K")
+    if _contains(v, i + 1, 2, " C", " Q", " G"):
+        return i + 3
+    if _contains(v, i + 1, 1, "C", "K", "Q") \
+            and not _contains(v, i + 1, 2, "CE", "CI"):
+        return i + 2
+    return i + 1
+
+
+def _handle_cc(v, r, i):
+    if _contains(v, i + 2, 1, "I", "E", "H") \
+            and not _contains(v, i + 2, 2, "HU"):
+        if (i == 1 and _char_at(v, i - 1) == "A") \
+                or _contains(v, i - 1, 5, "UCCEE", "UCCES"):
+            r.app("KS")
+        else:
+            r.app("X")
+        return i + 3
+    r.app("K")
+    return i + 2
+
+
+def _handle_ch(v, r, i):
+    if i > 0 and _contains(v, i, 4, "CHAE"):
+        r.app("K", "X")
+        return i + 2
+    if _condition_ch0(v, i):
+        r.app("K")
+        return i + 2
+    if _condition_ch1(v, i):
+        r.app("K")
+        return i + 2
+    if i > 0:
+        if _contains(v, 0, 2, "MC"):
+            r.app("K")
+        else:
+            r.app("X", "K")
+    else:
+        r.app("X")
+    return i + 2
+
+
+def _handle_d(v, r, i):
+    if _contains(v, i, 2, "DG"):
+        if _contains(v, i + 2, 1, "I", "E", "Y"):
+            r.app("J")
+            return i + 3
+        r.app("TK")
+        return i + 2
+    if _contains(v, i, 2, "DT", "DD"):
+        r.app("T")
+        return i + 2
+    r.app("T")
+    return i + 1
+
+
+def _handle_g(v, r, i, slavo):
+    if _char_at(v, i + 1) == "H":
+        return _handle_gh(v, r, i)
+    if _char_at(v, i + 1) == "N":
+        if i == 1 and _is_vowel(_char_at(v, 0)) and not slavo:
+            r.app("KN", "N")
+        elif not _contains(v, i + 2, 2, "EY") \
+                and _char_at(v, i + 1) != "Y" and not slavo:
+            r.app("N", "KN")
+        else:
+            r.app("KN")
+        return i + 2
+    if _contains(v, i + 1, 2, "LI") and not slavo:
+        r.app("KL", "L")
+        return i + 2
+    if i == 0 and (_char_at(v, i + 1) == "Y" or _contains(
+            v, i + 1, 2, *_ES_EP_EB_EL_EY_IB_IL_IN_IE_EI_ER)):
+        r.app("K", "J")
+        return i + 2
+    if ((_contains(v, i + 1, 2, "ER") or _char_at(v, i + 1) == "Y")
+            and not _contains(v, 0, 6, "DANGER", "RANGER", "MANGER")
+            and not _contains(v, i - 1, 1, "E", "I")
+            and not _contains(v, i - 1, 3, "RGY", "OGY")):
+        r.app("K", "J")
+        return i + 2
+    if _contains(v, i + 1, 1, "E", "I", "Y") \
+            or _contains(v, i - 1, 4, "AGGI", "OGGI"):
+        if _contains(v, 0, 4, "VAN ", "VON ") or _contains(v, 0, 3, "SCH") \
+                or _contains(v, i + 1, 2, "ET"):
+            r.app("K")
+        elif _contains(v, i + 1, 3, "IER"):
+            r.app("J")
+        else:
+            r.app("J", "K")
+        return i + 2
+    if _char_at(v, i + 1) == "G":
+        r.app("K")
+        return i + 2
+    r.app("K")
+    return i + 1
+
+
+def _handle_gh(v, r, i):
+    if i > 0 and not _is_vowel(_char_at(v, i - 1)):
+        r.app("K")
+        return i + 2
+    if i == 0:
+        if _char_at(v, i + 2) == "I":
+            r.app("J")
+        else:
+            r.app("K")
+        return i + 2
+    if (i > 1 and _contains(v, i - 2, 1, "B", "H", "D")) \
+            or (i > 2 and _contains(v, i - 3, 1, "B", "H", "D")) \
+            or (i > 3 and _contains(v, i - 4, 1, "B", "H")):
+        return i + 2
+    if i > 2 and _char_at(v, i - 1) == "U" \
+            and _contains(v, i - 3, 1, "C", "G", "L", "R", "T"):
+        r.app("F")
+    elif i > 0 and _char_at(v, i - 1) != "I":
+        r.app("K")
+    return i + 2
+
+
+def _handle_h(v, r, i):
+    if (i == 0 or _is_vowel(_char_at(v, i - 1))) \
+            and _is_vowel(_char_at(v, i + 1)):
+        r.app("H")
+        return i + 2
+    return i + 1
+
+
+def _handle_j(v, r, i, slavo):
+    if _contains(v, i, 4, "JOSE") or _contains(v, 0, 4, "SAN "):
+        if (i == 0 and (_char_at(v, i + 4) == " ") or len(v) == 4) \
+                or _contains(v, 0, 4, "SAN "):
+            r.app("H")
+        else:
+            r.app("J", "H")
+        return i + 1
+    if i == 0 and not _contains(v, i, 4, "JOSE"):
+        r.app("J", "A")
+    elif _is_vowel(_char_at(v, i - 1)) and not slavo \
+            and (_char_at(v, i + 1) == "A" or _char_at(v, i + 1) == "O"):
+        r.app("J", "H")
+    elif i == len(v) - 1:
+        r.app("J", " ")
+    elif not _contains(v, i + 1, 1, *_L_T_K_S_N_M_B_Z) \
+            and not _contains(v, i - 1, 1, "S", "K", "L"):
+        r.app("J")
+    return i + 2 if _char_at(v, i + 1) == "J" else i + 1
+
+
+def _handle_l(v, r, i):
+    if _char_at(v, i + 1) == "L":
+        if _condition_l0(v, i):
+            r.app_primary("L")
+        else:
+            r.app("L")
+        return i + 2
+    r.app("L")
+    return i + 1
+
+
+def _handle_p(v, r, i):
+    if _char_at(v, i + 1) == "H":
+        r.app("F")
+        return i + 2
+    r.app("P")
+    return i + 2 if _contains(v, i + 1, 1, "P", "B") else i + 1
+
+
+def _handle_r(v, r, i, slavo):
+    if i == len(v) - 1 and not slavo \
+            and _contains(v, i - 2, 2, "IE") \
+            and not _contains(v, i - 4, 2, "ME", "MA"):
+        r.app_alternate("R")
+    else:
+        r.app("R")
+    return i + 2 if _char_at(v, i + 1) == "R" else i + 1
+
+
+def _handle_s(v, r, i, slavo):
+    if _contains(v, i - 1, 3, "ISL", "YSL"):
+        return i + 1
+    if i == 0 and _contains(v, i, 5, "SUGAR"):
+        r.app("X", "S")
+        return i + 1
+    if _contains(v, i, 2, "SH"):
+        if _contains(v, i + 1, 4, "HEIM", "HOEK", "HOLM", "HOLZ"):
+            r.app("S")
+        else:
+            r.app("X")
+        return i + 2
+    if _contains(v, i, 3, "SIO", "SIA") or _contains(v, i, 4, "SIAN"):
+        if slavo:
+            r.app("S")
+        else:
+            r.app("S", "X")
+        return i + 3
+    if (i == 0 and _contains(v, i + 1, 1, "M", "N", "L", "W")) \
+            or _contains(v, i + 1, 1, "Z"):
+        r.app("S", "X")
+        return i + 2 if _contains(v, i + 1, 1, "Z") else i + 1
+    if _contains(v, i, 2, "SC"):
+        return _handle_sc(v, r, i)
+    if i == len(v) - 1 and _contains(v, i - 2, 2, "AI", "OI"):
+        r.app_alternate("S")
+    else:
+        r.app("S")
+    return i + 2 if _contains(v, i + 1, 1, "S", "Z") else i + 1
+
+
+def _handle_sc(v, r, i):
+    if _char_at(v, i + 2) == "H":
+        if _contains(v, i + 3, 2, "OO", "ER", "EN", "UY", "ED", "EM"):
+            if _contains(v, i + 3, 2, "ER", "EN"):
+                r.app("X", "SK")
+            else:
+                r.app("SK")
+        else:
+            if i == 0 and not _is_vowel(_char_at(v, 3)) \
+                    and _char_at(v, 3) != "W":
+                r.app("X", "S")
+            else:
+                r.app("X")
+    elif _contains(v, i + 2, 1, "I", "E", "Y"):
+        r.app("S")
+    else:
+        r.app("SK")
+    return i + 3
+
+
+def _handle_t(v, r, i):
+    if _contains(v, i, 4, "TION"):
+        r.app("X")
+        return i + 3
+    if _contains(v, i, 3, "TIA", "TCH"):
+        r.app("X")
+        return i + 3
+    if _contains(v, i, 2, "TH") or _contains(v, i, 3, "TTH"):
+        if _contains(v, i + 2, 2, "OM", "AM") \
+                or _contains(v, 0, 4, "VAN ", "VON ") \
+                or _contains(v, 0, 3, "SCH"):
+            r.app("T")
+        else:
+            r.app("0", "T")
+        return i + 2
+    r.app("T")
+    return i + 2 if _contains(v, i + 1, 1, "T", "D") else i + 1
+
+
+def _handle_w(v, r, i):
+    if _contains(v, i, 2, "WR"):
+        r.app("R")
+        return i + 2
+    if i == 0 and (_is_vowel(_char_at(v, i + 1))
+                   or _contains(v, i, 2, "WH")):
+        if _is_vowel(_char_at(v, i + 1)):
+            r.app("A", "F")
+        else:
+            r.app("A")
+        return i + 1
+    if (i == len(v) - 1 and _is_vowel(_char_at(v, i - 1))) \
+            or _contains(v, i - 1, 5, "EWSKI", "EWSKY", "OWSKI", "OWSKY") \
+            or _contains(v, 0, 3, "SCH"):
+        r.app_alternate("F")
+        return i + 1
+    if _contains(v, i, 4, "WICZ", "WITZ"):
+        r.app("TS", "FX")
+        return i + 4
+    return i + 1
+
+
+def _handle_x(v, r, i):
+    if i == 0:
+        r.app("S")
+        return i + 1
+    if not (i == len(v) - 1 and (_contains(v, i - 3, 3, "IAU", "EAU")
+                                 or _contains(v, i - 2, 2, "AU", "OU"))):
+        r.app("KS")
+    return i + 2 if _contains(v, i + 1, 1, "C", "X") else i + 1
+
+
+def _handle_z(v, r, i, slavo):
+    if _char_at(v, i + 1) == "H":
+        r.app("J")
+        return i + 2
+    if _contains(v, i + 1, 2, "ZO", "ZI", "ZA") \
+            or (slavo and i > 0 and _char_at(v, i - 1) != "T"):
+        r.app("S", "TS")
+    else:
+        r.app("S")
+    return i + 2 if _char_at(v, i + 1) == "Z" else i + 1
+
+
+def _condition_c0(v, i):
+    if _contains(v, i, 4, "CHIA"):
+        return True
+    if i <= 1:
+        return False
+    if _is_vowel(_char_at(v, i - 2)):
+        return False
+    if not _contains(v, i - 1, 3, "ACH"):
+        return False
+    c = _char_at(v, i + 2)
+    return (c != "I" and c != "E") \
+        or _contains(v, i - 2, 6, "BACHER", "MACHER")
+
+
+def _condition_ch0(v, i):
+    if i != 0:
+        return False
+    if not _contains(v, i + 1, 5, "HARAC", "HARIS") \
+            and not _contains(v, i + 1, 3, "HOR", "HYM", "HIA", "HEM"):
+        return False
+    return not _contains(v, 0, 5, "CHORE")
+
+
+def _condition_ch1(v, i):
+    return ((_contains(v, 0, 4, "VAN ", "VON ") or _contains(v, 0, 3, "SCH"))
+            or _contains(v, i - 2, 6, "ORCHES", "ARCHIT", "ORCHID")
+            or _contains(v, i + 2, 1, "T", "S")
+            or ((_contains(v, i - 1, 1, "A", "O", "U", "E") or i == 0)
+                and (_contains(v, i + 2, 1, *_L_R_N_M_B_H_F_V_W_SPACE)
+                     or i + 1 == len(v) - 1)))
+
+
+def _condition_l0(v, i):
+    if i == len(v) - 3 and _contains(v, i - 1, 4, "ILLO", "ILLA", "ALLE"):
+        return True
+    return (_contains(v, len(v) - 2, 2, "AS", "OS")
+            or _contains(v, len(v) - 1, 1, "A", "O")) \
+        and _contains(v, i - 1, 4, "ALLE")
+
+
+def _condition_m0(v, i):
+    if _char_at(v, i + 1) == "M":
+        return True
+    return _contains(v, i - 1, 3, "UMB") \
+        and ((i + 1) == len(v) - 1 or _contains(v, i + 2, 2, "ER"))

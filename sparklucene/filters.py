@@ -450,3 +450,17 @@ def dictionary_compound_filter(tokens, dictionary, min_word_size: int = 5,
 
 
 _FILTERS["dictionary_compound"] = dictionary_compound_filter
+
+
+def phonetic_chain_filter(tokens, encoder="metaphone", inject: bool = True):
+    """PhoneticFilter / DoubleMetaphoneFilter adapter for make_chain."""
+    if encoder in ("double_metaphone", "doublemetaphone"):
+        from .phonetic import double_metaphone_filter
+
+        return double_metaphone_filter(tokens, inject=inject)
+    from .phonetic import phonetic_filter
+
+    return phonetic_filter(tokens, encoder, inject)
+
+
+_FILTERS["phonetic"] = phonetic_chain_filter

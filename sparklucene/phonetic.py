@@ -1,0 +1,505 @@
+"""Phonetic encoders — ports of Lucene.Net.Analysis.Phonetic/Language/*
+(the commons-codec algorithms the reference ships): Soundex,
+RefinedSoundex, Metaphone, Caverphone 1/2, NYSIIS, Cologne phonetic,
+Match Rating Approach, plus the PhoneticFilter/DoubleMetaphoneFilter
+token-stream adapters.  Each encoder is validated against the
+reference's own Language/*Test.cs vectors in tests/test_phonetic.py.
+"""
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# Soundex (Language/Soundex.cs)
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_US = "01230120022455012623010202"
+SILENT_MARKER = "-"
+
+
+def _clean(s: str) -> str:
+    """SoundexUtils.Clean: keep letters, uppercase."""
+    return "".join(ch for ch in s.upper() if ch.isalpha() and "A" <= ch <= "Z")
+
+
+def soundex(s: str, mapping: str = _SOUNDEX_US,
+            special_case_hw: bool | None = None) -> str:
+    """Soundex.GetSoundex (:267-301): 4-char code; with the US mapping H/W
+    are skipped entirely (but still separate duplicate codes via
+    lastDigit); '-' marked letters are silent."""
+    if special_case_hw is None:
+        special_case_hw = SILENT_MARKER not in mapping
+    s = _clean(s)
+    if not s:
+        return s
+    out = [s[0]]
+    last = mapping[ord(s[0]) - 65]
+    for ch in s[1:]:
+        if len(out) >= 4:
+            break
+        if special_case_hw and ch in "HW":
+            continue
+        digit = mapping[ord(ch) - 65]
+        if digit == SILENT_MARKER:
+            continue
+        if digit != "0" and digit != last:
+            out.append(digit)
+        last = digit
+    return "".join(out) + "0" * (4 - len(out))
+
+
+_SOUNDEX_REFINED = "01360240043788015936020505"
+
+
+def refined_soundex(s: str) -> str:
+    """RefinedSoundex.GetSoundex (:142-180): unbounded, first letter +
+    all codes with adjacent duplicates collapsed (vowels = 0 act as
+    separators but are dropped... code 0 IS appended)."""
+    s = _clean(s)
+    if not s:
+        return s
+    out = [s[0]]
+    last = None
+    for ch in s:
+        cur = _SOUNDEX_REFINED[ord(ch) - 65]
+        if cur == last:
+            continue
+        out.append(cur)
+        last = cur
+    return "".join(out)
+
+
+def soundex_difference(s1: str, s2: str, encoder=soundex) -> int:
+    """SoundexUtils.Difference: count of matching characters in the two
+    encodings, position by position."""
+    e1, e2 = encoder(s1), encoder(s2)
+    return sum(1 for a, b in zip(e1, e2) if a == b)
+
+
+# ---------------------------------------------------------------------------
+# Metaphone (Language/Metaphone.cs)
+# ---------------------------------------------------------------------------
+
+_MP_VOWELS = "AEIOU"
+_MP_FRONTV = "EIY"
+_MP_VARSON = "CSPTG"
+
+
+def metaphone(txt: str, max_code_len: int = 4) -> str:
+    """Metaphone.GetMetaphone — Lawrence Philips' 1990 algorithm as
+    shipped in commons-codec (Language/Metaphone.cs:80-347)."""
+    if not txt:
+        return ""
+    if len(txt) == 1:
+        return txt.upper()
+    inwd = txt.upper()
+    # initial-letter fixes
+    if inwd[0] in "KGP" and inwd[1] == "N":
+        local = inwd[1:]
+    elif inwd[0] == "A" and inwd[1] == "E":
+        local = inwd[1:]
+    elif inwd[0] == "W" and inwd[1] == "R":
+        local = inwd[1:]
+    elif inwd[0] == "W" and inwd[1] == "H":
+        local = "W" + inwd[2:]
+    elif inwd[0] == "X":
+        local = "S" + inwd[1:]
+    else:
+        local = inwd
+    wdsz = len(local)
+    code: list[str] = []
+    n = 0
+
+    def prev_is(i, c):
+        return 0 < i < wdsz and local[i - 1] == c
+
+    def next_is(i, c):
+        return 0 <= i < wdsz - 1 and local[i + 1] == c
+
+    def region(i, test):
+        return local[i:i + len(test)] == test
+
+    def vowel(i):
+        return local[i] in _MP_VOWELS
+
+    def last(i):
+        return i + 1 == wdsz
+
+    while len(code) < max_code_len and n < wdsz:
+        symb = local[n]
+        if symb != "C" and prev_is(n, symb):
+            n += 1
+            continue
+        if symb in _MP_VOWELS:
+            if n == 0:
+                code.append(symb)
+        elif symb == "B":
+            if not (prev_is(n, "M") and last(n)):
+                code.append(symb)
+        elif symb == "C":
+            if prev_is(n, "S") and not last(n) and local[n + 1] in _MP_FRONTV:
+                pass
+            elif region(n, "CIA"):
+                code.append("X")
+            elif not last(n) and local[n + 1] in _MP_FRONTV:
+                code.append("S")
+            elif prev_is(n, "S") and next_is(n, "H"):
+                code.append("K")
+            elif next_is(n, "H"):
+                if n == 0 and wdsz >= 3 and vowel(2):
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif symb == "D":
+            if not last(n + 1) and next_is(n, "G") \
+                    and local[n + 2] in _MP_FRONTV:
+                code.append("J")
+                n += 2
+            else:
+                code.append("T")
+        elif symb == "G":
+            if last(n + 1) and next_is(n, "H"):
+                pass
+            elif not last(n + 1) and next_is(n, "H") and not vowel(n + 2):
+                pass
+            elif n > 0 and (region(n, "GN") or region(n, "GNED")):
+                pass
+            else:
+                hard = prev_is(n, "G")
+                if not last(n) and local[n + 1] in _MP_FRONTV and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif symb == "H":
+            if last(n):
+                pass
+            elif n > 0 and local[n - 1] in _MP_VARSON:
+                pass
+            elif vowel(n + 1):
+                code.append("H")
+        elif symb in "FJLMNR":
+            code.append(symb)
+        elif symb == "K":
+            if n == 0 or not prev_is(n, "C"):
+                code.append(symb)
+        elif symb == "P":
+            code.append("F" if next_is(n, "H") else symb)
+        elif symb == "Q":
+            code.append("K")
+        elif symb == "S":
+            if region(n, "SH") or region(n, "SIO") or region(n, "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif symb == "T":
+            if region(n, "TIA") or region(n, "TIO"):
+                code.append("X")
+            elif region(n, "TCH"):
+                pass
+            elif region(n, "TH"):
+                code.append("0")
+            else:
+                code.append("T")
+        elif symb == "V":
+            code.append("F")
+        elif symb in "WY":
+            if not last(n) and vowel(n + 1):
+                code.append(symb)
+        elif symb == "X":
+            code.append("K")
+            code.append("S")
+        elif symb == "Z":
+            code.append("S")
+        n += 1
+        if len(code) > max_code_len:
+            del code[max_code_len:]
+    return "".join(code[:max_code_len])
+
+
+# ---------------------------------------------------------------------------
+# Caverphone (Language/Caverphone1.cs, Caverphone2.cs)
+# ---------------------------------------------------------------------------
+
+
+def caverphone2(source: str) -> str:
+    """Caverphone2.Encode (:36-130) — the 2004 revision, 10-char code."""
+    txt = source or ""
+    txt = txt.lower()
+    txt = re.sub(r"[^a-z]", "", txt)
+    txt = re.sub(r"e$", "", txt)
+    for pat, rep in (("^cough", "cou2f"), ("^rough", "rou2f"),
+                     ("^tough", "tou2f"), ("^enough", "enou2f"),
+                     ("^trough", "trou2f"), ("^gn", "2n"), ("mb$", "m2"),
+                     ("cq", "2q"), ("ci", "si"), ("ce", "se"),
+                     ("cy", "sy"), ("tch", "2ch"), ("c", "k"), ("q", "k"),
+                     ("x", "k"), ("v", "f"), ("dg", "2g"), ("tio", "sio"),
+                     ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+                     ("sh", "s2"), ("z", "s"), ("^[aeiou]", "A"),
+                     ("[aeiou]", "3"), ("j", "y"), ("^y3", "Y3"),
+                     ("^y", "A"), ("y", "3"), ("3gh3", "3kh3"),
+                     ("gh", "22"), ("g", "k"), ("s+", "S"), ("t+", "T"),
+                     ("p+", "P"), ("k+", "K"), ("f+", "F"), ("m+", "M"),
+                     ("n+", "N"), ("w3", "W3"), ("wh3", "Wh3"),
+                     ("w$", "3"), ("w", "2"), ("^h", "A"), ("h", "2"),
+                     ("r3", "R3"), ("r$", "3"), ("r", "2"), ("l3", "L3"),
+                     ("l$", "3"), ("l", "2"), ("2", ""), ("3$", "A"),
+                     ("3", "")):
+        txt = re.sub(pat, rep, txt)
+    return (txt + "1111111111")[:10]
+
+
+def caverphone1(source: str) -> str:
+    """Caverphone1.Encode — the original 1.0 revision, 6-char code."""
+    txt = source or ""
+    txt = txt.lower()
+    txt = re.sub(r"[^a-z]", "", txt)
+    for pat, rep in (("^cough", "cou2f"), ("^rough", "rou2f"),
+                     ("^tough", "tou2f"), ("^enough", "enou2f"),
+                     ("^gn", "2n"), ("mb$", "m2"), ("cq", "2q"),
+                     ("ci", "si"), ("ce", "se"), ("cy", "sy"),
+                     ("tch", "2ch"), ("c", "k"), ("q", "k"), ("x", "k"),
+                     ("v", "f"), ("dg", "2g"), ("tio", "sio"),
+                     ("tia", "sia"), ("d", "t"), ("ph", "fh"), ("b", "p"),
+                     ("sh", "s2"), ("z", "s"), ("^[aeiou]", "A"),
+                     ("[aeiou]", "3"), ("3gh3", "3kh3"), ("gh", "22"),
+                     ("g", "k"), ("s+", "S"), ("t+", "T"), ("p+", "P"),
+                     ("k+", "K"), ("f+", "F"), ("m+", "M"), ("n+", "N"),
+                     ("w3", "W3"), ("wy", "Wy"), ("wh3", "Wh3"),
+                     ("why", "Why"), ("w", "2"), ("^h", "A"), ("h", "2"),
+                     ("r3", "R3"), ("ry", "Ry"), ("r", "2"), ("l3", "L3"),
+                     ("ly", "Ly"), ("l", "2"), ("j", "y"), ("y3", "Y3"),
+                     ("y", "2"), ("2", ""), ("3", "")):
+        txt = re.sub(pat, rep, txt)
+    return (txt + "111111")[:6]
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS (Language/Nysiis.cs)
+# ---------------------------------------------------------------------------
+
+def _nysiis_transcode(prev: str, curr: str, nxt: str, anext: str) -> str:
+    """Nysiis.TranscodeRemaining (:135-196)."""
+    if curr == "E" and nxt == "V":
+        return "AF"
+    if curr in "AEIOU":
+        return "A"
+    if curr == "Q":
+        return "G"
+    if curr == "Z":
+        return "S"
+    if curr == "M":
+        return "N"
+    if curr == "K":
+        return "NN" if nxt == "N" else "C"
+    if curr == "S" and nxt == "C" and anext == "H":
+        return "SSS"
+    if curr == "P" and nxt == "H":
+        return "FF"
+    if curr == "H" and (prev not in "AEIOU" or nxt not in "AEIOU"):
+        return prev
+    if curr == "W" and prev in "AEIOU":
+        return prev
+    return curr
+
+
+def nysiis(s: str, strict: bool = True) -> str:
+    """Nysiis.GetNysiis (:287-350)."""
+    s = _clean(s)
+    if not s:
+        return s
+    s = re.sub(r"^MAC", "MCC", s)
+    s = re.sub(r"^KN", "NN", s)
+    s = re.sub(r"^K", "C", s)
+    s = re.sub(r"^(PH|PF)", "FF", s)
+    s = re.sub(r"^SCH", "SSS", s)
+    s = re.sub(r"(EE|IE)$", "Y", s)
+    s = re.sub(r"(DT|RT|RD|NT|ND)$", "D", s)
+    chars = list(s)
+    key = [chars[0]]
+    n = len(chars)
+    for i in range(1, n):
+        nxt = chars[i + 1] if i < n - 1 else " "
+        anext = chars[i + 2] if i < n - 2 else " "
+        tr = _nysiis_transcode(chars[i - 1], chars[i], nxt, anext)
+        for k, ch in enumerate(tr):
+            if i + k < n:
+                chars[i + k] = ch
+        if chars[i] != chars[i - 1]:
+            key.append(chars[i])
+    if len(key) > 1:
+        if key[-1] == "S":
+            key.pop()
+        if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+            del key[-2]
+        if key and key[-1] == "A":
+            key.pop()
+    out = "".join(key)
+    return out[:6] if strict else out
+
+
+# ---------------------------------------------------------------------------
+# Cologne phonetic (Language/ColognePhonetic.cs)
+# ---------------------------------------------------------------------------
+
+def cologne_phonetic(text: str) -> str:
+    """ColognePhonetic.GetColognePhonetic (:322-445) — Kölner Phonetik."""
+    text = text.upper()
+    text = "".join({"Ä": "A", "Ü": "U", "Ö": "O", "ß": "S"}.get(c, c)
+                   for c in text)
+    chars = list(text)
+    out: list[str] = []
+    last_char = "-"
+    last_code = "/"
+    i = 0
+    n = len(chars)
+    while i < n:
+        chr_ = chars[i]
+        nxt = chars[i + 1] if i + 1 < n else "-"
+        if chr_ in "AEIJOUY":
+            code = "0"
+        elif chr_ == "H" or chr_ < "A" or chr_ > "Z":
+            if last_code == "/":
+                last_char = chr_
+                last_code = last_code
+                i += 1
+                continue
+            code = "-"
+        elif chr_ == "B" or (chr_ == "P" and nxt != "H"):
+            code = "1"
+        elif chr_ in "DT" and nxt not in "SCZ":
+            code = "2"
+        elif chr_ in "WFPV":
+            code = "3"
+        elif chr_ in "GKQ":
+            code = "4"
+        elif chr_ == "X" and last_char not in "CKQ":
+            code = "4"
+            chars.insert(i + 1, "S")
+            n += 1
+        elif chr_ in "SZ":
+            code = "8"
+        elif chr_ == "C":
+            if last_code == "/":
+                code = "4" if nxt in "AHKLOQRUX" else "8"
+            else:
+                if last_char in "SZ" or nxt not in "AHOUKQX":
+                    code = "8"
+                else:
+                    code = "4"
+        elif chr_ in "TDX":
+            code = "8"
+        elif chr_ == "R":
+            code = "7"
+        elif chr_ == "L":
+            code = "5"
+        elif chr_ in "MN":
+            code = "6"
+        else:
+            code = chr_
+        if code != "-" and ((last_code != code
+                             and (code != "0" or last_code == "/"))
+                            or code < "0" or code > "8"):
+            out.append(code)
+        last_char = chr_
+        last_code = code
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Match Rating Approach (Language/MatchRatingApproachEncoder.cs)
+# ---------------------------------------------------------------------------
+
+_MRA_DOUBLES = ("BB", "CC", "DD", "FF", "GG", "HH", "JJ", "KK", "LL",
+                "MM", "NN", "PP", "QQ", "RR", "SS", "TT", "VV", "WW",
+                "XX", "YY", "ZZ")
+
+
+def match_rating_encode(name: str) -> str:
+    """MatchRatingApproachEncoder.Encode (:120-136)."""
+    if not name or name == " " or len(name) == 1:
+        return ""
+    up = name.upper()
+    for pat in ("-", "&", "'", ".", ","):
+        up = up.replace(pat, "")
+    up = "".join(c for c in unicodedata.normalize("NFD", up)
+                 if unicodedata.category(c) != "Mn")
+    up = re.sub(r"\s+", "", up)
+    # RemoveVowels keeps a leading vowel
+    first = up[:1]
+    body = re.sub(r"[AEIOU]", "", up)
+    name2 = first + body if first in "AEIOU" else body
+    for dc in _MRA_DOUBLES:
+        if dc in name2:
+            name2 = name2.replace(dc, dc[0])  # ONE pass per pair, like .NET Replace
+    if len(name2) > 6:
+        name2 = name2[:3] + name2[-3:]
+    return name2
+
+
+# ---------------------------------------------------------------------------
+# token-stream adapter (PhoneticFilter.cs)
+# ---------------------------------------------------------------------------
+
+ENCODERS = {
+    "soundex": soundex,
+    "refined_soundex": refined_soundex,
+    "metaphone": metaphone,
+    "caverphone": caverphone2,
+    "caverphone1": caverphone1,
+    "caverphone2": caverphone2,
+    "nysiis": nysiis,
+    "cologne": cologne_phonetic,
+    "match_rating": match_rating_encode,
+}
+
+
+def phonetic_filter(tokens, encoder="metaphone", inject: bool = True):
+    """PhoneticFilter (Analysis/Phonetic/PhoneticFilter.cs): replace each
+    token with its phonetic code, or (inject=True) add the code at
+    posInc 0 after the original; codes equal to the term, or empty, are
+    skipped."""
+    enc = ENCODERS[encoder] if isinstance(encoder, str) else encoder
+    out = []
+    for t, p in tokens:
+        code = enc(t)
+        if not code or code == t:
+            out.append((t, p))            # nothing to add/replace
+        elif not inject:
+            out.append((code, p))
+        else:
+            out.append((code, p))         # code first (PhoneticFilter.cs:88)
+            out.append((t, 0))            # original injected at posInc 0
+    return out
+
+
+def double_metaphone_filter(tokens, max_code_length: int = 4,
+                            inject: bool = True):
+    """DoubleMetaphoneFilter (Analysis/Phonetic/DoubleMetaphoneFilter.cs):
+    primary + (when different) alternate encodings; inject=False replaces
+    the token (keeping it only when both encodings are empty)."""
+    from .doublemetaphone import double_metaphone
+
+    out = []
+    for t, p in tokens:
+        primary, alternate = double_metaphone(t, max_code_length)
+        codes = []
+        if primary:
+            codes.append(primary)
+        if alternate and alternate != primary:
+            codes.append(alternate)
+        if inject:
+            out.append((t, p))
+            for c in codes:
+                out.append((c, 0))
+        else:
+            if not codes:
+                out.append((t, p))
+            else:
+                out.append((codes[0], p))
+                for c in codes[1:]:
+                    out.append((c, 0))
+    return out

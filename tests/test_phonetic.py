@@ -1,0 +1,185 @@
+"""Phonetic encoders vs the reference's own test vectors
+(Lucene.Net.Tests.Analysis.Phonetic/Language/*Test.cs)."""
+import re
+
+from sparklucene.doublemetaphone import double_metaphone
+from sparklucene.phonetic import (
+    caverphone1,
+    caverphone2,
+    cologne_phonetic,
+    double_metaphone_filter,
+    match_rating_encode,
+    metaphone,
+    nysiis,
+    phonetic_filter,
+    refined_soundex,
+    soundex,
+    soundex_difference,
+)
+
+TESTS = "/root/reference/src/Lucene.Net.Tests.Analysis.Phonetic/Language"
+
+
+def test_soundex_vectors():
+    src = open(f"{TESTS}/SoundexTest.cs", encoding="utf-8").read()
+    pairs = re.findall(
+        r'AreEqual\("([^"]*)",\s*this\.StringEncoder\.Encode\("([^"]*)"\)',
+        src)
+    pairs = [(w, i) for w, i in pairs
+             if all(ord(c) < 128 for c in i) and "\\" not in i]
+    assert len(pairs) > 50
+    for want, inp in pairs:
+        assert soundex(inp) == want, (inp, soundex(inp), want)
+    assert soundex_difference("Smith", "Smythe") == 4
+    assert soundex_difference("Ann", "Andrew") == 2
+    assert soundex_difference("Janet", "Margaret") == 0
+    # the SQL-server examples: H/W both skipped and code-separating
+    assert soundex("Ashcraft") == "A261"
+    assert soundex("BOOTHDAVIS") == "B312"
+
+
+def test_refined_soundex_vectors():
+    src = open(f"{TESTS}/RefinedSoundexTest.cs", encoding="utf-8").read()
+    pairs = re.findall(
+        r'AreEqual\("([^"]*)",\s*this\.StringEncoder\.Encode\("([^"]*)"\)',
+        src)
+    assert len(pairs) >= 10
+    for want, inp in pairs:
+        assert refined_soundex(inp) == want
+
+
+def test_metaphone_vectors():
+    src = open(f"{TESTS}/MetaphoneTest.cs", encoding="utf-8").read()
+    pairs = re.findall(
+        r'AreEqual\("([^"]*)",\s*this\.StringEncoder\.GetMetaphone'
+        r'\("([^"]*)"\)', src)
+    assert len(pairs) >= 35
+    for want, inp in pairs:
+        if inp == "AXEAXEAXE":       # that test raises MaxCodeLen to 6
+            assert metaphone(inp, 6) == want
+        else:
+            assert metaphone(inp) == want, (inp, metaphone(inp), want)
+
+
+def _check_encoding_vectors(path):
+    src = open(path, encoding="utf-8").read()
+    out = []
+    out += re.findall(r'CheckEncoding\("([^"]*)",\s*"([^"]*)"\)', src)
+    for m in re.finditer(
+            r'CheckEncodingVariations\("([^"]*)",\s*new String\[\]\s*\{(.*?)\}',
+            src, re.S):
+        for w in re.findall(r'"([^"]*)"', m.group(2)):
+            out.append((m.group(1), w))
+    return out
+
+
+def test_caverphone_vectors():
+    for want, inp in _check_encoding_vectors(f"{TESTS}/Caverphone2Test .cs"):
+        assert caverphone2(inp) == want, (inp, caverphone2(inp), want)
+    for want, inp in _check_encoding_vectors(f"{TESTS}/Caverphone1Test.cs"):
+        assert caverphone1(inp) == want, (inp, caverphone1(inp), want)
+    assert caverphone2("Thompson") == "TMPSN11111"
+    assert caverphone2("") == "1111111111"
+
+
+def test_nysiis_vectors():
+    src = open(f"{TESTS}/NysiisTest.cs", encoding="utf-8").read()
+    n = 0
+    for m in re.finditer(
+            r'EncodeAll\(new String\[\]\s*\{(.*?)\},\s*"([^"]*)"\)', src,
+            re.S):
+        for w in re.findall(r'"([^"]*)"', m.group(1)):
+            assert nysiis(w) == m.group(2), (w, nysiis(w), m.group(2))
+            n += 1
+    assert n > 20
+    # the full (non-strict) table pairs
+    for inp, want in [("PHILLIPSON", "FALAPSAN"), ("WESTERLUND", "WASTARLAD"),
+                      ("CASSTEVENS", "CASTAFAN"), ("WESTPHAL", "WASTFAL")]:
+        assert nysiis(inp, strict=False) == want
+    assert nysiis("Smith") == nysiis("Schmit")
+
+
+def test_cologne_vectors():
+    for want, inp in _check_encoding_vectors(f"{TESTS}/ColognePhoneticTest.cs"):
+        inp = inp.encode().decode("unicode_escape")
+        if inp in ("Meyer", "Miyagi", "house", "House", "Haus", "ganz"):
+            continue                      # those lines are equality asserts
+        assert cologne_phonetic(inp) == want, (
+            inp, cologne_phonetic(inp), want)
+    assert cologne_phonetic("Meyer") == cologne_phonetic("Mayr")
+    assert cologne_phonetic("house") == cologne_phonetic("Haus")
+    assert cologne_phonetic("Müller-Lüdenscheidt") == "65752682"
+    assert cologne_phonetic("Wikipedia") == "3412"
+
+
+def test_match_rating_vectors():
+    assert match_rating_encode("HARPER") == "HRPR"
+    assert match_rating_encode("Smith") == "SMTH"
+    assert match_rating_encode("Smyth") == "SMYTH"
+    assert match_rating_encode(" ") == ""
+    # helper vectors (MatchRatingApproachEncoderTest.cs:92-146)
+    from sparklucene.phonetic import _MRA_DOUBLES
+    s = "MISSISSIPPI"
+    for dc in _MRA_DOUBLES:
+        if dc in s:
+            s = s.replace(dc, dc[0])
+    assert s == "MISISIPI"
+
+
+def test_double_metaphone_vectors():
+    src = open(f"{TESTS}/DoubleMetaphoneTest.cs", encoding="utf-8").read()
+    for want, inp in re.findall(
+            r'AssertDoubleMetaphone\("([^"]*)",\s*"([^"]*)"\)', src):
+        assert double_metaphone(inp)[0] == want
+    for want, inp in re.findall(
+            r'AssertDoubleMetaphoneAlt\("([^"]*)",\s*"([^"]*)"\)', src):
+        assert double_metaphone(inp)[1] == want
+    # all 406 MATCHES pairs agree on primary or alternate
+    fix = re.search(r"MATCHES = \{(.*?)\n        \};", src, re.S).group(1)
+    pairs = re.findall(r'new string\[\] \{\s*"([^"]*)",\s*"([^"]*)"\s*\}',
+                       fix)
+    assert len(pairs) > 400
+    for a, b in pairs:
+        pa, aa = double_metaphone(a)
+        pb, ab = double_metaphone(b)
+        assert pa == pb or aa == ab, (a, b, (pa, aa), (pb, ab))
+    assert double_metaphone("jumped") == ("JMPT", "AMPT")
+    assert double_metaphone("jumped", 3) == ("JMP", "AMP")
+    assert double_metaphone("ç")[0] == double_metaphone("S")[0]
+    assert double_metaphone("ñ")[0] == double_metaphone("N")[0]
+    assert double_metaphone("Brain")[0] != double_metaphone("Band")[0]
+
+
+def test_phonetic_filters_and_analyzer():
+    """PhoneticFilter/DoubleMetaphoneFilter inject semantics
+    (TestPhoneticFilter.cs, DoubleMetaphoneFilterTest.cs) + the chain
+    analyzer wiring."""
+    toks = [("aaa", 1), ("bbb", 1), ("ccc", 1), ("easgasg", 1)]
+    got = phonetic_filter(toks, "metaphone", inject=True)
+    assert [t for t, _ in got] == ["A", "aaa", "B", "bbb", "KKK", "ccc",
+                                   "ESKS", "easgasg"]
+    assert [p for _, p in got] == [1, 0, 1, 0, 1, 0, 1, 0]
+    got = phonetic_filter(toks, "metaphone", inject=False)
+    assert got == [("A", 1), ("B", 1), ("KKK", 1), ("ESKS", 1)]
+    # Caverphone2 vectors (TestPhoneticFilter.cs:58-63)
+    toks = [(w, 1) for w in "Darda Karleen Datha Carlene".split()]
+    got = phonetic_filter(toks, "caverphone2", inject=False)
+    assert [t for t, _ in got] == ["TTA1111111", "KLN1111111",
+                                   "TTA1111111", "KLN1111111"]
+
+    # DoubleMetaphoneFilterTest.cs: international/JOSE inject size 4
+    got = double_metaphone_filter([("international", 1)], 4, inject=True)
+    assert got == [("international", 1), ("ANTR", 0)]
+    got = double_metaphone_filter([("Kuczewski", 1)], 4, inject=False)
+    assert got == [("KSSK", 1), ("KXFS", 0)]
+    got = double_metaphone_filter([("international", 1)], 8, inject=False)
+    assert got == [("ANTRNXNL", 1)]
+    got = double_metaphone_filter([("12345", 1), ("#$%@#^%&", 1)], 8, True)
+    assert got == [("12345", 1), ("#$%@#^%&", 1)]
+
+    from sparklucene.analysis import make_analyzer
+    an = make_analyzer("chain", filters=[
+        "lowercase", ("phonetic", {"encoder": "double_metaphone"})])
+    terms, positions = an("Kuczewski")
+    assert terms == ["kuczewski", "KSSK", "KXFS"]
+    assert positions == [0, 0, 0]
