@@ -534,7 +534,7 @@ def make_analyzer(name: str, **params):
     whitespace, simple, stop, keyword, ngram(min_gram=,max_gram=), synonym,
     english, french, german, spanish, italian, portuguese, swedish, russian,
     hungarian, finnish, norwegian, turkish, porter_snowball, lovins, kp,
-    word_delimiter(flags=,protected=), chain(tokenizer=,filters=),
+    classic, word_delimiter(flags=,protected=), chain(tokenizer=,filters=),
     delimited_payload, standard_folding, html, shingle."""
     if name == "standard":
         return _analyze_standard
@@ -646,6 +646,8 @@ def make_analyzer(name: str, **params):
         return _analyze_lovins
     if name == "kp":
         return _analyze_kp
+    if name == "classic":
+        return _analyze_classic
     if name == "chain":
         from .filters import make_chain
         return make_chain(tokenizer=params.get("tokenizer", "standard"),
@@ -2160,6 +2162,99 @@ def _make_word_delimiter(flags=None, protected=(), lowercase=True):
             positions.append(pos)
         return terms, positions
     return _an
+
+
+# ---------------------------------------------------------------------------
+# ClassicTokenizer / ClassicFilter / ClassicAnalyzer
+# (Analysis/Standard/ClassicTokenizerImpl.cs JFlex grammar, ClassicFilter.cs,
+# ClassicAnalyzer.cs) — the pre-3.1 StandardAnalyzer: recognizes ACRONYM
+# (U.S.A.), COMPANY (AT&T), EMAIL, HOST (www.x.org), NUM (R2D2, 1-2-3) and
+# APOSTROPHE tokens; JFlex longest-match with file-order tie-break is
+# emulated by anchored per-rule matching.
+# ---------------------------------------------------------------------------
+
+_CJ_RANGES = ("\u3100-\u312f\u3040-\u309F\u30A0-\u30FF\u31F0-\u31FF"
+              "\u3300-\u337f\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+              "\uff65-\uff9f")
+_KO_RANGES = "\uac00-\ud7af\u1100-\u11ff\u3130-\u318f"
+_L = rf"(?:(?![{_CJ_RANGES}{_KO_RANGES}])[^\W\d_])"       # LETTER
+_AN = rf"(?:{_L}|[0-9]|[{_KO_RANGES}])+"                   # ALPHANUM
+_ALPHA = rf"{_L}+"
+_PCH = r"[-_/.,]"
+_HD = rf"(?:{_L}|[0-9])*[0-9](?:{_L}|[0-9])*"              # HAS_DIGIT
+
+_CLASSIC_RULES = (
+    ("<ALPHANUM>", re.compile(_AN)),
+    ("<APOSTROPHE>", re.compile(rf"{_ALPHA}('{_ALPHA})+")),
+    ("<ACRONYM>", re.compile(rf"{_L}\.({_L}\.)+")),
+    ("<COMPANY>", re.compile(rf"{_ALPHA}[&@]{_ALPHA}")),
+    ("<EMAIL>", re.compile(
+        rf"{_AN}([.\-_]{_AN})*@{_AN}([.\-]{_AN})+")),
+    ("<HOST>", re.compile(rf"{_AN}(\.{_AN})+")),
+    ("<NUM>", re.compile(
+        rf"(?:{_AN}{_PCH}{_HD}(?:{_PCH}{_AN}{_PCH}{_HD})+"
+        rf"|{_HD}{_PCH}{_AN}(?:{_PCH}{_HD}{_PCH}{_AN})+"
+        rf"|{_AN}(?:{_PCH}{_HD}{_PCH}{_AN})+"
+        rf"|{_HD}(?:{_PCH}{_AN}{_PCH}{_HD})+"
+        rf"|{_AN}{_PCH}{_HD}"
+        rf"|{_HD}{_PCH}{_AN})")),
+    ("<CJ>", re.compile(rf"[{_CJ_RANGES}]")),
+    ("<ACRONYM_DEP>", re.compile(rf"{_AN}\.({_AN}\.)+")),
+)
+
+
+def classic_tokenize(text: str, max_token_length: int = 255):
+    """ClassicTokenizer: -> [(term, type, start)] (ACRONYM_DEP re-typed as
+    HOST with the trailing dot dropped, ClassicTokenizer.cs:141-149);
+    over-long tokens skipped (position holes are the analyzer's job)."""
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        best = None
+        best_len = 0
+        for typ, rx in _CLASSIC_RULES:
+            m = rx.match(text, i)
+            if m is not None and m.end() - i > best_len:
+                best = (typ, m.group())
+                best_len = m.end() - i
+        if best is None:
+            i += 1
+            continue
+        typ, tok = best
+        if typ == "<ACRONYM_DEP>":
+            typ, tok = "<HOST>", tok[:-1]
+        if len(tok) <= max_token_length:
+            out.append((tok, typ, i))
+        i += best_len
+    return out
+
+
+def classic_token_filter(tok: str, typ: str) -> str:
+    """ClassicFilter.cs:36-66: strip trailing 's from APOSTROPHE tokens,
+    remove dots from ACRONYM tokens."""
+    if typ == "<APOSTROPHE>" and len(tok) >= 2 \
+            and tok[-2] == "'" and tok[-1] in "sS":
+        return tok[:-2]
+    if typ == "<ACRONYM>":
+        return tok.replace(".", "")
+    return tok
+
+
+def _analyze_classic(text: str) -> tuple[list[str], list[int]]:
+    """ClassicAnalyzer chain (Analysis/Standard/ClassicAnalyzer.cs:112-135):
+    ClassicTokenizer -> ClassicFilter -> LowerCase -> Stop(the 33-word
+    English set); over-long tokens leave position holes."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok, typ, _start in classic_tokenize(text, MAX_TOKEN_LENGTH):
+        low = classic_token_filter(tok, typ).lower()
+        if low and low not in ENGLISH_STOP_WORDS:
+            terms.append(low)
+            positions.append(pos)
+        pos += 1
+    return terms, positions
 
 
 def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:

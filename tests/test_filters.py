@@ -209,3 +209,42 @@ def test_dictionary_compound_vectors():
                    "fodral", "makare", "gesäll"]
     assert _terms(dc([("abcdef", 1)], ["ab", "cd", "ef"])) == [
         "abcdef", "ab", "cd", "ef"]
+
+
+def test_classic_analyzer_vectors():
+    """ClassicAnalyzer (TestClassicAnalyzer.cs): ACRONYM/COMPANY/EMAIL/
+    HOST/NUM/APOSTROPHE recognition + ClassicFilter possessive/dot
+    stripping + type retagging of ACRONYM_DEP as HOST."""
+    from sparklucene.analysis import classic_tokenize, make_analyzer
+
+    a = make_analyzer("classic")
+    for inp, want in [
+        ("B2B", ["b2b"]), ("2B", ["2b"]),
+        ("word_having_underscore", ["word", "having", "underscore"]),
+        ("some-dashed-phrase", ["some", "dashed", "phrase"]),
+        ("ac/dc", ["ac", "dc"]),
+        ("O'Reilly", ["o'reilly"]), ("she's", ["she"]),
+        ("don't", ["don't"]), ("O'Reilly's", ["o'reilly"]),
+        ("s-class", ["s", "class"]), ("a-class", ["class"]),
+        ("AT&T", ["at&t"]), ("Excite@Home", ["excite@home"]),
+        ("www.nutch.org", ["www.nutch.org"]),
+        ("first.lastname@example.com", ["first.lastname@example.com"]),
+        ("first_lastname@example.com", ["first_lastname@example.com"]),
+        ("21.35", ["21.35"]), ("R2D2 C3PO", ["r2d2", "c3po"]),
+        ("216.239.63.104", ["216.239.63.104"]),
+        ("1-2-3", ["1-2-3"]), ("a1-b2-c3", ["a1-b2-c3"]),
+        ("U.S.A.", ["usa"]), ("C++", ["c"]), ("C#", ["c"]),
+        ("안녕하세요 한글입니다", ["안녕하세요", "한글입니다"]),
+        ("2004.jpg", ["2004.jpg"]),
+        ("978-0-94045043-1", ["978-0-94045043-1"]),
+        ("78academyawards/rules/rule02.html",
+         ["78academyawards/rules/rule02.html"]),
+    ]:
+        assert a(inp)[0] == want, (inp, a(inp)[0], want)
+    # trailing-dot host (ACRONYM_DEP retag, ClassicTokenizer.cs:141-149)
+    assert classic_tokenize("www.nutch.org.")[0] == (
+        "www.nutch.org", "<HOST>", 0)
+    assert classic_tokenize("62.46")[0][1] == "<HOST>"
+    assert classic_tokenize("978-0-94045043-1")[0][1] == "<NUM>"
+    # stop words leave position holes
+    assert a("word the underscore") == (["word", "underscore"], [0, 2])
