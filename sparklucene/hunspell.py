@@ -1,0 +1,326 @@
+"""Hunspell dictionary stemmer — port of Analysis/Hunspell/Dictionary.cs +
+Stemmer.cs (the Lucene 4.8 Hunspell support): .aff/.dic parsing (SET,
+FLAG long|num|UTF-8, AF aliases, PFX/SFX rules with conditions and
+continuation classes, IGNORE, ICONV/OCONV, CIRCUMFIX, COMPLEXPREFIXES)
+and the two-stage affix-stripping stemmer with cross-product checks.
+Validated against the reference's Hunspell test fixtures in
+tests/test_hunspell.py."""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Affix:
+    flag: str
+    strip: str
+    append: str
+    cond: "re.Pattern | None"       # fullmatch over the reconstructed stem
+    cross_product: bool
+    append_flags: tuple            # continuation classes (sorted)
+    index: int                      # identity for the `previous` check
+
+
+@dataclass
+class HunspellDictionary:
+    words: dict = field(default_factory=dict)       # word -> list[flags tuple]
+    prefixes: dict = field(default_factory=dict)    # append -> [_Affix]
+    suffixes: dict = field(default_factory=dict)
+    ignore_case: bool = False
+    ignore: str = ""
+    iconv: list = field(default_factory=list)       # [(from, to)], longest-first
+    oconv: list = field(default_factory=list)
+    circumfix: str | None = None
+    complex_prefixes: bool = False
+    two_stage_affix: bool = False
+    flag_mode: str = "single"                       # single | long | num
+    aliases: list = field(default_factory=list)
+
+    # ---------------- parsing (Dictionary.cs:244-505) ----------------
+
+    def _parse_flags(self, s: str) -> tuple:
+        if not s:
+            return ()
+        if self.flag_mode == "long":
+            return tuple(sorted(s[i:i + 2] for i in range(0, len(s), 2)))
+        if self.flag_mode == "num":
+            return tuple(sorted(chr(int(x)) for x in s.split(",") if x))
+        return tuple(sorted(s))
+
+    def _parse_flag(self, s: str) -> str:
+        f = self._parse_flags(s)
+        return f[0] if f else ""
+
+    def load_affix(self, text: str) -> None:
+        lines = text.splitlines()
+        i = 0
+        aff_index = 0
+        while i < len(lines):
+            line = lines[i]
+            parts = line.split()
+            i += 1
+            if not parts or line.lstrip().startswith("#"):
+                continue
+            key = parts[0]
+            if key == "FLAG":
+                self.flag_mode = {"long": "long", "num": "num",
+                                  "UTF-8": "single"}.get(parts[1], "single")
+            elif key == "AF" and len(parts) == 2 and parts[1].isdigit():
+                pass                                     # count line
+            elif key == "AF":
+                self.aliases.append(parts[1])
+            elif key == "IGNORE":
+                self.ignore = parts[1]
+            elif key == "CIRCUMFIX":
+                self.circumfix = self._parse_flag(parts[1])
+            elif key == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
+            elif key in ("ICONV", "OCONV") and parts[1].isdigit():
+                pass
+            elif key == "ICONV":
+                self.iconv.append((parts[1], parts[2]))
+            elif key == "OCONV":
+                self.oconv.append((parts[1], parts[2]))
+            elif key in ("PFX", "SFX"):
+                flag = self._parse_flag(parts[1])
+                cross = parts[2] == "Y"
+                count = int(parts[3])
+                for _ in range(count):
+                    rule = lines[i].split()
+                    i += 1
+                    strip = "" if rule[2] == "0" else rule[2]
+                    affix_arg = rule[3]
+                    append_flags: tuple = ()
+                    sep = affix_arg.rfind("/")
+                    if sep != -1:
+                        flag_part = affix_arg[sep + 1:]
+                        affix_arg = affix_arg[:sep]
+                        if self.aliases:
+                            flag_part = self.aliases[int(flag_part) - 1]
+                        append_flags = self._parse_flags(flag_part)
+                        self.two_stage_affix = True
+                    if affix_arg == "0":
+                        affix_arg = ""
+                    cond = rule[4] if len(rule) > 4 else "."
+                    if cond.startswith("[") and not cond.endswith("]"):
+                        cond += "]"
+                    cond = cond.replace("-", "\\-")
+                    if cond == "." or cond == strip:
+                        pat = None
+                    elif key == "PFX":
+                        pat = re.compile(cond + ".*")
+                    else:
+                        pat = re.compile(".*" + cond)
+                    if self.ignore:
+                        affix_arg = "".join(c for c in affix_arg
+                                            if c not in self.ignore)
+                    a = _Affix(flag, strip, affix_arg, pat, cross,
+                               append_flags, aff_index)
+                    aff_index += 1
+                    tgt = self.prefixes if key == "PFX" else self.suffixes
+                    tgt.setdefault(affix_arg, []).append(a)
+        self.iconv.sort(key=lambda kv: -len(kv[0]))
+        self.oconv.sort(key=lambda kv: -len(kv[0]))
+
+    def load_dic(self, text: str) -> None:
+        lines = text.splitlines()
+        for line in lines[1:]:                  # first line = entry count
+            line = line.split("\t")[0].strip()
+            if not line:
+                continue
+            # split word/flags honouring escaped slashes (\/)
+            flag_sep = -1
+            j = 0
+            while j < len(line):
+                if line[j] == "\\" and j + 1 < len(line):
+                    j += 2
+                    continue
+                if line[j] == "/":
+                    flag_sep = j
+                    break
+                j += 1
+            if flag_sep == -1:
+                word, flags = line, ()
+            else:
+                word = line[:flag_sep]
+                flag_part = line[flag_sep + 1:].split()[0] \
+                    if line[flag_sep + 1:] else ""
+                if self.aliases and flag_part.isdigit():
+                    flag_part = self.aliases[int(flag_part) - 1]
+                flags = self._parse_flags(flag_part)
+            word = word.replace("\\/", "/").split()[0] if word.split() else ""
+            word = self.clean_input(word)
+            if self.ignore_case:
+                word = word.lower()
+            self.words.setdefault(word, []).append(flags)
+
+    # ---------------- input/output cleaning ----------------
+
+    def clean_input(self, w: str) -> str:
+        for frm, to in self.iconv:
+            w = w.replace(frm, to)
+        if self.ignore:
+            w = "".join(c for c in w if c not in self.ignore)
+        return w
+
+    def clean_output(self, w: str) -> str:
+        for frm, to in self.oconv:
+            w = w.replace(frm, to)
+        return w
+
+    def lookup_word(self, w: str):
+        return self.words.get(w.lower() if self.ignore_case else w)
+
+
+def load_dictionary(aff_path: str, dic_path: str,
+                    ignore_case: bool = False) -> HunspellDictionary:
+    d = HunspellDictionary(ignore_case=ignore_case)
+    d.load_affix(open(aff_path, encoding="utf-8").read())
+    d.load_dic(open(dic_path, encoding="utf-8").read())
+    return d
+
+
+class HunspellStemmer:
+    """Stemmer.cs: dictionary hits for the surface form plus recursive
+    prefix/suffix stripping (depth <= 2) with cross-product continuation
+    checks and circumfix pairing."""
+
+    def __init__(self, dictionary: HunspellDictionary):
+        self.d = dictionary
+
+    def stem(self, word: str) -> list[str]:
+        if self.d.ignore_case:
+            word = word.lower()         # Stemmer.cs caseFold on ignoreCase
+        word = self.d.clean_input(word)
+        stems: list[str] = []
+        forms = self.d.lookup_word(word)
+        if forms is not None:
+            stems.extend(self.d.clean_output(word) for _ in forms)
+        stems.extend(self._stem(word, -1, -1, -1, 0, True, True,
+                                False, False))
+        return stems
+
+    def unique_stems(self, word: str) -> list[str]:
+        out, seen = [], set()
+        for s in self.stem(word):
+            key = s.lower() if self.d.ignore_case else s
+            if key not in seen:
+                seen.add(key)
+                out.append(s)
+        return out
+
+    def _cross_checked(self, flag: str, flags: tuple,
+                       match_empty: bool) -> bool:
+        return (not flags and match_empty) or flag in flags
+
+    def _stem(self, word, previous, prev_flag, prefix_flag, depth,
+              do_prefix, do_suffix, previous_was_prefix, circumfix):
+        d = self.d
+        stems: list[str] = []
+        n = len(word)
+        if do_prefix and d.prefixes:
+            for i in range(n - 1, -1, -1):
+                for a in d.prefixes.get(word[:i], ()):
+                    if a.index == previous:
+                        continue
+                    if depth == 0:
+                        compatible = True
+                    elif a.cross_product:
+                        compatible = self._cross_checked(
+                            prev_flag, a.append_flags, False)
+                    else:
+                        compatible = False
+                    if not compatible:
+                        continue
+                    stripped = a.strip + word[i:]
+                    if a.cond is not None \
+                            and a.cond.fullmatch(stripped) is None:
+                        continue
+                    stems.extend(self._apply_affix(
+                        stripped, a, -1, depth, True, circumfix))
+        if do_suffix and d.suffixes:
+            for i in range(n):
+                for a in d.suffixes.get(word[i:], ()):
+                    if a.index == previous:
+                        continue
+                    if depth == 0:
+                        compatible = True
+                    elif a.cross_product:
+                        compatible = self._cross_checked(
+                            prev_flag, a.append_flags, previous_was_prefix)
+                    else:
+                        compatible = False
+                    if not compatible:
+                        continue
+                    stripped = word[:i] + a.strip
+                    if a.cond is not None \
+                            and a.cond.fullmatch(stripped) is None:
+                        continue
+                    stems.extend(self._apply_affix(
+                        stripped, a, prefix_flag, depth, False, circumfix))
+        return stems
+
+    def _apply_affix(self, stripped, a: _Affix, prefix_flag, depth,
+                     is_prefix, circumfix):
+        d = self.d
+        stems: list[str] = []
+        forms = d.lookup_word(stripped)
+        if forms is not None:
+            for word_flags in forms:
+                if a.flag in word_flags:
+                    chained_prefix = (d.complex_prefixes and depth == 1
+                                      and is_prefix)
+                    if not chained_prefix and prefix_flag != -1 \
+                            and prefix_flag not in word_flags \
+                            and not self._cross_checked(
+                                prefix_flag, a.append_flags, False):
+                        continue
+                    if d.circumfix is not None:
+                        suffix_circumfix = d.circumfix in a.append_flags
+                        if circumfix != suffix_circumfix:
+                            continue
+                    stems.append(d.clean_output(stripped))
+        if d.circumfix is not None and not circumfix and is_prefix:
+            circumfix = d.circumfix in a.append_flags
+        if a.cross_product:
+            if depth == 0:
+                if is_prefix:
+                    stems.extend(self._stem(
+                        stripped, a.index, a.flag, a.flag, depth + 1,
+                        d.complex_prefixes and d.two_stage_affix, True,
+                        True, circumfix))
+                elif not d.complex_prefixes and d.two_stage_affix:
+                    stems.extend(self._stem(
+                        stripped, a.index, a.flag, prefix_flag, depth + 1,
+                        False, True, False, circumfix))
+            elif depth == 1:
+                if is_prefix and d.complex_prefixes:
+                    stems.extend(self._stem(
+                        stripped, a.index, a.flag, a.flag, depth + 1,
+                        False, True, True, circumfix))
+                elif not is_prefix and not d.complex_prefixes \
+                        and d.two_stage_affix:
+                    stems.extend(self._stem(
+                        stripped, a.index, a.flag, prefix_flag, depth + 1,
+                        False, True, False, circumfix))
+        return stems
+
+
+def hunspell_stem_filter(tokens, stemmer: HunspellStemmer,
+                         dedup: bool = True, longest_only: bool = False):
+    """HunspellStemFilter (Analysis/Hunspell/HunspellStemFilter.cs): emit
+    every unique stem at the token's position (posInc 0 for extras);
+    tokens with no stems pass through; longestOnly keeps the longest."""
+    out = []
+    for t, p in tokens:
+        stems = stemmer.unique_stems(t) if dedup else stemmer.stem(t)
+        if not stems:
+            out.append((t, p))
+            continue
+        if longest_only and len(stems) > 1:
+            stems = [max(stems, key=len)]
+        out.append((stems[0], p))
+        for s in stems[1:]:
+            out.append((s, 0))
+    return out

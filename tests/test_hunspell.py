@@ -1,0 +1,66 @@
+"""Hunspell dictionary stemmer vs the reference's own .aff/.dic fixtures
+and Test*.cs vectors (Lucene.Net.Tests.Analysis.Common/Analysis/Hunspell)."""
+import re
+
+import pytest
+
+from sparklucene.hunspell import (
+    HunspellStemmer,
+    hunspell_stem_filter,
+    load_dictionary,
+)
+
+BASE = ("/root/reference/src/Lucene.Net.Tests.Analysis.Common/"
+        "Analysis/Hunspell/")
+
+FIXTURES = [
+    ("TestStemmer.cs", "simple.aff", "simple.dic", False),
+    ("TestCondition.cs", "condition.aff", "condition.dic", False),
+    ("TestOptionalCondition.cs", "optional-condition.aff", "condition.dic",
+     False),
+    ("TestTwoSuffixes.cs", "twosuffixes.aff", "twosuffixes.dic", False),
+    ("TestTwoFold.cs", "twofold.aff", "morph.dic", False),
+    ("TestHomonyms.cs", "homonyms.aff", "homonyms.dic", False),
+    ("TestFlagLong.cs", "flaglong.aff", "flaglong.dic", False),
+    ("TestFlagNum.cs", "flagnum.aff", "flagnum.dic", False),
+    ("TestIgnore.cs", "ignore.aff", "ignore.dic", False),
+    ("TestEscaped.cs", "escaped.aff", "escaped.dic", False),
+    ("TestCaseInsensitive.cs", "simple.aff", "mixedcase.dic", True),
+    ("TestDependencies.cs", "dependencies.aff", "dependencies.dic", False),
+    ("TestCircumfix.cs", "circumfix.aff", "circumfix.dic", False),
+    ("TestComplexPrefix.cs", "complexprefix.aff", "complexprefix.dic",
+     False),
+    ("TestConv.cs", "conv.aff", "conv.dic", False),
+    ("TestMorph.cs", "morph.aff", "morph.dic", False),
+]
+
+
+@pytest.mark.parametrize("test_file,aff,dic,ignore_case", FIXTURES)
+def test_hunspell_fixture(test_file, aff, dic, ignore_case):
+    """Every AssertStemsTo vector in the reference test file, stem-set
+    equal (multiset: homonym duplicates preserved)."""
+    src = open(BASE + test_file, encoding="utf-8").read()
+    d = load_dictionary(BASE + aff, BASE + dic, ignore_case=ignore_case)
+    st = HunspellStemmer(d)
+    vecs = re.findall(r'AssertStemsTo\("([^"]*)"((?:,\s*"[^"]*")*)\)', src)
+    assert vecs, test_file
+    for w, rest in vecs:
+        want = re.findall(r'"([^"]*)"', rest)
+        got = st.stem(w)
+        assert sorted(got) == sorted(want), (test_file, w, got, want)
+
+
+def test_hunspell_stem_filter():
+    """HunspellStemFilter: dedup=true emits unique stems at one position,
+    unmatched tokens pass through, longestOnly keeps the longest
+    (TestHunspellStemFilter.cs: 'lucene' -> lucene/lucen)."""
+    d = load_dictionary(BASE + "simple.aff", BASE + "simple.dic")
+    st = HunspellStemmer(d)
+    got = hunspell_stem_filter([("lucene", 1), ("is", 1), ("awesome", 1)],
+                               st)
+    assert got == [("lucene", 1), ("lucen", 0), ("is", 1), ("awesome", 1)]
+    got = hunspell_stem_filter([("lucene", 1)], st, longest_only=True)
+    assert got == [("lucene", 1)]
+    # unique_stems dedups the double dictionary hit for 'foo'
+    assert st.unique_stems("foo") == ["foo"]
+    assert st.stem("foo") == ["foo", "foo"]
