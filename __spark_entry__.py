@@ -341,6 +341,25 @@ def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sweet_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SweetSpotSimilarity (Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs)
+    single term: idf * baselineTf(tf) * plateau lengthNorm over the
+    byte315-quantized length (queryNorm cancels for one clause)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(
+        _t("spark"), 10, similarity="sweet_spot", mode="f64",
+        ln_min=2, ln_max=12, steepness=0.5, tf_base=1.0, tf_min=2.0,
+    ).select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_high_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighFreqTerms (Misc/HighFreqTerms.cs): top-10 terms by df."""
+    s = _searcher(spark, sf_dir)
+    return s.high_freq_terms(10, order_by="df")
+
+
 def _q_classic_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClassicSimilarity (TF-IDF) single term: score = idf*sqrt(tf)*lengthNorm
     (queryNorm cancels to 1/idf for one clause)."""
@@ -1093,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sessionize"] = _q_sessionize
     out["stream_dedup"] = _q_stream_dedup
     out["mlt"] = _q_mlt
+    out["sweet_term"] = _q_sweet_term
+    out["high_freq"] = _q_high_freq
     out["classic_term"] = _q_classic_term
     out["classic_or"] = _q_classic_or
     out["lmd_term"] = _q_lmd_term
@@ -1173,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2", "dfr_inlh3",
         "ib_spl_z", "spatial_bbox", "spatial_circle", "spatial_knn",
         "simhash_fp", "simhash_pairs", "dedup_minhash", "word_delim",
+        "sweet_term", "high_freq",
     ]
     ordered = {k: out[k] for k in first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
@@ -1636,6 +1658,19 @@ SELECT p.doc_id,
 FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
 WHERE p.term = 'spark'
 ORDER BY score DESC, doc_id LIMIT 10"""
+    sqls["sweet_term"] = f"""{_prelude()}
+SELECT p.doc_id,
+       round((ln(s.max_doc / (t.df + 1.0)) + 1.0)
+             * (CASE WHEN p.tf <= 2.0 THEN 1.0
+                     ELSE sqrt(p.tf + 1.0 * 1.0 - 2.0) END)
+             / sqrt(0.5 * (abs(n.qlen - 2.0) + abs(n.qlen - 12.0) - 10.0)
+                    + 1.0), 4) AS score
+FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+WHERE p.term = 'spark'
+ORDER BY score DESC, doc_id LIMIT 10"""
+    sqls["high_freq"] = f"""{_prelude()}
+SELECT term, df, ttf FROM tstats
+ORDER BY df DESC, term LIMIT 10"""
     sqls["classic_or"] = f"""{_prelude()},
 qidf AS (
   SELECT t.term, ln(s.max_doc / (t.df + 1.0)) + 1.0 AS idf

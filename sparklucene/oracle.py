@@ -579,7 +579,7 @@ def eval_sim(q: dict, idx: OracleIndex, similarity: str = "classic",
         for t, _ in scoring
     }
     ctx = {"max_doc": idx.max_doc, "sum_ttf": idx.sum_total_term_freq}
-    if sim.name == "classic":
+    if getattr(sim, "uses_coord", False):
         values = sim.term_values(musts + all_shoulds, stats, idx.max_doc, top_boost, mode)
         fns = {t: sim.scorer(values[t], stats[t], ctx, mode) for t, _ in scoring}
     else:

@@ -2292,6 +2292,16 @@ class IndexSearcher:
         )
 
     # ---- suggest / spellcheck (src/Lucene.Net.Suggest analogues) ------------
+    def high_freq_terms(self, n: int = 100,
+                        order_by: str = "df") -> DataFrame:
+        """HighFreqTerms (Lucene.Net.Misc/Misc/HighFreqTerms.cs): the top-n
+        terms by document frequency (or total term frequency with
+        order_by="ttf").  -> (term, df, ttf) TakeOrderedAndProject."""
+        td = self._union_read("term_dict").groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        key = F.desc("ttf") if order_by == "ttf" else F.desc("df")
+        return td.orderBy(key, F.asc("term")).limit(n)
+
     def auto_stop_words(self, max_doc_freq: int | None = None,
                         max_percent_docs: float | None = None) -> list[str]:
         """QueryAutoStopWordAnalyzer's stop-set derivation (src/
@@ -2598,8 +2608,9 @@ class IndexSearcher:
         ctx = {"max_doc": self.max_doc, "sum_ttf": self.stats["sum_total_term_freq"]}
 
         scoring = musts + shoulds
-        if sim.name == "classic":
-            # ssw accumulates in clause order over non-prohibited clauses
+        if getattr(sim, "uses_coord", False):
+            # TF-IDF family (classic / sweet_spot): ssw accumulates in
+            # clause order over non-prohibited clauses
             values = sim.term_values(all_scoring, stats, self.max_doc, top_boost, mode)
             score_fns = {t: sim.scorer(values[t], stats[t], ctx, mode) for t, _ in scoring}
         else:

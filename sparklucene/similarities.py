@@ -710,6 +710,8 @@ class IBSimilaritySPLZ:
 def make_similarity(name: str, **params):
     if name == "classic":
         return ClassicSimilarity()
+    if name == "sweet_spot":
+        return SweetSpotSimilarity(**params)
     if name == "lm_dirichlet":
         return LMDirichletSimilarity(params.get("mu", 2000.0))
     if name == "lm_jelinek_mercer":
@@ -735,3 +737,88 @@ def make_similarity(name: str, **params):
     if name == "ib_spl_z":
         return IBSimilaritySPLZ(params.get("z", 0.30))
     raise ValueError(f"unknown similarity: {name}")
+
+
+# ---------------------------------------------------------------------------
+# SweetSpotSimilarity (Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs) —
+# TF-IDF with a plateau length norm (no penalty inside [ln_min, ln_max])
+# and a baseline or hyperbolic tf curve.  The formulas are validated
+# against SweetSpotSimilarityTest vectors; at query time the length norm
+# is computed from the byte315-decoded quantized length (our index stores
+# BM25's 1/sqrt(len) bytes, so the reference's norm-byte re-encoding of
+# the exact length is not reproducible — documented divergence, the
+# DuckDB oracle uses the same quantized length).
+# ---------------------------------------------------------------------------
+
+
+def sweet_length_norm(num_terms, ln_min: int = 1, ln_max: int = 1,
+                      steepness: float = 0.5):
+    """SweetSpotSimilarity.ComputeLengthNorm (:154-162)."""
+    n = np.asarray(num_terms, dtype=np.float32)
+    l, h, s = np.float32(ln_min), np.float32(ln_max), np.float32(steepness)
+    return (np.float32(1.0)
+            / np.sqrt(s * (np.abs(n - l) + np.abs(n - h) - (h - l))
+                      + np.float32(1.0))).astype(np.float32)
+
+
+def sweet_baseline_tf(freq, tf_base: float = 0.0, tf_min: float = 0.0):
+    """SweetSpotSimilarity.BaselineTf (:186-194)."""
+    f = np.asarray(freq, dtype=np.float32)
+    b, m = np.float32(tf_base), np.float32(tf_min)
+    with np.errstate(invalid="ignore"):
+        out = np.where(f <= m, b, np.sqrt(f + b * b - m).astype(np.float32))
+    return np.where(f == 0.0, np.float32(0.0), out).astype(np.float32)
+
+
+def sweet_hyperbolic_tf(freq, h_min: float = 0.0, h_max: float = 2.0,
+                        h_base: float = 1.3, h_xoffset: float = 10.0):
+    """SweetSpotSimilarity.HyperbolicTf (:205-221)."""
+    f = np.asarray(freq, dtype=np.float64)
+    x = f - h_xoffset
+    with np.errstate(over="ignore", invalid="ignore"):
+        bx = np.power(h_base, x)
+        bnx = np.power(h_base, -x)
+        res = (np.float32(h_min)
+               + np.float32((h_max - h_min) / 2.0)
+               * (((bx - bnx) / (bx + bnx)) + 1.0).astype(np.float32))
+    res = np.where(np.isnan(res), np.float32(h_max), res)
+    return np.where(f == 0.0, np.float32(0.0), res).astype(np.float32)
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    name = "sweet_spot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0, hyperbolic: bool = False,
+                 h_min: float = 0.0, h_max: float = 2.0,
+                 h_base: float = 1.3, h_xoffset: float = 10.0):
+        self.ln_min, self.ln_max, self.steepness = ln_min, ln_max, steepness
+        self.tf_base, self.tf_min = tf_base, tf_min
+        self.hyperbolic = hyperbolic
+        self.h = (h_min, h_max, h_base, h_xoffset)
+
+    def _tf(self, tf_arr):
+        if self.hyperbolic:
+            return sweet_hyperbolic_tf(tf_arr, *self.h)
+        return sweet_baseline_tf(tf_arr, self.tf_base, self.tf_min)
+
+    def scorer(self, value: float, _ts, _ctx, mode: str):
+        ln_min, ln_max, steep = self.ln_min, self.ln_max, self.steepness
+
+        if mode == "f32":
+            v = f32(value)
+
+            def sc(tf_arr, nb_arr):
+                tfn = self._tf(tf_arr)
+                qlen = NORM_TABLE[nb_arr]        # quantized field length
+                norm = sweet_length_norm(qlen, ln_min, ln_max, steep)
+                return ((v * tfn).astype(np.float32) * norm).astype(np.float32)
+        else:
+            def sc(tf_arr, nb_arr):
+                qlen = NORM_TABLE[nb_arr].astype(np.float64)
+                l, h, s = float(ln_min), float(ln_max), float(steep)
+                norm = 1.0 / np.sqrt(
+                    s * (np.abs(qlen - l) + np.abs(qlen - h) - (h - l)) + 1.0)
+                return value * self._tf(tf_arr).astype(np.float64) * norm
+        return sc

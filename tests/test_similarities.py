@@ -238,3 +238,54 @@ def test_msm_exceeding_shoulds_matches_nothing(searcher, oracle_idx):
     assert eval_query(q2, oracle_idx, mode="f32") == {}
     # classic path too
     assert searcher.search_sim(q1, 10, similarity="classic", mode="f32").count() == 0
+
+
+def test_sweet_spot_vectors_and_parity(searcher, oracle_idx):
+    """SweetSpotSimilarity: lengthNorm/tf formula vectors
+    (SweetSpotSimilarityTest.cs) + engine-vs-oracle f32 parity through
+    search_sim."""
+    import math
+
+    import numpy as np
+
+    from sparklucene.similarities import (
+        sweet_baseline_tf,
+        sweet_hyperbolic_tf,
+        sweet_length_norm,
+    )
+
+    # base case (1,1,0.5) degrades to DefaultSimilarity 1/sqrt(len)
+    for i in (1, 2, 7, 30, 100, 999):
+        assert float(sweet_length_norm(i, 1, 1, 0.5)) == float(
+            np.float32(1.0) / np.sqrt(np.float32(i)))
+    # plateau [3,10] -> exactly 1.0; beyond it behaves like len-9
+    for i in range(3, 11):
+        assert float(sweet_length_norm(i, 3, 10, 0.5)) == 1.0
+    for i in (11, 50, 999):
+        assert abs(float(sweet_length_norm(i, 3, 10, 0.5))
+                   - float(np.float32(1.0) / np.sqrt(np.float32(i - 9)))) \
+            < 1e-7
+    # baseline tf: flat up to tf_min, then joins sqrt
+    for i in range(1, 7):
+        assert float(sweet_baseline_tf(i, 1.0, 6.0)) == 1.0
+        assert float(sweet_baseline_tf(i, 2.0, 6.0)) == 2.0
+    assert float(sweet_baseline_tf(9, 0.0, 0.0)) == 3.0
+    # hyperbolic tf bounded in [min,max], midpoint at the xoffset
+    for i in (1, 5, 10, 1000):
+        v = float(sweet_hyperbolic_tf(i, 3.3, 7.7, math.e, 5.0))
+        assert 3.3 <= v <= 7.7
+    assert abs(float(sweet_hyperbolic_tf(5, 3.3, 7.7, math.e, 5.0))
+               - 5.5) < 1e-5
+
+    from sparklucene.oracle import top_k_sim
+
+    q = {"type": "boolean", "clauses": [
+        {"occur": "SHOULD", "query": {"type": "term", "term": "merge"}},
+        {"occur": "SHOULD", "query": {"type": "term", "term": "spark"}}]}
+    params = dict(ln_min=2, ln_max=12, steepness=0.5, tf_base=1.0,
+                  tf_min=2.0)
+    want = top_k_sim(q, oracle_idx, 10, similarity="sweet_spot", **params)
+    got = [(r["docID"], f32_hex(r["score"]))
+           for r in searcher.search_sim(q, 10, similarity="sweet_spot",
+                                        **params).collect()]
+    assert got == [(d, f32_hex(s)) for d, s in want]
