@@ -9,6 +9,8 @@ interface (BuildConfig.analyzer="chain", analyzer_params={...}).
 """
 from __future__ import annotations
 
+import re
+
 # ---------------------------------------------------------------------------
 # filters over [(term, posInc)]
 # ---------------------------------------------------------------------------
@@ -381,6 +383,8 @@ def make_chain(tokenizer: str = "standard", filters=()):
                     if len(t) <= _an.MAX_TOKEN_LENGTH]
         if tok_name == "keyword":
             return [(text, 1)] if text else []
+        if tok_name == "pattern":
+            return pattern_tokenize(text, **tok_params)
         if tok_name == "path_hierarchy":
             return path_hierarchy_tokens(text, **tok_params)
         if tok_name == "reverse_path_hierarchy":
@@ -402,7 +406,13 @@ def make_chain(tokenizer: str = "standard", filters=()):
             flt = _FILTERS[name]
             steps.append(lambda ts, flt=flt, params=params: flt(ts, **params))
 
+    char_maps = None
+    if tok_params.get("char_filter"):
+        char_maps = tok_params.pop("char_filter")
+
     def _analyze(text: str):
+        if char_maps:
+            text = mapping_char_filter(text, char_maps)
         ts = _tokenize(text)
         for step in steps:
             ts = step(ts)
@@ -464,3 +474,55 @@ def phonetic_chain_filter(tokens, encoder="metaphone", inject: bool = True):
 
 
 _FILTERS["phonetic"] = phonetic_chain_filter
+
+
+def pattern_tokenize(text: str, pattern: str, group: int = -1):
+    """PatternTokenizer (Analysis/Pattern/PatternTokenizer.cs): group=-1
+    splits on the pattern (empty tokens dropped); group>=0 emits that
+    capture group of every match.  -> [(term, posInc)]."""
+    rx = re.compile(pattern)
+    out = []
+    if group >= 0:
+        for m in rx.finditer(text):
+            tok = m.group(group)
+            if tok:
+                out.append((tok, 1))
+    else:
+        for tok in rx.split(text):
+            if tok:
+                out.append((tok, 1))
+    return out
+
+
+def pattern_replace_filter(tokens, pattern: str, replacement: str = "",
+                           replace_all: bool = True):
+    """PatternReplaceFilter (Analysis/Pattern/PatternReplaceFilter.cs:60-73):
+    regex-replace inside each token (empty results kept, like the
+    reference)."""
+    rx = re.compile(pattern)
+    count = 0 if replace_all else 1
+    return [(rx.sub(replacement, t, count=count), p) for t, p in tokens]
+
+
+def mapping_char_filter(text: str, mappings) -> str:
+    """MappingCharFilter + NormalizeCharMap (Analysis/CharFilter/
+    MappingCharFilter.cs): greedy longest-match replacement scanning left
+    to right; replacements are not rescanned."""
+    items = sorted(mappings.items() if isinstance(mappings, dict)
+                   else mappings, key=lambda kv: -len(kv[0]))
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        for frm, to in items:
+            if frm and text.startswith(frm, i):
+                out.append(to)
+                i += len(frm)
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
+_FILTERS["pattern_replace"] = pattern_replace_filter

@@ -248,3 +248,30 @@ def test_classic_analyzer_vectors():
     assert classic_tokenize("978-0-94045043-1")[0][1] == "<NUM>"
     # stop words leave position holes
     assert a("word the underscore") == (["word", "underscore"], [0, 2])
+
+
+def test_pattern_and_mapping():
+    """PatternTokenizer (TestPatternTokenizer.cs vectors), PatternReplace-
+    Filter, and MappingCharFilter greedy longest-match — incl. the
+    win-delim normalization chain from TestPathHierarchyTokenizer."""
+    from sparklucene.filters import (
+        mapping_char_filter,
+        pattern_replace_filter,
+        pattern_tokenize,
+    )
+
+    inp = "Günther Günther is here"
+    assert [t for t, _ in pattern_tokenize(inp, r"[,;/\s]+", -1)] == [
+        "Günther", "Günther", "is", "here"]
+    assert [t for t, _ in pattern_tokenize(inp, "Günther", 0)] == [
+        "Günther", "Günther"]
+    assert [t for t, _ in pattern_tokenize("aaa,bbb,ccc", ",", -1)] == [
+        "aaa", "bbb", "ccc"]
+    assert pattern_replace_filter([("foobarfoo", 1)], "foo", "X") == [
+        ("XbarX", 1)]
+    assert pattern_replace_filter([("foobarfoo", 1)], "foo", "X",
+                                  replace_all=False) == [("Xbarfoo", 1)]
+    assert mapping_char_filter("c:\\a\\b", {"\\": "/"}) == "c:/a/b"
+    assert mapping_char_filter("aabb", {"a": "x", "aa": "y"}) == "ybb"
+    an = make_chain(("path_hierarchy", {"char_filter": {"\\": "/"}}), [])
+    assert an("c:\\a\\b\\c")[0] == ["c:", "c:/a", "c:/a/b", "c:/a/b/c"]
