@@ -648,6 +648,8 @@ def make_analyzer(name: str, **params):
         return _analyze_kp
     if name == "classic":
         return _analyze_classic
+    if name == "polish":
+        return _analyze_polish_factory(params["table_path"])
     if name == "chain":
         from .filters import make_chain
         return make_chain(tokenizer=params.get("tokenizer", "standard"),
@@ -2255,6 +2257,65 @@ def _analyze_classic(text: str) -> tuple[list[str], list[int]]:
             positions.append(pos)
         pos += 1
     return terms, positions
+
+
+POLISH_STOP_WORDS = frozenset((
+    'vol', 'o.o.', 'mgr', 'godz', 'zł', 'www', 'pl', 'ul', 'tel', 'hab',
+    'prof', 'inż', 'dr', 'i', 'u', 'aby', 'albo', 'ale', 'ani', 'aż',
+    'bardzo', 'bez', 'bo', 'bowiem', 'by', 'byli', 'bym', 'był', 'była',
+    'było', 'były', 'być', 'będzie', 'będą', 'chce', 'choć', 'co',
+    'coraz', 'coś', 'czy', 'czyli', 'często', 'dla', 'do', 'gdy', 'gdyby',
+    'gdyż', 'gdzie', 'go', 'ich', 'im', 'inne', 'iż', 'ja', 'jak',
+    'jakie', 'jako', 'je', 'jednak', 'jednym', 'jedynie', 'jego', 'jej',
+    'jest', 'jeszcze', 'jeśli', 'jeżeli', 'już', 'ją', 'kiedy', 'kilku',
+    'kto', 'która', 'które', 'którego', 'której', 'który', 'których',
+    'którym', 'którzy', 'lat', 'lecz', 'lub', 'ma', 'mają', 'mamy', 'mi',
+    'miał', 'mimo', 'mnie', 'mogą', 'może', 'można', 'mu', 'musi', 'na',
+    'nad', 'nam', 'nas', 'nawet', 'nic', 'nich', 'nie', 'niej', 'nim',
+    'niż', 'no', 'nowe', 'np', 'nr', 'o', 'od', 'ok', 'on', 'one', 'oraz',
+    'pan', 'po', 'pod', 'ponad', 'ponieważ', 'poza', 'przed', 'przede',
+    'przez', 'przy', 'raz', 'razie', 'roku', 'również', 'się', 'sobie',
+    'sposób', 'swoje', 'są', 'ta', 'tak', 'takich', 'takie', 'także',
+    'tam', 'te', 'tego', 'tej', 'temu', 'ten', 'teraz', 'też', 'to',
+    'trzeba', 'tu', 'tych', 'tylko', 'tym', 'tys', 'tzw', 'tę', 'w', 'we',
+    'wie', 'więc', 'wszystko', 'wśród', 'właśnie', 'z', 'za', 'zaś', 'ze',
+    'że', 'żeby', 'ii', 'iii', 'iv', 'vi', 'vii', 'viii', 'ix', 'xi',
+    'xii', 'xiii', 'xiv', 'xv'
+))
+
+
+_POLISH_STEMMERS: dict = {}
+
+
+def _analyze_polish_factory(table_path: str):
+    """PolishAnalyzer chain (Lucene.Net.Analysis.Stempel/Pl/
+    PolishAnalyzer.cs:155-166): Standard -> Lower -> Stop(carrot2
+    stopwords.pl, '#' comments) -> StempelFilter(Egothor trie table).
+    The stemmer table is external data supplied by the caller (e.g. the
+    distribution's stemmer_20000.tbl); it is cached per path."""
+    from .stempel import StempelStemmer, stempel_filter
+
+    st = _POLISH_STEMMERS.get(table_path)
+    if st is None:
+        st = StempelStemmer.from_file(table_path)
+        _POLISH_STEMMERS[table_path] = st
+
+    def _an(text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for tok in tokenize_raw(text):
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            low = tok.lower()
+            if low and low not in POLISH_STOP_WORDS:
+                stemmed = stempel_filter([(low, 1)], st)[0][0]
+                terms.append(stemmed)
+                positions.append(pos)
+            pos += 1
+        return terms, positions
+    return _an
 
 
 def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:

@@ -1,0 +1,214 @@
+"""Stempel (Egothor) Polish stemmer — port of Lucene.Net.Analysis.Stempel:
+the Egothor Trie/MultiTrie2 binary table reader (Egothor.Stemmer/Trie.cs,
+MultiTrie.cs, MultiTrie2.cs, Row.cs), the Diff patch applier (Diff.cs:198),
+and the StempelStemmer/StempelFilter drive.  Reads the reference's
+stemmer_20000.tbl (a Java DataOutput stream: big-endian ints/chars +
+modified-UTF-8 strings) when available; any Egothor-compiled table works.
+"""
+from __future__ import annotations
+
+import struct
+
+
+class _DataInput:
+    """java.io.DataInput big-endian reader."""
+
+    def __init__(self, data: bytes):
+        self.b = data
+        self.i = 0
+
+    def boolean(self) -> bool:
+        v = self.b[self.i] != 0
+        self.i += 1
+        return v
+
+    def int32(self) -> int:
+        v = struct.unpack_from(">i", self.b, self.i)[0]
+        self.i += 4
+        return v
+
+    def char(self) -> str:
+        v = struct.unpack_from(">H", self.b, self.i)[0]
+        self.i += 2
+        return chr(v)
+
+    def utf(self) -> str:
+        n = struct.unpack_from(">H", self.b, self.i)[0]
+        self.i += 2
+        raw = self.b[self.i:self.i + n]
+        self.i += n
+        # modified UTF-8: 0x00 encoded as C0 80; surrogates CESU-8 —
+        # decode permissively (the stempel tables are plain BMP text)
+        return raw.decode("utf-8", errors="surrogatepass").replace(
+            "\xc0\x80", "\x00")
+
+
+class Trie:
+    """Egothor.Stemmer/Trie.cs: rows of cells (cmd/ref per char); lookup
+    walks the key (reversed when forward=False) collecting the last
+    command on the path."""
+
+    def __init__(self, din: _DataInput):
+        self.forward = din.boolean()
+        self.root = din.int32()
+        self.cmds = [din.utf() for _ in range(din.int32())]
+        self.rows = []
+        for _ in range(din.int32()):
+            cells = {}
+            for _ in range(din.int32()):
+                ch = din.char()
+                cmd, _cnt, ref, _skip = (din.int32(), din.int32(),
+                                         din.int32(), din.int32())
+                cells[ch] = (cmd, ref)
+            self.rows.append(cells)
+
+    def get_last_on_path(self, key: str) -> str | None:
+        if not key:
+            return None
+        now = self.rows[self.root]
+        last = None
+        seq = key if self.forward else key[::-1]
+        for ch in seq[:-1]:
+            cell = now.get(ch)
+            if cell is None:
+                return last
+            cmd, ref = cell
+            if cmd >= 0:
+                last = self.cmds[cmd]
+            if ref >= 0:
+                now = self.rows[ref]
+            else:
+                return last
+        cell = now.get(seq[-1])
+        if cell is not None and cell[0] >= 0:
+            return self.cmds[cell[0]]
+        return last
+
+
+_EOM = "*"
+
+
+class MultiTrie2:
+    """Egothor.Stemmer/MultiTrie2.cs: a chain of tries, each consuming the
+    command prefix produced so far (GetLastOnPath :154-203)."""
+
+    def __init__(self, din: _DataInput):
+        self.forward = din.boolean()
+        self.by = din.int32()
+        self.tries = [Trie(din) for _ in range(din.int32())]
+
+    @staticmethod
+    def _cannot_follow(after: str, goes: str) -> bool:
+        return after in "-D" and after == goes
+
+    @staticmethod
+    def _length_pp(cmd: str) -> int:
+        length = 0
+        i = 0
+        while i < len(cmd):
+            c = cmd[i]
+            i += 1
+            if c in "-D":
+                length += ord(cmd[i]) - ord("a") + 1
+            elif c == "R":
+                length += 1
+            i += 1
+        return length
+
+    def get_last_on_path(self, key: str) -> str:
+        result = []
+        lastkey = key
+        p = []
+        lastch = " "
+        for i, t in enumerate(self.tries):
+            r = t.get_last_on_path(lastkey)
+            if r is None or (len(r) == 1 and r[0] == _EOM):
+                return "".join(result)
+            if self._cannot_follow(lastch, r[0]):
+                return "".join(result)
+            if len(r) < 2:
+                return "".join(result)
+            lastch = r[-2]
+            p.append(r)
+            if r[0] == "-":
+                if i > 0:
+                    skip = self._length_pp(p[i - 1])
+                    if skip > len(key):
+                        break
+                    key = key[skip:]
+                skip = self._length_pp(r)
+                if skip > len(key):
+                    break
+                key = key[skip:]
+            result.append(r)
+            if key:
+                lastkey = key
+        return "".join(result)
+
+
+def diff_apply(dest: str, diff: str | None) -> str:
+    """Egothor.Stemmer/Diff.cs:198-257 — apply a patch command string."""
+    if diff is None or not dest:
+        return dest
+    buf = list(dest)
+    pos = len(buf) - 1
+    try:
+        for i in range(len(diff) // 2):
+            cmd = diff[2 * i]
+            param = diff[2 * i + 1]
+            par_num = ord(param) - ord("a") + 1
+            if cmd == "-":
+                pos = pos - par_num + 1
+            elif cmd == "R":
+                if pos < 0 or pos >= len(buf):
+                    return "".join(buf)
+                buf[pos] = param
+            elif cmd == "D":
+                o = pos
+                pos -= par_num - 1
+                if pos < 0 or o + 1 > len(buf):
+                    return "".join(buf)
+                del buf[pos:o + 1]
+            elif cmd == "I":
+                pos += 1
+                if pos < 0 or pos > len(buf):
+                    return "".join(buf)
+                buf.insert(pos, param)
+            pos -= 1
+    except IndexError:
+        pass
+    return "".join(buf)
+
+
+class StempelStemmer:
+    """Stempel/StempelStemmer.cs: trie lookup + Diff patch; None when the
+    result would be empty."""
+
+    def __init__(self, table_bytes: bytes):
+        din = _DataInput(table_bytes)
+        method = din.utf().upper()
+        self.trie = MultiTrie2(din) if "M" in method else Trie(din)
+
+    @classmethod
+    def from_file(cls, path: str) -> "StempelStemmer":
+        return cls(open(path, "rb").read())
+
+    def stem(self, word: str) -> str | None:
+        cmd = self.trie.get_last_on_path(word)
+        if not cmd:
+            return None
+        out = diff_apply(word, cmd)
+        return out if out else None
+
+
+def stempel_filter(tokens, stemmer: StempelStemmer, min_length: int = 3):
+    """StempelFilter (Stempel/StempelFilter.cs): stem tokens longer than
+    minLength; tokens whose stem comes back null/empty pass through."""
+    out = []
+    for t, p in tokens:
+        if len(t) > min_length:
+            s = stemmer.stem(t)
+            out.append((s if s else t, p))
+        else:
+            out.append((t, p))
+    return out

@@ -1174,3 +1174,28 @@ def test_kp_vocab():
     assert mism == []
     nl = make_analyzer("kp")
     assert nl("lichamelijke")[0] == ["lichamelijk"]
+
+
+def test_polish_stempel():
+    """Stempel: Egothor MultiTrie2 table reader + Diff patch vs the
+    TestPolishAnalyzer vectors (studenta/studenci -> student, 'był'
+    stopped); the stemmer table is the distribution's own
+    stemmer_20000.tbl, read as external data."""
+    import os
+
+    table = ("/root/reference/src/Lucene.Net.Analysis.Stempel/Pl/"
+             "stemmer_20000.tbl")
+    if not os.path.exists(table):
+        import pytest
+        pytest.skip("stempel table unavailable")
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.stempel import StempelStemmer
+
+    st = StempelStemmer.from_file(table)
+    assert st.stem("studenta") == "student"
+    assert st.stem("studenci") == "student"
+    assert st.stem("domami") == "dom"
+    pl = make_analyzer("polish", table_path=table)
+    assert pl("studenta studenci był") == (["student", "student"], [0, 1])
+    # StempelFilter: short tokens (<= 3 chars) pass through unstemmed
+    assert pl("dom")[0] == ["dom"]
