@@ -648,6 +648,8 @@ def make_analyzer(name: str, **params):
         return _analyze_kp
     if name == "classic":
         return _analyze_classic
+    if name == "uax_url_email":
+        return _analyze_uax_url_email
     if name == "polish":
         return _analyze_polish_factory(params["table_path"])
     if name == "chain":
@@ -2339,6 +2341,94 @@ def _analyze_turkish(text: str) -> tuple[list[str], list[int]]:
         low = turkish_lowercase(tok)
         if low and low not in TURKISH_STOP_WORDS:
             terms.append(turkish_stem(low))
+            positions.append(pos)
+        pos += 1
+    return terms, positions
+
+
+# ---------------------------------------------------------------------------
+# UAX29URLEmailTokenizer / UAX29URLEmailAnalyzer
+# (Analysis/Standard/UAX29URLEmailTokenizer.cs + UAX29URLEmailAnalyzer.cs):
+# the UAX#29 word tokenizer with URL and EMAIL overlays.  URLs are
+# recognized scheme-ful (http/https/ftp/file) or scheme-less by a
+# registered top-level domain; the reference compiles the full IANA TLD
+# registry into its DFA — we carry a curated subset (documented partial)
+# and otherwise match the grammar's shape: host[:port][/path][?query][#f].
+# ---------------------------------------------------------------------------
+
+# curated TLD subset of the grammar's IANA registry (ASCIITLD macro)
+_UAX_TLDS = (
+    "com|org|net|edu|gov|mil|int|info|biz|name|pro|aero|asia|cat|coop|"
+    "jobs|mobi|museum|tel|travel|arpa|ac|ad|ae|af|ag|ai|al|am|ar|at|au|"
+    "be|bg|br|by|ca|ch|cl|cn|co|cz|de|dk|ee|eg|es|eu|fi|fr|gr|hk|hr|hu|"
+    "id|ie|il|in|io|ir|is|it|jp|kr|lt|lu|lv|mx|my|nl|no|nz|ph|pl|pt|ro|"
+    "rs|ru|se|sg|si|sk|th|tr|tw|ua|uk|us|uy|ve|vn|za"
+)
+_UAX_HOST = (r"[A-Za-z0-9]([A-Za-z0-9\-]*[A-Za-z0-9])?"
+             r"(\.[A-Za-z0-9]([A-Za-z0-9\-]*[A-Za-z0-9])?)*")
+_UAX_TAIL = (r"(:\d+)?(/[^\s<>\"\]\[)(]*)?(\?[^\s<>\"\]\[)(#]*)?"
+             r"(#[^\s<>\"\]\[)(]*)?")
+_UAX_URL_RE = re.compile(
+    r"(?:(?:https?|ftp)://" + _UAX_HOST + _UAX_TAIL + r")"
+    r"|(?:file:///?[^\s<>\"\]\[)(]+)"
+    r"|(?:" + _UAX_HOST + r"\.(?:" + _UAX_TLDS + r")(?![A-Za-z0-9\u00c0-\uffff])"
+    + _UAX_TAIL + r")",
+    re.IGNORECASE)
+_UAX_EMAIL_RE = re.compile(
+    r"[A-Za-z0-9](?:[A-Za-z0-9._\-+]*[A-Za-z0-9])?"
+    r"@" + _UAX_HOST + r"\.[A-Za-z]{2,}", re.IGNORECASE)
+
+
+def uax29_url_email_tokenize(text: str) -> list[tuple[str, str]]:
+    """-> [(token, type)] with type <URL>/<EMAIL>/<ALPHANUM>; URL/EMAIL
+    spans are carved out first, the rest goes through the UAX#29 word
+    tokenizer (tokenize_raw)."""
+    spans = []
+    taken: list[tuple[int, int]] = []
+
+    def _free(a, b):
+        return all(b <= s or a >= e for s, e in taken)
+
+    for m in _UAX_EMAIL_RE.finditer(text):
+        if _free(m.start(), m.end()):
+            spans.append((m.start(), m.end(), m.group(), "<EMAIL>"))
+            taken.append((m.start(), m.end()))
+    for m in _UAX_URL_RE.finditer(text):
+        if _free(m.start(), m.end()):
+            spans.append((m.start(), m.end(), m.group(), "<URL>"))
+            taken.append((m.start(), m.end()))
+    out: list[tuple[int, str, str]] = [
+        (s, tok, typ) for s, _e, tok, typ in spans]
+    # tokenize the gaps
+    bounds = sorted(taken)
+    pos = 0
+    gaps = []
+    for s, e in bounds:
+        if s > pos:
+            gaps.append((pos, s))
+        pos = e
+    if pos < len(text):
+        gaps.append((pos, len(text)))
+    for gs, ge in gaps:
+        for tok, ts, _te in tokenize_raw_spans(text[gs:ge]):
+            out.append((gs + ts, tok, "<ALPHANUM>"))
+    out.sort(key=lambda t: t[0])
+    return [(tok, typ) for _s, tok, typ in out]
+
+
+def _analyze_uax_url_email(text: str) -> tuple[list[str], list[int]]:
+    """UAX29URLEmailAnalyzer chain (UAX29URLEmailAnalyzer.cs): tokenizer ->
+    Standard(no-op) -> LowerCase -> Stop(English 33)."""
+    terms: list[str] = []
+    positions: list[int] = []
+    pos = 0
+    for tok, _typ in uax29_url_email_tokenize(text):
+        if len(tok) > MAX_TOKEN_LENGTH:
+            pos += 1
+            continue
+        low = tok.lower()
+        if low and low not in ENGLISH_STOP_WORDS:
+            terms.append(low)
             positions.append(pos)
         pos += 1
     return terms, positions

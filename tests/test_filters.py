@@ -275,3 +275,48 @@ def test_pattern_and_mapping():
     assert mapping_char_filter("aabb", {"a": "x", "aa": "y"}) == "ybb"
     an = make_chain(("path_hierarchy", {"char_filter": {"\\": "/"}}), [])
     assert an("c:\\a\\b\\c")[0] == ["c:", "c:/a", "c:/a/b", "c:/a/b/c"]
+
+
+def test_uax29_url_email_vectors():
+    """UAX29URLEmailAnalyzer (TestUAX29URLEmailAnalyzer.cs): URL and
+    EMAIL overlays on UAX#29 words, incl. scheme-less TLD-triggered URLs
+    (curated IANA subset — documented partial) and port/path/query/
+    fragment tails."""
+    from sparklucene.analysis import make_analyzer, uax29_url_email_tokenize
+
+    a = make_analyzer("uax_url_email")
+    for inp, want in [
+        ('one test@example.com two three [A@example.CO.UK] '
+         '"ArakaBanassaMassanaBakarA" <info@Info.info>',
+         ["one", "test@example.com", "two", "three", "a@example.co.uk",
+          "arakabanassamassanabakara", "info@info.info"]),
+        ("MAILTO:Test@Example.ORG", ["mailto", "test@example.org"]),
+        ("example.com:8080/path/here?query=something#fragment",
+         ["example.com:8080/path/here?query=something#fragment"]),
+        ("example.com:8080 example.com/path/here example.com?query=x",
+         ["example.com:8080", "example.com/path/here",
+          "example.com?query=x"]),
+        ("index.ph", ["index.ph"]),
+        ("index.php", ["index.php"]),
+        ("index2.php", ["index2", "php"]),
+        ("index.phα", ["index.phα"]),
+        ("index-h.php", ["index", "h.php"]),
+        ("index2.ph９,", ["index2", "ph９"]),
+        ("<index.ph>", ["index.ph"]),
+        ("example.com,example.ph,index.php,index2.php,example2.ph",
+         ["example.com", "example.ph", "index.php", "index2", "php",
+          "example2.ph"]),
+        ("testing 1234", ["testing", "1234"]),
+        ("B2B", ["b2b"]),
+        ("David has 5000 bones", ["david", "has", "5000", "bones"]),
+        ("a <HTTPs://example.net/omg/isnt/that/NICE?no=its&n%30t#mntl-E>"
+         "b-D ftp://www.example.com/ABC.txt file:///C:/path/to/a/FILE.txt"
+         " C",
+         ["https://example.net/omg/isnt/that/nice?no=its&n%30t#mntl-e",
+          "b", "d", "ftp://www.example.com/abc.txt",
+          "file:///c:/path/to/a/file.txt", "c"]),
+    ]:
+        assert a(inp)[0] == want, (inp, a(inp)[0], want)
+    # token types
+    assert uax29_url_email_tokenize("index.ph") == [("index.ph", "<URL>")]
+    assert uax29_url_email_tokenize("x@y.com")[0][1] == "<EMAIL>"
