@@ -109,3 +109,18 @@ def nb_classify_all(
             (10.0 / F.abs("clval")).alias("score"),
         )
     )
+
+
+def dataset_split(df, test_fraction: float = 0.1,
+                  cross_validation_fraction: float = 0.1, seed: int = 42):
+    """DatasetSplitter (Lucene.Net.Classification/Utils/DatasetSplitter.cs):
+    split a document set into training / test / cross-validation parts.
+    Spark-first: one randomSplit instead of the reference's per-doc modulo
+    round-robin over three IndexWriters — fractions are honored in
+    expectation and the split is deterministic under the seed."""
+    train = 1.0 - test_fraction - cross_validation_fraction
+    if train <= 0:
+        raise ValueError("fractions must sum to < 1")
+    tr, te, cv = df.randomSplit(
+        [train, test_fraction, cross_validation_fraction], seed=seed)
+    return tr, te, cv

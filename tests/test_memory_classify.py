@@ -200,3 +200,21 @@ def test_nb_classify_matches_reference_math(spark):
         assert got[d][1] == pytest.approx(want[d][1], rel=1e-9), d
     # sanity: the planted clusters classify correctly
     assert got[0][0] == "a0" and got[3][0] == "b1"
+
+
+def test_dataset_splitter(spark):
+    """DatasetSplitter analogue: deterministic 3-way split, disjoint and
+    complete."""
+    from sparklucene.classify import dataset_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    tr, te, cv = dataset_split(df, 0.2, 0.1, seed=7)
+    n_tr, n_te, n_cv = tr.count(), te.count(), cv.count()
+    assert n_tr + n_te + n_cv == 1000
+    assert n_tr > n_te > 0 and n_cv > 0
+    # deterministic under the same seed
+    tr2, _, _ = dataset_split(df, 0.2, 0.1, seed=7)
+    assert tr2.count() == n_tr
+    # disjoint
+    assert tr.join(te, "doc_id").count() == 0
+    assert tr.join(cv, "doc_id").count() == 0
