@@ -1,0 +1,91 @@
+"""TestRandomChains analogue: random filter chains over random unicode
+text must never crash and must keep the token-stream invariants —
+non-negative position increments with the stream's positions
+non-decreasing, and string terms throughout.  (The reference blasts
+random data through every registered factory, TestRandomChains.cs.)"""
+import random
+
+import pytest
+
+from sparklucene.analysis import make_analyzer
+
+_FILTER_POOL = [
+    "lowercase",
+    "trim",
+    "reverse",
+    "ascii_folding",
+    ("length", {"min_len": 1, "max_len": 20}),
+    ("truncate", {"length": 5}),
+    ("stop", {"stops": ["the", "a", "of"]}),
+    ("edge_ngram", {"min_gram": 1, "max_gram": 3}),
+    ("ngram", {"min_gram": 1, "max_gram": 2}),
+    ("common_grams", {"common": ["the", "s", "a"]}),
+    ("common_grams_query", {"common": ["the", "s", "a"]}),
+    "hyphenated_words",
+    ("capitalization", {}),
+    ("dictionary_compound", {"dictionary": ["ab", "cd", "stra", "be"]}),
+    ("pattern_replace", {"pattern": "[0-9]+", "replacement": "#"}),
+    ("phonetic", {"encoder": "metaphone"}),
+    ("phonetic", {"encoder": "double_metaphone"}),
+    ("phonetic", {"encoder": "soundex"}),
+    ("stem", {"name": "porter_stem"}),
+    ("stem", {"name": "porter_snowball_stem"}),
+    ("stem", {"name": "lovins_stem"}),
+    ("stem", {"name": "kp_stem"}),
+    ("stem", {"name": "turkish_stem"}),
+    ("keyword_repeat_stem", {"name": "porter2_stem"}),
+]
+
+_TOKENIZERS = [
+    "standard",
+    "whitespace",
+    "keyword",
+    ("pattern", {"pattern": r"[\s,;]+", "group": -1}),
+    ("path_hierarchy", {}),
+    ("reverse_path_hierarchy", {}),
+]
+
+_ALPHABETS = [
+    "abcdefgh -'/.,:0123456789",
+    "абвгд еёжз-ий",
+    "ığüşöç abcde '",
+    "字体点 あいう アイウ 한글 ",
+    "̖̇Iıi yY-",
+    "𠀀𠀁 ab\U0001F600 ",
+]
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_chain_never_crashes(seed):
+    rng = random.Random(seed)
+    tok = rng.choice(_TOKENIZERS)
+    filters = rng.sample(_FILTER_POOL, rng.randint(0, 4))
+    an = make_analyzer("chain", tokenizer=tok, filters=filters)
+    alphabet = rng.choice(_ALPHABETS)
+    for _ in range(20):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 60)))
+        terms, positions = an(text)
+        assert len(terms) == len(positions)
+        assert all(isinstance(t, str) for t in terms)
+        # positions non-decreasing, first >= 0
+        assert all(b >= a for a, b in zip(positions, positions[1:]))
+        if positions:
+            assert positions[0] >= 0
+
+
+@pytest.mark.parametrize("name", [
+    "standard", "classic", "uax_url_email", "word_delimiter", "turkish",
+    "lovins", "kp", "porter_snowball", "english", "french", "german",
+    "arabic", "cjk", "greek", "hindi", "russian",  # thai: honest stub
+])
+def test_named_analyzers_never_crash(name):
+    rng = random.Random(hash(name) & 0xffff)
+    an = make_analyzer(name)
+    for alphabet in _ALPHABETS:
+        for _ in range(10):
+            text = "".join(rng.choice(alphabet)
+                           for _ in range(rng.randint(0, 80)))
+            terms, positions = an(text)
+            assert len(terms) == len(positions)
+            assert all(b >= a for a, b in zip(positions, positions[1:]))
