@@ -1,0 +1,138 @@
+"""Knuth-Liang hyphenation + HyphenationCompoundWordTokenFilter — port of
+Analysis/Compound/Hyphenation/HyphenationTree.cs (the FOP pattern
+machinery, re-expressed as a pattern dict instead of the ternary tree)
+and Analysis/Compound/HyphenationCompoundWordTokenFilter.cs.  Reads the
+OFFO/FOP hyphenation XML grammars (<classes>, <exceptions>, <patterns>)
+the reference consumes, e.g. the da_UTF8.xml test fixture."""
+from __future__ import annotations
+
+import re
+
+
+class HyphenationTree:
+    def __init__(self):
+        self.classes: dict[str, str] = {}
+        self.patterns: dict[str, tuple[int, ...]] = {}
+        self.exceptions: dict[str, list[int]] = {}
+        self._max_pat = 1
+
+    # ---------------- XML loading (PatternParser.cs) ----------------
+
+    @classmethod
+    def from_xml(cls, path: str) -> "HyphenationTree":
+        text = open(path, encoding="utf-8").read()
+        text = re.sub(r"<!--.*?-->", " ", text, flags=re.S)
+        t = cls()
+        m = re.search(r"<classes>(.*?)</classes>", text, re.S)
+        if m:
+            for token in m.group(1).split():
+                rep = token[0]
+                for ch in token:
+                    t.classes[ch] = rep
+        m = re.search(r"<exceptions>(.*?)</exceptions>", text, re.S)
+        if m:
+            for token in re.sub(r"<[^>]+>", " ", m.group(1)).split():
+                word = token.replace("-", "")
+                pts = []
+                k = 0
+                for ch in token:
+                    if ch == "-":
+                        pts.append(k)
+                    else:
+                        k += 1
+                t.exceptions[word.lower()] = pts
+        for m in re.finditer(r"<patterns>(.*?)</patterns>", text, re.S):
+            for pat in m.group(1).split():
+                letters = []
+                values = [0]
+                for ch in pat:
+                    if ch.isdigit():
+                        values[-1] = int(ch)
+                    else:
+                        letters.append(ch)
+                        values.append(0)
+                t.patterns["".join(letters)] = tuple(values)
+                t._max_pat = max(t._max_pat, len(letters))
+        return t
+
+    def _normalize(self, word: str) -> str | None:
+        out = []
+        for ch in word:
+            c = self.classes.get(ch, self.classes.get(ch.lower()))
+            if c is None:
+                return None            # non-letter inside the word
+            out.append(c)
+        return "".join(out)
+
+    def hyphenate(self, word: str, remain: int = 1, push: int = 1):
+        """-> [0, p1, ..., len] hyphenation points (HyphenationTree.cs:421
+        Hyphenate, incl. the synthetic 0/len endpoints), or None."""
+        n = len(word)
+        norm = self._normalize(word)
+        if norm is None or n < remain + push:
+            return None
+        exc = self.exceptions.get(norm)
+        if exc is not None:
+            pts = [p for p in exc if remain <= p <= n - push]
+            return [0] + pts + [n] if pts else None
+        padded = "." + norm + "."
+        il = [0] * (n + 3)
+        for i in range(len(padded)):
+            upper = min(self._max_pat, len(padded) - i)
+            for ln in range(1, upper + 1):
+                vals = self.patterns.get(padded[i:i + ln])
+                if vals is not None:
+                    for k, v in enumerate(vals):
+                        if i + k < len(il) and v > il[i + k]:
+                            il[i + k] = v
+        pts = [i for i in range(n)
+               if (il[i + 1] & 1) == 1 and remain <= i <= n - push]
+        if not pts:
+            return None
+        return [0] + pts + [n]
+
+
+def hyphenation_compound_filter(tokens, tree: HyphenationTree,
+                                dictionary=None, min_word_size: int = 5,
+                                min_subword_size: int = 2,
+                                max_subword_size: int = 15,
+                                only_longest_match: bool = False):
+    """HyphenationCompoundWordTokenFilter.Decompose (:217-293): subwords
+    between hyphenation-point pairs, size-bounded; with a dictionary only
+    listed subwords survive (with the German -s linking fallback:
+    partLength-1); without one, every sized split is emitted."""
+    d = (frozenset(w.lower() for w in dictionary)
+         if dictionary is not None else None)
+    out = []
+    for t, p in tokens:
+        out.append((t, p))
+        if len(t) < min_word_size:
+            continue
+        hyp = tree.hyphenate(t, 1, 1)
+        if hyp is None:
+            continue
+        low = t.lower()
+        for i in range(len(hyp)):
+            start = hyp[i]
+            longest = None
+            for j in range(1, len(hyp) - i):
+                part_len = hyp[i + j] - start
+                if part_len > max_subword_size:
+                    break
+                if part_len < min_subword_size:
+                    continue
+                if d is None or low[start:start + part_len] in d:
+                    if only_longest_match:
+                        if longest is None or longest < part_len:
+                            longest = part_len
+                    else:
+                        out.append((t[start:start + part_len], 0))
+                elif low[start:start + part_len - 1] in d:
+                    if only_longest_match:
+                        if longest is None or longest < part_len - 1:
+                            longest = part_len - 1
+                    else:
+                        out.append((t[start:start + part_len - 1], 0))
+            if only_longest_match and longest is not None:
+                out.append((t[start:start + longest], 0))
+    return out

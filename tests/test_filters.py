@@ -320,3 +320,37 @@ def test_uax29_url_email_vectors():
     # token types
     assert uax29_url_email_tokenize("index.ph") == [("index.ph", "<URL>")]
     assert uax29_url_email_tokenize("x@y.com")[0][1] == "<EMAIL>"
+
+
+def test_hyphenation_compound_vectors():
+    """HyphenationCompoundWordTokenFilter vs TestCompoundWordTokenFilter
+    (da_UTF8.xml Liang patterns): dictionary-filtered, onlyLongestMatch,
+    and dictionary-less sized splits."""
+    from sparklucene.hyphenation import (
+        HyphenationTree,
+        hyphenation_compound_filter as hf,
+    )
+
+    xml = ("/root/reference/src/Lucene.Net.Tests.Analysis.Common/"
+           "Analysis/Compound/da_UTF8.xml")
+    tree = HyphenationTree.from_xml(xml)
+    toks = [(w, 1) for w in "min veninde som er lidt af en læsehest".split()]
+    got = hf(toks, tree, ["læse", "hest"])
+    assert [t for t, _ in got] == [
+        "min", "veninde", "som", "er", "lidt", "af", "en", "læsehest",
+        "læse", "hest"]
+    assert [p for _, p in got] == [1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+    got = hf([("basketballkurv", 1)], tree,
+             ["basketball", "basket", "ball", "kurv"],
+             max_subword_size=40, only_longest_match=True)
+    assert [t for t, _ in got] == [
+        "basketballkurv", "basketball", "ball", "kurv"]
+    for mn, mx, want in [
+        (2, 4, ["ba", "sket", "bal", "ball", "kurv"]),
+        (4, 6, ["basket", "sket", "ball", "lkurv", "kurv"]),
+        (4, 10, ["basket", "basketbal", "basketball", "sket", "sketbal",
+                 "sketball", "ball", "ballkurv", "lkurv", "kurv"]),
+    ]:
+        got = hf([("basketballkurv", 1)], tree, None,
+                 min_subword_size=mn, max_subword_size=mx)
+        assert [t for t, _ in got] == ["basketballkurv"] + want, (mn, mx)
