@@ -526,3 +526,81 @@ def mapping_char_filter(text: str, mappings) -> str:
 
 
 _FILTERS["pattern_replace"] = pattern_replace_filter
+
+
+def stem_with_exclusions(tokens, stem_fn, exclusions=(), overrides=None):
+    """SetKeywordMarkerFilter + StemmerOverrideFilter + stemmer
+    (Analysis/Miscellaneous/SetKeywordMarkerFilter.cs,
+    StemmerOverrideFilter.cs): terms in `exclusions` pass unstemmed,
+    terms in `overrides` map directly, the rest go through stem_fn."""
+    exc = frozenset(exclusions)
+    ov = dict(overrides or {})
+    out = []
+    for t, p in tokens:
+        if t in exc:
+            out.append((t, p))
+        elif t in ov:
+            out.append((ov[t], p))
+        else:
+            out.append((stem_fn(t), p))
+    return out
+
+
+def synonym_phrase_filter(tokens, synonyms, keep_orig: bool = True,
+                          separator: str = " "):
+    """Multi-word SynonymFilter analogue (Analysis/Synonym/
+    SynonymFilter.cs, flattened 4.8 semantics): greedy longest match over
+    token sequences; outputs injected at the match-start position (first
+    output word posInc 0 when originals are kept; replacements inherit the
+    original increment).  synonyms: {"united states": ["usa"], ...} —
+    keys and outputs are separator-joined phrases."""
+    table: dict[tuple, list[list[str]]] = {}
+    max_len = 1
+    for k, outs in synonyms.items():
+        key = tuple(k.split(separator))
+        table[key] = [o.split(separator) for o in (
+            outs if isinstance(outs, (list, tuple)) else [outs])]
+        max_len = max(max_len, len(key))
+    out = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        match = None
+        for ln in range(min(max_len, n - i), 0, -1):
+            key = tuple(t for t, _ in tokens[i:i + ln])
+            if key in table:
+                match = (ln, table[key])
+                break
+        if match is None:
+            out.append(tokens[i])
+            i += 1
+            continue
+        ln, outputs = match
+        first_pinc = tokens[i][1]
+        if keep_orig:
+            out.extend(tokens[i:i + ln])
+            for words in outputs:
+                out.append((words[0], 0))
+                out.extend((w, 1) for w in words[1:])
+        else:
+            emitted = False
+            for words in outputs:
+                out.append((words[0], first_pinc if not emitted else 0))
+                emitted = True
+                out.extend((w, 1) for w in words[1:])
+        i += ln
+    return out
+
+
+_FILTERS["stem_with_exclusions"] = None  # placeholder replaced below
+_FILTERS["synonym_phrases"] = synonym_phrase_filter
+
+
+def _stem_with_exclusions_named(tokens, name, exclusions=(), overrides=None):
+    import sparklucene.stemmer as _stemmod
+
+    return stem_with_exclusions(tokens, getattr(_stemmod, name),
+                                exclusions, overrides)
+
+
+_FILTERS["stem_with_exclusions"] = _stem_with_exclusions_named

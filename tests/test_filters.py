@@ -354,3 +354,34 @@ def test_hyphenation_compound_vectors():
         got = hf([("basketballkurv", 1)], tree, None,
                  min_subword_size=mn, max_subword_size=mx)
         assert [t for t, _ in got] == ["basketballkurv"] + want, (mn, mx)
+
+
+def test_keyword_marker_and_phrase_synonyms():
+    """SetKeywordMarkerFilter/StemmerOverrideFilter composition and the
+    multi-word SynonymFilter analogue (flattened 4.8 semantics)."""
+    from sparklucene.filters import (
+        stem_with_exclusions,
+        synonym_phrase_filter,
+    )
+    from sparklucene.stemmer import porter_stem
+
+    got = stem_with_exclusions(
+        [("running", 1), ("jumping", 1), ("lucene", 1)], porter_stem,
+        exclusions={"jumping"}, overrides={"lucene": "lucen"})
+    assert got == [("run", 1), ("jumping", 1), ("lucen", 1)]
+
+    syn = {"united states": ["usa", "u s a"], "big": ["large"]}
+    toks = [("the", 1), ("united", 1), ("states", 1), ("is", 1),
+            ("big", 1)]
+    assert synonym_phrase_filter(toks, syn) == [
+        ("the", 1), ("united", 1), ("states", 1), ("usa", 0), ("u", 0),
+        ("s", 1), ("a", 1), ("is", 1), ("big", 1), ("large", 0)]
+    assert synonym_phrase_filter(toks, syn, keep_orig=False) == [
+        ("the", 1), ("usa", 1), ("u", 0), ("s", 1), ("a", 1), ("is", 1),
+        ("large", 1)]
+    an = make_chain("whitespace", [
+        "lowercase",
+        ("synonym_phrases", {"synonyms": {"wi fi": ["wifi"]}}),
+        ("stem_with_exclusions", {"name": "porter_stem",
+                                  "exclusions": ["wifi"]})])
+    assert an("Wi Fi networks")[0] == ["wi", "fi", "wifi", "network"]
