@@ -844,6 +844,48 @@ def _q_word_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "term", "term": "merge"}, 15)
 
 
+_PH_SEARCHERS: dict[str, IndexSearcher] = {}
+
+_PH_PARAMS = {
+    "tokenizer": "standard",
+    "filters": [
+        "lowercase",
+        ["stop", {"stops": sorted(ENGLISH_STOP_WORDS)}],
+        ["phonetic", {"encoder": "metaphone"}],
+    ],
+}
+
+
+def _ph_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the PhoneticFilter chain (standard -> lower ->
+    stop -> Metaphone inject): every token also indexes its phonetic code
+    at the same position (field_len discounts the overlap, matching the
+    reference's discountOverlaps default)."""
+    key = os.path.abspath(sf_dir)
+    s = _PH_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_ph", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="chain", analyzer_params=_PH_PARAMS, resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _PH_SEARCHERS[key] = s
+    return s
+
+
+def _q_phonetic_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhoneticFilter index: the Metaphone code MRJ matches docs
+    containing 'merge' (sound-alike retrieval)."""
+    s = _ph_searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "term", "term": "MRJ"}, 15)
+
+
 _LANG_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1148,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
     out["word_delim"] = _q_word_delim
+    out["phonetic_term"] = _q_phonetic_term
     out["lang_routed"] = _q_lang_routed
     out["payload_term"] = _q_payload_term
     out["payload_near"] = _q_payload_near
@@ -1194,7 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2", "dfr_inlh3",
         "ib_spl_z", "spatial_bbox", "spatial_circle", "spatial_knn",
         "simhash_fp", "simhash_pairs", "dedup_minhash", "word_delim",
-        "sweet_term", "high_freq",
+        "sweet_term", "high_freq", "phonetic_term",
     ]
     ordered = {k: out[k] for k in first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
@@ -1929,6 +1972,10 @@ ORDER BY score DESC, doc_id LIMIT 15"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merge'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["phonetic_term"] = f"""{_prelude_phonetic()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'MRJ'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["lang_routed"] = f"""{_prelude_lang_routed()}
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'filt'
@@ -2420,6 +2467,79 @@ emitted AS (
 ),"""
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)
+
+
+def _ph_map_values() -> str:
+    """(token -> metaphone code) rows for the corpus vocabulary (embedded
+    map, code omitted when equal to the token or empty, mirroring
+    PhoneticFilter's skip)."""
+    import duckdb
+
+    from sparklucene.phonetic import metaphone
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    toks = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS tok
+                  FROM '{path}') WHERE tok <> '' ORDER BY tok"""
+        )
+        .fetchall()
+    ]
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = []
+    for t in toks:
+        code = metaphone(t)
+        if code and code != t:
+            rows.append(f"('{_q(t)}', '{_q(code)}')")
+    return ", ".join(rows)
+
+
+def _prelude_phonetic() -> str:
+    """_prelude with PhoneticFilter emission: base tokens plus their
+    Metaphone codes at the same positions (field_len/avgdl discount the
+    injected overlaps, so doclen stays the BASE token count)."""
+    base = _prelude()
+    old = """emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({stops})
+),""".replace("{stops}", _stop_sql())
+    new = f"""phonmap(w, code) AS (SELECT * FROM (VALUES {_ph_map_values()}) v),
+base_emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({_stop_sql()})
+),
+emitted AS (
+  SELECT doc_id, term, pos FROM base_emitted
+  UNION ALL
+  SELECT b.doc_id, m.code AS term, b.pos
+  FROM base_emitted b JOIN phonmap m ON b.term = m.w
+),
+doclen AS (
+  SELECT d.doc_id, count(e.term)::BIGINT AS field_len
+  FROM srcdocs d LEFT JOIN base_emitted e USING (doc_id)
+  GROUP BY d.doc_id
+),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    out = base.replace(old, new)
+    # drop the original doclen CTE (we injected our own above)
+    old_doclen = """doclen AS (
+  SELECT d.doc_id, count(e.term)::BIGINT AS field_len
+  FROM srcdocs d LEFT JOIN emitted e USING (doc_id)
+  GROUP BY d.doc_id
+),"""
+    assert old_doclen in out, "doclen CTE shape changed"
+    return out.replace(old_doclen, "")
 
 
 def _prelude_lang_routed(doc_src: str = "documents") -> str:
