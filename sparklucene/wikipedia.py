@@ -1,0 +1,239 @@
+"""WikipediaTokenizer — port of Analysis/Wikipedia/WikipediaTokenizer.cs
+(+ the generated WikipediaTokenizerImpl scanner): wiki-markup-aware
+tokens typed il/category/eurl/elink/cite/b/i/bi/h/sh, three output modes
+(TOKENS_ONLY / UNTOKENIZED_ONLY / BOTH with the UNTOKENIZED_TOKEN_FLAG),
+and the scanner's quote-balance quirks (numBalanced, category exits drop
+the quote state, first external-link word shares the URL's position).
+Validated against WikipediaTokenizerTest.cs vectors."""
+from __future__ import annotations
+
+import re
+
+ALPHANUM = "<ALPHANUM>"
+APOSTROPHE = "<APOSTROPHE>"
+NUM = "<NUM>"
+INTERNAL_LINK = "il"
+EXTERNAL_LINK = "elink"
+EXTERNAL_LINK_URL = "eurl"
+CITATION = "cite"
+CATEGORY = "c"
+BOLD = "b"
+ITALICS = "i"
+BOLD_ITALICS = "bi"
+HEADING = "h"
+SUB_HEADING = "sh"
+
+TOKENS_ONLY = 0
+UNTOKENIZED_ONLY = 1
+BOTH = 2
+UNTOKENIZED_TOKEN_FLAG = 1
+
+_WORD_RE = re.compile(
+    r"[A-Za-z0-9À-῿Ⰰ-퟿][A-Za-z0-9À-῿"
+    r"Ⰰ-퟿]*(?:[.'][A-Za-z0-9À-῿Ⰰ-퟿]+)*")
+
+
+def _words(text: str, base: int):
+    """Plain word scan (ALPHANUM / NUM / APOSTROPHE), offsets absolute."""
+    out = []
+    for m in _WORD_RE.finditer(text):
+        tok = m.group()
+        # trim a trailing dot run ("period." -> period, "3.50." -> 3.50)
+        while tok.endswith("."):
+            tok = tok[:-1]
+        if not tok:
+            continue
+        if "'" in tok:
+            typ = APOSTROPHE
+        elif re.fullmatch(r"[\d.,]+", tok):
+            typ = NUM
+        else:
+            typ = ALPHANUM
+        out.append((tok, typ, base + m.start(), base + m.start() + len(tok)))
+    return out
+
+
+def _markup_words(text: str, typ: str, base: int):
+    """Words inside markup (links/categories/headings): underscores and
+    pipes separate."""
+    out = []
+    for m in re.finditer(r"[^\s_|\[\]{}<>=']+", text):
+        out.append((m.group(), typ, base + m.start(),
+                    base + m.start() + len(m.group())))
+    return out
+
+
+def wikipedia_tokenize(text: str, token_output: int = TOKENS_ONLY,
+                       untokenized_types=frozenset()):
+    """-> [(term, type, start, end, posInc, flags)]."""
+    units = []          # (type, [word tuples], span_start, span_end)
+    plain = []          # accumulated plain-context tokens (typed)
+    i = 0
+    n = len(text)
+    quote_state = None        # None | ITALICS | BOLD | BOLD_ITALICS
+    num_balanced = 0
+    heading_state = None      # None | HEADING | SUB_HEADING
+    cur_unit: list | None = None   # open quote/heading run [type, words]
+
+    def close_unit():
+        nonlocal cur_unit
+        if cur_unit is not None and cur_unit[1]:
+            typ, words = cur_unit
+            units.append((typ, words, words[0][2], words[-1][3], None))
+        cur_unit = None
+
+    def flush_word_run(seg_start, seg_end, typ):
+        nonlocal cur_unit
+        if seg_end <= seg_start:
+            return
+        for w in _words(text[seg_start:seg_end], seg_start):
+            tok, _t, s, e = w
+            if typ:
+                if cur_unit is None:
+                    cur_unit = [typ, []]
+                cur_unit[1].append((tok, typ, s, e))
+            else:
+                plain.append((tok, _t, s, e))
+
+    seg = i
+    while i < n:
+        ch = text[i]
+        if text.startswith("[[", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            end = text.find("]]", i + 2)
+            if end == -1:
+                end = n
+                inner = text[i + 2:end]
+            else:
+                inner = text[i + 2:end]
+            content = inner
+            typ = INTERNAL_LINK
+            m = re.match(r":?Category:", content)
+            if m:
+                typ = CATEGORY
+                content = content[m.end():]
+                cbase = i + 2 + m.end()
+            else:
+                cbase = i + 2
+            words = _markup_words(content, typ, cbase)
+            if words:
+                units.append((typ, words, words[0][2], words[-1][3], plain))
+            i = end + 2 if end < n else n
+            seg = i
+            quote_state = None          # category/link exits the quote state
+            close_unit()
+            continue
+        if ch == "[" and re.match(r"\[(https?|ftp|file)://", text[i:]):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close = text.find("]", i)
+            if close == -1:
+                close = n
+            murl = re.match(r"\[\s*(\S+)", text[i:close])
+            url = murl.group(1)
+            ustart = i + murl.start(1)
+            toks = [(url, EXTERNAL_LINK_URL, ustart, ustart + len(url))]
+            rest_start = ustart + len(url)
+            rest = _markup_words(text[rest_start:close], EXTERNAL_LINK,
+                                 rest_start)
+            toks.extend(rest)
+            units.append((EXTERNAL_LINK_URL, toks, ustart,
+                          toks[-1][3], plain))
+            i = close + 1 if close < n else n
+            seg = i
+            continue
+        if text.startswith("<ref>", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close = text.find("</ref>", i)
+            if close == -1:
+                close = n
+            words = _markup_words(text[i + 5:close], CITATION, i + 5)
+            if words:
+                units.append((CITATION, words, words[0][2], words[-1][3],
+                              plain))
+            i = close + 6 if close < n else n
+            seg = i
+            continue
+        if ch == "<":
+            flush_word_run(seg, i, quote_state or heading_state)
+            close = text.find(">", i)
+            i = close + 1 if close != -1 else n
+            seg = i
+            continue
+        if text.startswith("'''''", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close_unit()
+            quote_state = None if quote_state == BOLD_ITALICS \
+                else BOLD_ITALICS
+            i += 5
+            seg = i
+            continue
+        if text.startswith("'''", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close_unit()
+            quote_state = None if quote_state == BOLD else BOLD
+            i += 3
+            seg = i
+            continue
+        if text.startswith("''", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close_unit()
+            if quote_state == ITALICS or num_balanced != 0:
+                quote_state = None
+                num_balanced = 0
+            else:
+                quote_state = ITALICS
+                num_balanced = 1
+            i += 2
+            seg = i
+            continue
+        if text.startswith("===", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close_unit()
+            heading_state = None if heading_state else SUB_HEADING
+            i += 3
+            seg = i
+            continue
+        if text.startswith("==", i):
+            flush_word_run(seg, i, quote_state or heading_state)
+            close_unit()
+            heading_state = None if heading_state else HEADING
+            i += 2
+            seg = i
+            continue
+        i += 1
+    flush_word_run(seg, n, quote_state or heading_state)
+    close_unit()
+
+    # merge plain tokens and units into document order, then emit by mode
+    stream = []
+    for tok in plain:
+        stream.append(("tok", tok))
+    for u in units:
+        stream.append(("unit", u))
+    stream.sort(key=lambda kv: (kv[1][2] if kv[0] == "tok"
+                                else kv[1][1][0][2]))
+
+    out = []
+    for kind, item in stream:
+        if kind == "tok":
+            tok, typ, s, e = item
+            out.append((tok, typ, s, e, 1, 0))
+            continue
+        typ, words, span_s, span_e, _ = item
+        wiki_typ = words[0][1]
+        untok = wiki_typ in untokenized_types or typ in untokenized_types
+        emit_span = token_output in (UNTOKENIZED_ONLY, BOTH) and untok
+        emit_words = (token_output == TOKENS_ONLY
+                      or token_output == BOTH
+                      or (token_output == UNTOKENIZED_ONLY and not untok))
+        if emit_span:
+            out.append((text[span_s:span_e], wiki_typ, span_s, span_e, 1,
+                        UNTOKENIZED_TOKEN_FLAG))
+        if emit_words:
+            for k, (tok, wt, s, e) in enumerate(words):
+                if typ == EXTERNAL_LINK_URL and k == 1:
+                    pinc = 0            # first display word shares the
+                else:                   # URL position (Impl case 9)
+                    pinc = 0 if (emit_span and k == 0) else 1
+                out.append((tok, wt, s, e, pinc, 0))
+    return out

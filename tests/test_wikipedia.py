@@ -1,0 +1,144 @@
+"""WikipediaTokenizer vs the reference's WikipediaTokenizerTest.cs
+vectors: TestSimple, TestLinkPhrases, TestLinks, TestLucene1133
+(UNTOKENIZED_ONLY), TestBoth (spans + flags + posIncs), and the
+97-token TestHandwritten terms+types sweep."""
+from sparklucene.wikipedia import (
+    ALPHANUM,
+    APOSTROPHE,
+    BOLD,
+    BOLD_ITALICS,
+    BOTH,
+    CATEGORY,
+    CITATION,
+    EXTERNAL_LINK,
+    EXTERNAL_LINK_URL,
+    HEADING,
+    INTERNAL_LINK,
+    ITALICS,
+    NUM,
+    SUB_HEADING,
+    TOKENS_ONLY,
+    UNTOKENIZED_ONLY,
+    wikipedia_tokenize,
+)
+
+LINK_PHRASES = ("click [[link here again]] click "
+                "[http://lucene.apache.org here again] [[Category:a b c d]]")
+
+
+def test_simple():
+    got = wikipedia_tokenize("This is a [[Category:foo]]")
+    assert [g[:2] for g in got] == [
+        ("This", ALPHANUM), ("is", ALPHANUM), ("a", ALPHANUM),
+        ("foo", CATEGORY)]
+    assert [(g[2], g[3]) for g in got] == [(0, 4), (5, 7), (8, 9), (21, 24)]
+
+
+def test_link_phrases():
+    got = wikipedia_tokenize(LINK_PHRASES)
+    assert [g[0] for g in got] == [
+        "click", "link", "here", "again", "click",
+        "http://lucene.apache.org", "here", "again", "a", "b", "c", "d"]
+    assert [g[4] for g in got] == [1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1]
+    # TOKENS_ONLY ignores untokenized types entirely (TestLucene1133)
+    got2 = wikipedia_tokenize(LINK_PHRASES, TOKENS_ONLY,
+                              {CATEGORY, ITALICS})
+    assert got2 == got
+
+
+def test_links():
+    t = ("[http://lucene.apache.org/java/docs/index.html#news here] "
+         "[http://lucene.apache.org/java/docs/index.html?b=c here] "
+         "[https://lucene.apache.org/java/docs/index.html?b=c here]")
+    got = wikipedia_tokenize(t)
+    assert [g[1] for g in got] == [EXTERNAL_LINK_URL, EXTERNAL_LINK] * 3
+    assert got[0][0] == "http://lucene.apache.org/java/docs/index.html#news"
+
+
+T4 = ("[[Category:a b c d]] [[Category:e f g]] [[link here]] "
+      "[[link there]] ''italics here'' something ''more italics'' "
+      "[[Category:h   i   j]]")
+
+
+def test_untokenized_only():
+    got = wikipedia_tokenize(T4, UNTOKENIZED_ONLY, {CATEGORY, ITALICS})
+    assert [g[0] for g in got] == [
+        "a b c d", "e f g", "link", "here", "link", "there",
+        "italics here", "something", "more italics", "h   i   j"]
+    assert [(g[2], g[3]) for g in got] == [
+        (11, 18), (32, 37), (42, 46), (47, 51), (56, 60), (61, 66),
+        (71, 83), (86, 95), (98, 110), (124, 133)]
+    assert [g[4] for g in got] == [1] * 10
+
+
+def test_both():
+    got = wikipedia_tokenize(T4, BOTH, {CATEGORY, ITALICS})
+    assert [g[0] for g in got] == [
+        "a b c d", "a", "b", "c", "d", "e f g", "e", "f", "g", "link",
+        "here", "link", "there", "italics here", "italics", "here",
+        "something", "more italics", "more", "italics", "h   i   j",
+        "h", "i", "j"]
+    assert [g[4] for g in got] == [
+        1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1,
+        0, 1, 1]
+    assert [g[5] for g in got] == [
+        1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 1,
+        0, 0, 0]
+
+
+def test_handwritten():
+    test = (
+        "[[link]] This is a [[Category:foo]] Category  This is a linked "
+        "[[:Category:bar none withstanding]] Category This is (parens) "
+        "This is a [[link]]  This is an external URL "
+        "[http://lucene.apache.org] Here is ''italics'' and "
+        "''more italics'', '''bold''' and '''''five quotes''''' "
+        " This is a [[link|display info]]  This is a period.  Here is "
+        "$3.25 and here is 3.50.  Here's Johnny.  ==heading== "
+        "===sub head=== followed by some text  [[Category:blah| ]] "
+        "''[[Category:ital_cat]]''  here is some that is ''italics "
+        "[[Category:foo]] but is never closed.'''same [[Category:foo]] "
+        "goes for this '''''and2 [[Category:foo]] and this"
+        " [http://foo.boo.com/test/test/ Test Test] "
+        "[http://foo.boo.com/test/test/test.html Test Test] "
+        "[http://foo.boo.com/test/test/test.html?g=b&c=d Test Test] "
+        "<ref>Citation</ref> <sup>martian</sup> "
+        '<span class="glue">code</span>')
+    got = wikipedia_tokenize(test)
+    assert [g[0] for g in got] == [
+        "link", "This", "is", "a", "foo", "Category", "This", "is", "a",
+        "linked", "bar", "none", "withstanding", "Category", "This",
+        "is", "parens", "This", "is", "a", "link", "This", "is", "an",
+        "external", "URL", "http://lucene.apache.org", "Here", "is",
+        "italics", "and", "more", "italics", "bold", "and", "five",
+        "quotes", "This", "is", "a", "link", "display", "info", "This",
+        "is", "a", "period", "Here", "is", "3.25", "and", "here", "is",
+        "3.50", "Here's", "Johnny", "heading", "sub", "head", "followed",
+        "by", "some", "text", "blah", "ital", "cat", "here", "is",
+        "some", "that", "is", "italics", "foo", "but", "is", "never",
+        "closed", "same", "foo", "goes", "for", "this", "and2", "foo",
+        "and", "this", "http://foo.boo.com/test/test/", "Test", "Test",
+        "http://foo.boo.com/test/test/test.html", "Test", "Test",
+        "http://foo.boo.com/test/test/test.html?g=b&c=d", "Test", "Test",
+        "Citation", "martian", "code"]
+    types = [g[1] for g in got]
+    # spot-check every wiki type appears where expected
+    assert types[0] == INTERNAL_LINK
+    assert types[4] == CATEGORY
+    assert types[10:13] == [CATEGORY] * 3
+    assert types[26] == EXTERNAL_LINK_URL
+    assert types[29] == ITALICS and types[31:33] == [ITALICS] * 2
+    assert types[33] == BOLD
+    assert types[35:37] == [BOLD_ITALICS] * 2
+    assert types[40:43] == [INTERNAL_LINK] * 3
+    assert types[49] == NUM and types[53] == NUM
+    assert types[54] == APOSTROPHE
+    assert types[56] == HEADING and types[57:59] == [SUB_HEADING] * 2
+    assert types[63:65] == [CATEGORY] * 2      # ital_cat splits
+    assert types[70] == ITALICS and types[71] == CATEGORY
+    assert types[72] == ALPHANUM               # italics dropped after link
+    assert types[77] == BOLD and types[82] == BOLD_ITALICS
+    assert types[86] == EXTERNAL_LINK_URL
+    assert types[87:89] == [EXTERNAL_LINK] * 2
+    assert types[95] == CITATION
+    assert types[96] == ALPHANUM and types[97 - 1] == ALPHANUM
