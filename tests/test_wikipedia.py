@@ -135,10 +135,11 @@ def test_handwritten():
     assert types[54] == APOSTROPHE
     assert types[56] == HEADING and types[57:59] == [SUB_HEADING] * 2
     assert types[63:65] == [CATEGORY] * 2      # ital_cat splits
-    assert types[70] == ITALICS and types[71] == CATEGORY
-    assert types[72] == ALPHANUM               # italics dropped after link
-    assert types[77] == BOLD and types[82] == BOLD_ITALICS
+    assert types[71] == ITALICS and types[72] == CATEGORY
+    assert types[73] == ALPHANUM               # italics dropped after link
+    assert types[77] == BOLD and types[78] == CATEGORY
+    assert types[82] == BOLD_ITALICS and types[83] == CATEGORY
     assert types[86] == EXTERNAL_LINK_URL
     assert types[87:89] == [EXTERNAL_LINK] * 2
     assert types[95] == CITATION
-    assert types[96] == ALPHANUM and types[97 - 1] == ALPHANUM
+    assert types[96] == ALPHANUM and types[97] == ALPHANUM
