@@ -503,3 +503,124 @@ def double_metaphone_filter(tokens, max_code_length: int = 4,
                 for c in codes[1:]:
                     out.append((c, 0))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Daitch-Mokotoff Soundex (Language/DaitchMokotoffSoundex.cs + dmrules.txt)
+# ---------------------------------------------------------------------------
+
+_DM_MAX_LENGTH = 6
+_DM_RULES: dict | None = None
+_DM_FOLDINGS: dict | None = None
+
+_DM_RULES_TEXT_PATH = ("/root/reference/src/Lucene.Net.Analysis.Phonetic/"
+                       "Language/dmrules.txt")
+
+
+def _dm_load(rules_text: str | None = None):
+    """Parse the dmrules.txt grammar (rule lines: "pattern" "atStart"
+    "beforeVowel" "default"; folding lines: ch=ch) — the same resource the
+    reference embeds."""
+    global _DM_RULES, _DM_FOLDINGS
+    if rules_text is None:
+        rules_text = open(_DM_RULES_TEXT_PATH, encoding="utf-8").read()
+    rules: dict[str, list] = {}
+    folds: dict[str, str] = {}
+    in_comment = False
+    for line in rules_text.splitlines():
+        line = line.strip()
+        if in_comment:
+            if line.endswith("*/"):
+                in_comment = False
+            continue
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("/*"):
+            if not line.endswith("*/"):
+                in_comment = True
+            continue
+        if "=" in line and '"' not in line:
+            frm, to = line.split("=", 1)
+            folds[frm.strip()] = to.strip()
+            continue
+        parts = re.findall(r'"([^"]*)"', line)
+        if len(parts) == 4:
+            pat, at_start, before_vowel, default = parts
+            rules.setdefault(pat[0], []).append(
+                (pat, at_start.split("|"), before_vowel.split("|"),
+                 default.split("|")))
+    for lst in rules.values():
+        lst.sort(key=lambda r: -len(r[0]))       # longest pattern first
+    _DM_RULES, _DM_FOLDINGS = rules, folds
+
+
+def daitch_mokotoff_soundex(source: str, branching: bool = True,
+                            folding: bool = True) -> str:
+    """DaitchMokotoffSoundex.GetSoundex (:296-383): 6-digit codes; with
+    branching, all alternate codes joined by '|'; Encode == the
+    non-branching single code."""
+    if _DM_RULES is None:
+        _dm_load()
+    inp = "".join(_DM_FOLDINGS.get(c, c) if folding else c
+                  for c in source.lower() if not c.isspace())
+    branches = [("", None)]      # (code, last_replacement)
+    last_char = ""
+    i = 0
+    n = len(inp)
+    while i < n:
+        ch = inp[i]
+        rules = _DM_RULES.get(ch)
+        if rules is None:
+            i += 1
+            last_char = ch
+            continue
+        context = inp[i:]
+        consumed = 1
+        for pat, at_start, before_vowel, default in rules:
+            if not context.startswith(pat):
+                continue
+            if last_char == "":
+                repls = at_start
+            else:
+                nxt = i + len(pat)
+                if nxt < n and inp[nxt] in "aeiou":
+                    repls = before_vowel
+                else:
+                    repls = default
+            force = ((last_char == "m" and ch == "n")
+                     or (last_char == "n" and ch == "m"))
+            nxt_branches = []
+            branch_req = len(repls) > 1 and branching
+            for code, last_rep in branches:
+                for rep in repls:
+                    append = (last_rep is None
+                              or not last_rep.endswith(rep) or force)
+                    ncode = code
+                    if append and len(ncode) < _DM_MAX_LENGTH:
+                        ncode = (ncode + rep)[:_DM_MAX_LENGTH]
+                    nb = (ncode, rep)
+                    if nb not in nxt_branches:
+                        nxt_branches.append(nb)
+                    if not branch_req and not branching:
+                        break
+                    if not branch_req:
+                        break
+            branches = nxt_branches
+            consumed = len(pat)
+            break
+        i += consumed
+        last_char = ch
+    codes = []
+    for code, _ in branches:
+        full = (code + "0" * _DM_MAX_LENGTH)[:_DM_MAX_LENGTH]
+        if full not in codes:
+            codes.append(full)
+    return "|".join(codes)
+
+
+def dm_soundex_encode(source: str, folding: bool = True) -> str:
+    """DaitchMokotoffSoundex.Encode: the single (non-branching) code."""
+    return daitch_mokotoff_soundex(source, branching=False, folding=folding)
+
+
+ENCODERS["dm_soundex"] = dm_soundex_encode

@@ -183,3 +183,32 @@ def test_phonetic_filters_and_analyzer():
     terms, positions = an("Kuczewski")
     assert terms == ["kuczewski", "KSSK", "KXFS"]
     assert positions == [0, 0, 0]
+
+
+def test_daitch_mokotoff_vectors():
+    """DaitchMokotoffSoundex (DaitchMokotoffSoundexTest.cs): folding,
+    branching codes joined by '|', and the non-branching Encode."""
+    import os
+
+    import pytest
+
+    from sparklucene.phonetic import (
+        daitch_mokotoff_soundex as dm,
+        dm_soundex_encode as enc,
+    )
+
+    if not os.path.exists(
+            "/root/reference/src/Lucene.Net.Analysis.Phonetic/Language/"
+            "dmrules.txt"):
+        pytest.skip("dmrules.txt unavailable")
+    assert dm("Straßburg") == "294795"
+    assert dm("Strasburg") == "294795"
+    assert dm("Éregon") == "095600"
+    assert dm("Eregon") == "095600"
+    assert dm("AKSSOL") == "054800"
+    assert dm("GERSCHFELD") == "547830|545783|594783|594578"
+    for inp, want in [("AUERBACH", "097400"), ("OHRBACH", "097400"),
+                      ("LIPSHITZ", "874400"), ("LIPPSZYC", "874400"),
+                      ("LEWINSKY", "876450"), ("LEVINSKI", "876450"),
+                      ("SZLAMAWICZ", "486740"), ("SHLAMOVITZ", "486740")]:
+        assert enc(inp) == want, (inp, enc(inp), want)
