@@ -103,3 +103,26 @@ def test_analyzer_chain():
                         flags=GENERATE_WORD_PARTS | CATENATE_WORDS
                         | SPLIT_ON_CASE_CHANGE)
     assert an2("wi-fi") == (["wi", "wifi", "fi"], [0, 0, 1])
+
+
+def test_wdf_random_flags_invariants():
+    """Random flag combinations over random mixed tokens: never crashes,
+    posIncs are non-negative, and injected (posInc 0) tokens only appear
+    after an emitted token."""
+    import random
+
+    alphabet = "aB9-_'/ .xYZ07ß"
+    rng = random.Random(1234)
+    for _ in range(300):
+        flags = rng.randrange(0, 512)
+        toks = []
+        for _ in range(rng.randint(1, 6)):
+            t = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 12))).strip()
+            if t:
+                toks.append((t, rng.choice([1, 1, 1, 2])))
+        out = word_delimiter_tokens(toks, flags, frozenset())
+        assert all(p >= 0 for _, p in out)
+        assert all(isinstance(t, str) and t for t, _ in out)
+        if out:
+            assert out[0][1] >= 1      # first emitted token advances
