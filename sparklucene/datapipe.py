@@ -537,6 +537,30 @@ def _hyperplanes(dim: int, tables: int, planes: int, seed: int = 7) -> np.ndarra
     return rng.standard_normal((tables, planes, dim))
 
 
+def _rademacher_planes(dim: int, tables: int, planes: int) -> np.ndarray:
+    """+/-1 sign planes from md5("t:p:i") parity -- a valid sign-random-
+    projection LSH family (Achlioptas-style sparse/sign projections) whose
+    every value a SQL oracle reproduces with the same md5->int64 arithmetic
+    as hash60: parity of ('0x'||substring(md5(s),1,15))::BIGINT."""
+    import hashlib
+
+    h = np.empty((tables, planes, dim), dtype=np.int64)
+    for t in range(tables):
+        for p in range(planes):
+            for i in range(dim):
+                v = int(hashlib.md5(f"{t}:{p}:{i}".encode()).hexdigest()[:15], 16)
+                h[t, p, i] = 1 if v % 2 == 0 else -1
+    return h
+
+
+# fixed-point scale for LSH bucket bits: projections are computed on
+# floor(x * 1e6) int64 components so the sign of every bucket bit is exact
+# integer arithmetic -- order-independent and bit-identical between numpy
+# (any GEMM order) and a SQL GROUP BY sum, immune to float summation-order
+# flips on near-zero projections
+LSH_FIXED_SCALE = 1_000_000
+
+
 def cosine_topk_lsh(
     spark: SparkSession, emb: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -636,12 +660,14 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs -> (id_a, id_b, cos), a < b,
     cos >= threshold.
 
-    method='exact': CHUNKED broadcast GEMM -- the table is swept in
-    `chunk_rows`-sized id-ordered chunks; each pass broadcasts ONE chunk
-    (never the whole table) and every partition GEMMs its Arrow batches
-    against it, emitting pairs (batch_row < chunk_row).  Driver/executor
-    memory is bounded by one chunk regardless of table size; total work is
-    the unavoidable N^2/2 dot products, spread over ceil(N/chunk) passes.
+    method='exact': distributed BLOCK-PAIR GEMM -- rows are hash-assigned
+    to ceil(N/chunk_rows) chunks, every unordered chunk-pair (ci <= cj)
+    becomes one applyInPandas group holding both chunks' rows, and the
+    group GEMMs them (within-chunk for the diagonal).  Every unordered
+    row-pair lands in exactly one group.  One shuffle of N*n_chunks rows
+    (the unavoidable N^2/chunk data movement of exact all-pairs), group
+    memory bounded by two chunks, and NOTHING moves through the driver --
+    the classic block-matrix self-join, fully executor-side.
     method='lsh': random-hyperplane sign buckets (candidates = pairs
     sharing a bucket in ANY table) + exact cosine verify; approximate --
     recall is measured in tests.  At 100 TB 'lsh' is the default choice;
@@ -661,58 +687,52 @@ def embedding_neardup_pairs(
         src = emb.select(id_col, vec_col)
         n_total = src.count()
         n_chunks = max(1, -(-n_total // chunk_rows))
-        # chunk boundaries by id RANGE (approx quantiles of the id column:
-        # no global sort, and each chunk read is a pushed-down range filter)
-        if n_chunks == 1:
-            cuts: list[float] = []
-        else:
-            cuts = src.stat.approxQuantile(
-                id_col, [i / n_chunks for i in range(1, n_chunks)], 0.01
+        chunked = src.withColumn(
+            "cid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int")
+        )
+        # chunk-pair metadata is O(n_chunks^2) ints -- driver-held plan
+        # data, not table rows
+        pair_rows = [
+            (pi, ci, cj)
+            for pi, (ci, cj) in enumerate(
+                (ci, cj) for ci in range(n_chunks) for cj in range(ci, n_chunks)
             )
-        edges = [None] + [int(c) for c in cuts] + [None]
-        parts = []
-        for ci in range(len(edges) - 1):
-            lo, hi = edges[ci], edges[ci + 1]
-            cond = F.lit(True)
-            if lo is not None:
-                cond = F.col(id_col) >= lo
-            if hi is not None:
-                cond = cond & (F.col(id_col) < hi)
-            chunk = src.filter(cond).collect()
-            if not chunk:
-                continue
-            c_ids = np.asarray([r[id_col] for r in chunk], dtype=np.int64)
-            c_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in chunk])
-            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            c_nrm[c_nrm == 0] = 1.0
-            b_ids = spark.sparkContext.broadcast(c_ids)
-            b_mat = spark.sparkContext.broadcast(c_mat / c_nrm[:, None])
+        ]
+        meta = spark.createDataFrame(pair_rows, "pi int, ci int, cj int")
+        left = chunked.join(
+            F.broadcast(meta.select("pi", F.col("ci").alias("cid"))), "cid"
+        ).withColumn("side", F.lit(0))
+        right = chunked.join(
+            F.broadcast(
+                meta.filter(F.col("ci") != F.col("cj"))
+                .select("pi", F.col("cj").alias("cid"))
+            ),
+            "cid",
+        ).withColumn("side", F.lit(1))
+        both = left.unionByName(right)
 
-            def pairs(pdf_iter, b_ids=b_ids, b_mat=b_mat):
-                ids_c, m_c = b_ids.value, b_mat.value
-                for pdf in pdf_iter:
-                    if len(pdf) == 0:
-                        continue
-                    ids = pdf[id_col].to_numpy(np.int64)
-                    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                    n = np.sqrt((m * m).sum(axis=1))
-                    n[n == 0] = 1.0
-                    cos = (m / n[:, None]) @ m_c.T  # (batch, chunk)
-                    ii, jj = np.nonzero(
-                        (cos >= threshold) & (ids[:, None] < ids_c[None, :])
-                    )
-                    if len(ii) == 0:
-                        continue
-                    yield pd.DataFrame(
-                        {"id_a": ids[ii], "id_b": ids_c[jj], "cos": cos[ii, jj]}
-                    )
+        def pair_group(key, pdf):
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            m = m / n[:, None]
+            side = pdf["side"].to_numpy()
+            if (side == 1).any():  # off-diagonal: L x R, ids disjoint
+                li, ri = side == 0, side == 1
+                cos = m[li] @ m[ri].T
+                ii, jj = np.nonzero(cos >= threshold)
+                a, b, c = ids[li][ii], ids[ri][jj], cos[ii, jj]
+            else:  # diagonal: upper triangle within one chunk
+                cos = m @ m.T
+                ii, jj = np.nonzero(cos >= threshold)
+                keep = ii < jj
+                a, b, c = ids[ii[keep]], ids[jj[keep]], cos[ii[keep], jj[keep]]
+            return pd.DataFrame(
+                {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cos": c}
+            )
 
-            parts.append(src.mapInPandas(pairs, schema=out_schema))
-        if not parts:
-            return spark.createDataFrame([], out_schema)
-        out = parts[0]
-        for p_df in parts[1:]:
-            out = out.unionByName(p_df)
+        out = both.groupBy("pi").applyInPandas(pair_group, schema=out_schema)
         return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
     if method != "lsh":

@@ -592,6 +592,31 @@ def span_tree_terms(q: dict) -> list[str]:
     return out
 
 
+def span_required_groups(q: dict) -> list[list[str]]:
+    """Term groups such that EVERY doc matching the span tree contains at
+    least one term of each group -- the candidate-restriction contract for
+    positional leapfrog pruning (IndexSearcher._positional_postings).
+    span_near requires all clauses (one group per clause subtree via
+    recursion); span_or requires only one of its subtree's terms (one
+    merged group); span_not requires its include side only; position
+    filters (first/range) pass through to their child."""
+    t = q["type"]
+    if t == "span_term":
+        return [[q["term"]]]
+    if t == "span_near":
+        out: list[list[str]] = []
+        for c in span_clauses(q):
+            out.extend(span_required_groups(_as_span_query(c)))
+        return out
+    if t == "span_or":
+        return [span_tree_terms(q)]
+    if t in ("span_first", "span_range"):
+        return span_required_groups(_as_span_query(q.get("clause") or q["term"]))
+    if t == "span_not":
+        return span_required_groups(_as_span_query(q["include"]))
+    raise ValueError(t)
+
+
 def span_tree_possible(q: dict, present: set) -> bool:
     """Whether the tree can match ANY doc given the set of index-present
     terms (a missing required term -> provably empty, the null-scorer

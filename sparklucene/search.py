@@ -242,23 +242,28 @@ class IndexSearcher:
     def _scored_postings(
         self, weights: dict[str, float], mode: str, with_positions: bool = False,
         score_fns: dict | None = None, with_payloads: bool = False,
+        blocks: DataFrame | None = None,
     ) -> DataFrame:
         """Decode+score postings of the given terms in one Arrow pass.
         weights: term -> weightValue = boost*idf*(k1+1) (precomputed in mode
         arithmetic).  With score_fns (term -> callable(tf_arr, norm_byte_arr)
         -> scores), the callable replaces the BM25 expression -- the hook for
         pluggable similarities (sparklucene.similarities).
+        blocks: optional pre-filtered/pruned posting-block DataFrame (same
+        schema as the postings read) -- the positional-leapfrog hook that
+        lets callers skip hot-term blocks before any blob is decoded.
         Output: (term, docID, tf, score[, positions])."""
         stats_map = self.lookup_terms(list(weights))
         if not stats_map:
             return self._empty_scored(mode, with_positions, with_payloads)
-        buckets = sorted({s.bucket for s in stats_map.values()})
-        terms = sorted(stats_map)
-        blocks = (
-            self._union_read("postings")
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(terms))
-        )
+        if blocks is None:
+            buckets = sorted({s.bucket for s in stats_map.values()})
+            terms = sorted(stats_map)
+            blocks = (
+                self._union_read("postings")
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(terms))
+            )
         cache = _norm_cache(self.avgdl_f32, mode)
         wv = {t: (np.float32(w) if mode == "f32" else np.float64(w)) for t, w in weights.items()}
         score_t = T.FloatType() if mode == "f32" else T.DoubleType()
@@ -1227,6 +1232,76 @@ class IndexSearcher:
             score = opt_expr
         return True, piv.select("docID", score.alias("score"))
 
+    # positional leapfrog: same skew gate as _eval_and_leapfrog; tests set
+    # skew_factor to 1 (always prune) or a huge value (never) for the
+    # pruned-vs-unpruned differential
+    leapfrog_skew_factor = 4
+    leapfrog_max_lead_df = 200_000
+
+    def _positional_postings(
+        self, terms: list[str], mode: str,
+        groups: list[list[str]] | None = None, with_payloads: bool = False,
+    ) -> DataFrame:
+        """Positional postings of `terms`, block-pruned by the RAREST
+        required group's docID ranges -- the ExactPhraseScorer cost-ordering
+        (src/Lucene.Net/Search/PhraseQuery.cs cost-sorted PostingsAndFreq,
+        ExactPhraseScorer.cs:50-80 rarest-enum lead) made physical: the
+        rare group's docIDs coalesce into stride intervals that are
+        broadcast against the other terms' block skip metadata, so a hot
+        term ("import" in a code corpus) decodes only blocks overlapping
+        the rare clause's docID ranges instead of its full posting list.
+
+        groups: term groups such that every matching doc must contain >=1
+        term of each group (phrase: one group per distinct term;
+        multi-phrase: one per slot; spans: span_required_groups).  Pruning
+        is rank-identical: a matching doc holds a lead-group term, so its
+        docID lies inside a lead stride interval and every block containing
+        it overlaps that interval -- only never-matching docs are dropped,
+        and the downstream per-doc kernels re-check full match anyway.
+        Falls back to the plain full decode when the skew gate says pruning
+        can't pay for its extra broadcast job."""
+        uniq = list(dict.fromkeys(terms))
+        stats = self.lookup_terms(uniq)
+        present = [t for t in uniq if t in stats]
+
+        def full():
+            return self._scored_postings(
+                {t: 1.0 for t in present}, mode,
+                with_positions=True, with_payloads=with_payloads,
+            )
+
+        if groups is None:
+            groups = [[t] for t in present]
+        groups = [[t for t in g if t in stats] for g in groups]
+        groups = [g for g in groups if g]
+        if len(groups) < 2:
+            return full()
+        gdf = [sum(stats[t].df for t in g) for g in groups]
+        lead_i = min(range(len(groups)), key=gdf.__getitem__)
+        lead_terms = sorted(set(groups[lead_i]))
+        others = sorted(t for t in present if t not in set(lead_terms))
+        if not others:
+            return full()
+        if (gdf[lead_i] > self.leapfrog_max_lead_df
+                or max(gdf) < self.leapfrog_skew_factor * gdf[lead_i]):
+            return full()
+        lead_posts = self._scored_postings(
+            {t: 1.0 for t in lead_terms}, mode,
+            with_positions=True, with_payloads=with_payloads,
+        )
+        iv = self._stride_intervals(lead_posts.select("docID"))
+        other_blocks = (
+            self._union_read("postings")
+            .filter(F.col("bucket").isin(sorted({stats[t].bucket for t in others})))
+            .filter(F.col("term").isin(others))
+        )
+        rest = self._scored_postings(
+            {t: 1.0 for t in others}, mode,
+            with_positions=True, with_payloads=with_payloads,
+            blocks=self._prune_blocks_to_intervals(other_blocks, iv),
+        )
+        return lead_posts.unionByName(rest)
+
     def _eval_phrase(self, terms: list[str], boost: float, mode: str,
                      slop: int = 0) -> DataFrame | None:
         sts = self.lookup_terms(terms)
@@ -1242,8 +1317,7 @@ class IndexSearcher:
             idf = sum(_idf(sts[t].df, self.max_doc, "f64") for t in terms)
             wv = idf * boost * (K1 + 1.0)
         uniq = list(dict.fromkeys(terms))
-        dummy_w = {t: 1.0 for t in uniq}
-        posts = self._scored_postings(dummy_w, mode, with_positions=True)
+        posts = self._positional_postings(uniq, mode)
         # keep norm info via tf + positions; recover norm byte from docs table?
         # norm is needed for the final score: carry norm_byte through instead.
         offsets = {}
@@ -1350,7 +1424,7 @@ class IndexSearcher:
             )
             wv = idf * boost * (K1 + 1.0)
         uniq = list(dict.fromkeys(t for slot in kept_slots for t in slot))
-        posts = self._scored_postings({t: 1.0 for t in uniq}, mode, with_positions=True)
+        posts = self._positional_postings(uniq, mode, groups=kept_slots)
         slot_of = [list(dict.fromkeys(slot)) for slot in kept_slots]
         # repeats grouping: connected components of slots sharing any term
         n_slots = len(slot_of)
@@ -1828,6 +1902,7 @@ class IndexSearcher:
         from .positional import (
             eval_span_tree,
             span_freq_f32,
+            span_required_groups,
             span_tree_possible,
             span_tree_terms,
         )
@@ -1850,7 +1925,12 @@ class IndexSearcher:
             wv = idf * boost * (K1 + 1.0)
 
         present = sorted(sts)
-        posts = self._scored_postings({x: 1.0 for x in present}, mode, with_positions=True)
+        # exclude-side terms (span_not) are pruned too: any doc whose
+        # include spans survive holds a lead-group term, so its exclude
+        # blocks overlap a lead interval and are retained
+        posts = self._positional_postings(
+            present, mode, groups=span_required_groups(q)
+        )
         cache = _norm_cache(self.avgdl_f32, mode)
         ftype = T.FloatType() if mode == "f32" else T.DoubleType()
         out_schema = T.StructType(
@@ -2135,9 +2215,7 @@ class IndexSearcher:
             wv = float(np.float32(idf * np.float32(K1 + 1.0)))
         else:
             wv = sum(_idf(sts[x].df, self.max_doc, "f64") for x in terms) * (K1 + 1.0)
-        posts = self._scored_postings(
-            {x: 1.0 for x in uniq}, mode, with_positions=True, with_payloads=True
-        )
+        posts = self._positional_postings(uniq, mode, with_payloads=True)
         grouped = (
             posts.groupBy("docID")
             .agg(

@@ -1,0 +1,99 @@
+"""Positional leapfrog differential tests: phrase / multi-phrase / span
+queries with rare-term block pruning must be rank-AND-score identical to
+the unpruned full decode (the pruning mirrors ExactPhraseScorer's
+rarest-enum lead, src/Lucene.Net/Search/ExactPhraseScorer.cs:50-80, but as
+a broadcast block-skip -- a pure optimization that must not change
+results)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+def f32_hex(x) -> str:
+    return np.float32(x).tobytes().hex()
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lfidx"))
+    corpus = make_corpus(400, seed=23)
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4,
+                    salt_threshold=60, salt_parts=4),
+    )
+    return IndexSearcher(spark, out)
+
+
+QUERIES = [
+    {"type": "phrase", "terms": ["compute", "score"]},
+    {"type": "phrase", "terms": ["w1", "w2"]},  # w1/w2 rare (4 docs)
+    {"type": "phrase", "terms": ["compute", "score"], "slop": 2},
+    {"type": "phrase", "terms": ["compute", "score", "compute"], "slop": 3},  # repeats
+    {"type": "multi_phrase", "slots": [["compute", "merge"], ["w1", "score"]]},
+    {"type": "multi_phrase", "slots": [["compute", "merge"], ["score"]], "slop": 2},
+    {"type": "span_near", "terms": ["compute", "score"], "slop": 4, "in_order": True},
+    {"type": "span_near", "terms": ["compute", "score"], "slop": 3, "in_order": False},
+    {
+        "type": "span_near",
+        "clauses": [
+            {"type": "span_or", "terms": ["alpha", "beta7"]},
+            {"type": "span_term", "term": "compute"},
+        ],
+        "slop": 20, "in_order": False,
+    },
+    {
+        "type": "span_not",
+        "include": {"type": "span_near", "terms": ["w1", "w3"], "slop": 10,
+                    "in_order": True},
+        "exclude": {"type": "span_term", "term": "xx"},
+    },
+]
+
+
+def _run(searcher, q, k=400, mode="f32"):
+    rows = searcher.search(q, k, mode=mode).collect()
+    return [(r["docID"], f32_hex(r["score"])) for r in rows]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+@pytest.mark.parametrize("mode", ["f32", "f64"])
+def test_pruned_equals_unpruned(searcher, qi, mode):
+    q = QUERIES[qi]
+    searcher.leapfrog_skew_factor = 10**9  # never prune
+    want = _run(searcher, q, mode=mode)
+    searcher.leapfrog_skew_factor = 1  # always prune (when >=2 groups)
+    try:
+        got = _run(searcher, q, mode=mode)
+    finally:
+        searcher.leapfrog_skew_factor = IndexSearcher.leapfrog_skew_factor
+    assert got == want
+    assert want, f"query {qi} matched nothing -- differential is vacuous"
+
+
+def test_required_groups_shapes():
+    from sparklucene.positional import span_required_groups
+
+    q = {
+        "type": "span_near",
+        "clauses": [
+            {"type": "span_or", "terms": ["a", "b"]},
+            {"type": "span_term", "term": "c"},
+        ],
+        "slop": 1,
+    }
+    assert span_required_groups(q) == [["a", "b"], ["c"]]
+    q2 = {"type": "span_not",
+          "include": {"type": "span_term", "term": "a"},
+          "exclude": {"type": "span_term", "term": "b"}}
+    assert span_required_groups(q2) == [["a"]]  # exclude side not required
+    q3 = {"type": "span_first", "clause": {"type": "span_term", "term": "a"},
+          "end": 3}
+    assert span_required_groups(q3) == [["a"]]
