@@ -489,6 +489,22 @@ def _q_dfr_dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dfr_ifl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR IF-L2 single term (inverse-term-frequency basic model)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("hash"), 15, similarity="dfr_ifl2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_dfr_inel2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR Ine-L2 single term (expected-document-count basic model)."""
+    s = _searcher(spark, sf_dir)
+    return s.search_sim(_t("window"), 15, similarity="dfr_inel2", mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_dfr_inlh3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFR In-L-H3 single term (Dirichlet-prior H3 normalization, mu=800)."""
     s = _searcher(spark, sf_dir)
@@ -640,6 +656,23 @@ def _q_analyzing_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sug.lookup("merges", 5)
 
 
+def _q_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester (ngram LM + stupid backoff, ALPHA=0.4): key
+    'merge s' probes the bigram model for 'merge s*' completions scored
+    count(bigram)/count('merge'), then backs off to 0.4-damped unigram
+    's*' completions whose last token a bigram didn't already suggest.
+    Reference TestFreeTextSuggester.TestBasic semantics are pinned
+    bit-for-bit in tests/test_suggest.py."""
+    from sparklucene.suggest import FreeTextSuggester
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sug = FreeTextSuggester(docs, grams=2)
+    res = sug.lookup("merge s", 10)
+    return spark.createDataFrame(
+        [(k, round(s, 4)) for k, s in res], "key string, score double"
+    )
+
+
 def _q_infix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AnalyzingInfixSuggester: suggestions = each doc's first-4-token
     snippet weighted by n_chars; lookup 'merge sp' = exact term 'merge'
@@ -736,6 +769,21 @@ def _q_multi_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     unions through the SloppyPhraseScorer kernel."""
     s = _searcher(spark, sf_dir)
     q = {"type": "multi_phrase", "slots": [["table", "merge"], ["hash"]], "slop": 2}
+    return _topk_df(s, q, 15)
+
+
+def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser: multi-terms and boolean groups INSIDE a
+    quoted phrase (src/Lucene.Net.QueryParser/ComplexPhrase/
+    ComplexPhraseQueryParser.cs) -- '"(tab* OR merg*) hash"~3' parses to
+    span_near(span_or(span_multi(tab*), span_multi(merg*)), hash), the
+    prefixes expand against the term dictionary at search time, and the
+    span_or union feeds the ordered-near kernel.  Full reference-parity
+    matrix (TestComplexPhraseQuery.cs) in tests/test_parser.py."""
+    from sparklucene.parser import parse_complex
+
+    s = _searcher(spark, sf_dir)
+    q = parse_complex('"(tab* OR merg*) hash"~3')
     return _topk_df(s, q, 15)
 
 
@@ -1104,7 +1152,10 @@ def _q_ann_brute(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # approximate (recall measured vs brute in tests) -> rows-only gate check
+    """LSH ANN top-k.  VALUE-CHECKED: the md5-Rademacher fixed-point sign
+    family makes every bucket bit exact integer arithmetic, so the DuckDB
+    twin reproduces the approximate result itself (candidates AND rerank)
+    bit-for-bit; recall vs brute is additionally measured in tests."""
     return dp.cosine_topk_lsh(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
@@ -1119,9 +1170,13 @@ def _q_emb_neardup(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    # approximate (recall measured vs brute in tests) -> rows-only gate check
+    """IVF ANN top-k.  VALUE-CHECKED at gate parameters: nprobe=8/nlist=16
+    still prunes half the lists (254/499 candidates at sf0.01) but
+    deterministically achieves full recall on this table (k-means is
+    seeded, data is fixed), so the exact brute-force SQL IS the expected
+    output.  Recall-vs-nprobe curves incl. lossy settings stay in tests."""
     return dp.cosine_topk_ivf(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir),
-                              k=10, nlist=16, nprobe=4, exclude_ids=(0,))
+                              k=10, nlist=16, nprobe=8, exclude_ids=(0,))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1170,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["spatial_circle"] = _q_spatial_circle
     out["spatial_knn"] = _q_spatial_knn
     out["dfr_pl2"] = _q_dfr_pl2
+    out["dfr_ifl2"] = _q_dfr_ifl2
+    out["dfr_inel2"] = _q_dfr_inel2
     out["dfr_dl2"] = _q_dfr_dl2
     out["dfr_inlh3"] = _q_dfr_inlh3
     out["ib_spl_z"] = _q_ib_spl_z
@@ -1181,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["knn_classify"] = _q_knn_classify
     out["span_near"] = _q_span_near
     out["span_nested"] = _q_span_nested
+    out["complex_phrase"] = _q_complex_phrase
     out["multi_phrase_slop"] = _q_multi_phrase_slop
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
@@ -1203,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suggest_prefix"] = _q_suggest_prefix
     out["analyzing_suggest"] = _q_analyzing_suggest
     out["infix_suggest"] = _q_infix_suggest
+    out["freetext_suggest"] = _q_freetext_suggest
     out["spell_check"] = _q_spell_check
     out["spell_damerau"] = _q_spell_damerau
     out["custom_score"] = _q_custom_score
@@ -1239,7 +1298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fp", "simhash_pairs", "dedup_minhash", "word_delim",
         "sweet_term", "high_freq", "phonetic_term",
     ]
-    ordered = {k: out[k] for k in first + round3 if k in out}
+    # ...then the gates NEW or oracle-CHANGED in round 4 (ComplexPhrase
+    # parser, FreeText suggester, DFR IF/Ine, the now-value-checked ANN
+    # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
+    round4 = [
+        "complex_phrase", "freetext_suggest", "dfr_ifl2", "dfr_inel2",
+        "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup", "phrase",
+        "sloppy_phrase", "span_near", "multi_phrase",
+    ]
+    ordered = {k: out[k] for k in round4 + first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
     return ordered
 
@@ -1814,6 +1881,37 @@ WHERE dist <= 3000.0 ORDER BY doc_id"""
 d AS (SELECT doc_id, {_hav.format(lat=48.8, lon=2.3)} AS dist FROM pts)
 SELECT doc_id, round(dist, 4) AS dist_km FROM d
 ORDER BY dist ASC, doc_id LIMIT 10"""
+    sqls["dfr_ifl2"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         t.ttf AS f, s.max_doc AS n_docs
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'hash'
+),
+raw AS (
+  SELECT doc_id,
+         tfn * (ln(1.0 + (n_docs + 1.0) / (f + 0.5)) / ln(2.0)) / (tfn + 1.0) AS r
+  FROM d
+)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 15"""
+    sqls["dfr_inel2"] = f"""{_prelude()},
+d AS (
+  SELECT p.doc_id,
+         p.tf * ln(1.0 + s.avgdl / n.qlen) / ln(2.0) AS tfn,
+         s.max_doc * (1.0 - pow((s.max_doc - 1.0) / s.max_doc, t.ttf)) AS ne,
+         s.max_doc AS n_docs
+  FROM posting p JOIN tstats t USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term = 'window'
+),
+raw AS (
+  SELECT doc_id,
+         tfn * (ln((n_docs + 1.0) / (ne + 0.5)) / ln(2.0)) / (tfn + 1.0) AS r
+  FROM d
+)
+SELECT doc_id, round(r, 4) AS score FROM raw
+ORDER BY r DESC, doc_id LIMIT 15"""
     sqls["dfr_pl2"] = f"""{_prelude()},
 d AS (
   SELECT p.doc_id,
@@ -1933,6 +2031,14 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     # = 1/(b - a + 2).
     sqls["span_near"] = _near2_sql(["table"], ["hash"], 3, ["table", "hash"], 15)
     sqls["span_nested"] = _near2_sql(
+        ["table", "merge"], ["hash"], 3, ["table", "merge", "hash"], 15
+    )
+    # complex_phrase '"(tab* OR merg*) hash"~3': at sf testdata vocabulary
+    # tab* expands to {table} and merg* to {merge}, so the span tree equals
+    # near(or(table, merge), hash) and the same fuzz-verified pair rule is
+    # the oracle; the gate still exercises the full ComplexPhrase path
+    # (parse -> group -> span_multi -> dictionary expansion -> union).
+    sqls["complex_phrase"] = _near2_sql(
         ["table", "merge"], ["hash"], 3, ["table", "merge", "hash"], 15
     )
     # span_near unordered (table & hash, slop 4): NearSpansUnordered for two
@@ -2156,6 +2262,36 @@ cpos AS (
 SELECT doc_id, count(*)::INT AS n_occ, min(start)::BIGINT AS first_start,
        max(start + length(tok))::BIGINT AS last_end
 FROM cpos WHERE lower(tok) = 'merge' GROUP BY doc_id"""
+    # freetext_suggest 'merge s': bigram completions scored c/ctx, then
+    # 0.4-backoff unigrams excluding last-tokens the bigram model already
+    # suggested (stupid backoff, FreeTextSuggester.cs DoLookup).  Per-order
+    # top-k uses (count desc, gram) like the engine; candidates ranked
+    # below an order's top-k can never reach the global top-k.
+    sqls["freetext_suggest"] = """
+WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+           FROM documents),
+ucnt AS (SELECT g, count(*) AS c FROM (SELECT unnest(tk) AS g FROM t) GROUP BY g),
+tot AS (SELECT sum(c) AS s FROM ucnt),
+bcnt AS (
+  SELECT g, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+    FROM t) GROUP BY g
+),
+ctx AS (SELECT c FROM ucnt WHERE g = 'merge'),
+bi AS (
+  SELECT b.g AS key, 1.0 * b.c / ctx.c AS score, string_split(b.g, ' ')[-1] AS lt
+  FROM bcnt b CROSS JOIN ctx WHERE b.g LIKE 'merge s%'
+  ORDER BY b.c DESC, b.g LIMIT 10
+),
+un AS (
+  SELECT u.g AS key, 0.4 * u.c / tot.s AS score, u.g AS lt
+  FROM ucnt u CROSS JOIN tot
+  WHERE u.g LIKE 's%' AND u.g NOT IN (SELECT lt FROM bi)
+  ORDER BY u.c DESC, u.g LIMIT 10
+)
+SELECT key, round(score, 4) AS score
+FROM (SELECT * FROM bi UNION ALL SELECT * FROM un)
+ORDER BY score DESC, key LIMIT 10"""
     sqls["suggest_prefix"] = f"""{_prelude()}
 SELECT term, df FROM tstats WHERE term LIKE 's%'
 ORDER BY df DESC, term LIMIT 10"""
@@ -2781,5 +2917,49 @@ dots AS (
 SELECT ia AS id_a, ib AS id_b, round(dot / (na.n * nb.n), 4) AS cos
 FROM dots JOIN nn na ON na.vec_id = ia JOIN nn nb ON nb.vec_id = ib
 WHERE dot / (na.n * nb.n) >= 0.35"""
-    # ann_lsh / ann_ivf: approximate -> intentionally NO oracle (rows-only)
+    # ann_lsh: the md5-Rademacher fixed-point family (datapipe
+    # _rademacher_planes + LSH_FIXED_SCALE) is exact integer arithmetic, so
+    # the twin reproduces the approximate result itself: same planes (md5
+    # parity), same fixed-point projections, same bucket join, same rerank.
+    sqls["ann_lsh"] = """
+WITH planes AS (
+  SELECT t.t, p.p, i.i,
+         CASE WHEN ('0x' || substring(md5(t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS h
+  FROM range(8) t(t), range(10) p(p), range(64) i(i)
+),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+exq AS (SELECT vec_id, i, CAST(floor(x * 1000000) AS BIGINT) AS xi FROM ex),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, sum(pl.h * e.xi) AS s
+  FROM exq e JOIN planes pl USING (i) GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << (9 - p)) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+),
+qx AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i
+       FROM embeddings WHERE vec_id = 0),
+cx AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x, generate_subscripts(e.embedding, 1) AS i
+       FROM embeddings e JOIN cand USING (vec_id)),
+d AS (SELECT c.vec_id, sum(c.x * q.x) AS dot, sum(c.x * c.x) AS nn
+      FROM cx c JOIN qx q USING (i) GROUP BY c.vec_id),
+qn AS (SELECT sum(x * x) AS s FROM qx)
+SELECT vec_id, round(dot / (sqrt(nn) * sqrt(s)), 4) AS cos FROM d CROSS JOIN qn
+ORDER BY dot / (sqrt(nn) * sqrt(s)) DESC, vec_id LIMIT 10"""
+    # ann_ivf: at gate parameters (nprobe=8 of nlist=16, seeded k-means,
+    # fixed table) the pruned search deterministically recovers the exact
+    # top-10, so the brute-force answer IS the expected output; lossy
+    # nprobe settings are covered by recall tests instead.
+    sqls["ann_ivf"] = sqls["ann_brute"]
     return sqls

@@ -608,6 +608,8 @@ def make_analyzer(name: str, **params):
         return _analyze_persian
     if name == "cjk":
         return _analyze_cjk
+    if name == "cjk_stat":
+        return _make_analyze_cjk_stat(params)
     if name == "greek":
         return _analyze_greek
     if name == "hindi":
@@ -1894,6 +1896,56 @@ def _analyze_cjk(text: str) -> tuple[list[str], list[int]]:
                 emit(tok[i:j])
                 i = j
     return terms, positions
+
+
+def _make_analyze_cjk_stat(params: dict):
+    """Statistical CJK chain -- the dictionary-less SmartChineseAnalyzer
+    stand-in (SmartChineseAnalyzer.cs:50 ships an HHMM over a bundled
+    dictionary that is unavailable here; sparklucene.cjkseg replaces it
+    with corpus-trained PMI bigram merging).  Chain: Standard -> CJKWidth
+    -> Lower -> StatSegment(CJK runs) -> Stop; non-CJK spans behave exactly
+    like the CJKAnalyzer chain.  `params` is StatCJKSegmenter.to_params()
+    output -- it rides the index manifest so the query side reconstructs
+    the identical segmenter."""
+    from .cjkseg import StatCJKSegmenter
+
+    seg = StatCJKSegmenter.from_params(params)
+
+    def analyze(text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+
+        def emit(term: str) -> None:
+            nonlocal pos
+            if term not in CJK_STOP_WORDS:
+                terms.append(term)
+                positions.append(pos)
+            pos += 1
+
+        for tok in tokenize_raw(text):
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            tok = _cjk_width_fold(tok).lower()
+            i, n = 0, len(tok)
+            while i < n:
+                if _is_cjk_char(tok[i]):
+                    j = i
+                    while j < n and _is_cjk_char(tok[j]):
+                        j += 1
+                    for w in seg.segment(tok[i:j]):
+                        emit(w)
+                    i = j
+                else:
+                    j = i
+                    while j < n and not _is_cjk_char(tok[j]):
+                        j += 1
+                    emit(tok[i:j])
+                    i = j
+        return terms, positions
+
+    return analyze
 
 
 CATALAN_ELISION_ARTICLES = frozenset(("d", "l", "m", "n", "s", "t"))

@@ -451,6 +451,47 @@ def _encode_blocks_udf():
     return encode, BLOCK_SCHEMA
 
 
+def write_blooms(spark: SparkSession, dict_dir: str, bloom_dir: str,
+                 num_buckets: int) -> None:
+    """Per-bloom-bucket term Bloom filters (BloomFilteringPostingsFormat
+    analogue, src/Lucene.Net.Codecs/Bloom/BloomFilteringPostingsFormat.cs:538):
+    consulted driver-side before ANY distributed term_dict/postings read, so
+    an index-absent query term costs zero Spark jobs.  Bloom bucket =
+    md5-derived hash60 % num_buckets (driver-computable, unlike the
+    xxhash64 postings bucket).  Called for fresh builds AND merged segments
+    (sparklucene.segments)."""
+    from .codec import BLOOM_K, bloom_build, bloom_nbits
+
+    def mk_bloom(key, pdf):
+        import pandas as pd
+
+        terms = list(pdf["term"])
+        nbits = bloom_nbits(len(terms))
+        return pd.DataFrame({
+            "bucket": [int(key[0])], "nbuckets": [num_buckets], "nbits": [nbits],
+            "k": [BLOOM_K], "bits": [bloom_build(terms, nbits)],
+        })
+
+    (
+        spark.read.parquet(dict_dir)
+        .select(
+            "term",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+                F.lit(num_buckets),
+            ).alias("bbucket"),
+        )
+        .groupBy("bbucket")
+        .applyInPandas(
+            mk_bloom,
+            schema="bucket int, nbuckets int, nbits int, k int, bits binary",
+        )
+        .write.mode("overwrite")
+        .parquet(bloom_dir)
+    )
+    _mark_done(bloom_dir, {"stage": "blooms"})
+
+
 def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: BuildConfig | None = None) -> dict:
     """Build the full index at out_dir. Returns the final manifest dict.
 
@@ -532,6 +573,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             .parquet(dict_dir)
         )
         _mark_done(dict_dir, {"stage": "term_dict"})
+        write_blooms(spark, dict_dir, os.path.join(out_dir, "blooms"), cfg.num_buckets)
         # adaptive salting: a term with df > threshold is split into
         # ceil(df/threshold) docID-range slices (capped at salt_parts), so
         # every (term, salt) shuffle key carries <= ~threshold postings

@@ -286,7 +286,38 @@ def check_index(
         else:
             passed("sha256", f"{n_docs} rows verified vs source")
 
-    # 5. deletes store (segmented roots): ids must be unique-per-read view
+    # 5. bloom filters: every term_dict term MUST hit its segment bloom (a
+    #    false negative would silently drop the term from all queries); fp
+    #    rate is reported, not asserted (CheckIndex twin of the
+    #    BloomFilteringPostingsFormat validation)
+    bloom_dir = os.path.join(index_dir, "blooms")
+    if os.path.isdir(bloom_dir):
+        from .codec import bloom_bucket, bloom_contains
+
+        brows = [
+            (r["nbuckets"], r["bucket"], r["nbits"], bytes(r["bits"]))
+            for r in spark.read.parquet(bloom_dir).collect()
+        ]
+        by_bucket = {(nb, b): (nbits, bits) for nb, b, nbits, bits in brows}
+        misses = 0
+        n_terms = 0
+        for r in spark.read.parquet(os.path.join(index_dir, "term_dict")) \
+                .select("term").collect():
+            t = r["term"]
+            n_terms += 1
+            hit = False
+            for (nb, b), (nbits, bits) in by_bucket.items():
+                if b == bloom_bucket(t, nb) and bloom_contains(bits, nbits, t):
+                    hit = True
+                    break
+            if not hit:
+                misses += 1
+        if misses:
+            fail("blooms", f"{misses}/{n_terms} terms MISSING from blooms")
+        else:
+            passed("blooms", f"{n_terms} terms all present in blooms")
+
+    # 6. deletes store (segmented roots): ids must be unique-per-read view
     #    and inside the docID space (CheckIndex's liveDocs validation twin)
     deletes_dir = os.path.join(os.path.dirname(os.path.dirname(index_dir)), "deletes")
     if os.path.isdir(deletes_dir) and any(

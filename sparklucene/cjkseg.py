@@ -1,0 +1,149 @@
+"""Dictionary-less statistical CJK segmentation -- the SmartCn stand-in.
+
+The reference ships SmartChineseAnalyzer
+(src/Lucene.Net.Analysis.SmartCn/SmartChineseAnalyzer.cs:50, HHMM Viterbi
+over a bundled dictionary) and Kuromoji for Japanese; neither dictionary is
+available in this environment, so this module provides the honest
+statistical fallback: pointwise-mutual-information bigram merging.  A
+character boundary is kept when PMI(a,b) = ln(p(ab) / (p(a) p(b))) falls at
+or below a threshold, and merged into one word otherwise -- the classic
+unsupervised word-segmentation signal (Sproat & Shih 1990, "A statistical
+method for finding word boundaries in Chinese text").
+
+Spark-first split: TRAINING is the distributed part -- one explode +
+groupBy over the corpus to count CJK character unigrams/bigrams (the count
+table is vocabulary-bounded: even at 100 TB there are only ~10^4 distinct
+Han characters, ~10^8 possible bigrams, of which a corpus realizes a small
+fraction; at that scale the counts live in a parquet sidecar, while the
+manifest carries them inline at test scale).  Segmentation itself is a pure
+per-string function, usable inside the existing analyzer chains.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class StatCJKSegmenter:
+    """PMI bigram-merge segmenter over a trained character model.
+
+    uni / bi: character (pair) -> count; total: total CJK chars seen.
+    pmi_threshold: boundary kept when PMI <= threshold.  Default 1.0: a
+    within-word pair is strongly associated (PMI well above 1) while a
+    cross-word adjacency in natural text sits near 0; demanding ln-odds
+    > 1 (~e x independence) keeps precision high on small vocabularies
+    where chance adjacencies already carry positive PMI."""
+
+    def __init__(self, uni: dict[str, int], bi: dict[str, int], total: int,
+                 pmi_threshold: float = 1.0, max_word: int = 4):
+        self.uni = uni
+        self.bi = bi
+        self.total = max(int(total), 1)
+        self.pmi_threshold = float(pmi_threshold)
+        self.max_word = int(max_word)
+
+    def pmi(self, a: str, b: str) -> float:
+        nab = self.bi.get(a + b, 0)
+        if nab == 0:
+            return float("-inf")
+        na, nb = self.uni.get(a, 0), self.uni.get(b, 0)
+        if na == 0 or nb == 0:
+            return float("-inf")
+        return math.log(nab * self.total / (na * nb))
+
+    def segment(self, run: str) -> list[str]:
+        """Split a run of CJK characters into words: a boundary goes
+        between every adjacent pair whose PMI <= threshold; words are
+        additionally capped at max_word chars (SmartCn's practical word
+        length) by splitting at the weakest interior link."""
+        if len(run) <= 1:
+            return [run] if run else []
+        words: list[str] = []
+        cur = run[0]
+        for i in range(1, len(run)):
+            if self.pmi(run[i - 1], run[i]) > self.pmi_threshold:
+                cur += run[i]
+            else:
+                words.append(cur)
+                cur = run[i]
+        words.append(cur)
+        out: list[str] = []
+        for w in words:
+            while len(w) > self.max_word:
+                # weakest interior link first (greedy, deterministic)
+                cut = min(range(1, len(w)),
+                          key=lambda j: (self.pmi(w[j - 1], w[j]), j))
+                out.append(w[:cut])
+                w = w[cut:]
+            out.append(w)
+        return out
+
+    def to_params(self) -> dict:
+        """JSON-serializable form for the index manifest (analyzer_params),
+        so the query side reconstructs the identical segmenter."""
+        return {"uni": self.uni, "bi": self.bi, "total": self.total,
+                "pmi_threshold": self.pmi_threshold, "max_word": self.max_word}
+
+    @classmethod
+    def from_params(cls, params: dict) -> "StatCJKSegmenter":
+        return cls(params["uni"], params["bi"], int(params["total"]),
+                   float(params.get("pmi_threshold", 1.0)),
+                   int(params.get("max_word", 4)))
+
+    @classmethod
+    def train(cls, texts, pmi_threshold: float = 1.0,
+              max_word: int = 4) -> "StatCJKSegmenter":
+        """Train from an iterable of strings (test-scale path)."""
+        from .analysis import _is_cjk_char
+
+        uni: dict[str, int] = {}
+        bi: dict[str, int] = {}
+        total = 0
+        for text in texts:
+            prev = None
+            for c in text:
+                if _is_cjk_char(c):
+                    uni[c] = uni.get(c, 0) + 1
+                    total += 1
+                    if prev is not None:
+                        bi[prev + c] = bi.get(prev + c, 0) + 1
+                    prev = c
+                else:
+                    prev = None
+        return cls(uni, bi, total, pmi_threshold, max_word)
+
+    @classmethod
+    def train_spark(cls, df: DataFrame, text_col: str = "text",
+                    pmi_threshold: float = 1.0,
+                    max_word: int = 4) -> "StatCJKSegmenter":
+        """Distributed training: ONE regex extract + explode + two groupBy
+        counts over the corpus; only the vocabulary-bounded count tables
+        are collected."""
+        # runs of CJK chars (the same blocks _is_cjk_char accepts)
+        cjk_re = ("[\\\\u4E00-\\\\u9FFF\\\\u3400-\\\\u4DBF\\\\uF900-\\\\uFAFF"
+                  "\\\\u3040-\\\\u309F\\\\u30A0-\\\\u30FF\\\\u31F0-\\\\u31FF"
+                  "\\\\uAC00-\\\\uD7A3\\\\u1100-\\\\u11FF]+")
+        runs = df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '{cjk_re}', 0)")
+            ).alias("run")
+        )
+        chars = runs.select(F.explode(F.split("run", "")).alias("c")).filter(
+            F.col("c") != ""
+        )
+        uni_rows = chars.groupBy("c").count().collect()
+        pairs = runs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(run) - 1, 0)), "
+                    "i -> substring(run, i, 2))"
+                )
+            ).alias("p")
+        ).filter(F.length("p") == 2)
+        bi_rows = pairs.groupBy("p").count().collect()
+        uni = {r["c"]: r["count"] for r in uni_rows}
+        bi = {r["p"]: r["count"] for r in bi_rows}
+        return cls(uni, bi, sum(uni.values()), pmi_threshold, max_word)

@@ -316,3 +316,52 @@ def decode_offset_pairs(blob: bytes, count: int) -> tuple[np.ndarray, np.ndarray
     starts = np.cumsum(vals[0::2])
     ends = starts + vals[1::2]
     return starts, ends
+
+
+# ---------------------------------------------------------------------------
+# per-bucket term Bloom filters (BloomFilteringPostingsFormat analogue,
+# src/Lucene.Net.Codecs/Bloom/BloomFilteringPostingsFormat.cs:538 + FuzzySet):
+# a tiny per-(segment, bloom-bucket) bit set consulted BEFORE any distributed
+# term_dict/postings read -- an index-absent query term costs zero Spark jobs.
+# The bloom bucket is md5-derived (hash60 % num_buckets) so the DRIVER can
+# compute it without a JVM round trip; k hash probes use Kirsch-Mitzenmacher
+# double hashing over the md5 digest halves.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 7  # ~1% fp at 10 bits/term
+
+
+def bloom_bucket(term: str, num_buckets: int) -> int:
+    """hash60(term) % num_buckets -- same md5 arithmetic as datapipe.hash60,
+    computable identically driver-side (here) and in Spark SQL."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % num_buckets
+
+
+def _bloom_probes(term: str, nbits: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(term.encode()).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % nbits for i in range(BLOOM_K)]
+
+
+def bloom_nbits(n_terms: int) -> int:
+    """Power-of-two size >= 10 bits/term (FuzzySet sizes to a pow2 too)."""
+    import math
+
+    return 1 << max(6, math.ceil(math.log2(n_terms * 10 + 1)))
+
+
+def bloom_build(terms, nbits: int) -> bytes:
+    arr = bytearray(nbits // 8)
+    for t in terms:
+        for p in _bloom_probes(t, nbits):
+            arr[p >> 3] |= 1 << (p & 7)
+    return bytes(arr)
+
+
+def bloom_contains(bits: bytes, nbits: int, term: str) -> bool:
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_probes(term, nbits))

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -572,12 +572,21 @@ def cosine_topk_lsh(
     sharing the query's bucket in ANY table; exact cosine re-rank on the
     candidate set only.  At scale the bucket column is a partition key, so a
     query touches ~corpus/2^planes rows per table instead of everything.
-    Approximate: recall depends on (tables, planes) -- gate-checked
-    rows-only, and measured against cosine_topk_brute in tests."""
+
+    The sign family is md5-Rademacher on fixed-point components
+    (_rademacher_planes + LSH_FIXED_SCALE): every bucket bit is exact
+    integer arithmetic a DuckDB oracle reproduces bit-for-bit, so the
+    approximate result itself is value-checked (the ann_lsh gate), not just
+    row-counted; recall vs cosine_topk_brute is additionally measured in
+    tests."""
     q = np.asarray(query_vec, dtype=np.float64)
     dim = len(q)
-    hp = _hyperplanes(dim, tables, planes)
-    qbuckets = [(t, int("".join("1" if float(hp[t, p] @ q) > 0 else "0" for p in range(planes)), 2)) for t in range(tables)]
+    hp = _rademacher_planes(dim, tables, planes)
+    qi = np.floor(q * LSH_FIXED_SCALE).astype(np.int64)
+    qbuckets = [
+        (t, int("".join("1" if int(hp[t, p] @ qi) > 0 else "0" for p in range(planes)), 2))
+        for t in range(tables)
+    ]
     qb_df = spark.createDataFrame(qbuckets, "t int, bucket long")
     out_schema = T.StructType(
         [
@@ -594,9 +603,10 @@ def cosine_topk_lsh(
                 continue
             ids = pdf[id_col].to_numpy(np.int64)
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mi = np.floor(m * LSH_FIXED_SCALE).astype(np.int64)
             frames = []
             for t in range(hp_b.shape[0]):
-                proj = m @ hp_b[t].T  # (n, planes)
+                proj = mi @ hp_b[t].T  # (n, planes), exact int64
                 bits = (proj > 0).astype(np.int64)
                 bucket = np.zeros(len(ids), dtype=np.int64)
                 for p in range(hp_b.shape[1]):
@@ -624,28 +634,47 @@ def ngram_jaccard_pairs(
     then jaccard = |inter| / (|a| + |b| - |inter|) >= threshold.
     -> (doc_a, doc_b, jaccard), doc_a < doc_b.
 
-    Scale: two shuffles (explode+self-join on shingle, then pair groupBy).
-    Hot shingles (boilerplate headers) skew the join; AQE skew-join handles
-    moderate cases, and at 100 TB the standard exact-preserving mitigation
-    is to join rare shingles first and cap the candidate multiplicity per
-    shingle only when a pair is already covered by a rarer shingle."""
+    Scale: PREFIX FILTERING (Bayardo/Chaudhuri all-pairs similarity join)
+    defuses hot-shingle skew exactly: shingles are globally ordered
+    rarest-first (ascending df, then shingle), each doc exposes only its
+    first n - ceil(t*n) + 1 shingles to the candidate self-join (any pair
+    with J >= t must share a prefix shingle under a common order -- the
+    standard lossless prefix bound), and the exact Jaccard is then verified
+    per candidate pair from the full shingle arrays.  Boilerplate shingles
+    shared by 10^6 docs have maximal df, sort LAST, and fall outside almost
+    every prefix -- the quadratic blowup never materializes, while the
+    fuzz/oracle output is bit-identical to the naive all-shared-shingles
+    join."""
     sh = (
         df.select(F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_t"))
         .filter(F.size("_t") >= k)  # guard on tokens, NOT on gs (pushdown trap)
         .select("doc_id", _shingles_over("_t", k).alias("gs"))
     )
-    sizes = sh.select("doc_id", F.size("gs").alias("n"))
-    ex = sh.select("doc_id", F.explode("gs").alias("g"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    ex = sh.select("doc_id", F.size("gs").alias("n"), F.explode("gs").alias("g"))
+    gdf = ex.groupBy("g").agg(F.count("*").alias("gdf"))
+    # rank each doc's shingles rarest-first; keep the lossless prefix
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("g"))
+    prefix = (
+        ex.join(gdf, "g")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc_id", "g")
     )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on candidates only: intersection from the full arrays
     joined = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("gs_a", "gs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("gs_a") + F.size("gs_b") - F.col("inter")),
+        )
     )
     return joined.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")

@@ -255,14 +255,17 @@ def _span_scores(idx: OracleIndex, q: dict, boost: float, mode: str) -> dict[int
     from .positional import (
         eval_span_tree,
         span_freq_f32,
+        span_tree_all_terms,
         span_tree_possible,
         span_tree_terms,
     )
 
     w_terms = span_tree_terms(q)
-    present = {x for x in w_terms if x in idx.postings}
-    if not span_tree_possible(q, present):
+    if not span_tree_possible(q, {x for x in w_terms if x in idx.postings}):
         return {}
+    # positions for EVERY tree term incl. span_not exclude sides (exclusion
+    # needs the excluded positions); the WEIGHT stays include-only above
+    present = {x for x in span_tree_all_terms(q) if x in idx.postings}
     if mode == "f32":
         idf = f32(0.0)
         for x in w_terms:

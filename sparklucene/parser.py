@@ -85,10 +85,13 @@ def _lex(text: str) -> list[tuple[str, str]]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], keyword_fields=()):
+    def __init__(self, tokens: list[tuple[str, str]], keyword_fields=(),
+                 complex_phrases: bool = False, in_order: bool = True):
         self.toks = tokens
         self.i = 0
         self.keyword_fields = frozenset(keyword_fields)
+        self.complex_phrases = complex_phrases
+        self.in_order = in_order
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -201,6 +204,12 @@ class _Parser:
                 slop = int(trail[1:])
             except ValueError as e:
                 raise QueryParseError(f"bad phrase slop {trail!r}") from e
+        if self.complex_phrases:
+            q = self._complex_tree(body, slop)
+            if boost != 1.0:
+                q = dict(q)
+                q["boost"] = q.get("boost", 1.0) * boost
+            return q
         terms = analyze_query_text(body)
         if not terms:
             return None
@@ -212,6 +221,107 @@ class _Parser:
         if boost != 1.0:
             q["boost"] = boost
         return q
+
+    # -- ComplexPhraseQueryParser pass 2 --------------------------------------
+    _MULTI_TYPES = ("prefix", "wildcard", "fuzzy", "regexp", "range")
+
+    def _complex_tree(self, body: str, slop: int) -> dict:
+        """Rewrite the content between quotes into a span tree -- the
+        ComplexPhraseQuery.Rewrite semantics
+        (src/Lucene.Net.QueryParser/ComplexPhrase/ComplexPhraseQueryParser.cs:250-356):
+        each phrase element becomes a span clause (term -> span_term;
+        wildcard/fuzzy/range/regexp -> span_multi, expanded against the term
+        dictionary at search time exactly like the reference's
+        SCORING_BOOLEAN_QUERY_REWRITE pass; (a -b c) groups -> span_or of
+        positives, span_not-wrapped when the group has negatives; an
+        expansion with no matching terms behaves like the reference's
+        impossible dummy term -- the whole near can never match).  Top-level
+        negatives: include = span_near(positives, slop+#negatives), exclude
+        = span_near(all clauses, slop), result = span_not(include, exclude)
+        (:320-356).  A single plain term stays a TermQuery (:255-258); a
+        single multi-term element is rejected like the reference's
+        "Unknown query type" rewrite error."""
+        inner = _Parser(
+            _lex(body), keyword_fields=self.keyword_fields, in_order=self.in_order
+        ).parse_query()
+        if inner is None:
+            return {"type": "span_or", "clauses": []}  # all-stopword phrase
+        self._reject_in_phrase(inner)
+        if inner["type"] == "term":
+            return {"type": "term", "term": inner["term"]}
+        if inner["type"] != "boolean":
+            # single multi-term/other element: ComplexPhraseQuery.Rewrite
+            # accepts only TermQuery or BooleanQuery contents (:261-266)
+            raise QueryParseError(
+                f"unsupported single {inner['type']!r} clause in complex phrase"
+            )
+        clauses = inner["clauses"]
+        spans = [self._to_span_clause(c["query"]) for c in clauses]
+        negatives = [i for i, c in enumerate(clauses) if c["occur"] == "MUST_NOT"]
+        near_all = {"type": "span_near", "clauses": spans, "slop": slop,
+                    "in_order": self.in_order}
+        if not negatives:
+            return near_all
+        positives = [s for i, s in enumerate(spans) if i not in set(negatives)]
+        if not positives:
+            return {"type": "span_or", "clauses": []}
+        if len(positives) == 1:
+            include = positives[0]
+        else:
+            include = {"type": "span_near", "clauses": positives,
+                       "slop": slop + len(negatives), "in_order": self.in_order}
+        return {"type": "span_not", "include": include, "exclude": near_all}
+
+    def _to_span_clause(self, q: dict) -> dict:
+        """One phrase element -> one span clause (Rewrite :269-308)."""
+        t = q["type"]
+        if t == "term":
+            return {"type": "span_term", "term": q["term"]}
+        if t in self._MULTI_TYPES:
+            return {"type": "span_multi", "query": q}
+        if t == "boolean":
+            ors: list[dict] = []
+            nots: list[dict] = []
+            self._add_complex_clause(q, ors, nots)
+            if not ors:
+                return {"type": "span_or", "clauses": []}  # impossible
+            soq = {"type": "span_or", "clauses": ors}
+            if not nots:
+                return soq
+            return {"type": "span_not", "include": soq,
+                    "exclude": {"type": "span_or", "clauses": nots}}
+        raise QueryParseError(f"unsupported {t!r} clause in complex phrase")
+
+    def _add_complex_clause(self, bq: dict, ors: list, nots: list) -> None:
+        """AddComplexPhraseClause (:358-412): flatten a (possibly nested)
+        group into or-alternatives and not-alternatives."""
+        for c in bq["clauses"]:
+            chosen = nots if c["occur"] == "MUST_NOT" else ors
+            cq = c["query"]
+            t = cq["type"]
+            if t == "term":
+                chosen.append({"type": "span_term", "term": cq["term"]})
+            elif t in self._MULTI_TYPES:
+                # the reference expands multi-terms to a BooleanQuery before
+                # this point (qc.Rewrite with scoring boolean rewrite);
+                # span_multi defers the same dictionary expansion to search
+                chosen.append({"type": "span_multi", "query": cq})
+            elif t == "boolean":
+                # a nested group composes into ONE span clause appended to
+                # the chosen list (the reference recurses with chosenList
+                # as the target, :389-392)
+                chosen.append(self._to_span_clause(cq))
+            else:
+                raise QueryParseError(f"unsupported {t!r} inside phrase group")
+
+    def _reject_in_phrase(self, q: dict) -> None:
+        """Mixing fields inside a phrase is a parse error
+        (CheckPhraseClauseIsForSameField :151-159)."""
+        t = q.get("type")
+        if t in ("field_term", "match_all"):
+            raise QueryParseError(f"cannot nest {t} in a complex phrase")
+        for c in q.get("clauses", ()):
+            self._reject_in_phrase(c["query"] if "query" in c else c)
 
     def _range(self, tok: str) -> dict:
         inc_lo = tok[0] == "["
@@ -292,6 +402,22 @@ class _Parser:
         if boost != 1.0:
             q["boost"] = boost
         return q
+
+
+def parse_complex(text: str, keyword_fields=(), in_order: bool = True) -> dict:
+    """ComplexPhraseQueryParser analogue
+    (src/Lucene.Net.QueryParser/ComplexPhrase/ComplexPhraseQueryParser.cs):
+    the classic grammar, except quoted phrases may embed wildcards, fuzzy,
+    ranges, and (a OR b -c) boolean groups, rewritten to span trees --
+    '"(john jon jonathan~) peters*"' becomes span_near(span_or(...),
+    span_multi(prefix)).  in_order selects ordered vs un-ordered proximity
+    (the InOrder property).  Multi-term elements expand against the term
+    dictionary at search time (SpanMultiTermQueryWrapper path)."""
+    q = _Parser(_lex(text), keyword_fields, complex_phrases=True,
+                in_order=in_order).parse_query()
+    if q is None:
+        raise QueryParseError(f"query matched no indexable terms: {text!r}")
+    return q
 
 
 def parse(text: str, keyword_fields=()) -> dict:

@@ -592,6 +592,33 @@ def span_tree_terms(q: dict) -> list[str]:
     return out
 
 
+def span_tree_all_terms(q: dict) -> list[str]:
+    """EVERY term the evaluation kernel needs positions for -- unlike
+    span_tree_terms (the Weight's idf binding, include side only for
+    span_not), this walks span_not EXCLUDE sides too: exclusion cannot be
+    evaluated without the excluded terms' positions."""
+    out: list[str] = []
+
+    def walk(node: dict) -> None:
+        t = node["type"]
+        if t == "span_term":
+            if node["term"] not in out:
+                out.append(node["term"])
+        elif t in ("span_near", "span_or"):
+            for c in span_clauses(node):
+                walk(_as_span_query(c))
+        elif t in ("span_first", "span_range"):
+            walk(_as_span_query(node.get("clause") or node["term"]))
+        elif t == "span_not":
+            walk(_as_span_query(node["include"]))
+            walk(_as_span_query(node["exclude"]))
+        else:
+            raise ValueError(t)
+
+    walk(q)
+    return out
+
+
 def span_required_groups(q: dict) -> list[list[str]]:
     """Term groups such that EVERY doc matching the span tree contains at
     least one term of each group -- the candidate-restriction contract for

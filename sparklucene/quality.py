@@ -92,7 +92,10 @@ def run_quality(searcher, query_set: dict[str, dict], judgments: DataFrame,
     parts = []
     for qid, tree in sorted(query_set.items()):
         top = searcher.search(tree, k, mode=mode)
-        w = Window.orderBy(F.desc("score"), F.asc("docID"))
+        # partitionBy(lit(0)): input is one query's top-k (<= k rows); the
+        # constant key silences the WindowExec single-partition warning
+        # without changing the (already single-partition) plan
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("docID"))
         parts.append(
             top.select(
                 F.lit(qid).alias("query_id"),

@@ -88,6 +88,8 @@ class IndexSearcher:
         self._term_cache: dict[str, TermStats | None] = {}
         self._deleted_ids: np.ndarray | None = None
         self._deleted_bc = None
+        self._deleted_df: DataFrame | None = None
+        self._bloom_rows: list | None = None  # lazy; [] = blooms unavailable
         from collections import OrderedDict
 
         self._filter_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
@@ -140,6 +142,8 @@ class IndexSearcher:
         self._term_cache = {}
         self._deleted_ids = None
         self._deleted_bc = None
+        self._deleted_df = None
+        self._bloom_rows = None
         from collections import OrderedDict
 
         self._filter_cache = OrderedDict()
@@ -163,6 +167,33 @@ class IndexSearcher:
         self._deleted_bc = (
             self.spark.sparkContext.broadcast(arr) if arr.size else None
         )
+        self._deleted_df = None
+
+    # below this many deletes, the broadcast-array fast path (np.isin inside
+    # the Arrow decode, zero extra plan nodes) wins; above it, deletes stay
+    # a DataFrame anti-join and never touch the driver
+    deletes_materialize_threshold = 1_000_000
+
+    def set_live_docs_df(self, dels: DataFrame) -> None:
+        """Install deletes from a DataFrame (docID column) WITHOUT assuming
+        they fit on the driver.  Small sets (<= deletes_materialize_threshold)
+        collect into the broadcast-array fast path; larger sets stay a
+        persisted DataFrame applied as a left-anti join after every postings
+        decode -- the 100 TB liveDocs shape (the reference's per-segment
+        bitsets become a distributed join the same way its merge does)."""
+        dels = dels.select(F.col("docID").cast("long")).distinct()
+        n = dels.count()
+        if n == 0:
+            self._deleted_ids = None
+            self._deleted_bc = None
+            self._deleted_df = None
+            return
+        if n <= self.deletes_materialize_threshold:
+            self.set_live_docs([r["docID"] for r in dels.collect()])
+            return
+        self._deleted_ids = None
+        self._deleted_bc = None
+        self._deleted_df = dels.persist()
 
     def _union_read(self, subdir: str) -> DataFrame:
         dfs = [
@@ -187,9 +218,56 @@ class IndexSearcher:
             out = out.unionByName(d)
         return out
 
+    # ---- per-bucket term blooms (BloomFilteringPostingsFormat analogue) --
+    def _bloom_filters(self) -> list:
+        """Collected (nbuckets, bucket, nbits, bits) bloom rows across ALL
+        segments, cached on the driver (num_buckets rows/segment, ~10 bits
+        per term).  [] when any segment lacks blooms (legacy index /
+        partial merge output) -- bloom skipping then disables, because a
+        bloom-less segment could hold the term."""
+        if self._bloom_rows is None:
+            paths = [os.path.join(d, "blooms") for d in self._seg_dirs]
+            if paths and all(os.path.exists(p) for p in paths):
+                df = self.spark.read.parquet(paths[0])
+                for p in paths[1:]:
+                    df = df.unionByName(self.spark.read.parquet(p))
+                self._bloom_rows = [
+                    (r["nbuckets"], r["bucket"], r["nbits"], bytes(r["bits"]))
+                    for r in df.collect()
+                ]
+            else:
+                self._bloom_rows = []
+        return self._bloom_rows
+
+    def _bloom_reject(self, terms: list[str]) -> set[str]:
+        """Terms PROVABLY absent from every segment (no bloom hit).  A
+        bloom false positive only costs the normal term_dict lookup; false
+        negatives are impossible by construction (CheckIndex validates)."""
+        from .codec import bloom_bucket, bloom_contains
+
+        rows = self._bloom_filters()
+        if not rows:
+            return set()
+        out = set()
+        for t in terms:
+            hit = False
+            for nb, bucket, nbits, bits in rows:
+                if bucket == bloom_bucket(t, nb) and bloom_contains(bits, nbits, t):
+                    hit = True
+                    break
+            if not hit:
+                out.add(t)
+        return out
+
     # ---- stats lookup (broadcast-scale: only query terms are fetched) ----
     def lookup_terms(self, terms: list[str]) -> dict[str, TermStats]:
         missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            # bloom pre-filter: provably-absent terms never reach the
+            # distributed term_dict read (zero Spark jobs for rare typos)
+            for t in self._bloom_reject(missing):
+                self._term_cache[t] = None
+                missing.remove(t)
         if missing:
             rows = (
                 self._union_read("term_dict")
@@ -236,6 +314,8 @@ class IndexSearcher:
                 [(int(x),) for x in self._deleted_ids], "docID long"
             )
             out = out.join(F.broadcast(dels), "docID", "left_anti")
+        elif self._deleted_df is not None:
+            out = out.join(self._deleted_df, "docID", "left_anti")
         return out
 
     # ---- leaf scoring -----------------------------------------------------
@@ -335,7 +415,12 @@ class IndexSearcher:
                     {f.name: [] for f in out_schema.fields}
                 )
 
-        return blocks.mapInPandas(decode_score, schema=out_schema)
+        out = blocks.mapInPandas(decode_score, schema=out_schema)
+        if self._deleted_df is not None:
+            # large-deletes path: liveDocs as a DataFrame anti-join -- no
+            # docID array ever touches the driver (set_live_docs_df)
+            out = out.join(self._deleted_df, "docID", "left_anti")
+        return out
 
     def _empty_scored(self, mode: str, with_positions: bool = False,
                       with_payloads: bool = False) -> DataFrame:
@@ -579,7 +664,9 @@ class IndexSearcher:
         top_groups = heads.orderBy(*head_order, F.asc(group_col)).limit(
             group_offset + group_limit
         )
-        w_g = Window.orderBy(*head_order, F.asc(group_col))  # tiny: limited rows
+        # tiny input (limit-ed groups); constant partition key silences the
+        # WindowExec single-partition warning on an intentionally-1-partition op
+        w_g = Window.partitionBy(F.lit(0)).orderBy(*head_order, F.asc(group_col))
         kept = (
             top_groups.withColumn("group_rank", F.row_number().over(w_g))
             .filter(F.col("group_rank") > group_offset)
@@ -1694,7 +1781,7 @@ class IndexSearcher:
             )
         )
         wall = Window.partitionBy()
-        if self._deleted_ids is not None:
+        if self._deleted_ids is not None or self._deleted_df is not None:
             # deleted docs may be among the counted/decoded ones: no pruning
             theta_expr = F.lit(float("-inf"))
         else:
@@ -1709,9 +1796,11 @@ class IndexSearcher:
         # matching only those terms cannot reach the top-k, so their blocks
         # are needed solely to complete candidate scores and can be pruned
         # to the docID ranges of the ESSENTIAL terms' generator blocks.
-        wess = Window.orderBy(F.asc("_mx"), F.asc("term")).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+        # #query-terms rows; constant partition key silences the WindowExec
+        # single-partition warning on an intentionally-tiny aggregate
+        wess = Window.partitionBy(F.lit(0)).orderBy(
+            F.asc("_mx"), F.asc("term")
+        ).rowsBetween(Window.unboundedPreceding, 0)
         meta = (
             per_term.crossJoin(theta_dec)
             .withColumn("_theta", theta_expr)
@@ -1819,7 +1908,12 @@ class IndexSearcher:
                     {f.name: [] for f in out_schema.fields}
                 )
 
-        return blocks.mapInPandas(decode_score, schema=out_schema)
+        out = blocks.mapInPandas(decode_score, schema=out_schema)
+        if self._deleted_df is not None:
+            # large-deletes path: liveDocs as a DataFrame anti-join -- no
+            # docID array ever touches the driver (set_live_docs_df)
+            out = out.join(self._deleted_df, "docID", "left_anti")
+        return out
 
     def more_like_this(self, text: str, max_terms: int = 5, k: int = 10,
                        mode: str = "f32", min_df: int = 1) -> DataFrame:
@@ -1903,6 +1997,7 @@ class IndexSearcher:
             eval_span_tree,
             span_freq_f32,
             span_required_groups,
+            span_tree_all_terms,
             span_tree_possible,
             span_tree_terms,
         )
@@ -1924,10 +2019,13 @@ class IndexSearcher:
             )
             wv = idf * boost * (K1 + 1.0)
 
-        present = sorted(sts)
-        # exclude-side terms (span_not) are pruned too: any doc whose
+        # positions are fetched for EVERY tree term incl. span_not exclude
+        # sides (exclusion needs the excluded positions; the WEIGHT still
+        # binds include-only terms, matching SpanNotQuery.ExtractTerms).
+        # Exclude terms are block-pruned like the rest: any doc whose
         # include spans survive holds a lead-group term, so its exclude
         # blocks overlap a lead interval and are retained
+        present = sorted(self.lookup_terms(span_tree_all_terms(q)))
         posts = self._positional_postings(
             present, mode, groups=span_required_groups(q)
         )

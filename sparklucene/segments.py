@@ -456,9 +456,13 @@ class SegmentedIndex:
         s = IndexSearcher.over_segments(
             self.spark, [self._seg_dir(s.name) for s in self.segments], self.global_stats()
         )
-        dels = self.deleted_ids()
-        if dels:
-            s.set_live_docs(dels)
+        d = self._deletes_dir()
+        if os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d)):
+            # deletes enter as a DataFrame: set_live_docs_df collects only
+            # below its threshold -- a huge deletes store never pumps
+            # through the driver on the search path (merge is where the
+            # array is materialized, once, to filter the decode UDF)
+            s.set_live_docs_df(self.spark.read.parquet(d).select("docID"))
         return s
 
     # -- deletes (buffered, liveDocs semantics) -----------------------------
@@ -587,6 +591,10 @@ class SegmentedIndex:
             .write.mode("overwrite")
             .parquet(os.path.join(out, "term_dict"))
         )
+        from .build import write_blooms
+
+        write_blooms(self.spark, os.path.join(out, "term_dict"),
+                     os.path.join(out, "blooms"), self.num_buckets)
 
         docs = None
         for d in dirs:

@@ -242,6 +242,100 @@ class DFRSimilarityInL2:
         return sc
 
 
+class DFRSimilarityIFL2:
+    """DFRSimilarity(BasicModelIF, AfterEffectL, NormalizationH2(c=1)) --
+    the inverse-term-frequency I(F) combo:
+      tfn = (float)(tf * log2(1 + c*avgFieldLength/docLen))   NormalizationH2.cs:53
+      IF  = tfn * (float)log2(1 + (N+1)/(F+0.5)), F = ttf     BasicModelIF.cs:44-49
+      L   = 1/(tfn+1)                                         AfterEffectL.cs:33-36
+      score = boost * IF * L                                  DFRSimilarity.cs:120-124
+    """
+
+    name = "dfr_ifl2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N = ctx["max_doc"]
+        F = float(ts.ttf)
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        lg = math.log(1.0 + (N + 1) / (F + 0.5)) / _LOG2
+        if mode == "f32":
+            b = f32(boost)
+            lg_if = f32(lg)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                if_score = (tfn * lg_if).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * if_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                return boost * (tfn * lg) / (tfn + 1.0)
+        return sc
+
+
+class DFRSimilarityIneL2:
+    """DFRSimilarity(BasicModelIne, AfterEffectL, NormalizationH2(c=1)) --
+    the expected-document-count I(ne) combo:
+      ne  = N * (1 - ((N-1)/N)^F), F = ttf                    BasicModelIne.cs:44-50
+      Ine = tfn * (float)log2((N+1)/(ne+0.5))
+      L   = 1/(tfn+1);  score = boost * Ine * L
+    """
+
+    name = "dfr_inel2"
+    uses_coord = False
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        c = self.c
+        N = ctx["max_doc"]
+        F = float(ts.ttf)
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        ne = N * (1.0 - math.pow((N - 1) / float(N), F))
+        lg = math.log((N + 1) / (ne + 0.5)) / _LOG2
+        if mode == "f32":
+            b = f32(boost)
+            lg_ine = f32(lg)
+            cav = f32(f32(c) * avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr]
+                inner = np.float32(1.0) + (cav / dl).astype(np.float32)
+                tfn = (
+                    tf_arr.astype(np.float32).astype(np.float64)
+                    * (np.log(inner.astype(np.float64)) / _LOG2)
+                ).astype(np.float32)
+                ine_score = (tfn * lg_ine).astype(np.float32)
+                l_score = (np.float32(1.0) / (tfn + np.float32(1.0))).astype(np.float32)
+                return ((b * ine_score).astype(np.float32) * l_score).astype(np.float32)
+        else:
+            avgfl = float(avgfl32)
+
+            def sc(tf_arr, nb_arr):
+                dl = NORM_TABLE[nb_arr].astype(np.float64)
+                tfn = tf_arr.astype(np.float64) * np.log1p(c * avgfl / dl) / _LOG2
+                return boost * (tfn * lg) / (tfn + 1.0)
+        return sc
+
+
 class IBSimilaritySPL:
     """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2(c=1)):
       lambda = (df+1)/(N+1)                                   LambdaDF.cs:33-36
@@ -732,6 +826,10 @@ def make_similarity(name: str, **params):
         return DFRSimilarityPL2(params.get("c", 1.0))
     if name == "dfr_dl2":
         return DFRSimilarityDL2(params.get("c", 1.0))
+    if name == "dfr_ifl2":
+        return DFRSimilarityIFL2(params.get("c", 1.0))
+    if name == "dfr_inel2":
+        return DFRSimilarityIneL2(params.get("c", 1.0))
     if name == "dfr_inlh3":
         return DFRSimilarityInLH3(params.get("mu", 800.0))
     if name == "ib_spl_z":

@@ -205,3 +205,113 @@ class AnalyzingInfixSuggester(AnalyzingSuggester):
             .limit(n)
             .select("surface", "weight")
         )
+
+
+# stupid-backoff smoothing constant (FreeTextSuggester.cs:102, from Brants
+# et al. 2007 "Large language models in machine translation")
+FREE_TEXT_ALPHA = 0.4
+
+
+class FreeTextSuggester:
+    """FreeTextSuggester analogue (src/Lucene.Net.Suggest/Suggest/Analyzing/
+    FreeTextSuggester.cs): an ngram language model with stupid backoff.
+    Build counts every 1..grams-token shingle of the corpus (light analysis:
+    lowercase whitespace tokens, matching the reference's guidance that the
+    chain be "very light"); lookup predicts completions of the key's last
+    token from the highest-order model that has seen the context, backing
+    off by ALPHA per order (DoLookup, :595-790):
+
+      - the last g+1 key tokens form the order-(g+1) probe; a trailing
+        space "upgrades" every probe (predict a NEW token after a complete
+        one, :595-613);
+      - candidates are same-order grams extending the probe WITHOUT
+        crossing a token separator (TopNSearcher arc filter :829);
+      - score = backoff * count(gram) / count(context) -- context = the
+        probe minus its last token fragment, or the total token count for
+        unigrams (:680-700, :777);
+      - a last-token suggested by a higher-order model is skipped in lower
+        orders (the `seen` set, :752-770); results sort by score desc then
+        key, trimmed to num.
+
+    Spark-first split: the MODEL BUILD is the distributed part -- one
+    tokenize + shingle explode + groupBy over the whole corpus (the 100 TB
+    step; the count table is vocabulary-bounded).  A lookup is 1..grams
+    prefix-filtered top-k scans of that table (JVM-side filter + 
+    TakeOrderedAndProject; prefix pushdown applies when the table is
+    persisted sorted by gram), returning a driver-side list exactly like
+    the reference's List<LookupResult>."""
+
+    def __init__(self, df: DataFrame, text_col: str = "text", grams: int = 2):
+        self.grams = grams
+        toks = df.select(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "").alias("tk")
+        )
+        def shingler(n):
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("tk"), (i + j + 1).cast("int")) for j in range(n)]
+            )
+
+        parts = []
+        for n in range(1, grams + 1):
+            t = F.col("tk")
+            idx = F.sequence(F.lit(0), F.size(t) - n)
+            sh = F.transform(idx, shingler(n))
+            arr = F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+            parts.append(toks.select(F.lit(n).alias("n"), F.explode(arr).alias("gram")))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        self.counts = u.groupBy("n", "gram").agg(F.count("*").alias("cnt")).persist()
+        self.tot = (
+            self.counts.filter(F.col("n") == 1).agg(F.sum("cnt").alias("s")).first()["s"]
+        ) or 0
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        toks = [t for t in key.lower().split(" ") if t]
+        last: dict[int, str] = {}
+        for g in range(self.grams):
+            if len(toks) >= g + 1:
+                last[g] = " ".join(toks[-(g + 1):])
+        if key.endswith(" ") and key.strip():
+            for g in range(self.grams - 1, 0, -1):
+                if (g - 1) in last:
+                    last[g] = last[g - 1] + " "
+                else:
+                    last.pop(g, None)
+            last[0] = ""
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[tuple[str, float]] = []
+        for g in range(self.grams - 1, -1, -1):
+            token = last.get(g)
+            if token is None or (token == "" and key != ""):
+                continue  # not enough input: no backoff decay (:636-641)
+            cand = self.counts.filter(
+                (F.col("n") == g + 1) & F.col("gram").startswith(token)
+            )
+            if token:
+                # completion must not cross a separator (stay in-order)
+                cand = cand.filter(F.locate(" ", F.col("gram"), len(token) + 1) == 0)
+            rows = (
+                cand.orderBy(F.desc("cnt"), F.asc("gram"))
+                .limit(num + len(seen))
+                .collect()
+            )
+            if rows:
+                if " " in token:
+                    ctx = token[: token.rindex(" ")]
+                    crow = self.counts.filter(
+                        (F.col("n") == g) & (F.col("gram") == ctx)
+                    ).first()
+                    ctx_count = crow["cnt"]  # context always exists (:688)
+                else:
+                    ctx_count = self.tot
+                for r in rows:
+                    lt = r["gram"].rsplit(" ", 1)[-1]
+                    if lt in seen:
+                        continue
+                    seen.add(lt)
+                    results.append((r["gram"], backoff * r["cnt"] / ctx_count))
+            backoff *= FREE_TEXT_ALPHA
+        results.sort(key=lambda x: (-x[1], x[0]))
+        return results[:num]

@@ -1,0 +1,62 @@
+"""Per-bucket term Bloom filters (BloomFilteringPostingsFormat analogue):
+no false negatives ever, absent terms resolved driver-side with zero
+distributed reads, CheckIndex validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.check_index import check_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bloomidx"))
+    df = spark.createDataFrame(make_corpus(200, seed=31)).repartition(2)
+    build_index(spark, df, out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=4))
+    return out
+
+
+def test_no_false_negatives_over_vocab(spark, built):
+    s = IndexSearcher(spark, built)
+    vocab = [r["term"] for r in s._union_read("term_dict").select("term").collect()]
+    assert vocab
+    assert s._bloom_reject(vocab) == set()
+
+
+def test_absent_term_rejected_driver_side(spark, built):
+    s = IndexSearcher(spark, built)
+    absent = ["zzqx_nosuch", "qqqzz_nope", "xxyyzz_term"]
+    rejected = s._bloom_reject(absent)
+    assert rejected == set(absent)  # ~1% fp each; deterministic corpus
+    # lookup caches None without a term_dict job
+    assert s.lookup_terms(absent) == {}
+    assert all(s._term_cache[t] is None for t in absent)
+
+
+def test_present_terms_unaffected(spark, built):
+    s = IndexSearcher(spark, built)
+    got = s.lookup_terms(["compute", "merge"])
+    assert set(got) == {"compute", "merge"}
+    assert s.search({"type": "term", "term": "compute"}, 5).count() == 5
+
+
+def test_check_index_validates_blooms(spark, built):
+    rep = check_index(spark, built)
+    assert rep["checks"]["blooms"]["ok"], rep["checks"]["blooms"]
+    assert rep["ok"]
+
+
+def test_bloom_kernels_roundtrip():
+    from sparklucene.codec import bloom_build, bloom_contains, bloom_nbits
+
+    terms = [f"t{i}" for i in range(500)]
+    nbits = bloom_nbits(len(terms))
+    bits = bloom_build(terms, nbits)
+    assert all(bloom_contains(bits, nbits, t) for t in terms)
+    fp = sum(bloom_contains(bits, nbits, f"absent{i}") for i in range(2000))
+    assert fp < 2000 * 0.05  # ~1% design point, generous bound

@@ -1,0 +1,100 @@
+"""Statistical CJK segmentation (dictionary-less SmartCn stand-in):
+PMI bigram merging must recover planted multi-char words from a synthetic
+corpus, round-trip through manifest params, and work end-to-end in a
+build+search cycle via the cjk_stat analyzer."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sparklucene.cjkseg import StatCJKSegmenter
+
+# planted "words": fixed multi-char units; characters are NOT shared
+# between words, so within-word PMI is high and across-word PMI ~ 0
+WORDS = ["中国", "人民", "银行", "北京", "大学", "研究", "科学", "技术"]
+
+
+def _corpus(n=400, seed=7):
+    rng = random.Random(seed)
+    return [
+        "".join(rng.choice(WORDS) for _ in range(rng.randint(3, 8)))
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def seg():
+    return StatCJKSegmenter.train(_corpus())
+
+
+def test_recovers_planted_words(seg):
+    s = seg.segment("中国人民银行")
+    assert s == ["中国", "人民", "银行"]
+    assert seg.segment("北京大学") == ["北京", "大学"]
+    assert seg.segment("科学技术研究") == ["科学", "技术", "研究"]
+
+
+def test_single_and_unknown_chars(seg):
+    assert seg.segment("中") == ["中"]
+    assert seg.segment("") == []
+    # unseen characters never merge (PMI = -inf)
+    assert seg.segment("中乄") == ["中", "乄"]
+
+
+def test_params_roundtrip(seg):
+    clone = StatCJKSegmenter.from_params(seg.to_params())
+    assert clone.segment("中国人民") == seg.segment("中国人民")
+    import json
+
+    json.dumps(seg.to_params())  # manifest-serializable
+
+
+def test_max_word_cap():
+    # force everything to merge, then check the cap splits at 4
+    uni = {c: 10 for c in "abcdefgh"}
+    bi = {("abcdefgh"[i] + "abcdefgh"[i + 1]): 10 for i in range(7)}
+    seg = StatCJKSegmenter(uni, bi, 80, pmi_threshold=-10.0, max_word=4)
+    out = seg.segment("abcdefgh")
+    assert all(len(w) <= 4 for w in out)
+    assert "".join(out) == "abcdefgh"
+
+
+def test_train_spark_matches_local(spark):
+    texts = _corpus(100)
+    local = StatCJKSegmenter.train(texts)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    dist = StatCJKSegmenter.train_spark(df)
+    assert dist.uni == local.uni
+    assert dist.bi == local.bi
+    assert dist.total == local.total
+
+
+def test_end_to_end_build_search(spark, tmp_path_factory):
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+
+    texts = _corpus(60, seed=11)
+    seg = StatCJKSegmenter.train(texts)
+    an = make_analyzer("cjk_stat", **seg.to_params())
+    # analyzed form of a mixed CJK/latin doc: words + latin token
+    terms, _pos = an("中国人民 spark 北京大学")
+    assert terms == ["中国", "人民", "spark", "北京", "大学"]
+
+    out = str(tmp_path_factory.mktemp("cjkidx"))
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "zh", "content": t}
+        for i, t in enumerate(texts)
+    ]
+    build_index(
+        spark, spark.createDataFrame(rows), out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=2,
+                    analyzer="cjk_stat", analyzer_params=seg.to_params()),
+    )
+    s = IndexSearcher(spark, out)
+    hits = s.search({"type": "term", "term": "中国"}, 10)
+    assert hits.count() > 0
+    # the query side analyzes with the SAME manifest-persisted segmenter
+    assert s.analyze_query("中国人民") == ["中国", "人民"]

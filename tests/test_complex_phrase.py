@@ -1,0 +1,80 @@
+"""ComplexPhraseQueryParser parity: the full match matrix of the
+reference's TestComplexPhraseQuery.cs (docs "john smith" / "johathon
+smith" / "john percival smith" / "jackson waits tom"), plus parse-shape
+and error cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.parser import QueryParseError, parse_complex
+from sparklucene.search import IndexSearcher
+
+DOCS = ["john smith", "johathon smith", "john percival smith", "jackson waits tom"]
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cpqidx"))
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "txt", "content": c}
+        for i, c in enumerate(DOCS)
+    ]
+    build_index(spark, spark.createDataFrame(rows), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=1))
+    return IndexSearcher(spark, out)
+
+
+# (query, expected 1-based doc ids, in_order) -- TestComplexPhraseQuery.cs:53-82
+CASES = [
+    ('"john smith"', "1", True),
+    ('"j*   smyth~"', "1,2", True),
+    ('"(jo* -john)  smith"', "2", True),
+    ('"jo*  smith"~2', "1,2,3", True),
+    ('"jo* [sma TO smZ]" ', "1,2", True),
+    ('"john"', "1,3", True),
+    ('"(john OR johathon)  smith"', "1,2", True),
+    ('"(jo* -john) smyth~"', "2", True),
+    ('"john  nosuchword*"', "", True),
+    # top-level negative: reference comments this out as broken there; our
+    # span_not rewrite (:320-356) executes it as specified
+    ('"john -percival"', "1", True),
+    ('"smith jo*"~2', "", True),   # ordered proximity -> empty
+    ('"smith jo*"~2', "1,2,3", False),  # un-ordered proximity
+]
+
+
+@pytest.mark.parametrize("qs,want,in_order", CASES)
+def test_reference_match_matrix(searcher, qs, want, in_order):
+    q = parse_complex(qs, in_order=in_order)
+    got = sorted(r["docID"] + 1 for r in searcher.search(q, 10).collect())
+    assert got == ([int(x) for x in want.split(",")] if want else [])
+
+
+def test_parse_shapes():
+    q = parse_complex('"(john jon jonathan~) peters*"')
+    assert q["type"] == "span_near" and q["in_order"] is True
+    grp, pfx = q["clauses"]
+    assert grp["type"] == "span_or"
+    assert [c["type"] for c in grp["clauses"]] == [
+        "span_term", "span_term", "span_multi"
+    ]
+    assert pfx == {"type": "span_multi", "query": {"type": "prefix", "prefix": "peters"}}
+    # single plain term phrase stays a TermQuery (Rewrite :255-258)
+    assert parse_complex('"john"') == {"type": "term", "term": "john"}
+    # slop + boost survive
+    q = parse_complex('"jo* smith"~2^3')
+    assert q["slop"] == 2 and q["boost"] == 3.0
+    # phrases compose with the surrounding classic grammar
+    q = parse_complex('+"jo* smith" -waits')
+    assert q["type"] == "boolean"
+
+
+def test_bad_queries():
+    # mixing keyword fields inside a phrase (CheckPhraseClauseIsForSameField)
+    with pytest.raises(QueryParseError):
+        parse_complex('"jo* id:1 smith"', keyword_fields=("id",))
+    # a single multi-term element: Rewrite accepts only Term/Boolean contents
+    with pytest.raises(QueryParseError):
+        parse_complex('"jo*"')

@@ -229,3 +229,40 @@ def test_emb_neardup_chunked_equals_single_pass(spark):
         for r in embedding_neardup_pairs(emb, threshold=0.35, chunk_rows=7).collect()
     )
     assert one == many and one, "chunked sweep must equal the single pass"
+
+
+def test_ngram_jaccard_hot_shingle_skew(spark):
+    """Prefix filtering must stay EXACT under pathological skew: a
+    boilerplate preamble shared by half the corpus (the quadratic-blowup
+    shape) plus planted near-dup pairs.  Output == brute force."""
+    rng = np.random.default_rng(77)
+    boiler = "copyright license header all rights reserved by the authors"
+    docs = []
+    for i in range(60):
+        body = " ".join(
+            f"w{rng.integers(0, 40)}" for _ in range(int(rng.integers(8, 20)))
+        )
+        text = (boiler + " " + body) if i % 2 == 0 else body
+        docs.append((i, text))
+    docs.append((100, "unique pair alpha beta gamma delta epsilon zeta"))
+    docs.append((101, "unique pair alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dp.ngram_jaccard_pairs(df, threshold=0.6).collect()
+    }
+
+    def sh(text):
+        t = text.lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    expect = {}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        sa, sb = sh(ta), sh(tb)
+        inter = len(sa & sb)
+        if inter:
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= 0.6:
+                expect[(ia, ib)] = round(j, 4)
+    assert (100, 101) in expect  # planted pair is non-vacuous
+    assert got == expect

@@ -125,3 +125,34 @@ def test_wand_equals_exhaustive_with_deletes(seg_idx):
     ex = [(int(r["docID"]), float(r["score"])) for r in s.search(q, 10, mode="f32").collect()]
     wd = [(int(r["docID"]), float(r["score"])) for r in s.search_wand(q, 10, mode="f32").collect()]
     assert ex == wd
+
+
+def test_large_deletes_dataframe_path(spark, tmp_path_factory):
+    """set_live_docs_df above the materialize threshold: deletes stay a
+    DataFrame anti-join (no driver array), results identical to the
+    broadcast-array fast path."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.corpus import make_corpus
+    from sparklucene.search import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("deldf"))
+    df = spark.createDataFrame(make_corpus(120, seed=3)).repartition(2)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+
+    dels = spark.createDataFrame([(i,) for i in range(0, 120, 3)], "docID long")
+    q = {"type": "term", "term": "compute"}
+
+    fast = IndexSearcher(spark, out)
+    fast.set_live_docs_df(dels)          # under threshold -> broadcast path
+    assert fast._deleted_bc is not None and fast._deleted_df is None
+    want = [(r["docID"], r["score"]) for r in fast.search(q, 50).collect()]
+
+    big = IndexSearcher(spark, out)
+    big.deletes_materialize_threshold = 0  # force the DataFrame path
+    big.set_live_docs_df(dels)
+    assert big._deleted_df is not None and big._deleted_bc is None
+    got = [(r["docID"], r["score"]) for r in big.search(q, 50).collect()]
+    assert got == want
+    assert all(d % 3 != 0 for d, _ in got)
+    # docs() excludes deleted rows on both paths
+    assert big.docs().count() == fast.docs().count() == 80

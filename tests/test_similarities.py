@@ -61,7 +61,7 @@ SIM_QUERIES = [
 @pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "lm_jelinek_mercer",
                                  "dfr_inl2", "ib_spl", "dfr_gb2", "ib_ll",
                                  "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2",
-                                 "dfr_inlh3", "ib_spl_z"])
+                                 "dfr_inlh3", "ib_spl_z", "dfr_ifl2", "dfr_inel2"])
 @pytest.mark.parametrize("qid,query", SIM_QUERIES)
 def test_sim_rank_and_score_identical(searcher, oracle_idx, sim, qid, query):
     k = 25

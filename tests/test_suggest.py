@@ -97,3 +97,41 @@ def test_analyzing_infix_suggester(spark):
     # all_terms_required=False: any clause may match
     got3 = [r["surface"] for r in sug.lookup("doom qu", 5, all_terms_required=False).collect()]
     assert "queue of doom" in got3 and "quick brown fox" in got3
+
+
+def test_freetext_suggester_reference_basic(spark):
+    """TestFreeTextSuggester.TestBasic (reference
+    src/Lucene.Net.Tests.Suggest/Suggest/Analyzing/TestFreeTextSuggester.cs:39-66)
+    reproduced bit-for-bit at 2 decimals: bigram model + unigram stupid
+    backoff (ALPHA=0.4), trailing-space upgrade, seen-last-token dedup."""
+    from sparklucene.suggest import FreeTextSuggester
+
+    df = spark.createDataFrame(
+        [("foo bar baz blah",), ("boo foo bar foo bee",)], "text string")
+    sug = FreeTextSuggester(df, grams=2)
+
+    def fmt(res):
+        return " ".join(f"{k}/{s:.2f}" for k, s in res)
+
+    assert fmt(sug.lookup("foo b", 10)) == \
+        "foo bar/0.67 foo bee/0.33 baz/0.04 blah/0.04 boo/0.04"
+    assert fmt(sug.lookup("foo ", 10)) == "foo bar/0.67 foo bee/0.33"
+    assert fmt(sug.lookup("foo", 10)) == "foo/0.33"
+    assert fmt(sug.lookup("b", 10)) == \
+        "bar/0.22 baz/0.11 bee/0.11 blah/0.11 boo/0.11"
+
+
+def test_freetext_trigram_backoff_chain(spark):
+    """grams=3: an unseen trigram context decays through 0.4 then 0.16."""
+    from sparklucene.suggest import FreeTextSuggester
+
+    df = spark.createDataFrame(
+        [("a b c",), ("a b d",), ("x b c",), ("c e",)], "text string")
+    sug = FreeTextSuggester(df, grams=3)
+    # trigram 'a b *': a b c (1), a b d (1); ctx 'a b' count 2
+    got = dict(sug.lookup("a b ", 10))
+    assert got["a b c"] == 0.5 and got["a b d"] == 0.5
+    # bigram backoff suggests 'b e'? no such bigram; 'b c' lastToken c seen,
+    # 'b d' seen -> unigram backoff adds nothing new beyond seen tokens
+    # unseen context: 'q q ' has no trigram/bigram/unigram completions
+    assert sug.lookup("zz qq ", 10) == []
