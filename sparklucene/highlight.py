@@ -90,3 +90,238 @@ def highlight_df(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# FastVectorHighlighter analogue
+# (src/Lucene.Net.Highlighter/VectorHighlight/FastVectorHighlighter.cs:288
+# family).  PHRASE-AWARE highlighting: only full query phrases highlight
+# (FieldPhraseList's greedy longest-match over position-consecutive terms,
+# FieldPhraseList.cs:63-140), fragments are built with the margin/centering
+# math of BaseFragListBuilder.cs:55-117 and rendered with
+# BaseFragmentsBuilder.MakeFragment + SimpleBoundaryScanner word-boundary
+# snapping (SimpleBoundaryScanner.cs:28-95).  The reference reads term
+# vectors; our stored fields hold the text, so the per-doc term stream is
+# re-derived by the same analyzer with offsets AND positions -- identical
+# data, different storage.
+# ---------------------------------------------------------------------------
+
+_BOUNDARY_CHARS = frozenset(".,!? \t\n")
+_MAX_SCAN = 20
+_MARGIN = 6
+
+
+def analyze_offsets_positions(text: str) -> list[tuple[str, int, int, int]]:
+    """(term, start, end, position) stream; positions advance across
+    removed stopwords exactly like the index chain (StopFilter posIncr)."""
+    out: list[tuple[str, int, int, int]] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        cand = m.group()
+        base = m.start()
+        pieces = _split_candidate(cand) if _MID_RE.search(cand) else [cand]
+        off = 0
+        for p in pieces:
+            idx = cand.index(p, off)
+            off = idx + len(p)
+            if not p or len(p) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            low = p.lower()
+            if low in ENGLISH_STOP_WORDS:
+                pos += 1
+                continue
+            out.append((low, base + idx, base + idx + len(p), pos))
+            pos += 1
+    return out
+
+
+def _phrase_trie(phrases: list[tuple[tuple[str, ...], float]]) -> dict:
+    """QueryPhraseMap analogue: trie of query term sequences; node key
+    '$' marks a terminal with its boost (FieldQuery.QueryPhraseMap)."""
+    root: dict = {}
+    for terms, boost in phrases:
+        node = root
+        for t in terms:
+            node = node.setdefault(t, {})
+        node["$"] = boost
+    return root
+
+
+def field_phrase_list(
+    toks: list[tuple[str, int, int, int]],
+    phrases: list[tuple[tuple[str, ...], float]],
+) -> list[tuple[int, int, float, list[tuple[int, int]]]]:
+    """FieldPhraseList: non-overlapping (start, end, boost, term_offsets)
+    matches, greedy-longest over position-consecutive tokens
+    (FieldPhraseList.cs:63-140 incl. the shrink-and-retry backtrack)."""
+    trie = _phrase_trie(phrases)
+    out: list[tuple[int, int, float, list[tuple[int, int]]]] = []
+    last_end = -1
+    i, n = 0, len(toks)
+    while i < n:
+        term = toks[i][0]
+        if term not in trie:
+            i += 1
+            continue
+        # extend the longest candidate along consecutive positions
+        cand = [i]
+        node = trie[term]
+        j = i + 1
+        while (j < n and toks[j][0] in node
+               and toks[j][3] == toks[j - 1][3] + 1):
+            node = node[toks[j][0]]
+            cand.append(j)
+            j += 1
+        # backtrack to the longest VALID (terminal) prefix
+        while cand:
+            node = trie[toks[cand[0]][0]]
+            for k in cand[1:]:
+                node = node[toks[k][0]]
+            if "$" in node:
+                break
+            cand.pop()
+        if not cand:
+            i += 1
+            continue
+        start = toks[cand[0]][1]
+        end = toks[cand[-1]][2]
+        if start >= last_end:  # AddIfNoOverlap
+            # consecutive-position terms merge into ONE highlight span
+            # (WeightedPhraseInfo ctor, FieldPhraseList.cs:247-268):
+            # a phrase match renders <b>Internet Explorer</b>, not two tags
+            toffs: list[list[int]] = [[toks[cand[0]][1], toks[cand[0]][2]]]
+            prev_pos = toks[cand[0]][3]
+            for k in cand[1:]:
+                if toks[k][3] - prev_pos == 1:
+                    toffs[-1][1] = toks[k][2]
+                else:
+                    toffs.append([toks[k][1], toks[k][2]])
+                prev_pos = toks[k][3]
+            out.append((start, end, float(node["$"]),
+                        [(a, b) for a, b in toffs]))
+            last_end = end
+        i = cand[-1] + 1
+    return out
+
+
+def _find_start_offset(text: str, start: int) -> int:
+    if start > len(text) or start < 1:
+        return start
+    offset, count = start, _MAX_SCAN
+    while offset > 0 and count > 0:
+        if text[offset - 1] in _BOUNDARY_CHARS:
+            return offset
+        offset -= 1
+        count -= 1
+    return 0 if offset == 0 else start
+
+
+def _find_end_offset(text: str, start: int) -> int:
+    if start > len(text) or start < 0:
+        return start
+    offset, count = start, _MAX_SCAN
+    while offset < len(text) and count > 0:
+        if text[offset] in _BOUNDARY_CHARS:
+            return offset
+        offset += 1
+        count -= 1
+    return len(text) if offset == len(text) else start
+
+
+def fvh_best_fragments(
+    text: str, phrases: list[tuple[tuple[str, ...], float]],
+    frag_char_size: int = 100, max_fragments: int = 3,
+    pre: str = "<b>", post: str = "</b>",
+) -> list[tuple[str, float]]:
+    """FastVectorHighlighter.GetBestFragments: -> [(fragment, score)],
+    score-ordered (ScoreOrderFragmentsBuilder), at most max_fragments.
+    Fragments are centered on their phrase span (BaseFragListBuilder.cs:
+    103-113) and snapped to word boundaries (SimpleBoundaryScanner)."""
+    toks = analyze_offsets_positions(text)
+    infos = field_phrase_list(toks, phrases)
+    # BaseFragListBuilder.CreateFieldFragList
+    frags: list[tuple[int, int, list, float]] = []
+    start_offset = 0
+    qi = 0
+    while qi < len(infos):
+        info = infos[qi]
+        if info[0] < start_offset:
+            qi += 1
+            continue
+        wpil = []
+        cur_start, cur_end = info[0], info[1]
+        span_start = max(cur_start - _MARGIN, start_offset)
+        span_end = max(cur_end, span_start + frag_char_size)
+        if len(info[3]) <= 1 or (cur_end - cur_start) <= frag_char_size:
+            wpil.append(info)
+        qi += 1
+        while qi < len(infos):
+            nxt = infos[qi]
+            if nxt[1] <= span_end:
+                cur_end = nxt[1]
+                if len(nxt[3]) <= 1 or (cur_end - cur_start) <= frag_char_size:
+                    wpil.append(nxt)
+                qi += 1
+            else:
+                break
+        if not wpil:
+            continue
+        match_len = cur_end - cur_start
+        new_margin = max(0, (frag_char_size - match_len) // 2)
+        span_start = max(cur_start - new_margin, start_offset)
+        span_end = span_start + max(match_len, frag_char_size)
+        start_offset = span_end
+        frags.append((span_start, span_end, wpil, sum(w[2] for w in wpil)))
+    # ScoreOrderFragmentsBuilder: score desc (stable on input order)
+    frags.sort(key=lambda f: -f[3])
+    out: list[tuple[str, float]] = []
+    for span_start, span_end, wpil, score in frags[:max_fragments]:
+        eo = len(text) if len(text) < span_end else _find_end_offset(text, span_end)
+        mso = _find_start_offset(text, span_start)
+        src = text[mso:eo]
+        fragment = []
+        src_index = 0
+        for info in wpil:
+            for (ts, te) in info[3]:
+                fragment.append(src[src_index:ts - mso])
+                fragment.append(pre)
+                fragment.append(src[ts - mso:te - mso])
+                fragment.append(post)
+                src_index = te - mso
+        fragment.append(src[src_index:])
+        out.append(("".join(fragment), float(score)))
+    return out
+
+
+def fvh_df(
+    df: DataFrame, text_col: str,
+    phrases: list[tuple[tuple[str, ...], float]],
+    frag_char_size: int = 100, max_fragments: int = 3,
+    pre: str = "<b>", post: str = "</b>",
+) -> DataFrame:
+    """Batch FastVectorHighlighter: adds `fragments array<string>` and
+    `frag_score double` (best fragment's score) columns; one Arrow pass,
+    no shuffle -- highlighting stays embarrassingly parallel at any scale."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("fragments", T.ArrayType(T.StringType())),
+           T.StructField("frag_score", T.DoubleType())]
+    )
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            frags_col, score_col = [], []
+            for txt in pdf[text_col]:
+                fr = fvh_best_fragments(
+                    txt if isinstance(txt, str) else "", phrases,
+                    frag_char_size, max_fragments, pre, post,
+                )
+                frags_col.append([f for f, _ in fr])
+                score_col.append(float(fr[0][1]) if fr else 0.0)
+            pdf = pdf.copy()
+            pdf["fragments"] = frags_col
+            pdf["frag_score"] = score_col
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -59,3 +59,75 @@ def test_more_like_this(mlt_engine):
     hits = searcher.more_like_this(ordered[doc_id]["content"], max_terms=6, k=5).collect()
     assert hits
     assert any(r["docID"] == doc_id for r in hits[:3])
+
+
+NETSCAPE = (
+    "Netscape was the general name for a series of web browsers originally "
+    "produced by Netscape Communications Corporation, now a subsidiary of AOL "
+    "The original browser was once the dominant browser in terms of usage "
+    "share, but as a result of the first browser war it lost virtually all of "
+    "its share to Internet Explorer Netscape was discontinued and support for "
+    "all Netscape browsers and client products was terminated on March 1, 2008 "
+    "Netscape Navigator was the name of Netscape's web browser from versions "
+    "1.0 through 4.8 The first beta release versions of the browser were "
+    "released in 1994 and known as Mosaic and then Mosaic Netscape until a "
+    "legal challenge from the National Center for Supercomputing Applications "
+    "(makers of NCSA Mosaic, which many of Netscape's founders used to "
+    "develop), led to the name change to Netscape Navigator The company's "
+    "name also changed from Mosaic Communications Corporation to Netscape "
+    "Communications Corporation The browser was easily the most advanced..."
+)
+
+
+def test_fvh_reference_simple_centering():
+    """FastVectorHighlighterTest.TestSimpleHighlightTest expectations
+    (reference :56-62): fragments are centered and boundary-snapped."""
+    from sparklucene.highlight import fvh_best_fragments
+
+    text = "This is a test where foo is highlighed and should be highlighted"
+    cases = [
+        (54, "This is a test where <b>foo</b> is highlighed and should be highlighted"),
+        (52, "This is a test where <b>foo</b> is highlighed and should be"),
+        (30, "a test where <b>foo</b> is highlighed"),
+    ]
+    for size, want in cases:
+        got = fvh_best_fragments(text, [(("foo",), 1.0)], size, 1)
+        assert got and got[0][0] == want, (size, got)
+
+
+def test_fvh_reference_phrase_vs_boolean():
+    """TestPhraseHighlightLongTextTest (:92-108): a PHRASE match merges the
+    consecutive terms into one tag pair; a boolean of the same terms tags
+    each term separately."""
+    from sparklucene.highlight import fvh_best_fragments
+
+    got = fvh_best_fragments(NETSCAPE, [(("internet",), 1.0), (("explorer",), 1.0)], 128, 1)
+    assert got[0][0] == (
+        "first browser war it lost virtually all of its share to <b>Internet</b> "
+        "<b>Explorer</b> Netscape was discontinued and support for all Netscape browsers")
+    got = fvh_best_fragments(NETSCAPE, [(("internet", "explorer"), 1.0)], 128, 1)
+    assert got[0][0] == (
+        "first browser war it lost virtually all of its share to <b>Internet Explorer</b> "
+        "Netscape was discontinued and support for all Netscape browsers")
+
+
+def test_fvh_phrase_requires_adjacency():
+    """phraseHighlight: the phrase only matches position-consecutive terms."""
+    from sparklucene.highlight import field_phrase_list, analyze_offsets_positions, fvh_best_fragments
+
+    toks = analyze_offsets_positions("internet gap explorer")
+    assert field_phrase_list(toks, [(("internet", "explorer"), 1.0)]) == []
+    # greedy longest: trie with both ("a",) and ("a","b") prefers the longer
+    toks = analyze_offsets_positions("a1 b1 c1")
+    m = field_phrase_list(toks, [(("a1",), 1.0), (("a1", "b1"), 2.0)])
+    assert len(m) == 1 and m[0][2] == 2.0 and m[0][3] == [(0, 5)]
+
+
+def test_fvh_multiple_fragments_score_order():
+    from sparklucene.highlight import fvh_best_fragments
+
+    text = ("alpha beta gamma. " * 3) + "zzz " * 30 + "alpha beta. " + "yyy " * 30
+    frags = fvh_best_fragments(text, [(("alpha", "beta"), 1.0)], 40, 5)
+    assert len(frags) >= 2
+    assert frags == sorted(frags, key=lambda f: -f[1])
+    assert all("<b>alpha beta" in f for f, _ in frags)
