@@ -440,6 +440,42 @@ def _spatial_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spatial_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc RECTANGLES derived from doc_id (non-point
+    shapes; both engine and oracle derive the same rects)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    mnla = (F.col("doc_id") * 7919 % 14000) / 100.0 - 70.0
+    mnlo = (F.col("doc_id") * 104729 % 30000) / 100.0 - 150.0
+    return docs.select(
+        "doc_id",
+        mnla.alias("min_lat"),
+        (mnla + (F.col("doc_id") % 23) + 1.0).alias("max_lat"),
+        mnlo.alias("min_lon"),
+        (mnlo + (F.col("doc_id") % 31) + 1.0).alias("max_lon"),
+    )
+
+
+def _q_spatial_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RectShapeStrategy: the SpatialOperation predicate set over non-point
+    (rectangle) shapes (Query/SpatialOperation.cs; SerializedDVStrategy's
+    per-doc shape predicates as native range comparisons).  One row per
+    (doc, satisfied op) for three ops against a fixed query rect."""
+    from sparklucene.spatial import RectShapeStrategy
+
+    rects = _spatial_rects(spark, sf_dir)
+    st = RectShapeStrategy()
+    q = (-30.0, 40.0, -60.0, 90.0)
+    parts = []
+    for op in ("intersects", "is_within", "is_disjoint_to"):
+        parts.append(
+            st.search(rects, op, *q).select("doc_id", F.lit(op).alias("op"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id", "op")
+
+
 def _q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointVectorStrategy bbox (Vector/PointVectorStrategy.cs MakeWithin):
     two native BETWEENs, constant score like the reference's filters."""
@@ -785,6 +821,17 @@ def _q_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     q = parse_complex('"(tab* OR merg*) hash"~3')
     return _topk_df(s, q, 15)
+
+
+def _q_surround_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surround query language: 'tab* 4w hash' (ordered distance-4 op over
+    a truncated term) parses to span_near(span_multi(tab*), hash, slop=3)
+    -- DistanceQuery.cs:108 slop = opDistance-1.  Full reference
+    Test02Boolean/Test03Distance matrices in tests/test_surround.py."""
+    from sparklucene.surround import parse_surround
+
+    s = _searcher(spark, sf_dir)
+    return _topk_df(s, parse_surround("tab* 4w hash"), 15)
 
 
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dfr_beb1"] = _q_dfr_beb1
     out["ib_spl_h1"] = _q_ib_spl_h1
     out["spatial_bbox"] = _q_spatial_bbox
+    out["spatial_shapes"] = _q_spatial_shapes
     out["spatial_circle"] = _q_spatial_circle
     out["spatial_knn"] = _q_spatial_knn
     out["dfr_pl2"] = _q_dfr_pl2
@@ -1239,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near"] = _q_span_near
     out["span_nested"] = _q_span_nested
     out["complex_phrase"] = _q_complex_phrase
+    out["surround_near"] = _q_surround_near
     out["multi_phrase_slop"] = _q_multi_phrase_slop
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
@@ -1302,9 +1351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parser, FreeText suggester, DFR IF/Ine, the now-value-checked ANN
     # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
     round4 = [
-        "complex_phrase", "freetext_suggest", "dfr_ifl2", "dfr_inel2",
-        "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup", "phrase",
-        "sloppy_phrase", "span_near", "multi_phrase",
+        "complex_phrase", "surround_near", "freetext_suggest", "dfr_ifl2",
+        "dfr_inel2", "spatial_shapes", "ann_lsh", "ann_ivf", "ngram_jaccard",
+        "emb_neardup", "phrase", "sloppy_phrase", "span_near", "multi_phrase",
+        "span_not",
     ]
     ordered = {k: out[k] for k in round4 + first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
@@ -1877,6 +1927,23 @@ ORDER BY doc_id"""
 d AS (SELECT doc_id, {_hav.format(lat=10.0, lon=20.0)} AS dist FROM pts)
 SELECT doc_id, round(dist, 4) AS dist_km FROM d
 WHERE dist <= 3000.0 ORDER BY doc_id"""
+    sqls["spatial_shapes"] = """
+WITH rects AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 AS mnla,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 + (doc_id % 23) + 1.0 AS mxla,
+         (doc_id * 104729 % 30000) / 100.0 - 150.0 AS mnlo,
+         (doc_id * 104729 % 30000) / 100.0 - 150.0 + (doc_id % 31) + 1.0 AS mxlo
+  FROM documents
+),
+i AS (SELECT doc_id, 'intersects' AS op FROM rects
+      WHERE mnla <= 40.0 AND mxla >= -30.0 AND mnlo <= 90.0 AND mxlo >= -60.0),
+w AS (SELECT doc_id, 'is_within' AS op FROM rects
+      WHERE mnla >= -30.0 AND mxla <= 40.0 AND mnlo >= -60.0 AND mxlo <= 90.0),
+d AS (SELECT doc_id, 'is_disjoint_to' AS op FROM rects
+      WHERE NOT (mnla <= 40.0 AND mxla >= -30.0 AND mnlo <= 90.0 AND mxlo >= -60.0))
+SELECT doc_id, op FROM (SELECT * FROM i UNION ALL SELECT * FROM w UNION ALL SELECT * FROM d)
+ORDER BY doc_id, op"""
     sqls["spatial_knn"] = f"""WITH {_pts},
 d AS (SELECT doc_id, {_hav.format(lat=48.8, lon=2.3)} AS dist FROM pts)
 SELECT doc_id, round(dist, 4) AS dist_km FROM d
@@ -2033,6 +2100,9 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     sqls["span_nested"] = _near2_sql(
         ["table", "merge"], ["hash"], 3, ["table", "merge", "hash"], 15
     )
+    # surround 'tab* 4w hash': tab* expands to {table}; ordered distance-4
+    # = slop 3 -> identical pair-rule oracle as span_near
+    sqls["surround_near"] = _near2_sql(["table"], ["hash"], 3, ["table", "hash"], 15)
     # complex_phrase '"(tab* OR merg*) hash"~3': at sf testdata vocabulary
     # tab* expands to {table} and merg* to {merge}, so the span tree equals
     # near(or(table, merge), hash) and the same fuzz-verified pair rule is

@@ -302,3 +302,53 @@ class GeohashStrategy:
         return df.filter(self._cells_filter(cells)).filter(
             bbox_filter(self.lat_col, self.lon_col, lat0, lat1, lon0, lon1)
         )
+
+
+class RectShapeStrategy:
+    """Non-point shapes: per-doc RECTANGLES with the full SpatialOperation
+    predicate set (Query/SpatialOperation.cs registry; the serialized-shape
+    strategy SerializedDVStrategy.cs:351 evaluates these per doc from a
+    BinaryDocValues blob -- the columnar re-expression stores the rect as
+    four native columns, so every predicate is a whole-stage-codegen range
+    comparison with parquet min/max pruning instead of a per-doc
+    deserialization).  No dateline wrap (same simplification as the point
+    strategies)."""
+
+    def __init__(self, min_lat: str = "min_lat", max_lat: str = "max_lat",
+                 min_lon: str = "min_lon", max_lon: str = "max_lon"):
+        self.cols = (min_lat, max_lat, min_lon, max_lon)
+
+    def _pred(self, op: str, lat0: float, lat1: float,
+              lon0: float, lon1: float) -> Column:
+        mnla, mxla, mnlo, mxlo = (F.col(c) for c in self.cols)
+        intersects = (
+            (mnla <= lat1) & (mxla >= lat0) & (mnlo <= lon1) & (mxlo >= lon0)
+        )
+        within = (
+            (mnla >= lat0) & (mxla <= lat1) & (mnlo >= lon0) & (mxlo <= lon1)
+        )
+        contains = (
+            (mnla <= lat0) & (mxla >= lat1) & (mnlo <= lon0) & (mxlo >= lon1)
+        )
+        ops = {
+            "intersects": intersects,
+            "bbox_intersects": intersects,
+            "is_within": within,
+            "bbox_within": within,
+            "contains": contains,
+            "is_disjoint_to": ~intersects,
+            "is_equal_to": (
+                (mnla == lat0) & (mxla == lat1) & (mnlo == lon0) & (mxlo == lon1)
+            ),
+            "overlaps": intersects & ~within & ~contains,
+        }
+        if op not in ops:
+            raise ValueError(f"unknown spatial operation {op!r}")
+        return ops[op]
+
+    def search(self, df: DataFrame, op: str, lat0: float, lat1: float,
+               lon0: float, lon1: float) -> DataFrame:
+        """Docs whose rect satisfies `op` against the query rect
+        [lat0,lat1]x[lon0,lon1]; constant score (the reference wraps these
+        in ConstantScoreQuery)."""
+        return df.filter(self._pred(op, lat0, lat1, lon0, lon1))

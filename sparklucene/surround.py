@@ -1,0 +1,227 @@
+"""Surround query language parser -> JSON query trees.
+
+Re-implements (from scratch) the grammar and semantics of the reference's
+Surround parser (src/Lucene.Net.QueryParser/Surround/Parser/QueryParser.cs,
+JavaCC; Query/DistanceQuery.cs:108 SpanNearQuery(slop = opDistance-1)):
+
+  - infix distance ops `a W b` / `a N b` with optional distance prefix
+    2-99 (`a 3W b`): W = ordered, N = unordered; distance 1 = adjacent
+    (slop 0); LEFT-ASSOCIATIVE BINARY nesting (`w1 2W w2 2W w3` =
+    (w1 2W w2) 2W w3, QueryParser.cs:337-396)
+  - prefix n-ary forms `2W(a,b,c)` / `N(a,b)` / `AND(...)` / `OR(...)`
+  - infix AND / OR / NOT (n-ary accumulation), precedence
+    OR < AND < NOT < N < W < primary (the JavaCC production chain)
+  - operators are case-insensitive (package.md:42)
+  - terms: plain, suffix-truncated `word*` (prefix query), embedded
+    wildcards `w?rd*` (truncated query); distance subqueries may be
+    terms, truncations, OR groups, or nested distance ops -- AND/NOT
+    inside a distance op is the reference's ParseException
+    (DistanceQuery.DistanceSubQueryNotAllowed)
+
+Distance ops execute as span trees (span_near / span_or / span_multi) on
+the existing engine; boolean ops as boolean trees.  Surround semantics are
+match-oriented (the reference test harness compares doc sets), so scoring
+follows the engine's span/BM25 scoring.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .parser import QueryParseError
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)|"
+    r"(?P<term>[^\s(),]+))"
+)
+_OP_RE = re.compile(r"^(?:(\d{1,2})?([wn])|(and)|(or)|(not))$", re.IGNORECASE)
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if m is None or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot lex surround query at {text[pos:]!r}")
+        pos = m.end()
+        for kind in ("lparen", "rparen", "comma", "term"):
+            if m.group(kind):
+                out.append((kind.upper(), m.group(kind)))
+                break
+    return out
+
+
+def _op_of(tok: str):
+    """-> ('W'|'N', distance) | 'AND' | 'OR' | 'NOT' | None."""
+    m = _OP_RE.match(tok)
+    if not m:
+        return None
+    if m.group(2):
+        return (m.group(2).upper(), int(m.group(1)) if m.group(1) else 1)
+    return (m.group(3) or m.group(4) or m.group(5)).upper()
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def _peek_infix(self, wanted):
+        kind, tok = self.peek()
+        if kind != "TERM":
+            return None
+        op = _op_of(tok)
+        if op is None:
+            return None
+        if isinstance(op, tuple) and op[0] in wanted:
+            return op
+        if op in wanted:
+            return op
+        return None
+
+    # precedence chain: or < and < not < N < W < primary
+    def or_query(self):
+        qs = [self.and_query()]
+        while self._peek_infix(("OR",)):
+            self.next()
+            qs.append(self.and_query())
+        return qs[0] if len(qs) == 1 else {"op": "OR", "qs": qs}
+
+    def and_query(self):
+        qs = [self.not_query()]
+        while self._peek_infix(("AND",)):
+            self.next()
+            qs.append(self.not_query())
+        return qs[0] if len(qs) == 1 else {"op": "AND", "qs": qs}
+
+    def not_query(self):
+        qs = [self.n_query()]
+        while self._peek_infix(("NOT",)):
+            self.next()
+            qs.append(self.n_query())
+        return qs[0] if len(qs) == 1 else {"op": "NOT", "qs": qs}
+
+    def n_query(self):
+        q = self.w_query()
+        while True:
+            op = self._peek_infix(("N",))
+            if not op:
+                return q
+            self.next()
+            q = {"op": "DIST", "d": op[1], "ordered": False,
+                 "qs": [q, self.w_query()]}
+
+    def w_query(self):
+        q = self.primary()
+        while True:
+            op = self._peek_infix(("W",))
+            if not op:
+                return q
+            self.next()
+            q = {"op": "DIST", "d": op[1], "ordered": True,
+                 "qs": [q, self.primary()]}
+
+    def primary(self):
+        kind, tok = self.peek()
+        if kind == "LPAREN":
+            self.next()
+            q = self.or_query()
+            k2, _ = self.next()
+            if k2 != "RPAREN":
+                raise QueryParseError("expected ) in surround query")
+            return q
+        if kind != "TERM":
+            raise QueryParseError(f"unexpected {tok!r} in surround query")
+        op = _op_of(tok)
+        if op is not None and self.toks[self.i + 1: self.i + 2] \
+                and self.toks[self.i + 1][0] == "LPAREN":
+            # prefix operator form: AND(...) OR(...) nW(...) nN(...)
+            self.next()
+            self.next()  # LPAREN
+            qs = [self.or_query()]
+            while self.peek()[0] == "COMMA":
+                self.next()
+                qs.append(self.or_query())
+            k2, _ = self.next()
+            if k2 != "RPAREN":
+                raise QueryParseError("expected ) after prefix operator list")
+            if isinstance(op, tuple):
+                return {"op": "DIST", "d": op[1], "ordered": op[0] == "W", "qs": qs}
+            if op == "NOT":
+                raise QueryParseError("NOT has no prefix form in surround")
+            return {"op": op, "qs": qs}
+        self.next()
+        return {"op": "TERM", "t": tok.lower()}
+
+
+def _leaf(t: str) -> dict:
+    if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+        return {"type": "prefix", "prefix": t[:-1]}
+    if "*" in t or "?" in t:
+        return {"type": "wildcard", "pattern": t}
+    return {"type": "term", "term": t}
+
+
+def _to_span(node: dict) -> dict:
+    """Distance-subquery conversion (DistanceQuery.AddSpanQueries contract:
+    terms, truncations, OR groups, nested distances)."""
+    op = node["op"]
+    if op == "TERM":
+        leaf = _leaf(node["t"])
+        if leaf["type"] == "term":
+            return {"type": "span_term", "term": leaf["term"]}
+        return {"type": "span_multi", "query": leaf}
+    if op == "OR":
+        return {"type": "span_or", "clauses": [_to_span(q) for q in node["qs"]]}
+    if op == "DIST":
+        return {
+            "type": "span_near",
+            "clauses": [_to_span(q) for q in node["qs"]],
+            "slop": node["d"] - 1,
+            "in_order": node["ordered"],
+        }
+    raise QueryParseError(
+        f"operator {op} not allowed inside a distance operator"
+    )
+
+
+def _to_query(node: dict) -> dict:
+    op = node["op"]
+    if op == "TERM":
+        return _leaf(node["t"])
+    if op == "DIST":
+        return _to_span(node)
+    if op in ("OR", "AND"):
+        occur = "SHOULD" if op == "OR" else "MUST"
+        return {
+            "type": "boolean",
+            "clauses": [{"occur": occur, "query": _to_query(q)} for q in node["qs"]],
+        }
+    if op == "NOT":
+        clauses = [{"occur": "MUST", "query": _to_query(node["qs"][0])}]
+        clauses += [
+            {"occur": "MUST_NOT", "query": _to_query(q)} for q in node["qs"][1:]
+        ]
+        return {"type": "boolean", "clauses": clauses}
+    raise QueryParseError(f"unknown surround node {op}")
+
+
+def parse_surround(text: str) -> dict:
+    """Parse a Surround query string -> JSON query tree for
+    IndexSearcher.search."""
+    p = _P(_lex(text))
+    ast = p.or_query()
+    if p.peek()[0] is not None:
+        raise QueryParseError(f"trailing input in surround query: {p.peek()[1]!r}")
+    return _to_query(ast)

@@ -162,3 +162,30 @@ def test_nearest_k(points_df):
     assert [d for d, _ in got] == [d for d, _ in brute]
     for (_, g), (_, w) in zip(got, brute):
         assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_rect_shape_operations(spark):
+    from sparklucene.spatial import RectShapeStrategy
+
+    rows = [
+        # (id, min_lat, max_lat, min_lon, max_lon)
+        (0, 0.0, 10.0, 0.0, 10.0),     # inside query
+        (1, -5.0, 5.0, -5.0, 5.0),     # overlaps query corner
+        (2, 30.0, 40.0, 30.0, 40.0),   # disjoint
+        (3, -90.0, 90.0, -180.0, 180.0),  # contains query
+        (4, 0.0, 20.0, 0.0, 20.0),     # equals query rect
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, min_lat double, max_lat double, min_lon double, max_lon double")
+    st = RectShapeStrategy()
+    q = (0.0, 20.0, 0.0, 20.0)
+
+    def ids(op):
+        return sorted(r["doc_id"] for r in st.search(df, op, *q).collect())
+
+    assert ids("intersects") == [0, 1, 3, 4]
+    assert ids("is_within") == [0, 4]
+    assert ids("contains") == [3, 4]
+    assert ids("is_disjoint_to") == [2]
+    assert ids("is_equal_to") == [4]
+    assert ids("overlaps") == [1]

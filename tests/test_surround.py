@@ -1,0 +1,165 @@
+"""Surround parser parity: the reference's Test02Boolean / Test03Distance
+match matrices (src/Lucene.Net.Tests.QueryParser/Surround/Query/) -- every
+query string must match exactly the expected doc numbers."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.parser import QueryParseError
+from sparklucene.search import IndexSearcher
+from sparklucene.surround import parse_surround
+
+DOCS1 = [
+    "word1 word2 word3",
+    "word4 word5",
+    "ord1 ord2 ord3",
+    "orda1 orda2 orda3 word2 worda3",
+    "a c e a b c",
+]
+DOCS2 = ["w1 w2 w3 w4 w5", "w1 w3 w2 w3"]
+DOCS3 = [
+    "low pressure temperature inversion and rain",
+    "when the temperature has a negative height above a depression no precipitation gradient is expected",
+    "when the temperature has a negative height gradient above a depression no precipitation is expected",
+]
+
+
+def _build(spark, tmp_path_factory, docs, name):
+    out = str(tmp_path_factory.mktemp(name))
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "t", "content": c}
+        for i, c in enumerate(docs)
+    ]
+    build_index(spark, spark.createDataFrame(rows), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=1,
+                            analyzer="whitespace"))
+    return IndexSearcher(spark, out)
+
+
+@pytest.fixture(scope="module")
+def s1(spark, tmp_path_factory):
+    return _build(spark, tmp_path_factory, DOCS1, "srnd1")
+
+
+@pytest.fixture(scope="module")
+def s2(spark, tmp_path_factory):
+    return _build(spark, tmp_path_factory, DOCS2, "srnd2")
+
+
+@pytest.fixture(scope="module")
+def s3(spark, tmp_path_factory):
+    return _build(spark, tmp_path_factory, DOCS3, "srnd3")
+
+
+# Test02Boolean.cs expectations
+BOOLEAN_CASES = [
+    ("word1", [0]),
+    ("word*", [0, 1, 3]),
+    ("ord2", [2]),
+    ("kxork*", []),
+    ("wor*", [0, 1, 3]),
+    ("ab", []),
+    ("abc?", []),
+    ("word?", [0, 1, 3]),
+    ("w?rd?", [0, 1, 3]),
+    ("w*rd?", [0, 1, 3]),
+    ("w*rd??", [3]),
+    ("w*?da?", [3]),
+    ("w?da?", []),
+    ("word1 AND word2", [0]),
+    ("word* and ord*", [3]),
+    ("and(word1,word2)", [0]),
+    ("word1 or word2", [0, 3]),
+    ("word* OR ord*", [0, 1, 2, 3]),
+    ("OR (word1, word2)", [0, 3]),
+    ("word2 NOT word1", [3]),
+    ("word2* not ord*", [0]),
+    ("(word1 or ab)and or(word2,xyz, defg)", [0]),
+    ("or( word2* not ord*, and(xyz,def))", [0]),
+]
+
+# Test03Distance.cs expectations (db1)
+DIST1_CASES = [
+    ("word1 w word2", [0]),
+    ("word1 n word2", [0]),
+    ("word2 n word1", [0]),
+    ("word2 w word1", []),
+    ("word2 2W word1", []),
+    ("word2 2N word1", [0]),
+    ("word1 2N word2", [0]),
+    ("word2 3w word1", []),
+    ("word2 3n word1", [0]),
+    ("word1 3n word2", [0]),
+    ("orda1 w orda3", []),
+    ("orda1 2w orda3", [3]),
+    ("word1* w word2", [0]),
+    ("word* w word2", [0]),
+    ("word2 w word*", [0, 3]),
+    ("word* n word2", [0, 3]),
+    ("word2 n word*", [0, 3]),
+    ("word1* w word2*", [0]),
+    ("word1* N word2*", [0]),
+    ("kxork* w kxor*", []),
+    ("kxork* 99n kxor*", []),
+    ("word2* 2W word1*", []),
+    ("word2* 2N word1*", [0]),
+    ("ord* W word*", [3]),
+    ("ord* N word*", [3]),
+    ("word* N ord*", [3]),
+    ("(orda2 OR orda3) W word*", [3]),
+    ("(orda2 OR orda3) W (word2 OR worda3)", [3]),
+    ("(orda2 OR orda3) 2W (word2 OR worda3)", [3]),
+    ("(orda2 OR orda3) 2N (word2 OR worda3)", [3]),
+]
+
+# Test03Distance.cs db2 (prefix + nested infix forms)
+DIST2_CASES = [
+    ("W (w1, w2, w3)", [0]),
+    ("N(w1, w2, w3)", [0, 1]),
+    ("N(w3, w1, w2)", [0, 1]),
+    ("2W(w1,w2,w3)", [0, 1]),
+    ("2N(w1,w2,w3)", [0, 1]),
+    ("2N(w2,w3,w1)", [0, 1]),
+    ("w1 W w2 W w3", [0]),
+    ("w1 N w2 N w3", [0]),
+    ("w1 2W w2 2W w3", [0, 1]),
+    ("w1 2N w2 2N w3", [0, 1]),
+]
+
+
+def _matches(searcher, qs):
+    q = parse_surround(qs)
+    return sorted(r["docID"] for r in searcher.search(q, 100).collect())
+
+
+@pytest.mark.parametrize("qs,want", BOOLEAN_CASES)
+def test_boolean_matrix(s1, qs, want):
+    assert _matches(s1, qs) == want, qs
+
+
+@pytest.mark.parametrize("qs,want", DIST1_CASES)
+def test_distance_matrix_db1(s1, qs, want):
+    assert _matches(s1, qs) == want, qs
+
+
+@pytest.mark.parametrize("qs,want", DIST2_CASES)
+def test_distance_matrix_db2(s2, qs, want):
+    assert _matches(s2, qs) == want, qs
+
+
+def test_classic_example_db3(s3):
+    """Test3Example01: the canonical nested surround query; doc 1 fails
+    because 'gradient' is in the wrong place there."""
+    q = ("50n((low w pressure*) or depression*,"
+         "5n(temperat*, (invers* or (negativ* 3n gradient*))),"
+         "rain* or precipitat*)")
+    assert _matches(s3, q) == [0, 2]
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse_surround("a W (b AND c)")  # AND inside a distance op
+    with pytest.raises(QueryParseError):
+        parse_surround("a )")  # trailing input
