@@ -88,6 +88,32 @@ def main() -> None:
     searcher.search(fq, 10, mode="f32").collect()
     qtimes["field_term"] = round(time.time() - t0, 3)
 
+    # round-4 additions --------------------------------------------------
+    # skewed phrase: rare term ("merge" ~smallest df of the pair) leads,
+    # hot term's posting blocks are pruned to the rare term's docID ranges
+    # (positional leapfrog); forced on so the engaged path's cost is
+    # transparent at bench scale
+    searcher.leapfrog_skew_factor, saved_lf = 1, searcher.leapfrog_skew_factor
+    t0 = time.time()
+    searcher.search({"type": "phrase", "terms": ["merge", "hash"]}, 10, mode="f32").collect()
+    qtimes["phrase_leapfrog"] = round(time.time() - t0, 3)
+    searcher.leapfrog_skew_factor = saved_lf
+
+    # ComplexPhraseQueryParser end-to-end: parse -> dictionary expansion ->
+    # span_near over the span_or union
+    from sparklucene.parser import parse_complex
+
+    cq = parse_complex('"(tab* OR merg*) hash"~3')
+    t0 = time.time()
+    searcher.search(cq, 10, mode="f32").collect()
+    qtimes["complex_phrase"] = round(time.time() - t0, 3)
+
+    # bloom short-circuit: an index-absent term resolves DRIVER-SIDE from
+    # the per-bucket blooms -- zero Spark jobs (compare with term_rare)
+    t0 = time.time()
+    searcher.search({"type": "term", "term": "zzqx_nosuchterm"}, 10, mode="f32").collect()
+    qtimes["absent_term_bloom"] = round(time.time() - t0, 3)
+
     # training-data pipeline headliners
     from sparklucene import datapipe as dp
 
