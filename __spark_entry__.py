@@ -1206,6 +1206,49 @@ def _q_ann_lsh(spark, sf_dir):
     return dp.cosine_topk_lsh(spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir), k=10, exclude_ids=(0,))
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Dolma n-gram overlap): docs sharing
+    any 5-gram with the benchmark subset (doc_id % 17 == 0), hits =
+    #distinct shared grams.  Broadcast-joined distinct benchmark grams."""
+    docs = _docs_df(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return dp.decontaminate(docs, bench, n=5)
+
+
+def _q_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (top-2/3-gram token
+    fractions, duplicated-5-gram fraction)."""
+    return dp.repetition_signals(_docs_df(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction: emails/IPv4/phones -> placeholders, counts + scrubbed
+    md5 (both sides synthesize the same PII-bearing suffix)."""
+    docs = _docs_df(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call 555-867-530"), (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return dp.pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.md5("scrubbed").alias("h")
+    )
+
+
+def _q_strat_sample(spark, sf_dir):
+    """Deterministic stratified sampling (language mixing): keep iff
+    hash60('strat:'||id)/2^60 < fraction(lang) -- stable across retries
+    and partitionings, unlike df.sampleBy."""
+    fr = {"en": 0.5, "de": 0.9, "fr": 0.0, "es": 1.0, "zh": 0.25}
+    return dp.stratified_sample(_docs_df(spark, sf_dir), "lang", fr).select(
+        "doc_id", "lang"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard near-dup pairs (inverted-index candidates)."""
     return dp.ngram_jaccard_pairs(_docs_df(spark, sf_dir), threshold=0.8)
@@ -1326,6 +1369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_lsh"] = _q_ann_lsh
     out["ngram_jaccard"] = _q_ngram_jaccard
     out["emb_neardup"] = _q_emb_neardup
+    out["decontam"] = _q_decontam
+    out["repetition"] = _q_repetition
+    out["pii_scrub"] = _q_pii_scrub
+    out["strat_sample"] = _q_strat_sample
     out["ann_ivf"] = _q_ann_ivf
     # The driver samples a prefix of this dict; front-load the gates that have
     # never appeared in a driver CORRECTNESS file (rounds 1-2 sampled the rest)
@@ -1352,9 +1399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
     round4 = [
         "complex_phrase", "surround_near", "freetext_suggest", "dfr_ifl2",
-        "dfr_inel2", "spatial_shapes", "ann_lsh", "ann_ivf", "ngram_jaccard",
-        "emb_neardup", "phrase", "sloppy_phrase", "span_near", "multi_phrase",
-        "span_not",
+        "dfr_inel2", "spatial_shapes", "decontam", "repetition", "pii_scrub",
+        "strat_sample", "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup",
+        "phrase", "sloppy_phrase", "span_near", "multi_phrase", "span_not",
     ]
     ordered = {k: out[k] for k in round4 + first + round3 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
@@ -2972,6 +3019,49 @@ pairs AS (
 )
 SELECT doc_a, doc_b, round(inter::DOUBLE / (la + lb - inter), 4) AS jaccard
 FROM pairs WHERE inter > 0 AND inter::DOUBLE / (la + lb - inter) >= 0.8"""
+    sqls["decontam"] = """
+WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
+cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)])) AS g
+       FROM dt WHERE len(tk) >= 5),
+bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0)
+SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS hits FROM cg c JOIN bg USING (g) GROUP BY c.doc_id"""
+    sqls["repetition"] = """
+WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
+base AS (SELECT doc_id, len(tk) AS n_tok, tk FROM dt),
+g2 AS (SELECT doc_id, n_tok, unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS g
+       FROM base WHERE n_tok >= 2),
+c2 AS (SELECT doc_id, max(c) * 2.0 / any_value(n_tok) AS f FROM (SELECT doc_id, n_tok, g, count(*) AS c FROM g2 GROUP BY 1,2,3) GROUP BY doc_id),
+g3 AS (SELECT doc_id, n_tok, unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS g
+       FROM base WHERE n_tok >= 3),
+c3 AS (SELECT doc_id, max(c) * 3.0 / any_value(n_tok) AS f FROM (SELECT doc_id, n_tok, g, count(*) AS c FROM g3 GROUP BY 1,2,3) GROUP BY doc_id),
+g5 AS (SELECT doc_id, n_tok, unnest([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)]) AS g
+       FROM base WHERE n_tok >= 5),
+c5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 5.0 / any_value(n_tok) AS f
+       FROM (SELECT doc_id, n_tok, g, count(*) AS c FROM g5 GROUP BY 1,2,3) GROUP BY doc_id)
+SELECT b.doc_id, round(coalesce(c2.f,0),4) AS top2gram_frac,
+       round(coalesce(c3.f,0),4) AS top3gram_frac,
+       round(coalesce(c5.f,0),4) AS dup5gram_frac
+FROM base b LEFT JOIN c2 ON b.doc_id=c2.doc_id LEFT JOIN c3 ON b.doc_id=c3.doc_id LEFT JOIN c5 ON b.doc_id=c5.doc_id"""
+    sqls["pii_scrub"] = r"""
+WITH aug AS (
+  SELECT doc_id, text || ' contact' || doc_id || '@mail.example.com at 10.0.' ||
+         (doc_id % 256) || '.1 call 555-867-530' || (doc_id % 10) AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+  len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
+  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS h
+FROM aug"""
+    sqls["strat_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('strat:' || doc_id), 1, 15))::BIGINT / 1152921504606846976.0 <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.9 WHEN 'fr' THEN 0.0
+                WHEN 'es' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.0 END"""
     sqls["emb_neardup"] = """
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -883,3 +883,152 @@ def cosine_topk_ivf(
         emb[id_col].alias(id_col), emb[vec_col].alias(vec_col)
     )
     return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: decontamination, repetition, PII, sampling
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    df: DataFrame, benchmark: DataFrame, n: int = 13,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Dolma n-gram overlap rule):
+    -> (doc_id, hits) for every corpus doc sharing at least one n-token
+    gram with the benchmark set, hits = #distinct shared grams.
+
+    Scale: benchmark grams are DISTINCT and typically ~10^6-10^8 rows --
+    broadcast-joined below `broadcast_threshold` distinct grams (one
+    narrow pass over the 100 TB corpus, no shuffle of corpus grams),
+    shuffle hash join above it.  Corpus-side grams are generated and
+    matched inside one projection (no materialized gram table)."""
+    bg = (
+        benchmark.select(_shingles_over_named(bench_text_col, n).alias("gs"))
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    cg = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  _shingles_over_named(text_col, n).alias("gs"))
+        .select("doc_id", F.explode("gs").alias("g"))
+    )
+    n_bench = bg.count()
+    joined = cg.join(F.broadcast(bg) if n_bench <= broadcast_threshold else bg, "g")
+    return joined.groupBy("doc_id").agg(F.count_distinct("g").alias("hits"))
+
+
+def _shingles_over_named(text_col: str, k: int) -> F.Column:
+    """Distinct k-token shingles of a text column (projection-fused like
+    _shingles_over, but starting from the raw column)."""
+    t = ws_tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    # bind the token array via a struct-free trick: when() guards size
+    return F.when(F.size(t) >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    "Scaling Language Models" Table A1): per doc
+      top2gram_frac / top3gram_frac -- fraction of TOKENS covered by the
+        most frequent 2-/3-gram (occurrences * n / n_tokens);
+      dup5gram_frac -- fraction of tokens covered by 5-grams that occur
+        more than once.
+    One explode + groupBy per signal order, all token-count arithmetic
+    (exact, SQL-twin friendly); narrow per-doc outputs."""
+    toks = df.select(F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("tk"))
+    sized = toks.select("doc_id", F.size("tk").alias("n_tok"), "tk")
+
+    def grams(n):
+        t = F.col("tk")
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+    outs = sized.select("doc_id", "n_tok")
+    for n, name, mode in ((2, "top2gram_frac", "top"), (3, "top3gram_frac", "top"),
+                          (5, "dup5gram_frac", "dup")):
+        g = (
+            sized.filter(F.size("tk") >= n)
+            .select("doc_id", "n_tok", F.explode(grams(n)).alias("g"))
+            .groupBy("doc_id", "n_tok", "g").agg(F.count("*").alias("c"))
+        )
+        if mode == "top":
+            agg = g.groupBy("doc_id").agg(
+                (F.max("c") * n / F.first("n_tok")).alias(name)
+            )
+        else:
+            agg = g.groupBy("doc_id").agg(
+                (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) * n
+                 / F.first("n_tok")).alias(name)
+            )
+        outs = outs.join(agg, "doc_id", "left")
+    return outs.select(
+        "doc_id",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 4).alias(c)
+          for c in ("top2gram_frac", "top3gram_frac", "dup5gram_frac")],
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    email_token: str = "<EMAIL>", ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """PII redaction (the standard pretraining scrub: emails, IPv4,
+    phone-shaped numbers -> placeholder tokens) + per-doc counts.
+    Pure JVM regexp_replace/regexp_count chain -- whole-stage codegen,
+    no Python, embarrassingly parallel at any scale."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, email_token),
+                PII_IPV4_RE, ip_token,
+            ),
+            PII_PHONE_RE, phone_token,
+        ).alias("scrubbed"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float],
+    id_col: str = "doc_id", seed: str = "strat",
+) -> DataFrame:
+    """DETERMINISTIC stratified sampling (domain/language mixing): keep a
+    row iff hash60(seed:id) / 2^60 < fraction(stratum).  Unlike
+    df.sampleBy, the decision is a pure function of the row id -- stable
+    across retries/partitionings (reproducible pipelines) and exactly
+    reproducible by a SQL twin with the same md5 arithmetic.  Narrow (no
+    shuffle); unknown strata drop (fraction 0)."""
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    u = hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    return df.filter(u < F.coalesce(frac[F.col(strata_col)], F.lit(0.0)))

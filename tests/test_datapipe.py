@@ -266,3 +266,61 @@ def test_ngram_jaccard_hot_shingle_skew(spark):
                 expect[(ia, ib)] = round(j, 4)
     assert (100, 101) in expect  # planted pair is non-vacuous
     assert got == expect
+
+
+def test_decontaminate_semantics(spark):
+    """A doc is contaminated iff it shares an n-gram with the benchmark."""
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "quick brown fox jumps totally different tail here"),
+         (2, "nothing in common with anything at all"),
+         (3, "benchmark passage quick brown fox jumps over copy")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["hits"] for r in dp.decontaminate(docs, bench, n=5).collect()}
+    assert 0 in got and 3 in got          # share 'quick brown fox jumps over'
+    assert 1 not in got and 2 not in got  # only a 4-gram / nothing shared
+
+
+def test_repetition_signals_semantics(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b a b"),        # "a b" 2-gram dominates
+         (1, "w x y z q r s t")],       # all unique
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dp.repetition_signals(docs).collect()}
+    # doc 0: "a b" occurs 4x of 7 bigrams, 8 tokens -> 4*2/8 = 1.0
+    assert got[0]["top2gram_frac"] == 1.0
+    assert got[1]["top2gram_frac"] == pytest.approx(2 / 8)
+    assert got[1]["dup5gram_frac"] == 0.0
+    # doc 0 5-grams: 'a b a b a'(x2), 'b a b a b'(x2) -> all 4 duplicated
+    assert got[0]["dup5gram_frac"] == pytest.approx(4 * 5 / 8, abs=1e-4)
+
+
+def test_pii_scrub_semantics(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail bob@x.com and alice@y.org ip 192.168.0.1 tel 555-123-4567")],
+        "doc_id long, text string")
+    r = dp.pii_scrub(docs).collect()[0]
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string")
+    fr = {"en": 0.3, "de": 1.0}
+    a = sorted(r["doc_id"] for r in dp.stratified_sample(docs, "lang", fr).collect())
+    b = sorted(r["doc_id"] for r in
+               dp.stratified_sample(docs.repartition(7), "lang", fr).collect())
+    assert a == b  # partitioning-invariant (pure function of the id)
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    n_en = sum(1 for d in a if langs[d] == "en")
+    n_de = sum(1 for d in a if langs[d] == "de")
+    assert n_de == 200          # fraction 1.0 keeps everything
+    assert 30 <= n_en <= 90     # ~0.3 of 200
+    # unknown stratum drops
+    docs2 = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert dp.stratified_sample(docs2, "lang", fr).count() == 0
