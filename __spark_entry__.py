@@ -834,6 +834,22 @@ def _q_surround_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, parse_surround("tab* 4w hash"), 15)
 
 
+def _q_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Xml query parser (CoreParser analogue): a SpanNear document with an
+    analyzed SpanOrTerms clause -- parses to the span_nested tree, so the
+    same fuzz-verified pair-rule oracle applies.  Full element-shape
+    coverage in tests/test_xmlparser.py."""
+    from sparklucene.xmlparser import parse_xml
+
+    s = _searcher(spark, sf_dir)
+    q = parse_xml(
+        '<SpanNear slop="3" inOrder="true">'
+        "<SpanOrTerms>table merge</SpanOrTerms>"
+        "<SpanTerm>hash</SpanTerm></SpanNear>"
+    )
+    return _topk_df(s, q, 15)
+
+
 def _q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpanFirstQuery: 'spark' spans ending within the first 5 positions."""
     s = _searcher(spark, sf_dir)
@@ -1331,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_nested"] = _q_span_nested
     out["complex_phrase"] = _q_complex_phrase
     out["surround_near"] = _q_surround_near
+    out["xml_query"] = _q_xml_query
     out["multi_phrase_slop"] = _q_multi_phrase_slop
     out["span_first"] = _q_span_first
     out["span_not"] = _q_span_not
@@ -1398,7 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parser, FreeText suggester, DFR IF/Ine, the now-value-checked ANN
     # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
     round4 = [
-        "complex_phrase", "surround_near", "freetext_suggest", "dfr_ifl2",
+        "complex_phrase", "surround_near", "xml_query", "freetext_suggest", "dfr_ifl2",
         "dfr_inel2", "spatial_shapes", "decontam", "repetition", "pii_scrub",
         "strat_sample", "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup",
         "phrase", "sloppy_phrase", "span_near", "multi_phrase", "span_not",
@@ -2150,6 +2167,10 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     # surround 'tab* 4w hash': tab* expands to {table}; ordered distance-4
     # = slop 3 -> identical pair-rule oracle as span_near
     sqls["surround_near"] = _near2_sql(["table"], ["hash"], 3, ["table", "hash"], 15)
+    # xml SpanNear(SpanOrTerms(table merge), hash) slop 3 == span_nested
+    sqls["xml_query"] = _near2_sql(
+        ["table", "merge"], ["hash"], 3, ["table", "merge", "hash"], 15
+    )
     # complex_phrase '"(tab* OR merg*) hash"~3': at sf testdata vocabulary
     # tab* expands to {table} and merg* to {merge}, so the span tree equals
     # near(or(table, merge), hash) and the same fuzz-verified pair rule is

@@ -20,6 +20,10 @@ def get_spark(cores: int | None = None, app: str = "sparklucene", shuffle_partit
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime skew-join splitting: hot-key partitions (boilerplate
+        # shingles, hot terms beyond the salting threshold) re-split at
+        # shuffle-read time -- free insurance at 100 TB, no-op locally
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

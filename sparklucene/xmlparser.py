@@ -1,0 +1,195 @@
+"""Xml query parser -> JSON query trees (CoreParser analogue).
+
+Re-implements (from scratch) the element semantics of the reference's Xml
+query parser (src/Lucene.Net.QueryParser/Xml/CoreParser.cs + Builders/*)
+for the subset our engine executes:
+
+  TermQuery            raw term, NOT analyzed (TermQueryBuilder.cs)
+  TermsQuery           text ANALYZED -> boolean of SHOULD terms
+                       (TermsQueryBuilder.cs)
+  BooleanQuery/Clause  occurs= should|must|mustnot (BooleanQueryBuilder.cs)
+  UserQuery            classic query syntax via parser.parse
+                       (UserInputQueryBuilder.cs)
+  MatchAllDocsQuery
+  DisjunctionMaxQuery  tieBreaker attr (DisjunctionMaxQueryBuilder.cs)
+  ConstantScoreQuery   wrapping a filter element
+  RangeFilter          lowerTerm/upperTerm, includeLower/includeUpper
+                       (RangeFilterBuilder.cs)
+  FilteredQuery        Query + Filter -> score of Query restricted to the
+                       filter's match set (represented as MUST(query) AND
+                       MUST(filter as zero-boost constant score): the
+                       conjunction sum reproduces FilteredQuery's
+                       score-from-query-only semantics exactly)
+  SpanTerm / SpanOr / SpanOrTerms (analyzed) / SpanNear(slop, inOrder) /
+  SpanFirst(end) / SpanNot(Include, Exclude)   (Builders/Span*.cs)
+
+`boost` attributes multiply everywhere.  Unsupported elements raise
+QueryParseError naming the element (BoostingQuery, FuzzyLikeThis,
+LikeThisQuery, filters-with-cache, numeric variants)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .analysis import analyze_query_text
+from .parser import QueryParseError, parse as parse_classic
+
+_OCCURS = {"should": "SHOULD", "must": "MUST", "mustnot": "MUST_NOT",
+           "filter": "MUST"}
+
+
+def parse_xml(text: str, keyword_fields=()) -> dict:
+    """Parse an XML query document -> JSON query tree."""
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise QueryParseError(f"bad query XML: {e}") from e
+    q = _query(root, keyword_fields)
+    if q is None:
+        raise QueryParseError("query XML matched no indexable terms")
+    return q
+
+
+def _boosted(node: ET.Element, q: dict | None) -> dict | None:
+    if q is None:
+        return None
+    b = node.get("boost")
+    if b is not None:
+        q = dict(q)
+        q["boost"] = q.get("boost", 1.0) * float(b)
+    return q
+
+
+def _query(node: ET.Element, kw) -> dict | None:
+    tag = node.tag
+    if tag == "TermQuery":
+        term = (node.text or "").strip()
+        return _boosted(node, {"type": "term", "term": term})
+    if tag == "TermsQuery":
+        terms = analyze_query_text((node.text or "").strip())
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return _boosted(node, {"type": "term", "term": terms[0]})
+        return _boosted(node, {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t}}
+                for t in terms
+            ],
+        })
+    if tag == "BooleanQuery":
+        clauses = []
+        for c in node:
+            if c.tag != "Clause":
+                raise QueryParseError(f"expected Clause in BooleanQuery, got {c.tag}")
+            occ = _OCCURS.get((c.get("occurs") or "should").lower())
+            if occ is None:
+                raise QueryParseError(f"bad occurs={c.get('occurs')!r}")
+            inner = None
+            for sub in c:
+                inner = _query(sub, kw)
+            if inner is not None:
+                clauses.append({"occur": occ, "query": inner})
+        if not clauses:
+            return None
+        return _boosted(node, {"type": "boolean", "clauses": clauses})
+    if tag == "UserQuery":
+        return _boosted(node, parse_classic((node.text or "").strip(), kw))
+    if tag == "MatchAllDocsQuery":
+        return _boosted(node, {"type": "match_all"})
+    if tag == "DisjunctionMaxQuery":
+        qs = [x for x in (_query(c, kw) for c in node) if x is not None]
+        if not qs:
+            return None
+        return _boosted(node, {
+            "type": "dis_max",
+            "queries": qs,
+            "tie_breaker": float(node.get("tieBreaker", 0.0)),
+        })
+    if tag == "ConstantScoreQuery":
+        inner = None
+        for c in node:
+            inner = _filter(c, kw)
+        if inner is None:
+            return None
+        # range/prefix/wildcard/regexp/field_term ARE constant-score nodes
+        # in this engine (CONSTANT_SCORE_AUTO default): score = boost
+        if inner["type"] in ("range", "prefix", "wildcard", "regexp",
+                             "field_term"):
+            return _boosted(node, inner)
+        raise QueryParseError(
+            f"ConstantScoreQuery over {inner['type']!r} is unsupported"
+        )
+    if tag == "FilteredQuery":
+        q = f = None
+        for c in node:
+            if c.tag == "Query":
+                for sub in c:
+                    q = _query(sub, kw)
+            elif c.tag == "Filter":
+                for sub in c:
+                    f = _filter(sub, kw)
+        if q is None or f is None:
+            raise QueryParseError("FilteredQuery needs Query and Filter")
+        f = dict(f)
+        f["boost"] = 0.0  # restrict only; score comes from the query
+        return _boosted(node, {
+            "type": "boolean",
+            "clauses": [{"occur": "MUST", "query": q},
+                        {"occur": "MUST", "query": f}],
+        })
+    if tag in ("SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanFirst",
+               "SpanNot"):
+        return _boosted(node, _span(node))
+    raise QueryParseError(f"unsupported query element <{tag}>")
+
+
+def _filter(node: ET.Element, kw) -> dict | None:
+    if node.tag == "RangeFilter":
+        return {
+            "type": "range",
+            "lower": node.get("lowerTerm"),
+            "upper": node.get("upperTerm"),
+            "include_lower": (node.get("includeLower") or "true").lower() == "true",
+            "include_upper": (node.get("includeUpper") or "true").lower() == "true",
+        }
+    # any query element is usable where a filter is expected
+    # (CachedFilterBuilder wraps queries as filters; we skip the cache)
+    return _query(node, kw)
+
+
+def _span(node: ET.Element) -> dict:
+    tag = node.tag
+    if tag == "SpanTerm":
+        return {"type": "span_term", "term": (node.text or "").strip()}
+    if tag == "SpanOrTerms":
+        terms = analyze_query_text((node.text or "").strip())
+        return {"type": "span_or",
+                "clauses": [{"type": "span_term", "term": t} for t in terms]}
+    if tag == "SpanOr":
+        return {"type": "span_or", "clauses": [_span(c) for c in node]}
+    if tag == "SpanNear":
+        return {
+            "type": "span_near",
+            "clauses": [_span(c) for c in node],
+            "slop": int(node.get("slop", 0)),
+            "in_order": (node.get("inOrder") or "true").lower() == "true",
+        }
+    if tag == "SpanFirst":
+        (child,) = list(node)
+        return {"type": "span_first", "clause": _span(child),
+                "end": int(node.get("end", 0))}
+    if tag == "SpanNot":
+        inc = exc = None
+        for c in node:
+            if c.tag == "Include":
+                (sub,) = list(c)
+                inc = _span(sub)
+            elif c.tag == "Exclude":
+                (sub,) = list(c)
+                exc = _span(sub)
+        if inc is None or exc is None:
+            raise QueryParseError("SpanNot needs Include and Exclude")
+        return {"type": "span_not", "include": inc, "exclude": exc}
+    raise QueryParseError(f"unsupported span element <{tag}>")

@@ -1,0 +1,136 @@
+"""Xml query parser (CoreParser analogue): element shapes from the
+reference's Xml test fixtures (src/Lucene.Net.Tests.QueryParser/Xml/*.xml)
+parse to the equivalent engine trees, and execute identically to those
+trees end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.parser import QueryParseError
+from sparklucene.xmlparser import parse_xml
+
+
+def test_term_and_boolean():
+    q = parse_xml('<TermQuery fieldName="contents">sumitomo</TermQuery>')
+    assert q == {"type": "term", "term": "sumitomo"}
+    # BooleanQuery.xml fixture shape
+    q = parse_xml("""
+      <BooleanQuery fieldName="contents">
+        <Clause occurs="should"><TermQuery>merger</TermQuery></Clause>
+        <Clause occurs="mustnot"><TermQuery>sumitomo</TermQuery></Clause>
+        <Clause occurs="must"><TermQuery>bank</TermQuery></Clause>
+      </BooleanQuery>""")
+    assert [c["occur"] for c in q["clauses"]] == ["SHOULD", "MUST_NOT", "MUST"]
+    assert q["clauses"][2]["query"] == {"type": "term", "term": "bank"}
+
+
+def test_terms_query_analyzed():
+    q = parse_xml('<TermsQuery fieldName="contents">sumitomo bank</TermsQuery>')
+    assert q["type"] == "boolean"
+    assert [c["query"]["term"] for c in q["clauses"]] == ["sumitomo", "bank"]
+    # stopwords vanish through the analyzer
+    q = parse_xml("<TermsQuery>the bank</TermsQuery>")
+    assert q == {"type": "term", "term": "bank"}
+
+
+def test_span_tree():
+    # SpanQuery.xml fixture shape (pruned)
+    q = parse_xml("""
+      <SpanOr fieldName="contents">
+        <SpanNear slop="8" inOrder="false">
+          <SpanOr><SpanTerm>killed</SpanTerm><SpanTerm>died</SpanTerm></SpanOr>
+          <SpanOrTerms>miner miners</SpanOrTerms>
+        </SpanNear>
+        <SpanFirst end="10"><SpanOrTerms>fire burn</SpanOrTerms></SpanFirst>
+      </SpanOr>""")
+    assert q["type"] == "span_or"
+    near, first = q["clauses"]
+    assert near["type"] == "span_near" and near["slop"] == 8 and not near["in_order"]
+    assert near["clauses"][1]["clauses"][0] == {"type": "span_term", "term": "miner"}
+    assert first == {"type": "span_first", "end": 10, "clause": {
+        "type": "span_or", "clauses": [
+            {"type": "span_term", "term": "fire"},
+            {"type": "span_term", "term": "burn"}]}}
+    # SpanNot
+    q = parse_xml("""
+      <SpanNot>
+        <Include><SpanNear slop="2" inOrder="true">
+          <SpanTerm>social</SpanTerm><SpanTerm>services</SpanTerm>
+        </SpanNear></Include>
+        <Exclude><SpanTerm>public</SpanTerm></Exclude>
+      </SpanNot>""")
+    assert q["type"] == "span_not" and q["exclude"]["term"] == "public"
+
+
+def test_constant_score_filtered_dismax_boost():
+    q = parse_xml("""
+      <ConstantScoreQuery boost="2.5">
+        <RangeFilter fieldName="date" lowerTerm="a" upperTerm="c"/>
+      </ConstantScoreQuery>""")
+    assert q == {"type": "range", "lower": "a", "upper": "c",
+                 "include_lower": True, "include_upper": True, "boost": 2.5}
+    q = parse_xml("""
+      <FilteredQuery>
+        <Query><TermQuery>merger</TermQuery></Query>
+        <Filter><RangeFilter lowerTerm="a" upperTerm="c"/></Filter>
+      </FilteredQuery>""")
+    assert q["type"] == "boolean"
+    assert q["clauses"][1]["query"]["boost"] == 0.0  # restrict-only
+    q = parse_xml("""
+      <DisjunctionMaxQuery>
+        <TermQuery>merger</TermQuery>
+        <DisjunctionMaxQuery tieBreaker="1.2">
+          <TermQuery>verger</TermQuery>
+        </DisjunctionMaxQuery>
+      </DisjunctionMaxQuery>""")
+    assert q["type"] == "dis_max" and q["queries"][1]["tie_breaker"] == 1.2
+    q = parse_xml('<MatchAllDocsQuery/>')
+    assert q == {"type": "match_all"}
+    q = parse_xml('<UserQuery>merger AND bank</UserQuery>')
+    assert q["type"] == "boolean"
+
+
+def test_errors():
+    with pytest.raises(QueryParseError):
+        parse_xml("<NoSuchQuery/>")
+    with pytest.raises(QueryParseError):
+        parse_xml("not xml at all <<<")
+    with pytest.raises(QueryParseError):
+        parse_xml("<ConstantScoreQuery><TermQuery>x</TermQuery></ConstantScoreQuery>")
+
+
+def test_engine_equivalence(spark, tmp_path_factory):
+    """XML trees execute identically to their hand-built equivalents."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.corpus import make_corpus
+    from sparklucene.search import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("xmlidx"))
+    df = spark.createDataFrame(make_corpus(150, seed=5)).repartition(2)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    s = IndexSearcher(spark, out)
+
+    xml = """
+      <BooleanQuery>
+        <Clause occurs="must"><TermQuery>compute</TermQuery></Clause>
+        <Clause occurs="should"><TermQuery>score</TermQuery></Clause>
+        <Clause occurs="mustnot"><TermQuery>w1</TermQuery></Clause>
+      </BooleanQuery>"""
+    tree = {"type": "boolean", "clauses": [
+        {"occur": "MUST", "query": {"type": "term", "term": "compute"}},
+        {"occur": "SHOULD", "query": {"type": "term", "term": "score"}},
+        {"occur": "MUST_NOT", "query": {"type": "term", "term": "w1"}}]}
+    a = [(r["docID"], r["score"]) for r in s.search(parse_xml(xml), 20).collect()]
+    b = [(r["docID"], r["score"]) for r in s.search(tree, 20).collect()]
+    assert a == b and a
+    # FilteredQuery: score equals the unfiltered query's score on survivors
+    xml = """
+      <FilteredQuery>
+        <Query><TermQuery>compute</TermQuery></Query>
+        <Filter><RangeFilter lowerTerm="a" upperTerm="m"/></Filter>
+      </FilteredQuery>"""
+    got = {r["docID"]: r["score"] for r in s.search(parse_xml(xml), 200).collect()}
+    base = {r["docID"]: r["score"]
+            for r in s.search({"type": "term", "term": "compute"}, 200).collect()}
+    assert got and all(base[d] == sc for d, sc in got.items())
