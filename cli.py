@@ -86,16 +86,25 @@ def cmd_build(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from sparklucene.parser import parse
+    from sparklucene.parser import parse, parse_complex
     from sparklucene.search import IndexSearcher
 
     spark = _spark(args)
     s = IndexSearcher(spark, args.index)
-    q = (
-        json.loads(args.query)
-        if args.query.lstrip().startswith("{")
-        else parse(args.query, keyword_fields=s.keyword_fields())
-    )
+    if args.query.lstrip().startswith("{"):
+        q = json.loads(args.query)
+    elif args.syntax == "classic":
+        q = parse(args.query, keyword_fields=s.keyword_fields())
+    elif args.syntax == "complex_phrase":
+        q = parse_complex(args.query, keyword_fields=s.keyword_fields())
+    elif args.syntax == "surround":
+        from sparklucene.surround import parse_surround
+
+        q = parse_surround(args.query)
+    else:  # xml
+        from sparklucene.xmlparser import parse_xml
+
+        q = parse_xml(args.query, keyword_fields=s.keyword_fields())
     q = s.analyze_parsed(q)  # index-analyzer-aware term rewrite (stemming etc.)
     if args.similarity != "bm25":
         rows = s.search_sim(q, args.k, similarity=args.similarity, mode=args.mode).collect()
@@ -170,7 +179,10 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
-    s.add_argument("--query", required=True, help="classic syntax or JSON tree")
+    s.add_argument("--query", required=True, help="query string or JSON tree")
+    s.add_argument("--syntax", default="classic",
+                   choices=["classic", "complex_phrase", "surround", "xml"],
+                   help="query-string dialect (JSON trees bypass parsing)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="f32", choices=["f32", "f64"])
     s.add_argument("--wand", action="store_true")
