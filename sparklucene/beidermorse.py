@@ -1,0 +1,352 @@
+"""Beider-Morse Phonetic Matching (BMPM) engine.
+
+Re-implements (from scratch) the reference's BeiderMorse encoder
+(src/Lucene.Net.Analysis.Phonetic/Language/Bm/: PhoneticEngine.cs:300-580
+Encode + ApplyFinalRules, Rule.cs rule parsing / context matching /
+phoneme expressions, Lang.cs language guessing, Languages.cs language
+sets).  The ALGORITHM is re-expressed here; the RULE DATA (~120 text
+files: language sets, lang-guessing rules, per-language phonetic rules,
+exact/approx final rules) is not bundled -- construct the engine with a
+`rules_dir` pointing at a BMPM rules directory (the same grammar as
+commons-codec / the reference's embedded resources).  Tests use the
+reference's rule files as fixtures, exactly like the Hunspell dictionaries.
+
+Semantics replicated bit-for-bit (PhoneticEngineTest vectors):
+  - name tidying: lowercase, '-'->' '; GENERIC d'/name-prefix doubling
+    ("d'ortley" -> "(ortley)-(dortley)" encodings, :447-470); SEPHARDIC
+    apostrophe-tail + prefix dropping; ASHKENAZI prefix dropping;
+  - concat vs per-word encoding (:480-515);
+  - language guessing: lang.txt accept/reject regex rules intersected
+    over the name type's language set (Lang.cs:241-278);
+  - first-matching-rule-in-file-order application keyed by the pattern's
+    first character, unmatched chars silently dropped (RulesApplication
+    :246-271);
+  - phoneme alternates `(a|b[lang]|)` with language-set restriction and
+    the maxPhonemes cap (PhonemeBuilder.Apply :129-160);
+  - two final-rule passes (common then language-specific), output set
+    deduped + ordered by the phoneme-text comparer (:377-414, :952-976);
+  - contexts are unanchored regex SEARCHES over the before/after
+    substrings ('^'/'$' written explicitly in the rules; a bare '$' or
+    '^' matches everything, faithfully to Rule.GetPattern).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+ANY = "any"
+_CMT = "//"
+_EXT_OPEN = "/*"
+_EXT_CLOSE = "*/"
+
+NAME_PREFIXES = {
+    "ash": {"bar", "ben", "da", "de", "van", "von"},
+    "sep": {"al", "el", "da", "dal", "de", "del", "dela", "de la",
+            "della", "des", "di", "do", "dos", "du", "van", "von"},
+    "gen": {"da", "dal", "de", "del", "dela", "de la", "della",
+            "des", "di", "do", "dos", "du", "van", "von"},
+}
+
+DEFAULT_MAX_PHONEMES = 20
+
+
+def _read_lines(path: str):
+    """Rule-file lines with //-comments and /* */ blocks stripped."""
+    out = []
+    in_ext = False
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if in_ext:
+                if line.endswith(_EXT_CLOSE):
+                    in_ext = False
+                continue
+            if line.startswith(_EXT_OPEN):
+                in_ext = True
+                continue
+            i = line.find(_CMT)
+            if i >= 0:
+                line = line[:i]
+            line = line.strip()
+            if line:
+                out.append(line)
+    return out
+
+
+def _strip_quotes(s: str) -> str:
+    if s.startswith('"'):
+        s = s[1:]
+    if s.endswith('"'):
+        s = s[:-1]
+    return s
+
+
+class _Ctx:
+    """Context matcher: regex search with the Rule-constructor anchoring
+    (Rule.cs:795-801 -- left context compiled as `lctx + "$"` against the
+    text BEFORE the pattern, right context as `"^" + rctx` against the
+    text AFTER it; a bare ''/'^'/'$' context therefore matches anything)."""
+
+    def __init__(self, pattern: str):
+        self.re = re.compile(pattern)
+
+    def match(self, s: str) -> bool:
+        return self.re.search(s) is not None
+
+
+class Phoneme:
+    __slots__ = ("text", "langs")
+
+    def __init__(self, text: str, langs):
+        self.text = text
+        self.langs = langs  # frozenset | ANY
+
+
+def _restrict(a, b):
+    """LanguageSet.RestrictTo: ANY is the identity; empty -> dropped."""
+    if a == ANY:
+        return b
+    if b == ANY:
+        return a
+    return a & b
+
+
+def _parse_phoneme(ph: str) -> Phoneme:
+    o = ph.find("[")
+    if o >= 0:
+        if not ph.endswith("]"):
+            raise ValueError(f"bad phoneme {ph!r}")
+        langs = frozenset(ph[o + 1:-1].split("+"))
+        return Phoneme(ph[:o], langs)
+    return Phoneme(ph, ANY)
+
+
+def _parse_phoneme_expr(ph: str) -> list[Phoneme]:
+    if ph.startswith("("):
+        if not ph.endswith(")"):
+            raise ValueError(f"bad phoneme expr {ph!r}")
+        body = ph[1:-1]
+        out = [_parse_phoneme(p) for p in body.split("|")if p != ""]
+        if body.startswith("|") or body.endswith("|"):
+            out.append(Phoneme("", ANY))
+        return out
+    return [_parse_phoneme(ph)]
+
+
+class Rule:
+    __slots__ = ("pattern", "lctx", "rctx", "phonemes")
+
+    def __init__(self, pattern, lctx, rctx, phonemes):
+        self.pattern = pattern
+        self.lctx = _Ctx(lctx + "$")
+        self.rctx = _Ctx("^" + rctx)
+        self.phonemes = phonemes
+
+    def matches(self, inp: str, i: int) -> bool:
+        pl = len(self.pattern)
+        if i + pl > len(inp) or inp[i:i + pl] != self.pattern:
+            return False
+        if not self.rctx.match(inp[i + pl:]):
+            return False
+        return self.lctx.match(inp[:i])
+
+
+class BmRules:
+    """Rule registry over a BMPM rules directory."""
+
+    def __init__(self, rules_dir: str):
+        self.dir = rules_dir
+        self._langs: dict[str, frozenset] = {}
+        self._rules_cache: dict[str, dict] = {}
+        self._lang_rules: list | None = None
+
+    def languages(self, name_type: str) -> frozenset:
+        if name_type not in self._langs:
+            path = os.path.join(self.dir, f"{name_type}_languages.txt")
+            self._langs[name_type] = frozenset(_read_lines(path))
+        return self._langs[name_type]
+
+    def _parse_rule_file(self, fname: str, seen=()) -> dict[str, list[Rule]]:
+        """-> {first-char: [rules in file order]}; #include splices the
+        included file's map via dict-update (PutAll semantics)."""
+        lines: dict[str, list[Rule]] = {}
+        path = os.path.join(self.dir, fname)
+        for line in _read_lines(path):
+            if line.startswith("#include"):
+                incl = line[len("#include"):].strip()
+                if incl in seen:
+                    raise ValueError(f"circular #include {incl}")
+                lines.update(self._parse_rule_file(incl + ".txt",
+                                                   (*seen, incl)))
+                continue
+            parts = line.split()
+            if len(parts) != 4:
+                raise ValueError(f"malformed rule {line!r} in {fname}")
+            r = Rule(
+                _strip_quotes(parts[0]), _strip_quotes(parts[1]),
+                _strip_quotes(parts[2]),
+                _parse_phoneme_expr(_strip_quotes(parts[3])),
+            )
+            lines.setdefault(r.pattern[:1], []).append(r)
+        return lines
+
+    def rule_map(self, name_type: str, rule_type: str, lang) -> dict:
+        """lang: a language name, 'common', 'any', or a frozenset (singleton
+        -> that language, else 'any') -- GetInstanceMap semantics."""
+        if isinstance(lang, frozenset):
+            lang = next(iter(lang)) if len(lang) == 1 else ANY
+        elif lang == ANY or lang is None:
+            lang = ANY
+        key = f"{name_type}_{rule_type}_{lang}"
+        if key not in self._rules_cache:
+            self._rules_cache[key] = self._parse_rule_file(key + ".txt")
+        return self._rules_cache[key]
+
+    def lang_rules(self) -> list:
+        if self._lang_rules is None:
+            out = []
+            for line in _read_lines(os.path.join(self.dir, "lang.txt")):
+                pat, langs, accept = line.split()
+                out.append((re.compile(pat), frozenset(langs.split("+")),
+                            accept == "true"))
+            self._lang_rules = out
+        return self._lang_rules
+
+    def guess_languages(self, name_type: str, text: str):
+        """Lang.GuessLanguages: start from the name type's full language
+        set; accept rules intersect, reject rules subtract; empty -> ANY."""
+        langs = set(self.languages(name_type))
+        t = text.lower()
+        for pat, rlangs, accept in self.lang_rules():
+            if pat.search(t):
+                if accept:
+                    langs &= rlangs
+                else:
+                    langs -= rlangs
+        return frozenset(langs) if langs else ANY
+
+
+class PhoneticEngine:
+    def __init__(self, rules: BmRules, name_type: str = "gen",
+                 rule_type: str = "approx", concat: bool = True,
+                 max_phonemes: int = DEFAULT_MAX_PHONEMES):
+        if rule_type == "rules":
+            raise ValueError("rule_type must be 'approx' or 'exact'")
+        self.rules = rules
+        self.name_type = name_type
+        self.rule_type = rule_type
+        self.concat = concat
+        self.max_phonemes = max_phonemes
+
+    # -- phoneme builder ops -------------------------------------------------
+    def _apply_expr(self, phonemes: list[Phoneme],
+                    expr: list[Phoneme]) -> list[Phoneme]:
+        out: list[Phoneme] = []
+        for left in phonemes:
+            for right in expr:
+                langs = _restrict(left.langs, right.langs)
+                if langs == ANY or langs:
+                    out.append(Phoneme(left.text + right.text, langs))
+                    if len(out) >= self.max_phonemes:
+                        return out
+        return out
+
+    def _apply_rules(self, inp: str, phonemes: list[Phoneme],
+                     rule_map: dict, append_unmatched: bool) -> list[Phoneme]:
+        """One pass of RulesApplication over `inp`: first matching rule in
+        file order per position; unmatched chars are dropped (primary
+        rules) or appended as-is (final rules)."""
+        i = 0
+        n = len(inp)
+        while i < n:
+            found = False
+            for rule in rule_map.get(inp[i], ()):  # keyed by first char
+                if rule.matches(inp, i):
+                    phonemes = self._apply_expr(phonemes, rule.phonemes)
+                    i += len(rule.pattern)
+                    found = True
+                    break
+            if not found:
+                if append_unmatched:
+                    for p in phonemes:
+                        p.text += inp[i]
+                i += 1
+        return phonemes
+
+    def _apply_final(self, phonemes: list[Phoneme], rule_map: dict) -> list[Phoneme]:
+        """ApplyFinalRules: re-run rules over each phoneme's TEXT, union
+        into a text-ordered, text-deduped set (Phoneme.COMPARER)."""
+        if not rule_map:
+            return phonemes
+        by_text: dict[str, Phoneme] = {}
+        for ph in phonemes:
+            subs = self._apply_rules(ph.text, [Phoneme("", ph.langs)],
+                                     rule_map, append_unmatched=True)
+            for s in subs:
+                if s.text not in by_text:
+                    by_text[s.text] = s
+        return [by_text[t] for t in sorted(by_text, key=lambda x: [ord(c) for c in x])]
+
+    # -- encoding ------------------------------------------------------------
+    def encode(self, inp: str, language_set=None) -> str:
+        if language_set is None:
+            language_set = self.rules.guess_languages(self.name_type, inp)
+        rules = self.rules.rule_map(self.name_type, "rules", language_set)
+        final1 = self.rules.rule_map(self.name_type, self.rule_type, "common")
+        final2 = self.rules.rule_map(self.name_type, self.rule_type, language_set)
+
+        inp = inp.lower().replace("-", " ").strip()
+
+        if self.name_type == "gen":
+            if len(inp) >= 2 and inp[:2] == "d'":
+                rem = inp[2:]
+                return f"({self.encode(rem)})-({self.encode('d' + rem)})"
+            for pfx in NAME_PREFIXES["gen"]:
+                if inp.startswith(pfx + " "):
+                    rem = inp[len(pfx) + 1:]
+                    return f"({self.encode(rem)})-({self.encode(pfx + rem)})"
+
+        words = inp.split()
+        if self.name_type == "sep":
+            words2 = [w.split("'")[-1] for w in words]
+            words2 = [w for w in words2 if w not in NAME_PREFIXES["sep"]]
+        elif self.name_type == "ash":
+            words2 = [w for w in words if w not in NAME_PREFIXES["ash"]]
+        else:
+            words2 = list(words)
+
+        if self.concat:
+            inp = " ".join(words2)
+        elif len(words2) == 1:
+            inp = words[0]
+        else:
+            return "-".join(self.encode(w) for w in words2)
+
+        phonemes = [Phoneme("", language_set)]
+        phonemes = self._apply_rules(inp, phonemes, rules, append_unmatched=False)
+        phonemes = self._apply_final(phonemes, final1)
+        phonemes = self._apply_final(phonemes, final2)
+        return "|".join(p.text for p in phonemes)
+
+
+@lru_cache(maxsize=8)
+def _rules_for(rules_dir: str) -> BmRules:
+    return BmRules(rules_dir)
+
+
+class BeiderMorseEncoder:
+    """BeiderMorseEncoder.cs analogue: GENERIC/APPROX/concat defaults."""
+
+    def __init__(self, rules_dir: str, name_type: str = "gen",
+                 rule_type: str = "approx", concat: bool = True,
+                 max_phonemes: int = DEFAULT_MAX_PHONEMES):
+        self.engine = PhoneticEngine(
+            _rules_for(rules_dir), name_type, rule_type, concat, max_phonemes
+        )
+
+    def encode(self, value: str) -> str:
+        if not value:
+            return value
+        return self.engine.encode(value)

@@ -1,0 +1,93 @@
+"""Beider-Morse engine parity: PhoneticEngineTest + LanguageGuessingTest
+vectors bit-for-bit (reference src/Lucene.Net.Tests.Analysis.Phonetic/
+Language/Bm/).  The reference's rule files are used as FIXTURE DATA (same
+pattern as the Hunspell dictionary fixtures); the engine itself is a
+clean-room re-implementation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+RULES_DIR = "/root/reference/src/Lucene.Net.Analysis.Phonetic/Language/Bm"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RULES_DIR), reason="BMPM rule fixtures unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def rules():
+    from sparklucene.beidermorse import BmRules
+
+    return BmRules(RULES_DIR)
+
+
+# PhoneticEngineTest.Values (reference :63-76)
+ENGINE_CASES = [
+    ("Renault", "rinD|rinDlt|rina|rinalt|rino|rinolt|rinu|rinult",
+     "gen", "approx", True, 10),
+    ("Renault", "rYnDlt|rYnalt|rYnult|rinDlt|rinalt|rinult",
+     "ash", "approx", True, 10),
+    ("Renault", "rYnDlt", "ash", "approx", True, 1),
+    ("Renault", "rinDlt", "sep", "approx", True, 10),
+    ("SntJohn-Smith", "sntjonsmit", "gen", "exact", True, 10),
+    ("d'ortley", "(ortlaj|ortlej)-(dortlaj|dortlej)", "gen", "exact", True, 10),
+    ("van helsing",
+     "(elSink|elsink|helSink|helsink|helzink|xelsink)"
+     "-(banhelsink|fanhelsink|fanhelzink|vanhelsink|vanhelzink|vanjelsink)",
+     "gen", "exact", False, 10),
+]
+
+
+@pytest.mark.parametrize("name,want,nt,rt,concat,maxp", ENGINE_CASES)
+def test_phonetic_engine_vectors(rules, name, want, nt, rt, concat, maxp):
+    from sparklucene.beidermorse import PhoneticEngine
+
+    assert PhoneticEngine(rules, nt, rt, concat, maxp).encode(name) == want
+
+
+# LanguageGuessingTest.Values (reference :36-53): GuessLanguage returns the
+# singleton language, or 'any' when ambiguous/empty
+GUESS_CASES = [
+    ("Renault", "french"), ("Mickiewicz", "polish"),
+    ("Nuñez", "spanish"), ("Carvalho", "portuguese"),
+    ("Čapek", "czech"), ("Sjneijder", "dutch"),
+    ("Klausewitz", "german"), ("Küçük", "turkish"),
+    ("Giacometti", "italian"), ("Nagy", "hungarian"),
+    ("Ceauşescu", "romanian"), ("Angelopoulos", "greeklatin"),
+    ("Αγγελόπουλος", "greek"),
+    ("Пушкин", "cyrillic"),
+    ("כהן", "hebrew"),
+    ("ácz", "any"), ("átz", "any"),
+]
+
+
+@pytest.mark.parametrize("name,want", GUESS_CASES)
+def test_language_guessing(rules, name, want):
+    from sparklucene.beidermorse import ANY
+
+    ls = rules.guess_languages("gen", name)
+    if want == "any":
+        assert ls == ANY or len(ls) != 1
+    else:
+        assert ls != ANY and len(ls) == 1 and next(iter(ls)) == want
+
+
+def test_guess_thompson_one_of(rules):
+    from sparklucene.beidermorse import ANY
+
+    ls = rules.guess_languages("gen", "Thompson")
+    assert ls != ANY and "english" in ls  # also german/greeklatin
+
+
+def test_encoder_wrapper(rules):
+    from sparklucene.beidermorse import BeiderMorseEncoder
+
+    enc = BeiderMorseEncoder(RULES_DIR)
+    assert enc.encode("") == ""
+    out = enc.encode("Angelo")
+    assert "|" in out and out == out.lower()  # multiple approx alternates
+    # deterministic
+    assert out == BeiderMorseEncoder(RULES_DIR).encode("Angelo")
