@@ -603,6 +603,11 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f)
         os.replace(stats_path + ".tmp", stats_path)
+    elif not _stage_done(os.path.join(out_dir, "blooms")):
+        # resume path for an index whose term_dict predates the bloom stage
+        # (or whose build crashed between the two writes): backfill so the
+        # searcher's driver-side absent-term short-circuit engages
+        write_blooms(spark, dict_dir, os.path.join(out_dir, "blooms"), cfg.num_buckets)
     timings["stats_s"] = time.time() - t0
     with open(stats_path) as f:
         stats = json.load(f)

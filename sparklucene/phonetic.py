@@ -624,3 +624,24 @@ def dm_soundex_encode(source: str, folding: bool = True) -> str:
 
 
 ENCODERS["dm_soundex"] = dm_soundex_encode
+
+
+def beider_morse_filter(tokens, encoder, inject: bool = True):
+    """BeiderMorseFilter (Analysis/Phonetic/BeiderMorseFilter.cs): encode
+    each token with a Beider-Morse engine and emit EVERY alternate
+    (regex `([^()|-]+)` over the encoded string, :40) as its own token --
+    the first replaces the original (or follows it at posInc 0 when
+    inject=True), the rest stack at the same position.
+
+    encoder: a sparklucene.beidermorse.BeiderMorseEncoder (or any object
+    with .encode); tokens: [(term, pos)] like the other filters."""
+    import re as _re
+
+    out = []
+    for t, p in tokens:
+        if inject:
+            out.append((t, p))
+        encoded = encoder.encode(t)
+        for m in _re.finditer(r"[^()|\-]+", encoded or ""):
+            out.append((m.group(), p))
+    return out

@@ -91,3 +91,18 @@ def test_encoder_wrapper(rules):
     assert "|" in out and out == out.lower()  # multiple approx alternates
     # deterministic
     assert out == BeiderMorseEncoder(RULES_DIR).encode("Angelo")
+
+
+def test_beider_morse_filter():
+    """BeiderMorseFilter: every encoded alternate becomes a token at the
+    original position (regex ([^()|-]+) split, BeiderMorseFilter.cs:40)."""
+    from sparklucene.beidermorse import BeiderMorseEncoder
+    from sparklucene.phonetic import beider_morse_filter
+
+    enc = BeiderMorseEncoder(RULES_DIR)
+    out = beider_morse_filter([("renault", 0)], enc, inject=False)
+    terms = [t for t, _ in out]
+    assert "rinD" in terms and "rinult" in terms
+    assert all(p == 0 for _, p in out)
+    withorig = beider_morse_filter([("renault", 0)], enc, inject=True)
+    assert withorig[0] == ("renault", 0) and len(withorig) == len(out) + 1

@@ -1,0 +1,56 @@
+"""Parser robustness: random inputs to every query-string dialect either
+parse to a dict tree or raise QueryParseError -- never any other
+exception (hypothesis property fuzz)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparklucene.parser import QueryParseError, parse, parse_complex
+from sparklucene.surround import parse_surround
+from sparklucene.xmlparser import parse_xml
+
+_CHARS = st.text(
+    alphabet='abcdefgh123 ()"*?~^:[]{}+-|&!<>/\\\'',
+    min_size=0, max_size=40,
+)
+
+
+def _check(fn, text):
+    try:
+        q = fn(text)
+    except QueryParseError:
+        return
+    assert isinstance(q, dict) and "type" in q
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_classic_never_crashes(text):
+    _check(parse, text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_complex_phrase_never_crashes(text):
+    _check(parse_complex, text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_surround_never_crashes(text):
+    _check(parse_surround, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CHARS)
+def test_xml_never_crashes(text):
+    _check(parse_xml, text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(min_size=0, max_size=60))  # arbitrary unicode
+def test_all_dialects_arbitrary_unicode(text):
+    for fn in (parse, parse_complex, parse_surround, parse_xml):
+        _check(fn, text)
