@@ -904,36 +904,21 @@ def decontaminate(
     narrow pass over the 100 TB corpus, no shuffle of corpus grams),
     shuffle hash join above it.  Corpus-side grams are generated and
     matched inside one projection (no materialized gram table)."""
+    # explode FUSED into the shingle-projection select (the
+    # shingle_explode_df pushdown trap: a later explode infers a non-empty
+    # filter that inlines the whole expression below the projection)
     bg = (
-        benchmark.select(_shingles_over_named(bench_text_col, n).alias("gs"))
-        .select(F.explode("gs").alias("g"))
+        benchmark.select(ws_tokens(bench_text_col).alias("_t"))
+        .select(F.explode(_shingles_over("_t", n)).alias("g"))
         .distinct()
     )
     cg = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  _shingles_over_named(text_col, n).alias("gs"))
-        .select("doc_id", F.explode("gs").alias("g"))
+        df.select(F.col(id_col).alias("doc_id"), ws_tokens(text_col).alias("_t"))
+        .select("doc_id", F.explode(_shingles_over("_t", n)).alias("g"))
     )
     n_bench = bg.count()
     joined = cg.join(F.broadcast(bg) if n_bench <= broadcast_threshold else bg, "g")
     return joined.groupBy("doc_id").agg(F.count_distinct("g").alias("hits"))
-
-
-def _shingles_over_named(text_col: str, k: int) -> F.Column:
-    """Distinct k-token shingles of a text column (projection-fused like
-    _shingles_over, but starting from the raw column)."""
-    t = ws_tokens(text_col)
-    idx = F.sequence(F.lit(0), F.size(t) - k)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    # bind the token array via a struct-free trick: when() guards size
-    return F.when(F.size(t) >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 def repetition_signals(
