@@ -336,6 +336,134 @@ class DFRSimilarityIneL2:
         return sc
 
 
+class DFRSimilarityGeneric:
+    """The COMPLETE DFR cartesian (Search/Similarities/DFRSimilarity.cs:
+    score = boost * basicModel(tfn) * afterEffect(tfn), tfn from the
+    normalization): any of the reference's basic models {in, if, ine, g,
+    be, p, d} x after effects {l, b, none} x normalizations {h1, h2(c),
+    h3(mu), z(z), none}.  The eight hand-tuned combo classes above remain
+    the float32-golden reference points; this composable form covers every
+    remaining pairing (equivalence against the specialized classes is
+    tested combo-by-combo).
+
+    Citations: BasicModelIn.cs:34 / BasicModelIF.cs:44 / BasicModelIne.cs:44 /
+    BasicModelG.cs:36 / BasicModelBE.cs:40 / BasicModelP.cs:35 /
+    BasicModelD.cs:33; AfterEffectL.cs:33 / AfterEffectB.cs:33;
+    NormalizationH1/H2/H3/Z.cs Tfn."""
+
+    name = "dfr"
+    uses_coord = False
+
+    BASIC_MODELS = ("in", "if", "ine", "g", "be", "p", "d")
+    AFTER_EFFECTS = ("l", "b", "none")
+    NORMALIZATIONS = ("h1", "h2", "h3", "z", "none")
+
+    def __init__(self, basic_model: str = "in", after_effect: str = "l",
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30):
+        if basic_model not in self.BASIC_MODELS:
+            raise ValueError(f"unknown basic model {basic_model!r}")
+        if after_effect not in self.AFTER_EFFECTS:
+            raise ValueError(f"unknown after effect {after_effect!r}")
+        if normalization not in self.NORMALIZATIONS:
+            raise ValueError(f"unknown normalization {normalization!r}")
+        self.bm, self.ae, self.norm = basic_model, after_effect, normalization
+        self.c, self.mu, self.z = c, mu, z
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        N = ctx["max_doc"]
+        df = float(ts.df)
+        ttf = float(ts.ttf)
+        sttf = float(ctx["sum_ttf"])
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        avgfl = float(avgfl32)
+        c, mu, z = self.c, self.mu, self.z
+        bm, ae, norm = self.bm, self.ae, self.norm
+        f32m = mode == "f32"
+
+        def tfn_of(tf64, dl64):
+            if norm == "h1":
+                return tf64 * avgfl / dl64
+            if norm == "h2":
+                return tf64 * np.log1p(c * avgfl / dl64) / _LOG2
+            if norm == "h3":
+                return (tf64 + mu * ((ttf + 1.0) / (sttf + 1.0))) / (dl64 + mu) * mu
+            if norm == "z":
+                return tf64 * np.power(avgfl / dl64, z)
+            return tf64
+
+        # per-term constants of the basic models
+        if bm == "in":
+            lg = math.log((N + 1) / (df + 0.5)) / _LOG2
+        elif bm == "if":
+            lg = math.log(1.0 + (N + 1) / (ttf + 0.5)) / _LOG2
+        elif bm == "ine":
+            ne = N * (1.0 - math.pow((N - 1) / float(N), ttf))
+            lg = math.log((N + 1) / (ne + 0.5)) / _LOG2
+        elif bm in ("g",):
+            Fg = ttf + 1.0
+            lam = Fg / (N + Fg)
+        elif bm == "p":
+            lam = (ttf + 1.0) / (N + 1.0)
+
+        def model_of(tfn):
+            if bm in ("in", "if", "ine"):
+                return tfn * lg
+            if bm == "g":
+                return (math.log(lam + 1.0) / _LOG2
+                        + tfn * (math.log((1.0 + lam) / lam) / _LOG2))
+            if bm == "be":
+                def f_fn(n, m):  # BasicModelBE.F (double arithmetic)
+                    return ((m + 0.5) * (np.log(n / m) / _LOG2)
+                            + (n - m) * (np.log(n) / _LOG2))
+
+                F_ = ttf + 1.0 + tfn
+                Nbe = F_ + N
+                return (-(np.log((Nbe - 1.0) * math.e) / _LOG2)
+                        + f_fn(Nbe + F_ - 1.0, Nbe + F_ - tfn - 2.0)
+                        - f_fn(F_, F_ - tfn))
+            if bm == "p":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = (tfn * np.log(tfn / lam) / _LOG2
+                           + (lam + 1.0 / (12.0 * tfn) - tfn) / _LOG2
+                           + 0.5 * np.log(2.0 * math.pi * tfn) / _LOG2)
+                return np.where(tfn > 0, out, 0.0)
+            if bm == "d":
+                F_ = ttf + 1.0 + tfn
+                phi = tfn / F_
+                p = 1.0 / (N + 1.0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = (phi * np.log(phi / p) / math.log(2.0)
+                         + (1.0 - phi) * np.log((1.0 - phi) / (1.0 - p)) / math.log(2.0))
+                    out = (D * F_
+                           + 0.5 * np.log(1.0 + 2.0 * math.pi * tfn * (1.0 - phi)) / math.log(2.0))
+                return np.where(tfn > 0, out, 0.0)
+            raise AssertionError(bm)
+
+        def ae_of(tfn):
+            if ae == "l":
+                return 1.0 / (tfn + 1.0)
+            if ae == "b":
+                return (ttf + 2.0) / ((df + 1.0) * (tfn + 1.0))
+            return 1.0
+
+        def sc(tf_arr, nb_arr):
+            dl = NORM_TABLE[nb_arr].astype(np.float64)
+            tf64 = tf_arr.astype(np.float64)
+            if f32m:
+                # mirror the specialized classes: tfn cast to f32 between
+                # stages, model and after-effect composed with f32 casts
+                tfn = np.asarray(tfn_of(tf64, dl)).astype(np.float32)
+                m = np.asarray(model_of(tfn.astype(np.float64))).astype(np.float32)
+                a = np.asarray(ae_of(tfn.astype(np.float64))).astype(np.float32)
+                return ((np.float32(boost) * m).astype(np.float32) * a).astype(np.float32)
+            tfn = np.asarray(tfn_of(tf64, dl), dtype=np.float64)
+            return boost * np.asarray(model_of(tfn)) * np.asarray(ae_of(tfn))
+
+        return sc
+
+
 class IBSimilaritySPL:
     """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2(c=1)):
       lambda = (df+1)/(N+1)                                   LambdaDF.cs:33-36
@@ -826,6 +954,12 @@ def make_similarity(name: str, **params):
         return DFRSimilarityPL2(params.get("c", 1.0))
     if name == "dfr_dl2":
         return DFRSimilarityDL2(params.get("c", 1.0))
+    if name == "dfr":
+        return DFRSimilarityGeneric(
+            params.get("basic_model", "in"), params.get("after_effect", "l"),
+            params.get("normalization", "h2"), params.get("c", 1.0),
+            params.get("mu", 800.0), params.get("z", 0.30),
+        )
     if name == "dfr_ifl2":
         return DFRSimilarityIFL2(params.get("c", 1.0))
     if name == "dfr_inel2":

@@ -289,3 +289,52 @@ def test_sweet_spot_vectors_and_parity(searcher, oracle_idx):
            for r in searcher.search_sim(q, 10, similarity="sweet_spot",
                                         **params).collect()]
     assert got == [(d, f32_hex(s)) for d, s in want]
+
+
+# generic DFR cartesian: f64-exact equivalence against every specialized
+# combo class, plus engine-vs-oracle identity for combos with no
+# specialized twin
+_DFR_EQUIV = [
+    ("dfr_inl2", dict(basic_model="in", after_effect="l", normalization="h2")),
+    ("dfr_gb2", dict(basic_model="g", after_effect="b", normalization="h2")),
+    ("dfr_beb1", dict(basic_model="be", after_effect="b", normalization="h1")),
+    ("dfr_pl2", dict(basic_model="p", after_effect="l", normalization="h2")),
+    ("dfr_dl2", dict(basic_model="d", after_effect="l", normalization="h2")),
+    ("dfr_ifl2", dict(basic_model="if", after_effect="l", normalization="h2")),
+    ("dfr_inel2", dict(basic_model="ine", after_effect="l", normalization="h2")),
+    ("dfr_inlh3", dict(basic_model="in", after_effect="l", normalization="h3")),
+]
+
+
+@pytest.mark.parametrize("spec,params", _DFR_EQUIV)
+def test_dfr_generic_matches_specialized_f64(searcher, spec, params):
+    q = {"type": "term", "term": "merge"}
+    a = [(int(r["docID"]), round(float(r["score"]), 10))
+         for r in searcher.search_sim(q, 25, similarity=spec, mode="f64").collect()]
+    b = [(int(r["docID"]), round(float(r["score"]), 10))
+         for r in searcher.search_sim(q, 25, similarity="dfr", mode="f64",
+                                      **params).collect()]
+    assert a == b
+
+
+@pytest.mark.parametrize("bm", ["in", "if", "ine", "g", "be", "p", "d"])
+@pytest.mark.parametrize("ae", ["l", "b", "none"])
+@pytest.mark.parametrize("norm", ["h1", "h2", "h3", "z", "none"])
+def test_dfr_cartesian_engine_oracle_identity(searcher, oracle_idx, bm, ae, norm):
+    """Every combo of the full cartesian: the Arrow engine path and the
+    pure-python oracle path (same scorer kernels, different plumbing)
+    agree rank-and-score; scores are finite."""
+    q = {"type": "term", "term": "compute"}
+    params = dict(basic_model=bm, after_effect=ae, normalization=norm)
+    got = [(int(r["docID"]), f32_hex(r["score"]))
+           for r in searcher.search_sim(q, 10, similarity="dfr", mode="f32",
+                                        **params).collect()]
+    want = top_k_sim(q, oracle_idx, 10, similarity="dfr", mode="f32", **params)
+    assert [d for d, _ in got] == [d for d, _ in want], (bm, ae, norm)
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == f32_hex(s2), (bm, ae, norm, d1)
+    import struct as _struct
+
+    for _, sh in got:
+        v = _struct.unpack(">f", bytes.fromhex(sh))[0]
+        assert v == v and abs(v) != float("inf")  # finite
