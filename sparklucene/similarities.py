@@ -464,6 +464,76 @@ class DFRSimilarityGeneric:
         return sc
 
 
+class IBSimilarityGeneric:
+    """The COMPLETE IB cartesian (Search/Similarities/IBSimilarity.cs:
+    score = boost * distribution(tfn, lambda)): distributions {ll, spl} x
+    lambdas {df: (df+1)/(N+1), ttf: (ttf+1)/(N+1)} x the DFR
+    normalizations {h1, h2(c), h3(mu), z(z), none}.
+      LL : -ln(lambda / (tfn + lambda))                  DistributionLL.cs:37-40
+      SPL: -ln((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda)),
+           lambda==1 clamped to 0.99                     DistributionSPL.cs:38-49
+    The four hand-tuned combos above remain the float32-golden points;
+    equivalence against them is tested in f64."""
+
+    name = "ib"
+    uses_coord = False
+
+    def __init__(self, distribution: str = "spl", lam: str = "df",
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30):
+        if distribution not in ("ll", "spl"):
+            raise ValueError(f"unknown distribution {distribution!r}")
+        if lam not in ("df", "ttf"):
+            raise ValueError(f"unknown lambda {lam!r}")
+        if normalization not in ("h1", "h2", "h3", "z", "none"):
+            raise ValueError(f"unknown normalization {normalization!r}")
+        self.dist, self.lam, self.norm = distribution, lam, normalization
+        self.c, self.mu, self.z = c, mu, z
+
+    def scorer(self, boost: float, ts, ctx, mode: str):
+        N = ctx["max_doc"]
+        ttf = float(ts.ttf)
+        sttf = float(ctx["sum_ttf"])
+        avgfl32 = np.float32(np.float32(ctx["sum_ttf"]) / np.float32(N)) \
+            if ctx["sum_ttf"] > 0 else np.float32(1.0)
+        avgfl = float(avgfl32)
+        c, mu, z = self.c, self.mu, self.z
+        dist, norm = self.dist, self.norm
+        lamd = ((ts.df + 1.0) if self.lam == "df" else (ttf + 1.0)) / (N + 1.0)
+        if dist == "spl" and lamd == 1.0:
+            lamd = 0.99
+        f32m = mode == "f32"
+
+        def tfn_of(tf64, dl64):
+            if norm == "h1":
+                return tf64 * avgfl / dl64
+            if norm == "h2":
+                return tf64 * np.log1p(c * avgfl / dl64) / _LOG2
+            if norm == "h3":
+                return (tf64 + mu * ((ttf + 1.0) / (sttf + 1.0))) / (dl64 + mu) * mu
+            if norm == "z":
+                return tf64 * np.power(avgfl / dl64, z)
+            return tf64
+
+        def dist_of(tfn):
+            if dist == "ll":
+                return -np.log(lamd / (tfn + lamd))
+            expo = tfn / (tfn + 1.0)
+            return -np.log((np.power(lamd, expo) - lamd) / (1.0 - lamd))
+
+        def sc(tf_arr, nb_arr):
+            dl = NORM_TABLE[nb_arr].astype(np.float64)
+            tf64 = tf_arr.astype(np.float64)
+            if f32m:
+                tfn = np.asarray(tfn_of(tf64, dl)).astype(np.float32)
+                d = np.asarray(dist_of(tfn.astype(np.float64))).astype(np.float32)
+                return (np.float32(boost) * d).astype(np.float32)
+            tfn = np.asarray(tfn_of(tf64, dl), dtype=np.float64)
+            return boost * np.asarray(dist_of(tfn))
+
+        return sc
+
+
 class IBSimilaritySPL:
     """IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2(c=1)):
       lambda = (df+1)/(N+1)                                   LambdaDF.cs:33-36
@@ -954,6 +1024,12 @@ def make_similarity(name: str, **params):
         return DFRSimilarityPL2(params.get("c", 1.0))
     if name == "dfr_dl2":
         return DFRSimilarityDL2(params.get("c", 1.0))
+    if name == "ib":
+        return IBSimilarityGeneric(
+            params.get("distribution", "spl"), params.get("lam", "df"),
+            params.get("normalization", "h2"), params.get("c", 1.0),
+            params.get("mu", 800.0), params.get("z", 0.30),
+        )
     if name == "dfr":
         return DFRSimilarityGeneric(
             params.get("basic_model", "in"), params.get("after_effect", "l"),

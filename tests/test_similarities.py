@@ -338,3 +338,37 @@ def test_dfr_cartesian_engine_oracle_identity(searcher, oracle_idx, bm, ae, norm
     for _, sh in got:
         v = _struct.unpack(">f", bytes.fromhex(sh))[0]
         assert v == v and abs(v) != float("inf")  # finite
+
+
+_IB_EQUIV = [
+    ("ib_spl", dict(distribution="spl", lam="df", normalization="h2")),
+    ("ib_ll", dict(distribution="ll", lam="df", normalization="h2")),
+    ("ib_spl_h1", dict(distribution="spl", lam="df", normalization="h1")),
+    ("ib_spl_z", dict(distribution="spl", lam="ttf", normalization="z")),
+]
+
+
+@pytest.mark.parametrize("spec,params", _IB_EQUIV)
+def test_ib_generic_matches_specialized_f64(searcher, spec, params):
+    q = {"type": "term", "term": "merge"}
+    a = [(int(r["docID"]), round(float(r["score"]), 10))
+         for r in searcher.search_sim(q, 25, similarity=spec, mode="f64").collect()]
+    b = [(int(r["docID"]), round(float(r["score"]), 10))
+         for r in searcher.search_sim(q, 25, similarity="ib", mode="f64",
+                                      **params).collect()]
+    assert a == b
+
+
+@pytest.mark.parametrize("dist", ["ll", "spl"])
+@pytest.mark.parametrize("lam", ["df", "ttf"])
+@pytest.mark.parametrize("norm", ["h1", "h2", "h3", "z", "none"])
+def test_ib_cartesian_engine_oracle_identity(searcher, oracle_idx, dist, lam, norm):
+    q = {"type": "term", "term": "compute"}
+    params = dict(distribution=dist, lam=lam, normalization=norm)
+    got = [(int(r["docID"]), f32_hex(r["score"]))
+           for r in searcher.search_sim(q, 10, similarity="ib", mode="f32",
+                                        **params).collect()]
+    want = top_k_sim(q, oracle_idx, 10, similarity="ib", mode="f32", **params)
+    assert [d for d, _ in got] == [d for d, _ in want], (dist, lam, norm)
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == f32_hex(s2), (dist, lam, norm, d1)
