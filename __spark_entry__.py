@@ -476,6 +476,45 @@ def _q_spatial_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id", "op")
 
 
+_GATE_POLY = [(-40.001, -100.001), (30.001, -120.001), (60.001, 10.001),
+              (10.001, 90.001), (-60.001, 40.001)]
+
+
+def _q_spatial_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon containment over indexed points: bbox prefilter + unrolled
+    Catalyst ray cast (spatial.point_in_polygon) -- no UDF, no shuffle.
+    Vertices carry .001 offsets so the 2-decimal synthetic coordinates
+    never land exactly on an edge."""
+    from sparklucene.spatial import search_polygon
+
+    pts = _spatial_points(spark, sf_dir)
+    return search_polygon(pts, _GATE_POLY).select("doc_id").orderBy("doc_id")
+
+
+def _spatial_polygon_sql() -> str:
+    lats = [v[0] for v in _GATE_POLY]
+    lons = [v[1] for v in _GATE_POLY]
+    terms = []
+    n = len(_GATE_POLY)
+    for k in range(n):
+        la1, lo1 = _GATE_POLY[k]
+        la2, lo2 = _GATE_POLY[(k + 1) % n]
+        if la1 == la2:
+            continue
+        terms.append(
+            f"CASE WHEN (({la1} > lat) <> ({la2} > lat)) AND "
+            f"lon < ({lo2} - {lo1}) * (lat - {la1}) / ({la2} - {la1}) + {lo1} "
+            f"THEN 1 ELSE 0 END"
+        )
+    crossings = " + ".join(terms)
+    return (
+        "SELECT doc_id FROM pts WHERE lat BETWEEN {mnla} AND {mxla} "
+        "AND lon BETWEEN {mnlo} AND {mxlo} AND (({cr}) % 2) = 1 "
+        "ORDER BY doc_id"
+    ).format(mnla=min(lats), mxla=max(lats), mnlo=min(lons), mxlo=max(lons),
+             cr=crossings)
+
+
 def _q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PointVectorStrategy bbox (Vector/PointVectorStrategy.cs MakeWithin):
     two native BETWEENs, constant score like the reference's filters."""
@@ -1329,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ib_spl_h1"] = _q_ib_spl_h1
     out["spatial_bbox"] = _q_spatial_bbox
     out["spatial_shapes"] = _q_spatial_shapes
+    out["spatial_polygon"] = _q_spatial_polygon
     out["spatial_circle"] = _q_spatial_circle
     out["spatial_knn"] = _q_spatial_knn
     out["dfr_pl2"] = _q_dfr_pl2
@@ -1416,7 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
     round4 = [
         "complex_phrase", "surround_near", "xml_query", "freetext_suggest", "dfr_ifl2",
-        "dfr_inel2", "spatial_shapes", "decontam", "repetition", "pii_scrub",
+        "dfr_inel2", "spatial_shapes", "spatial_polygon", "decontam",
+        "repetition", "pii_scrub",
         "strat_sample", "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup",
         "phrase", "sloppy_phrase", "span_near", "multi_phrase", "span_not",
     ]
@@ -2008,6 +2049,7 @@ d AS (SELECT doc_id, 'is_disjoint_to' AS op FROM rects
       WHERE NOT (mnla <= 40.0 AND mxla >= -30.0 AND mnlo <= 90.0 AND mxlo >= -60.0))
 SELECT doc_id, op FROM (SELECT * FROM i UNION ALL SELECT * FROM w UNION ALL SELECT * FROM d)
 ORDER BY doc_id, op"""
+    sqls["spatial_polygon"] = f"WITH {_pts}\n" + _spatial_polygon_sql()
     sqls["spatial_knn"] = f"""WITH {_pts},
 d AS (SELECT doc_id, {_hav.format(lat=48.8, lon=2.3)} AS dist FROM pts)
 SELECT doc_id, round(dist, 4) AS dist_km FROM d

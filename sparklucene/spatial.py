@@ -352,3 +352,43 @@ class RectShapeStrategy:
         [lat0,lat1]x[lon0,lon1]; constant score (the reference wraps these
         in ConstantScoreQuery)."""
         return df.filter(self._pred(op, lat0, lat1, lon0, lon1))
+
+
+def point_in_polygon(lat_col: str, lon_col: str,
+                     vertices: list[tuple[float, float]]) -> Column:
+    """Ray-casting point-in-polygon predicate as a PURE CATALYST expression
+    (the spatial4n shape-contains analogue for polygon QUERIES over indexed
+    points): for each polygon edge, count crossings of the horizontal ray
+    from the point; odd parity = inside.  The polygon is a query-time
+    constant, so the test unrolls into #edges native comparisons inside
+    whole-stage codegen -- no UDF, no shuffle.  Boundary points follow the
+    half-open crossing rule (consistent, measure-zero at data scale)."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    crossings = None
+    n = len(vertices)
+    for k in range(n):
+        la1, lo1 = vertices[k]
+        la2, lo2 = vertices[(k + 1) % n]
+        if la1 == la2:
+            continue  # horizontal edge never crosses the horizontal ray
+        straddles = (F.lit(la1) > lat) != (F.lit(la2) > lat)
+        x_at = (F.lit(lo2 - lo1) * (lat - F.lit(la1)) / F.lit(la2 - la1)
+                + F.lit(lo1))
+        c = (straddles & (lon < x_at)).cast("int")
+        crossings = c if crossings is None else crossings + c
+    return (crossings % 2) == 1
+
+
+def search_polygon(df: DataFrame, vertices: list[tuple[float, float]],
+                   lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Points inside a polygon: bbox prefilter (parquet min/max pruning at
+    scale) + exact ray-cast refine, both JVM-side."""
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    bbox = (
+        F.col(lat_col).between(min(lats), max(lats))
+        & F.col(lon_col).between(min(lons), max(lons))
+    )
+    return df.filter(bbox & point_in_polygon(lat_col, lon_col, vertices))

@@ -189,3 +189,52 @@ def test_rect_shape_operations(spark):
     assert ids("is_disjoint_to") == [2]
     assert ids("is_equal_to") == [4]
     assert ids("overlaps") == [1]
+
+
+def test_point_in_polygon(spark):
+    from sparklucene.spatial import search_polygon
+
+    # concave "L" polygon
+    poly = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+            (4.0, 10.0), (0.0, 10.0)]
+    pts = [
+        (0, 2.0, 2.0, True),    # lower-left block
+        (1, 8.0, 2.0, True),    # right arm
+        (2, 2.0, 8.0, True),    # top arm
+        (3, 8.0, 8.0, False),   # the notch (outside the L)
+        (4, -1.0, 5.0, False),  # outside bbox
+        (5, 5.0, 5.0, False),   # inside bbox, in the notch
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], "doc_id long, lat double, lon double")
+    got = {r["doc_id"] for r in search_polygon(df, poly).collect()}
+    assert got == {i for i, _, _, inside in pts if inside}
+
+
+def test_polygon_matches_brute_force(spark):
+    """Randomized polygon vs a matplotlib-free reference ray cast."""
+    import random
+
+    from sparklucene.spatial import search_polygon
+
+    rng = random.Random(3)
+    poly = [(0.0, 0.0), (7.0, 2.0), (10.0, 9.0), (3.0, 11.0), (-2.0, 6.0)]
+    pts = [(i, rng.uniform(-4, 13), rng.uniform(-3, 14)) for i in range(300)]
+
+    def ray(lat, lon):
+        inside = False
+        n = len(poly)
+        for k in range(n):
+            la1, lo1 = poly[k]
+            la2, lo2 = poly[(k + 1) % n]
+            if la1 == la2:
+                continue
+            if (la1 > lat) != (la2 > lat):
+                if lon < (lo2 - lo1) * (lat - la1) / (la2 - la1) + lo1:
+                    inside = not inside
+        return inside
+
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {r["doc_id"] for r in search_polygon(df, poly).collect()}
+    want = {i for i, la, lo in pts if ray(la, lo)}
+    assert got == want and want
