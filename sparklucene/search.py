@@ -2635,6 +2635,9 @@ class IndexSearcher:
             if t == "phrase" and node.get("terms"):
                 toks = [x for term in node["terms"] for x in self.analyze_query(term)]
                 return {**node, "terms": toks or node["terms"]}
+            if t == "span_term":
+                toks = self.analyze_query(node["term"])
+                return {**node, "term": toks[0]} if len(toks) == 1 else node
             out = {}
             for k, v in node.items():
                 if k == "clauses":
@@ -2644,6 +2647,14 @@ class IndexSearcher:
                     ]
                 elif k == "queries":
                     out[k] = [walk(c) for c in v]
+                elif k in ("include", "exclude", "clause") and isinstance(v, dict):
+                    out[k] = walk(v)
+                elif k == "terms" and t in ("span_near", "span_or") and isinstance(v, list):
+                    # flat span term lists analyze term-by-term (1:1 only)
+                    out[k] = [
+                        (self.analyze_query(x) or [x])[0] if isinstance(x, str) else x
+                        for x in v
+                    ]
                 else:
                     out[k] = v
             return out

@@ -163,3 +163,21 @@ def test_parse_errors():
         parse_surround("a W (b AND c)")  # AND inside a distance op
     with pytest.raises(QueryParseError):
         parse_surround("a )")  # trailing input
+
+
+def test_surround_on_stemmed_index(spark, tmp_path_factory):
+    """analyze_parsed rewrites span-tree terms through the index analyzer,
+    so the Surround/Xml dialects work against stemmed indexes."""
+    out = str(tmp_path_factory.mktemp("srndstem"))
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "en", "content": c}
+        for i, c in enumerate(
+            ["the merging tables quickly", "merged hash tables", "nothing here"])
+    ]
+    build_index(spark, spark.createDataFrame(rows), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=1,
+                            analyzer="english"))
+    s = IndexSearcher(spark, out)
+    q = s.analyze_parsed(parse_surround("merging w tables"))
+    assert q["clauses"][0]["term"] == "merg"  # Porter-stemmed
+    assert sorted(r["docID"] for r in s.search(q, 10).collect()) == [0]
