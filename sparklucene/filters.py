@@ -604,3 +604,33 @@ def _stem_with_exclusions_named(tokens, name, exclusions=(), overrides=None):
 
 
 _FILTERS["stem_with_exclusions"] = _stem_with_exclusions_named
+
+
+def beider_morse_chain_filter(tokens, rules_dir: str, name_type: str = "gen",
+                              rule_type: str = "approx", concat: bool = True,
+                              inject: bool = False):
+    """BeiderMorseFilter adapter for make_chain (BeiderMorseFilter.cs:
+    the FIRST encoded alternate replaces the token keeping its position
+    increment, the rest stack at posInc 0; inject=True keeps the original
+    too).  rules_dir points at a BMPM rules directory (see
+    sparklucene.beidermorse)."""
+    import re as _re
+
+    from .beidermorse import BeiderMorseEncoder
+
+    enc = BeiderMorseEncoder(rules_dir, name_type, rule_type, concat)
+    out = []
+    for t, inc in tokens:
+        alts = _re.findall(r"[^()|\-]+", enc.encode(t) or "")
+        if inject:
+            out.append((t, inc))
+            out.extend((a, 0) for a in alts)
+        elif alts:
+            out.append((alts[0], inc))
+            out.extend((a, 0) for a in alts[1:])
+        else:
+            out.append((t, inc))
+    return out
+
+
+_FILTERS["beider_morse"] = beider_morse_chain_filter

@@ -106,3 +106,33 @@ def test_beider_morse_filter():
     assert all(p == 0 for _, p in out)
     withorig = beider_morse_filter([("renault", 0)], enc, inject=True)
     assert withorig[0] == ("renault", 0) and len(withorig) == len(out) + 1
+
+
+def test_beider_morse_chain_end_to_end(spark, tmp_path_factory):
+    """The chain analyzer with the beider_morse filter builds a searchable
+    index: 'renault' and 'reno' collide on shared BMPM alternates, so a
+    name query matches spelling variants."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.filters import make_chain
+    from sparklucene.search import IndexSearcher
+
+    chain = {"tokenizer": "whitespace",
+             "filters": [["beider_morse", {"rules_dir": RULES_DIR}]]}
+    an = make_chain(chain["tokenizer"], [tuple(f) for f in chain["filters"]])
+    t_renault, _ = an("renault")
+    t_reno, _ = an("reno")
+    shared = set(t_renault) & set(t_reno)
+    assert shared  # phonetic collision exists
+
+    out = str(tmp_path_factory.mktemp("bmidx"))
+    rows = [{"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "t",
+             "content": c} for i, c in enumerate(["renault cars", "reno visit", "xyzzy"])]
+    build_index(spark, spark.createDataFrame(rows), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=1,
+                            analyzer="chain", analyzer_params=chain))
+    s = IndexSearcher(spark, out)
+    q = {"type": "boolean", "clauses": [
+        {"occur": "SHOULD", "query": {"type": "term", "term": t}}
+        for t in sorted(shared)]}
+    hits = sorted(r["docID"] for r in s.search(q, 10).collect())
+    assert hits == [0, 1]
