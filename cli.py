@@ -48,6 +48,11 @@ def _read_source(spark, inp: str, fmt: str):
     path; `auto` picks table when the input has no path separator."""
     if fmt == "table":
         return spark.read.table(inp)
+    if fmt in ("json", "csv", "orc"):
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", "true")
+        return getattr(r, fmt)(inp)
     if (
         fmt == "auto"
         and "/" not in inp
@@ -170,7 +175,7 @@ def main(argv=None) -> int:
     b.add_argument("--order-cols", default=None)
     b.add_argument("--num-buckets", type=int, default=32)
     b.add_argument("--no-resume", action="store_true")
-    b.add_argument("--format", choices=("auto", "parquet", "table"), default="auto",
+    b.add_argument("--format", choices=("auto", "parquet", "table", "json", "csv", "orc"), default="auto",
                    help="input kind: parquet path or catalog table (Iceberg)")
     b.add_argument("--analyzer", default="standard",
                    help="make_analyzer name (standard/english/whitespace/...)")
