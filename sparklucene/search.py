@@ -2721,6 +2721,65 @@ class IndexSearcher:
         finally:
             sc.setJobGroup(None, None)
 
+    def term_vectors(self, doc_ids: list[int]) -> DataFrame:
+        """TermVectors API analogue (Fields/Terms per doc,
+        IndexReader.GetTermVector): per-doc (term, tf, positions[,
+        start_offsets, lengths]) decoded from the tokenized store -- the
+        engine's per-doc postings column IS the term-vector store, written
+        once at tokenize time.  Reads only segments that retain tokenized/
+        (merged segments keep docs/ without postings -- same contract as
+        Lucene, where term vectors exist only if stored), with docID
+        predicate pushdown into the parquet scan."""
+        parts = []
+        for d in self._seg_dirs:
+            p = os.path.join(d, "tokenized")
+            if os.path.exists(p):
+                parts.append(self.spark.read.parquet(p).select("docID", "postings"))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "docID long, term string, tf int, positions array<int>"
+            )
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        src = src.filter(F.col("docID").isin([int(x) for x in doc_ids]))
+        out_schema = T.StructType([
+            T.StructField("docID", T.LongType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.IntegerType())),
+            # null when offsets weren't stored (BuildConfig.store_offsets)
+            T.StructField("start_offsets", T.ArrayType(T.IntegerType())),
+            T.StructField("end_offsets", T.ArrayType(T.IntegerType())),
+        ])
+
+        def decode(pdf_iter):
+            from .codec import decode_offset_pairs, varint_decode
+
+            for pdf in pdf_iter:
+                rows = {f.name: [] for f in out_schema.fields}
+                for r in pdf.itertuples(index=False):
+                    for p in r.postings:
+                        tf = int(p["tf"])
+                        deltas = varint_decode(bytes(p["pos_blob"]), count=tf)
+                        rows["docID"].append(r.docID)
+                        rows["term"].append(p["term"])
+                        rows["tf"].append(tf)
+                        rows["positions"].append(
+                            np.cumsum(deltas.astype(np.int64)).astype(np.int32)
+                        )
+                        blob = p["off_blob"]
+                        if blob:
+                            starts, ends = decode_offset_pairs(bytes(blob), tf)
+                            rows["start_offsets"].append(starts.astype(np.int32))
+                            rows["end_offsets"].append(ends.astype(np.int32))
+                        else:
+                            rows["start_offsets"].append(None)
+                            rows["end_offsets"].append(None)
+                yield pd.DataFrame(rows)
+
+        return src.mapInPandas(decode, schema=out_schema)
+
     def count(self, query: dict) -> int:
         """TotalHitCountCollector analogue."""
         scored = self._eval(query, 1.0, "f64")

@@ -98,3 +98,29 @@ def test_postings_highlight_span_multi(hl_searcher):
     }
     out = s.postings_highlight(src, q, k=5, max_frag=40)
     assert out and "<b>merge</b>" in out[0]["fragment"]
+
+
+def test_term_vectors_api(spark, tmp_path_factory):
+    """TermVectors analogue: per-doc (term, tf, positions, offsets) decoded
+    from the tokenized store, matching a hand analysis of the text."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("tvidx"))
+    rows = [{"repo": "r", "path": f"p{i}", "commit": str(i), "lang": "t",
+             "content": c} for i, c in enumerate(
+        ["alpha beta alpha gamma", "beta beta delta"])]
+    build_index(spark, spark.createDataFrame(rows), out,
+                BuildConfig(order_cols=("repo", "path"), num_buckets=1,
+                            store_offsets=True))
+    s = IndexSearcher(spark, out)
+    tv = {(r["docID"], r["term"]): r for r in s.term_vectors([0, 1]).collect()}
+    r = tv[(0, "alpha")]
+    assert r["tf"] == 2 and list(r["positions"]) == [0, 2]
+    assert list(r["start_offsets"]) == [0, 11]
+    assert list(r["end_offsets"]) == [5, 16]
+    assert tv[(1, "beta")]["tf"] == 2 and list(tv[(1, "beta")]["positions"]) == [0, 1]
+    assert tv[(0, "gamma")]["tf"] == 1
+    # only requested docs decode
+    assert {d for d, _ in tv} == {0, 1}
+    assert len(s.term_vectors([1]).collect()) == 2
