@@ -299,6 +299,9 @@ def check_index(
             for r in spark.read.parquet(bloom_dir).collect()
         ]
         by_bucket = {(nb, b): (nbits, bits) for nb, b, nbits, bits in brows}
+        # direct O(1) lookup per (term, nbuckets) -- a linear scan of every
+        # bloom row per term is O(n_terms x num_buckets) for no reason
+        nbuckets_seen = sorted({nb for nb, _ in by_bucket})
         misses = 0
         n_terms = 0
         for r in spark.read.parquet(os.path.join(index_dir, "term_dict")) \
@@ -306,8 +309,9 @@ def check_index(
             t = r["term"]
             n_terms += 1
             hit = False
-            for (nb, b), (nbits, bits) in by_bucket.items():
-                if b == bloom_bucket(t, nb) and bloom_contains(bits, nbits, t):
+            for nb in nbuckets_seen:
+                entry = by_bucket.get((nb, bloom_bucket(t, nb)))
+                if entry is not None and bloom_contains(entry[1], entry[0], t):
                     hit = True
                     break
             if not hit:

@@ -728,13 +728,25 @@ def embedding_neardup_pairs(
             )
         ]
         meta = spark.createDataFrame(pair_rows, "pi int, ci int, cj int")
+        # Carry an explicit diagonal flag per pair group: inferring it from
+        # the presence of side-1 rows misclassifies an off-diagonal group
+        # whose right chunk happens to be EMPTY (hash-assignment can leave a
+        # chunk with zero rows when n_total barely exceeds chunk_rows) and
+        # would re-emit the left chunk's within-chunk pairs a second time.
         left = chunked.join(
-            F.broadcast(meta.select("pi", F.col("ci").alias("cid"))), "cid"
+            F.broadcast(
+                meta.select(
+                    "pi",
+                    F.col("ci").alias("cid"),
+                    (F.col("ci") == F.col("cj")).alias("diag"),
+                )
+            ),
+            "cid",
         ).withColumn("side", F.lit(0))
         right = chunked.join(
             F.broadcast(
                 meta.filter(F.col("ci") != F.col("cj"))
-                .select("pi", F.col("cj").alias("cid"))
+                .select("pi", F.col("cj").alias("cid"), F.lit(False).alias("diag"))
             ),
             "cid",
         ).withColumn("side", F.lit(1))
@@ -747,16 +759,16 @@ def embedding_neardup_pairs(
             n[n == 0] = 1.0
             m = m / n[:, None]
             side = pdf["side"].to_numpy()
-            if (side == 1).any():  # off-diagonal: L x R, ids disjoint
-                li, ri = side == 0, side == 1
-                cos = m[li] @ m[ri].T
-                ii, jj = np.nonzero(cos >= threshold)
-                a, b, c = ids[li][ii], ids[ri][jj], cos[ii, jj]
-            else:  # diagonal: upper triangle within one chunk
+            if bool(pdf["diag"].iloc[0]):  # diagonal: upper triangle within one chunk
                 cos = m @ m.T
                 ii, jj = np.nonzero(cos >= threshold)
                 keep = ii < jj
                 a, b, c = ids[ii[keep]], ids[jj[keep]], cos[ii[keep], jj[keep]]
+            else:  # off-diagonal: L x R, ids disjoint (either side may be empty)
+                li, ri = side == 0, side == 1
+                cos = m[li] @ m[ri].T
+                ii, jj = np.nonzero(cos >= threshold)
+                a, b, c = ids[li][ii], ids[ri][jj], cos[ii, jj]
             return pd.DataFrame(
                 {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cos": c}
             )

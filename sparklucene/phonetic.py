@@ -642,6 +642,11 @@ def beider_morse_filter(tokens, encoder, inject: bool = True):
         if inject:
             out.append((t, p))
         encoded = encoder.encode(t)
-        for m in _re.finditer(r"[^()|\-]+", encoded or ""):
-            out.append((m.group(), p))
+        alts = [m.group() for m in _re.finditer(r"[^()|\-]+", encoded or "")]
+        if not alts and not inject:
+            # reference BeiderMorseFilter keeps the current token when the
+            # engine yields no alternates (IncrementToken falls through to
+            # input token) -- never drop the token entirely
+            out.append((t, p))
+        out.extend((a, p) for a in alts)
     return out

@@ -495,6 +495,8 @@ class IndexSearcher:
             return sum(dfs) if t == "span_or" else min(dfs, default=0)
         if t == "match_all":
             return self.max_doc
+        if t == "match_none":
+            return 0
         if t in ("prefix", "wildcard", "regexp", "fuzzy", "range"):
             sts = self.lookup_terms(self.expand_terms(q))
             return sum(s.df for s in sts.values())
@@ -534,6 +536,10 @@ class IndexSearcher:
             v = float(np.float32(boost)) if mode == "f32" else boost
             lit = F.lit(v).cast("float" if mode == "f32" else "double")
             return self.docs().select("docID", lit.alias("score"))
+        if t == "match_none":
+            # provably-empty query (e.g. an XML TermsQuery whose text was
+            # all stop words inside a MUST clause) -- matches nothing
+            return None
         if t == "field_term":
             # StringField-semantics exact keyword match on a docs-table
             # metadata column (src/Lucene.Net/Document/StringField.cs: indexed,

@@ -60,7 +60,13 @@ def _op_of(tok: str):
     if not m:
         return None
     if m.group(2):
-        return (m.group(2).upper(), int(m.group(1)) if m.group(1) else 1)
+        dist = int(m.group(1)) if m.group(1) else 1
+        if dist < 1:
+            # the reference Surround grammar restricts the distance prefix
+            # to >= 1 (2-99 for the explicit form); distance 0 would yield
+            # span_near slop = -1, undefined in the positional kernels
+            raise QueryParseError(f"surround distance must be >= 1, got {dist}")
+        return (m.group(2).upper(), dist)
     return (m.group(3) or m.group(4) or m.group(5)).upper()
 
 

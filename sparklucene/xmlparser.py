@@ -86,11 +86,23 @@ def _query(node: ET.Element, kw) -> dict | None:
             occ = _OCCURS.get((c.get("occurs") or "should").lower())
             if occ is None:
                 raise QueryParseError(f"bad occurs={c.get('occurs')!r}")
-            inner = None
-            for sub in c:
-                inner = _query(sub, kw)
-            if inner is not None:
-                clauses.append({"occur": occ, "query": inner})
+            subs = list(c)
+            if len(subs) != 1:
+                raise QueryParseError(
+                    f"Clause must hold exactly one query element, got {len(subs)}"
+                )
+            inner = _query(subs[0], kw)
+            if inner is None:
+                # A MUST clause that matches nothing makes the whole boolean
+                # match nothing; silently dropping it would make the query
+                # LESS restrictive.  MUST_NOT of match-nothing excludes
+                # nothing and SHOULD of match-nothing adds nothing -- both
+                # safe to drop.
+                if occ == "MUST":
+                    inner = {"type": "match_none"}
+                else:
+                    continue
+            clauses.append({"occur": occ, "query": inner})
         if not clauses:
             return None
         return _boosted(node, {"type": "boolean", "clauses": clauses})

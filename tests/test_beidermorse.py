@@ -106,6 +106,10 @@ def test_beider_morse_filter():
     assert all(p == 0 for _, p in out)
     withorig = beider_morse_filter([("renault", 0)], enc, inject=True)
     assert withorig[0] == ("renault", 0) and len(withorig) == len(out) + 1
+    # no alternates (e.g. a numeric token) -> reference keeps the current
+    # token even with inject=False, never drops it (BeiderMorseFilter.cs
+    # IncrementToken falls through to the input token)
+    assert beider_morse_filter([("12345", 3)], enc, inject=False) == [("12345", 3)]
 
 
 def test_beider_morse_chain_end_to_end(spark, tmp_path_factory):

@@ -231,6 +231,30 @@ def test_emb_neardup_chunked_equals_single_pass(spark):
     assert one == many and one, "chunked sweep must equal the single pass"
 
 
+def test_emb_neardup_empty_chunk_no_duplicates(spark):
+    """Hash-assigned chunking can leave a chunk EMPTY (n_total barely above
+    chunk_rows); the off-diagonal group whose right chunk is empty must NOT
+    be misclassified as a diagonal group (which would re-emit the left
+    chunk's within-chunk pairs and duplicate output rows)."""
+    import pyspark.sql.functions as F
+    from sparklucene.datapipe import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # find ids that all hash into chunk 0 of a 2-chunk split
+    hashed = emb.withColumn("c", F.pmod(F.xxhash64("vec_id"), F.lit(2)).cast("int"))
+    skew = hashed.filter(F.col("c") == 0).drop("c").limit(9)
+    n = skew.count()
+    assert n >= 5
+    one = sorted(
+        tuple(r) for r in embedding_neardup_pairs(skew, threshold=0.2).collect()
+    )
+    # chunk_rows = n-1 -> n_chunks = 2, chunk 1 provably empty
+    many_rows = embedding_neardup_pairs(skew, threshold=0.2, chunk_rows=n - 1).collect()
+    many = sorted(tuple(r) for r in many_rows)
+    assert len(many_rows) == len(set(many_rows)), "duplicate pair rows emitted"
+    assert one == many
+
+
 def test_ngram_jaccard_hot_shingle_skew(spark):
     """Prefix filtering must stay EXACT under pathological skew: a
     boilerplate preamble shared by half the corpus (the quadratic-blowup

@@ -163,6 +163,10 @@ def test_parse_errors():
         parse_surround("a W (b AND c)")  # AND inside a distance op
     with pytest.raises(QueryParseError):
         parse_surround("a )")  # trailing input
+    with pytest.raises(QueryParseError):
+        parse_surround("a 0W b")  # distance < 1 (would mean slop = -1)
+    with pytest.raises(QueryParseError):
+        parse_surround("0n(a, b)")
 
 
 def test_surround_on_stemmed_index(spark, tmp_path_factory):

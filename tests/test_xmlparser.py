@@ -98,6 +98,35 @@ def test_errors():
         parse_xml("not xml at all <<<")
     with pytest.raises(QueryParseError):
         parse_xml("<ConstantScoreQuery><TermQuery>x</TermQuery></ConstantScoreQuery>")
+    # a Clause must hold exactly one inner query element
+    with pytest.raises(QueryParseError):
+        parse_xml(
+            '<BooleanQuery><Clause occurs="must">'
+            "<TermQuery>a</TermQuery><TermQuery>b</TermQuery>"
+            "</Clause></BooleanQuery>"
+        )
+
+
+def test_must_clause_matching_nothing_is_not_dropped():
+    # an all-stopword TermsQuery inside a MUST clause makes the whole
+    # boolean match NOTHING -- dropping the clause would make the query
+    # LESS restrictive (ADVICE r4)
+    q = parse_xml(
+        '<BooleanQuery>'
+        '<Clause occurs="must"><TermsQuery>the of and</TermsQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>bank</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    musts = [c for c in q["clauses"] if c["occur"] == "MUST"]
+    assert musts and musts[0]["query"] == {"type": "match_none"}
+    # MUST_NOT / SHOULD of match-nothing are safe to drop
+    q2 = parse_xml(
+        '<BooleanQuery>'
+        '<Clause occurs="mustNot"><TermsQuery>the of</TermsQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>bank</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    assert all(c["occur"] == "SHOULD" for c in q2["clauses"])
 
 
 def test_engine_equivalence(spark, tmp_path_factory):
