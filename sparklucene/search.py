@@ -89,10 +89,15 @@ class IndexSearcher:
         self._deleted_ids: np.ndarray | None = None
         self._deleted_bc = None
         self._deleted_df: DataFrame | None = None
-        self._bloom_rows: list | None = None  # lazy; [] = blooms unavailable
+        self._bloom_rows: dict | None = None  # {} = blooms unavailable
+        self._bloom_nbuckets: list = []
         from collections import OrderedDict
 
         self._filter_cache: "OrderedDict[str, DataFrame]" = OrderedDict()
+        # eager bloom-table load: a one-time ~num_buckets-row parquet read;
+        # loading lazily would charge it to the FIRST query instead of
+        # searcher construction (skews per-query timings)
+        self._bloom_filters()
 
     def _init_from_stats(self) -> None:
         self.max_doc: int = self.stats["max_doc"]
@@ -144,9 +149,11 @@ class IndexSearcher:
         self._deleted_bc = None
         self._deleted_df = None
         self._bloom_rows = None
+        self._bloom_nbuckets = []
         from collections import OrderedDict
 
         self._filter_cache = OrderedDict()
+        self._bloom_filters()
         return self
 
     def set_live_docs(self, deleted_ids) -> None:
@@ -219,41 +226,47 @@ class IndexSearcher:
         return out
 
     # ---- per-bucket term blooms (BloomFilteringPostingsFormat analogue) --
-    def _bloom_filters(self) -> list:
-        """Collected (nbuckets, bucket, nbits, bits) bloom rows across ALL
-        segments, cached on the driver (num_buckets rows/segment, ~10 bits
-        per term).  [] when any segment lacks blooms (legacy index /
+    def _bloom_filters(self) -> dict:
+        """Bloom rows across ALL segments, indexed by (nbuckets, bucket) ->
+        [(nbits, bits), ...] on the driver (num_buckets rows/segment, ~10
+        bits per term).  {} when any segment lacks blooms (legacy index /
         partial merge output) -- bloom skipping then disables, because a
         bloom-less segment could hold the term."""
         if self._bloom_rows is None:
             paths = [os.path.join(d, "blooms") for d in self._seg_dirs]
+            index: dict = {}
             if paths and all(os.path.exists(p) for p in paths):
                 df = self.spark.read.parquet(paths[0])
                 for p in paths[1:]:
                     df = df.unionByName(self.spark.read.parquet(p))
-                self._bloom_rows = [
-                    (r["nbuckets"], r["bucket"], r["nbits"], bytes(r["bits"]))
-                    for r in df.collect()
-                ]
-            else:
-                self._bloom_rows = []
+                for r in df.collect():
+                    index.setdefault((r["nbuckets"], r["bucket"]), []).append(
+                        (r["nbits"], bytes(r["bits"]))
+                    )
+            self._bloom_rows = index
+            self._bloom_nbuckets = sorted({nb for nb, _ in index})
         return self._bloom_rows
 
     def _bloom_reject(self, terms: list[str]) -> set[str]:
         """Terms PROVABLY absent from every segment (no bloom hit).  A
         bloom false positive only costs the normal term_dict lookup; false
-        negatives are impossible by construction (CheckIndex validates)."""
+        negatives are impossible by construction (CheckIndex validates).
+        Direct (nbuckets, bucket) lookups -- cost is O(terms x segments),
+        never a scan over every bloom row."""
         from .codec import bloom_bucket, bloom_contains
 
-        rows = self._bloom_filters()
-        if not rows:
+        index = self._bloom_filters()
+        if not index:
             return set()
         out = set()
         for t in terms:
             hit = False
-            for nb, bucket, nbits, bits in rows:
-                if bucket == bloom_bucket(t, nb) and bloom_contains(bits, nbits, t):
-                    hit = True
+            for nb in self._bloom_nbuckets:
+                for nbits, bits in index.get((nb, bloom_bucket(t, nb)), ()):
+                    if bloom_contains(bits, nbits, t):
+                        hit = True
+                        break
+                if hit:
                     break
             if not hit:
                 out.add(t)
