@@ -139,19 +139,54 @@ class TieredMergePolicy:
 # segment merge job (vectorized stream merge, no per-posting shuffle)
 # ---------------------------------------------------------------------------
 
-def _merge_blocks_udf(deleted: np.ndarray | None = None):
+# per-worker-process cache of deletes stores read EXECUTOR-side during
+# merges, keyed by (path, fingerprint) so a rewritten store is re-read
+_WORKER_DELETES_CACHE: dict = {}
+
+
+def _deletes_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a deletes dir (file names + sizes) --
+    driver-side metadata listing only, never reads row data."""
+    names = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    return "|".join(f"{n}:{os.path.getsize(os.path.join(path, n))}" for n in names)
+
+
+def _load_worker_deletes(path: str, fingerprint: str) -> np.ndarray:
+    key = (path, fingerprint)
+    arr = _WORKER_DELETES_CACHE.get(key)
+    if arr is None:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(path, format="parquet").to_table(columns=["docID"])
+        arr = np.unique(tbl.column("docID").to_numpy())
+        _WORKER_DELETES_CACHE.clear()  # one live store per root at a time
+        _WORKER_DELETES_CACHE[key] = arr
+    return arr
+
+
+def _merge_blocks_udf(deleted: np.ndarray | None = None,
+                      deletes_store: tuple[str, str] | None = None):
     """mapInArrow over block rows sorted by (bucket, term, first_docid):
     decodes every blob column in ONE vectorized pass, re-blocks to 128 docs,
     salt reset to 0 (salting is a build-shuffle concern, not a storage one).
-    With `deleted` (sorted int64 docIDs), deleted postings are dropped
-    during the merge -- the liveDocs-reclaim step of SegmentMerger
-    (SegmentMerger.cs:90-122 skips !liveDocs.Get(doc))."""
+    Deleted postings are dropped during the merge -- the liveDocs-reclaim
+    step of SegmentMerger (SegmentMerger.cs:90-122 skips !liveDocs.Get(doc)).
+    Deletes arrive either as `deleted` (sorted int64 docIDs, small/test
+    path) or as `deletes_store` = (path, fingerprint): each worker reads
+    the deletes parquet from shared storage directly -- the reference
+    merge streams liveDocs from the Directory the same way, and nothing
+    round-trips through the driver no matter how many deletes exist."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from .codec import encode_partition_blocks, varint_decode
 
     def merge(batch_iter):
+        deleted_arr = deleted
+        if deleted_arr is None and deletes_store is not None:
+            deleted_arr = _load_worker_deletes(*deletes_store)
         batches = [b for b in batch_iter if b.num_rows]
         if not batches:
             return
@@ -227,8 +262,8 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None):
         rank_of_row = np.empty(n_rows, dtype=np.int64)
         rank_of_row[row_order] = np.arange(n_rows)
         post_order = np.lexsort((doc_ids, rank_of_row[row_of_post]))
-        if deleted is not None and deleted.size:
-            post_order = post_order[~np.isin(doc_ids[post_order], deleted)]
+        if deleted_arr is not None and deleted_arr.size:
+            post_order = post_order[~np.isin(doc_ids[post_order], deleted_arr)]
 
         doc_s = doc_ids[post_order]
         tf_s = tfs[post_order]
@@ -469,16 +504,29 @@ class SegmentedIndex:
     def _deletes_dir(self) -> str:
         return os.path.join(self.root, "deletes")
 
-    def deleted_ids(self) -> list[int]:
+    def _has_deletes(self) -> bool:
+        """Buffered deletes exist -- a metadata check (dir listing), never
+        a collect; every merge-path decision gates on this."""
         d = self._deletes_dir()
-        if not os.path.isdir(d) or not any(
+        return os.path.isdir(d) and any(
             f.endswith(".parquet") for f in os.listdir(d)
-        ):
-            return []
-        return sorted(
-            int(r["docID"])
-            for r in self.spark.read.parquet(d).select("docID").distinct().collect()
         )
+
+    def _deletes_df(self) -> DataFrame | None:
+        """The deletes store as a distinct-docID DataFrame (None when
+        empty) -- the distributed handle merge/docs pruning joins against."""
+        if not self._has_deletes():
+            return None
+        return self.spark.read.parquet(self._deletes_dir()).select("docID").distinct()
+
+    def deleted_ids(self) -> list[int]:
+        """Driver-side deleted-id list -- test/introspection convenience
+        ONLY; the merge path never calls this (it joins the deletes store
+        distributed / streams it executor-side)."""
+        d = self._deletes_df()
+        if d is None:
+            return []
+        return sorted(int(r["docID"]) for r in d.collect())
 
     def delete_by_term(self, term: str) -> int:
         """IndexWriter.DeleteDocuments(Term) analogue (IndexWriter.cs
@@ -503,8 +551,11 @@ class SegmentedIndex:
 
     @property
     def num_docs(self) -> int:
-        """Live doc count (maxDoc - deletions), the NumDocs/MaxDoc split."""
-        return self.max_doc - len(self.deleted_ids())
+        """Live doc count (maxDoc - deletions), the NumDocs/MaxDoc split.
+        The deletion count is a distributed aggregate (one number to the
+        driver), never a collected id list."""
+        d = self._deletes_df()
+        return self.max_doc - (d.count() if d is not None else 0)
 
     # -- merge --------------------------------------------------------------
     def maybe_merge(self, max_concurrent: int = 1) -> list[list[str]]:
@@ -521,7 +572,7 @@ class SegmentedIndex:
             spec = self.policy.find_merges(sizes)
             if not spec:
                 return done
-            if max_concurrent > 1 and not self.deleted_ids():
+            if max_concurrent > 1 and not self._has_deletes():
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
@@ -538,15 +589,22 @@ class SegmentedIndex:
         (ForceMergeDeletes semantics)."""
         if not self.segments:
             return None
-        if len(self.segments) == 1 and not self.deleted_ids():
+        if len(self.segments) == 1 and not self._has_deletes():
             return None
         names = [s.name for s in self.segments]
         return self._merge(names)
 
     def _merge(self, names: list[str]) -> str:
         t0 = time.time()
-        dels = self.deleted_ids()
-        deleted = np.asarray(dels, dtype=np.int64) if dels else None
+        # deletes never round-trip through the driver: the block-merge UDF
+        # streams the deletes store from shared storage executor-side
+        # (liveDocs semantics), and doc pruning is a distributed anti-join
+        has_dels = self._has_deletes()
+        deletes_store = (
+            (self._deletes_dir(), _deletes_fingerprint(self._deletes_dir()))
+            if has_dels
+            else None
+        )
         with self._lock:
             name = f"seg{self.counter:06d}"
             self.counter += 1
@@ -561,7 +619,7 @@ class SegmentedIndex:
         merged = (
             blocks.repartition(max(cores, self.num_buckets // 4), "bucket")
             .sortWithinPartitions("bucket", "term", "first_docid")
-            .mapInArrow(_merge_blocks_udf(deleted), schema=BLOCK_SCHEMA)
+            .mapInArrow(_merge_blocks_udf(deletes_store=deletes_store), schema=BLOCK_SCHEMA)
         )
         # same partition layout as a fresh build (postings/group=/bucket=) so
         # unions across merged + freshly-appended segments line up
@@ -569,7 +627,7 @@ class SegmentedIndex:
             os.path.join(out, "postings", "group=0")
         )
 
-        if deleted is None:
+        if not has_dels:
             # no deletes: per-term stats are pure sums of the input dicts
             td = None
             for d in dirs:
@@ -605,15 +663,14 @@ class SegmentedIndex:
             if "postings" in dd.columns:
                 dd = dd.drop("postings")
             docs = dd if docs is None else docs.unionByName(dd)
-        if deleted is not None:
-            dels_df = self.spark.createDataFrame(
-                [(int(x),) for x in deleted], "docID long"
-            )
-            docs = docs.join(F.broadcast(dels_df), "docID", "left_anti")
+        if has_dels:
+            # distributed anti-join against the deletes store; AQE picks
+            # broadcast when the store is small, shuffle-hash when not
+            docs = docs.join(self._deletes_df(), "docID", "left_anti")
         docs.write.mode("overwrite").parquet(os.path.join(out, "docs"))
 
         merged_infos = [s for s in self.segments if s.name in set(names)]
-        if deleted is None:
+        if not has_dels:
             merged_max_doc = sum(s.n_docs for s in merged_infos)
             merged_sttf = sum(s.sum_field_len for s in merged_infos)
         else:
@@ -649,13 +706,17 @@ class SegmentedIndex:
             self._publish()
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
-        if deleted is not None:
+        if has_dels:
             # the merge reclaimed its subset of the buffered deletes; prune
             # the store to ids still present in UNMERGED segments so
             # num_docs = max_doc - |store| never double-subtracts an already
-            # reclaimed id (a full merge prunes to the empty set)
+            # reclaimed id (a full merge prunes to the empty set).  The
+            # prune is a distributed semi-join written straight back to
+            # parquet -- no id ever touches the driver
             rem = [s for s in self.segments if s.name != name]
-            still: list[int] = []
+            n_still = 0
+            tmp = self._deletes_dir() + ".pruning"
+            shutil.rmtree(tmp, ignore_errors=True)
             if rem:
                 live = None
                 for s2 in rem:
@@ -663,18 +724,14 @@ class SegmentedIndex:
                         os.path.join(self._seg_dir(s2.name), "docs")
                     ).select("docID")
                     live = dd if live is None else live.unionByName(dd)
-                dels_df = self.spark.createDataFrame(
-                    [(int(x),) for x in deleted], "docID long"
-                )
-                still = [
-                    int(r["docID"])
-                    for r in dels_df.join(live, "docID", "left_semi").collect()
-                ]
+                still_df = self._deletes_df().join(live, "docID", "left_semi")
+                still_df.write.mode("overwrite").parquet(tmp)
+                n_still = self.spark.read.parquet(tmp).count()
             shutil.rmtree(self._deletes_dir(), ignore_errors=True)
-            if still:
-                self.spark.createDataFrame(
-                    [(x,) for x in still], "docID long"
-                ).write.mode("overwrite").parquet(self._deletes_dir())
+            if n_still:
+                os.rename(tmp, self._deletes_dir())
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
         return name
 
     def _recount_term_dict(self, postings_df: DataFrame) -> DataFrame:

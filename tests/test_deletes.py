@@ -156,3 +156,41 @@ def test_large_deletes_dataframe_path(spark, tmp_path_factory):
     assert all(d % 3 != 0 for d, _ in got)
     # docs() excludes deleted rows on both paths
     assert big.docs().count() == fast.docs().count() == 80
+
+
+def test_merge_with_huge_deletes_store_stays_distributed(spark, tmp_path):
+    """The merge path must survive a deletes store far larger than anything
+    sane to pump through the driver: 2M buffered delete ids (most aimed at
+    absent docIDs, as after a huge delete-by-query on an already-merged
+    index).  The block-merge UDF streams the store executor-side and the
+    docs prune is a distributed anti-join -- no collect of ids anywhere."""
+    import pyspark.sql.functions as F
+
+    from sparklucene.build import BuildConfig
+    from sparklucene.corpus import make_corpus
+    from sparklucene.segments import SegmentedIndex, TieredMergePolicy
+
+    idx = SegmentedIndex(
+        spark, str(tmp_path / "lsm"), num_buckets=4,
+        policy=TieredMergePolicy(floor_segment_bytes=1),
+    )
+    corpus = make_corpus(40, seed=9)
+    cfg = BuildConfig(order_cols=("repo", "path"), num_buckets=4)
+    idx.append(spark.createDataFrame(corpus[:20]), cfg)
+    idx.append(spark.createDataFrame(corpus[20:]), cfg)
+
+    # 2M-row deletes store written straight from a range (docIDs 0..9 real,
+    # the rest beyond max_doc -- merge must drop exactly docs 0..9)
+    spark.range(2_000_000).select(
+        (F.col("id") % F.lit(200_000) * F.lit(1000) + F.lit(0)).alias("docID")
+    ).union(
+        spark.createDataFrame([(i,) for i in range(10)], "docID long")
+    ).write.mode("overwrite").parquet(str(tmp_path / "lsm" / "deletes"))
+
+    name = idx.force_merge()
+    assert name is not None and len(idx.segments) == 1
+    s = idx.searcher()
+    assert s.max_doc == 30  # 40 - 10 reclaimed
+    assert s.docs().filter(F.col("docID") < 10).count() == 0
+    # store pruned to ids still present in unmerged segments -> empty
+    assert not idx._has_deletes()
