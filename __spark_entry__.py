@@ -1036,6 +1036,46 @@ def _q_phonetic_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "term", "term": "MRJ"}, 15)
 
 
+_ICU_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _icu_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """ICUFoldingFilter index over a deterministically ACCENTED corpus:
+    the gate rewrites e/a/o to é/à/ö and ASCII digits to Bengali digits in
+    Spark (translate -- whole-stage codegen), then indexes through the
+    whitespace + icu_folding chain.  Folding must round-trip every token
+    back to its plain-lowercase form or scores diverge from the oracle
+    (which analyzes the ORIGINAL text with no folding at all)."""
+    key = os.path.abspath(sf_dir)
+    s = _ICU_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_icu", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "text", F.translate("text", "eao0123456789", "éàö০১২৩৪৫৬৭৮৯")
+    )
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="chain",
+        analyzer_params={"tokenizer": "whitespace", "filters": ["icu_folding"]},
+        resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _ICU_SEARCHERS[key] = s
+    return s
+
+
+def _q_icu_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICU folding end-to-end: querying plain 'merge' hits docs whose
+    indexed surface form was 'mérgé' (accents + native digits folded)."""
+    s = _icu_searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "term", "term": "merge"}, 15)
+
+
 _LANG_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1398,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stemmed_term"] = _q_stemmed_term
     out["word_delim"] = _q_word_delim
     out["phonetic_term"] = _q_phonetic_term
+    out["icu_term"] = _q_icu_term
     out["lang_routed"] = _q_lang_routed
     out["payload_term"] = _q_payload_term
     out["payload_near"] = _q_payload_near
@@ -2262,6 +2303,10 @@ ORDER BY score DESC, doc_id LIMIT 15"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'MRJ'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["icu_term"] = f"""{_prelude_nostop()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["lang_routed"] = f"""{_prelude_lang_routed()}
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'filt'
@@ -2781,6 +2826,21 @@ emitted AS (
   FROM toks t JOIN wdmap m ON t.tok = m.w
   WHERE t.tok <> ''
 ),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
+
+
+def _prelude_nostop() -> str:
+    """_prelude WITHOUT the stop filter: the icu_term gate's index chain
+    is whitespace + icu_folding (no StopFilter), and folding the gate's
+    deterministically-accented corpus round-trips every token to plain
+    lower(tok) -- so the oracle is the standard pipeline over the ORIGINAL
+    text, keeping stop words."""
+    base = _prelude()
+    old = """  WHERE tok <> '' AND lower(tok) NOT IN ({stops})""".replace(
+        "{stops}", _stop_sql()
+    )
+    new = """  WHERE tok <> ''"""
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)
 

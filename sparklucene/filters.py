@@ -634,3 +634,28 @@ def beider_morse_chain_filter(tokens, rules_dir: str, name_type: str = "gen",
 
 
 _FILTERS["beider_morse"] = beider_morse_chain_filter
+
+
+def icu_normalizer2_filter(tokens):
+    """ICUNormalizer2Filter default mode (ICUNormalizer2Filter.cs:30-60,
+    nfkc_cf): NFKC + full case folding + default-ignorable removal.
+    Like TrimFilter (4.4+ semantics), an all-ignorable term becomes an
+    EMPTY token that stays in the stream -- the reference normalizer
+    rewrites the term buffer and never removes tokens."""
+    from .icu import nfkc_cf
+
+    return [(nfkc_cf(t), p) for t, p in tokens]
+
+
+def icu_folding_filter(tokens):
+    """ICUFoldingFilter (ICUFoldingFilter.cs:24-60): nfkc_cf + UTR#30-style
+    diacritic/digit/Latin foldings -- the multilingual 'search-insensitive'
+    normalization (accents, case, compatibility forms, native digits all
+    fold together)."""
+    from .icu import icu_fold
+
+    return [(icu_fold(t), p) for t, p in tokens]
+
+
+_FILTERS["icu_normalizer2"] = icu_normalizer2_filter
+_FILTERS["icu_folding"] = icu_folding_filter

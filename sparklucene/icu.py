@@ -1,0 +1,79 @@
+"""ICU-lite normalization and folding (data-independent subset).
+
+Re-implements the parts of the reference ICU module that do not require
+ICU4N binary data, from Python's `unicodedata` (the same published Unicode
+character database ICU compiles):
+
+- `nfkc_cf`  -- ICUNormalizer2Filter's default nfkc_cf mode
+  (src/Lucene.Net.Analysis.ICU/Analysis/Icu/ICUNormalizer2Filter.cs:30-60):
+  NFKC + full case folding + default-ignorable removal.
+- `icu_fold` -- ICUFoldingFilter
+  (src/Lucene.Net.Analysis.ICU/Analysis/Icu/ICUFoldingFilter.cs:24-60):
+  nfkc_cf plus UTR#30-style foldings -- diacritic removal (combining marks
+  stripped after canonical decomposition), native digit folding (Nd ->
+  ASCII), and the Latin special-letter table shared with
+  ASCIIFoldingFilter (dzhe/ae/oe/eth/thorn/stroke letters that have no
+  Unicode decomposition).
+
+Explicitly OUT of scope (verified data-blocked, like Kuromoji/SmartCn):
+ICU collation keys (ICUCollationKeyAnalyzer needs UCA tables) and the
+ICUTokenizer's dictionary-based CJK break iterator.  The reference's
+TestICUFoldingFilter / TestICUNormalizer2Filter vectors that don't require
+ICU4N data are the acceptance tests (tests/test_icu.py).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from bisect import bisect_right
+
+# Default_Ignorable_Code_Point ranges (inclusive), from the published
+# Unicode DerivedCoreProperties.txt -- the set NFKC_CaseFold maps to
+# nothing (ZWSP/ZWJ/ZWNJ, bidi controls, fillers, variation selectors...).
+_DI_RANGES: tuple[tuple[int, int], ...] = (
+    (0x00AD, 0x00AD), (0x034F, 0x034F), (0x061C, 0x061C),
+    (0x115F, 0x1160), (0x17B4, 0x17B5), (0x180B, 0x180F),
+    (0x200B, 0x200F), (0x202A, 0x202E), (0x2060, 0x206F),
+    (0x3164, 0x3164), (0xFE00, 0xFE0F), (0xFEFF, 0xFEFF),
+    (0xFFA0, 0xFFA0), (0xFFF0, 0xFFF8),
+    (0x1BCA0, 0x1BCA3), (0x1D173, 0x1D17A), (0xE0000, 0xE0FFF),
+)
+_DI_STARTS = [lo for lo, _ in _DI_RANGES]
+
+
+def _is_default_ignorable(cp: int) -> bool:
+    i = bisect_right(_DI_STARTS, cp) - 1
+    return i >= 0 and cp <= _DI_RANGES[i][1]
+
+
+def nfkc_cf(text: str) -> str:
+    """Unicode toNFKC_Casefold: NFKC -> full case fold -> NFKC, with
+    Default_Ignorable code points removed (they case-fold to nothing)."""
+    t = unicodedata.normalize("NFKC", text)
+    t = t.casefold()
+    t = unicodedata.normalize("NFKC", t)
+    return "".join(c for c in t if not _is_default_ignorable(ord(c)))
+
+
+def icu_fold(text: str) -> str:
+    """ICUFoldingFilter subset: nfkc_cf + diacritic folding (strip
+    combining marks after NFD) + native digit folding + Latin specials.
+    Final form is NFC (recomposes decompositions the mark-strip exposed,
+    e.g. Hangul jamo)."""
+    from .analysis import _FOLD_MAP
+
+    t = nfkc_cf(text)
+    t = unicodedata.normalize("NFD", t)
+    out: list[str] = []
+    for c in t:
+        if unicodedata.combining(c):
+            continue  # diacritic folding
+        m = _FOLD_MAP.get(c)
+        if m is not None:
+            out.append(m.casefold())
+            continue
+        if unicodedata.category(c) == "Nd":
+            out.append(str(unicodedata.digit(c)))  # native digit folding
+            continue
+        out.append(c)
+    return unicodedata.normalize("NFC", "".join(out))

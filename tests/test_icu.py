@@ -1,0 +1,118 @@
+"""ICU-lite folding/normalization: the data-independent subset of the
+reference ICU module, validated against the reference's own test vectors
+(TestICUFoldingFilter.cs, TestICUNormalizer2Filter.cs -- every vector that
+does not require ICU4N binary data)."""
+
+import pytest
+
+from sparklucene.filters import make_chain
+from sparklucene.icu import icu_fold, nfkc_cf
+
+# TestICUFoldingFilter.cs:50-90 TestDefaults -- full set
+FOLD_VECTORS = [
+    ("This is a test", ["this", "is", "a", "test"]),
+    ("Ruß", ["russ"]),
+    ("ΜΆΪΟΣ", ["μαιοσ"]),
+    ("Μάϊος", ["μαιοσ"]),
+    ("𐐖", ["𐐾"]),                      # supplementary case folding
+    ("ﴳﴺﰧ", ["طمطمطم"]),                # NFKC of Arabic ligatures
+    ("क्‍ष", ["कष"]),              # default ignorable (ZWJ) + virama
+    ("résumé", ["resume"]),             # composed accents
+    ("résumé", ["resume"]),  # decomposed accents
+    ("৭০৬", ["706"]),                   # native digit folding
+    ("đis is cræzy", ["dis", "is", "craezy"]),  # ascii-folding specials
+    ("ELİF", ["elif"]),                 # Turkish dotted capital I
+    ("eli̇f", ["elif"]),           # decomposed combining dot above
+]
+
+# TestICUNormalizer2Filter.cs:50-72 TestDefaults (nfkc_cf keeps accents,
+# removes ignorables, case-folds incl. final sigma)
+NORM_VECTORS = [
+    ("This is a test", ["this", "is", "a", "test"]),
+    ("Ruß", ["russ"]),
+    ("ΜΆΪΟΣ", ["μάϊοσ"]),
+    ("Μάϊος", ["μάϊοσ"]),
+    ("𐐖", ["𐐾"]),
+    ("ﴳﴺﰧ", ["طمطمطم"]),
+    ("क्‍ष", ["क्ष"]),
+]
+
+
+@pytest.mark.parametrize("src,want", FOLD_VECTORS)
+def test_icu_folding_vectors(src, want):
+    chain = make_chain("whitespace", ["icu_folding"])
+    terms, _ = chain(src)
+    assert terms == want
+
+
+@pytest.mark.parametrize("src,want", NORM_VECTORS)
+def test_icu_normalizer2_vectors(src, want):
+    chain = make_chain("whitespace", ["icu_normalizer2"])
+    terms, _ = chain(src)
+    assert terms == want
+
+
+def test_empty_term_kept():
+    # TestICUFoldingFilter.TestEmptyTerm / KeywordTokenizer analogue: an
+    # empty input folds to an empty term, never dropped
+    assert icu_fold("") == ""
+    assert nfkc_cf("") == ""
+    # an all-ignorable token becomes an empty token that stays in-stream
+    from sparklucene.filters import icu_folding_filter
+
+    assert icu_folding_filter([("​‍", 2)]) == [("", 2)]
+
+
+def test_fold_is_idempotent_and_random_safe():
+    # CheckRandomData analogue: folding twice equals folding once, and
+    # output is always NFC + casefolded (stream invariants)
+    import random
+    import unicodedata
+
+    rng = random.Random(42)
+    pools = [
+        (0x20, 0x7E), (0xC0, 0x17F), (0x370, 0x3FF), (0x900, 0x97F),
+        (0x4E00, 0x4E80), (0x1D400, 0x1D420), (0x9E6, 0x9EF),
+    ]
+    for _ in range(300):
+        s = "".join(
+            chr(rng.randint(*pools[rng.randrange(len(pools))]))
+            for _ in range(rng.randint(0, 12))
+        )
+        once = icu_fold(s)
+        assert icu_fold(once) == once
+        assert unicodedata.normalize("NFC", once) == once
+        assert nfkc_cf(nfkc_cf(s)) == nfkc_cf(s)
+
+
+def test_icu_chain_end_to_end(spark, tmp_path_factory):
+    """whitespace + icu_folding chain builds a searchable index where
+    accented/native-digit variants collide with their folded forms."""
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+
+    rows = [
+        (0, "résumé submitted for review"),
+        (1, "resume submitted yesterday"),
+        (2, "cræzy results in tést ৭০৬"),
+        (3, "crazy unrelated text 706"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("icuidx"))
+    build_index(
+        spark, df, out,
+        BuildConfig(content_col="text", id_col="doc_id", num_buckets=2,
+                    analyzer="chain",
+                    analyzer_params={"tokenizer": "whitespace",
+                                     "filters": ["icu_folding"]}),
+    )
+    s = IndexSearcher(spark, out)
+    hits = {int(r["docID"]) for r in
+            s.search({"type": "term", "term": "resume"}, 10).collect()}
+    assert hits == {0, 1}
+    # query-side analysis runs the same chain: an accented query folds too
+    terms = s.analyze_query("résumé")
+    assert terms == ["resume"]
+    hits706 = {int(r["docID"]) for r in
+               s.search({"type": "term", "term": "706"}, 10).collect()}
+    assert hits706 == {2, 3}
