@@ -479,6 +479,49 @@ def _q_spatial_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_POLY = [(-40.001, -100.001), (30.001, -120.001), (60.001, 10.001),
               (10.001, 90.001), (-60.001, 40.001)]
 
+# query polygon for the shape-as-data gate (.0005 offsets keep the
+# synthetic triangle vertices off edges)
+_GATE_SHAPE_Q = [(-20.0005, -60.0005), (25.0005, -70.0005),
+                 (35.0005, 40.0005), (-30.0005, 55.0005)]
+
+
+def _spatial_tris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc TRIANGLES (shape-as-data): vertex deltas are
+    built so no edge is ever horizontal and no three points collinear."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    la1 = (F.col("doc_id") * 7919 % 14000) / 100.0 - 70.0 + 0.001
+    lo1 = (F.col("doc_id") * 104729 % 30000) / 100.0 - 150.0 + 0.001
+    la2 = la1 + (F.col("doc_id") % 17) + 2.0
+    lo2 = lo1 + (F.col("doc_id") % 13) + 3.0
+    la3 = la1 - (F.col("doc_id") % 11) - 1.0
+    lo3 = lo1 + (F.col("doc_id") % 29) + 5.0
+    verts = F.array(
+        F.struct(la1.alias("lat"), lo1.alias("lon")),
+        F.struct(la2.alias("lat"), lo2.alias("lon")),
+        F.struct(la3.alias("lat"), lo3.alias("lon")),
+    )
+    return docs.select("doc_id", verts.alias("verts"))
+
+
+def _q_spatial_shape_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PolygonShapeStrategy (SerializedDVStrategy analogue): per-doc
+    polygon VERTEX ARRAYS queried with a constant polygon via Catalyst
+    higher-order functions -- one row per (doc, satisfied op)."""
+    from sparklucene.spatial import PolygonShapeStrategy
+
+    st = PolygonShapeStrategy("verts")
+    tris = st.index(_spatial_tris(spark, sf_dir))
+    parts = []
+    for op in ("intersects", "is_within", "is_disjoint_to"):
+        parts.append(
+            st.search(tris, op, _GATE_SHAPE_Q)
+            .select("doc_id", F.lit(op).alias("op"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("doc_id", "op")
+
 
 def _q_spatial_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon containment over indexed points: bbox prefilter + unrolled
@@ -513,6 +556,81 @@ def _spatial_polygon_sql() -> str:
         "ORDER BY doc_id"
     ).format(mnla=min(lats), mxla=max(lats), mnlo=min(lons), mxlo=max(lons),
              cr=crossings)
+
+
+def _shape_poly_sql() -> str:
+    """DuckDB twin of the shape-as-data gate: the same strict-sign
+    crossing + ray-cast geometry over the deterministic triangles,
+    generated term by term (3 doc edges x 4 query edges, 3 + 4 vertex
+    containment parities)."""
+    q = _GATE_SHAPE_Q
+    nq = len(q)
+    qedges = [(q[k], q[(k + 1) % nq]) for k in range(nq)]
+    dedges = ((1, 2), (2, 3), (3, 1))
+
+    def ccw_doc_edge(ai, bi, c):
+        # ccw(A_doc, B_doc, C_const), x = lon, y = lat
+        return (f"(({c[1]!r} - lon{ai}) * (lat{bi} - lat{ai}) - "
+                f"(lon{bi} - lon{ai}) * ({c[0]!r} - lat{ai}))")
+
+    def ccw_q_edge(c, d, pi):
+        # ccw(C_const, D_const, P_doc)
+        return (f"((lon{pi} - {c[1]!r}) * ({d[0]!r} - {c[0]!r}) - "
+                f"({d[1]!r} - {c[1]!r}) * (lat{pi} - {c[0]!r}))")
+
+    cross_terms = []
+    for ai, bi in dedges:
+        for cpt, dpt in qedges:
+            cross_terms.append(
+                f"({ccw_doc_edge(ai, bi, cpt)} * {ccw_doc_edge(ai, bi, dpt)} < 0"
+                f" AND {ccw_q_edge(cpt, dpt, ai)} * {ccw_q_edge(cpt, dpt, bi)} < 0)"
+            )
+    crossed = "(" + " OR ".join(cross_terms) + ")"
+
+    def pt_in_q(pi):
+        terms = []
+        for (la1, lo1), (la2, lo2) in qedges:
+            if la1 == la2:
+                continue
+            terms.append(
+                f"CASE WHEN (({la1!r} > lat{pi}) <> ({la2!r} > lat{pi})) AND "
+                f"lon{pi} < ({lo2!r} - {lo1!r}) * (lat{pi} - {la1!r}) / "
+                f"({la2!r} - {la1!r}) + {lo1!r} THEN 1 ELSE 0 END"
+            )
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    def qpt_in_doc(qla, qlo):
+        terms = []
+        for ai, bi in dedges:
+            terms.append(
+                f"CASE WHEN ((lat{ai} > {qla!r}) <> (lat{bi} > {qla!r})) AND "
+                f"{qlo!r} < (lon{bi} - lon{ai}) * ({qla!r} - lat{ai}) / "
+                f"(lat{bi} - lat{ai}) + lon{ai} THEN 1 ELSE 0 END"
+            )
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    di_q = [pt_in_q(i) for i in (1, 2, 3)]
+    qi_d = [qpt_in_doc(la, lo) for la, lo in q]
+    inter = f"({crossed} OR {' OR '.join(di_q)} OR {' OR '.join(qi_d)})"
+    within = f"(NOT {crossed} AND {' AND '.join(di_q)})"
+    return f"""
+WITH tri AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 + 0.001 AS lat1,
+         (doc_id * 104729 % 30000) / 100.0 - 150.0 + 0.001 AS lon1,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 + 0.001 + (doc_id % 17) + 2.0 AS lat2,
+         (doc_id * 104729 % 30000) / 100.0 - 150.0 + 0.001 + (doc_id % 13) + 3.0 AS lon2,
+         (doc_id * 7919 % 14000) / 100.0 - 70.0 + 0.001 - (doc_id % 11) - 1.0 AS lat3,
+         (doc_id * 104729 % 30000) / 100.0 - 150.0 + 0.001 + (doc_id % 29) + 5.0 AS lon3
+  FROM documents
+),
+f AS (SELECT doc_id, {inter} AS inter, {within} AS within FROM tri)
+SELECT doc_id, op FROM (
+  SELECT doc_id, 'intersects' AS op FROM f WHERE inter
+  UNION ALL SELECT doc_id, 'is_within' AS op FROM f WHERE within
+  UNION ALL SELECT doc_id, 'is_disjoint_to' AS op FROM f WHERE NOT inter
+)
+ORDER BY doc_id, op"""
 
 
 def _q_spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["spatial_bbox"] = _q_spatial_bbox
     out["spatial_shapes"] = _q_spatial_shapes
     out["spatial_polygon"] = _q_spatial_polygon
+    out["spatial_shape_poly"] = _q_spatial_shape_poly
     out["spatial_circle"] = _q_spatial_circle
     out["spatial_knn"] = _q_spatial_knn
     out["dfr_pl2"] = _q_dfr_pl2
@@ -2091,6 +2210,7 @@ d AS (SELECT doc_id, 'is_disjoint_to' AS op FROM rects
 SELECT doc_id, op FROM (SELECT * FROM i UNION ALL SELECT * FROM w UNION ALL SELECT * FROM d)
 ORDER BY doc_id, op"""
     sqls["spatial_polygon"] = f"WITH {_pts}\n" + _spatial_polygon_sql()
+    sqls["spatial_shape_poly"] = _shape_poly_sql()
     sqls["spatial_knn"] = f"""WITH {_pts},
 d AS (SELECT doc_id, {_hav.format(lat=48.8, lon=2.3)} AS dist FROM pts)
 SELECT doc_id, round(dist, 4) AS dist_km FROM d

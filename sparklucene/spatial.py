@@ -354,18 +354,12 @@ class RectShapeStrategy:
         return df.filter(self._pred(op, lat0, lat1, lon0, lon1))
 
 
-def point_in_polygon(lat_col: str, lon_col: str,
-                     vertices: list[tuple[float, float]]) -> Column:
-    """Ray-casting point-in-polygon predicate as a PURE CATALYST expression
-    (the spatial4n shape-contains analogue for polygon QUERIES over indexed
-    points): for each polygon edge, count crossings of the horizontal ray
-    from the point; odd parity = inside.  The polygon is a query-time
-    constant, so the test unrolls into #edges native comparisons inside
-    whole-stage codegen -- no UDF, no shuffle.  Boundary points follow the
-    half-open crossing rule (consistent, measure-zero at data scale)."""
+def _ray_cast(lat, lon, vertices: list[tuple[float, float]]) -> Column:
+    """Crossing-parity test for arbitrary (lat, lon) EXPRESSIONS against a
+    constant vertex list -- the shared kernel of point_in_polygon and the
+    shape-as-data predicates."""
     if len(vertices) < 3:
         raise ValueError("polygon needs >= 3 vertices")
-    lat, lon = F.col(lat_col), F.col(lon_col)
     crossings = None
     n = len(vertices)
     for k in range(n):
@@ -381,6 +375,18 @@ def point_in_polygon(lat_col: str, lon_col: str,
     return (crossings % 2) == 1
 
 
+def point_in_polygon(lat_col: str, lon_col: str,
+                     vertices: list[tuple[float, float]]) -> Column:
+    """Ray-casting point-in-polygon predicate as a PURE CATALYST expression
+    (the spatial4n shape-contains analogue for polygon QUERIES over indexed
+    points): for each polygon edge, count crossings of the horizontal ray
+    from the point; odd parity = inside.  The polygon is a query-time
+    constant, so the test unrolls into #edges native comparisons inside
+    whole-stage codegen -- no UDF, no shuffle.  Boundary points follow the
+    half-open crossing rule (consistent, measure-zero at data scale)."""
+    return _ray_cast(F.col(lat_col), F.col(lon_col), vertices)
+
+
 def search_polygon(df: DataFrame, vertices: list[tuple[float, float]],
                    lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Points inside a polygon: bbox prefilter (parquet min/max pruning at
@@ -392,3 +398,151 @@ def search_polygon(df: DataFrame, vertices: list[tuple[float, float]],
         & F.col(lon_col).between(min(lons), max(lons))
     )
     return df.filter(bbox & point_in_polygon(lat_col, lon_col, vertices))
+
+
+# ---------------------------------------------------------------------------
+# shape-as-data: polygons stored per doc (SerializedDVStrategy analogue)
+# ---------------------------------------------------------------------------
+
+class PolygonShapeStrategy:
+    """Per-doc POLYGON shapes stored as an `array<struct<lat,lon>>` column,
+    queried with a constant simple polygon -- the columnar re-expression of
+    SerializedDVStrategy (Serialized/SerializedDVStrategy.cs:351: shapes in
+    BinaryDocValues, query predicates evaluated per doc).  Instead of
+    deserializing a blob per doc, the vertex array is a native nested
+    column and every predicate compiles to Catalyst higher-order functions
+    (zip_with/exists/forall/aggregate) over it -- no UDF, no shuffle, and
+    the companion bbox columns written by `index()` give parquet min/max
+    row-group pruning exactly like the reference pairs the serialized
+    strategy with an RPT pre-filter (`MakeQuery` composes both).
+
+    Supported ops (Query/SpatialOperation.cs registry): `intersects`,
+    `is_within` (doc shape inside query shape), `contains` (doc shape
+    contains query shape), `is_disjoint_to`.  Simple polygons (no holes,
+    no self-intersection), strict interior tests -- boundary-touching
+    follows the same half-open convention as `point_in_polygon`.
+
+    Geometry (all strict-sign tests, so shared-boundary cases are
+    measure-zero at data scale):
+      intersects = any edge pair properly crosses
+                 | any doc vertex inside query poly
+                 | any query vertex inside doc poly
+      is_within  = no crossing & every doc vertex inside query poly
+      contains   = no crossing & every query vertex inside doc poly
+    (for simple polygons with no edge crossings, vertex containment of
+    either side decides full containment)."""
+
+    def __init__(self, verts_col: str = "verts"):
+        self.verts_col = verts_col
+
+    # -- indexing ---------------------------------------------------------
+    def index(self, df: DataFrame) -> DataFrame:
+        """Add bbox columns (min/max lat/lon) derived from the vertex
+        array -- write these with the table so parquet stats prune."""
+        v = F.col(self.verts_col)
+        lats = F.transform(v, lambda s: s["lat"])
+        lons = F.transform(v, lambda s: s["lon"])
+        return df.withColumns({
+            "min_lat": F.array_min(lats), "max_lat": F.array_max(lats),
+            "min_lon": F.array_min(lons), "max_lon": F.array_max(lons),
+        })
+
+    # -- predicate pieces ---------------------------------------------------
+    def _edges(self) -> Column:
+        v = F.col(self.verts_col)
+        shifted = F.concat(F.slice(v, 2, F.size(v) - 1), F.slice(v, 1, 1))
+        return F.zip_with(v, shifted,
+                          lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+    @staticmethod
+    def _ccw(ax, ay, bx, by, cx, cy):
+        """Cross product (B-A) x (C-A): >0 counter-clockwise, <0 clockwise
+        (x = lon, y = lat)."""
+        return (cx - ax) * (by - ay) - (bx - ax) * (cy - ay)
+
+    def _any_cross(self, poly: list[tuple[float, float]]) -> Column:
+        """Any doc edge PROPERLY crosses any query edge (strict sign
+        tests: ccw(A,B,C)*ccw(A,B,D) < 0 on both segments)."""
+        n = len(poly)
+        qedges = [(poly[k], poly[(k + 1) % n]) for k in range(n)]
+
+        def edge_crosses(e):
+            ax, ay = e["a"]["lon"], e["a"]["lat"]
+            bx, by = e["b"]["lon"], e["b"]["lat"]
+            out = None
+            for (cla, clo), (dla, dlo) in qedges:
+                cx, cy, dx, dy = F.lit(clo), F.lit(cla), F.lit(dlo), F.lit(dla)
+                d1 = self._ccw(ax, ay, bx, by, cx, cy)
+                d2 = self._ccw(ax, ay, bx, by, dx, dy)
+                d3 = self._ccw(cx, cy, dx, dy, ax, ay)
+                d4 = self._ccw(cx, cy, dx, dy, bx, by)
+                c = (d1 * d2 < 0) & (d3 * d4 < 0)
+                out = c if out is None else (out | c)
+            return out
+
+        return F.exists(self._edges(), edge_crosses)
+
+    def _doc_vertices_in(self, poly: list[tuple[float, float]],
+                         every: bool) -> Column:
+        hof = F.forall if every else F.exists
+        return hof(F.col(self.verts_col),
+                   lambda s: _ray_cast(s["lat"], s["lon"], poly))
+
+    def _const_point_in_doc(self, qlat: float, qlon: float) -> Column:
+        """Constant query point inside the doc's vertex-array polygon:
+        crossing parity accumulated with F.aggregate over doc edges."""
+        def indicator(e):
+            ala, alo = e["a"]["lat"], e["a"]["lon"]
+            bla, blo = e["b"]["lat"], e["b"]["lon"]
+            straddles = (ala > F.lit(qlat)) != (bla > F.lit(qlat))
+            x_at = (blo - alo) * (F.lit(qlat) - ala) / (bla - ala) + alo
+            return F.when(straddles & (F.lit(qlon) < x_at), 1).otherwise(0)
+
+        cnt = F.aggregate(self._edges(), F.lit(0),
+                          lambda acc, e: acc + indicator(e))
+        return (cnt % 2) == 1
+
+    # -- public query -------------------------------------------------------
+    def predicate(self, op: str, poly: list[tuple[float, float]]) -> Column:
+        if len(poly) < 3:
+            raise ValueError("query polygon needs >= 3 vertices")
+        cross = self._any_cross(poly)
+        if op in ("intersects", "is_disjoint_to"):
+            qv_in_doc = None
+            for la, lo in poly:
+                c = self._const_point_in_doc(la, lo)
+                qv_in_doc = c if qv_in_doc is None else (qv_in_doc | c)
+            inter = cross | self._doc_vertices_in(poly, every=False) | qv_in_doc
+            return inter if op == "intersects" else ~inter
+        if op == "is_within":
+            return ~cross & self._doc_vertices_in(poly, every=True)
+        if op == "contains":
+            all_q = None
+            for la, lo in poly:
+                c = self._const_point_in_doc(la, lo)
+                all_q = c if all_q is None else (all_q & c)
+            return ~cross & all_q
+        raise ValueError(f"unknown spatial operation {op!r}")
+
+    def search(self, df: DataFrame, op: str,
+               poly: list[tuple[float, float]]) -> DataFrame:
+        """Docs whose stored polygon satisfies `op` against the constant
+        query polygon; bbox pre-filter first when `index()` columns are
+        present (parquet min/max pruning at scale), exact test second."""
+        pred = self.predicate(op, poly)
+        if op != "is_disjoint_to" and {"min_lat", "max_lat", "min_lon",
+                                       "max_lon"} <= set(df.columns):
+            lats = [v[0] for v in poly]
+            lons = [v[1] for v in poly]
+            bbox = (
+                (F.col("min_lat") <= max(lats)) & (F.col("max_lat") >= min(lats))
+                & (F.col("min_lon") <= max(lons)) & (F.col("max_lon") >= min(lons))
+            )
+            if op == "contains":
+                # a shape containing the query must contain its bbox
+                bbox = (
+                    (F.col("min_lat") <= min(lats)) & (F.col("max_lat") >= max(lats))
+                    & (F.col("min_lon") <= min(lons)) & (F.col("max_lon") >= max(lons))
+                )
+            pred = bbox & pred
+        return df.filter(pred)

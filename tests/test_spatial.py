@@ -238,3 +238,108 @@ def test_polygon_matches_brute_force(spark):
     got = {r["doc_id"] for r in search_polygon(df, poly).collect()}
     want = {i for i, la, lo in pts if ray(la, lo)}
     assert got == want and want
+
+
+def _seg_cross(a, b, c, d):
+    """Proper segment crossing via strict ccw signs (x=lon, y=lat)."""
+    def ccw(p, q, r):
+        return (r[1] - p[1]) * (q[0] - p[0]) - (q[1] - p[1]) * (r[0] - p[0])
+    return (ccw(a, b, c) * ccw(a, b, d) < 0) and (ccw(c, d, a) * ccw(c, d, b) < 0)
+
+
+def _pt_in(poly, lat, lon):
+    inside = False
+    n = len(poly)
+    for k in range(n):
+        la1, lo1 = poly[k]
+        la2, lo2 = poly[(k + 1) % n]
+        if la1 == la2:
+            continue
+        if (la1 > lat) != (la2 > lat):
+            if lon < (lo2 - lo1) * (lat - la1) / (la2 - la1) + lo1:
+                inside = not inside
+    return inside
+
+
+def _brute_op(doc, qpoly, op):
+    dn, qn = len(doc), len(qpoly)
+    dedges = [(doc[k], doc[(k + 1) % dn]) for k in range(dn)]
+    qedges = [(qpoly[k], qpoly[(k + 1) % qn]) for k in range(qn)]
+    cross = any(_seg_cross(a, b, c, d) for a, b in dedges for c, d in qedges)
+    doc_in_q = [_pt_in(qpoly, la, lo) for la, lo in doc]
+    q_in_doc = [_pt_in(doc, la, lo) for la, lo in qpoly]
+    inter = cross or any(doc_in_q) or any(q_in_doc)
+    return {
+        "intersects": inter,
+        "is_disjoint_to": not inter,
+        "is_within": (not cross) and all(doc_in_q),
+        "contains": (not cross) and all(q_in_doc),
+    }[op]
+
+
+def test_polygon_shape_strategy_matches_brute_force(spark):
+    """Shape-as-data polygons (SerializedDVStrategy analogue): randomized
+    doc triangles/quads vs a constant query polygon across every op,
+    compared with an independent python reference."""
+    import random
+
+    import pyspark.sql.functions as F
+    from sparklucene.spatial import PolygonShapeStrategy
+
+    rng = random.Random(11)
+    docs = []
+    for i in range(250):
+        cx, cy = rng.uniform(-10, 20), rng.uniform(-10, 20)
+        r = rng.uniform(0.5, 8.0)
+        k = rng.choice([3, 4, 5])
+        # star-convex polygon around (cx, cy): angles sorted -> simple
+        angs = sorted(rng.uniform(0, 6.283) for _ in range(k))
+        verts = [(cy + r * rng.uniform(0.4, 1.0) * __import__("math").sin(a),
+                  cx + r * rng.uniform(0.4, 1.0) * __import__("math").cos(a))
+                 for a in angs]
+        docs.append((i, [{"lat": la, "lon": lo} for la, lo in verts]))
+
+    qpoly = [(-1.0, -2.0), (9.0, -3.0), (13.0, 7.0), (4.0, 12.0), (-4.0, 6.0)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, verts array<struct<lat double, lon double>>"
+    )
+    st = PolygonShapeStrategy("verts")
+    idf = st.index(df)
+    sizes = {}
+    for op in ("intersects", "is_within", "contains", "is_disjoint_to"):
+        got = {r["doc_id"] for r in st.search(idf, op, qpoly).collect()}
+        want = {
+            i for i, verts in docs
+            if _brute_op([(v["lat"], v["lon"]) for v in verts], qpoly, op)
+        }
+        assert got == want, f"op={op}"
+        sizes[op] = len(got)
+    # the fuzz must exercise every branch
+    assert sizes["intersects"] and sizes["is_within"] and sizes["is_disjoint_to"]
+    assert sizes["intersects"] + sizes["is_disjoint_to"] == len(docs)
+    # bbox columns exist and bound the vertices
+    row = idf.filter(F.col("doc_id") == docs[0][0]).first()
+    vl = [v["lat"] for v in docs[0][1]]
+    assert row["min_lat"] == min(vl) and row["max_lat"] == max(vl)
+
+
+def test_polygon_shape_contains_branch(spark):
+    """contains: a big doc polygon fully surrounding the query polygon."""
+    from sparklucene.spatial import PolygonShapeStrategy
+
+    big = [{"lat": -50.0, "lon": -50.0}, {"lat": -50.0, "lon": 50.0},
+           {"lat": 50.0, "lon": 50.0}, {"lat": 50.0, "lon": -50.0}]
+    small = [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
+             {"lat": 1.0, "lon": 0.5}]
+    far = [{"lat": 80.0, "lon": 170.0}, {"lat": 81.0, "lon": 171.0},
+           {"lat": 82.0, "lon": 170.5}]
+    df = spark.createDataFrame(
+        [(0, big), (1, small), (2, far)],
+        "doc_id long, verts array<struct<lat double, lon double>>",
+    )
+    st = PolygonShapeStrategy("verts")
+    q = [(-5.0, -5.0), (5.0, -5.0), (0.0, 5.0)]
+    assert {r["doc_id"] for r in st.search(df, "contains", q).collect()} == {0}
+    assert {r["doc_id"] for r in st.search(df, "is_within", q).collect()} == {1}
+    assert {r["doc_id"] for r in st.search(df, "is_disjoint_to", q).collect()} == {2}
+    assert {r["doc_id"] for r in st.search(df, "intersects", q).collect()} == {0, 1}
