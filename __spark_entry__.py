@@ -138,6 +138,19 @@ def _q_parsed_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, parse("merge AND join -slow"), 15)
 
 
+def _q_flexible_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flexible StandardQueryParser end-to-end: default_operator=AND with an
+    explicit OR demotion and a prohibited clause -- 'merge join OR shuffle
+    -slow' parses to '+merge join shuffle -slow'
+    (Flexible/Standard/StandardQueryParser.cs:160 DefaultOperator;
+    QueryParserBase.cs:400-409 explicit-OR demote under AND)."""
+    from sparklucene.parser import parse_flexible
+
+    s = _searcher(spark, sf_dir)
+    q = parse_flexible("merge join OR shuffle -slow", default_operator="and")
+    return _topk_df(s, q, 15)
+
+
 def _q_prefix_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery under constant-score rewrite (score == boost == 1.0)."""
     s = _searcher(spark, sf_dir)
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_after"] = _q_search_after
     out["wand_or"] = _q_wand_or
     out["parsed_bool"] = _q_parsed_bool
+    out["flexible_parsed"] = _q_flexible_parsed
     out["prefix_const"] = _q_prefix_const
     out["range_const"] = _q_range_const
     out["dis_max"] = _q_dis_max
@@ -1766,6 +1780,15 @@ FROM (SELECT doc_id, score FROM scored WHERE term = 'merge') a
 JOIN (SELECT doc_id, score FROM scored WHERE term = 'join') b USING (doc_id)
 WHERE NOT EXISTS (SELECT 1 FROM scored x WHERE x.term = 'slow' AND x.doc_id = a.doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["flexible_parsed"] = f"""{_prelude()}
+SELECT m.doc_id,
+       round(m.score + coalesce(j.score, 0) + coalesce(sh.score, 0), 4) AS score
+FROM (SELECT doc_id, score FROM scored WHERE term = 'merge') m
+LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'join') j USING (doc_id)
+LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'shuffle') sh USING (doc_id)
+WHERE NOT EXISTS (SELECT 1 FROM scored x WHERE x.term = 'slow' AND x.doc_id = m.doc_id)
+ORDER BY m.score + coalesce(j.score, 0) + coalesce(sh.score, 0) DESC, m.doc_id
+LIMIT 15"""
     sqls["prefix_const"] = f"""{_prelude()}
 SELECT DISTINCT doc_id, 1.0 AS score FROM posting WHERE term LIKE 'sp%'"""
     sqls["range_const"] = f"""{_prelude()}

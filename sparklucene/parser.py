@@ -86,12 +86,17 @@ def _lex(text: str) -> list[tuple[str, str]]:
 
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]], keyword_fields=(),
-                 complex_phrases: bool = False, in_order: bool = True):
+                 complex_phrases: bool = False, in_order: bool = True,
+                 config: dict | None = None):
         self.toks = tokens
         self.i = 0
         self.keyword_fields = frozenset(keyword_fields)
         self.complex_phrases = complex_phrases
         self.in_order = in_order
+        # config points (the Flexible StandardQueryParser pipeline,
+        # StandardQueryParser.cs:466 -- same grammar, externally-set
+        # behavior); defaults preserve classic parse() semantics
+        self.config = config or {}
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -127,17 +132,29 @@ class _Parser:
         return {"type": "boolean", "clauses": clauses}
 
     def _add_clause(self, clauses, conj, mod, q) -> None:
-        """Verbatim AddClause (QueryParserBase.cs:387-441, default op OR)."""
+        """Verbatim AddClause (QueryParserBase.cs:387-441), including the
+        AND_OPERATOR branch (the Flexible parser's DefaultOperator config,
+        StandardQueryParser.cs:160)."""
+        and_default = self.config.get("default_operator", "or") == "and"
         if clauses and conj == AND:
             prev = clauses[-1]
             if prev["occur"] != "MUST_NOT":
                 prev["occur"] = "MUST"
+        if clauses and and_default and conj == OR:
+            # explicit OR under AND-operator demotes the previous clause
+            # back to optional (QueryParserBase.cs:400-409)
+            prev = clauses[-1]
+            if prev["occur"] != "MUST_NOT":
+                prev["occur"] = "SHOULD"
         if q is None:
             return  # analyzer dropped the text (stopword-only term)
         prohibited = mod == "NOT"
-        required = mod == "REQ"
-        if conj == AND and not prohibited:
-            required = True
+        if and_default:
+            required = (not prohibited) and conj != OR
+        else:
+            required = mod == "REQ"
+            if conj == AND and not prohibited:
+                required = True
         if required:
             occur = "MUST"
         elif prohibited:
@@ -196,9 +213,10 @@ class _Parser:
         if m:
             boost = float(m.group(1))
             trail = trail[: m.start()]
-        slop = 0
-        if trail.startswith("~") and trail[1:] not in ("", "0"):
-            # "..."~n -> sloppy phrase (QueryParserBase.cs:463 slop variant);
+        slop = int(self.config.get("phrase_slop", 0))  # PHRASE_SLOP default
+        if trail.startswith("~") and trail[1:]:
+            # "..."~n -> sloppy phrase (QueryParserBase.cs:463 slop variant;
+            # an explicit ~0 overrides a nonzero PhraseSlop default);
             # repeated-term sloppy phrases are rejected downstream
             try:
                 slop = int(trail[1:])
@@ -351,8 +369,10 @@ class _Parser:
     def _term(self, tok: str) -> dict | None:
         if tok == "*:*":
             return {"type": "match_all"}
+        explicit_field = False
         fm = _FIELD_RE.match(tok)
         if fm:
+            explicit_field = True
             if fm.group(1) in self.keyword_fields:
                 val = fm.group(2)
                 bm = _BOOST_RE.search(val)
@@ -368,22 +388,79 @@ class _Parser:
         if bm:
             boost = float(bm.group(1))
             tok = tok[: bm.start()]
+        if not explicit_field and self.config.get("multi_fields"):
+            # SetMultiFields (StandardQueryParser.cs:259): an unqualified
+            # term expands to a SHOULD group over the configured fields
+            # (MultiFieldQueryNodeProcessor semantics), with per-field
+            # boosts from FieldsBoost (:421).  'text' names the analyzed
+            # default field; registered keyword fields match exactly.
+            q = self._multi_field_term(tok)
+            if q is not None and boost != 1.0:
+                q = dict(q)
+                q["boost"] = q.get("boost", 1.0) * boost
+            return q
+        q = self._default_field_term(tok)
+        if q is None:
+            return None
+        if boost != 1.0:
+            q["boost"] = q.get("boost", 1.0) * boost
+        return q
+
+    def _multi_field_term(self, tok: str) -> dict | None:
+        """Expand an unqualified term over SetMultiFields fields into a
+        SHOULD group (Flexible/Standard/Processors/MultiFieldQueryNodeProcessor.cs:80-106
+        builds the same per-field OR group).  'text' = the analyzed default
+        field; registered keyword fields match the raw token exactly."""
+        boosts = self.config.get("fields_boost") or {}
+        clauses: list[dict] = []
+        for f in self.config["multi_fields"]:
+            if f in self.keyword_fields:
+                fq: dict | None = {"type": "field_term", "field": f, "value": tok}
+            else:
+                fq = self._default_field_term(tok)
+            if fq is None:
+                continue  # analyzer dropped the text for this field
+            fb = float(boosts.get(f, 1.0))
+            if fb != 1.0:
+                fq = dict(fq)
+                fq["boost"] = fq.get("boost", 1.0) * fb
+            clauses.append({"occur": "SHOULD", "query": fq})
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0]["query"]
+        return {"type": "boolean", "clauses": clauses}
+
+    def _default_field_term(self, tok: str) -> dict | None:
+        """The term production against the analyzed default field (no boost
+        handling -- the caller owns trailing ^boost)."""
         if len(tok) >= 2 and tok.startswith("/") and tok.endswith("/"):
             # /regex/ -> RegexpQuery (classic QP RegexpQuery production)
-            q = {"type": "regexp", "pattern": tok[1:-1]}
-            if boost != 1.0:
-                q["boost"] = boost
-            return q
+            return {"type": "regexp", "pattern": tok[1:-1]}
+        # LowercaseExpandedTerms (StandardQueryParser.cs:175, default true):
+        # multi-term (wildcard/prefix/fuzzy) text is lowercased, not analyzed
+        lower = (lambda s: s.lower()) if self.config.get(
+            "lowercase_expanded_terms", True) else (lambda s: s)
         fz = _FUZZY_RE.search(tok)
         if fz:
             base = tok[: fz.start()]
-            max_edits = int(fz.group(1)) if fz.group(1) else 2
-            q: dict = {"type": "fuzzy", "term": base.lower(), "max_edits": max_edits}
+            # FuzzyMinSim / FuzzyConfig (StandardQueryParser.cs:284-310,393):
+            # the ~ suffix without a number takes the configured defaults
+            max_edits = int(fz.group(1)) if fz.group(1) else int(
+                self.config.get("fuzzy_max_edits", 2))
+            q: dict = {"type": "fuzzy", "term": lower(base), "max_edits": max_edits}
+            pre = int(self.config.get("fuzzy_prefix_length", 0))
+            if pre:
+                q["prefix_length"] = pre
         elif "*" in tok or "?" in tok:
+            if tok[0] in "*?" and not self.config.get("allow_leading_wildcard", True):
+                # AllowLeadingWildcard (StandardQueryParser.cs:197; the
+                # reference default is false -- rejected at parse time)
+                raise QueryParseError(f"leading wildcard not allowed: {tok!r}")
             if tok.endswith("*") and "*" not in tok[:-1] and "?" not in tok:
-                q = {"type": "prefix", "prefix": tok[:-1].lower()}
+                q = {"type": "prefix", "prefix": lower(tok[:-1])}
             else:
-                q = {"type": "wildcard", "pattern": tok.lower()}
+                q = {"type": "wildcard", "pattern": lower(tok)}
         else:
             terms = analyze_query_text(tok)
             if not terms:
@@ -399,8 +476,6 @@ class _Parser:
                         for t in terms
                     ],
                 }
-        if boost != 1.0:
-            q["boost"] = boost
         return q
 
 
@@ -415,6 +490,60 @@ def parse_complex(text: str, keyword_fields=(), in_order: bool = True) -> dict:
     dictionary at search time (SpanMultiTermQueryWrapper path)."""
     q = _Parser(_lex(text), keyword_fields, complex_phrases=True,
                 in_order=in_order).parse_query()
+    if q is None:
+        raise QueryParseError(f"query matched no indexable terms: {text!r}")
+    return q
+
+
+def parse_flexible(
+    text: str,
+    keyword_fields=(),
+    *,
+    default_operator: str = "or",
+    phrase_slop: int = 0,
+    fuzzy_max_edits: int = 2,
+    fuzzy_prefix_length: int = 0,
+    allow_leading_wildcard: bool = False,
+    lowercase_expanded_terms: bool = True,
+    multi_fields: tuple[str, ...] | None = None,
+    fields_boost: dict[str, float] | None = None,
+) -> dict:
+    """Flexible StandardQueryParser analogue
+    (src/Lucene.Net.QueryParser/Flexible/Standard/StandardQueryParser.cs:466):
+    the same surface grammar as classic :func:`parse`, with the pipeline's
+    config points exposed as keyword arguments instead of parser subclassing:
+
+    - ``default_operator`` 'or'|'and' (DefaultOperator, :160): under 'and',
+      bare terms are conjunctive and an explicit OR demotes both sides
+    - ``phrase_slop`` (PhraseSlop, :376): default slop for quoted phrases
+      without an explicit ``~n``
+    - ``fuzzy_max_edits`` / ``fuzzy_prefix_length`` (FuzzyMinSim :393 in its
+      modern integer-edits form / FuzzyPrefixLength :284): defaults for a
+      bare ``term~``
+    - ``allow_leading_wildcard`` (AllowLeadingWildcard, :197): reference
+      default false -- ``*foo`` is a parse error unless enabled
+    - ``lowercase_expanded_terms`` (LowercaseExpandedTerms, :175): set False
+      to keep wildcard/prefix/fuzzy text verbatim
+    - ``multi_fields`` / ``fields_boost`` (SetMultiFields :259, FieldsBoost
+      :421): unqualified terms expand to a SHOULD group over these fields
+      ('text' = the analyzed default field; keyword fields match exactly),
+      each clause scaled by its field boost
+
+    Locale/timezone/date-resolution and NumericConfig points are not
+    reproduced (calendar/locale data-dependent; numeric ranges are already
+    native columns in this engine).
+    """
+    config = {
+        "default_operator": default_operator,
+        "phrase_slop": phrase_slop,
+        "fuzzy_max_edits": fuzzy_max_edits,
+        "fuzzy_prefix_length": fuzzy_prefix_length,
+        "allow_leading_wildcard": allow_leading_wildcard,
+        "lowercase_expanded_terms": lowercase_expanded_terms,
+        "multi_fields": tuple(multi_fields) if multi_fields else None,
+        "fields_boost": dict(fields_boost) if fields_boost else None,
+    }
+    q = _Parser(_lex(text), keyword_fields, config=config).parse_query()
     if q is None:
         raise QueryParseError(f"query matched no indexable terms: {text!r}")
     return q

@@ -1,0 +1,163 @@
+"""Flexible StandardQueryParser config points.
+
+Mirrors the reference's Flexible/Standard tests
+(src/Lucene.Net.Tests.QueryParser/Flexible/Standard/TestQPHelper.cs:999-1035
+AssertQueryEqualsDOA vectors; TestMultiFieldQPHelper.cs testSimple shapes):
+the same surface grammar as classic parse(), behavior switched by config.
+"""
+
+import pytest
+
+from sparklucene.parser import QueryParseError, parse, parse_flexible
+
+
+def render(q: dict) -> str:
+    """Query tree -> the reference's Query.ToString() +/- notation (enough
+    of it to compare the DOA vectors)."""
+    t = q["type"]
+    if t == "boolean":
+        parts = []
+        for c in q["clauses"]:
+            mark = {"MUST": "+", "MUST_NOT": "-", "SHOULD": ""}[c["occur"]]
+            parts.append(mark + render(c["query"]))
+        return " ".join(parts)
+    if t == "term":
+        return q["term"]
+    if t == "field_term":
+        return f"{q['field']}:{q['value']}"
+    if t == "phrase":
+        s = '"' + " ".join(q["terms"]) + '"'
+        if q.get("slop"):
+            s += f"~{q['slop']}"
+        return s
+    if t == "prefix":
+        return q["prefix"] + "*"
+    if t == "wildcard":
+        return q["pattern"]
+    if t == "fuzzy":
+        return f"{q['term']}~{q['max_edits']}"
+    return t
+
+
+def doa(text: str) -> str:
+    return render(parse_flexible(text, default_operator="and"))
+
+
+class TestDefaultOperatorAnd:
+    # TestQPHelper.cs:1022-1035 (whitespace variants collapsed -- the lexer
+    # already normalizes whitespace)
+    def test_plain_terms_conjunctive(self):
+        assert doa("term term term") == "+term +term +term"
+        assert doa("term +term term") == "+term +term +term"
+        assert doa("term term +term") == "+term +term +term"
+        assert doa("term +term +term") == "+term +term +term"
+
+    def test_prohibited_stays(self):
+        assert doa("-term term term") == "-term +term +term"
+        assert doa("weltbank -worlbank") == "+weltbank -worlbank"
+
+    def test_req_pairs(self):
+        assert doa("+weltbank +worlbank") == "+weltbank +worlbank"
+
+    def test_explicit_or_demotes_both_sides(self):
+        # QueryParserBase.cs:400-409: under AND_OPERATOR an explicit OR
+        # sets the previous clause back to SHOULD and the next to SHOULD
+        assert doa("weltbank OR worlbank") == "weltbank worlbank"
+        assert doa("term weltbank OR worlbank") == "+term weltbank worlbank"
+
+    def test_and_not(self):
+        assert doa("weltbank AND NOT worlbank") == "+weltbank -worlbank"
+
+    def test_classic_unchanged(self):
+        assert render(parse("term term term")) == "term term term"
+
+
+class TestPhraseSlop:
+    def test_default_applies_to_bare_phrase(self):
+        q = parse_flexible('"shuffle merge"', phrase_slop=2)
+        assert q == {"type": "phrase", "terms": ["shuffle", "merge"], "slop": 2}
+
+    def test_explicit_overrides_default(self):
+        q = parse_flexible('"shuffle merge"~1', phrase_slop=2)
+        assert q["slop"] == 1
+
+    def test_explicit_zero_overrides_default(self):
+        q = parse_flexible('"shuffle merge"~0', phrase_slop=2)
+        assert "slop" not in q
+
+
+class TestFuzzyConfig:
+    def test_defaults_on_bare_tilde(self):
+        q = parse_flexible("weltbank~", fuzzy_max_edits=1, fuzzy_prefix_length=3)
+        assert q == {"type": "fuzzy", "term": "weltbank", "max_edits": 1,
+                     "prefix_length": 3}
+
+    def test_explicit_edits_win(self):
+        q = parse_flexible("weltbank~2", fuzzy_max_edits=1)
+        assert q["max_edits"] == 2
+
+    def test_reference_defaults(self):
+        q = parse_flexible("weltbank~")
+        assert q["max_edits"] == 2 and "prefix_length" not in q
+
+
+class TestLeadingWildcard:
+    def test_rejected_by_default(self):
+        # AllowLeadingWildcard default false (StandardQueryParser.cs:197)
+        with pytest.raises(QueryParseError):
+            parse_flexible("*bank")
+        with pytest.raises(QueryParseError):
+            parse_flexible("?bank")
+
+    def test_allowed_when_enabled(self):
+        q = parse_flexible("*bank", allow_leading_wildcard=True)
+        assert q == {"type": "wildcard", "pattern": "*bank"}
+
+    def test_match_all_still_fine(self):
+        assert parse_flexible("*:*") == {"type": "match_all"}
+
+
+class TestLowercaseExpandedTerms:
+    def test_default_lowercases(self):
+        assert parse_flexible("Welt*")["prefix"] == "welt"
+        assert parse_flexible("WeltBank~1")["term"] == "weltbank"
+
+    def test_disabled_keeps_case(self):
+        assert parse_flexible("Welt*", lowercase_expanded_terms=False)["prefix"] == "Welt"
+        assert parse_flexible(
+            "W?ltBank", lowercase_expanded_terms=False)["pattern"] == "W?ltBank"
+
+
+class TestMultiFields:
+    # TestMultiFieldQPHelper.cs testSimple: "one" over fields (b, t)
+    # -> "b:one t:one"; with boosts -> "b:one^5.0 t:one^10.0"
+    def test_unqualified_expands(self):
+        q = parse_flexible("weltbank", multi_fields=("text", "lang"),
+                           keyword_fields=("lang",))
+        assert q == {"type": "boolean", "clauses": [
+            {"occur": "SHOULD", "query": {"type": "term", "term": "weltbank"}},
+            {"occur": "SHOULD",
+             "query": {"type": "field_term", "field": "lang", "value": "weltbank"}},
+        ]}
+
+    def test_fields_boost(self):
+        q = parse_flexible("weltbank", multi_fields=("text", "lang"),
+                           fields_boost={"lang": 5.0},
+                           keyword_fields=("lang",))
+        assert q["clauses"][1]["query"]["boost"] == 5.0
+
+    def test_qualified_field_not_expanded(self):
+        q = parse_flexible("lang:en", multi_fields=("text", "lang"),
+                           keyword_fields=("lang",))
+        assert q == {"type": "field_term", "field": "lang", "value": "en"}
+
+    def test_stopword_only_field_dropped(self):
+        # the analyzed field drops a stopword; the keyword field still matches
+        q = parse_flexible("the", multi_fields=("text", "lang"),
+                           keyword_fields=("lang",))
+        assert q == {"type": "field_term", "field": "lang", "value": "the"}
+
+    def test_outer_boost_composes(self):
+        q = parse_flexible("weltbank^2", multi_fields=("text", "lang"),
+                           keyword_fields=("lang",))
+        assert q["boost"] == 2.0
