@@ -1485,6 +1485,18 @@ def _q_emb_neardup(spark, sf_dir):
     return dp.embedding_neardup_pairs(_emb_df(spark, sf_dir), threshold=0.35, method="exact")
 
 
+def _q_emb_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup via the bucketed LSH path -- the 100 TB default
+    (sign buckets from the md5-Rademacher fixed-point family; candidates =
+    pairs sharing a bucket in ANY of 8 tables; exact cosine verify on
+    candidates only).  VALUE-CHECKED: the sign family is exact integer
+    arithmetic, so the DuckDB twin reproduces the candidate set -- and
+    therefore the approximate output itself -- bit-for-bit.  Recall vs the
+    exact block-pair GEMM is measured in tests/test_datapipe.py."""
+    return dp.embedding_neardup_pairs(_emb_df(spark, sf_dir), threshold=0.35,
+                                      method="lsh", tables=8, planes=8)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF ANN top-k.  VALUE-CHECKED at gate parameters: nprobe=8/nlist=16
     still prunes half the lists (254/499 candidates at sf0.01) but
@@ -1600,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_lsh"] = _q_ann_lsh
     out["ngram_jaccard"] = _q_ngram_jaccard
     out["emb_neardup"] = _q_emb_neardup
+    out["emb_neardup_lsh"] = _q_emb_neardup_lsh
     out["decontam"] = _q_decontam
     out["repetition"] = _q_repetition
     out["pii_scrub"] = _q_pii_scrub
@@ -3342,6 +3355,48 @@ dots AS (
 )
 SELECT ia AS id_a, ib AS id_b, round(dot / (na.n * nb.n), 4) AS cos
 FROM dots JOIN nn na ON na.vec_id = ia JOIN nn nb ON nb.vec_id = ib
+WHERE dot / (na.n * nb.n) >= 0.35"""
+    # emb_neardup_lsh: same md5-Rademacher fixed-point family as ann_lsh --
+    # the twin rebuilds the 8x8 sign planes from md5 parity, reproduces the
+    # integer bucket bits, joins buckets on (t, bucket) for candidate pairs,
+    # and verifies exact double cosine on candidates only.
+    sqls["emb_neardup_lsh"] = """
+WITH planes AS (
+  SELECT t.t, p.p, i.i,
+         CASE WHEN ('0x' || substring(md5(t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || i.i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS h
+  FROM range(8) t(t), range(8) p(p), range(64) i(i)
+),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+),
+exq AS (SELECT vec_id, i, CAST(floor(x * 1000000) AS BIGINT) AS xi FROM ex),
+proj AS (
+  SELECT e.vec_id, pl.t, pl.p, sum(pl.h * e.xi) AS s
+  FROM exq e JOIN planes pl USING (i) GROUP BY e.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << (7 - p)) ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nn AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(a.x * b.x) AS dot
+  FROM cand c
+  JOIN ex a ON a.vec_id = c.id_a
+  JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, round(dot / (na.n * nb.n), 4) AS cos
+FROM dots JOIN nn na ON na.vec_id = id_a JOIN nn nb ON nb.vec_id = id_b
 WHERE dot / (na.n * nb.n) >= 0.35"""
     # ann_lsh: the md5-Rademacher fixed-point family (datapipe
     # _rademacher_planes + LSH_FIXED_SCALE) is exact integer arithmetic, so

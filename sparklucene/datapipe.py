@@ -778,9 +778,13 @@ def embedding_neardup_pairs(
 
     if method != "lsh":
         raise ValueError(method)
-    # LSH candidates -> exact verify
+    # LSH candidates -> exact verify.  The sign family is md5-Rademacher on
+    # fixed-point components (same family as cosine_topk_lsh): every bucket
+    # bit is exact int64 arithmetic, so a SQL oracle reproduces the
+    # candidate set -- and therefore the whole approximate result --
+    # bit-for-bit (the emb_neardup_lsh gate).
     dim = len(emb.select(vec_col).first()[0])
-    hp = _hyperplanes(dim, tables, planes, seed=13)
+    hp = _rademacher_planes(dim, tables, planes)
     bschema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -795,9 +799,11 @@ def embedding_neardup_pairs(
                 continue
             ids = pdf[id_col].to_numpy(np.int64)
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mi = np.floor(m * LSH_FIXED_SCALE).astype(np.int64)
             frames = []
             for t in range(hp.shape[0]):
-                bits = (m @ hp[t].T > 0).astype(np.int64)
+                proj = mi @ hp[t].T  # (n, planes), exact int64
+                bits = (proj > 0).astype(np.int64)
                 bucket = np.zeros(len(ids), dtype=np.int64)
                 for p in range(hp.shape[1]):
                     bucket = (bucket << 1) | bits[:, p]
@@ -816,8 +822,10 @@ def embedding_neardup_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ea = emb.select(F.col(id_col).alias("id_a"),
+                    F.col(vec_col).cast("array<double>").alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"),
+                    F.col(vec_col).cast("array<double>").alias("vb"))
     joined = cand.join(ea, "id_a").join(eb, "id_b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
