@@ -1618,37 +1618,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
     out["ann_ivf"] = _q_ann_ivf
-    # The driver samples a prefix of this dict; front-load the gates that have
-    # never appeared in a driver CORRECTNESS file (rounds 1-2 sampled the rest)
-    # so cumulative driver coverage completes this round.
-    first = [
-        "ann_brute", "ann_ivf", "ann_lsh", "emb_neardup", "expr_score",
-        "fingerprint", "fuzzy_scored", "lang_id", "ngram_jaccard",
-        "postings_offsets", "prefix_scored", "quality", "spell_damerau",
-        "stemmed_term", "token_stats",
+    # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
+    # the one gate that has never had a green driver row (span_near_unord:
+    # r1 sampled it before its oracle existed), the four gates NEW this
+    # round (Flexible parser, bucketed LSH near-dup, ICU-lite folding,
+    # shape-as-data polygons), req_opt (the only direction-consistent r4
+    # perf mover -- recertify after the eager-bloom/bisect work), then every
+    # gate whose latest green driver row is r2 (44 of them) -- so after this
+    # round no gate's official record is older than r3.
+    round5 = [
+        "span_near_unord", "flexible_parsed", "emb_neardup_lsh", "icu_term",
+        "spatial_shape_poly", "req_opt",
+        # r2-stale set, alphabetical
+        "block_join", "classic_or", "classic_term", "custom_score",
+        "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
+        "drill_sideways", "drilldown", "events_window", "facet_lang",
+        "facet_range", "facet_taxonomy", "group_distinct", "group_sorted",
+        "group_top2", "ib_ll", "ib_or", "join_query", "knn_classify",
+        "lmd_term", "lmjm_or", "mlt", "multi_phrase_slop", "parsed_bool",
+        "percolate", "prefix_const", "range_const", "regexp_const",
+        "rescore", "search_after", "sessionize", "sloppy_rpts",
+        "sort_by_field", "span_first", "span_nested", "span_or",
+        "span_range", "spell_check", "stream_dedup", "suggest_prefix",
+        "wand_or",
     ]
-    # ...then the gates that are NEW or CHANGED in round 3 (new operators,
-    # or operators whose algorithm/oracle changed: the 60-bit SimHash family,
-    # the size-gated MinHash broadcast), so they land in the same prefix.
-    round3 = [
-        "field_term", "lang_routed", "payload_term", "payload_near",
-        "analyzing_suggest", "infix_suggest", "nb_classify", "trec_quality",
-        "dfr_beb1", "ib_spl_h1", "dfr_pl2", "dfr_dl2", "dfr_inlh3",
-        "ib_spl_z", "spatial_bbox", "spatial_circle", "spatial_knn",
-        "simhash_fp", "simhash_pairs", "dedup_minhash", "word_delim",
-        "sweet_term", "high_freq", "phonetic_term",
-    ]
-    # ...then the gates NEW or oracle-CHANGED in round 4 (ComplexPhrase
-    # parser, FreeText suggester, DFR IF/Ine, the now-value-checked ANN
-    # pair, the prefix-filtered ngram join, the block-pair emb_neardup).
-    round4 = [
-        "complex_phrase", "surround_near", "xml_query", "freetext_suggest", "dfr_ifl2",
-        "dfr_inel2", "spatial_shapes", "spatial_polygon", "decontam",
-        "repetition", "pii_scrub",
-        "strat_sample", "ann_lsh", "ann_ivf", "ngram_jaccard", "emb_neardup",
-        "phrase", "sloppy_phrase", "span_near", "multi_phrase", "span_not",
-    ]
-    ordered = {k: out[k] for k in round4 + first + round3 if k in out}
+    ordered = {k: out[k] for k in round5 if k in out}
     ordered.update((k, v) for k, v in out.items() if k not in ordered)
     return ordered
 

@@ -492,6 +492,64 @@ def write_blooms(spark: SparkSession, dict_dir: str, bloom_dir: str,
     _mark_done(bloom_dir, {"stage": "blooms"})
 
 
+# tower fan-in: one level-k row summarizes up to 8 level-(k-1) rows
+# (MultiLevelSkipListWriter skipMultiplier=8, Lucene41SkipWriter.cs:68)
+SKIP_MULTIPLIER = 8
+# reference cap (MultiLevelSkipListWriter.cs numberOfSkipLevels <= maxSkipLevels)
+MAX_SKIP_LEVELS = 10
+
+
+def write_skips(spark: SparkSession, post_dir: str, skip_dir: str) -> None:
+    """Multi-level skip tower over posting-block SKIP METADATA (the
+    MultiLevelSkipListWriter analogue, src/Lucene.Net/Codecs/
+    MultiLevelSkipListWriter.cs; skipMultiplier=8 per Lucene41SkipWriter.cs:68).
+
+    Level-k row = bounds of the up-to-8^k blocks with floor(block_id/8^k)
+    == gid within one (bucket, term, salt) posting run: enveloping
+    [first_docid, max_docid], max tf, total docs.  Levels are independent
+    aggregations of the same block metadata (min/max/sum are associative),
+    so the whole tower is ONE union write -- no chaining, no driver data.
+
+    The searcher descends the tower top-down with broadcast semi-joins
+    (search.IndexSearcher._prune_blocks_to_intervals): a hot term's block
+    rows then face one equality hash-join probe each instead of a
+    nested-loop range comparison against every candidate interval --
+    exactly the reference's 'consult the tower, not every block' seek.
+    Bounds stay sound under deletes (doc ranges only shrink); merges
+    rewrite blocks and regenerate the tower (segments.SegmentManager)."""
+    meta = spark.read.parquet(post_dir).select(
+        "bucket", "term", "salt", "block_id", "num_docs",
+        "first_docid", "max_docid", "block_max_tf",
+    )
+    mx_row = meta.agg(F.max("block_id").alias("m")).collect()[0]
+    mx = int(mx_row["m"]) if mx_row["m"] is not None else 0
+    n_levels, span = 1, SKIP_MULTIPLIER
+    while span <= mx and n_levels < MAX_SKIP_LEVELS:
+        n_levels += 1
+        span *= SKIP_MULTIPLIER
+    out = None
+    for k in range(1, n_levels + 1):
+        lvl = (
+            meta.groupBy(
+                "bucket", "term", "salt",
+                F.floor(F.col("block_id") / F.lit(SKIP_MULTIPLIER ** k)).alias("gid"),
+            )
+            .agg(
+                F.min("first_docid").alias("first_docid"),
+                F.max("max_docid").alias("max_docid"),
+                F.max("block_max_tf").alias("max_tf"),
+                F.sum("num_docs").alias("num_docs"),
+                F.count("*").alias("n_blocks"),
+            )
+            .withColumn("level", F.lit(k))
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    if os.path.exists(skip_dir):
+        shutil.rmtree(skip_dir)
+    out.write.mode("overwrite").parquet(skip_dir)
+    _mark_done(skip_dir, {"stage": "skips", "levels": n_levels})
+
+
 def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: BuildConfig | None = None) -> dict:
     """Build the full index at out_dir. Returns the final manifest dict.
 
@@ -681,6 +739,15 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             json.dump(man, f)
         os.replace(man_path + ".tmp", man_path)
     timings["postings_s"] = time.time() - t0
+
+    # ---- stage 4: multi-level skip tower over block metadata -------------
+    skip_dir = os.path.join(out_dir, "skips")
+    t0 = time.time()
+    if not (cfg.resume and _stage_done(skip_dir)):
+        # also the resume backfill for indexes whose postings predate the
+        # skip stage (same pattern as the bloom backfill above)
+        write_skips(spark, post_dir, skip_dir)
+    timings["skips_s"] = time.time() - t0
 
     # ---- finalize: atomic manifest publish ------------------------------
     manifest = {

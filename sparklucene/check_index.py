@@ -321,6 +321,44 @@ def check_index(
         else:
             passed("blooms", f"{n_terms} terms all present in blooms")
 
+    # 5b. skip tower: every level must be EXACTLY the corresponding
+    #     aggregation of block metadata -- unsound (non-enveloping) bounds
+    #     would silently drop matching blocks during the tower descent
+    #     (MultiLevelSkipListReader seek soundness, distributed twin)
+    skip_dir = os.path.join(index_dir, "skips")
+    if os.path.isdir(skip_dir) and os.path.exists(
+        os.path.join(skip_dir, "_STAGE_DONE")
+    ):
+        from .build import SKIP_MULTIPLIER
+
+        with open(os.path.join(skip_dir, "_STAGE_DONE")) as fh:
+            n_levels = int(json.load(fh).get("levels", 1))
+        meta = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+            "bucket", "term", "salt", "block_id", "num_docs",
+            "first_docid", "max_docid", "block_max_tf",
+        )
+        skips = spark.read.parquet(skip_dir)
+        bad_levels = []
+        for k in range(1, n_levels + 1):
+            expect = meta.groupBy(
+                "bucket", "term", "salt",
+                F.floor(F.col("block_id") / F.lit(SKIP_MULTIPLIER ** k)).alias("gid"),
+            ).agg(
+                F.min("first_docid").alias("first_docid"),
+                F.max("max_docid").alias("max_docid"),
+                F.max("block_max_tf").alias("max_tf"),
+                F.sum("num_docs").alias("num_docs"),
+                F.count("*").alias("n_blocks"),
+            )
+            got = skips.filter(F.col("level") == k).drop("level")
+            diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+            if diff:
+                bad_levels.append((k, diff))
+        if bad_levels:
+            fail("skip_tower", f"level mismatches: {bad_levels}")
+        else:
+            passed("skip_tower", f"{n_levels} levels consistent with block metadata")
+
     # 6. deletes store (segmented roots): ids must be unique-per-read view
     #    and inside the docID space (CheckIndex's liveDocs validation twin)
     deletes_dir = os.path.join(os.path.dirname(os.path.dirname(index_dir)), "deletes")

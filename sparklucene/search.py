@@ -1217,13 +1217,8 @@ class IndexSearcher:
         iv = self._stride_intervals(lead_scored.select("docID"))
 
         others = [t for t in terms if t != lead]
-        other_blocks = (
-            self._union_read("postings")
-            .filter(F.col("bucket").isin(sorted({stats[t].bucket for t in others})))
-            .filter(F.col("term").isin(others))
-        )
         rest = self._score_block_rows(
-            self._prune_blocks_to_intervals(other_blocks, iv),
+            self._pruned_blocks_for_terms(others, stats, iv),
             {t: weights[t] for t in others},
             mode,
         )
@@ -1396,15 +1391,10 @@ class IndexSearcher:
             with_positions=True, with_payloads=with_payloads,
         )
         iv = self._stride_intervals(lead_posts.select("docID"))
-        other_blocks = (
-            self._union_read("postings")
-            .filter(F.col("bucket").isin(sorted({stats[t].bucket for t in others})))
-            .filter(F.col("term").isin(others))
-        )
         rest = self._scored_postings(
             {t: 1.0 for t in others}, mode,
             with_positions=True, with_payloads=with_payloads,
-            blocks=self._prune_blocks_to_intervals(other_blocks, iv),
+            blocks=self._pruned_blocks_for_terms(others, stats, iv),
         )
         return lead_posts.unionByName(rest)
 
@@ -1688,16 +1678,127 @@ class IndexSearcher:
             F.floor(F.col(id_col) / F.lit(self.RANGE_STRIDE)).alias("_s")
         ).agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
 
-    def _prune_blocks_to_intervals(self, blocks: DataFrame, iv: DataFrame) -> DataFrame:
+    def _prune_blocks_to_intervals(
+        self, blocks: DataFrame, iv: DataFrame,
+        tower: tuple[DataFrame, int] | None = None,
+    ) -> DataFrame:
         """Keep only block rows whose [first_docid, max_docid] overlaps some
         interval: a broadcast range semi-join on SKIP METADATA -- the
         leapfrog/WAND block skip, executed JVM-side with no driver round
-        trip and no blob decoded for the decision."""
-        return blocks.join(
-            F.broadcast(iv),
-            (F.col("first_docid") <= F.col("_hi")) & (F.col("max_docid") >= F.col("_lo")),
-            "left_semi",
+        trip and no blob decoded for the decision.
+
+        tower=(skips_df, n_levels): consult the multi-level skip tower
+        first (MultiLevelSkipListWriter analogue, build.write_skips).  The
+        descent runs top level down, each level's candidate groups gated by
+        the surviving PARENT groups (an equality broadcast hash semi-join)
+        before its own interval range check -- so a hot term's block rows
+        face one O(1) hash probe each instead of a nested-loop range
+        comparison against every candidate interval.  Range-comparison work
+        drops from O(#blocks x #intervals) to O(#blocks + #survivors x
+        #intervals + #tower_nodes_touched), the reference's 'seek the
+        tower, not the list' exactly (MultiLevelSkipListReader.cs:140-170
+        descends levels the same way)."""
+        overlap = (F.col("first_docid") <= F.col("_hi")) & (
+            F.col("max_docid") >= F.col("_lo")
         )
+        if tower is not None:
+            from .build import SKIP_MULTIPLIER
+
+            skips_df, n_levels = tower
+            surv: DataFrame | None = None
+            for k in range(n_levels, 0, -1):
+                lk = skips_df.filter(F.col("level") == k)
+                if surv is not None:
+                    lk = lk.withColumn(
+                        "_pg", F.floor(F.col("gid") / F.lit(SKIP_MULTIPLIER)).cast("long")
+                    ).join(
+                        F.broadcast(surv.withColumnRenamed("gid", "_pg")),
+                        ["bucket", "term", "salt", "_pg"],
+                        "left_semi",
+                    )
+                surv = (
+                    lk.join(F.broadcast(iv), overlap, "left_semi")
+                    .select("bucket", "term", "salt", F.col("gid").cast("long").alias("gid"))
+                )
+            blocks = blocks.withColumn(
+                "_g1", F.floor(F.col("block_id") / F.lit(SKIP_MULTIPLIER)).cast("long")
+            ).join(
+                F.broadcast(surv.withColumnRenamed("gid", "_g1")),
+                ["bucket", "term", "salt", "_g1"],
+                "left_semi",
+            ).drop("_g1")
+        return blocks.join(F.broadcast(iv), overlap, "left_semi")
+
+    # a flat metadata range-pass is cheaper than the tower descent's extra
+    # joins below this many candidate block rows (~= df/128 summed); the
+    # tower's payoff is the 100x case (a hot term's 10^5+ blocks)
+    skip_tower_min_blocks = 4096
+
+    def _segment_skips(self, seg_dir: str) -> tuple[str, int] | None:
+        """(skips_path, n_levels) for one segment, driver-side from the
+        stage marker -- no Spark job.  None = segment predates the skip
+        stage (tower disabled for it; flat pass still correct)."""
+        sd = os.path.join(seg_dir, "skips")
+        marker = os.path.join(sd, "_STAGE_DONE")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            info = json.load(f)
+        return sd, int(info.get("levels", 1))
+
+    def _pruned_blocks_for_terms(
+        self, terms: list[str], stats: dict, iv: DataFrame,
+    ) -> DataFrame:
+        """Posting-block rows of `terms` pruned to the candidate intervals.
+
+        Tower gating: estimated candidate blocks (sum df/128) below
+        skip_tower_min_blocks -> single flat range pass over the unioned
+        segments (tiny indexes, rare terms).  Above it, each segment's
+        blocks descend ITS OWN tower (level counts differ per segment, so
+        the parent-gating join must not cross segments) and the pruned
+        unions concatenate."""
+        from .codec import BLOCK_SIZE
+
+        buckets = sorted({stats[t].bucket for t in terms})
+        est_blocks = sum(-(-stats[t].df // BLOCK_SIZE) for t in terms)
+
+        def seg_blocks(path: str) -> DataFrame:
+            return (
+                self.spark.read.parquet(path)
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(list(terms)))
+            )
+
+        if est_blocks < self.skip_tower_min_blocks:
+            flat = (
+                self._union_read("postings")
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(list(terms)))
+            )
+            return self._prune_blocks_to_intervals(flat, iv)
+        parts: list[DataFrame] = []
+        for d in self._seg_dirs:
+            pdir = os.path.join(d, "postings")
+            if not os.path.exists(pdir):
+                continue
+            blocks = seg_blocks(pdir)
+            tower = self._segment_skips(d)
+            if tower is None:
+                parts.append(self._prune_blocks_to_intervals(blocks, iv))
+            else:
+                sd, n_levels = tower
+                tdf = (
+                    self.spark.read.parquet(sd)
+                    .filter(F.col("bucket").isin(buckets))
+                    .filter(F.col("term").isin(list(terms)))
+                )
+                parts.append(
+                    self._prune_blocks_to_intervals(blocks, iv, tower=(tdf, n_levels))
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # cost gate for WAND: below this many total postings across the query's
     # terms, the pruning phases (one extra broadcast job + a tiny decode of

@@ -649,10 +649,13 @@ class SegmentedIndex:
             .write.mode("overwrite")
             .parquet(os.path.join(out, "term_dict"))
         )
-        from .build import write_blooms
+        from .build import write_blooms, write_skips
 
         write_blooms(self.spark, os.path.join(out, "term_dict"),
                      os.path.join(out, "blooms"), self.num_buckets)
+        # merged blocks got new docID ranges -> regenerate the skip tower
+        write_skips(self.spark, os.path.join(out, "postings"),
+                    os.path.join(out, "skips"))
 
         docs = None
         for d in dirs:

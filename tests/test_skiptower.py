@@ -1,0 +1,149 @@
+"""Multi-level skip tower (MultiLevelSkipListWriter analogue).
+
+Reference: src/Lucene.Net/Codecs/MultiLevelSkipListWriter.cs (tower write,
+skipMultiplier=8 per Lucene41SkipWriter.cs:68) and
+MultiLevelSkipListReader.cs:140-170 (top-down descent).  Ours: level-k
+parquet rows = bounds of up to 8^k blocks (build.write_skips); the searcher
+descends with broadcast semi-joins (search._prune_blocks_to_intervals) so a
+hot term's block rows face one hash probe each instead of a nested-loop
+range comparison per candidate interval.
+
+Differential contract (same pattern as test_wand.py): the tower path must
+be row- and score-identical to the flat metadata pass.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.build import SKIP_MULTIPLIER, BuildConfig, build_index
+from sparklucene.search import IndexSearcher
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("skiptower") / "idx")
+    rows = [
+        (
+            i,
+            f"repo{i // 100}",
+            f"p{i}",
+            # rare docs clustered in [7, 297]: intervals stay narrow, so the
+            # descent demonstrably drops the hot term's later blocks
+            "hot common filler "
+            + ("rare special " if (i < 300 and i % 29 == 7) else "")
+            + f"tok{i % 7}",
+        )
+        for i in range(N_DOCS)
+    ]
+    df = spark.createDataFrame(rows, "docID long, repo string, path string, content string")
+    build_index(spark, df, out, BuildConfig(id_col="docID", resume=False))
+    return out
+
+
+def _searcher(spark, idx_dir, min_blocks):
+    s = IndexSearcher(spark, idx_dir)
+    s.skip_tower_min_blocks = min_blocks
+    return s
+
+
+def _hits(s, q, k=60):
+    return [(r.docID, round(r.score, 6)) for r in s.search(q, k, mode="f64").collect()]
+
+
+def test_tower_written_with_levels(spark, idx_dir):
+    marker = os.path.join(idx_dir, "skips", "_STAGE_DONE")
+    assert os.path.exists(marker)
+    with open(marker) as f:
+        info = json.load(f)
+    # 3000 docs of 'hot' -> 24 blocks -> levels ceil(log8(24)) = 2
+    assert info["levels"] == 2
+    levels = {
+        r["level"]
+        for r in spark.read.parquet(os.path.join(idx_dir, "skips"))
+        .select("level").distinct().collect()
+    }
+    assert levels == {1, 2}
+
+
+def test_every_level_envelopes_blocks(spark, idx_dir):
+    """Tower rows must be EXACTLY the level aggregation of block metadata
+    (the CheckIndex-style invariant: unsound bounds would silently drop
+    matching blocks in the descent)."""
+    blocks = spark.read.parquet(os.path.join(idx_dir, "postings"))
+    skips = spark.read.parquet(os.path.join(idx_dir, "skips"))
+    for k in (1, 2):
+        expect = blocks.groupBy(
+            "bucket", "term", "salt",
+            F.floor(F.col("block_id") / F.lit(SKIP_MULTIPLIER ** k)).alias("gid"),
+        ).agg(
+            F.min("first_docid").alias("first_docid"),
+            F.max("max_docid").alias("max_docid"),
+            F.max("block_max_tf").alias("max_tf"),
+            F.sum("num_docs").alias("num_docs"),
+            F.count("*").alias("n_blocks"),
+        )
+        got = skips.filter(F.col("level") == k).drop("level")
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+
+
+def test_bool_leapfrog_tower_equals_flat(spark, idx_dir):
+    q = {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "rare"}},
+            {"occur": "MUST", "query": {"type": "term", "term": "hot"}},
+        ],
+    }
+    flat = _hits(_searcher(spark, idx_dir, 10**9), q)
+    tower = _hits(_searcher(spark, idx_dir, 1), q)
+    assert flat == tower
+    assert len(flat) == len([i for i in range(N_DOCS) if i < 300 and i % 29 == 7])
+
+
+def test_phrase_leapfrog_tower_equals_flat(spark, idx_dir):
+    # 'filler rare' is adjacent in matching docs; filler df=3000 vs rare
+    # df=11 -> the positional leapfrog skew gate triggers, 'filler' blocks
+    # go through the tower descent
+    q = {"type": "phrase", "terms": ["filler", "rare"]}
+    flat = _hits(_searcher(spark, idx_dir, 10**9), q)
+    tower = _hits(_searcher(spark, idx_dir, 1), q)
+    assert flat == tower
+    assert len(flat) > 0
+
+
+def test_tower_prunes_hot_blocks(spark, idx_dir):
+    """The descent must actually PRUNE: candidate blocks for the hot term
+    restricted to the rare lead's intervals are far fewer than the term's
+    full block count."""
+    s = _searcher(spark, idx_dir, 1)
+    stats = s.lookup_terms(["hot", "rare"])
+    lead = s._scored_postings({"rare": s._weight("rare", 1.0, "f64")}, "f64")
+    iv = s._stride_intervals(lead.select("docID"))
+    pruned = s._pruned_blocks_for_terms(["hot"], stats, iv)
+    total = (
+        spark.read.parquet(os.path.join(idx_dir, "postings"))
+        .filter(F.col("term") == "hot").count()
+    )
+    kept = pruned.count()
+    assert 0 < kept <= total
+    # rare docs live in [7, 297] -> one ~64k stride interval [7, 297];
+    # hot blocks are 128 docs each, so only blocks 0-2 can overlap
+    assert kept <= 4 and total >= 20
+
+
+def test_resume_backfills_skips(spark, idx_dir):
+    shutil.rmtree(os.path.join(idx_dir, "skips"))
+    rows = [(0, "r", "p", "x")]  # source content irrelevant: stages resume
+    df = spark.createDataFrame(rows, "docID long, repo string, path string, content string")
+    build_index(spark, df, idx_dir, BuildConfig(id_col="docID", resume=True))
+    assert os.path.exists(os.path.join(idx_dir, "skips", "_STAGE_DONE"))
+    # the backfill regenerated the tower from the EXISTING postings
+    n = spark.read.parquet(os.path.join(idx_dir, "skips")).count()
+    assert n > 0
