@@ -100,6 +100,19 @@ def cmd_search(args) -> int:
         q = json.loads(args.query)
     elif args.syntax == "classic":
         q = parse(args.query, keyword_fields=s.keyword_fields())
+    elif args.syntax == "flexible":
+        from sparklucene.parser import parse_flexible
+
+        q = parse_flexible(
+            args.query,
+            keyword_fields=s.keyword_fields(),
+            default_operator=args.default_operator,
+            phrase_slop=args.phrase_slop,
+            fuzzy_max_edits=args.fuzzy_max_edits,
+            fuzzy_prefix_length=args.fuzzy_prefix_length,
+            allow_leading_wildcard=args.allow_leading_wildcard,
+            multi_fields=tuple(args.multi_fields.split(",")) if args.multi_fields else None,
+        )
     elif args.syntax == "complex_phrase":
         q = parse_complex(args.query, keyword_fields=s.keyword_fields())
     elif args.syntax == "surround":
@@ -186,8 +199,17 @@ def main(argv=None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True, help="query string or JSON tree")
     s.add_argument("--syntax", default="classic",
-                   choices=["classic", "complex_phrase", "surround", "xml"],
+                   choices=["classic", "flexible", "complex_phrase", "surround", "xml"],
                    help="query-string dialect (JSON trees bypass parsing)")
+    # Flexible (StandardQueryParser) config points, used with --syntax flexible
+    s.add_argument("--default-operator", default="or", choices=["or", "and"])
+    s.add_argument("--phrase-slop", type=int, default=0)
+    s.add_argument("--fuzzy-max-edits", type=int, default=2)
+    s.add_argument("--fuzzy-prefix-length", type=int, default=0)
+    s.add_argument("--allow-leading-wildcard", action="store_true")
+    s.add_argument("--multi-fields", default="",
+                   help="comma-separated fields for unqualified-term expansion"
+                        " ('text' = the analyzed default field)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--mode", default="f32", choices=["f32", "f64"])
     s.add_argument("--wand", action="store_true")

@@ -957,6 +957,11 @@ class IndexSearcher:
             # syntax extensions (~, interval ranges).
             td = td.filter(t.rlike("^(?:" + q["pattern"] + ")$"))
         elif typ == "fuzzy":
+            pre = int(q.get("prefix_length", 0))
+            if pre:
+                # FuzzyQuery prefixLength: expansions share the literal
+                # prefix (FuzzyQuery.cs:58-61) -- same gate as the scored path
+                td = td.filter(t.startswith(q["term"][:pre]))
             td = td.filter(
                 F.levenshtein(t, F.lit(q["term"])) <= int(q.get("max_edits", 2))
             )
@@ -1795,6 +1800,10 @@ class IndexSearcher:
                 parts.append(
                     self._prune_blocks_to_intervals(blocks, iv, tower=(tdf, n_levels))
                 )
+        if not parts:  # no segment has postings (empty index)
+            from .build import BLOCK_SCHEMA
+
+            return self.spark.createDataFrame([], BLOCK_SCHEMA)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
