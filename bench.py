@@ -114,6 +114,29 @@ def main() -> None:
     searcher.search({"type": "term", "term": "zzqx_nosuchterm"}, 10, mode="f32").collect()
     qtimes["absent_term_bloom"] = round(time.time() - t0, 3)
 
+    # round-5 additions --------------------------------------------------
+    # Flexible StandardQueryParser end-to-end (default_operator=AND with an
+    # explicit-OR demotion + prohibit -- '+merge join shuffle -slow')
+    from sparklucene.parser import parse_flexible
+
+    flq = parse_flexible("merge join OR shuffle -slow", default_operator="and")
+    t0 = time.time()
+    searcher.search(flq, 15, mode="f32").collect()
+    qtimes["flexible_parsed"] = round(time.time() - t0, 3)
+
+    # multi-level skip tower FORCED under the positional leapfrog (same
+    # query as phrase_leapfrog): the descent's extra broadcast semi-joins
+    # are priced here; its payoff -- hash probes instead of per-interval
+    # range comparisons on every hot block row -- needs 10^5+ block terms,
+    # so the 4096-block gate keeps it off in real plans at this scale
+    searcher.leapfrog_skew_factor, saved_lf = 1, searcher.leapfrog_skew_factor
+    searcher.skip_tower_min_blocks, saved_tw = 0, searcher.skip_tower_min_blocks
+    t0 = time.time()
+    searcher.search({"type": "phrase", "terms": ["merge", "hash"]}, 10, mode="f32").collect()
+    qtimes["leapfrog_tower"] = round(time.time() - t0, 3)
+    searcher.leapfrog_skew_factor = saved_lf
+    searcher.skip_tower_min_blocks = saved_tw
+
     # training-data pipeline headliners
     from sparklucene import datapipe as dp
 
@@ -129,6 +152,11 @@ def main() -> None:
     t0 = time.time()
     dp.cosine_topk_brute(emb, qvec, k=10).collect()
     qtimes["ann_brute"] = round(time.time() - t0, 3)
+    # bucketed LSH near-dup (the 100 TB default path; r5 value-checked gate)
+    t0 = time.time()
+    dp.embedding_neardup_pairs(emb, threshold=0.35, method="lsh",
+                               tables=8, planes=8).count()
+    qtimes["emb_neardup_lsh"] = round(time.time() - t0, 3)
 
     total = round(build_s + sum(qtimes.values()), 3)
     print(
