@@ -54,3 +54,33 @@ def test_xml_never_crashes(text):
 def test_all_dialects_arbitrary_unicode(text):
     for fn in (parse, parse_complex, parse_surround, parse_xml):
         _check(fn, text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_flexible_never_crashes(text):
+    from sparklucene.parser import parse_flexible
+
+    _check(lambda t: parse_flexible(t, default_operator="and", phrase_slop=1,
+                                    fuzzy_prefix_length=2,
+                                    allow_leading_wildcard=True), text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_CHARS)
+def test_flexible_defaults_equal_classic_modulo_leading_wildcard(text):
+    """With every config at its classic value (OR operator, slop 0, fuzzy
+    defaults, leading wildcard allowed), parse_flexible must produce the
+    IDENTICAL tree to parse() -- the Flexible pipeline is a config surface
+    over the same grammar, not a different parser."""
+    from sparklucene.parser import parse_flexible
+
+    def run(fn):
+        try:
+            return ("ok", fn(text))
+        except QueryParseError:
+            return ("err", None)
+
+    classic = run(lambda t: parse(t))
+    flexible = run(lambda t: parse_flexible(t, allow_leading_wildcard=True))
+    assert classic == flexible
