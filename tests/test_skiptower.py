@@ -147,3 +147,30 @@ def test_resume_backfills_skips(spark, idx_dir):
     # the backfill regenerated the tower from the EXISTING postings
     n = spark.read.parquet(os.path.join(idx_dir, "skips")).count()
     assert n > 0
+
+
+def test_tower_with_salted_hot_terms(spark, tmp_path_factory):
+    """Salted hot terms (df > salt_threshold -> docID-range slices) have a
+    separate block_id sequence PER SALT; the tower groups and descends by
+    (bucket, term, salt), so slices must prune independently and the
+    result stay identical to the flat pass."""
+    out = str(tmp_path_factory.mktemp("skiptower_salt") / "idx")
+    rows = [
+        (i, f"r{i//64}", f"p{i}",
+         "hot filler " + ("rare " if (i < 200 and i % 23 == 3) else "") + f"t{i%5}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "docID long, repo string, path string, content string")
+    build_index(spark, df, out, BuildConfig(
+        id_col="docID", resume=False, salt_threshold=256, salt_parts=8))
+    blocks = spark.read.parquet(os.path.join(out, "postings"))
+    n_salts = blocks.filter(F.col("term") == "hot").select("salt").distinct().count()
+    assert n_salts > 1  # the hot term actually got sliced
+    q = {"type": "boolean", "clauses": [
+        {"occur": "MUST", "query": {"type": "term", "term": "rare"}},
+        {"occur": "MUST", "query": {"type": "term", "term": "hot"}}]}
+    flat = _hits(_searcher(spark, out, 10**9), q)
+    tower = _hits(_searcher(spark, out, 1), q)
+    assert flat == tower and len(flat) > 0
+    pq = {"type": "phrase", "terms": ["filler", "rare"]}
+    assert _hits(_searcher(spark, out, 10**9), pq) == _hits(_searcher(spark, out, 1), pq)
