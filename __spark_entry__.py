@@ -151,6 +151,26 @@ def _q_flexible_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+def _q_tower_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME phrase as the `phrase` gate executed through the forced
+    multi-level skip-tower descent (positional leapfrog with
+    leapfrog_skew_factor=1 and skip_tower_min_blocks=0): the tower path
+    must be value-identical to the flat oracle -- this certifies the
+    MultiLevelSkipListWriter/Reader analogue (build.write_skips,
+    search._prune_blocks_to_intervals tower branch) at the driver level,
+    not only in pytest differentials."""
+    s = _searcher(spark, sf_dir)
+    saved = (s.leapfrog_skew_factor, s.skip_tower_min_blocks)
+    s.leapfrog_skew_factor, s.skip_tower_min_blocks = 1, 0
+    try:
+        # search() builds the physical plan eagerly, so the forced config
+        # is baked into the returned DataFrame; restore before returning
+        # (the searcher is cached across gates)
+        return _topk_df(s, {"type": "phrase", "terms": ["table", "hash"]}, 15)
+    finally:
+        s.leapfrog_skew_factor, s.skip_tower_min_blocks = saved
+
+
 def _q_prefix_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery under constant-score rewrite (score == boost == 1.0)."""
     s = _searcher(spark, sf_dir)
@@ -1518,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["wand_or"] = _q_wand_or
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
+    out["tower_phrase"] = _q_tower_phrase
     out["prefix_const"] = _q_prefix_const
     out["range_const"] = _q_range_const
     out["dis_max"] = _q_dis_max
@@ -1620,15 +1641,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
-    # r1 sampled it before its oracle existed), the four gates NEW this
+    # r1 sampled it before its oracle existed), the five gates NEW this
     # round (Flexible parser, bucketed LSH near-dup, ICU-lite folding,
-    # shape-as-data polygons), req_opt (the only direction-consistent r4
-    # perf mover -- recertify after the eager-bloom/bisect work), then every
+    # shape-as-data polygons, forced-tower phrase), then every
     # gate whose latest green driver row is r2 (44 of them) -- so after this
     # round no gate's official record is older than r3.
     round5 = [
         "span_near_unord", "flexible_parsed", "emb_neardup_lsh", "icu_term",
-        "spatial_shape_poly", "req_opt",
+        "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
         "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
@@ -1780,6 +1800,7 @@ FROM (SELECT doc_id, score FROM scored WHERE term = 'dup') r
 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["phrase"] = _phrase_sql("table", "hash", 15)
+    sqls["tower_phrase"] = sqls["phrase"]  # tower path must equal flat
     sqls["wand_or"] = sqls["bool_or"]  # WAND must equal exhaustive OR
     sqls["parsed_bool"] = f"""{_prelude()}
 SELECT a.doc_id, round(a.score + b.score, 4) AS score
