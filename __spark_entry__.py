@@ -98,6 +98,25 @@ def _mk_topk(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+_MSEARCH_BATCH = [
+    "term_top10", "term_rare", "bool_and", "bool_or", "bool_and_not",
+    "bool_msm", "req_opt",
+]
+
+
+def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query execution: the 7 term/boolean headline queries in
+    ONE physical plan (one scan, one decode, one spec join, one agg, one
+    per-query window top-k) -- per-query results identical to search()."""
+    s = _searcher(spark, sf_dir)
+    batch = [QUERY_TREES[n][0] for n in _MSEARCH_BATCH]
+    return s.msearch(batch, 10, mode="f64").select(
+        F.col("qid").alias("query_id"),
+        F.col("docID").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     q, _ = QUERY_TREES["bool_or"]
@@ -1536,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["norms"] = _q_norms
     out["search_after"] = _q_search_after
     out["wand_or"] = _q_wand_or
+    out["msearch"] = _q_msearch
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1647,8 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate whose latest green driver row is r2 (44 of them) -- so after this
     # round no gate's official record is older than r3.
     round5 = [
-        "span_near_unord", "flexible_parsed", "emb_neardup_lsh", "icu_term",
-        "spatial_shape_poly", "tower_phrase",
+        "span_near_unord", "msearch", "flexible_parsed", "emb_neardup_lsh",
+        "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
         "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
@@ -1799,6 +1819,45 @@ SELECT r.doc_id, round(r.score + coalesce(o.score, 0.0), 4) AS score
 FROM (SELECT doc_id, score FROM scored WHERE term = 'dup') r
 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["msearch"] = f"""{_prelude()}
+SELECT * FROM (
+SELECT 0 AS query_id, doc_id, round(score, 4) AS score FROM
+  (SELECT doc_id, score FROM scored WHERE term = 'spark'
+   ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 1, doc_id, round(score, 4) FROM
+  (SELECT doc_id, score FROM scored WHERE term = 'dup'
+   ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 2, doc_id, round(score, 4) FROM
+  (SELECT a.doc_id, a.score + b.score AS score
+   FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') a
+   JOIN (SELECT doc_id, score FROM scored WHERE term = 'dup') b USING (doc_id)
+   ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 3, doc_id, round(score, 4) FROM
+  (SELECT doc_id, sum(score) AS score
+   FROM scored WHERE term IN ('dup', 'window', 'vector')
+   GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 4, doc_id, round(score, 4) FROM
+  (SELECT doc_id, score FROM scored m WHERE term = 'merge'
+     AND NOT EXISTS (SELECT 1 FROM scored x
+                     WHERE x.term = 'slow' AND x.doc_id = m.doc_id)
+   ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 5, doc_id, round(score, 4) FROM
+  (SELECT doc_id, sum(score) AS score
+   FROM scored WHERE term IN ('dup', 'spark', 'join')
+   GROUP BY doc_id HAVING count(*) >= 2
+   ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 6, doc_id, round(score, 4) FROM
+  (SELECT r.doc_id, r.score + coalesce(o.score, 0.0) AS score
+   FROM (SELECT doc_id, score FROM scored WHERE term = 'dup') r
+   LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_id)
+   ORDER BY score DESC, doc_id LIMIT 10)
+) ORDER BY query_id, score DESC, doc_id"""
     sqls["phrase"] = _phrase_sql("table", "hash", 15)
     sqls["tower_phrase"] = sqls["phrase"]  # tower path must equal flat
     sqls["wand_or"] = sqls["bool_or"]  # WAND must equal exhaustive OR

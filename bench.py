@@ -124,6 +124,16 @@ def main() -> None:
     searcher.search(flq, 15, mode="f32").collect()
     qtimes["flexible_parsed"] = round(time.time() - t0, 3)
 
+    # batched multi-query search: the 7 term/boolean headline queries in ONE
+    # physical plan (stage count independent of batch size).  Compare with
+    # the sum of their individual rows above -- the delta is the per-query
+    # fixed stage-barrier cost that batching amortizes; THIS is the query-
+    # side scale path (throughput, not single-query latency)
+    batch = [q for q, _ in entrymod.QUERY_TREES.values() if q["type"] != "phrase"]
+    t0 = time.time()
+    searcher.msearch(batch, 10, mode="f32").collect()
+    qtimes["msearch_batch7"] = round(time.time() - t0, 3)
+
     # multi-level skip tower FORCED under the positional leapfrog (same
     # query as phrase_leapfrog): the descent's extra broadcast semi-joins
     # are priced here; its payoff -- hash probes instead of per-interval

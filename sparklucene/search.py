@@ -1083,8 +1083,9 @@ class IndexSearcher:
         clauses = q["clauses"]
         msm = q.get("minShouldMatch", 0)
         non_prohibited = [c for c in clauses if c["occur"] != "MUST_NOT"]
-        # 1-clause rewrite collapse (BooleanQuery.cs:565-590)
-        if len(clauses) == 1 and len(non_prohibited) == 1:
+        # 1-clause rewrite collapse -- ONLY when minNrShouldMatch == 0
+        # (BooleanQuery.cs:565-568 guards the optimization the same way)
+        if len(clauses) == 1 and len(non_prohibited) == 1 and msm == 0:
             return self._eval(non_prohibited[0]["query"], boost, mode)
         leap = self._eval_and_leapfrog(q, boost, mode)
         if leap is not None:
@@ -2799,6 +2800,126 @@ class IndexSearcher:
             ftype = "float" if mode == "f32" else "double"
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+    def msearch(self, queries: list[dict], k: int = 10, mode: str = "f64") -> DataFrame:
+        """Batched multi-query search: N queries, ONE physical plan.
+
+        The reference executes one query per IndexSearcher.Search call; a
+        search service amortizes that over a request batch (Solr/ES
+        msearch).  On Spark the per-query cost is dominated by fixed
+        query-stage barriers (scan -> decode -> combine -> top-k), so the
+        batched form is THE scale path for query throughput: stage count is
+        independent of len(queries).
+
+        Physical plan (fixed, regardless of batch size):
+          1. one postings scan over the UNION of all batch terms
+             (bucket partition pruning + term pushdown + bloom reject);
+          2. one Arrow decode+score pass (`_scored_postings`, weight =
+             idf*(k1+1), boost applied later per (query, term));
+          3. one broadcast join against the tiny (qid, term, occur, boost)
+             spec table;
+          4. one (qid, docID) hash aggregation -- clause sum + MUST/SHOULD
+             counts + MUST_NOT flag in the same pass;
+          5. one per-query window top-k (partitionBy qid).
+
+        Supported per-query shapes: `term`, and FLAT `boolean` over term
+        queries (SHOULD / MUST / MUST_NOT clauses + minShouldMatch) -- the
+        shapes a query log is overwhelmingly made of.  Anything else raises
+        ValueError (callers fall back to `search` per query).
+
+        Semantics per query are identical to `search(q, k)` (BooleanWeight
+        rules: every MUST matches, MUST_NOT excludes, n_should >=
+        minShouldMatch with the BooleanWeight default of 1 when there are
+        no required clauses).  Clause scores sum in float64 then cast to
+        the mode type (DisjunctionSumScorer.cs:80-83 discipline); the
+        per-term kernel is unchanged.  test_msearch certifies per-query
+        equality against the single-query engine.
+
+        -> DataFrame(qid int, docID long, score) with at most k rows per
+        qid, ordered within each query by (-score, docID)."""
+        ftype = "float" if mode == "f32" else "double"
+        spec_rows: list[tuple[int, str, str, float]] = []
+        req_rows: list[tuple[int, int, int]] = []  # (qid, n_must_req, need)
+        for qid, q in enumerate(queries):
+            qt = q.get("type")
+            if qt == "term":
+                spec_rows.append((qid, q["term"], "SHOULD", float(q.get("boost", 1.0))))
+                req_rows.append((qid, 0, 1))
+                continue
+            if qt != "boolean":
+                raise ValueError(f"msearch supports term/flat-boolean queries, got {qt!r}")
+            clauses = q["clauses"]
+            if len(clauses) > MAX_CLAUSE_COUNT:
+                raise ValueError("TooManyClauses")  # BooleanQuery.cs:71
+            n_must = 0
+            n_should = 0
+            for c in clauses:
+                sub = c["query"]
+                if sub.get("type") != "term":
+                    raise ValueError(
+                        f"msearch boolean clauses must be term queries, got {sub.get('type')!r}"
+                    )
+                occur = c["occur"]
+                if occur not in ("MUST", "SHOULD", "MUST_NOT"):
+                    raise ValueError(f"bad occur {occur!r}")
+                n_must += occur == "MUST"
+                n_should += occur == "SHOULD"
+                spec_rows.append((qid, sub["term"], occur, float(sub.get("boost", 1.0))))
+            msm = int(q.get("minShouldMatch", 0))
+            if msm > n_should:
+                # BooleanWeight: minNrShouldMatch > optional.Count -> no hits
+                req_rows.append((qid, n_must + 1_000_000, 0))
+                continue
+            need = msm if n_must else max(msm, 1 if n_should else 0)
+            req_rows.append((qid, n_must, need))
+
+        empty = self.spark.createDataFrame([], f"qid int, docID long, score {ftype}")
+        if not spec_rows:
+            return empty
+        all_terms = sorted({t for _, t, _, _ in spec_rows})
+        stats = self.lookup_terms(all_terms)
+        # absent terms drop out of the spec; n_must_req keeps counting the
+        # original MUST clauses, so a query with an unindexed MUST term can
+        # never reach its requirement -- matches `search` returning empty
+        spec_rows = [r for r in spec_rows if r[1] in stats]
+        if not spec_rows:
+            return empty
+        weights = {t: self._weight(t, 1.0, mode) for t in {r[1] for r in spec_rows}}
+        scored = self._scored_postings(weights, mode)
+        spec = self.spark.createDataFrame(
+            spec_rows, "qid int, term string, occur string, boost double"
+        )
+        reqs = self.spark.createDataFrame(req_rows, "qid int, n_must_req int, need int")
+        contrib = F.when(
+            F.col("occur") != "MUST_NOT", F.col("boost") * F.col("score").cast("double")
+        ).otherwise(F.lit(0.0))
+        agg = (
+            scored.join(F.broadcast(spec), "term")
+            .groupBy("qid", "docID")
+            .agg(
+                F.sum(contrib).cast(ftype).alias("score"),
+                F.sum(F.when(F.col("occur") == "MUST", 1).otherwise(0)).alias("n_must"),
+                F.sum(F.when(F.col("occur") == "SHOULD", 1).otherwise(0)).alias("n_should"),
+                F.max(F.when(F.col("occur") == "MUST_NOT", 1).otherwise(0)).alias("hit_not"),
+            )
+        )
+        qualified = (
+            agg.join(F.broadcast(reqs), "qid")
+            .filter(
+                (F.col("hit_not") == 0)
+                & (F.col("n_must") == F.col("n_must_req"))
+                & (F.col("n_should") >= F.col("need"))
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        return (
+            qualified.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", "docID", "score")
+            .orderBy("qid", F.desc("score"), F.asc("docID"))
+        )
 
     class TimeExceededError(TimeoutError):
         """Raised when search_with_timeout exceeds its budget

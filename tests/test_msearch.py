@@ -1,0 +1,96 @@
+"""Batched multi-query search differentials: msearch(queries, k) must be
+per-query identical to search(q, k) — msearch is a pure THROUGHPUT
+optimization (one plan for N queries), never a semantics change.
+
+The reference has no batched API (one IndexSearcher.Search per query,
+IndexSearcher.cs:528); the batch form exists because on Spark the
+per-query cost is fixed stage barriers, which batching amortizes."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("msearchidx"))
+    corpus = make_corpus(400, seed=23)
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60, salt_parts=4),
+    )
+    return IndexSearcher(spark, out)
+
+
+def _t(term, **kw):
+    return {"type": "term", "term": term, **kw}
+
+
+def _bool(clauses, **kw):
+    return {"type": "boolean",
+            "clauses": [{"occur": o, "query": q} for o, q in clauses], **kw}
+
+
+BATCH = [
+    _t("compute"),
+    _t("index", boost=2.0),
+    _bool([("SHOULD", _t("compute")), ("SHOULD", _t("score")), ("SHOULD", _t("beta7"))]),
+    _bool([("MUST", _t("merge")), ("MUST", _t("index"))]),
+    _bool([("MUST", _t("merge")), ("MUST_NOT", _t("score"))]),
+    _bool([("SHOULD", _t("compute")), ("SHOULD", _t("merge")), ("SHOULD", _t("score"))],
+          minShouldMatch=2),
+    _bool([("MUST", _t("index")), ("SHOULD", _t("compute", boost=3.0))]),
+    _bool([("MUST", _t("merge")), ("MUST", _t("zzz_no_such_term"))]),   # empty
+    _bool([("SHOULD", _t("compute")), ("SHOULD", _t("compute"))]),      # dup clause
+    _t("zzz_no_such_term"),                                             # empty
+]
+
+
+def _rows(df):
+    return [(r["docID"], round(float(r["score"]), 4)) for r in df.collect()]
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_msearch_equals_per_query_search(searcher, k):
+    got = searcher.msearch(BATCH, k, mode="f64").collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append((r["docID"], round(float(r["score"]), 4)))
+    for qid, q in enumerate(BATCH):
+        want = _rows(searcher.search(q, k, mode="f64"))
+        assert by_qid.get(qid, []) == want, f"qid={qid} query={q}"
+
+
+def test_msearch_respects_deletes(searcher, spark):
+    base = {r["docID"] for r in searcher.msearch([_t("compute")], 5).collect()}
+    assert base
+    victim = max(base)
+    try:
+        searcher.set_live_docs([victim])
+        after = {r["docID"] for r in searcher.msearch([_t("compute")], 5).collect()}
+        assert victim not in after
+    finally:
+        searcher.set_live_docs([])
+
+
+def test_msearch_rejects_unsupported_shapes(searcher):
+    with pytest.raises(ValueError):
+        searcher.msearch([{"type": "phrase", "text": "a b"}], 5)
+    with pytest.raises(ValueError):
+        searcher.msearch([_bool([("SHOULD", {"type": "prefix", "field": None, "prefix": "co"})])], 5)
+
+
+def test_msearch_empty_batch(searcher):
+    assert searcher.msearch([], 5).count() == 0
+
+
+def test_msearch_msm_exceeds_optional(searcher):
+    # BooleanWeight: minNrShouldMatch > optional.Count -> no hits
+    q = _bool([("SHOULD", _t("compute"))], minShouldMatch=3)
+    assert searcher.msearch([q], 5).count() == 0
+    assert searcher.search(q, 5).count() == 0
