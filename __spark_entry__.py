@@ -117,6 +117,65 @@ def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery (CommonTermsQuery.cs BuildQuery): df-split into a
+    selective low-freq group (MUST) + additive high-freq group (SHOULD).
+    At this corpus 'dup' is low-freq, 'spark'/'merge' are high-freq."""
+    from sparklucene.extraqueries import common_terms_tree
+
+    s = _searcher(spark, sf_dir)
+    tree = common_terms_tree(s, ["dup", "spark", "merge"], max_term_frequency=0.5)
+    return _topk_df(s, tree, 15)
+
+
+def _q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostingQuery (BoostingQuery.cs): match 'merge', demote docs that
+    also contain 'slow' by 0.1 -- context never selects or adds score."""
+    from sparklucene.extraqueries import boosting_search
+
+    s = _searcher(spark, sf_dir)
+    return boosting_search(
+        s, {"type": "term", "term": "merge"}, {"type": "term", "term": "slow"},
+        0.1, k=15, mode="f64",
+    ).select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_fuzzy_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyLikeThisQuery (FuzzyLikeThisQuery.cs, ignoreTF): typo'd text,
+    DL<=1 dictionary variants, boost^2 * classicIdf scores, global top-25
+    variants, per-doc constant-score sum."""
+    from sparklucene.extraqueries import fuzzy_like_this_search
+
+    s = _searcher(spark, sf_dir)
+    return fuzzy_like_this_search(s, "mrge tble", max_edits=1, k=15, mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuplicateFilter (DuplicateFilter.cs KM_USE_FIRST_OCCURRENCE): one
+    surviving doc per 'lang' value, applied to the 'merge' query."""
+    from sparklucene.extraqueries import duplicate_filter, filtered_topk
+
+    s = _searcher(spark, sf_dir)
+    filt = duplicate_filter(s, "lang", keep="first")
+    return filtered_topk(s, {"type": "term", "term": "merge"}, filt, k=15, mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _q_chained_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChainedFilter (ChainedFilter.cs XOR): docs containing exactly one of
+    'merge' / 'join' -- constant-score docID set."""
+    from sparklucene.extraqueries import XOR, chained_filter, terms_filter
+
+    s = _searcher(spark, sf_dir)
+    a = terms_filter(s, terms=["merge"])
+    b = terms_filter(s, terms=["join"])
+    out = chained_filter(s, [a, b], [XOR, XOR])
+    return out.select(F.col("docID").alias("doc_id"), F.lit(1.0).alias("score"))
+
+
 def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _searcher(spark, sf_dir)
     q, _ = QUERY_TREES["bool_or"]
@@ -1556,6 +1615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["search_after"] = _q_search_after
     out["wand_or"] = _q_wand_or
     out["msearch"] = _q_msearch
+    out["common_terms"] = _q_common_terms
+    out["boosting"] = _q_boosting
+    out["fuzzy_like_this"] = _q_fuzzy_like_this
+    out["dup_filter"] = _q_dup_filter
+    out["chained_xor"] = _q_chained_xor
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1667,7 +1731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate whose latest green driver row is r2 (44 of them) -- so after this
     # round no gate's official record is older than r3.
     round5 = [
-        "span_near_unord", "msearch", "flexible_parsed", "emb_neardup_lsh",
+        "span_near_unord", "msearch", "common_terms", "boosting",
+        "fuzzy_like_this", "dup_filter", "chained_xor",
+        "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -1819,6 +1885,74 @@ SELECT r.doc_id, round(r.score + coalesce(o.score, 0.0), 4) AS score
 FROM (SELECT doc_id, score FROM scored WHERE term = 'dup') r
 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'spark') o USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["common_terms"] = f"""{_prelude()},
+ct AS (SELECT t.term, t.df > ceil(0.5 * s.max_doc) AS is_high
+       FROM tstats t CROSS JOIN stats s
+       WHERE t.term IN ('dup', 'spark', 'merge')),
+lowm AS (SELECT sc.doc_id, sum(sc.score) AS s
+         FROM scored sc JOIN ct ON sc.term = ct.term AND NOT ct.is_high
+         GROUP BY sc.doc_id),
+highm AS (SELECT sc.doc_id, sum(sc.score) AS s
+          FROM scored sc JOIN ct ON sc.term = ct.term AND ct.is_high
+          GROUP BY sc.doc_id)
+SELECT l.doc_id, round(l.s + coalesce(h.s, 0.0), 4) AS score
+FROM lowm l LEFT JOIN highm h USING (doc_id)
+ORDER BY l.s + coalesce(h.s, 0.0) DESC, l.doc_id LIMIT 15"""
+    sqls["boosting"] = f"""{_prelude()}
+SELECT m.doc_id,
+       round(CASE WHEN c.doc_id IS NOT NULL THEN m.score * 0.1 ELSE m.score END, 4) AS score
+FROM (SELECT doc_id, score FROM scored WHERE term = 'merge') m
+LEFT JOIN (SELECT DISTINCT doc_id FROM scored WHERE term = 'slow') c USING (doc_id)
+ORDER BY CASE WHEN c.doc_id IS NOT NULL THEN m.score * 0.1 ELSE m.score END DESC,
+         m.doc_id LIMIT 15"""
+    sqls["fuzzy_like_this"] = f"""{_prelude()},
+src(sterm) AS (VALUES ('mrge'), ('tble')),
+vars AS (
+  SELECT v.sterm, t.term, t.df,
+         CASE WHEN d.d = 0 THEN 1.0
+              ELSE 1.0 - d.d / least(length(t.term), length(v.sterm)) END AS boost
+  FROM tstats t CROSS JOIN src v
+  CROSS JOIN LATERAL (SELECT damerau_levenshtein(t.term, v.sterm)::DOUBLE AS d) d
+  WHERE d.d <= 1 AND (d.d = 0 OR
+        1.0 - d.d / least(length(t.term), length(v.sterm)) > 0)
+),
+topv AS (
+  SELECT * FROM (SELECT vars.*, row_number() OVER
+      (PARTITION BY sterm ORDER BY boost DESC, term ASC) AS rk FROM vars)
+  WHERE rk <= 50
+),
+srcdf AS (
+  SELECT v.sterm,
+         coalesce((SELECT t.df FROM tstats t WHERE t.term = v.sterm),
+                  (SELECT (sum(df) // count(*))::BIGINT FROM topv WHERE sterm = v.sterm),
+                  0) AS df
+  FROM src v
+),
+vscored AS (
+  SELECT tv.term,
+         tv.boost * tv.boost * (ln(s.max_doc / (sd.df + 1.0)) + 1.0) AS vscore
+  FROM topv tv JOIN srcdf sd USING (sterm) CROSS JOIN stats s
+),
+gtop AS (SELECT term, vscore FROM vscored ORDER BY vscore DESC, term ASC LIMIT 25)
+SELECT p.doc_id, round(sum(g.vscore), 4) AS score
+FROM posting p JOIN gtop g USING (term)
+GROUP BY p.doc_id
+ORDER BY sum(g.vscore) DESC, p.doc_id LIMIT 15"""
+    sqls["dup_filter"] = f"""{_prelude()},
+surv AS (SELECT min(doc_id) AS doc_id FROM srcdocs
+         WHERE lang IS NOT NULL GROUP BY lang)
+SELECT m.doc_id, round(m.score, 4) AS score
+FROM scored m JOIN surv USING (doc_id)
+WHERE m.term = 'merge'
+ORDER BY m.score DESC, m.doc_id LIMIT 15"""
+    sqls["chained_xor"] = f"""{_prelude()},
+a AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'merge'),
+b AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'join')
+SELECT doc_id, 1.0 AS score FROM (
+  SELECT doc_id FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)
+  UNION ALL
+  SELECT doc_id FROM b WHERE doc_id NOT IN (SELECT doc_id FROM a)
+)"""
     sqls["msearch"] = f"""{_prelude()}
 SELECT * FROM (
 SELECT 0 AS query_id, doc_id, round(score, 4) AS score FROM

@@ -1,0 +1,337 @@
+"""Queries + Sandbox module analogues: query builders and filters layered
+on the boolean engine.
+
+Reference parity (semantics only; mechanisms are DataFrame/query-tree):
+  - CommonTermsQuery      src/Lucene.Net.Queries/CommonTermsQuery.cs
+  - BoostingQuery         src/Lucene.Net.Queries/BoostingQuery.cs
+  - FuzzyLikeThisQuery    src/Lucene.Net.Sandbox/Queries/FuzzyLikeThisQuery.cs
+  - DuplicateFilter       src/Lucene.Net.Sandbox/Queries/DuplicateFilter.cs
+  - TermsFilter           src/Lucene.Net.Queries/TermsFilter.cs
+  - BooleanFilter         src/Lucene.Net.Queries/BooleanFilter.cs
+  - ChainedFilter         src/Lucene.Net.Queries/ChainedFilter.cs
+
+Everything here is a thin layer: the builders emit ordinary query trees
+(evaluated by IndexSearcher._eval, so they inherit WAND/leapfrog/bloom
+machinery), and the filters are docID-set algebra on DataFrames -- both
+shapes stay scale-safe because no doc list ever reaches the driver."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# CommonTermsQuery
+# ---------------------------------------------------------------------------
+
+def _min_nr_should_match(spec: float, num_optional: int) -> int:
+    """CommonTermsQuery.MinNrShouldMatch (CommonTermsQuery.cs:181-188):
+    >=1 or ==0 -> truncate; a fraction -> round(spec * numOptional)."""
+    if spec >= 1.0 or spec == 0.0:
+        return int(spec)
+    return int(round(spec * num_optional))
+
+
+def common_terms_tree(
+    searcher,
+    terms: list[str],
+    max_term_frequency: float = 0.01,
+    high_freq_occur: str = "SHOULD",
+    low_freq_occur: str = "SHOULD",
+    low_freq_msm: float = 0.0,
+    high_freq_msm: float = 0.0,
+    low_freq_boost: float = 1.0,
+    high_freq_boost: float = 1.0,
+) -> dict:
+    """CommonTermsQuery.BuildQuery (CommonTermsQuery.cs:190-262): split the
+    terms into a low-frequency group (selective -- drives matching) and a
+    high-frequency group (stop-word-like -- only refines scores), by
+    docFreq against ceil(maxTermFrequency * maxDoc) (or an absolute count
+    when maxTermFrequency >= 1).
+
+    Returns a query tree:
+      - both groups non-empty: boolean( MUST lowFreqGroup,
+        SHOULD highFreqGroup ) -- high-freq terms never SELECT documents,
+        they only add score to docs the selective terms already matched
+        (the reference's protection against stopword-hot posting scans:
+        at 100 TB the hot terms' postings are only decoded leapfrog-pruned
+        under the low-freq group's matches);
+      - low empty: the high group alone, clauses hardened to MUST when
+        highFreqOccur was SHOULD with no minShouldMatch ("rewrite the high
+        freq terms in a conjunction to prevent slow queries");
+      - high empty: the low group alone.
+
+    Unseen terms go to the low group (termContext == null branch)."""
+    stats = searcher.lookup_terms(sorted(set(terms)))
+    cutoff = (
+        float(max_term_frequency)
+        if max_term_frequency >= 1.0
+        else math.ceil(max_term_frequency * float(searcher.max_doc))
+    )
+    low: list[str] = []
+    high: list[str] = []
+    for t in terms:
+        st = stats.get(t)
+        if st is not None and st.df > cutoff:
+            high.append(t)
+        else:
+            low.append(t)
+
+    def group(ts: list[str], occur: str, msm_spec: float, boost: float) -> dict:
+        g: dict = {
+            "type": "boolean",
+            "clauses": [{"occur": occur, "query": {"type": "term", "term": t}} for t in ts],
+        }
+        if occur == "SHOULD" and ts:
+            m = _min_nr_should_match(msm_spec, len(ts))
+            if m:
+                g["minShouldMatch"] = m
+        if boost != 1.0:
+            g["boost"] = boost
+        return g
+
+    if not low:
+        occur = high_freq_occur
+        g = group(high, occur, high_freq_msm, high_freq_boost)
+        if occur == "SHOULD" and not g.get("minShouldMatch"):
+            # conjunction rewrite (CommonTermsQuery.cs:233-241)
+            for c in g["clauses"]:
+                c["occur"] = "MUST"
+        return g
+    if not high:
+        return group(low, low_freq_occur, low_freq_msm, low_freq_boost)
+    return {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "SHOULD", "query": group(high, high_freq_occur, high_freq_msm, high_freq_boost)},
+            {"occur": "MUST", "query": group(low, low_freq_occur, low_freq_msm, low_freq_boost)},
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# BoostingQuery
+# ---------------------------------------------------------------------------
+
+def boosting_search(
+    searcher, match: dict, context: dict, boost: float, k: int = 10, mode: str = "f64"
+) -> DataFrame:
+    """BoostingQuery (BoostingQuery.cs:41-100): score docs by `match`;
+    any doc ALSO matching `context` has its score multiplied by `boost`
+    (typically < 1 -- demotion).  The reference realizes this as
+    MUST(match) + SHOULD(context with Boost=0) under a coord override
+    (overlap 2 -> boost); we realize the same arithmetic directly:
+    context-only matches are ignored, context never adds score.
+
+    -> DataFrame(docID, score) top-k by (-score, docID)."""
+    ftype = "float" if mode == "f32" else "double"
+    m = searcher._eval(match, 1.0, mode)
+    if m is None:
+        return searcher.spark.createDataFrame([], f"docID long, score {ftype}")
+    c = searcher._eval(context, 1.0, mode)
+    if c is not None:
+        flags = c.select("docID").distinct().withColumn("_ctx", F.lit(1))
+        m = m.join(flags, "docID", "left").select(
+            "docID",
+            F.when(F.col("_ctx").isNotNull(), (F.col("score") * F.lit(float(boost))).cast(ftype))
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+    return m.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# FuzzyLikeThisQuery
+# ---------------------------------------------------------------------------
+
+MAX_VARIANTS_PER_TERM = 50  # FuzzyLikeThisQuery.cs:54
+
+
+def fuzzy_like_this_search(
+    searcher,
+    text: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    max_num_terms: int = 25,
+    k: int = 10,
+    mode: str = "f64",
+) -> DataFrame:
+    """FuzzyLikeThisQuery (FuzzyLikeThisQuery.cs:185-340), ignoreTF mode
+    (variant clauses are ConstantScore -- each matched variant contributes
+    exactly its ScoreTerm score):
+
+      1. analyze `text`; per DISTINCT source term enumerate dictionary
+         variants within `max_edits` (Damerau-Levenshtein, boost
+         1 - ed/min(len) -- SlowFuzzyTermsEnum's similarity), keep the top
+         MAX_VARIANTS_PER_TERM by (boost desc, term asc);
+      2. df = docFreq(source term), or the truncated MEAN of the variant
+         dfs when the source term is unindexed (:243-249);
+      3. variant score = boost^2 * classicIdf(df, numDocs)
+         (:258, Idf = ln(numDocs/(df+1)) + 1);
+      4. keep the global top `max_num_terms` variants by (score desc,
+         term asc) -- the overall ScoreTermQueue;
+      5. doc score = SUM of the scores of its matched variants; top-k by
+         (-score, docID).
+
+    Scale: steps 1-4 touch only the term dictionary (distributed scans,
+    driver sees <= max_num_terms rows); step 5 is one postings pass over
+    <= max_num_terms terms with constant per-term contributions."""
+    ftype = "float" if mode == "f32" else "double"
+    source_terms = list(dict.fromkeys(searcher.analyze_query(text)))
+    scored_variants: list[tuple[str, float]] = []  # (variant, score)
+    n_docs = searcher.max_doc
+    for src in source_terms:
+        variants = searcher.expand_fuzzy_scored(
+            {
+                "term": src,
+                "max_edits": max_edits,
+                "prefix_length": prefix_length,
+                "max_expansions": MAX_VARIANTS_PER_TERM,
+            }
+        )
+        if not variants:
+            continue
+        vstats = searcher.lookup_terms([v for v, _ in variants])
+        df = (searcher.lookup_terms([src]).get(src) or _NoStat()).df
+        if df == 0:
+            df = sum(vstats[v].df for v, _ in variants if v in vstats) // len(variants)
+        idf = math.log(n_docs / (df + 1.0)) + 1.0
+        scored_variants.extend((v, (b * b) * idf) for v, b in variants)
+    scored_variants.sort(key=lambda x: (-x[1], x[0]))
+    top = scored_variants[:max_num_terms]
+    if not top:
+        return searcher.spark.createDataFrame([], f"docID long, score {ftype}")
+    # constant-score sum: one postings pass, per-variant contribution is a
+    # constant -- realized by scoring with weight=score and dividing out
+    # the tf/norm kernel via a match indicator (tf >= 1 always matches)
+    stats = searcher.lookup_terms([t for t, _ in top])
+    blocks = None
+    scores = {t: s for t, s in top if t in stats}
+    if not scores:
+        return searcher.spark.createDataFrame([], f"docID long, score {ftype}")
+    posted = searcher._scored_postings({t: 1.0 for t in scores}, mode, blocks=blocks)
+    spec = searcher.spark.createDataFrame(
+        [(t, float(s)) for t, s in scores.items()], "term string, vscore double"
+    )
+    return (
+        posted.join(F.broadcast(spec), "term")
+        .groupBy("docID")
+        .agg(F.sum("vscore").cast(ftype).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+class _NoStat:
+    df = 0
+
+
+# ---------------------------------------------------------------------------
+# Filters: TermsFilter / BooleanFilter / ChainedFilter / DuplicateFilter
+# ---------------------------------------------------------------------------
+
+def terms_filter(searcher, terms: list[str] | None = None,
+                 fields: list[tuple[str, str]] | None = None) -> DataFrame:
+    """TermsFilter (TermsFilter.cs): docs containing ANY of the given text
+    terms and/or keyword (field, value) pairs.  Constant-score docID set.
+    -> DataFrame(docID) distinct."""
+    parts = []
+    if terms:
+        stats = searcher.lookup_terms(sorted(set(terms)))
+        if stats:
+            parts.append(
+                searcher._scored_postings({t: 1.0 for t in stats}, "f64")
+                .select("docID")
+            )
+    for field, value in fields or []:
+        parts.append(searcher.docs().filter(F.col(field) == value).select("docID"))
+    if not parts:
+        return searcher.spark.createDataFrame([], "docID long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.distinct()
+
+
+def boolean_filter(searcher, clauses: list[tuple[str, DataFrame]]) -> DataFrame:
+    """BooleanFilter (BooleanFilter.cs): MUST/SHOULD/MUST_NOT algebra over
+    docID-set filters.  MUST_NOT-only input starts from all docs (the
+    reference flips a full bitset, :66-72)."""
+    musts = [d for o, d in clauses if o == "MUST"]
+    shoulds = [d for o, d in clauses if o == "SHOULD"]
+    nots = [d for o, d in clauses if o == "MUST_NOT"]
+    res: DataFrame | None = None
+    if shoulds:
+        res = shoulds[0]
+        for s in shoulds[1:]:
+            res = res.unionAll(s)
+        res = res.distinct()
+    if musts:
+        # MUST overrides SHOULD membership (reference: res = AND of musts)
+        res = musts[0].distinct() if res is None else res
+        for m_ in musts:
+            res = res.join(m_.distinct(), "docID", "left_semi")
+    if res is None:
+        if not nots:
+            return searcher.spark.createDataFrame([], "docID long")
+        res = searcher.docs().select("docID")
+    for n in nots:
+        res = res.join(n.distinct(), "docID", "left_anti")
+    return res
+
+
+# ChainedFilter logic constants (ChainedFilter.cs:52-58)
+OR, AND, ANDNOT, XOR = 0, 1, 2, 3
+
+
+def chained_filter(searcher, filters: list[DataFrame], logic: list[int] | int = OR) -> DataFrame:
+    """ChainedFilter (ChainedFilter.cs): fold the filter chain left to
+    right under per-step OR/AND/ANDNOT/XOR set logic (the first filter
+    seeds the accumulator, logic[i] combines filters[i])."""
+    if not filters:
+        return searcher.spark.createDataFrame([], "docID long")
+    logics = [logic] * len(filters) if isinstance(logic, int) else list(logic)
+    acc = filters[0].distinct()
+    for f_, op in zip(filters[1:], logics[1:]):
+        f_ = f_.distinct()
+        if op == OR:
+            acc = acc.unionAll(f_).distinct()
+        elif op == AND:
+            acc = acc.join(f_, "docID", "left_semi")
+        elif op == ANDNOT:
+            acc = acc.join(f_, "docID", "left_anti")
+        elif op == XOR:
+            inter = acc.join(f_, "docID", "left_semi")
+            acc = acc.unionAll(f_).distinct().join(inter, "docID", "left_anti")
+        else:
+            raise ValueError(f"bad chained-filter logic {op}")
+    return acc
+
+
+def duplicate_filter(searcher, key_col: str, keep: str = "first") -> DataFrame:
+    """DuplicateFilter (DuplicateFilter.cs): per distinct value of an
+    indexed keyword field, keep exactly ONE document -- the first
+    (KM_USE_FIRST_OCCURRENCE) or last (KM_USE_LAST_OCCURRENCE) docID.
+    -> DataFrame(docID) of survivors (null keys are not deduplicated,
+    matching the reference which only walks indexed terms)."""
+    agg = F.min("docID") if keep == "first" else F.max("docID")
+    keyed = searcher.docs().select("docID", key_col).filter(F.col(key_col).isNotNull())
+    return keyed.groupBy(key_col).agg(agg.alias("docID")).select("docID")
+
+
+def filtered_topk(searcher, query: dict, filt: DataFrame, k: int = 10,
+                  mode: str = "f64") -> DataFrame:
+    """Apply a docID-set filter to a scored query (Filter + Query search,
+    the FilteredQuery application path for the filters above)."""
+    scored = searcher._eval(query, 1.0, mode)
+    ftype = "float" if mode == "f32" else "double"
+    if scored is None:
+        return searcher.spark.createDataFrame([], f"docID long, score {ftype}")
+    return (
+        scored.join(filt.distinct(), "docID", "left_semi")
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )

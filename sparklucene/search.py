@@ -614,14 +614,23 @@ class IndexSearcher:
         """TopFieldCollector analogue: matching docs ordered by doc-field
         sort spec (field, ascending), docID tie-break -- executed as
         Catalyst TakeOrderedAndProject (TopFieldCollector.cs/SortField.cs).
+
+        Each sort field may also be a SQL EXPRESSION over doc columns --
+        the SortedSetSortField path (Sandbox/Queries/SortedSetSortField.cs:
+        sort by the MIN/MAX value of a multi-valued field) is
+        `array_min(col)` / `array_max(col)` over a native array column.
         Returns (docID, <sort fields>, score)."""
         scored = self._eval(query, 1.0, mode)
         if scored is None:
             return None
         fields = [c for c, _ in sort_cols]
-        joined = scored.join(self.docs().select("docID", *fields), "docID")
-        order = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols] + [F.asc("docID")]
-        return joined.orderBy(*order).limit(k).select("docID", *fields, "score")
+        aliases = [f"_sort{i}" for i in range(len(fields))]
+        proj = [F.expr(c).alias(a) for c, a in zip(fields, aliases)]
+        joined = scored.join(self.docs().select("docID", *proj), "docID")
+        order = [F.asc(a) if asc else F.desc(a)
+                 for a, (_, asc) in zip(aliases, sort_cols)] + [F.asc("docID")]
+        out_cols = [F.col(a).alias(c) for c, a in zip(fields, aliases)]
+        return joined.orderBy(*order).limit(k).select("docID", *out_cols, "score")
 
     def search_grouped(self, query: dict, group_col: str, group_limit: int = 2,
                        mode: str = "f64") -> DataFrame:

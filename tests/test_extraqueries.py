@@ -1,0 +1,218 @@
+"""Queries + Sandbox module analogues: CommonTermsQuery, BoostingQuery,
+FuzzyLikeThisQuery, DuplicateFilter, TermsFilter/BooleanFilter/ChainedFilter.
+Brute-force differentials against plain set algebra / the boolean engine."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparklucene import extraqueries as xq
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("xqidx"))
+    corpus = make_corpus(300, seed=7)
+    df = spark.createDataFrame(corpus).repartition(4)
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60,
+                    salt_parts=4, meta_cols=("repo", "lang")),
+    )
+    return IndexSearcher(spark, out)
+
+
+def _t(term):
+    return {"type": "term", "term": term}
+
+
+def _ids(df):
+    return {r["docID"] for r in df.collect()}
+
+
+# --- CommonTermsQuery -------------------------------------------------------
+
+def test_common_terms_split(searcher):
+    # pick a hot term and a rare term from the dictionary
+    terms = ["merge", "beta7"]
+    dfs = {t: s.df for t, s in searcher.lookup_terms(terms).items()}
+    hot = max(dfs, key=dfs.get)
+    rare = min(dfs, key=dfs.get)
+    assert dfs[hot] > dfs[rare]
+    # absolute-count cutoff (maxTermFrequency >= 1 branch): rare low, hot high
+    tree = xq.common_terms_tree(searcher, [hot, rare], max_term_frequency=float(dfs[rare]))
+    # both groups non-empty -> MUST(low) + SHOULD(high)
+    occurs = {c["occur"] for c in tree["clauses"]}
+    assert occurs == {"MUST", "SHOULD"}
+    low = [c for c in tree["clauses"] if c["occur"] == "MUST"][0]["query"]
+    assert low["clauses"][0]["query"]["term"] == rare
+    # matching set == docs matching the rare (selective) term
+    got = _ids(searcher.search(tree, 1000, mode="f64"))
+    want = _ids(searcher.search(_t(rare), 1000, mode="f64"))
+    assert got == want
+
+
+def test_common_terms_all_high_conjunction_rewrite(searcher):
+    tree = xq.common_terms_tree(searcher, ["merge", "index"], max_term_frequency=1e-9)
+    assert all(c["occur"] == "MUST" for c in tree["clauses"])
+
+
+def test_common_terms_unseen_goes_low(searcher):
+    tree = xq.common_terms_tree(searcher, ["zzz_no_such", "merge"], max_term_frequency=1e-9)
+    low = [c for c in tree["clauses"] if c["occur"] == "MUST"][0]["query"]
+    assert low["clauses"][0]["query"]["term"] == "zzz_no_such"
+
+
+def test_min_nr_should_match_spec():
+    assert xq._min_nr_should_match(0.0, 7) == 0
+    assert xq._min_nr_should_match(2.0, 7) == 2
+    assert xq._min_nr_should_match(0.5, 7) == 4  # round(3.5)
+
+
+# --- BoostingQuery ----------------------------------------------------------
+
+def test_boosting_demotes_context_matches(searcher):
+    match, context, b = _t("merge"), _t("index"), 0.1
+    got = {r["docID"]: r["score"] for r in
+           xq.boosting_search(searcher, match, context, b, k=1000).collect()}
+    base = {r["docID"]: r["score"] for r in searcher.search(match, 1000, mode="f64").collect()}
+    ctx = _ids(searcher.search(context, 10_000, mode="f64"))
+    assert set(got) == set(base)
+    for d, s in got.items():
+        want = base[d] * b if d in ctx else base[d]
+        assert math.isclose(s, want, rel_tol=1e-9), d
+    assert any(d in ctx for d in got)  # the demotion branch is exercised
+
+
+def test_boosting_context_only_docs_ignored(searcher):
+    got = _ids(xq.boosting_search(searcher, _t("beta7"), _t("merge"), 0.5, k=1000))
+    assert got == _ids(searcher.search(_t("beta7"), 1000, mode="f64"))
+
+
+# --- FuzzyLikeThisQuery -----------------------------------------------------
+
+def test_fuzzy_like_this_matches_manual_computation(searcher):
+    text = "merge window"  # typo for 'window'
+    got = {r["docID"]: float(r["score"]) for r in
+           xq.fuzzy_like_this_search(searcher, text, max_edits=1, k=1000).collect()}
+    assert got
+    # manual: rebuild variant scores then sum per doc over matched variants
+    variants: dict[str, float] = {}
+    for src in dict.fromkeys(searcher.analyze_query(text)):
+        vs = searcher.expand_fuzzy_scored(
+            {"term": src, "max_edits": 1, "prefix_length": 0, "max_expansions": 50})
+        if not vs:
+            continue
+        st = searcher.lookup_terms([src]).get(src)
+        df = st.df if st else 0
+        if df == 0:
+            vstats = searcher.lookup_terms([v for v, _ in vs])
+            df = sum(vstats[v].df for v, _ in vs if v in vstats) // len(vs)
+        idf = math.log(searcher.max_doc / (df + 1.0)) + 1.0
+        for v, b in vs:
+            variants[v] = (b * b) * idf
+    top = dict(sorted(variants.items(), key=lambda kv: (-kv[1], kv[0]))[:25])
+    want: dict[int, float] = {}
+    for v, s in top.items():
+        for r in searcher.search(_t(v), 100_000, mode="f64").collect():
+            want[r["docID"]] = want.get(r["docID"], 0.0) + s
+    assert set(got) == set(want)
+    for d in got:
+        assert math.isclose(got[d], want[d], rel_tol=1e-9), d
+
+
+# --- Filters ----------------------------------------------------------------
+
+def test_terms_filter_union(searcher):
+    f = xq.terms_filter(searcher, terms=["merge", "beta7"])
+    want = _ids(searcher.search(_t("merge"), 10_000)) | _ids(searcher.search(_t("beta7"), 10_000))
+    assert _ids(f) == want
+
+
+def test_terms_filter_keyword_field(searcher):
+    lang = searcher.docs().select("lang").first()["lang"]
+    f = xq.terms_filter(searcher, fields=[("lang", lang)])
+    want = {r["docID"] for r in searcher.docs().filter(f"lang = '{lang}'").collect()}
+    assert _ids(f) == want
+
+
+def test_boolean_filter_algebra(searcher):
+    a = xq.terms_filter(searcher, terms=["merge"])
+    b = xq.terms_filter(searcher, terms=["index"])
+    sa, sb = _ids(a), _ids(b)
+    assert _ids(xq.boolean_filter(searcher, [("MUST", a), ("MUST", b)])) == sa & sb
+    assert _ids(xq.boolean_filter(searcher, [("SHOULD", a), ("SHOULD", b)])) == sa | sb
+    assert _ids(xq.boolean_filter(searcher, [("MUST", a), ("MUST_NOT", b)])) == sa - sb
+    alldocs = {r["docID"] for r in searcher.docs().select("docID").collect()}
+    assert _ids(xq.boolean_filter(searcher, [("MUST_NOT", a)])) == alldocs - sa
+
+
+def test_chained_filter_logic(searcher):
+    a = xq.terms_filter(searcher, terms=["merge"])
+    b = xq.terms_filter(searcher, terms=["index"])
+    sa, sb = _ids(a), _ids(b)
+    assert _ids(xq.chained_filter(searcher, [a, b], xq.OR)) == sa | sb
+    assert _ids(xq.chained_filter(searcher, [a, b], [xq.OR, xq.AND])) == sa & sb
+    assert _ids(xq.chained_filter(searcher, [a, b], [xq.OR, xq.ANDNOT])) == sa - sb
+    assert _ids(xq.chained_filter(searcher, [a, b], [xq.OR, xq.XOR])) == sa ^ sb
+
+
+def test_duplicate_filter(searcher):
+    surv_first = _ids(xq.duplicate_filter(searcher, "lang", keep="first"))
+    surv_last = _ids(xq.duplicate_filter(searcher, "lang", keep="last"))
+    rows = searcher.docs().select("docID", "lang").collect()
+    bykey: dict[str, list[int]] = {}
+    for r in rows:
+        if r["lang"] is not None:
+            bykey.setdefault(r["lang"], []).append(r["docID"])
+    assert surv_first == {min(v) for v in bykey.values()}
+    assert surv_last == {max(v) for v in bykey.values()}
+
+
+def test_sorted_set_sort_field(spark, tmp_path_factory):
+    """SortedSetSortField (Sandbox/Queries/SortedSetSortField.cs): sort by
+    the MIN (or MAX) value of a multi-valued field -- here a native array
+    meta column with array_min/array_max selector expressions."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("ssidx"))
+    corpus = make_corpus(120, seed=9)
+    df = (
+        spark.createDataFrame(corpus)
+        .withColumn("tags", F.array(F.length("path"), F.length("repo") * 7 % 50))
+        .repartition(4)
+    )
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, meta_cols=("tags",)),
+    )
+    s = IndexSearcher(spark, out)
+    got = s.search_sorted(_t("merge"), [("array_min(tags)", True)], k=8, mode="f64")
+    rows = got.collect()
+    assert rows
+    vals = [r["array_min(tags)"] for r in rows]
+    assert vals == sorted(vals)
+    # max selector, descending
+    got2 = s.search_sorted(_t("merge"), [("array_max(tags)", False)], k=8, mode="f64").collect()
+    vals2 = [r["array_max(tags)"] for r in got2]
+    assert vals2 == sorted(vals2, reverse=True)
+    # plain column names still work (regression for the expression rewrite)
+    got3 = s.search_sorted(_t("merge"), [("tags", True)], k=3, mode="f64").collect()
+    assert got3 and "tags" in got3[0].asDict()
+
+
+def test_filtered_topk(searcher):
+    filt = xq.duplicate_filter(searcher, "lang", keep="first")
+    got = xq.filtered_topk(searcher, _t("merge"), filt, k=10)
+    keep = _ids(filt)
+    base = searcher.search(_t("merge"), 10_000, mode="f64").collect()
+    want = sorted(
+        [(r["docID"], r["score"]) for r in base if r["docID"] in keep],
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [(r["docID"], r["score"]) for r in got.collect()] == want
