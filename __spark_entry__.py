@@ -1539,6 +1539,19 @@ def _q_decontam(spark, sf_dir):
     return dp.decontaminate(docs, bench, n=5)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2021): maximal token spans whose
+    13-token windows repeat anywhere in the corpus -- the suffix-array
+    duplicate finder as a distributed rolling-md5 pipeline."""
+    out = dp.duplicated_spans(_docs_df(spark, sf_dir), min_len=13)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+    )
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition signals (top-2/3-gram token
     fractions, duplicated-5-gram fraction)."""
@@ -1719,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emb_neardup"] = _q_emb_neardup
     out["emb_neardup_lsh"] = _q_emb_neardup_lsh
     out["decontam"] = _q_decontam
+    out["dup_spans"] = _q_dup_spans
     out["repetition"] = _q_repetition
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
@@ -1732,7 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round no gate's official record is older than r3.
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
-        "fuzzy_like_this", "dup_filter", "chained_xor",
+        "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
@@ -3506,6 +3520,32 @@ pairs AS (
 )
 SELECT doc_a, doc_b, round(inter::DOUBLE / (la + lb - inter), 4) AS jaccard
 FROM pairs WHERE inter > 0 AND inter::DOUBLE / (la + lb - inter) >= 0.8"""
+    sqls["dup_spans"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+win0 AS (
+  SELECT doc_id, a, unnest(generate_series(0, len(a) - 13)) AS start
+  FROM d WHERE len(a) >= 13
+),
+win AS (
+  SELECT doc_id, start, start + 13 AS fin,
+         md5(array_to_string(a[start + 1 : start + 13], ' ')) AS h
+  FROM win0
+),
+duph AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+hits AS (SELECT doc_id, start, fin FROM win WHERE h IN (SELECT h FROM duph)),
+isl AS (
+  SELECT doc_id, start, fin,
+         CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+              THEN 0 ELSE 1 END AS nw
+  FROM hits
+),
+isl2 AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         FROM isl)
+SELECT doc_id, min(start)::BIGINT AS span_start, max(fin)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_dup_windows
+FROM isl2 GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
     sqls["decontam"] = """
 WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
 cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)])) AS g

@@ -1037,3 +1037,66 @@ def stratified_sample(
         float(1 << 60)
     )
     return df.filter(u < F.coalesce(frac[F.col(strata_col)], F.lit(0.0)))
+
+
+def duplicated_spans(
+    df: DataFrame, min_len: int = 20,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. 2021 'Deduplicating
+    Training Data Makes Language Models Better' operator): find every
+    MAXIMAL token span whose length-`min_len` windows all occur more than
+    once in the corpus -- the suffix-array dup-finder re-expressed as a
+    distributed rolling-hash pipeline.
+
+      1. per doc, every `min_len`-token window -> md5 of its text
+         (whitespace tokens, case-sensitive; one fused JVM projection:
+         transform + sequence, no Python, windows never re-tokenize);
+      2. one groupBy(window-hash) keeps hashes occurring > 1 time globally
+         (within-doc repeats count, like the suffix approach);
+      3. per doc, union the surviving [start, start+min_len) intervals
+         into maximal spans (prefix-max island detection -- two window
+         functions, no collect).
+
+    Scale: step 2 is the only corpus-sized shuffle -- O(total tokens) rows
+    keyed by a 128-bit hash (cardinality ~ corpus size, partitions
+    evenly; boilerplate-hot hashes are exactly the rows the count>1 filter
+    keeps, and AQE skew-split handles their join-back).  Step 3 shuffles
+    only surviving windows.  md5 keys make collisions negligible at 10^14
+    windows AND give a bit-identical DuckDB twin (`dup_spans` gate).
+
+    -> DataFrame(doc_id, span_start, span_end, n_dup_windows): token
+    offsets, end exclusive; spans ordered by (doc_id, span_start)."""
+    L = int(min_len)
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") >= L)
+    win = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - L),
+                lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice("_toks", i + 1, L)), "UTF-8")),
+            )
+        ).alias("start", "h"),
+    )
+    dup_h = win.groupBy("h").count().filter(F.col("count") > 1).select("h")
+    hits = win.join(dup_h, "h", "left_semi").select(
+        "doc_id", "start", (F.col("start") + L).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", F.when(prev_max_end >= F.col("start"), 0).otherwise(1)
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_dup_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_windows")
+        .orderBy("doc_id", "span_start")
+    )

@@ -348,3 +348,61 @@ def test_stratified_sample_deterministic(spark):
     # unknown stratum drops
     docs2 = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
     assert dp.stratified_sample(docs2, "lang", fr).count() == 0
+
+
+def _brute_spans(docs: list[tuple[int, str]], L: int) -> list[tuple[int, int, int, int]]:
+    """Reference implementation: windows, global counts, interval union."""
+    from collections import Counter
+
+    wins: list[tuple[int, int, str]] = []
+    for did, text in docs:
+        t = text.split(" ")
+        for i in range(len(t) - L + 1):
+            wins.append((did, i, " ".join(t[i:i + L])))
+    counts = Counter(w for _, _, w in wins)
+    spans: list[tuple[int, int, int, int]] = []
+    bydoc: dict[int, list[int]] = {}
+    for did, i, wtext in wins:
+        if counts[wtext] > 1:
+            bydoc.setdefault(did, []).append(i)
+    for did, starts in sorted(bydoc.items()):
+        starts.sort()
+        cur_s, cur_e, n = starts[0], starts[0] + L, 1
+        for s in starts[1:]:
+            if s <= cur_e:
+                cur_e, n = max(cur_e, s + L), n + 1
+            else:
+                spans.append((did, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, s + L, 1
+        spans.append((did, cur_s, cur_e, n))
+    return spans
+
+
+def test_duplicated_spans_brute_force(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = " ".join(vocab[i % 30] for i in rng.integers(0, 30, 12))
+    docs = []
+    for did in range(40):
+        words = [vocab[int(x)] for x in rng.integers(0, 30, int(rng.integers(4, 60)))]
+        if did % 3 == 0:
+            at = int(rng.integers(0, len(words)))
+            words[at:at] = boiler.split(" ")  # plant a shared 12-token run
+        docs.append((did, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for L in (5, 8, 12):
+        got = [(r["doc_id"], r["span_start"], r["span_end"], r["n_dup_windows"])
+               for r in dp.duplicated_spans(df, min_len=L).collect()]
+        assert got == _brute_spans(docs, L), f"L={L}"
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    # a window repeated WITHIN one doc counts as duplicated (suffix-array
+    # semantics), and short docs produce no windows
+    docs = [(0, "a b c d a b c d"), (1, "x y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["doc_id"], r["span_start"], r["span_end"]) for r in
+           dp.duplicated_spans(df, min_len=4).collect()]
+    # windows: 'a b c d'(0), 'b c d a'(1), 'c d a b'(2), 'd a b c'(3), 'a b c d'(4)
+    # only 'a b c d' repeats -> starts {0, 4} -> merged span [0, 8)
+    assert got == [(0, 0, 8)]
