@@ -406,3 +406,74 @@ def test_duplicated_spans_within_doc_repeat(spark):
     # windows: 'a b c d'(0), 'b c d a'(1), 'c d a b'(2), 'd a b c'(3), 'a b c d'(4)
     # only 'a b c d' repeats -> starts {0, 4} -> merged span [0, 8)
     assert got == [(0, 0, 8)]
+
+
+def _semdedup_brute(rows, centroids, threshold, policy):
+    """Pure-numpy replication of semdedup steps 2-3."""
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n = np.sqrt((m * m).sum(axis=1))
+    n[n == 0] = 1.0
+    m = m / n[:, None]
+    sims = m @ centroids.T
+    lists = sims.argmax(axis=1)
+    csim = sims[np.arange(len(ids)), lists]
+    keep = {}
+    for c in sorted(set(lists.tolist())):
+        sel = np.nonzero(lists == c)[0]
+        order = (
+            sel[np.lexsort((ids[sel], csim[sel]))] if policy == "far_centroid"
+            else sel[np.argsort(ids[sel])]
+        )
+        kept = []
+        for idx in order:
+            if kept and (m[kept] @ m[idx]).max() >= threshold:
+                keep[int(ids[idx])] = (int(lists[idx]), False)
+            else:
+                keep[int(ids[idx])] = (int(lists[idx]), True)
+                kept.append(idx)
+    return keep
+
+
+@pytest.mark.parametrize("policy", ["min_id", "far_centroid"])
+def test_semdedup_matches_brute(spark, policy):
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = rng.normal(size=8)
+        center /= np.linalg.norm(center)
+        for i in range(25):
+            v = center + rng.normal(scale=0.25, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+            if i % 5 == 0:  # planted near-dup of the row just added
+                dup = np.asarray(rows[-1][1]) + rng.normal(scale=0.005, size=8)
+                rows.append((vid, [float(x) for x in dup]))
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["list_id"], r["keep"])
+           for r in dp.semdedup(emb, threshold=0.95, nlist=4, keep_policy=policy).collect()}
+    # same centroids: the trainer is deterministic in the sampled rows
+    sample = [r["embedding"] for r in emb.select("embedding").limit(10_000).collect()]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    cent = dp._kmeans(mat / nrm[:, None], 4)
+    want = _semdedup_brute(rows, cent, 0.95, policy)
+    assert got == want
+    # invariants: no kept pair within a cluster is >= threshold; every
+    # dropped row has a kept >= threshold neighbor in its cluster
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    m = m / np.sqrt((m * m).sum(axis=1))[:, None]
+    byc: dict[int, list[int]] = {}
+    for vid2, (c, _k) in got.items():
+        byc.setdefault(c, []).append(vid2)
+    for c, members in byc.items():
+        kept = [v for v in members if got[v][1]]
+        dropped = [v for v in members if not got[v][1]]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert float(m[a] @ m[b]) < 0.95
+        for d in dropped:
+            assert max(float(m[d] @ m[kv]) for kv in kept) >= 0.95
