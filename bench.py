@@ -167,6 +167,11 @@ def main() -> None:
     dp.embedding_neardup_pairs(emb, threshold=0.35, method="lsh",
                                tables=8, planes=8).count()
     qtimes["emb_neardup_lsh"] = round(time.time() - t0, 3)
+    # exact substring dedup (Lee et al. rolling-md5 spans): the only
+    # corpus-sized shuffle is the window-hash groupBy
+    t0 = time.time()
+    dp.duplicated_spans(docs_raw, min_len=13).count()
+    qtimes["dup_spans"] = round(time.time() - t0, 3)
 
     total = round(build_s + sum(qtimes.values()), 3)
     print(

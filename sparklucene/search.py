@@ -43,6 +43,9 @@ from .positional import sloppy_phrase_freq  # noqa: F401  (re-exported; UDFs clo
 K1 = 1.2
 B = 0.75
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.cs:71
+# msearch: distinct-term cap for the dense (docs x terms) batched kernel;
+# above it the spec-join path runs instead (see IndexSearcher.msearch)
+MSEARCH_DENSE_MAX_TERMS = 256
 
 
 def _norm_cache(avgdl_f32: float, mode: str) -> np.ndarray:
@@ -2810,7 +2813,8 @@ class IndexSearcher:
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
-    def msearch(self, queries: list[dict], k: int = 10, mode: str = "f64") -> DataFrame:
+    def msearch(self, queries: list[dict], k: int = 10, mode: str = "f64",
+                dense: bool | None = None) -> DataFrame:
         """Batched multi-query search: N queries, ONE physical plan.
 
         The reference executes one query per IndexSearcher.Search call; a
@@ -2895,6 +2899,14 @@ class IndexSearcher:
             return empty
         weights = {t: self._weight(t, 1.0, mode) for t in {r[1] for r in spec_rows}}
         scored = self._scored_postings(weights, mode)
+        if dense if dense is not None else len(weights) <= MSEARCH_DENSE_MAX_TERMS:
+            # dense kernel path: ONE shuffle of the scored postings by docID
+            # (batch-size-INDEPENDENT -- the join path below fans every
+            # posting row out per referencing query), then the whole batch
+            # evaluates per doc as two small GEMMs inside an Arrow pass with
+            # per-partition top-k pruning fused in.  Gated on the distinct
+            # term count so the dense (docs x terms) block stays small.
+            return self._msearch_dense(scored, spec_rows, req_rows, len(queries), k, mode)
         spec = self.spark.createDataFrame(
             spec_rows, "qid int, term string, occur string, boost double"
         )
@@ -2922,9 +2934,179 @@ class IndexSearcher:
         )
         from pyspark.sql.window import Window
 
+        # per-partition PRE-top-k before the exact window: the aggregated
+        # (qid, docID) set is ~ sum of the batch's match counts (tens of
+        # millions at 1M docs) and a row_number window would shuffle+sort
+        # ALL of it by qid; top-k is associative, so a narrow vectorized
+        # pass keeps <= k rows per (qid, partition) and the exact window
+        # then orders <= k * n_partitions rows per query.  Same contract as
+        # TopScoreDocCollector's per-leaf heaps merged at the top
+        # (TopDocs.Merge) -- rank-and-score identical, never approximate.
+        slim = qualified.select("qid", "docID", "score")
+        kk = int(k)
+        out_schema = slim.schema
+
+        def partial_topk(pdf_iter):
+            best: dict[int, list[np.ndarray]] = {}
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                for qid_v, grp in pdf.groupby("qid", sort=False):
+                    prev = best.get(qid_v)
+                    d = grp["docID"].to_numpy(np.int64)
+                    sc = grp["score"].to_numpy()
+                    if prev is not None:
+                        d = np.concatenate([prev[0], d])
+                        sc = np.concatenate([prev[1], sc])
+                    if len(d) > kk:
+                        keep = np.lexsort((d, -sc))[:kk]
+                        d, sc = d[keep], sc[keep]
+                    best[qid_v] = [d, sc]
+            rows = {"qid": [], "docID": [], "score": []}
+            for qid_v, (d, sc) in best.items():
+                rows["qid"].extend([qid_v] * len(d))
+                rows["docID"].extend(d.tolist())
+                rows["score"].extend(sc.tolist())
+            yield pd.DataFrame(rows, columns=["qid", "docID", "score"])
+
+        pruned = slim.mapInPandas(partial_topk, schema=out_schema)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
         return (
-            qualified.withColumn("_rk", F.row_number().over(w))
+            pruned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("qid", "docID", "score")
+            .orderBy("qid", F.desc("score"), F.asc("docID"))
+        )
+
+    def _msearch_dense(
+        self, scored: DataFrame, spec_rows: list[tuple[int, str, str, float]],
+        req_rows: list[tuple[int, int, int]], n_queries: int, k: int, mode: str,
+    ) -> DataFrame:
+        """Dense batched kernel behind msearch (<= MSEARCH_DENSE_MAX_TERMS
+        distinct terms).
+
+        The generic path joins every scored posting row against the spec
+        table, so a hot term referenced by Q queries of the batch fans its
+        postings out Q times before the (qid, docID) aggregation shuffle.
+        Here the postings shuffle ONCE by docID -- batch-size independent --
+        and the whole batch evaluates per doc-chunk as GEMMs against tiny
+        broadcast spec matrices (queries x terms):
+
+            score    = D @ B.T    D: (docs x terms) boostless clause scores
+            n_must   = P @ Mc.T   P: 0/1 presence;  Mc/Sc: MUST/SHOULD row
+            n_should = P @ Sc.T                     counts per (query, term)
+            excluded = P @ X.T > 0                  X: MUST_NOT flags
+            touched  = P @ A.T > 0                  A: any spec row at all
+
+        then the identical BooleanWeight qualification filter (every MUST
+        present, no MUST_NOT, n_should >= need, and -- matching the join
+        path, where a doc only surfaces via the spec join -- at least one
+        spec term present), a fused per-chunk top-k in the mode dtype, and
+        the exact global window.  Rank-and-score identical to the join
+        path: test_msearch runs the same batch through both."""
+        from pyspark.sql.window import Window
+
+        ftype = "float" if mode == "f32" else "double"
+        f32 = mode == "f32"
+        terms = sorted({t for _, t, _, _ in spec_rows})
+        tmap = {t: i for i, t in enumerate(terms)}
+        nt, nq = len(terms), n_queries
+        B = np.zeros((nq, nt))
+        Mc = np.zeros((nq, nt))
+        Sc = np.zeros((nq, nt))
+        X = np.zeros((nq, nt))
+        A = np.zeros((nq, nt))
+        for qid, term, occur, boost in spec_rows:
+            ti = tmap[term]
+            A[qid, ti] = 1.0
+            if occur == "MUST_NOT":
+                X[qid, ti] = 1.0
+            else:
+                # duplicate (qid, term) clauses each contribute, as in the
+                # join path where every spec row joins separately
+                B[qid, ti] += boost
+                if occur == "MUST":
+                    Mc[qid, ti] += 1.0
+                else:
+                    Sc[qid, ti] += 1.0
+        must_req = np.zeros(nq)
+        need = np.zeros(nq)
+        for qid, m, n in req_rows:
+            must_req[qid] = m
+            need[qid] = n
+        bc = self.spark.sparkContext.broadcast((tmap, B, Mc, Sc, X, A, must_req, need))
+        kk = int(k)
+        out_schema = T.StructType(
+            [
+                T.StructField("qid", T.IntegerType()),
+                T.StructField("docID", T.LongType()),
+                T.StructField("score", T.FloatType() if f32 else T.DoubleType()),
+            ]
+        )
+
+        def dense_eval(pdf_iter):
+            tmap, B, Mc, Sc, X, A, must_req, need = bc.value
+            # a doc's term rows can span Arrow batches within the partition;
+            # gather the partition's triplets before the doc-complete eval
+            docs_l, ti_l, sc_l = [], [], []
+            for pdf in pdf_iter:
+                if len(pdf) == 0:
+                    continue
+                docs_l.append(pdf["docID"].to_numpy(np.int64))
+                ti_l.append(pdf["term"].map(tmap).to_numpy(np.int32))
+                sc_l.append(pdf["score"].to_numpy(np.float64))
+            if not docs_l:
+                return
+            doc = np.concatenate(docs_l)
+            ti = np.concatenate(ti_l)
+            sc = np.concatenate(sc_l)
+            udoc, inv = np.unique(doc, return_inverse=True)
+            rows_q, rows_d, rows_s = [], [], []
+            CH = 16384  # chunk the dense block: <= CH*nt*8 bytes live at once
+            for lo in range(0, len(udoc), CH):
+                hi = min(lo + CH, len(udoc))
+                m = (inv >= lo) & (inv < hi)
+                rloc = inv[m] - lo
+                D = np.zeros((hi - lo, B.shape[1]))
+                P = np.zeros((hi - lo, B.shape[1]))
+                D[rloc, ti[m]] = sc[m]  # one posting row per (term, doc)
+                P[rloc, ti[m]] = 1.0
+                qsc = D @ B.T  # float64 clause sum, cast after (join-path rule)
+                qual = (
+                    ((P @ X.T) == 0)
+                    & ((P @ Mc.T) == must_req[None, :])
+                    & ((P @ Sc.T) >= need[None, :])
+                    & ((P @ A.T) > 0)
+                )
+                if f32:
+                    qsc = qsc.astype(np.float32)  # rank in the mode dtype
+                dseg = udoc[lo:hi]
+                for q in range(nq):
+                    sel = np.nonzero(qual[:, q])[0]
+                    if len(sel) == 0:
+                        continue
+                    s_q = qsc[sel, q]
+                    d_q = dseg[sel]
+                    if len(sel) > kk:
+                        kp = np.lexsort((d_q, -s_q))[:kk]
+                        s_q, d_q = s_q[kp], d_q[kp]
+                    rows_q.append(np.full(len(d_q), q, dtype=np.int32))
+                    rows_d.append(d_q)
+                    rows_s.append(s_q)
+            if rows_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(rows_q),
+                        "docID": np.concatenate(rows_d),
+                        "score": np.concatenate(rows_s),
+                    }
+                )
+
+        slim = scored.select("term", "docID", "score").repartition("docID")
+        pruned = slim.mapInPandas(dense_eval, schema=out_schema)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docID"))
+        return (
+            pruned.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .select("qid", "docID", "score")
             .orderBy("qid", F.desc("score"), F.asc("docID"))

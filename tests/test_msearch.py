@@ -55,14 +55,26 @@ def _rows(df):
     return [(r["docID"], round(float(r["score"]), 4)) for r in df.collect()]
 
 
+@pytest.mark.parametrize("dense", [True, False], ids=["dense-kernel", "spec-join"])
 @pytest.mark.parametrize("k", [3, 10])
-def test_msearch_equals_per_query_search(searcher, k):
-    got = searcher.msearch(BATCH, k, mode="f64").collect()
+def test_msearch_equals_per_query_search(searcher, k, dense):
+    got = searcher.msearch(BATCH, k, mode="f64", dense=dense).collect()
     by_qid: dict[int, list] = {}
     for r in got:
         by_qid.setdefault(r["qid"], []).append((r["docID"], round(float(r["score"]), 4)))
     for qid, q in enumerate(BATCH):
         want = _rows(searcher.search(q, k, mode="f64"))
+        assert by_qid.get(qid, []) == want, f"qid={qid} query={q}"
+
+
+@pytest.mark.parametrize("dense", [True, False], ids=["dense-kernel", "spec-join"])
+def test_msearch_f32_mode_both_paths(searcher, dense):
+    got = searcher.msearch(BATCH, 5, mode="f32", dense=dense).collect()
+    by_qid: dict[int, list] = {}
+    for r in got:
+        by_qid.setdefault(r["qid"], []).append((r["docID"], round(float(r["score"]), 4)))
+    for qid, q in enumerate(BATCH):
+        want = _rows(searcher.search(q, 5, mode="f32"))
         assert by_qid.get(qid, []) == want, f"qid={qid} query={q}"
 
 

@@ -106,6 +106,31 @@ def run_at(cores: int, sf_dir: str, repl: int, query_reps: int) -> dict:
             n_h += 1
     heavy_s = time.time() - t0
 
+    # BATCHED throughput (msearch): the query-side SCALE PATH.  Sequential
+    # heavy queries are limited by serialized AQE stage barriers (3 jobs per
+    # query whose fixed costs don't shrink with cores -- see BENCH.md r5
+    # stage audit); msearch runs the whole batch through ONE
+    # scan->decode->combine->top-k pipeline, so per-stage work grows with
+    # the batch while the barrier count stays constant.  Throughput, not
+    # single-query latency, is what a search service scales.
+    mid = [r["term"] for r in searcher.high_freq_terms(8).collect()][3:]
+    batch: list[dict] = []
+    for t in hot + mid:
+        batch.append({"type": "term", "term": t})
+    for a in hot:
+        for b in mid:
+            batch.append({"type": "boolean", "clauses": [must(a), must(b)]})
+    for i in range(len(mid)):
+        batch.append({"type": "boolean",
+                      "clauses": [should(hot[i % 3]), should(mid[i]),
+                                  should(mid[(i + 1) % len(mid)])]})
+    t0 = time.time()
+    n_b = 0
+    for _ in range(query_reps):
+        searcher.msearch(batch, 10, mode="f32").collect()
+        n_b += len(batch)
+    msearch_s = time.time() - t0
+
     spark.stop()
     return {
         "cores": cores,
@@ -118,6 +143,9 @@ def run_at(cores: int, sf_dir: str, repl: int, query_reps: int) -> dict:
         "n_heavy": n_h,
         "heavy_s": round(heavy_s, 2),
         "heavy_queries_per_sec": round(n_h / heavy_s, 3),
+        "n_batched": n_b,
+        "msearch_s": round(msearch_s, 2),
+        "msearch_queries_per_sec": round(n_b / msearch_s, 3),
     }
 
 
@@ -179,6 +207,7 @@ def main() -> None:
     eff_build = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
     eff_heavy = (hi["heavy_queries_per_sec"] / lo["heavy_queries_per_sec"]) / ratio
+    eff_batch = (hi["msearch_queries_per_sec"] / lo["msearch_queries_per_sec"]) / ratio
     report = {
         "sf_dir": args.sf,
         "replication": args.repl,
@@ -186,6 +215,7 @@ def main() -> None:
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
         "heavy_query_scaling_efficiency": round(eff_heavy, 3),
+        "batched_query_scaling_efficiency": round(eff_batch, 3),
         "calibration": cal,
     }
     print(json.dumps(report))
@@ -195,13 +225,14 @@ def main() -> None:
         f"## Scaling run (local[{lo['cores']}] vs local[{hi['cores']}], "
         f"{hi['n_docs']:,} docs)",
         "",
-        "| cores | build s | docs/sec | queries/sec | heavy q/sec |",
-        "|---|---|---|---|---|",
+        "| cores | build s | docs/sec | queries/sec | heavy q/sec | batched q/sec |",
+        "|---|---|---|---|---|---|",
     ]
     for r in results:
         lines.append(
             f"| {r['cores']} | {r['build_s']} | {r['docs_per_sec']} | "
-            f"{r['queries_per_sec']} | {r['heavy_queries_per_sec']} |"
+            f"{r['queries_per_sec']} | {r['heavy_queries_per_sec']} | "
+            f"{r['msearch_queries_per_sec']} |"
         )
     lines += [
         "",
@@ -212,6 +243,10 @@ def main() -> None:
         f"HEAVY-query scaling efficiency ({hi['n_heavy']} decode-heavy "
         f"hot-term booleans over terms {hi['hot_terms']}): **{eff_heavy:.3f}** "
         "-- the distributed per-query shape that a large cluster amortizes.",
+        f"BATCHED-query scaling efficiency (msearch, {hi['n_batched']} "
+        f"hot/mid-term queries per leg in ONE plan per rep): **{eff_batch:.3f}** "
+        "-- the throughput scale path: constant barrier count for the whole "
+        "batch, so per-stage work grows with load instead of serializing.",
         "",
     ]
     if cal:
