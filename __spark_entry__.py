@@ -117,6 +117,19 @@ def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_early_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EarlyTerminatingSortingCollector analogue (Misc/Index/Sorter/
+    EarlyTerminatingSortingCollector.cs:60 over the Sorter.cs docID remap =
+    build.mint_doc_ids): the first 10 hits of MUST spark + MUST dup in
+    index (docID) order, collected by decoding only a docID-prefix of the
+    pacer term's posting blocks."""
+    s = _searcher(spark, sf_dir)
+    q = _bool([("MUST", _t("spark")), ("MUST", _t("dup"))])
+    return s.search_early_sorted(q, 10, mode="f64").select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
 def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonTermsQuery (CommonTermsQuery.cs BuildQuery): df-split into a
     selective low-freq group (MUST) + additive high-freq group (SHOULD).
@@ -1633,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fuzzy_like_this"] = _q_fuzzy_like_this
     out["dup_filter"] = _q_dup_filter
     out["chained_xor"] = _q_chained_xor
+    out["early_topk"] = _q_early_topk
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1747,7 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
-        "flexible_parsed", "emb_neardup_lsh",
+        "early_topk", "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -1879,6 +1893,11 @@ SELECT a.doc_id, round(a.score + b.score, 4) AS score
 FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') a
 JOIN (SELECT doc_id, score FROM scored WHERE term = 'dup') b USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 50"""
+    sqls["early_topk"] = f"""{_prelude()}
+SELECT a.doc_id, round(a.score + b.score, 4) AS score
+FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') a
+JOIN (SELECT doc_id, score FROM scored WHERE term = 'dup') b USING (doc_id)
+ORDER BY a.doc_id LIMIT 10"""
     sqls["bool_or"] = f"""{_prelude()}
 SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term IN ('dup', 'window', 'vector')

@@ -134,6 +134,15 @@ def main() -> None:
     searcher.msearch(batch, 10, mode="f32").collect()
     qtimes["msearch_batch7"] = round(time.time() - t0, 3)
 
+    # early-terminating sorted collection (Misc/Index/Sorter analogue):
+    # first 10 hits of the bool_and conjunction in index (docID) order --
+    # only a docID-prefix of the pacer term's posting blocks is decoded
+    t0 = time.time()
+    searcher.search_early_sorted(
+        entrymod.QUERY_TREES["bool_and"][0], 10, mode="f32"
+    ).collect()
+    qtimes["early_topk"] = round(time.time() - t0, 3)
+
     # multi-level skip tower FORCED under the positional leapfrog (same
     # query as phrase_leapfrog): the descent's extra broadcast semi-joins
     # are priced here; its payoff -- hash probes instead of per-interval

@@ -635,6 +635,166 @@ class IndexSearcher:
         out_cols = [F.col(a).alias(c) for c, a in zip(fields, aliases)]
         return joined.orderBy(*order).limit(k).select("docID", *out_cols, "score")
 
+    def search_early_sorted(self, query: dict, k: int = 10, mode: str = "f64",
+                            grow: int = 8) -> DataFrame:
+        """EarlyTerminatingSortingCollector analogue over the index sort.
+
+        Reference semantics (Lucene.Net.Misc/Index/Sorter/): `Sorter.cs`
+        remaps docIDs so segment doc order IS the sort order;
+        `SortingMergePolicy.cs` keeps merged segments sorted; then
+        `EarlyTerminatingSortingCollector.cs:60` collects only the first
+        numDocsToCollect docs per sorted segment, because in a sorted
+        segment the first matches in doc order ARE the best under that
+        sort.  In this engine the Sorter remap is `build.mint_doc_ids`
+        (docID = global rank under BuildConfig.order_cols), segment merge
+        preserves docID order, and posting blocks are docID-ascending with
+        skip metadata -- so "first k in index order" = the k smallest
+        matching docIDs, reachable by decoding only a docID-prefix of each
+        term's blocks.
+
+        Plan: pick the pacer term (rarest MUST, else rarest positive
+        clause -- every hit must contain a MUST, so the pacer's docID
+        prefix holding ~grow*k postings bounds where the first k hits can
+        hide); take the bound D from its skip metadata alone (no blob
+        decode); decode only blocks with first_docid <= D (pushed to the
+        parquet scan); qualify docs <= D under the BooleanWeight rules
+        (docs <= D are EXACT: any posting of a doc <= D lives in a block
+        whose first_docid <= D); if fewer than k hits, grow the prefix
+        `grow`x and repeat.  Unlike the reference's per-segment collector
+        (which underestimates total hits), the result here is exact.
+
+        Supported shapes: term / flat boolean over terms (the msearch
+        grammar).  Returns (docID, score) -- the first k matches in index
+        order with their BM25 scores -- ordered by docID ascending."""
+        from .codec import BLOCK_SIZE
+
+        ftype = "float" if mode == "f32" else "double"
+        empty = self.spark.createDataFrame([], f"docID long, score {ftype}")
+        spec_rows: list[tuple[str, str, float]] = []
+        qt = query.get("type")
+        if qt == "term":
+            spec_rows.append((query["term"], "SHOULD", float(query.get("boost", 1.0))))
+            n_must_req, need = 0, 1
+        elif qt == "boolean":
+            clauses = query["clauses"]
+            if len(clauses) > MAX_CLAUSE_COUNT:
+                raise ValueError("TooManyClauses")  # BooleanQuery.cs:71
+            n_must = n_should = 0
+            for c in clauses:
+                sub = c["query"]
+                if sub.get("type") != "term":
+                    raise ValueError(
+                        "search_early_sorted supports term/flat-boolean "
+                        f"queries, got clause {sub.get('type')!r}"
+                    )
+                occur = c["occur"]
+                if occur not in ("MUST", "SHOULD", "MUST_NOT"):
+                    raise ValueError(f"bad occur {occur!r}")
+                n_must += occur == "MUST"
+                n_should += occur == "SHOULD"
+                spec_rows.append((sub["term"], occur, float(sub.get("boost", 1.0))))
+            msm = int(query.get("minShouldMatch", 0))
+            if msm > n_should:
+                return empty  # BooleanWeight: minNrShouldMatch > optional.Count
+            n_must_req = n_must
+            need = msm if n_must else max(msm, 1 if n_should else 0)
+        else:
+            raise ValueError(
+                f"search_early_sorted supports term/flat-boolean queries, got {qt!r}"
+            )
+
+        stats = self.lookup_terms(sorted({t for t, _, _ in spec_rows}))
+        if any(o == "MUST" and t not in stats for t, o, _ in spec_rows):
+            return empty  # an unindexed MUST term can never be satisfied
+        spec_rows = [r for r in spec_rows if r[0] in stats]
+        positive = [(t, o) for t, o, _ in spec_rows if o != "MUST_NOT"]
+        if not positive:
+            return empty
+        weights = {t: self._weight(t, 1.0, mode) for t, _, _ in spec_rows}
+
+        musts = [t for t, o in positive if o == "MUST"]
+        pool = musts if musts else [t for t, _ in positive]
+        pacer = min(pool, key=lambda t: stats[t].df)
+        buckets = sorted({s.bucket for s in stats.values()})
+        terms = sorted(stats)
+        blocks = (
+            self._union_read("postings")
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        # exhaustion bounds from skip metadata only (never decodes a blob):
+        # with a MUST pacer every hit contains it, so the query is exhausted
+        # at the pacer's LAST posting, not the index's last docID
+        is_pacer = F.col("term") == pacer
+        meta = blocks.agg(
+            F.max("max_docid").alias("all_max"),
+            F.max(F.when(is_pacer, F.col("max_docid"))).alias("pacer_max"),
+            F.sum(F.when(is_pacer, 1).otherwise(0)).alias("pacer_blocks"),
+        ).collect()[0]
+        if meta["all_max"] is None:
+            return empty
+        exhaust = int(meta["pacer_max"]) if musts else int(meta["all_max"])
+        pacer_blocks = int(meta["pacer_blocks"])
+        nblocks = max(1, math.ceil(grow * k / BLOCK_SIZE))
+        spec = self.spark.createDataFrame(spec_rows, "term string, occur string, boost double")
+        rounds = 0
+        while True:
+            rounds += 1
+            final = nblocks >= pacer_blocks
+            if final:
+                bound = exhaust
+            else:
+                row = (
+                    blocks.filter(is_pacer)
+                    .select("first_docid", "max_docid")
+                    .orderBy("first_docid")
+                    .limit(nblocks)
+                    .agg(F.max("max_docid").alias("m"))
+                    .collect()[0]
+                )
+                bound = int(row["m"]) if row["m"] is not None else exhaust
+                final = bound >= exhaust
+            scored = self._scored_postings(
+                weights, mode, blocks=blocks.filter(F.col("first_docid") <= bound)
+            )
+            agg = (
+                scored.filter(F.col("docID") <= bound)
+                .join(F.broadcast(spec), "term")
+                .groupBy("docID")
+                .agg(
+                    F.sum(
+                        F.when(
+                            F.col("occur") != "MUST_NOT",
+                            F.col("score").cast("double") * F.col("boost"),
+                        ).otherwise(0.0)
+                    ).alias("_s"),
+                    F.sum(F.when(F.col("occur") == "MUST", 1).otherwise(0)).alias("_nm"),
+                    F.sum(F.when(F.col("occur") == "SHOULD", 1).otherwise(0)).alias("_ns"),
+                    F.max(F.when(F.col("occur") == "MUST_NOT", 1).otherwise(0)).alias("_x"),
+                )
+            )
+            qual = agg.filter(
+                (F.col("_x") == 0)
+                & (F.col("_nm") == n_must_req)
+                & (F.col("_ns") >= need)
+                & ((F.col("_nm") + F.col("_ns")) > 0)
+            ).select("docID", F.col("_s").cast(ftype).alias("score"))
+            hits = qual.orderBy("docID").limit(k).cache()
+            try:
+                n = hits.count()
+                if n >= k or final:
+                    out = self.spark.createDataFrame(hits.collect(), qual.schema)
+                    break
+            finally:
+                hits.unpersist()
+            nblocks *= grow
+        self.last_early_audit = {
+            "rounds": rounds, "bound": bound, "pacer": pacer,
+            "pacer_blocks_total": pacer_blocks,
+            "pacer_blocks_decoded": min(nblocks, pacer_blocks),
+        }
+        return out.orderBy("docID")
+
     def search_grouped(self, query: dict, group_col: str, group_limit: int = 2,
                        mode: str = "f64") -> DataFrame:
         """Grouping module analogue: top `group_limit` docs per group by

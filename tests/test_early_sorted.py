@@ -1,0 +1,129 @@
+"""EarlyTerminatingSortingCollector analogue differentials.
+
+The index sort is docID order (build.mint_doc_ids = the Sorter.cs docID
+remap); search_early_sorted must return EXACTLY the k smallest matching
+docIDs with the same scores as the exhaustive boolean engine, for every
+supported query shape and both float modes, while decoding only a
+docID-prefix of the pacer term's posting blocks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.search import IndexSearcher
+from sparklucene.session import get_spark
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "hot"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app="test-early-sorted")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    # 600 docs; 'hot' appears everywhere, 'rare' in a thin early+late spread
+    rows = []
+    for i in range(600):
+        toks = ["hot", WORDS[i % 7], WORDS[(i * 3) % 7]]
+        if i % 29 == 0:
+            toks.append("rare")
+        if i % 97 == 0:
+            toks.append("sparse")
+        if i < 200:
+            toks.append("early")  # df=200 -> 2 posting blocks, front-loaded
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("idx") / "early")
+    build_index(spark, docs, out, BuildConfig(content_col="text", id_col="doc_id",
+                                              num_buckets=8))
+    return IndexSearcher(spark, out)
+
+
+def _t(term, boost=1.0):
+    q = {"type": "term", "term": term}
+    if boost != 1.0:
+        q["boost"] = boost
+    return q
+
+
+def _bool(clauses, msm=0):
+    q = {"type": "boolean", "clauses": [{"occur": o, "query": c} for o, c in clauses]}
+    if msm:
+        q["minShouldMatch"] = msm
+    return q
+
+
+def _expected(searcher, q, k, mode):
+    """Independent ground truth: the exhaustive engine's FULL match set
+    (search with k >= corpus size), re-sorted by docID, first k."""
+    rows = searcher.search(q, 100_000, mode=mode).collect()
+    rows.sort(key=lambda r: r["docID"])
+    return [(r["docID"], round(float(r["score"]), 4)) for r in rows[:k]]
+
+
+QUERIES = [
+    _t("rare"),
+    _t("hot"),
+    _bool([("MUST", _t("rare")), ("MUST", _t("hot"))]),
+    _bool([("MUST", _t("hot")), ("SHOULD", _t("rare", boost=2.0))]),
+    _bool([("MUST", _t("rare")), ("MUST_NOT", _t("alpha"))]),
+    _bool([("SHOULD", _t("rare")), ("SHOULD", _t("sparse")), ("SHOULD", _t("beta"))],
+          msm=2),
+    _bool([("SHOULD", _t("alpha")), ("SHOULD", _t("beta"))]),
+]
+
+
+@pytest.mark.parametrize("mode", ["f64", "f32"])
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_early_equals_exhaustive(searcher, qi, mode):
+    q = QUERIES[qi]
+    for k in (5, 40):
+        got = [(r["docID"], round(float(r["score"]), 4))
+               for r in searcher.search_early_sorted(q, k, mode=mode).collect()]
+        assert got == _expected(searcher, q, k, mode), f"q={q} k={k}"
+
+
+def test_multi_round_growth(searcher):
+    """grow=2 with a tiny initial prefix forces several rounds; the result
+    must still be exact and the audit must show the growth."""
+    q = _bool([("MUST", _t("sparse")), ("MUST", _t("hot"))])
+    got = [(r["docID"], round(float(r["score"]), 4))
+           for r in searcher.search_early_sorted(q, 5, mode="f64", grow=2).collect()]
+    assert got == _expected(searcher, q, 5, "f64")
+    assert searcher.last_early_audit["rounds"] >= 1
+
+
+def test_early_termination_prunes_blocks(searcher):
+    """The win: the first k hits come from the pacer's first posting block,
+    so the hot term's tail is never decoded. 'early' (df=200, 2 blocks,
+    docIDs 0..199) paces MUST early + MUST hot: k=3 needs only block 0,
+    bound ~docID 127, far below the index max of 599."""
+    q = _bool([("MUST", _t("early")), ("MUST", _t("hot"))])
+    got = searcher.search_early_sorted(q, 3, mode="f64", grow=8).collect()
+    assert [r["docID"] for r in got] == [0, 1, 2]
+    audit = searcher.last_early_audit
+    assert audit["pacer"] == "early"
+    assert audit["pacer_blocks_total"] == 2
+    assert audit["pacer_blocks_decoded"] == 1
+    assert audit["rounds"] == 1
+    assert audit["bound"] < 599
+
+
+def test_absent_must_term_is_empty(searcher):
+    q = _bool([("MUST", _t("zzz_never")), ("SHOULD", _t("hot"))])
+    assert searcher.search_early_sorted(q, 5).collect() == []
+
+
+def test_msm_over_optional_count_is_empty(searcher):
+    q = _bool([("SHOULD", _t("hot"))], msm=3)
+    assert searcher.search_early_sorted(q, 5).collect() == []
+
+
+def test_unsupported_shape_raises(searcher):
+    with pytest.raises(ValueError):
+        searcher.search_early_sorted({"type": "phrase", "terms": ["hot", "alpha"]}, 5)
