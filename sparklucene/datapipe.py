@@ -905,6 +905,139 @@ def cosine_topk_ivf(
     return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)
 
 
+def _kmeans_l2(mat: np.ndarray, kc: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd's k-means under L2 (PQ sub-codebook training --
+    residual subvectors are not normalized, so cosine k-means is wrong)."""
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(kc, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def _pq_train(sample_norm: np.ndarray, nlist: int, m_sub: int, ksub: int):
+    """Train the IVF-PQ model on a normalized sample: coarse centroids +
+    per-subspace residual codebooks. dim must divide by m_sub."""
+    dim = sample_norm.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    coarse = _kmeans(sample_norm, nlist)
+    resid = sample_norm - coarse[(sample_norm @ coarse.T).argmax(axis=1)]
+    dsub = dim // m_sub
+    books = np.stack(
+        [_kmeans_l2(resid[:, j * dsub:(j + 1) * dsub], ksub, seed=7 + j)
+         for j in range(m_sub)]
+    )  # (m_sub, ksub, dsub)
+    return coarse, books
+
+
+def cosine_topk_ivfpq(
+    spark: SparkSession, emb: DataFrame, query_vec: list[float], k: int = 10,
+    nlist: int = 16, nprobe: int = 4, m_sub: int = 4, ksub: int = 16,
+    refine: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_limit: int = 10_000, exclude_ids: tuple = (),
+) -> DataFrame:
+    """IVF-PQ cosine top-k (Jegou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search" -- the Faiss IVFPQ layout, THE 100 TB ANN
+    shape: vectors live as (list_id, m_sub uint8 codes), a 4-byte stand-in
+    for a 512-byte float32 row, so a trillion-vector index fits cluster
+    RAM while the float vectors stay in cold storage).
+
+      1. train on a bounded driver sample: coarse centroids (cosine
+         k-means) + per-subspace RESIDUAL codebooks (L2 k-means) --
+         deterministic seeds;
+      2. one distributed encode pass: vec -> nearest coarse centroid +
+         per-subspace nearest residual code (broadcast model, mapInPandas;
+         at scale this encoded table is what's stored, partitioned by
+         list_id);
+      3. query: ONE asymmetric-distance LUT -- dot products are linear, so
+         sim ~= q.c_list + sum_j LUT[j, code_j] with LUT = q_sub @ books^T
+         (m_sub x ksub, list-independent because codes quantize residuals);
+         candidates in the nprobe probed lists score via pure LUT gathers,
+         per-partition top-k fused into the same Arrow pass;
+      4. optional refine: exact re-rank of the ADC top `refine` against the
+         full vectors (the Faiss refine stage) -- returned scores are then
+         exact cosines.
+
+    Approximate; deterministic. No SQL twin (trained quantizer): certified
+    by a bit-exact numpy replication differential + recall-vs-brute tests
+    (test_datapipe.py::test_ivfpq_*). -> DataFrame(vec_id, cos) desc."""
+    sample = emb.select(vec_col).limit(sample_limit).collect()
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    coarse, books = _pq_train(mat / nrm[:, None], nlist, m_sub, ksub)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    qh = q / qn
+    probe = np.argsort(-(coarse @ qh))[:nprobe]
+    dsub = coarse.shape[1] // m_sub
+    lut = np.stack(
+        [books[j] @ qh[j * dsub:(j + 1) * dsub] for j in range(m_sub)]
+    )  # (m_sub, ksub)
+    qdotc = coarse @ qh  # (nlist,)
+    bc = spark.sparkContext.broadcast((coarse, books, lut, qdotc, set(probe.tolist())))
+    kk = max(int(k), int(refine))
+    excl = set(int(x) for x in exclude_ids)
+
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("cos", T.DoubleType())]
+    )
+
+    def encode_score(pdf_iter):
+        coarse_, books_, lut_, qdotc_, probe_ = bc.value
+        best_ids = np.empty(0, dtype=np.int64)
+        best_sc = np.empty(0, dtype=np.float64)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            m = m / n[:, None]
+            lists = (m @ coarse_.T).argmax(axis=1)
+            keep = np.isin(lists, list(probe_))
+            if excl:
+                keep &= ~np.isin(ids, list(excl))
+            if not keep.any():
+                continue
+            ids, m, lists = ids[keep], m[keep], lists[keep]
+            resid = m - coarse_[lists]
+            sc = qdotc_[lists].copy()
+            for j in range(m_sub):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+                codes = d2.argmin(axis=1)
+                sc += lut_[j, codes]
+            best_ids = np.concatenate([best_ids, ids])
+            best_sc = np.concatenate([best_sc, sc])
+            if len(best_ids) > kk:
+                sel = np.lexsort((best_ids, -best_sc))[:kk]
+                best_ids, best_sc = best_ids[sel], best_sc[sel]
+        yield pd.DataFrame({"vec_id": best_ids, "cos": best_sc})
+
+    adc = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(encode_score, schema=out_schema)
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(kk)
+    )
+    if not refine:
+        return adc.limit(k)
+    sel = adc.select("vec_id")
+    cand = emb.join(sel, emb[id_col] == sel["vec_id"]).select(
+        emb[id_col].alias(id_col), emb[vec_col].alias(vec_col)
+    )
+    return cosine_topk_brute(cand, query_vec, k, id_col, vec_col, exclude_ids)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: decontamination, repetition, PII, sampling
 # ---------------------------------------------------------------------------

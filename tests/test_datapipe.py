@@ -477,3 +477,71 @@ def test_semdedup_matches_brute(spark, policy):
                 assert float(m[a] @ m[b]) < 0.95
         for d in dropped:
             assert max(float(m[d] @ m[kv]) for kv in kept) >= 0.95
+
+
+def _ivfpq_brute_adc(vecs, q, nlist, nprobe, m_sub, ksub, kk, excl=()):
+    """Pure-numpy replication of cosine_topk_ivfpq's train+encode+ADC."""
+    m = vecs.astype(np.float64)
+    n = np.sqrt((m * m).sum(axis=1))
+    n[n == 0] = 1.0
+    m = m / n[:, None]
+    coarse, books = dp._pq_train(m, nlist, m_sub, ksub)
+    qh = np.asarray(q, dtype=np.float64)
+    qh = qh / (np.sqrt((qh * qh).sum()) or 1.0)
+    probe = set(np.argsort(-(coarse @ qh))[:nprobe].tolist())
+    dsub = m.shape[1] // m_sub
+    lut = np.stack([books[j] @ qh[j * dsub:(j + 1) * dsub] for j in range(m_sub)])
+    lists = (m @ coarse.T).argmax(axis=1)
+    out = []
+    for i in range(len(m)):
+        if int(lists[i]) not in probe or i in excl:
+            continue
+        resid = m[i] - coarse[lists[i]]
+        sc = float(coarse[lists[i]] @ qh)
+        for j in range(m_sub):
+            sub = resid[j * dsub:(j + 1) * dsub]
+            code = (((books[j] - sub) ** 2).sum(axis=1)).argmin()
+            sc += float(lut[j, code])
+        out.append((i, sc))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:kk]
+
+
+def test_ivfpq_matches_numpy_replication(spark, emb_df):
+    """The distributed encode+ADC pass is bit-for-bit the numpy pipeline:
+    same sample (whole table < sample_limit), same seeds, same LUT math."""
+    df, vecs = emb_df
+    q = list(map(float, vecs[0]))
+    got = [(r["vec_id"], r["cos"])
+           for r in dp.cosine_topk_ivfpq(spark, df, q, k=8, nlist=4, nprobe=2,
+                                         m_sub=4, ksub=8).collect()]
+    want = _ivfpq_brute_adc(vecs, vecs[0], nlist=4, nprobe=2, m_sub=4, ksub=8, kk=8)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gv, gc), (wv, wc) in zip(got, want):
+        assert gc == pytest.approx(wc, abs=1e-12)
+
+
+def test_ivfpq_recall_and_refine(spark, emb_df):
+    """Full-probe IVF-PQ must keep the planted near-duplicate on top; the
+    refine stage re-ranks exactly, so refined scores equal brute cosines."""
+    df, vecs = emb_df
+    q = list(map(float, vecs[0]))
+    brute = {r["vec_id"]: r["cos"]
+             for r in dp.cosine_topk_brute(df, q, k=5, exclude_ids=(0,)).collect()}
+    adc = [r["vec_id"]
+           for r in dp.cosine_topk_ivfpq(spark, df, q, k=5, nlist=4, nprobe=4,
+                                         m_sub=4, ksub=16, exclude_ids=(0,)).collect()]
+    assert adc[0] == 7  # planted neighbor survives quantization
+    assert len(set(brute) & set(adc)) / 5 >= 0.6
+    refined = dp.cosine_topk_ivfpq(spark, df, q, k=5, nlist=4, nprobe=4,
+                                   m_sub=4, ksub=16, refine=12,
+                                   exclude_ids=(0,)).collect()
+    for r in refined:
+        if r["vec_id"] in brute:
+            assert r["cos"] == pytest.approx(brute[r["vec_id"]], abs=1e-9)
+
+
+def test_ivfpq_bad_msub_raises(spark, emb_df):
+    df, vecs = emb_df
+    with pytest.raises(ValueError):
+        dp.cosine_topk_ivfpq(spark, df, list(map(float, vecs[0])), m_sub=5).collect()
