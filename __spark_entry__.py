@@ -1631,6 +1631,19 @@ def _q_ann_ivf(spark, sf_dir):
                               k=10, nlist=16, nprobe=8, exclude_ids=(0,))
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN top-k (residual product quantization + ADC LUT + exact
+    refine).  VALUE-CHECKED at gate parameters: nprobe=8/nlist=16 prunes
+    half the lists and refine=50 re-ranks only the ADC top-50 of ~254
+    candidates, yet the result deterministically equals exact brute force
+    on this table (seeded k-means, fixed data) -- the ann_ivf precedent.
+    Lossy-parameter recall curves stay in tests (test_ivfpq_*)."""
+    return dp.cosine_topk_ivfpq(
+        spark, _emb_df(spark, sf_dir), _query_vec(spark, sf_dir),
+        k=10, nlist=16, nprobe=8, m_sub=16, ksub=32, refine=50, exclude_ids=(0,),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _mk_topk(name) for name in QUERY_TREES
@@ -1751,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
     out["ann_ivf"] = _q_ann_ivf
+    out["ann_ivfpq"] = _q_ann_ivfpq
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
     # r1 sampled it before its oracle existed), the five gates NEW this
@@ -1761,7 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
-        "early_topk", "flexible_parsed", "emb_neardup_lsh",
+        "early_topk", "ann_ivfpq", "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -3710,4 +3724,8 @@ ORDER BY dot / (sqrt(nn) * sqrt(s)) DESC, vec_id LIMIT 10"""
     # top-10, so the brute-force answer IS the expected output; lossy
     # nprobe settings are covered by recall tests instead.
     sqls["ann_ivf"] = sqls["ann_brute"]
+    # ann_ivfpq: same precedent -- at gate parameters (nprobe=8/nlist=16,
+    # m_sub=16/ksub=32 residual PQ, refine=50 exact re-rank) the quantized
+    # search deterministically recovers the exact top-10.
+    sqls["ann_ivfpq"] = sqls["ann_brute"]
     return sqls
