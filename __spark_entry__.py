@@ -130,6 +130,16 @@ def _q_early_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_slow_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlowFuzzyQuery (Sandbox/Queries/SlowFuzzyQuery.cs) with a FLOAT
+    minimumSimilarity=0.5 (the pre-4.0 fuzzy semantics FuzzyQuery dropped):
+    sim = 1 - lev/min(len) over the whole dictionary (no maxEdits=2 cap),
+    expansion boost (sim-0.5)*2, BM25-scored SHOULD rewrite."""
+    s = _searcher(spark, sf_dir)
+    q = {"type": "slow_fuzzy", "term": "spak", "min_similarity": 0.5}
+    return _topk_df(s, q, 10)
+
+
 def _q_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonTermsQuery (CommonTermsQuery.cs BuildQuery): df-split into a
     selective low-freq group (MUST) + additive high-freq group (SHOULD).
@@ -1660,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dup_filter"] = _q_dup_filter
     out["chained_xor"] = _q_chained_xor
     out["early_topk"] = _q_early_topk
+    out["slow_fuzzy"] = _q_slow_fuzzy
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1775,7 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
-        "early_topk", "ann_ivfpq", "flexible_parsed", "emb_neardup_lsh",
+        "early_topk", "ann_ivfpq", "slow_fuzzy", "flexible_parsed",
+        "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -1907,6 +1919,22 @@ SELECT a.doc_id, round(a.score + b.score, 4) AS score
 FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') a
 JOIN (SELECT doc_id, score FROM scored WHERE term = 'dup') b USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 50"""
+    # slow_fuzzy: DuckDB levenshtein() is the same plain-Levenshtein the
+    # linear enum uses (transpositions=false); sim/boost formulas are
+    # SlowFuzzyTermsEnum.cs:117,146 with prefixLength=0, minSim=0.5
+    sqls["slow_fuzzy"] = f"""{_prelude()},
+sfexp AS (
+  SELECT term,
+         (1.0 - levenshtein(term, 'spak')::DOUBLE
+                / least(length(term), 4)) AS sim
+  FROM tstats
+  WHERE (1.0 - levenshtein(term, 'spak')::DOUBLE / least(length(term), 4)) > 0.5
+  ORDER BY (sim - 0.5) * 2.0 DESC, term LIMIT 50
+)
+SELECT s.doc_id, round(sum(s.score * (e.sim - 0.5) * 2.0), 4) AS score
+FROM scored s JOIN sfexp e USING (term)
+GROUP BY s.doc_id
+ORDER BY score DESC, s.doc_id LIMIT 10"""
     sqls["early_topk"] = f"""{_prelude()}
 SELECT a.doc_id, round(a.score + b.score, 4) AS score
 FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') a

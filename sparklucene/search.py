@@ -578,6 +578,8 @@ class IndexSearcher:
             if q.get("rewrite", "top_terms_scoring") == "top_terms_scoring":
                 return self._eval_fuzzy_scored(q, boost, mode)
             return self._eval_multi_term(q, boost, mode)
+        if t == "slow_fuzzy":
+            return self._eval_slow_fuzzy(q, boost, mode)
         if t in ("prefix", "wildcard", "regexp", "range"):
             # default CONSTANT_SCORE_AUTO (MultiTermQuery.cs:66); opt-in
             # scoring rewrites per ScoringRewrite.cs:41 / TopTermsRewrite.cs
@@ -1199,6 +1201,64 @@ class IndexSearcher:
             .collect()
         )
         return [(r["term"], float(r["boost"])) for r in rows]
+
+    def expand_slow_fuzzy(self, q: dict) -> list[tuple[str, float]]:
+        """SlowFuzzyQuery float-similarity expansion (Sandbox/Queries/
+        SlowFuzzyQuery.cs; SlowFuzzyTermsEnum.cs:114-146): for
+        minimumSimilarity < 1, a dictionary term sharing the non-fuzzy
+        prefix is accepted iff
+
+            sim = 1 - lev(text, target) / (prefixLen + min(|text|, |target|))
+
+        exceeds minimumSimilarity (lengths exclude the shared prefix; plain
+        Levenshtein -- the linear enum passes transpositions=false), and is
+        boosted (sim - minSim) * 1/(1 - minSim); top max_expansions by
+        (boost desc, term asc).  Unlike FuzzyQuery there is no maxEdits=2
+        cap -- and unlike the reference's per-term DP loop the whole
+        expansion here is one Catalyst projection (native levenshtein),
+        no Python.  -> [(term, boost)]."""
+        target = q["term"]
+        min_sim = float(q.get("min_similarity", 0.5))
+        if not (0.0 <= min_sim < 1.0):
+            raise ValueError(f"min_similarity must be in [0, 1), got {min_sim}")
+        mx = int(q.get("max_expansions", 50))
+        pre = int(q.get("prefix_length", 0))
+        if pre >= len(target):
+            # degenerate per reference: everything beyond the term is prefix
+            pre = len(target)
+        td = self._union_read("term_dict").select("term").distinct()
+        if pre:
+            td = td.filter(F.col("term").startswith(target[:pre]))
+        sim = F.lit(1.0) - (
+            F.levenshtein(F.expr(f"substring(term, {pre + 1})"), F.lit(target[pre:]))
+            .cast("double")
+            / (F.lit(pre) + F.least(F.length("term") - pre, F.lit(len(target) - pre)))
+        )
+        scale = 1.0 / (1.0 - min_sim)
+        rows = (
+            td.withColumn("_sim", sim)
+            .filter(F.col("_sim") > min_sim)
+            .select("term", ((F.col("_sim") - min_sim) * scale).alias("boost"))
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(mx)
+            .collect()
+        )
+        return [(r["term"], float(r["boost"])) for r in rows]
+
+    def _eval_slow_fuzzy(self, q: dict, boost: float, mode: str) -> DataFrame | None:
+        """SlowFuzzyQuery evaluation: same TopTermsScoringBooleanQueryRewrite
+        as FuzzyQuery -- expansions become boosted SHOULD TermQuerys."""
+        expansions = self.expand_slow_fuzzy(q)
+        if not expansions:
+            return None
+        bq = {
+            "type": "boolean",
+            "clauses": [
+                {"occur": "SHOULD", "query": {"type": "term", "term": t, "boost": b}}
+                for t, b in expansions
+            ],
+        }
+        return self._eval_boolean(bq, boost, mode)
 
     def _eval_multi_term_scored(self, q: dict, boost: float, mode: str,
                                 rewrite: str) -> DataFrame | None:

@@ -216,3 +216,67 @@ def test_filtered_topk(searcher):
         key=lambda x: (-x[1], x[0]),
     )[:10]
     assert [(r["docID"], r["score"]) for r in got.collect()] == want
+
+
+# --- SlowFuzzyQuery ----------------------------------------------------------
+
+def _lev(a, b):
+    """Plain Levenshtein (no transpositions -- the linear enum's DP)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_slow_fuzzy_expansion_formula(searcher):
+    """sim = 1 - lev/min(len), accept sim > minSim, boost = (sim-minSim)
+    * 1/(1-minSim) -- replicated in pure python over the dictionary."""
+    target, min_sim = "w1", 0.4  # w2..w5 sit at sim 0.5 > 0.4
+    got = dict(searcher.expand_slow_fuzzy(
+        {"term": target, "min_similarity": min_sim, "max_expansions": 1000}))
+    vocab = [r["term"] for r in
+             searcher._union_read("term_dict").select("term").distinct().collect()]
+    want = {}
+    for t in vocab:
+        sim = 1.0 - _lev(t, target) / min(len(t), len(target))
+        if sim > min_sim:
+            want[t] = (sim - min_sim) / (1.0 - min_sim)
+    assert set(got) == set(want)
+    for t in got:
+        assert got[t] == pytest.approx(want[t], abs=1e-12)
+    assert got[target] == pytest.approx(1.0)  # exact match -> full boost
+    assert len(got) > 1, got  # fuzzier neighbors beyond the exact term
+
+
+def test_slow_fuzzy_prefix_restricts_and_rescales(searcher):
+    """prefix_length=2: only terms sharing 'me' qualify and the distance
+    runs on the post-prefix suffixes with prefixLen in the denominator."""
+    got = dict(searcher.expand_slow_fuzzy(
+        {"term": "merg", "min_similarity": 0.4, "prefix_length": 2,
+         "max_expansions": 1000}))
+    assert got and all(t.startswith("me") for t in got)
+    for t in got:
+        sim = 1.0 - _lev(t[2:], "rg") / (2 + min(len(t) - 2, 2))
+        assert got[t] == pytest.approx((sim - 0.4) / 0.6, abs=1e-12)
+
+
+def test_slow_fuzzy_search_equals_boosted_should(searcher):
+    """The query evaluates exactly as the boosted-SHOULD rewrite."""
+    q = {"type": "slow_fuzzy", "term": "merg", "min_similarity": 0.5}
+    got = [(r["docID"], round(float(r["score"]), 6))
+           for r in searcher.search(q, 20, mode="f64").collect()]
+    bq = {"type": "boolean", "clauses": [
+        {"occur": "SHOULD", "query": {"type": "term", "term": t, "boost": b}}
+        for t, b in searcher.expand_slow_fuzzy(
+            {"term": "merg", "min_similarity": 0.5})]}
+    want = [(r["docID"], round(float(r["score"]), 6))
+            for r in searcher.search(bq, 20, mode="f64").collect()]
+    assert got == want and got
+
+
+def test_slow_fuzzy_bad_similarity_raises(searcher):
+    with pytest.raises(ValueError):
+        searcher.expand_slow_fuzzy({"term": "merg", "min_similarity": 1.5})
