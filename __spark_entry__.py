@@ -1575,6 +1575,29 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_lm_quality(spark, sf_dir):
+    """Unigram-LM quality signal (CCNet-style perplexity-band filter): mean
+    token -ln p under the corpus' add-1-smoothed unigram model."""
+    return dp.lm_quality(_docs_df(spark, sf_dir)).select(
+        "doc_id", "n_tok", F.round("nll", 4).alias("nll")
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over a deterministic near-dup edge list (stars
+    of 7 consecutive doc_ids bridged at every 35-multiple boundary -- the
+    non-transitive pair topology dedup has to close): distributed min-label
+    propagation with pointer doubling vs the recursive-CTE closure."""
+    docs = _docs_df(spark, sf_dir).select("doc_id")
+    star = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") - F.col("doc_id") % 7).alias("doc_b")
+    )
+    bridge = docs.filter(F.col("doc_id") % 35 == 6).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return dp.dedup_clusters(star.unionAll(bridge))
+
+
 def _q_repetition(spark, sf_dir):
     """Gopher-style within-doc repetition signals (top-2/3-gram token
     fractions, duplicated-5-gram fraction)."""
@@ -1671,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["chained_xor"] = _q_chained_xor
     out["early_topk"] = _q_early_topk
     out["slow_fuzzy"] = _q_slow_fuzzy
+    out["lm_quality"] = _q_lm_quality
+    out["dedup_clusters"] = _q_dedup_clusters
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1786,8 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
-        "early_topk", "ann_ivfpq", "slow_fuzzy", "flexible_parsed",
-        "emb_neardup_lsh",
+        "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
+        "dedup_clusters", "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -3613,6 +3638,31 @@ cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for 
        FROM dt WHERE len(tk) >= 5),
 bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0)
 SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS hits FROM cg c JOIN bg USING (g) GROUP BY c.doc_id"""
+    sqls["lm_quality"] = """
+WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM dt),
+cnt AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c)::BIGINT AS s, count(*)::BIGINT AS v FROM cnt)
+SELECT doc_id, count(*)::BIGINT AS n_tok,
+       round(avg(-ln((c + 1.0) / (s + v))), 4) AS nll
+FROM tok JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY doc_id"""
+    # dedup_clusters: recursive-CTE transitive closure (node, reachable) ->
+    # min reachable id per node == the engine's min-label component id
+    sqls["dedup_clusters"] = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_id AS a, (doc_id - doc_id % 7) AS b FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 35 = 6
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+)
+SELECT node AS doc_id, min(r)::BIGINT AS cluster_id
+FROM reach GROUP BY node"""
     sqls["repetition"] = """
 WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
 base AS (SELECT doc_id, len(tk) AS n_tok, tk FROM dt),

@@ -1150,6 +1150,105 @@ def semdedup(
     return assigned.groupBy("list_id").applyInPandas(dedup_cluster, schema=out_schema)
 
 
+def lm_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_vocab_max: int = 5_000_000,
+) -> DataFrame:
+    """Unigram-LM quality signal (the CCNet-style perplexity filter of
+    Wenzek et al. 2020, reduced to the corpus' own unigram model): per doc
+    the mean negative log-probability of its tokens under the corpus
+    unigram distribution with add-1 smoothing,
+
+        nll(doc) = avg over tokens t of -ln((count(t) + 1) / (total + V)).
+
+    Low = fluent/typical text, high = rare-token noise (the standard
+    perplexity-band filter signal).  Plan: one fused explode projection,
+    one groupBy(term) for the model (the only corpus-sized shuffle), model
+    joined back broadcast below `broadcast_vocab_max` distinct terms and
+    shuffle-hash above, one per-doc aggregate.  Pure JVM -- zero Python.
+    -> DataFrame(doc_id, n_tok, nll)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("s"), F.count("*").alias("v")).collect()[0]
+    total, vocab = int(tot["s"] or 0), int(tot["v"] or 0)
+    model = F.broadcast(counts) if vocab <= broadcast_vocab_max else counts
+    denom = float(total + vocab)
+    return (
+        toks.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.avg(-F.log((F.col("c") + 1.0) / denom)).alias("nll"),
+        )
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -- the decision step
+    every dedup pipeline needs between "pairs above threshold" and "keep
+    one per group" (pairs are NOT transitive-closed: a~b, b~c without a~c
+    must still collapse to one cluster).
+
+    Distributed min-label propagation with pointer doubling (the
+    hash-to-min / pointer-jumping scheme of Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"): each round
+      1. every node takes the min label among itself and its neighbors
+         (one shuffle over the edge list);
+      2. labels chase one hop through the label table (label := label of
+         label), halving path lengths;
+    so convergence is O(log diameter) rounds, and near-dup clusters have
+    tiny diameters.  Each round is two joins + a groupBy; the driver sees
+    only the one-row convergence counter.
+
+    -> DataFrame(doc_id, cluster_id) for every doc appearing in `pairs`,
+    cluster_id = min doc_id of the component (the canonical keep-min_id
+    representative)."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # iterative algorithm: truncate lineage up front
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        stepped = (
+            labels.select("node", "label").unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        chase = stepped.select(F.col("node").alias("_l"), F.col("label").alias("_ll"))
+        new = (
+            stepped.join(chase, stepped["label"] == chase["_l"], "left")
+            .select("node", F.coalesce("_ll", "label").alias("label"))
+            # eager per-round materialization: without it the self-joined
+            # lineage doubles every round and Catalyst analysis explodes
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def decontaminate(
     df: DataFrame, benchmark: DataFrame, n: int = 13,
     id_col: str = "doc_id", text_col: str = "text",

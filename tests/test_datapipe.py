@@ -545,3 +545,77 @@ def test_ivfpq_bad_msub_raises(spark, emb_df):
     df, vecs = emb_df
     with pytest.raises(ValueError):
         dp.cosine_topk_ivfpq(spark, df, list(map(float, vecs[0])), m_sub=5).collect()
+
+
+def test_lm_quality_matches_brute(spark, docs_df):
+    got = {r["doc_id"]: (r["n_tok"], r["nll"])
+           for r in dp.lm_quality(docs_df).collect()}
+    rows = docs_df.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [t for t in r["text"].lower().split(" ") if t] for r in rows}
+    from collections import Counter
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total, vocab = sum(cnt.values()), len(cnt)
+    import math
+    for d, ts in toks.items():
+        if not ts:
+            assert d not in got
+            continue
+        nll = sum(-math.log((cnt[t] + 1) / (total + vocab)) for t in ts) / len(ts)
+        assert got[d][0] == len(ts)
+        assert got[d][1] == pytest.approx(nll, rel=1e-12)
+    # rare-token docs score worse than common-token docs by construction
+    assert got
+
+
+def _uf_brute(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_dedup_clusters_matches_union_find(spark, seed):
+    rng = np.random.default_rng(seed)
+    nodes = rng.choice(500, size=120, replace=False)
+    pairs = [(int(nodes[i]), int(nodes[(i * 7 + seed) % len(nodes)]))
+             for i in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # add a long chain to force several pointer-doubling rounds
+    chain = [int(x) for x in rng.choice(10_000, size=40, replace=False)]
+    pairs += list(zip(chain, chain[1:]))
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dp.dedup_clusters(df).collect()}
+    want = _uf_brute(pairs)
+    # brute roots are min ids too (union by min); compare root-min per node
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    want_min = {n: min(comp[r]) for n, r in want.items()}
+    assert got == want_min
+
+
+def test_dedup_clusters_over_minhash_pairs(spark, docs_df):
+    """End-to-end: minhash pairs -> clusters; every pair endpoint lands in
+    one cluster keyed by its component's min doc_id."""
+    pairs = dp.minhash_dedup_pairs(docs_df, threshold=0.5)
+    rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    if not rows:
+        pytest.skip("no near-dup pairs at this threshold")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dp.dedup_clusters(pairs).collect()}
+    want = _uf_brute(rows)
+    comp = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    assert got == {n: min(comp[r]) for n, r in want.items()}
