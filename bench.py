@@ -181,6 +181,10 @@ def main() -> None:
     t0 = time.time()
     dp.duplicated_spans(docs_raw, min_len=13).count()
     qtimes["dup_spans"] = round(time.time() - t0, 3)
+    # unigram-LM quality signal: one corpus shuffle + broadcast model join
+    t0 = time.time()
+    dp.lm_quality(docs_raw).count()
+    qtimes["lm_quality"] = round(time.time() - t0, 3)
 
     total = round(build_s + sum(qtimes.values()), 3)
     print(
