@@ -1803,11 +1803,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivfpq"] = _q_ann_ivfpq
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
-    # r1 sampled it before its oracle existed), the five gates NEW this
-    # round (Flexible parser, bucketed LSH near-dup, ICU-lite folding,
-    # shape-as-data polygons, forced-tower phrase), then every
-    # gate whose latest green driver row is r2 (44 of them) -- so after this
-    # round no gate's official record is older than r3.
+    # r1 sampled it before its oracle existed), then every gate NEW this
+    # round (msearch, Queries/Sandbox analogues, substring-span dedup,
+    # early-terminating sorted collection, IVF-PQ, SlowFuzzy, unigram-LM
+    # quality, near-dup cluster closure, Flexible parser, bucketed LSH
+    # near-dup, ICU-lite folding, shape-as-data polygons, forced-tower
+    # phrase), then the gates whose latest green driver row is r2 -- so
+    # the official record leads with what has never been sampled.
     round5 = [
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
