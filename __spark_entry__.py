@@ -1575,6 +1575,32 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_code_comments(spark, sf_dir):
+    """Code-text separation: strip family-specific comments (py '#', C-like
+    '//' + '/* */', sql '--') and report the comment volume band signal.
+    Both sides synthesize the same comment-bearing suffix and plang column
+    from doc_id (the pii_scrub precedent)."""
+    docs = _docs_df(spark, sf_dir)
+    plang = F.element_at(
+        F.array(F.lit("py"), F.lit("js"), F.lit("sql")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    aug = docs.select(
+        "doc_id",
+        plang.alias("plang"),
+        F.concat(
+            F.col("text"),
+            F.lit(" /* lic"), F.col("doc_id").cast("string"),
+            F.lit(" */ code() # note"), F.col("doc_id").cast("string"),
+            F.lit("\n// tail -- x"),
+        ).alias("text"),
+    )
+    return dp.strip_code_comments(aug, lang_col="plang").select(
+        "doc_id", F.md5("code").alias("h"), "n_comment_chars",
+        F.round("comment_frac", 4).alias("comment_frac"),
+    )
+
+
 def _q_lm_quality(spark, sf_dir):
     """Unigram-LM quality signal (CCNet-style perplexity-band filter): mean
     token -ln p under the corpus' add-1-smoothed unigram model."""
@@ -1696,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["slow_fuzzy"] = _q_slow_fuzzy
     out["lm_quality"] = _q_lm_quality
     out["dedup_clusters"] = _q_dedup_clusters
+    out["code_comments"] = _q_code_comments
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1814,7 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
-        "dedup_clusters", "flexible_parsed", "emb_neardup_lsh",
+        "dedup_clusters", "code_comments", "flexible_parsed",
+        "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -3640,6 +3668,36 @@ cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for 
        FROM dt WHERE len(tk) >= 5),
 bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0)
 SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS hits FROM cg c JOIN bg USING (g) GROUP BY c.doc_id"""
+    sqls["code_comments"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'py' WHEN 1 THEN 'js' ELSE 'sql' END AS plang,
+         text || ' /* lic' || doc_id || ' */ code() # note' || doc_id ||
+           chr(10) || '// tail -- x' AS t
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, t,
+    CASE plang
+      WHEN 'py' THEN regexp_replace(t, '#[^' || chr(10) || ']*', ' ', 'g')
+      WHEN 'sql' THEN regexp_replace(t, '--[^' || chr(10) || ']*', ' ', 'g')
+      ELSE regexp_replace(regexp_replace(t, '/\*.*?\*/', ' ', 'gs'),
+                          '//[^' || chr(10) || ']*', ' ', 'g')
+    END AS code
+  FROM aug
+),
+sized AS (
+  SELECT doc_id, code,
+         length(regexp_replace(t, '\s', '', 'g'))::BIGINT AS raw_nw,
+         length(regexp_replace(code, '\s', '', 'g'))::BIGINT AS code_nw
+  FROM stripped
+)
+SELECT doc_id, md5(code) AS h,
+       (raw_nw - code_nw) AS n_comment_chars,
+       round(CASE WHEN raw_nw > 0
+                  THEN (raw_nw - code_nw)::DOUBLE / raw_nw ELSE 0.0 END, 4)
+         AS comment_frac
+FROM sized"""
     sqls["lm_quality"] = """
 WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
 tok AS (SELECT doc_id, unnest(tk) AS term FROM dt),

@@ -1150,6 +1150,50 @@ def semdedup(
     return assigned.groupBy("list_id").applyInPandas(dedup_cluster, schema=out_schema)
 
 
+def strip_code_comments(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Code-text separation for source-code corpora: strip comments by
+    language family and report comment volume -- the standard code-quality
+    band filter (too few comments ~ minified/generated, too many ~ license
+    boilerplate) used when preparing code training data.
+
+    Regex approximation (the corpus-stats convention; exact separation
+    needs a per-language lexer): 'py'-family strips `#` line comments,
+    C-family ('c', 'cs', 'js', 'java', 'go', ...) strips `(?s)/\\*.*?\\*/`
+    blocks then `//` line comments; SQL family ('sql') strips `--` lines.
+    Block comments are removed BEFORE line comments on both the engine and
+    oracle sides, so a `//` inside a block never double-counts.
+
+    Pure JVM regexp_replace / regexp_extract_all -- zero Python, fully
+    whole-stage-codegen, trivially 100 TB-parallel (narrow, per-row).
+    -> DataFrame(doc_id, code, n_comment_chars, comment_frac)."""
+    is_py = F.col(lang_col) == "py"
+    is_sql = F.col(lang_col) == "sql"
+    block_re = r"(?s)/\*.*?\*/"
+    line_re = F.when(is_py, F.lit(r"#[^\n]*")).when(is_sql, F.lit(r"--[^\n]*")).otherwise(
+        F.lit(r"//[^\n]*")
+    )
+    no_block = F.when(
+        is_py | is_sql, F.col(text_col)
+    ).otherwise(F.regexp_replace(F.col(text_col), block_re, " "))
+    code = F.regexp_replace(no_block, line_re, " ")
+    # comment volume in NON-WHITESPACE characters: the " " the replace
+    # inserts (and any whitespace inside comments) must not count
+    raw_nonws = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    code_nonws = F.length(F.regexp_replace(code, r"\s", ""))
+    n_comment = (raw_nonws - code_nonws).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        code.alias("code"),
+        n_comment.alias("n_comment_chars"),
+        F.when(raw_nonws > 0, n_comment / raw_nonws).otherwise(F.lit(0.0)).alias(
+            "comment_frac"
+        ),
+    )
+
+
 def lm_quality(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     broadcast_vocab_max: int = 5_000_000,

@@ -619,3 +619,38 @@ def test_dedup_clusters_over_minhash_pairs(spark, docs_df):
     for n, r in want.items():
         comp.setdefault(r, []).append(n)
     assert got == {n: min(comp[r]) for n, r in want.items()}
+
+
+def test_strip_code_comments_families(spark):
+    rows = [
+        (0, "py", "x = 1  # set x\n# full line\ny = 2"),
+        (1, "js", "var a = 1; // trailing\n/* block\nspans // lines */\nb()"),
+        (2, "sql", "SELECT 1 -- comment\nFROM t"),
+        (3, "go", "f() /* a */ g() // b"),
+        (4, "py", "no comments at all"),
+        (5, "js", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["code"], r["n_comment_chars"], r["comment_frac"])
+           for r in dp.strip_code_comments(df).collect()}
+    import re as _re
+
+    def brute(lang, text):
+        if lang == "py":
+            code = _re.sub(r"#[^\n]*", " ", text)
+        elif lang == "sql":
+            code = _re.sub(r"--[^\n]*", " ", text)
+        else:
+            code = _re.sub(r"//[^\n]*", " ", _re.sub(r"(?s)/\*.*?\*/", " ", text))
+        nw = lambda s: len(_re.sub(r"\s", "", s))
+        n = nw(text) - nw(code)
+        return code, n, (n / nw(text)) if nw(text) else 0.0
+
+    for d, lang, text in rows:
+        code, n, frac = brute(lang, text)
+        assert got[d][0] == code, (d, got[d][0], code)
+        assert got[d][1] == n
+        assert got[d][2] == pytest.approx(frac, abs=1e-12)
+    # the '// lines' inside doc 1's block comment must not double-strip
+    assert "b()" in got[1][0]
+    assert got[4] == ("no comments at all", 0, 0.0)
