@@ -1575,6 +1575,25 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_license(spark, sf_dir):
+    """License-header detection: deterministic headers prepended by
+    doc_id % 5 (none / apache / mit / gpl / agpl -- agpl also contains the
+    'general public license' words, exercising most-specific-first)."""
+    docs = _docs_df(spark, sf_dir)
+    hdr = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit("// Licensed under the Apache License, Version 2.0\n"),
+            F.lit("// Permission is hereby granted, free of charge\n"),
+            F.lit("// GNU General Public License v3\n"),
+            F.lit("// GNU Affero General Public License\n"),
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    aug = docs.select("doc_id", F.concat(hdr, F.col("text")).alias("text"))
+    return dp.detect_license(aug)
+
+
 def _q_code_comments(spark, sf_dir):
     """Code-text separation: strip family-specific comments (py '#', C-like
     '//' + '/* */', sql '--') and report the comment volume band signal.
@@ -1723,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lm_quality"] = _q_lm_quality
     out["dedup_clusters"] = _q_dedup_clusters
     out["code_comments"] = _q_code_comments
+    out["license_detect"] = _q_license
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1841,8 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
-        "dedup_clusters", "code_comments", "flexible_parsed",
-        "emb_neardup_lsh",
+        "dedup_clusters", "code_comments", "license_detect",
+        "flexible_parsed", "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -3668,6 +3688,39 @@ cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for 
        FROM dt WHERE len(tk) >= 5),
 bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0)
 SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS hits FROM cg c JOIN bg USING (g) GROUP BY c.doc_id"""
+    sqls["license_detect"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN ''
+           WHEN 1 THEN '// Licensed under the Apache License, Version 2.0' || chr(10)
+           WHEN 2 THEN '// Permission is hereby granted, free of charge' || chr(10)
+           WHEN 3 THEN '// GNU General Public License v3' || chr(10)
+           ELSE '// GNU Affero General Public License' || chr(10)
+         END || text AS t
+  FROM documents
+),
+hd AS (SELECT doc_id, lower(substring(t, 1, 2000)) AS h FROM aug)
+SELECT doc_id,
+  CASE
+    WHEN contains(h, 'gnu affero') THEN 'agpl-3.0'
+    WHEN contains(h, 'gnu lesser general public license') THEN 'lgpl'
+    WHEN contains(h, 'gnu general public license') THEN 'gpl'
+    WHEN contains(h, 'apache license') THEN 'apache-2.0'
+    WHEN contains(h, 'permission is hereby granted, free of charge') THEN 'mit'
+    WHEN contains(h, 'mit license') THEN 'mit'
+    WHEN contains(h, 'redistribution and use in source and binary forms') THEN 'bsd'
+    WHEN contains(h, 'mozilla public license') THEN 'mpl-2.0'
+    WHEN contains(h, 'this is free and unencumbered software') THEN 'unlicense'
+    ELSE 'none'
+  END AS license,
+  CASE
+    WHEN contains(h, 'gnu affero') THEN false
+    WHEN contains(h, 'gnu lesser general public license') THEN false
+    WHEN contains(h, 'gnu general public license') THEN false
+    ELSE true
+  END AS is_permissive
+FROM hd"""
     sqls["code_comments"] = r"""
 WITH aug AS (
   SELECT doc_id,

@@ -1194,6 +1194,51 @@ def strip_code_comments(
     )
 
 
+# (family, marker substring, permissive) -- ordered MOST SPECIFIC FIRST:
+# agpl/lgpl must match before the bare gpl marker would
+LICENSE_MARKERS: list[tuple[str, str, bool]] = [
+    ("agpl-3.0", "gnu affero", False),
+    ("lgpl", "gnu lesser general public license", False),
+    ("gpl", "gnu general public license", False),
+    ("apache-2.0", "apache license", True),
+    ("mit", "permission is hereby granted, free of charge", True),
+    ("mit", "mit license", True),
+    ("bsd", "redistribution and use in source and binary forms", True),
+    ("mpl-2.0", "mozilla public license", True),
+    ("unlicense", "this is free and unencumbered software", True),
+]
+
+
+def detect_license(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    head_chars: int = 2000,
+) -> DataFrame:
+    """License-header detection for code corpora -- the filter that keeps
+    copyleft out of permissive-only training sets.  Scans the document
+    HEAD (license headers lead the file; bounding the scan keeps the op
+    narrow at any doc size) for marker phrases of the common families,
+    most-specific first (AGPL/LGPL before the bare GPL marker).  Pure JVM
+    (lower + substring + contains), whole-stage codegen, no shuffle.
+    -> DataFrame(doc_id, license, is_permissive) with license='none' /
+    is_permissive=true when no marker is found."""
+    head = F.lower(F.substring(F.col(text_col), 1, head_chars))
+    lic = None
+    perm = None
+    for fam, marker, permissive in reversed(LICENSE_MARKERS):
+        cond = F.contains(head, F.lit(marker))
+        lic = F.when(cond, F.lit(fam)).otherwise(
+            F.lit("none") if lic is None else lic
+        )
+        perm = F.when(cond, F.lit(permissive)).otherwise(
+            F.lit(True) if perm is None else perm
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        lic.alias("license"),
+        perm.alias("is_permissive"),
+    )
+
+
 def lm_quality(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     broadcast_vocab_max: int = 5_000_000,

@@ -654,3 +654,27 @@ def test_strip_code_comments_families(spark):
     # the '// lines' inside doc 1's block comment must not double-strip
     assert "b()" in got[1][0]
     assert got[4] == ("no comments at all", 0, 0.0)
+
+
+def test_detect_license_families(spark):
+    rows = [
+        (0, "Licensed under the Apache License, Version 2.0 ..."),
+        (1, "Permission is hereby granted, free of charge, to any person"),
+        (2, "This file is part of Foo.\nGNU General Public License v3"),
+        (3, "GNU Lesser General Public License as published"),
+        (4, "under the GNU Affero general public license"),
+        (5, "Redistribution and use in source and binary forms, with or without"),
+        (6, "Mozilla Public License, v. 2.0"),
+        (7, "This is free and unencumbered software released into the public domain"),
+        (8, "def f():\n    return 1  # no license here"),
+        (9, "x" * 3000 + " apache license"),  # marker beyond the 2000-char head
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["license"], r["is_permissive"])
+           for r in dp.detect_license(df).collect()}
+    assert got == {
+        0: ("apache-2.0", True), 1: ("mit", True), 2: ("gpl", False),
+        3: ("lgpl", False), 4: ("agpl-3.0", False), 5: ("bsd", True),
+        6: ("mpl-2.0", True), 7: ("unlicense", True), 8: ("none", True),
+        9: ("none", True),
+    }
