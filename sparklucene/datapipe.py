@@ -1449,6 +1449,45 @@ def pii_scrub(
     )
 
 
+# secrets patterns (code-corpus scrub).  Deliberately deterministic-shape
+# regexes (prefix-keyed token formats + PEM blocks), NOT entropy heuristics,
+# so the scrub is reproducible and SQL-twinnable.
+SECRET_AWS_RE = r"AKIA[0-9A-Z]{16}"
+SECRET_GH_RE = r"ghp_[A-Za-z0-9]{36}"
+SECRET_JWT_RE = r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}"
+SECRET_PEM_RE = (
+    r"(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----"
+)
+
+
+def secrets_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Credential redaction for code corpora (the scrub that keeps leaked
+    keys out of training data): AWS access key ids, GitHub personal access
+    tokens, JWTs, and PEM private-key blocks -> placeholder tokens, with
+    per-doc counts.  PEM blocks replace FIRST so a JWT-shaped run inside a
+    key body never double-counts.  Pure JVM regexp chain -- whole-stage
+    codegen, no shuffle, embarrassingly parallel.
+    -> DataFrame(doc_id, n_aws, n_gh, n_jwt, n_pem, scrubbed)."""
+    t = F.col(text_col)
+    no_pem = F.regexp_replace(t, SECRET_PEM_RE, "<PRIVATE_KEY>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(SECRET_PEM_RE)).alias("n_pem"),
+        F.regexp_count(no_pem, F.lit(SECRET_AWS_RE)).alias("n_aws"),
+        F.regexp_count(no_pem, F.lit(SECRET_GH_RE)).alias("n_gh"),
+        F.regexp_count(no_pem, F.lit(SECRET_JWT_RE)).alias("n_jwt"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(no_pem, SECRET_AWS_RE, "<AWS_KEY>"),
+                SECRET_GH_RE, "<GH_TOKEN>",
+            ),
+            SECRET_JWT_RE, "<JWT>",
+        ).alias("scrubbed"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict[str, float],
     id_col: str = "doc_id", seed: str = "strat",
