@@ -1575,6 +1575,12 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: global token offsets via the
+    distributed two-pass prefix sum vs the oracle's window cumsum."""
+    return dp.pack_sequences(_docs_df(spark, sf_dir), budget=128)
+
+
 def _q_secrets(spark, sf_dir):
     """Credential scrub: both sides synthesize the same secrets from
     md5(doc_id) -- an AWS key id on every doc, a GitHub token on doc_id%2,
@@ -1771,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["code_comments"] = _q_code_comments
     out["license_detect"] = _q_license
     out["secrets_scrub"] = _q_secrets
+    out["pack_sequences"] = _q_pack
     out["parsed_bool"] = _q_parsed_bool
     out["flexible_parsed"] = _q_flexible_parsed
     out["tower_phrase"] = _q_tower_phrase
@@ -1890,7 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
         "dedup_clusters", "code_comments", "license_detect",
-        "secrets_scrub", "flexible_parsed", "emb_neardup_lsh",
+        "secrets_scrub", "pack_sequences", "flexible_parsed",
+        "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
@@ -3716,6 +3724,22 @@ cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for 
        FROM dt WHERE len(tk) >= 5),
 bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0)
 SELECT c.doc_id, count(DISTINCT c.g)::BIGINT AS hits FROM cg c JOIN bg USING (g) GROUP BY c.doc_id"""
+    sqls["pack_sequences"] = """
+WITH dt AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS o
+  FROM dt
+)
+SELECT doc_id, n_tok, o AS offset,
+       (o // 128)::BIGINT AS first_chunk,
+       (CASE WHEN n_tok > 0 THEN (o + n_tok - 1) // 128 ELSE o // 128 END)::BIGINT AS last_chunk
+FROM c"""
     sqls["secrets_scrub"] = r"""
 WITH aug AS (
   SELECT doc_id,

@@ -1449,6 +1449,74 @@ def pii_scrub(
     )
 
 
+def pack_sequences(
+    df: DataFrame, budget: int = 2048, id_col: str = "doc_id",
+    text_col: str = "text", partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (pretraining batch prep): tokens
+    of all docs, concatenated in deterministic doc_id order, are split
+    into fixed `budget`-token chunks; each doc reports its global token
+    offset and the chunk span it lands in (a doc may straddle a chunk
+    boundary -- the standard concat-then-chunk packing, not bin packing).
+
+    The global exclusive cumulative token sum is computed with the same
+    two-pass scheme as build.mint_doc_ids (range-partition by id ->
+    per-partition sums -> driver offsets -> per-row local cumsum): no
+    single-partition window, no driver materialization beyond one partial
+    sum per partition -- the 100 TB-safe distributed prefix sum.
+    -> DataFrame(doc_id, n_tok, offset, first_chunk, last_chunk)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.size(ws_tokens(text_col)).alias("n_tok")
+    )
+    ranged = (
+        toks.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    psums = {
+        r["_pid"]: int(r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def assign(pdf_iter):
+        run = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            n = pdf["n_tok"].to_numpy(np.int64)
+            ends = n.cumsum()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "n_tok": n,
+                    "offset": run + ends - n,
+                }
+            )
+            run += int(ends[-1])
+
+    placed = ranged.mapInPandas(assign, schema=out_schema)
+    first = F.floor(F.col("offset") / budget)
+    last = F.when(
+        F.col("n_tok") > 0, F.floor((F.col("offset") + F.col("n_tok") - 1) / budget)
+    ).otherwise(first)
+    return placed.select(
+        "doc_id", "n_tok", "offset",
+        first.cast("long").alias("first_chunk"), last.cast("long").alias("last_chunk"),
+    )
+
+
 # secrets patterns (code-corpus scrub).  Deliberately deterministic-shape
 # regexes (prefix-keyed token formats + PEM blocks), NOT entropy heuristics,
 # so the scrub is reproducible and SQL-twinnable.

@@ -701,3 +701,24 @@ def test_secrets_scrub(spark):
     assert (got[3]["n_pem"], got[3]["n_jwt"], got[3]["scrubbed"]) == (1, 0, "<PRIVATE_KEY>")
     assert got[4] == got[4].__class__(doc_id=4, n_pem=0, n_aws=0, n_gh=0, n_jwt=0,
                                       scrubbed="clean code, AKIA too short AKIA123")
+
+
+def test_pack_sequences_matches_serial(spark):
+    rng = np.random.default_rng(11)
+    rows = [(int(i), " ".join(f"t{j}" for j in range(int(rng.integers(0, 40)))))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tok"], r["offset"], r["first_chunk"], r["last_chunk"])
+           for r in dp.pack_sequences(df, budget=64, partitions=7).collect()}
+    off = 0
+    for i, text in rows:
+        n = len([t for t in text.split(" ") if t])
+        first = off // 64
+        last = (off + n - 1) // 64 if n else first
+        assert got[i] == (n, off, first, last), i
+        off += n
+    # partition-count invariance: the distributed prefix sum must not
+    # depend on how the range partitioner splits the id space
+    got3 = {r["doc_id"]: (r["n_tok"], r["offset"], r["first_chunk"], r["last_chunk"])
+            for r in dp.pack_sequences(df, budget=64, partitions=3).collect()}
+    assert got3 == got
