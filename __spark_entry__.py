@@ -3761,22 +3761,29 @@ WITH aug AS (
             ELSE '' END AS t
   FROM documents
 ),
-nopem AS (
+cascade AS (
   SELECT doc_id, t,
          regexp_replace(t, '-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----',
                         '<PRIVATE_KEY>', 'gs') AS np
   FROM aug
+),
+cascade2 AS (
+  SELECT doc_id, t, np,
+         regexp_replace(np, 'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g') AS na
+  FROM cascade
+),
+cascade3 AS (
+  SELECT doc_id, t, np, na,
+         regexp_replace(na, 'ghp_[A-Za-z0-9]{36}', '<GH_TOKEN>', 'g') AS ng
+  FROM cascade2
 )
 SELECT doc_id,
   len(regexp_extract_all(t, '-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----', 0, 's'))::INT AS n_pem,
   len(regexp_extract_all(np, 'AKIA[0-9A-Z]{16}'))::INT AS n_aws,
-  len(regexp_extract_all(np, 'ghp_[A-Za-z0-9]{36}'))::INT AS n_gh,
-  len(regexp_extract_all(np, 'eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}'))::INT AS n_jwt,
-  md5(regexp_replace(regexp_replace(regexp_replace(np,
-      'AKIA[0-9A-Z]{16}', '<AWS_KEY>', 'g'),
-      'ghp_[A-Za-z0-9]{36}', '<GH_TOKEN>', 'g'),
-      'eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}', '<JWT>', 'g')) AS h
-FROM nopem"""
+  len(regexp_extract_all(na, 'ghp_[A-Za-z0-9]{36}'))::INT AS n_gh,
+  len(regexp_extract_all(ng, 'eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}'))::INT AS n_jwt,
+  md5(regexp_replace(ng, 'eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}', '<JWT>', 'g')) AS h
+FROM cascade3"""
     sqls["license_detect"] = """
 WITH aug AS (
   SELECT doc_id,

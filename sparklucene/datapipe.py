@@ -857,6 +857,25 @@ def _kmeans(mat: np.ndarray, nlist: int, iters: int = 10, seed: int = 5) -> np.n
     return centroids
 
 
+def _stack_normalized(vals) -> np.ndarray:
+    """Stack a sequence of vectors into a float64 matrix with unit L2 rows
+    (zero vectors pass through) -- the shared kernel of every
+    quantizer-training sample and executor-side assignment pass."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+    n = np.sqrt((m * m).sum(axis=1))
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _normalized_sample(emb: DataFrame, vec_col: str, limit: int) -> np.ndarray:
+    """Driver-side bounded sample of normalized vectors (the IVF / PQ /
+    SemDeDup quantizer training input)."""
+    sample = emb.select(vec_col).limit(limit).collect()
+    if not sample:
+        raise ValueError("cannot train a quantizer on an empty table")
+    return _stack_normalized([r[vec_col] for r in sample])
+
+
 def cosine_topk_ivf(
     spark: SparkSession, emb: DataFrame, query_vec: list[float], k: int = 10,
     nlist: int = 16, nprobe: int = 4,
@@ -872,11 +891,7 @@ def cosine_topk_ivf(
       3. probe the nprobe lists nearest the query and exact-re-rank only
          those candidates.
     Approximate (recall measured vs brute in tests); deterministic."""
-    sample = emb.select(vec_col).limit(sample_limit).collect()
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    nrm[nrm == 0] = 1.0
-    centroids = _kmeans(mat / nrm[:, None], nlist)
+    centroids = _kmeans(_normalized_sample(emb, vec_col, sample_limit), nlist)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum()) or 1.0
     probe = set(np.argsort(-(centroids @ (q / qn)))[:nprobe].tolist())
@@ -891,10 +906,8 @@ def cosine_topk_ivf(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(np.int64)
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = np.sqrt((m * m).sum(axis=1))
-            n[n == 0] = 1.0
-            lists = ((m / n[:, None]) @ cent.T).argmax(axis=1).astype(np.int32)
+            m = _stack_normalized(pdf[vec_col])
+            lists = (m @ cent.T).argmax(axis=1).astype(np.int32)
             yield pd.DataFrame({"vec_id": ids, "list_id": lists})
 
     assigned = emb.select(id_col, vec_col).mapInPandas(assign, schema=aschema)
@@ -968,11 +981,11 @@ def cosine_topk_ivfpq(
     Approximate; deterministic. No SQL twin (trained quantizer): certified
     by a bit-exact numpy replication differential + recall-vs-brute tests
     (test_datapipe.py::test_ivfpq_*). -> DataFrame(vec_id, cos) desc."""
-    sample = emb.select(vec_col).limit(sample_limit).collect()
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    nrm[nrm == 0] = 1.0
-    coarse, books = _pq_train(mat / nrm[:, None], nlist, m_sub, ksub)
+    if refine and refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k}) when set")
+    coarse, books = _pq_train(
+        _normalized_sample(emb, vec_col, sample_limit), nlist, m_sub, ksub
+    )
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum()) or 1.0
     qh = q / qn
@@ -998,10 +1011,7 @@ def cosine_topk_ivfpq(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(np.int64)
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = np.sqrt((m * m).sum(axis=1))
-            n[n == 0] = 1.0
-            m = m / n[:, None]
+            m = _stack_normalized(pdf[vec_col])
             lists = (m @ coarse_.T).argmax(axis=1)
             keep = np.isin(lists, list(probe_))
             if excl:
@@ -1073,11 +1083,7 @@ def semdedup(
 
     -> DataFrame(vec_id, list_id, centroid_cos, keep boolean)."""
     spark = emb.sparkSession
-    sample = emb.select(vec_col).limit(sample_limit).collect()
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    nrm[nrm == 0] = 1.0
-    centroids = _kmeans(mat / nrm[:, None], nlist)
+    centroids = _kmeans(_normalized_sample(emb, vec_col, sample_limit), nlist)
     b_cent = spark.sparkContext.broadcast(centroids)
     aschema = T.StructType(
         [
@@ -1094,10 +1100,8 @@ def semdedup(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(np.int64)
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = np.sqrt((m * m).sum(axis=1))
-            n[n == 0] = 1.0
-            sims = (m / n[:, None]) @ cent.T
+            m = _stack_normalized(pdf[vec_col])
+            sims = m @ cent.T
             lists = sims.argmax(axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {
@@ -1124,10 +1128,7 @@ def semdedup(
     def dedup_cluster(key, pdf):
         ids = pdf["vec_id"].to_numpy(np.int64)
         csim = pdf["centroid_cos"].to_numpy(np.float64)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        n = np.sqrt((m * m).sum(axis=1))
-        n[n == 0] = 1.0
-        m = m / n[:, None]
+        m = _stack_normalized(pdf[vec_col])
         order = (
             np.lexsort((ids, csim)) if by_centroid else np.argsort(ids)
         )  # ties in centroid_cos break by id for determinism
@@ -1259,7 +1260,10 @@ def lm_quality(
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(ws_tokens(text_col)).alias("term")
     )
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # persist the vocab-sized model: the totals collect below and the join
+    # both consume it -- without this the corpus-sized explode+groupBy (the
+    # only heavy stage) would run twice
+    counts = toks.groupBy("term").agg(F.count("*").alias("c")).persist()
     tot = counts.agg(F.sum("c").alias("s"), F.count("*").alias("v")).collect()[0]
     total, vocab = int(tot["s"] or 0), int(tot["v"] or 0)
     model = F.broadcast(counts) if vocab <= broadcast_vocab_max else counts
@@ -1466,7 +1470,13 @@ def pack_sequences(
     sum per partition -- the 100 TB-safe distributed prefix sum.
     -> DataFrame(doc_id, n_tok, offset, first_chunk, last_chunk)."""
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.size(ws_tokens(text_col)).alias("n_tok")
+        F.col(id_col).alias("doc_id"),
+        # F.size(NULL) is -1 under non-ANSI SQL, and a -1 in a PREFIX SUM
+        # corrupts every later doc's offset, not just this row's
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(ws_tokens(text_col)))
+        .cast("long")
+        .alias("n_tok"),
     )
     ranged = (
         toks.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
@@ -1534,25 +1544,24 @@ def secrets_scrub(
     """Credential redaction for code corpora (the scrub that keeps leaked
     keys out of training data): AWS access key ids, GitHub personal access
     tokens, JWTs, and PEM private-key blocks -> placeholder tokens, with
-    per-doc counts.  PEM blocks replace FIRST so a JWT-shaped run inside a
-    key body never double-counts.  Pure JVM regexp chain -- whole-stage
-    codegen, no shuffle, embarrassingly parallel.
-    -> DataFrame(doc_id, n_aws, n_gh, n_jwt, n_pem, scrubbed)."""
+    per-doc counts.  Each count is taken on the text AS IT EXISTS at that
+    stage of the replacement cascade (PEM -> AWS -> GH -> JWT), so counts
+    always agree with the scrubbed output even when one secret shape
+    overlaps another's body (an AKIA run inside a GH token, a JWT inside
+    a key block).  Pure JVM regexp chain -- whole-stage codegen, no
+    shuffle, embarrassingly parallel.
+    -> DataFrame(doc_id, n_pem, n_aws, n_gh, n_jwt, scrubbed)."""
     t = F.col(text_col)
     no_pem = F.regexp_replace(t, SECRET_PEM_RE, "<PRIVATE_KEY>")
+    no_aws = F.regexp_replace(no_pem, SECRET_AWS_RE, "<AWS_KEY>")
+    no_gh = F.regexp_replace(no_aws, SECRET_GH_RE, "<GH_TOKEN>")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_count(t, F.lit(SECRET_PEM_RE)).alias("n_pem"),
         F.regexp_count(no_pem, F.lit(SECRET_AWS_RE)).alias("n_aws"),
-        F.regexp_count(no_pem, F.lit(SECRET_GH_RE)).alias("n_gh"),
-        F.regexp_count(no_pem, F.lit(SECRET_JWT_RE)).alias("n_jwt"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(no_pem, SECRET_AWS_RE, "<AWS_KEY>"),
-                SECRET_GH_RE, "<GH_TOKEN>",
-            ),
-            SECRET_JWT_RE, "<JWT>",
-        ).alias("scrubbed"),
+        F.regexp_count(no_aws, F.lit(SECRET_GH_RE)).alias("n_gh"),
+        F.regexp_count(no_gh, F.lit(SECRET_JWT_RE)).alias("n_jwt"),
+        F.regexp_replace(no_gh, SECRET_JWT_RE, "<JWT>").alias("scrubbed"),
     )
 
 

@@ -672,38 +672,10 @@ class IndexSearcher:
 
         ftype = "float" if mode == "f32" else "double"
         empty = self.spark.createDataFrame([], f"docID long, score {ftype}")
-        spec_rows: list[tuple[str, str, float]] = []
-        qt = query.get("type")
-        if qt == "term":
-            spec_rows.append((query["term"], "SHOULD", float(query.get("boost", 1.0))))
-            n_must_req, need = 0, 1
-        elif qt == "boolean":
-            clauses = query["clauses"]
-            if len(clauses) > MAX_CLAUSE_COUNT:
-                raise ValueError("TooManyClauses")  # BooleanQuery.cs:71
-            n_must = n_should = 0
-            for c in clauses:
-                sub = c["query"]
-                if sub.get("type") != "term":
-                    raise ValueError(
-                        "search_early_sorted supports term/flat-boolean "
-                        f"queries, got clause {sub.get('type')!r}"
-                    )
-                occur = c["occur"]
-                if occur not in ("MUST", "SHOULD", "MUST_NOT"):
-                    raise ValueError(f"bad occur {occur!r}")
-                n_must += occur == "MUST"
-                n_should += occur == "SHOULD"
-                spec_rows.append((sub["term"], occur, float(sub.get("boost", 1.0))))
-            msm = int(query.get("minShouldMatch", 0))
-            if msm > n_should:
-                return empty  # BooleanWeight: minNrShouldMatch > optional.Count
-            n_must_req = n_must
-            need = msm if n_must else max(msm, 1 if n_should else 0)
-        else:
-            raise ValueError(
-                f"search_early_sorted supports term/flat-boolean queries, got {qt!r}"
-            )
+        rows, (_, n_must_req, need) = self._flat_bool_spec(query, 0, "search_early_sorted")
+        spec_rows = [(t, o, b) for _, t, o, b in rows]
+        if n_must_req > sum(1 for _, o, _ in spec_rows if o == "MUST"):
+            return empty  # BooleanWeight: minNrShouldMatch > optional.Count
 
         stats = self.lookup_terms(sorted({t for t, _, _ in spec_rows}))
         if any(o == "MUST" and t not in stats for t, o, _ in spec_rows):
@@ -3033,6 +3005,45 @@ class IndexSearcher:
             return self.spark.createDataFrame([], f"docID long, score {ftype}")
         return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
 
+    def _flat_bool_spec(
+        self, q: dict, qid: int, caller: str
+    ) -> tuple[list[tuple[int, str, str, float]], tuple[int, int, int]]:
+        """Flatten a term / FLAT-boolean-over-terms query into spec rows
+        (qid, term, occur, boost) plus the BooleanWeight requirement row
+        (qid, n_must_req, need) -- the shared grammar of msearch and
+        search_early_sorted.  An unsatisfiable minShouldMatch (msm >
+        optional clause count, BooleanWeight -> no hits) is encoded as
+        n_must_req greater than the number of MUST clauses, which no doc
+        can ever reach."""
+        qt = q.get("type")
+        if qt == "term":
+            return [(qid, q["term"], "SHOULD", float(q.get("boost", 1.0)))], (qid, 0, 1)
+        if qt != "boolean":
+            raise ValueError(f"{caller} supports term/flat-boolean queries, got {qt!r}")
+        clauses = q["clauses"]
+        if len(clauses) > MAX_CLAUSE_COUNT:
+            raise ValueError("TooManyClauses")  # BooleanQuery.cs:71
+        rows: list[tuple[int, str, str, float]] = []
+        n_must = 0
+        n_should = 0
+        for c in clauses:
+            sub = c["query"]
+            if sub.get("type") != "term":
+                raise ValueError(
+                    f"{caller} boolean clauses must be term queries, got {sub.get('type')!r}"
+                )
+            occur = c["occur"]
+            if occur not in ("MUST", "SHOULD", "MUST_NOT"):
+                raise ValueError(f"bad occur {occur!r}")
+            n_must += occur == "MUST"
+            n_should += occur == "SHOULD"
+            rows.append((qid, sub["term"], occur, float(sub.get("boost", 1.0))))
+        msm = int(q.get("minShouldMatch", 0))
+        if msm > n_should:
+            return rows, (qid, n_must + 1_000_000, 0)
+        need = msm if n_must else max(msm, 1 if n_should else 0)
+        return rows, (qid, n_must, need)
+
     def msearch(self, queries: list[dict], k: int = 10, mode: str = "f64",
                 dense: bool | None = None) -> DataFrame:
         """Batched multi-query search: N queries, ONE physical plan.
@@ -3074,37 +3085,9 @@ class IndexSearcher:
         spec_rows: list[tuple[int, str, str, float]] = []
         req_rows: list[tuple[int, int, int]] = []  # (qid, n_must_req, need)
         for qid, q in enumerate(queries):
-            qt = q.get("type")
-            if qt == "term":
-                spec_rows.append((qid, q["term"], "SHOULD", float(q.get("boost", 1.0))))
-                req_rows.append((qid, 0, 1))
-                continue
-            if qt != "boolean":
-                raise ValueError(f"msearch supports term/flat-boolean queries, got {qt!r}")
-            clauses = q["clauses"]
-            if len(clauses) > MAX_CLAUSE_COUNT:
-                raise ValueError("TooManyClauses")  # BooleanQuery.cs:71
-            n_must = 0
-            n_should = 0
-            for c in clauses:
-                sub = c["query"]
-                if sub.get("type") != "term":
-                    raise ValueError(
-                        f"msearch boolean clauses must be term queries, got {sub.get('type')!r}"
-                    )
-                occur = c["occur"]
-                if occur not in ("MUST", "SHOULD", "MUST_NOT"):
-                    raise ValueError(f"bad occur {occur!r}")
-                n_must += occur == "MUST"
-                n_should += occur == "SHOULD"
-                spec_rows.append((qid, sub["term"], occur, float(sub.get("boost", 1.0))))
-            msm = int(q.get("minShouldMatch", 0))
-            if msm > n_should:
-                # BooleanWeight: minNrShouldMatch > optional.Count -> no hits
-                req_rows.append((qid, n_must + 1_000_000, 0))
-                continue
-            need = msm if n_must else max(msm, 1 if n_should else 0)
-            req_rows.append((qid, n_must, need))
+            rows, req = self._flat_bool_spec(q, qid, "msearch")
+            spec_rows.extend(rows)
+            req_rows.append(req)
 
         empty = self.spark.createDataFrame([], f"qid int, docID long, score {ftype}")
         if not spec_rows:
@@ -3281,16 +3264,21 @@ class IndexSearcher:
             ti = np.concatenate(ti_l)
             sc = np.concatenate(sc_l)
             udoc, inv = np.unique(doc, return_inverse=True)
+            # sort the triplets by doc group ONCE so each chunk below is a
+            # contiguous slice -- per-chunk masking over the full arrays
+            # would be O(rows x n_chunks)
+            order = np.argsort(inv, kind="stable")
+            inv_s, ti_s, sc_s = inv[order], ti[order], sc[order]
             rows_q, rows_d, rows_s = [], [], []
             CH = 16384  # chunk the dense block: <= CH*nt*8 bytes live at once
             for lo in range(0, len(udoc), CH):
                 hi = min(lo + CH, len(udoc))
-                m = (inv >= lo) & (inv < hi)
-                rloc = inv[m] - lo
+                r0, r1 = np.searchsorted(inv_s, (lo, hi))
+                rloc = inv_s[r0:r1] - lo
                 D = np.zeros((hi - lo, B.shape[1]))
                 P = np.zeros((hi - lo, B.shape[1]))
-                D[rloc, ti[m]] = sc[m]  # one posting row per (term, doc)
-                P[rloc, ti[m]] = 1.0
+                D[rloc, ti_s[r0:r1]] = sc_s[r0:r1]  # one posting row per (term, doc)
+                P[rloc, ti_s[r0:r1]] = 1.0
                 qsc = D @ B.T  # float64 clause sum, cast after (join-path rule)
                 qual = (
                     ((P @ X.T) == 0)

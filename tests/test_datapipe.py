@@ -722,3 +722,33 @@ def test_pack_sequences_matches_serial(spark):
     got3 = {r["doc_id"]: (r["n_tok"], r["offset"], r["first_chunk"], r["last_chunk"])
             for r in dp.pack_sequences(df, budget=64, partitions=3).collect()}
     assert got3 == got
+
+
+def test_secrets_scrub_overlapping_shapes(spark):
+    """Counts are taken per cascade stage, so they agree with the scrubbed
+    output when one secret shape overlaps another's body."""
+    # a GH-token-shaped run whose 36-char body embeds an AKIA+16 run: the
+    # AWS replacement fires first and breaks the GH match
+    gh_with_aws = "ghp_xxAKIAABCDEFGHIJKLMNOP" + "y" * 14
+    assert len(gh_with_aws) == 4 + 36
+    df = spark.createDataFrame([(0, "t " + gh_with_aws + " z")],
+                               "doc_id long, text string")
+    r = dp.secrets_scrub(df).collect()[0]
+    assert (r["n_aws"], r["n_gh"]) == (1, 0)
+    assert r["scrubbed"] == "t ghp_xx<AWS_KEY>" + "y" * 14 + " z"
+    assert "AKIA" not in r["scrubbed"]
+
+
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_tok"], r["offset"]) for r in
+           dp.pack_sequences(df, budget=4, partitions=2).collect()}
+    assert got == {0: (3, 0), 1: (0, 3), 2: (2, 3)}
+
+
+def test_ivfpq_refine_below_k_raises(spark, emb_df):
+    df, vecs = emb_df
+    with pytest.raises(ValueError):
+        dp.cosine_topk_ivfpq(spark, df, list(map(float, vecs[0])), k=10, refine=5)

@@ -144,6 +144,7 @@ def run_at(cores: int, sf_dir: str, repl: int, query_reps: int) -> dict:
         "heavy_s": round(heavy_s, 2),
         "heavy_queries_per_sec": round(n_h / heavy_s, 3),
         "n_batched": n_b,
+        "batch_size": len(batch),
         "msearch_s": round(msearch_s, 2),
         "msearch_queries_per_sec": round(n_b / msearch_s, 3),
     }
@@ -244,7 +245,8 @@ def main() -> None:
         f"hot-term booleans over terms {hi['hot_terms']}): **{eff_heavy:.3f}** "
         "-- the distributed per-query shape that a large cluster amortizes.",
         f"BATCHED-query scaling efficiency (msearch, {hi['n_batched']} "
-        f"hot/mid-term queries per leg in ONE plan per rep): **{eff_batch:.3f}** "
+        f"queries per leg = {hi['batch_size']} per plan x "
+        f"{hi['n_batched'] // hi['batch_size']} reps): **{eff_batch:.3f}** "
         "-- the throughput scale path: constant barrier count for the whole "
         "batch, so per-stage work grows with load instead of serializing.",
         "",
