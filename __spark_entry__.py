@@ -1710,6 +1710,61 @@ def _q_strat_sample(spark, sf_dir):
     )
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Temperature-scaled mixture sampling over lang (alpha=0.5): rates are
+    sqrt(n_min/n_d) -- IEEE-exact on both engines -- and the keep decision
+    is the pure hash60 function of the row id."""
+    return dp.mixture_sample(_docs_df(spark, sf_dir), "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain cap (no host dominates): keep the 5 smallest-hash docs
+    per source.  The Spark side runs the Chernoff-prefiltered window; the
+    oracle computes the unfiltered global window -- a mismatch would mean
+    the prefilter dropped a required row."""
+    return dp.cap_per_stratum(_docs_df(spark, sf_dir), "source", cap=5).select(
+        "doc_id", "source"
+    )
+
+
+def _q_incr_dedup(spark, sf_dir):
+    """Incremental exact dedup: batch (doc_id%5==0) anti-joined against the
+    fingerprint index of the rest (10 cross-batch hits + 1 within-batch
+    group at sf0.01), keep min-id per within-batch fingerprint."""
+    docs = _docs_df(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dp.incremental_dedup(new, dp.dedup_index(old)).select("doc_id")
+
+
+def _q_train_order(spark, sf_dir):
+    """Deterministic epoch-3 training order: shard = h60 % 8, pos = rank of
+    the hash within the shard."""
+    return dp.training_order(_docs_df(spark, sf_dir), n_shards=8, epoch=3)
+
+
+def _q_url_filter(spark, sf_dir):
+    """URL/domain blocklist filtering over synthesized per-doc URLs (both
+    sides append the same two URLs derived from doc_id)."""
+    docs = _docs_df(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://sub.dom"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".net/p and https://spam"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".org/x"),
+        ).alias("text"),
+    )
+    out = dp.url_filter(aug, ["dom3.net", "spam5.org"])
+    return out.select(
+        "doc_id", "n_urls", "n_blocked", "kept",
+        F.array_join("domains", " ").alias("domains_s"),
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard near-dup pairs (inverted-index candidates)."""
     return dp.ngram_jaccard_pairs(_docs_df(spark, sf_dir), threshold=0.8)
@@ -1881,6 +1936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["repetition"] = _q_repetition
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
+    out["mixture_sample"] = _q_mixture_sample
+    out["domain_cap"] = _q_domain_cap
+    out["incr_dedup"] = _q_incr_dedup
+    out["train_order"] = _q_train_order
+    out["url_filter"] = _q_url_filter
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
@@ -1893,6 +1953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # phrase), then the gates whose latest green driver row is r2 -- so
     # the official record leads with what has never been sampled.
     round5 = [
+        # gates NEW in the round-5 continuation session lead the prefix
+        "mixture_sample", "domain_cap", "incr_dedup", "train_order",
+        "url_filter",
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
@@ -3909,6 +3972,77 @@ SELECT doc_id, lang FROM documents
 WHERE ('0x' || substring(md5('strat:' || doc_id), 1, 15))::BIGINT / 1152921504606846976.0 <
       CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.9 WHEN 'fr' THEN 0.0
                 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 0.25 ELSE 0.0 END"""
+
+    sqls["mixture_sample"] = """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, round(sqrt((SELECT min(n) FROM cnt) / n::DOUBLE), 6) AS rate FROM cnt
+)
+SELECT doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substring(md5('mix:' || doc_id), 1, 15))::BIGINT / 1152921504606846976.0
+      < r.rate"""
+
+    sqls["domain_cap"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5('cap:' || doc_id), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+  FROM u
+) WHERE rn <= 5"""
+
+    sqls["incr_dedup"] = f"""{_dp_prelude()},
+keyed AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_new,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM dt
+),
+fresh AS (
+  SELECT doc_id, fp FROM keyed
+  WHERE is_new AND fp NOT IN (SELECT fp FROM keyed WHERE NOT is_new)
+)
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh
+) WHERE rn = 1"""
+
+    sqls["train_order"] = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('epoch3:' || doc_id), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, (h % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS pos
+FROM h"""
+
+    sqls["url_filter"] = """
+WITH aug AS (
+  SELECT doc_id,
+         lower(text || ' see http://sub.dom' || (doc_id % 7) || '.net/p and https://spam'
+               || (doc_id % 13) || '.org/x') AS t
+  FROM documents
+),
+ext AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(t, 'https?://([a-z0-9.-]+)', 1),
+           h -> CASE WHEN len(string_split(h, '.')) < 2 THEN h
+                ELSE array_to_string(list_slice(string_split(h, '.'), -2, -1), '.')
+                END) AS dom
+  FROM aug
+),
+fl AS (
+  SELECT doc_id, len(dom) AS n_urls,
+         len(list_filter(dom, d -> list_contains(['dom3.net', 'spam5.org'], d))) AS n_blocked,
+         list_sort(list_distinct(dom)) AS ds
+  FROM ext
+)
+SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS kept,
+       array_to_string(ds, ' ') AS domains_s
+FROM fl"""
     sqls["emb_neardup"] = """
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -1645,3 +1645,241 @@ def duplicated_spans(
         .select("doc_id", "span_start", "span_end", "n_dup_windows")
         .orderBy("doc_id", "span_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: mixture sampling, domain caps, incremental dedup,
+# training order, URL filtering
+# ---------------------------------------------------------------------------
+
+def mixture_sample(
+    df: DataFrame, strata_col: str, alpha: float = 0.5,
+    id_col: str = "doc_id", seed: str = "mix", rate_decimals: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    rebalancing of Lample & Conneau 2019 / the domain-mixing step of every
+    LLM data pipeline): resample so stratum d's share becomes proportional
+    to p_d**alpha (alpha < 1 flattens the distribution toward rare
+    domains/languages).
+
+    Down-sampling only (rates <= 1): kept_d ~ n_d * rate_d with
+    rate_d = (n_min / n_d) ** (1 - alpha), so the rarest stratum keeps
+    everything and heavy strata are cut toward the tempered share.  The
+    keep decision is hash60(seed:id)/2^60 < rate_d -- a pure function of
+    the row id (retry/partitioning-stable, SQL-twin-reproducible).
+
+    alpha=0.5 makes the exponent 0.5: IEEE sqrt is correctly rounded, so
+    Spark and DuckDB compute bit-identical rates; other alphas go through
+    pow() and are rounded to `rate_decimals` on both sides.
+
+    Scale: one tiny per-stratum count aggregate, broadcast back; the main
+    pass is a narrow filter.  No shuffle of the corpus itself."""
+    cnt = df.groupBy(strata_col).count()
+    n_min = cnt.agg(F.min("count").alias("_n_min"))
+    ratio = F.col("_n_min") / F.col("count")
+    # sqrt is correctly rounded (IEEE); pow is only ~1ulp -- prefer sqrt
+    rate = F.sqrt(ratio) if 1.0 - alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = cnt.crossJoin(F.broadcast(n_min)).select(
+        strata_col, F.round(rate, rate_decimals).alias("_rate")
+    )
+    u = hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(u < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame, strata_col: str, cap: int,
+    id_col: str = "doc_id", seed: str = "cap", prefilter_margin: int = 8,
+) -> DataFrame:
+    """Per-domain cap: keep at most `cap` rows per stratum, chosen as the
+    `cap` smallest values of hash60(seed:id) -- i.e. a deterministic
+    uniform reservoir per domain (the "no single host dominates the
+    corpus" rule of web-scale curation).
+
+    Scale: a naive row_number() window shuffles the WHOLE corpus by
+    stratum (one hot host = one hot partition).  Because priority is a
+    uniform 60-bit hash, rows with u >= margin*cap/n_d cannot be in the
+    top-`cap` except with vanishing probability, so we pre-filter with the
+    per-stratum counts (tiny aggregate, broadcast) and run the exact
+    window on the ~margin*cap survivors per stratum.  margin=8 puts the
+    miss probability per stratum below exp(-cap*(8-1)^2/(8+1)) (Chernoff);
+    the `verify` path in tests compares against the unfiltered window.
+
+    -> the kept rows of df (original columns)."""
+    u = (
+        hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+        / F.lit(float(1 << 60))
+    ).alias("_u")
+    keyed = df.withColumn("_u", u)
+    if prefilter_margin:
+        cnt = df.groupBy(strata_col).count()
+        thr = F.least(F.lit(1.0), F.lit(float(prefilter_margin * cap)) / F.col("count"))
+        thr_df = cnt.select(strata_col, thr.alias("_thr"))
+        keyed = keyed.join(F.broadcast(thr_df), strata_col).filter(
+            F.col("_u") < F.col("_thr")
+        ).drop("_thr")
+    w = Window.partitionBy(strata_col).orderBy("_u", id_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_u", "_rn")
+    )
+
+
+def dedup_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The stored exact-dedup index of a corpus: distinct md5 fingerprints
+    of the sorted-distinct-token-set key (same key as exact_dedup_groups,
+    hashed to stay narrow -- 100 TB of text becomes ~32 bytes/doc of
+    index).  Persist this next to the corpus; incremental batches dedup
+    against it without ever rescanning old text."""
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(text_col))))
+    return df.select(F.md5(key).alias("fp")).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame, index_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: keep the rows of `new_df` that are neither
+    (a) already in the corpus (fingerprint present in `index_df`, the
+    dedup_index of everything ingested so far) nor (b) within-batch
+    duplicates (keep min id per fingerprint).
+
+    This is THE dedup shape at 100 TB: re-deduplicating the full corpus
+    per ingest is O(corpus); anti-joining the delta against a fingerprint
+    index is O(delta + index/partition).  Both joins key on md5 -- uniform
+    128-bit keys, even shuffle, no skew.
+
+    -> kept rows of new_df plus their `fp` column (append to the index)."""
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(ws_tokens(text_col))))
+    keyed = new_df.withColumn("fp", F.md5(key))
+    fresh = keyed.join(index_df, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The stored NEAR-dup index: (band, band-signature, doc_id) bucket
+    rows of the corpus MinHash signatures (same family as
+    minhash_dedup_pairs).  ~MINHASH_BANDS rows/doc of strings -- tiny next
+    to the text it indexes; append each ingested batch's rows."""
+    return minhash_signatures(df, id_col=id_col, text_col=text_col).select(
+        "band", "sig", "doc_id"
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame, index_df: DataFrame, old_texts: DataFrame,
+    threshold: float = 0.7, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Incremental MinHash near-dup: candidate (new, old) pairs from a
+    band-bucket join of the new batch's signatures against the stored
+    `minhash_index`, then exact Jaccard verification fetching ONLY the
+    candidate old docs' texts (semi-join into `old_texts`, never a scan).
+
+    new-vs-new pairs inside the batch are delegated to minhash_dedup_pairs
+    on the batch alone (batches are small); this function covers the
+    new-vs-corpus edge set.
+
+    -> (new_id, old_id, jaccard) with jaccard >= threshold."""
+    new_idx = minhash_index(new_df, id_col=id_col, text_col=text_col)
+    cand = (
+        new_idx.alias("n")
+        .join(index_df.alias("o"), ["band", "sig"])
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .filter(F.col("new_id") != F.col("old_id"))
+        .distinct()
+    )
+    tokset = lambda c: F.array_sort(F.array_distinct(ws_tokens(c)))  # noqa: E731
+    new_t = new_df.select(F.col(id_col).alias("new_id"), tokset(text_col).alias("_tn"))
+    old_t = (
+        old_texts.join(cand.select("old_id").distinct(),
+                       old_texts[id_col] == F.col("old_id"), "left_semi")
+        .select(F.col(id_col).alias("old_id"), tokset(text_col).alias("_to"))
+    )
+    joined = cand.join(new_t, "new_id").join(old_t, "old_id")
+    inter = F.size(F.array_intersect("_tn", "_to")).cast("double")
+    union = F.size(F.array_union("_tn", "_to")).cast("double")
+    return (
+        joined.select(
+            "new_id", "old_id", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def training_order(
+    df: DataFrame, n_shards: int = 8, epoch: int = 0, id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment: the
+    last step of a training-data pipeline (each epoch reads the corpus in
+    a different pseudo-random order, sharded across data-loader workers).
+
+      shard = hash60('epoch{e}:'||id) % n_shards
+      pos   = rank of the hash within the shard (ties by id)
+
+    A pure function of (id, epoch): re-running any subset of partitions
+    reproduces the same order (checkpoint-safe), and epoch+1 is a fresh
+    permutation with zero state.
+
+    Scale: ordering within a shard is a sort by a uniform hash -- Spark
+    range-partitions the sort, so no single reducer sees more than
+    corpus/parallelism rows.  At 100 TB, n_shards is the output-file
+    count (10^4-10^5), so each shard's row_number window fits one task.
+
+    -> (doc_id, shard, pos); pos is 0-based within shard."""
+    h = hash60(F.concat(F.lit(f"epoch{int(epoch)}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select("doc_id", "shard", "pos")
+    )
+
+
+URL_RE = r"https?://([a-z0-9.-]+)"
+
+
+def url_filter(
+    df: DataFrame, blocklist: list[str],
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """URL/domain filtering (the blocklist pass of web-corpus curation):
+    extract http(s) URL hosts from the text, reduce each to its registered
+    domain (last two dot-labels -- a deterministic public-suffix-less
+    heuristic, documented; a real PSL table drops in as a broadcast map),
+    and flag documents citing blocklisted domains.
+
+    Pure JVM: regexp_extract_all + higher-order array functions, zero
+    Python, narrow (no shuffle).
+
+    -> (doc_id, n_urls, n_blocked, kept, domains) where domains is the
+    sorted distinct registered-domain list and kept = (n_blocked == 0)."""
+    hosts = F.expr(f"regexp_extract_all(lower({text_col}), '{URL_RE}', 1)")
+    dom = F.transform(
+        hosts,
+        lambda h: F.when(F.size(F.split(h, r"\.")) < 2, h).otherwise(
+            F.array_join(F.slice(F.split(h, r"\."), -2, 2), ".")
+        ),
+    )
+    bl = F.array(*[F.lit(b) for b in sorted(set(blocklist))])
+    blocked = F.filter(dom, lambda d: F.array_contains(bl, d))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(hosts).alias("n_urls"),
+        F.size(blocked).alias("n_blocked"),
+        (F.size(blocked) == 0).alias("kept"),
+        F.array_sort(F.array_distinct(dom)).alias("domains"),
+    )
