@@ -1765,6 +1765,24 @@ def _q_url_filter(spark, sf_dir):
     )
 
 
+def _q_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    likelihood ratio of the en subset (target) vs the whole corpus."""
+    docs = _docs_df(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    return dp.dsir_weights(docs, target, n_buckets=4096)
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """Initial BPE pair statistics: corpus -> (word, freq) in one groupBy,
+    then adjacent char-pair counts weighted by word freq (the distribution
+    the first merge argmaxes).  ~27x27 output rows, fully deterministic."""
+    wf = dp.bpe_word_freqs(_docs_df(spark, sf_dir))
+    return dp.bpe_pair_counts(wf).select(
+        F.col("left").alias("l"), F.col("right").alias("r"), "cnt"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard near-dup pairs (inverted-index candidates)."""
     return dp.ngram_jaccard_pairs(_docs_df(spark, sf_dir), threshold=0.8)
@@ -1941,6 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["incr_dedup"] = _q_incr_dedup
     out["train_order"] = _q_train_order
     out["url_filter"] = _q_url_filter
+    out["dsir_weights"] = _q_dsir
+    out["bpe_pairs"] = _q_bpe_pairs
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
@@ -1955,7 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
         "mixture_sample", "domain_cap", "incr_dedup", "train_order",
-        "url_filter",
+        "url_filter", "dsir_weights", "bpe_pairs",
         "span_near_unord", "msearch", "common_terms", "boosting",
         "fuzzy_like_this", "dup_filter", "chained_xor", "dup_spans",
         "early_topk", "ann_ivfpq", "slow_fuzzy", "lm_quality",
@@ -4043,6 +4063,42 @@ fl AS (
 SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS kept,
        array_to_string(ds, ' ') AS domains_s
 FROM fl"""
+
+    sqls["dsir_weights"] = f"""{_dp_prelude()},
+gr AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS g
+  FROM dt
+),
+fx AS (SELECT doc_id, ('0x' || substring(md5(g), 1, 15))::BIGINT % 4096 AS b FROM gr),
+tgt AS (SELECT f.b FROM fx f JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+ptot AS (SELECT count(*) AS t FROM tgt),
+qtot AS (SELECT count(*) AS t FROM fx),
+p AS (SELECT b, ln((count(*) + 1.0) / ((SELECT t FROM ptot) + 4096)) AS lp
+      FROM tgt GROUP BY b),
+q AS (SELECT b, ln((count(*) + 1.0) / ((SELECT t FROM qtot) + 4096)) AS lq
+      FROM fx GROUP BY b)
+SELECT doc_id, count(*) AS n_feats,
+       round(sum(coalesce(p.lp, ln(1.0 / ((SELECT t FROM ptot) + 4096)))
+               - coalesce(q.lq, ln(1.0 / ((SELECT t FROM qtot) + 4096)))), 4) AS logw
+FROM fx LEFT JOIN p USING (b) LEFT JOIN q USING (b)
+GROUP BY doc_id"""
+
+    sqls["bpe_pairs"] = """
+WITH wf AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+    FROM documents) GROUP BY w
+),
+prs AS (
+  SELECT freq,
+         unnest([struct_pack(l := w[i],
+                             r := CASE WHEN i < length(w) THEN w[i+1] ELSE '</w>' END)
+                 for i in range(1, length(w) + 1)]) AS p
+  FROM wf
+)
+SELECT p.l AS l, p.r AS r, sum(freq) AS cnt FROM prs GROUP BY p.l, p.r"""
     sqls["emb_neardup"] = """
 WITH ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -174,6 +174,22 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from sparklucene.curate import DEFAULT_STAGES, curate
+
+    spark = _spark(args)
+    src = _read_source(spark, args.input, args.format)
+    stages = tuple(args.stages.split(",")) if args.stages else DEFAULT_STAGES
+    manifest = curate(
+        spark, src, args.out,
+        stages=stages, id_col=args.id_col, text_col=args.content_col,
+        min_quality=args.min_quality, n_shards=args.shards, epoch=args.epoch,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sparklucene")
     ap.add_argument("--master", default=None, help="override spark master (spark-submit usually sets it)")
@@ -235,8 +251,23 @@ def main(argv=None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--force", action="store_true")
 
+    cu = sub.add_parser("curate", help="resumable corpus-curation chain "
+                        "(ingest/dedup/neardup/quality/pii/order)")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--format", choices=("auto", "parquet", "table", "json", "csv", "orc"),
+                    default="auto")
+    cu.add_argument("--content-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--stages", default=None,
+                    help="comma list from ingest,dedup,neardup,quality,pii,order")
+    cu.add_argument("--min-quality", type=float, default=0.25)
+    cu.add_argument("--shards", type=int, default=8)
+    cu.add_argument("--epoch", type=int, default=0)
+    cu.add_argument("--no-resume", action="store_true")
+
     args = ap.parse_args(argv)
-    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell}[args.cmd](args)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate}[args.cmd](args)
 
 
 if __name__ == "__main__":

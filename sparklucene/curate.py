@@ -1,0 +1,145 @@
+"""Resumable end-to-end corpus-curation pipeline.
+
+Chains the datapipe stages into one checkpointed run -- the build_index
+stage-marker discipline (build.py:134-145, SURVEY 2.1 two-phase commit)
+applied to data curation: every stage writes its output parquet + a
+``_STAGE_DONE`` marker with row counts and duration, a killed run resumes
+at the first incomplete stage, and the final manifest records the whole
+chain (the north rule's "resumable from checkpoint with per-partition
+lineage + metrics" for the curation half of the pipeline).
+
+Stage graph (each optional, order fixed):
+
+  ingest   canonicalize the source to (id, text, passthrough...) parquet
+  dedup    exact duplicate removal (keep min-id per token-set fingerprint)
+  neardup  MinHash-LSH pairs -> connected components -> keep one per cluster
+  quality  heuristic quality band filter (datapipe.quality_score)
+  pii      email/IP/phone scrub; text is REPLACED by the scrubbed text
+  order    deterministic training order (shard + position per epoch)
+
+Scale: every stage is one of the audited datapipe plans; the chain adds
+no new shuffle shapes.  Stage outputs are plain parquet directories, so a
+100 TB run can inspect/restart any stage independently and downstream
+consumers read the last completed stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datapipe as dp
+from .build import _mark_done, _stage_done
+
+DEFAULT_STAGES = ("ingest", "dedup", "neardup", "quality", "pii", "order")
+_MANIFEST = "_CURATE_MANIFEST.json"
+
+
+def _stage_dir(out_dir: str, i: int, name: str) -> str:
+    return os.path.join(out_dir, f"{i:02d}_{name}")
+
+
+def curate(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    *,
+    stages: tuple[str, ...] = DEFAULT_STAGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    minhash_threshold: float = 0.8,
+    n_shards: int = 8,
+    epoch: int = 0,
+    resume: bool = True,
+) -> dict:
+    """Run the curation chain; returns the manifest dict.
+
+    ``source`` must carry ``id_col`` (unique) and ``text_col``; other
+    columns pass through.  Output of stage k is the input of stage k+1;
+    the final stage's parquet is the curated corpus."""
+    unknown = [s for s in stages if s not in DEFAULT_STAGES]
+    if unknown:
+        raise ValueError(f"unknown curation stages: {unknown}")
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict = {"stages": [], "out_dir": out_dir}
+    cur = source
+    cur_path: str | None = None
+
+    for i, name in enumerate(s for s in DEFAULT_STAGES if s in stages):
+        sdir = _stage_dir(out_dir, i, name)
+        if resume and _stage_done(sdir):
+            cur = spark.read.parquet(sdir)
+            cur_path = sdir
+            with open(os.path.join(sdir, "_STAGE_DONE")) as f:
+                manifest["stages"].append(json.load(f) | {"resumed": True})
+            continue
+        t0 = time.time()
+        rows_in = cur.count()
+        out = _run_stage(
+            name, cur, id_col, text_col,
+            min_quality=min_quality, minhash_threshold=minhash_threshold,
+            n_shards=n_shards, epoch=epoch,
+        )
+        out.write.mode("overwrite").parquet(sdir)
+        done = spark.read.parquet(sdir)
+        info = {
+            "stage": name,
+            "dir": sdir,
+            "rows_in": rows_in,
+            "rows_out": done.count(),
+            "n_partitions": done.rdd.getNumPartitions(),
+            "duration_s": round(time.time() - t0, 2),
+        }
+        _mark_done(sdir, info)
+        manifest["stages"].append(info)
+        cur, cur_path = done, sdir
+
+    manifest["final"] = cur_path
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _run_stage(
+    name: str, df: DataFrame, id_col: str, text_col: str, *,
+    min_quality: float, minhash_threshold: float, n_shards: int, epoch: int,
+) -> DataFrame:
+    if name == "ingest":
+        other = [c for c in df.columns if c not in (id_col, text_col)]
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *other
+        )
+    if name == "dedup":
+        groups = dp.exact_dedup_groups(df, "doc_id", "text")
+        drop = groups.filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+        return df.join(drop, "doc_id", "left_anti")
+    if name == "neardup":
+        pairs = dp.minhash_dedup_pairs(df, "doc_id", "text",
+                                       threshold=minhash_threshold)
+        clusters = dp.dedup_clusters(pairs)
+        drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        return df.join(drop, "doc_id", "left_anti")
+    if name == "quality":
+        q = dp.quality_score(df, "doc_id", "text").select("doc_id", "quality")
+        return (
+            df.join(q, "doc_id")
+            .filter(F.col("quality") >= float(min_quality))
+        )
+    if name == "pii":
+        scrubbed = dp.pii_scrub(df, "doc_id", "text")
+        keep = [c for c in df.columns if c != "text"]
+        return (
+            df.select(*keep)
+            .join(scrubbed, "doc_id")
+            .withColumnRenamed("scrubbed", "text")
+        )
+    if name == "order":
+        order = dp.training_order(df, n_shards=n_shards, epoch=epoch,
+                                  id_col="doc_id")
+        return df.join(order, "doc_id")
+    raise ValueError(f"unknown stage {name}")

@@ -1801,21 +1801,26 @@ def incremental_minhash_pairs(
         .filter(F.col("new_id") != F.col("old_id"))
         .distinct()
     )
-    tokset = lambda c: F.array_sort(F.array_distinct(ws_tokens(c)))  # noqa: E731
-    new_t = new_df.select(F.col(id_col).alias("new_id"), tokset(text_col).alias("_tn"))
+    # verify over DISTINCT SHINGLE sets -- the same metric
+    # minhash_dedup_pairs verifies, so incremental == full-recompute
+    # membership holds exactly at the threshold
+    new_t = shingle_df(new_df, id_col, text_col).select(
+        F.col("doc_id").alias("new_id"), F.col("gs").alias("_gn")
+    )
     old_t = (
         old_texts.join(cand.select("old_id").distinct(),
                        old_texts[id_col] == F.col("old_id"), "left_semi")
-        .select(F.col(id_col).alias("old_id"), tokset(text_col).alias("_to"))
+    )
+    old_t = shingle_df(old_t, id_col, text_col).select(
+        F.col("doc_id").alias("old_id"), F.col("gs").alias("_go")
     )
     joined = cand.join(new_t, "new_id").join(old_t, "old_id")
-    inter = F.size(F.array_intersect("_tn", "_to")).cast("double")
-    union = F.size(F.array_union("_tn", "_to")).cast("double")
+    inter = F.size(F.array_intersect("_gn", "_go")).cast("double")
+    union = (F.size("_gn") + F.size("_go")).cast("double") - inter
     return (
-        joined.select(
-            "new_id", "old_id", (inter / union).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
+        joined.withColumn("_j", inter / union)
+        .filter(F.col("_j") >= threshold)  # unrounded, like minhash_dedup_pairs
+        .select("new_id", "old_id", F.round("_j", 4).alias("jaccard"))
     )
 
 
@@ -1840,7 +1845,7 @@ def training_order(
 
     -> (doc_id, shard, pos); pos is 0-based within shard."""
     h = hash60(F.concat(F.lit(f"epoch{int(epoch)}:"), F.col(id_col).cast("string")))
-    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
     return (
         df.select(F.col(id_col).alias("doc_id"), h.alias("_h"))
         .withColumn("shard", F.pmod(F.col("_h"), F.lit(int(n_shards))).cast("int"))
@@ -1882,4 +1887,256 @@ def url_filter(
         F.size(blocked).alias("n_blocked"),
         (F.size(blocked) == 0).alias("kept"),
         F.array_sort(F.array_distinct(dom)).alias("domains"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data selection & tokenizer training
+# ---------------------------------------------------------------------------
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    """Hashed n-gram features (unigrams + bigrams of whitespace tokens,
+    md5-hashed into n_buckets) -- one row per feature OCCURRENCE.
+    The explode happens inside one projection (fused, the corpus text is
+    never re-tokenized per feature)."""
+    toks = ws_tokens(text_col)
+    grams = F.concat(
+        toks,
+        F.when(F.size(toks) >= 2,
+               F.transform(F.slice(toks, 1, F.size(toks) - 1),
+                           lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)))
+               ).otherwise(F.array()),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams).alias("g"),
+    ).select("doc_id", (hash60(F.col("g")) % F.lit(int(n_buckets))).alias("b"))
+
+
+def dsir_weights(
+    df: DataFrame, target_df: DataFrame, n_buckets: int = 10000,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw-corpus doc
+    by how target-like its hashed n-gram profile is,
+
+        logw(doc) = sum over the doc's feature occurrences of
+                    ln p_hat(b) - ln q_hat(b)
+
+    where p_hat / q_hat are the add-1-smoothed bucket distributions of the
+    TARGET sample and the RAW corpus over md5-hashed unigram+bigram
+    features.  High logw docs resemble the target domain; resample the
+    corpus proportionally to exp(logw) (or keep the top fraction).
+
+    Scale: the bucket tables are n_buckets rows each (one groupBy over the
+    hashed features, fixed cardinality, broadcast back); the per-doc score
+    is one explode + one broadcast join + one groupBy(doc) -- the same
+    shuffle shape as token counting.  No driver-side state beyond the two
+    tiny distributions.
+
+    -> (doc_id, n_feats, logw); logw rounded to 4 decimals (cross-engine
+    float-sum tolerance; both engines sum float64 lns)."""
+    nb = int(n_buckets)
+    q_feats = _dsir_features(df, id_col, text_col, nb)
+    p_feats = _dsir_features(target_df, id_col, text_col, nb)
+
+    def dist(feats: DataFrame, tot: int, name: str) -> DataFrame:
+        cnt = feats.groupBy("b").agg(F.count("*").alias("_c"))
+        return cnt.select(
+            "b", F.log((F.col("_c") + 1.0) / F.lit(float(tot + nb))).alias(name)
+        )
+
+    # absent buckets fall back to the smoothed floor ln(1/(tot+nb))
+    p_tot = p_feats.count()
+    q_tot = q_feats.count()
+    p = dist(p_feats, p_tot, "lp")
+    q = dist(q_feats, q_tot, "lq")
+    lp0 = float(np.log(1.0 / (p_tot + nb)))
+    lq0 = float(np.log(1.0 / (q_tot + nb)))
+    ratio = (
+        q_feats.join(F.broadcast(p), "b", "left")
+        .join(F.broadcast(q), "b", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("lp"), F.lit(lp0))
+             - F.coalesce(F.col("lq"), F.lit(lq0))).alias("_r"),
+        )
+    )
+    return ratio.groupBy("doc_id").agg(
+        F.count("*").alias("n_feats"),
+        F.round(F.sum("_r"), 4).alias("logw"),
+    )
+
+
+BPE_END = "</w>"
+
+
+def bpe_word_freqs(df: DataFrame, text_col: str = "text",
+                   max_vocab: int | None = None) -> DataFrame:
+    """Word-frequency table for BPE training (Sennrich et al. 2016): the
+    100 TB corpus compresses to (word, freq) in ONE hash groupBy; every
+    subsequent merge iteration runs on this bounded table, never on the
+    corpus again.  max_vocab keeps the top-N words by (freq desc, word) --
+    the documented cap for open-vocabulary multilingual corpora."""
+    wf = (
+        df.select(F.explode(ws_tokens(text_col)).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    if max_vocab:
+        wf = wf.orderBy(F.desc("freq"), "w").limit(int(max_vocab))
+    return wf
+
+
+def bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """Initial BPE pair statistics over a (w, freq) word table: each word
+    is its character sequence + '</w>'; every adjacent symbol pair counts
+    freq times.  One fused projection (posexplode over a transform --
+    chars never materialize per pair), one groupBy.
+
+    -> (left, right, cnt) -- the distribution argmaxed by the first merge."""
+    chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
+    n = F.size(chars)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at(chars, i).alias("l"),
+            F.when(i < n, F.element_at(chars, i + 1))
+             .otherwise(F.lit(BPE_END)).alias("r"),
+        ),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(wf_df: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """BPE merge-rule training over the word-frequency table: n_merges
+    rounds of (count symbol pairs -> take the global argmax -> merge it in
+    every word).  Deterministic tie-break (cnt desc, left, right) like the
+    lexicographic convention of the published reference implementation.
+
+    Distributed shape: each round is one explode+groupBy over the BOUNDED
+    word table (not the corpus) + a 1-row argmax to the driver + a narrow
+    per-word merge pass; the word table is localCheckpoint'ed per round
+    (iterative lineage truncation, the dedup_clusters discipline).  At web
+    scale the word table is millions of rows against a corpus of
+    trillions -- the corpus is touched exactly once (bpe_word_freqs).
+
+    -> [(left, right), ...] merge rules in order."""
+    spark = wf_df.sparkSession
+    words = wf_df.select(
+        F.concat(
+            F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit("")),
+            F.array(F.lit(BPE_END)),
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        merged = left + right
+        # merge every non-overlapping (left, right) occurrence left-to-right:
+        # aggregate rebuilds the symbol list, consuming two symbols when the
+        # accumulator's tail is `left` and the current symbol is `right`
+        # (tail != merged-result guard handles aba-ab chains correctly
+        # because the merged cell is a single new symbol)
+        new_syms = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select(new_syms.alias("syms"), "freq").localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame, merges: list[tuple[str, str]],
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merge rules to a corpus: per doc, the subword
+    token list (each word independently segmented, '</w>' marking word
+    ends -- the Sennrich apply step).
+
+    Scale shape: the per-word merge loop is Python, so it runs ONCE PER
+    DISTINCT WORD (an Arrow-batched pass over the bounded vocabulary
+    table, merge ranks broadcast), and the corpus only joins the resulting
+    word -> subwords map back by word -- the same corpus-touched-once
+    discipline as bpe_word_freqs.  A doc's subword list is the flattened
+    per-word segmentations in token order.
+
+    -> (doc_id, subwords array<string>, n_subwords)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+
+    def seg_batch(it):
+        rk = b_ranks.value
+
+        def seg(word: str) -> list[str]:
+            syms = list(word) + [BPE_END]
+            while len(syms) > 1:
+                best, bi = None, -1
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, i
+                if best is None:
+                    break
+                # merge ALL non-overlapping occurrences of the best pair
+                # left-to-right (the reference re.sub semantics)
+                l, r_ = syms[bi], syms[bi + 1]
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r_:
+                        out.append(l + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in it:
+            yield pd.DataFrame({"w": pdf["w"], "subs": [seg(w) for w in pdf["w"]]})
+
+    vocab = df.select(F.explode(ws_tokens(text_col)).alias("w")).distinct()
+    seg_schema = T.StructType([
+        T.StructField("w", T.StringType()),
+        T.StructField("subs", T.ArrayType(T.StringType())),
+    ])
+    wmap = vocab.mapInPandas(seg_batch, schema=seg_schema)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "w"),
+    )
+    return (
+        toks.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(F.array_sort(F.collect_list(F.struct("pos", "subs"))).getField("subs")).alias("subwords")
+        )
+        .select("doc_id", "subwords", F.size("subwords").alias("n_subwords"))
     )

@@ -1,0 +1,83 @@
+"""End-to-end tests for the resumable curation pipeline (curate.py):
+planted exact dups / near dups / low-quality / PII docs flow through the
+stage chain; stage markers make reruns no-ops and partial reruns resume
+at the first incomplete stage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sparklucene.curate import DEFAULT_STAGES, curate
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, BASE + " one"),                       # keeper of exact pair (0, 1)
+        (1, "one " + BASE),                        # exact dup of 0 by token set
+        (2, BASE.replace("mu", "nu") + " two"),    # near-dup pair keeper
+        (3, BASE.replace("mu", "nu") + " twice"),  # near-dup of 2 (jacc ~0.82)
+        (4, "the the the the"),                    # low quality -> dropped
+        (5, "contact bob@example.com for the curated corpus details today"),
+        (6, "completely unrelated document about distributed query engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_full_chain(spark, corpus, tmp_path):
+    out = str(tmp_path / "cur")
+    man = curate(spark, corpus, out, minhash_threshold=0.8)
+    names = [s["stage"] for s in man["stages"]]
+    assert names == list(DEFAULT_STAGES)
+    final = spark.read.parquet(man["final"])
+    rows = {r["doc_id"]: r for r in final.collect()}
+    # 1 exact dup + 1 near dup + 1 low-quality dropped
+    assert set(rows) == {0, 2, 5, 6}
+    # pii scrubbed into text
+    assert "<EMAIL>" in rows[5]["text"] and "bob@" not in rows[5]["text"]
+    assert rows[5]["n_emails"] == 1
+    # training order columns present and dense per shard
+    assert {"shard", "pos"} <= set(final.columns)
+    # manifest arithmetic: dedup dropped 1, neardup dropped 1, quality 1
+    by = {s["stage"]: s for s in man["stages"]}
+    assert by["dedup"]["rows_in"] - by["dedup"]["rows_out"] == 1
+    assert by["neardup"]["rows_in"] - by["neardup"]["rows_out"] == 1
+    assert by["quality"]["rows_in"] - by["quality"]["rows_out"] == 1
+    assert by["pii"]["rows_out"] == by["order"]["rows_out"] == 4
+
+
+def test_curate_resume_is_noop_and_partial(spark, corpus, tmp_path):
+    out = str(tmp_path / "cur2")
+    first = curate(spark, corpus, out)
+    again = curate(spark, corpus, out)
+    assert all(s.get("resumed") for s in again["stages"])
+    assert again["final"] == first["final"]
+    # knock out ONLY the final stage's marker: rerun recomputes just it
+    last_dir = first["stages"][-1]["dir"]
+    os.remove(os.path.join(last_dir, "_STAGE_DONE"))
+    third = curate(spark, corpus, out)
+    assert all(s.get("resumed") for s in third["stages"][:-1])
+    assert not third["stages"][-1].get("resumed")
+    rows = {r["doc_id"] for r in spark.read.parquet(third["final"]).collect()}
+    assert rows == {0, 2, 5, 6}
+    # manifest persisted
+    assert json.load(open(os.path.join(out, "_CURATE_MANIFEST.json")))["final"] == first["final"]
+
+
+def test_curate_stage_subset(spark, corpus, tmp_path):
+    out = str(tmp_path / "cur3")
+    man = curate(spark, corpus, out, stages=("ingest", "dedup", "pii"))
+    assert [s["stage"] for s in man["stages"]] == ["ingest", "dedup", "pii"]
+    final = spark.read.parquet(man["final"])
+    assert final.count() == 6  # only the exact dup dropped
+    assert "shard" not in final.columns
+
+
+def test_curate_unknown_stage_raises(spark, corpus, tmp_path):
+    with pytest.raises(ValueError):
+        curate(spark, corpus, str(tmp_path / "x"), stages=("ingest", "bogus"))

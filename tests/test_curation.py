@@ -135,11 +135,12 @@ def test_incremental_minhash_equals_full_pairs(spark):
     )
     idx = dp.minhash_index(old)
     inc = dp.incremental_minhash_pairs(new, idx, old, threshold=0.5)
-    got = {(r["new_id"], r["old_id"]) for r in inc.collect()}
-    # full recompute over old+new, restricted to new-vs-old edges
+    got = {(r["new_id"], r["old_id"]): r["jaccard"] for r in inc.collect()}
+    # full recompute over old+new, restricted to new-vs-old edges --
+    # same membership AND same verified shingle-jaccard values
     full = dp.minhash_dedup_pairs(old.unionByName(new), threshold=0.5)
     want = {
-        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]))
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"])): r["jaccard"]
         for r in full.collect()
         if (r["doc_a"] >= 10) != (r["doc_b"] >= 10)
     }
@@ -203,3 +204,155 @@ def test_url_filter_blocklist_and_domains(spark):
     assert out[3]["n_blocked"] == 1 and not out[3]["kept"]
     # single-label host passes through un-sliced
     assert out[4]["domains"] == ["localhost"] and out[4]["kept"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def _ref_dsir(docs, target, nb):
+    from collections import Counter
+
+    def feats(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        grams = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+        return [h60(g) % nb for g in grams]
+
+    p_occ = [b for _, t in target for b in feats(t)]
+    q_occ = [b for _, t in docs for b in feats(t)]
+    pc, qc = Counter(p_occ), Counter(q_occ)
+    lp = lambda b: math.log((pc.get(b, 0) + 1) / (len(p_occ) + nb))  # noqa: E731
+    lq = lambda b: math.log((qc.get(b, 0) + 1) / (len(q_occ) + nb))  # noqa: E731
+    return {
+        i: (len(feats(t)), round(sum(lp(b) - lq(b) for b in feats(t)), 4))
+        for i, t in docs
+    }
+
+
+def test_dsir_matches_python_reference(spark):
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "import spark from pyspark sql functions"),
+        (2, "quick brown foxes and lazy dogs everywhere"),
+        (3, "groupBy agg join select filter window"),
+    ]
+    target = [(100, "quick brown fox and lazy dog stories"),
+              (101, "brown dogs quick foxes lazy tales")]
+    out = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dp.dsir_weights(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(target, "doc_id long, text string"),
+            n_buckets=512,
+        ).collect()
+    }
+    ref = _ref_dsir(docs, target, 512)
+    assert set(out) == set(ref)
+    for i in ref:
+        assert out[i][0] == ref[i][0]
+        assert abs(out[i][1] - ref[i][1]) < 1e-3, (i, out[i], ref[i])
+    # target-like docs outscore off-domain docs per feature (the raw sum
+    # carries a length penalty from the smoothing floor, so normalize)
+    per = {i: out[i][1] / out[i][0] for i in out}
+    assert per[0] > per[1] and per[2] > per[3]
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_freqs, n_merges):
+    vocab = {tuple(list(w) + [dp.BPE_END]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        merges.append((l, r))
+        newv = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            newv[tuple(out)] = newv.get(tuple(out), 0) + f
+        vocab = newv
+    return merges
+
+
+def test_bpe_pair_counts_hand_check(spark):
+    wf = spark.createDataFrame([("low", 5), ("lower", 2)], "w string, freq long")
+    cnt = {(r["left"], r["right"]): r["cnt"] for r in dp.bpe_pair_counts(wf).collect()}
+    assert cnt[("l", "o")] == 7 and cnt[("o", "w")] == 7
+    assert cnt[("w", dp.BPE_END)] == 5
+    assert cnt[("w", "e")] == 2 and cnt[("e", "r")] == 2 and cnt[("r", dp.BPE_END)] == 2
+
+
+def test_bpe_train_matches_python_reference(spark):
+    word_freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2}
+    wf = spark.createDataFrame(list(word_freqs.items()), "w string, freq long")
+    got = dp.bpe_train(wf, 8)
+    want = _ref_bpe(word_freqs, 8)
+    assert got == want, (got, want)
+
+
+def test_bpe_overlapping_pair_merges_left_to_right(spark):
+    # 'aaaa': pair (a,a) merges non-overlapping left-to-right -> [aa, aa]
+    wf = spark.createDataFrame([("aaaa", 3)], "w string, freq long")
+    got = dp.bpe_train(wf, 2)
+    want = _ref_bpe({"aaaa": 3}, 2)
+    assert got == want
+
+
+def test_bpe_word_freqs_cap(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string"
+    )
+    wf = {r["w"]: r["freq"] for r in dp.bpe_word_freqs(df, max_vocab=2).collect()}
+    assert wf == {"a": 3, "b": 2}
+
+
+def _ref_bpe_encode(word, ranks):
+    syms = list(word) + [dp.BPE_END]
+    while len(syms) > 1:
+        cand = [(ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1) if (syms[i], syms[i + 1]) in ranks]
+        if not cand:
+            break
+        _, bi = min(cand)
+        l, r = syms[bi], syms[bi + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    word_freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2}
+    wf = spark.createDataFrame(list(word_freqs.items()), "w string, freq long")
+    merges = dp.bpe_train(wf, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = spark.createDataFrame(
+        [(0, "low lower newest"), (1, "widest new unseen")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["subwords"]) for r in dp.bpe_encode(docs, merges).collect()}
+    for i, text in [(0, "low lower newest"), (1, "widest new unseen")]:
+        want = [s for w in text.split() for s in _ref_bpe_encode(w, ranks)]
+        assert out[i] == want, (i, out[i], want)
