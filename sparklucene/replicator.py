@@ -1,0 +1,453 @@
+"""Index replication -- the Lucene.Net.Replicator module analogue.
+
+Reference semantics (src/Lucene.Net.Replicator/):
+
+  * ``Revision.cs`` / ``IndexRevision.cs:83-122`` -- a revision is an
+    immutable snapshot of ONE commit; its version is the commit generation
+    formatted in hex (``commit.Generation.ToString("X")``), compared
+    numerically; ``SourceFiles`` lists every file of the commit with the
+    ``segments_N`` file LAST.
+  * ``LocalReplicator.cs:256-286 Publish`` -- re-publishing the SAME
+    version releases the new revision and is a no-op; an OLDER version
+    releases it and raises; otherwise the previous revision is DecRef'd
+    (released once no session still references it).
+  * ``LocalReplicator.cs:172-205 CheckForUpdate`` -- returns None when the
+    client is already current, else a session token that IncRefs the
+    current revision; expired sessions are reaped on every entry point
+    (``CheckExpiredSessions``, session expiry test ``:109-112``).
+  * ``LocalReplicator.cs:234-253 ObtainFile`` -- an expired session raises
+    ``SessionExpiredException``; a successful access refreshes the
+    session's last-access timestamp.
+  * ``ReplicationClient.cs:353-374 RequiredFiles`` -- the client copies
+    only files the handler does not already have (incremental pull; index
+    files are immutable once written, so name identity suffices -- we
+    additionally compare sizes for defence against torn local state).
+  * ``IndexReplicationHandler.cs:97-123 GetSegmentsFile`` -- the commit
+    manifest must be the LAST file copied+synced, so a reader that sees
+    the new ``segments_N`` finds every segment file already in place;
+    ``:157 CleanupOldIndexFiles`` then deletes local files the new commit
+    no longer references.
+
+Spark-native mapping: an index "commit" here is the atomically-swapped
+JSON manifest (``_SEGMENTS.json`` for the LSM layout, ``_MANIFEST.json``
+for a single-commit build) plus every file it governs -- parquet segment
+parts, term dictionaries, blooms, skip towers, the deletes store.  A
+revision snapshot is taken with HARDLINKS into ``<root>/_revisions/``
+(the SnapshotDeletionPolicy analogue: a later merge may delete the
+original segment dirs, the links keep the published bytes alive at zero
+copy cost) and released when its refcount drops to zero.
+
+Scale note (10^12-file tier): replication ships FILES, never rows -- a
+replica pull is pure sequential I/O with no Spark job, no shuffle, and
+no driver materialization.  On a real cluster the same revision/session
+protocol runs over shared object storage, where publishing a 100 TB
+index is publishing one manifest object and replicas fetch only the
+segment objects they do not already hold -- exactly the incremental
+``RequiredFiles`` diff below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+class SessionExpiredError(Exception):
+    """SessionExpiredException.cs: the session timed out (or its revision
+    was superseded and released) between CheckForUpdate and ObtainFile."""
+
+
+# ---------------------------------------------------------------------------
+# revisions
+# ---------------------------------------------------------------------------
+
+_MANIFEST_NAMES = ("_SEGMENTS.json", "_MANIFEST.json")
+_SKIP_NAMES = {"_revisions", "_REPLICA.json"}
+
+
+def _walk_commit_files(root: str) -> tuple[list[tuple[str, int]], str]:
+    """-> ([(relpath, size)] with the manifest LAST, manifest relpath).
+
+    Mirrors IndexRevision.RevisionFiles (IndexRevision.cs:63-81): every
+    file of the commit, segments file last.  Skips snapshot dirs, replica
+    bookkeeping, and in-flight ``*.tmp`` files (they are not part of any
+    committed state -- the publish protocol renames them away).
+    """
+    manifest = None
+    for name in _MANIFEST_NAMES:
+        if os.path.exists(os.path.join(root, name)):
+            manifest = name
+            break
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no commit manifest ({' or '.join(_MANIFEST_NAMES)}) under {root}"
+        )
+    files: list[tuple[str, int]] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(d for d in dirnames if d not in _SKIP_NAMES)
+        for fn in sorted(filenames):
+            if fn.endswith(".tmp") or fn in _SKIP_NAMES:
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, root)
+            if rel == manifest:
+                continue  # appended last below
+            files.append((rel, os.path.getsize(full)))
+    files.append((manifest, os.path.getsize(os.path.join(root, manifest))))
+    return files, manifest
+
+
+def _read_generation(root: str, manifest: str) -> int:
+    with open(os.path.join(root, manifest)) as f:
+        m = json.load(f)
+    # segmented manifests carry an explicit publish generation; a flat
+    # build_index dir is a single commit -> generation 1
+    return int(m.get("gen", 1))
+
+
+class IndexRevision:
+    """One publishable commit snapshot of an index directory.
+
+    version = hex(generation) like IndexRevision.RevisionVersion
+    (IndexRevision.cs:83-85); compare_to is numeric on the generation
+    (IndexRevision.cs:105-110).  On construction the commit's files are
+    HARDLINKED into ``<root>/_revisions/<id>/`` so the snapshot survives
+    publisher-side merges deleting the original segment dirs
+    (SnapshotDeletionPolicy semantics); release() removes the link tree.
+    """
+
+    def __init__(self, root: str, snapshot: bool = True):
+        self.root = root
+        files, manifest = _walk_commit_files(root)
+        self.files = files
+        self.manifest_name = manifest
+        self.generation = _read_generation(root, manifest)
+        self.version = format(self.generation, "X")
+        self._snap_dir: str | None = None
+        if snapshot:
+            snap = os.path.join(root, "_revisions", uuid.uuid4().hex[:12])
+            for rel, _size in files:
+                dst = os.path.join(snap, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                src = os.path.join(root, rel)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+            self._snap_dir = snap
+
+    def compare_to(self, version: str) -> int:
+        other = int(version, 16)
+        return (self.generation > other) - (self.generation < other)
+
+    def open(self, rel: str):
+        """-> binary stream for one revision file (Revision.Open)."""
+        base = self._snap_dir if self._snap_dir is not None else self.root
+        return open(os.path.join(base, rel), "rb")
+
+    def release(self) -> None:
+        """Revision.Release: drop the snapshot (the commit may now be
+        reclaimed by the publisher's deletion policy)."""
+        if self._snap_dir is not None:
+            shutil.rmtree(self._snap_dir, ignore_errors=True)
+            self._snap_dir = None
+
+    def __repr__(self) -> str:  # IndexRevision.ToString
+        return f"IndexRevision version={self.version} files={len(self.files)}"
+
+
+# ---------------------------------------------------------------------------
+# the (local) replicator -- publisher side
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SessionToken:
+    """SessionToken.cs: id + revision version + the revision's file list."""
+
+    id: str
+    version: str
+    files: list[tuple[str, int]]
+
+
+@dataclass
+class _RefCountedRevision:
+    """LocalReplicator.RefCountedRevision (LocalReplicator.cs:45-93)."""
+
+    revision: IndexRevision
+    refcount: int = 1
+
+    def inc_ref(self) -> None:
+        self.refcount += 1
+
+    def dec_ref(self) -> None:
+        if self.refcount <= 0:
+            raise RuntimeError("too many dec_ref calls")
+        self.refcount -= 1
+        if self.refcount == 0:
+            self.revision.release()
+
+
+@dataclass
+class _Session:
+    """LocalReplicator.ReplicationSession (LocalReplicator.cs:95-121)."""
+
+    id: str
+    revision: _RefCountedRevision
+    last_access: float = field(default_factory=time.monotonic)
+
+    def is_expired(self, threshold_ms: float) -> bool:
+        return self.last_access < time.monotonic() - threshold_ms / 1000.0
+
+    def mark_accessed(self) -> None:
+        self.last_access = time.monotonic()
+
+
+DEFAULT_SESSION_EXPIRATION_THRESHOLD_MS = 30 * 60 * 1000  # LocalReplicator.cs
+
+
+class LocalReplicator:
+    """In-process revision registry (LocalReplicator.cs).
+
+    Thread-safe; one instance serves any number of pulling clients.  The
+    HTTP transport of the reference (Http/ReplicationService.cs) is a thin
+    marshalling layer over exactly these three calls -- out of scope here,
+    the protocol object IS this class.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._current: _RefCountedRevision | None = None
+        self._sessions: dict[str, _Session] = {}
+        self._closed = False
+        self.expiration_threshold_ms = DEFAULT_SESSION_EXPIRATION_THRESHOLD_MS
+
+    def _ensure_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("replicator is closed")
+
+    def _release_session(self, session_id: str) -> None:
+        s = self._sessions.pop(session_id, None)
+        if s is not None:
+            s.revision.dec_ref()
+
+    def _check_expired_sessions(self) -> None:
+        for sid, s in list(self._sessions.items()):
+            if s.is_expired(self.expiration_threshold_ms):
+                self._release_session(sid)
+
+    # -- protocol ----------------------------------------------------------
+    def publish(self, revision: IndexRevision) -> None:
+        """LocalReplicator.cs:256-286 -- same version: release+ignore;
+        older: release+raise; newer: swap, dec_ref the old revision."""
+        with self._lock:
+            self._ensure_open()
+            if self._current is not None:
+                cmp = revision.compare_to(self._current.revision.version)
+                if cmp == 0:
+                    revision.release()
+                    return
+                if cmp < 0:
+                    revision.release()
+                    raise ValueError(
+                        f"cannot publish an older revision: rev={revision.version} "
+                        f"current={self._current.revision.version}"
+                    )
+            old = self._current
+            self._current = _RefCountedRevision(revision)
+            if old is not None:
+                old.dec_ref()
+            self._check_expired_sessions()
+
+    def check_for_update(self, current_version: str | None) -> SessionToken | None:
+        """LocalReplicator.cs:172-205."""
+        with self._lock:
+            self._ensure_open()
+            self._check_expired_sessions()
+            if self._current is None:
+                return None  # no revision published yet
+            if (
+                current_version is not None
+                and self._current.revision.compare_to(current_version) <= 0
+            ):
+                return None  # client is already current
+            self._current.inc_ref()
+            sid = uuid.uuid4().hex
+            self._sessions[sid] = _Session(sid, self._current)
+            rev = self._current.revision
+            return SessionToken(sid, rev.version, list(rev.files))
+
+    def obtain_file(self, session_id: str, rel: str):
+        """LocalReplicator.cs:234-253 -> binary stream."""
+        with self._lock:
+            self._ensure_open()
+            s = self._sessions.get(session_id)
+            if s is None or s.is_expired(self.expiration_threshold_ms):
+                if s is not None:
+                    self._release_session(session_id)
+                raise SessionExpiredError(
+                    f"session {session_id} expired or unknown"
+                )
+            s.mark_accessed()
+            return s.revision.revision.open(rel)
+
+    def release(self, session_id: str) -> None:
+        with self._lock:
+            self._ensure_open()
+            self._release_session(session_id)
+
+    def close(self) -> None:
+        """Dispose: drop every session and the current revision."""
+        with self._lock:
+            if self._closed:
+                return
+            for sid in list(self._sessions):
+                self._release_session(sid)
+            if self._current is not None:
+                self._current.dec_ref()
+                self._current = None
+            self._closed = True
+
+
+# ---------------------------------------------------------------------------
+# replication client -- replica side
+# ---------------------------------------------------------------------------
+
+
+class ReplicationClient:
+    """Pulls revisions into a local replica dir (ReplicationClient.cs +
+    IndexReplicationHandler.cs collapsed: the handler's "copy then commit"
+    contract is enforced here directly).
+
+    Copy protocol per update (DoUpdate, ReplicationClient.cs:218-310):
+      1. check_for_update(current) -> session or done;
+      2. required = revision files minus files already present locally
+         with the same size (RequiredFiles);
+      3. copy each required file to ``<name>.tmp`` then atomically rename
+         -- a torn pull never leaves a partial file visible;
+      4. the manifest is validated to be LAST and copied+fsynced last
+         (GetSegmentsFile): a reader that sees the new manifest finds
+         every governed file already in place;
+      5. delete local files the new commit no longer references
+         (CleanupOldIndexFiles);
+      6. release the session (finally -- also on failure, LocalReplicator
+         must not leak the refcount).
+    """
+
+    def __init__(self, replicator: LocalReplicator, target_dir: str):
+        self.replicator = replicator
+        self.target_dir = target_dir
+        self._state_path = os.path.join(target_dir, "_REPLICA.json")
+        self.current_version: str | None = None
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                self.current_version = json.load(f).get("version")
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self.last_copied: list[str] = []  # copiedFiles of the last update
+
+    # -- one pull ------------------------------------------------------------
+    def _present(self, rel: str, size: int) -> bool:
+        p = os.path.join(self.target_dir, rel)
+        return os.path.exists(p) and os.path.getsize(p) == size
+
+    def update_now(self) -> bool:
+        """-> True when a new revision was installed (UpdateNow)."""
+        token = self.replicator.check_for_update(self.current_version)
+        if token is None:
+            return False
+        manifest_rel = token.files[-1][0]
+        if os.path.basename(manifest_rel) not in _MANIFEST_NAMES or os.sep in manifest_rel:
+            # GetSegmentsFile (IndexReplicationHandler.cs:115-123): the
+            # revision MUST order the commit manifest last, at the root
+            raise ValueError(
+                f"last file to copy+sync must be the commit manifest, got "
+                f"{manifest_rel}; check the Revision implementation"
+            )
+        try:
+            copied: list[str] = []
+            for rel, size in token.files[:-1]:
+                if self._present(rel, size):
+                    continue  # incremental: already have it
+                self._copy_one(token.id, rel)
+                copied.append(rel)
+            # commit point: manifest last, atomic
+            self._copy_one(token.id, manifest_rel)
+            copied.append(manifest_rel)
+            self._cleanup_old_files({rel for rel, _ in token.files})
+            self.current_version = token.version
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": token.version}, f)
+            os.replace(tmp, self._state_path)
+            self.last_copied = copied
+            return True
+        finally:
+            try:
+                self.replicator.release(token.id)
+            except RuntimeError:
+                pass  # replicator closed underneath us
+
+    def _copy_one(self, session_id: str, rel: str) -> None:
+        dst = os.path.join(self.target_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".tmp"
+        with self.replicator.obtain_file(session_id, rel) as src, open(tmp, "wb") as out:
+            shutil.copyfileobj(src, out)
+            out.flush()
+            os.fsync(out.fileno())  # handler fsyncs before commit
+        os.replace(tmp, dst)
+
+    def _cleanup_old_files(self, keep: set[str]) -> None:
+        """CleanupOldIndexFiles: drop everything the new commit does not
+        reference (stale segment dirs after a merge)."""
+        visited: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(self.target_dir):
+            # topdown walk so pruning dirnames actually skips the subtree
+            dirnames[:] = [d for d in dirnames if d not in _SKIP_NAMES]
+            visited.append(dirpath)
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.target_dir)
+                if rel in keep or fn in _SKIP_NAMES or fn.endswith(".tmp"):
+                    continue
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+        for dirpath in sorted(visited, key=len, reverse=True):
+            if dirpath != self.target_dir:
+                try:
+                    os.rmdir(dirpath)  # only succeeds when now empty
+                except OSError:
+                    pass
+
+    # -- polling thread (ReplicationClient.StartUpdateThread) ----------------
+    def start_update_thread(self, interval_s: float) -> None:
+        if self._thread is not None:
+            raise RuntimeError("update thread already started")
+        self._stop.clear()
+
+        def run() -> None:
+            while not self._stop.wait(interval_s):
+                try:
+                    self.update_now()
+                except Exception:  # HandleUpdateException: log, keep polling
+                    pass
+
+        self._thread = threading.Thread(target=run, daemon=True, name="replication")
+        self._thread.start()
+
+    def stop_update_thread(self) -> None:
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join()
+            self._thread = None
+
+    def close(self) -> None:
+        self.stop_update_thread()

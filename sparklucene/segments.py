@@ -396,15 +396,21 @@ class SegmentedIndex:
             # never-decreasing docID high-water mark; pre-v2 manifests
             # (no deletes applied yet) used sum(n_docs), which is equal
             self.next_docid = m.get("next_docid", sum(s.n_docs for s in self.segments))
+            # commit generation (segments_N's N, SegmentInfos.Generation):
+            # increments on every publish, never reused -- the replicator's
+            # revision version (IndexRevision.cs:83-85 formats it in hex)
+            self.gen = m.get("gen", 1)
         else:
             self.num_buckets = num_buckets
             self.segments: list[SegmentInfo] = []
             self.counter = 0
             self.next_docid = 0
+            self.gen = 0
             self._publish()
 
     # -- manifest -----------------------------------------------------------
     def _publish(self) -> None:
+        self.gen = getattr(self, "gen", 0) + 1
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -413,6 +419,7 @@ class SegmentedIndex:
                     "num_buckets": self.num_buckets,
                     "counter": self.counter,
                     "next_docid": self.next_docid,
+                    "gen": self.gen,
                     "segments": [s.to_dict() for s in self.segments],
                 },
                 f,

@@ -1,0 +1,251 @@
+"""Replicator module: revision snapshots, ref-counted sessions, incremental
+pull, manifest-last commit, stale-file cleanup (Lucene.Net.Replicator
+semantics -- LocalReplicator.cs, ReplicationClient.cs,
+IndexReplicationHandler.cs, IndexRevision.cs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sparklucene.build import BuildConfig
+from sparklucene.corpus import make_corpus
+from sparklucene.replicator import (
+    IndexRevision,
+    LocalReplicator,
+    ReplicationClient,
+    SessionExpiredError,
+)
+from sparklucene.segments import SegmentedIndex
+
+Q = {"type": "term", "term": "score"}
+
+
+def _results(searcher, q=Q, k=10):
+    return [(r["docID"], round(r["score"], 4)) for r in searcher.search(q, k=k).collect()]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(120, seed=11)
+
+
+@pytest.fixture(scope="module")
+def source(spark, corpus, tmp_path_factory):
+    """A segmented source index with two commits' worth of history replayed
+    one append at a time by the tests below."""
+    root = str(tmp_path_factory.mktemp("replsrc"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    idx.append(
+        spark.createDataFrame(ordered[:60]).coalesce(1),
+        BuildConfig(order_cols=("repo", "path")),
+    )
+    return idx, ordered
+
+
+def test_full_then_incremental_pull(spark, source, tmp_path_factory):
+    idx, ordered = source
+    replica = str(tmp_path_factory.mktemp("replica"))
+    rep = LocalReplicator()
+    rep.publish(IndexRevision(idx.root))
+
+    client = ReplicationClient(rep, replica)
+    assert client.update_now() is True
+    # replica is searchable and rank+score identical to the source
+    src_res = _results(idx.searcher())
+    from sparklucene.search import IndexSearcher
+
+    rs = IndexSearcher.over_segments(
+        spark,
+        [os.path.join(replica, "segs", s.name) for s in idx.segments],
+        idx.global_stats(),
+    )
+    assert _results(rs) == src_res
+    first_copied = set(client.last_copied)
+    assert len(first_copied) > 1
+
+    # no new revision -> no-op
+    assert client.update_now() is False
+
+    # second commit: append 60 more docs, publish, pull INCREMENTALLY
+    idx.append(
+        spark.createDataFrame(ordered[60:]).coalesce(1),
+        BuildConfig(order_cols=("repo", "path")),
+    )
+    rep.publish(IndexRevision(idx.root))
+    assert client.update_now() is True
+    second_copied = set(client.last_copied)
+    # only the new segment's files + the refreshed manifest move; nothing
+    # from the first segment is re-copied (RequiredFiles diff)
+    assert not any(c.startswith("segs/seg000000/") for c in second_copied)
+    assert "_SEGMENTS.json" in second_copied
+    assert any(c.startswith("segs/seg000001/") for c in second_copied)
+
+    rs2 = IndexSearcher.over_segments(
+        spark,
+        [os.path.join(replica, "segs", s.name) for s in idx.segments],
+        idx.global_stats(),
+    )
+    assert _results(rs2) == _results(idx.searcher())
+    rep.close()
+
+
+def test_publish_version_rules(source, tmp_path_factory):
+    idx, _ = source
+    rep = LocalReplicator()
+    rev1 = IndexRevision(idx.root)
+    rep.publish(rev1)
+
+    # same version published again: released and ignored
+    dup = IndexRevision(idx.root)
+    rep.publish(dup)
+    assert dup._snap_dir is None  # released
+
+    # an older version raises (and is released)
+    older = IndexRevision(idx.root)
+    older.generation -= 1
+    older.version = format(older.generation, "X")
+    with pytest.raises(ValueError, match="older revision"):
+        rep.publish(older)
+    assert older._snap_dir is None
+    rep.close()
+
+
+def test_session_refcount_keeps_old_revision_alive(source):
+    """Publishing rev2 while a session still reads rev1 must NOT release
+    rev1 (RefCountedRevision); releasing the session does."""
+    idx, _ = source
+    rep = LocalReplicator()
+    rev1 = IndexRevision(idx.root)
+    rep.publish(rev1)
+    token = rep.check_for_update(None)
+    assert token is not None and token.version == rev1.version
+    snap1 = rev1._snap_dir
+    assert snap1 is not None and os.path.isdir(snap1)
+
+    rev2 = IndexRevision(idx.root)
+    rev2.generation += 1  # simulate a newer commit
+    rev2.version = format(rev2.generation, "X")
+    rep.publish(rev2)
+    # session holds rev1 alive
+    assert os.path.isdir(snap1)
+    # a file can still be served from the snapshot
+    with rep.obtain_file(token.id, token.files[-1][0]) as f:
+        assert f.read(1)
+    rep.release(token.id)
+    assert not os.path.isdir(snap1)  # refcount hit zero -> released
+    rep.close()
+    assert rev2._snap_dir is None
+
+
+def test_session_expiration(source):
+    idx, _ = source
+    rep = LocalReplicator()
+    rep.publish(IndexRevision(idx.root))
+    token = rep.check_for_update(None)
+    rep.expiration_threshold_ms = 0
+    with pytest.raises(SessionExpiredError):
+        rep.obtain_file(token.id, token.files[0][0])
+    # the expired session is also reaped from the registry
+    assert token.id not in rep._sessions
+    rep.close()
+
+
+def test_check_for_update_when_current(source):
+    idx, _ = source
+    rep = LocalReplicator()
+    assert rep.check_for_update(None) is None  # nothing published yet
+    rev = IndexRevision(idx.root)
+    rep.publish(rev)
+    assert rep.check_for_update(rev.version) is None
+    assert rep.check_for_update(None) is not None
+    rep.close()
+
+
+def test_manifest_must_be_last(source, tmp_path_factory):
+    idx, _ = source
+    rep = LocalReplicator()
+    rev = IndexRevision(idx.root)
+    # corrupt the ordering: swap manifest away from last place
+    rev.files = [rev.files[-1]] + rev.files[:-1]
+    rep.publish(rev)
+    client = ReplicationClient(rep, str(tmp_path_factory.mktemp("badrep")))
+    with pytest.raises(ValueError, match="commit manifest"):
+        client.update_now()
+    rep.close()
+
+
+def test_cleanup_after_merge(spark, corpus, tmp_path_factory):
+    """After the source force-merges, a replica pull drops the replica's
+    now-unreferenced segment files (CleanupOldIndexFiles)."""
+    root = str(tmp_path_factory.mktemp("mergesrc"))
+    idx = SegmentedIndex(spark, root, num_buckets=2)
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    for lo in (0, 40, 80):
+        idx.append(
+            spark.createDataFrame(ordered[lo : lo + 40]).coalesce(1),
+            BuildConfig(order_cols=("repo", "path")),
+        )
+    rep = LocalReplicator()
+    rep.publish(IndexRevision(root))
+    replica = str(tmp_path_factory.mktemp("mergerep"))
+    client = ReplicationClient(rep, replica)
+    assert client.update_now()
+    assert len(os.listdir(os.path.join(replica, "segs"))) == 3
+
+    merged = idx.force_merge()
+    assert merged is not None
+    rep.publish(IndexRevision(root))
+    assert client.update_now()
+    # stale segment dirs are gone; only the merged segment remains
+    live = {s.name for s in idx.segments}
+    assert set(os.listdir(os.path.join(replica, "segs"))) == live
+    from sparklucene.search import IndexSearcher
+
+    rs = IndexSearcher.over_segments(
+        spark,
+        [os.path.join(replica, "segs", s.name) for s in idx.segments],
+        idx.global_stats(),
+    )
+    assert _results(rs) == _results(idx.searcher())
+    rep.close()
+
+
+def test_replica_state_persisted(source, tmp_path_factory):
+    """A fresh client over an existing replica dir resumes from the stored
+    version and does not re-pull."""
+    idx, _ = source
+    rep = LocalReplicator()
+    rev = IndexRevision(idx.root)
+    rep.publish(rev)
+    replica = str(tmp_path_factory.mktemp("resume"))
+    c1 = ReplicationClient(rep, replica)
+    assert c1.update_now()
+    with open(os.path.join(replica, "_REPLICA.json")) as f:
+        assert json.load(f)["version"] == rev.version
+    c2 = ReplicationClient(rep, replica)
+    assert c2.current_version == rev.version
+    assert c2.update_now() is False
+    rep.close()
+
+
+def test_flat_index_revision(spark, corpus, tmp_path_factory):
+    """A flat build_index dir (single commit, _MANIFEST.json) replicates
+    too, and the replica answers queries via IndexSearcher directly."""
+    from sparklucene.build import build_index
+    from sparklucene.search import IndexSearcher
+
+    src = str(tmp_path_factory.mktemp("flatsrc"))
+    docs = spark.createDataFrame(sorted(corpus, key=lambda r: (r["repo"], r["path"])))
+    build_index(spark, docs, src, BuildConfig(order_cols=("repo", "path"), num_buckets=2))
+    rep = LocalReplicator()
+    rev = IndexRevision(src)
+    assert rev.generation == 1  # single-commit dir
+    rep.publish(rev)
+    replica = str(tmp_path_factory.mktemp("flatrep"))
+    ReplicationClient(rep, replica).update_now()
+    assert _results(IndexSearcher(spark, replica)) == _results(IndexSearcher(spark, src))
+    rep.close()
