@@ -1575,6 +1575,26 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet line-level boilerplate removal (Wenzek et al. 2020 dedup
+    stage): documents chunked into 3-token lines (the table itself has no
+    newlines), then every line whose lower(trim(.)) form occurs >= 2 times
+    corpus-wide is dropped and the text reassembled in original order."""
+    docs = _docs_df(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(3)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)),
+    )
+    docs2 = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = dp.line_dedup(docs2, min_occurrences=2)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def _q_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing: global token offsets via the
     distributed two-pass prefix sum vs the oracle's window cumsum."""
@@ -1951,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emb_neardup_lsh"] = _q_emb_neardup_lsh
     out["decontam"] = _q_decontam
     out["dup_spans"] = _q_dup_spans
+    out["line_dedup"] = _q_line_dedup
     out["repetition"] = _q_repetition
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
@@ -1974,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "line_dedup",
         "mixture_sample", "domain_cap", "incr_dedup", "train_order",
         "url_filter", "dsir_weights", "bpe_pairs",
         "span_near_unord", "msearch", "common_terms", "boosting",
@@ -3801,6 +3823,37 @@ SELECT doc_id, min(start)::BIGINT AS span_start, max(fin)::BIGINT AS span_end,
        count(*)::BIGINT AS n_dup_windows
 FROM isl2 GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
+    sqls["line_dedup"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+lin0 AS (
+  SELECT doc_id, a,
+         unnest(generate_series(0, CAST(ceil(len(a) / 3.0) AS BIGINT) - 1)) AS pos
+  FROM d
+),
+lin AS (
+  SELECT doc_id, pos,
+         array_to_string(a[pos * 3 + 1 : pos * 3 + 3], ' ') AS line
+  FROM lin0
+),
+dup AS (
+  SELECT lower(trim(line)) AS norm FROM lin
+  WHERE lower(trim(line)) <> ''
+  GROUP BY 1 HAVING count(*) >= 2
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lin
+  WHERE lower(trim(line)) = ''
+     OR lower(trim(line)) NOT IN (SELECT norm FROM dup)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lin GROUP BY doc_id)
+SELECT t.doc_id, coalesce(g.text, '') AS text, t.n_lines,
+       coalesce(g.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN agg g USING (doc_id)"""
     sqls["decontam"] = """
 WITH dt AS (SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS tk FROM documents),
 cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)])) AS g

@@ -2140,3 +2140,71 @@ def bpe_encode(
         )
         .select("doc_id", "subwords", F.size("subwords").alias("n_subwords"))
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet dedup stage)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame, min_occurrences: int = 2,
+    id_col: str = "doc_id", text_col: str = "text",
+    delim: str = "\n", count_docs: bool = False,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", the per-line dedup stage): hash every line's normalized form,
+    drop lines whose form repeats across the corpus -- nav menus, cookie
+    banners, repeated license blurbs.  ``delim="\\n\\n"`` gives the
+    paragraph-level variant.
+
+    Normalization = lower(trim(line)); lines empty after normalization are
+    never counted and always kept (they carry document structure, not
+    boilerplate).  ``count_docs=True`` counts DISTINCT documents per line
+    instead of raw occurrences, so a within-document chorus no longer
+    triggers removal by itself.
+
+    Scale: one explode over corpus lines shuffled by a 128-bit line hash
+    (cardinality ~ corpus lines -- partitions evenly; boilerplate by
+    definition collapses many rows onto few surviving keys, so the
+    duplicate-hash side of the anti-join is the SMALL one and AQE
+    broadcasts it), then one groupBy(doc) to reassemble.  No Python
+    anywhere -- split/explode/md5/window all whole-stage codegen.
+
+    -> DataFrame(doc_id, text, n_lines, n_kept): the text with duplicated
+    lines removed (original line order and spelling preserved), total and
+    surviving line counts.  Docs whose every line was boilerplate stay in
+    the output with text=''.
+    """
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim), -1)
+        ).alias("pos", "line"),
+    ).withColumn("_h", F.md5(F.encode(F.lower(F.trim(F.col("line"))), "UTF-8")))
+    occ = F.countDistinct("doc_id") if count_docs else F.count(F.lit(1))
+    empty_h = "d41d8cd98f00b204e9800998ecf8427e"  # md5('') -- never boilerplate
+    dup = (
+        lines.filter(F.col("_h") != empty_h)
+        .groupBy("_h")
+        .agg(occ.alias("occ"))
+        .filter(F.col("occ") >= int(min_occurrences))
+        .select("_h")
+    )
+    kept = lines.join(dup, "_h", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).getField("line"),
+            delim,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

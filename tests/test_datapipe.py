@@ -752,3 +752,43 @@ def test_ivfpq_refine_below_k_raises(spark, emb_df):
     df, vecs = emb_df
     with pytest.raises(ValueError):
         dp.cosine_topk_ivfpq(spark, df, list(map(float, vecs[0])), k=10, refine=5)
+
+
+def test_line_dedup_ccnet_semantics(spark):
+    """CCNet dedup stage: duplicated normalized lines removed everywhere
+    (case/trim-insensitive, within-doc repeats count), blank lines never
+    counted and always kept, fully-boilerplate docs stay with text=''."""
+    df = spark.createDataFrame(
+        [
+            (0, "copyright acme corp\nalpha beta\nunique one"),
+            (1, "copyright acme corp\ngamma delta"),
+            (2, "COPYRIGHT ACME CORP \nalpha beta\nown text"),
+            (3, "copyright acme corp"),
+            (4, "solo\n\nsolo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in dp.line_dedup(df).collect()}
+    assert got == {
+        0: ("unique one", 3, 1),
+        1: ("gamma delta", 2, 1),
+        2: ("own text", 3, 1),
+        3: ("", 1, 0),
+        4: ("", 3, 1),  # the blank line survives; both 'solo' lines go
+    }
+
+
+def test_line_dedup_count_docs_mode(spark):
+    """count_docs=True: a within-doc chorus alone no longer triggers
+    removal (distinct-document counting)."""
+    df = spark.createDataFrame(
+        [(0, "chorus\nverse\nchorus"), (1, "other text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"]
+           for r in dp.line_dedup(df, count_docs=True).collect()}
+    assert got[0] == "chorus\nverse\nchorus"
+    # raw-occurrence mode drops it
+    got2 = {r["doc_id"]: r["text"] for r in dp.line_dedup(df).collect()}
+    assert got2[0] == "verse"
