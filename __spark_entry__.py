@@ -1595,6 +1595,33 @@ def _q_line_dedup(spark, sf_dir):
     )
 
 
+def _q_cut_dup_spans(spark, sf_dir):
+    """Second half of Lee et al. 2021: CUT the duplicated spans out of the
+    text (13-token windows -> maximal spans -> JVM array filter, no
+    per-token explode), vs a twin reconstructing the tokens outside the
+    reported intervals."""
+    docs = _docs_df(spark, sf_dir)
+    spans = dp.duplicated_spans(docs, min_len=13)
+    return dp.cut_spans(docs, spans)
+
+
+def _q_dedup_resolve(spark, sf_dir):
+    """Canonical-document selection after cluster closure (keep='longest',
+    doc_id tiebreak) over the same deterministic star/bridge topology as
+    the dedup_clusters gate; singletons keep=true with null cluster_id."""
+    docs = _docs_df(spark, sf_dir)
+    ids = docs.select("doc_id")
+    star = ids.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("doc_b"),
+    )
+    bridge = ids.filter(F.col("doc_id") % 35 == 6).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    clusters = dp.dedup_clusters(star.unionAll(bridge))
+    return dp.resolve_duplicates(docs, clusters, keep="longest")
+
+
 def _q_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing: global token offsets via the
     distributed two-pass prefix sum vs the oracle's window cumsum."""
@@ -1972,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["decontam"] = _q_decontam
     out["dup_spans"] = _q_dup_spans
     out["line_dedup"] = _q_line_dedup
+    out["cut_dup_spans"] = _q_cut_dup_spans
+    out["dedup_resolve"] = _q_dedup_resolve
     out["repetition"] = _q_repetition
     out["pii_scrub"] = _q_pii_scrub
     out["strat_sample"] = _q_strat_sample
@@ -1995,7 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
-        "line_dedup",
+        "line_dedup", "cut_dup_spans", "dedup_resolve",
         "mixture_sample", "domain_cap", "incr_dedup", "train_order",
         "url_filter", "dsir_weights", "bpe_pairs",
         "span_near_unord", "msearch", "common_terms", "boosting",
@@ -3823,6 +3852,67 @@ SELECT doc_id, min(start)::BIGINT AS span_start, max(fin)::BIGINT AS span_end,
        count(*)::BIGINT AS n_dup_windows
 FROM isl2 GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
+    sqls["cut_dup_spans"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+win0 AS (
+  SELECT doc_id, a, unnest(generate_series(0, len(a) - 13)) AS start
+  FROM d WHERE len(a) >= 13
+),
+win AS (
+  SELECT doc_id, start, start + 13 AS fin,
+         md5(array_to_string(a[start + 1 : start + 13], ' ')) AS h
+  FROM win0
+),
+duph AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+hits AS (SELECT doc_id, start, fin FROM win WHERE h IN (SELECT h FROM duph)),
+isl AS (
+  SELECT doc_id, start, fin,
+         CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+              THEN 0 ELSE 1 END AS nw
+  FROM hits
+),
+isl2 AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         FROM isl),
+spans AS (SELECT doc_id, min(start) AS s, max(fin) AS e
+          FROM isl2 GROUP BY doc_id, island),
+tok AS (SELECT doc_id, a, unnest(generate_series(0, len(a) - 1)) AS i FROM d),
+tok2 AS (SELECT doc_id, i, a[i + 1] AS t FROM tok),
+kept AS (
+  SELECT k.doc_id, k.i, k.t FROM tok2 k
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id AND k.i >= s.s AND k.i < s.e)
+),
+agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
+               count(*) AS nk
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.text, '') AS text,
+       len(d.a)::BIGINT AS n_tokens,
+       (len(d.a) - coalesce(agg.nk, 0))::BIGINT AS n_cut
+FROM d LEFT JOIN agg USING (doc_id)"""
+    sqls["dedup_resolve"] = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_id AS a, (doc_id - doc_id % 7) AS b FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 35 = 6
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+clus AS (SELECT node AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY node),
+j AS (
+  SELECT d.doc_id, c.cluster_id, len(string_split(d.text, ' ')) AS l
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN cluster_id IS NULL THEN TRUE
+            ELSE row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY l DESC, doc_id) = 1
+       END AS keep
+FROM j"""
     sqls["line_dedup"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
 lin0 AS (

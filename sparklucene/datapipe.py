@@ -2208,3 +2208,90 @@ def line_dedup(
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+def cut_spans(
+    df: DataFrame, spans: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    start_col: str = "span_start", end_col: str = "span_end",
+) -> DataFrame:
+    """Remove flagged token spans from documents -- the second half of the
+    Lee et al. 2021 exact-substring dedup (their pipeline CUTS the
+    duplicated spans, it doesn't just report them).  `spans` is
+    `duplicated_spans` output (token offsets, end exclusive); a doc may
+    carry any number of spans, including none.
+
+    Plan: spans collapse to one small array per doc (they are maximal,
+    hence disjoint and few), ONE join against the corpus -- broadcastable
+    whenever the span table is small, which is the normal case -- then the
+    cut is a pure JVM array filter over the token array with its index
+    (no explode: the corpus is never blown up to one row per token).
+    Docs losing every token stay in the output with text=''.
+
+    -> DataFrame(doc_id, text, n_tokens, n_cut): original token count and
+    how many tokens were removed."""
+    per_doc = spans.groupBy(F.col(id_col).alias("doc_id")).agg(
+        F.collect_list(
+            F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e"))
+        ).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks")).join(
+        per_doc, "doc_id", "left"
+    ).withColumn("_spans", F.coalesce("_spans", F.array()))
+    kept = F.filter(
+        F.transform("_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            "_spans", lambda sp: (s["i"] >= sp["s"]) & (s["i"] < sp["e"])
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_cut"),
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame, clusters: DataFrame, keep: str = "min_id",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Pick ONE canonical document per near-duplicate cluster -- the
+    decision step after `dedup_clusters`: every dedup pipeline ends with
+    "keep one, drop the rest".  `clusters` is (doc_id, cluster_id);
+    documents absent from it are singletons and always kept.
+
+    keep policies:
+      * ``min_id``   -- smallest doc_id (retry/partition-stable default);
+      * ``longest``  -- most whitespace tokens, doc_id as tiebreak (the
+        common "keep the fullest copy" policy).
+
+    Plan: one left join corpus<-clusters (cluster table is the small
+    side); the row_number window runs ONLY over clustered rows -- clusters
+    are tiny groups, so that shuffle is balanced by construction, and the
+    singleton majority (null cluster_id) never funnels into one window
+    partition.
+
+    -> DataFrame(doc_id, cluster_id, keep): cluster_id is null for
+    singletons; `keep` marks the surviving copy.  Filter on keep to get
+    the deduplicated corpus."""
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    joined = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("_len"),
+    ).join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+    order = (
+        [F.col("doc_id").asc()]
+        if keep == "min_id"
+        else [F.col("_len").desc(), F.col("doc_id").asc()]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    clustered = joined.filter(F.col("cluster_id").isNotNull()).select(
+        "doc_id", "cluster_id", (F.row_number().over(w) == 1).alias("keep")
+    )
+    singletons = joined.filter(F.col("cluster_id").isNull()).select(
+        "doc_id", "cluster_id", F.lit(True).alias("keep")
+    )
+    return clustered.unionAll(singletons)

@@ -792,3 +792,71 @@ def test_line_dedup_count_docs_mode(spark):
     # raw-occurrence mode drops it
     got2 = {r["doc_id"]: r["text"] for r in dp.line_dedup(df).collect()}
     assert got2[0] == "verse"
+
+
+def test_cut_spans_removes_flagged_tokens(spark):
+    """cut_spans drops exactly the [start, end) token windows, keeps docs
+    with no spans untouched, and keeps fully-cut docs with text=''."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "x y z"), (2, "p q")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(0, 1, 3), (0, 4, 6), (2, 0, 2)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_cut"])
+           for r in dp.cut_spans(docs, spans).collect()}
+    assert got == {
+        0: ("a d", 6, 4),
+        1: ("x y z", 3, 0),
+        2: ("", 2, 2),
+    }
+
+
+def test_cut_spans_composes_with_duplicated_spans(spark):
+    """End-to-end Lee et al. cut: every duplicated window vanishes from
+    the cut corpus (re-running the finder on the output finds nothing)."""
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(vocab[int(x)] for x in rng.integers(0, 40, 15))
+    docs = []
+    for did in range(30):
+        words = [vocab[int(x)] for x in rng.integers(0, 40, int(rng.integers(14, 50)))]
+        if did % 2 == 0:
+            at = int(rng.integers(0, len(words)))
+            words[at:at] = boiler.split(" ")
+        docs.append((did, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dp.duplicated_spans(df, min_len=13)
+    cut = dp.cut_spans(df, spans).select("doc_id", "text")
+    again = dp.duplicated_spans(cut, min_len=13)
+    assert again.count() == 0
+    # token accounting: n_cut == sum of span lengths per doc
+    acc = {r["doc_id"]: r["n_cut"] for r in dp.cut_spans(df, spans).collect()}
+    want = {}
+    for r in spans.collect():
+        want[r["doc_id"]] = want.get(r["doc_id"], 0) + (r["span_end"] - r["span_start"])
+    for did, n in want.items():
+        assert acc[did] == n
+
+
+def test_resolve_duplicates_policies(spark):
+    """min_id keeps the smallest doc_id per cluster; longest keeps the
+    token-richest copy (doc_id tiebreak); singletons always keep=true
+    with null cluster_id."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, "a b c d e"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    by_min = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+              dp.resolve_duplicates(docs, clusters, keep="min_id").collect()}
+    assert by_min == {1: (1, True), 2: (1, False), 3: (1, False), 9: (None, True)}
+    by_len = {r["doc_id"]: r["keep"] for r in
+              dp.resolve_duplicates(docs, clusters, keep="longest").collect()}
+    assert by_len == {1: False, 2: True, 3: False, 9: True}
+    with pytest.raises(ValueError):
+        dp.resolve_duplicates(docs, clusters, keep="newest")
