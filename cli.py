@@ -190,6 +190,27 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_alg(args) -> int:
+    """Benchmark.Main analogue: run a ByTask .alg file (properties +
+    algorithm) against the Spark engine and print the reports."""
+    from sparklucene.bytask import run_algorithm
+
+    spark = _spark(args)
+    with open(args.alg) as f:
+        text = f.read()
+    source = _read_source(spark, args.docs, "auto") if args.docs else None
+    rd = run_algorithm(spark, text, source=source, work_dir=args.work_dir)
+    for rep in rd.reports:
+        print(rep.text)
+    if not rd.reports:  # still show something useful
+        print(json.dumps([
+            {"op": st.name, "round": st.round, "recs": st.recs,
+             "elapsedSec": round(st.elapsed, 3)}
+            for st in rd.points.task_stats
+        ]))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sparklucene")
     ap.add_argument("--master", default=None, help="override spark master (spark-submit usually sets it)")
@@ -266,8 +287,14 @@ def main(argv=None) -> int:
     cu.add_argument("--epoch", type=int, default=0)
     cu.add_argument("--no-resume", action="store_true")
 
+    al = sub.add_parser("alg", help="run a ByTask benchmark algorithm file")
+    al.add_argument("--alg", required=True, help="path to the .alg file")
+    al.add_argument("--docs", default=None,
+                    help="parquet line-doc feed (overrides docs.file property)")
+    al.add_argument("--work-dir", default=None)
+
     args = ap.parse_args(argv)
-    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate}[args.cmd](args)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate, "alg": cmd_alg}[args.cmd](args)
 
 
 if __name__ == "__main__":

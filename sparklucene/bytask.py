@@ -1,0 +1,713 @@
+"""ByTask benchmark harness: algorithm-file-driven task execution.
+
+Re-expresses the reference benchmark module's driver
+(`src/Lucene.Net.Benchmark/ByTask/Benchmark.cs`) over the Spark engine:
+
+* **Config split** (`ByTask/Utils/Config.cs:56-115`): every line up to the
+  LAST line containing ``=`` is a property; the rest is the algorithm.
+  Per-round values ``prop=v1:v2:v3`` cycle with ``NewRound``
+  (`Config.cs:161-192`).
+* **Algorithm grammar** (`ByTask/Utils/Algorithm.cs:55-340`): ``#``
+  comments, task words with optional balanced ``(params)``, ``{...}``
+  serial / ``[...]`` parallel sequences with optional ``"name"``,
+  ``: N`` repetitions / ``: *`` exhaust / ``: 3.5s`` runtime on a just
+  closed sequence, a second ``: R[/sec|/min]`` rate limit, ``>`` closes a
+  sequence suppressing child reports, ``-`` disables counting for the next
+  task, ``&`` runs the previous task in the background.
+* **Stats** (`ByTask/Stats/Points.cs`, `TaskStats.cs`): one record per
+  counted task execution (name, round, recs, elapsed); report tasks
+  (`Tasks/ReportTask.cs`, `RepSumByNameTask.cs`, `RepSumByNameRoundTask.cs`,
+  `RepSumByPrefTask.cs`, `RepAllTask.cs`) aggregate them into the familiar
+  ``runCnt / recsPerRun / rec/s / elapsedSec`` table.
+
+Spark-first task semantics (NOT a thread-per-doc port): ``AddDoc`` is
+driver-side cursor arithmetic over a parquet line-doc feed (the
+``LineDocSource.cs`` analogue is the documents table itself); the actual
+distributed index build happens once per flush boundary
+(``CommitIndex`` / ``CloseIndex`` / ``ForceMerge`` / ``OpenReader``) as a
+single ``SegmentedIndex.append`` over the buffered row range -- exactly the
+DWPT discipline (buffer cheap, flush heavy), with the heavy step one Spark
+job instead of one .NET thread pool.  ``Search`` tasks cycle through
+``query.strings`` (classic parser syntax) against the segmented searcher.
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .build import BuildConfig, mint_doc_ids
+from .parser import parse
+from .segments import SegmentedIndex
+
+EXHAUST = -2  # TaskSequence.REPEAT_EXHAUST
+
+
+class AlgorithmError(ValueError):
+    pass
+
+
+class NoMoreDataError(RuntimeError):
+    """Content source exhausted (ContentItemsSource NoMoreDataException)."""
+
+
+# ---------------------------------------------------------------------------
+# config (Config.cs)
+# ---------------------------------------------------------------------------
+
+
+class ByTaskConfig:
+    """Properties + per-round value cycling (Config.cs:161-192)."""
+
+    def __init__(self, props: dict[str, str]):
+        self.props = dict(props)
+        self.round = 0
+
+    def get(self, name: str, default=None):
+        v = self.props.get(name)
+        if v is None:
+            return default
+        # per-round splitting applies to the TYPED getters only
+        # (Config.cs: Get(name, int/double/bool) split on ':'; the string
+        # getter never does -- a query string may legally contain ':')
+        if isinstance(default, (int, float, bool)) and ":" in v:
+            parts = [p for p in v.split(":") if p != ""]
+            if len(parts) > 1:
+                return _coerce(parts[self.round % len(parts)], default)
+        return _coerce(v, default)
+
+    def new_round(self):
+        self.round += 1
+
+
+def _coerce(s: str, default):
+    if isinstance(default, bool):
+        return s.strip().lower() == "true"
+    for typ in (int, float) if isinstance(default, (int, float)) else ():
+        try:
+            return typ(s)
+        except ValueError:
+            pass
+    return s
+
+
+def split_alg(text: str) -> tuple[dict[str, str], str]:
+    """Config.cs:56-115 -- everything up to the LAST ``=`` line is
+    properties (`#` comment lines skipped), the remainder is the
+    algorithm."""
+    lines = text.splitlines()
+    last_cfg = 0
+    for i, line in enumerate(lines):
+        if line.find("=") > 0:
+            last_cfg = i + 1
+    props = {}
+    for line in lines[:last_cfg]:
+        s = line.strip()
+        if not s or s.startswith("#") or "=" not in s:
+            continue
+        k, _, v = s.partition("=")
+        props[k.strip()] = v.split("#")[0].strip()
+    return props, "\n".join(lines[last_cfg:])
+
+
+# ---------------------------------------------------------------------------
+# algorithm AST + parser (Algorithm.cs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TaskCall:
+    name: str
+    params: str = ""
+    disable_count: bool = False
+    background: bool = False
+    line: int = 0
+
+
+@dataclass
+class Seq:
+    name: str | None = None
+    parallel: bool = False
+    repetitions: int = 1  # EXHAUST for ': *'
+    runtime_sec: float | None = None  # ': 3.5s'
+    rate_per_sec: float | None = None
+    no_child_report: bool = False
+    background: bool = False
+    tasks: list = field(default_factory=list)
+    parent: "Seq | None" = None
+
+
+_TOK = re.compile(
+    r"""\s*(?:
+        (?P<comment>\#[^\n]*)
+      | (?P<qstr>"[^"]*"|'[^']*')
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<ch>[{}\[\]():>&*/,-])
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(text: str):
+    pos, line = 0, 1
+    out = []
+    while pos < len(text):
+        if text[pos] == "\n":
+            line += 1
+            pos += 1
+            continue
+        m = _TOK.match(text, pos)
+        if m is None or m.end() == pos:
+            if text[pos].isspace():
+                pos += 1
+                continue
+            raise AlgorithmError(f"bad character {text[pos]!r} at line {line}")
+        line += text[pos : m.end()].count("\n")
+        pos = m.end()
+        if m.lastgroup == "comment":
+            continue
+        val = m.group(m.lastgroup)
+        if m.lastgroup == "qstr":
+            out.append(("qstr", val[1:-1], line))
+        elif m.lastgroup == "num":
+            out.append(("num", float(val), line))
+        elif m.lastgroup == "word":
+            out.append(("word", val, line))
+        else:
+            out.append((val, val, line))
+    return out
+
+
+def parse_algorithm(text: str) -> Seq:
+    """Algorithm.cs:55-340 grammar walk (same state machine: a colon is
+    only legal right after closing a sequence)."""
+    toks = _lex(text)
+    root = Seq()
+    cur = root
+    prev: Seq | TaskCall | None = None
+    colon_ok = False
+    disable_next = False
+    i = 0
+
+    def peek(k=0):
+        return toks[i + k] if i + k < len(toks) else (None, None, -1)
+
+    while i < len(toks):
+        kind, val, line = toks[i]
+        i += 1
+        if kind == "word":
+            t = TaskCall(name=val, disable_count=disable_next, line=line)
+            disable_next = False
+            cur.tasks.append(t)
+            # RepSumByPref-style prefix argument: next bare word is the prefix
+            if val.startswith("RepSumByPref") or val.startswith("RepSelectByPref"):
+                nk, nv, _ = peek()
+                if nk != "word":
+                    raise AlgorithmError(f"report prefix missing at line {line}")
+                t.params = nv
+                i += 1
+            elif peek()[0] == "(":
+                # balanced raw parameter capture (Algorithm.cs:103-172)
+                i += 1
+                depth, parts = 1, []
+                while i < len(toks):
+                    k2, v2, _ = toks[i]
+                    i += 1
+                    if k2 == "(":
+                        depth += 1
+                    elif k2 == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    if depth:
+                        parts.append(str(int(v2)) if k2 == "num" and float(v2).is_integer() else str(v2))
+                else:
+                    raise AlgorithmError(f"unbalanced ( at line {line}")
+                t.params = " ".join(parts).strip()
+            colon_ok, prev = False, t
+        elif kind in ("{", "["):
+            name = None
+            if peek()[0] == "qstr":
+                name = peek()[1]
+                i += 1
+            s = Seq(name=name, parallel=(kind == "["), parent=cur)
+            cur.tasks.append(s)
+            cur = s
+            colon_ok = False
+        elif kind in ("}", "]", ">"):
+            if kind == ">":
+                cur.no_child_report = True
+            prev, cur = cur, cur.parent
+            if cur is None:
+                raise AlgorithmError(f"unmatched close at line {line}")
+            colon_ok = True
+        elif kind == ":":
+            if not colon_ok or not isinstance(prev, Seq):
+                raise AlgorithmError(f"colon unexpected at line {line}")
+            colon_ok = False
+            nk, nv, _ = peek()
+            if nk == "*":
+                prev.repetitions = EXHAUST
+                i += 1
+            elif nk == "num":
+                i += 1
+                if peek() and peek()[0] == "word" and peek()[1] == "s":
+                    prev.runtime_sec = float(nv)
+                    i += 1
+                else:
+                    prev.repetitions = int(nv)
+            else:
+                raise AlgorithmError(f"expected repetitions at line {line}")
+            # optional rate ': R[/sec|/min]'
+            if peek()[0] == ":":
+                i += 1
+                rk, rv, _ = peek()
+                if rk != "num":
+                    raise AlgorithmError(f"expected rate number at line {line}")
+                i += 1
+                rate = float(rv)
+                if peek()[0] == "/":
+                    i += 1
+                    uk, uv, _ = peek()
+                    if uk != "word" or uv.lower() not in ("sec", "min"):
+                        raise AlgorithmError(f"expected rate unit at line {line}")
+                    i += 1
+                    if uv.lower() == "min":
+                        rate /= 60.0
+                prev.rate_per_sec = rate
+        elif kind == "&":
+            if prev is None:
+                raise AlgorithmError(f"& unexpected at line {line}")
+            if cur.parallel:
+                raise AlgorithmError("background tasks only in serial sequences")
+            if peek()[0] == "num":  # priority delta, accepted and ignored
+                i += 1
+            prev.background = True
+        elif kind == "-":
+            disable_next = True
+        else:
+            raise AlgorithmError(f"unexpected token {val!r} at line {line}")
+    if cur is not root:
+        raise AlgorithmError("unmatched sequences")
+    # drop redundant single-child wrappers (Algorithm.cs tail: while the
+    # OUTER sequence is collapsible -- unnamed, 1 repetition, unrated --
+    # and holds exactly one sequence, promote the child)
+    while (
+        root.name is None
+        and root.repetitions == 1
+        and root.runtime_sec is None
+        and root.rate_per_sec is None
+        and len(root.tasks) == 1
+        and isinstance(root.tasks[0], Seq)
+    ):
+        root = root.tasks[0]
+        root.parent = None
+    return root
+
+
+# ---------------------------------------------------------------------------
+# stats (Points.cs / TaskStats.cs) + reports (ReportTask.cs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TaskStats:
+    name: str
+    round: int
+    recs: int
+    elapsed: float  # seconds
+
+
+@dataclass
+class Report:
+    title: str
+    rows: list[dict]
+    text: str
+
+
+class Points:
+    def __init__(self):
+        self.task_stats: list[TaskStats] = []
+        self._lock = threading.Lock()
+
+    def record(self, st: TaskStats):
+        with self._lock:
+            self.task_stats.append(st)
+
+    def clear(self):
+        with self._lock:
+            self.task_stats.clear()
+
+
+def _agg_rows(stats: list[TaskStats], keyfn) -> list[dict]:
+    order, acc = [], {}
+    for st in stats:
+        k = keyfn(st)
+        if k not in acc:
+            acc[k] = {"op": k, "runCnt": 0, "recs": 0, "elapsed": 0.0}
+            order.append(k)
+        a = acc[k]
+        a["runCnt"] += 1
+        a["recs"] += st.recs
+        a["elapsed"] += st.elapsed
+    rows = []
+    for k in order:
+        a = acc[k]
+        rows.append(
+            {
+                "op": a["op"],
+                "runCnt": a["runCnt"],
+                "recsPerRun": a["recs"] / a["runCnt"] if a["runCnt"] else 0.0,
+                "rec/s": a["recs"] / a["elapsed"] if a["elapsed"] > 0 else 0.0,
+                "elapsedSec": a["elapsed"],
+            }
+        )
+    return rows
+
+
+def _format_report(title: str, rows: list[dict]) -> str:
+    cols = ["runCnt", "recsPerRun", "rec/s", "elapsedSec"]
+    w = max([len("Operation  ")] + [len(str(r["op"])) for r in rows])
+    lines = [title, "Operation".ljust(w) + "".join(c.rjust(13) for c in cols)]
+    for r in rows:
+        lines.append(
+            str(r["op"]).ljust(w)
+            + f"{r['runCnt']:13d}"
+            + f"{r['recsPerRun']:13.1f}"
+            + f"{r['rec/s']:13.2f}"
+            + f"{r['elapsedSec']:13.2f}"
+        )
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# runner (PerfRunData.cs + Tasks/*)
+# ---------------------------------------------------------------------------
+
+
+class PerfRunData:
+    """Benchmark run state: config, content cursor, writer, reader, stats."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: ByTaskConfig,
+        source: DataFrame | None = None,
+        work_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.work_dir = work_dir or config.get("work.dir", "/tmp/sparklucene_bytask")
+        self.points = Points()
+        self.reports: list[Report] = []
+        self.round = 0
+        self.writer: SegmentedIndex | None = None
+        self.searcher = None
+        self.query_ix = 0
+        self._bg_threads: list[threading.Thread] = []
+        if source is None:
+            path = config.get("docs.file")
+            if not path:
+                raise AlgorithmError("no source DataFrame and no docs.file property")
+            source = spark.read.parquet(path)
+        self.id_col = config.get("doc.id.col", "doc_id")
+        self.text_col = config.get("doc.text.col", "text")
+        # stable 0..n-1 feed order without a single-partition window
+        self.source = mint_doc_ids(
+            source.select(self.id_col, self.text_col),
+            [self.id_col],
+            max(source.rdd.getNumPartitions(), 1),
+        ).withColumnRenamed("docID", "_seq").cache()
+        self.n_docs = self.source.count()
+        self.cursor = 0  # next unread feed row
+        self.buffer_lo = 0  # flushed up to here
+
+    # -- content feed -------------------------------------------------------
+    def next_docs(self, n: int) -> int:
+        """Advance the feed cursor; raises when exhausted (NoMoreData)."""
+        if self.cursor >= self.n_docs:
+            raise NoMoreDataError()
+        take = min(n, self.n_docs - self.cursor)
+        self.cursor += take
+        return take
+
+    def flush(self):
+        if self.writer is None or self.cursor <= self.buffer_lo:
+            return
+        lo, hi = self.buffer_lo, self.cursor
+        from pyspark.sql import functions as F
+
+        batch = self.source.filter(
+            (F.col("_seq") >= lo) & (F.col("_seq") < hi)
+        ).select(self.id_col, self.text_col)
+        cfg = BuildConfig(
+            content_col=self.text_col,
+            order_cols=(self.id_col,),
+            num_buckets=int(self.config.get("index.num.buckets", 8)),
+            analyzer=self.config.get("analyzer", "standard"),
+        )
+        self.writer.append(batch, cfg)
+        self.buffer_lo = hi
+        self.searcher = None  # stale reader must be reopened
+
+    # -- queries ------------------------------------------------------------
+    def next_query(self) -> dict:
+        raw = self.config.get("query.strings", "")
+        qs = [q.strip() for q in str(raw).split(";") if q.strip()]
+        if not qs:
+            raise AlgorithmError("Search task but no query.strings property")
+        q = qs[self.query_ix % len(qs)]
+        self.query_ix += 1
+        return parse(q)
+
+    def get_searcher(self):
+        if self.searcher is None:
+            if self.writer is None:
+                raise AlgorithmError("OpenReader/Search before CreateIndex")
+            self.flush()
+            self.searcher = self.writer.searcher()
+        return self.searcher
+
+
+def _run_task(rd: PerfRunData, t: TaskCall) -> int:
+    """Execute one primitive task; -> recs counted (TaskStats.count)."""
+    name, params = t.name, t.params
+    cfg = rd.config
+    if name == "ResetSystemErase":
+        shutil.rmtree(os.path.join(rd.work_dir, "index"), ignore_errors=True)
+        rd.writer, rd.searcher = None, None
+        rd.cursor, rd.buffer_lo, rd.query_ix = 0, 0, 0
+        return 0
+    if name == "ResetSystemSoft":
+        rd.writer, rd.searcher = None, None
+        rd.cursor, rd.buffer_lo = 0, 0
+        return 0
+    if name == "ResetInputs":
+        rd.cursor, rd.buffer_lo, rd.query_ix = 0, 0, 0
+        return 0
+    if name in ("CreateIndex", "OpenIndex"):
+        idx = os.path.join(rd.work_dir, "index")
+        if name == "CreateIndex":
+            shutil.rmtree(idx, ignore_errors=True)
+        rd.writer = SegmentedIndex(
+            rd.spark, idx, num_buckets=int(cfg.get("index.num.buckets", 8))
+        )
+        rd.buffer_lo = rd.cursor
+        return 0
+    if name == "AddDoc":
+        return rd.next_docs(1)
+    if name == "AddDocs":
+        return rd.next_docs(int(params or 1))
+    if name == "UpdateDoc":
+        # add-only analogue: the segmented index mints fresh docIDs and the
+        # old copy is shadowed at merge (delete-by-term path exists on
+        # SegmentedIndex; the harness counts the doc like AddDoc)
+        return rd.next_docs(1)
+    if name == "CommitIndex":
+        rd.flush()
+        return 0
+    if name == "CloseIndex":
+        rd.flush()
+        return 0
+    if name == "ForceMerge":
+        rd.flush()
+        if rd.writer is not None:
+            rd.writer.force_merge()
+            rd.searcher = None
+        return 0
+    if name == "WaitForMerges":
+        return 0  # merges are synchronous here
+    if name == "OpenReader":
+        rd.get_searcher()
+        return 0
+    if name in ("CloseReader", "ReopenReader", "NearRealtimeReader"):
+        rd.searcher = None
+        if name != "CloseReader":
+            rd.get_searcher()
+        return 0
+    if name in ("Search", "SearchTrav", "SearchTravRet", "SearchWithSort"):
+        s = rd.get_searcher()
+        k = int(cfg.get("search.num.hits", 10))
+        rows = s.search(rd.next_query(), k=k).collect()
+        recs = 1 + len(rows)  # the search itself + docs traversed (ReadTask)
+        if name == "SearchTravRet" and rows:
+            ids = [r["docID"] for r in rows]
+            from pyspark.sql import functions as F
+
+            recs += s.docs().filter(F.col("docID").isin(ids)).count()
+        return recs
+    if name == "Warm":
+        s = rd.get_searcher()
+        return s.docs().count()
+    if name == "NewRound":
+        rd.round += 1
+        rd.config.new_round()
+        return 0
+    if name == "ClearStats":
+        rd.points.clear()
+        return 0
+    if name == "SetProp":
+        kv = [p.strip() for p in params.split(",")]
+        if len(kv) != 2:
+            raise AlgorithmError(f"SetProp expects name,value got {params!r}")
+        cfg.props[kv[0]] = kv[1]
+        return 0
+    if name == "Wait":
+        m = re.fullmatch(r"([\d.]+)\s*(s|sec|ms|min)?", params.strip())
+        if not m:
+            raise AlgorithmError(f"Wait bad param {params!r}")
+        v = float(m.group(1))
+        unit = m.group(2) or "s"
+        time.sleep(v / 1000 if unit == "ms" else v * 60 if unit == "min" else v)
+        return 0
+    if name.startswith("Rep"):
+        stats = list(rd.points.task_stats)
+        if name == "RepAll":
+            rows = [
+                {
+                    "op": st.name,
+                    "runCnt": 1,
+                    "recsPerRun": float(st.recs),
+                    "rec/s": st.recs / st.elapsed if st.elapsed > 0 else 0.0,
+                    "elapsedSec": st.elapsed,
+                }
+                for st in stats
+            ]
+        elif name in ("RepSumByName", "RepSumByNameRound"):
+            by_round = name.endswith("Round")
+            rows = _agg_rows(
+                stats,
+                (lambda st: f"{st.name} ({st.round})") if by_round else (lambda st: st.name),
+            )
+        elif name in ("RepSumByPref", "RepSumByPrefRound"):
+            pref = params
+            sel = [st for st in stats if st.name.startswith(pref)]
+            by_round = name.endswith("Round")
+            rows = _agg_rows(
+                sel,
+                (lambda st: f"{st.name} ({st.round})") if by_round else (lambda st: st.name),
+            )
+        else:
+            raise AlgorithmError(f"unknown report task {name}")
+        rep = Report(name, rows, _format_report(f"------------> Report ({name})", rows))
+        rd.reports.append(rep)
+        return 0
+    raise AlgorithmError(f"unknown task {name!r} (line {t.line})")
+
+
+_UNCOUNTED = re.compile(r"^(Rep|ClearStats|NewRound)")
+
+
+def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
+    """Execute a TaskCall or Seq; -> recs.
+
+    `suppress` implements '>' (TaskSequence.SetNoChildReport): inside a
+    sequence closed with '>', descendants do not log individual stats --
+    the sequence itself reports as one unit under its name."""
+    if isinstance(node, TaskCall):
+        if node.background:
+            th = threading.Thread(
+                target=_exec_task, args=(rd, node, suppress), daemon=True
+            )
+            th.start()
+            rd._bg_threads.append(th)
+            return 0
+        return _exec_task(rd, node, suppress)
+
+    child_suppress = suppress or node.no_child_report
+    total = 0
+    t_start = time.monotonic()
+    interval = 1.0 / node.rate_per_sec if node.rate_per_sec else None
+    n_exec = 0  # paced across ALL repetitions, not per pass
+
+    def one_pass() -> int:
+        nonlocal n_exec
+        recs = 0
+        for child in node.tasks:
+            if interval is not None:
+                lag = t_start + n_exec * interval - time.monotonic()
+                if lag > 0:
+                    time.sleep(lag)
+            n_exec += 1
+            recs += _exec(rd, child, child_suppress)
+        return recs
+
+    if node.parallel:
+        reps = node.repetitions if node.repetitions > 0 else 1
+        for _ in range(reps):
+            results = [0] * len(node.tasks)
+            errs: list[Exception] = []
+
+            def runner(ix, child):
+                try:
+                    results[ix] = _exec(rd, child, child_suppress)
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+            ts = [
+                threading.Thread(target=runner, args=(ix, c), daemon=True)
+                for ix, c in enumerate(node.tasks)
+            ]
+            for th in ts:
+                th.start()
+            for th in ts:
+                th.join()
+            if errs:
+                raise errs[0]
+            total += sum(results)
+    elif node.runtime_sec is not None:
+        while time.monotonic() - t_start < node.runtime_sec:
+            try:
+                total += one_pass()
+            except NoMoreDataError:
+                break
+    elif node.repetitions == EXHAUST:
+        while True:
+            try:
+                total += one_pass()
+            except NoMoreDataError:
+                break
+    else:
+        for _ in range(node.repetitions):
+            total += one_pass()
+    for th in rd._bg_threads:
+        th.join()
+    rd._bg_threads.clear()
+    if node.name and not suppress:
+        rd.points.record(
+            TaskStats(node.name, rd.round, total, time.monotonic() - t_start)
+        )
+    return total
+
+
+def _exec_task(rd: PerfRunData, t: TaskCall, suppress: bool) -> int:
+    t0 = time.monotonic()
+    recs = _run_task(rd, t)
+    if not suppress and not t.disable_count and not _UNCOUNTED.match(t.name):
+        rd.points.record(TaskStats(t.name, rd.round, recs, time.monotonic() - t0))
+    return recs
+
+
+def run_algorithm(
+    spark: SparkSession,
+    alg_text: str,
+    source: DataFrame | None = None,
+    work_dir: str | None = None,
+) -> PerfRunData:
+    """Parse + execute a full .alg file (properties + algorithm); -> the
+    run data carrying `.points.task_stats` and `.reports`."""
+    props, alg = split_alg(alg_text)
+    cfg = ByTaskConfig(props)
+    rd = PerfRunData(spark, cfg, source=source, work_dir=work_dir)
+    try:
+        root = parse_algorithm(alg)
+        _exec(rd, root)
+    finally:
+        rd.source.unpersist()
+    return rd

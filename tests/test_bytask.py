@@ -1,0 +1,194 @@
+"""ByTask benchmark harness: algorithm grammar + end-to-end task runs.
+
+Grammar vectors mirror the shapes exercised by the reference's
+TestPerfTasksParse/TestPerfTasksLogic (Algorithm.cs:55-340 grammar,
+Config.cs:56-115 property split)."""
+
+import pytest
+
+from sparklucene.bytask import (
+    EXHAUST,
+    AlgorithmError,
+    ByTaskConfig,
+    Seq,
+    TaskCall,
+    parse_algorithm,
+    run_algorithm,
+    split_alg,
+)
+
+
+# ---------------------------------------------------------------------------
+# config split + per-round values
+# ---------------------------------------------------------------------------
+
+
+def test_split_alg_last_equals_line_rule():
+    """Everything up to the LAST '=' line is properties -- even when task
+    words appear in between (Config.cs reads lines, remembers lastConfigLine)."""
+    txt = "a=1\n# comment\nb=x:y\nCreateIndex\nCloseIndex\n"
+    props, alg = split_alg(txt)
+    assert props == {"a": "1", "b": "x:y"}
+    assert "CreateIndex" in alg and "b=" not in alg
+
+
+def test_config_per_round_typed_only():
+    cfg = ByTaskConfig({"merge.factor": "10:20:30", "query.strings": "body:spark"})
+    assert cfg.get("merge.factor", 0) == 10
+    cfg.new_round()
+    assert cfg.get("merge.factor", 0) == 20
+    cfg.new_round()
+    cfg.new_round()  # wraps
+    assert cfg.get("merge.factor", 0) == 10
+    # the STRING getter never splits on ':' (a classic query contains one)
+    assert cfg.get("query.strings", "") == "body:spark"
+
+
+# ---------------------------------------------------------------------------
+# algorithm grammar
+# ---------------------------------------------------------------------------
+
+
+def test_parse_simple_sequence_and_reps():
+    root = parse_algorithm("ResetSystemErase CreateIndex { AddDoc } : 100 CloseIndex")
+    names = [t.name for t in root.tasks if isinstance(t, TaskCall)]
+    assert names == ["ResetSystemErase", "CreateIndex", "CloseIndex"]
+    seq = [t for t in root.tasks if isinstance(t, Seq)][0]
+    assert seq.repetitions == 100
+    assert [c.name for c in seq.tasks] == ["AddDoc"]
+
+
+def test_parse_named_no_child_report_exhaust_rate():
+    root = parse_algorithm(
+        '{ "All" { AddDoc } : * { "S" Search > : 8 : 120/min } '
+    )
+    outer = root  # redundant single wrapper unwrapped
+    assert outer.name == "All"
+    add, s = outer.tasks
+    assert add.repetitions == EXHAUST
+    assert s.name == "S" and s.no_child_report
+    assert s.repetitions == 8 and s.rate_per_sec == pytest.approx(2.0)
+
+
+def test_parse_params_runtime_parallel_disable_background():
+    root = parse_algorithm(
+        "ForceMerge(1) SetProp(a,b) [ Search Search ] : 2 "
+        "{ AddDoc } : 3.5s - Warm Search &"
+    )
+    fm, sp = root.tasks[0], root.tasks[1]
+    assert fm.params == "1" and sp.params.replace(" ", "") == "a,b"
+    par = root.tasks[2]
+    assert par.parallel and par.repetitions == 2 and len(par.tasks) == 2
+    timed = root.tasks[3]
+    assert timed.runtime_sec == pytest.approx(3.5) and timed.repetitions == 1
+    warm = root.tasks[4]
+    assert warm.name == "Warm" and warm.disable_count
+    bg = root.tasks[5]
+    assert bg.name == "Search" and bg.background
+
+
+def test_parse_rep_pref_prefix_and_errors():
+    root = parse_algorithm("RepSumByPref Search")
+    assert root.tasks[0].params == "Search"
+    with pytest.raises(AlgorithmError):
+        parse_algorithm("{ AddDoc")  # unmatched
+    with pytest.raises(AlgorithmError):
+        parse_algorithm(": 3")  # colon without a closed sequence
+    with pytest.raises(AlgorithmError):
+        parse_algorithm("AddDoc : 3")  # colon only after '}' / '>'
+
+
+# ---------------------------------------------------------------------------
+# end-to-end runs over the Spark engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"spark engine w{i % 7} stream value token{i} merge")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bytask_index_and_search(spark, corpus, tmp_path):
+    alg = """
+query.strings=spark;stream value
+search.num.hits=5
+index.num.buckets=4
+ResetSystemErase
+CreateIndex
+{ AddDocs(10) } : 3
+CloseIndex
+OpenReader
+{ "SearchSameRdr" Search > : 4
+CloseReader
+RepSumByName
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    assert rd.writer.num_docs == 30
+    by_name = {}
+    for st in rd.points.task_stats:
+        by_name.setdefault(st.name, []).append(st)
+    assert len(by_name["AddDocs"]) == 3
+    assert all(st.recs == 10 for st in by_name["AddDocs"])
+    # '>' collapsed the 4 searches into ONE stats line under the seq name
+    assert "Search" not in by_name
+    (s,) = by_name["SearchSameRdr"]
+    assert s.recs >= 4 + 4  # 4 searches + >=1 hit each
+    rep = rd.reports[-1]
+    ops = {r["op"]: r for r in rep.rows}
+    assert ops["AddDocs"]["runCnt"] == 3
+    assert ops["AddDocs"]["recsPerRun"] == pytest.approx(10.0)
+    assert "SearchSameRdr" in ops
+    assert "rec/s" in rep.text and "AddDocs" in rep.text
+
+
+def test_bytask_exhaust_consumes_whole_feed(spark, corpus, tmp_path):
+    alg = """
+index.num.buckets=4
+CreateIndex { AddDoc } : * CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    adds = [st for st in rd.points.task_stats if st.name == "AddDoc"]
+    assert len(adds) == 30 and rd.writer.num_docs == 30
+
+
+def test_bytask_force_merge_and_trav_ret(spark, corpus, tmp_path):
+    alg = """
+query.strings=spark
+index.num.buckets=4
+CreateIndex
+{ AddDocs(15) } : 2
+ForceMerge(1)
+OpenReader
+SearchTravRet
+RepSumByName
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    # two appended segments merged into one
+    assert len(rd.writer.segments) == 1
+    tr = [st for st in rd.points.task_stats if st.name == "SearchTravRet"][0]
+    # 1 (search) + k hits traversed + k stored docs retrieved
+    assert tr.recs == 1 + 10 + 10
+
+
+def test_bytask_rounds_cycle_properties(spark, corpus, tmp_path):
+    alg = """
+search.num.hits=2:7
+query.strings=spark
+index.num.buckets=4
+CreateIndex { AddDocs(30) } : 1 CloseIndex OpenReader
+Search
+NewRound
+Search
+RepSumByNameRound
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    searches = [st for st in rd.points.task_stats if st.name == "Search"]
+    assert [st.round for st in searches] == [0, 1]
+    assert searches[0].recs == 1 + 2  # k=2 in round 0
+    assert searches[1].recs == 1 + 7  # k=7 in round 1
+    rep = rd.reports[-1]
+    assert {r["op"] for r in rep.rows} >= {"Search (0)", "Search (1)"}
