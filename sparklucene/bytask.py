@@ -415,9 +415,23 @@ class PerfRunData:
             path = config.get("docs.file")
             if not path:
                 raise AlgorithmError("no source DataFrame and no docs.file property")
-            source = spark.read.parquet(path)
+            if str(path).endswith(".txt") or config.get("docs.format") == "line":
+                # LineDocSource route (Feeds/LineDocSource.cs)
+                from .feeds import read_line_docs
+
+                source = read_line_docs(spark, path)
+                config.props.setdefault("doc.text.col", "body")
+            else:
+                source = spark.read.parquet(path)
         self.id_col = config.get("doc.id.col", "doc_id")
         self.text_col = config.get("doc.text.col", "text")
+        if self.id_col not in source.columns:
+            # line-doc feeds carry no id -- mint a deterministic one from
+            # the full field tuple (rank order; ties rank arbitrarily but
+            # reproducibly within a run)
+            source = mint_doc_ids(
+                source, list(source.columns), max(source.rdd.getNumPartitions(), 1)
+            ).withColumnRenamed("docID", self.id_col)
         # stable 0..n-1 feed order without a single-partition window
         self.source = mint_doc_ids(
             source.select(self.id_col, self.text_col),
@@ -523,6 +537,23 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         return 0
     if name == "WaitForMerges":
         return 0  # merges are synchronous here
+    if name == "WriteLineDoc":
+        # WriteLineDocTask.cs: serialise the feed as a line-doc corpus at
+        # line.file.out (title = the id, empty date, body = the text)
+        out = params or cfg.get("line.file.out")
+        if not out:
+            raise AlgorithmError("WriteLineDoc needs line.file.out or a param")
+        from pyspark.sql import functions as F
+
+        from .feeds import write_line_docs
+
+        feed = rd.source.select(
+            F.col(rd.id_col).cast("string").alias("doctitle"),
+            F.lit("").alias("docdate"),
+            F.col(rd.text_col).alias("body"),
+        )
+        write_line_docs(feed, out)
+        return rd.n_docs
     if name == "OpenReader":
         rd.get_searcher()
         return 0

@@ -1,0 +1,90 @@
+"""Line-doc feed format: the benchmark module's corpus interchange file.
+
+The reference's ``WriteLineDocTask`` (`ByTask/Tasks/WriteLineDocTask.cs`)
+serialises one document per line, fields separated by TAB with embedded
+tabs/newlines normalised to spaces; default field order is
+``doctitle  docdate  body`` (`WriteLineDocTask.cs:65-79`).  An optional
+header line ``FIELDS_HEADER_INDICATOR###\\t<f1>\\t<f2>...`` names custom
+fields; ``LineDocSource`` (`ByTask/Feeds/LineDocSource.cs:121-154`) picks
+``SimpleLineParser`` for the default header/none and ``HeaderLineParser``
+otherwise.  The bundled Reuters smoke corpus
+(`src/Lucene.Net.Tests.Benchmark/ByTask/reuters.first20.lines.txt`) is the
+headerless default-fields case.
+
+Spark-first: the sink is one ``concat_ws`` projection over ``write.text``
+(whole-stage codegen, no Python); the source is ``read.text`` + a bounded
+``split``.  A Spark write produces a part-file directory rather than one
+file, so when ``header=True`` every partition carries its own header line
+and the reader drops ALL indicator lines -- semantics identical, layout
+distributed.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\t"
+FIELDS_HEADER_INDICATOR = "FIELDS_HEADER_INDICATOR###"
+DEFAULT_FIELDS = ("doctitle", "docdate", "body")
+
+
+def write_line_docs(
+    df: DataFrame,
+    path: str,
+    fields: tuple[str, ...] = DEFAULT_FIELDS,
+    header: bool = False,
+) -> None:
+    """Serialise `df[fields]` as a line-doc text corpus at `path`.
+
+    Values are normalised like the reference writer (tabs/newlines/CRs
+    become spaces, so the line structure is unambiguous); nulls write as
+    empty fields.  With header=True each part file leads with the
+    FIELDS_HEADER_INDICATOR line (custom field sets need it to round-trip
+    names)."""
+    for f_ in fields:
+        if SEP in f_:
+            raise ValueError(f"field name {f_!r} contains the separator")
+    cols = [
+        F.regexp_replace(F.coalesce(F.col(f_).cast("string"), F.lit("")), r"[\t\r\n]", " ")
+        for f_ in fields
+    ]
+    lines = df.select(F.concat_ws(SEP, *cols).alias("value"))
+    if header:
+        head = SEP.join((FIELDS_HEADER_INDICATOR,) + tuple(fields))
+
+        def prepend(it):
+            import pandas as pd
+
+            yield pd.DataFrame({"value": [head]})
+            yield from it
+
+        lines = lines.mapInPandas(prepend, schema="value string")
+    lines.write.mode("overwrite").text(path)
+
+
+def read_line_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a line-doc corpus (file or part-file directory) into one
+    column per field.
+
+    Field names come from the first header line when present
+    (HeaderLineParser route), else the default ``doctitle/docdate/body``
+    (SimpleLineParser route).  All header lines are dropped; the LAST
+    field absorbs any unescaped separators (bounded split), matching the
+    reference parser's IndexOf walk."""
+    raw = spark.read.text(path)
+    head = (
+        raw.filter(F.col("value").startswith(FIELDS_HEADER_INDICATOR))
+        .limit(1)
+        .collect()
+    )
+    if head:
+        fields = tuple(head[0]["value"].split(SEP)[1:])
+        if not fields:
+            raise ValueError("header line names no fields")
+    else:
+        fields = DEFAULT_FIELDS
+    body = raw.filter(~F.col("value").startswith(FIELDS_HEADER_INDICATOR))
+    parts = F.split(F.col("value"), SEP, len(fields))
+    return body.select(
+        *[F.element_at(parts, i + 1).alias(f_) for i, f_ in enumerate(fields)]
+    )

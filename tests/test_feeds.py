@@ -1,0 +1,97 @@
+"""Line-doc feed format (WriteLineDocTask / LineDocSource) round-trips."""
+
+import os
+
+import pytest
+
+from sparklucene.feeds import (
+    DEFAULT_FIELDS,
+    FIELDS_HEADER_INDICATOR,
+    read_line_docs,
+    write_line_docs,
+)
+
+REUTERS = (
+    "/root/reference/src/Lucene.Net.Tests.Benchmark/ByTask/"
+    "reuters.first20.lines.txt"
+)
+
+
+def test_roundtrip_default_fields_normalises_separators(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("T1", "20260101", "plain body"),
+            ("T2", "20260102", "body\twith tab\nand newline"),
+            ("T3", None, None),
+        ],
+        "doctitle string, docdate string, body string",
+    )
+    out = str(tmp_path / "docs.txt")
+    write_line_docs(df, out)
+    got = {r["doctitle"]: (r["docdate"], r["body"])
+           for r in read_line_docs(spark, out).collect()}
+    assert got["T1"] == ("20260101", "plain body")
+    # embedded separators became spaces (WriteLineDocTask normalisation)
+    assert got["T2"] == ("20260102", "body with tab and newline")
+    assert got["T3"] == ("", "")
+
+
+def test_roundtrip_custom_fields_header_per_partition(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"body {i}", f"u{i}") for i in range(20)],
+        "doc_id long, body string, url string",
+    ).repartition(4)
+    out = str(tmp_path / "custom.txt")
+    write_line_docs(df, out, fields=("doc_id", "body", "url"), header=True)
+    back = read_line_docs(spark, out)
+    assert back.columns == ["doc_id", "body", "url"]
+    rows = back.collect()
+    assert len(rows) == 20  # every per-partition header line dropped
+    assert {r["doc_id"] for r in rows} == {str(i) for i in range(20)}
+    # at least one physical header line exists in the raw text
+    raw = spark.read.text(out)
+    n_head = raw.filter(
+        raw["value"].startswith(FIELDS_HEADER_INDICATOR)
+    ).count()
+    assert n_head >= 1
+
+
+def test_last_field_absorbs_unescaped_tabs(spark, tmp_path):
+    # a hand-written file whose body contains raw tabs: the bounded split
+    # keeps them in the last field (SimpleLineParser IndexOf walk)
+    p = tmp_path / "hand.txt"
+    p.write_text("T\t2026\tbody\tstill body\n")
+    row = read_line_docs(spark, str(p)).collect()[0]
+    assert row["body"] == "body\tstill body"
+
+
+@pytest.mark.skipif(not os.path.exists(REUTERS), reason="reference corpus absent")
+def test_reads_reference_reuters_smoke_corpus(spark):
+    df = read_line_docs(spark, REUTERS)
+    assert df.columns == list(DEFAULT_FIELDS)
+    rows = df.collect()
+    assert len(rows) == 20
+    titles = {r["doctitle"] for r in rows}
+    assert "BAHIA COCOA REVIEW" in titles
+    assert all(r["body"] for r in rows)
+
+
+def test_bytask_consumes_line_doc_feed(spark, tmp_path):
+    from sparklucene.bytask import run_algorithm
+
+    df = spark.createDataFrame(
+        [(f"T{i}", "2026", f"spark stream value token{i}") for i in range(12)],
+        "doctitle string, docdate string, body string",
+    )
+    feed = str(tmp_path / "feed.txt")
+    write_line_docs(df, feed)
+    alg = f"""
+docs.file={feed}
+query.strings=spark
+index.num.buckets=4
+CreateIndex {{ AddDoc }} : * CloseIndex OpenReader Search
+"""
+    rd = run_algorithm(spark, alg, work_dir=str(tmp_path / "w"))
+    assert rd.writer.num_docs == 12
+    s = [st for st in rd.points.task_stats if st.name == "Search"][0]
+    assert s.recs == 1 + 10  # all 12 docs match, k=10
