@@ -88,3 +88,82 @@ def read_line_docs(spark: SparkSession, path: str) -> DataFrame:
     return body.select(
         *[F.element_at(parts, i + 1).alias(f_) for i, f_ in enumerate(fields)]
     )
+
+
+def _whole_files(spark: SparkSession, path: str):
+    """One row per input file (path, text).  The FILE is the parallel unit
+    -- the right granularity for TREC bundles / wiki dump shards, which are
+    multi-line records a line reader cannot split; at scale the corpus is
+    many files, so the scan stays distributed."""
+    return spark.read.format("binaryFile").load(path).select(
+        F.col("path"), F.decode(F.col("content"), "UTF-8").alias("_txt")
+    )
+
+
+def read_trec(spark: SparkSession, path: str) -> DataFrame:
+    """TREC content source (`ByTask/Feeds/TrecContentSource.cs:57-58,
+    270-272` + `TrecGov2Parser.cs:30-51`): records delimited
+    ``<DOC>..</DOC>``; docname = trimmed ``<DOCNO>`` text; docdate = the
+    ``Date: `` header line inside ``<DOCHDR>``; body = everything after
+    ``</DOCHDR>`` (or the whole record when there is no header block).
+
+    All extraction is JVM regex (regexp_extract_all + explode per file;
+    whole-stage codegen, zero Python)."""
+    docs = _whole_files(spark, path).select(
+        F.explode(
+            F.regexp_extract_all("_txt", F.lit(r"(?s)<DOC>(.*?)</DOC>"), 1)
+        ).alias("_doc")
+    )
+    def ws_trim(col):  # F.trim strips spaces only, not newlines
+        return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+    after_hdr = F.regexp_extract("_doc", r"(?s)</DOCHDR>(.*)", 1)
+    return docs.select(
+        ws_trim(F.regexp_extract("_doc", r"(?s)<DOCNO>(.*?)</DOCNO>", 1)).alias(
+            "docname"
+        ),
+        F.trim(F.regexp_extract("_doc", r"Date: ([^\r\n]*)", 1)).alias("docdate"),
+        ws_trim(
+            F.when(F.length(after_hdr) > 0, after_hdr).otherwise(
+                F.regexp_replace(
+                    "_doc", r"(?s)<DOCNO>.*?</DOCNO>|<DOCHDR>.*?</DOCHDR>", ""
+                )
+            )
+        ).alias("body"),
+    )
+
+
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&")]  # &amp; LAST
+
+
+def _unescape_xml(col):
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def read_enwiki(spark: SparkSession, path: str) -> DataFrame:
+    """Wikipedia-dump content source (`ByTask/Feeds/EnwikiContentSource.cs:
+    299-333`: the SAX handler keeps exactly page/title/timestamp/text):
+    one row per ``<page>``, columns doctitle / docdate (the timestamp) /
+    body (the wiki markup), XML entities unescaped.
+
+    Same whole-file + JVM-regex plan as `read_trec`; dump shards (one
+    file per shard) are the parallel unit."""
+    pages = _whole_files(spark, path).select(
+        F.explode(
+            F.regexp_extract_all("_txt", F.lit(r"(?s)<page>(.*?)</page>"), 1)
+        ).alias("_pg")
+    )
+    return pages.select(
+        _unescape_xml(
+            F.regexp_extract("_pg", r"(?s)<title>(.*?)</title>", 1)
+        ).alias("doctitle"),
+        F.regexp_extract("_pg", r"<timestamp>(.*?)</timestamp>", 1).alias(
+            "docdate"
+        ),
+        _unescape_xml(
+            F.regexp_extract("_pg", r"(?s)<text[^>]*>(.*?)</text>", 1)
+        ).alias("body"),
+    )

@@ -95,3 +95,55 @@ CreateIndex {{ AddDoc }} : * CloseIndex OpenReader Search
     assert rd.writer.num_docs == 12
     s = [st for st in rd.points.task_stats if st.name == "Search"][0]
     assert s.recs == 1 + 10  # all 12 docs match, k=10
+
+
+def test_read_trec_extracts_docno_date_body(spark, tmp_path):
+    trec = """<DOC>
+<DOCNO> FT911-3 </DOCNO>
+<DOCHDR>
+http://example.com/a
+Date: Tue, 09 Dec 2003 22:39:09 GMT
+Content-Type: text/html
+</DOCHDR>
+first body text
+spans lines
+</DOC>
+<DOC>
+<DOCNO>FT911-4</DOCNO>
+plain record without header
+</DOC>
+"""
+    (tmp_path / "batch.trec").write_text(trec)
+    rows = {r["docname"]: r for r in
+            __import__("sparklucene.feeds", fromlist=["read_trec"])
+            .read_trec(spark, str(tmp_path / "batch.trec")).collect()}
+    assert set(rows) == {"FT911-3", "FT911-4"}
+    a = rows["FT911-3"]
+    assert a["docdate"] == "Tue, 09 Dec 2003 22:39:09 GMT"
+    assert a["body"] == "first body text\nspans lines"
+    b = rows["FT911-4"]
+    assert b["docdate"] == "" and b["body"] == "plain record without header"
+
+
+def test_read_enwiki_pages_and_entities(spark, tmp_path):
+    dump = """<mediawiki>
+<page>
+<title>Foo &amp; Bar</title>
+<revision><timestamp>2026-01-01T00:00:00Z</timestamp>
+<text xml:space="preserve">wiki &lt;markup&gt; body</text></revision>
+</page>
+<page>
+<title>Second</title>
+<revision><timestamp>2026-02-02T00:00:00Z</timestamp>
+<text>plain</text></revision>
+</page>
+</mediawiki>
+"""
+    (tmp_path / "dump.xml").write_text(dump)
+    from sparklucene.feeds import read_enwiki
+
+    rows = {r["doctitle"]: r for r in read_enwiki(spark, str(tmp_path / "dump.xml")).collect()}
+    assert set(rows) == {"Foo & Bar", "Second"}
+    assert rows["Foo & Bar"]["body"] == "wiki <markup> body"
+    assert rows["Foo & Bar"]["docdate"] == "2026-01-01T00:00:00Z"
+    assert rows["Second"]["body"] == "plain"
