@@ -198,8 +198,11 @@ def cmd_alg(args) -> int:
     spark = _spark(args)
     with open(args.alg) as f:
         text = f.read()
-    source = _read_source(spark, args.docs, "auto") if args.docs else None
-    rd = run_algorithm(spark, text, source=source, work_dir=args.work_dir)
+    # route through the docs.file property so .txt feeds get the
+    # line-doc reader, same as when the property is set in the file
+    override = {"docs.file": args.docs} if args.docs else None
+    rd = run_algorithm(spark, text, work_dir=args.work_dir,
+                       props_override=override)
     for rep in rd.reports:
         print(rep.text)
     if not rd.reports:  # still show something useful

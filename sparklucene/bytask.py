@@ -40,6 +40,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .build import BuildConfig, mint_doc_ids
 from .parser import parse
@@ -111,7 +112,9 @@ def split_alg(text: str) -> tuple[dict[str, str], str]:
         if not s or s.startswith("#") or "=" not in s:
             continue
         k, _, v = s.partition("=")
-        props[k.strip()] = v.split("#")[0].strip()
+        # Java Properties (what Config.cs loads with) has no inline
+        # comments -- 'query.strings=body:c# notes' keeps the '#'
+        props[k.strip()] = v.strip()
     return props, "\n".join(lines[last_cfg:])
 
 
@@ -148,26 +151,46 @@ _TOK = re.compile(
       | (?P<qstr>"[^"]*"|'[^']*')
       | (?P<num>\d+(?:\.\d+)?)
       | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
-      | (?P<ch>[{}\[\]():>&*/,-])
+      | (?P<ch>[{}\[\]:>&*/-])
     )""",
     re.VERBOSE,
 )
 
 
 def _lex(text: str):
+    """-> [(kind, value, line)].  A '(' directly after a task word captures
+    the balanced parenthetical RAW (Algorithm.cs keeps params verbatim up
+    to the matching ')'), emitted as a ('params', text) token -- paths,
+    'a=b' pairs and 'field:value' params survive byte-for-byte."""
     pos, line = 0, 1
     out = []
     while pos < len(text):
-        if text[pos] == "\n":
+        c = text[pos]
+        if c == "\n":
             line += 1
             pos += 1
             continue
+        if c.isspace():
+            pos += 1
+            continue
+        if c == "(":
+            depth, j = 1, pos + 1
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise AlgorithmError(f"unbalanced ( at line {line}")
+            raw = text[pos + 1 : j - 1].strip()
+            line += text[pos:j].count("\n")
+            pos = j
+            out.append(("params", raw, line))
+            continue
         m = _TOK.match(text, pos)
         if m is None or m.end() == pos:
-            if text[pos].isspace():
-                pos += 1
-                continue
-            raise AlgorithmError(f"bad character {text[pos]!r} at line {line}")
+            raise AlgorithmError(f"bad character {c!r} at line {line}")
         line += text[pos : m.end()].count("\n")
         pos = m.end()
         if m.lastgroup == "comment":
@@ -212,24 +235,9 @@ def parse_algorithm(text: str) -> Seq:
                     raise AlgorithmError(f"report prefix missing at line {line}")
                 t.params = nv
                 i += 1
-            elif peek()[0] == "(":
-                # balanced raw parameter capture (Algorithm.cs:103-172)
+            elif peek()[0] == "params":
+                t.params = peek()[1]
                 i += 1
-                depth, parts = 1, []
-                while i < len(toks):
-                    k2, v2, _ = toks[i]
-                    i += 1
-                    if k2 == "(":
-                        depth += 1
-                    elif k2 == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    if depth:
-                        parts.append(str(int(v2)) if k2 == "num" and float(v2).is_integer() else str(v2))
-                else:
-                    raise AlgorithmError(f"unbalanced ( at line {line}")
-                t.params = " ".join(parts).strip()
             colon_ok, prev = False, t
         elif kind in ("{", "["):
             name = None
@@ -425,37 +433,53 @@ class PerfRunData:
                 source = spark.read.parquet(path)
         self.id_col = config.get("doc.id.col", "doc_id")
         self.text_col = config.get("doc.text.col", "text")
+        nparts = max(source.rdd.getNumPartitions(), 1)
         if self.id_col not in source.columns:
-            # line-doc feeds carry no id -- mint a deterministic one from
-            # the full field tuple (rank order; ties rank arbitrarily but
-            # reproducibly within a run)
-            source = mint_doc_ids(
-                source, list(source.columns), max(source.rdd.getNumPartitions(), 1)
-            ).withColumnRenamed("docID", self.id_col)
-        # stable 0..n-1 feed order without a single-partition window
-        self.source = mint_doc_ids(
-            source.select(self.id_col, self.text_col),
-            [self.id_col],
-            max(source.rdd.getNumPartitions(), 1),
-        ).withColumnRenamed("docID", "_seq").cache()
+            # line-doc feeds carry no id -- ONE mint over the full field
+            # tuple yields dense 0..n-1 ids that double as the feed order
+            # (a second mint keyed on them would reproduce them exactly)
+            minted = mint_doc_ids(source, list(source.columns), nparts)
+            self.source = minted.select(
+                F.col("docID").alias(self.id_col),
+                self.text_col,
+                F.col("docID").alias("_seq"),
+            ).cache()
+        else:
+            # stable 0..n-1 feed order without a single-partition window
+            self.source = (
+                mint_doc_ids(source.select(self.id_col, self.text_col),
+                             [self.id_col], nparts)
+                .withColumnRenamed("docID", "_seq")
+                .cache()
+            )
         self.n_docs = self.source.count()
         self.cursor = 0  # next unread feed row
         self.buffer_lo = 0  # flushed up to here
+        # reference default: the content source LOOPS when it runs out
+        # (ContentSource forever=true); ': *' exhaust needs it set false
+        self.forever = bool(config.get("content.source.forever", True))
+        self._cursor_lock = threading.Lock()  # parallel '[...]' safety
 
     # -- content feed -------------------------------------------------------
     def next_docs(self, n: int) -> int:
-        """Advance the feed cursor; raises when exhausted (NoMoreData)."""
-        if self.cursor >= self.n_docs:
-            raise NoMoreDataError()
-        take = min(n, self.n_docs - self.cursor)
-        self.cursor += take
-        return take
+        """Advance the feed cursor.  At feed end: wrap when
+        content.source.forever (flushing the tail first so _seq slice
+        arithmetic stays contiguous), else raise (NoMoreDataException)."""
+        with self._cursor_lock:
+            if self.cursor >= self.n_docs:
+                if not self.forever:
+                    raise NoMoreDataError()
+                self.flush()
+                self.cursor = 0
+                self.buffer_lo = 0
+            take = min(n, self.n_docs - self.cursor)
+            self.cursor += take
+            return take
 
     def flush(self):
         if self.writer is None or self.cursor <= self.buffer_lo:
             return
         lo, hi = self.buffer_lo, self.cursor
-        from pyspark.sql import functions as F
 
         batch = self.source.filter(
             (F.col("_seq") >= lo) & (F.col("_seq") < hi)
@@ -476,8 +500,9 @@ class PerfRunData:
         qs = [q.strip() for q in str(raw).split(";") if q.strip()]
         if not qs:
             raise AlgorithmError("Search task but no query.strings property")
-        q = qs[self.query_ix % len(qs)]
-        self.query_ix += 1
+        with self._cursor_lock:  # parallel Search tasks share the cycle
+            q = qs[self.query_ix % len(qs)]
+            self.query_ix += 1
         return parse(q)
 
     def get_searcher(self):
@@ -543,7 +568,6 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         out = params or cfg.get("line.file.out")
         if not out:
             raise AlgorithmError("WriteLineDoc needs line.file.out or a param")
-        from pyspark.sql import functions as F
 
         from .feeds import write_line_docs
 
@@ -569,7 +593,6 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         recs = 1 + len(rows)  # the search itself + docs traversed (ReadTask)
         if name == "SearchTravRet" and rows:
             ids = [r["docID"] for r in rows]
-            from pyspark.sql import functions as F
 
             recs += s.docs().filter(F.col("docID").isin(ids)).count()
         return recs
@@ -635,20 +658,35 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
 _UNCOUNTED = re.compile(r"^(Rep|ClearStats|NewRound)")
 
 
+def _check_exhaustible(rd: PerfRunData) -> None:
+    """': *' over a looping feed never terminates -- fail loudly instead
+    (the reference's exhaust algorithms set content.source.forever=false)."""
+    if rd.forever:
+        raise AlgorithmError(
+            "': *' (exhaust) requires content.source.forever=false -- "
+            "the default looping feed never runs dry"
+        )
+
+
 def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
     """Execute a TaskCall or Seq; -> recs.
 
     `suppress` implements '>' (TaskSequence.SetNoChildReport): inside a
     sequence closed with '>', descendants do not log individual stats --
     the sequence itself reports as one unit under its name."""
+    if node.background:
+        # '&' -- runs while the enclosing serial sequence continues; joined
+        # once, at the end of run_algorithm (not by inner scopes)
+        target = _exec_task if isinstance(node, TaskCall) else _exec_fg
+        th = threading.Thread(target=target, args=(rd, node, suppress), daemon=True)
+        th.start()
+        rd._bg_threads.append(th)
+        return 0
+    return _exec_fg(rd, node, suppress)
+
+
+def _exec_fg(rd: PerfRunData, node, suppress: bool = False) -> int:
     if isinstance(node, TaskCall):
-        if node.background:
-            th = threading.Thread(
-                target=_exec_task, args=(rd, node, suppress), daemon=True
-            )
-            th.start()
-            rd._bg_threads.append(th)
-            return 0
         return _exec_task(rd, node, suppress)
 
     child_suppress = suppress or node.no_child_report
@@ -670,8 +708,8 @@ def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
         return recs
 
     if node.parallel:
-        reps = node.repetitions if node.repetitions > 0 else 1
-        for _ in range(reps):
+
+        def par_pass() -> int:
             results = [0] * len(node.tasks)
             errs: list[Exception] = []
 
@@ -689,9 +727,26 @@ def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
                 th.start()
             for th in ts:
                 th.join()
-            if errs:
-                raise errs[0]
-            total += sum(results)
+            for e in errs:
+                if not isinstance(e, NoMoreDataError):
+                    raise e
+            if errs:  # feed ran dry in some child: stop the loop cleanly
+                raise NoMoreDataError()
+            return sum(results)
+
+        if node.repetitions == EXHAUST:
+            _check_exhaustible(rd)
+            while True:
+                try:
+                    total += par_pass()
+                except NoMoreDataError:
+                    break
+        else:
+            for _ in range(max(node.repetitions, 1)):
+                try:
+                    total += par_pass()
+                except NoMoreDataError:
+                    break
     elif node.runtime_sec is not None:
         while time.monotonic() - t_start < node.runtime_sec:
             try:
@@ -699,6 +754,7 @@ def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
             except NoMoreDataError:
                 break
     elif node.repetitions == EXHAUST:
+        _check_exhaustible(rd)
         while True:
             try:
                 total += one_pass()
@@ -707,9 +763,6 @@ def _exec(rd: PerfRunData, node, suppress: bool = False) -> int:
     else:
         for _ in range(node.repetitions):
             total += one_pass()
-    for th in rd._bg_threads:
-        th.join()
-    rd._bg_threads.clear()
     if node.name and not suppress:
         rd.points.record(
             TaskStats(node.name, rd.round, total, time.monotonic() - t_start)
@@ -730,15 +783,22 @@ def run_algorithm(
     alg_text: str,
     source: DataFrame | None = None,
     work_dir: str | None = None,
+    props_override: dict[str, str] | None = None,
 ) -> PerfRunData:
     """Parse + execute a full .alg file (properties + algorithm); -> the
-    run data carrying `.points.task_stats` and `.reports`."""
+    run data carrying `.points.task_stats` and `.reports`.
+    `props_override` wins over same-named properties from the file."""
     props, alg = split_alg(alg_text)
+    if props_override:
+        props.update(props_override)
     cfg = ByTaskConfig(props)
     rd = PerfRunData(spark, cfg, source=source, work_dir=work_dir)
     try:
         root = parse_algorithm(alg)
         _exec(rd, root)
     finally:
+        for th in rd._bg_threads:  # '&' tasks joined once, at run end
+            th.join()
+        rd._bg_threads.clear()
         rd.source.unpersist()
     return rd

@@ -118,11 +118,14 @@ def read_trec(spark: SparkSession, path: str) -> DataFrame:
         return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
 
     after_hdr = F.regexp_extract("_doc", r"(?s)</DOCHDR>(.*)", 1)
+    # the reference reads 'Date: ' lines only BETWEEN <DOCHDR> tags --
+    # body text mentioning 'Date: ' must not pollute docdate
+    hdr = F.regexp_extract("_doc", r"(?s)<DOCHDR>(.*?)</DOCHDR>", 1)
     return docs.select(
         ws_trim(F.regexp_extract("_doc", r"(?s)<DOCNO>(.*?)</DOCNO>", 1)).alias(
             "docname"
         ),
-        F.trim(F.regexp_extract("_doc", r"Date: ([^\r\n]*)", 1)).alias("docdate"),
+        F.trim(F.regexp_extract(hdr, r"(?m)^Date: ([^\r\n]*)", 1)).alias("docdate"),
         ws_trim(
             F.when(F.length(after_hdr) > 0, after_hdr).otherwise(
                 F.regexp_replace(

@@ -148,11 +148,70 @@ RepSumByName
 def test_bytask_exhaust_consumes_whole_feed(spark, corpus, tmp_path):
     alg = """
 index.num.buckets=4
+content.source.forever=false
 CreateIndex { AddDoc } : * CloseIndex
 """
     rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
     adds = [st for st in rd.points.task_stats if st.name == "AddDoc"]
     assert len(adds) == 30 and rd.writer.num_docs == 30
+
+
+def test_bytask_exhaust_requires_finite_feed(spark, corpus, tmp_path):
+    """': *' over the default looping feed (content.source.forever=true,
+    the reference default) fails loudly instead of spinning forever."""
+    with pytest.raises(AlgorithmError, match="forever"):
+        run_algorithm(
+            spark, "CreateIndex { AddDoc } : * CloseIndex",
+            source=corpus, work_dir=str(tmp_path),
+        )
+
+
+def test_bytask_forever_feed_wraps(spark, corpus, tmp_path):
+    """Fixed repetitions beyond the corpus size cycle the feed (the
+    reference ContentSource forever=true default re-feeds from the top)."""
+    alg = """
+index.num.buckets=4
+CreateIndex { AddDocs(10) } : 4 CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    adds = [st for st in rd.points.task_stats if st.name == "AddDocs"]
+    assert len(adds) == 4 and sum(st.recs for st in adds) == 40
+    assert rd.writer.num_docs == 40  # 30 + the first 10 again
+
+
+def test_bytask_parallel_exhaust_and_shared_cursor(spark, corpus, tmp_path):
+    """'[ AddDoc AddDoc ] : *' drains the feed exactly once across the
+    racing threads (locked cursor), then stops cleanly."""
+    alg = """
+index.num.buckets=4
+content.source.forever=false
+CreateIndex [ AddDoc AddDoc ] : * CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    adds = [st for st in rd.points.task_stats if st.name == "AddDoc"]
+    assert sum(st.recs for st in adds) == 30
+    assert rd.writer.num_docs == 30
+
+
+def test_bytask_raw_params_and_background_seq(spark, corpus, tmp_path):
+    """Params are captured verbatim (paths keep their slashes, '='
+    survives); a background '{...} &' sequence runs and is joined."""
+    out = str(tmp_path / "out.txt")
+    alg = f"""
+query.strings=spark
+index.num.buckets=4
+CreateIndex {{ AddDocs(30) }} : 1 CloseIndex
+WriteLineDoc({out})
+{{ "BG" OpenReader }} &
+{{ Wait(50ms) }} : 1
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    wl = [st for st in rd.points.task_stats if st.name == "WriteLineDoc"][0]
+    assert wl.recs == 30
+    from sparklucene.feeds import read_line_docs
+
+    assert read_line_docs(spark, out).count() == 30
+    assert any(st.name == "BG" for st in rd.points.task_stats)
 
 
 def test_bytask_force_merge_and_trav_ret(spark, corpus, tmp_path):

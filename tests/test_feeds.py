@@ -89,6 +89,7 @@ def test_bytask_consumes_line_doc_feed(spark, tmp_path):
 docs.file={feed}
 query.strings=spark
 index.num.buckets=4
+content.source.forever=false
 CreateIndex {{ AddDoc }} : * CloseIndex OpenReader Search
 """
     rd = run_algorithm(spark, alg, work_dir=str(tmp_path / "w"))
@@ -123,6 +124,31 @@ plain record without header
     assert a["body"] == "first body text\nspans lines"
     b = rows["FT911-4"]
     assert b["docdate"] == "" and b["body"] == "plain record without header"
+
+
+def test_read_trec_date_only_from_dochdr(spark, tmp_path):
+    """'Date: ' mentioned in the BODY (or mid-line) never pollutes docdate
+    -- the reference reads Date lines only inside <DOCHDR>."""
+    trec = """<DOC>
+<DOCNO>X1</DOCNO>
+Released Date: tomorrow, says the report
+</DOC>
+<DOC>
+<DOCNO>X2</DOCNO>
+<DOCHDR>
+notDate: nope
+Date: Mon, 01 Jan 2026 00:00:00 GMT
+</DOCHDR>
+body Date: in body is ignored
+</DOC>
+"""
+    (tmp_path / "d.trec").write_text(trec)
+    from sparklucene.feeds import read_trec
+
+    rows = {r["docname"]: r for r in read_trec(spark, str(tmp_path / "d.trec")).collect()}
+    assert rows["X1"]["docdate"] == ""
+    assert rows["X2"]["docdate"] == "Mon, 01 Jan 2026 00:00:00 GMT"
+    assert "in body is ignored" in rows["X2"]["body"]
 
 
 def test_read_enwiki_pages_and_entities(spark, tmp_path):
