@@ -495,11 +495,30 @@ class PerfRunData:
         self.searcher = None  # stale reader must be reopened
 
     # -- queries ------------------------------------------------------------
-    def next_query(self) -> dict:
+    def _query_strings(self) -> list[str]:
+        """query.strings property (';'-separated) or, like the reference's
+        FileBasedQueryMaker (`ByTask/Feeds/FileBasedQueryMaker.cs`), a
+        query.file with one classic-syntax query per line ('#' comment
+        lines and blanks skipped)."""
         raw = self.config.get("query.strings", "")
         qs = [q.strip() for q in str(raw).split(";") if q.strip()]
         if not qs:
-            raise AlgorithmError("Search task but no query.strings property")
+            qf = self.config.get("query.file")
+            if qf:
+                with open(qf) as f:
+                    qs = [
+                        line.strip()
+                        for line in f
+                        if line.strip() and not line.lstrip().startswith("#")
+                    ]
+        return qs
+
+    def next_query(self) -> dict:
+        qs = self._query_strings()
+        if not qs:
+            raise AlgorithmError(
+                "Search task but neither query.strings nor query.file set"
+            )
         with self._cursor_lock:  # parallel Search tasks share the cycle
             q = qs[self.query_ix % len(qs)]
             self.query_ix += 1

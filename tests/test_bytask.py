@@ -251,3 +251,19 @@ RepSumByNameRound
     assert searches[1].recs == 1 + 7  # k=7 in round 1
     rep = rd.reports[-1]
     assert {r["op"] for r in rep.rows} >= {"Search (0)", "Search (1)"}
+
+
+def test_query_file_based_maker(spark, corpus, tmp_path):
+    """FileBasedQueryMaker route: queries come one-per-line from
+    query.file ('#' comments and blanks skipped), cycled in order."""
+    qf = tmp_path / "queries.txt"
+    qf.write_text("# comment\nspark\n\nstream value\n")
+    alg = f"""
+query.file={qf}
+index.num.buckets=4
+CreateIndex {{ AddDocs(30) }} : 1 CloseIndex OpenReader
+{{ "S" Search > : 3
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path / "w"))
+    s = [st for st in rd.points.task_stats if st.name == "S"][0]
+    assert s.recs >= 3 + 3  # 3 searches, each with hits

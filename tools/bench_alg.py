@@ -1,0 +1,138 @@
+"""ByTask-driven scaling benchmark: the reference's own benchmark
+methodology (an .alg file: exhaust-feed AddDocs -> CloseIndex flush ->
+repeated Search), executed by sparklucene.bytask at two parallelism
+levels (same machine-calibration caveats as tools/bench_scaling.py:
+local[2] vs local[8] is the linear region on this sandbox).
+
+Build throughput is docs / CloseIndex-elapsed (the flush IS the
+distributed build); search rate comes from the named search sequence's
+TaskStats.  Results print as one JSON line and append to BENCH.md.
+
+Usage:
+  python tools/bench_alg.py [--sf /root/testdata/sf0.1] [--repl 200]
+                            [--cores 2,8] [--searches 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FEED = "/tmp/sparklucene_alg_feed"
+WORK = "/tmp/sparklucene_alg_work"
+
+ALG = """
+docs.file={feed}
+query.strings=spark;stream value;w3 spark;value
+search.num.hits=10
+index.num.buckets=32
+content.source.forever=false
+ResetSystemErase
+CreateIndex
+{{ AddDocs(20000) }} : *
+CloseIndex
+OpenReader
+{{ "SearchSameRdr" Search > : {searches}
+RepSumByName
+"""
+
+
+def make_feed(sf_dir: str, repl: int) -> int:
+    """Replicated corpus parquet (same recipe as bench_scaling: base x
+    broadcast copy list, doc_id remapped to stay unique)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sparklucene.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(2)
+    spark = get_spark(cores=8, app="alg-feed")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_base = base.count()
+    copies = spark.range(repl).withColumnRenamed("id", "copy")
+    docs = (
+        base.repartition(24)
+        .select("doc_id", "text")
+        .crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("copy") * n_base + F.col("doc_id")).alias("doc_id"), "text"
+        )
+    )
+    shutil.rmtree(FEED, ignore_errors=True)
+    docs.write.mode("overwrite").parquet(FEED)
+    n = spark.read.parquet(FEED).count()
+    spark.stop()
+    time.sleep(2)
+    return n
+
+
+def run_leg(cores: int, searches: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from sparklucene.bytask import run_algorithm
+    from sparklucene.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(2)
+    spark = get_spark(cores=cores, app=f"alg-bench-{cores}")
+    shutil.rmtree(WORK, ignore_errors=True)
+    rd = run_algorithm(
+        spark, ALG.format(feed=FEED, searches=searches), work_dir=WORK
+    )
+    by = {}
+    for st in rd.points.task_stats:
+        by.setdefault(st.name, []).append(st)
+    n_docs = sum(st.recs for st in by["AddDocs"])
+    build_s = sum(st.elapsed for st in by["CloseIndex"])
+    s = by["SearchSameRdr"][0]
+    out = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_s": round(build_s, 2),
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "search_elapsed_s": round(s.elapsed, 2),
+        "searches_per_sec": round(searches / s.elapsed, 3),
+    }
+    spark.stop()
+    time.sleep(2)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=200)
+    ap.add_argument("--cores", default="2,8")
+    ap.add_argument("--searches", type=int, default=12)
+    args = ap.parse_args()
+
+    n = make_feed(args.sf, args.repl)
+    legs = [run_leg(int(c), args.searches) for c in args.cores.split(",")]
+    lo, hi = legs[0], legs[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    q_eff = (hi["searches_per_sec"] / lo["searches_per_sec"]) / ratio
+    result = {
+        "harness": "bytask",
+        "feed_docs": n,
+        "legs": legs,
+        "build_scaling_efficiency": round(eff, 3),
+        "search_scaling_efficiency": round(q_eff, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
