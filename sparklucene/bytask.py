@@ -558,6 +558,40 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         )
         rd.buffer_lo = rd.cursor
         return 0
+    if name == "NewAnalyzer":
+        # NewAnalyzerTask.cs: switch the analyzer used by subsequent index
+        # flushes (name must exist in the make_analyzer registry)
+        if not params:
+            raise AlgorithmError("NewAnalyzer needs an analyzer name param")
+        from .analysis import make_analyzer
+
+        try:
+            make_analyzer(params)  # validate eagerly, like the reference ctor
+        except ValueError as e:
+            raise AlgorithmError(str(e)) from e
+        cfg.props["analyzer"] = params
+        return 0
+    if name == "ReadTokens":
+        # ReadTokensTask.cs: pull the next doc and run it through the
+        # analyzer, counting tokens (recs = token count) -- per-doc like
+        # the reference; the heavy distributed tokenize is the flush path.
+        # A doc consumed here is NOT indexed: when the add-buffer is empty
+        # the flush floor advances past it (interleaving ReadTokens
+        # between UNFLUSHED AddDocs would index the read doc too -- the
+        # range-buffer simplification; typical algs don't interleave)
+        from .analysis import make_analyzer
+
+        with rd._cursor_lock:
+            buffer_was_empty = rd.buffer_lo == rd.cursor
+        rd.next_docs(1)
+        with rd._cursor_lock:
+            seq = rd.cursor - 1
+            if buffer_was_empty:
+                rd.buffer_lo = rd.cursor
+        row = rd.source.filter(F.col("_seq") == seq).select(rd.text_col).first()
+        analyze = make_analyzer(cfg.get("analyzer", "standard"))
+        terms, _ = analyze(row[0] if row else "")
+        return len(terms)
     if name == "AddDoc":
         return rd.next_docs(1)
     if name == "AddDocs":

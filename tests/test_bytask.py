@@ -267,3 +267,24 @@ CreateIndex {{ AddDocs(30) }} : 1 CloseIndex OpenReader
     rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path / "w"))
     s = [st for st in rd.points.task_stats if st.name == "S"][0]
     assert s.recs >= 3 + 3  # 3 searches, each with hits
+
+
+def test_read_tokens_and_new_analyzer(spark, corpus, tmp_path):
+    """ReadTokens counts analyzer tokens per consumed doc without
+    indexing it; NewAnalyzer swaps the chain for later tasks."""
+    alg = """
+index.num.buckets=4
+content.source.forever=false
+NewAnalyzer(whitespace)
+{ ReadTokens } : 2
+CreateIndex { AddDoc } : * CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    reads = [st for st in rd.points.task_stats if st.name == "ReadTokens"]
+    # whitespace analyzer: every corpus doc has exactly 7 tokens
+    assert [st.recs for st in reads] == [7, 7]
+    # the two read docs were consumed, not indexed
+    assert rd.writer.num_docs == 28
+    with pytest.raises(AlgorithmError):
+        run_algorithm(spark, "NewAnalyzer(nonexistent_chain)",
+                      source=corpus, work_dir=str(tmp_path))
