@@ -565,7 +565,11 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
     tok_dir = os.path.join(out_dir, "tokenized")
     t0 = time.time()
     if not (cfg.resume and _stage_done(tok_dir)):
-        base_cols = list(cfg.meta_cols)
+        # content_col in meta_cols = "store the document text" (Lucene's
+        # Field.Store.YES on the body): it is tokenized AND kept as a
+        # passthrough column rather than selected twice
+        store_content = cfg.content_col in cfg.meta_cols
+        base_cols = [c for c in cfg.meta_cols if c != cfg.content_col]
         if cfg.lang_analyzers and cfg.lang_col not in base_cols:
             base_cols.append(cfg.lang_col)  # routing column rides the docs table
         if cfg.id_col:
@@ -581,7 +585,10 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         # per-row invariant vs source: content sha256 (north rule)
         df = df.withColumn("sha256", F.sha2(F.col(cfg.content_col), 256))
         in_schema = df.schema
-        out_fields = [f for f in in_schema.fields if f.name != cfg.content_col]
+        out_fields = [
+            f for f in in_schema.fields
+            if f.name != cfg.content_col or store_content
+        ]
         passthrough = [f.name for f in out_fields]
         tok_schema = T.StructType(
             out_fields

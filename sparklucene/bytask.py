@@ -418,6 +418,10 @@ class PerfRunData:
         self.writer: SegmentedIndex | None = None
         self.searcher = None
         self.query_ix = 0
+        # taxonomy state (DirectoryTaxonomyWriter analogue): full facet path
+        # -> ordinal, parents minted before children, root = ordinal 0
+        self.taxonomy: dict[tuple, int] | None = None
+        self.taxo_reader_size: int | None = None
         self._bg_threads: list[threading.Thread] = []
         if source is None:
             path = config.get("docs.file")
@@ -445,10 +449,14 @@ class PerfRunData:
                 F.col("docID").alias("_seq"),
             ).cache()
         else:
-            # stable 0..n-1 feed order without a single-partition window
+            # stable 0..n-1 feed order without a single-partition window;
+            # an optional doc.title.col rides along (WriteEnwikiLineDoc)
+            keep = [self.id_col, self.text_col]
+            title = config.get("doc.title.col")
+            if title and title in source.columns and title not in keep:
+                keep.append(title)
             self.source = (
-                mint_doc_ids(source.select(self.id_col, self.text_col),
-                             [self.id_col], nparts)
+                mint_doc_ids(source.select(*keep), [self.id_col], nparts)
                 .withColumnRenamed("docID", "_seq")
                 .cache()
             )
@@ -489,6 +497,12 @@ class PerfRunData:
             order_cols=(self.id_col,),
             num_buckets=int(self.config.get("index.num.buckets", 8)),
             analyzer=self.config.get("analyzer", "standard"),
+            # DocMaker's doc.stored (DocMaker.cs:72 BODY_STORED route): keep
+            # the text column in the docs table so retrieve-style tasks and
+            # AddIndexes can read documents back from the index itself
+            meta_cols=(self.text_col,)
+            if self.config.get("doc.stored", False)
+            else (),
         )
         self.writer.append(batch, cfg)
         self.buffer_lo = hi
@@ -524,6 +538,27 @@ class PerfRunData:
             self.query_ix += 1
         return parse(q)
 
+    # -- taxonomy (DirectoryTaxonomyWriter/Reader analogue) -----------------
+    def taxo_add(self, path: tuple[str, ...]) -> int:
+        """AddCategory: mint ordinals for every missing prefix, parents
+        first (TaxonomyWriter ordinal discipline); -> the path's ordinal."""
+        if self.taxonomy is None:
+            raise AlgorithmError("AddFacetedDoc before CreateTaxonomyIndex")
+        with self._cursor_lock:
+            for i in range(1, len(path) + 1):
+                self.taxonomy.setdefault(path[:i], len(self.taxonomy))
+            return self.taxonomy[path]
+
+    def taxo_dir(self) -> str:
+        return os.path.join(self.work_dir, "taxonomy")
+
+    def taxo_commit(self) -> None:
+        if self.taxonomy is None:
+            return
+        rows = [(ord_, list(p)) for p, ord_ in self.taxonomy.items()]
+        (self.spark.createDataFrame(rows, "ordinal int, path array<string>")
+         .coalesce(1).write.mode("overwrite").parquet(self.taxo_dir()))
+
     def get_searcher(self):
         if self.searcher is None:
             if self.writer is None:
@@ -533,13 +568,76 @@ class PerfRunData:
         return self.searcher
 
 
+def _bracket_params(params: str) -> dict[str, str]:
+    """``size[10],highlight[10],maxFrags[3],fields[body]`` -> dict
+    (SearchTravRetHighlightTask.cs:150-180 SetParams split)."""
+    out: dict[str, str] = {}
+    for piece in params.split(","):
+        m = re.fullmatch(r"\s*(\w+)\[([^\]]*)\]\s*", piece)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+def _query_phrases(searcher, q: dict) -> list[tuple[tuple[str, ...], float]]:
+    """Query tree -> FVH phrase list: phrase/multi-phrase nodes keep their
+    term sequence intact (FieldQuery.cs flatten -- only full phrases
+    highlight), everything else contributes single-term "phrases"."""
+    phrases: list[tuple[tuple[str, ...], float]] = []
+
+    def walk(node: dict, boost: float):
+        boost = boost * node.get("boost", 1.0)
+        t = node["type"]
+        if t == "phrase":
+            terms = node.get("terms") or searcher.analyze_query(node["text"])
+            if terms:
+                phrases.append((tuple(terms), boost))
+        elif t == "boolean":
+            for c in node["clauses"]:
+                if c.get("occur") != "MUST_NOT":
+                    walk(c["query"], boost)
+        elif t == "dis_max":
+            for c in node["queries"]:
+                walk(c, boost)
+        else:
+            leaves: list = []
+            searcher._collect_leaves(node, boost, leaves)
+            phrases.extend(((term,), b) for term, b in leaves)
+
+    walk(q, 1.0)
+    return phrases
+
+
+def _retrieve_texts(rd: PerfRunData, doc_ids: list[int]) -> list[str]:
+    """Stored-field retrieval for a hit list: docID -> text.  Reads the
+    stored text column when the index was built with doc.stored, else maps
+    docID -> feed id via the docs table and joins back to the feed."""
+    if not doc_ids:
+        return []
+    s = rd.get_searcher()
+    docs = s.docs().filter(F.col("docID").isin(doc_ids))
+    if rd.text_col in docs.columns:
+        got = {int(r["docID"]): r[rd.text_col]
+               for r in docs.select("docID", rd.text_col).collect()}
+        return [got.get(d, "") for d in doc_ids]
+    id_of = {int(r["docID"]): r[rd.id_col]
+             for r in docs.select("docID", rd.id_col).collect()}
+    feed = {r[rd.id_col]: r[rd.text_col]
+            for r in rd.source.filter(
+                F.col(rd.id_col).isin(list(id_of.values()))
+            ).select(rd.id_col, rd.text_col).collect()}
+    return [feed.get(id_of.get(d), "") for d in doc_ids]
+
+
 def _run_task(rd: PerfRunData, t: TaskCall) -> int:
     """Execute one primitive task; -> recs counted (TaskStats.count)."""
     name, params = t.name, t.params
     cfg = rd.config
     if name == "ResetSystemErase":
         shutil.rmtree(os.path.join(rd.work_dir, "index"), ignore_errors=True)
+        shutil.rmtree(rd.taxo_dir(), ignore_errors=True)
         rd.writer, rd.searcher = None, None
+        rd.taxonomy, rd.taxo_reader_size = None, None
         rd.cursor, rd.buffer_lo, rd.query_ix = 0, 0, 0
         return 0
     if name == "ResetSystemSoft":
@@ -558,6 +656,45 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         )
         rd.buffer_lo = rd.cursor
         return 0
+    if name in ("CreateTaxonomyIndex", "OpenTaxonomyIndex"):
+        # CreateTaxonomyIndexTask.cs / OpenTaxonomyIndexTask.cs: fresh (or
+        # reopened) DirectoryTaxonomyWriter; root category = ordinal 0
+        if name == "CreateTaxonomyIndex":
+            shutil.rmtree(rd.taxo_dir(), ignore_errors=True)
+            rd.taxonomy = {(): 0}
+        else:
+            rd.taxonomy = {(): 0}
+            if os.path.exists(rd.taxo_dir()):
+                for r in rd.spark.read.parquet(rd.taxo_dir()).collect():
+                    rd.taxonomy[tuple(r["path"])] = int(r["ordinal"])
+        return 0
+    if name in ("CommitTaxonomyIndex", "CloseTaxonomyIndex"):
+        rd.taxo_commit()
+        if name == "CloseTaxonomyIndex":
+            rd.taxonomy = None
+        return 0
+    if name == "OpenTaxonomyReader":
+        if not os.path.exists(rd.taxo_dir()):
+            raise AlgorithmError("OpenTaxonomyReader before a taxonomy commit")
+        rd.taxo_reader_size = rd.spark.read.parquet(rd.taxo_dir()).count()
+        return 0
+    if name == "CloseTaxonomyReader":
+        rd.taxo_reader_size = None
+        return 0
+    if name == "AddFacetedDoc":
+        # AddFacetedDocTask.cs: AddDoc + facet fields through the taxonomy
+        # writer.  The reference's RandomFacetSource is replaced by a
+        # DETERMINISTIC per-doc path (no Math.random in this engine):
+        # dim "cat<seq%7>" / label "sub<seq%3>" -- stable across runs.
+        with_facets = (params or "").strip().lower() != "false" and bool(
+            cfg.get("with.facets", True)
+        )
+        with rd._cursor_lock:
+            seq = rd.cursor
+        took = rd.next_docs(1)
+        if with_facets and took:
+            rd.taxo_add((f"cat{seq % 7}", f"sub{seq % 3}"))
+        return took
     if name == "NewAnalyzer":
         # NewAnalyzerTask.cs: switch the analyzer used by subsequent index
         # flushes (name must exist in the make_analyzer registry)
@@ -592,6 +729,18 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         analyze = make_analyzer(cfg.get("analyzer", "standard"))
         terms, _ = analyze(row[0] if row else "")
         return len(terms)
+    if name == "ConsumeContentSource":
+        # ConsumeContentSourceTask.cs: pull the next item from the content
+        # source and discard it (feed throughput measurement).  Same
+        # flush-floor discipline as ReadTokens: a consumed doc is not
+        # indexed when the add-buffer was empty.
+        with rd._cursor_lock:
+            buffer_was_empty = rd.buffer_lo == rd.cursor
+        took = rd.next_docs(1)
+        if buffer_was_empty:
+            with rd._cursor_lock:
+                rd.buffer_lo = rd.cursor
+        return took
     if name == "AddDoc":
         return rd.next_docs(1)
     if name == "AddDocs":
@@ -615,6 +764,73 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         return 0
     if name == "WaitForMerges":
         return 0  # merges are synchronous here
+    if name == "RollbackIndex":
+        # RollbackIndexTask.cs: IndexWriter.Rollback -- revert to the last
+        # commit.  Every flush here IS a commit (atomic manifest publish),
+        # so rollback = discard the unflushed add-buffer and close the
+        # writer without flushing it.
+        with rd._cursor_lock:
+            rd.cursor = rd.buffer_lo
+        rd.writer, rd.searcher = None, None
+        return 1
+    if name == "AddIndexes":
+        # AddIndexesTask.cs: IndexWriter.AddIndexes over addindexes.input.dir.
+        # Both reference variants (Directory / IndexReader) relabel docIDs
+        # into the target's space; here the input index's STORED documents
+        # (doc.stored=true builds) are re-appended, which is observationally
+        # identical because global stats are recomputed at search time over
+        # all segments.  The param (true/false) selects the variant in the
+        # reference; both collapse to the same logical re-add here.
+        src_dir = cfg.get("addindexes.input.dir")
+        if not src_dir:
+            raise AlgorithmError("AddIndexes needs addindexes.input.dir")
+        if rd.writer is None:
+            raise AlgorithmError("AddIndexes before CreateIndex/OpenIndex")
+        other = SegmentedIndex(
+            rd.spark, src_dir, num_buckets=int(cfg.get("index.num.buckets", 8))
+        )
+        docs = other.searcher().docs()
+        if rd.text_col not in docs.columns:
+            raise AlgorithmError(
+                f"AddIndexes input {src_dir} has no stored {rd.text_col!r} "
+                "column -- build it with doc.stored=true"
+            )
+        rd.flush()  # buffered adds land first, like the reference's writer
+        batch = docs.select(
+            F.col(rd.id_col) if rd.id_col in docs.columns
+            else F.col("docID").alias(rd.id_col),
+            rd.text_col,
+        )
+        n = batch.count()
+        bcfg = BuildConfig(
+            content_col=rd.text_col, order_cols=(rd.id_col,),
+            num_buckets=int(cfg.get("index.num.buckets", 8)),
+            analyzer=cfg.get("analyzer", "standard"),
+            meta_cols=(rd.text_col,) if cfg.get("doc.stored", False) else (),
+        )
+        rd.writer.append(batch, bcfg)
+        rd.searcher = None
+        return n
+    if name == "WriteEnwikiLineDoc":
+        # WriteEnwikiLineDocTask.cs: like WriteLineDoc but Wikipedia
+        # category pages (title starts with "Category:") are written to a
+        # sibling file prefixed "categories-"
+        out = params or cfg.get("line.file.out")
+        if not out:
+            raise AlgorithmError("WriteEnwikiLineDoc needs line.file.out or a param")
+        from .feeds import write_line_docs
+
+        title_col = cfg.get("doc.title.col", rd.id_col)
+        feed = rd.source.select(
+            F.col(title_col).cast("string").alias("doctitle"),
+            F.lit("").alias("docdate"),
+            F.col(rd.text_col).alias("body"),
+        )
+        is_cat = F.col("doctitle").startswith("Category:")
+        d, base = os.path.dirname(out), os.path.basename(out)
+        write_line_docs(feed.filter(~is_cat), out)
+        write_line_docs(feed.filter(is_cat), os.path.join(d, f"categories-{base}"))
+        return rd.n_docs
     if name == "WriteLineDoc":
         # WriteLineDocTask.cs: serialise the feed as a line-doc corpus at
         # line.file.out (title = the id, empty date, body = the text)
@@ -634,20 +850,77 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
     if name == "OpenReader":
         rd.get_searcher()
         return 0
+    if name == "PrintReader":
+        # PrintReaderTask.cs: open a reader and print numDocs / deletions
+        s = rd.get_searcher()
+        n_dels = len(rd.writer.deleted_ids()) if rd.writer is not None else 0
+        print(f"--> numDocs:{s.docs().count() - n_dels} dels:{n_dels}")
+        return 1
     if name in ("CloseReader", "ReopenReader", "NearRealtimeReader"):
         rd.searcher = None
         if name != "CloseReader":
             rd.get_searcher()
         return 0
-    if name in ("Search", "SearchTrav", "SearchTravRet", "SearchWithSort"):
+    if name in ("Search", "SearchTrav", "SearchTravRet", "SearchWithSort",
+                "SearchWithCollector", "SearchTravRetHighlight",
+                "SearchTravRetVectorHighlight"):
         s = rd.get_searcher()
+        q = rd.next_query()
+        if name == "SearchWithCollector":
+            # SearchWithCollectorTask.cs: collector.class picks the sink.
+            # topScoreDoc* = the normal top-k path; total_hit_count = the
+            # counting collector (no scores materialized)
+            cln = str(cfg.get("collector.class", ""))
+            if cln in ("total_hit_count", "totalHitCount"):
+                return 1 + s.count(q)
+            if cln and not cln.lower().startswith("topscoredoc"):
+                raise AlgorithmError(f"unknown collector.class {cln!r}")
         k = int(cfg.get("search.num.hits", 10))
-        rows = s.search(rd.next_query(), k=k).collect()
-        recs = 1 + len(rows)  # the search itself + docs traversed (ReadTask)
+        bp = _bracket_params(params or "")
+        rows = s.search(q, k=k).collect()
+        # SearchTrav's numeric param / size[...] = traversal size cap
+        trav = len(rows)
+        if name.startswith("SearchTrav"):
+            cap = bp.get("size") or (params if (params or "").replace(".", "").isdigit() else None)
+            if cap:
+                trav = min(trav, int(float(cap)))
+        rows = rows[:trav]
+        recs = 1 + trav  # the search itself + docs traversed (ReadTask)
         if name == "SearchTravRet" and rows:
             ids = [r["docID"] for r in rows]
-
             recs += s.docs().filter(F.col("docID").isin(ids)).count()
+        elif name == "SearchTravRetHighlight" and rows:
+            # SearchTravRetHighlightTask.cs: retrieve each traversed doc and
+            # highlight its body (Highlighter/QueryScorer route)
+            from .highlight import best_fragment
+
+            n_hl = int(bp.get("highlight", len(rows)))
+            leaves: list = []
+            s._collect_leaves(q, 1.0, leaves)
+            weights: dict[str, float] = {}
+            for term, b in leaves:
+                weights[term] = max(weights.get(term, 0.0), float(b))
+            texts = _retrieve_texts(rd, [int(r["docID"]) for r in rows])
+            recs += len(texts)  # the retrieve step
+            for txt in texts[:n_hl]:
+                frag, score = best_fragment(txt or "", weights)
+                if score > 0:
+                    recs += 1
+        elif name == "SearchTravRetVectorHighlight" and rows:
+            # SearchTravRetVectorHighlightTask.cs: FastVectorHighlighter --
+            # phrase-aware fragments over the retrieved docs
+            from .highlight import fvh_best_fragments
+
+            n_hl = int(bp.get("highlight", len(rows)))
+            max_frags = int(bp.get("maxFrags", 2))
+            frag_size = int(bp.get("fragSize", 100))
+            phrases = _query_phrases(s, q)
+            texts = _retrieve_texts(rd, [int(r["docID"]) for r in rows])
+            recs += len(texts)
+            for txt in texts[:n_hl]:
+                recs += len(
+                    fvh_best_fragments(txt or "", phrases, frag_size, max_frags)
+                )
         return recs
     if name == "Warm":
         s = rd.get_searcher()

@@ -288,3 +288,156 @@ CreateIndex { AddDoc } : * CloseIndex
     with pytest.raises(AlgorithmError):
         run_algorithm(spark, "NewAnalyzer(nonexistent_chain)",
                       source=corpus, work_dir=str(tmp_path))
+
+
+def test_consume_content_source_and_print_reader(spark, corpus, tmp_path, capsys):
+    """ConsumeContentSource pulls feed docs without indexing them;
+    PrintReader prints numDocs/dels like PrintReaderTask.cs."""
+    alg = """
+index.num.buckets=4
+content.source.forever=false
+{ ConsumeContentSource } : 5
+CreateIndex { AddDoc } : * CloseIndex
+OpenReader PrintReader
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    assert rd.writer.num_docs == 25  # 5 consumed, 25 indexed
+    assert "--> numDocs:25 dels:0" in capsys.readouterr().out
+
+
+def test_rollback_discards_unflushed_buffer(spark, corpus, tmp_path):
+    """RollbackIndex reverts to the last commit: flushed segments stay,
+    the add-buffer is dropped (every flush here IS a commit)."""
+    alg = """
+index.num.buckets=4
+CreateIndex { AddDocs(10) } : 1 CommitIndex
+{ AddDocs(10) } : 1
+RollbackIndex
+OpenIndex CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    assert rd.writer.num_docs == 10  # second batch never committed
+
+
+def test_search_with_collector_total_hit_count(spark, corpus, tmp_path):
+    alg = """
+query.strings=spark
+collector.class=total_hit_count
+index.num.buckets=4
+CreateIndex { AddDocs(30) } : 1 CloseIndex OpenReader
+SearchWithCollector
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    st = [s for s in rd.points.task_stats if s.name == "SearchWithCollector"][0]
+    assert st.recs == 1 + 30  # every doc contains 'spark'
+
+
+def test_search_trav_ret_highlight(spark, corpus, tmp_path):
+    """SearchTravRetHighlight: traverse, retrieve, highlight; bracket
+    params cap traversal + highlighted docs (SearchTravRetHighlightTask.cs
+    param grammar)."""
+    alg = """
+query.strings=w3
+search.num.hits=10
+doc.stored=true
+index.num.buckets=4
+CreateIndex { AddDocs(30) } : 1 CloseIndex OpenReader
+SearchTravRetHighlight(size[3],highlight[3])
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    st = [s for s in rd.points.task_stats if s.name == "SearchTravRetHighlight"][0]
+    # docs with 'w3': seq 3, 10, 17, 24 -> 4 hits capped to 3 traversed;
+    # recs = 1 search + 3 traversed + 3 retrieved + 3 highlighted
+    assert st.recs == 1 + 3 + 3 + 3
+
+
+def test_search_trav_ret_vector_highlight_phrase_aware(spark, corpus, tmp_path):
+    """FVH route: only the full phrase highlights -- a doc matching the
+    phrase query yields fragments; recs counts them."""
+    alg = """
+query.strings="stream value"
+search.num.hits=5
+doc.stored=true
+index.num.buckets=4
+CreateIndex { AddDocs(30) } : 1 CloseIndex OpenReader
+SearchTravRetVectorHighlight(maxFrags[2],fragSize[60])
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    st = [s for s in rd.points.task_stats
+          if s.name == "SearchTravRetVectorHighlight"][0]
+    # every doc contains "stream value": 5 hits, each retrieved + >=1 frag
+    assert st.recs >= 1 + 5 + 5 + 5
+
+
+def test_taxonomy_lifecycle_and_faceted_docs(spark, corpus, tmp_path):
+    """CreateTaxonomyIndex/AddFacetedDoc/CommitTaxonomyIndex/
+    OpenTaxonomyReader: deterministic per-doc paths mint parent-first
+    ordinals (DirectoryTaxonomyWriter discipline)."""
+    alg = """
+index.num.buckets=4
+content.source.forever=false
+CreateTaxonomyIndex
+CreateIndex { AddFacetedDoc } : * CloseIndex
+CommitTaxonomyIndex
+OpenTaxonomyReader
+CloseTaxonomyReader CloseTaxonomyIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    assert rd.writer.num_docs == 30
+    taxo = spark.read.parquet(str(tmp_path / "taxonomy"))
+    rows = {tuple(r["path"]): r["ordinal"] for r in taxo.collect()}
+    # 30 docs, paths (cat i%7, sub i%3): 21 distinct leaves + 7 parents + root
+    assert len(rows) == 21 + 7 + 1
+    assert rows[()] == 0  # root ordinal
+    # parent minted before its first child
+    assert rows[("cat0",)] < rows[("cat0", "sub0")]
+    # ordinals are dense 0..n-1
+    assert sorted(rows.values()) == list(range(len(rows)))
+
+
+def test_add_indexes_from_stored_index(spark, corpus, tmp_path):
+    """AddIndexes pulls another index's stored docs into this writer;
+    search afterwards sees both corpora (AddIndexesTask.cs)."""
+    src_alg = """
+index.num.buckets=4
+doc.stored=true
+CreateIndex { AddDocs(10) } : 1 CloseIndex
+"""
+    run_algorithm(spark, src_alg, source=corpus, work_dir=str(tmp_path / "a"))
+    dst_alg = f"""
+index.num.buckets=4
+addindexes.input.dir={tmp_path / 'a' / 'index'}
+query.strings=spark
+ResetInputs
+CreateIndex {{ AddDocs(5) }} : 1
+AddIndexes(true)
+CloseIndex OpenReader Search
+"""
+    rd = run_algorithm(spark, dst_alg, source=corpus,
+                       work_dir=str(tmp_path / "b"))
+    assert rd.writer.num_docs == 15
+    adds = [s for s in rd.points.task_stats if s.name == "AddIndexes"][0]
+    assert adds.recs == 10
+
+
+def test_write_enwiki_line_doc_splits_categories(spark, tmp_path):
+    """WriteEnwikiLineDoc routes Category: titles to categories-<name>
+    (WriteEnwikiLineDocTask.cs)."""
+    from sparklucene.bytask import run_algorithm as run
+    from sparklucene.feeds import read_line_docs
+
+    rows = [(i, f"Category:topic{i}" if i % 3 == 0 else f"Page {i}",
+             f"body text {i}") for i in range(9)]
+    src = spark.createDataFrame(rows, "doc_id long, title string, text string")
+    out = tmp_path / "enwiki.txt"
+    alg = f"""
+doc.title.col=title
+line.file.out={out}
+WriteEnwikiLineDoc
+"""
+    run(spark, alg, source=src, work_dir=str(tmp_path / "w"))
+    main = read_line_docs(spark, str(out)).collect()
+    cats = read_line_docs(spark, str(tmp_path / "categories-enwiki.txt")).collect()
+    assert len(main) == 6 and len(cats) == 3
+    assert all(r["doctitle"].startswith("Category:") for r in cats)
+    assert not any(r["doctitle"].startswith("Category:") for r in main)
