@@ -422,6 +422,8 @@ class PerfRunData:
         # -> ordinal, parents minted before children, root = ordinal 0
         self.taxonomy: dict[tuple, int] | None = None
         self.taxo_reader_size: int | None = None
+        # AnalyzerFactory registry: factory name -> make_chain kwargs
+        self.analyzer_factories: dict[str, dict] = {}
         self._bg_threads: list[threading.Thread] = []
         if source is None:
             path = config.get("docs.file")
@@ -492,11 +494,13 @@ class PerfRunData:
         batch = self.source.filter(
             (F.col("_seq") >= lo) & (F.col("_seq") < hi)
         ).select(self.id_col, self.text_col)
+        an_name, an_params = self.resolve_analyzer()
         cfg = BuildConfig(
             content_col=self.text_col,
             order_cols=(self.id_col,),
             num_buckets=int(self.config.get("index.num.buckets", 8)),
-            analyzer=self.config.get("analyzer", "standard"),
+            analyzer=an_name,
+            analyzer_params=an_params,
             # DocMaker's doc.stored (DocMaker.cs:72 BODY_STORED route): keep
             # the text column in the docs table so retrieve-style tasks and
             # AddIndexes can read documents back from the index itself
@@ -538,6 +542,13 @@ class PerfRunData:
             self.query_ix += 1
         return parse(q)
 
+    def resolve_analyzer(self) -> tuple[str, dict]:
+        """Current analyzer as (make_analyzer name, params) -- a name
+        registered by AnalyzerFactory resolves to its chain spec."""
+        name = self.config.get("analyzer", "standard")
+        spec = self.analyzer_factories.get(name)
+        return ("chain", spec) if spec is not None else (name, {})
+
     # -- taxonomy (DirectoryTaxonomyWriter/Reader analogue) -----------------
     def taxo_add(self, path: tuple[str, ...]) -> int:
         """AddCategory: mint ordinals for every missing prefix, parents
@@ -566,6 +577,123 @@ class PerfRunData:
             self.flush()
             self.searcher = self.writer.searcher()
         return self.searcher
+
+
+_CHAIN_TOKENIZERS = {
+    "standard": "standard", "whitespace": "whitespace", "keyword": "keyword",
+    "pattern": "pattern", "pathhierarchy": "path_hierarchy",
+}
+_CHAIN_FILTERS = {
+    "lowercase": "lowercase", "stop": "stop", "length": "length",
+    "keepword": "keep", "trim": "trim", "truncate": "truncate",
+    "reverse": "reverse", "asciifolding": "ascii_folding",
+    "capitalization": "capitalization", "hyphenatedwords": "hyphenated_words",
+    "edgengram": "edge_ngram", "ngram": "ngram", "commongrams": "common_grams",
+}
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, q, cur = [], 0, None, []
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _unquote(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]
+    return v
+
+
+def _snake(name: str) -> str:
+    return re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", name).lower()
+
+
+def _coerce_arg(v: str):
+    v = _unquote(v)
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def _parse_analyzer_factory(params: str) -> tuple[str, dict]:
+    """AnalyzerFactoryTask.cs param grammar: ``name:'x'`` analyzer args
+    (positionIncrementGap/offsetGap accepted; this engine indexes one body
+    field per doc so the gaps never apply), then 1 tokenizer factory and
+    0+ token-filter factories, each with optional ``(k:v, ...)`` args.
+    Factory class names resolve by stripping the Tokenizer/Filter suffix
+    and mapping onto the make_chain registries; camelCase arg names fold
+    to the registries' snake_case.  -> (factory name, make_chain kwargs)."""
+    name = None
+    tokenizer: tuple | str | None = None
+    filters: list = []
+    for item in _split_top_commas(params):
+        m = re.fullmatch(r"(\w+)\s*:\s*(.+)", item, re.S)
+        if m and "(" not in m.group(1):
+            k, v = m.group(1), _unquote(m.group(2))
+            if k == "name":
+                name = v
+            elif k in ("positionIncrementGap", "offsetGap"):
+                pass  # single-field docs: gaps have nothing to separate
+            else:
+                raise AlgorithmError(f"AnalyzerFactory: unknown arg {k!r}")
+            continue
+        m = re.fullmatch(r"(\w+)\s*(?:\((.*)\))?", item, re.S)
+        if not m:
+            raise AlgorithmError(f"AnalyzerFactory: bad component {item!r}")
+        cls, raw_args = m.group(1), m.group(2) or ""
+        args = {}
+        for a in _split_top_commas(raw_args):
+            am = re.fullmatch(r"(\w+)\s*:\s*(.+)", a, re.S)
+            if not am:
+                raise AlgorithmError(f"AnalyzerFactory: bad factory arg {a!r}")
+            args[_snake(am.group(1))] = _coerce_arg(am.group(2))
+        base = re.sub(r"(CharFilter|Tokenizer|Filter)$", "", cls)
+        key = base.lower()
+        if cls.endswith("Tokenizer") or (tokenizer is None and key in _CHAIN_TOKENIZERS):
+            if key not in _CHAIN_TOKENIZERS:
+                raise AlgorithmError(f"AnalyzerFactory: unknown tokenizer {cls!r}")
+            if tokenizer is not None:
+                raise AlgorithmError("AnalyzerFactory: more than one tokenizer")
+            tok = _CHAIN_TOKENIZERS[key]
+            tokenizer = (tok, args) if args else tok
+        elif key.endswith("stem") or key == "snowball":
+            stem = args.get("language", base[:-4] if key.endswith("stem") else "porter")
+            filters.append(("stem", {"name": str(stem).lower()}))
+        else:
+            if key not in _CHAIN_FILTERS:
+                raise AlgorithmError(f"AnalyzerFactory: unknown filter {cls!r}")
+            fl = _CHAIN_FILTERS[key]
+            filters.append((fl, args) if args else fl)
+    if not name:
+        raise AlgorithmError("AnalyzerFactory: required arg name missing")
+    if tokenizer is None:
+        raise AlgorithmError("AnalyzerFactory: a tokenizer factory is required")
+    return name, {"tokenizer": tokenizer, "filters": filters}
 
 
 def _bracket_params(params: str) -> dict[str, str]:
@@ -695,17 +823,30 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         if with_facets and took:
             rd.taxo_add((f"cat{seq % 7}", f"sub{seq % 3}"))
         return took
-    if name == "NewAnalyzer":
-        # NewAnalyzerTask.cs: switch the analyzer used by subsequent index
-        # flushes (name must exist in the make_analyzer registry)
-        if not params:
-            raise AlgorithmError("NewAnalyzer needs an analyzer name param")
+    if name == "AnalyzerFactory":
+        # AnalyzerFactoryTask.cs: define a NAMED analysis pipeline
+        # (tokenizer + filters) that NewAnalyzer can select later
+        fname, spec = _parse_analyzer_factory(params or "")
         from .analysis import make_analyzer
 
         try:
-            make_analyzer(params)  # validate eagerly, like the reference ctor
-        except ValueError as e:
-            raise AlgorithmError(str(e)) from e
+            make_analyzer("chain", **spec)  # validate eagerly
+        except (ValueError, KeyError, AttributeError) as e:
+            raise AlgorithmError(f"AnalyzerFactory {fname!r}: {e}") from e
+        rd.analyzer_factories[fname] = spec
+        return 1
+    if name == "NewAnalyzer":
+        # NewAnalyzerTask.cs: switch the analyzer used by subsequent index
+        # flushes (an AnalyzerFactory name or a make_analyzer registry name)
+        if not params:
+            raise AlgorithmError("NewAnalyzer needs an analyzer name param")
+        if params not in rd.analyzer_factories:
+            from .analysis import make_analyzer
+
+            try:
+                make_analyzer(params)  # validate eagerly, like the reference ctor
+            except ValueError as e:
+                raise AlgorithmError(str(e)) from e
         cfg.props["analyzer"] = params
         return 0
     if name == "ReadTokens":
@@ -726,7 +867,8 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
             if buffer_was_empty:
                 rd.buffer_lo = rd.cursor
         row = rd.source.filter(F.col("_seq") == seq).select(rd.text_col).first()
-        analyze = make_analyzer(cfg.get("analyzer", "standard"))
+        an_name, an_params = rd.resolve_analyzer()
+        analyze = make_analyzer(an_name, **an_params)
         terms, _ = analyze(row[0] if row else "")
         return len(terms)
     if name == "ConsumeContentSource":
@@ -863,7 +1005,8 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         return 0
     if name in ("Search", "SearchTrav", "SearchTravRet", "SearchWithSort",
                 "SearchWithCollector", "SearchTravRetHighlight",
-                "SearchTravRetVectorHighlight"):
+                "SearchTravRetVectorHighlight",
+                "SearchTravRetLoadFieldSelector"):
         s = rd.get_searcher()
         q = rd.next_query()
         if name == "SearchWithCollector":
@@ -889,6 +1032,14 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         if name == "SearchTravRet" and rows:
             ids = [r["docID"] for r in rows]
             recs += s.docs().filter(F.col("docID").isin(ids)).count()
+        elif name == "SearchTravRetLoadFieldSelector" and rows:
+            # SearchTravRetLoadFieldSelectorTask.cs: retrieve ONLY the
+            # param-listed fields (column pruning reaches the parquet scan)
+            ids = [r["docID"] for r in rows]
+            docs = s.docs().filter(F.col("docID").isin(ids))
+            want = [f.strip() for f in (params or "").split(",") if f.strip()]
+            cols = [c for c in want if c in docs.columns] or ["docID"]
+            recs += docs.select(*cols).count()
         elif name == "SearchTravRetHighlight" and rows:
             # SearchTravRetHighlightTask.cs: retrieve each traversed doc and
             # highlight its body (Highlighter/QueryScorer route)

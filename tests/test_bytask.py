@@ -441,3 +441,51 @@ WriteEnwikiLineDoc
     assert len(main) == 6 and len(cats) == 3
     assert all(r["doctitle"].startswith("Category:") for r in cats)
     assert not any(r["doctitle"].startswith("Category:") for r in main)
+
+
+def test_analyzer_factory_named_chain(spark, corpus, tmp_path):
+    """AnalyzerFactory defines a named pipeline; NewAnalyzer selects it for
+    subsequent flushes and ReadTokens (AnalyzerFactoryTask.cs grammar:
+    name arg, one tokenizer factory, 0+ filter factories)."""
+    alg = """
+index.num.buckets=4
+content.source.forever=false
+AnalyzerFactory(name:'ws-upper3', positionIncrementGap:100, WhitespaceTokenizer, TruncateFilter(length:3))
+NewAnalyzer(ws-upper3)
+{ ReadTokens } : 1
+CreateIndex { AddDoc } : * CloseIndex
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    reads = [st for st in rd.points.task_stats if st.name == "ReadTokens"]
+    assert [st.recs for st in reads] == [7]  # whitespace: 7 tokens/doc
+    # truncate(3) applied at flush: 'spark' indexed as 'spa'
+    s = rd.writer.searcher()
+    assert s.search({"type": "term", "term": "spa"}, k=5).count() > 0
+    assert s.search({"type": "term", "term": "spark"}, k=5).count() == 0
+
+
+def test_analyzer_factory_rejects_bad_specs(spark, corpus, tmp_path):
+    for bad in (
+        "WhitespaceTokenizer",                       # no name
+        "name:'x'",                                  # no tokenizer
+        "name:'x', NoSuchTokenizer",                 # unknown tokenizer
+        "name:'x', WhitespaceTokenizer, BogusFilter",  # unknown filter
+        "name:'x', WhitespaceTokenizer, KeywordTokenizer",  # two tokenizers
+    ):
+        with pytest.raises(AlgorithmError):
+            run_algorithm(spark, f"AnalyzerFactory({bad})",
+                          source=corpus, work_dir=str(tmp_path))
+
+
+def test_search_trav_ret_load_field_selector(spark, corpus, tmp_path):
+    alg = """
+query.strings=w3
+search.num.hits=10
+index.num.buckets=4
+CreateIndex { AddDocs(30) } : 1 CloseIndex OpenReader
+SearchTravRetLoadFieldSelector(doc_id)
+"""
+    rd = run_algorithm(spark, alg, source=corpus, work_dir=str(tmp_path))
+    st = [s for s in rd.points.task_stats
+          if s.name == "SearchTravRetLoadFieldSelector"][0]
+    assert st.recs == 1 + 4 + 4  # 4 hits traversed + 4 retrieved
