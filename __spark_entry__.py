@@ -923,6 +923,22 @@ def _q_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_js_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressions module via the JavascriptCompiler port (jsexpr.py):
+    rank 'merge' matches by a compiled JS expression over _score and the
+    n_chars doc value -- exercises the ternary, %, logn, min, and sqrt
+    surfaces in one Catalyst column (reference grammar
+    JavascriptCompiler.cs; 353 reference vectors in test_jsexpr.py)."""
+    s = _searcher(spark, sf_dir)
+    out = s.js_score(
+        _t("merge"),
+        "_score > 0.8 ? _score + logn(2, n_chars) / 10"
+        " : _score * min(n_chars % 7 + 1, 5) / 3",
+        k=15, mode="f64",
+    )
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FuzzyQuery with the reference-default TopTermsScoringBooleanQuery
     rewrite: Damerau-Levenshtein expansions of 'spak' (<= 2 edits), each
@@ -2013,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bpe_pairs"] = _q_bpe_pairs
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
+    out["js_score"] = _q_js_score
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
     # r1 sampled it before its oracle existed), then every gate NEW this
@@ -2024,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "js_score",
         "line_dedup", "cut_dup_spans", "dedup_resolve",
         "mixture_sample", "domain_cap", "incr_dedup", "train_order",
         "url_filter", "dsir_weights", "bpe_pairs",
@@ -3132,6 +3150,17 @@ SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term LIKE 'sp%'
 GROUP BY doc_id
 ORDER BY sum(score) DESC, doc_id LIMIT 15"""
+    sqls["js_score"] = f"""{_prelude()}
+SELECT s.doc_id,
+       round(CASE WHEN s.score > 0.8
+                  THEN s.score + (ln(d.n_chars) / ln(2)) / 10
+                  ELSE s.score * least(d.n_chars % 7 + 1, 5) / 3 END, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.term = 'merge'
+ORDER BY CASE WHEN s.score > 0.8
+              THEN s.score + (ln(d.n_chars) / ln(2)) / 10
+              ELSE s.score * least(d.n_chars % 7 + 1, 5) / 3 END DESC, s.doc_id
+LIMIT 15"""
     sqls["expr_score"] = f"""{_prelude()}
 SELECT s.doc_id, round(s.score + sqrt(d.n_chars) / 10.0, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id

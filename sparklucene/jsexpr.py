@@ -1,0 +1,699 @@
+"""JavaScript expression compiler (Expressions module).
+
+Re-expresses `src/Lucene.Net.Expressions/JS/JavascriptCompiler.cs` (ANTLR
+grammar `Javascript.g` embedded in `JavascriptParser.cs`) as a compiler to
+Spark Catalyst ``Column`` expressions, plus a pure-Python twin used as the
+executable spec (`js_eval`, validated against the reference's
+TestJavascriptOperations/TestJavascriptCompiler/TestJavascriptFunction
+vectors).
+
+Semantics are the reference's: every value is an IEEE double.
+
+* comparisons / logical ops push ``1.0`` / ``0.0``; truthiness is
+  ``value != 0`` (NaN is truthy, exactly like Java's ``!=``)
+* comparisons involving NaN are false, ``!=`` is true (Java dcmpg/dcmpl
+  discipline)
+* bitwise ``& | ^ ~`` convert operands to int64 and back to double
+  (JavascriptCompiler.cs:542 PushBitwise(typeof(long))); shifts convert
+  BOTH operands to int32 and shift in 32-bit with the count masked ``& 31``
+  (JavascriptCompiler.cs:528 PushShift(typeof(int)); reference vectors
+  ``4195 << 66 == 16780`` and ``-15 << 62 == 1073741824``).  The
+  double->integer operand casts are .NET ``conv.i4``/``conv.i8``: NaN,
+  infinities, and out-of-range values produce Int32.MIN / Long.MIN (the
+  x64 "integer indefinite"; reference vector
+  ``2147483648 >>> 1 == 1073741824`` proves it)
+* ``x / 0`` -> signed infinity, ``0 / 0`` -> NaN; ``x % 0`` -> NaN
+  (Java double arithmetic; Spark 4 runs ANSI mode, so the Column emitter
+  routes division/casts through ``try_divide``/``try_cast`` and maps the
+  NULLs back to the Java results -- constant-fold-safe under ANSI)
+* functions are the JavascriptCompiler.properties registry (25 entries:
+  abs..tanh incl. ``logn(base, x) = ln(x)/ln(base)`` MathUtil.cs:54 and
+  ``haversin`` SloppyMath.cs:47)
+
+The one documented divergence: on the Column path ``x / -0.0`` yields the
+sign of ``x`` alone (Catalyst normalizes negative zero, so the divisor's
+sign bit is unobservable); `js_eval` gets it right.
+
+haversin reproduces SloppyMath exactly: the table-driven sloppy cos/asin
+(SloppyMath.cs:74-158, tables :236-280) and the per-latitude WGS84 earth
+diameter table (:286-299), built here with the same construction in
+float64.  The Column path evaluates it via a vectorized Arrow-batched
+pandas UDF over the numpy port (table lookups don't express in Catalyst).
+"""
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+__all__ = ["JsParseError", "parse_js", "js_eval", "js_column", "haversin"]
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
+
+
+class JsParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# lexer (JavascriptLexer.cs token set)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<hex>0[xX][0-9a-fA-F]+)
+  | (?P<octal>0[0-7]+)
+  | (?P<num>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)
+  | (?P<var>[a-zA-Z_$][a-zA-Z0-9_$]*
+        (?:\.[a-zA-Z_$][a-zA-Z0-9_$]*
+         | \[\s*(?:\d+|'[^']*'|"[^"]*")\s*\])*)
+  | (?P<op><<|>>>|>>|<=|>=|==|!=|&&|\|\||[-+*/%()?:!~<>&|^,])
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise JsParseError(f"unexpected character {s[i]!r} at {i} in {s!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser: the Javascript.g precedence chain (conditional at the bottom)
+# AST: ('num', float) | ('var', name) | ('call', fname, [args])
+#    | ('unary', op, x) | ('bin', op, a, b) | ('cond', c, x, y)
+# ---------------------------------------------------------------------------
+
+_BIN_LEVELS = [  # low -> high precedence, all left-associative
+    ("||",),
+    ("&&",),
+    ("|",),
+    ("^",),
+    ("&",),
+    ("==", "!="),
+    ("<", "<=", ">", ">="),
+    ("<<", ">>", ">>>"),
+    ("+", "-"),
+    ("*", "/", "%"),
+]
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def take(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        k, v = self.take()
+        if v != text:
+            raise JsParseError(f"expected {text!r}, got {v!r}")
+
+    def parse(self):
+        e = self.conditional()
+        if self.peek()[0] != "eof":
+            raise JsParseError(f"trailing input at {self.peek()[1]!r}")
+        return e
+
+    def conditional(self):
+        c = self.binary(0)
+        if self.peek()[1] == "?":
+            self.take()
+            x = self.conditional()
+            self.expect(":")
+            y = self.conditional()
+            return ("cond", c, x, y)
+        return c
+
+    def binary(self, level: int):
+        if level == len(_BIN_LEVELS):
+            return self.unary()
+        ops = _BIN_LEVELS[level]
+        e = self.binary(level + 1)
+        while self.peek()[0] == "op" and self.peek()[1] in ops:
+            op = self.take()[1]
+            e = ("bin", op, e, self.binary(level + 1))
+        return e
+
+    def unary(self):
+        k, v = self.peek()
+        if k == "op" and v in ("+", "-", "!", "~"):
+            self.take()
+            x = self.unary()
+            return x if v == "+" else ("unary", v, x)
+        return self.postfix()
+
+    def postfix(self):
+        k, v = self.take()
+        if k in ("num",):
+            return ("num", float(v))
+        if k == "hex":
+            return ("num", float(int(v, 16)))
+        if k == "octal":
+            return ("num", float(int(v, 8)))
+        if k == "op" and v == "(":
+            e = self.conditional()
+            self.expect(")")
+            return e
+        if k == "var":
+            if self.peek()[1] == "(":
+                if not re.fullmatch(r"[a-zA-Z_$][a-zA-Z0-9_$]*", v):
+                    raise JsParseError(f"bad function name {v!r}")
+                self.take()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.conditional())
+                    while self.peek()[1] == ",":
+                        self.take()
+                        args.append(self.conditional())
+                self.expect(")")
+                if v not in _FUNCTIONS:
+                    raise JsParseError(f"unrecognized method call ({v})")
+                arity = _FUNCTIONS[v][0]
+                if len(args) != arity:
+                    raise JsParseError(
+                        f"invalid number of arguments ({len(args)}) for method call ({v})"
+                    )
+                return ("call", v, args)
+            return ("var", v)
+        raise JsParseError(f"unexpected token {v!r}")
+
+
+def parse_js(expr: str):
+    """-> AST (raises JsParseError like JavascriptCompiler's ParseException)."""
+    if not isinstance(expr, str) or not expr.strip():
+        raise JsParseError("empty expression")
+    return _Parser(_lex(expr)).parse()
+
+
+# ---------------------------------------------------------------------------
+# SloppyMath port (SloppyMath.cs) -- numpy, table construction verbatim
+# ---------------------------------------------------------------------------
+
+_SIN_COS_TABS_SIZE = (1 << 11) + 1
+_PIO2_HI = float(np.frombuffer(np.int64(0x3FF921FB54400000).tobytes(), dtype=np.float64)[0])  # first 33 bits of pi/2
+_PIO2_LO = float(np.frombuffer(np.int64(0x3DD0B4611A626331).tobytes(), dtype=np.float64)[0])
+_TWOPI_HI = 4 * _PIO2_HI
+_TWOPI_LO = 4 * _PIO2_LO
+_SIN_COS_DELTA_HI = _TWOPI_HI / (_SIN_COS_TABS_SIZE - 1)
+_SIN_COS_DELTA_LO = _TWOPI_LO / (_SIN_COS_TABS_SIZE - 1)
+_SIN_COS_INDEXER = 1 / (_SIN_COS_DELTA_HI + _SIN_COS_DELTA_LO)
+_SIN_COS_MAX_FOR_INT_MODULO = ((2**31 - 1 >> 9) / _SIN_COS_INDEXER) * 0.99
+
+_i = np.arange(_SIN_COS_TABS_SIZE, dtype=np.float64)
+_angle = _i * _SIN_COS_DELTA_HI + _i * _SIN_COS_DELTA_LO
+_SIN_TAB = np.sin(_angle)
+_COS_TAB = np.cos(_angle)
+_pi_idx = (_SIN_COS_TABS_SIZE - 1) // 2
+_SIN_TAB[_pi_idx] = 0.0
+_SIN_TAB[2 * _pi_idx] = 0.0
+_COS_TAB[_pi_idx // 2] = 0.0
+_COS_TAB[3 * _pi_idx // 2] = 0.0
+
+_ASIN_MAX_FOR_TABS = math.sin(math.radians(73.0))
+_ASIN_TABS_SIZE = (1 << 13) + 1
+_ASIN_DELTA = _ASIN_MAX_FOR_TABS / (_ASIN_TABS_SIZE - 1)
+_ASIN_INDEXER = 1 / _ASIN_DELTA
+_x = np.arange(_ASIN_TABS_SIZE, dtype=np.float64) * _ASIN_DELTA
+_ASIN_TAB = np.arcsin(_x)
+_one_minus = 1.0 / (1 - _x * _x)
+_d05 = np.sqrt(_one_minus)
+_d15 = _d05 * _one_minus
+_d25 = _d15 * _one_minus
+_d35 = _d25 * _one_minus
+_ASIN_DER1 = _d05
+_ASIN_DER2 = (_x * _d15) * (1 / 2.0)
+_ASIN_DER3 = ((1 + 2 * _x * _x) * _d25) * (1 / 6.0)
+_ASIN_DER4 = ((5 + 2 * _x * (2 + _x * (5 - 2 * _x))) * _d35) * (1 / 24.0)
+
+
+def _f64_bits(hexval: int) -> float:
+    return float(np.frombuffer(np.uint64(hexval).tobytes(), dtype=np.float64)[0])
+
+
+_ASIN_PIO2_HI = _f64_bits(0x3FF921FB54442D18)
+_ASIN_PIO2_LO = _f64_bits(0x3C91A62633145C07)
+_ASIN_PS = [
+    _f64_bits(0x3FC5555555555555), _f64_bits(0xBFD4D61203EB6F7D),
+    _f64_bits(0x3FC9C1550E884455), _f64_bits(0xBFA48228B5688F3B),
+    _f64_bits(0x3F49EFE07501B288), _f64_bits(0x3F023DE10DFDF709),
+]
+_ASIN_QS = [
+    _f64_bits(0xC0033A271C8A2D4B), _f64_bits(0x40002AE59C598AC8),
+    _f64_bits(0xBFE6066C1B8D0159), _f64_bits(0x3FB3B8C5B12E9282),
+]
+
+_RADIUS_TABS_SIZE = (1 << 10) + 1
+_RADIUS_DELTA = (math.pi / 2.0) / (_RADIUS_TABS_SIZE - 1)
+_RADIUS_INDEXER = 1.0 / _RADIUS_DELTA
+_a_wgs, _b_wgs = 6378137.0, 6356752.31420
+_lat = math.pi * np.arange(_RADIUS_TABS_SIZE, dtype=np.float64) / (2.0 * _RADIUS_TABS_SIZE - 1)
+_one = (_a_wgs * _a_wgs * np.cos(_lat)) ** 2
+_two = (_b_wgs * _b_wgs * np.sin(_lat)) ** 2
+_three = (_a_wgs * np.cos(_lat)) ** 2
+_four = (_b_wgs * np.sin(_lat)) ** 2
+with np.errstate(invalid="ignore", divide="ignore"):
+    _EARTH_DIAMETER = 2 * np.sqrt((_one + _two) / (_three + _four)) / 1000.0
+_EARTH_DIAMETER[0] = 2 * _a_wgs / 1000.0
+_EARTH_DIAMETER[-1] = 2 * _b_wgs / 1000.0
+
+_TO_RADIANS = math.pi / 180.0
+
+
+def sloppy_cos(a: np.ndarray) -> np.ndarray:
+    """SloppyMath.Cos (vectorized); exact fallback above the modulo bound."""
+    a = np.abs(np.asarray(a, dtype=np.float64))
+    big = a > _SIN_COS_MAX_FOR_INT_MODULO
+    idx = (a * _SIN_COS_INDEXER + 0.5).astype(np.int64)
+    delta = (a - idx * _SIN_COS_DELTA_HI) - idx * _SIN_COS_DELTA_LO
+    idx &= _SIN_COS_TABS_SIZE - 2
+    ic, is_ = _COS_TAB[idx], _SIN_TAB[idx]
+    res = ic + delta * (-is_ + delta * (-ic / 2.0 + delta * (is_ / 6.0 + delta * ic / 24.0)))
+    if big.any():
+        res = np.where(big, np.cos(a), res)
+    return res
+
+
+def sloppy_asin(a: np.ndarray) -> np.ndarray:
+    """SloppyMath.Asin (vectorized): tables below sin(73deg), fdlibm above."""
+    a = np.asarray(a, dtype=np.float64)
+    neg = a < 0
+    a = np.abs(a)
+    # table branch
+    idx = np.clip((a * _ASIN_INDEXER + 0.5).astype(np.int64), 0, _ASIN_TABS_SIZE - 1)
+    delta = a - idx * _ASIN_DELTA
+    tab = _ASIN_TAB[idx] + delta * (
+        _ASIN_DER1[idx] + delta * (_ASIN_DER2[idx] + delta * (_ASIN_DER3[idx] + delta * _ASIN_DER4[idx]))
+    )
+    # fdlibm branch for a in (_ASIN_MAX_FOR_TABS, 1)
+    with np.errstate(invalid="ignore"):
+        t = (1.0 - a) * 0.5
+        p = t * (_ASIN_PS[0] + t * (_ASIN_PS[1] + t * (_ASIN_PS[2] + t * (_ASIN_PS[3] + t * (_ASIN_PS[4] + t * _ASIN_PS[5])))))
+        q = 1.0 + t * (_ASIN_QS[0] + t * (_ASIN_QS[1] + t * (_ASIN_QS[2] + t * _ASIN_QS[3])))
+        s = np.sqrt(t)
+        z = s + s * (p / q)
+        fdl = _ASIN_PIO2_HI - ((z + z) - _ASIN_PIO2_LO)
+    res = np.where(a <= _ASIN_MAX_FOR_TABS, tab, fdl)
+    res = np.where(a == 1.0, math.pi / 2, res)
+    res = np.where(a > 1.0, np.nan, res)
+    return np.where(neg, -res, res)
+
+
+def earth_diameter(lat_rad: np.ndarray) -> np.ndarray:
+    """SloppyMath.EarthDiameter (km at a latitude in RADIANS)."""
+    lat_rad = np.asarray(lat_rad, dtype=np.float64)
+    nan = np.isnan(lat_rad)
+    idx = (np.abs(np.where(nan, 0.0, lat_rad)) * _RADIUS_INDEXER + 0.5).astype(np.int64)
+    idx %= _RADIUS_TABS_SIZE
+    return np.where(nan, np.nan, _EARTH_DIAMETER[idx])
+
+
+def haversin(lat1, lon1, lat2, lon2):
+    """SloppyMath.Haversin: distance in KILOMETERS (vectorized, exact port)."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    x1 = lat1 * _TO_RADIANS
+    x2 = np.asarray(lat2, dtype=np.float64) * _TO_RADIANS
+    h1 = 1 - sloppy_cos(x1 - x2)
+    h2 = 1 - sloppy_cos((np.asarray(lon1, dtype=np.float64) - np.asarray(lon2, dtype=np.float64)) * _TO_RADIANS)
+    h = (h1 + sloppy_cos(x1) * sloppy_cos(x2) * h2) / 2
+    avg_lat = (x1 + x2) / 2.0
+    return earth_diameter(avg_lat) * sloppy_asin(np.minimum(1.0, np.sqrt(h)))
+
+
+# ---------------------------------------------------------------------------
+# pure-Python evaluator (the executable spec / oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def _j_long(x: float) -> int:
+    """.NET (long)double -- conv.i8: truncate toward zero; NaN, the
+    infinities, and out-of-range values -> Long.MIN (x64 integer
+    indefinite).  This is what the reference compiler emits for bitwise
+    operands (and what its test harness's final cast does)."""
+    if math.isnan(x) or math.isinf(x) or not (_LONG_MIN <= x < (1 << 63)):
+        return _LONG_MIN
+    return int(x)
+
+
+def _wrap64(v: int) -> int:
+    return ((v + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+
+_INT_MAX = (1 << 31) - 1
+_INT_MIN = -(1 << 31)
+
+
+def _j_int(x: float) -> int:
+    """.NET (int)double -- conv.i4: truncate toward zero; NaN, infinities,
+    out-of-range -> Int32.MIN (reference vector 2147483648 >>> 1)."""
+    if math.isnan(x) or math.isinf(x) or not (_INT_MIN <= x < (1 << 31)):
+        return _INT_MIN
+    return int(x)
+
+
+def _wrap32(v: int) -> int:
+    return ((v + (1 << 31)) & ((1 << 32) - 1)) - (1 << 31)
+
+
+def _j_div(a: float, b: float) -> float:
+    try:
+        return a / b
+    except ZeroDivisionError:
+        if a == 0.0 or math.isnan(a):
+            return math.nan
+        return math.inf * math.copysign(1.0, a) * math.copysign(1.0, b)
+
+
+def _j_mod(a: float, b: float) -> float:
+    if b == 0.0 or math.isnan(a) or math.isnan(b) or math.isinf(a):
+        return math.nan
+    if math.isinf(b):
+        return a
+    try:
+        return math.fmod(a, b)
+    except ValueError:
+        return math.nan
+
+
+def _truthy(x: float) -> bool:
+    return x != 0.0  # NaN != 0 -> True, like Java
+
+
+_PY_FN = {
+    "abs": abs, "acos": math.acos, "asin": math.asin, "atan": math.atan,
+    # MathUtil.cs:116-175 formulas verbatim (NOT the C stdlib variants --
+    # their last-ulp tails differ; see asinh vs acosh reference vectors)
+    "acosh": lambda a: math.log(math.sqrt(a * a - 1.0) + a),
+    "asinh": lambda a: math.copysign(1.0, a)
+    * math.log(math.sqrt(a * a + 1.0) + abs(a)),
+    "atanh": lambda a: math.copysign(0.5, a)
+    * math.log(_j_div(1.0 + abs(a), 1.0 - abs(a))),
+    "atan2": math.atan2,
+    "ceil": math.ceil, "floor": math.floor,
+    "cos": math.cos, "cosh": math.cosh, "sin": math.sin, "sinh": math.sinh,
+    "tan": math.tan, "tanh": math.tanh,
+    "exp": math.exp,
+    "ln": lambda x: math.log(x) if x > 0 else (-math.inf if x == 0 else math.nan),
+    "log10": lambda x: math.log10(x) if x > 0 else (-math.inf if x == 0 else math.nan),
+    "logn": lambda base, x: _j_div(_PY_FN["ln"](x), _PY_FN["ln"](base)),
+    "min": lambda a, b: math.nan if (math.isnan(a) or math.isnan(b)) else min(a, b),
+    "max": lambda a, b: math.nan if (math.isnan(a) or math.isnan(b)) else max(a, b),
+    "pow": lambda a, b: math.pow(a, b) if not (math.isnan(a) or math.isnan(b)) else
+    (1.0 if b == 0 else math.nan),
+    "sqrt": lambda x: math.sqrt(x) if x >= 0 else math.nan,
+    "haversin": lambda a, b, c, d: float(haversin(a, b, c, d)),
+}
+
+# function name -> (arity,) from JavascriptCompiler.properties
+_FUNCTIONS = {
+    "abs": (1,), "acos": (1,), "acosh": (1,), "asin": (1,), "asinh": (1,),
+    "atan": (1,), "atan2": (2,), "atanh": (1,), "ceil": (1,), "cos": (1,),
+    "cosh": (1,), "exp": (1,), "floor": (1,), "haversin": (4,), "ln": (1,),
+    "log10": (1,), "logn": (2,), "max": (2,), "min": (2,), "pow": (2,),
+    "sin": (1,), "sinh": (1,), "sqrt": (1,), "tan": (1,), "tanh": (1,),
+}
+
+
+def _guard_domain(fn, x):
+    try:
+        return float(fn(x))
+    except ValueError:  # Java Math returns NaN outside the domain
+        return math.nan
+    except OverflowError:
+        return math.inf if x > 0 else -math.inf
+
+
+def js_eval(expr: str | tuple, bindings: dict[str, float] | None = None) -> float:
+    """Evaluate a JS expression with Java double semantics.  `bindings`
+    resolves VARIABLE tokens (unbound -> JsParseError, like the reference's
+    Bindings failing on an unknown name)."""
+    ast = parse_js(expr) if isinstance(expr, str) else expr
+    b = bindings or {}
+
+    def ev(n) -> float:
+        tag = n[0]
+        if tag == "num":
+            return n[1]
+        if tag == "var":
+            if n[1] not in b:
+                raise JsParseError(f"unbound variable ({n[1]})")
+            return float(b[n[1]])
+        if tag == "call":
+            fn = _PY_FN[n[1]]
+            args = [ev(a) for a in n[2]]
+            if len(args) == 1:
+                return _guard_domain(fn, args[0])
+            return float(fn(*args))
+        if tag == "unary":
+            x = ev(n[2])
+            if n[1] == "-":
+                return -x
+            if n[1] == "!":
+                return 0.0 if _truthy(x) else 1.0
+            return float(_wrap64(~_j_long(x)))  # '~'
+        if tag == "cond":
+            return ev(n[2]) if _truthy(ev(n[1])) else ev(n[3])
+        op = n[1]
+        a = ev(n[2])
+        if op == "&&":
+            return 1.0 if (_truthy(a) and _truthy(ev(n[3]))) else 0.0
+        if op == "||":
+            return 1.0 if (_truthy(a) or _truthy(ev(n[3]))) else 0.0
+        c = ev(n[3])
+        if op == "+":
+            return a + c
+        if op == "-":
+            return a - c
+        if op == "*":
+            return a * c
+        if op == "/":
+            return _j_div(a, c)
+        if op == "%":
+            return _j_mod(a, c)
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            if math.isnan(a) or math.isnan(c):
+                return 1.0 if op == "!=" else 0.0
+            r = {"==": a == c, "!=": a != c, "<": a < c,
+                 "<=": a <= c, ">": a > c, ">=": a >= c}[op]
+            return 1.0 if r else 0.0
+        if op in ("&", "|", "^"):
+            la, lc = _j_long(a), _j_long(c)
+            return float({"&": la & lc, "|": la | lc, "^": la ^ lc}[op])
+        ia, ic = _j_int(a), _j_int(c) & 31  # 32-bit shifts, count masked
+        if op == "<<":
+            return float(_wrap32(ia << ic))
+        if op == ">>":
+            return float(ia >> ic)
+        if op == ">>>":
+            return float(_wrap32((ia & ((1 << 32) - 1)) >> ic))
+        raise JsParseError(f"unknown operator {op!r}")
+
+    return ev(ast)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst Column emitter
+# ---------------------------------------------------------------------------
+
+
+def js_column(expr: str, resolver=None):
+    """Compile a JS expression to a Spark ``Column``.
+
+    `resolver`: dict name->Column, or callable(name)->Column; default maps
+    a variable name to ``F.col(name)`` (dotted names escaped).  All
+    emitted arithmetic is ANSI-fold-safe (try_divide/try_cast + NULL
+    mapping back to the Java double results)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    ast = parse_js(expr)
+    INF, NINF, NAN = [F.lit(v).cast("double") for v in (math.inf, -math.inf, math.nan)]
+
+    def resolve(name):
+        if resolver is None:
+            return F.col(f"`{name}`").cast("double")
+        if callable(resolver):
+            return resolver(name)
+        if name not in resolver:
+            raise JsParseError(f"unbound variable ({name})")
+        c = resolver[name]
+        return c if hasattr(c, "cast") else F.lit(float(c))
+
+    def to_long(c):
+        # conv.i8: anything try_cast can't represent -> Long.MIN
+        t = c.try_cast("bigint")
+        return F.when(~F.isnan(c) & t.isNotNull(), t).otherwise(F.lit(_LONG_MIN))
+
+    def to_int(c):
+        # conv.i4: anything try_cast can't represent -> Int32.MIN
+        t = c.try_cast("int")
+        return F.when(~F.isnan(c) & t.isNotNull(), t).otherwise(
+            F.lit(_INT_MIN).cast("int"))
+
+    def truthy(c):
+        return F.isnan(c) | (c != F.lit(0.0))
+
+    def bool2d(cond):
+        return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    def haversin_col(a, b, c, d):
+        from pyspark.sql import functions as F2
+
+        @F2.pandas_udf(DoubleType())
+        def _hv(l1, o1, l2, o2):
+            import pandas as pd
+
+            return pd.Series(haversin(l1.to_numpy(), o1.to_numpy(),
+                                      l2.to_numpy(), o2.to_numpy()))
+
+        return _hv(a, b, c, d)
+
+    def col_fn(name, args):
+        def lnx(x, f=F.log):
+            # Java Math.Log/-10: 0 -> -Inf, negative -> NaN (Spark's log
+            # family returns NULL for both)
+            return (
+                F.when(x > 0, f(x))
+                .when(F.isnan(x) | (x < 0), NAN)
+                .otherwise(NINF)
+            )
+
+        one = {
+            "abs": F.abs, "acos": F.acos, "asin": F.asin, "atan": F.atan,
+            "cos": F.cos, "cosh": F.cosh, "exp": F.exp,
+            "sin": F.sin, "sinh": F.sinh,
+            "sqrt": F.sqrt, "tan": F.tan, "tanh": F.tanh,
+        }
+        if name in one:
+            return one[name](args[0]).cast("double")
+        if name == "ln":
+            return lnx(args[0])
+        if name == "log10":
+            return lnx(args[0], F.log10)
+        if name in ("acosh", "asinh", "atanh"):
+            # MathUtil.cs formulas, not Catalyst's builtins (ulp parity with
+            # the reference vectors); -0.0's sign bit is not observable in
+            # Catalyst so asinh/atanh(-0.0) return +0.0 here (documented)
+            a = args[0]
+            if name == "acosh":
+                return F.log(F.sqrt(a * a - F.lit(1.0)) + a).cast("double")
+            sgn = F.when(a < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            if name == "asinh":
+                return (sgn * F.log(F.sqrt(a * a + F.lit(1.0)) + F.abs(a))).cast("double")
+            return (sgn * F.lit(0.5)
+                    * F.log(div(F.lit(1.0) + F.abs(a), F.lit(1.0) - F.abs(a)))
+                    ).cast("double")
+        if name in ("ceil", "floor"):
+            # Math.Ceiling/Floor return DOUBLE; Catalyst's return bigint --
+            # round-trip through it (|x| beyond 2^63 is out of scoring range)
+            f = F.ceil if name == "ceil" else F.floor
+            big = F.abs(args[0]) >= F.lit(9.007199254740992e15)  # 2^53: already integral
+            return F.when(F.isnan(args[0]) | big, args[0]).otherwise(
+                f(args[0]).cast("double"))
+        if name == "atan2":
+            # Spark's Atan2 adds +0.0 to both args, erasing -0.0's sign and
+            # breaking the four IEEE zero-zero corners (Math.Atan2(+0,-0)=pi
+            # etc.).  The sign bit IS observable through a string cast, so
+            # reconstruct exactly those corners and defer the rest to Spark.
+            y, x = args
+            yneg = y.cast("string").startswith("-")
+            xneg = x.cast("string").startswith("-")
+            pi = F.lit(math.pi)
+            zero_zero = (
+                F.when(~yneg & ~xneg, F.lit(0.0))
+                .when(~yneg & xneg, pi)
+                .when(yneg & ~xneg, F.lit(-0.0))
+                .otherwise(-pi)
+            )
+            return F.when((y == F.lit(0.0)) & (x == F.lit(0.0)), zero_zero
+                          ).otherwise(F.atan2(y, x))
+        if name == "logn":  # MathUtil.Log(base, x) = ln(x)/ln(base)
+            return div(lnx(args[1]), lnx(args[0]))
+        if name == "pow":
+            return F.pow(args[0], args[1])
+        if name in ("min", "max"):
+            f = F.least if name == "min" else F.greatest
+            return F.when(F.isnan(args[0]) | F.isnan(args[1]), NAN).otherwise(
+                f(args[0], args[1]))
+        if name == "haversin":
+            return haversin_col(*args)
+        raise JsParseError(f"unrecognized method call ({name})")
+
+    def div(a, c):
+        d = F.try_divide(a, c)
+        return (
+            F.when(d.isNotNull(), d)
+            .when(F.isnan(a) | F.isnan(c) | (a == F.lit(0.0)), NAN)
+            .when(a > 0, INF)
+            .otherwise(NINF)
+        )
+
+    def emit(n):
+        tag = n[0]
+        if tag == "num":
+            return F.lit(n[1]).cast("double")
+        if tag == "var":
+            return resolve(n[1])
+        if tag == "call":
+            return col_fn(n[1], [emit(a) for a in n[2]])
+        if tag == "unary":
+            x = emit(n[2])
+            if n[1] == "-":
+                return (-x).cast("double")
+            if n[1] == "!":
+                return bool2d(~truthy(x))
+            return F.bitwise_not(to_long(x)).cast("double")
+        if tag == "cond":
+            return F.when(truthy(emit(n[1])), emit(n[2])).otherwise(emit(n[3]))
+        op, a, c = n[1], emit(n[2]), emit(n[3])
+        if op == "&&":
+            return bool2d(truthy(a) & truthy(c))
+        if op == "||":
+            return bool2d(truthy(a) | truthy(c))
+        if op in ("+", "-", "*"):
+            return {"+": a + c, "-": a - c, "*": a * c}[op].cast("double")
+        if op == "/":
+            return div(a, c)
+        if op == "%":
+            m = F.try_mod(a, c)
+            return F.when(m.isNotNull() & (c != F.lit(0.0)), m).otherwise(NAN)
+        if op in ("==", "!=", "<", "<=", ">", ">="):
+            nan = F.isnan(a) | F.isnan(c)
+            cmpc = {"==": a == c, "!=": a != c, "<": a < c,
+                    "<=": a <= c, ">": a > c, ">=": a >= c}[op]
+            if op == "!=":
+                return F.when(nan, F.lit(1.0)).otherwise(bool2d(cmpc))
+            return F.when(nan, F.lit(0.0)).otherwise(bool2d(cmpc))
+        if op in ("&", "|", "^"):
+            la, lc = to_long(a), to_long(c)
+            if op == "&":
+                return la.bitwiseAND(lc).cast("double")
+            if op == "|":
+                return la.bitwiseOR(lc).cast("double")
+            return la.bitwiseXOR(lc).cast("double")
+        # 32-bit shifts (PushShift typeof(int)); Spark's shiftleft on an INT
+        # column is the JVM's int shift -- count auto-masked & 31
+        ia, amt = to_int(a), to_int(c)
+        fn = {"<<": "shiftleft", ">>": "shiftright", ">>>": "shiftrightunsigned"}[op]
+        return F.call_function(fn, ia, amt).cast("double")
+
+    return emit(ast)

@@ -2903,6 +2903,36 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def js_score(self, query: dict, js_expr: str, k: int = 10,
+                 mode: str = "f64") -> DataFrame:
+        """Expressions-module scoring (src/Lucene.Net.Expressions/JS/
+        JavascriptCompiler.cs + SimpleBindings): rank by a compiled
+        JavaScript expression over ``_score`` (the subquery's BM25 score,
+        Bindings.Add("_score", ...)) and any doc-value column of the docs
+        table.  The expression compiles to ONE Catalyst Column (jsexpr.py,
+        reference-vector exact), so scoring stays whole-stage-codegen
+        JVM-side -- no Python in the hot path (haversin excepted).
+        Returns top-k (docID, score) ordered by (-score, docID)."""
+        from .jsexpr import js_column
+
+        scored = self._eval(query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        joined = scored.join(self.docs(), "docID")
+
+        def resolver(name: str):
+            if name == "_score":
+                return F.col("score").cast("double")
+            return F.col(f"`{name}`").cast("double")
+
+        expr = js_column(js_expr, resolver)
+        return (
+            joined.select("docID", expr.cast(ftype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def cached_filter(self, query: dict, mode: str = "f64") -> DataFrame:
         """CachingWrapperFilter / LRU QueryCache analogue
         (src/Lucene.Net/Search/CachingWrapperFilter.cs): the query's match
