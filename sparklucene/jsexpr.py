@@ -409,9 +409,11 @@ _PY_FN = {
     * math.log(_j_div(1.0 + abs(a), 1.0 - abs(a))),
     "atan2": math.atan2,
     "ceil": math.ceil, "floor": math.floor,
-    "cos": math.cos, "cosh": math.cosh, "sin": math.sin, "sinh": math.sinh,
-    "tan": math.tan, "tanh": math.tanh,
-    "exp": math.exp,
+    "cos": math.cos, "sin": math.sin, "tan": math.tan, "tanh": math.tanh,
+    # hyperbolic/exp overflow to the Java results, not OverflowError
+    "cosh": lambda x: math.cosh(x) if abs(x) < 711 else math.inf,
+    "sinh": lambda x: math.sinh(x) if abs(x) < 711 else math.copysign(math.inf, x),
+    "exp": lambda x: math.exp(x) if x < 710 else math.inf,
     "ln": lambda x: math.log(x) if x > 0 else (-math.inf if x == 0 else math.nan),
     "log10": lambda x: math.log10(x) if x > 0 else (-math.inf if x == 0 else math.nan),
     "logn": lambda base, x: _j_div(_PY_FN["ln"](x), _PY_FN["ln"](base)),
