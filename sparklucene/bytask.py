@@ -995,7 +995,10 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
     if name == "PrintReader":
         # PrintReaderTask.cs: open a reader and print numDocs / deletions
         s = rd.get_searcher()
-        n_dels = len(rd.writer.deleted_ids()) if rd.writer is not None else 0
+        n_dels = 0
+        if rd.writer is not None and rd.writer._has_deletes():
+            dels = rd.writer._deletes_df()
+            n_dels = dels.count() if dels is not None else 0
         print(f"--> numDocs:{s.docs().count() - n_dels} dels:{n_dels}")
         return 1
     if name in ("CloseReader", "ReopenReader", "NearRealtimeReader"):
