@@ -486,6 +486,20 @@ class PerfRunData:
             self.cursor += take
             return take
 
+    def next_doc_seq(self) -> int:
+        """Advance the cursor by ONE and return the consumed feed seq --
+        atomic, for tasks that need the doc's identity (AddFacetedDoc)."""
+        with self._cursor_lock:
+            if self.cursor >= self.n_docs:
+                if not self.forever:
+                    raise NoMoreDataError()
+                self.flush()
+                self.cursor = 0
+                self.buffer_lo = 0
+            seq = self.cursor
+            self.cursor += 1
+            return seq
+
     def flush(self):
         if self.writer is None or self.cursor <= self.buffer_lo:
             return
@@ -817,12 +831,10 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         with_facets = (params or "").strip().lower() != "false" and bool(
             cfg.get("with.facets", True)
         )
-        with rd._cursor_lock:
-            seq = rd.cursor
-        took = rd.next_docs(1)
-        if with_facets and took:
+        seq = rd.next_doc_seq()
+        if with_facets:
             rd.taxo_add((f"cat{seq % 7}", f"sub{seq % 3}"))
-        return took
+        return 1
     if name == "AnalyzerFactory":
         # AnalyzerFactoryTask.cs: define a NAMED analysis pipeline
         # (tokenizer + filters) that NewAnalyzer can select later

@@ -107,3 +107,147 @@ def run_quality(searcher, query_set: dict[str, dict], judgments: DataFrame,
     for p in parts[1:]:
         res = res.unionByName(p)
     return quality_stats(res, judgments)
+
+
+# ---------------------------------------------------------------------------
+# TREC format I/O (Quality/Trec/ + Quality/Utils/)
+# ---------------------------------------------------------------------------
+
+
+def _qq_sort_key(qid: str):
+    """QualityQuery.CompareTo: try ints first, fall back to string."""
+    try:
+        return (0, int(qid), "")
+    except ValueError:
+        return (1, 0, qid)
+
+
+def read_trec_topics(text: str) -> list[tuple[str, dict[str, str]]]:
+    """TrecTopicsReader.ReadQueries (Trec/TrecTopicsReader.cs:66-121):
+    parse <top> blocks into (id, {title, description, narrative}) tuples,
+    sorted by id (ints first, like QualityQuery.CompareTo).  `text` is the
+    topics file content."""
+    lines = iter(text.splitlines())
+
+    def read_until(prefix: str, collect_match: bool):
+        for line in lines:
+            if line.startswith(prefix):
+                return line if collect_match else ""
+        return None
+
+    out: list[tuple[str, dict[str, str]]] = []
+    while read_until("<top>", False) is not None:
+        num = read_until("<num>", True)
+        if num is None:
+            break
+        qid = num[num.index(":") + 1:].strip()
+        title_line = read_until("<title>", True)
+        title = title_line[title_line.index(">") + 1:].strip()
+        read_until("<desc>", False)
+        desc_parts: list[str] = []
+        for line in lines:
+            if line.startswith("<narr>"):
+                break
+            desc_parts.append(line)
+        narr_parts: list[str] = []
+        for line in lines:
+            if line.startswith("</top>"):
+                break
+            narr_parts.append(line)
+        out.append((qid, {
+            "title": title,
+            "description": " ".join(desc_parts).strip(),
+            "narrative": " ".join(narr_parts).strip(),
+        }))
+    out.sort(key=lambda t: _qq_sort_key(t[0]))
+    return out
+
+
+def read_trec_1mq(text: str, name: str = "title") -> list[tuple[str, dict[str, str]]]:
+    """Trec1MQReader.ReadQueries (Trec/Trec1MQReader.cs:56-91): one
+    ``id:query text`` per line, '#' comments skipped; field name is the
+    reader's configured name (reference ctor arg)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        k = line.index(":")
+        out.append((line[:k].strip(), {name: line[k + 1:].strip()}))
+    out.sort(key=lambda t: _qq_sort_key(t[0]))
+    return out
+
+
+def simple_qq_parser(fields: dict[str, str], qq_name: str = "title"):
+    """SimpleQQParser.Parse (Utils/SimpleQQParser.cs): the quality query's
+    named field through the classic QueryParser -> query tree."""
+    from .parser import parse
+
+    return parse(fields[qq_name])
+
+
+def submission_report(results: DataFrame, run_name: str,
+                      query_col: str = "query_id", doc_col: str = "doc_id",
+                      rank_col: str = "rank",
+                      score_col: str = "score") -> DataFrame:
+    """SubmissionReport.Report (Utils/SubmissionReport.cs:58-85) as one
+    projection: the trec_eval submission line
+    ``qid \\t Q0 \\t docName(padded 20) \\t rank0(padded 7) \\t score \\t run``
+    per ranked result.  Rank is the reference's 0-based loop index.
+    -> (query_id, line), ordered output left to the caller/writer."""
+    sep = " \t "
+    pad20 = F.rpad(F.col(doc_col).cast("string"), 20, " ")
+    # reference pads to max(minLen, len) -- rpad truncates, so restore longs
+    doc_padded = F.when(F.length(F.col(doc_col).cast("string")) > 20,
+                        F.col(doc_col).cast("string")).otherwise(pad20)
+    rank0 = (F.col(rank_col) - 1).cast("string")
+    rank_padded = F.when(F.length(rank0) > 7, rank0).otherwise(F.rpad(rank0, 7, " "))
+    return results.select(
+        F.col(query_col).alias("query_id"),
+        F.concat(
+            F.col(query_col).cast("string"), F.lit(sep),
+            F.lit("Q0"), F.lit(sep),
+            doc_padded, F.lit(sep),
+            rank_padded, F.lit(sep),
+            F.col(score_col).cast("string"), F.lit(sep),
+            F.lit(run_name),
+        ).alias("line"),
+    )
+
+
+def quality_queries_finder(searcher, num_queries: int = 25,
+                           terms_per_query: int = 4) -> list[str]:
+    """QualityQueriesFinder analogue (Utils/QualityQueriesFinder.cs): build
+    query strings from the index's highest-df terms -- one distributed
+    term_dict scan, grouped round-robin into num_queries strings."""
+    td = searcher._union_read("term_dict")
+    rows = (
+        td.groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(num_queries * terms_per_query)
+        .collect()
+    )
+    terms = [r["term"] for r in rows]
+    return [
+        " ".join(terms[i::num_queries]) for i in range(num_queries)
+        if terms[i::num_queries]
+    ]
+
+
+def read_trec_qrels(text: str) -> list[tuple[str, str]]:
+    """TrecJudge's qrels parse (Trec/TrecJudge.cs:60-75): whitespace-split
+    ``queryID iter docName rel`` lines, '#' comments skipped; a pair is
+    relevant when rel != "0".  -> [(query_id, doc_name)] relevant pairs
+    (the judgments shape quality_stats consumes)."""
+    out = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) < 4:
+            raise ValueError(f"wrong qrels format: {line!r}")
+        qid, _, doc, rel = parts[0], parts[1], parts[2], parts[3]
+        if rel != "0":
+            out.append((qid, doc))
+    return out

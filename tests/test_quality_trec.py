@@ -1,0 +1,107 @@
+"""TREC quality-package format I/O, on the reference's OWN fixture files
+(Lucene.Net.Tests.Benchmark/Quality/trecTopics.txt + trecQRels.txt, copied
+to tests/fixtures/quality/ -- the TestQualityRun.cs inputs)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from sparklucene.quality import (
+    quality_stats,
+    quality_queries_finder,
+    read_trec_1mq,
+    read_trec_qrels,
+    read_trec_topics,
+    simple_qq_parser,
+    submission_report,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "quality")
+
+
+def _topics_text():
+    with open(os.path.join(FIX, "trecTopics.txt")) as f:
+        return f.read()
+
+
+def _qrels_text():
+    with open(os.path.join(FIX, "trecQRels.txt")) as f:
+        return f.read()
+
+
+def test_read_trec_topics_reference_fixture():
+    topics = read_trec_topics(_topics_text())
+    assert len(topics) == 20  # TestQualityRun.cs expects 20 topics
+    ids = [t[0] for t in topics]
+    assert ids == [str(i) for i in range(20)]  # int-first sort
+    qid, fields = topics[0]
+    assert fields["title"] == "statement months  total 1987"
+    assert fields["description"].startswith("Topic 0 Description Line 1")
+    assert fields["narrative"].startswith("Topic 0 Narrative Line 1")
+    # every topic parses through SimpleQQParser into a classic query tree
+    for _, f in topics:
+        assert simple_qq_parser(f)["type"] in ("boolean", "term")
+
+
+def test_read_trec_qrels_reference_fixture():
+    pairs = read_trec_qrels(_qrels_text())
+    assert len(pairs) == 594
+    by_q = {}
+    for q, d in pairs:
+        by_q.setdefault(q, []).append(d)
+    assert set(by_q) == {str(i) for i in range(20)}
+    assert "fakedoc1" in by_q["0"]
+
+
+def test_read_trec_1mq_sort_and_comments():
+    mq = read_trec_1mq("# header\n3:alpha beta\n1:gamma\n20:delta\n")
+    assert [m[0] for m in mq] == ["1", "3", "20"]  # numeric, not lexical
+    assert mq[0][1]["title"] == "gamma"
+
+
+def test_quality_stats_with_reference_qrels(spark):
+    """quality_stats over a synthetic ranking judged by the REFERENCE
+    qrels: ranking topic 0's relevant docs at 1..4 and junk at 5 gives
+    exact P@5/AvP/MRR."""
+    rel0 = [d for q, d in read_trec_qrels(_qrels_text()) if q == "0"]
+    ranked = [("0", d, i + 1) for i, d in enumerate(rel0[:4])] + [
+        ("0", "junk-doc", 5)
+    ]
+    res = spark.createDataFrame(ranked, "query_id string, doc_id string, rank int")
+    jud = spark.createDataFrame(
+        [(q, d) for q, d in read_trec_qrels(_qrels_text())],
+        "query_id string, doc_id string",
+    )
+    row = quality_stats(res, jud).first()
+    assert row["p_at_5"] == 4 / 5
+    assert row["mrr"] == 1.0
+    assert row["num_good"] == 4 and row["max_good"] == len(rel0)
+
+
+def test_submission_report_format(spark):
+    res = spark.createDataFrame(
+        [("7", "doc42", 1, 1.25), ("7", "averyveryverylongdocname42", 2, 0.5)],
+        "query_id string, doc_id string, rank int, score double",
+    )
+    lines = {r["line"] for r in submission_report(res, "myrun").collect()}
+    # SubmissionReport.cs: qid \t Q0 \t doc(pad 20) \t rank0(pad 7) \t score \t run
+    assert "7 \t Q0 \t doc42                \t 0       \t 1.25 \t myrun" in lines
+    long_line = next(l for l in lines if "averyvery" in l)
+    assert " \t averyveryverylongdocname42 \t 1       \t " in long_line
+
+
+def test_quality_queries_finder(spark, tmp_path):
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.search import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared w{i % 3} rare{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    build_index(spark, docs, str(tmp_path / "idx"),
+                BuildConfig(content_col="text", order_cols=("doc_id",), num_buckets=4))
+    s = IndexSearcher(spark, str(tmp_path / "idx"))
+    qs = quality_queries_finder(s, num_queries=2, terms_per_query=2)
+    assert len(qs) == 2
+    # the two highest-df terms (common, shared) lead the two queries
+    assert {q.split()[0] for q in qs} == {"common", "shared"}
