@@ -1401,6 +1401,36 @@ def _q_trec_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trec_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubmissionReport.Report (Quality/Utils/SubmissionReport.cs:58-85):
+    the trec_eval submission line for every ranked result of the TREC
+    query set -- ``qid \\t Q0 \\t doc(pad20) \\t rank0(pad7) \\t score \\t
+    run``.  Scores are pre-formatted to 4 decimals so the embedded string
+    is engine-independent."""
+    from pyspark.sql.window import Window
+
+    from sparklucene.quality import submission_report
+
+    s = _searcher(spark, sf_dir)
+    parts = []
+    for qid, term in _TREC_QUERIES:
+        top = s.search(_t(term), 10, mode="f64")
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("docID"))
+        parts.append(
+            top.select(
+                F.lit(qid).alias("query_id"),
+                F.col("docID").alias("doc_id"),
+                F.row_number().over(w).alias("rank"),
+                F.format_string("%.4f", F.round("score", 4)).alias("score"),
+            )
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    rep = submission_report(res, "sparklucene")
+    return rep.select("query_id", "line").orderBy("line")
+
+
 def _q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleNaiveBayesClassifier self-classification of the documents table
     (label = lang): per doc, argmax over classes of prior + add-1-smoothed
@@ -1988,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["payload_near"] = _q_payload_near
     out["nb_classify"] = _q_nb_classify
     out["trec_quality"] = _q_trec_quality
+    out["trec_submission"] = _q_trec_submission
     out["prefix_scored"] = _q_prefix_scored
     out["expr_score"] = _q_expr_score
     out["fuzzy_scored"] = _q_fuzzy_scored
@@ -2041,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "trec_submission",
         "js_score",
         "line_dedup", "cut_dup_spans", "dedup_resolve",
         "mixture_sample", "domain_cap", "incr_dedup", "train_order",
@@ -3103,6 +3135,29 @@ FROM ranked WHERE rn = 1"""
         for qid, term in _TREC_QUERIES
     )
     trec_vals = ", ".join(f"('{qid}', '{t}')" for qid, t in _TREC_QUERIES)
+    # ranked results WITH the f64 score, for the submission-line format
+    trec_res_sc = "\nUNION ALL\n".join(
+        f"""(SELECT '{qid}' AS query_id, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank, score
+ FROM scored WHERE term = '{term}' ORDER BY score DESC, doc_id LIMIT 10)"""
+        for qid, term in _TREC_QUERIES
+    )
+    sqls["trec_submission"] = f"""{_prelude()},
+res AS ({trec_res_sc})
+SELECT query_id,
+       query_id || sep || 'Q0' || sep || docp || sep || rankp || sep
+           || score_s || sep || 'sparklucene' AS line
+FROM (
+  SELECT query_id,
+         ' ' || chr(9) || ' ' AS sep,
+         CASE WHEN length(doc_id::VARCHAR) > 20 THEN doc_id::VARCHAR
+              ELSE rpad(doc_id::VARCHAR, 20, ' ') END AS docp,
+         CASE WHEN length((rank - 1)::VARCHAR) > 7 THEN (rank - 1)::VARCHAR
+              ELSE rpad((rank - 1)::VARCHAR, 7, ' ') END AS rankp,
+         printf('%.4f', round(score, 4)) AS score_s
+  FROM res
+)
+ORDER BY line"""
     sqls["trec_quality"] = f"""{_prelude()},
 res AS ({trec_res}),
 tokc AS (
