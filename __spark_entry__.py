@@ -18,6 +18,7 @@ the driver's value-hash compare is stable across summation orders.
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -2110,7 +2111,10 @@ def _stop_sql() -> str:
     return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
 
+@functools.lru_cache(maxsize=1)
 def _normmap_values() -> str:
+    # Computed once: the 16M-element quantization scan is ~2s, and every
+    # per-gate _prelude*() variant embeds the identical ~100-row table.
     rows = field_len_to_byte_bounds(1 << 24)
     return ", ".join(f"({b}, {lo}, {hi}, {eff!r})" for b, lo, hi, eff in rows)
 

@@ -69,15 +69,34 @@ def quantized_doc_len(norm_byte: np.ndarray) -> np.ndarray:
 def field_len_to_byte_bounds(max_len: int = 1 << 24) -> list[tuple[int, int, int, float]]:
     """(norm_byte, len_lo, len_hi, quantized_len_f32) ranges for integer field
     lengths 1..max_len.  Used to embed the quantization in ANSI-SQL oracles
-    (a ~100-row lookup joined on field_len BETWEEN lo AND hi)."""
-    lens = np.arange(1, max_len + 1, dtype=np.int64)
-    bytes_ = encode_norm(lens)
-    # contiguous runs of equal byte
-    change = np.flatnonzero(np.diff(bytes_)) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change - 1, [len(lens) - 1]))
+    (a ~100-row lookup joined on field_len BETWEEN lo AND hi).
+
+    encode_norm is non-increasing in field_len (byte315 of 1/sqrt(len)), so
+    each byte's run is found by exponential + binary search -- ~5k scalar
+    encodes instead of a 16M-element vector scan (differential-tested against
+    the full scan in tests/test_norms.py)."""
+
+    def enc(n: int) -> int:
+        return int(encode_norm(np.array([n], dtype=np.int64))[0])
+
     out = []
-    for s, e in zip(starts, ends):
-        b = int(bytes_[s])
-        out.append((b, int(lens[s]), int(lens[e]), float(NORM_TABLE[b])))
+    lo = 1
+    while lo <= max_len:
+        b = enc(lo)
+        # exponential probe for an upper bound of this byte's run
+        step = 1
+        hi = lo
+        while hi < max_len and enc(min(hi + step, max_len)) == b:
+            hi = min(hi + step, max_len)
+            step *= 2
+        # binary search the last len in [hi, min(hi+step, max_len)] with byte b
+        right = min(hi + step, max_len)
+        while hi < right:
+            mid = (hi + right + 1) // 2
+            if enc(mid) == b:
+                hi = mid
+            else:
+                right = mid - 1
+        out.append((b, lo, hi, float(NORM_TABLE[b])))
+        lo = hi + 1
     return out

@@ -87,3 +87,18 @@ def test_field_len_bounds_cover_and_match():
             assert int(encode_norm(np.array([probe]))[0]) == b
         assert ql == pytest.approx(float(NORM_TABLE[b]))
     assert covered == 100000
+
+
+def test_field_len_bounds_bisection_matches_full_scan():
+    # the searched implementation must equal the exhaustive per-length scan
+    for max_len in (1, 2, 7, 1000, 1 << 20):
+        lens = np.arange(1, max_len + 1, dtype=np.int64)
+        bytes_ = encode_norm(lens)
+        change = np.flatnonzero(np.diff(bytes_)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change - 1, [len(lens) - 1]))
+        slow = [
+            (int(bytes_[s]), int(lens[s]), int(lens[e]), float(NORM_TABLE[int(bytes_[s])]))
+            for s, e in zip(starts, ends)
+        ]
+        assert field_len_to_byte_bounds(max_len) == slow
