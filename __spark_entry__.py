@@ -1255,6 +1255,48 @@ def _wd_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_ST_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _st_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index under the NON-DEFAULT SimpleText postings codec (codec plugin
+    system, sparklucene.codec postings_format_by_name -- Codec.ForName /
+    SimpleTextPostingsFormat analogues): every blob column ASCII-encoded,
+    format recorded in stats.json, reader dispatch at decode time."""
+    key = os.path.abspath(sf_dir)
+    s = _ST_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_st", f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_")
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 200
+    )
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8, resume=True,
+        postings_format="simpletext",
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    assert s.pformat == "simpletext", s.pformat
+    _ST_SEARCHERS[key] = s
+    return s
+
+
+def _q_codec_simpletext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec invariant (the reference's TestRuleSetupAndRestore-style
+    codec randomization contract): a format changes the BYTES, never the
+    results -- a MUST+SHOULD boolean over the SimpleText-codec index must
+    hash-match the SQL oracle exactly like the default-codec gates."""
+    s = _st_searcher(spark, sf_dir)
+    q = {"type": "boolean", "clauses": [
+        {"occur": "MUST", "query": {"type": "term", "term": "spark"}},
+        {"occur": "SHOULD", "query": {"type": "term", "term": "dup"}},
+    ]}
+    return _topk_df(s, q, 15)
+
+
 def _q_word_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordDelimiterFilter index: 'merge' matches inside hyphenated pairs
     ("sort-merge") because WDF re-splits them; no stop filter in this
@@ -2062,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     out["js_score"] = _q_js_score
+    out["codec_simpletext"] = _q_codec_simpletext
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
     # r1 sampled it before its oracle existed), then every gate NEW this
@@ -2073,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "codec_simpletext",
         "trec_submission",
         "js_score",
         "line_dedup", "cut_dup_spans", "dedup_resolve",
@@ -2253,6 +2297,14 @@ ORDER BY score DESC, doc_id LIMIT 10"""
 SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term IN ('dup', 'spark', 'join')
 GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY score DESC, doc_id LIMIT 15"""
+    # codec_simpletext: identical scoring algebra to req_opt, over the
+    # doc_id<200 subset the SimpleText-codec gate index covers -- the
+    # oracle is codec-blind by construction, which IS the invariant
+    sqls["codec_simpletext"] = f"""{_prelude("(SELECT * FROM documents WHERE doc_id < 200)")}
+SELECT r.doc_id, round(r.score + coalesce(o.score, 0.0), 4) AS score
+FROM (SELECT doc_id, score FROM scored WHERE term = 'spark') r
+LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'dup') o USING (doc_id)
 ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["req_opt"] = f"""{_prelude()}
 SELECT r.doc_id, round(r.score + coalesce(o.score, 0.0), 4) AS score

@@ -126,6 +126,11 @@ class BuildConfig:
     # (IndexOptions default is DOCS_AND_FREQS_AND_POSITIONS; offsets are
     # opt-in) -- costs ~15-20% build throughput when on.
     store_offsets: bool = False
+    # integer-stream codec for every blob column (codec.postings_format_by_
+    # name): 'varint' (default, Lucene41 analogue), 'simpletext', 'direct8',
+    # or any register_postings_format() plugin.  Recorded in stats.json so
+    # readers/mergers resolve it per segment (Codec.ForName at read time).
+    postings_format: str = "varint"
     resume: bool = True
     docid_base: int = 0  # minted docIDs start here (segment appends)
     extras: dict = field(default_factory=dict)
@@ -137,6 +142,16 @@ def _done_marker(path: str) -> str:
 
 def _stage_done(path: str) -> bool:
     return os.path.exists(_done_marker(path))
+
+
+def _stage_format(path: str) -> str:
+    """postings_format recorded in a stage's done marker (markers written
+    before the codec plugin system count as the then-only 'varint')."""
+    try:
+        with open(_done_marker(path)) as f:
+            return json.load(f).get("postings_format", "varint")
+    except (OSError, ValueError):
+        return "varint"
 
 
 def _mark_done(path: str, info: dict) -> None:
@@ -181,7 +196,7 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
 def _tokenize_udf(content_col: str, passthrough: list[str],
                   analyzer_name: str = "standard", analyzer_params: dict | None = None,
                   store_offsets: bool = False, lang_analyzers: dict | None = None,
-                  lang_col: str = "lang"):
+                  lang_col: str = "lang", postings_format: str = "varint"):
     """mapInArrow tokenizer: per batch, tokenize every doc (Python regex is
     the only per-doc work), then build the output Arrow arrays directly --
     no per-posting Python objects.  Positions are delta-varint encoded here
@@ -200,8 +215,11 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
             OFFSET_ANALYZERS, PAYLOAD_ANALYZERS, invert_arrays_offsets,
             invert_arrays_payloads, make_analyzer,
         )
-        from .codec import delta_encode_positions, encode_offset_pairs
+        from .codec import (
+            delta_encode_positions, encode_offset_pairs, postings_format_by_name,
+        )
 
+        blob_codec = postings_format_by_name(postings_format)
         with_offsets = (
             store_offsets and analyzer_name in OFFSET_ANALYZERS
             and not analyzer_params and not lang_analyzers
@@ -253,7 +271,7 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                 np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
             )
             post_offs = np.concatenate(([0], np.cumsum(tfs_all)))
-            pos_data, pos_byte_offs = delta_encode_positions(pos_flat, post_offs)
+            pos_data, pos_byte_offs = delta_encode_positions(pos_flat, post_offs, codec=blob_codec)
             pos_blob_arr = pa.Array.from_buffers(
                 pa.binary(),
                 int(tfs_all.size),
@@ -270,7 +288,7 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                 eo_all = (
                     np.concatenate(eo_parts) if eo_parts else np.empty(0, dtype=np.int64)
                 )
-                off_data, off_byte_offs = encode_offset_pairs(so_all, eo_all, post_offs)
+                off_data, off_byte_offs = encode_offset_pairs(so_all, eo_all, post_offs, codec=blob_codec)
                 off_blob_arr = pa.Array.from_buffers(
                     pa.binary(),
                     int(tfs_all.size),
@@ -338,7 +356,7 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
     return tokenize
 
 
-def _encode_blocks_udf():
+def _encode_blocks_udf(postings_format: str = "varint"):
     """mapInArrow encoder over rows sorted by (bucket, term, salt, docID).
 
     Fully vectorized: the partition's batches are combined into one Arrow
@@ -349,7 +367,7 @@ def _encode_blocks_udf():
     (codec.encode_partition_blocks)."""
     import pyarrow as pa
 
-    from .codec import encode_partition_blocks
+    from .codec import encode_partition_blocks, postings_format_by_name
 
     arrow_schema = pa.schema(
         [
@@ -373,6 +391,7 @@ def _encode_blocks_udf():
     )
 
     def encode(batch_iter):
+        blob_codec = postings_format_by_name(postings_format)
         batches = [b for b in batch_iter if b.num_rows]
         if not batches:
             return
@@ -413,7 +432,8 @@ def _encode_blocks_udf():
         if n > 1:
             term_ne = pc.not_equal(term_chunk.slice(1), term_chunk.slice(0, n - 1))
             group_change[1:] = np.asarray(term_ne.fill_null(True)) | (salts[1:] != salts[:-1])
-        blocks = encode_partition_blocks(group_change, doc_ids, tfs, norms, pos_data, pos_byte_offsets)
+        blocks = encode_partition_blocks(group_change, doc_ids, tfs, norms,
+                                         pos_data, pos_byte_offsets, codec=blob_codec)
         row_idx = blocks["row_idx"]
         if len(row_idx) == 0:
             return
@@ -561,10 +581,24 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
     timings: dict[str, float] = {}
     cores = spark.sparkContext.defaultParallelism
 
+    # a resume may not change the postings format mid-index: blob columns
+    # written by earlier stages would silently mix encodings.  A format
+    # change needs a fresh out_dir (or a segment merge, which transcodes).
+    prior_stats = os.path.join(out_dir, "stats.json")
+    if cfg.resume and os.path.exists(prior_stats):
+        with open(prior_stats) as f:
+            prior_fmt = json.load(f).get("postings_format", "varint")
+        if prior_fmt != cfg.postings_format:
+            raise ValueError(
+                f"index at {out_dir} was built with postings_format="
+                f"{prior_fmt!r}; cannot resume with {cfg.postings_format!r}"
+            )
+
     # ---- stage 1: docIDs + tokenize -> tokenized/ -----------------------
     tok_dir = os.path.join(out_dir, "tokenized")
     t0 = time.time()
-    if not (cfg.resume and _stage_done(tok_dir)):
+    if not (cfg.resume and _stage_done(tok_dir)
+            and _stage_format(tok_dir) == cfg.postings_format):
         # content_col in meta_cols = "store the document text" (Lucene's
         # Field.Store.YES on the body): it is tokenized AND kept as a
         # passthrough column rather than selected twice
@@ -601,12 +635,14 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
         df.mapInArrow(
             _tokenize_udf(cfg.content_col, passthrough, cfg.analyzer,
                           cfg.analyzer_params, cfg.store_offsets,
-                          cfg.lang_analyzers, cfg.lang_col),
+                          cfg.lang_analyzers, cfg.lang_col,
+                          cfg.postings_format),
             schema=tok_schema,
         ).write.mode(
             "overwrite"
         ).parquet(tok_dir)
-        _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0})
+        _mark_done(tok_dir, {"stage": "tokenized", "duration_s": time.time() - t0,
+                             "postings_format": cfg.postings_format})
     timings["tokenized_s"] = time.time() - t0
 
     tokenized = spark.read.parquet(tok_dir)
@@ -664,6 +700,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
             "lang_col": cfg.lang_col,
             "salt_parts": cfg.salt_parts,
             "salt_threshold": cfg.salt_threshold,
+            "postings_format": cfg.postings_format,
         }
         with open(stats_path + ".tmp", "w") as f:
             json.dump(stats, f)
@@ -682,7 +719,7 @@ def build_index(spark: SparkSession, source: DataFrame, out_dir: str, config: Bu
     t0 = time.time()
     max_doc = stats["max_doc"]
     hot_terms: dict[str, int] = stats["hot_terms"]
-    encode_fn, block_schema = _encode_blocks_udf()
+    encode_fn, block_schema = _encode_blocks_udf(cfg.postings_format)
     groups = list(range(cfg.bucket_groups))
     for g in groups:
         man_path = os.path.join(out_dir, "manifests", f"postings-group-{g}.json")

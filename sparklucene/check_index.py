@@ -32,14 +32,17 @@ from pyspark.sql import functions as F
 from .norms import encode_norm
 
 
-def _check_blocks_udf():
+def _check_blocks_udf(postings_format: str = "varint"):
     """-> per (term, salt) partial: n_docs, n_errors, example error."""
-    from .codec import decode_block_docs, decode_block_positions
+    from .codec import (
+        decode_block_docs, decode_block_positions, postings_format_by_name,
+    )
 
     schema = ("term string, salt int, n_docs long, ttf long, max_tf int, "
               "min_docid long, max_docid long, n_err long, example string")
 
     def check(pdf_iter):
+        codec = postings_format_by_name(postings_format)
         for pdf in pdf_iter:
             rows = []
             pdf = pdf.sort_values(["term", "salt", "block_id"], kind="stable")
@@ -59,9 +62,10 @@ def _check_blocks_udf():
                     expected_bid = row.block_id + 1
                     try:
                         d, t, nb = decode_block_docs(
-                            row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                            row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob,
+                            codec=codec,
                         )
-                        pos = decode_block_positions(t, row.pos_blob)
+                        pos = decode_block_positions(t, row.pos_blob, codec=codec)
                         if len(d) != row.num_docs:
                             errs.append("decoded count mismatch")
                         if len(d) and (d[0] != row.first_docid or d[-1] != row.max_docid):
@@ -145,7 +149,7 @@ def check_index(
     blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
 
     # 1. block decode invariants
-    fn, schema = _check_blocks_udf()
+    fn, schema = _check_blocks_udf(stats.get("postings_format", "varint"))
     per_group = blocks.repartition("bucket", "salt").mapInPandas(fn, schema=schema)
     agg = per_group.groupBy().agg(
         F.sum("n_err").alias("errs"),

@@ -73,11 +73,167 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+# ---------------------------------------------------------------------------
+# pluggable integer-stream codecs (the codec plugin system)
+# ---------------------------------------------------------------------------
+#
+# Functional mirror of Lucene's codec SPI (Codec.ForName / PostingsFormat.
+# ForName, reference: src/Lucene.Net/Codecs/Codec.cs:120-140,
+# PostingsFormat.cs:94-110): the pluggable unit here is the integer-stream
+# encoding used inside every blob column of the posting-block layout (doc
+# gaps, tf-1, position deltas, offset pairs).  The block STRUCTURE (128-doc
+# blocks, skip metadata, parquet layout) is fixed; the byte encoding of the
+# integer streams is the plugin point.  Each format must expose per-value
+# byte boundaries (value_end_mask) so the partition-level encoder can slice
+# one bulk-encoded stream at block bounds and the merge path can re-slice
+# per-posting position blobs without decoding them.
+#
+# Shipped formats:
+#   varint     -- LEB128 (default; the Lucene41PostingsFormat analogue)
+#   simpletext -- ASCII decimal + ' ' terminator (SimpleTextPostingsFormat
+#                 analogue, src/Lucene.Net.Codecs/SimpleText/
+#                 SimpleTextFieldsWriter.cs -- human-readable, debug-only)
+#   direct8    -- fixed 8-byte little-endian (DirectPostingsFormat spirit,
+#                 src/Lucene.Net.Codecs/Memory/DirectPostingsFormat.cs --
+#                 no compression, cheapest CPU)
+
+
+class IntStreamCodec:
+    """Base integer-stream codec: uint64 values <-> bytes."""
+
+    name: str = "abstract"
+
+    def encode_with_lengths(self, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """-> (uint8 byte stream, int64 per-value byte lengths)."""
+        raise NotImplementedError
+
+    def encode(self, vals: np.ndarray) -> bytes:
+        data, _ = self.encode_with_lengths(np.asarray(vals, dtype=_U64))
+        return data.tobytes()
+
+    def decode(self, buf: bytes, count: int | None = None) -> np.ndarray:
+        raise NotImplementedError
+
+    def value_end_mask(self, stream: np.ndarray) -> np.ndarray:
+        """bool per byte, True at the LAST byte of each encoded value --
+        lets callers find value boundaries without a full decode."""
+        raise NotImplementedError
+
+
+class VarintCodec(IntStreamCodec):
+    name = "varint"
+
+    def encode_with_lengths(self, vals):
+        return varint_encode_with_lengths(vals)
+
+    def encode(self, vals):
+        return varint_encode(np.asarray(vals, dtype=_U64))
+
+    def decode(self, buf, count=None):
+        return varint_decode(buf, count=count)
+
+    def value_end_mask(self, stream):
+        return (np.asarray(stream, dtype=np.uint8) & 0x80) == 0
+
+
+class SimpleTextCodec(IntStreamCodec):
+    """ASCII decimal, one trailing b' ' per value.  Debug format: the blob
+    columns become human-readable in any parquet dump, at the cost of size
+    and a Python-level join on encode (SimpleText is documented as never
+    for production in the reference too)."""
+
+    name = "simpletext"
+
+    def encode_with_lengths(self, vals):
+        v = np.asarray(vals, dtype=_U64)
+        if v.size == 0:
+            return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+        strs = v.astype("U20")
+        lengths = np.char.str_len(strs).astype(np.int64) + 1
+        data = (" ".join(strs.tolist()) + " ").encode("ascii")
+        return np.frombuffer(data, dtype=np.uint8), lengths
+
+    def decode(self, buf, count=None):
+        b = bytes(buf)
+        if not b:
+            vals = np.empty(0, dtype=_U64)
+        else:
+            parts = b.split(b" ")
+            if parts and parts[-1] == b"":
+                parts = parts[:-1]
+            vals = np.array(parts, dtype="S20").astype(_U64) if parts else np.empty(0, dtype=_U64)
+        if count is not None:
+            assert vals.size == count, f"simpletext stream had {vals.size} values, want {count}"
+        return vals
+
+    def value_end_mask(self, stream):
+        return np.asarray(stream, dtype=np.uint8) == 0x20
+
+
+class Direct8Codec(IntStreamCodec):
+    """Fixed 8-byte little-endian uint64 per value: zero compression, zero
+    parse cost (the decode is a frombuffer view)."""
+
+    name = "direct8"
+
+    def encode_with_lengths(self, vals):
+        v = np.ascontiguousarray(np.asarray(vals, dtype="<u8"))
+        data = v.view(np.uint8)
+        return data, np.full(v.size, 8, dtype=np.int64)
+
+    def decode(self, buf, count=None):
+        vals = np.frombuffer(buf, dtype="<u8")
+        if count is not None:
+            assert vals.size == count, f"direct8 stream had {vals.size} values, want {count}"
+        return vals.astype(_U64, copy=False)
+
+    def value_end_mask(self, stream):
+        n = np.asarray(stream, dtype=np.uint8).size
+        assert n % 8 == 0, "direct8 stream length must be a multiple of 8"
+        mask = np.zeros(n, dtype=bool)
+        mask[7::8] = True
+        return mask
+
+
+VARINT = VarintCodec()
+_POSTINGS_FORMATS: dict[str, IntStreamCodec] = {
+    "varint": VARINT,
+    "simpletext": SimpleTextCodec(),
+    "direct8": Direct8Codec(),
+}
+
+
+def register_postings_format(codec: IntStreamCodec) -> None:
+    """SPI hook: make a user codec resolvable by name (Codec SPI loading,
+    Codec.cs AvailableCodecs).  Registration is per-process; executors
+    resolve by name inside kernels, so a custom format must be registered
+    in a module imported on the workers (ship via --py-files)."""
+    _POSTINGS_FORMATS[codec.name] = codec
+
+
+def postings_format_by_name(name: str | None) -> IntStreamCodec:
+    """Codec.ForName analogue: KeyError with the available set on miss."""
+    if name is None:
+        return VARINT
+    try:
+        return _POSTINGS_FORMATS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown postings format {name!r}; available: "
+            f"{sorted(_POSTINGS_FORMATS)}"
+        ) from None
+
+
+def available_postings_formats() -> list[str]:
+    return sorted(_POSTINGS_FORMATS)
+
+
 def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_bytes: np.ndarray,
     positions_flat: np.ndarray,
+    codec: IntStreamCodec = VARINT,
 ) -> list[dict]:
     """Split one term's postings (docID-ascending) into blocks of BLOCK_SIZE.
 
@@ -110,7 +266,7 @@ def encode_posting_blocks(
             # reset at each doc boundary: first position of a doc is absolute
             doc_starts = pos_offsets[start:end] - p_lo
             deltas[doc_starts] = pos[doc_starts]
-            pos_blob = varint_encode(deltas.astype(_U64))
+            pos_blob = codec.encode(deltas.astype(_U64))
         else:
             pos_blob = b""
         blocks.append(
@@ -120,8 +276,8 @@ def encode_posting_blocks(
                 "first_docid": int(d[0]),
                 "max_docid": int(d[-1]),
                 "block_max_tf": int(t.max()),
-                "doc_blob": varint_encode(gaps.astype(_U64)),
-                "tf_blob": varint_encode((t - 1).astype(_U64)),
+                "doc_blob": codec.encode(gaps.astype(_U64)),
+                "tf_blob": codec.encode((t - 1).astype(_U64)),
                 "norm_blob": nb.tobytes(),
                 "pos_blob": pos_blob,
             }
@@ -130,7 +286,8 @@ def encode_posting_blocks(
 
 
 def delta_encode_positions(
-    positions_flat: np.ndarray, row_offsets: np.ndarray
+    positions_flat: np.ndarray, row_offsets: np.ndarray,
+    codec: IntStreamCodec = VARINT,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row delta-varint position encoding, vectorized over many rows.
 
@@ -148,7 +305,7 @@ def delta_encode_positions(
     np.subtract(positions_flat[1:], positions_flat[:-1], out=deltas[1:])
     starts = row_offsets[:-1]
     deltas[starts] = positions_flat[starts]
-    data, lens = varint_encode_with_lengths(deltas.astype(_U64))
+    data, lens = codec.encode_with_lengths(deltas.astype(_U64))
     len_cum = np.concatenate(([0], np.cumsum(lens)))
     return data, len_cum[row_offsets]
 
@@ -160,6 +317,7 @@ def encode_partition_blocks(
     norm_bytes: np.ndarray,
     pos_data: np.ndarray,
     pos_byte_offsets: np.ndarray,
+    codec: IntStreamCodec = VARINT,
 ) -> dict:
     """Encode ALL posting blocks of a sorted partition in one vectorized pass.
 
@@ -208,14 +366,14 @@ def encode_partition_blocks(
     gaps[0] = 0
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
     keep = ~block_start_mask
-    doc_bytes, doc_lens = varint_encode_with_lengths(gaps[keep].astype(_U64))
+    doc_bytes, doc_lens = codec.encode_with_lengths(gaps[keep].astype(_U64))
     kept_cum = np.concatenate(([0], np.cumsum(keep)))
     dlen_cum = np.concatenate(([0], np.cumsum(doc_lens)))
     d_lo = dlen_cum[kept_cum[block_starts]]
     d_hi = dlen_cum[kept_cum[block_ends]]
 
     # ---- tf blob: (tf - 1) for every row --------------------------------
-    tf_bytes, tf_lens = varint_encode_with_lengths((tfs - 1).astype(_U64))
+    tf_bytes, tf_lens = codec.encode_with_lengths((tfs - 1).astype(_U64))
     tlen_cum = np.concatenate(([0], np.cumsum(tf_lens)))
     t_lo = tlen_cum[block_starts]
     t_hi = tlen_cum[block_ends]
@@ -251,24 +409,26 @@ def encode_partition_blocks(
 
 
 def decode_block_docs(
-    first_docid: int, num_docs: int, doc_blob: bytes, tf_blob: bytes, norm_blob: bytes
+    first_docid: int, num_docs: int, doc_blob: bytes, tf_blob: bytes, norm_blob: bytes,
+    codec: IntStreamCodec = VARINT,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (doc_ids int64, tfs int64, norm_bytes uint8) for one block."""
-    gaps = varint_decode(doc_blob, count=num_docs - 1).astype(np.int64)
+    gaps = codec.decode(doc_blob, count=num_docs - 1).astype(np.int64)
     doc_ids = np.empty(num_docs, dtype=np.int64)
     doc_ids[0] = first_docid
     if num_docs > 1:
         np.cumsum(gaps, out=doc_ids[1:])
         doc_ids[1:] += first_docid
-    tfs = varint_decode(tf_blob, count=num_docs).astype(np.int64) + 1
+    tfs = codec.decode(tf_blob, count=num_docs).astype(np.int64) + 1
     norms = np.frombuffer(norm_blob, dtype=np.uint8)
     return doc_ids, tfs, norms
 
 
-def decode_block_positions(tfs: np.ndarray, pos_blob: bytes) -> np.ndarray:
+def decode_block_positions(tfs: np.ndarray, pos_blob: bytes,
+                           codec: IntStreamCodec = VARINT) -> np.ndarray:
     """-> flat positions array (per-doc ascending), len == sum(tfs)."""
     total = int(np.sum(tfs))
-    deltas = varint_decode(pos_blob, count=total).astype(np.int64)
+    deltas = codec.decode(pos_blob, count=total).astype(np.int64)
     if total == 0:
         return deltas
     # cumulative sum with reset at doc boundaries: subtract the running
@@ -284,7 +444,8 @@ def decode_block_positions(tfs: np.ndarray, pos_blob: bytes) -> np.ndarray:
 
 
 def encode_offset_pairs(
-    starts: np.ndarray, ends: np.ndarray, row_offsets: np.ndarray
+    starts: np.ndarray, ends: np.ndarray, row_offsets: np.ndarray,
+    codec: IntStreamCodec = VARINT,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row delta-varint character-offset encoding (the .pay/offset
     stream of Lucene41PostingsWriter, ours stored with the per-doc term
@@ -305,14 +466,15 @@ def encode_offset_pairs(
     inter = np.empty(2 * n, dtype=np.int64)
     inter[0::2] = deltas
     inter[1::2] = ends - starts
-    data, lens = varint_encode_with_lengths(inter.astype(_U64))
+    data, lens = codec.encode_with_lengths(inter.astype(_U64))
     len_cum = np.concatenate(([0], np.cumsum(lens)))
     return data, len_cum[2 * row_offsets]
 
 
-def decode_offset_pairs(blob: bytes, count: int) -> tuple[np.ndarray, np.ndarray]:
+def decode_offset_pairs(blob: bytes, count: int,
+                        codec: IntStreamCodec = VARINT) -> tuple[np.ndarray, np.ndarray]:
     """Decode one row's offset blob -> (starts, ends), len == count."""
-    vals = varint_decode(blob, count=2 * count).astype(np.int64)
+    vals = codec.decode(blob, count=2 * count).astype(np.int64)
     starts = np.cumsum(vals[0::2])
     ends = starts + vals[1::2]
     return starts, ends

@@ -88,6 +88,7 @@ class IndexSearcher:
         self.stats = self.manifest["stats"]
         self._seg_dirs = [index_dir]
         self._init_from_stats()
+        self._seg_pformats: dict[str, str] = {index_dir: self.pformat}
         self._term_cache: dict[str, TermStats | None] = {}
         self._deleted_ids: np.ndarray | None = None
         self._deleted_bc = None
@@ -106,6 +107,9 @@ class IndexSearcher:
         self.max_doc: int = self.stats["max_doc"]
         self.avgdl_f32: float = self.stats["avgdl_f32"]
         self.num_buckets: int = self.stats["num_buckets"]
+        # codec resolution at read time (Codec.ForName): every blob decode
+        # in this searcher dispatches on the segment's recorded format
+        self.pformat: str = self.stats.get("postings_format", "varint")
         # query-side analysis mirrors the index's analyzer (QueryParserBase
         # runs the same analyzer on query text, QueryParserBase.cs:445)
         name = self.stats.get("analyzer", "standard")
@@ -147,6 +151,20 @@ class IndexSearcher:
         self.stats = stats
         self._seg_dirs = list(seg_dirs)
         self._init_from_stats()
+        # per-segment postings format from each segment's own stats.json --
+        # segments of one index may carry different codecs (a manager whose
+        # default changed mid-life; Lucene reads old-codec segments the same
+        # way, SegmentReader resolves Codec.ForName(si.Codec) per segment)
+        fmts: dict[str, str] = {}
+        for d in seg_dirs:
+            try:
+                with open(os.path.join(d, "stats.json")) as f:
+                    fmts[d] = json.load(f).get("postings_format", "varint")
+            except (OSError, ValueError):
+                fmts[d] = "varint"
+        self._seg_pformats = fmts
+        if len(set(fmts.values())) == 1 and fmts:
+            self.pformat = next(iter(fmts.values()))
         self._term_cache = {}
         self._deleted_ids = None
         self._deleted_bc = None
@@ -206,11 +224,23 @@ class IndexSearcher:
         self._deleted_df = dels.persist()
 
     def _union_read(self, subdir: str) -> DataFrame:
-        dfs = [
-            self.spark.read.parquet(os.path.join(d, subdir))
-            for d in self._seg_dirs
-            if os.path.exists(os.path.join(d, subdir))
+        present = [
+            d for d in self._seg_dirs if os.path.exists(os.path.join(d, subdir))
         ]
+        # mixed-codec segment sets: tag every postings row with its
+        # segment's format so decode kernels dispatch per row.  Homogeneous
+        # sets (the norm) add no column and pay nothing.
+        tag = subdir == "postings" and len(
+            {self._seg_pformats.get(d, self.pformat) for d in present}
+        ) > 1
+        dfs = []
+        for d in present:
+            df = self.spark.read.parquet(os.path.join(d, subdir))
+            if tag:
+                df = df.withColumn(
+                    "pformat", F.lit(self._seg_pformats.get(d, self.pformat))
+                )
+            dfs.append(df)
         if not dfs:
             # empty segment set (searcher before any append): empty result
             # with the canonical schema instead of IndexError
@@ -377,16 +407,23 @@ class IndexSearcher:
         out_schema = T.StructType(fields)
         f32 = mode == "f32"
         deleted_bc = self._deleted_bc
+        default_fmt = self.pformat
 
         def decode_score(pdf_iter):
-            from .codec import decode_block_docs, decode_block_positions
+            from .codec import (
+                decode_block_docs, decode_block_positions, postings_format_by_name,
+            )
 
             deleted = deleted_bc.value if deleted_bc is not None else None
             for pdf in pdf_iter:
                 outs = []
                 for row in pdf.itertuples(index=False):
+                    codec = postings_format_by_name(
+                        getattr(row, "pformat", None) or default_fmt
+                    )
                     d, t, nb = decode_block_docs(
-                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob,
+                        codec=codec,
                     )
                     keep = None
                     if deleted is not None:
@@ -408,7 +445,7 @@ class IndexSearcher:
                         "score": sc,
                     }
                     if with_positions:
-                        pos = decode_block_positions(t, row.pos_blob)
+                        pos = decode_block_positions(t, row.pos_blob, codec=codec)
                         splits = np.cumsum(t)[:-1]
                         o["positions"] = np.split(pos.astype(np.int32), splits)
                         o["norm_byte"] = nb.astype(np.int32)
@@ -2204,9 +2241,10 @@ class IndexSearcher:
         f32 = mode == "f32"
         cand = restrict_docs
         deleted_bc = self._deleted_bc
+        default_fmt = self.pformat
 
         def decode_score(pdf_iter):
-            from .codec import decode_block_docs
+            from .codec import decode_block_docs, postings_format_by_name
 
             deleted = deleted_bc.value if deleted_bc is not None else None
             for pdf in pdf_iter:
@@ -2217,7 +2255,10 @@ class IndexSearcher:
                         if lo >= cand.size or cand[lo] > row.max_docid:
                             continue  # no candidate in this block: skip decode
                     d, t, nb = decode_block_docs(
-                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob
+                        row.first_docid, row.num_docs, row.doc_blob, row.tf_blob, row.norm_blob,
+                        codec=postings_format_by_name(
+                            getattr(row, "pformat", None) or default_fmt
+                        ),
                     )
                     if deleted is not None:
                         keep = ~np.isin(d, deleted, assume_unique=True)
@@ -2463,13 +2504,14 @@ class IndexSearcher:
         stores per-doc term vectors in .tvd/.tvf; ours live in the build's
         `tokenized` stage parquet, fetched with docID predicate pushdown).
         Returns [] when the segment layout kept no tokenized stage."""
-        from .codec import varint_decode
+        from .codec import postings_format_by_name
 
         out: list[tuple[str, int, list[int]]] = []
         for d in self._seg_dirs:
             tok = os.path.join(d, "tokenized")
             if not os.path.exists(tok):
                 continue
+            codec = postings_format_by_name(self._seg_pformats.get(d, self.pformat))
             rows = (
                 self.spark.read.parquet(tok)
                 .filter(F.col("docID") == doc_id)
@@ -2478,7 +2520,7 @@ class IndexSearcher:
             )
             for r in rows:
                 for p in r["postings"]:
-                    gaps = varint_decode(bytes(p["pos_blob"]), count=int(p["tf"]))
+                    gaps = codec.decode(bytes(p["pos_blob"]), count=int(p["tf"]))
                     positions = np.cumsum(gaps).tolist()
                     out.append((p["term"], int(p["tf"]), [int(x) for x in positions]))
         return sorted(out)
@@ -2487,13 +2529,14 @@ class IndexSearcher:
         """Term vector WITH character offsets -> sorted
         [(term, tf, positions, start_offsets, end_offsets)] (empty offset
         lists when the index was built without offset support)."""
-        from .codec import decode_offset_pairs, varint_decode
+        from .codec import decode_offset_pairs, postings_format_by_name
 
         out = []
         for d in self._seg_dirs:
             tok = os.path.join(d, "tokenized")
             if not os.path.exists(tok):
                 continue
+            codec = postings_format_by_name(self._seg_pformats.get(d, self.pformat))
             rows = (
                 self.spark.read.parquet(tok)
                 .filter(F.col("docID") == doc_id)
@@ -2503,11 +2546,11 @@ class IndexSearcher:
             for r in rows:
                 for p in r["postings"]:
                     tf = int(p["tf"])
-                    gaps = varint_decode(bytes(p["pos_blob"]), count=tf)
+                    gaps = codec.decode(bytes(p["pos_blob"]), count=tf)
                     positions = [int(x) for x in np.cumsum(gaps)]
                     ob = bytes(p["off_blob"]) if "off_blob" in p and p["off_blob"] is not None else b""
                     if ob:
-                        s, e = decode_offset_pairs(ob, tf)
+                        s, e = decode_offset_pairs(ob, tf, codec=codec)
                         out.append((p["term"], tf, positions, s.tolist(), e.tolist()))
                     else:
                         out.append((p["term"], tf, positions, [], []))
@@ -2534,12 +2577,13 @@ class IndexSearcher:
         self._collect_leaves(query, 1.0, leaves)
         q_terms = sorted({t for t, _ in leaves})
         offs: dict[int, list[tuple[int, int]]] = {i: [] for i in ids}
-        from .codec import decode_offset_pairs
+        from .codec import decode_offset_pairs, postings_format_by_name
 
         for d in self._seg_dirs:
             tok = os.path.join(d, "tokenized")
             if not os.path.exists(tok):
                 continue
+            codec = postings_format_by_name(self._seg_pformats.get(d, self.pformat))
             rows = (
                 self.spark.read.parquet(tok)
                 .filter(F.col("docID").isin(ids))
@@ -2552,7 +2596,7 @@ class IndexSearcher:
                 ob = bytes(r["off_blob"]) if r["off_blob"] is not None else b""
                 if not ob:
                     continue
-                s, e = decode_offset_pairs(ob, int(r["tf"]))
+                s, e = decode_offset_pairs(ob, int(r["tf"]), codec=codec)
                 offs[int(r["docID"])].extend(zip(s.tolist(), e.tolist()))
         texts = {
             int(r[id_col]): r[text_col]
@@ -3410,10 +3454,18 @@ class IndexSearcher:
         Lucene, where term vectors exist only if stored), with docID
         predicate pushdown into the parquet scan."""
         parts = []
+        default_fmt = self.pformat
         for d in self._seg_dirs:
             p = os.path.join(d, "tokenized")
             if os.path.exists(p):
-                parts.append(self.spark.read.parquet(p).select("docID", "postings"))
+                parts.append(
+                    self.spark.read.parquet(p)
+                    .select("docID", "postings")
+                    .withColumn(
+                        "pformat",
+                        F.lit(self._seg_pformats.get(d, default_fmt)),
+                    )
+                )
         if not parts:
             return self.spark.createDataFrame(
                 [], "docID long, term string, tf int, positions array<int>"
@@ -3433,14 +3485,17 @@ class IndexSearcher:
         ])
 
         def decode(pdf_iter):
-            from .codec import decode_offset_pairs, varint_decode
+            from .codec import decode_offset_pairs, postings_format_by_name
 
             for pdf in pdf_iter:
                 rows = {f.name: [] for f in out_schema.fields}
                 for r in pdf.itertuples(index=False):
+                    codec = postings_format_by_name(
+                        getattr(r, "pformat", None) or default_fmt
+                    )
                     for p in r.postings:
                         tf = int(p["tf"])
-                        deltas = varint_decode(bytes(p["pos_blob"]), count=tf)
+                        deltas = codec.decode(bytes(p["pos_blob"]), count=tf)
                         rows["docID"].append(r.docID)
                         rows["term"].append(p["term"])
                         rows["tf"].append(tf)
@@ -3449,7 +3504,7 @@ class IndexSearcher:
                         )
                         blob = p["off_blob"]
                         if blob:
-                            starts, ends = decode_offset_pairs(bytes(blob), tf)
+                            starts, ends = decode_offset_pairs(bytes(blob), tf, codec=codec)
                             rows["start_offsets"].append(starts.astype(np.int32))
                             rows["end_offsets"].append(ends.astype(np.int32))
                         else:

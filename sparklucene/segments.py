@@ -144,6 +144,16 @@ class TieredMergePolicy:
 _WORKER_DELETES_CACHE: dict = {}
 
 
+def _seg_postings_format(seg_dir: str) -> str:
+    """postings_format recorded in a segment's stats.json ('varint' for
+    segments that predate the codec plugin system)."""
+    try:
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            return json.load(f).get("postings_format", "varint")
+    except (OSError, ValueError):
+        return "varint"
+
+
 def _deletes_fingerprint(path: str) -> str:
     """Cheap content fingerprint of a deletes dir (file names + sizes) --
     driver-side metadata listing only, never reads row data."""
@@ -167,7 +177,8 @@ def _load_worker_deletes(path: str, fingerprint: str) -> np.ndarray:
 
 
 def _merge_blocks_udf(deleted: np.ndarray | None = None,
-                      deletes_store: tuple[str, str] | None = None):
+                      deletes_store: tuple[str, str] | None = None,
+                      target_format: str = "varint"):
     """mapInArrow over block rows sorted by (bucket, term, first_docid):
     decodes every blob column in ONE vectorized pass, re-blocks to 128 docs,
     salt reset to 0 (salting is a build-shuffle concern, not a storage one).
@@ -181,7 +192,7 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .codec import encode_partition_blocks, varint_decode
+    from .codec import encode_partition_blocks, postings_format_by_name
 
     def merge(batch_iter):
         deleted_arr = deleted
@@ -191,6 +202,27 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None,
         if not batches:
             return
         tbl = pa.Table.from_batches(batches).combine_chunks()
+        target = postings_format_by_name(target_format)
+        # mixed-codec inputs (rows tagged with their segment's pformat):
+        # group rows by source format so each format's streams still
+        # bulk-decode in one vectorized pass; the OUTPUT is always the
+        # manager's format -- merge is where old-codec segments get
+        # transcoded, exactly the reference's merge-to-current-codec
+        if "pformat" in tbl.column_names:
+            fmt_u = np.asarray(tbl.column("pformat").to_pylist(), dtype="U")
+            order = np.argsort(fmt_u, kind="stable")
+            if not np.array_equal(order, np.arange(order.size)):
+                tbl = tbl.take(pa.array(order)).combine_chunks()
+                fmt_u = fmt_u[order]
+            change = np.flatnonzero(fmt_u[1:] != fmt_u[:-1]) + 1
+            bounds = np.concatenate(([0], change, [tbl.num_rows])).astype(np.int64)
+            fmt_ranges = [
+                (int(bounds[i]), int(bounds[i + 1]), str(fmt_u[int(bounds[i])]))
+                for i in range(len(bounds) - 1)
+            ]
+            tbl = tbl.select([c for c in tbl.column_names if c != "pformat"])
+        else:
+            fmt_ranges = [(0, tbl.num_rows, target_format)]
         n_rows = tbl.num_rows
         num_docs = tbl.column("num_docs").to_numpy().astype(np.int64)
         first_docid = tbl.column("first_docid").to_numpy()
@@ -229,29 +261,61 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None,
         is_start = np.zeros(N, dtype=bool)
         is_start[post_offs[:-1]] = True
 
-        # docIDs: one varint decode of all gap streams, reset-cumsum per row
-        gaps_all = varint_decode(
-            doc_data[doc_offs[0] : doc_offs[-1]].tobytes(), count=int(N - n_rows)
-        ).astype(np.int64)
+        # docIDs + tfs: one bulk decode per source-format range (one range
+        # total in the homogeneous case), written into global arrays
         g = np.zeros(N, dtype=np.int64)
-        g[~is_start] = gaps_all
+        tfs = np.empty(N, dtype=np.int64)
+        for rlo, rhi, fname in fmt_ranges:
+            src = postings_format_by_name(fname)
+            plo, phi = int(post_offs[rlo]), int(post_offs[rhi])
+            if phi == plo:
+                continue
+            gaps_r = src.decode(
+                doc_data[doc_offs[rlo] : doc_offs[rhi]].tobytes(),
+                count=(phi - plo) - (rhi - rlo),
+            ).astype(np.int64)
+            seg = g[plo:phi]
+            seg[~is_start[plo:phi]] = gaps_r
+            g[plo:phi] = seg
+            tfs[plo:phi] = src.decode(
+                tf_data[tf_offs[rlo] : tf_offs[rhi]].tobytes(), count=phi - plo
+            ).astype(np.int64) + 1
         cs = np.cumsum(g)
         base = cs[post_offs[:-1]]
         doc_ids = first_docid[row_of_post] + (cs - base[row_of_post])
-
-        tfs = varint_decode(tf_data[tf_offs[0] : tf_offs[-1]].tobytes(), count=N).astype(np.int64) + 1
         norms = norm_data[norm_offs[0] : norm_offs[-1]]
 
-        # per-posting pos-blob byte offsets: value boundaries are varint
-        # terminator bytes (high bit 0), doc boundaries at cumsum(tf) values
-        pstream = pos_data[pos_offs[0] : pos_offs[-1]]
-        if pstream.size:
-            val_ends = np.flatnonzero((pstream & 0x80) == 0)
-            val_byte_offs = np.concatenate(([0], val_ends + 1))
-            tf_cum = np.concatenate(([0], np.cumsum(tfs)))
-            post_byte_offs = val_byte_offs[tf_cum]
-        else:
-            post_byte_offs = np.zeros(N + 1, dtype=np.int64)
+        # per-posting pos-blob byte offsets per range: value boundaries via
+        # the codec's terminator mask; ranges whose source format differs
+        # from the target are TRANSCODED (decode deltas, re-encode) here
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        post_byte_offs = np.zeros(N + 1, dtype=np.int64)
+        pos_parts = []
+        pos_base = 0
+        for rlo, rhi, fname in fmt_ranges:
+            src = postings_format_by_name(fname)
+            plo, phi = int(post_offs[rlo]), int(post_offs[rhi])
+            stream_r = pos_data[pos_offs[rlo] : pos_offs[rhi]]
+            if phi == plo:
+                continue
+            n_vals = int(tf_cum[phi] - tf_cum[plo])
+            if stream_r.size == 0:
+                post_byte_offs[plo : phi + 1] = pos_base
+                continue
+            if src.name == target.name:
+                val_ends = np.flatnonzero(src.value_end_mask(stream_r))
+                val_offs = np.concatenate(([0], val_ends + 1))
+            else:
+                vals = src.decode(stream_r.tobytes(), count=n_vals)
+                stream_r, lens = target.encode_with_lengths(vals)
+                val_offs = np.concatenate(([0], np.cumsum(lens)))
+            rel_cum = (tf_cum[plo : phi + 1] - tf_cum[plo]).astype(np.int64)
+            post_byte_offs[plo : phi + 1] = val_offs[rel_cum] + pos_base
+            pos_parts.append(stream_r)
+            pos_base += int(stream_r.size)
+        pstream = (
+            np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.uint8)
+        )
 
         # sort postings by (term, docID): term index per row via run ids
         t_np = term_chunk.to_numpy(zero_copy_only=False).astype("S")
@@ -312,7 +376,8 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None,
             new_y_offs = np.zeros(n_live + 1, dtype=np.int64)
             ydata_s = ystream
 
-        blocks = encode_partition_blocks(gc, doc_s, tf_s, nb_s, pdata_s, new_offs)
+        blocks = encode_partition_blocks(gc, doc_s, tf_s, nb_s, pdata_s, new_offs,
+                                         codec=target)
         ri = blocks["row_idx"]
         if len(ri) == 0:
             return
@@ -378,12 +443,18 @@ class SegmentedIndex:
     build_index output: postings/ term_dict/ stats.json [+ docs/])."""
 
     def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32,
-                 policy: TieredMergePolicy | None = None):
+                 policy: TieredMergePolicy | None = None,
+                 postings_format: str = "varint"):
         import threading
 
         self.spark = spark
         self.root = root
         self.policy = policy or TieredMergePolicy()
+        # the writer-level codec (IndexWriterConfig.Codec): merges re-encode
+        # into THIS format; appends use their BuildConfig's format, so a
+        # manager may temporarily hold mixed-codec segments (all readable;
+        # the searcher resolves per segment) until a merge normalizes them
+        self.postings_format = postings_format
         self._lock = threading.Lock()  # guards counter/segments/manifest
         os.makedirs(os.path.join(root, "segs"), exist_ok=True)
         self._manifest_path = os.path.join(root, "_SEGMENTS.json")
@@ -391,6 +462,7 @@ class SegmentedIndex:
             with open(self._manifest_path) as f:
                 m = json.load(f)
             self.num_buckets = m["num_buckets"]
+            self.postings_format = m.get("postings_format", postings_format)
             self.segments = [SegmentInfo(**s) for s in m["segments"]]
             self.counter = m["counter"]
             # never-decreasing docID high-water mark; pre-v2 manifests
@@ -417,6 +489,7 @@ class SegmentedIndex:
                 {
                     "version": 2,
                     "num_buckets": self.num_buckets,
+                    "postings_format": self.postings_format,
                     "counter": self.counter,
                     "next_docid": self.next_docid,
                     "gen": self.gen,
@@ -619,14 +692,22 @@ class SegmentedIndex:
         dirs = [self._seg_dir(n) for n in names]
         cores = self.spark.sparkContext.defaultParallelism
 
+        seg_fmts = {d: _seg_postings_format(d) for d in dirs}
+        mixed = set(seg_fmts.values()) != {self.postings_format}
         blocks = None
         for d in dirs:
             b = self.spark.read.parquet(os.path.join(d, "postings"))
+            if mixed:
+                b = b.withColumn("pformat", F.lit(seg_fmts[d]))
             blocks = b if blocks is None else blocks.unionByName(b)
         merged = (
             blocks.repartition(max(cores, self.num_buckets // 4), "bucket")
             .sortWithinPartitions("bucket", "term", "first_docid")
-            .mapInArrow(_merge_blocks_udf(deletes_store=deletes_store), schema=BLOCK_SCHEMA)
+            .mapInArrow(
+                _merge_blocks_udf(deletes_store=deletes_store,
+                                  target_format=self.postings_format),
+                schema=BLOCK_SCHEMA,
+            )
         )
         # same partition layout as a fresh build (postings/group=/bucket=) so
         # unions across merged + freshly-appended segments line up
@@ -695,6 +776,7 @@ class SegmentedIndex:
             "avgdl_f32": 0.0,  # per-segment avgdl unused; global stats rule
             "hot_terms": {},
             "num_buckets": self.num_buckets,
+            "postings_format": self.postings_format,
             "merged_from": names,
             "merge_duration_s": time.time() - t0,
         }
@@ -747,8 +829,9 @@ class SegmentedIndex:
     def _recount_term_dict(self, postings_df: DataFrame) -> DataFrame:
         """Recompute (term, bucket) -> df/ttf/max_tf by decoding block
         blobs (used after delete-applying merges)."""
-        from .codec import decode_block_docs
+        from .codec import decode_block_docs, postings_format_by_name
 
+        fmt = self.postings_format
         schema = T.StructType(
             [
                 T.StructField("term", T.StringType()),
@@ -762,12 +845,13 @@ class SegmentedIndex:
         def count(pdf_iter):
             import pandas as pd
 
+            codec = postings_format_by_name(fmt)
             for pdf in pdf_iter:
                 rows = []
                 for row in pdf.itertuples(index=False):
                     _d, t, _nb = decode_block_docs(
                         row.first_docid, row.num_docs, row.doc_blob,
-                        row.tf_blob, row.norm_blob,
+                        row.tf_blob, row.norm_blob, codec=codec,
                     )
                     rows.append(
                         (row.term, int(row.bucket), len(t), int(t.sum()), int(t.max()))

@@ -1,0 +1,245 @@
+"""Codec plugin system: pluggable integer-stream postings formats.
+
+Mirrors the reference's codec SPI contract (Codec.ForName /
+PostingsFormat.ForName, src/Lucene.Net/Codecs/Codec.cs:120-140) and its
+format-survival invariants (TestForceMergeDeletes-style: changing the codec
+never changes results; old-codec segments stay readable; merge rewrites to
+the writer's current codec):
+
+  - byte-level round trips + value-boundary masks per format;
+  - same corpus built under every format -> bit-identical search results;
+  - mixed-codec segment sets searchable (per-segment dispatch) and
+    transcoded to the manager's format by force_merge;
+  - CheckIndex green on non-default formats;
+  - resume with a changed format refuses instead of mixing encodings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.codec import (
+    IntStreamCodec,
+    available_postings_formats,
+    postings_format_by_name,
+    register_postings_format,
+)
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+from sparklucene.segments import SegmentedIndex
+
+
+def f32_hex(x) -> str:
+    return np.float32(x).tobytes().hex()
+
+
+QUERIES = [
+    {"type": "term", "term": "compute"},
+    {
+        "type": "boolean",
+        "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "score"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "w1"}},
+            {"occur": "MUST_NOT", "query": {"type": "term", "term": "beta7"}},
+        ],
+    },
+    {"type": "phrase", "terms": ["w1", "w2"]},
+]
+
+
+# ---------------------------------------------------------------------------
+# byte-level contracts
+# ---------------------------------------------------------------------------
+
+def _arrays():
+    rng = np.random.default_rng(11)
+    return [
+        np.empty(0, dtype=np.uint64),
+        np.zeros(5, dtype=np.uint64),
+        np.array([1], dtype=np.uint64),
+        rng.integers(0, 128, 200).astype(np.uint64),
+        rng.integers(0, 1 << 40, 500).astype(np.uint64),
+        np.array([0, 1, 127, 128, 16383, 16384, (1 << 56) - 1], dtype=np.uint64),
+    ]
+
+
+@pytest.mark.parametrize("name", ["varint", "simpletext", "direct8"])
+def test_round_trip_and_boundaries(name):
+    c = postings_format_by_name(name)
+    for vals in _arrays():
+        data, lens = c.encode_with_lengths(vals)
+        assert data.dtype == np.uint8
+        assert int(lens.sum()) == data.size
+        back = c.decode(data.tobytes(), count=vals.size)
+        assert np.array_equal(back, vals)
+        mask = c.value_end_mask(data)
+        assert int(mask.sum()) == vals.size
+        # boundary positions equal the per-value length cumsum
+        assert np.array_equal(np.flatnonzero(mask) + 1, np.cumsum(lens))
+        # encode() agrees with encode_with_lengths()
+        assert c.encode(vals) == data.tobytes()
+
+
+def test_simpletext_is_human_readable():
+    c = postings_format_by_name("simpletext")
+    blob = c.encode(np.array([3, 0, 12345], dtype=np.uint64))
+    assert blob == b"3 0 12345 "
+
+
+def test_registry_contract():
+    assert set(available_postings_formats()) >= {"varint", "simpletext", "direct8"}
+    with pytest.raises(KeyError):
+        postings_format_by_name("no-such-format")
+    assert postings_format_by_name(None).name == "varint"
+
+    class NibbleCodec(IntStreamCodec):
+        """Toy plugin: 4-byte little-endian (values must fit u32)."""
+
+        name = "test_nibble4"
+
+        def encode_with_lengths(self, vals):
+            v = np.ascontiguousarray(np.asarray(vals, dtype="<u4"))
+            return v.view(np.uint8), np.full(v.size, 4, dtype=np.int64)
+
+        def decode(self, buf, count=None):
+            out = np.frombuffer(buf, dtype="<u4").astype(np.uint64)
+            if count is not None:
+                assert out.size == count
+            return out
+
+        def value_end_mask(self, stream):
+            m = np.zeros(np.asarray(stream).size, dtype=bool)
+            m[3::4] = True
+            return m
+
+    register_postings_format(NibbleCodec())
+    c = postings_format_by_name("test_nibble4")
+    vals = np.array([7, 0, 123456], dtype=np.uint64)
+    assert np.array_equal(c.decode(c.encode(vals), count=3), vals)
+
+
+def test_block_encode_decode_all_formats():
+    from sparklucene.codec import decode_block_docs, decode_block_positions, encode_posting_blocks
+
+    rng = np.random.default_rng(3)
+    n = 300
+    doc_ids = np.cumsum(rng.integers(1, 9, n)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    norms = rng.integers(1, 255, n).astype(np.uint8)
+    pos = np.concatenate([np.sort(rng.choice(500, int(t), replace=False)) for t in tfs]).astype(np.int64)
+    for name in ("varint", "simpletext", "direct8"):
+        c = postings_format_by_name(name)
+        blocks = encode_posting_blocks(doc_ids, tfs, norms, pos, codec=c)
+        got_d, got_t, got_nb, got_p = [], [], [], []
+        off = 0
+        for b in blocks:
+            d, t, nb = decode_block_docs(
+                b["first_docid"], b["num_docs"], b["doc_blob"], b["tf_blob"], b["norm_blob"],
+                codec=c,
+            )
+            got_d.append(d)
+            got_t.append(t)
+            got_nb.append(nb)
+            got_p.append(decode_block_positions(t, b["pos_blob"], codec=c))
+        assert np.array_equal(np.concatenate(got_d), doc_ids), name
+        assert np.array_equal(np.concatenate(got_t), tfs), name
+        assert np.array_equal(np.concatenate(got_nb), norms), name
+        assert np.array_equal(np.concatenate(got_p), pos), name
+
+
+# ---------------------------------------------------------------------------
+# engine end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(120, seed=9)
+
+
+def _build(spark, tmp, corpus, fmt, name):
+    out = str(tmp / name)
+    cfg = BuildConfig(order_cols=("repo", "path"), num_buckets=4,
+                      salt_threshold=40, salt_parts=3, postings_format=fmt)
+    build_index(spark, spark.createDataFrame(corpus).coalesce(2), out, cfg)
+    return out
+
+
+def _results(searcher, q):
+    return [(r["docID"], f32_hex(r["score"])) for r in searcher.search(q, k=10).collect()]
+
+
+def test_formats_are_result_identical(spark, tmp_path_factory, corpus):
+    tmp = tmp_path_factory.mktemp("codec_fmt")
+    dirs = {f: _build(spark, tmp, corpus, f, f"idx_{f}") for f in ("varint", "simpletext", "direct8")}
+    # stats.json records the format (Codec.ForName resolution at read time)
+    for f, d in dirs.items():
+        with open(os.path.join(d, "stats.json")) as fh:
+            assert json.load(fh)["postings_format"] == f
+    searchers = {f: IndexSearcher(spark, d) for f, d in dirs.items()}
+    assert searchers["simpletext"].pformat == "simpletext"
+    base = {i: _results(searchers["varint"], q) for i, q in enumerate(QUERIES)}
+    assert all(base[i] for i in base)  # non-empty results, the diff means something
+    for f in ("simpletext", "direct8"):
+        for i, q in enumerate(QUERIES):
+            assert _results(searchers[f], q) == base[i], (f, q)
+
+
+def test_check_index_on_simpletext(spark, tmp_path_factory, corpus):
+    from sparklucene.check_index import check_index
+
+    tmp = tmp_path_factory.mktemp("codec_ci")
+    d = _build(spark, tmp, corpus, "simpletext", "idx_ci")
+    report = check_index(spark, d)
+    assert report["ok"], report
+
+
+def test_resume_format_change_refuses(spark, tmp_path_factory, corpus):
+    tmp = tmp_path_factory.mktemp("codec_resume")
+    d = _build(spark, tmp, corpus[:30], "varint", "idx_resume")
+    cfg = BuildConfig(order_cols=("repo", "path"), num_buckets=4,
+                      postings_format="direct8", resume=True)
+    with pytest.raises(ValueError, match="postings_format"):
+        build_index(spark, spark.createDataFrame(corpus[:30]).coalesce(1), d, cfg)
+
+
+def test_mixed_segments_search_and_merge_transcode(spark, tmp_path_factory, corpus):
+    tmp = tmp_path_factory.mktemp("codec_mixed")
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+
+    # reference: one single-format index over the whole corpus
+    ref_dir = _build(spark, tmp, ordered, "varint", "idx_ref")
+    ref = IndexSearcher(spark, ref_dir)
+    want = {i: _results(ref, q) for i, q in enumerate(QUERIES)}
+
+    # mixed manager: segment 0 varint, segment 1 simpletext
+    root = str(tmp / "seg_mixed")
+    idx = SegmentedIndex(spark, root, num_buckets=4, postings_format="varint")
+    idx.append(
+        spark.createDataFrame(ordered[:60]).coalesce(1),
+        BuildConfig(order_cols=("repo", "path"), salt_threshold=40, salt_parts=3,
+                    postings_format="varint"),
+    )
+    idx.append(
+        spark.createDataFrame(ordered[60:]).coalesce(1),
+        BuildConfig(order_cols=("repo", "path"), salt_threshold=40, salt_parts=3,
+                    postings_format="simpletext"),
+    )
+    s = idx.searcher()
+    assert set(s._seg_pformats.values()) == {"varint", "simpletext"}
+    for i, q in enumerate(QUERIES):
+        assert _results(s, q) == want[i], ("mixed", q)
+
+    # merge normalizes every segment to the manager's format (transcode)
+    idx.force_merge()
+    assert len(idx.segments) == 1
+    seg_stats = os.path.join(root, "segs", idx.segments[0].name, "stats.json")
+    with open(seg_stats) as fh:
+        assert json.load(fh)["postings_format"] == "varint"
+    s2 = idx.searcher()
+    for i, q in enumerate(QUERIES):
+        assert _results(s2, q) == want[i], ("merged", q)
