@@ -174,6 +174,25 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_upgrade(args) -> int:
+    from sparklucene.segments import SegmentedIndex, _seg_postings_format
+
+    spark = _spark(args)
+    idx = SegmentedIndex(spark, args.index, postings_format=args.postings_format)
+    idx.postings_format = args.postings_format  # reopened manifests keep theirs
+    name = idx.upgrade()
+    print(json.dumps({
+        "upgraded": name,
+        "postings_format": idx.postings_format,
+        "segments": [
+            {**s.to_dict(),
+             "postings_format": _seg_postings_format(idx._seg_dir(s.name))}
+            for s in idx.segments
+        ],
+    }))
+    return 0
+
+
 def cmd_curate(args) -> int:
     from sparklucene.curate import DEFAULT_STAGES, curate
 
@@ -275,6 +294,11 @@ def main(argv=None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--force", action="store_true")
 
+    up = sub.add_parser("upgrade", help="rewrite every segment into the "
+                        "given postings format (IndexUpgrader)")
+    up.add_argument("--index", required=True)
+    up.add_argument("--postings-format", default="varint")
+
     cu = sub.add_parser("curate", help="resumable corpus-curation chain "
                         "(ingest/dedup/neardup/quality/pii/order)")
     cu.add_argument("--input", required=True)
@@ -297,7 +321,7 @@ def main(argv=None) -> int:
     al.add_argument("--work-dir", default=None)
 
     args = ap.parse_args(argv)
-    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate, "alg": cmd_alg}[args.cmd](args)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "upgrade": cmd_upgrade, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate, "alg": cmd_alg}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,32 @@ def _norm_cache(avgdl_f32: float, mode: str) -> np.ndarray:
     return K1 * ((1.0 - B) + B * NORM_TABLE.astype(np.float64) / float(avgdl_f32))
 
 
+def _regex_literal_prefix(pattern: str) -> str:
+    """Mandatory literal prefix of a regex (the automaton common prefix,
+    CompiledAutomaton.cs GetCommonPrefixBytesRef analogue): leading chars
+    that every match must start with.  A char is excluded once it is a
+    metacharacter or is made optional/repeatable by the NEXT char's
+    quantifier.  Conservative: returns '' rather than guessing."""
+    if "|" in pattern:
+        # a top-level alternation voids any leading literal ("ab|cd" need
+        # not start with 'a'); '|' inside classes/groups would be safe but
+        # those break the scan below anyway -- stay conservative
+        return ""
+    metas = set("\\.[]{}()*+?^$")
+    out: list[str] = []
+    for i, c in enumerate(pattern):
+        if c in metas:
+            break
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if nxt and nxt in "*?{":  # next quantifier may make this char optional
+            break
+        if nxt == "+":  # mandatory at least once, then repetition: include, stop
+            out.append(c)
+            break
+        out.append(c)
+    return "".join(out)
+
+
 def _idf(df: int, max_doc: int, mode: str) -> float:
     v = math.log(1.0 + (max_doc - df + 0.5) / (df + 0.5))
     return float(np.float32(v)) if mode == "f32" else v
@@ -1127,6 +1153,15 @@ class IndexSearcher:
         if typ == "prefix":
             td = td.filter(t.startswith(q["prefix"])) if q["prefix"] else td
         elif typ == "wildcard":
+            # automaton common-prefix seek (CompiledAutomaton.cs common
+            # prefix drives TermsEnum.SeekCeil in the reference): the
+            # literal run before the first wildcard is mandatory, so it
+            # pushes into the parquet scan as a startswith -- the sorted
+            # term_dict prunes row groups instead of regex-scanning the
+            # whole vocabulary
+            lit = q["pattern"].split("*", 1)[0].split("?", 1)[0]
+            if lit:
+                td = td.filter(t.startswith(lit))
             rx = "^" + "".join(
                 ".*" if c == "*" else "." if c == "?" else _re.escape(c)
                 for c in q["pattern"]
@@ -1138,6 +1173,9 @@ class IndexSearcher:
             # Supported subset: the regex features common to Java/Python/RE2
             # (classes, alternation, quantifiers) -- not Lucene's custom
             # syntax extensions (~, interval ranges).
+            lit = _regex_literal_prefix(q["pattern"])
+            if lit:
+                td = td.filter(t.startswith(lit))
             td = td.filter(t.rlike("^(?:" + q["pattern"] + ")$"))
         elif typ == "fuzzy":
             pre = int(q.get("prefix_length", 0))

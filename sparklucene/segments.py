@@ -674,6 +674,24 @@ class SegmentedIndex:
         names = [s.name for s in self.segments]
         return self._merge(names)
 
+    def upgrade(self) -> str | None:
+        """IndexUpgrader analogue (src/Lucene.Net/Index/IndexUpgrader.cs:
+        ForceMerge(1) under UpgradeIndexMergePolicy, which selects every
+        segment not already in the current format): rewrite the whole index
+        into self.postings_format.  Unlike force_merge, a SINGLE segment is
+        still rewritten when its recorded codec differs; an index already
+        fully current (one segment, right format, no deletes) is a no-op.
+        -> the new segment name, or None when nothing needed doing."""
+        if not self.segments:
+            return None
+        needs = any(
+            _seg_postings_format(self._seg_dir(s.name)) != self.postings_format
+            for s in self.segments
+        )
+        if len(self.segments) == 1 and not self._has_deletes() and not needs:
+            return None
+        return self._merge([s.name for s in self.segments])
+
     def _merge(self, names: list[str]) -> str:
         t0 = time.time()
         # deletes never round-trip through the driver: the block-merge UDF

@@ -243,3 +243,30 @@ def test_mixed_segments_search_and_merge_transcode(spark, tmp_path_factory, corp
     s2 = idx.searcher()
     for i, q in enumerate(QUERIES):
         assert _results(s2, q) == want[i], ("merged", q)
+
+
+def test_upgrade_rewrites_old_codec_segment(spark, tmp_path_factory, corpus):
+    """IndexUpgrader semantics: a SINGLE segment in a stale format is
+    rewritten (force_merge alone would no-op); an already-current index
+    is left untouched."""
+    from sparklucene.build import BuildConfig
+
+    tmp = tmp_path_factory.mktemp("codec_upgrade")
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))[:60]
+    root = str(tmp / "seg_up")
+    idx = SegmentedIndex(spark, root, num_buckets=4, postings_format="varint")
+    idx.append(
+        spark.createDataFrame(ordered).coalesce(1),
+        BuildConfig(order_cols=("repo", "path"), salt_threshold=40, salt_parts=3,
+                    postings_format="simpletext"),
+    )
+    q = {"type": "term", "term": "compute"}
+    before = _results(idx.searcher(), q)
+    assert before
+    name = idx.upgrade()
+    assert name is not None and len(idx.segments) == 1
+    with open(os.path.join(root, "segs", idx.segments[0].name, "stats.json")) as fh:
+        assert json.load(fh)["postings_format"] == "varint"
+    assert _results(idx.searcher(), q) == before
+    # second upgrade: nothing stale -> no-op
+    assert idx.upgrade() is None

@@ -179,8 +179,41 @@ def test_collectors_consistent(engine):
 def test_expansion_engine_equals_oracle(engine):
     searcher, oracle = engine
     for q in ({"type": "prefix", "prefix": "co"}, {"type": "fuzzy", "term": "score", "max_edits": 1},
-              {"type": "range", "lower": "a", "upper": "c", "include_upper": False}):
+              {"type": "range", "lower": "a", "upper": "c", "include_upper": False},
+              # wildcard/regexp exercise the automaton common-prefix
+              # pushdown (literal prefix -> startswith before the rlike)
+              {"type": "wildcard", "pattern": "co*e"},
+              {"type": "wildcard", "pattern": "s?ore"},
+              {"type": "wildcard", "pattern": "*ore"},
+              {"type": "regexp", "pattern": "sc.*e"},
+              {"type": "regexp", "pattern": "s(core|park)"},
+              {"type": "regexp", "pattern": "merges?"}):
         assert searcher.expand_terms(q) == expand_terms(q, oracle), q
+
+
+def test_regex_literal_prefix_sound():
+    """Pushdown soundness: every anchored-regex match must start with the
+    extracted literal prefix (a too-long prefix would DROP valid terms)."""
+    import random
+    import re as _re
+
+    from sparklucene.search import _regex_literal_prefix
+
+    cases = {"spark.*": "spark", "spar[kx]": "spar", "ab|cd": "", "ab+c": "ab",
+             "a{2}": "", "merge": "merge", "": "", ".*x": "", "ab?c": "a",
+             "ab\\d": "ab", "s(par)k": "s", "x+": "x", "ab*": "a"}
+    for pat, want in cases.items():
+        assert _regex_literal_prefix(pat) == want, pat
+    rng = random.Random(5)
+    words = ["".join(rng.choice("abcxy") for _ in range(rng.randint(1, 6)))
+             for _ in range(3000)]
+    for pat in ("ab.*", "a[bc]x?", "ab+", "a.c", "abc", "ab?c", "a\\w*",
+                "[ab]c.*", "abc{0,2}", "ab|ba"):
+        pre = _regex_literal_prefix(pat)
+        rx = _re.compile("^(?:" + pat + ")$")
+        for w in words:
+            if rx.match(w):
+                assert w.startswith(pre), (pat, pre, w)
 
 
 def test_fuzzy_scored_matches_oracle(engine):
