@@ -1,0 +1,74 @@
+"""Postings-format size/throughput comparison: build the same corpus under
+every registered format, report postings bytes + build wall + one term-query
+latency.  Evidence for the BENCH.md codec table.
+
+Usage: python tools/codec_sizes.py [--sf /root/testdata/sf0.01] [--cores 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/sparklucene_codec_sizes")
+    args = ap.parse_args()
+
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.codec import available_postings_formats
+    from sparklucene.search import IndexSearcher
+    from sparklucene.session import get_spark
+
+    spark = get_spark(cores=args.cores, app="codec-sizes", shuffle_partitions=args.cores)
+    docs = spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+    rows = []
+    for fmt in available_postings_formats():
+        if fmt.startswith("test_"):
+            continue
+        out = os.path.join(args.out, fmt)
+        t0 = time.time()
+        cfg = BuildConfig(content_col="text", id_col="doc_id", num_buckets=8,
+                          resume=False, postings_format=fmt)
+        build_index(spark, docs, out, cfg)
+        build_s = time.time() - t0
+        s = IndexSearcher(spark, out)
+        t0 = time.time()
+        n = s.search({"type": "boolean", "clauses": [
+            {"occur": "MUST", "query": {"type": "term", "term": "spark"}},
+            {"occur": "SHOULD", "query": {"type": "term", "term": "dup"}},
+        ]}, 10, mode="f64").count()
+        q_s = time.time() - t0
+        rows.append({
+            "format": fmt,
+            "postings_bytes": dir_bytes(os.path.join(out, "postings")),
+            "tokenized_bytes": dir_bytes(os.path.join(out, "tokenized")),
+            "build_s": round(build_s, 2),
+            "bool_query_s": round(q_s, 2),
+            "hits": n,
+        })
+    base = next(r for r in rows if r["format"] == "varint")
+    for r in rows:
+        r["postings_vs_varint"] = round(r["postings_bytes"] / base["postings_bytes"], 3)
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
