@@ -1255,6 +1255,68 @@ def _wd_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _media_df(spark: SparkSession, sf_dir: str, limit: int = 120) -> DataFrame:
+    """Deterministic multimodal corpus derived from the documents table:
+    doc text becomes the opaque media payload, header fields are pure
+    doc_id arithmetic -- so a DuckDB twin can re-derive every decoded
+    metadata column without parsing bytes (the codec work itself is the
+    sandbox-stubbed extension point, multimodal._parse_header)."""
+    import struct
+
+    import pandas as pd
+
+    from sparklucene import multimodal as mm
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < limit)
+    )
+
+    def mk(pdf_iter):
+        for pdf in pdf_iter:
+            ids, kinds, bufs = [], [], []
+            for r in pdf.itertuples(index=False):
+                did = int(r.doc_id)
+                kind = did % 3
+                if kind == 0:      # image: width, height, channels
+                    a, b, c = (did % 640) + 16, (did % 480) + 16, 3
+                elif kind == 1:    # audio: sample_rate, n_samples, channels
+                    a, b, c = 8000 + (did % 3) * 4000, len(r.text), 1 + did % 2
+                else:              # video: width, height, n_frames
+                    a, b, c = (did % 640) + 16, (did % 480) + 16, (did % 7) + 1
+                bufs.append(
+                    mm._MAGIC + struct.pack("<BIII", kind, a, b, c) + r.text.encode()
+                )
+                ids.append(did)
+                kinds.append(("image", "audio", "video")[kind])
+            yield pd.DataFrame({"media_id": ids, "media_type": kinds, "media": bufs})
+
+    return docs.mapInPandas(mk, schema=mm.MEDIA_SCHEMA)
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary media column -> typed metadata in
+    one Arrow-batched pass (multimodal.decode_media).  Every output column
+    is re-derivable by doc_id arithmetic in the SQL twin."""
+    from sparklucene import multimodal as mm
+
+    return mm.decode_media(_media_df(spark, sf_dir)).select(
+        "media_id", "media_type", "width", "height", "channels",
+        "n_frames", "sample_rate", "n_bytes",
+    )
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: video rows explode to one row per sampled
+    frame (every_n=2) -- the batch shape a vision encoder consumes."""
+    from sparklucene import multimodal as mm
+
+    return mm.sample_frames(_media_df(spark, sf_dir), every_n=2).select(
+        "media_id", "frame_idx"
+    )
+
+
 _ST_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -2105,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivfpq"] = _q_ann_ivfpq
     out["js_score"] = _q_js_score
     out["codec_simpletext"] = _q_codec_simpletext
+    out["media_decode"] = _q_media_decode
+    out["media_frames"] = _q_media_frames
     # The driver samples a ~50-gate prefix of this dict.  Round-5 prefix =
     # the one gate that has never had a green driver row (span_near_unord:
     # r1 sampled it before its oracle existed), then every gate NEW this
@@ -2116,7 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
-        "codec_simpletext",
+        "codec_simpletext", "media_decode", "media_frames",
         "trec_submission",
         "js_score",
         "line_dedup", "cut_dup_spans", "dedup_resolve",
@@ -2298,6 +2362,39 @@ SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term IN ('dup', 'spark', 'join')
 GROUP BY doc_id HAVING count(*) >= 2
 ORDER BY score DESC, doc_id LIMIT 15"""
+    # multimodal plumbing twins: header fields are doc_id arithmetic and
+    # the payload is the doc text, so decode metadata is pure SQL; the
+    # fake-format parse itself is exercised Spark-side (_parse_header)
+    sqls["media_decode"] = """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         CASE doc_id % 3
+           WHEN 1 THEN 8000 + (doc_id % 3) * 4000
+           ELSE (doc_id % 640) + 16 END AS a,
+         CASE doc_id % 3 WHEN 1 THEN strlen(text) ELSE (doc_id % 480) + 16 END AS b,
+         CASE doc_id % 3
+           WHEN 0 THEN 3 WHEN 1 THEN 1 + doc_id % 2
+           ELSE (doc_id % 7) + 1 END AS c,
+         strlen(text) AS payload
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id AS media_id,
+       CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CASE WHEN kind IN (0, 2) THEN a ELSE 0 END AS width,
+       CASE WHEN kind IN (0, 2) THEN b ELSE 0 END AS height,
+       CASE WHEN kind IN (0, 1) THEN c ELSE 0 END AS channels,
+       CASE WHEN kind = 2 THEN c ELSE 0 END AS n_frames,
+       CASE WHEN kind = 1 THEN a ELSE 0 END AS sample_rate,
+       (22 + payload)::BIGINT AS n_bytes
+FROM m ORDER BY media_id"""
+    sqls["media_frames"] = """
+WITH m AS (
+  SELECT doc_id, (doc_id % 7) + 1 AS n_frames
+  FROM documents WHERE doc_id < 120 AND doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       unnest(range(0, n_frames::BIGINT, 2))::INTEGER AS frame_idx
+FROM m ORDER BY media_id, frame_idx"""
     # codec_simpletext: identical scoring algebra to req_opt, over the
     # doc_id<200 subset the SimpleText-codec gate index covers -- the
     # oracle is codec-blind by construction, which IS the invariant
