@@ -2046,13 +2046,23 @@ class IndexSearcher:
 
         buckets = sorted({stats[t].bucket for t in terms})
         est_blocks = sum(-(-stats[t].df // BLOCK_SIZE) for t in terms)
+        # mixed-codec sets must tag here too: this path reads per-segment
+        # postings directly (it bypasses _union_read so each segment can
+        # descend its own tower), and the decode kernels dispatch on the
+        # pformat column when segments disagree
+        hetero = len(set(self._seg_pformats.values())) > 1
 
-        def seg_blocks(path: str) -> DataFrame:
-            return (
-                self.spark.read.parquet(path)
+        def seg_blocks(seg_dir: str) -> DataFrame:
+            b = (
+                self.spark.read.parquet(os.path.join(seg_dir, "postings"))
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(list(terms)))
             )
+            if hetero:
+                b = b.withColumn(
+                    "pformat", F.lit(self._seg_pformats.get(seg_dir, self.pformat))
+                )
+            return b
 
         if est_blocks < self.skip_tower_min_blocks:
             flat = (
@@ -2066,7 +2076,7 @@ class IndexSearcher:
             pdir = os.path.join(d, "postings")
             if not os.path.exists(pdir):
                 continue
-            blocks = seg_blocks(pdir)
+            blocks = seg_blocks(d)
             tower = self._segment_skips(d)
             if tower is None:
                 parts.append(self._prune_blocks_to_intervals(blocks, iv))

@@ -270,3 +270,57 @@ def test_upgrade_rewrites_old_codec_segment(spark, tmp_path_factory, corpus):
     assert _results(idx.searcher(), q) == before
     # second upgrade: nothing stale -> no-op
     assert idx.upgrade() is None
+
+
+def test_mixed_segments_forced_leapfrog_tower(spark, tmp_path_factory):
+    """The tower/leapfrog pruning path reads per-segment postings directly
+    (bypassing _union_read) -- mixed-codec sets must still dispatch decode
+    per segment there.  Differential: forced tower over a mixed
+    varint+simpletext manager == the same corpus in one varint index."""
+    from sparklucene.build import BuildConfig, build_index
+
+    tmp = tmp_path_factory.mktemp("codec_tower")
+    rows = [
+        (
+            i,
+            f"repo{i // 100}",
+            f"p{i}",
+            "hot common filler "
+            + ("rare special " if (i < 300 and i % 29 == 7) else "")
+            + f"tok{i % 7}",
+        )
+        for i in range(1200)
+    ]
+    q_phrase = {"type": "phrase", "terms": ["filler", "rare"]}
+    q_bool = {"type": "boolean", "clauses": [
+        {"occur": "MUST", "query": {"type": "term", "term": "rare"}},
+        {"occur": "MUST", "query": {"type": "term", "term": "hot"}},
+    ]}
+
+    ref_dir = str(tmp / "ref")
+    df = spark.createDataFrame(rows, "docID long, repo string, path string, content string")
+    build_index(spark, df, ref_dir, BuildConfig(id_col="docID", resume=False))
+    ref = IndexSearcher(spark, ref_dir)
+
+    root = str(tmp / "seg")
+    idx = SegmentedIndex(spark, root, num_buckets=4, postings_format="varint")
+    for lo, fmt in ((0, "varint"), (600, "simpletext")):
+        chunk = spark.createDataFrame(
+            rows[lo : lo + 600], "docID long, repo string, path string, content string"
+        )
+        idx.append(chunk, BuildConfig(id_col="docID", postings_format=fmt))
+    s = idx.searcher()
+    assert set(s._seg_pformats.values()) == {"varint", "simpletext"}
+    # force the tower descent and the positional leapfrog
+    s.skip_tower_min_blocks = 1
+    s.leapfrog_skew_factor = 0
+    ref.skip_tower_min_blocks = 1
+    ref.leapfrog_skew_factor = 0
+
+    def hits(searcher, q):
+        return [(r.docID, round(r.score, 6)) for r in searcher.search(q, 60, mode="f64").collect()]
+
+    for q in (q_phrase, q_bool):
+        got, want = hits(s, q), hits(ref, q)
+        assert got == want, q
+        assert got  # non-empty
