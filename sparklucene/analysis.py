@@ -113,16 +113,21 @@ def _split_candidate(cand: str) -> list[str]:
     return pieces
 
 
+_MID_SET = frozenset(".:,'\u2019")
+
+
 def tokenize_raw(text: str) -> list[str]:
     """StandardTokenizer-equivalent: the full pre-filter token stream
     (original case, stopwords included, overlong tokens included as
     placeholders=None so they bump positions)."""
     out: list[str] = []
     for cand in _TOKEN_RE.findall(text):
-        if _MID_RE.search(cand):
-            out.extend(p for p in _split_candidate(cand) if p)
-        else:
+        # set.isdisjoint beats a regex probe on the (overwhelming) mid-free
+        # candidates; _split_candidate still does the UAX#29 join analysis
+        if _MID_SET.isdisjoint(cand):
             out.append(cand)
+        else:
+            out.extend(p for p in _split_candidate(cand) if p)
     return out
 
 
@@ -267,6 +272,84 @@ def invert_arrays_offsets(
     return (
         st[run_starts].tolist(), tfs, p_arr[order], s_arr[order], e_arr[order], flen
     )
+
+
+def invert_arrays_batch(
+    texts, chunk: int = 1000,
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch twin of :func:`invert_arrays` for the standard chain: invert a
+    WHOLE Arrow batch in a handful of numpy passes instead of per-doc loops.
+
+    Exactly equivalent to concatenating per-doc invert_arrays results (the
+    differential test in tests/test_analysis.py): per doc, unique terms
+    sorted, tfs, ascending positions, field_len.  -> (all_terms,
+    tfs_all int64[], positions_flat int64[], posting_counts int64[n_docs],
+    field_len int64[n_docs]).
+
+    Shape: tokenize_raw stays per doc (one C regex pass each); everything
+    per-TOKEN -- lowercase, stop/maxlen masks, position ordinals, the
+    (doc, term) sort -- runs batch-wide.  Terms factorize to integer codes
+    against the batch's sorted vocabulary so the big sort is an integer
+    np.lexsort, and stopword membership is evaluated once per distinct
+    term instead of once per token.  Processed in `chunk`-doc slices: the
+    lexsort is O(m log m) in batch tokens, so moderate chunks beat one
+    giant sort (measured ~2x over the per-doc path at chunk=1000)."""
+    n_all = len(texts)
+    all_terms: list[str] = []
+    tf_parts, pos_parts = [], []
+    posting_counts = np.zeros(n_all, dtype=np.int64)
+    flen_all = np.zeros(n_all, dtype=np.int64)
+    for base in range(0, n_all, chunk):
+        sub = texts[base : base + chunk]
+        tok_lists = [tokenize_raw(t) if isinstance(t, str) else [] for t in sub]
+        n = len(tok_lists)
+        counts = np.fromiter((len(l) for l in tok_lists), np.int64, n)
+        flat: list[str] = []
+        for l in tok_lists:
+            flat.extend(l)
+        total = len(flat)
+        if total == 0:
+            continue
+        low = [t.lower() for t in flat]
+        vocab = sorted(set(low))
+        rank = {t: i for i, t in enumerate(vocab)}
+        codes = np.fromiter((rank[t] for t in low), np.int64, total)
+        v_arr = np.array(vocab, dtype=object)
+        v_stop = np.fromiter(
+            (v in ENGLISH_STOP_WORDS for v in vocab), bool, len(vocab)
+        )
+        lens = np.fromiter(map(len, flat), np.int64, total)
+        emit = (lens <= MAX_TOKEN_LENGTH) & ~v_stop[codes]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        doc_starts = np.concatenate(([0], np.cumsum(counts)))
+        pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[doc_of]
+        e_doc = doc_of[emit]
+        e_code = codes[emit]
+        e_pos = pos_in_doc[emit]
+        order = np.lexsort((e_code, e_doc))
+        s_doc = e_doc[order]
+        s_code = e_code[order]
+        m = s_doc.size
+        if m == 0:
+            continue
+        gc = np.empty(m, dtype=bool)
+        gc[0] = True
+        gc[1:] = (s_doc[1:] != s_doc[:-1]) | (s_code[1:] != s_code[:-1])
+        starts = np.flatnonzero(gc)
+        all_terms.extend(v_arr[s_code[starts]].tolist())
+        tf_parts.append(np.diff(np.append(starts, m)))
+        pos_parts.append(e_pos[order])
+        posting_counts[base : base + n] = np.bincount(s_doc[starts], minlength=n)
+        # standard chain: every emitted token holds a distinct position, so
+        # field_len (distinct emitted positions) == emitted count per doc
+        flen_all[base : base + n] = np.bincount(s_doc, minlength=n)
+    tfs_all = (
+        np.concatenate(tf_parts) if tf_parts else np.empty(0, dtype=np.int64)
+    )
+    pos_flat = (
+        np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
+    )
+    return all_terms, tfs_all, pos_flat, posting_counts, flen_all
 
 
 def analyze_batch(texts) -> tuple[list[list[tuple[str, int, list[int]]]], np.ndarray]:

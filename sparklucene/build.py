@@ -212,8 +212,8 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
         import pyarrow as pa
 
         from .analysis import (
-            OFFSET_ANALYZERS, PAYLOAD_ANALYZERS, invert_arrays_offsets,
-            invert_arrays_payloads, make_analyzer,
+            OFFSET_ANALYZERS, PAYLOAD_ANALYZERS, invert_arrays_batch,
+            invert_arrays_offsets, invert_arrays_payloads, make_analyzer,
         )
         from .codec import (
             delta_encode_positions, encode_offset_pairs, postings_format_by_name,
@@ -233,43 +233,56 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
         lang_ans = {
             lang: make_analyzer(name) for lang, name in (lang_analyzers or {}).items()
         }
+        fast_standard = (
+            os.environ.get("SPARKLUCENE_NO_BATCH_TOKENIZE") != "1"
+            and an is None and not with_offsets and not with_payloads and not lang_ans
+        )
         for batch in batch_iter:
             n = batch.num_rows
             texts = batch.column(content_col).to_pylist()
             langs = (
                 batch.column(lang_col).to_pylist() if lang_ans else [None] * n
             )
-            all_terms: list[str] = []
-            tf_parts, pos_parts, so_parts, eo_parts, pay_parts = [], [], [], [], []
-            posting_counts = np.empty(n, dtype=np.int64)
-            flen = np.empty(n, dtype=np.int64)
-            for i, txt in enumerate(texts):
-                t = txt if isinstance(txt, str) else ""
-                if with_offsets:
-                    terms, tfs, pflat, sflat, eflat, fl = invert_arrays_offsets(
-                        t, analyzer_name
-                    )
-                    so_parts.append(sflat)
-                    eo_parts.append(eflat)
-                elif with_payloads:
-                    terms, tfs, pflat, yflat, fl = invert_arrays_payloads(
-                        t, pay_delim
-                    )
-                    pay_parts.append(yflat)
-                else:
-                    doc_an = lang_ans.get(langs[i], an)
-                    terms, tfs, pflat, fl = invert_arrays(t, analyzer=doc_an)
-                all_terms.extend(terms)
-                tf_parts.append(tfs)
-                pos_parts.append(pflat)
-                posting_counts[i] = len(terms)
-                flen[i] = fl
-            tfs_all = (
-                np.concatenate(tf_parts) if tf_parts else np.empty(0, dtype=np.int64)
-            )
-            pos_flat = (
-                np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
-            )
+            so_parts, eo_parts, pay_parts = [], [], []
+            if fast_standard:
+                # batch-vectorized standard chain: equivalent output arrays,
+                # one integer lexsort per chunk instead of per-doc Python
+                # (analysis.invert_arrays_batch -- differential-tested)
+                all_terms, tfs_all, pos_flat, posting_counts, flen = (
+                    invert_arrays_batch(texts)
+                )
+            else:
+                all_terms = []
+                tf_parts, pos_parts = [], []
+                posting_counts = np.empty(n, dtype=np.int64)
+                flen = np.empty(n, dtype=np.int64)
+                for i, txt in enumerate(texts):
+                    t = txt if isinstance(txt, str) else ""
+                    if with_offsets:
+                        terms, tfs, pflat, sflat, eflat, fl = invert_arrays_offsets(
+                            t, analyzer_name
+                        )
+                        so_parts.append(sflat)
+                        eo_parts.append(eflat)
+                    elif with_payloads:
+                        terms, tfs, pflat, yflat, fl = invert_arrays_payloads(
+                            t, pay_delim
+                        )
+                        pay_parts.append(yflat)
+                    else:
+                        doc_an = lang_ans.get(langs[i], an)
+                        terms, tfs, pflat, fl = invert_arrays(t, analyzer=doc_an)
+                    all_terms.extend(terms)
+                    tf_parts.append(tfs)
+                    pos_parts.append(pflat)
+                    posting_counts[i] = len(terms)
+                    flen[i] = fl
+                tfs_all = (
+                    np.concatenate(tf_parts) if tf_parts else np.empty(0, dtype=np.int64)
+                )
+                pos_flat = (
+                    np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
+                )
             post_offs = np.concatenate(([0], np.cumsum(tfs_all)))
             pos_data, pos_byte_offs = delta_encode_positions(pos_flat, post_offs, codec=blob_codec)
             pos_blob_arr = pa.Array.from_buffers(

@@ -294,3 +294,42 @@ def test_thai_analyzer_honestly_unavailable():
 
     with pytest.raises(NotImplementedError):
         make_analyzer("thai")("ไทย")
+
+
+def test_invert_arrays_batch_differential():
+    """The batch-vectorized standard-chain inversion must equal per-doc
+    invert_arrays concatenation exactly (terms sorted per doc, tfs,
+    ascending positions, field_len) -- including mid-char joins, stopwords,
+    overlong placeholders, empties and non-strings."""
+    import numpy as np
+
+    from sparklucene.analysis import invert_arrays, invert_arrays_batch
+    from sparklucene.corpus import make_corpus
+
+    texts = [r["content"] for r in make_corpus(200, seed=13)]
+    texts += [
+        "",
+        "   ",
+        "the and of to a",                      # all stopwords
+        "x" * 300 + " kept",                    # overlong placeholder bumps pos
+        "a.b c'd A,1 1,2 O'Neil wt,f 3.14 a:b", # UAX#29 mid-char joins
+        "Dup dup DUP dup",                      # case folding + repeats
+        None,
+        "café résumé café",
+    ]
+    # exercise the internal chunking boundary too
+    for chunk in (3, 1000):
+        bt, btf, bpos, bpc, bfl = invert_arrays_batch(texts, chunk=chunk)
+        off_t = 0
+        off_p = 0
+        for i, txt in enumerate(texts):
+            terms, tfs, pos, fl = invert_arrays(txt if isinstance(txt, str) else "")
+            k = int(bpc[i])
+            assert bt[off_t : off_t + k] == terms, (chunk, i)
+            assert np.array_equal(btf[off_t : off_t + k], tfs), (chunk, i)
+            npos = int(tfs.sum())
+            assert np.array_equal(bpos[off_p : off_p + npos], pos), (chunk, i)
+            assert int(bfl[i]) == fl, (chunk, i)
+            off_t += k
+            off_p += npos
+        assert off_t == len(bt) and off_p == len(bpos)
