@@ -324,3 +324,27 @@ def test_mixed_segments_forced_leapfrog_tower(spark, tmp_path_factory):
         got, want = hits(s, q), hits(ref, q)
         assert got == want, q
         assert got  # non-empty
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=(1 << 63) - 1), max_size=300
+        ),
+        name=st.sampled_from(["varint", "simpletext", "direct8"]),
+    )
+    def test_codec_round_trip_fuzz(vals, name):
+        c = postings_format_by_name(name)
+        arr = np.array(vals, dtype=np.uint64)
+        data, lens = c.encode_with_lengths(arr)
+        assert int(lens.sum()) == data.size
+        assert np.array_equal(c.decode(data.tobytes(), count=arr.size), arr)
+        mask = c.value_end_mask(data)
+        assert int(mask.sum()) == arr.size
+        assert np.array_equal(np.flatnonzero(mask) + 1, np.cumsum(lens))
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
