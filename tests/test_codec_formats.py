@@ -348,3 +348,30 @@ try:
         assert np.array_equal(np.flatnonzero(mask) + 1, np.cumsum(lens))
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+def test_same_nondefault_format_merge(spark, tmp_path_factory, corpus):
+    """Merge where source AND target are the non-default format: the pos
+    streams re-slice via the codec's value_end_mask instead of transcoding
+    (the src==target fast path for a format whose terminator is not the
+    varint high bit)."""
+    from sparklucene.build import BuildConfig
+
+    tmp = tmp_path_factory.mktemp("codec_stst")
+    ordered = sorted(corpus, key=lambda r: (r["repo"], r["path"]))
+    root = str(tmp / "seg_st")
+    idx = SegmentedIndex(spark, root, num_buckets=4, postings_format="simpletext")
+    for lo in (0, 60):
+        idx.append(
+            spark.createDataFrame(ordered[lo : lo + 60]).coalesce(1),
+            BuildConfig(order_cols=("repo", "path"), salt_threshold=40,
+                        salt_parts=3, postings_format="simpletext"),
+        )
+    before = {i: _results(idx.searcher(), q) for i, q in enumerate(QUERIES)}
+    assert any(before.values())
+    idx.force_merge()
+    assert len(idx.segments) == 1
+    with open(os.path.join(root, "segs", idx.segments[0].name, "stats.json")) as fh:
+        assert json.load(fh)["postings_format"] == "simpletext"
+    after = {i: _results(idx.searcher(), q) for i, q in enumerate(QUERIES)}
+    assert after == before
