@@ -500,6 +500,28 @@ class PerfRunData:
             self.cursor += 1
             return seq
 
+    def consume_one_nonindexed(self) -> int | None:
+        """Atomically reserve ONE feed doc that will NOT be indexed
+        (ReadTokens / ConsumeContentSource): reserve the seq and, iff the
+        add-buffer was empty at that instant, advance the flush floor past
+        it -- all under a single lock acquisition so a parallel AddDoc
+        interleaved between the check and the advance can neither donate
+        its doc to us nor have its buffered doc skipped by the floor."""
+        with self._cursor_lock:
+            if self.cursor >= self.n_docs:
+                if not self.forever:
+                    raise NoMoreDataError()
+                self.flush()
+                self.cursor = 0
+                self.buffer_lo = 0
+            if self.cursor >= self.n_docs:  # empty source
+                return None
+            seq = self.cursor
+            self.cursor += 1
+            if self.buffer_lo == seq:
+                self.buffer_lo = self.cursor
+            return seq
+
     def flush(self):
         if self.writer is None or self.cursor <= self.buffer_lo:
             return
@@ -868,16 +890,14 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         # A doc consumed here is NOT indexed: when the add-buffer is empty
         # the flush floor advances past it (interleaving ReadTokens
         # between UNFLUSHED AddDocs would index the read doc too -- the
-        # range-buffer simplification; typical algs don't interleave)
+        # range-buffer simplification; typical algs don't interleave).
+        # Reserve + floor advance are one atomic operation so parallel
+        # '[...]' sequences can't cross-assign docs or skip buffered ones.
         from .analysis import make_analyzer
 
-        with rd._cursor_lock:
-            buffer_was_empty = rd.buffer_lo == rd.cursor
-        rd.next_docs(1)
-        with rd._cursor_lock:
-            seq = rd.cursor - 1
-            if buffer_was_empty:
-                rd.buffer_lo = rd.cursor
+        seq = rd.consume_one_nonindexed()
+        if seq is None:
+            return 0
         row = rd.source.filter(F.col("_seq") == seq).select(rd.text_col).first()
         an_name, an_params = rd.resolve_analyzer()
         analyze = make_analyzer(an_name, **an_params)
@@ -886,15 +906,8 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
     if name == "ConsumeContentSource":
         # ConsumeContentSourceTask.cs: pull the next item from the content
         # source and discard it (feed throughput measurement).  Same
-        # flush-floor discipline as ReadTokens: a consumed doc is not
-        # indexed when the add-buffer was empty.
-        with rd._cursor_lock:
-            buffer_was_empty = rd.buffer_lo == rd.cursor
-        took = rd.next_docs(1)
-        if buffer_was_empty:
-            with rd._cursor_lock:
-                rd.buffer_lo = rd.cursor
-        return took
+        # atomic flush-floor discipline as ReadTokens.
+        return 0 if rd.consume_one_nonindexed() is None else 1
     if name == "AddDoc":
         return rd.next_docs(1)
     if name == "AddDocs":
@@ -1011,7 +1024,9 @@ def _run_task(rd: PerfRunData, t: TaskCall) -> int:
         if rd.writer is not None and rd.writer._has_deletes():
             dels = rd.writer._deletes_df()
             n_dels = dels.count() if dels is not None else 0
-        print(f"--> numDocs:{s.docs().count() - n_dels} dels:{n_dels}")
+        # s.docs() already excludes buffered deletes (the searcher installs
+        # live docs); numDocs is that live count, not live-minus-deletes
+        print(f"--> numDocs:{s.docs().count()} dels:{n_dels}")
         return 1
     if name in ("CloseReader", "ReopenReader", "NearRealtimeReader"):
         rd.searcher = None

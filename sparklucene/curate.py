@@ -131,7 +131,9 @@ def _run_stage(
             .filter(F.col("quality") >= float(min_quality))
         )
     if name == "pii":
-        scrubbed = dp.pii_scrub(df, "doc_id", "text")
+        # keep only (doc_id, scrubbed): the per-doc n_emails/n_ips/n_phones
+        # accounting columns must not leak into the curated corpus schema
+        scrubbed = dp.pii_scrub(df, "doc_id", "text").select("doc_id", "scrubbed")
         keep = [c for c in df.columns if c != "text"]
         return (
             df.select(*keep)

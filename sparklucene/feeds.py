@@ -85,8 +85,11 @@ def read_line_docs(spark: SparkSession, path: str) -> DataFrame:
         fields = DEFAULT_FIELDS
     body = raw.filter(~F.col("value").startswith(FIELDS_HEADER_INDICATOR))
     parts = F.split(F.col("value"), SEP, len(fields))
+    # F.get (0-based) is null-safe: a short line (blank / missing tabs)
+    # yields nulls for the absent fields instead of an ANSI
+    # INVALID_ARRAY_INDEX error killing the whole read
     return body.select(
-        *[F.element_at(parts, i + 1).alias(f_) for i, f_ in enumerate(fields)]
+        *[F.get(parts, i).alias(f_) for i, f_ in enumerate(fields)]
     )
 
 

@@ -103,6 +103,8 @@ def run_quality(searcher, query_set: dict[str, dict], judgments: DataFrame,
                 F.row_number().over(w).alias("rank"),
             )
         )
+    if not parts:
+        raise ValueError("query_set is empty: no queries to run")
     res = parts[0]
     for p in parts[1:]:
         res = res.unionByName(p)

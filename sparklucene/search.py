@@ -181,13 +181,9 @@ class IndexSearcher:
         # segments of one index may carry different codecs (a manager whose
         # default changed mid-life; Lucene reads old-codec segments the same
         # way, SegmentReader resolves Codec.ForName(si.Codec) per segment)
-        fmts: dict[str, str] = {}
-        for d in seg_dirs:
-            try:
-                with open(os.path.join(d, "stats.json")) as f:
-                    fmts[d] = json.load(f).get("postings_format", "varint")
-            except (OSError, ValueError):
-                fmts[d] = "varint"
+        from .segments import _seg_postings_format
+
+        fmts = {d: _seg_postings_format(d) for d in seg_dirs}
         self._seg_pformats = fmts
         if len(set(fmts.values())) == 1 and fmts:
             self.pformat = next(iter(fmts.values()))

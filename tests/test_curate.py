@@ -40,7 +40,8 @@ def test_curate_full_chain(spark, corpus, tmp_path):
     assert set(rows) == {0, 2, 5, 6}
     # pii scrubbed into text
     assert "<EMAIL>" in rows[5]["text"] and "bob@" not in rows[5]["text"]
-    assert rows[5]["n_emails"] == 1
+    # per-doc scrub accounting columns stay out of the curated corpus schema
+    assert {"n_emails", "n_ips", "n_phones"}.isdisjoint(final.columns)
     # training order columns present and dense per shard
     assert {"shard", "pos"} <= set(final.columns)
     # manifest arithmetic: dedup dropped 1, neardup dropped 1, quality 1
