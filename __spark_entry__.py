@@ -924,6 +924,32 @@ def _q_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_func_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionQuery(ScaleFloatFunction(n_chars, 0, 100)): rank every doc
+    by its n_chars rescaled into [0, 100] using the GLOBAL min/max
+    (ScaleFloatFunction.cs CreateScaleInfo traverses all docs).  The
+    global pass is a 1-row agg broadcast back -- no driver collect."""
+    s = _searcher(spark, sf_dir)
+    out = s.scale_topk(F.col("n_chars"), 0.0, 100.0, k=15, mode="f64")
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _q_func_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ord/ReverseOrdFieldSource (OrdFieldSource.cs GetOrd = rank among the
+    field's sorted distinct values; rord = valueCount - ord): per-doc
+    ordinals of the lang field for docs 0..24.  The rank window runs over
+    the DISTINCT value set only, broadcast-joined back to the corpus."""
+    s = _searcher(spark, sf_dir)
+    o = s.ord_values("lang").withColumnRenamed("ord", "ord_v")
+    r = s.ord_values("lang", reverse=True).withColumnRenamed("ord", "rord_v")
+    return (
+        o.join(r, "docID")
+        .filter(F.col("docID") < 25)
+        .select(F.col("docID").alias("doc_id"), "ord_v", "rord_v")
+        .orderBy("doc_id")
+    )
+
+
 def _q_js_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expressions module via the JavascriptCompiler port (jsexpr.py):
     rank 'merge' matches by a compiled JS expression over _score and the
@@ -2166,6 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     out["js_score"] = _q_js_score
+    out["func_scale"] = _q_func_scale
+    out["func_ord"] = _q_func_ord
     out["codec_simpletext"] = _q_codec_simpletext
     out["media_decode"] = _q_media_decode
     out["media_frames"] = _q_media_frames
@@ -2193,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scrub", "pack_sequences", "flexible_parsed",
         "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
+        "func_scale", "func_ord",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
         "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
@@ -3374,6 +3403,27 @@ SELECT s.doc_id, round(s.score + sqrt(d.n_chars) / 10.0, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'merge'
 ORDER BY s.score + sqrt(d.n_chars) / 10.0 DESC, s.doc_id LIMIT 15"""
+    sqls["func_scale"] = """
+WITH mm AS (
+  SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx FROM documents
+)
+SELECT doc_id,
+       round((n_chars::DOUBLE - mn)
+             * (CASE WHEN mx = mn THEN 0.0 ELSE 100.0 / (mx - mn) END)
+             + 0.0, 4) AS score
+FROM documents, mm
+ORDER BY (n_chars::DOUBLE - mn)
+         * (CASE WHEN mx = mn THEN 0.0 ELSE 100.0 / (mx - mn) END) DESC,
+         doc_id
+LIMIT 15"""
+    sqls["func_ord"] = """
+WITH d AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+r AS (SELECT lang, (dense_rank() OVER (ORDER BY lang) - 1)::INT AS ord_v FROM d),
+n AS (SELECT count(*)::INT AS nv FROM d)
+SELECT doc_id, r.ord_v, (n.nv - r.ord_v)::INT AS rord_v
+FROM documents JOIN r USING (lang), n
+WHERE doc_id < 25
+ORDER BY doc_id"""
     # fuzzy_scored: DuckDB's damerau_levenshtein matches our unrestricted
     # DL kernel bit-for-bit (fuzz-verified, sparklucene/distance.py)
     sqls["fuzzy_scored"] = f"""{_prelude()},

@@ -2991,6 +2991,93 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def function_topk(self, value_col, k: int = 10, mode: str = "f64") -> DataFrame:
+        """FunctionQuery analogue (src/Lucene.Net.Queries/Function/
+        FunctionQuery.cs): every live doc matches and its score IS the
+        ValueSource value (AllScorer.GetScoreCore = boost * vals).
+        `value_col` is any Spark Column over the docs metadata -- the
+        stateless ValueSource family (Linear/Reciprocal/RangeMap/Pow/
+        Product/Sum/Min/Max/If/Const/...FieldSource) is exactly Catalyst
+        column arithmetic, so it needs no dedicated classes here.
+        Returns top-k (docID, score) by (-score, docID)."""
+        ftype = "float" if mode == "f32" else "double"
+        return (
+            self.docs()
+            .select("docID", value_col.cast(ftype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def scale_topk(self, value_col, lo: float, hi: float, k: int = 10,
+                   mode: str = "f64") -> DataFrame:
+        """FunctionQuery over ScaleFloatFunction (src/Lucene.Net.Queries/
+        Function/ValueSources/ScaleFloatFunction.cs): scale the source
+        value into [lo, hi] using the GLOBAL min/max over every live doc
+        (CreateScaleInfo traverses all leaves; +-Inf/NaN excluded from the
+        min/max scan via the exponent test at :77).  scale collapses to 0
+        when max == min (:114), so constant sources map to `lo`.
+
+        The global pass is ONE 1-row aggregate broadcast-crossJoined back
+        to the corpus -- no driver collect, no corpus-wide sort; at 100 TB
+        the min/max agg is a map-side-combined scan and the join adds two
+        broadcast scalars per task."""
+        ftype = "float" if mode == "f32" else "double"
+        src = self.docs().select("docID", value_col.cast("double").alias("_v"))
+        finite = F.col("_v").isNotNull() & ~F.isnan("_v") & (F.abs("_v") != float("inf"))
+        mm = src.agg(
+            F.min(F.when(finite, F.col("_v"))).alias("_mn"),
+            F.max(F.when(finite, F.col("_v"))).alias("_mx"),
+        ).select(
+            # empty index / all-non-finite: min=max=0 (ScaleFloatFunction.cs:95)
+            F.coalesce("_mn", F.lit(0.0)).alias("_mn"),
+            F.coalesce("_mx", F.lit(0.0)).alias("_mx"),
+        )
+        scale = F.when(F.col("_mx") == F.col("_mn"), F.lit(0.0)).otherwise(
+            (F.lit(float(hi)) - F.lit(float(lo))) / (F.col("_mx") - F.col("_mn"))
+        )
+        return (
+            src.crossJoin(F.broadcast(mm))
+            .select(
+                "docID",
+                ((F.col("_v") - F.col("_mn")) * scale + F.lit(float(lo)))
+                .cast(ftype).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
+    def ord_values(self, col: str, reverse: bool = False) -> DataFrame:
+        """OrdFieldSource / ReverseOrdFieldSource analogue
+        (src/Lucene.Net.Queries/Function/ValueSources/OrdFieldSource.cs:
+        Int32Val = SortedDocValues.GetOrd = 0-based rank of the doc's value
+        among the field's sorted distinct values; ReverseOrdFieldSource.cs:
+        rord = valueCount - ord).  Docs with a NULL value get ord -1
+        (missing in SortedDocValues).
+
+        Scale note: ordinals are minted over the DISTINCT value set only
+        (vocab-sized, not corpus-sized) with the same two-pass
+        range-partition rank build.mint_doc_ids uses for docIDs -- no
+        single-partition window anywhere, so a 10^9-value dictionary ranks
+        in parallel; the result is broadcast-joined back to the corpus (the
+        dictionary-then-join shape FieldCache.GetTermsIndex builds).
+        Returns (docID, ord)."""
+        from .build import mint_doc_ids
+
+        docs = self.docs()
+        vals = docs.select(F.col(col).alias("_val")).filter(F.col("_val").isNotNull()).distinct()
+        parts = max(2, self.spark.sparkContext.defaultParallelism)
+        ords = mint_doc_ids(vals, ["_val"], parts).withColumnRenamed("docID", "_ord")
+        n = vals.agg(F.count("*").alias("_n"))
+        if reverse:
+            ords = ords.crossJoin(F.broadcast(n)).select(
+                "_val", (F.col("_n") - F.col("_ord")).alias("_ord")
+            )
+        return (
+            docs.select("docID", F.col(col).alias("_val"))
+            .join(F.broadcast(ords), "_val", "left")
+            .select("docID", F.coalesce("_ord", F.lit(-1)).cast("int").alias("ord"))
+        )
+
     def js_score(self, query: dict, js_expr: str, k: int = 10,
                  mode: str = "f64") -> DataFrame:
         """Expressions-module scoring (src/Lucene.Net.Expressions/JS/

@@ -1,0 +1,81 @@
+"""FunctionQuery ValueSources with global state: ScaleFloatFunction
+(global min/max rescale) and Ord/ReverseOrdFieldSource (rank among the
+field's sorted distinct values).  Brute-force differentials on a small
+index; the stateless ValueSource family is plain Catalyst arithmetic and
+is exercised through function_topk."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fsidx"))
+    corpus = make_corpus(120, seed=11)
+    df = (
+        spark.createDataFrame(corpus)
+        .withColumn("stars", (F.pmod(F.xxhash64("path"), F.lit(50)) + 50).cast("long"))
+        .repartition(3)
+    )
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60,
+                    salt_parts=4, meta_cols=("repo", "lang", "stars")),
+    )
+    return IndexSearcher(spark, out)
+
+
+def test_function_topk_is_value_ranking(searcher):
+    got = searcher.function_topk(F.col("stars").cast("double"), k=7).collect()
+    rows = searcher.docs().select("docID", "stars").collect()
+    want = sorted(((float(r["stars"]), r["docID"]) for r in rows),
+                  key=lambda t: (-t[0], t[1]))[:7]
+    assert [(r["docID"], r["score"]) for r in got] == [(d, v) for v, d in want]
+
+
+def test_scale_topk_global_minmax(searcher):
+    got = searcher.scale_topk(F.col("stars"), 0.0, 1.0, k=5).collect()
+    rows = searcher.docs().select("docID", "stars").collect()
+    vals = [float(r["stars"]) for r in rows]
+    mn, mx = min(vals), max(vals)
+    want = sorted(
+        ((v - mn) / (mx - mn), d)
+        for v, d in ((float(r["stars"]), r["docID"]) for r in rows)
+    )
+    want = sorted(want, key=lambda t: (-t[0], t[1]))[:5]
+    for r, (v, d) in zip(got, want):
+        assert r["docID"] == d and abs(r["score"] - v) < 1e-12
+    # top row maps to ~1.0 ((mx-mn)*scale accumulates one rounding step,
+    # same as the reference's float pipeline) and scores stay in [0, 1+eps]
+    assert abs(got[0]["score"] - 1.0) < 1e-9
+    assert all(0.0 <= r["score"] <= 1.0 + 1e-9 for r in got)
+
+
+def test_scale_constant_source_maps_to_lo(searcher):
+    # max == min -> scale = 0 (ScaleFloatFunction.cs:114): everything = lo
+    got = searcher.scale_topk(F.lit(42.0), 3.0, 9.0, k=4).collect()
+    assert [r["score"] for r in got] == [3.0] * 4
+    # docID tie-break ascending
+    assert [r["docID"] for r in got] == sorted(r["docID"] for r in got)
+
+
+def test_ord_and_rord_match_dense_rank(searcher):
+    docs = searcher.docs().select("docID", "lang").collect()
+    distinct = sorted({r["lang"] for r in docs if r["lang"] is not None})
+    rank = {v: i for i, v in enumerate(distinct)}
+    n = len(distinct)
+    got_ord = {r["docID"]: r["ord"] for r in searcher.ord_values("lang").collect()}
+    got_rord = {r["docID"]: r["ord"]
+                for r in searcher.ord_values("lang", reverse=True).collect()}
+    for r in docs:
+        if r["lang"] is None:
+            assert got_ord[r["docID"]] == -1
+        else:
+            assert got_ord[r["docID"]] == rank[r["lang"]]
+            assert got_rord[r["docID"]] == n - rank[r["lang"]]
