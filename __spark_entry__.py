@@ -924,6 +924,28 @@ def _q_expr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_split_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPassIndexSplitter analogue: 3-way round-robin split of the gate
+    index (docID % 3, MultiPassIndexSplitter.cs:66); part 1 must be a
+    complete standalone index -- search it for 'merge' and return its live
+    doc hits (df/avgdl are the PART's own, so the value-checked columns
+    are membership + the part's recounted field lengths)."""
+    from sparklucene.splitter import multipass_split
+
+    s = _searcher(spark, sf_dir)
+    root = s.index_dir + "_split_rr"
+    outs = [os.path.join(root, f"part{i}") for i in range(3)]
+    if not all(os.path.exists(os.path.join(d, "_MANIFEST.json")) for d in outs):
+        multipass_split(spark, s.index_dir, outs)
+    part = IndexSearcher(spark, outs[1])
+    hits = part.search(_t("merge"), k=1000).select("docID")
+    return (
+        hits.join(part.docs(), "docID")
+        .select(F.col("docID").alias("doc_id"), "field_len")
+        .orderBy("doc_id")
+    )
+
+
 def _q_func_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FunctionQuery(ScaleFloatFunction(n_chars, 0, 100)): rank every doc
     by its n_chars rescaled into [0, 100] using the GLOBAL min/max
@@ -2192,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     out["js_score"] = _q_js_score
+    out["split_rr"] = _q_split_rr
     out["func_scale"] = _q_func_scale
     out["func_ord"] = _q_func_ord
     out["codec_simpletext"] = _q_codec_simpletext
@@ -2221,7 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scrub", "pack_sequences", "flexible_parsed",
         "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
-        "func_scale", "func_ord",
+        "func_scale", "func_ord", "split_rr",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
         "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
@@ -3403,6 +3426,12 @@ SELECT s.doc_id, round(s.score + sqrt(d.n_chars) / 10.0, 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term = 'merge'
 ORDER BY s.score + sqrt(d.n_chars) / 10.0 DESC, s.doc_id LIMIT 15"""
+    sqls["split_rr"] = f"""{_prelude()}
+SELECT doc_id, field_len
+FROM doclen
+WHERE doc_id % 3 = 1
+  AND doc_id IN (SELECT doc_id FROM emitted WHERE term = 'merge')
+ORDER BY doc_id"""
     sqls["func_scale"] = """
 WITH mm AS (
   SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx FROM documents

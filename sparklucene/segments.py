@@ -176,9 +176,30 @@ def _load_worker_deletes(path: str, fingerprint: str) -> np.ndarray:
     return arr
 
 
+def _keep_mask(spec: tuple, ids: np.ndarray) -> np.ndarray:
+    """Evaluate a serializable keep-spec against a docID array (the
+    splitter's liveDocs analogue -- FakeDeleteIndexReader bits computed
+    from arithmetic or a shared-storage id set, never driver state).
+    ('mod', n, i): round-robin part i of n.  ('range', lo, hi): docID in
+    [lo, hi).  ('ids'|'not_ids', path, fingerprint): membership in a
+    parquet docID set streamed worker-side (same mechanism as the merge
+    deletes store)."""
+    kind = spec[0]
+    if kind == "mod":
+        return ids % int(spec[1]) == int(spec[2])
+    if kind == "range":
+        return (ids >= int(spec[1])) & (ids < int(spec[2]))
+    if kind in ("ids", "not_ids"):
+        keep = _load_worker_deletes(spec[1], spec[2])
+        m = np.isin(ids, keep)
+        return ~m if kind == "not_ids" else m
+    raise ValueError(f"unknown keep spec {spec!r}")
+
+
 def _merge_blocks_udf(deleted: np.ndarray | None = None,
                       deletes_store: tuple[str, str] | None = None,
-                      target_format: str = "varint"):
+                      target_format: str = "varint",
+                      keep_spec: tuple | None = None):
     """mapInArrow over block rows sorted by (bucket, term, first_docid):
     decodes every blob column in ONE vectorized pass, re-blocks to 128 docs,
     salt reset to 0 (salting is a build-shuffle concern, not a storage one).
@@ -328,6 +349,8 @@ def _merge_blocks_udf(deleted: np.ndarray | None = None,
         post_order = np.lexsort((doc_ids, rank_of_row[row_of_post]))
         if deleted_arr is not None and deleted_arr.size:
             post_order = post_order[~np.isin(doc_ids[post_order], deleted_arr)]
+        if keep_spec is not None:
+            post_order = post_order[_keep_mask(keep_spec, doc_ids[post_order])]
 
         doc_s = doc_ids[post_order]
         tf_s = tfs[post_order]
@@ -845,37 +868,40 @@ class SegmentedIndex:
         return name
 
     def _recount_term_dict(self, postings_df: DataFrame) -> DataFrame:
-        """Recompute (term, bucket) -> df/ttf/max_tf by decoding block
-        blobs (used after delete-applying merges)."""
-        from .codec import decode_block_docs, postings_format_by_name
+        return recount_term_dict(postings_df, self.postings_format)
 
-        fmt = self.postings_format
-        schema = T.StructType(
-            [
-                T.StructField("term", T.StringType()),
-                T.StructField("bucket", T.IntegerType()),
-                T.StructField("df", T.LongType()),
-                T.StructField("ttf", T.LongType()),
-                T.StructField("max_tf", T.IntegerType()),
-            ]
-        )
 
-        def count(pdf_iter):
-            import pandas as pd
+def recount_term_dict(postings_df: DataFrame, fmt: str) -> DataFrame:
+    """Recompute (term, bucket) -> df/ttf/max_tf by decoding block blobs
+    (used after delete-applying merges and by the index splitters)."""
+    from .codec import decode_block_docs, postings_format_by_name
 
-            codec = postings_format_by_name(fmt)
-            for pdf in pdf_iter:
-                rows = []
-                for row in pdf.itertuples(index=False):
-                    _d, t, _nb = decode_block_docs(
-                        row.first_docid, row.num_docs, row.doc_blob,
-                        row.tf_blob, row.norm_blob, codec=codec,
-                    )
-                    rows.append(
-                        (row.term, int(row.bucket), len(t), int(t.sum()), int(t.max()))
-                    )
-                yield pd.DataFrame(rows, columns=["term", "bucket", "df", "ttf", "max_tf"])
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("ttf", T.LongType()),
+            T.StructField("max_tf", T.IntegerType()),
+        ]
+    )
 
-        return postings_df.mapInPandas(count, schema=schema).groupBy("term", "bucket").agg(
-            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf")
-        )
+    def count(pdf_iter):
+        import pandas as pd
+
+        codec = postings_format_by_name(fmt)
+        for pdf in pdf_iter:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                _d, t, _nb = decode_block_docs(
+                    row.first_docid, row.num_docs, row.doc_blob,
+                    row.tf_blob, row.norm_blob, codec=codec,
+                )
+                rows.append(
+                    (row.term, int(row.bucket), len(t), int(t.sum()), int(t.max()))
+                )
+            yield pd.DataFrame(rows, columns=["term", "bucket", "df", "ttf", "max_tf"])
+
+    return postings_df.mapInPandas(count, schema=schema).groupBy("term", "bucket").agg(
+        F.sum("df").alias("df"), F.sum("ttf").alias("ttf"), F.max("max_tf").alias("max_tf")
+    )

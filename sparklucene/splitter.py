@@ -1,0 +1,187 @@
+"""Index splitters: PKIndexSplitter and MultiPassIndexSplitter analogues.
+
+Reference semantics (src/Lucene.Net.Misc/Index/):
+  - PKIndexSplitter.cs: split one index into TWO by a Filter (classically a
+    TermRangeFilter on the primary key) -- docs passing the filter land in
+    index 1, the rest in index 2; each output is a complete standalone
+    index produced by a merge that treats the other side as deleted
+    (DocumentFilteredAtomicIndexReader wraps liveDocs over the filter's
+    bitset, :105-140).
+  - MultiPassIndexSplitter.cs: split into N parts, round-robin
+    (doc % numParts == part, :66) or sequential ranges (maxDoc/numParts
+    chunks, :58-64), via FakeDeleteIndexReader + one AddIndexes pass per
+    part (:77-95).
+
+Spark-first re-expression: a split part IS a delete-applying merge of the
+source index where "deleted" = everything outside the part.  Part
+membership is a serializable keep-spec evaluated executor-side inside the
+block re-encode kernel (segments._keep_mask):
+
+  - round-robin / sequential parts are PURE docID ARITHMETIC -- zero
+    driver state, zero memory, any corpus size;
+  - predicate (PK) parts materialize the passing docID set ONCE as a
+    parquet "keep store" on shared storage, streamed worker-side exactly
+    like the merge deletes store (no ids through the driver).
+
+Unlike the reference (one full AddIndexes read per part), every part here
+is an independent Spark job over the same immutable block parquet --
+parts can run concurrently, and each decodes each blob exactly once.
+
+docIDs are PRESERVED (our docIDs are global ranks, already unique;
+MergeState.DocMap renumbering degenerates away, same argument as
+segments.py).  Per-part stats (max_doc, avgdl) are recounted so each
+output is a correct standalone index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import BLOCK_SCHEMA, write_blooms, write_skips
+from .segments import (
+    _deletes_fingerprint,
+    _merge_blocks_udf,
+    _seg_postings_format,
+    recount_term_dict,
+)
+
+
+def _keep_col(spec: tuple) -> F.Column:
+    """The docs-table twin of segments._keep_mask (same spec, Catalyst)."""
+    kind = spec[0]
+    if kind == "mod":
+        return F.pmod(F.col("docID"), F.lit(int(spec[1]))) == int(spec[2])
+    if kind == "range":
+        return (F.col("docID") >= int(spec[1])) & (F.col("docID") < int(spec[2]))
+    raise ValueError(f"unknown keep spec {spec!r}")
+
+
+def _source_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "_MANIFEST.json")) as f:
+        return json.load(f)["stats"]
+
+
+def _docs_df(spark: SparkSession, index_dir: str) -> DataFrame:
+    d = os.path.join(index_dir, "docs")
+    if os.path.exists(d):
+        return spark.read.parquet(d)
+    return spark.read.parquet(os.path.join(index_dir, "tokenized")).drop("postings")
+
+
+def _write_part(spark: SparkSession, index_dir: str, out_dir: str,
+                keep_spec: tuple, keep_docs: DataFrame) -> dict:
+    """One split part = one delete-applying merge of the source index with
+    liveDocs = keep_spec.  Writes a complete standalone index dir
+    (postings/term_dict/blooms/skips/docs/_MANIFEST.json)."""
+    src_stats = _source_stats(index_dir)
+    fmt = _seg_postings_format(index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    cores = spark.sparkContext.defaultParallelism
+    num_buckets = int(src_stats["num_buckets"])
+
+    blocks = spark.read.parquet(os.path.join(index_dir, "postings"))
+    part_blocks = (
+        blocks.repartition(max(cores, num_buckets // 4), "bucket")
+        .sortWithinPartitions("bucket", "term", "first_docid")
+        .mapInArrow(
+            _merge_blocks_udf(target_format=fmt, keep_spec=keep_spec),
+            schema=BLOCK_SCHEMA,
+        )
+    )
+    part_blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "postings", "group=0")
+    )
+
+    td = recount_term_dict(
+        spark.read.parquet(os.path.join(out_dir, "postings")), fmt
+    )
+    (
+        td.repartition(max(num_buckets // 4, 1), "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_dict"))
+    )
+    write_blooms(spark, os.path.join(out_dir, "term_dict"),
+                 os.path.join(out_dir, "blooms"), num_buckets)
+    write_skips(spark, os.path.join(out_dir, "postings"),
+                os.path.join(out_dir, "skips"))
+
+    keep_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+    agg = spark.read.parquet(os.path.join(out_dir, "docs")).agg(
+        F.count("*").alias("n"), F.sum("field_len").alias("s")
+    ).collect()[0]
+    max_doc = int(agg["n"] or 0)
+    sttf = int(agg["s"] or 0)
+    st = dict(src_stats)
+    st.update(
+        max_doc=max_doc,
+        sum_total_term_freq=sttf,
+        avgdl_f32=float(np.float32(sttf / max_doc)) if max_doc and sttf > 0 else 1.0,
+        split_from=index_dir,
+        split_spec=list(keep_spec[:1]) + [str(x) for x in keep_spec[1:]],
+        hot_terms={},
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(st, f)
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump({"version": 1, "stats": st}, f)
+    return st
+
+
+def multipass_split(spark: SparkSession, index_dir: str, out_dirs: list[str],
+                    seq: bool = False) -> list[dict]:
+    """MultiPassIndexSplitter analogue: split into len(out_dirs) parts.
+    seq=False: round-robin, docID % n == part (MultiPassIndexSplitter.cs:66).
+    seq=True: contiguous docID ranges of ceil(maxDocBound/n)
+    (MultiPassIndexSplitter.cs:58-64 -- ranges over the doc-number space,
+    so with sparse docIDs part sizes may differ, same as the reference
+    splitting an index that has deletions).
+    Returns each part's stats dict."""
+    n = len(out_dirs)
+    if n < 2:
+        raise ValueError("need at least 2 output dirs")
+    docs = _docs_df(spark, index_dir)
+    specs: list[tuple]
+    if seq:
+        bound = int(docs.agg(F.max("docID")).collect()[0][0] or 0) + 1
+        chunk = -(-bound // n)
+        specs = [("range", i * chunk, min((i + 1) * chunk, bound)) for i in range(n)]
+    else:
+        specs = [("mod", n, i) for i in range(n)]
+    out = []
+    for spec, od in zip(specs, out_dirs):
+        out.append(_write_part(spark, index_dir, od, spec,
+                               docs.filter(_keep_col(spec))))
+    return out
+
+
+def pk_split(spark: SparkSession, index_dir: str, out_pass: str, out_fail: str,
+             predicate) -> list[dict]:
+    """PKIndexSplitter analogue: `predicate` is a boolean Spark Column over
+    the docs metadata (the Filter role -- a TermRangeFilter on the PK is
+    `(F.col('path') >= lo) & (F.col('path') < hi)`).  Docs passing it form
+    the index at out_pass, the rest out_fail (PKIndexSplitter.cs:
+    docsInFirstIndex / negateFilter pair).
+
+    The passing docID set is written ONCE to shared storage and streamed
+    worker-side by both part merges ('ids' / 'not_ids' keep-specs) -- the
+    liveDocs-bitset analogue; nothing round-trips through the driver."""
+    docs = _docs_df(spark, index_dir)
+    keep_dir = out_pass + ".keepids"
+    docs.filter(predicate).select("docID").write.mode("overwrite").parquet(keep_dir)
+    fp = _deletes_fingerprint(keep_dir)
+    stats = [
+        _write_part(spark, index_dir, out_pass, ("ids", keep_dir, fp),
+                    docs.filter(predicate)),
+        _write_part(spark, index_dir, out_fail, ("not_ids", keep_dir, fp),
+                    docs.filter(~predicate)),
+    ]
+    import shutil
+
+    shutil.rmtree(keep_dir, ignore_errors=True)
+    return stats

@@ -1,0 +1,111 @@
+"""PKIndexSplitter / MultiPassIndexSplitter analogues: every part must be a
+complete standalone index whose docs partition the source and whose search
+results equal the source's results restricted to the part."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.build import BuildConfig, build_index
+from sparklucene.corpus import make_corpus
+from sparklucene.search import IndexSearcher
+from sparklucene.splitter import multipass_split, pk_split
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("splitsrc"))
+    corpus = make_corpus(150, seed=3)
+    df = spark.createDataFrame(corpus).repartition(3)
+    build_index(
+        spark, df, out,
+        BuildConfig(order_cols=("repo", "path"), num_buckets=4, salt_threshold=60,
+                    salt_parts=4, meta_cols=("repo", "lang")),
+    )
+    return out
+
+
+def _ids(df):
+    return {r["docID"] for r in df.collect()}
+
+
+def _all_doc_ids(spark, d):
+    return _ids(IndexSearcher(spark, d).docs().select("docID"))
+
+
+def test_multipass_round_robin_partitions(spark, src, tmp_path):
+    outs = [str(tmp_path / f"part{i}") for i in range(3)]
+    stats = multipass_split(spark, src, outs)
+    whole = _all_doc_ids(spark, src)
+    parts = [_all_doc_ids(spark, d) for d in outs]
+    # exact partition of the doc space
+    assert set().union(*parts) == whole
+    assert sum(len(p) for p in parts) == len(whole)
+    for i, p in enumerate(parts):
+        assert all(d % 3 == i for d in p)
+        assert stats[i]["max_doc"] == len(p)
+
+
+def test_multipass_parts_search_like_filtered_source(spark, src, tmp_path):
+    outs = [str(tmp_path / f"p{i}") for i in range(2)]
+    multipass_split(spark, src, outs)
+    s_all = IndexSearcher(spark, src)
+    q = {"type": "term", "term": "merge"}
+    want = {r["docID"] for r in s_all.search(q, k=1000).collect()}
+    got = set()
+    for d in outs:
+        part = IndexSearcher(spark, d)
+        hits = {r["docID"] for r in part.search(q, k=1000).collect()}
+        assert hits <= set(_all_doc_ids(spark, d))
+        got |= hits
+    # hit sets partition exactly (scores differ: per-part df/avgdl, same
+    # as the reference -- each split output is its own index)
+    assert got == want
+
+
+def test_multipass_seq_ranges(spark, src, tmp_path):
+    outs = [str(tmp_path / f"s{i}") for i in range(3)]
+    multipass_split(spark, src, outs, seq=True)
+    parts = [sorted(_all_doc_ids(spark, d)) for d in outs]
+    whole = sorted(set().union(*(set(p) for p in parts)))
+    assert whole == sorted(_all_doc_ids(spark, src))
+    # contiguous, ordered ranges
+    for earlier, later in zip(parts, parts[1:]):
+        if earlier and later:
+            assert max(earlier) < min(later)
+
+
+def test_multipass_part_term_stats_recounted(spark, src, tmp_path):
+    outs = [str(tmp_path / f"t{i}") for i in range(2)]
+    multipass_split(spark, src, outs)
+    whole_td = IndexSearcher(spark, src)._union_read("term_dict")
+    whole = {
+        (r["term"], r["df"], r["ttf"])
+        for r in whole_td.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf")).collect()
+    }
+    summed: dict[str, list[int]] = {}
+    for d in outs:
+        for r in IndexSearcher(spark, d)._union_read("term_dict").collect():
+            acc = summed.setdefault(r["term"], [0, 0])
+            acc[0] += r["df"]
+            acc[1] += r["ttf"]
+    assert {(t, v[0], v[1]) for t, v in summed.items()} == whole
+
+
+def test_pk_split_by_predicate(spark, src, tmp_path):
+    op, of = str(tmp_path / "pass"), str(tmp_path / "fail")
+    pred = F.col("repo") < "org2"
+    stats = pk_split(spark, src, op, of, pred)
+    s_all = IndexSearcher(spark, src)
+    want_pass = _ids(s_all.docs().filter(pred).select("docID"))
+    got_pass = _all_doc_ids(spark, op)
+    got_fail = _all_doc_ids(spark, of)
+    assert got_pass == want_pass
+    assert got_fail == _all_doc_ids(spark, src) - want_pass
+    assert stats[0]["max_doc"] == len(got_pass)
+    assert stats[1]["max_doc"] == len(got_fail)
+    # each part is searchable on its own
+    hits = IndexSearcher(spark, op).search({"type": "term", "term": "merge"}, k=10)
+    assert _ids(hits) <= got_pass
