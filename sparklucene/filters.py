@@ -75,6 +75,140 @@ def truncate_filter(tokens, length: int):
     return [(t[:length], p) for t, p in tokens]
 
 
+def upper_case_filter(tokens):
+    """UpperCaseFilter (Analysis/Core/UpperCaseFilter.cs): per-codepoint
+    Character.toUpperCase -- a codepoint with no single-codepoint uppercase
+    mapping stays as-is (so German ß does NOT become SS, unlike str.upper)."""
+    def up(t: str) -> str:
+        return "".join(u if len(u := c.upper()) == 1 else c for c in t)
+
+    return [(up(t), p) for t, p in tokens]
+
+
+def codepoint_count_filter(tokens, min_count: int, max_count: int):
+    """CodepointCountFilter (Analysis/Miscellaneous/CodepointCountFilter.cs):
+    keep terms whose CODEPOINT count (not UTF-16 length) is in
+    [min, max]; position increments accumulate across drops
+    (FilteringTokenFilter, enablePositionIncrements=true default).
+    Python str length IS the codepoint count, so len() is exact here."""
+    out = []
+    gap = 0
+    for t, p in tokens:
+        if min_count <= len(t) <= max_count:
+            out.append((t, p + gap))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+def limit_token_count_filter(tokens, max_token_count: int):
+    """LimitTokenCountFilter (Analysis/Miscellaneous/
+    LimitTokenCountFilter.cs): emit only the first maxTokenCount tokens
+    (consumeAllTokens only affects streaming exhaustion, moot in batch)."""
+    if max_token_count < 1:
+        raise ValueError("maxTokenCount must be greater than zero")
+    return list(tokens[: max_token_count])
+
+
+def limit_token_position_filter(tokens, max_token_position: int):
+    """LimitTokenPositionFilter (Analysis/Miscellaneous/
+    LimitTokenPositionFilter.cs): emit tokens while the accumulated
+    position (sum of increments) <= maxTokenPosition -- with graph inputs
+    (posInc 0 stacks) this keeps MORE than maxTokenPosition tokens, unlike
+    the count limiter."""
+    if max_token_position < 1:
+        raise ValueError("maxTokenPosition must be greater than zero")
+    out = []
+    pos = 0
+    for t, p in tokens:
+        pos += p
+        if pos > max_token_position:
+            break
+        out.append((t, p))
+    return out
+
+
+_SCAND_PAIR2 = {"a": "å", "A": "Å", "o": "ø", "O": "Ø"}
+
+
+def scandinavian_normalization_filter(tokens):
+    """ScandinavianNormalizationFilter (Analysis/Miscellaneous/
+    ScandinavianNormalizationFilter.cs): interchange of Scandinavian
+    characters -- ä/Ä→æ/Æ, ö/Ö→ø/Ø, and the digraphs aa/ao→å, ae→æ,
+    oe/oo→ø (case-aware).  Faithful to the reference's in-place scan: the
+    cursor moves past each substitution, so overlapping digraphs resolve
+    left-to-right exactly as the char-buffer loop does."""
+    def norm(t: str) -> str:
+        buf = list(t)
+        i = 0
+        while i < len(buf):
+            c = buf[i]
+            if c == "ä":
+                buf[i] = "æ"
+            elif c == "Ä":
+                buf[i] = "Æ"
+            elif c == "ö":
+                buf[i] = "ø"
+            elif c == "Ö":
+                buf[i] = "Ø"
+            elif i + 1 < len(buf):
+                n = buf[i + 1]
+                if c == "a" and n in "aoAO":
+                    del buf[i + 1]
+                    buf[i] = "å"
+                elif c == "A" and n in "aAoO":
+                    del buf[i + 1]
+                    buf[i] = "Å"
+                elif c == "a" and n in "eE":
+                    del buf[i + 1]
+                    buf[i] = "æ"
+                elif c == "A" and n in "eE":
+                    del buf[i + 1]
+                    buf[i] = "Æ"
+                elif c == "o" and n in "eEoO":
+                    del buf[i + 1]
+                    buf[i] = "ø"
+                elif c == "O" and n in "eEoO":
+                    del buf[i + 1]
+                    buf[i] = "Ø"
+            i += 1
+        return "".join(buf)
+
+    return [(norm(t), p) for t, p in tokens]
+
+
+def scandinavian_folding_filter(tokens):
+    """ScandinavianFoldingFilter (Analysis/Miscellaneous/
+    ScandinavianFoldingFilter.cs): the more destructive fold --
+    å/ä/æ→a, ö/ø→o (case-aware), and the double vowels aa/ae/ao/oe/oo
+    collapse to single a/o.  Same in-place scan discipline as the
+    normalization filter."""
+    def fold(t: str) -> str:
+        buf = list(t)
+        i = 0
+        while i < len(buf):
+            c = buf[i]
+            if c in "åäæ":
+                buf[i] = "a"
+            elif c in "ÅÄÆ":
+                buf[i] = "A"
+            elif c in "øö":
+                buf[i] = "o"
+            elif c in "ØÖ":
+                buf[i] = "O"
+            elif i + 1 < len(buf):
+                n = buf[i + 1]
+                if c in "aA" and n in "aAeEoO":
+                    del buf[i + 1]
+                elif c in "oO" and n in "eEoO":
+                    del buf[i + 1]
+            i += 1
+        return "".join(buf)
+
+    return [(fold(t), p) for t, p in tokens]
+
+
 def reverse_filter(tokens):
     """ReverseStringFilter (Analysis/Reverse/ReverseStringFilter.cs),
     no marker char."""
@@ -349,6 +483,12 @@ _FILTERS = {
     "keep": keep_word_filter,
     "trim": trim_filter,
     "truncate": truncate_filter,
+    "upper_case": upper_case_filter,
+    "codepoint_count": codepoint_count_filter,
+    "limit_token_count": limit_token_count_filter,
+    "limit_token_position": limit_token_position_filter,
+    "scandinavian_normalization": scandinavian_normalization_filter,
+    "scandinavian_folding": scandinavian_folding_filter,
     "reverse": reverse_filter,
     "ascii_folding": ascii_folding_filter,
     "capitalization": capitalization_filter,

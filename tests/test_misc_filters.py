@@ -1,0 +1,108 @@
+"""Reference-vector tests for the round-5 Miscellaneous/Core filters:
+Scandinavian normalization/folding (TestScandinavianNormalizationFilter.cs /
+TestScandinavianFoldingFilter.cs vectors, bit-for-bit), UpperCaseFilter,
+CodepointCountFilter, LimitTokenCount/PositionFilter."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.filters import (
+    codepoint_count_filter,
+    limit_token_count_filter,
+    limit_token_position_filter,
+    make_chain,
+    scandinavian_folding_filter,
+    scandinavian_normalization_filter,
+    upper_case_filter,
+)
+
+
+def _one(flt, term):
+    out = flt([(term, 1)])
+    assert len(out) == 1 and out[0][1] == 1
+    return out[0][0]
+
+
+# TestScandinavianNormalizationFilter.cs vectors
+NORM_VECTORS = [
+    ("aeäaeeea", "æææeea"), ("aeäaeeeae", "æææeeæ"), ("aeaeeeae", "ææeeæ"),
+    ("bøen", "bøen"), ("bOEen", "bØen"), ("åene", "åene"),
+    ("blåbærsyltetøj", "blåbærsyltetøj"), ("blaabaersyltetöj", "blåbærsyltetøj"),
+    ("räksmörgås", "ræksmørgås"), ("raeksmörgaos", "ræksmørgås"),
+    ("raeksmörgaas", "ræksmørgås"), ("raeksmoergås", "ræksmørgås"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "å"),
+    ("aa", "å"), ("aA", "å"), ("ao", "å"), ("aO", "å"),
+    ("AA", "Å"), ("Aa", "Å"), ("Ao", "Å"), ("AO", "Å"),
+    ("æ", "æ"), ("ä", "æ"), ("Æ", "Æ"), ("Ä", "Æ"),
+    ("ae", "æ"), ("aE", "æ"), ("Ae", "Æ"), ("AE", "Æ"),
+    ("ö", "ø"), ("ø", "ø"), ("Ö", "Ø"), ("Ø", "Ø"),
+    ("oo", "ø"), ("oe", "ø"), ("oO", "ø"), ("oE", "ø"),
+    ("Oo", "Ø"),
+]
+
+# TestScandinavianFoldingFilter.cs vectors
+FOLD_VECTORS = [
+    ("aeäaeeea", "aaaeea"), ("aeäaeeeae", "aaaeea"), ("aeaeeeae", "aaeea"),
+    ("bøen", "boen"), ("åene", "aene"),
+    ("blåbærsyltetøj", "blabarsyltetoj"), ("blaabaarsyltetoej", "blabarsyltetoj"),
+    ("blåbärsyltetöj", "blabarsyltetoj"),
+    ("raksmorgas", "raksmorgas"), ("räksmörgås", "raksmorgas"),
+    ("ræksmørgås", "raksmorgas"), ("raeksmoergaas", "raksmorgas"),
+    ("ræksmörgaos", "raksmorgas"),
+    ("ab", "ab"), ("ob", "ob"), ("Ab", "Ab"), ("Ob", "Ob"),
+    ("å", "a"), ("aa", "a"), ("aA", "a"), ("ao", "a"), ("aO", "a"),
+    ("AA", "A"), ("Aa", "A"), ("Ao", "A"), ("AO", "A"),
+    ("æ", "a"), ("ä", "a"), ("Æ", "A"), ("Ä", "A"),
+    ("ae", "a"), ("aE", "a"), ("Ae", "A"), ("AE", "A"),
+    ("ö", "o"), ("ø", "o"), ("Ö", "O"), ("Ø", "O"),
+    ("oo", "o"), ("oe", "o"), ("oO", "o"), ("oE", "o"),
+    ("Oo", "O"), ("Oe", "O"), ("OO", "O"), ("OE", "O"),
+]
+
+
+@pytest.mark.parametrize("src,want", NORM_VECTORS)
+def test_scandinavian_normalization(src, want):
+    assert _one(scandinavian_normalization_filter, src) == want
+
+
+@pytest.mark.parametrize("src,want", FOLD_VECTORS)
+def test_scandinavian_folding(src, want):
+    assert _one(scandinavian_folding_filter, src) == want
+
+
+def test_upper_case_per_codepoint():
+    assert upper_case_filter([("hello", 1), ("Straße", 2)]) == [
+        ("HELLO", 1), ("STRAßE", 2)  # ß has no 1-codepoint upper mapping
+    ]
+
+
+def test_codepoint_count_gaps():
+    toks = [("a", 1), ("bb", 1), ("ccc", 1), ("dd", 1)]
+    # keep only 2-codepoint terms; increments accumulate across drops
+    assert codepoint_count_filter(toks, 2, 2) == [("bb", 2), ("dd", 2)]
+    # astral plane: one codepoint even though it's 2 UTF-16 units in C#
+    assert codepoint_count_filter([("\U0001F600", 1)], 1, 1) == [("\U0001F600", 1)]
+
+
+def test_limit_token_count():
+    toks = [("a", 1), ("b", 1), ("c", 1)]
+    assert limit_token_count_filter(toks, 2) == [("a", 1), ("b", 1)]
+    with pytest.raises(ValueError):
+        limit_token_count_filter(toks, 0)
+
+
+def test_limit_token_position_with_stacked_tokens():
+    # (term, posInc): b and b2 share position 2 -- both inside the limit
+    toks = [("a", 1), ("b", 1), ("b2", 0), ("c", 1)]
+    assert limit_token_position_filter(toks, 2) == [("a", 1), ("b", 1), ("b2", 0)]
+
+
+def test_chain_registry_wires_new_filters():
+    an = make_chain("whitespace", [
+        "scandinavian_folding", "upper_case", ("limit_token_count", {"max_token_count": 2}),
+    ])
+    terms, positions = an("blåbær til bords")
+    assert terms == ["BLABAR", "TIL"]
+    assert positions == [0, 1]
