@@ -253,6 +253,19 @@ def _q_flexible_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, q, 15)
 
 
+def _q_simple_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser end-to-end with deliberate garbage (leading |,
+    unmatched trailing paren -- the parser NEVER throws, Simple/
+    SimpleQueryParser.cs:283-300): '| merge+shuffle | dup | "table hash" )'
+    parses to SHOULD(+merge +shuffle) SHOULD(dup) SHOULD("table hash")
+    under the flat-growth tree rule (BuildQueryTree :494-540)."""
+    from sparklucene.simpleparser import parse_simple
+
+    s = _searcher(spark, sf_dir)
+    q = parse_simple('| merge+shuffle | dup | "table hash" )')
+    return _topk_df(s, q, 15)
+
+
 def _q_tower_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME phrase as the `phrase` gate executed through the forced
     multi-level skip-tower descent (positional leapfrog with
@@ -2214,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf"] = _q_ann_ivf
     out["ann_ivfpq"] = _q_ann_ivfpq
     out["js_score"] = _q_js_score
+    out["simple_parsed"] = _q_simple_parsed
     out["split_rr"] = _q_split_rr
     out["func_scale"] = _q_func_scale
     out["func_ord"] = _q_func_ord
@@ -2244,7 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scrub", "pack_sequences", "flexible_parsed",
         "emb_neardup_lsh",
         "icu_term", "spatial_shape_poly", "tower_phrase",
-        "func_scale", "func_ord", "split_rr",
+        "func_scale", "func_ord", "split_rr", "simple_parsed",
         # r2-stale set, alphabetical
         "block_join", "classic_or", "classic_term", "custom_score",
         "dedup_exact", "deletes_merged", "dfr_gb2", "dfr_term", "dis_max",
@@ -2584,6 +2598,40 @@ LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'join') j USING (doc_id
 LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'shuffle') sh USING (doc_id)
 WHERE NOT EXISTS (SELECT 1 FROM scored x WHERE x.term = 'slow' AND x.doc_id = m.doc_id)
 ORDER BY m.score + coalesce(j.score, 0) + coalesce(sh.score, 0) DESC, m.doc_id
+LIMIT 15"""
+    sqls["simple_parsed"] = f"""{_prelude()},
+phr AS (
+  SELECT e1.doc_id, count(*)::INTEGER AS pf
+  FROM emitted e1 JOIN emitted e2
+    ON e1.doc_id = e2.doc_id AND e2.pos = e1.pos + 1
+  WHERE e1.term = 'table' AND e2.term = 'hash'
+  GROUP BY e1.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1.0 + (s.max_doc - t.df + 0.5) / (t.df + 0.5))) AS idf
+  FROM tstats t CROSS JOIN stats s WHERE t.term IN ('table', 'hash')
+),
+phs AS (
+  SELECT p.doc_id,
+         i.idf * 2.2 * p.pf / (p.pf + 1.2 * (0.25 + 0.75 * n.qlen / s.avgdl)) AS score
+  FROM phr p JOIN norms n USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+),
+ands AS (
+  SELECT m.doc_id, m.score + sh.score AS score
+  FROM (SELECT doc_id, score FROM scored WHERE term = 'merge') m
+  JOIN (SELECT doc_id, score FROM scored WHERE term = 'shuffle') sh USING (doc_id)
+),
+dups AS (SELECT doc_id, score FROM scored WHERE term = 'dup'),
+allids AS (
+  SELECT doc_id FROM ands UNION SELECT doc_id FROM dups UNION SELECT doc_id FROM phs
+)
+SELECT a.doc_id,
+       round(coalesce(x.score, 0) + coalesce(d.score, 0) + coalesce(p.score, 0), 4) AS score
+FROM allids a
+LEFT JOIN ands x USING (doc_id)
+LEFT JOIN dups d USING (doc_id)
+LEFT JOIN phs p USING (doc_id)
+ORDER BY coalesce(x.score, 0) + coalesce(d.score, 0) + coalesce(p.score, 0) DESC, a.doc_id
 LIMIT 15"""
     sqls["prefix_const"] = f"""{_prelude()}
 SELECT DISTINCT doc_id, 1.0 AS score FROM posting WHERE term LIKE 'sp%'"""

@@ -113,6 +113,16 @@ def cmd_search(args) -> int:
             allow_leading_wildcard=args.allow_leading_wildcard,
             multi_fields=tuple(args.multi_fields.split(",")) if args.multi_fields else None,
         )
+    elif args.syntax == "simple":
+        from sparklucene.simpleparser import parse_simple
+
+        q = parse_simple(
+            args.query,
+            default_operator="MUST" if args.default_operator == "and" else "SHOULD",
+        )
+        if q is None:
+            print("[]")
+            return
     elif args.syntax == "complex_phrase":
         q = parse_complex(args.query, keyword_fields=s.keyword_fields())
     elif args.syntax == "surround":
@@ -258,7 +268,7 @@ def main(argv=None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True, help="query string or JSON tree")
     s.add_argument("--syntax", default="classic",
-                   choices=["classic", "flexible", "complex_phrase", "surround", "xml"],
+                   choices=["classic", "flexible", "simple", "complex_phrase", "surround", "xml"],
                    help="query-string dialect (JSON trees bypass parsing)")
     # Flexible (StandardQueryParser) config points, used with --syntax flexible
     s.add_argument("--default-operator", default="or", choices=["or", "and"])

@@ -1,0 +1,302 @@
+"""SimpleQueryParser -- the never-throws human query grammar
+(src/Lucene.Net.QueryParser/Simple/SimpleQueryParser.cs).
+
+Operators (each independently flag-gated, SimpleQueryParser.cs:33-57):
+  +  AND        |  OR        -  NOT (prefix; doubled negations cancel)
+  "..."  phrase ("..."~N near)      term*  prefix      term~N fuzzy
+  ( )  precedence      \\  escape      whitespace delimits
+
+Any syntax error is IGNORED and the parser decodes what it can
+(unmatched '(' / '"' treated as extraneous, SimpleQueryParser.cs:283-300);
+Parse never raises.  Tree building is the reference's flat-growth rule
+(BuildQueryTree :494-540): same consecutive operation appends to the
+current boolean, an operation CHANGE wraps the whole current tree as the
+first clause of a new boolean -- so `a | b + c` = +(a OR b) +c.
+
+Output: this engine's JSON query trees (term/phrase/prefix/fuzzy/boolean/
+match_all).  Default-query text runs through the standard query analyzer
+(QueryBuilder.CreateBooleanQuery); prefix/fuzzy tokens are lowercased,
+not analyzed (the engine's lowercaseExpandedTerms convention).  Single
+default field; multi-field weighted dispatch lives in parse_flexible.
+"""
+
+from __future__ import annotations
+
+from .analysis import analyze_query_text
+
+AND_OPERATOR = 1 << 0
+NOT_OPERATOR = 1 << 1
+OR_OPERATOR = 1 << 2
+PREFIX_OPERATOR = 1 << 3
+PHRASE_OPERATOR = 1 << 4
+PRECEDENCE_OPERATORS = 1 << 5
+ESCAPE_OPERATOR = 1 << 6
+WHITESPACE_OPERATOR = 1 << 7
+FUZZY_OPERATOR = 1 << 8
+NEAR_OPERATOR = 1 << 9
+ALL_OPERATORS = -1
+
+_MAX_EDITS = 2  # LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE
+_WS = " \t\n\r"
+
+
+class _State:
+    __slots__ = ("data", "index", "length", "not_", "top",
+                 "current_op", "previous_op")
+
+    def __init__(self, data: str, index: int, length: int):
+        self.data = data
+        self.index = index
+        self.length = length
+        self.not_ = 0
+        self.top: dict | None = None
+        self.current_op: str | None = None   # None == "not set"
+        self.previous_op: str | None = None
+
+
+class SimpleQueryParser:
+    """parse(text) -> query tree dict or None (empty/all-stopword input)."""
+
+    def __init__(self, flags: int = ALL_OPERATORS,
+                 default_operator: str = "SHOULD", boost: float = 1.0,
+                 analyzer=None):
+        if default_operator not in ("SHOULD", "MUST"):
+            raise ValueError("invalid operator: only SHOULD or MUST are allowed")
+        self.flags = flags
+        self.default_operator = default_operator
+        self.boost = float(boost)
+        # QueryBuilder's analyzer hook: str -> [terms]; default = the
+        # engine's standard query chain (stop words vanish, like the index)
+        self.analyzer = analyzer or analyze_query_text
+
+    # -- flag helper ---------------------------------------------------------
+    def _on(self, op: int) -> bool:
+        return (self.flags & op) != 0
+
+    # -- entry ----------------------------------------------------------------
+    def parse(self, text: str) -> dict | None:
+        st = _State(text, 0, len(text))
+        self._parse_sub_query(st)
+        top = st.top
+        if top is not None and self.boost != 1.0:
+            top = dict(top)
+            top["boost"] = top.get("boost", 1.0) * self.boost
+        return top
+
+    # -- main loop (ParseSubQuery :163-242) ------------------------------------
+    def _parse_sub_query(self, st: _State) -> None:
+        while st.index < st.length:
+            c = st.data[st.index]
+            if c == "(" and self._on(PRECEDENCE_OPERATORS):
+                self._consume_sub_query(st)
+            elif c == ")" and self._on(PRECEDENCE_OPERATORS):
+                st.index += 1  # extraneous, ignored
+            elif c == '"' and self._on(PHRASE_OPERATOR):
+                self._consume_phrase(st)
+            elif c == "+" and self._on(AND_OPERATOR):
+                # ignored when an op is already set or nothing precedes it
+                if st.current_op is None and st.top is not None:
+                    st.current_op = "MUST"
+                st.index += 1
+            elif c == "|" and self._on(OR_OPERATOR):
+                if st.current_op is None and st.top is not None:
+                    st.current_op = "SHOULD"
+                st.index += 1
+            elif c == "-" and self._on(NOT_OPERATOR):
+                # two not operators in a row negate each other
+                st.not_ += 1
+                st.index += 1
+                continue  # keep the not count for the next token
+            elif c in _WS and self._on(WHITESPACE_OPERATOR):
+                st.index += 1
+            else:
+                self._consume_token(st)
+            # even whitespace is not allowed between '-' and its token
+            st.not_ = 0
+
+    # -- ( ... )  (ConsumeSubQuery :244-307) -----------------------------------
+    def _consume_sub_query(self, st: _State) -> None:
+        start = st.index = st.index + 1
+        precedence = 1
+        escaped = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self._on(ESCAPE_OPERATOR):
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == "(":
+                    precedence += 1
+                elif c == ")":
+                    precedence -= 1
+                    if precedence == 0:
+                        break
+            escaped = False
+            st.index += 1
+        if st.index == st.length:
+            # no closing paren: the opening one is extraneous
+            st.index = start
+        elif st.index == start:
+            # "()" -- the pending operation was meant for this subquery
+            st.current_op = None
+            st.index += 1
+        else:
+            sub = _State(st.data, start, st.index)
+            self._parse_sub_query(sub)
+            self._build_query_tree(st, sub.top)
+            st.index += 1
+
+    # -- " ... "[~N]  (ConsumePhrase :309-401) ----------------------------------
+    def _consume_phrase(self, st: _State) -> None:
+        start = st.index = st.index + 1
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self._on(ESCAPE_OPERATOR):
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == '"':
+                    if (st.length > st.index + 1 and st.data[st.index + 1] == "~"
+                            and self._on(NEAR_OPERATOR)):
+                        st.index += 1
+                        if st.length > st.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(c)
+            st.index += 1
+        if st.index == st.length:
+            st.index = start  # unmatched quote: extraneous
+        elif st.index == start:
+            st.current_op = None  # ""
+            st.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(st) if has_slop else 0
+            self._build_query_tree(st, self._new_phrase_query(phrase, slop))
+            st.index += 1
+
+    # -- term[*|~N]  (ConsumeToken :403-489) -------------------------------------
+    def _consume_token(self, st: _State) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while st.index < st.length:
+            c = st.data[st.index]
+            if not escaped:
+                if c == "\\" and self._on(ESCAPE_OPERATOR):
+                    escaped = True
+                    prefix = False
+                    st.index += 1
+                    continue
+                if self._token_finished(st):
+                    break
+                if buf and c == "~" and self._on(FUZZY_OPERATOR):
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*" and self._on(PREFIX_OPERATOR)
+            escaped = False
+            buf.append(c)
+            st.index += 1
+        if not buf:
+            return
+        token = "".join(buf)
+        if fuzzy:
+            fuzziness = min(self._parse_fuzziness(st), _MAX_EDITS)
+            if fuzziness == 0:
+                branch = self._new_default_query(token)
+            else:
+                branch = {"type": "fuzzy", "term": token.lower(),
+                          "max_edits": fuzziness}
+        elif prefix:
+            branch = {"type": "prefix", "prefix": token[:-1].lower()}
+        else:
+            branch = self._new_default_query(token)
+        self._build_query_tree(st, branch)
+
+    # -- tree growth (BuildQueryTree :494-540) -----------------------------------
+    def _build_query_tree(self, st: _State, branch: dict | None) -> None:
+        if branch is None:
+            return
+        if st.not_ % 2 == 1:
+            branch = {"type": "boolean", "clauses": [
+                {"occur": "MUST_NOT", "query": branch},
+                {"occur": "SHOULD", "query": {"type": "match_all"}},
+            ]}
+        if st.top is None:
+            st.top = branch
+        else:
+            if st.current_op is None:
+                st.current_op = self.default_operator
+            if st.previous_op is None or st.previous_op != st.current_op:
+                # operation change: current tree becomes the first clause
+                st.top = {"type": "boolean", "clauses": [
+                    {"occur": st.current_op, "query": st.top},
+                ]}
+            st.top["clauses"].append({"occur": st.current_op, "query": branch})
+            st.previous_op = st.current_op
+        st.current_op = None
+
+    # -- ~N  (ParseFuzziness :545-580) --------------------------------------------
+    def _parse_fuzziness(self, st: _State) -> int:
+        chars: list[str] = []
+        if st.index < st.length and st.data[st.index] == "~":
+            while st.index < st.length:
+                st.index += 1
+                if st.index < st.length:
+                    if self._token_finished(st):
+                        break
+                    chars.append(st.data[st.index])
+            try:
+                fuzziness = int("".join(chars))
+            except ValueError:
+                fuzziness = 0  # int.TryParse leaves 0
+            return max(fuzziness, 0)
+        return 0
+
+    # -- delimiters (TokenFinished :585-600) ----------------------------------------
+    def _token_finished(self, st: _State) -> bool:
+        c = st.data[st.index]
+        return (
+            (c == '"' and self._on(PHRASE_OPERATOR))
+            or (c == "|" and self._on(OR_OPERATOR))
+            or (c == "+" and self._on(AND_OPERATOR))
+            or (c in "()" and self._on(PRECEDENCE_OPERATORS))
+            or (c in _WS and self._on(WHITESPACE_OPERATOR))
+        )
+
+    # -- query factories (NewDefaultQuery :605-618, NewPhraseQuery :640-655) --------
+    def _new_default_query(self, text: str) -> dict | None:
+        terms = self.analyzer(text)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return {"type": "term", "term": terms[0]}
+        return {"type": "boolean", "clauses": [
+            {"occur": self.default_operator, "query": {"type": "term", "term": t}}
+            for t in terms
+        ]}
+
+    def _new_phrase_query(self, text: str, slop: int) -> dict | None:
+        terms = self.analyzer(text)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return {"type": "term", "term": terms[0]}
+        q: dict = {"type": "phrase", "terms": terms}
+        if slop:
+            q["slop"] = slop
+        return q
+
+
+def parse_simple(text: str, flags: int = ALL_OPERATORS,
+                 default_operator: str = "SHOULD") -> dict | None:
+    """One-shot helper: SimpleQueryParser(flags, default_operator).parse."""
+    return SimpleQueryParser(flags, default_operator).parse(text)

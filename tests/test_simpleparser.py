@@ -1,0 +1,266 @@
+"""TestSimpleQueryParser.cs vectors over the SimpleQueryParser port.
+
+The reference tests use MockAnalyzer (whitespace + lowercase, no stops);
+`_parse` mirrors their helper (default operator MUST).  Trees are compared
+structurally against hand-built expected dicts."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.simpleparser import (
+    ALL_OPERATORS,
+    AND_OPERATOR,
+    ESCAPE_OPERATOR,
+    FUZZY_OPERATOR,
+    NEAR_OPERATOR,
+    NOT_OPERATOR,
+    OR_OPERATOR,
+    PHRASE_OPERATOR,
+    PRECEDENCE_OPERATORS,
+    PREFIX_OPERATOR,
+    WHITESPACE_OPERATOR,
+    SimpleQueryParser,
+    parse_simple,
+)
+
+
+def _mock_analyzer(text: str) -> list[str]:
+    return [t.lower() for t in text.split()]
+
+
+def _parse(text, flags=ALL_OPERATORS):
+    return SimpleQueryParser(flags, "MUST", analyzer=_mock_analyzer).parse(text)
+
+
+def t(term):
+    return {"type": "term", "term": term}
+
+
+def bq(*clauses):
+    return {"type": "boolean",
+            "clauses": [{"occur": o, "query": q} for o, q in clauses]}
+
+
+def ph(*terms, slop=0):
+    q = {"type": "phrase", "terms": list(terms)}
+    if slop:
+        q["slop"] = slop
+    return q
+
+
+def neg(q):
+    return bq(("MUST_NOT", q), ("SHOULD", {"type": "match_all"}))
+
+
+def test_term():
+    assert _parse("foobar") == t("foobar")
+
+
+def test_fuzzy():
+    assert _parse("foobar~2") == {"type": "fuzzy", "term": "foobar", "max_edits": 2}
+    assert _parse("foobar~") == t("foobar")
+    assert _parse("foobar~a") == t("foobar")
+    assert _parse("foobar~1a") == t("foobar")
+    # distance above the supported max clamps to 2 ("foo~21 bar" in C#)
+    assert _parse("foo~21 bar") == bq(
+        ("MUST", {"type": "fuzzy", "term": "foo", "max_edits": 2}),
+        ("MUST", t("bar")),
+    )
+
+
+def test_phrase():
+    assert _parse('"foo bar"') == ph("foo", "bar")
+
+
+def test_phrase_with_slop():
+    assert _parse('"foo bar"~2') == ph("foo", "bar", slop=2)
+    assert _parse('"foo bar"~10') == ph("foo", "bar", slop=10)
+    assert _parse('"foo bar"~') == ph("foo", "bar")
+    assert _parse('"foo bar"~a') == ph("foo", "bar")
+    assert _parse('"foo bar"~1a') == ph("foo", "bar")
+    assert _parse('"foo bar"~-1') == ph("foo", "bar")
+    assert _parse('"foo bar"~12 baz') == bq(
+        ("MUST", ph("foo", "bar", slop=12)), ("MUST", t("baz")))
+
+
+def test_prefix():
+    assert _parse("foobar*") == {"type": "prefix", "prefix": "foobar"}
+
+
+def test_and_or_not():
+    assert _parse("foo+bar") == bq(("MUST", t("foo")), ("MUST", t("bar")))
+    assert _parse('"foo bar"+"star wars"') == bq(
+        ("MUST", ph("foo", "bar")), ("MUST", ph("star", "wars")))
+    assert _parse("foo bar") == bq(("MUST", t("foo")), ("MUST", t("bar")))
+    or_expected = bq(("SHOULD", t("foo")), ("SHOULD", t("bar")))
+    assert _parse("foo|bar") == or_expected
+    assert _parse("foo||bar") == or_expected
+    # default parser (SHOULD): implicit OR
+    p = SimpleQueryParser(analyzer=_mock_analyzer)
+    assert p.parse("foo bar") == or_expected
+    assert _parse('"foo bar"|"star wars"') == bq(
+        ("SHOULD", ph("foo", "bar")), ("SHOULD", ph("star", "wars")))
+    for q in ("-foo", "-(foo)", "---foo"):
+        assert _parse(q) == neg(t("foo"))
+
+
+def test_crazy_prefixes_and_escapes():
+    assert _parse("st*ar*") == {"type": "prefix", "prefix": "st*ar"}
+    assert _parse("st*ar\\\\**") == {"type": "prefix", "prefix": "st*ar\\*"}
+    # escaped last '*': a term, not a prefix (TestTermInDisguise)
+    assert _parse("sT*Ar\\\\\\*") == t("st*ar\\*")
+
+
+def test_garbage_term():
+    for q in ("star", "star\n", "star\r", "star\t", "star(", "star)",
+              'star"', "\t \r\n\nstar   \n \r \t ", '- + "" - star \\'):
+        assert _parse(q) == t("star"), q
+
+
+def test_garbage_empty():
+    for q in ("", "  ", "\\ ", "\\ \\ ", '""', '" "', '" "|" "',
+              '(" "|" ")', '" " " "', '(" " " ")'):
+        assert _parse(q) is None, repr(q)
+
+
+def test_garbage_and_or_not():
+    expected = bq(("MUST", t("star")), ("MUST", t("wars")))
+    for q in ("star wars", "star+wars", "     star     wars   ",
+              "     star +    wars   ", "  |     star + + |   wars   ",
+              "  |     star + + |   wars   \\"):
+        assert _parse(q) == expected, q
+    expected = bq(("SHOULD", t("star")), ("SHOULD", t("wars")))
+    for q in ("star|wars", "     star |    wars   ",
+              "  |     star | + |   wars   ", "  +     star | + +   wars   \\"):
+        assert _parse(q) == expected, q
+    for q in ("-star", "---star", "- -star -"):
+        assert _parse(q) == neg(t("star")), q
+
+
+def test_garbage_phrase_and_subquery():
+    expected = ph("star", "wars")
+    for q in ('"star wars"', '"star wars\\ "', '"" | "star wars"',
+              '          "star wars"        ""\\'):
+        assert _parse(q) == expected, q
+    for q in ("(star)", "(star))", "((star)",
+              "     -()(star)        \n\n\r     ",
+              "| + - ( + - |      star    \n      ) \n"):
+        assert _parse(q) == t("star"), q
+
+
+def test_compound():
+    expected = bq(("MUST", t("star")), ("MUST", t("wars")), ("MUST", t("empire")))
+    for q in ("star wars empire", "star+wars + empire",
+              " | --star wars empire \n\\"):
+        assert _parse(q) == expected, q
+    expected = bq(("SHOULD", t("star")), ("SHOULD", t("wars")),
+                  ("SHOULD", t("empire")))
+    for q in ("star|wars|empire", "star|wars | empire",
+              " | --star|wars|empire \n\\"):
+        assert _parse(q) == expected, q
+
+
+def test_complex00_01_02():
+    inner = bq(("SHOULD", t("star")), ("SHOULD", t("wars")))
+    expected = bq(("MUST", inner), ("MUST", t("empire")))
+    for q in ("star|wars empire", "star|wars + empire",
+              "star| + wars + ----empire |"):
+        assert _parse(q) == expected, q
+    inner = bq(("MUST", t("star")), ("MUST", t("wars")))
+    expected = bq(("SHOULD", inner), ("SHOULD", t("empire")))
+    for q in ("star wars | empire", "star + wars|empire",
+              "star + | wars | ----empire +"):
+        assert _parse(q) == expected, q
+    expected = bq(("SHOULD", inner), ("SHOULD", t("empire")),
+                  ("SHOULD", t("strikes")))
+    for q in ("star wars | empire | strikes", "star + wars|empire | strikes",
+              "star + | wars | ----empire | + --strikes \\"):
+        assert _parse(q) == expected, q
+
+
+def test_complex03_04():
+    inner2 = bq(("MUST", t("star")), ("MUST", t("wars")))
+    inner = bq(("SHOULD", inner2), ("SHOULD", t("empire")),
+               ("SHOULD", t("strikes")))
+    expected = bq(("MUST", inner), ("MUST", t("back")))
+    for q in ("star wars | empire | strikes back",
+              "star + wars|empire | strikes + back",
+              "star + | wars | ----empire | + --strikes + | --back \\"):
+        assert _parse(q) == expected, q
+    inner = bq(("MUST", t("star")), ("MUST", t("wars")))
+    inner2 = bq(("MUST", t("strikes")), ("MUST", t("back")))
+    expected = bq(("SHOULD", inner), ("SHOULD", t("empire")), ("SHOULD", inner2))
+    for q in ("(star wars) | empire | (strikes back)",
+              "(star + wars) |empire | (strikes + back)",
+              "(star + | wars |) | ----empire | + --(strikes + | --back) \\"):
+        assert _parse(q) == expected, q
+
+
+def test_complex05():
+    inner4 = neg(t("jarjar"))
+    inner3 = bq(("MUST", t("strikes")), ("MUST", t("back")), ("MUST", inner4))
+    inner2 = bq(("SHOULD", t("empire")), ("SHOULD", inner3))
+    inner1 = bq(("MUST", t("star")), ("MUST", t("wars")))
+    expected = bq(("SHOULD", inner1), ("SHOULD", inner2))
+    for q in ("(star wars) | (empire | (strikes back -jarjar))",
+              "(star + wars) |(empire | (strikes + back -jarjar) () )",
+              '(star + | wars |) | --(--empire | + --(strikes + | --back + -jarjar) "" ) "'):
+        assert _parse(q) == expected, q
+
+
+def test_complex06():
+    inner3 = bq(("SHOULD", t("empire")), ("SHOULD", t("strikes")))
+    inner2 = bq(("MUST", inner3), ("MUST", t("back")), ("MUST", t("jar+|jar")))
+    inner1 = bq(("SHOULD", t("wars")), ("SHOULD", inner2))
+    expected = bq(("MUST", t("star")), ("MUST", inner1))
+    for q in ("star (wars | (empire | strikes back jar\\+\\|jar))",
+              "star + (wars |(empire | strikes + back jar\\+\\|jar) () )",
+              'star + (| wars | | --(--empire | + --strikes + | --back + jar\\+\\|jar) "" ) "'):
+        assert _parse(q) == expected, q
+
+
+def test_disable_operators():
+    everything_but = ALL_OPERATORS & ~PHRASE_OPERATOR
+    assert _parse('"foo bar"', everything_but) == bq(
+        ("MUST", t('"foo')), ("MUST", t('bar"')))
+    everything_but = ALL_OPERATORS & ~PREFIX_OPERATOR
+    assert _parse("foo*", everything_but) == t("foo*")
+    everything_but = ALL_OPERATORS & ~AND_OPERATOR
+    assert _parse("foo+bar", everything_but) == t("foo+bar")
+    everything_but = ALL_OPERATORS & ~OR_OPERATOR
+    assert _parse("foo|bar", everything_but) == t("foo|bar")
+    everything_but = ALL_OPERATORS & ~NOT_OPERATOR
+    assert _parse("-foo", everything_but) == t("-foo")
+    everything_but = ALL_OPERATORS & ~PRECEDENCE_OPERATORS
+    assert _parse("(foo)", everything_but) == t("(foo)")
+    everything_but = ALL_OPERATORS & ~ESCAPE_OPERATOR
+    assert _parse("foo\\bar", everything_but) == t("foo\\bar")
+    everything_but = ALL_OPERATORS & ~WHITESPACE_OPERATOR
+    # spaces become part of the single analyzed token stream
+    assert _parse("foo foo", everything_but) == bq(
+        ("MUST", t("foo")), ("MUST", t("foo")))
+    everything_but = ALL_OPERATORS & ~FUZZY_OPERATOR
+    assert _parse("foo~1", everything_but) == t("foo~1")
+    everything_but = ALL_OPERATORS & ~NEAR_OPERATOR
+    assert _parse('"foo bar"~2', everything_but) == bq(
+        ("MUST", ph("foo", "bar")), ("MUST", t("~2")))
+
+
+def test_default_operator_validation_and_helper():
+    with pytest.raises(ValueError):
+        SimpleQueryParser(default_operator="MUST_NOT")
+    # parse_simple uses the engine's standard analyzer: stopwords vanish
+    assert parse_simple("the") is None
+    assert parse_simple("spark")["type"] == "term"
+
+
+def test_never_raises_fuzz():
+    import random
+
+    rng = random.Random(42)
+    alphabet = 'ab ()"|+-\\~*\t\n123'
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        _parse(s)  # must not raise
+        parse_simple(s)  # standard analyzer path must not raise either
