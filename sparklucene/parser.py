@@ -97,6 +97,10 @@ class _Parser:
         # StandardQueryParser.cs:466 -- same grammar, externally-set
         # behavior); defaults preserve classic parse() semantics
         self.config = config or {}
+        # ParserExtension registry (ExtendableQueryParser); set by
+        # parse_extendable -- empty means no extension dispatch
+        self.extensions: dict = {}
+        self.ext_default_field = "text"
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -181,6 +185,19 @@ class _Parser:
         if kind == RANGE:
             return self._range(tok)
         if kind == TERM:
+            # `field\:key:"quoted value"`: extension dispatch on the quoted
+            # form (ExtendableQueryParser.GetFieldQuery quoted path; the raw
+            # value is unescaped, not analyzed)
+            if self.extensions and tok.endswith(":"):
+                em = _EXT_FIELD_RE.match(tok)
+                if em and em.group(3) == "" and em.group(2) in self.extensions:
+                    k2, nxt = self.peek()
+                    if k2 == QUOTED:
+                        self.next()
+                        return self.extensions[em.group(2)](
+                            em.group(1) or self.ext_default_field,
+                            _unescape(nxt[1:-1]),
+                        )
             # `field:"quoted value"` on a keyword field: the lexer splits it
             # into TERM 'field:' + QUOTED; join them back to an exact match
             if tok.endswith(":") and tok[:-1] in self.keyword_fields:
@@ -369,6 +386,25 @@ class _Parser:
     def _term(self, tok: str) -> dict | None:
         if tok == "*:*":
             return {"type": "match_all"}
+        if self.extensions:
+            # `field\:key:value` -> ParserExtension dispatch
+            # (ExtendableQueryParser.GetFieldQuery); the raw value is
+            # unescaped but NOT analyzed (ExtensionQuery carries raw text);
+            # a trailing ^boost multiplies into whatever the extension built
+            em = _EXT_FIELD_RE.match(tok)
+            if em and em.group(3) and em.group(2) in self.extensions:
+                val = em.group(3)
+                bm = _BOOST_RE.search(val)
+                boost = float(bm.group(1)) if bm else 1.0
+                if bm:
+                    val = val[: bm.start()]
+                q = self.extensions[em.group(2)](
+                    em.group(1) or self.ext_default_field, _unescape(val)
+                )
+                if q is not None and boost != 1.0:
+                    q = dict(q)
+                    q["boost"] = q.get("boost", 1.0) * boost
+                return q
         explicit_field = False
         fm = _FIELD_RE.match(tok)
         if fm:
@@ -558,6 +594,115 @@ def parse(text: str, keyword_fields=()) -> dict:
     through to the default text field as before.
     Raises QueryParseError on syntax errors or an all-stopword query."""
     q = _Parser(_lex(text), keyword_fields).parse_query()
+    if q is None:
+        raise QueryParseError(f"query matched no indexable terms: {text!r}")
+    return q
+
+
+# -- AnalyzingQueryParser (src/Lucene.Net.QueryParser/Analyzing/) -------------
+
+_WILDCARD_CHUNK_RE = re.compile(r"[?*]+")
+
+
+def _analyze_single_chunk(analyzer, term_str: str, chunk: str) -> str:
+    """AnalyzingQueryParser.AnalyzeSingleChunk (AnalyzingQueryParser.cs:
+    140-196): run one wildcard-free chunk through the analyzer and demand
+    EXACTLY one output token -- zero or multiple tokens are parse errors,
+    exactly the reference's ParseException texts."""
+    terms = analyzer(chunk)
+    if not terms:
+        raise QueryParseError(f'Analyzer returned nothing for "{chunk}"')
+    if len(terms) > 1:
+        raise QueryParseError(
+            f'Analyzer created multiple terms for "{chunk}": '
+            + ",".join(f'"{t}"' for t in terms)
+        )
+    return terms[0]
+
+
+def _analyze_expanded(node: dict, analyzer) -> dict:
+    """Post-pass: rewrite prefix/wildcard/fuzzy nodes so their term text is
+    ANALYZED (AnalyzingQueryParser overrides GetWildcardQuery/
+    GetPrefixQuery/GetFuzzyQuery; wildcard runs each chunk between
+    [?*] runs through the analyzer, AnalyzingQueryParser.cs:77-112)."""
+    t = node.get("type")
+    if t == "prefix":
+        out = dict(node)
+        out["prefix"] = _analyze_single_chunk(analyzer, node["prefix"], node["prefix"])
+        return out
+    if t == "fuzzy":
+        out = dict(node)
+        out["term"] = _analyze_single_chunk(analyzer, node["term"], node["term"])
+        return out
+    if t == "wildcard":
+        pat = node["pattern"]
+        parts: list[str] = []
+        last = 0
+        for m in _WILDCARD_CHUNK_RE.finditer(pat):
+            if m.start() > last:
+                parts.append(_analyze_single_chunk(analyzer, pat, pat[last:m.start()]))
+            parts.append(m.group())
+            last = m.end()
+        if last < len(pat):
+            parts.append(_analyze_single_chunk(analyzer, pat, pat[last:]))
+        out = dict(node)
+        out["pattern"] = "".join(parts)
+        return out
+    for key in ("clauses", "queries"):
+        if key in node:
+            out = dict(node)
+            if key == "clauses":
+                out[key] = [
+                    {**c, "query": _analyze_expanded(c["query"], analyzer)}
+                    for c in node[key]
+                ]
+            else:
+                out[key] = [_analyze_expanded(q, analyzer) for q in node[key]]
+            return out
+    for key in ("query", "include", "exclude"):
+        if key in node and isinstance(node[key], dict):
+            node = dict(node)
+            node[key] = _analyze_expanded(node[key], analyzer)
+    return node
+
+
+def parse_analyzing(text: str, analyzer, keyword_fields=()) -> dict:
+    """AnalyzingQueryParser: the classic grammar, but wildcard / prefix /
+    fuzzy term text is processed through `analyzer` (str -> [terms])
+    instead of being merely lowercased -- each chunk between wildcard
+    characters must analyze to exactly one token.  Lets a folding or
+    stemming index accept expanded-term queries in surface form
+    (ubersetzung* matching an ASCII-folded index, the reference's
+    TestAnalyzingQueryParser scenarios)."""
+    return _analyze_expanded(parse(text, keyword_fields), analyzer)
+
+
+# -- ExtendableQueryParser (src/Lucene.Net.QueryParser/Ext/) -------------------
+
+_EXT_FIELD_RE = re.compile(
+    r"^(?:([A-Za-z_][A-Za-z0-9_]*))?\\:([A-Za-z_][A-Za-z0-9_]*):(.*)$"
+)
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def parse_extendable(text: str, extensions: dict, keyword_fields=(),
+                     default_field: str = "text") -> dict:
+    """ExtendableQueryParser: classic grammar plus a ParserExtension
+    registry.  The extension field syntax is the reference's
+    Extensions.BuildExtensionField output -- the ':' between field and
+    extension key is ESCAPED in query text (`aField\\:key:value`, or
+    `\\:key:value` to target the default field, Extensions.cs:
+    SplitExtensionField + EscapeExtensionField).  A registered key
+    dispatches `extensions[key](field, raw_value)` (raw value unescaped,
+    NOT analyzed -- ExtensionQuery carries the raw term, ParserExtension
+    decides); unknown keys fall through to the classic field handling."""
+    parser = _Parser(_lex(text), keyword_fields)
+    parser.extensions = dict(extensions)
+    parser.ext_default_field = default_field
+    q = parser.parse_query()
     if q is None:
         raise QueryParseError(f"query matched no indexable terms: {text!r}")
     return q

@@ -1,0 +1,109 @@
+"""AnalyzingQueryParser + ExtendableQueryParser dialects over the classic
+grammar (TestAnalyzingQueryParser.cs / TestExtendableQueryParser.cs shapes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklucene.parser import (
+    QueryParseError,
+    parse,
+    parse_analyzing,
+    parse_extendable,
+)
+
+
+def _folding_analyzer(text: str) -> list[str]:
+    # lowercase + ASCII-fold, one token per whitespace run (the reference
+    # tests use ASCIIFoldingFilter chains)
+    from sparklucene.filters import ascii_folding_filter
+
+    toks = [(t.lower(), 1) for t in text.split()]
+    return [t for t, _ in ascii_folding_filter(toks)]
+
+
+# --- AnalyzingQueryParser -----------------------------------------------------
+
+def test_analyzing_wildcard_chunks_folded():
+    # TestAnalyzingQueryParser wildcard rows: each chunk between wildcards
+    # is analyzed, wildcard runs survive verbatim (plain terms keep the
+    # index chain's query analysis, applied searcher-side)
+    q = parse_analyzing("übersetzung übersetz*g", _folding_analyzer)
+    assert q["clauses"][1]["query"] == {"type": "wildcard", "pattern": "ubersetz*g"}
+    q = parse_analyzing("Mötley Cr*e", _folding_analyzer)
+    assert q["clauses"][1]["query"] == {"type": "wildcard", "pattern": "cr*e"}
+    q = parse_analyzing("Renée Zellw*ger", _folding_analyzer)
+    assert q["clauses"][1]["query"] == {"type": "wildcard", "pattern": "zellw*ger"}
+    # multiple chunks in one pattern, leading/trailing wildcards preserved
+    q = parse_analyzing("*Mötley*Crüe*", _folding_analyzer)
+    assert q == {"type": "wildcard", "pattern": "*motley*crue*"}
+
+
+def test_analyzing_prefix_and_fuzzy():
+    assert parse_analyzing("übersetz*", _folding_analyzer) == {
+        "type": "prefix", "prefix": "ubersetz"}
+    q = parse_analyzing("Übersetzung~2", _folding_analyzer)
+    assert q["type"] == "fuzzy" and q["term"] == "ubersetzung" and q["max_edits"] == 2
+
+
+def test_analyzing_rejects_zero_or_multi_token_chunks():
+    def stop_all(_text):
+        return []
+
+    with pytest.raises(QueryParseError, match="returned nothing"):
+        parse_analyzing("foo*", stop_all)
+
+    def splitter(text):
+        return ["a", "b"]
+
+    with pytest.raises(QueryParseError, match="multiple terms"):
+        parse_analyzing("foo*", splitter)
+
+
+def test_analyzing_leaves_plain_terms_to_classic_analysis():
+    # plain terms go through the classic path untouched by the hook
+    assert parse_analyzing("merge", _folding_analyzer) == parse("merge")
+
+
+# --- ExtendableQueryParser ----------------------------------------------------
+
+def _test_ext(field: str, value: str) -> dict:
+    # the reference's ExtensionStub: a TermQuery on the resolved field with
+    # the RAW (unescaped, unanalyzed) value
+    return {"type": "field_term", "field": field, "value": value}
+
+
+EXTS = {"testExt": _test_ext}
+
+
+def test_ext_unescaped_field_and_default_field():
+    # aField\:testExt:foo -> extension on aField; plain 'bar' stays classic
+    q = parse_extendable(r"aField\:testExt:foo bar", EXTS)
+    assert q["clauses"][0]["query"] == {"type": "field_term",
+                                        "field": "aField", "value": "foo"}
+    assert q["clauses"][1]["query"] == {"type": "term", "term": "bar"}
+    # \:testExt:foo -> default field
+    q = parse_extendable(r"\:testExt:foo", EXTS, default_field="text")
+    assert q == {"type": "field_term", "field": "text", "value": "foo"}
+
+
+def test_ext_quoted_raw_value_unescaped():
+    # quoted values arrive raw with escapes removed ("foo \& bar" -> foo & bar)
+    q = parse_extendable(r'aField\:testExt:"foo \& bar"', EXTS)
+    assert q == {"type": "field_term", "field": "aField", "value": "foo & bar"}
+
+
+def test_ext_boost_multiplies_extension_query():
+    q = parse_extendable(r"aField\:testExt:foo^2.5", EXTS)
+    assert q["boost"] == 2.5 and q["value"] == "foo"
+
+
+def test_ext_unknown_key_falls_through():
+    # unregistered key: classic handling (the token analyzes as plain text)
+    q = parse_extendable(r"aField\:otherExt:merge", EXTS)
+    flat = str(q)
+    assert "merge" in flat and "field_term" not in flat
+
+
+def test_ext_without_registry_is_plain_classic():
+    assert parse("merge join") == parse_extendable("merge join", {})
