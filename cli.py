@@ -162,6 +162,21 @@ def cmd_spell(args) -> int:
     return 0
 
 
+def cmd_term_info(args) -> int:
+    """GetTermInfo analogue (Lucene.Net.Misc/Misc/GetTermInfo.cs): print a
+    term's docFreq / totalTermFreq from the term dictionary -- pure stats
+    lookup, no postings decode."""
+    from sparklucene.search import IndexSearcher
+
+    s = IndexSearcher(_spark(args), args.index)
+    st = s.lookup_terms([args.term]).get(args.term)
+    df = int(st.df) if st is not None else 0
+    ttf = int(st.ttf) if st is not None else 0
+    # GetTermInfo.cs output shape: "{ttf} {field}:{term} {df}"
+    print(f"{ttf} content:{args.term} {df}")
+    return 0
+
+
 def cmd_check(args) -> int:
     from sparklucene.check_index import check_index
 
@@ -297,6 +312,11 @@ def main(argv=None) -> int:
     sp.add_argument("--max-edits", type=int, default=2)
     sp.add_argument("-n", type=int, default=5)
 
+    ti = sub.add_parser("term-info", help="print a term's docFreq / "
+                        "totalTermFreq (GetTermInfo analogue)")
+    ti.add_argument("--index", required=True)
+    ti.add_argument("--term", required=True)
+
     c = sub.add_parser("check")
     c.add_argument("--index", required=True)
 
@@ -331,7 +351,7 @@ def main(argv=None) -> int:
     al.add_argument("--work-dir", default=None)
 
     args = ap.parse_args(argv)
-    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "merge": cmd_merge, "upgrade": cmd_upgrade, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate, "alg": cmd_alg}[args.cmd](args)
+    return {"build": cmd_build, "search": cmd_search, "check": cmd_check, "term-info": cmd_term_info, "merge": cmd_merge, "upgrade": cmd_upgrade, "suggest": cmd_suggest, "spell": cmd_spell, "curate": cmd_curate, "alg": cmd_alg}[args.cmd](args)
 
 
 if __name__ == "__main__":
