@@ -1659,6 +1659,95 @@ def _q_payload_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+_TYPED_SEARCHERS: dict[str, IndexSearcher] = {}
+_NUMPAY_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _typed_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus for the type-attribute gates: append two numeric
+    tokens (doc_id digits + the constant 2024) so the typed standard
+    tokenizer types them <NUM> while every original token stays
+    <ALPHANUM>; whitespace split == standard tokenization still holds, so
+    the DuckDB twin re-derives the stream exactly."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.col("doc_id").cast("string"),
+                    F.lit("2024")))
+
+
+def _typed_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the typed_chain analyzer: typed StandardTokenizer
+    -> TypeTokenFilter(stopTypes={<NUM>}, blacklist) -> LowerCase -> Stop
+    (TypeTokenFilter.cs:83-86 semantics: numerics dropped, position holes
+    preserved -- field_len and norms shrink vs the standard index)."""
+    key = os.path.abspath(sf_dir)
+    s = _TYPED_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_typed",
+        f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="typed_chain",
+        analyzer_params={"filters": [
+            ("type_token", {"stop_types": ["<NUM>"]}), "lowercase", "stop"]},
+        resume=True,
+    )
+    build_index(spark, _typed_docs_df(spark, sf_dir), out, cfg)
+    s = IndexSearcher(spark, out)
+    _TYPED_SEARCHERS[key] = s
+    return s
+
+
+def _q_type_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TypeTokenFilter gate: the <NUM>-blacklisted index scores 'merge'
+    with norms that exclude the injected numeric tokens (a doc's
+    field_len is 2 smaller than the derived corpus' whitespace count)."""
+    s = _typed_searcher(spark, sf_dir)
+    return _topk_df(s, {"type": "term", "term": "merge"}, 15)
+
+
+def _numpay_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the typed_payload analyzer: typed
+    StandardTokenizer -> NumericPayloadTokenFilter(3.0, '<NUM>') ->
+    LowerCase -> Stop; the 4-byte float payloads land in the
+    per-occurrence float32 payload stream (PayloadHelper.EncodeSingle /
+    DecodeSingle round trip, NumericPayloadTokenFilter.cs:49-63)."""
+    key = os.path.abspath(sf_dir)
+    s = _NUMPAY_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_numpay",
+        f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="typed_payload",
+        analyzer_params={"filters": [
+            ("numeric_payload", {"payload": 3.0, "type_match": "<NUM>"}),
+            "lowercase", "stop"]},
+        resume=True,
+    )
+    build_index(spark, _typed_docs_df(spark, sf_dir), out, cfg)
+    s = IndexSearcher(spark, out)
+    _NUMPAY_SEARCHERS[key] = s
+    return s
+
+
+def _q_numeric_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumericPayloadTokenFilter gate: PayloadTermQuery on the injected
+    numeric term '2024' -- every occurrence is typed <NUM> so carries
+    payload 3.0, and AveragePayloadFunction multiplies BM25 by exactly 3
+    (a 1.0 default payload would score differently, so the gate certifies
+    the type->payload assignment reached the index)."""
+    s = _numpay_searcher(spark, sf_dir)
+    out = s.payload_term_search("2024", 15, "avg", mode="f64")
+    return out.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_lang_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-routed index: query text 'filter' analyzed with the FRENCH
     chain (analyze_query_lang) yields the stem 'filt' -- which both the
@@ -2180,6 +2269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["phonetic_term"] = _q_phonetic_term
     out["icu_term"] = _q_icu_term
     out["lang_routed"] = _q_lang_routed
+    out["type_token"] = _q_type_token
+    out["numeric_payload"] = _q_numeric_payload
     out["payload_term"] = _q_payload_term
     out["payload_near"] = _q_payload_near
     out["nb_classify"] = _q_nb_classify
@@ -2245,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "type_token", "numeric_payload",
         "codec_simpletext", "media_decode", "media_frames",
         "trec_submission",
         "js_score",
@@ -3298,6 +3390,16 @@ ORDER BY score DESC, doc_id LIMIT 15"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'filt'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["type_token"] = f"""{_prelude_typed(True)}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 15"""
+    # every '2024' occurrence is typed <NUM> -> payload 3.0; the average
+    # payload function multiplies BM25 by exactly 3
+    sqls["numeric_payload"] = f"""{_prelude_typed(False)}
+SELECT doc_id, round(score * 3.0, 4) AS score
+FROM scored WHERE term = '2024'
+ORDER BY score * 3.0 DESC, doc_id LIMIT 15"""
     sqls["payload_term"] = f"""{_prelude()},
 pay AS (
   SELECT doc_id, avg((pos % 5) + 1.0) AS pf
@@ -3874,6 +3976,24 @@ emitted AS (
   FROM toks t JOIN wdmap m ON t.tok = m.w
   WHERE t.tok <> ''
 ),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
+
+
+def _prelude_typed(drop_num: bool) -> str:
+    """_prelude over the numeric-augmented corpus (text + doc_id + '2024');
+    drop_num=True re-derives the TypeTokenFilter(<NUM>) blacklist: pure
+    digit runs are the only tokens the typed standard tokenizer types
+    <NUM> in this corpus, and dropping them shrinks field_len/norms while
+    positions stay pre-filter ordinals."""
+    base = _prelude("""(
+  SELECT doc_id, text || ' ' || CAST(doc_id AS VARCHAR) || ' 2024' AS text
+  FROM documents)""")
+    if not drop_num:
+        return base
+    old = "WHERE tok <> '' AND lower(tok) NOT IN"
+    new = ("WHERE tok <> '' AND NOT regexp_full_match(tok, '[0-9]+') "
+           "AND lower(tok) NOT IN")
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)
 

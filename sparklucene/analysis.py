@@ -771,6 +771,14 @@ def make_analyzer(name: str, **params):
             str(params.get("token_separator", " ")),
             str(params.get("filler_token", "_")),
         )
+    if name in ("typed_chain", "typed_payload"):
+        # typed_payload indexes through build.py's with_payloads path (the
+        # 4-byte float payloads become the per-occurrence float32 stream);
+        # as a plain analyzer both lower to (terms, positions).
+        from .typedtokens import make_typed_chain
+        return make_typed_chain(
+            tokenizer=params.get("tokenizer", "standard"),
+            filters=params.get("filters", ()))
     raise ValueError(f"unknown analyzer: {name}")
 
 
@@ -933,7 +941,7 @@ def _analyze_german2_snowball(text: str) -> tuple[list[str], list[int]]:
 # Analysis/Payloads/DelimitedPayloadTokenFilter.cs + FloatEncoder.cs)
 # ---------------------------------------------------------------------------
 
-PAYLOAD_ANALYZERS = ("delimited_payload",)
+PAYLOAD_ANALYZERS = ("delimited_payload", "typed_payload")
 
 
 def _analyze_delimited_payload(

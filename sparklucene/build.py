@@ -265,9 +265,17 @@ def _tokenize_udf(content_col: str, passthrough: list[str],
                         so_parts.append(sflat)
                         eo_parts.append(eflat)
                     elif with_payloads:
-                        terms, tfs, pflat, yflat, fl = invert_arrays_payloads(
-                            t, pay_delim
-                        )
+                        if analyzer_name == "typed_payload":
+                            from .typedtokens import invert_arrays_typed_payloads
+                            terms, tfs, pflat, yflat, fl = (
+                                invert_arrays_typed_payloads(
+                                    t, **(analyzer_params or {})
+                                )
+                            )
+                        else:
+                            terms, tfs, pflat, yflat, fl = invert_arrays_payloads(
+                                t, pay_delim
+                            )
                         pay_parts.append(yflat)
                     else:
                         doc_an = lang_ans.get(langs[i], an)

@@ -1,0 +1,297 @@
+"""Type-attribute token chain: TypeTokenFilter + the Payloads package.
+
+The repo's uniform chain representation is [(term, posInc)] -- a type
+lattice only exists inside tokenizer internals (Classic/Wikipedia/UAX29
+expose their type constants).  This module adds the TYPED chain the
+reference's type-keyed filters need: tokens are
+
+    (term, posInc, type, start_offset, end_offset, payload: bytes | None)
+
+and the four reference filters operate on that stream:
+
+  - TypeTokenFilter        (Analysis/Core/TypeTokenFilter.cs:83-86):
+        accept iff useWhiteList == (type in stopTypes); position
+        increments accumulate across drops (FilteringTokenFilter).
+  - TypeAsPayloadTokenFilter (Analysis/Payloads/TypeAsPayloadTokenFilter.cs:
+        43-51): payload = UTF-8 bytes of the type when non-empty.
+  - NumericPayloadTokenFilter (Analysis/Payloads/NumericPayloadTokenFilter.cs:
+        49-63): payload = PayloadHelper.EncodeSingle(f) when type == typeMatch.
+  - TokenOffsetPayloadTokenFilter (Analysis/Payloads/
+        TokenOffsetPayloadTokenFilter.cs:41-50): payload = 8 bytes
+        (start int32 BE, end int32 BE).
+
+PayloadHelper (Analysis/Payloads/PayloadHelper.cs:27-77) is the byte codec.
+
+`make_typed_chain` lowers a typed chain to the engine's analyzer interface
+(text -> (terms, positions)); `invert_arrays_typed_payloads` lowers a chain
+whose payloads are 4-byte float32 (NumericPayload) to the indexable
+per-occurrence float payload stream (the same stream DelimitedPayload
+feeds, build.py's with_payloads path).
+"""
+from __future__ import annotations
+
+import struct
+import unicodedata
+
+import numpy as np
+
+# StandardTokenizer type constants (StandardTokenizer.cs:171-195).
+ALPHANUM = "<ALPHANUM>"
+NUM = "<NUM>"
+SOUTHEAST_ASIAN = "<SOUTHEAST_ASIAN>"
+IDEOGRAPHIC = "<IDEOGRAPHIC>"
+HIRAGANA = "<HIRAGANA>"
+KATAKANA = "<KATAKANA>"
+HANGUL = "<HANGUL>"
+WORD = "word"  # the default TypeAttribute value (TypeAttribute.cs:34)
+
+
+# ---------------------------------------------------------------------------
+# PayloadHelper (byte-exact: big-endian int32 / IEEE-754 float bits)
+# ---------------------------------------------------------------------------
+
+def encode_int32(value: int) -> bytes:
+    """PayloadHelper.EncodeInt32 (PayloadHelper.cs:47-54): 4 bytes BE."""
+    return struct.pack(">i", int(value))
+
+
+def decode_int32(data: bytes, offset: int = 0) -> int:
+    """PayloadHelper.DecodeInt32 (PayloadHelper.cs:77-80)."""
+    return struct.unpack_from(">i", data, offset)[0]
+
+
+def encode_single(value: float) -> bytes:
+    """PayloadHelper.EncodeSingle (PayloadHelper.cs:32-40): float32 bits BE."""
+    return struct.pack(">f", float(value))
+
+
+def decode_single(data: bytes, offset: int = 0) -> float:
+    """PayloadHelper.DecodeSingle (PayloadHelper.cs:61-70)."""
+    return struct.unpack_from(">f", data, offset)[0]
+
+
+# ---------------------------------------------------------------------------
+# Typed standard tokenizer
+# ---------------------------------------------------------------------------
+
+def _std_type(term: str) -> str:
+    """StandardTokenizer type assignment, re-derived from the emitted token
+    (documented subset of the JFlex grammar's per-rule types,
+    StandardTokenizerImpl matching NUMERIC vs ALPHANUM vs the CJK/Hangul
+    singleton rules): a token with no cased/alphabetic codepoint and at
+    least one decimal digit is <NUM>; single-script Hangul / Hiragana /
+    Katakana / Han runs get their script types; everything else is
+    <ALPHANUM>."""
+    has_alpha = False
+    has_digit = False
+    script = None
+    for ch in term:
+        o = ord(ch)
+        if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+            s = HANGUL
+        elif 0x3040 <= o <= 0x309F:
+            s = HIRAGANA
+        elif 0x30A0 <= o <= 0x30FF or 0x31F0 <= o <= 0x31FF:
+            s = KATAKANA
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF or 0xF900 <= o <= 0xFAFF:
+            s = IDEOGRAPHIC
+        else:
+            s = None
+            if ch.isalpha():
+                has_alpha = True
+            elif unicodedata.category(ch) == "Nd":
+                has_digit = True
+        if s is not None:
+            if script is None:
+                script = s
+            elif script != s:
+                script = ALPHANUM  # mixed-script: fall back
+    if script in (HANGUL, HIRAGANA, KATAKANA, IDEOGRAPHIC) and not has_alpha \
+            and not has_digit:
+        return script
+    if has_digit and not has_alpha:
+        return NUM
+    return ALPHANUM
+
+
+def typed_standard_tokenize(text: str, max_token_length: int = 255):
+    """StandardTokenizer with Type + Offset attributes ->
+    [(term, posInc=1, type, start, end, payload=None)]; overlong tokens are
+    skipped (position holes are a filter concern, as everywhere in the
+    repo's chains)."""
+    from .analysis import tokenize_raw_spans
+
+    out = []
+    for term, s, e in tokenize_raw_spans(text):
+        if len(term) <= max_token_length:
+            out.append((term, 1, _std_type(term), s, e, None))
+    return out
+
+
+def typed_whitespace_tokenize(text: str, max_token_length: int = 255):
+    """MockTokenizer.WHITESPACE twin with offsets; every token typed 'word'
+    (the TypeAttribute default) -- the shape the reference's Payloads tests
+    drive their filters with."""
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        while i < n and text[i].isspace():
+            i += 1
+        j = i
+        while j < n and not text[j].isspace():
+            j += 1
+        if j > i and j - i <= max_token_length:
+            out.append((text[i:j], 1, WORD, i, j, None))
+        i = j
+    return out
+
+
+# ---------------------------------------------------------------------------
+# The four filters
+# ---------------------------------------------------------------------------
+
+def type_token_filter(tokens, stop_types, use_whitelist: bool = False):
+    """TypeTokenFilter.Accept (TypeTokenFilter.cs:83-86):
+    keep iff use_whitelist == (type in stop_types); posInc accumulates
+    across drops (FilteringTokenFilter, 4.4+ enablePositionIncrements)."""
+    ss = frozenset(stop_types)
+    out = []
+    gap = 0
+    for t, p, ty, s, e, pay in tokens:
+        if use_whitelist == (ty in ss):
+            out.append((t, p + gap, ty, s, e, pay))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+def type_as_payload_filter(tokens):
+    """TypeAsPayloadTokenFilter.cs:43-51: payload = UTF-8 of the type when
+    the type is non-empty (else the existing payload survives)."""
+    return [
+        (t, p, ty, s, e, ty.encode("utf-8") if ty else pay)
+        for t, p, ty, s, e, pay in tokens
+    ]
+
+
+def numeric_payload_filter(tokens, payload: float, type_match: str):
+    """NumericPayloadTokenFilter.cs:49-63: tokens whose type equals
+    typeMatch (ordinal compare) get payload = EncodeSingle(payload)."""
+    if type_match is None:
+        raise ValueError("typeMatch cannot be null")
+    enc = encode_single(payload)
+    return [
+        (t, p, ty, s, e, enc if ty == type_match else pay)
+        for t, p, ty, s, e, pay in tokens
+    ]
+
+
+def token_offset_payload_filter(tokens):
+    """TokenOffsetPayloadTokenFilter.cs:41-50: payload = 8 bytes
+    (startOffset int32 BE, endOffset int32 BE) on every token."""
+    return [
+        (t, p, ty, s, e, encode_int32(s) + encode_int32(e))
+        for t, p, ty, s, e, pay in tokens
+    ]
+
+
+def _lowercase_typed(tokens):
+    return [(t.lower(), p, ty, s, e, pay) for t, p, ty, s, e, pay in tokens]
+
+
+def _stop_typed(tokens, stops):
+    ss = frozenset(stops)
+    out = []
+    gap = 0
+    for t, p, ty, s, e, pay in tokens:
+        if t not in ss:
+            out.append((t, p + gap, ty, s, e, pay))
+            gap = 0
+        else:
+            gap += p
+    return out
+
+
+_TYPED_FILTERS = {
+    "type_token": type_token_filter,
+    "type_as_payload": type_as_payload_filter,
+    "numeric_payload": numeric_payload_filter,
+    "token_offset_payload": token_offset_payload_filter,
+    "lowercase": _lowercase_typed,
+    "stop": _stop_typed,
+}
+
+_TYPED_TOKENIZERS = {
+    "standard": typed_standard_tokenize,
+    "whitespace": typed_whitespace_tokenize,
+}
+
+
+def analyze_typed(text: str, tokenizer: str = "standard", filters=()):
+    """Run a typed chain -> full [(term, posInc, type, start, end,
+    payload)] stream; `filters` entries are names or (name, {params})
+    over _TYPED_FILTERS."""
+    ts = _TYPED_TOKENIZERS[tokenizer](text)
+    for f in filters:
+        name, params = (f, {}) if isinstance(f, str) else (f[0], dict(f[1]))
+        if name == "stop" and "stops" not in params:
+            from .analysis import ENGLISH_STOP_WORDS
+            params["stops"] = ENGLISH_STOP_WORDS
+        ts = _TYPED_FILTERS[name](ts, **params)
+    return ts
+
+
+def make_typed_chain(tokenizer: str = "standard", filters=()):
+    """Lower a typed chain to the engine analyzer interface
+    (text) -> (terms, positions); positions accumulate the increments the
+    type/stop filters preserved, so dropped tokens leave holes exactly like
+    the reference's FilteringTokenFilter chains."""
+    filters = tuple(filters)
+
+    def _analyze(text: str):
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        for t, p, _ty, _s, _e, _pay in analyze_typed(text, tokenizer, filters):
+            pos += p
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
+
+    return _analyze
+
+
+def invert_arrays_typed_payloads(text: str, tokenizer: str = "standard",
+                                 filters=()):
+    """analysis.invert_arrays_payloads twin over a typed chain whose
+    payloads are 4-byte float32 (NumericPayloadTokenFilter output; the
+    engine's indexable payload stream is per-occurrence float32, the same
+    stream DelimitedPayload feeds) -> (unique terms SORTED, tf,
+    positions_flat, payloads_flat float32, field_len).  Tokens without a
+    payload carry 1.0 (DelimitedPayload's absent-payload default); 8-byte
+    offset payloads and UTF-8 type payloads are analysis-level attributes,
+    not indexable floats -- decode_single reads only the first 4 bytes and
+    the chain author opts in by indexing with this path."""
+    toks = analyze_typed(text, tokenizer, filters)
+    n = len(toks)
+    if n == 0:
+        return (
+            [], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float32), 0,
+        )
+    terms = np.array([t[0] for t in toks], dtype=object)
+    pos = -1
+    positions = np.empty(n, dtype=np.int64)
+    pays = np.empty(n, dtype=np.float32)
+    for i, (_t, p, _ty, _s, _e, pay) in enumerate(toks):
+        pos += p
+        positions[i] = pos
+        pays[i] = decode_single(pay) if pay is not None and len(pay) >= 4 else 1.0
+    order = np.argsort(terms, kind="stable")
+    st = terms[order]
+    run_starts = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+    tfs = np.diff(np.append(run_starts, n))
+    flen = int(np.unique(positions).size)
+    return st[run_starts].tolist(), tfs, positions[order], pays[order], flen

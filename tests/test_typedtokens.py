@@ -1,0 +1,168 @@
+"""Type-attribute filter family vs the reference's own test vectors.
+
+Vectors: TestTypeTokenFilter.cs (TestTypeFilter / TestStopPositons /
+TestTypeFilterWhitelist), TypeAsPayloadTokenFilterTest.cs,
+NumericPayloadTokenFilterTest.cs, TokenOffsetPayloadTokenFilterTest.cs.
+"""
+import struct
+
+import pytest
+
+from sparklucene import typedtokens as tt
+
+
+def _terms(tokens):
+    return [t[0] for t in tokens]
+
+
+def _positions(tokens):
+    out, pos = [], -1
+    for t in tokens:
+        pos += t[1]
+        out.append(pos)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TypeTokenFilter
+# ---------------------------------------------------------------------------
+
+def test_type_filter_blacklist():
+    # TestTypeTokenFilter.TestTypeFilter: StandardTokenizer over
+    # "121 is palindrome, while 123 is not", stopTypes={<NUM>}
+    toks = tt.typed_standard_tokenize("121 is palindrome, while 123 is not")
+    out = tt.type_token_filter(toks, {"<NUM>"})
+    assert _terms(out) == ["is", "palindrome", "while", "is", "not"]
+
+
+def test_type_filter_whitelist():
+    # TestTypeFilterWhitelist: same input, useWhiteList=true keeps only <NUM>
+    toks = tt.typed_standard_tokenize("121 is palindrome, while 123 is not")
+    out = tt.type_token_filter(toks, {"<NUM>"}, use_whitelist=True)
+    assert _terms(out) == ["121", "123"]
+
+
+def test_type_filter_stop_positions():
+    # TestStopPositons: "10 11 twelve 13 14 fifteen 16 17 eighteen 19 ";
+    # every surviving word token carries posInc 3 (two dropped numbers
+    # precede each) with enablePositionIncrements
+    text = "10 11 twelve 13 14 fifteen 16 17 eighteen 19 "
+    out = tt.type_token_filter(tt.typed_standard_tokenize(text), {"<NUM>"})
+    assert _terms(out) == ["twelve", "fifteen", "eighteen"]
+    assert [t[1] for t in out] == [3, 3, 3]
+
+
+def test_typed_standard_types():
+    toks = tt.typed_standard_tokenize("R2D2 121 3.14 hello 안녕 中文")
+    by_term = {t[0]: t[2] for t in toks}
+    assert by_term["R2D2"] == "<ALPHANUM>"
+    assert by_term["121"] == "<NUM>"
+    assert by_term["3.14"] == "<NUM>"
+    assert by_term["hello"] == "<ALPHANUM>"
+    assert by_term["안녕"] == "<HANGUL>"
+    assert by_term["中文"] == "<IDEOGRAPHIC>"
+
+
+# ---------------------------------------------------------------------------
+# Payload filters (whitespace/Mock tokenizer shapes, as the reference tests)
+# ---------------------------------------------------------------------------
+
+TEST_SENT = "The quick red fox jumped over the lazy brown dogs"
+
+
+def _first_char_type(tokens):
+    # the tests' WordTokenFilter: type = uppercase first char
+    return [(t, p, t[0].upper(), s, e, pay) for t, p, ty, s, e, pay in tokens]
+
+
+def test_type_as_payload():
+    toks = _first_char_type(tt.typed_whitespace_tokenize(TEST_SENT))
+    out = tt.type_as_payload_filter(toks)
+    assert len(out) == 10
+    for term, _p, ty, _s, _e, pay in out:
+        assert ty == term[0].upper()
+        assert pay is not None and pay.decode("utf-8") == ty
+
+
+def test_numeric_payload():
+    # NumericPayloadTokenFilterTest: type "D" on 'dogs', payload 3.0
+    toks = [
+        (t, p, "D" if t == "dogs" else ty, s, e, pay)
+        for t, p, ty, s, e, pay in tt.typed_whitespace_tokenize(TEST_SENT)
+    ]
+    out = tt.numeric_payload_filter(toks, 3.0, "D")
+    seen_dogs = False
+    for term, _p, ty, _s, _e, pay in out:
+        if term == "dogs":
+            seen_dogs = True
+            assert ty == "D"
+            assert pay is not None and len(pay) == 4
+            assert tt.decode_single(pay) == 3.0
+        else:
+            assert ty == "word"
+            assert pay is None
+    assert seen_dogs
+
+
+def test_numeric_payload_null_typematch():
+    with pytest.raises(ValueError):
+        tt.numeric_payload_filter([], 1.0, None)
+
+
+def test_token_offset_payload():
+    toks = tt.typed_whitespace_tokenize(TEST_SENT)
+    out = tt.token_offset_payload_filter(toks)
+    assert len(out) == 10
+    for _t, _p, _ty, s, e, pay in out:
+        assert pay is not None and len(pay) == 8
+        assert tt.decode_int32(pay, 0) == s
+        assert tt.decode_int32(pay, 4) == e
+
+
+def test_payload_helper_roundtrip():
+    # PayloadHelper byte-exactness: big-endian int32 / float32 bits
+    assert tt.encode_int32(1) == b"\x00\x00\x00\x01"
+    assert tt.encode_int32(-1) == b"\xff\xff\xff\xff"
+    assert tt.encode_single(3.0) == struct.pack(">f", 3.0)
+    for v in (0, 1, -1, 2**31 - 1, -(2**31)):
+        assert tt.decode_int32(tt.encode_int32(v)) == v
+    for f in (0.0, 1.5, -2.25, 3.0, 1e-8):
+        assert tt.decode_single(tt.encode_single(f)) == struct.unpack(
+            ">f", struct.pack(">f", f))[0]
+
+
+# ---------------------------------------------------------------------------
+# Chain lowering
+# ---------------------------------------------------------------------------
+
+def test_make_typed_chain_positions():
+    an = tt.make_typed_chain(
+        "standard",
+        [("type_token", {"stop_types": ["<NUM>"]}), "lowercase", "stop"])
+    terms, positions = an("121 is Palindrome, while 123 is not")
+    # 'is'/'not' are 4.8 English stopwords ('while' is not in the 33-word
+    # set); positions are ordinals over the pre-filter stream
+    assert terms == ["palindrome", "while"]
+    assert positions == [2, 3]
+
+
+def test_invert_typed_payloads():
+    filters = [("numeric_payload", {"payload": 3.0, "type_match": "<NUM>"}),
+               "lowercase"]
+    terms, tfs, pflat, yflat, fl = tt.invert_arrays_typed_payloads(
+        "alpha 7 alpha 7", filters=filters)
+    assert terms == ["7", "alpha"]
+    assert tfs.tolist() == [2, 2]
+    assert fl == 4
+    by_term = dict(zip(["7", "7", "alpha", "alpha"], yflat.tolist()))
+    assert by_term["7"] == 3.0
+    assert by_term["alpha"] == 1.0
+
+
+def test_make_analyzer_registration():
+    from sparklucene.analysis import make_analyzer
+    an = make_analyzer(
+        "typed_chain",
+        filters=[("type_token", {"stop_types": ["<NUM>"]}), "lowercase"])
+    terms, _pos = an("foo 42 Bar")
+    assert terms == ["foo", "bar"]
