@@ -3183,6 +3183,97 @@ def portuguese_minimal_stem(word: str) -> str:
     return _rslp_step(word, PT_STEPS["Plural"])
 
 
+def english_minimal_stem(word: str) -> str:
+    """EnglishMinimalStemmer (Analysis/En/EnglishMinimalStemmer.cs:31-55):
+    Harman's S-stemmer — strips plural -s only, with -ies -> -y and the
+    -us/-ss/vowel-before-es guards.  Validated against every
+    TestEnglishMinimalStemFilter vector."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    c2 = word[-2]
+    if c2 in "us":
+        return word
+    if c2 == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in "ae":
+            return word[:-3] + "y"
+        if word[-3] in "iaoe":
+            return word
+    return word[:-1]
+
+
+def german_minimal_stem(word: str) -> str:
+    """GermanMinimalStemmer (Analysis/De/GermanMinimalStemmer.cs:31-85,
+    Savoy's morphologie minimale): umlaut fold, then -nen / {-en,-se,-es,
+    -er} / single {n,e,s,r} by descending length guard.  Validated against
+    the reference's deminimaltestdata.zip vocabulary."""
+    n = len(word)
+    if n < 5:
+        return word
+    w = word.translate(_DE_MIN_FOLD)
+    if n > 6 and w.endswith("nen"):
+        return w[:-3]
+    if n > 5 and w[-2:] in ("en", "se", "es", "er"):
+        return w[:-2]
+    if w[-1] in "nesr":
+        return w[:-1]
+    return w
+
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def french_minimal_stem(word: str) -> str:
+    """FrenchMinimalStemmer (Analysis/Fr/FrenchMinimalStemmer.cs:31-60,
+    Savoy's minimal French): -x (with -aux -> -al), then sequential
+    single trims s, r, e, é, doubled final letter.  Validated against the
+    reference's frminimaltestdata.zip vocabulary."""
+    if len(word) < 6:
+        return word
+    if word[-1] == "x":
+        if word[-3] == "a" and word[-2] == "u":
+            return word[:-2] + "l"
+        return word[:-1]
+    n = len(word)
+    if word[n - 1] == "s":
+        n -= 1
+    if word[n - 1] == "r":
+        n -= 1
+    if word[n - 1] == "e":
+        n -= 1
+    if word[n - 1] == "é":
+        n -= 1
+    if word[n - 1] == word[n - 2]:
+        n -= 1
+    return word[:n]
+
+
+def norwegian_minimal_stem(word: str, bokmaal: bool = True,
+                           nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer (Analysis/No/NorwegianMinimalStemmer.cs:
+    46-75): genitive -s, plural definite -ene (-ane nynorsk), -er/-en/-et
+    (-ar nynorsk), final a/e.  Filter default = BOKMAAL
+    (NorwegianMinimalStemFilter.cs:42).  Validated against the
+    reference's nb_minimal.txt / nn_minimal.txt vectors."""
+    w = word
+    if len(w) > 4 and w[-1] == "s":
+        w = w[:-1]
+    n = len(w)
+    if n > 5 and (w.endswith("ene") or (nynorsk and w.endswith("ane"))):
+        return w[:-3]
+    if n > 4 and (w[-2:] in ("er", "en", "et")
+                  or (nynorsk and w.endswith("ar"))):
+        return w[:-2]
+    if n > 3 and w[-1] in "ae":
+        return w[:-1]
+    return w
+
+
+def norwegian_minimal_stem_nynorsk(word: str) -> str:
+    """norwegian_minimal_stem with NYNORSK-only flags (nn_minimal.txt)."""
+    return norwegian_minimal_stem(word, bokmaal=False, nynorsk=True)
+
+
 # ---------------------------------------------------------------------------
 # Brazilian Portuguese stemmer (Analysis/Br/BrazilianStemmer.cs — the
 # BrazilianAnalyzer's BrazilianStemFilter).  Not RSLP and not Snowball:

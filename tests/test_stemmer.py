@@ -1199,3 +1199,81 @@ def test_polish_stempel():
     assert pl("studenta studenci był") == (["student", "student"], [0, 1])
     # StempelFilter: short tokens (<= 3 chars) pass through unstemmed
     assert pl("dom")[0] == ["dom"]
+
+
+# ---------------------------------------------------------------------------
+# Minimal stemmers (En/De/Fr/No) — full reference vocabularies
+# ---------------------------------------------------------------------------
+
+def test_english_minimal_vectors():
+    """Every TestEnglishMinimalStemFilter.cs:49-57 vector (Harman
+    S-stemmer)."""
+    from sparklucene.stemmer import english_minimal_stem
+
+    vecs = [("queries", "query"), ("phrases", "phrase"),
+            ("corpus", "corpus"), ("stress", "stress"), ("kings", "king"),
+            ("panels", "panel"), ("aerodynamics", "aerodynamic"),
+            ("congress", "congress"), ("serious", "serious")]
+    for w, o in vecs:
+        assert english_minimal_stem(w) == o, (w, o)
+
+
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_german_minimal_full_reference_vectors():
+    """Bit-exact vs the reference's deminimaltestdata.zip vocabulary
+    (TestGermanMinimalStemFilter.cs)."""
+    from sparklucene.stemmer import german_minimal_stem
+
+    mism = [(w, o, german_minimal_stem(w))
+            for w, o in _light_vectors(_VEC_BASE + "De/deminimaltestdata.zip")
+            if german_minimal_stem(w) != o]
+    assert mism == []
+
+
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_french_minimal_full_reference_vectors():
+    """Bit-exact vs the reference's frminimaltestdata.zip vocabulary
+    (TestFrenchMinimalStemFilter.cs)."""
+    from sparklucene.stemmer import french_minimal_stem
+
+    mism = [(w, o, french_minimal_stem(w))
+            for w, o in _light_vectors(_VEC_BASE + "Fr/frminimaltestdata.zip")
+            if french_minimal_stem(w) != o]
+    assert mism == []
+
+
+def _no_txt_vectors(path):
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#") or "\t" not in line:
+                continue
+            w, o = line.rstrip("\n").split("\t")[:2]
+            yield w, o
+
+
+@pytest.mark.skipif(not os.path.isdir(_VEC_BASE), reason="reference vectors unavailable")
+def test_norwegian_minimal_reference_vectors():
+    """nb_minimal.txt (BOKMAAL) and nn_minimal.txt (NYNORSK), bit-exact."""
+    from sparklucene.stemmer import (norwegian_minimal_stem,
+                                     norwegian_minimal_stem_nynorsk)
+
+    nb = list(_no_txt_vectors(_VEC_BASE + "No/nb_minimal.txt"))
+    assert nb
+    mism = [(w, o, norwegian_minimal_stem(w)) for w, o in nb
+            if norwegian_minimal_stem(w) != o]
+    assert mism == []
+    nn = list(_no_txt_vectors(_VEC_BASE + "No/nn_minimal.txt"))
+    assert nn
+    mism = [(w, o, norwegian_minimal_stem_nynorsk(w)) for w, o in nn
+            if norwegian_minimal_stem_nynorsk(w) != o]
+    assert mism == []
+
+
+def test_minimal_stemmers_in_chain():
+    """The generic ("stem", {"name": ...}) chain hook picks up the new
+    minimal stemmers (filters.make_chain)."""
+    from sparklucene.filters import make_chain
+
+    an = make_chain(
+        "whitespace", ["lowercase", ("stem", {"name": "english_minimal_stem"})])
+    assert an("Kings queries stress")[0] == ["king", "query", "stress"]
