@@ -1284,6 +1284,46 @@ def _q_stemmed_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
 
 
+_KSTEM_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _kstem_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with a KStemFilter chain (standard -> lowercase -> stop
+    -> KStem).  The stemmer (sparklucene/kstem.py, KStemmer.cs semantics)
+    is validated bit-exact against all 12,130 kstemTestData.zip vectors;
+    this gate certifies the full index+query path through it."""
+    key = os.path.abspath(sf_dir)
+    s = _KSTEM_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_kstem",
+        f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_"))
+    from sparklucene.analysis import ENGLISH_STOP_WORDS
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="chain",
+        analyzer_params={"tokenizer": "standard", "filters": [
+            "lowercase", ["stop", {"stops": sorted(ENGLISH_STOP_WORDS)}],
+            ["stem", {"name": "kstem_stem"}]]},
+        resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _KSTEM_SEARCHERS[key] = s
+    return s
+
+
+def _q_kstem_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KStem index: query text 'merges' analyzes (same chain) to the
+    dictionary headword 'merge' — unlike Porter's 'merg', KStem returns a
+    real word, so the gate distinguishes the two stemmers by value."""
+    s = _kstem_searcher(spark, sf_dir)
+    terms = s.analyze_query("merges")
+    return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
+
+
 _WD_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -2265,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near_unord"] = _q_span_near_unord
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
+    out["kstem_term"] = _q_kstem_term
     out["word_delim"] = _q_word_delim
     out["phonetic_term"] = _q_phonetic_term
     out["icu_term"] = _q_icu_term
@@ -2336,7 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
-        "type_token", "numeric_payload",
+        "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
         "trec_submission",
         "js_score",
@@ -3374,6 +3415,10 @@ WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merg'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    sqls["kstem_term"] = f"""{_prelude_kstem()}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["word_delim"] = f"""{_prelude_wd()}
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merge'
@@ -3914,6 +3959,49 @@ def _prelude_english(doc_src: str = "documents") -> str:
 emitted AS (
   SELECT t.doc_id, coalesce(m.st, lower(t.tok)) AS term, t.pos
   FROM toks t LEFT JOIN stemmap m ON lower(t.tok) = m.w
+  WHERE t.tok <> '' AND lower(t.tok) NOT IN ({_stop_sql()})
+),"""
+    assert old in base, "prelude emitted-CTE shape changed"
+    return base.replace(old, new)
+
+
+def _prelude_kstem() -> str:
+    """_prelude with KStem emission: stop filter on the lowercased token,
+    then KStem via an embedded vocabulary map (sparklucene/kstem.py,
+    bit-exact vs all 12,130 kstemTestData.zip vectors)."""
+    import duckdb
+
+    from sparklucene.stemmer import kstem_stem
+
+    base = _prelude("documents")
+    old = """emitted AS (
+  SELECT doc_id, lower(tok) AS term, pos
+  FROM toks
+  WHERE tok <> '' AND lower(tok) NOT IN ({stops})
+),""".replace("{stops}", _stop_sql())
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    toks = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT tok FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS tok
+                  FROM '{path}') WHERE tok <> '' ORDER BY tok"""
+        )
+        .fetchall()
+    ]
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(f"('{_q(t)}', '{_q(kstem_stem(t))}')" for t in toks)
+    new = f"""kstemmap(w, st) AS (SELECT * FROM (VALUES {vals}) v),
+emitted AS (
+  SELECT t.doc_id, coalesce(m.st, lower(t.tok)) AS term, t.pos
+  FROM toks t LEFT JOIN kstemmap m ON lower(t.tok) = m.w
   WHERE t.tok <> '' AND lower(t.tok) NOT IN ({_stop_sql()})
 ),"""
     assert old in base, "prelude emitted-CTE shape changed"

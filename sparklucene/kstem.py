@@ -1,0 +1,722 @@
+"""KStem — Krovetz's dictionary-checked English stemmer.
+
+Re-implements the semantics of the reference's
+`Analysis/En/KStemmer.cs` (the KStemFilter stemmer, a .NET port of Bob
+Krovetz's kstem): a cascade of suffix steps (plural, past tense, aspect,
+-ity, -ness, -ion, -er/-or, -ly, -al, -ive, -ize, -ment, -ble, -ism,
+-ic, -ncy, -nce), each consulting a ~28k-entry head-word dictionary and
+stopping at the first recognized root.  Word-list data is extracted by
+tools/gen_kstem_data.py into `_kstem_data.py` (KStemData1-8.cs +
+KStemmer.cs inline arrays).
+
+The tricky part of the original is its mutable (word, j, k) state: steps
+leave partially-transformed words behind on dictionary misses (that IS
+the algorithm — e.g. `Plural` retains the 'e' of "-es" when neither
+variant is known), a failed `Lookup()` CLEARS the cached match, and
+`WordInDict()` between the -al and -ive steps caches a match only if the
+current word is a non-exception entry.  All of that is replicated
+exactly; validated bit-for-bit against every vector in the reference's
+kstemTestData.zip (TestKStemmer.cs).
+"""
+from __future__ import annotations
+
+MAX_WORD_LEN = 50
+
+_DICT: dict[str, tuple[str | None, bool]] | None = None
+
+
+def _dict() -> dict[str, tuple[str | None, bool]]:
+    """(root | None, is_exception) by word — KStemmer.InitializeDictHash
+    order: exceptions, direct conflations, country/nationality, head
+    words, supplement, proper nouns (duplicates are a data error)."""
+    global _DICT
+    if _DICT is None:
+        from ._kstem_data import (COUNTRY_NATIONALITY, DIRECT_CONFLATIONS,
+                                  EXCEPTION_WORDS, HEAD_WORDS, PROPER_NOUNS,
+                                  SUPPLEMENT_DICT)
+        d: dict[str, tuple[str | None, bool]] = {}
+        for w in EXCEPTION_WORDS:
+            d[w] = (w, True)
+        for w, root in DIRECT_CONFLATIONS:
+            d.setdefault(w, (root, False))
+        for w, root in COUNTRY_NATIONALITY:
+            d.setdefault(w, (root, False))
+        default = (None, False)
+        for w in HEAD_WORDS:
+            d.setdefault(w, default)
+        for w in SUPPLEMENT_DICT:
+            d.setdefault(w, default)
+        for w in PROPER_NOUNS:
+            d.setdefault(w, default)
+        _DICT = d
+    return _DICT
+
+
+class _KStem:
+    """One stemming pass; mirrors KStemmer.cs state (word buffer, j, k,
+    matchedEntry) statement-for-statement."""
+
+    __slots__ = ("w", "j", "k", "matched", "dict")
+
+    def __init__(self, dictionary):
+        self.dict = dictionary
+
+    # -- word-buffer helpers (OpenStringBuilder analogue) ------------------
+
+    def _s(self) -> str:
+        return "".join(self.w)
+
+    def _trunc(self, n: int) -> None:
+        del self.w[n:]
+
+    def _write(self, ch: str) -> None:
+        self.w.append(ch)
+
+    def _append(self, s: str) -> None:
+        self.w.extend(s)
+
+    # -- predicates --------------------------------------------------------
+
+    def _is_cons(self, i: int) -> bool:
+        ch = self.w[i]
+        if ch in "aeiou":
+            return False
+        if ch != "y" or i == 0:
+            return True
+        return not self._is_cons(i - 1)
+
+    def _is_vowel(self, i: int) -> bool:
+        return not self._is_cons(i)
+
+    def _vowel_in_stem(self) -> bool:
+        return any(self._is_vowel(i) for i in range(self.j + 1))
+
+    def _double_c(self, i: int) -> bool:
+        return (i >= 1 and self.w[i] == self.w[i - 1]
+                and self._is_cons(i))
+
+    def _ends_str(self, s: str) -> bool:
+        """EndsIn(char[]): sets j=k on entry, j = before-suffix on match."""
+        if len(s) > self.k:
+            return False
+        r = len(self.w) - len(s)
+        self.j = self.k
+        if "".join(self.w[r:]) != s:
+            return False
+        self.j = r - 1
+        return True
+
+    def _ends2(self, a: str, b: str) -> bool:
+        if 2 > self.k:
+            return False
+        if self.w[self.k - 1] == a and self.w[self.k] == b:
+            self.j = self.k - 2
+            return True
+        return False
+
+    def _ends3(self, a: str, b: str, c: str) -> bool:
+        if 3 > self.k:
+            return False
+        if (self.w[self.k - 2] == a and self.w[self.k - 1] == b
+                and self.w[self.k] == c):
+            self.j = self.k - 3
+            return True
+        return False
+
+    def _ends4(self, a: str, b: str, c: str, d: str) -> bool:
+        if 4 > self.k:
+            return False
+        if (self.w[self.k - 3] == a and self.w[self.k - 2] == b
+                and self.w[self.k - 1] == c and self.w[self.k] == d):
+            self.j = self.k - 4
+            return True
+        return False
+
+    # -- dictionary --------------------------------------------------------
+
+    def _lookup(self) -> bool:
+        """Sets matched to the dict entry — a miss CLEARS a prior match."""
+        self.matched = self.dict.get(self._s())
+        return self.matched is not None
+
+    def _word_in_dict(self):
+        if self.matched is not None:
+            return self.matched
+        e = self.dict.get(self._s())
+        if e is not None and not e[1]:
+            self.matched = e
+        return e
+
+    def _set_suffix(self, s: str) -> None:
+        self._trunc(self.j + 1)
+        self._append(s)
+        self.k = self.j + len(s)
+
+    # -- steps (same order and fall-through as KStemmer.cs) ----------------
+
+    def _plural(self) -> None:
+        if self.w[self.k] != "s":
+            return
+        if self._ends3("i", "e", "s"):
+            self._trunc(self.j + 3)
+            self.k -= 1
+            if self._lookup():          # calories -> calorie
+                return
+            self.k += 1
+            self._write("s")
+            self._set_suffix("y")
+            self._lookup()
+        elif self._ends2("e", "s"):
+            self._trunc(self.j + 2)     # try just removing the "s"
+            self.k -= 1
+            # don't check exceptions here: aides -> aide, but crosses
+            # keeps its double-s guard
+            try_e = (self.j > 0
+                     and not (self.w[self.j] == "s"
+                              and self.w[self.j - 1] == "s"))
+            if try_e and self._lookup():
+                return
+            self._trunc(self.j + 1)     # try removing the "es"
+            self.k -= 1
+            if self._lookup():
+                return
+            self._write("e")            # default: retain the "e"
+            self.k += 1
+            if not try_e:
+                self._lookup()
+            return
+        else:
+            if (len(self.w) > 3 and self.w[self.k - 1] != "s"
+                    and not self._ends3("o", "u", "s")):
+                # unless -ous or double s, remove the final "s"
+                self._trunc(self.k)
+                self.k -= 1
+                self._lookup()
+
+    def _past_tense(self) -> None:
+        if len(self.w) <= 4:            # direct mapping guards fled -> fl
+            return
+        if self._ends3("i", "e", "d"):
+            self._trunc(self.j + 3)
+            self.k -= 1
+            if self._lookup():          # died -> die
+                return
+            self.k += 1
+            self._write("d")
+            self._set_suffix("y")
+            self._lookup()
+            return
+        if self._ends2("e", "d") and self._vowel_in_stem():
+            self._trunc(self.j + 2)     # root ends in 'e'?
+            self.k = self.j + 1
+            entry = self._word_in_dict()
+            if entry is not None and not entry[1]:
+                return
+            self._trunc(self.j + 1)     # try removing the "ed"
+            self.k = self.j
+            if self._lookup():
+                return
+            if self._double_c(self.k):  # try un-doubling the consonant
+                self._trunc(self.k)
+                self.k -= 1
+                if self._lookup():
+                    return
+                self._write(self.w[self.k])
+                self.k += 1
+                self._lookup()
+                return
+            if self.w[0] == "u" and self.w[1] == "n":
+                self._write("e")        # un- prefix: leave the word alone
+                self._write("d")
+                self.k += 2
+                return
+            self._trunc(self.j + 1)     # default: end with 'e'
+            self._write("e")            # (microcoded -> microcode)
+            self.k = self.j + 1
+
+    def _aspect(self) -> None:
+        if len(self.w) <= 5:            # direct mapping guards thing -> the
+            return
+        if self._ends3("i", "n", "g") and self._vowel_in_stem():
+            self.w[self.j + 1] = "e"    # try an 'e' for the -ing
+            self._trunc(self.j + 2)
+            self.k = self.j + 1
+            entry = self._word_in_dict()
+            if entry is not None and not entry[1]:
+                return
+            self._trunc(self.k)         # remove the 'e' too
+            self.k -= 1
+            if self._lookup():
+                return
+            if self._double_c(self.k):
+                self.k -= 1
+                self._trunc(self.k + 1)
+                if self._lookup():
+                    return
+                self._write(self.w[self.k])  # default: leave it doubled
+                self.k += 1
+                self._lookup()
+                return
+            if self.j > 0 and self._is_cons(self.j) and self._is_cons(self.j - 1):
+                self.k = self.j         # two consonants: no 'e'
+                self._trunc(self.k + 1)
+                return
+            self._trunc(self.j + 1)     # default: add an 'e'
+            self._write("e")
+            self.k = self.j + 1
+
+    def _ity_endings(self) -> None:
+        old_k = self.k
+        if self._ends3("i", "t", "y"):
+            self._trunc(self.j + 1)     # try just removing -ity
+            self.k = self.j
+            if self._lookup():
+                return
+            self._write("e")            # try -ity -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self.w[self.j + 1] = "i"
+            self._append("ty")
+            self.k = old_k
+            # -ability / -ibility are productive: accept as -ble
+            if (self.j > 0 and self.w[self.j - 1] == "i"
+                    and self.w[self.j] == "l"):
+                self._trunc(self.j - 1)
+                self._append("le")
+                self.k = self.j
+                self._lookup()
+                return
+            if (self.j > 0 and self.w[self.j - 1] == "i"
+                    and self.w[self.j] == "v"):
+                self._trunc(self.j + 1)  # -ivity -> -ive
+                self._write("e")
+                self.k = self.j + 1
+                self._lookup()
+                return
+            if (self.j > 0 and self.w[self.j - 1] == "a"
+                    and self.w[self.j] == "l"):
+                self._trunc(self.j + 1)  # -ality: just drop -ity
+                self.k = self.j
+                self._lookup()
+                return
+            if self._lookup():          # variant in dict: keep it
+                return
+            self._trunc(self.j + 1)     # default: remove -ity
+            self.k = self.j
+
+    def _nce_endings(self) -> None:
+        old_k = self.k
+        if self._ends3("n", "c", "e"):
+            word_char = self.w[self.j]
+            if word_char not in ("e", "a"):
+                return
+            self._trunc(self.j)
+            self._write("e")            # adherance -> adhere
+            self.k = self.j
+            if self._lookup():
+                return
+            self._trunc(self.j)         # disappearance -> disappear
+            self.k = self.j - 1
+            if self._lookup():
+                return
+            self._write(word_char)      # restore
+            self._append("nce")
+            self.k = old_k
+
+    def _ness_endings(self) -> None:
+        if self._ends4("n", "e", "s", "s"):
+            self._trunc(self.j + 1)
+            self.k = self.j
+            if self.w[self.j] == "i":
+                self.w[self.j] = "y"
+            self._lookup()
+
+    def _ism_endings(self) -> None:
+        if self._ends3("i", "s", "m"):
+            self._trunc(self.j + 1)
+            self.k = self.j
+            self._lookup()
+
+    def _ment_endings(self) -> None:
+        old_k = self.k
+        if self._ends4("m", "e", "n", "t"):
+            self._trunc(self.j + 1)
+            self.k = self.j
+            if self._lookup():
+                return
+            self._append("ment")
+            self.k = old_k
+
+    def _ize_endings(self) -> None:
+        old_k = self.k
+        if self._ends3("i", "z", "e"):
+            self._trunc(self.j + 1)     # try removing -ize entirely
+            self.k = self.j
+            if self._lookup():
+                return
+            self._write("i")
+            if self._double_c(self.j):
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._write(self.w[self.j - 1])
+            self._trunc(self.j + 1)
+            self._write("e")            # try -ize -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)
+            self._append("ize")
+            self.k = old_k
+
+    def _ncy_endings(self) -> None:
+        if self._ends3("n", "c", "y"):
+            if self.w[self.j] not in ("e", "a"):
+                return
+            self.w[self.j + 2] = "t"    # try -ncy -> -nt
+            self._trunc(self.j + 3)
+            self.k = self.j + 2
+            if self._lookup():
+                return
+            self.w[self.j + 2] = "c"    # default: -nce
+            self._write("e")
+            self.k = self.j + 3
+            self._lookup()
+
+    def _ble_endings(self) -> None:
+        old_k = self.k
+        if self._ends3("b", "l", "e"):
+            if self.w[self.j] not in ("a", "i"):
+                return
+            word_char = self.w[self.j]
+            self._trunc(self.j)         # try just removing the ending
+            self.k = self.j - 1
+            if self._lookup():
+                return
+            if self._double_c(self.k):
+                self._trunc(self.k)
+                self.k -= 1
+                if self._lookup():
+                    return
+                self.k += 1
+                self._write(self.w[self.k - 1])
+            self._trunc(self.j)
+            self._write("e")            # try -a/ible -> -e
+            self.k = self.j
+            if self._lookup():
+                return
+            self._trunc(self.j)
+            self._append("ate")         # compensable -> compensate
+            self.k = self.j + 2
+            if self._lookup():
+                return
+            self._trunc(self.j)
+            self._write(word_char)      # restore
+            self._append("ble")
+            self.k = old_k
+
+    def _ic_endings(self) -> None:
+        if self._ends2("i", "c"):
+            self._trunc(self.j + 3)
+            self._append("al")          # canonic -> canonical
+            self.k = self.j + 4
+            if self._lookup():
+                return
+            self.w[self.j + 1] = "y"    # try -ic -> -y
+            self._trunc(self.j + 2)
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self.w[self.j + 1] = "e"    # try -ic -> -e
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # try removing -ic altogether
+            self.k = self.j
+            if self._lookup():
+                return
+            self._append("ic")          # restore
+            self.k = self.j + 2
+
+    def _ion_endings(self) -> None:
+        old_k = self.k
+        if not self._ends3("i", "o", "n"):
+            return
+        if self._ends_str("ization"):   # -ization -> -ize, always
+            self._trunc(self.j + 3)
+            self._write("e")
+            self.k = self.j + 3
+            self._lookup()
+            return
+        if self._ends_str("ition"):
+            self._trunc(self.j + 1)
+            self._write("e")            # definition -> define
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # restore
+            self._append("ition")
+            self.k = old_k
+        elif self._ends_str("ation"):
+            self._trunc(self.j + 3)
+            self._write("e")            # elimination -> eliminate
+            self.k = self.j + 3
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)
+            self._write("e")            # try -ation -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # resignation -> resign
+            self.k = self.j
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # restore
+            self._append("ation")
+            self.k = old_k
+        # -ication only after -ation (complication -> complicate, not comply)
+        if self._ends_str("ication"):
+            self._trunc(self.j + 1)
+            self._write("y")            # amplification -> amplify
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # restore
+            self._append("ication")
+            self.k = old_k
+        self.j = self.k - 3             # plain -ion (checked on entry)
+        self._trunc(self.j + 1)
+        self._write("e")
+        self.k = self.j + 1
+        if self._lookup():              # try -ion -> -e
+            return
+        self._trunc(self.j + 1)
+        self.k = self.j
+        if self._lookup():              # try removing -ion
+            return
+        self._trunc(self.j + 1)         # restore
+        self._append("ion")
+        self.k = old_k
+
+    def _er_and_or_endings(self) -> None:
+        old_k = self.k
+        if self.w[self.k] != "r":
+            return
+        if self._ends4("i", "z", "e", "r"):  # -izer -> -ize, always
+            self._trunc(self.j + 4)
+            self.k = self.j + 3
+            self._lookup()
+            return
+        if self._ends2("e", "r") or self._ends2("o", "r"):
+            word_char = self.w[self.j + 1]
+            if self._double_c(self.j):
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._write(self.w[self.j - 1])  # restore the doubling
+            if self.w[self.j] == "i":   # -ier ending?
+                self.w[self.j] = "y"
+                self._trunc(self.j + 1)
+                self.k = self.j
+                if self._lookup():
+                    return
+                self.w[self.j] = "i"    # restore
+                self._write("e")
+            if self.w[self.j] == "e":   # -eer
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._write("e")
+            self._trunc(self.j + 2)     # remove the -r
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # try removing -er/-or
+            self.k = self.j
+            if self._lookup():
+                return
+            self._write("e")            # try -or -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # restore
+            self._write(word_char)
+            self._write("r")
+            self.k = old_k
+
+    def _ly_endings(self) -> None:
+        old_k = self.k
+        if self._ends2("l", "y"):
+            self.w[self.j + 2] = "e"    # try -ly -> -le
+            if self._lookup():
+                return
+            self.w[self.j + 2] = "y"
+            self._trunc(self.j + 1)     # try just removing the -ly
+            self.k = self.j
+            if self._lookup():
+                return
+            if (self.j > 0 and self.w[self.j - 1] == "a"
+                    and self.w[self.j] == "l"):
+                return                  # -ally -> -al, always
+            self._append("ly")
+            self.k = old_k
+            if (self.j > 0 and self.w[self.j - 1] == "a"
+                    and self.w[self.j] == "b"):
+                self.w[self.j + 2] = "e"  # -ably -> -able, always
+                self.k = self.j + 2
+                return
+            if self.w[self.j] == "i":   # militarily -> military
+                self._trunc(self.j)
+                self._write("y")
+                self.k = self.j
+                if self._lookup():
+                    return
+                self._trunc(self.j)     # restore
+                self._append("ily")
+                self.k = old_k
+            self._trunc(self.j + 1)     # default: remove the -ly
+            self.k = self.j
+
+    def _al_endings(self) -> None:
+        old_k = self.k
+        if len(self.w) < 4:
+            return
+        if self._ends2("a", "l"):
+            self._trunc(self.j + 1)     # try just removing the -al
+            self.k = self.j
+            if self._lookup():
+                return
+            if self._double_c(self.j):
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._write(self.w[self.j - 1])
+            self._trunc(self.j + 1)
+            self._write("e")            # try -al -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)
+            self._append("um")          # optimal -> optimum
+            self.k = self.j + 2
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)     # restore
+            self._append("al")
+            self.k = old_k
+            if (self.j > 0 and self.w[self.j - 1] == "i"
+                    and self.w[self.j] == "c"):
+                self._trunc(self.j - 1)  # try removing -ical
+                self.k = self.j - 2
+                if self._lookup():
+                    return
+                self._trunc(self.j - 1)
+                self._write("y")        # bibliographical -> bibliography
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._trunc(self.j - 1)
+                self._append("ic")      # default: -ical -> -ic
+                self.k = self.j
+                self._lookup()
+                return
+            if self.w[self.j] == "i":   # -ial sometimes removed
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._append("ial")
+                self.k = old_k
+                self._lookup()
+
+    def _ive_endings(self) -> None:
+        old_k = self.k
+        if self._ends3("i", "v", "e"):
+            self._trunc(self.j + 1)     # try removing -ive entirely
+            self.k = self.j
+            if self._lookup():
+                return
+            self._write("e")            # try -ive -> -e
+            self.k = self.j + 1
+            if self._lookup():
+                return
+            self._trunc(self.j + 1)
+            self._append("ive")
+            if (self.j > 0 and self.w[self.j - 1] == "a"
+                    and self.w[self.j] == "t"):
+                self.w[self.j - 1] = "e"  # determinative -> determine
+                self._trunc(self.j)
+                self.k = self.j - 1
+                if self._lookup():
+                    return
+                self._trunc(self.j - 1)  # try just removing -ative
+                if self._lookup():
+                    return
+                self._append("ative")   # restore
+                self.k = old_k
+            self.w[self.j + 2] = "o"    # try -ive -> -ion
+            self.w[self.j + 3] = "n"
+            if self._lookup():
+                return
+            self.w[self.j + 2] = "v"    # restore
+            self.w[self.j + 3] = "e"
+            self.k = old_k
+
+    # -- driver ------------------------------------------------------------
+
+    def stem(self, term: str) -> str:
+        k = len(term) - 1
+        if k <= 1 or k >= MAX_WORD_LEN - 1:
+            return term
+        entry = self.dict.get(term)
+        if entry is not None:
+            return entry[0] if entry[0] is not None else term
+        for ch in term:
+            if not ("a" <= ch <= "z"):
+                return term             # lowercase filter required upstream
+        self.w = list(term)
+        self.j = 0
+        self.k = k
+        self.matched = None
+        steps = (self._plural, self._past_tense, self._aspect,
+                 self._ity_endings, self._ness_endings, self._ion_endings,
+                 self._er_and_or_endings, self._ly_endings)
+        for step in steps:
+            step()
+            if self.matched is not None:
+                break
+        else:
+            self._al_endings()
+            if self.matched is None:
+                self._word_in_dict()    # cache a non-exception match
+                for step in (self._ive_endings, self._ize_endings,
+                             self._ment_endings, self._ble_endings,
+                             self._ism_endings, self._ic_endings,
+                             self._ncy_endings):
+                    step()
+                    if self.matched is not None:
+                        break
+                else:
+                    self._nce_endings()
+        entry = self.matched
+        if entry is not None and entry[0] is not None:
+            return entry[0]             # direct mapping (italians -> italy)
+        return self._s()
+
+
+_STEMMER: _KStem | None = None
+
+
+def kstem_stem(word: str) -> str:
+    """Stem one (already lowercased) term with KStem
+    (Analysis/En/KStemFilter.cs semantics: terms < 3 or > 49 chars and
+    terms with non a-z characters pass through unchanged)."""
+    global _STEMMER
+    if _STEMMER is None:
+        _STEMMER = _KStem(_dict())
+    return _STEMMER.stem(word)

@@ -5634,3 +5634,12 @@ def kp_stem(word: str) -> str:
             w = r
 
     return w.replace("Y", "y") if y_found else w
+
+
+def kstem_stem(word: str) -> str:
+    """KStem (Krovetz) — dictionary-checked English stemmer; the real
+    implementation lives in sparklucene.kstem (validated against every
+    kstemTestData.zip vector).  Re-exported here so chain configs can say
+    ("stem", {"name": "kstem_stem"})."""
+    from .kstem import kstem_stem as _k
+    return _k(word)

@@ -1,0 +1,61 @@
+"""KStem (Krovetz dictionary stemmer) — reference-vector validation.
+
+Reference: Analysis/En/KStemmer.cs + KStemFilter.cs; vectors from
+Lucene.Net.Tests.Analysis.Common/Analysis/En/kstemTestData.zip
+(TestKStemmer.cs runs the same file through VocabularyAssert).
+"""
+import os
+import zipfile
+
+import pytest
+
+from sparklucene.kstem import kstem_stem
+
+VEC_ZIP = ("/root/reference/src/Lucene.Net.Tests.Analysis.Common/"
+           "Analysis/En/kstemTestData.zip")
+
+
+@pytest.mark.skipif(not os.path.exists(VEC_ZIP), reason="reference vectors unavailable")
+def test_kstem_full_reference_vectors():
+    """All 12,130 kstem_examples.txt vectors, bit-exact."""
+    with zipfile.ZipFile(VEC_ZIP) as z:
+        data = z.read("kstem_examples.txt").decode("utf-8")
+    pairs = [ln.split("\t") for ln in data.splitlines() if "\t" in ln]
+    assert len(pairs) == 12130
+    mism = [(w, o, kstem_stem(w)) for w, o in pairs if kstem_stem(w) != o]
+    assert mism == []
+
+
+def test_kstem_characteristic_cases():
+    # dictionary-checked: real-word roots, unlike Porter's truncations
+    assert kstem_stem("merges") == "merge"
+    assert kstem_stem("policies") == "policy"
+    assert kstem_stem("indexes") == "index"
+    assert kstem_stem("aging") == "age"            # direct conflation
+    assert kstem_stem("italians") == "italy"       # country/nationality
+    # exception words stay themselves (aides -> aide via exception root)
+    assert kstem_stem("aide") == "aide"
+    # head words are returned unchanged even when they look inflected
+    assert kstem_stem("abandoned") == "abandoned"
+
+
+def test_kstem_passthrough_rules():
+    # KStemFilter contract: <3 chars, >49 chars, and non a-z unchanged
+    assert kstem_stem("ab") == "ab"
+    long = "a" * 50
+    assert kstem_stem(long) == long
+    assert kstem_stem("can't") == "can't"
+    assert kstem_stem("Mixed") == "Mixed"          # lowercase required upstream
+    assert kstem_stem("abc123") == "abc123"
+
+
+def test_kstem_in_chain():
+    from sparklucene.analysis import ENGLISH_STOP_WORDS
+    from sparklucene.filters import make_chain
+
+    an = make_chain("standard", [
+        "lowercase", ("stop", {"stops": ENGLISH_STOP_WORDS}),
+        ("stem", {"name": "kstem_stem"})])
+    terms, pos = an("The indexes were merged with policies aging quickly")
+    assert terms == ["index", "were", "merge", "policy", "age", "quick"]
+    assert pos == [1, 2, 3, 5, 6, 7]
