@@ -1315,6 +1315,55 @@ def _kstem_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+_ONLP_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _opennlp_model_paths() -> dict[str, str]:
+    from sparklucene.opennlp import TEST_MODEL_DIR
+    return {
+        "sent_model": os.path.join(TEST_MODEL_DIR, "en-test-sent.bin"),
+        "tok_model": os.path.join(TEST_MODEL_DIR, "en-test-tokenizer.bin"),
+        "pos_model": os.path.join(TEST_MODEL_DIR, "en-test-pos-maxent.bin"),
+        "lemma_dict": os.path.join(TEST_MODEL_DIR, "en-test-lemmas.dict"),
+        "lemma_model": os.path.join(TEST_MODEL_DIR, "en-test-lemmatizer.bin"),
+    }
+
+
+def _opennlp_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the OpenNLP chain (sentence detect -> maxent
+    tokenize -> POS tag -> dictionary+maxent lemmatize -> lowercase;
+    sparklucene/opennlp.py over the reference's bundled test models).
+    The chain is validated token/tag/lemma-exact against the reference's
+    TestOpenNLP* matrix (tests/test_opennlp.py); this gate certifies the
+    distributed index+query path through it."""
+    key = os.path.abspath(sf_dir)
+    s = _ONLP_SEARCHERS.get(key)
+    if s is not None:
+        return s
+    out = os.path.join(
+        "/tmp/sparklucene_gate_onlp",
+        f"v{FORMAT_VERSION}_" + key.strip("/").replace("/", "_"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = BuildConfig(
+        content_col="text", id_col="doc_id", num_buckets=8,
+        analyzer="opennlp",
+        analyzer_params=dict(_opennlp_model_paths(), lowercase=True),
+        resume=True,
+    )
+    build_index(spark, docs, out, cfg)
+    s = IndexSearcher(spark, out)
+    _ONLP_SEARCHERS[key] = s
+    return s
+
+
+def _q_opennlp_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenNLP-lemmatized index: query text 'merges' analyzes through the
+    same chain to the maxent lemma 'merge'."""
+    s = _opennlp_searcher(spark, sf_dir)
+    terms = s.analyze_query("merges")
+    return _topk_df(s, {"type": "term", "term": terms[0]}, 15)
+
+
 def _q_kstem_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KStem index: query text 'merges' analyzes (same chain) to the
     dictionary headword 'merge' — unlike Porter's 'merg', KStem returns a
@@ -2306,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["regexp_const"] = _q_regexp_const
     out["stemmed_term"] = _q_stemmed_term
     out["kstem_term"] = _q_kstem_term
+    out["opennlp_term"] = _q_opennlp_term
     out["word_delim"] = _q_word_delim
     out["phonetic_term"] = _q_phonetic_term
     out["icu_term"] = _q_icu_term
@@ -2377,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
         "trec_submission",
@@ -3415,6 +3466,11 @@ WHERE regexp_matches(term, '^(?:s[a-z]*k)$')"""
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merg'
 ORDER BY score DESC, doc_id LIMIT 15"""
+    _sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    sqls["opennlp_term"] = f"""{_prelude_opennlp(_sf)}
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'merge'
+ORDER BY score DESC, doc_id LIMIT 15"""
     sqls["kstem_term"] = f"""{_prelude_kstem()}
 SELECT doc_id, round(score, 4) AS score
 FROM scored WHERE term = 'merge'
@@ -3963,6 +4019,42 @@ emitted AS (
 ),"""
     assert old in base, "prelude emitted-CTE shape changed"
     return base.replace(old, new)
+
+
+@functools.lru_cache(maxsize=4)
+def _prelude_opennlp(sf: str) -> str:
+    """_prelude whose token stream is the OpenNLP chain (sentence detect ->
+    maxent tokenize -> POS -> dict+maxent lemmatize -> lowercase), emitted
+    as a VALUES table generated by the single-node chain driver-side.  The
+    chain itself is validated bit-exact against the reference's TestOpenNLP*
+    matrix (tests/test_opennlp.py); the SQL twin independently re-derives
+    everything downstream of tokenization (postings, norms, byte315
+    quantization, BM25 f32 scoring) — the same trust split as the stem-map
+    preludes."""
+    import duckdb
+
+    from sparklucene.opennlp import make_opennlp_analyzer
+
+    path = os.path.join(sf, "documents.parquet")
+    if not os.path.exists(path):
+        path = "/root/testdata/sf0.01/documents.parquet"
+    an = make_opennlp_analyzer(lowercase=True, **_opennlp_model_paths())
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{path}' ORDER BY doc_id").fetchall()
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = []
+    for doc_id, text in rows:
+        terms, positions = an(text)
+        vals.extend(f"({doc_id}, '{_q(t)}', {p})" for t, p in zip(terms, positions))
+    base = _prelude("documents")
+    start = base.index("toks AS (")
+    end = base.index("doclen AS (")
+    emitted = f"""emitted(doc_id, term, pos) AS (SELECT * FROM (VALUES {', '.join(vals)}) v),
+"""
+    return base[:start] + emitted + base[end:]
 
 
 def _prelude_kstem() -> str:

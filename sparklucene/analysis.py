@@ -771,6 +771,17 @@ def make_analyzer(name: str, **params):
             str(params.get("token_separator", " ")),
             str(params.get("filler_token", "_")),
         )
+    if name == "opennlp":
+        # OpenNLP chain (OpenNLPTokenizer + POS + lemmatizer filters);
+        # model paths as params, lemmas replace terms like the reference
+        # OpenNLPLemmatizerFilter (sparklucene/opennlp.py).
+        from .opennlp import make_opennlp_analyzer
+        return make_opennlp_analyzer(
+            params["sent_model"], params["tok_model"],
+            pos_model=params.get("pos_model"),
+            lemma_dict=params.get("lemma_dict"),
+            lemma_model=params.get("lemma_model"),
+            lowercase=bool(params.get("lowercase", False)))
     if name in ("typed_chain", "typed_payload"):
         # typed_payload indexes through build.py's with_payloads path (the
         # 4-byte float payloads become the per-occurrence float32 stream);

@@ -1,0 +1,198 @@
+"""Maximum-entropy (GIS) model runtime for the OpenNLP-compatible chain.
+
+Re-implements, from the PUBLIC Apache OpenNLP 1.9 model format, exactly
+what the reference's OpenNLP integration consumes at runtime
+(`src/Lucene.Net.Analysis.OpenNLP/*` loads opennlp.tools models; the
+test models under `src/Lucene.Net.Tests.Analysis.OpenNLP/*.bin` are
+standard binary GIS zip packages):
+
+  - `GISModel.load_bin(path)` parses the zip package: a
+    `manifest.properties` (java.util.Properties text) plus one binary
+    GIS model entry written by opennlp's BinaryGISModelWriter via
+    java.io.DataOutputStream:
+
+        UTF "GIS"
+        int32  correctionConstant   (placeholder 1 since opennlp 1.8 --
+        double correctionParam       read and DISCARDED by GISModelReader)
+        int32  numOutcomes, then UTF outcome labels
+        int32  numOutcomePatterns, then UTF patterns "count oid oid ..."
+        int32  numPredicates, then UTF predicate names
+        for each pattern, count x (one float64 parameter per oid)
+
+  - `GISModel.eval(context)` is opennlp GISModel.eval with a uniform
+    prior and no correction (the modern semantics the placeholder
+    constants select): p(o) = softmax_o( sum of parameters of the
+    context predicates active for o ).  Predicates absent from the
+    model vocabulary contribute nothing -- exactly as at training time.
+
+  - `beam_search(...)` is opennlp BeamSearch.bestSequences: beam of
+    `size` partial sequences scored by accumulated log-prob; each
+    expansion keeps outcomes scoring >= the size-th largest probability
+    of that distribution, filtered by a sequence validator, with the
+    all-valid fallback when every candidate was filtered.
+
+Pure driver/executor-side Python over dict probes and small float
+arrays; models are a few hundred KB and broadcast to executors by the
+analyzer registry (the same pattern as the Hunspell / Beider-Morse
+rule data).
+"""
+from __future__ import annotations
+
+import math
+import struct
+import zipfile
+
+
+def _read_utf(data: bytes, off: int) -> tuple[str, int]:
+    n = struct.unpack_from(">H", data, off)[0]
+    return data[off + 2:off + 2 + n].decode("utf-8"), off + 2 + n
+
+
+def parse_manifest(text: str) -> dict[str, str]:
+    """java.util.Properties store format: '#' comments, key=value with
+    backslash escapes (the subset these manifests use)."""
+    props: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or line.startswith("!"):
+            continue
+        # split on the first unescaped '=' or ':'
+        key = []
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == "\\" and i + 1 < len(line):
+                key.append(line[i + 1])
+                i += 2
+                continue
+            if c in "=:":
+                break
+            key.append(c)
+            i += 1
+        props["".join(key).strip()] = line[i + 1:].lstrip().replace("\\!", "!").replace("\\=", "=")
+    return props
+
+
+class GISModel:
+    """A loaded GIS maxent model: predicate -> (outcome ids, params)."""
+
+    __slots__ = ("outcomes", "pmap", "manifest", "_outcome_index")
+
+    def __init__(self, outcomes: list[str], pmap: dict[str, tuple[tuple[int, ...], tuple[float, ...]]],
+                 manifest: dict[str, str] | None = None):
+        self.outcomes = outcomes
+        self.pmap = pmap
+        self.manifest = manifest or {}
+        self._outcome_index = {o: i for i, o in enumerate(outcomes)}
+
+    # -- parsing ----------------------------------------------------------
+
+    @staticmethod
+    def parse_gis_bytes(data: bytes) -> tuple[list[str], dict]:
+        off = 0
+        tag, off = _read_utf(data, off)
+        if tag != "GIS":
+            raise ValueError(f"not a binary GIS model (tag {tag!r})")
+        off += 4 + 8  # correctionConstant int32 + correctionParam float64: discarded
+        (n_out,) = struct.unpack_from(">i", data, off)
+        off += 4
+        outcomes = []
+        for _ in range(n_out):
+            s, off = _read_utf(data, off)
+            outcomes.append(s)
+        (n_pat,) = struct.unpack_from(">i", data, off)
+        off += 4
+        patterns: list[list[int]] = []
+        for _ in range(n_pat):
+            s, off = _read_utf(data, off)
+            patterns.append([int(x) for x in s.split(" ")])
+        (n_pred,) = struct.unpack_from(">i", data, off)
+        off += 4
+        preds = []
+        for _ in range(n_pred):
+            s, off = _read_utf(data, off)
+            preds.append(s)
+        pmap: dict[str, tuple[tuple[int, ...], tuple[float, ...]]] = {}
+        pi = 0
+        for pat in patterns:
+            cnt, oids = pat[0], tuple(pat[1:])
+            for _ in range(cnt):
+                vals = struct.unpack_from(f">{len(oids)}d", data, off)
+                off += 8 * len(oids)
+                pmap[preds[pi]] = (oids, vals)
+                pi += 1
+        if pi != n_pred or off != len(data):
+            raise ValueError("truncated GIS model")
+        return outcomes, pmap
+
+    @classmethod
+    def load_bin(cls, path: str) -> "GISModel":
+        """Load an OpenNLP .bin zip package (any single *.model entry)."""
+        with zipfile.ZipFile(path) as z:
+            manifest = parse_manifest(z.read("manifest.properties").decode("utf-8"))
+            entries = [n for n in z.namelist() if n.endswith(".model")]
+            if len(entries) != 1:
+                raise ValueError(f"expected one .model entry, got {entries}")
+            outcomes, pmap = cls.parse_gis_bytes(z.read(entries[0]))
+        return cls(outcomes, pmap, manifest)
+
+    # -- evaluation -------------------------------------------------------
+
+    def eval(self, context) -> list[float]:
+        """opennlp GISModel.eval: uniform prior + parameter sums, softmax.
+        Unknown predicates are skipped (they were never features)."""
+        sums = [0.0] * len(self.outcomes)
+        pmap = self.pmap
+        for pred in context:
+            hit = pmap.get(pred)
+            if hit is None:
+                continue
+            oids, vals = hit
+            for k in range(len(oids)):
+                sums[oids[k]] += vals[k]
+        m = max(sums)
+        exps = [math.exp(s - m) for s in sums]
+        z = sum(exps)
+        return [e / z for e in exps]
+
+    def best_outcome(self, probs: list[float]) -> str:
+        return self.outcomes[probs.index(max(probs))]
+
+    def outcome_index(self, outcome: str) -> int:
+        return self._outcome_index[outcome]
+
+
+def beam_search(model: GISModel, length: int, context_fn, size: int,
+                validator=None) -> list[str]:
+    """opennlp BeamSearch.bestSequences(1, ...): returns the best outcome
+    sequence.  context_fn(i, prev_outcomes: list[str]) -> list[str]
+    (the feature strings for position i given previous decisions);
+    validator(i, prev_outcomes, outcome) -> bool or None for all-valid."""
+    # (score, insertion_counter, outcomes) -- counter keeps sort stable on ties
+    prev: list[tuple[float, int, list[str]]] = [(0.0, 0, [])]
+    counter = 1
+    for i in range(length):
+        nxt: list[tuple[float, int, list[str]]] = []
+        for score, _, outs in prev[:size]:
+            probs = model.eval(context_fn(i, outs))
+            # beam cutoff: keep outcomes with prob >= the size-th largest
+            cut = sorted(probs)[max(0, len(probs) - size)]
+            for p_idx, p in enumerate(probs):
+                if p >= cut:
+                    out = model.outcomes[p_idx]
+                    if validator is None or validator(i, outs, out):
+                        nxt.append((score + math.log(p if p > 0 else 1e-300), counter, outs + [out]))
+                        counter += 1
+            if not nxt:
+                # BeamSearch's next.size()==0 fallback: if no sequence has
+                # advanced yet at this position, advance every valid outcome
+                # of this one (checked against the GLOBAL next heap, matching
+                # the Java control flow)
+                for p_idx, p in enumerate(probs):
+                    out = model.outcomes[p_idx]
+                    if validator is None or validator(i, outs, out):
+                        nxt.append((score + math.log(p if p > 0 else 1e-300), counter, outs + [out]))
+                        counter += 1
+        nxt.sort(key=lambda t: (-t[0], t[1]))
+        prev = nxt if nxt else prev
+    return prev[0][2]

@@ -1,0 +1,624 @@
+"""OpenNLP analysis chain: sentence detection, statistical tokenization,
+POS tagging, chunking, and lemmatization over GIS maxent models.
+
+Re-implements, from scratch over `sparklucene.maxent`, the runtime the
+reference wires through `src/Lucene.Net.Analysis.OpenNLP/`:
+
+  - OpenNLPTokenizer.cs:79-105 — SentenceDetector splits the text, a
+    statistical TokenizerME splits each sentence, the last token of
+    each sentence carries the EOS flag so downstream filters operate
+    one sentence at a time.
+  - OpenNLPSentenceBreakIterator.cs — sentence spans for segmenting.
+  - OpenNLPPOSFilter.cs:55-75 — tags each sentence's tokens, stores
+    the tag in the TypeAttribute.
+  - OpenNLPChunkerFilter.cs:49-73 — runs the chunker over (terms, POS
+    types), overwrites the TypeAttribute with the B-/I-/O chunk tag.
+  - OpenNLPLemmatizerFilter.cs:51-83 — dictionary-first lemmas with
+    maxent fallback (Tools/NLPLemmatizerOp.cs:38-80: dictionary "O"
+    miss -> maxent; maxent "_" miss -> original word), keyword-flagged
+    tokens (KeywordRepeatFilter) passed through unlemmatized.
+
+The statistical components replicate Apache OpenNLP 1.9 (public
+algorithms + model format; the reference consumes the same opennlp
+models):  SentenceDetectorME.sentPosDetect + DefaultSDContextGenerator,
+TokenizerME.tokenizePos + DefaultTokenContextGenerator, POSTaggerME
+with the aggregated feature-generator pipeline its models embed in
+`generator.featuregen`, ChunkerME + DefaultChunkerContextGenerator
+(including the `"p_2" + pred` missing-'=' quirk the model vocabulary
+proves), LemmatizerME's shortest-edit-script lemma classes over the
+reversed word, and DictionaryLemmatizer's lowercased (word, postag)
+keys.  Parity is asserted against the reference's own test matrix
+(Tests.Analysis.OpenNLP/Test*.cs) using the reference's bundled test
+models — see tests/test_opennlp.py.
+
+Scale: models are a few hundred KB, loaded once per executor (lru
+cache) and used inside the same Arrow analyzer kernels as every other
+chain; no Spark plan shape changes.
+"""
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+from .maxent import GISModel, beam_search
+
+# The reference bundles its OpenNLP test models here (the same files its
+# own test suite loads); used as the default model source in tests/gates.
+TEST_MODEL_DIR = "/root/reference/src/Lucene.Net.Tests.Analysis.OpenNLP"
+
+
+def _is_ws(c: str) -> bool:
+    return c.isspace()
+
+
+# ---------------------------------------------------------------------------
+# Sentence detector (SentenceDetectorME + DefaultSDContextGenerator)
+# ---------------------------------------------------------------------------
+
+def _first_ws(s: str, pos: int) -> int:
+    n = len(s)
+    while pos < n and not _is_ws(s[pos]):
+        pos += 1
+    return pos
+
+
+def _first_non_ws(s: str, pos: int) -> int:
+    n = len(s)
+    while pos < n and _is_ws(s[pos]):
+        pos += 1
+    return pos
+
+
+def _sd_context(s: str, position: int) -> list[str]:
+    """DefaultSDContextGenerator: prefix/suffix inside the EOS token plus
+    the neighboring space-delimited tokens, with cap/length signals.
+    Feature names exactly as the model vocabulary uses them
+    (sn / eos= / x= / v= / s= / n= / *cap / prefix length)."""
+    # token containing the eos char
+    tok_start = position
+    while tok_start > 0 and not _is_ws(s[tok_start - 1]):
+        tok_start -= 1
+    tok_end = _first_ws(s, position + 1)
+    prefix = s[tok_start:position].strip()
+    suffix = s[position + 1:tok_end].strip()
+    # previous space-delimited token
+    prev_end = tok_start
+    while prev_end > 0 and _is_ws(s[prev_end - 1]):
+        prev_end -= 1
+    prev_start = prev_end
+    while prev_start > 0 and not _is_ws(s[prev_start - 1]):
+        prev_start -= 1
+    previous = s[prev_start:prev_end].strip()
+    # next space-delimited token
+    if position == len(s) - 1:
+        nxt = ""
+    else:
+        nxt_start = _first_non_ws(s, tok_end)
+        nxt = s[nxt_start:_first_ws(s, nxt_start)].strip()
+
+    feats = ["sn", "eos=" + s[position], "x=" + prefix]
+    if prefix:
+        feats.append(str(len(prefix)))
+        if prefix[0].isupper():
+            feats.append("xcap")
+    feats.append("v=" + previous)
+    if previous and previous[0].isupper():
+        feats.append("vcap")
+    feats.append("s=" + suffix)
+    if suffix and suffix[0].isupper():
+        feats.append("scap")
+    feats.append("n=" + nxt)
+    if nxt and nxt[0].isupper():
+        feats.append("ncap")
+    return feats
+
+
+class SentenceDetector:
+    """SentenceDetectorME.sentPosDetect: evaluate each end-of-sentence
+    candidate character; accepted breaks end the sentence at the next
+    token start (useTokenEnd=true) and spans are whitespace-trimmed."""
+
+    def __init__(self, model: GISModel):
+        self.model = model
+        eos = model.manifest.get("eosCharacters", ".!?")
+        self.eos_chars = set(eos)
+        self.use_token_end = model.manifest.get("useTokenEnd", "true") == "true"
+
+    def sent_spans(self, s: str) -> list[tuple[int, int]]:
+        enders = [i for i, ch in enumerate(s) if ch in self.eos_chars]
+        positions: list[int] = []
+        index = 0
+        for i, cint in enumerate(enders):
+            fws = _first_ws(s, cint + 1)
+            if i + 1 < len(enders) and enders[i + 1] < fws:
+                continue  # leading part of a non-token-final delimiter run
+            if positions and cint < positions[-1]:
+                continue
+            probs = self.model.eval(_sd_context(s, cint))
+            if self.model.best_outcome(probs) == "s":
+                if index != cint:
+                    if self.use_token_end:
+                        positions.append(_first_non_ws(s, _first_ws(s, cint + 1)))
+                    else:
+                        positions.append(_first_non_ws(s, cint + 1))
+                index = cint + 1
+        leftover = not positions or positions[-1] != len(s)
+        spans: list[tuple[int, int]] = []
+        for si, st in enumerate(positions):
+            start = 0 if si == 0 else spans[-1][1] if spans else 0
+            a, b = _trim(s, start, st)
+            if b > a:
+                spans.append((a, b))
+        if leftover:
+            start = spans[-1][1] if spans else (positions[-1] if positions else 0)
+            a, b = _trim(s, start, len(s))
+            if b > a:
+                spans.append((a, b))
+        return spans
+
+
+def _trim(s: str, a: int, b: int) -> tuple[int, int]:
+    while a < b and _is_ws(s[a]):
+        a += 1
+    while b > a and _is_ws(s[b - 1]):
+        b -= 1
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# Statistical tokenizer (TokenizerME + DefaultTokenContextGenerator)
+# ---------------------------------------------------------------------------
+
+def _add_char_preds(key: str, c: str, preds: list[str]) -> None:
+    preds.append(key + "=" + c)
+    if c.isalpha():
+        preds.append(key + "_alpha")
+        if c.isupper():
+            preds.append(key + "_caps")
+    elif c.isdigit():
+        preds.append(key + "_num")
+    elif _is_ws(c):
+        preds.append(key + "_ws")
+    else:
+        if c in ".?!":
+            preds.append(key + "_eos")
+        elif c in "`\"'":
+            preds.append(key + "_quote")
+        elif c in "$#":
+            preds.append(key + "_num")
+        else:
+            preds.append(key + "_" + c)
+
+
+def _tok_context(tok: str, index: int) -> list[str]:
+    preds = ["p=" + tok[:index], "s=" + tok[index:]]
+    if index > 0:
+        _add_char_preds("p1", tok[index - 1], preds)
+        if index > 1:
+            _add_char_preds("p2", tok[index - 2], preds)
+            preds.append("p21=" + tok[index - 2] + tok[index - 1])
+        else:
+            preds.append("p2=bok")
+        preds.append("p1f1=" + tok[index - 1] + tok[index])
+    else:
+        preds.append("p1=bok")
+    _add_char_preds("f1", tok[index], preds)
+    if index + 1 < len(tok):
+        _add_char_preds("f2", tok[index + 1], preds)
+        preds.append("f12=" + tok[index] + tok[index + 1])
+    else:
+        preds.append("f2=bok")
+    if tok[0] == "&" and tok[-1] == ";":
+        preds.append("cc")
+    return preds
+
+
+class TokenizerME:
+    """TokenizerME.tokenizePos: whitespace chunks, then a split/no-split
+    decision ("T"/"F") at every interior character position."""
+
+    def __init__(self, model: GISModel):
+        self.model = model
+        self.use_alnum_opt = model.manifest.get("useAlphaNumericOptimization", "false") == "true"
+        self.alnum = re.compile(model.manifest.get("alphaNumericPattern", "^[A-Za-z0-9]+$"))
+
+    def tokenize_spans(self, s: str) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+        for ws_start, ws_end in _ws_spans(s):
+            tok = s[ws_start:ws_end]
+            if len(tok) < 2 or (self.use_alnum_opt and self.alnum.match(tok)):
+                out.append((ws_start, ws_end))
+                continue
+            start = ws_start
+            for j in range(ws_start + 1, ws_end):
+                probs = self.model.eval(_tok_context(tok, j - ws_start))
+                if self.model.best_outcome(probs) == "T":
+                    out.append((start, j))
+                    start = j
+            out.append((start, ws_end))
+        return out
+
+
+def _ws_spans(s: str) -> list[tuple[int, int]]:
+    spans = []
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and _is_ws(s[i]):
+            i += 1
+        if i >= n:
+            break
+        j = i
+        while j < n and not _is_ws(s[j]):
+            j += 1
+        spans.append((i, j))
+        i = j
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# POS tagger (POSTaggerME + the generator.featuregen pipeline)
+# ---------------------------------------------------------------------------
+
+def _token_class(tok: str) -> str:
+    """FeatureGeneratorUtil.tokenFeature: lc/2d/4d/an/dd/ds/dc/dp/num/
+    sc/ac/ic/other."""
+    digits = sum(c.isdigit() for c in tok)
+    letters = sum(c.isalpha() for c in tok)
+    all_digit = digits == len(tok) and digits > 0
+    if letters == len(tok) and tok.islower():
+        return "lc"
+    if all_digit and digits == 2:
+        return "2d"
+    if all_digit and digits == 4:
+        return "4d"
+    if digits > 0:
+        if letters > 0:
+            return "an"
+        if "-" in tok:
+            return "dd"
+        if "/" in tok:
+            return "ds"
+        if "," in tok:
+            return "dc"
+        if "." in tok:
+            return "dp"
+        if all_digit:
+            return "num"
+        return "other"
+    if letters == len(tok) and tok.isupper():
+        return "sc" if len(tok) == 1 else "ac"
+    if letters > 0 and tok[0].isupper():
+        return "ic"
+    return "other"
+
+
+def _pos_context(index: int, toks: list[str], prev_tags: list[str]) -> list[str]:
+    """The aggregated pipeline from the model's generator.featuregen:
+    def / suf= / pre= (lengths 1-4) / windowed w= (±2, lowercased) /
+    windowed S=begin (±2) / wc= + w&c= / t= + t2= previous tags."""
+    tok = toks[index]
+    n = len(toks)
+    feats = ["def"]
+    for li in range(4):
+        feats.append("suf=" + tok[max(len(tok) - li - 1, 0):])
+    for li in range(4):
+        feats.append("pre=" + tok[:min(li + 1, len(tok))])
+    # WindowFeatureGenerator(TokenFeatureGenerator, 2, 2)
+    feats.append("w=" + tok.lower())
+    for d in (1, 2):
+        if index - d >= 0:
+            feats.append(f"p{d}w=" + toks[index - d].lower())
+        if index + d < n:
+            feats.append(f"n{d}w=" + toks[index + d].lower())
+    # WindowFeatureGenerator(SentenceFeatureGenerator(begin, !end), 2, 2)
+    if index == 0:
+        feats.append("S=begin")
+    for d in (1, 2):
+        if index - d == 0:
+            feats.append(f"p{d}S=begin")
+        # begin-only generator: next-window positions produce nothing
+    tc = _token_class(tok)
+    feats.append("wc=" + tc)
+    feats.append("w&c=" + tok.lower() + "," + tc)
+    # PosTaggerFeatureGenerator: previous decisions
+    if index >= 1 and len(prev_tags) >= index:
+        feats.append("t=" + prev_tags[index - 1])
+        if index >= 2:
+            feats.append("t2=" + prev_tags[index - 2] + "," + prev_tags[index - 1])
+    return feats
+
+
+class POSTagger:
+    """POSTaggerME.tag: beam search (manifest BeamSize, default 3)."""
+
+    def __init__(self, model: GISModel):
+        self.model = model
+        self.beam = int(model.manifest.get("BeamSize", "3"))
+
+    def tag(self, toks: list[str]) -> list[str]:
+        return beam_search(self.model, len(toks),
+                           lambda i, prev: _pos_context(i, toks, prev), self.beam)
+
+
+# ---------------------------------------------------------------------------
+# Chunker (ChunkerME + DefaultChunkerContextGenerator)
+# ---------------------------------------------------------------------------
+
+def _chunk_context(i: int, toks: list[str], tags: list[str], preds: list[str]) -> list[str]:
+    n = len(toks)
+    if i < 2:
+        w_2, t_2, p_2 = "w_2=bos", "t_2=bos", "p_2bos"
+    else:
+        w_2, t_2, p_2 = "w_2=" + toks[i - 2], "t_2=" + tags[i - 2], "p_2" + preds[i - 2]
+    if i < 1:
+        w_1, t_1, p_1 = "w_1=bos", "t_1=bos", "p_1=bos"
+    else:
+        w_1, t_1, p_1 = "w_1=" + toks[i - 1], "t_1=" + tags[i - 1], "p_1=" + preds[i - 1]
+    w0, t0 = "w0=" + toks[i], "t0=" + tags[i]
+    w1 = "w1=" + toks[i + 1] if i + 1 < n else "w1=eos"
+    t1 = "t1=" + tags[i + 1] if i + 1 < n else "t1=eos"
+    w2 = "w2=" + toks[i + 2] if i + 2 < n else "w2=eos"
+    t2 = "t2=" + tags[i + 2] if i + 2 < n else "t2=eos"
+    return [
+        w_2, w_1, w0, w1, w2, w_1 + w0, w0 + w1,
+        t_2, t_1, t0, t1, t2, t_2 + t_1, t_1 + t0, t0 + t1, t1 + t2,
+        t_2 + t_1 + t0, t_1 + t0 + t1, t0 + t1 + t2,
+        p_2, p_1, p_2 + p_1,
+        p_1 + t_2, p_1 + t_1, p_1 + t0, p_1 + t1, p_1 + t2,
+        p_1 + t_2 + t_1, p_1 + t_1 + t0, p_1 + t0 + t1, p_1 + t1 + t2,
+        p_1 + t_2 + t_1 + t0, p_1 + t_1 + t0 + t1, p_1 + t0 + t1 + t2,
+        p_1 + w_2, p_1 + w_1, p_1 + w0, p_1 + w1, p_1 + w2,
+        p_1 + w_1 + w0, p_1 + w0 + w1,
+    ]
+
+
+def _chunk_valid(i: int, prev: list[str], outcome: str) -> bool:
+    """DefaultChunkerSequenceValidator: I-X only after B-X / I-X."""
+    if outcome.startswith("I-"):
+        if i == 0:
+            return False
+        p = prev[i - 1]
+        if p == "O" or len(p) < 2 or p[2:] != outcome[2:]:
+            return False
+    return True
+
+
+class Chunker:
+    def __init__(self, model: GISModel):
+        self.model = model
+        self.beam = int(model.manifest.get("BeamSize", "10"))
+
+    def chunk(self, toks: list[str], tags: list[str]) -> list[str]:
+        return beam_search(self.model, len(toks),
+                           lambda i, prev: _chunk_context(i, toks, tags, prev),
+                           self.beam, validator=_chunk_valid)
+
+
+# ---------------------------------------------------------------------------
+# Lemmatizers (LemmatizerME, DictionaryLemmatizer, NLPLemmatizerOp)
+# ---------------------------------------------------------------------------
+
+def _lemma_context(index: int, toks: list[str], tags: list[str], preds: list[str]) -> list[str]:
+    """DefaultLemmatizerContextGenerator: w0/t0/p_1 (+pairs), prefixes
+    2-5, suffixes 2-7 — including the literal "null" slot-0 artifacts
+    the model vocabulary proves (pre=null / suf=null)."""
+    tok = toks[index]
+    p_1 = "p_1=bos" if index < 1 else "p_1=" + preds[index - 1]
+    w0, t0 = "w0=" + tok, "t0=" + tags[index]
+    feats = [w0, t0, p_1, p_1 + t0, p_1 + w0]
+    suffs = ["null"] + [tok[max(len(tok) - li - 1, 0):] for li in range(1, 7)]
+    feats.extend("suf=" + x for x in suffs)
+    prefs = ["null"] + [tok[:min(li + 1, len(tok))] for li in range(1, 5)]
+    feats.extend("pre=" + x for x in prefs)
+    if "-" in tok:
+        feats.append("h")
+    if any(c.isupper() for c in tok):
+        feats.append("c")
+    if any(c.isdigit() for c in tok):
+        feats.append("d")
+    return feats
+
+
+def decode_ses(word: str, ses: str) -> str:
+    """StringUtil.decodeShortestEditScript: apply R<i><from><to> /
+    I<i><ch> / D<i><ch> ops over the REVERSED lowercase word."""
+    chars = list(reversed(word))
+    i = 0
+    while i < len(ses):
+        op = ses[i]
+        i += 1
+        if op == "R":
+            idx = int(ses[i]); frm, to = ses[i + 1], ses[i + 2]; i += 3
+            if idx < len(chars) and chars[idx] == frm:
+                chars[idx] = to
+        elif op == "I":
+            idx = int(ses[i]); ins = ses[i + 1]; i += 2
+            if idx <= len(chars):
+                chars.insert(idx, ins)
+        elif op == "D":
+            idx = int(ses[i]); dch = ses[i + 1]; i += 2
+            if idx < len(chars) and chars[idx] == dch:
+                del chars[idx]
+        # 'O' (and anything else) = no edit
+    return "".join(reversed(chars))
+
+
+class LemmatizerME:
+    def __init__(self, model: GISModel):
+        self.model = model
+        self.beam = int(model.manifest.get("BeamSize", "3"))
+
+    def lemmatize(self, toks: list[str], tags: list[str]) -> list[str]:
+        classes = beam_search(self.model, len(toks),
+                              lambda i, prev: _lemma_context(i, toks, tags, prev),
+                              self.beam)
+        out = []
+        for tok, cls in zip(toks, classes):
+            lemma = decode_ses(tok.lower(), cls)
+            out.append(lemma if lemma else "_")
+        return out
+
+
+class DictionaryLemmatizer:
+    """word\\tpostag\\tlemma lines; lookup key is (word.lower(), postag);
+    miss -> "O" (DictionaryLemmatizer.java semantics)."""
+
+    def __init__(self, path: str):
+        self.dict: dict[tuple[str, str], str] = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("\t")
+                if len(parts) >= 3:
+                    self.dict[(parts[0], parts[1])] = parts[2]
+
+    def lemmatize(self, toks: list[str], tags: list[str]) -> list[str]:
+        return [self.dict.get((w.lower(), t), "O") for w, t in zip(toks, tags)]
+
+
+class LemmatizerOp:
+    """NLPLemmatizerOp.Lemmatize: dictionary first; "O" miss falls back
+    to the maxent lemmatizer; "_" (or no maxent) keeps the original."""
+
+    def __init__(self, dictionary: DictionaryLemmatizer | None = None,
+                 maxent: LemmatizerME | None = None):
+        if dictionary is None and maxent is None:
+            raise ValueError("at least one of dictionary/maxent is required")
+        self.dictionary = dictionary
+        self.maxent = maxent
+
+    def lemmatize(self, toks: list[str], tags: list[str]) -> list[str]:
+        if self.dictionary is not None:
+            lemmas = self.dictionary.lemmatize(toks, tags)
+            me: list[str] | None = None
+            for i, lm in enumerate(lemmas):
+                if lm == "O":
+                    if self.maxent is not None:
+                        if me is None:
+                            me = self.maxent.lemmatize(toks, tags)
+                        lemmas[i] = toks[i] if me[i] == "_" else me[i]
+                    else:
+                        lemmas[i] = toks[i]
+            return lemmas
+        me = self.maxent.lemmatize(toks, tags)
+        return [toks[i] if me[i] == "_" else me[i] for i in range(len(toks))]
+
+
+# ---------------------------------------------------------------------------
+# The Lucene-analogous chain over typed tokens
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=16)
+def _load_model(path: str) -> GISModel:
+    return GISModel.load_bin(path)
+
+
+@lru_cache(maxsize=16)
+def _load_dict(path: str) -> DictionaryLemmatizer:
+    return DictionaryLemmatizer(path)
+
+
+def opennlp_sentences(text: str, sent_model: str) -> list[tuple[int, int]]:
+    """OpenNLPSentenceBreakIterator analogue: sentence (start, end) spans."""
+    return SentenceDetector(_load_model(sent_model)).sent_spans(text)
+
+
+def sentence_boundaries(text: str, sent_model: str) -> list[int]:
+    """OpenNLPSentenceBreakIterator boundary set: 0, each following
+    sentence's start offset, and text end (the iterator treats leading
+    whitespace as part of the PRECEDING sentence, so boundaries are the
+    next span's start, not the previous span's end)."""
+    spans = opennlp_sentences(text, sent_model)
+    if not spans:
+        return [0, len(text)]
+    return [0] + [a for a, _ in spans[1:]] + [len(text)]
+
+
+def opennlp_tokenize(text: str, sent_model: str, tok_model: str):
+    """OpenNLPTokenizer.cs: per-sentence statistical tokens.  Returns a
+    list of sentences, each a list of (term, start_offset, end_offset)."""
+    sd = SentenceDetector(_load_model(sent_model))
+    tk = TokenizerME(_load_model(tok_model))
+    out = []
+    for a, b in sd.sent_spans(text):
+        sent = text[a:b]
+        toks = [(text[a + s:a + e], a + s, a + e) for s, e in tk.tokenize_spans(sent)]
+        if toks:
+            out.append(toks)
+    return out
+
+
+def opennlp_chain(text: str, sent_model: str, tok_model: str,
+                  pos_model: str | None = None, chunker_model: str | None = None,
+                  lemma_dict: str | None = None, lemma_model: str | None = None,
+                  keyword_repeat: bool = False):
+    """The full reference chain over typed tokens.  Returns
+    [(term, posInc, type, start_offset, end_offset)] — type is the POS
+    tag after the POS filter, the chunk tag after the chunker filter
+    (matching each filter's TypeAttribute write).  keyword_repeat=True
+    inserts the KeywordRepeatFilter + RemoveDuplicatesTokenFilter pair
+    around the lemmatizer (the reference's keep-original recipe)."""
+    sentences = opennlp_tokenize(text, sent_model, tok_model)
+    tagger = POSTagger(_load_model(pos_model)) if pos_model else None
+    chunker = Chunker(_load_model(chunker_model)) if chunker_model else None
+    lemma_op = None
+    if lemma_dict or lemma_model:
+        lemma_op = LemmatizerOp(
+            _load_dict(lemma_dict) if lemma_dict else None,
+            LemmatizerME(_load_model(lemma_model)) if lemma_model else None)
+
+    out: list[tuple[str, int, str, int, int]] = []
+    for toks in sentences:
+        terms = [t for t, _, _ in toks]
+        types = ["word"] * len(terms)
+        if tagger is not None:
+            types = tagger.tag(terms)
+        if chunker is not None:
+            types = chunker.chunk(terms, types)
+        # (term, keyword?, type, start, end) rows, sentence-local
+        rows = [[terms[i], False, types[i], toks[i][1], toks[i][2]] for i in range(len(toks))]
+        if keyword_repeat:
+            rows = [r for row in rows for r in ([row[0], True] + row[2:], list(row))]
+            # KeywordRepeatFilter: keyword copy first (posInc 1), then the
+            # stemmable copy at posInc 0
+        if lemma_op is not None:
+            plain = [r for r in rows if not r[1]]
+            lemmas = lemma_op.lemmatize([r[0] for r in plain], [r[2] for r in plain])
+            for r, lm in zip(plain, lemmas):
+                r[0] = lm
+        # flatten with positions; RemoveDuplicatesTokenFilter semantics:
+        # drop a token equal to another token at the same position
+        if keyword_repeat:
+            flat = []
+            for i in range(0, len(rows), 2):
+                kw, st = rows[i], rows[i + 1]
+                flat.append((kw[0], 1, kw[2], kw[3], kw[4]))
+                if st[0] != kw[0]:
+                    flat.append((st[0], 0, st[2], st[3], st[4]))
+            out.extend(flat)
+        else:
+            out.extend((r[0], 1, r[2], r[3], r[4]) for r in rows)
+    return out
+
+
+def make_opennlp_analyzer(sent_model: str, tok_model: str,
+                          pos_model: str | None = None,
+                          lemma_dict: str | None = None,
+                          lemma_model: str | None = None,
+                          lowercase: bool = False):
+    """Lower the chain to the engine analyzer interface
+    (text -> (terms, positions)); positions are 1-increment."""
+    def _analyze(text: str):
+        rows = opennlp_chain(text, sent_model, tok_model, pos_model=pos_model,
+                             lemma_dict=lemma_dict, lemma_model=lemma_model)
+        terms, positions = [], []
+        pos = -1
+        for term, inc, _typ, _s, _e in rows:
+            pos += inc
+            terms.append(term.lower() if lowercase else term)
+            positions.append(pos)
+        return terms, positions
+    return _analyze

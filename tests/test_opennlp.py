@@ -1,0 +1,214 @@
+"""OpenNLP chain parity vs the reference's own test matrix.
+
+Expected values are the literal assertions of
+src/Lucene.Net.Tests.Analysis.OpenNLP/TestOpenNLPTokenizerFactory.cs,
+TestOpenNLPPOSFilterFactory.cs, TestOpenNLPChunkerFilterFactory.cs,
+TestOpenNLPLemmatizerFilterFactory.cs and
+TestOpenNLPSentenceBreakIterator.cs, executed against the reference's
+bundled OpenNLP test models (public Apache OpenNLP 1.9 GIS format)."""
+import os
+
+import pytest
+
+from sparklucene.opennlp import (
+    TEST_MODEL_DIR, opennlp_chain, opennlp_sentences, opennlp_tokenize,
+    sentence_boundaries, make_opennlp_analyzer, decode_ses,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TEST_MODEL_DIR), reason="reference OpenNLP test models unavailable")
+
+SENT = os.path.join(TEST_MODEL_DIR, "en-test-sent.bin")
+TOK = os.path.join(TEST_MODEL_DIR, "en-test-tokenizer.bin")
+POS = os.path.join(TEST_MODEL_DIR, "en-test-pos-maxent.bin")
+CHK = os.path.join(TEST_MODEL_DIR, "en-test-chunker.bin")
+LEMD = os.path.join(TEST_MODEL_DIR, "en-test-lemmas.dict")
+LEMM = os.path.join(TEST_MODEL_DIR, "en-test-lemmatizer.bin")
+
+SENTENCES = "Sentence number 1 has 6 words. Sentence number 2, 5 words."
+SENTENCES_punc = ["Sentence", "number", "1", "has", "6", "words", ".",
+                  "Sentence", "number", "2", ",", "5", "words", "."]
+SENTENCES_start = [0, 9, 16, 18, 22, 24, 29, 31, 40, 47, 48, 50, 52, 57]
+SENTENCES_end = [8, 15, 17, 21, 23, 29, 30, 39, 46, 48, 49, 51, 57, 58]
+
+
+def _flat_tokens(text):
+    return [t for s in opennlp_tokenize(text, SENT, TOK) for t in s]
+
+
+# -- TestOpenNLPTokenizerFactory ------------------------------------------
+
+def test_tokenizer_two_sentences():
+    toks = _flat_tokens(SENTENCES)
+    assert [t[0] for t in toks] == SENTENCES_punc
+    assert [t[1] for t in toks] == SENTENCES_start
+    assert [t[2] for t in toks] == SENTENCES_end
+
+
+def test_tokenizer_one_sentence():
+    toks = _flat_tokens("Sentence number 1 has 6 words.")
+    assert [t[0] for t in toks] == ["Sentence", "number", "1", "has", "6", "words", "."]
+
+
+def test_tokenizer_no_sentence_break():
+    toks = _flat_tokens("No period")
+    assert [t[0] for t in toks] == ["No", "period"]
+    assert [(t[1], t[2]) for t in toks] == [(0, 2), (3, 9)]
+
+
+# -- TestOpenNLPSentenceBreakIterator -------------------------------------
+
+BI_TEXT = ("Sentence number 1 has 6 words. Sentence number 2, 5 words. "
+           "And finally, sentence number 3 has 8 words.")
+
+
+def test_sentence_break_boundaries():
+    assert sentence_boundaries(BI_TEXT, SENT) == [0, 31, 59, len(BI_TEXT)]
+    # the three sentence substrings of the reference test (incl. the
+    # trailing-space convention: a boundary is the NEXT sentence's start)
+    b = sentence_boundaries(BI_TEXT, SENT)
+    assert BI_TEXT[b[0]:b[1]] == "Sentence number 1 has 6 words. "
+    assert BI_TEXT[b[1]:b[2]] == "Sentence number 2, 5 words. "
+    assert BI_TEXT[b[2]:b[3]] == "And finally, sentence number 3 has 8 words."
+
+
+def test_sentence_break_single_and_empty():
+    assert sentence_boundaries("", SENT) == [0, 0]
+    assert sentence_boundaries("No period", SENT) == [0, 9]
+    spans = opennlp_sentences("   ", SENT)
+    assert spans == []
+
+
+# -- TestOpenNLPPOSFilterFactory ------------------------------------------
+
+SENTENCES_posTags = ["NN", "NN", "CD", "VBZ", "CD", "NNS", ".",
+                     "NN", "NN", "CD", ",", "CD", "NNS", "."]
+
+
+def test_pos_tags():
+    rows = opennlp_chain(SENTENCES, SENT, TOK, pos_model=POS)
+    assert [r[0] for r in rows] == SENTENCES_punc
+    assert [r[2] for r in rows] == SENTENCES_posTags
+    assert [r[3] for r in rows] == SENTENCES_start
+    assert [r[4] for r in rows] == SENTENCES_end
+
+
+def test_pos_no_break():
+    rows = opennlp_chain("No period", SENT, TOK, pos_model=POS)
+    assert [r[0] for r in rows] == ["No", "period"]
+    assert [(r[3], r[4]) for r in rows] == [(0, 2), (3, 9)]
+
+
+# -- TestOpenNLPChunkerFilterFactory --------------------------------------
+
+SENTENCES_chunks = ["B-NP", "I-NP", "I-NP", "B-VP", "B-NP", "I-NP", "O",
+                    "B-NP", "I-NP", "I-NP", "O", "B-NP", "I-NP", "O"]
+
+
+def test_chunker():
+    rows = opennlp_chain(SENTENCES, SENT, TOK, pos_model=POS, chunker_model=CHK)
+    assert [r[0] for r in rows] == SENTENCES_punc
+    assert [r[2] for r in rows] == SENTENCES_chunks
+
+
+# -- TestOpenNLPLemmatizerFilterFactory -----------------------------------
+
+SENTENCE = "They sent him running in the evening."
+SENTENCE_dict = ["they", "send", "he", "run", "in", "the", "evening", "."]
+SENTENCE_maxent = ["they", "send", "he", "runn", "in", "the", "evening", "."]
+SENTENCE_tags = ["NNP", "VBD", "PRP", "VBG", "IN", "DT", "NN", "."]
+
+TWO = "They sent him running in the evening. He did not come back."
+TWO_dict = ["they", "send", "he", "run", "in", "the", "evening", ".",
+            "he", "do", "not", "come", "back", "."]
+TWO_maxent = ["they", "send", "he", "runn", "in", "the", "evening", ".",
+              "he", "do", "not", "come", "back", "."]
+TWO_tags = ["NNP", "VBD", "PRP", "VBG", "IN", "DT", "NN", ".",
+            "PRP", "VBD", "RB", "VB", "RB", "."]
+
+BOTH1 = "Konstantin Kalashnitsov constantly caliphed."
+BOTH1_punc = ["konstantin", "kalashnitsov", "constantly", "caliph", "."]
+BOTH1_tags = ["IN", "JJ", "NN", "VBN", "."]
+
+BOTH2 = "Konstantin Kalashnitsov constantly caliphed. Coreena could care, completely."
+BOTH2_punc = ["konstantin", "kalashnitsov", "constantly", "caliph", ".",
+              "coreena", "could", "care", ",", "completely", "."]
+BOTH2_tags = ["IN", "JJ", "NN", "VBN", ".", "NNP", "VBN", "NN", ",", "NN", "."]
+
+
+def _lemma_case(text, punc, tags, **kw):
+    rows = opennlp_chain(text, SENT, TOK, pos_model=POS, **kw)
+    assert [r[0] for r in rows] == punc
+    assert [r[2] for r in rows] == tags
+
+
+def test_lemma_dictionary_only():
+    _lemma_case(SENTENCE, SENTENCE_dict, SENTENCE_tags, lemma_dict=LEMD)
+    _lemma_case(TWO, TWO_dict, TWO_tags, lemma_dict=LEMD)
+
+
+def test_lemma_maxent_only():
+    _lemma_case(SENTENCE, SENTENCE_maxent, SENTENCE_tags, lemma_model=LEMM)
+    _lemma_case(TWO, TWO_maxent, TWO_tags, lemma_model=LEMM)
+
+
+def test_lemma_dictionary_and_maxent():
+    _lemma_case(BOTH1, BOTH1_punc, BOTH1_tags, lemma_dict=LEMD, lemma_model=LEMM)
+    _lemma_case(BOTH2, BOTH2_punc, BOTH2_tags, lemma_dict=LEMD, lemma_model=LEMM)
+
+
+KEEP_ORIG_dict = ["They", "they", "sent", "send", "him", "he", "running", "run",
+                  "in", "the", "evening", ".", "He", "he", "did", "do", "not",
+                  "come", "back", "."]
+KEEP_ORIG_maxent = ["They", "they", "sent", "send", "him", "he", "running", "runn",
+                    "in", "the", "evening", ".", "He", "he", "did", "do", "not",
+                    "come", "back", "."]
+KEEP_ORIG_tags = ["NNP", "NNP", "VBD", "VBD", "PRP", "PRP", "VBG", "VBG", "IN",
+                  "DT", "NN", ".", "PRP", "PRP", "VBD", "VBD", "RB", "VB", "RB", "."]
+KEEP_ORIG_both = ["Konstantin", "konstantin", "Kalashnitsov", "kalashnitsov",
+                  "constantly", "caliphed", "caliph", ".", "Coreena", "coreena",
+                  "could", "care", ",", "completely", "."]
+KEEP_ORIG_both_tags = ["IN", "IN", "JJ", "JJ", "NN", "VBN", "VBN", ".", "NNP",
+                       "NNP", "VBN", "NN", ",", "NN", "."]
+
+
+def test_lemma_keyword_repeat():
+    # KeywordRepeatFilter + lemmatizer + RemoveDuplicatesTokenFilter:
+    # original keeps posInc 1, lemma stacks at posInc 0, identical pairs
+    # collapse (TestKeywordRepeatAndDictionaryLemmatizer etc.)
+    rows = opennlp_chain(TWO, SENT, TOK, pos_model=POS, lemma_dict=LEMD,
+                         keyword_repeat=True)
+    assert [r[0] for r in rows] == KEEP_ORIG_dict
+    assert [r[2] for r in rows] == KEEP_ORIG_tags
+    rows = opennlp_chain(TWO, SENT, TOK, pos_model=POS, lemma_model=LEMM,
+                         keyword_repeat=True)
+    assert [r[0] for r in rows] == KEEP_ORIG_maxent
+    rows = opennlp_chain(BOTH2, SENT, TOK, pos_model=POS, lemma_dict=LEMD,
+                         lemma_model=LEMM, keyword_repeat=True)
+    assert [r[0] for r in rows] == KEEP_ORIG_both
+    assert [r[2] for r in rows] == KEEP_ORIG_both_tags
+    # stacked lemma carries posInc 0
+    incs = [r[1] for r in rows]
+    assert incs == [1, 0, 1, 0, 1, 1, 0, 1, 1, 0, 1, 1, 1, 1, 1]
+
+
+# -- shortest-edit-script decoder unit vectors ----------------------------
+
+def test_decode_ses():
+    assert decode_ses("running", "D2iD1nD0g") == "runn"
+    assert decode_ses("sent", "R0td") == "send"
+    assert decode_ses("caliphed", "D1eD0d") == "caliph"
+    assert decode_ses("konstantin", "O") == "konstantin"
+    # guard: op on a mismatching char is a no-op
+    assert decode_ses("dog", "R0td") == "dog"
+    assert decode_ses("x", "D0x") == ""
+
+
+# -- analyzer lowering -----------------------------------------------------
+
+def test_make_opennlp_analyzer():
+    an = make_opennlp_analyzer(SENT, TOK, pos_model=POS, lemma_dict=LEMD,
+                               lemma_model=LEMM, lowercase=True)
+    terms, positions = an(TWO)
+    assert terms == TWO_dict
+    assert positions == list(range(len(TWO_dict)))
