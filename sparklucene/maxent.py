@@ -74,26 +74,31 @@ def parse_manifest(text: str) -> dict[str, str]:
 
 
 class GISModel:
-    """A loaded GIS maxent model: predicate -> (outcome ids, params)."""
+    """A loaded GIS or Perceptron maxent model: predicate -> (outcome ids,
+    params).  model_type selects the eval semantics ("GIS" softmax of
+    parameter sums vs "Perceptron" exp(sum/maxAbs) normalization,
+    PerceptronModel.eval)."""
 
-    __slots__ = ("outcomes", "pmap", "manifest", "_outcome_index")
+    __slots__ = ("outcomes", "pmap", "manifest", "_outcome_index", "model_type")
 
     def __init__(self, outcomes: list[str], pmap: dict[str, tuple[tuple[int, ...], tuple[float, ...]]],
-                 manifest: dict[str, str] | None = None):
+                 manifest: dict[str, str] | None = None, model_type: str = "GIS"):
         self.outcomes = outcomes
         self.pmap = pmap
         self.manifest = manifest or {}
+        self.model_type = model_type
         self._outcome_index = {o: i for i, o in enumerate(outcomes)}
 
     # -- parsing ----------------------------------------------------------
 
     @staticmethod
-    def parse_gis_bytes(data: bytes) -> tuple[list[str], dict]:
+    def parse_gis_bytes(data: bytes) -> tuple[list[str], dict, str]:
         off = 0
         tag, off = _read_utf(data, off)
-        if tag != "GIS":
-            raise ValueError(f"not a binary GIS model (tag {tag!r})")
-        off += 4 + 8  # correctionConstant int32 + correctionParam float64: discarded
+        if tag == "GIS":
+            off += 4 + 8  # correctionConstant int32 + correctionParam float64: discarded
+        elif tag != "Perceptron":  # BinaryPerceptronModelWriter: no correction fields
+            raise ValueError(f"not a binary GIS/Perceptron model (tag {tag!r})")
         (n_out,) = struct.unpack_from(">i", data, off)
         off += 4
         outcomes = []
@@ -123,7 +128,7 @@ class GISModel:
                 pi += 1
         if pi != n_pred or off != len(data):
             raise ValueError("truncated GIS model")
-        return outcomes, pmap
+        return outcomes, pmap, tag
 
     @classmethod
     def load_bin(cls, path: str) -> "GISModel":
@@ -133,8 +138,8 @@ class GISModel:
             entries = [n for n in z.namelist() if n.endswith(".model")]
             if len(entries) != 1:
                 raise ValueError(f"expected one .model entry, got {entries}")
-            outcomes, pmap = cls.parse_gis_bytes(z.read(entries[0]))
-        return cls(outcomes, pmap, manifest)
+            outcomes, pmap, tag = cls.parse_gis_bytes(z.read(entries[0]))
+        return cls(outcomes, pmap, manifest, model_type=tag)
 
     # -- evaluation -------------------------------------------------------
 
@@ -150,8 +155,13 @@ class GISModel:
             oids, vals = hit
             for k in range(len(oids)):
                 sums[oids[k]] += vals[k]
-        m = max(sums)
-        exps = [math.exp(s - m) for s in sums]
+        if self.model_type == "Perceptron":
+            # PerceptronModel.eval(normalize=true): exp(sum / max|sum|)
+            m = max(1.0, max(abs(s) for s in sums))
+            exps = [math.exp(s / m) for s in sums]
+        else:
+            m = max(sums)
+            exps = [math.exp(s - m) for s in sums]
         z = sum(exps)
         return [e / z for e in exps]
 

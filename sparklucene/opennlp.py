@@ -396,6 +396,124 @@ class Chunker:
 
 
 # ---------------------------------------------------------------------------
+# Name finder (NameFinderME / NLPNERTaggerOp) — perceptron model
+# ---------------------------------------------------------------------------
+
+def _ner_context(i: int, toks: list[str], preds: list[str],
+                 prev_map: dict[str, str]) -> list[str]:
+    """The en-test-ner.bin generator.featuregen pipeline (windowed token
+    class incl. w&c, windowed lowercased token, def, previous-decision
+    map with "null" default, name bigrams over RAW tokens, S=begin) plus
+    DefaultNameContextGenerator's unconditional previous-outcome
+    features (po= / pow= / powf= / ppo=, OTHER="other")."""
+    n = len(toks)
+    tok = toks[i]
+    wc = _token_class(tok)
+    feats: list[str] = []
+    # WindowFeatureGenerator(TokenClassFeatureGenerator(wordAndClass), 2, 2)
+    feats.append("wc=" + wc)
+    feats.append("w&c=" + tok.lower() + "," + wc)
+    for d in (1, 2):
+        if i - d >= 0:
+            c = _token_class(toks[i - d])
+            feats.append(f"p{d}wc=" + c)
+            feats.append(f"p{d}w&c=" + toks[i - d].lower() + "," + c)
+        if i + d < n:
+            c = _token_class(toks[i + d])
+            feats.append(f"n{d}wc=" + c)
+            feats.append(f"n{d}w&c=" + toks[i + d].lower() + "," + c)
+    # WindowFeatureGenerator(TokenFeatureGenerator, 2, 2)
+    feats.append("w=" + tok.lower())
+    for d in (1, 2):
+        if i - d >= 0:
+            feats.append(f"p{d}w=" + toks[i - d].lower())
+        if i + d < n:
+            feats.append(f"n{d}w=" + toks[i + d].lower())
+    feats.append("def")
+    # PreviousMapFeatureGenerator (adaptive across sentences)
+    feats.append("pd=" + prev_map.get(tok, "null"))
+    # BigramNameFeatureGenerator (raw tokens)
+    if i > 0:
+        feats.append("pw,w=" + toks[i - 1] + "," + tok)
+        feats.append("pwc,wc=" + _token_class(toks[i - 1]) + "," + wc)
+    if i + 1 < n:
+        feats.append("w,nw=" + tok + "," + toks[i + 1])
+        feats.append("wc,nc=" + wc + "," + _token_class(toks[i + 1]))
+    # SentenceFeatureGenerator(begin, !end)
+    if i == 0:
+        feats.append("S=begin")
+    # DefaultNameContextGenerator previous-outcome features
+    po = preds[i - 1] if i > 0 else "other"
+    ppo = preds[i - 2] if i > 1 else "other"
+    feats.append("po=" + po)
+    feats.append("pow=" + po + "," + tok)
+    feats.append("powf=" + po + "," + wc)
+    feats.append("ppo=" + ppo)
+    return feats
+
+
+def _ner_valid(i: int, prev: list[str], outcome: str) -> bool:
+    """NameFinderSequenceValidator: a -cont outcome must continue a
+    -start/-cont of the same type."""
+    if outcome.endswith("-cont"):
+        if i == 0:
+            return False
+        p = prev[i - 1]
+        return (p.endswith("-start") or p.endswith("-cont")) and \
+            p.rsplit("-", 1)[0] == outcome.rsplit("-", 1)[0]
+    return True
+
+
+def bio_decode(outcomes: list[str]) -> list[tuple[int, int, str]]:
+    """BioCodec.decode: (start, end, type) name spans from the
+    X-start/X-cont/other outcome sequence."""
+    spans: list[tuple[int, int, str]] = []
+    start, typ = -1, ""
+    for i, o in enumerate(outcomes):
+        if o.endswith("-start"):
+            if start >= 0:
+                spans.append((start, i, typ))
+            start, typ = i, o[:-len("-start")]
+        elif o.endswith("-cont"):
+            pass  # continue the open span
+        else:
+            if start >= 0:
+                spans.append((start, i, typ))
+                start = -1
+    if start >= 0:
+        spans.append((start, len(outcomes), typ))
+    return spans
+
+
+class NameFinder:
+    """NameFinderME over the perceptron NER model (NLPNERTaggerOp.cs:
+    GetNames + Reset=clearAdaptiveData).  No reference test exercises
+    NER (the reference bundles only the model), so — unlike every other
+    component in this module — parity here is structural (model format,
+    featuregen pipeline, beam + validator + BioCodec) rather than
+    asserted against golden outputs; tests cover the codec, validator,
+    determinism and the adaptive-map contract."""
+
+    def __init__(self, model: GISModel):
+        self.model = model
+        self.beam = int(model.manifest.get("BeamSize", "3"))
+        self.prev_map: dict[str, str] = {}
+
+    def find(self, toks: list[str]) -> list[tuple[int, int, str]]:
+        outcomes = beam_search(
+            self.model, len(toks),
+            lambda i, prev: _ner_context(i, toks, prev, self.prev_map),
+            self.beam, validator=_ner_valid)
+        # updateAdaptiveData: remember this sentence's decisions
+        for t, o in zip(toks, outcomes):
+            self.prev_map[t] = o
+        return bio_decode(outcomes)
+
+    def clear_adaptive_data(self) -> None:
+        self.prev_map.clear()
+
+
+# ---------------------------------------------------------------------------
 # Lemmatizers (LemmatizerME, DictionaryLemmatizer, NLPLemmatizerOp)
 # ---------------------------------------------------------------------------
 

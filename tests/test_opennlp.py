@@ -204,6 +204,49 @@ def test_decode_ses():
     assert decode_ses("x", "D0x") == ""
 
 
+# -- NameFinderME (perceptron model; no golden outputs in the reference,
+#    so the assertions are structural: format, codec, validator, adaptive
+#    map, determinism) ------------------------------------------------------
+
+NER = os.path.join(TEST_MODEL_DIR, "en-test-ner.bin")
+
+
+def test_ner_model_loads_perceptron():
+    from sparklucene.maxent import GISModel
+    m = GISModel.load_bin(NER)
+    assert m.model_type == "Perceptron"
+    assert m.outcomes == ["other", "person-start", "location-start"]
+    assert m.manifest["sequenceCodecImplName"] == "opennlp.tools.namefind.BioCodec"
+
+
+def test_ner_find_deterministic_and_adaptive():
+    from sparklucene.maxent import GISModel
+    from sparklucene.opennlp import NameFinder
+    m = GISModel.load_bin(NER)
+    nf = NameFinder(m)
+    toks = "Flashman was in London .".split()
+    spans1 = nf.find(toks)
+    assert (3, 4, "location") in spans1
+    # adaptive previous-decision map recorded this sentence's outcomes
+    assert nf.prev_map["London"] == "location-start"
+    nf.clear_adaptive_data()
+    assert nf.prev_map == {}
+    assert nf.find(toks) == spans1  # deterministic
+
+
+def test_bio_decode_and_validator():
+    from sparklucene.opennlp import bio_decode, _ner_valid
+    outs = ["other", "person-start", "person-cont", "other",
+            "location-start", "person-start"]
+    assert bio_decode(outs) == [(1, 3, "person"), (4, 5, "location"),
+                                (5, 6, "person")]
+    # -cont only continues a same-type -start/-cont
+    assert _ner_valid(2, ["other", "person-start"], "person-cont")
+    assert not _ner_valid(2, ["other", "location-start"], "person-cont")
+    assert not _ner_valid(0, [], "person-cont")
+    assert not _ner_valid(1, ["other"], "person-cont")
+
+
 # -- analyzer lowering -----------------------------------------------------
 
 def test_make_opennlp_analyzer():
