@@ -172,8 +172,9 @@ def cmd_term_info(args) -> int:
     st = s.lookup_terms([args.term]).get(args.term)
     df = int(st.df) if st is not None else 0
     ttf = int(st.ttf) if st is not None else 0
-    # GetTermInfo.cs output shape: "{ttf} {field}:{term} {df}"
-    print(f"{ttf} content:{args.term} {df}")
+    # GetTermInfo.cs:58 output shape:
+    #   "{field}:{term} \t totalTF = {ttf:#,##0} \t doc freq = {df:#,##0}"
+    print(f"{args.field}:{args.term} \t totalTF = {ttf:,} \t doc freq = {df:,}")
     return 0
 
 
@@ -316,6 +317,9 @@ def main(argv=None) -> int:
                         "totalTermFreq (GetTermInfo analogue)")
     ti.add_argument("--index", required=True)
     ti.add_argument("--term", required=True)
+    ti.add_argument("--field", default="content",
+                    help="field label for the GetTermInfo-shaped output "
+                         "(this engine indexes one content field)")
 
     c = sub.add_parser("check")
     c.add_argument("--index", required=True)

@@ -97,7 +97,17 @@ def _sd_context(s: str, position: int) -> list[str]:
         nxt_start = _first_non_ws(s, tok_end)
         nxt = s[nxt_start:_first_ws(s, nxt_start)].strip()
 
-    feats = ["sn", "eos=" + s[position], "x=" + prefix]
+    feats = []
+    # whitespace-adjacency signals: sp/sn are GATED on an actual space
+    # before/after the eos char (an interior '3.14' period gets neither);
+    # the model vocabulary contains only 'sn' because training periods
+    # are never space-preceded
+    if position > 0 and _is_ws(s[position - 1]):
+        feats.append("sp")
+    if position < len(s) - 1 and _is_ws(s[position + 1]):
+        feats.append("sn")
+    feats.append("eos=" + s[position])
+    feats.append("x=" + prefix)
     if prefix:
         feats.append(str(len(prefix)))
         if prefix[0].isupper():
@@ -180,15 +190,12 @@ def _add_char_preds(key: str, c: str, preds: list[str]) -> None:
         preds.append(key + "_num")
     elif _is_ws(c):
         preds.append(key + "_ws")
-    else:
-        if c in ".?!":
-            preds.append(key + "_eos")
-        elif c in "`\"'":
-            preds.append(key + "_quote")
-        elif c in "$#":
-            preds.append(key + "_num")
-        else:
-            preds.append(key + "_" + c)
+    elif c in ".?!":
+        preds.append(key + "_eos")
+    elif c in "`\"'":
+        preds.append(key + "_quote")
+    # any other punctuation gets NO class feature (the model vocabulary
+    # proves it: frequent f1=,/p1=- have no class-predicate siblings)
 
 
 def _tok_context(tok: str, index: int) -> list[str]:
@@ -261,19 +268,20 @@ def _ws_spans(s: str) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 def _token_class(tok: str) -> str:
-    """FeatureGeneratorUtil.tokenFeature: lc/2d/4d/an/dd/ds/dc/dp/num/
-    sc/ac/ic/other."""
-    digits = sum(c.isdigit() for c in tok)
-    letters = sum(c.isalpha() for c in tok)
-    all_digit = digits == len(tok) and digits > 0
-    if letters == len(tok) and tok.islower():
+    """FeatureGeneratorUtil.tokenFeature branch order: lc, then the
+    UNCONDITIONAL digit-count classes (any token with exactly 2/4 digit
+    chars is 2d/4d — '1.5' is 2d, not dp), then the contains-digit
+    family, sc/ac (all capital letters), ic (first char uppercase,
+    regardless of the rest — 'U.S.' is ic), other."""
+    if tok and all(c.isalpha() and c.islower() for c in tok):
         return "lc"
-    if all_digit and digits == 2:
+    digits = sum(c.isdigit() for c in tok)
+    if digits == 2:
         return "2d"
-    if all_digit and digits == 4:
+    if digits == 4:
         return "4d"
     if digits > 0:
-        if letters > 0:
+        if any(c.isalpha() for c in tok):
             return "an"
         if "-" in tok:
             return "dd"
@@ -283,12 +291,10 @@ def _token_class(tok: str) -> str:
             return "dc"
         if "." in tok:
             return "dp"
-        if all_digit:
-            return "num"
-        return "other"
-    if letters == len(tok) and tok.isupper():
+        return "num"
+    if tok and all(c.isalpha() and c.isupper() for c in tok):
         return "sc" if len(tok) == 1 else "ac"
-    if letters > 0 and tok[0].isupper():
+    if tok and tok[0].isalpha() and tok[0].isupper():
         return "ic"
     return "other"
 

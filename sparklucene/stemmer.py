@@ -5640,6 +5640,12 @@ def kstem_stem(word: str) -> str:
     """KStem (Krovetz) — dictionary-checked English stemmer; the real
     implementation lives in sparklucene.kstem (validated against every
     kstemTestData.zip vector).  Re-exported here so chain configs can say
-    ("stem", {"name": "kstem_stem"})."""
-    from .kstem import kstem_stem as _k
-    return _k(word)
+    ("stem", {"name": "kstem_stem"}).  The target is resolved once and
+    cached: this wrapper sits in the per-token analysis hot loop."""
+    global _KSTEM_FN
+    if _KSTEM_FN is None:
+        from .kstem import kstem_stem as _KSTEM_FN  # noqa: PLW0603
+    return _KSTEM_FN(word)
+
+
+_KSTEM_FN = None
