@@ -951,7 +951,10 @@ def _q_split_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not all(os.path.exists(os.path.join(d, "_MANIFEST.json")) for d in outs):
         multipass_split(spark, s.index_dir, outs)
     part = IndexSearcher(spark, outs[1])
-    hits = part.search(_t("merge"), k=1000).select("docID")
+    # k = the part's own max_doc: an exact upper bound on hits, so the
+    # engine side can never truncate relative to the LIMIT-less oracle
+    # twin at larger scale factors
+    hits = part.search(_t("merge"), k=int(part.stats["max_doc"])).select("docID")
     return (
         hits.join(part.docs(), "docID")
         .select(F.col("docID").alias("doc_id"), "field_len")

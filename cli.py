@@ -121,8 +121,11 @@ def cmd_search(args) -> int:
             default_operator="MUST" if args.default_operator == "and" else "SHOULD",
         )
         if q is None:
-            print("[]")
-            return
+            # SimpleQueryParser never throws; an operator-only/all-stopword
+            # query matches nothing -- emit zero JSON lines like any other
+            # empty result (not a literal "[]", which would break the
+            # line-delimited output contract)
+            return 0
     elif args.syntax == "complex_phrase":
         q = parse_complex(args.query, keyword_fields=s.keyword_fields())
     elif args.syntax == "surround":

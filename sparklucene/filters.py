@@ -90,7 +90,14 @@ def codepoint_count_filter(tokens, min_count: int, max_count: int):
     keep terms whose CODEPOINT count (not UTF-16 length) is in
     [min, max]; position increments accumulate across drops
     (FilteringTokenFilter, enablePositionIncrements=true default).
-    Python str length IS the codepoint count, so len() is exact here."""
+    Python str length IS the codepoint count, so len() is exact here.
+    Constructor validation per the reference: min >= 0, max >= min
+    (CodepointCountFilter.cs throws ArgumentOutOfRangeException) --
+    a config typo must fail fast, not silently empty the field."""
+    if min_count < 0:
+        raise ValueError("minimum length must be greater than or equal to zero")
+    if min_count > max_count:
+        raise ValueError("maximum length must not be greater than minimum length")
     out = []
     gap = 0
     for t, p in tokens:

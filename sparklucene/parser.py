@@ -608,7 +608,9 @@ def _analyze_single_chunk(analyzer, term_str: str, chunk: str) -> str:
     """AnalyzingQueryParser.AnalyzeSingleChunk (AnalyzingQueryParser.cs:
     140-196): run one wildcard-free chunk through the analyzer and demand
     EXACTLY one output token -- zero or multiple tokens are parse errors,
-    exactly the reference's ParseException texts."""
+    exactly the reference's ParseException texts (both use `chunk`;
+    term_str is kept for reference-signature parity -- the reference only
+    mentions termStr in its IOException wrapper, unreachable here)."""
     terms = analyzer(chunk)
     if not terms:
         raise QueryParseError(f'Analyzer returned nothing for "{chunk}"')

@@ -3058,23 +3058,25 @@ class IndexSearcher:
         (vocab-sized, not corpus-sized) with the same two-pass
         range-partition rank build.mint_doc_ids uses for docIDs -- no
         single-partition window anywhere, so a 10^9-value dictionary ranks
-        in parallel; the result is broadcast-joined back to the corpus (the
-        dictionary-then-join shape FieldCache.GetTermsIndex builds).
-        Returns (docID, ord)."""
+        in parallel; the dictionary joins back to the corpus WITHOUT a
+        forced broadcast (AQE picks broadcast vs shuffle by actual size --
+        a 10^9-row dictionary must shuffle-join, the dictionary-then-join
+        shape FieldCache.GetTermsIndex builds).  Returns (docID, ord)."""
         from .build import mint_doc_ids
 
         docs = self.docs()
-        vals = docs.select(F.col(col).alias("_val")).filter(F.col("_val").isNotNull()).distinct()
+        vals = (docs.select(F.col(col).alias("_val"))
+                .filter(F.col("_val").isNotNull()).distinct())
         parts = max(2, self.spark.sparkContext.defaultParallelism)
         ords = mint_doc_ids(vals, ["_val"], parts).withColumnRenamed("docID", "_ord")
-        n = vals.agg(F.count("*").alias("_n"))
         if reverse:
+            n = vals.agg(F.count("*").alias("_n"))
             ords = ords.crossJoin(F.broadcast(n)).select(
                 "_val", (F.col("_n") - F.col("_ord")).alias("_ord")
             )
         return (
             docs.select("docID", F.col(col).alias("_val"))
-            .join(F.broadcast(ords), "_val", "left")
+            .join(ords, "_val", "left")
             .select("docID", F.coalesce("_ord", F.lit(-1)).cast("int").alias("ord"))
         )
 

@@ -137,11 +137,14 @@ def multipass_split(spark: SparkSession, index_dir: str, out_dirs: list[str],
                     seq: bool = False) -> list[dict]:
     """MultiPassIndexSplitter analogue: split into len(out_dirs) parts.
     seq=False: round-robin, docID % n == part (MultiPassIndexSplitter.cs:66).
-    seq=True: contiguous docID ranges of ceil(maxDocBound/n)
-    (MultiPassIndexSplitter.cs:58-64 -- ranges over the doc-number space,
-    so with sparse docIDs part sizes may differ, same as the reference
-    splitting an index that has deletions).
-    Returns each part's stats dict."""
+    seq=True: contiguous docID ranges of floor(maxDocBound/n) with the
+    remainder collected by the LAST part (MultiPassIndexSplitter.cs:78-95
+    partLen = maxDoc/numParts, "last part collects all id-s that remained
+    due to integer rounding errors" -- floor+last-part-remainder never
+    produces an empty part, unlike ceil chunking whose tail range can be
+    empty).  Ranges are over the doc-number space, so with sparse docIDs
+    part sizes may differ, same as the reference splitting an index that
+    has deletions.  Returns each part's stats dict."""
     n = len(out_dirs)
     if n < 2:
         raise ValueError("need at least 2 output dirs")
@@ -149,8 +152,12 @@ def multipass_split(spark: SparkSession, index_dir: str, out_dirs: list[str],
     specs: list[tuple]
     if seq:
         bound = int(docs.agg(F.max("docID")).collect()[0][0] or 0) + 1
-        chunk = -(-bound // n)
-        specs = [("range", i * chunk, min((i + 1) * chunk, bound)) for i in range(n)]
+        if bound < n:
+            # MultiPassIndexSplitter.cs:71 "Not enough documents for splitting"
+            raise ValueError(f"not enough documents ({bound}) for {n} parts")
+        chunk = bound // n
+        specs = [("range", i * chunk,
+                  bound if i == n - 1 else (i + 1) * chunk) for i in range(n)]
     else:
         specs = [("mod", n, i) for i in range(n)]
     out = []
@@ -175,11 +182,17 @@ def pk_split(spark: SparkSession, index_dir: str, out_pass: str, out_fail: str,
     keep_dir = out_pass + ".keepids"
     docs.filter(predicate).select("docID").write.mode("overwrite").parquet(keep_dir)
     fp = _deletes_fingerprint(keep_dir)
+    # Both parts' docs tables derive from the SAME persisted id set as the
+    # postings keep-masks: a predicate evaluating to NULL (e.g. a NULL
+    # column) must land the doc fully in the fail part like the reference's
+    # negateFilter pair -- docs.filter(~predicate) would drop it from BOTH
+    # (NULL is not true under either filter), orphaning its postings.
+    keep_ids = spark.read.parquet(keep_dir)
     stats = [
         _write_part(spark, index_dir, out_pass, ("ids", keep_dir, fp),
-                    docs.filter(predicate)),
+                    docs.join(keep_ids, "docID", "left_semi")),
         _write_part(spark, index_dir, out_fail, ("not_ids", keep_dir, fp),
-                    docs.filter(~predicate)),
+                    docs.join(keep_ids, "docID", "left_anti")),
     ]
     import shutil
 

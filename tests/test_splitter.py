@@ -109,3 +109,40 @@ def test_pk_split_by_predicate(spark, src, tmp_path):
     # each part is searchable on its own
     hits = IndexSearcher(spark, op).search({"type": "term", "term": "merge"}, k=10)
     assert _ids(hits) <= got_pass
+
+
+def test_multipass_seq_remainder_goes_to_last_part(spark, src, tmp_path):
+    # 150 docs / 4 parts: partLen = 37, last part gets [111, 150) -- floor
+    # division with the remainder in the LAST part
+    # (MultiPassIndexSplitter.cs:78-95); ceil chunking would have produced
+    # an empty (unreadable) tail part at other doc counts
+    outs = [str(tmp_path / f"s{i}") for i in range(4)]
+    multipass_split(spark, src, outs, seq=True)
+    parts = [_all_doc_ids(spark, d) for d in outs]
+    whole = _all_doc_ids(spark, src)
+    assert set().union(*parts) == whole
+    assert all(parts[i] for i in range(4))
+    bound = max(whole) + 1
+    chunk = bound // 4
+    for i, p in enumerate(parts):
+        lo = i * chunk
+        hi = bound if i == 3 else (i + 1) * chunk
+        assert p == {d for d in whole if lo <= d < hi}
+
+
+def test_pk_split_null_predicate_doc_lands_in_fail_part(spark, src, tmp_path):
+    # a doc whose predicate evaluates to NULL (NULL column) must fall
+    # ENTIRELY into the fail part like the reference's negateFilter --
+    # not vanish from both docs tables while its postings survive
+    op, of = str(tmp_path / "npass"), str(tmp_path / "nfail")
+    pred = (F.when(F.col("repo").startswith("org1"), F.lit(None).cast("string"))
+            .otherwise(F.col("repo")) < "org3")
+    pk_split(spark, src, op, of, pred)
+    s_all = IndexSearcher(spark, src)
+    null_ids = _ids(s_all.docs().filter(F.col("repo").startswith("org1")).select("docID"))
+    assert null_ids  # fixture sanity: org1 exists
+    got_pass = _all_doc_ids(spark, op)
+    got_fail = _all_doc_ids(spark, of)
+    assert null_ids <= got_fail
+    assert got_pass | got_fail == _all_doc_ids(spark, src)
+    assert not (got_pass & got_fail)
