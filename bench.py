@@ -186,6 +186,30 @@ def main() -> None:
     dp.lm_quality(docs_raw).count()
     qtimes["lm_quality"] = round(time.time() - t0, 3)
 
+    # round-5: statistical-NLP chain throughput -- OpenNLP sentence detect
+    # -> maxent tokenize -> POS tag -> lemmatize, running inside the same
+    # Arrow build kernels as every other analyzer (models loaded once per
+    # worker).  Fixed 1000-doc slice so the row is comparable across runs.
+    from sparklucene.opennlp import TEST_MODEL_DIR
+
+    if os.path.isdir(TEST_MODEL_DIR):
+        # repartition: the sf parquet has few input splits, and this chain
+        # is Python-kernel-heavy enough that tokenize parallelism = split
+        # count would understate it (a production table has many splits)
+        onlp_docs = docs.filter("doc_id < 1000").repartition(cpus)
+        out_onlp = out + "_onlp"
+        shutil.rmtree(out_onlp, ignore_errors=True)
+        t0 = time.time()
+        build_index(
+            spark, onlp_docs, out_onlp,
+            BuildConfig(content_col="text", id_col="doc_id", num_buckets=8,
+                        analyzer="opennlp",
+                        analyzer_params=dict(entrymod._opennlp_model_paths(),
+                                             lowercase=True),
+                        resume=False),
+        )
+        qtimes["opennlp_build_1k"] = round(time.time() - t0, 3)
+
     total = round(build_s + sum(qtimes.values()), 3)
     print(
         json.dumps(
