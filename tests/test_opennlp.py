@@ -204,6 +204,20 @@ def test_decode_ses():
     assert decode_ses("x", "D0x") == ""
 
 
+# -- TestPOS payload composition: TypeAsPayloadTokenFilter after the POS
+#    filter carries the tag bytes as payloads (TestOpenNLPPOSFilterFactory
+#    .TestPOS second analyzer + ToPayloads(SENTENCES_posTags)) -------------
+
+def test_pos_tags_as_payloads():
+    from sparklucene.typedtokens import type_as_payload_filter
+    rows = opennlp_chain(SENTENCES, SENT, TOK, pos_model=POS)
+    typed = [(t, inc, ty, s, e, None) for t, inc, ty, s, e in rows]
+    with_pay = type_as_payload_filter(typed)
+    assert [p for _, _, _, _, _, p in with_pay] == \
+        [t.encode("utf-8") for t in SENTENCES_posTags]
+    assert [t for t, _, _, _, _, _ in with_pay] == SENTENCES_punc
+
+
 # -- NameFinderME (perceptron model; no golden outputs in the reference,
 #    so the assertions are structural: format, codec, validator, adaptive
 #    map, determinism) ------------------------------------------------------
@@ -245,6 +259,57 @@ def test_bio_decode_and_validator():
     assert not _ner_valid(2, ["other", "location-start"], "person-cont")
     assert not _ner_valid(0, [], "person-cont")
     assert not _ner_valid(1, ["other"], "person-cont")
+
+
+# -- robustness properties (a web corpus feeds garbage: the chain must
+#    stay total and offset-consistent on arbitrary text) -------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_chain_offsets_consistent_on_arbitrary_text(text):
+    rows = opennlp_chain(text, SENT, TOK, pos_model=POS, lemma_dict=LEMD,
+                         lemma_model=LEMM)
+    last_end = 0
+    for _term, inc, typ, s, e in rows:
+        assert 0 <= s < e <= len(text)
+        assert s >= last_end  # tokens are non-overlapping, in order
+        assert text[s:e].strip() != ""
+        assert inc in (0, 1)
+        assert isinstance(typ, str) and typ
+        last_end = e
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts)
+def test_tokenizer_spans_are_text_slices(text):
+    sents = opennlp_tokenize(text, SENT, TOK)
+    for toks in sents:
+        for term, s, e in toks:
+            assert term == text[s:e]
+            assert term.strip() == term and term != ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(_texts)
+def test_sentence_spans_partition_non_ws_text(text):
+    spans = opennlp_sentences(text, SENT)
+    non_ws = sum(1 for c in text if not c.isspace())
+    covered = 0
+    prev_end = 0
+    for a, b in spans:
+        assert 0 <= a < b <= len(text)
+        assert a >= prev_end
+        assert not text[a].isspace() and not text[b - 1].isspace()
+        covered += sum(1 for c in text[a:b] if not c.isspace())
+        prev_end = b
+    assert covered == non_ws  # every non-whitespace char is in a sentence
 
 
 # -- analyzer lowering -----------------------------------------------------
