@@ -776,6 +776,12 @@ def make_analyzer(name: str, **params):
         # model paths as params, lemmas replace terms like the reference
         # OpenNLPLemmatizerFilter (sparklucene/opennlp.py).
         from .opennlp import make_opennlp_analyzer
+        # OpenNLPTokenizerFactory.Create throws these exact texts when a
+        # model is missing (TestOpenNLPTokenizerFactory expectations)
+        if "sent_model" not in params:
+            raise ValueError("Configuration Error: missing parameter 'sentenceModel'")
+        if "tok_model" not in params:
+            raise ValueError("Configuration Error: missing parameter 'tokenizerModel'")
         return make_opennlp_analyzer(
             params["sent_model"], params["tok_model"],
             pos_model=params.get("pos_model"),

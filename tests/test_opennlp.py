@@ -314,6 +314,16 @@ def test_sentence_spans_partition_non_ws_text(text):
 
 # -- analyzer lowering -----------------------------------------------------
 
+def test_registry_missing_model_errors():
+    # TestOpenNLPTokenizerFactory.TestTokenizerNoSentenceDetector /
+    # NoTokenizer: the factory's exact Configuration Error texts
+    from sparklucene.analysis import make_analyzer
+    with pytest.raises(ValueError, match="missing parameter 'sentenceModel'"):
+        make_analyzer("opennlp", tok_model=TOK)
+    with pytest.raises(ValueError, match="missing parameter 'tokenizerModel'"):
+        make_analyzer("opennlp", sent_model=SENT)
+
+
 def test_make_opennlp_analyzer():
     an = make_opennlp_analyzer(SENT, TOK, pos_model=POS, lemma_dict=LEMD,
                                lemma_model=LEMM, lowercase=True)
