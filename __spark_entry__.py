@@ -988,6 +988,86 @@ def _q_func_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_func_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-statistics ValueSources (src/Lucene.Net.Queries/Function/
+    ValueSources/): FunctionQuery(TermFreqValueSource('spark')) ranks every
+    doc by raw tf (docs without the term read 0, TermFreqValueSource.cs:93),
+    with the scalar family as constant columns -- DocFreqValueSource,
+    IDFValueSource (ln(maxDoc/(df+1))+1, DefaultSimilarity.cs:158),
+    TotalTermFreqValueSource, SumTotalTermFreqValueSource,
+    MaxDocValueSource.  Postings decode once, then LEFT-join to the docs
+    table; the join is df-sized, never corpus-sized."""
+    s = _searcher(spark, sf_dir)
+    term = "spark"
+    return (
+        s.term_freq_values(term)
+        .orderBy(F.desc("value"), F.asc("docID"))
+        .limit(15)
+        .select(
+            F.col("docID").alias("doc_id"),
+            F.col("value").alias("tf_v"),
+            F.lit(s.doc_freq(term)).cast("long").alias("df_v"),
+            F.lit(round(s.classic_idf(term), 6)).alias("idf_v"),
+            F.lit(s.total_term_freq(term)).cast("long").alias("ttf_v"),
+            F.lit(s.sum_total_term_freq()).cast("long").alias("sttf_v"),
+            F.lit(s.max_doc).cast("long").alias("maxdoc_v"),
+        )
+    )
+
+
+def _q_func_normjdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NormValueSource.cs (per-doc decoded byte315 norm = quantized
+    1/sqrt(fieldLength), via a 256-entry Catalyst array literal -- no joins,
+    no Python) + JoinDocFreqValueSource.cs (docFreq in the text index of the
+    doc's lang value; vocab-sized dictionary join) for docs 0..24."""
+    s = _searcher(spark, sf_dir)
+    nv = s.norm_values().withColumnRenamed("value", "_n")
+    jd = s.join_doc_freq_values("lang").withColumnRenamed("value", "jdf_v")
+    return (
+        nv.join(jd, "docID")
+        .filter(F.col("docID") < 25)
+        .select(
+            F.col("docID").alias("doc_id"),
+            F.round(F.col("_n").cast("double"), 6).alias("norm_v"),
+            "jdf_v",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_func_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryValueSource.cs: every live doc valued at its BM25 score for
+    'merge', defVal 0.5 where the query doesn't match (:71) -- the
+    query-as-value composition FunctionQuery feeds into boosts."""
+    s = _searcher(spark, sf_dir)
+    return (
+        s.query_values(_t("merge"), def_val=0.5)
+        .orderBy(F.desc("value"), F.asc("docID"))
+        .limit(15)
+        .select(F.col("docID").alias("doc_id"), F.round("value", 4).alias("qv"))
+    )
+
+
+def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (BlendedInfixSuggester.cs): the infix_suggest
+    entries re-ranked by position-linear blending -- coefficient 1 when the
+    surface starts with the key, else 1 - 0.10 * (position of the first
+    matching token in the emitted token array); score = (long)(weight *
+    coefficient), top-10 by (score desc, surface desc)."""
+    from sparklucene.suggest import BlendedInfixSuggester
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    entries = (
+        docs.select(
+            F.array_join(F.slice(F.split("text", " "), 1, 4), " ").alias("surface"),
+            F.col("n_chars"),
+        )
+        .groupBy("surface").agg(F.max("n_chars").cast("long").alias("weight"))
+    )
+    sug = BlendedInfixSuggester(spark, entries, analyzer="standard")
+    return sug.lookup("merge sp", 10)
+
+
 def _q_js_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expressions module via the JavascriptCompiler port (jsexpr.py):
     rank 'merge' matches by a compiled JS expression over _score and the
@@ -2416,6 +2496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["split_rr"] = _q_split_rr
     out["func_scale"] = _q_func_scale
     out["func_ord"] = _q_func_ord
+    out["func_termstats"] = _q_func_termstats
+    out["func_normjdf"] = _q_func_normjdf
+    out["func_query"] = _q_func_query
+    out["blended_infix"] = _q_blended_infix
     out["codec_simpletext"] = _q_codec_simpletext
     out["media_decode"] = _q_media_decode
     out["media_frames"] = _q_media_frames
@@ -2430,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the official record leads with what has never been sampled.
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
+        "func_termstats", "func_normjdf", "func_query", "blended_infix",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -2478,6 +2563,19 @@ def _normmap_values() -> str:
     # per-gate _prelude*() variant embeds the identical ~100-row table.
     rows = field_len_to_byte_bounds(1 << 24)
     return ", ".join(f"({b}, {lo}, {hi}, {eff!r})" for b, lo, hi, eff in rows)
+
+
+@functools.lru_cache(maxsize=1)
+def _decmap_values() -> str:
+    # NormValueSource decode table: byte315ToFloat per norm byte (the
+    # engine's own vectorized SmallFloat decode; full-precision repr so
+    # round(x, 6) agrees bit-for-bit on both sides)
+    import numpy as np
+
+    from sparklucene.norms import byte315_to_float
+
+    dec = byte315_to_float(np.arange(256, dtype=np.uint8))
+    return ", ".join(f"({b}, {float(v)!r})" for b, v in enumerate(dec))
 
 
 def _prelude(doc_src: str = "documents") -> str:
@@ -3807,6 +3905,57 @@ SELECT surface, weight FROM an
 WHERE list_contains(toks, 'merge')
   AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
 ORDER BY weight DESC, surface LIMIT 10"""
+    sqls["func_termstats"] = f"""{_prelude()}
+SELECT d.doc_id, coalesce(p.tf, 0)::INT AS tf_v,
+       t.df AS df_v, round(ln(s.max_doc / (t.df + 1.0)) + 1.0, 6) AS idf_v,
+       t.ttf AS ttf_v, s.sum_ttf AS sttf_v, s.max_doc AS maxdoc_v
+FROM doclen d
+LEFT JOIN (SELECT doc_id, tf FROM posting WHERE term = 'spark') p USING (doc_id)
+CROSS JOIN (SELECT df, ttf FROM tstats WHERE term = 'spark') t
+CROSS JOIN stats s
+ORDER BY tf_v DESC, d.doc_id LIMIT 15"""
+    sqls["func_normjdf"] = f"""{_prelude()},
+decmap(nb2, normf) AS (SELECT * FROM (VALUES {_decmap_values()}) v)
+SELECT n.doc_id, round(m.normf, 6) AS norm_v, coalesce(t.df, 0)::BIGINT AS jdf_v
+FROM norms n
+JOIN decmap m ON m.nb2 = n.norm_byte
+JOIN srcdocs d ON d.doc_id = n.doc_id
+LEFT JOIN tstats t ON t.term = d.lang
+WHERE n.doc_id < 25 ORDER BY n.doc_id"""
+    sqls["func_query"] = f"""{_prelude()}
+SELECT d.doc_id, round(coalesce(sc.score, 0.5), 4) AS qv
+FROM doclen d
+LEFT JOIN (SELECT doc_id, score FROM scored WHERE term = 'merge') sc USING (doc_id)
+ORDER BY coalesce(sc.score, 0.5) DESC, d.doc_id LIMIT 15"""
+    sqls["blended_infix"] = f"""
+WITH ent AS (
+  SELECT array_to_string(string_split(text, ' ')[1:4], ' ') AS surface,
+         max(n_chars)::BIGINT AS weight
+  FROM documents GROUP BY surface
+),
+an AS (
+  SELECT surface, weight,
+         list_filter(string_split(lower(surface), ' '),
+                     x -> x <> '' AND x NOT IN ({_stop_sql()})) AS toks
+  FROM ent
+),
+m AS (
+  SELECT surface, weight,
+         list_position(toks, 'merge') AS p_exact,
+         list_position(list_transform(toks, x -> x LIKE 'sp%'), true) AS p_pref
+  FROM an
+  WHERE list_contains(toks, 'merge')
+    AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
+),
+cand AS (
+  SELECT surface, weight, least(p_exact, p_pref) - 1 AS minpos
+  FROM m ORDER BY weight DESC, surface LIMIT 100
+)
+SELECT surface,
+       CAST(trunc(weight * (CASE WHEN surface LIKE 'merge sp%' THEN 1.0
+                                 ELSE 1.0 - 0.10 * minpos END)) AS BIGINT) AS score
+FROM cand
+ORDER BY score DESC, surface DESC LIMIT 10"""
     sqls["spell_check"] = f"""{_prelude()}
 SELECT term, levenshtein(term, 'spakr')::INT AS dist, df
 FROM tstats

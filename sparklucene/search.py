@@ -3080,6 +3080,115 @@ class IndexSearcher:
             .select("docID", F.coalesce("_ord", F.lit(-1)).cast("int").alias("ord"))
         )
 
+    # ---- term-statistics ValueSources ------------------------------------
+    # (src/Lucene.Net.Queries/Function/ValueSources/*.cs): the stateful end
+    # of the ValueSource family -- values pulled from index statistics
+    # rather than doc metadata columns.  The stateless members
+    # (Linear/Reciprocal/Pow/Sum/If/Const/...FieldSource) are plain Catalyst
+    # arithmetic over docs() and need no dedicated code (see function_topk).
+
+    def doc_freq(self, term: str) -> int:
+        """DocFreqValueSource.cs: constant docFreq(term) (0 if absent)."""
+        st = self.lookup_terms([term]).get(term)
+        return int(st.df) if st else 0
+
+    def classic_idf(self, term: str) -> float:
+        """IDFValueSource.cs:57: constant
+        TFIDFSimilarity.Idf(df, maxDoc) = ln(maxDoc / (df + 1)) + 1
+        (DefaultSimilarity.cs:158-160).  Float64 here; the reference
+        narrows to float32 at the similarity boundary."""
+        return math.log(self.max_doc / (self.doc_freq(term) + 1.0)) + 1.0
+
+    def total_term_freq(self, term: str) -> int:
+        """TotalTermFreqValueSource.cs: constant totalTermFreq(term)."""
+        st = self.lookup_terms([term]).get(term)
+        return int(st.ttf) if st else 0
+
+    def sum_total_term_freq(self) -> int:
+        """SumTotalTermFreqValueSource.cs: constant field-wide ttf sum."""
+        return int(self.stats["sum_total_term_freq"])
+
+    def num_docs(self) -> int:
+        """NumDocsValueSource.cs / MaxDocValueSource.cs: live-doc count =
+        maxDoc minus deletions (the docs() plan already applies liveDocs;
+        counting it keeps both delete paths -- broadcast set and anti-join
+        DataFrame -- on one code path)."""
+        if self._deleted_ids is None and self._deleted_df is None:
+            return self.max_doc
+        return self.docs().count()
+
+    def term_freq_values(self, term: str, sim_tf: bool = False) -> DataFrame:
+        """TermFreqValueSource.cs (raw int tf) / TFValueSource.cs
+        (sim.Tf(freq) = sqrt(freq) under DefaultSimilarity.cs:113-115) per
+        doc; docs without the term read 0 (DocsEnum exhausted -> 0 at
+        TermFreqValueSource.cs:93).  FunctionQuery semantics: EVERY live
+        doc produces a row.
+
+        Plan shape: the term's postings decode in one Arrow pass (bloom +
+        term_dict pushdown pick only its blocks), then LEFT-join back to
+        the docs table -- at 10^12 docs the join is a shuffle on docID with
+        the postings side df-sized, never corpus-sized."""
+        scored = self._scored_postings({term: 1.0}, "f64")
+        tf = scored.select("docID", F.col("tf").alias("_tf"))
+        out = self.docs().select("docID").join(tf, "docID", "left")
+        val = F.coalesce("_tf", F.lit(0))
+        if sim_tf:
+            return out.select(
+                "docID", F.sqrt(val.cast("double")).cast("float").alias("value"))
+        return out.select("docID", val.cast("int").alias("value"))
+
+    def norm_values(self) -> DataFrame:
+        """NormValueSource.cs: per-doc sim.DecodeNormValue(norm byte) =
+        SmallFloat.Byte315ToSingle (DefaultSimilarity.cs:105-107) -- the
+        quantized 1/sqrt(fieldLength).  The 256-entry decode table embeds
+        as a Catalyst array literal indexed by norm_byte: zero Python, zero
+        joins, whole-stage codegen."""
+        from .norms import byte315_to_float
+
+        table = byte315_to_float(np.arange(256, dtype=np.uint8))
+        arr = F.array(*[F.lit(float(v)) for v in table])
+        return self.docs().select(
+            "docID",
+            F.element_at(arr, F.col("norm_byte").cast("int") + 1)
+            .cast("float").alias("value"),
+        )
+
+    def query_values(self, query: dict, def_val: float = 0.0,
+                     mode: str = "f64") -> DataFrame:
+        """QueryValueSource.cs: per-doc score of ``query``; docs the query
+        does not match read ``def_val`` (:71 ``defVal`` when the scorer is
+        exhausted).  FunctionQuery semantics: every live doc has a value."""
+        ftype = "float" if mode == "f32" else "double"
+        scored = self._eval(query, 1.0, mode)
+        base = self.docs().select("docID")
+        if scored is None:
+            return base.select(
+                "docID", F.lit(float(def_val)).cast(ftype).alias("value"))
+        return (
+            base.join(scored.withColumnRenamed("score", "_qs"), "docID", "left")
+            .select(
+                "docID",
+                F.coalesce("_qs", F.lit(float(def_val))).cast(ftype).alias("value"),
+            )
+        )
+
+    def join_doc_freq_values(self, col: str) -> DataFrame:
+        """JoinDocFreqValueSource.cs: per doc, the docFreq in the text index
+        of the doc's ``col`` value (TermsEnum.SeekExact(terms[doc]) -> df,
+        else 0).  The term dictionary is the join's build side -- a
+        vocab-sized dictionary join, not corpus x corpus; AQE picks
+        broadcast vs shuffle by its actual size."""
+        dfs = (
+            self._union_read("term_dict")
+            .groupBy("term").agg(F.sum("df").alias("_df"))
+        )
+        return (
+            self.docs().select("docID", F.col(col).alias("_val"))
+            .join(dfs, F.col("_val") == F.col("term"), "left")
+            .select("docID",
+                    F.coalesce("_df", F.lit(0)).cast("long").alias("value"))
+        )
+
     def js_score(self, query: dict, js_expr: str, k: int = 10,
                  mode: str = "f64") -> DataFrame:
         """Expressions-module scoring (src/Lucene.Net.Expressions/JS/

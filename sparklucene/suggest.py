@@ -207,6 +207,99 @@ class AnalyzingInfixSuggester(AnalyzingSuggester):
         )
 
 
+# BlendedInfixSuggester.LINEAR_COEF (BlendedInfixSuggester.cs:48)
+BLENDED_LINEAR_COEF = 0.10
+# BlendedInfixSuggester.DEFAULT_NUM_FACTOR (BlendedInfixSuggester.cs:53)
+BLENDED_NUM_FACTOR = 10
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """BlendedInfixSuggester (src/Lucene.Net.Suggest/Suggest/Analyzing/
+    BlendedInfixSuggester.cs): an AnalyzingInfixSuggester whose weights are
+    demoted by how far into the suggestion the first matching token sits.
+
+    Lookup (DoLookup override + CreateResults :141-205):
+      - pull ``n * num_factor`` candidates from the base infix match,
+        weight-descending (the base suggester's SORT);
+      - per candidate, coefficient = 1 when the surface starts with the raw
+        key (:180); otherwise CalculateCoefficient(position of the first
+        matching token) (:289-308):
+          * ``linear``     -> 1 - 0.10 * position   (POSITION_LINEAR)
+          * ``reciprocal`` -> 1 / (position + 1)    (POSITION_RECIPROCAL)
+        position = min over exact head-token hits and last-token prefix
+        hits (CreateCoefficient :254-282 walks term positions; here the
+        tokens array IS the position list, so the minimum is a pure
+        Catalyst ``transform``/``array_min`` over the array -- no Python);
+      - score = (long)(weight * coefficient) (:188 -- C# cast truncates
+        toward zero, Spark's double->long cast likewise);
+      - return the top ``n`` by (score desc, surface desc) -- the
+        reference's bounded TreeSet reversed (LookUpComparer :312-329:
+        ascending (value, key), ``results.Reverse()`` :204).  Ties at the
+        eviction boundary are insertion-order (and lock-race) dependent in
+        the reference; this analogue resolves them deterministically by
+        surface.
+
+    Scale: the candidate pool is a TakeOrderedAndProject of n*num_factor
+    rows; blending and the final re-sort run on that driver-bounded pool.
+    """
+
+    def __init__(self, spark: SparkSession, entries: DataFrame,
+                 analyzer: str = "standard",
+                 surface_col: str = "surface", weight_col: str = "weight",
+                 blender_type: str = "linear",
+                 num_factor: int = BLENDED_NUM_FACTOR):
+        super().__init__(spark, entries, analyzer, surface_col, weight_col)
+        if blender_type not in ("linear", "reciprocal", "custom_linear"):
+            raise ValueError(f"unknown blender_type {blender_type!r}")
+        self.blender_type = blender_type
+        self.num_factor = int(num_factor)
+
+    def _coefficient(self, minpos):
+        if self.blender_type == "reciprocal":
+            return F.lit(1.0) / (minpos.cast("double") + F.lit(1.0))
+        # POSITION_LINEAR (also the BlenderType.CUSTOM default hook)
+        return F.lit(1.0) - F.lit(BLENDED_LINEAR_COEF) * minpos.cast("double")
+
+    def lookup(self, key: str, n: int = 5,
+               all_terms_required: bool = True) -> DataFrame:
+        from .analysis import make_analyzer
+
+        toks = make_analyzer(self.analyzer_name)(key)[0]
+        if not toks:
+            return self.spark.createDataFrame([], "surface string, score long")
+        head, last = toks[:-1], toks[-1]
+        cand = super().lookup(key, n=n * self.num_factor,
+                              all_terms_required=all_terms_required)
+        cand = cand.join(self.table.select("tokens", "surface"), "surface")
+        # position of the first matching token: exact for head tokens,
+        # prefix for the last (CreateCoefficient: the closest position wins)
+        pos_cols = [
+            F.when(F.array_position("tokens", t) > 0,
+                   F.array_position("tokens", t) - 1)
+            for t in head
+        ]
+        pos_cols.append(F.array_min(F.transform(
+            "tokens",
+            lambda x, i: F.when(x.startswith(last), i),
+        )))
+        minpos = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+        # CreateCoefficient starts position = int.MaxValue (:259): a
+        # candidate with no positional hit (possible when
+        # all_terms_required=False) gets a hugely demoted, not null, score
+        minpos = F.coalesce(minpos, F.lit(2147483647))
+        coef = F.when(
+            F.col("surface").startswith(key), F.lit(1.0)
+        ).otherwise(self._coefficient(minpos))
+        return (
+            cand.select(
+                "surface",
+                (F.col("weight").cast("double") * coef).cast("long").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.desc("surface"))
+            .limit(n)
+        )
+
+
 # stupid-backoff smoothing constant (FreeTextSuggester.cs:102, from Brants
 # et al. 2007 "Large language models in machine translation")
 FREE_TEXT_ALPHA = 0.4

@@ -79,3 +79,96 @@ def test_ord_and_rord_match_dense_rank(searcher):
         else:
             assert got_ord[r["docID"]] == rank[r["lang"]]
             assert got_rord[r["docID"]] == n - rank[r["lang"]]
+
+
+# ---------------------------------------------------------------------------
+# Term-statistics ValueSources (TermFreq/TF/IDF/DocFreq/Norm/TotalTermFreq/
+# SumTotalTermFreq/NumDocs/Query/JoinDocFreq ValueSource.cs)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def brute(searcher):
+    """Independent recompute: docID = rank in (repo, path) build order;
+    tf/df/ttf from the standard analyzer over the raw corpus."""
+    import collections
+    from sparklucene.analysis import make_analyzer
+    from sparklucene.corpus import make_corpus
+
+    an = make_analyzer("standard")
+    ordered = sorted(make_corpus(120, seed=11), key=lambda r: (r["repo"], r["path"]))
+    tfs, lens = {}, {}
+    for i, row in enumerate(ordered):
+        terms = an(row["content"])[0]
+        tfs[i] = collections.Counter(terms)
+        lens[i] = len(terms)
+    df = collections.Counter()
+    ttf = collections.Counter()
+    for c in tfs.values():
+        df.update(c.keys())
+        for t, n in c.items():
+            ttf[t] += n
+    return {"tfs": tfs, "lens": lens, "df": df, "ttf": ttf,
+            "lang": {i: r["lang"] for i, r in enumerate(ordered)}}
+
+
+def test_term_freq_values_matches_brute(searcher, brute):
+    term = "compute"
+    got = {r["docID"]: r["value"]
+           for r in searcher.term_freq_values(term).collect()}
+    assert len(got) == 120  # FunctionQuery: every live doc has a value
+    for d, c in brute["tfs"].items():
+        assert got[d] == c.get(term, 0)
+
+
+def test_tf_values_is_sqrt_f32(searcher, brute):
+    import numpy as np
+
+    got = {r["docID"]: r["value"]
+           for r in searcher.term_freq_values("compute", sim_tf=True).collect()}
+    for d, c in brute["tfs"].items():
+        assert got[d] == np.float32(np.sqrt(np.float64(c.get("compute", 0))))
+
+
+def test_scalar_stat_sources(searcher, brute):
+    import math
+
+    assert searcher.doc_freq("compute") == brute["df"]["compute"]
+    assert searcher.doc_freq("nosuchterm12345") == 0
+    assert searcher.total_term_freq("compute") == brute["ttf"]["compute"]
+    assert searcher.sum_total_term_freq() == sum(brute["lens"].values())
+    assert searcher.num_docs() == 120 and searcher.max_doc == 120
+    want_idf = math.log(120 / (brute["df"]["compute"] + 1.0)) + 1.0
+    assert abs(searcher.classic_idf("compute") - want_idf) < 1e-12
+    # absent term: idf = ln(maxDoc / 1) + 1
+    assert abs(searcher.classic_idf("nosuchterm12345")
+               - (math.log(120.0) + 1.0)) < 1e-12
+
+
+def test_norm_values_decode_byte315(searcher, brute):
+    import numpy as np
+    from sparklucene.norms import byte315_to_float, encode_norm
+
+    got = {r["docID"]: r["value"] for r in searcher.norm_values().collect()}
+    for d, n in brute["lens"].items():
+        want = byte315_to_float(encode_norm(np.array([max(n, 0)])))[0]
+        assert got[d] == np.float32(want), (d, n)
+
+
+def test_query_values_defval(searcher):
+    q = {"type": "term", "term": "compute", "boost": 1.0}
+    scored = {r["docID"]: r["score"] for r in searcher._eval(q, 1.0, "f64").collect()}
+    got = {r["docID"]: r["value"]
+           for r in searcher.query_values(q, def_val=0.25).collect()}
+    assert len(got) == 120
+    for d, v in got.items():
+        if d in scored:
+            assert v == scored[d]
+        else:
+            assert v == 0.25
+
+
+def test_join_doc_freq_values(searcher, brute):
+    got = {r["docID"]: r["value"]
+           for r in searcher.join_doc_freq_values("lang").collect()}
+    for d, lang in brute["lang"].items():
+        assert got[d] == brute["df"].get(lang, 0), (d, lang)

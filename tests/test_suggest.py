@@ -135,3 +135,79 @@ def test_freetext_trigram_backoff_chain(spark):
     # 'b d' seen -> unigram backoff adds nothing new beyond seen tokens
     # unseen context: 'q q ' has no trigram/bigram/unigram completions
     assert sug.lookup("zz qq ", 10) == []
+
+
+# ---------------------------------------------------------------------------
+# BlendedInfixSuggester (BlendedInfixSuggesterTest.cs)
+# ---------------------------------------------------------------------------
+
+def _blended(spark, rows, **kw):
+    from sparklucene.suggest import BlendedInfixSuggester
+
+    df = spark.createDataFrame(rows, "surface string, weight long")
+    # 'simple' = the reference tests' StandardAnalyzer(EMPTY_SET): lowercase,
+    # punctuation breaks, stopwords kept (positions matter for blending)
+    return BlendedInfixSuggester(spark, df, analyzer="simple", **kw)
+
+
+def _one_score(sug, key):
+    rows = sug.lookup(key, 1).collect()
+    return rows[0]["score"] if rows else None
+
+
+def test_blended_sort(spark):
+    """TestBlendedSort: weight shrinks as the first match moves rightward."""
+    sug = _blended(
+        spark, [("star wars: episode v - the empire strikes back", 8)])
+    w0 = _one_score(sug, "star ")      # surface startswith key -> coef 1
+    w1 = _one_score(sug, "war")        # 'wars' at position 1
+    w2 = _one_score(sug, "empire ba")  # 'empire' at position 5 wins the min
+    w3 = _one_score(sug, "back")       # position 7
+    w4 = _one_score(sug, "bacc")       # no token starts with 'bacc'
+    assert w0 == 8 and w1 == 7 and w2 == 4 and w3 == 2
+    assert w0 > w1 > w2 > w3
+    assert w4 is None  # reference GetInResults returns -1 (absent)
+
+
+def test_blending_type_linear_and_reciprocal(spark):
+    """TestBlendingType: (int)(w*(1-0.10*p)) / (int)(w/(1+p)) vectors."""
+    rows = [("top of the lake", 20)]
+    lin = _blended(spark, rows)  # POSITION_LINEAR is the default
+    assert _one_score(lin, "top") == 20
+    assert _one_score(lin, "the") == int(20 * (1 - 0.10 * 2))   # 16
+    assert _one_score(lin, "lake") == int(20 * (1 - 0.10 * 3))  # 14
+    rec = _blended(spark, rows, blender_type="reciprocal", num_factor=1)
+    assert _one_score(rec, "top") == 20
+    assert _one_score(rec, "the") == int(20 * 1 / (1 + 2))      # 6
+    assert _one_score(rec, "lake") == int(20 * 1 / (1 + 3))     # 5
+
+
+def test_blended_requires_more_num_factor(spark):
+    """TestRequiresMore shape: a lower-weight entry whose match sits earlier
+    overtakes after blending -- but only if num_factor admitted it into the
+    candidate pool."""
+    rows = [
+        ("top of the lake", 18),
+        ("the returned", 10),
+    ]
+    # 'the' matches position 2 of the first (18 -> 14) and position 0 of the
+    # second (10 -> 10); with a wide pool both blend, and 14 > 10
+    sug = _blended(spark, rows, num_factor=10)
+    got = [(r["surface"], r["score"]) for r in sug.lookup("the", 2).collect()]
+    assert got == [("top of the lake", 14), ("the returned", 10)]
+    # num_factor=1 admits only the single highest-weight candidate
+    sug1 = _blended(spark, rows, num_factor=1)
+    got1 = [(r["surface"], r["score"]) for r in sug1.lookup("the", 1).collect()]
+    assert got1 == [("top of the lake", 14)]
+
+
+def test_blended_no_positional_hit_is_demoted(spark):
+    """all_terms_required=False: a candidate matching no clause positionally
+    is int.MaxValue-demoted (CreateCoefficient starts at int.MaxValue), not
+    null-scored."""
+    sug = _blended(spark, [("alpha beta", 10), ("gamma delta", 9)])
+    got = [(r["surface"], r["score"])
+           for r in sug.lookup("alpha zz", 5, all_terms_required=False).collect()]
+    # 'alpha beta' matches head token at position 0 -> coef 1 - 0 = 1.0;
+    # prefix 'zz' never matches but least() takes the head hit
+    assert got == [("alpha beta", 10)]
