@@ -380,6 +380,21 @@ def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("parent", "n_children", F.round("score", 4).alias("score"))
 
 
+def _q_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery (ToChildBlockJoinQuery.cs:36): parents =
+    'merge' matches that are their block's designated parent doc (last of
+    each block of 10, mirroring Lucene's parent-is-last-in-block layout);
+    every OTHER doc of the block inherits the parent's score."""
+    s = _searcher(spark, sf_dir)
+    out = s.to_child_join(
+        _t("merge"),
+        F.floor(F.col("docID") / 10).cast("long"),
+        parent_filter=F.col("docID") % 10 == 9,
+        k=15, mode="f64",
+    )
+    return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
 def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceting: per-lang match counts of the bool_or query."""
     s = _searcher(spark, sf_dir)
@@ -2383,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["group_distinct"] = _q_group_distinct
     out["join_query"] = _q_join_query
     out["block_join"] = _q_block_join
+    out["child_join"] = _q_child_join
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
@@ -2515,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
+        "child_join",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -2957,6 +2974,14 @@ SELECT (doc_id // 10)::BIGINT AS parent, count(*)::BIGINT AS n_children,
 FROM scored WHERE term = 'dup'
 GROUP BY parent
 ORDER BY sum(score) DESC, parent LIMIT 15"""
+    sqls["child_join"] = f"""{_prelude()},
+par AS (
+  SELECT doc_id // 10 AS grp, doc_id AS pdoc, score
+  FROM scored WHERE term = 'merge' AND doc_id % 10 = 9
+)
+SELECT d.doc_id, round(p.score, 4) AS score
+FROM doclen d JOIN par p ON d.doc_id // 10 = p.grp AND d.doc_id <> p.pdoc
+ORDER BY p.score DESC, d.doc_id LIMIT 15"""
     sqls["group_sorted"] = f"""{_prelude()},
 m AS (
   SELECT s.doc_id, s.score, d.lang, d.n_chars

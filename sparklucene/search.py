@@ -1134,6 +1134,44 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def to_child_join(self, parent_query: dict, parent_key,
+                      parent_filter=None, k: int = 10,
+                      mode: str = "f64") -> DataFrame:
+        """ToChildBlockJoinQuery analogue (src/Lucene.Net.Join/
+        ToChildBlockJoinQuery.cs:36): the other join direction -- parents
+        matching ``parent_query`` propagate their score DOWN to every child
+        in their block (ToChildBlockJoinScorer holds ``_parentScore`` :166
+        and emits each child doc at that score), parents themselves are
+        never returned.
+
+        The reference derives blocks from doc adjacency (parent = last doc
+        of its block); the keyed model expresses the same relation with
+        ``parent_key`` (any Column over the docs table) plus an optional
+        ``parent_filter`` Column marking which docs are block parents --
+        mirroring the reference's ``parentsFilter`` bitset (:119-144).
+
+        Plan shape: matched parents (query-df-sized, not corpus-sized)
+        shuffle-join the corpus on the block key; AQE broadcasts the parent
+        side when small.  -> top-k child (docID, score)."""
+        scored = self._eval(parent_query, 1.0, mode)
+        ftype = "float" if mode == "f32" else "double"
+        if scored is None:
+            return self.spark.createDataFrame([], f"docID long, score {ftype}")
+        parents = scored.join(self.docs(), "docID").withColumn("_parent", parent_key)
+        if parent_filter is not None:
+            parents = parents.filter(parent_filter)
+        parents = parents.select(
+            "_parent", F.col("docID").alias("_pdoc"), F.col("score").alias("_ps")
+        )
+        children = self.docs().withColumn("_parent", parent_key).select("docID", "_parent")
+        return (
+            children.join(parents, "_parent")
+            .filter(F.col("docID") != F.col("_pdoc"))
+            .select("docID", F.col("_ps").cast(ftype).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k)
+        )
+
     def expand_terms(self, q: dict) -> list[str]:
         """MultiTermQuery rewrite: expand against the terms dictionary
         (PrefixQuery/WildcardQuery/FuzzyQuery/TermRangeQuery -> term set,

@@ -288,6 +288,32 @@ def test_join_and_grouping_collectors(engine):
     assert gd and all(r["n_distinct"] >= 1 for r in gd)
 
 
+def test_to_child_join_propagates_parent_score(engine):
+    import pyspark.sql.functions as SF
+
+    searcher, _ = engine
+    q = {"type": "term", "term": "compute"}
+    key = SF.floor(SF.col("docID") / 7).cast("long")
+    is_parent = SF.col("docID") % 7 == 6
+    got = searcher.to_child_join(q, key, parent_filter=is_parent,
+                                 k=1000, mode="f64").collect()
+    # brute force: matching parents (last doc of each 7-block) push their
+    # score to every other doc of the block (ToChildBlockJoinScorer:166)
+    scored = {r["docID"]: r["score"]
+              for r in searcher._eval(q, 1.0, "f64").collect()}
+    all_ids = [r["docID"] for r in searcher.docs().select("docID").collect()]
+    want = []
+    for pd_, ps in scored.items():
+        if pd_ % 7 != 6:
+            continue
+        want.extend((d, ps) for d in all_ids
+                    if d // 7 == pd_ // 7 and d != pd_)
+    want.sort(key=lambda t: (-t[1], t[0]))
+    assert [(r["docID"], r["score"]) for r in got] == want
+    # parents never appear in the child output
+    assert all(r["docID"] % 7 != 6 for r in got)
+
+
 def test_search_with_timeout(engine):
     searcher, _ = engine
     q = {"type": "term", "term": "compute"}
