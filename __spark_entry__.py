@@ -395,6 +395,43 @@ def _q_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array by prefix doubling (suffixarray.py -- the
+    Lee et al. 2021 exact-substring-dedup backbone, no reference
+    counterpart): first 40 suffix ranks over docs 0..59.  O(log max_doc_len)
+    rounds, each one shifted self-join + one two-pass dense rank; per-doc
+    sentinels stop comparisons at document boundaries.  The oracle sorts
+    the chr(0)-joined suffix strings directly -- valid because the
+    separator sorts below every token byte."""
+    from sparklucene.suffixarray import corpus_tokens, suffix_array
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 60))
+    tok = corpus_tokens(docs, partitions=8)
+    sa, levels = suffix_array(tok, partitions=8)
+    out = (
+        sa.orderBy("_rank").limit(40)
+        .join(tok.select("gpos", "doc_id", "lidx"), "gpos")
+        .select(F.col("_rank").alias("sa_rank"), "doc_id", "lidx")
+        .orderBy("sa_rank")
+    ).localCheckpoint(eager=True)
+    for lv in levels:
+        lv.unpersist()
+    return out.orderBy("sa_rank")
+
+
+def _q_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token substrings via the suffix array's
+    adjacent-pair LCPs (computed by descending the doubling tables -- no
+    sequential Kasai pass): top-10 (lcp desc) over docs 0..59 with the two
+    occurrence positions."""
+    from sparklucene.suffixarray import longest_repeats
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") < 60))
+    return longest_repeats(docs, k=10, partitions=8)
+
+
 def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceting: per-lang match counts of the bool_or query."""
     s = _searcher(spark, sf_dir)
@@ -2399,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["join_query"] = _q_join_query
     out["block_join"] = _q_block_join
     out["child_join"] = _q_child_join
+    out["suffix_sa"] = _q_suffix_sa
+    out["suffix_lrs"] = _q_suffix_lrs
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
@@ -2531,7 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
-        "child_join",
+        "child_join", "suffix_sa", "suffix_lrs",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -3930,6 +3969,62 @@ SELECT surface, weight FROM an
 WHERE list_contains(toks, 'merge')
   AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
 ORDER BY weight DESC, surface LIMIT 10"""
+    _suffix_base = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+tok AS (
+  SELECT doc_id, lidx - 1 AS lidx, term FROM (
+    SELECT doc_id,
+           unnest(list_append(string_split(text, ' '),
+                              chr(1) || lpad(doc_id::VARCHAR, 12, '0'))) AS term,
+           generate_subscripts(list_append(string_split(text, ' '),
+                              chr(1) || lpad(doc_id::VARCHAR, 12, '0')), 1) AS lidx
+    FROM d)
+),
+seq AS (
+  SELECT row_number() OVER (ORDER BY doc_id, lidx) - 1 AS gpos, doc_id, lidx, term
+  FROM tok
+),
+gtoks AS (SELECT list(term ORDER BY gpos) AS all_toks FROM seq),
+suf AS (
+  -- chr(0)-joined suffix string: the separator sorts below every token
+  -- byte (tokens and sentinels start at chr(1)+), so char-wise string
+  -- order == token-wise lexicographic order
+  SELECT s.gpos, s.doc_id, s.lidx,
+         g.all_toks[s.gpos + 1:] AS stoks,
+         array_to_string(g.all_toks[s.gpos + 1:], chr(0)) AS sfx
+  FROM seq s CROSS JOIN gtoks g
+)"""
+    sqls["suffix_sa"] = f"""{_suffix_base}
+SELECT row_number() OVER (ORDER BY sfx) - 1 AS sa_rank, doc_id, lidx::BIGINT AS lidx
+FROM suf
+ORDER BY sa_rank LIMIT 40"""
+    sqls["suffix_lrs"] = f"""{_suffix_base},
+ordered AS (
+  SELECT gpos, doc_id, lidx, stoks,
+         lag(gpos)  OVER (ORDER BY sfx) AS pgpos,
+         lag(stoks) OVER (ORDER BY sfx) AS pstoks
+  FROM suf
+),
+lcps AS (
+  -- exact token LCP of SA-adjacent suffixes: first position where the
+  -- zipped token lists disagree (sentinels guarantee a real mismatch
+  -- before either list ends)
+  SELECT pgpos AS a, gpos AS b,
+         list_position(list_transform(list_zip(pstoks, stoks),
+                                      x -> x[1] = x[2]), false) - 1 AS lcp
+  FROM ordered WHERE pgpos IS NOT NULL
+),
+top AS (
+  SELECT a, b, lcp FROM lcps WHERE lcp > 0
+  ORDER BY lcp DESC, a LIMIT 10
+)
+SELECT t.lcp::BIGINT AS lcp,
+       sa.doc_id AS doc_a, sa.lidx::BIGINT AS idx_a,
+       sb.doc_id AS doc_b, sb.lidx::BIGINT AS idx_b
+FROM top t
+JOIN seq sa ON sa.gpos = t.a
+JOIN seq sb ON sb.gpos = t.b
+ORDER BY t.lcp DESC, doc_a, idx_a"""
     sqls["func_termstats"] = f"""{_prelude()}
 SELECT d.doc_id, coalesce(p.tf, 0)::INT AS tf_v,
        t.df AS df_v, round(ln(s.max_doc / (t.df + 1.0)) + 1.0, 6) AS idf_v,

@@ -166,9 +166,25 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
 
     Two-pass: range-partition by key -> per-partition counts -> offsets ->
     per-partition local rank + offset.  Requires order_cols to be a unique
-    key (enforced upstream by fixture schema: (repo, path))."""
-    ranged = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    key (enforced upstream by fixture schema: (repo, path)).
+
+    The ranged frame MUST be materialized (localCheckpoint) before the
+    counts pass: the two passes are separate Spark jobs, and each job
+    re-plans the range exchange with a freshly SAMPLED RangePartitioner
+    (new RDD ids -> new sampling seeds) -- when the sample is not
+    exhaustive (any input beyond a few thousand rows per partition, i.e.
+    every real build), the two jobs disagree on row->partition assignment
+    and the offsets minted from pass-1 counts overlap pass-2 partitions,
+    silently DUPLICATING ids (~2% at 1M rows, measured).  Checkpointing
+    freezes one materialized partitioning that both jobs read.  On a
+    cluster the same discipline applies with a reliable checkpoint."""
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    with_pid = ranged
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = base

@@ -1481,6 +1481,12 @@ def pack_sequences(
     ranged = (
         toks.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
         .withColumn("_pid", F.spark_partition_id())
+        # freeze ONE materialized partitioning for both passes: each job
+        # re-samples the range exchange with a new seed, and a
+        # non-exhaustive sample makes the two jobs disagree on
+        # row->partition assignment, corrupting the prefix sum (see
+        # build.mint_doc_ids)
+        .localCheckpoint(eager=True)
     )
     psums = {
         r["_pid"]: int(r["s"])

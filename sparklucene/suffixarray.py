@@ -1,0 +1,277 @@
+"""Distributed suffix array over the corpus token sequence, by prefix
+doubling (Manber-Myers), with LCP read off the doubling tables.
+
+The suffix-array formulation of exact substring dedup (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better"): where
+``datapipe.duplicated_spans`` finds repeats through fixed-``min_len``
+rolling-hash windows, this module builds the real suffix array, so it also
+answers the questions the window trick cannot -- exact per-position maximal
+match lengths, the corpus's longest repeated substrings, and a
+collision-free certificate (no hashes anywhere).  The dup-span OUTPUT of
+the two approaches provably coincides (the union of maximal repeats of
+length >= L equals the union of repeated L-token windows), which makes the
+pair a cross-validating differential -- see tests/test_suffixarray.py.
+
+No reference counterpart: Lucene has no suffix-array module; this is one
+of the beyond-reference LLM-data-pipeline operators (cf. SURVEY "training
+-data pipeline" section).
+
+Scale design (the 100 TB story):
+  - ONE corpus-sized tokenize/explode produces (gpos, term, doc_id, lidx);
+    global positions come from the same two-pass distributed prefix sum as
+    ``datapipe.pack_sequences`` (per-partition partials to the driver --
+    one long per partition -- never row data);
+  - prefix doubling = ceil(log2(max_doc_len + 1)) rounds -- NOT log2(n):
+    per-document sentinel tokens (unique, sorted below every real term)
+    stop every suffix comparison at its document boundary, so ranks are
+    fully resolved once the doubling length covers the longest document.
+    A 10^14-token corpus of <=64k-token documents needs 17 rounds, not 47;
+  - each round is ONE shifted self-join on gpos plus ONE dense rank (the
+    two-pass range-partition rank of build.mint_doc_ids over the DISTINCT
+    pair set -- no single-partition window anywhere).  All shuffle keys
+    are longs (gpos / rank pairs), uniform by construction -- no skew:
+    even a million copies of the same boilerplate string produce distinct
+    (rank, next-rank) pairs within log rounds;
+  - every round's rank table persists; LCP of SA-adjacent suffixes is then
+    computed by descending the levels (2 hash joins per level): level-m
+    ranks answer "do the length-2^m prefixes match" in O(1), replacing the
+    inherently sequential Kasai scan.  At cluster scale each level's table
+    would checkpoint to parquet to truncate lineage -- the standard
+    iterative-algorithm discipline (same note as datapipe.semdedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "corpus_tokens", "suffix_array", "adjacent_lcp", "longest_repeats",
+    "suffix_dup_spans",
+]
+
+def _sentinel():
+    """sentinel = chr(1) + zero-padded doc_id: unique per document, sorts
+    below every real term (first byte 0x01 < '0'), and -- for the DuckDB
+    twin's join-with-chr(0)-separator suffix-string comparison -- contains
+    no byte below the chr(0) separator."""
+    return F.concat(F.lit("\x01"), F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+
+
+def corpus_tokens(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", partitions: int = 32) -> DataFrame:
+    """-> (gpos, term, doc_id, lidx): the corpus token sequence in doc_id
+    order, one unique sentinel appended per document.  gpos is the global
+    position (dense, 0-based); lidx the within-doc position (the sentinel
+    sits at lidx = n_tok).  Tokenization matches duplicated_spans:
+    split(text, ' '), case-sensitive, no empty-filter."""
+    counts = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.size(F.split(F.col(text_col), " ")) + 1).cast("long").alias("_n"),
+    )
+    ranged = (
+        counts.repartitionByRange(partitions, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        # freeze ONE materialized partitioning for both passes (see
+        # build.mint_doc_ids: per-job range re-sampling otherwise corrupts
+        # the prefix sum at scale)
+        .localCheckpoint(eager=True)
+    )
+    psums = {
+        r["_pid"]: int(r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ])
+
+    def assign(pdf_iter):
+        run = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["_pid"].iloc[0])]
+            n = pdf["_n"].to_numpy(np.int64)
+            ends = n.cumsum()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                "offset": run + ends - n,
+            })
+            run += int(ends[-1])
+
+    placed = ranged.mapInPandas(assign, schema=out_schema)
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(
+            F.concat(F.split(F.col(text_col), " "), F.array(_sentinel()))
+        ).alias("lidx", "term"),
+    )
+    return toks.join(placed, "doc_id").select(
+        (F.col("offset") + F.col("lidx")).alias("gpos"),
+        "term", "doc_id", F.col("lidx").cast("long").alias("lidx"),
+    )
+
+
+def _dense_rank(df: DataFrame, cols: list[str], partitions: int) -> DataFrame:
+    """(gpos, *cols) -> (gpos, _rank): dense 0-based rank of the row's
+    `cols` tuple among the DISTINCT tuples, via the two-pass
+    range-partition rank (build.mint_doc_ids) -- the value set is
+    vocab-sized, the join back is corpus-sized but key-uniform."""
+    from .build import mint_doc_ids
+
+    vals = df.select(*cols).distinct()
+    ranked = mint_doc_ids(vals, cols, partitions).withColumnRenamed("docID", "_rank")
+    return df.join(ranked, cols).select("gpos", "_rank")
+
+
+def suffix_array(tok: DataFrame, partitions: int = 32,
+                 max_doc_len: int | None = None) -> tuple[DataFrame, list[DataFrame]]:
+    """Prefix-doubling suffix array over ``corpus_tokens`` output.
+
+    -> (sa, levels): ``sa`` = (gpos, _rank) with _rank the dense suffix
+    order (unique -- sentinels make all suffixes distinct); ``levels[m]``
+    = the persisted rank table after m doublings (level m ranks compare
+    prefixes of length 2^m), consumed by ``adjacent_lcp``.  Caller should
+    unpersist the levels when done."""
+    if max_doc_len is None:
+        max_doc_len = int(
+            tok.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+        )
+    # localCheckpoint (eager) per round: persist() alone leaves the LOGICAL
+    # plan growing -- iterated self-joins make Catalyst analysis explode
+    # exponentially with round count.  Checkpointing truncates the plan to
+    # the materialized blocks, the standard iterative-algorithm discipline
+    # (on a cluster: reliable checkpoint / parquet round-trip instead).
+    r = _dense_rank(tok, ["term"], partitions).localCheckpoint(eager=True)
+    levels = [r]
+    plen = 1
+    # sentinels resolve every comparison within max_doc_len + 1 tokens
+    while plen <= max_doc_len:
+        shifted = r.select(
+            (F.col("gpos") - plen).alias("gpos"), F.col("_rank").alias("_r2")
+        ).filter(F.col("gpos") >= 0)
+        paired = (
+            r.withColumnRenamed("_rank", "_r1")
+            .join(shifted, "gpos", "left")
+            .select("gpos", "_r1", F.coalesce("_r2", F.lit(-1)).alias("_r2"))
+        )
+        r = _dense_rank(paired, ["_r1", "_r2"], partitions).localCheckpoint(eager=True)
+        levels.append(r)
+        plen *= 2
+    return r, levels
+
+
+def adjacent_lcp(sa: DataFrame, levels: list[DataFrame]) -> DataFrame:
+    """LCP of SA-adjacent suffix pairs, by descending the doubling tables:
+    at level m, equal ranks mean the length-2^m prefixes match -- add 2^m
+    and advance both cursors.  Sentinels guarantee equal ranks never
+    span a document boundary or the corpus end, so the accumulated lcp
+    counts REAL matching tokens only.
+
+    -> (_rank, a, b, lcp): suffix at gpos ``a`` is SA position _rank,
+    ``b`` is its successor, lcp their exact common token count."""
+    nxt = sa.select((F.col("_rank") - 1).alias("_rank"), F.col("gpos").alias("b"))
+    pairs = (
+        sa.select("_rank", F.col("gpos").alias("a"))
+        .join(nxt, "_rank")
+        .select("_rank", "a", "b",
+                F.col("a").alias("_ca"), F.col("b").alias("_cb"),
+                F.lit(0).cast("long").alias("lcp"))
+    )
+    for m in range(len(levels) - 1, -1, -1):
+        plen = 1 << m
+        ra = levels[m].select(F.col("gpos").alias("_ca"), F.col("_rank").alias("_ra"))
+        rb = levels[m].select(F.col("gpos").alias("_cb"), F.col("_rank").alias("_rb"))
+        eq = F.col("_ra").isNotNull() & F.col("_rb").isNotNull() & (
+            F.col("_ra") == F.col("_rb"))
+        pairs = (
+            pairs.join(ra, "_ca", "left").join(rb, "_cb", "left")
+            .select(
+                "_rank", "a", "b",
+                F.when(eq, F.col("_ca") + plen).otherwise(F.col("_ca")).alias("_ca"),
+                F.when(eq, F.col("_cb") + plen).otherwise(F.col("_cb")).alias("_cb"),
+                F.when(eq, F.col("lcp") + plen).otherwise(F.col("lcp")).alias("lcp"),
+            )
+        )
+    return pairs.select("_rank", "a", "b", "lcp")
+
+
+def longest_repeats(df: DataFrame, k: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text", partitions: int = 32) -> DataFrame:
+    """Top-k longest repeated token substrings of the corpus: the k
+    largest adjacent-suffix LCPs (every maximal repeat is realized by at
+    least one SA-adjacent pair).  -> (lcp, doc_a, idx_a, doc_b, idx_b)
+    ordered by (lcp desc, gpos_a asc), positions in token offsets."""
+    tok = corpus_tokens(df, id_col, text_col, partitions)
+    sa, levels = suffix_array(tok, partitions)
+    lcp = adjacent_lcp(sa, levels)
+    pos = tok.select("gpos", "doc_id", "lidx")
+    out = (
+        lcp.filter(F.col("lcp") > 0)
+        .orderBy(F.desc("lcp"), F.asc("a"))
+        .limit(k)
+        .join(pos.select(F.col("gpos").alias("a"), F.col("doc_id").alias("doc_a"),
+                         F.col("lidx").alias("idx_a")), "a")
+        .join(pos.select(F.col("gpos").alias("b"), F.col("doc_id").alias("doc_b"),
+                         F.col("lidx").alias("idx_b")), "b")
+        .select("lcp", "doc_a", "idx_a", "doc_b", "idx_b")
+        .orderBy(F.desc("lcp"), F.asc("doc_a"), F.asc("idx_a"))
+    )
+    # materialize before releasing the level tables the plan reads
+    out = out.localCheckpoint(eager=True)
+    for lv in levels:
+        lv.unpersist()
+    return out.orderBy(F.desc("lcp"), F.asc("doc_a"), F.asc("idx_a"))
+
+
+def suffix_dup_spans(df: DataFrame, min_len: int = 20,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     partitions: int = 32) -> DataFrame:
+    """Exact substring dedup via the suffix array: per-position maximal
+    match length dup_len(p) = max LCP with either SA neighbor (equals the
+    max common prefix with ANY other suffix, by the range-minimum
+    property), positions with dup_len >= min_len contribute the interval
+    [p, p + dup_len), intervals union into maximal per-doc spans (same
+    prefix-max island merge as datapipe.duplicated_spans).
+
+    -> (doc_id, span_start, span_end): provably the same span set as
+    duplicated_spans(min_len) -- hash-free, and derived from exact
+    arbitrary-length matches rather than fixed windows."""
+    L = int(min_len)
+    tok = corpus_tokens(df, id_col, text_col, partitions)
+    sa, levels = suffix_array(tok, partitions)
+    lcp = adjacent_lcp(sa, levels).filter(F.col("lcp") >= L)
+    hits = (
+        lcp.select(F.col("a").alias("gpos"), "lcp")
+        .unionByName(lcp.select(F.col("b").alias("gpos"), "lcp"))
+        .groupBy("gpos").agg(F.max("lcp").alias("dup_len"))
+        .join(tok.select("gpos", "doc_id", "lidx"), "gpos")
+        .select("doc_id", F.col("lidx").alias("start"),
+                (F.col("lidx") + F.col("dup_len")).alias("end"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", F.when(prev_max_end >= F.col("start"), 0).otherwise(1)
+    ).withColumn("_island", F.sum("_new").over(w))
+    out = (
+        islands.groupBy("doc_id", "_island")
+        .agg(F.min("start").alias("span_start"), F.max("end").alias("span_end"))
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )
+    # materialize before releasing the level tables the plan reads
+    out = out.localCheckpoint(eager=True)
+    for lv in levels:
+        lv.unpersist()
+    return out.orderBy("doc_id", "span_start")

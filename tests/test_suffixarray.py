@@ -1,0 +1,127 @@
+"""Distributed suffix array (prefix doubling) vs brute force, and the
+suffix-array dup-spans vs the independent rolling-hash implementation
+(datapipe.duplicated_spans) -- two disjoint algorithms that must agree."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklucene.suffixarray import (
+    adjacent_lcp, corpus_tokens, longest_repeats, suffix_array,
+    suffix_dup_spans,
+)
+
+
+def _mk_docs(rng, n_docs=12, vocab=("ab", "cd", "ef", "gh", "ij"), max_len=30):
+    rows = []
+    for d in range(n_docs):
+        n = rng.randint(1, max_len)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    return rows
+
+
+def _brute(rows):
+    """Token-wise sorted suffixes with the module's sentinel scheme."""
+    seq = []  # (gpos, term, doc_id, lidx)
+    g = 0
+    for d, text in sorted(rows):
+        toks = text.split(" ") + [f"\x01{d:012d}"]
+        for i, t in enumerate(toks):
+            seq.append((g, t, d, i))
+            g += 1
+    terms = [t for _, t, _, _ in seq]
+    order = sorted(range(len(terms)), key=lambda i: terms[i:])
+    return seq, terms, order
+
+
+def _brute_lcp(terms, a, b):
+    n = 0
+    while a + n < len(terms) and b + n < len(terms) and terms[a + n] == terms[b + n]:
+        n += 1
+    return n
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_suffix_array_matches_brute(spark, seed):
+    rng = random.Random(seed)
+    rows = _mk_docs(rng)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = corpus_tokens(df, partitions=4)
+    sa, levels = suffix_array(tok, partitions=4)
+    got = [r["gpos"] for r in sa.orderBy("_rank").collect()]
+    _, _, want = _brute(rows)
+    assert got == want
+    # and the LCP of every adjacent pair is the exact common prefix
+    terms = _brute(rows)[1]
+    lcps = {r["_rank"]: (r["a"], r["b"], r["lcp"])
+            for r in adjacent_lcp(sa, levels).collect()}
+    assert len(lcps) == len(want) - 1
+    for i in range(len(want) - 1):
+        a, b, lcp = lcps[i]
+        assert (a, b) == (want[i], want[i + 1])
+        assert lcp == _brute_lcp(terms, a, b), (i, a, b)
+    for lv in levels:
+        lv.unpersist()
+
+
+def test_corpus_tokens_positions(spark):
+    rows = [(3, "x y"), (7, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["gpos"], r["term"], r["doc_id"], r["lidx"])
+           for r in corpus_tokens(df, partitions=2).orderBy("gpos").collect()]
+    assert got == [
+        (0, "x", 3, 0), (1, "y", 3, 1), (2, "\x01" + "3".zfill(12), 3, 2),
+        (3, "z", 7, 0), (4, "\x01" + "7".zfill(12), 7, 1),
+    ]
+
+
+@pytest.mark.parametrize("seed,min_len", [(11, 3), (12, 4)])
+def test_dup_spans_match_rolling_hash(spark, seed, min_len):
+    """Two independent implementations of Lee et al. exact substring dedup
+    (suffix array vs md5 rolling windows) must emit identical span sets."""
+    from sparklucene.datapipe import duplicated_spans
+
+    rng = random.Random(seed)
+    rows = _mk_docs(rng, n_docs=16, max_len=25)
+    # plant a long shared boilerplate run in several docs
+    boiler = "b0 b1 b2 b3 b4 b5 b6"
+    rows = [
+        (d, (t + " " + boiler) if d % 3 == 0 else t) for d, t in rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["span_start"], r["span_end"])
+           for r in suffix_dup_spans(df, min_len=min_len, partitions=4).collect()]
+    want = [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicated_spans(df, min_len=min_len).collect()]
+    assert got == want and got  # non-trivial: the boilerplate must surface
+
+
+def test_longest_repeats_finds_planted_run(spark):
+    run = " ".join(f"r{i}" for i in range(9))
+    rows = [(0, "aa bb " + run), (1, run + " cc"), (2, "dd ee ff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = longest_repeats(df, k=1, partitions=4).collect()
+    assert len(top) == 1
+    r = top[0]
+    assert r["lcp"] == 9
+    assert {(r["doc_a"], r["idx_a"]), (r["doc_b"], r["idx_b"])} == {(0, 2), (1, 0)}
+
+
+def test_mint_doc_ids_unique_at_scale(spark):
+    """Regression: the two-pass rank's counts job and assign job each used
+    to re-plan the range exchange with a freshly-sampled RangePartitioner;
+    with a non-exhaustive sample the jobs disagreed on row->partition
+    assignment and ~2% of ids DUPLICATED at 1M rows (invisible at gate
+    scale, where the sample is exhaustive).  The ranged frame is now
+    localCheckpoint-frozen so both jobs read one materialized
+    partitioning; ids must be exactly 0..N-1 in key order."""
+    from sparklucene.build import mint_doc_ids
+
+    n = 200_000
+    df = spark.range(n).repartition(8).select(F.col("id").alias("k"))
+    m = mint_doc_ids(df, ["k"], 32)
+    assert m.filter(F.col("docID") != F.col("k")).count() == 0
+    assert m.count() == n
