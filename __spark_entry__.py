@@ -395,6 +395,29 @@ def _q_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
 
 
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (datapipe.canonical_url / url_dedup): URLs
+    synthesized deterministically from doc_id exercise every
+    canonicalization rule -- case folding (scheme/host only), www and
+    default-port stripping (:80 merges with portless, :8080 survives),
+    trailing-slash and fragment removal, tracking-param drop + query-param
+    sort.  keep = lowest doc_id per canonical group; one hash groupBy."""
+    d = F.col("doc_id")
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(d < 60))
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"), (d % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80")).when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path"), (d % 5).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="), (d % 3).cast("string"), F.lit("&a=1"),
+        F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return dp.url_dedup(docs.select("doc_id", url.alias("url"))).orderBy("doc_id")
+
+
 def _q_suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed suffix array by prefix doubling (suffixarray.py -- the
     Lee et al. 2021 exact-substring-dedup backbone, no reference
@@ -2438,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["child_join"] = _q_child_join
     out["suffix_sa"] = _q_suffix_sa
     out["suffix_lrs"] = _q_suffix_lrs
+    out["url_canon"] = _q_url_canon
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
@@ -2570,7 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
-        "child_join", "suffix_sa", "suffix_lrs",
+        "child_join", "suffix_sa", "suffix_lrs", "url_canon",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -3969,6 +3993,61 @@ SELECT surface, weight FROM an
 WHERE list_contains(toks, 'merge')
   AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
 ORDER BY weight DESC, surface LIMIT 10"""
+    sqls["url_canon"] = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+u AS (
+  SELECT doc_id,
+    'HTTP://WWW.Site' || (doc_id % 7) || '.Example.COM' ||
+    CASE WHEN doc_id % 4 = 0 THEN ':80'
+         WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+    '/Path' || (doc_id % 5) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    '?utm_source=x&b=' || (doc_id % 3) || '&a=1' ||
+    CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+  FROM d
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
+    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS hostport,
+    regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM u
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN NOT regexp_matches(url, '(?i)^https?://[^/?#]+[^?#]*(\\?[^#]*)?(#.*)?$')
+         THEN NULL
+         ELSE scheme || '://' ||
+              regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                             '^www\\.', '') ||
+              CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1) = '' THEN ''
+                   WHEN scheme = 'http'
+                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '80' THEN ''
+                   WHEN scheme = 'https'
+                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '443' THEN ''
+                   ELSE ':' || regexp_extract(hostport, ':(\\d+)$', 1) END ||
+              path ||
+              CASE WHEN len(list_sort(list_filter(string_split(rawq, '&'),
+                     p -> p <> '' AND NOT list_contains(
+                       ['utm_source','utm_medium','utm_campaign','utm_term',
+                        'utm_content','gclid','fbclid','ref','mc_cid','mc_eid'],
+                       regexp_extract(p, '^([^=]*)', 1))))) > 0
+                   THEN '?' || array_to_string(list_sort(list_filter(
+                       string_split(rawq, '&'),
+                       p -> p <> '' AND NOT list_contains(
+                         ['utm_source','utm_medium','utm_campaign','utm_term',
+                          'utm_content','gclid','fbclid','ref','mc_cid','mc_eid'],
+                         regexp_extract(p, '^([^=]*)', 1)))), '&')
+                   ELSE '' END
+    END AS canon
+  FROM parts
+)
+SELECT doc_id, canon,
+       (canon IS NULL OR doc_id = min(doc_id) OVER (PARTITION BY canon)) AS keep
+FROM c
+ORDER BY doc_id"""
     _suffix_base = """
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
 tok AS (

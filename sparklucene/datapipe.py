@@ -1896,6 +1896,81 @@ def url_filter(
     )
 
 
+# query params that never identify content (tracking/attribution); the
+# standard strip set of WARC/web-corpus URL canonicalization
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def canonical_url(url_col) -> F.Column:
+    """Canonical form of an http(s) URL, as ONE Catalyst expression
+    (whole-stage codegen, zero Python) -- the URL-identity key of
+    WARC-style web-corpus dedup:
+
+      - scheme and host lowercased; a leading ``www.`` label dropped;
+      - default ports stripped (``:80`` for http, ``:443`` for https),
+        other ports kept;
+      - fragment dropped;
+      - query: parameters split on ``&``, tracking params
+        (``TRACKING_PARAMS``, matched on the name before ``=``) and empty
+        entries dropped, the rest SORTED and rejoined -- param order never
+        distinguishes two URLs;
+      - path: trailing slashes stripped (the root path becomes empty).
+
+    Non-http(s) strings canonicalize to NULL."""
+    m = F.regexp_extract(url_col, r"(?i)^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$", 0)
+    scheme = F.lower(F.regexp_extract(url_col, r"(?i)^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(url_col, r"(?i)^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port_kept = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(url_col, r"(?i)^https?://[^/?#]+([^?#]*)", 1), r"/+$", "")
+    rawq = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    params = F.array_sort(F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "") & ~F.array_contains(
+            tracking, F.regexp_extract(p, r"^([^=]*)", 1)),
+    ))
+    query = F.when(F.size(params) > 0,
+                   F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(F.lit(""))
+    return F.when(
+        m == "", F.lit(None).cast("string")
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port_kept, path, query))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-identity dedup: group documents by canonical URL, keep the
+    lowest id per group (the deterministic canonical-doc rule of
+    resolve_duplicates).  Rows whose URL fails to parse keep themselves
+    (NULL canon never groups).  ONE hash groupBy on the canonical string
+    -- the same 100 TB shape as exact_dedup_groups.
+
+    -> (doc_id, canon, keep)."""
+    canon = df.select(F.col(id_col).alias("doc_id"),
+                      canonical_url(F.col(url_col)).alias("canon"))
+    keeper = (
+        canon.filter(F.col("canon").isNotNull())
+        .groupBy("canon").agg(F.min("doc_id").alias("_keep_id"))
+    )
+    return (
+        canon.join(keeper, "canon", "left")
+        .select(
+            "doc_id", "canon",
+            (F.col("canon").isNull() | (F.col("doc_id") == F.col("_keep_id")))
+            .alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # data selection & tokenizer training
 # ---------------------------------------------------------------------------

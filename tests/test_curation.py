@@ -356,3 +356,45 @@ def test_bpe_encode_matches_reference(spark):
     for i, text in [(0, "low lower newest"), (1, "widest new unseen")]:
         want = [s for w in text.split() for s in _ref_bpe_encode(w, ranks)]
         assert out[i] == want, (i, out[i], want)
+
+
+def test_canonical_url_rules(spark):
+    """canonical_url: scheme/host fold, www + default-port strip, fragment
+    drop, tracking-param drop, param sort, trailing-slash strip; non-http
+    -> NULL."""
+    from sparklucene.datapipe import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/?b=2&a=1#f", "http://ex.com/A?a=1&b=2"),
+        ("https://Ex.com:443/", "https://ex.com"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        ("http://ex.com/p?utm_source=x&gclid=1", "http://ex.com/p"),
+        ("http://ex.com", "http://ex.com"),
+        ("http://ex.com/p//", "http://ex.com/p"),
+        ("ftp://ex.com/p", None),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_url_dedup_keeps_lowest_id(spark):
+    from sparklucene.datapipe import url_dedup
+
+    rows = [
+        (0, "http://a.com/x?utm_source=1"),
+        (1, "HTTP://WWW.A.com:80/x"),       # same canon as 0
+        (2, "http://a.com/y"),
+        (3, "garbage"),                      # NULL canon keeps itself
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["canon"], r["keep"])
+           for r in url_dedup(df).collect()}
+    assert got[0] == ("http://a.com/x", True)
+    assert got[1] == ("http://a.com/x", False)
+    assert got[2] == ("http://a.com/y", True)
+    assert got[3] == (None, True)
