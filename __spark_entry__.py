@@ -426,7 +426,7 @@ def _q_suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinels stop comparisons at document boundaries.  The oracle sorts
     the chr(0)-joined suffix strings directly -- valid because the
     separator sorts below every token byte."""
-    from sparklucene.suffixarray import corpus_tokens, suffix_array
+    from sparklucene.suffixarray import corpus_tokens, release_levels, suffix_array
 
     docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .filter(F.col("doc_id") < 60))
@@ -438,8 +438,7 @@ def _q_suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("_rank").alias("sa_rank"), "doc_id", "lidx")
         .orderBy("sa_rank")
     ).localCheckpoint(eager=True)
-    for lv in levels:
-        lv.unpersist()
+    release_levels([*levels, tok])
     return out.orderBy("sa_rank")
 
 
@@ -4009,10 +4008,11 @@ u AS (
 parts AS (
   SELECT doc_id, url,
     lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
-    lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS hostport,
+    regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)),
+                   '^[^@]*@', '') AS hostport,
     regexp_replace(regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
                    '/+$', '') AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS rawq
   FROM u
 ),
 c AS (
@@ -4024,10 +4024,10 @@ c AS (
                              '^www\\.', '') ||
               CASE WHEN regexp_extract(hostport, ':(\\d+)$', 1) = '' THEN ''
                    WHEN scheme = 'http'
-                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '80' THEN ''
+                        AND CAST(regexp_extract(hostport, ':(\\d+)$', 1) AS INTEGER) = 80 THEN ''
                    WHEN scheme = 'https'
-                        AND regexp_extract(hostport, ':(\\d+)$', 1) = '443' THEN ''
-                   ELSE ':' || regexp_extract(hostport, ':(\\d+)$', 1) END ||
+                        AND CAST(regexp_extract(hostport, ':(\\d+)$', 1) AS INTEGER) = 443 THEN ''
+                   ELSE ':' || CAST(regexp_extract(hostport, ':(\\d+)$', 1) AS INTEGER) END ||
               path ||
               CASE WHEN len(list_sort(list_filter(string_split(rawq, '&'),
                      p -> p <> '' AND NOT list_contains(

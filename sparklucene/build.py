@@ -159,6 +159,39 @@ def _mark_done(path: str, info: dict) -> None:
         json.dump(info, f)
 
 
+def frozen_ranged(df: DataFrame, order_cols: list[str], partitions: int) -> DataFrame:
+    """Shared first pass of every two-pass prefix sum/rank in the repo
+    (mint_doc_ids, datapipe.pack_sequences, suffixarray.corpus_tokens):
+    range-partition by key, sort within partitions, tag _pid, and FREEZE
+    one materialized partitioning with an eager localCheckpoint.  The
+    freeze is the correctness invariant: the counts pass and the assign
+    pass are separate jobs, and each job re-plans the range exchange with
+    a freshly SAMPLED RangePartitioner -- without the freeze a
+    non-exhaustive sample makes the jobs disagree on row->partition
+    assignment and the offsets silently corrupt (measured ~2% duplicate
+    ids at 1M rows)."""
+    return (
+        df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def partition_offsets(ranged: DataFrame, weight_col: str | None = None,
+                      base: int = 0) -> dict:
+    """pid -> exclusive prefix sum of per-partition weights (row counts
+    when weight_col is None) over a frozen_ranged frame -- one long per
+    partition crosses to the driver, never row data."""
+    agg = (F.count("*") if weight_col is None else F.sum(weight_col)).alias("s")
+    sums = {r["_pid"]: int(r["s"]) for r in ranged.groupBy("_pid").agg(agg).collect()}
+    offsets, acc = {}, base
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    return offsets
+
+
 def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: int = 0) -> DataFrame:
     """Deterministic dense 0-based docIDs = rank under order_cols, without a
     single-partition window (reference docIDs: segment order,
@@ -168,29 +201,10 @@ def mint_doc_ids(df: DataFrame, order_cols: list[str], partitions: int, base: in
     per-partition local rank + offset.  Requires order_cols to be a unique
     key (enforced upstream by fixture schema: (repo, path)).
 
-    The ranged frame MUST be materialized (localCheckpoint) before the
-    counts pass: the two passes are separate Spark jobs, and each job
-    re-plans the range exchange with a freshly SAMPLED RangePartitioner
-    (new RDD ids -> new sampling seeds) -- when the sample is not
-    exhaustive (any input beyond a few thousand rows per partition, i.e.
-    every real build), the two jobs disagree on row->partition assignment
-    and the offsets minted from pass-1 counts overlap pass-2 partitions,
-    silently DUPLICATING ids (~2% at 1M rows, measured).  Checkpointing
-    freezes one materialized partitioning that both jobs read.  On a
-    cluster the same discipline applies with a reliable checkpoint."""
-    ranged = (
-        df.repartitionByRange(partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    with_pid = ranged
-    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = base
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    Both passes read the ONE materialized partitioning frozen_ranged pins
+    (see its docstring for why the freeze is load-bearing)."""
+    with_pid = frozen_ranged(df, order_cols, partitions)
+    offsets = partition_offsets(with_pid, base=base)
     out_schema = T.StructType(with_pid.schema.fields[:-1] + [T.StructField("docID", T.LongType())])
 
     def assign(pdf_iter):

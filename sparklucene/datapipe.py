@@ -1478,24 +1478,12 @@ def pack_sequences(
         .cast("long")
         .alias("n_tok"),
     )
-    ranged = (
-        toks.repartitionByRange(partitions, "doc_id").sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        # freeze ONE materialized partitioning for both passes: each job
-        # re-samples the range exchange with a new seed, and a
-        # non-exhaustive sample makes the two jobs disagree on
-        # row->partition assignment, corrupting the prefix sum (see
-        # build.mint_doc_ids)
-        .localCheckpoint(eager=True)
-    )
-    psums = {
-        r["_pid"]: int(r["s"])
-        for r in ranged.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
+    from .build import frozen_ranged, partition_offsets
+
+    # frozen_ranged pins ONE materialized partitioning for both passes
+    # (per-job range re-sampling otherwise corrupts the prefix sum)
+    ranged = frozen_ranged(toks, ["doc_id"], partitions)
+    offsets = partition_offsets(ranged, weight_col="n_tok")
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1922,17 +1910,23 @@ def canonical_url(url_col) -> F.Column:
     Non-http(s) strings canonicalize to NULL."""
     m = F.regexp_extract(url_col, r"(?i)^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$", 0)
     scheme = F.lower(F.regexp_extract(url_col, r"(?i)^(https?)://", 1))
-    hostport = F.lower(F.regexp_extract(url_col, r"(?i)^https?://([^/?#]+)", 1))
+    # authority minus userinfo: 'user:pass@host:port' keeps only host:port
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, r"(?i)^https?://([^/?#]+)", 1)),
+        r"^[^@]*@", "")
     host = F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"^www\.", "")
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    # numeric compare so ':080' strips like ':80'
+    port_n = F.when(port == "", F.lit(-1)).otherwise(port.cast("int"))
     port_kept = F.when(
-        (port == "") | ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443")),
+        (port_n == -1) | ((scheme == "http") & (port_n == 80))
+        | ((scheme == "https") & (port_n == 443)),
         F.lit(""),
-    ).otherwise(F.concat(F.lit(":"), port))
+    ).otherwise(F.concat(F.lit(":"), port_n.cast("string")))
     path = F.regexp_replace(
         F.regexp_extract(url_col, r"(?i)^https?://[^/?#]+([^?#]*)", 1), r"/+$", "")
-    rawq = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    # anchored before any '#': a '?' inside the fragment is NOT a query
+    rawq = F.regexp_extract(url_col, r"^[^#]*?\?([^#]*)", 1)
     tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
     params = F.array_sort(F.filter(
         F.split(rawq, "&"),

@@ -50,7 +50,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "corpus_tokens", "suffix_array", "adjacent_lcp", "longest_repeats",
-    "suffix_dup_spans",
+    "suffix_dup_spans", "release_levels",
 ]
 
 def _sentinel():
@@ -68,27 +68,18 @@ def corpus_tokens(df: DataFrame, id_col: str = "doc_id",
     position (dense, 0-based); lidx the within-doc position (the sentinel
     sits at lidx = n_tok).  Tokenization matches duplicated_spans:
     split(text, ' '), case-sensitive, no empty-filter."""
+    from .build import frozen_ranged, partition_offsets
+
+    sc = df.sparkSession.sparkContext
+    _before = _pinned_ids(sc)
     counts = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         (F.size(F.split(F.col(text_col), " ")) + 1).cast("long").alias("_n"),
     )
-    ranged = (
-        counts.repartitionByRange(partitions, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("_pid", F.spark_partition_id())
-        # freeze ONE materialized partitioning for both passes (see
-        # build.mint_doc_ids: per-job range re-sampling otherwise corrupts
-        # the prefix sum at scale)
-        .localCheckpoint(eager=True)
-    )
-    psums = {
-        r["_pid"]: int(r["s"])
-        for r in ranged.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
+    # frozen_ranged pins ONE materialized partitioning for both passes
+    # (per-job range re-sampling otherwise corrupts the prefix sum)
+    ranged = frozen_ranged(counts, ["doc_id"], partitions)
+    offsets = partition_offsets(ranged, weight_col="_n")
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("offset", T.LongType()),
@@ -116,10 +107,43 @@ def corpus_tokens(df: DataFrame, id_col: str = "doc_id",
             F.concat(F.split(F.col(text_col), " "), F.array(_sentinel()))
         ).alias("lidx", "term"),
     )
-    return toks.join(placed, "doc_id").select(
+    out = toks.join(placed, "doc_id").select(
         (F.col("offset") + F.col("lidx")).alias("gpos"),
         "term", "doc_id", F.col("lidx").cast("long").alias("lidx"),
     )
+    # the output stays lazy over the ranged checkpoint's blocks; carry
+    # their ids so release_levels can free them once results materialize
+    out._sl_ckpt_ids = _pinned_ids(sc) - _before
+    return out
+
+
+def _pinned_ids(sc) -> set:
+    """RDD ids currently pinned in block storage."""
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _release_ids(sc, ids) -> None:
+    """Free specific checkpointed RDDs' blocks.  Dataset.unpersist is a
+    documented NO-OP for localCheckpoint storage (it only clears
+    CacheManager entries), so release goes through the JVM handle --
+    verified empirically: getPersistentRDDs drops to zero and the blocks
+    are gone (and the frame is no longer recomputable, so release only
+    after downstream results are materialized)."""
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist(False)
+
+
+def release_levels(frames) -> None:
+    """Free the checkpoint blocks behind frames returned by suffix_array /
+    corpus_tokens (each carries its block ids in ``_sl_ckpt_ids``).  Call
+    AFTER collecting/materializing anything derived from them."""
+    for f in frames:
+        ids = getattr(f, "_sl_ckpt_ids", None)
+        if ids:
+            _release_ids(f.sparkSession.sparkContext, ids)
 
 
 def _dense_rank(df: DataFrame, cols: list[str], partitions: int) -> DataFrame:
@@ -140,19 +164,34 @@ def suffix_array(tok: DataFrame, partitions: int = 32,
 
     -> (sa, levels): ``sa`` = (gpos, _rank) with _rank the dense suffix
     order (unique -- sentinels make all suffixes distinct); ``levels[m]``
-    = the persisted rank table after m doublings (level m ranks compare
-    prefixes of length 2^m), consumed by ``adjacent_lcp``.  Caller should
-    unpersist the levels when done."""
+    = the checkpointed rank table after m doublings (level m ranks compare
+    prefixes of length 2^m), consumed by ``adjacent_lcp``.  Pass the
+    levels to ``release_levels`` when done -- plain unpersist() does not
+    free localCheckpoint storage.  Empty corpus -> (empty sa, [empty])."""
+    sc = tok.sparkSession.sparkContext
     if max_doc_len is None:
-        max_doc_len = int(
-            tok.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
-        )
+        v = tok.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+        max_doc_len = int(v) if v is not None else 0
     # localCheckpoint (eager) per round: persist() alone leaves the LOGICAL
     # plan growing -- iterated self-joins make Catalyst analysis explode
     # exponentially with round count.  Checkpointing truncates the plan to
     # the materialized blocks, the standard iterative-algorithm discipline
     # (on a cluster: reliable checkpoint / parquet round-trip instead).
-    r = _dense_rank(tok, ["term"], partitions).localCheckpoint(eager=True)
+    # mint_doc_ids' internal scratch checkpoint is released as soon as the
+    # round's level is materialized, so pinned storage stays bounded by
+    # the level tables themselves.
+    def ckpt_round(lazy_df):
+        a = _pinned_ids(sc)
+        out = lazy_df.localCheckpoint(eager=True)
+        b = _pinned_ids(sc)
+        return out, b - a
+
+    a0 = _pinned_ids(sc)
+    lazy = _dense_rank(tok, ["term"], partitions)
+    scratch = _pinned_ids(sc) - a0
+    r, own = ckpt_round(lazy)
+    _release_ids(sc, scratch)
+    r._sl_ckpt_ids = own
     levels = [r]
     plen = 1
     # sentinels resolve every comparison within max_doc_len + 1 tokens
@@ -165,7 +204,12 @@ def suffix_array(tok: DataFrame, partitions: int = 32,
             .join(shifted, "gpos", "left")
             .select("gpos", "_r1", F.coalesce("_r2", F.lit(-1)).alias("_r2"))
         )
-        r = _dense_rank(paired, ["_r1", "_r2"], partitions).localCheckpoint(eager=True)
+        a = _pinned_ids(sc)
+        lazy = _dense_rank(paired, ["_r1", "_r2"], partitions)
+        scratch = _pinned_ids(sc) - a
+        r, own = ckpt_round(lazy)
+        _release_ids(sc, scratch)
+        r._sl_ckpt_ids = own
         levels.append(r)
         plen *= 2
     return r, levels
@@ -229,8 +273,7 @@ def longest_repeats(df: DataFrame, k: int = 10, id_col: str = "doc_id",
     )
     # materialize before releasing the level tables the plan reads
     out = out.localCheckpoint(eager=True)
-    for lv in levels:
-        lv.unpersist()
+    release_levels([*levels, tok])
     return out.orderBy(F.desc("lcp"), F.asc("doc_a"), F.asc("idx_a"))
 
 
@@ -272,6 +315,5 @@ def suffix_dup_spans(df: DataFrame, min_len: int = 20,
     )
     # materialize before releasing the level tables the plan reads
     out = out.localCheckpoint(eager=True)
-    for lv in levels:
-        lv.unpersist()
+    release_levels([*levels, tok])
     return out.orderBy("doc_id", "span_start")

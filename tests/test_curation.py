@@ -398,3 +398,54 @@ def test_url_dedup_keeps_lowest_id(spark):
     assert got[1] == ("http://a.com/x", False)
     assert got[2] == ("http://a.com/y", True)
     assert got[3] == (None, True)
+
+
+def test_canonical_url_review_edges(spark):
+    """Edge cases from review: '?' inside a fragment is not a query;
+    userinfo is stripped (not mistaken for the host); default ports with
+    leading zeros still strip; non-default ports normalize digits."""
+    from sparklucene.datapipe import canonical_url
+
+    cases = [
+        ("http://ex.com/p#sec?x=1", "http://ex.com/p"),
+        ("http://alice:pw@a.com/x", "http://a.com/x"),
+        ("http://alice:pw@b.com/x", "http://b.com/x"),
+        ("http://ex.com:080/x", "http://ex.com/x"),
+        ("https://ex.com:0443/x", "https://ex.com/x"),
+        ("http://ex.com:08080/x", "http://ex.com:8080/x"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_suffix_array_empty_corpus(spark):
+    """Review edge: an all-filtered corpus must return empty frames, not
+    raise int(None)."""
+    from sparklucene.suffixarray import longest_repeats, suffix_dup_spans
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert longest_repeats(df, k=5, partitions=2).count() == 0
+    assert suffix_dup_spans(df, min_len=3, partitions=2).count() == 0
+
+
+def test_suffix_release_levels_frees_storage(spark):
+    """release_levels must actually drop the checkpoint blocks (plain
+    unpersist() is a no-op for localCheckpoint storage)."""
+    from sparklucene.suffixarray import corpus_tokens, release_levels, suffix_array
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.createDataFrame([(0, "a b c a b"), (1, "c a b")],
+                               "doc_id long, text string")
+    tok = corpus_tokens(df, partitions=2)
+    sa, levels = suffix_array(tok, partitions=2)
+    sa.count()
+    during = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(during - before) > 0
+    release_levels([*levels, tok])
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before | set()  # everything new is gone

@@ -63,8 +63,8 @@ def test_suffix_array_matches_brute(spark, seed):
         a, b, lcp = lcps[i]
         assert (a, b) == (want[i], want[i + 1])
         assert lcp == _brute_lcp(terms, a, b), (i, a, b)
-    for lv in levels:
-        lv.unpersist()
+    from sparklucene.suffixarray import release_levels
+    release_levels([*levels, tok])
 
 
 def test_corpus_tokens_positions(spark):
