@@ -498,6 +498,17 @@ def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
                             facet_limit=5, mode="f64")
 
 
+def _q_facet_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association facets (TaxonomyFacetSumInt32Associations.cs): per-lang
+    SUM of a per-doc association value (n_chars % 100 -- the association
+    payload the reference reads from docvalues) over the bool_or query's
+    matches, (sum desc, label asc)."""
+    s = _searcher(spark, sf_dir)
+    q, _ = QUERY_TREES["bool_or"]
+    return s.facet_sum(q, "lang", F.col("n_chars") % 100, mode="f64").select(
+        "lang", "total")
+
+
 def _q_facet_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Taxonomy facets: lang/source path prefixes with rolled-up counts for
     the bool_or query's matches."""
@@ -2467,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["field_term"] = _q_field_term
     out["drill_sideways"] = _q_drill_sideways
     out["facet_taxonomy"] = _q_facet_taxonomy
+    out["facet_assoc"] = _q_facet_assoc
     out["rescore"] = _q_rescore
     out["events_window"] = _q_events_window
     out["sessionize"] = _q_sessionize
@@ -2593,7 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round5 = [
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
-        "child_join", "suffix_sa", "suffix_lrs", "url_canon",
+        "child_join", "suffix_sa", "suffix_lrs", "url_canon", "facet_assoc",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -3075,6 +3087,14 @@ SELECT d.lang, count(DISTINCT s.doc_id)::BIGINT AS n
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 WHERE s.term IN ('dup', 'window', 'vector')
 GROUP BY d.lang"""
+    sqls["facet_assoc"] = f"""{_prelude()}
+SELECT d.lang, sum(v.a)::BIGINT AS total
+FROM (SELECT DISTINCT doc_id FROM scored
+      WHERE term IN ('dup', 'window', 'vector')) s
+JOIN documents d ON d.doc_id = s.doc_id
+JOIN (SELECT doc_id, n_chars % 100 AS a FROM documents) v ON v.doc_id = s.doc_id
+GROUP BY d.lang
+ORDER BY total DESC, d.lang"""
     sqls["facet_range"] = f"""{_prelude()},
 m AS (
   SELECT DISTINCT s.doc_id, d.n_chars

@@ -933,6 +933,31 @@ class IndexSearcher:
         joined = scored.join(self.docs().select("docID", facet_col), "docID")
         return joined.groupBy(facet_col).agg(F.count("*").alias("n"))
 
+    def facet_sum(self, query: dict, facet_col: str, value_col,
+                  mode: str = "f64", as_float: bool = False) -> DataFrame:
+        """Association facets (src/Lucene.Net.Facet/Taxonomy/
+        TaxonomyFacetSumInt32Associations.cs / ...SumSingleAssociations.cs):
+        per-category SUM of a per-doc association value over the query's
+        matches, ordered (sum desc, label asc) like the reference's
+        GetTopChildren.  ``value_col`` is any Column over the docs table
+        (the association payload; the reference stores it in a binary
+        docvalues stream, here it is a native column).  Map-side partial
+        aggregation; one facet-keyed shuffle."""
+        scored = self._eval(query, 1.0, mode)
+        vtype = "double" if as_float else "long"
+        if scored is None:
+            return self.spark.createDataFrame(
+                [], f"{facet_col} string, total {vtype}")
+        joined = scored.join(
+            self.docs().select("docID", facet_col,
+                               value_col.cast(vtype).alias("_assoc")),
+            "docID")
+        return (
+            joined.groupBy(facet_col)
+            .agg(F.sum("_assoc").cast(vtype).alias("total"))
+            .orderBy(F.desc("total"), F.asc(facet_col))
+        )
+
     def facet_ranges(self, query: dict, facet_col: str,
                      ranges: list[tuple[str, float | None, float | None]],
                      mode: str = "f64") -> DataFrame:
