@@ -449,3 +449,77 @@ def test_suffix_release_levels_frees_storage(spark):
     release_levels([*levels, tok])
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before | set()  # everything new is gone
+
+
+def _py_canonical_url(url):
+    """Independent reference implementation of datapipe.canonical_url over
+    urllib.parse -- same documented rules, none of the same regexes."""
+    from urllib.parse import urlsplit
+
+    try:
+        sp = urlsplit(url)
+    except ValueError:
+        return None
+    if sp.scheme.lower() not in ("http", "https") or not url.lower().startswith(
+            (sp.scheme.lower() + "://")):
+        return None
+    netloc = sp.netloc
+    if netloc == "":
+        return None
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    netloc = netloc.lower()
+    if ":" in netloc:
+        host, _, port = netloc.rpartition(":")
+        if not port.isdigit():
+            return None
+        p = int(port)
+        scheme = sp.scheme.lower()
+        if (scheme == "http" and p == 80) or (scheme == "https" and p == 443):
+            portpart = ""
+        else:
+            portpart = f":{p}"
+    else:
+        host, portpart = netloc, ""
+    if host.startswith("www."):
+        host = host[4:]
+    path = sp.path.rstrip("/")
+    from sparklucene.datapipe import TRACKING_PARAMS
+    params = sorted(
+        p for p in sp.query.split("&")
+        if p != "" and p.split("=", 1)[0] not in TRACKING_PARAMS
+    )
+    q = "?" + "&".join(params) if params else ""
+    return f"{sp.scheme.lower()}://{host}{portpart}{path}{q}"
+
+
+def test_canonical_url_fuzz_vs_urllib(spark):
+    """Differential fuzz: the Catalyst canonicalizer vs an independent
+    urllib.parse implementation over structured random URLs.  Restricted
+    to the documented grammar (host of [a-z0-9.-], digit ports, no
+    userinfo-less '@' tricks beyond one userinfo block) -- where the two
+    parsers' domains coincide."""
+    import random
+
+    rng = random.Random(77)
+    hosts = ["Ex.COM", "www.ex.com", "a.b.ex.com", "WWW.A.ORG", "x-y.net"]
+    schemes = ["http", "HTTPS", "https", "HTTP"]
+    urls = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        user = rng.choice(["", "u@", "u:pw@"])
+        h = rng.choice(hosts)
+        port = rng.choice(["", ":80", ":443", ":080", ":8080", ":0443"])
+        path = rng.choice(["", "/", "/A/b", "/A/b/", "/p//", "/x%20y"])
+        query = rng.choice(
+            ["", "?b=2&a=1", "?utm_source=t&z=9", "?a=1&a=0", "?", "?&a=1"])
+        frag = rng.choice(["", "#f", "#s?fake=1"])
+        urls.append(f"{s}://{user}{h}{port}{path}{query}{frag}")
+    from sparklucene.datapipe import canonical_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical_url(u), (u, got[i], _py_canonical_url(u))
