@@ -418,6 +418,26 @@ def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp.url_dedup(docs.select("doc_id", url.alias("url"))).orderBy("doc_id")
 
 
+def _q_word_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.SuggestWordBreaks (WordBreakSpellChecker.cs:
+    87): 1-change break suggestions for three run-together probe terms --
+    every split whose halves are both index terms, with their docFreqs.
+    Candidate substrings batch into ONE bloom-prefiltered term_dict
+    lookup; the reference recursion runs on the returned df map."""
+    from sparklucene.suggest import WordBreakSpellChecker
+
+    s = _searcher(spark, sf_dir)
+    wb = WordBreakSpellChecker(max_changes=1)
+    rows = []
+    for probe in ("tablemerge", "sparkstream", "fastkey"):
+        for sug in wb.suggest_word_breaks(s, probe, max_suggestions=20):
+            (lw, lf, _), (rw, rf, _) = sug
+            rows.append((probe, lw, rw, int(lf), int(rf)))
+    rows.sort(key=lambda r: (r[0], -max(r[3], r[4]), r[1]))
+    return spark.createDataFrame(
+        rows, "probe string, left_w string, right_w string, df_l long, df_r long")
+
+
 def _q_suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed suffix array by prefix doubling (suffixarray.py -- the
     Lee et al. 2021 exact-substring-dedup backbone, no reference
@@ -2472,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["suffix_sa"] = _q_suffix_sa
     out["suffix_lrs"] = _q_suffix_lrs
     out["url_canon"] = _q_url_canon
+    out["word_break"] = _q_word_break
     out["facet_lang"] = _q_facet_lang
     out["facet_range"] = _q_facet_range
     out["drilldown"] = _q_drilldown
@@ -2606,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
         "child_join", "suffix_sa", "suffix_lrs", "url_canon", "facet_assoc",
+        "word_break",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -4012,6 +4034,19 @@ SELECT surface, weight FROM an
 WHERE list_contains(toks, 'merge')
   AND len(list_filter(toks, x -> x LIKE 'sp%')) > 0
 ORDER BY weight DESC, surface LIMIT 10"""
+    sqls["word_break"] = f"""{_prelude()},
+probes(probe) AS (SELECT * FROM (VALUES ('tablemerge'), ('sparkstream'), ('fastkey')) v),
+splits AS (
+  SELECT p.probe,
+         substr(p.probe, 1, i) AS left_w,
+         substr(p.probe, i + 1) AS right_w
+  FROM probes p, LATERAL (SELECT unnest(generate_series(1, len(p.probe) - 1)) AS i) g
+)
+SELECT s.probe, s.left_w, s.right_w, tl.df AS df_l, tr.df AS df_r
+FROM splits s
+JOIN tstats tl ON tl.term = s.left_w
+JOIN tstats tr ON tr.term = s.right_w
+ORDER BY s.probe, greatest(tl.df, tr.df) DESC, s.left_w"""
     sqls["url_canon"] = """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
 u AS (

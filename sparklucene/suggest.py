@@ -408,3 +408,179 @@ class FreeTextSuggester:
             backoff *= FREE_TEXT_ALPHA
         results.sort(key=lambda x: (-x[1], x[0]))
         return results[:num]
+
+
+class WordBreakSpellChecker:
+    """WordBreakSpellChecker (src/Lucene.Net.Suggest/Spell/
+    WordBreakSpellChecker.cs): suggest word BREAKS ('ninetynine' ->
+    ['ninety', 'nine']; recursive left-prefix splits, GenerateBreakUp
+    Suggestions :260-316) and word COMBINATIONS (adjacent query terms
+    joined into one dictionary word, SuggestWordCombinations :139-258).
+
+    Spark adaptation: the reference issues one IndexReader.DocFreq per
+    candidate; here every candidate substring/combination batches into
+    ONE ``searcher.lookup_terms`` call (bloom-prefiltered distributed
+    term_dict read), then the reference's recursion/queue logic runs
+    driver-side over the in-memory df map -- O(len^2) candidate strings
+    for a break, O(n * maxChanges) for combinations, both tiny.
+
+    Scores equal the number of changes (NewSuggestion :329); result
+    ordering mirrors the reference's bounded PriorityQueue + reversed
+    drain: breaks by (fewer words, then higher max-or-sum freq), 
+    combinations by (fewer combined terms, then higher freq)
+    (LengthThenMaxFreq/LengthThenSumFreq/CombinationsThenFreq comparers
+    :436-503)."""
+
+    def __init__(self, min_suggestion_frequency: int = 1,
+                 min_break_word_length: int = 1,
+                 max_combine_word_length: int = 20,
+                 max_changes: int = 1, max_evaluations: int = 1000):
+        self.min_suggestion_frequency = min_suggestion_frequency
+        self.min_break_word_length = min_break_word_length
+        self.max_combine_word_length = max_combine_word_length
+        self.max_changes = max_changes
+        self.max_evaluations = max_evaluations
+
+    # -- df prefetch ------------------------------------------------------
+    @staticmethod
+    def _df_map(searcher, words: list[str]) -> dict[str, int]:
+        stats = searcher.lookup_terms(list(set(words)))
+        return {w: (stats[w].df if w in stats else 0) for w in set(words)}
+
+    def _substrings(self, text: str) -> list[str]:
+        mn = max(1, self.min_break_word_length)
+        out = []
+        for i in range(len(text)):
+            for j in range(i + mn, len(text) + 1):
+                out.append(text[i:j])
+        return out
+
+    # -- word breaks ------------------------------------------------------
+    def suggest_word_breaks(self, searcher, term: str, max_suggestions: int = 5,
+                            suggest_mode: str = "when_not_in_index",
+                            sort_method: str = "num_changes_then_max_frequency"):
+        """-> list of suggestions, best first; each a list of
+        (word, freq, score) tuples."""
+        if max_suggestions < 1:
+            return []
+        dfm = self._df_map(searcher, self._substrings(term) + [term])
+        orig_freq = dfm.get(term, 0)
+        if orig_freq > 0 and suggest_mode == "when_not_in_index":
+            return []
+        min_freq = self.min_suggestion_frequency
+        if suggest_mode == "more_popular":
+            min_freq = orig_freq if orig_freq else 1
+        use_max = sort_method == "num_changes_then_max_frequency"
+        heap: list = []  # (key, seq) min-heap; smallest = WORST suggestion
+        seq = 0
+
+        def key_of(words):
+            freqs = [f for _, f, _ in words]
+            freq_stat = max(freqs) if use_max else sum(freqs)
+            return (-len(words), freq_stat)
+
+        def offer(words):
+            nonlocal seq
+            import heapq
+            heapq.heappush(heap, (key_of(words), seq, words))
+            seq += 1
+            if len(heap) > max_suggestions:
+                heapq.heappop(heap)
+
+        mn = max(1, self.min_break_word_length)
+
+        def generate(text, number_breaks, prefix, total_evals):
+            # GenerateBreakUpSuggestions :260 -- returns thisTimeEvaluations
+            n = len(text)
+            if n < mn * 2:
+                return 0
+            this_time = 0
+            for i in range(mn, n - mn + 1):
+                left, right = text[:i], text[i:]
+                lf = dfm.get(left, 0)
+                if lf >= min_freq:
+                    score = len(prefix) + 1
+                    rf = dfm.get(right, 0)
+                    if rf >= min_freq:
+                        words = ([(w, f, score) for w, f, _ in prefix]
+                                 + [(left, lf, score), (right, rf, score)])
+                        offer(words)
+                    if number_breaks + 1 <= self.max_changes:
+                        evals = generate(right, number_breaks + 1,
+                                         prefix + [(left, lf, 0)], total_evals)
+                        total_evals += evals
+                this_time += 1
+                total_evals += 1
+                if total_evals >= self.max_evaluations:
+                    break
+            return this_time
+
+        generate(term, 1, [], 0)
+        ordered = []
+        import heapq
+        while heap:
+            ordered.append(heapq.heappop(heap)[2])  # worst ... best
+        return list(reversed(ordered))
+
+    # -- word combinations ------------------------------------------------
+    def suggest_word_combinations(self, searcher, terms: list[str],
+                                  max_suggestions: int = 5,
+                                  suggest_mode: str = "when_not_in_index"):
+        """-> list of (combined_word, freq, orig_indexes, score), best
+        first.  score = number of combinations (orig terms - 1)."""
+        if max_suggestions < 1:
+            return []
+        # prefetch: original terms + every window concatenation
+        cands = list(terms)
+        for i in range(len(terms) - 1):
+            combined = terms[i]
+            for j in range(i + 1, min(len(terms), i + self.max_changes + 1)):
+                combined = combined + terms[j]
+                cands.append(combined)
+        dfm = self._df_map(searcher, cands)
+        orig_freqs = None
+        if suggest_mode != "always":
+            orig_freqs = [dfm.get(t, 0) for t in terms]
+        import heapq
+        heap: list = []
+        seq = 0
+        evals = 0
+        for i in range(len(terms) - 1):
+            left = terms[i]
+            if len(left) > self.max_combine_word_length:
+                continue
+            max_f = orig_freqs[i] if orig_freqs is not None else 0
+            min_f = orig_freqs[i] if orig_freqs is not None else (1 << 31)
+            combined = left
+            stop = False
+            for j in range(i + 1, len(terms)):
+                if j - i > self.max_changes:
+                    break
+                combined = combined + terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                if orig_freqs is not None:
+                    max_f = max(max_f, orig_freqs[j])
+                    min_f = min(min_f, orig_freqs[j])
+                cf = dfm.get(combined, 0)
+                if ((suggest_mode != "more_popular" or cf >= max_f)
+                        and (suggest_mode != "when_not_in_index" or min_f == 0)
+                        and cf >= self.min_suggestion_frequency):
+                    idxs = tuple(range(i, j + 1))
+                    # least = more combinations, then lower freq
+                    heapq.heappush(
+                        heap, ((-(len(idxs) - 1), cf), seq,
+                               (combined, cf, idxs, len(idxs) - 1)))
+                    seq += 1
+                    if len(heap) > max_suggestions:
+                        heapq.heappop(heap)
+                evals += 1
+                if evals == self.max_evaluations:
+                    stop = True
+                    break
+            if stop:
+                break
+        out = []
+        while heap:
+            out.append(heapq.heappop(heap)[2])
+        return list(reversed(out))

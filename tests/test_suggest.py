@@ -211,3 +211,134 @@ def test_blended_no_positional_hit_is_demoted(spark):
     # 'alpha beta' matches head token at position 0 -> coef 1 - 0 = 1.0;
     # prefix 'zz' never matches but least() takes the head hit
     assert got == [("alpha beta", 10)]
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (TestWordBreakSpellChecker.cs)
+# ---------------------------------------------------------------------------
+
+def _int_to_english(n):
+    """English.Int32ToEnglish with the reference test's normalization
+    (hyphens -> spaces, commas removed)."""
+    ones = ("zero one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+            "nineteen").split()
+    tens = ("", "", "twenty", "thirty", "forty", "fifty", "sixty",
+            "seventy", "eighty", "ninety")
+
+    def under100(k):
+        if k < 20:
+            return [ones[k]] if k else []
+        t, o = divmod(k, 10)
+        return [tens[t]] + ([ones[o]] if o else [])
+
+    def under1000(k):
+        h, r = divmod(k, 100)
+        out = []
+        if h:
+            out += [ones[h], "hundred"]
+        out += under100(r)
+        return out
+
+    th, r = divmod(n, 1000)
+    out = []
+    if th:
+        out += under1000(th) + ["thousand"]
+    out += under1000(r)
+    return " ".join(out)
+
+
+class _DictSearcher:
+    """lookup_terms stub over an in-memory doc-frequency map -- the unit
+    vectors exercise the recursion/queue logic; the engine path is covered
+    by the word_break gate."""
+
+    def __init__(self, docs):
+        import collections
+        from types import SimpleNamespace
+
+        self._df = collections.Counter()
+        for text in docs:
+            self._df.update(set(text.split()))
+        self._ns = SimpleNamespace
+
+    def lookup_terms(self, terms):
+        return {t: self._ns(df=self._df[t]) for t in terms if self._df[t] > 0}
+
+
+@pytest.fixture(scope="module")
+def wb_searcher():
+    docs = [_int_to_english(i) for i in range(900, 1112)]
+    docs += ["thou hast sand betwixt thy toes",
+             "hundredeight eightyeight yeight",
+             "tres y cinco"]
+    return _DictSearcher(docs)
+
+
+def test_word_break_combinations_always(wb_searcher):
+    from sparklucene.suggest import WordBreakSpellChecker
+
+    terms = ["one", "hun", "dred", "eight", "y", "eight"]
+    wb = WordBreakSpellChecker(max_changes=3, max_combine_word_length=20,
+                               min_suggestion_frequency=1)
+    cs = wb.suggest_word_combinations(wb_searcher, terms, 10, suggest_mode="always")
+    assert len(cs) == 5
+    assert (cs[0][0], cs[0][2], cs[0][3]) == ("hundred", (1, 2), 1)
+    assert (cs[1][0], cs[1][2], cs[1][3]) == ("eighty", (3, 4), 1)
+    assert (cs[2][0], cs[2][2], cs[2][3]) == ("yeight", (4, 5), 1)
+    assert {(c[0], c[2], c[3]) for c in cs[3:]} == {
+        ("hundredeight", (1, 2, 3), 2), ("eightyeight", (3, 4, 5), 2)}
+
+
+def test_word_break_combinations_not_in_index(wb_searcher):
+    from sparklucene.suggest import WordBreakSpellChecker
+
+    terms = ["one", "hun", "dred", "eight", "y", "eight"]
+    wb = WordBreakSpellChecker(max_changes=3, max_combine_word_length=20,
+                               min_suggestion_frequency=1)
+    cs = wb.suggest_word_combinations(wb_searcher, terms, 5,
+                                      suggest_mode="when_not_in_index")
+    assert [(c[0], c[2], c[3]) for c in cs] == [
+        ("hundred", (1, 2), 1), ("hundredeight", (1, 2, 3), 2)]
+
+
+def test_word_break_breaks_reference_vectors(wb_searcher):
+    from sparklucene.suggest import WordBreakSpellChecker
+
+    wb = WordBreakSpellChecker(max_changes=1, min_break_word_length=1,
+                               min_suggestion_frequency=1)
+    sw = wb.suggest_word_breaks(wb_searcher, "ninetynine", 5)
+    assert [[w for w, _, _ in s] for s in sw] == [["ninety", "nine"]]
+    assert all(sc == 1 for _, _, sc in sw[0])
+
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousand", 2)
+    assert [[w for w, _, _ in s] for s in sw] == [["one", "thousand"]]
+
+    wb.max_changes = 2
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousand", 1)
+    assert len(sw) == 1 and len(sw[0]) == 2
+
+    wb.min_suggestion_frequency = 2
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousand", 2)
+    assert len(sw) == 1 and len(sw[0]) == 2
+
+    wb.min_suggestion_frequency = 1
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousand", 2)
+    assert [[w for w, _, _ in s] for s in sw] == [
+        ["one", "thousand"], ["one", "thou", "sand"]]
+    one, thousand = sw[0][0], sw[0][1]
+    assert thousand[1] > 1 and one[1] > thousand[1]
+    assert all(sc == 2 for _, _, sc in sw[1])
+
+    wb.max_changes = 3
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousandonehundredeleven", 5)
+    assert sw == []
+    wb.max_changes = 4
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousandonehundredeleven", 5)
+    assert [[w for w, _, _ in s] for s in sw] == [
+        ["one", "thousand", "one", "hundred", "eleven"]]
+    wb.max_changes = 5
+    sw = wb.suggest_word_breaks(wb_searcher, "onethousandonehundredeleven", 5)
+    assert [[w for w, _, _ in s] for s in sw] == [
+        ["one", "thousand", "one", "hundred", "eleven"],
+        ["one", "thou", "sand", "one", "hundred", "eleven"]]
