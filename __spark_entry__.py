@@ -1298,6 +1298,18 @@ def _q_spell_damerau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spell_jaro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellChecker.SuggestSimilar with JaroWinklerDistance
+    (JaroWinklerDistance.cs, TestJaroWinklerDistance vectors bit-checked):
+    candidates within levenshtein 2 of 'spakr' ranked by Jaro-Winkler
+    similarity desc -- the oracle uses DuckDB's builtin, which matches the
+    reference formula on every test vector."""
+    s = _searcher(spark, sf_dir)
+    out = s.spell_suggest_similarity("spakr", n=8, metric="jaro_winkler",
+                                     max_edits_prefilter=3)
+    return out.select("term", F.round("score", 6).alias("score"), "df")
+
+
 def _q_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CustomScoreQuery: BM25('merge') * ln(1 + n_chars) (ValueSource =
     arbitrary column expression)."""
@@ -2571,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["freetext_suggest"] = _q_freetext_suggest
     out["spell_check"] = _q_spell_check
     out["spell_damerau"] = _q_spell_damerau
+    out["spell_jaro"] = _q_spell_jaro
     out["custom_score"] = _q_custom_score
     out["dedup_exact"] = _q_dedup_exact
     out["dedup_minhash"] = _q_dedup_minhash
@@ -2627,7 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gates NEW in the round-5 continuation session lead the prefix
         "func_termstats", "func_normjdf", "func_query", "blended_infix",
         "child_join", "suffix_sa", "suffix_lrs", "url_canon", "facet_assoc",
-        "word_break",
+        "word_break", "spell_jaro",
         "opennlp_term",
         "type_token", "numeric_payload", "kstem_term",
         "codec_simpletext", "media_decode", "media_frames",
@@ -4220,6 +4233,11 @@ SELECT term, damerau_levenshtein(term, 'tbale')::INT AS dist, df
 FROM tstats
 WHERE term <> 'tbale' AND damerau_levenshtein(term, 'tbale') <= 2
 ORDER BY dist, df DESC, term LIMIT 5"""
+    sqls["spell_jaro"] = f"""{_prelude()}
+SELECT term, round(jaro_winkler_similarity(term, 'spakr'), 6) AS score, df
+FROM tstats
+WHERE term <> 'spakr' AND levenshtein(term, 'spakr') <= 3
+ORDER BY jaro_winkler_similarity(term, 'spakr') DESC, df DESC, term LIMIT 8"""
     sqls["custom_score"] = f"""{_prelude()}
 SELECT s.doc_id, round(s.score * ln(1.0 + d.n_chars), 4) AS score
 FROM scored s JOIN documents d ON d.doc_id = s.doc_id

@@ -60,3 +60,115 @@ def fuzzy_boost(term: str, target: str, ed: int) -> float:
     if ed == 0:
         return 1.0
     return 1.0 - float(ed) / float(min(len(term), len(target)))
+
+
+def jaro_winkler(s1: str, s2: str, threshold: float = 0.7) -> float:
+    """JaroWinklerDistance.GetDistance (src/Lucene.Net.Suggest/Spell/
+    JaroWinklerDistance.cs:44-117): Jaro similarity with the Winkler
+    common-prefix boost applied only above `threshold` (default 0.7);
+    boost factor min(0.1, 1/max_len) * prefix."""
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_idx = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_idx[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    ms1 = [mn[i] for i in range(len(mn)) if match_idx[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(1 for a, b in zip(ms1, ms2) if a != b) // 2
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b:
+            break
+        prefix += 1
+    m = float(matches)
+    j = (m / len(s1) + m / len(s2) + (m - transpositions) / m) / 3.0
+    if j < threshold:
+        return j
+    return j + min(0.1, 1.0 / len(mx)) * prefix * (1.0 - j)
+
+
+def ngram_distance(source: str, target: str, n: int = 2) -> float:
+    """NGramDistance.GetDistance (NGramDistance.cs:60-150): Kondrak's
+    n-gram similarity -- DP over per-position n-gram half-matches with
+    NUL-prefix padding whose prefix positions are discounted; normalized
+    by max length."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = sum(1 for i in range(min(sl, tl)) if source[i] == target[i])
+        return cost / max(sl, tl)
+    sa = "\x00" * (n - 1) + source
+    p = [float(i) for i in range(sl + 1)]
+    d = [0.0] * (sl + 1)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = "\x00" * (n - j) + target[:j]
+        else:
+            t_j = target[j - n:j]
+        d[0] = float(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\x00":
+                    tn -= 1
+            ec = cost / tn
+            d[i] = min(d[i - 1] + 1.0, p[i] + 1.0, p[i - 1] + ec)
+        p, d = d, p
+    return 1.0 - p[sl] / max(tl, sl)
+
+
+def lucene_levenshtein(target: str, other: str) -> float:
+    """LuceneLevenshteinDistance.GetDistance (LuceneLevenshteinDistance.cs):
+    Damerau edit distance over code points, similarity normalized by the
+    MINIMUM length (1 - d/min) -- DirectSpellChecker's shard-merge
+    comparator."""
+    t = [ord(c) for c in target]
+    o = [ord(c) for c in other]
+    nn, m = len(t), len(o)
+    if nn == 0 or m == 0:
+        return 1.0 if nn == m else 0.0
+    d = [[0] * (m + 1) for _ in range(nn + 1)]
+    for i in range(nn + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        for i in range(1, nn + 1):
+            cost = 0 if t[i - 1] == o[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and t[i - 1] == o[j - 2] and t[i - 2] == o[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return 1.0 - d[nn][m] / min(m, nn)
+
+
+def levenshtein_similarity(target: str, other: str) -> float:
+    """LevensteinDistance.GetDistance (LevensteinDistance.cs:118):
+    1 - edit_distance / max(len) (no transpositions)."""
+    sl, tl = len(target), len(other)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    p = list(range(sl + 1))
+    for j in range(1, tl + 1):
+        d = [j] + [0] * sl
+        c = other[j - 1]
+        for i in range(1, sl + 1):
+            cost = 0 if target[i - 1] == c else 1
+            d[i] = min(d[i - 1] + 1, p[i] + 1, p[i - 1] + cost)
+        p = d
+    return 1.0 - p[sl] / max(sl, tl)

@@ -3028,6 +3028,46 @@ class IndexSearcher:
             "term", "dist", "df"
         )
 
+    def spell_suggest_similarity(self, word: str, n: int = 5,
+                                 metric: str = "jaro_winkler",
+                                 max_edits_prefilter: int = 2) -> DataFrame:
+        """SpellChecker.SuggestSimilar with a pluggable IStringDistance
+        (SpellChecker.cs:397 ranks SuggestWord by the distance score;
+        JaroWinklerDistance.cs / NGramDistance.cs / LevensteinDistance.cs /
+        LuceneLevenshteinDistance.cs implemented vector-exact in
+        distance.py).  Candidates prefilter JVM-side (builtin levenshtein
+        <= max_edits_prefilter -- the n-gram candidate query of the
+        reference stands in); the similarity computes in one Arrow batch
+        over that small set.  -> (term, score, df) by (score desc, df
+        desc, term)."""
+        from . import distance as dmod
+
+        fn = {
+            "jaro_winkler": dmod.jaro_winkler,
+            "ngram": dmod.ngram_distance,
+            "levenshtein": dmod.levenshtein_similarity,
+            "lucene_levenshtein": dmod.lucene_levenshtein,
+        }[metric]
+        td = (
+            self._union_read("term_dict").groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("term") != word)
+            .filter(F.levenshtein(F.col("term"), F.lit(word)) <= max_edits_prefilter)
+        )
+        w_b = word
+
+        def score_batch(pdf_iter):
+            for pdf in pdf_iter:
+                pdf = pdf.copy()
+                pdf["score"] = [float(fn(t, w_b)) for t in pdf["term"]]
+                yield pdf
+
+        out = td.mapInPandas(score_batch, schema="term string, df long, score double")
+        return (
+            out.orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
+            .limit(n).select("term", "score", "df")
+        )
+
     def custom_score(self, query: dict, value_col, k: int = 10, mode: str = "f64",
                      combine: str = "multiply") -> DataFrame:
         """CustomScoreQuery / FunctionQuery analogue

@@ -342,3 +342,56 @@ def test_word_break_breaks_reference_vectors(wb_searcher):
     assert [[w for w, _, _ in s] for s in sw] == [
         ["one", "thousand", "one", "hundred", "eleven"],
         ["one", "thou", "sand", "one", "hundred", "eleven"]]
+
+
+# ---------------------------------------------------------------------------
+# StringDistance family (TestJaroWinklerDistance.cs / TestNGramDistance.cs)
+# ---------------------------------------------------------------------------
+
+def test_jaro_winkler_reference_vectors():
+    from sparklucene.distance import jaro_winkler as jw
+
+    assert jw("al", "al") == 1.0
+    for a, b, lo, hi in [
+        ("martha", "marhta", 0.961, 0.962),
+        ("jones", "johnson", 0.832, 0.833),
+        ("abcvwxyz", "cabvwxyz", 0.958, 0.959),
+        ("dwayne", "duane", 0.84, 0.841),
+        ("dixon", "dicksonx", 0.813, 0.814),
+    ]:
+        assert lo < jw(a, b) < hi, (a, b, jw(a, b))
+    assert jw("fvie", "ten") == 0.0
+
+
+def test_ngram_distance_reference_vectors():
+    from sparklucene.distance import ngram_distance as ng
+
+    vec1 = [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+            ("martha", "marhta", 0.6666), ("jones", "johnson", 0.4285),
+            ("natural", "contrary", 0.25), ("abcvwxyz", "cabvwxyz", 0.75),
+            ("dwayne", "duane", 0.666), ("dixon", "dicksonx", 0.5),
+            ("six", "ten", 0.0)]
+    for a, b, w in vec1:
+        assert abs(ng(a, b, 1) - w) < 0.001, (1, a, b, ng(a, b, 1))
+    vec2 = [("al", "al", 1.0), ("a", "aa", 0.5),
+            ("martha", "marhta", 0.6666), ("jones", "johnson", 0.4285),
+            ("natural", "contrary", 0.25), ("abcvwxyz", "cabvwxyz", 0.625),
+            ("dwayne", "duane", 0.5833), ("dixon", "dicksonx", 0.5)]
+    for a, b, w in vec2:
+        assert abs(ng(a, b, 2) - w) < 0.001, (2, a, b, ng(a, b, 2))
+    vec3 = [("martha", "marhta", 0.7222), ("jones", "johnson", 0.4762),
+            ("natural", "contrary", 0.2083), ("abcvwxyz", "cabvwxyz", 0.5625),
+            ("dwayne", "duane", 0.5277), ("dixon", "dicksonx", 0.4583)]
+    for a, b, w in vec3:
+        assert abs(ng(a, b, 3) - w) < 0.001, (3, a, b, ng(a, b, 3))
+
+
+def test_levenshtein_similarity_forms():
+    from sparklucene.distance import levenshtein_similarity as ls
+    from sparklucene.distance import lucene_levenshtein as ll
+
+    # plain: max-normalized, no transpositions (marhta = 2 edits / 6)
+    assert abs(ls("martha", "marhta") - (1 - 2 / 6)) < 1e-9
+    # Lucene variant: transposition = 1 edit, min-normalized
+    assert abs(ll("martha", "marhta") - (1 - 1 / 6)) < 1e-9
+    assert ll("ab", "ab") == 1.0 and ls("", "") == 1.0 and ls("", "x") == 0.0
