@@ -507,6 +507,34 @@ _FILTERS = {
 }
 
 
+def suggest_stop_filter(tokens, stop, last_is_final: bool = True):
+    """SuggestStopFilter (src/Lucene.Net.Suggest/Suggest/Analyzing/
+    SuggestStopFilter.cs): StopFilter for suggester QUERY analysis, except
+    the stream's LAST token survives when the query did not end with a
+    separator -- 'find the' keeps 'the' (the user may be mid-word:
+    'the...' -> 'theater'), 'find the ' drops it.  The kept token is
+    KEYWORD-marked in the reference so stemmers skip it; here the second
+    return value reports it.
+
+    ``last_is_final``: whether the raw key ends flush with its last token
+    (caller computes ``not key.endswith(separator)`` -- the tuple token
+    model carries no offsets).  Absolute positions preserve the skipped
+    stopwords' increments exactly like StopFilter.
+    -> (tokens, last_token_kept_as_keyword)."""
+    out = []
+    kept = False
+    n = len(tokens)
+    for i, (t, p) in enumerate(tokens):
+        if t in stop:
+            if i == n - 1 and last_is_final:
+                out.append((t, p))
+                kept = True
+        else:
+            out.append((t, p))
+    return out, kept
+
+
+
 def make_chain(tokenizer: str = "standard", filters=()):
     """Compose tokenizer + named filters -> analyzer callable.
 

@@ -395,3 +395,29 @@ def test_levenshtein_similarity_forms():
     # Lucene variant: transposition = 1 edit, min-normalized
     assert abs(ll("martha", "marhta") - (1 - 1 / 6)) < 1e-9
     assert ll("ab", "ab") == 1.0 and ls("", "") == 1.0 and ls("", "x") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SuggestStopFilter (TestSuggestStopFilter.cs)
+# ---------------------------------------------------------------------------
+
+def test_suggest_stop_filter_vectors():
+    from sparklucene.filters import suggest_stop_filter
+
+    stop = {"to", "the", "a"}
+
+    def run(text):
+        toks = [(w, i) for i, w in enumerate(text.split())]
+        return suggest_stop_filter(toks, stop,
+                                   last_is_final=not text.endswith(" "))
+
+    # 'go to': last token not followed by a separator -> kept, keyword
+    assert run("go to") == ([("go", 0), ("to", 1)], True)
+    # 'go to ': trailing separator -> plain stop filtering
+    assert run("go to ") == ([("go", 0)], False)
+    # mid-stream stopwords always removed, increments preserved
+    assert run("go to school") == ([("go", 0), ("school", 2)], False)
+    assert run("go to a the school") == ([("go", 0), ("school", 4)], False)
+    # last of several stopwords kept with the accumulated increment
+    assert run("go to a the") == ([("go", 0), ("the", 3)], True)
+    assert run("go to a the ") == ([("go", 0)], False)
