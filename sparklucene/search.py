@@ -2992,8 +2992,34 @@ class IndexSearcher:
             td = td.filter(F.col("term").startswith(prefix))
         return td.orderBy(F.desc("df"), F.asc("term")).limit(n)
 
+    def high_frequency_dictionary(self, min_df_frac: float = 0.0) -> DataFrame:
+        """HighFrequencyDictionary (src/Lucene.Net.Suggest/Spell/
+        HighFrequencyDictionary.cs): index terms whose docFreq is at least
+        ``min_df_frac`` of numDocs -- the spell-dictionary source that
+        drops rare (likely misspelled) index terms.  -> (term, df)."""
+        td = self._union_read("term_dict").groupBy("term").agg(F.sum("df").alias("df"))
+        if min_df_frac > 0.0:
+            thresh = int(min_df_frac * self.num_docs())
+            td = td.filter(F.col("df") >= max(thresh, 1))
+        return td
+
+    @staticmethod
+    def plain_text_dictionary(spark: SparkSession, path: str) -> DataFrame:
+        """PlainTextDictionary (PlainTextDictionary.cs): one word per line;
+        df has no meaning for an external word list, so every word gets
+        df=1 (the reference's iterator carries no frequency either).
+        -> (term, df)."""
+        return (
+            spark.read.text(path)
+            .select(F.trim(F.col("value")).alias("term"))
+            .filter(F.col("term") != "")
+            .distinct()
+            .withColumn("df", F.lit(1).cast("long"))
+        )
+
     def spell_suggest(self, word: str, max_edits: int = 2, n: int = 5,
-                      distance: str = "levenshtein") -> DataFrame:
+                      distance: str = "levenshtein",
+                      dictionary: DataFrame | None = None) -> DataFrame:
         """SpellChecker analogue (src/Lucene.Net.Suggest/Spell/
         SpellChecker.cs ranks candidates by string distance then popularity):
         dictionary terms within max_edits of `word`, the word itself
@@ -3001,8 +3027,14 @@ class IndexSearcher:
         distance='levenshtein' (Spark builtin, JVM) or 'damerau'
         (DirectSpellChecker's LevenshteinAutomata count transpositions as
         one edit; vectorized Python over a JVM-prefiltered candidate set).
+        dictionary: any (term, df) DataFrame -- SpellChecker.IndexDictionary
+        composes with LuceneDictionary (the default: the index's own term
+        dictionary), HighFrequencyDictionary, or PlainTextDictionary.
         -> (term, dist, df)."""
-        td = self._union_read("term_dict").groupBy("term").agg(F.sum("df").alias("df"))
+        if dictionary is None:
+            dictionary = self._union_read("term_dict").groupBy("term").agg(
+                F.sum("df").alias("df"))
+        td = dictionary.select("term", "df")
         td = td.filter(F.col("term") != word)
         if distance == "levenshtein":
             td = td.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))

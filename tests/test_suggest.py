@@ -421,3 +421,37 @@ def test_suggest_stop_filter_vectors():
     # last of several stopwords kept with the accumulated increment
     assert run("go to a the") == ([("go", 0), ("the", 3)], True)
     assert run("go to a the ") == ([("go", 0)], False)
+
+
+def test_spell_dictionaries(spark, tmp_path):
+    """Dictionary abstraction (HighFrequencyDictionary.cs /
+    PlainTextDictionary.cs): spell_suggest over a plain word list and a
+    df-thresholded index dictionary."""
+    import pyspark.sql.functions as SF
+
+    from sparklucene.build import BuildConfig, build_index
+    from sparklucene.corpus import make_corpus
+    from sparklucene.search import IndexSearcher
+
+    out = str(tmp_path / "dictidx")
+    df = spark.createDataFrame(make_corpus(60, seed=3)).repartition(2)
+    build_index(spark, df, out, BuildConfig(order_cols=("repo", "path"),
+                                            num_buckets=2))
+    s = IndexSearcher(spark, out)
+
+    # plain-text dictionary: suggestions restricted to the word list
+    p = tmp_path / "words.txt"
+    p.write_text("compute\ncomputes\nzzz\n\n  commute \n")
+    d = IndexSearcher.plain_text_dictionary(spark, str(p))
+    got = [r["term"] for r in s.spell_suggest("comput", max_edits=2, n=10,
+                                              dictionary=d).collect()]
+    assert set(got) <= {"compute", "computes", "commute"} and "compute" in got
+
+    # high-frequency dictionary: raising the df fraction shrinks the vocab
+    full = s.high_frequency_dictionary().count()
+    trimmed = s.high_frequency_dictionary(min_df_frac=0.2).count()
+    assert 0 < trimmed < full
+    # and the trimmed dictionary only keeps terms above the threshold
+    thresh = max(int(0.2 * s.num_docs()), 1)
+    assert s.high_frequency_dictionary(min_df_frac=0.2).filter(
+        SF.col("df") < thresh).count() == 0
